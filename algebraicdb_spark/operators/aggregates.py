@@ -1,0 +1,370 @@
+"""§2.4 aggregation surface (incl. the flagship TPC-H-Q1 shape).
+
+Reference parity: algebraicdb had simple ungrouped aggregates at most;
+grouped/hash aggregation, DISTINCT aggs, grouping sets, percentiles
+and stats are the analytical extension surface.
+
+Scale notes:
+  - Every groupBy here is a hash aggregate with map-side partial
+    aggregation (Spark plans partial_/final automatically) — the
+    shuffle carries group keys + partial states, never raw rows.
+  - Multiple COUNT(DISTINCT) in one query triggers Catalyst's Expand
+    rewrite (one pass, n copies of the input) — acceptable for 2
+    distincts; documented here so nobody stacks 6 of them at 100 TB.
+  - approx_count_distinct is the 100 TB path for distinct-cardinality
+    (HLL, no expand, constant memory) — rows-only vs the oracle
+    because sketches are engine-specific.
+  - Doubles rounded to 4 dp per SURVEY §5.3 (partition-order-dependent
+    float summation would break value-hash parity otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate over the fact table."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushed filter → 6-measure hash agg. The flagship.
+
+    One scan stage (filter + partial agg inside WholeStageCodegen),
+    one shuffle of 6 tiny partial states per (flag,status) — the plan
+    is identical at sf0.001 and at 100 TB.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register("agg_groupby_hash", oracle=Q1_ORACLE)(q1)
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING AVG(c_acctbal) > 4400.0
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.avg("c_acctbal").alias("_avg_raw"),
+        )
+        .filter(F.col("_avg_raw") > 4400.0)
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round("_avg_raw", 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — planned as two-phase partial distinct."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DISTINCT aggs + one plain agg in a single pass (Expand rewrite)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct users per event type.
+
+    The 100 TB path for cardinality: constant memory per group, no
+    Expand, mergeable across partitions. rsd=0.01 keeps the local
+    answer within 1% of exact (asserted in tests).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS; NULL group markers disambiguated via COALESCE
+    ('ALL') so the output is plain strings (fixture group cols are
+    never NULL, so the marker is unambiguous)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 4) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (dims broadcast)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_bal",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == quantile_cont)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_extendedprice), 2) AS var_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / correlation / covariance per group."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation, determinized: collect_set → sort_array → join.
+
+    SURVEY §5.3.2: never emit bare collect_list; string-join the
+    sorted array so the value hash is representation-independent.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin with a unique tie-break (struct ordering) —
+    SURVEY §5.3.3: top-k/argmax needs total order."""
+    o = load_tables(spark, sf_dir)["orders"]
+    tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", tie).alias("priciest_order"),
+        F.min_by("o_orderkey", tie).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )

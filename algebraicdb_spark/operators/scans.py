@@ -1,0 +1,130 @@
+"""§2.1 scans / sources / sinks.
+
+Reference parity: algebraicdb scans in-memory row tables; our scans
+are parquet with Catalyst pushdown (verified in tests via
+``explain``: PushedFilters / ReadSchema pruning). Round-trip
+source/sink keys exercise the writer surface and are rows-only
+(file layout differs from any SQL oracle).
+
+Scale: every query here is a single scan stage — no shuffle except
+the counts' final singleton aggregation. Partitioned sink uses
+``partitionBy`` so downstream reads prune by directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "algebraicdb_spark_scratch")
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(_SCRATCH, f"{name}_{tag}")
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan + count (ref: full table scan)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+    )
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    """,
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must show only 2 columns (tested)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select("l_orderkey", "l_linenumber").filter(
+        F.col("l_orderkey") % 1000 == 0
+    )
+
+
+@register("source_csv")  # rows-only: round-trip through our CSV writer/reader
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit schema (CSV has no types of its own)."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    path = _scratch("nation_csv", sf_dir)
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(nation.schema).option("header", True).csv(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("sum_key"),
+    )
+
+
+@register("source_json")  # rows-only: JSON-lines round-trip
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip; schema pinned on read to avoid inference drift."""
+    region = load_tables(spark, sf_dir)["region"]
+    path = _scratch("region_json", sf_dir)
+    region.write.mode("overwrite").json(path)
+    back = spark.read.schema(region.schema).json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("r_regionkey").alias("sum_key"),
+    )
+
+
+@register("sink_parquet_partitioned")  # rows-only: partition-pruned read-back
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year; read ONE partition back.
+
+    Scale: directory partitioning means the read-back scans only
+    files under yr=1997 — static partition pruning, no full scan.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = _scratch("orders_by_year", sf_dir)
+    orders.withColumn("yr", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("yr").parquet(path)
+    one_year = spark.read.parquet(path).filter(F.col("yr") == 1997)
+    return one_year.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@register(
+    "insert_values",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT * FROM (VALUES (100, 'ATLANTIS'), (101, 'LEMURIA')) t(r_regionkey, r_name)
+    ORDER BY r_regionkey
+    """,
+)
+def insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT ... VALUES semantics: literal rows appended to a table."""
+    region = load_tables(spark, sf_dir)["region"]
+    extra = spark.createDataFrame(
+        [(100, "ATLANTIS"), (101, "LEMURIA")], schema="r_regionkey int, r_name string"
+    )
+    return (
+        region.select("r_regionkey", "r_name")
+        .unionByName(extra)
+        .orderBy("r_regionkey")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's required configuration.
+
+Every entry point (tests, bench, driver contract) must build its
+session here so that the fixture quirks (TIMESTAMP(NANOS) parquet
+columns) and the scale-appropriate shuffle/broadcast settings are
+applied exactly once.
+
+Scale notes (100 TB design intent, local[32] test reality):
+  - AQE on: runtime shuffle-partition coalescing, skew-join splitting
+    and broadcast demotion are what make a static plan survive a
+    1000-executor cluster.
+  - ``shuffle.partitions`` is a *local* default (small to avoid task
+    overhead at sf<=0.1); on a real cluster AQE re-targets it from
+    ``advisoryPartitionSizeInBytes`` anyway.
+  - Arrow on: every Pandas-UDF operator (kNN rerank, multimodal
+    decode, grouped-map normalization) pays batch transfer, not
+    per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32) -> SparkSession.Builder:
+    """Apply the engine's required confs to any builder (incl. the driver's)."""
+    return (
+        builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffledHashJoinFactor", "3")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(app_name: str = "algebraicdb-spark", cpus: str | None = None,
+              shuffle_partitions: int = 32) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local test mode is ``local[$SPARK_GRAFT_CPUS]``; on a cluster the
+    master comes from spark-submit and this builder only adds conf.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus or DEFAULT_CPUS}]")
+    return configure(builder, shuffle_partitions).getOrCreate()

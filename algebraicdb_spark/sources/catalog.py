@@ -1,0 +1,85 @@
+"""Table registry: the single place every reader goes through.
+
+Loads the ten fixture tables (FIXTURES.md) from a scale-factor
+directory, fixes the one ingestion quirk (``events.ts`` is parquet
+TIMESTAMP(NANOS) which Spark 4 refuses by default), and registers temp
+views so both the DataFrame API and ``spark.sql`` see the same
+catalog.
+
+The nanos fix (FIXTURES.md "TIMESTAMP(NANOS) quirk"): with
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
+bigint nanoseconds; we expose
+
+    ts      TIMESTAMP  -- truncated to microseconds (Spark's native
+                          precision; matches DuckDB comparisons at
+                          any >=us bucket)
+    ts_ns   BIGINT     -- the raw nanoseconds, for exact arithmetic
+
+Scale note: these are plain ``spark.read.parquet`` scans — predicate
+pushdown / column pruning / partition pruning all apply untouched. At
+cluster scale the same function points at a directory of many files;
+nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Confs that must hold on whatever session the driver hands us.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+# Per-session cache: (id(spark), sf_dir) -> {table: DataFrame}
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs required by the fixtures."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # immutable on this session; builder must have set it
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register all fixture tables as temp views; cached per session."""
+    cache_key = (id(spark), sf_dir.rstrip("/"))
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
+    ensure_confs(spark)
+    tables: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if name == "events":
+            df = normalize_events(df)
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    _CACHE[cache_key] = tables
+    return tables
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Convert the bigint-nanos ``ts`` to a proper timestamp column."""
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df  # already a timestamp (e.g. future fixture change)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
