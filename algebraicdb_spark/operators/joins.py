@@ -1,1 +1,385 @@
-"""(placeholder — filled in a later milestone)"""
+"""§2.3 join surface.
+
+Reference parity: algebraicdb's relational core had at most
+cross-product composition; the full join zoo (outer/semi/anti/theta/
+as-of/interval) is the analytical extension.
+
+Scale notes (the point of each key):
+  - ``join_inner_broadcast``: dims (region/nation/supplier) always fit
+    in one executor → explicit ``F.broadcast`` so no shuffle of the
+    big side, ever.
+  - ``join_inner_shuffle`` / ``join_multiway_star``: fact⋈fact shuffles
+    on the join key; AQE handles skew splitting at runtime. The star
+    join broadcasts every dim so the ONLY shuffle is lineitem⋈orders.
+  - ``join_theta_range``: non-equi ⇒ BNLJ; we bound the broadcast side
+    with a selective filter first — the pattern that keeps theta joins
+    feasible at scale (never BNLJ two big sides).
+  - ``join_asof``: implemented as union + window ``last(ignorenulls)``
+    — ONE shuffle by user, no range explosion; this is the 100 TB
+    as-of pattern (a naive range join is quadratic per key group).
+  - ``join_interval``: bounded range predicate on top of a user-key
+    equi-join, so Spark plans hash-join + residual filter, not BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations,
+           ROUND(SUM(n_nationkey), 4) AS sum_nationkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join of two tiny dims (no shuffle of either side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(F.sum("n_nationkey"), 4).alias("sum_nationkey"),
+        )
+    )
+
+
+@register(
+    "join_inner_shuffle",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join: both sides shuffle on orderkey (SMJ/SHJ,
+    Catalyst + AQE pick), then hash agg on the joined stream."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND r_name = (SELECT MIN(r_name) FROM region)
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3/Q5 shape: 5-way star join + agg + total-ordered top-10.
+
+    All dims (region, nation, customer-filtered) broadcast; the sole
+    shuffle is lineitem⋈orders, then a tiny TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir)
+    min_region = F.broadcast(
+        t["region"].agg(F.min("r_name").alias("r_name_min"))
+    )
+    dims = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(min_region, F.col("r_name") == F.col("r_name_min"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+register("join_multiway_star", oracle=Q3_ORACLE)(q3_star)
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_order,
+           COUNT(o_orderkey) AS n_matched
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; unmatched right side becomes NULLs (counted)."""
+    t = load_tables(spark, sf_dir)
+    j = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_customers_no_order"
+        ),
+        F.count("o_orderkey").alias("n_matched"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         u AS (SELECT DISTINCT user_id  AS k FROM events)
+    SELECT
+      SUM(CASE WHEN c.k IS NOT NULL AND u.k IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+      SUM(CASE WHEN u.k IS NULL THEN 1 ELSE 0 END) AS n_orders_only,
+      SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS n_events_only
+    FROM c FULL JOIN u ON c.k = u.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over the (distinct) key overlap of two tables."""
+    t = load_tables(spark, sf_dir)
+    c = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    u = t["events"].select(F.col("user_id").alias("k")).distinct()
+    j = c.alias("c").join(u.alias("u"), F.col("c.k") == F.col("u.k"), "full")
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return j.agg(
+        one_if(F.col("c.k").isNotNull() & F.col("u.k").isNotNull()).alias("n_both"),
+        one_if(F.col("u.k").isNull()).alias("n_orders_only"),
+        one_if(F.col("c.k").isNull()).alias("n_events_only"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): left rows with >=1 match, emitted once."""
+    t = load_tables(spark, sf_dir)
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    return (
+        t["customer"]
+        .join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers who never ordered."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs, CAST(SUM(r_regionkey + n_nationkey) AS BIGINT) AS checksum
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (the reference's only join-ish composition)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .crossJoin(t["nation"])
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("r_regionkey") + F.col("n_nationkey")).alias("checksum"),
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_size AS size_a, b.p_size AS size_b
+    FROM part a JOIN part b
+      ON abs(a.p_size - b.p_size) <= 1
+     AND a.p_partkey < b.p_partkey
+    WHERE a.p_brand = 'Brand#11' AND b.p_brand = 'Brand#12'
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join; selective filters shrink the broadcast side
+    first so the BNLJ stays bounded."""
+    p = load_tables(spark, sf_dir)["part"]
+    a = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("part_a"), F.col("p_size").alias("size_a")
+    )
+    b = p.filter(F.col("p_brand") == "Brand#12").select(
+        F.col("p_partkey").alias("part_b"), F.col("p_size").alias("size_b")
+    )
+    return a.join(
+        F.broadcast(b),
+        (F.abs(F.col("size_a") - F.col("size_b")) <= 1)
+        & (F.col("part_a") < F.col("part_b")),
+    ).select("part_a", "part_b", "size_a", "size_b")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS last_click_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before it.
+
+    Spark has no native ASOF JOIN; the scalable formulation is
+    union-the-two-streams + window ``last(_, ignorenulls=True)`` —
+    one shuffle on (user, time), linear work, no per-key range
+    explosion. At equal timestamps clicks sort before purchases
+    (matching DuckDB ASOF's inclusive ``>=`` bound).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),  # clicks first at equal ts
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns"), F.col("event_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts_ns"))
+    return (
+        merged.withColumn("last_click_ts_ns", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns DIV 1000").alias("purchase_ts_us"),
+            F.expr("last_click_ts_ns DIV 1000").alias("last_click_ts_us"),
+        )
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           s.user_id,
+           COUNT(p.event_id) AS purchases_within_1d,
+           ROUND(COALESCE(SUM(p.value), 0.0), 4) AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND p.ts <  s.ts + INTERVAL 1 DAY
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: purchases within 24 h after each signup.
+
+    The user-key equality makes this a hash join with a residual range
+    predicate — NOT a BNLJ — so it scales with key-group size, and the
+    1-day bound caps the per-key work (the streaming twin of this key
+    is ``stream_stream_join``).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts_ns").alias("s_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value"),
+    )
+    day_ns = 86400 * 1_000_000_000
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") < F.col("s_ts") + F.lit(day_ns)),
+        "left",
+    )
+    return j.groupBy("signup_id", "user_id").agg(
+        F.count("p_id").alias("purchases_within_1d"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("purchase_value"),
+    )

@@ -80,6 +80,7 @@ def normalize_events(df: DataFrame) -> DataFrame:
     """Convert the bigint-nanos ``ts`` to a proper timestamp column."""
     if dict(df.dtypes).get("ts") != "bigint":
         return df  # already a timestamp (e.g. future fixture change)
+    # integer DIV, not `/`: float division of int64 nanos loses precision
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
