@@ -1,1 +1,194 @@
-"""(placeholder — filled in a later milestone)"""
+"""§2.5 window functions.
+
+Scale notes: every window here partitions by a key whose group sizes
+are bounded (customer, user, status) — window functions sort within
+partitions after ONE shuffle on the partition key. The anti-pattern
+to avoid at 100 TB is a window with no partitionBy (single-task global
+sort); none of these do that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "win_row_number_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (unique tie-break)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           rank()  OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 4) AS pct_rank,
+           ROUND(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC)
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist in one window."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value,
+           ROUND(value - lag(value)  OVER w, 4) AS delta_prev,
+           ROUND(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets per user ordered by time (event_id tie-break)."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@register(
+    "win_running_sum_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+    FROM orders
+    WHERE o_custkey % 25 = 0
+    """,
+)
+def win_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running total per customer over order history."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.filter(F.col("o_custkey") % 25 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+           COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: peers within ±1000 of each order's price.
+
+    COUNT over a value-range frame is tie-safe (every equal price gets
+    the same frame), so no synthetic tie-break is needed. Expressed in
+    SQL because the Python ``rangeBetween`` API only takes integer
+    offsets; the Catalyst plan is identical.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+               COUNT(*) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        """
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           CAST(ts AS DATE) AS day,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           first_value(event_id)   OVER w AS first_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last event per user-day with an explicit full frame
+    (last_value over the default frame is a classic footgun)."""
+    e = load_tables(spark, sf_dir)["events"]
+    day = F.to_date("ts")
+    w = (
+        Window.partitionBy("user_id", day)
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        day.alias("day"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("event_id").over(w).alias("first_id"),
+    ).distinct()
