@@ -1,0 +1,37 @@
+"""Catalog invariants: all tables load, the nanos quirk is fixed once."""
+
+from algebraicdb_spark.sources.catalog import TABLES
+
+
+def test_all_tables_registered(tables, spark):
+    assert set(tables) == set(TABLES)
+    for name in TABLES:
+        assert spark.table(name).columns == tables[name].columns
+
+
+def test_events_ts_normalized(tables):
+    dtypes = dict(tables["events"].dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["ts_ns"] == "bigint"
+
+
+def test_events_ts_precision(tables):
+    """ts must be exact integer-µs of ts_ns (no float rounding drift)."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        tables["events"]
+        .filter(F.unix_micros("ts") != F.expr("ts_ns DIV 1000"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_registry_integrity():
+    from algebraicdb_spark.plans import registry
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 48
+    for key, fn in qs.items():
+        assert callable(fn), key
