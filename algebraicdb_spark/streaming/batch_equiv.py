@@ -1,1 +1,241 @@
-"""(placeholder — filled in a later milestone)"""
+"""§2.9 stream operators — batch-equivalent (hash-checkable) forms.
+
+Structured Streaming's windowed operators are incremental versions of
+these exact batch plans; registering the batch form gives the driver a
+value-hash oracle, while tests/test_streaming.py proves the
+``readStream`` variants (same transformations via the
+streaming/engine.py builders) produce identical results micro-batched.
+
+Scale notes:
+  - Tumbling/sliding windows are groupBy shuffles on (window, key);
+    sliding emits size/slide copies per row (4× here) — bounded fan-out.
+  - Session windows shuffle once on the session key; Spark's
+    ``session_window`` merges in the agg operator (no self-join).
+  - The stream-stream join's batch twin is a user-key equi-join with a
+    residual time-range predicate — hash join, not BNLJ; watermarks
+    bound the streaming state to the same 1 h window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type (streaming twin adds a
+    watermark; boundaries are identical — verified F.window start ==
+    DuckDB time_bucket)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    SELECT epoch(time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES)
+             AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap via
+    ``F.session_window`` (oracle: gaps-and-islands SQL; a new session
+    starts when the gap is >= 30 min, matching Spark's half-open
+    [start, last+gap) session extent)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_s
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on (user, type, hour) — the batch twin of streaming
+    ``withWatermark(...).dropDuplicates(...)`` (state bounded by the
+    1 h watermark; see tests for the readStream variant)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.window("ts", "1 hour").getField("start")).alias("hour_s"),
+    ).distinct()
+
+
+@register("stream_late_data")  # rows-only: watermark semantics are stream-side
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of late-row accounting: rows older than
+    (max ts − 1 h) would be dropped by a 1 h watermark at end-of-stream.
+    The true streaming drop is asserted in tests/test_streaming.py."""
+    e = load_tables(spark, sf_dir)["events"]
+    horizon = e.agg(
+        (F.max("ts_ns") - F.lit(3600 * 1_000_000_000)).alias("wm")
+    )
+    return e.crossJoin(F.broadcast(horizon)).agg(
+        F.sum(F.when(F.col("ts_ns") < F.col("wm"), 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(F.col("ts_ns") >= F.col("wm"), 1).otherwise(0)).alias("n_on_time"),
+    )
+
+
+@register(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS user_seq,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    WHERE user_id % 10 = 0
+    """,
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user counter + value accumulator — the batch twin of
+    an arbitrary-stateful streaming op (applyInPandasWithState variant
+    in streaming/engine.py, equivalence asserted in tests)."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return e.filter(F.col("user_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("user_seq"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <  c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to purchases within 1 h (same user) — the batch
+    twin of a watermarked stream-stream join (state bounded by the
+    1 h time condition on both sides)."""
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_ns").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("p_ts"),
+        F.col("value"),
+    )
+    hour_ns = 3600 * 1_000_000_000
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.lit(hour_ns)),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.round("value", 4).alias("purchase_value"),
+        )
+    )

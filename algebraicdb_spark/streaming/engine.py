@@ -1,0 +1,191 @@
+"""§2.9 true Structured Streaming variants (E3 entry point).
+
+The batch keys in batch_equiv.py are the hash-checked contract; this
+module runs the SAME transformations incrementally over a file-source
+stream of the events table, proving stream/batch equivalence (asserted
+in tests/test_streaming.py with availableNow micro-batching).
+
+Scale notes:
+  - File source + ``maxFilesPerTrigger`` mimics a real append-only
+    ingest; at cluster scale the same code points at a Kafka source.
+  - Every stateful op carries a watermark so state is bounded:
+    windows expire, dedup keys age out, join state is pruned to the
+    1 h band. Unbounded state is the way streaming jobs die at scale.
+  - ``applyInPandasWithState`` is the custom-stateful escape hatch
+    (Arrow-batched); everything else is built-in incremental operators.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from algebraicdb_spark.sources.catalog import ensure_confs, normalize_events
+
+RAW_EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Split the events fixture into n time-ordered files in a temp dir
+    (simulates an append-only ingest directory; files arrive in order)."""
+    ensure_confs(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"adb_stream_src_{sf_dir.rstrip('/').replace('/', '_')}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    pdf = raw.toPandas().sort_values("ts")
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk):
+            chunk.to_parquet(os.path.join(out, f"part-{i:03d}.parquet"), index=False)
+    return out
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over the staged directory, one file per micro-batch,
+    normalized exactly like the batch catalog (ts µs + ts_ns)."""
+    ensure_confs(spark)
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return normalize_events(raw)
+
+
+# ---- incremental transformations (same semantics as batch_equiv) ----
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_watermarked(events: DataFrame) -> DataFrame:
+    """Streaming dedup on event_id with 1 h of dedup state."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Watermarked stream-stream join: purchases within 1 h of a click."""
+    c = (
+        clicks.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
+STATEFUL_OUTPUT_DDL = "event_id bigint, user_id bigint, user_seq int, running_value double"
+STATEFUL_STATE_DDL = "seq int, total double"
+
+
+def _running_counter(key, pdf_iter, state: GroupState):
+    """Per-user running (sequence, value-sum) across micro-batches."""
+    (user_id,) = key
+    seq, total = state.get if state.exists else (0, 0.0)
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts_ns", "event_id"])
+        for _, row in pdf.iterrows():
+            seq += 1
+            total += float(row["value"])
+            out.append((int(row["event_id"]), int(user_id), seq, round(total, 4)))
+    state.update((seq, total))
+    yield pd.DataFrame(out, columns=["event_id", "user_id", "user_seq", "running_value"])
+
+
+def stateful_running_counter(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: per-user event counter + running value sum
+    via applyInPandasWithState (Arrow-batched, partitioned by user)."""
+    return (
+        events.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_counter,
+            outputStructType=STATEFUL_OUTPUT_DDL,
+            stateStructType=STATEFUL_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
+) -> DataFrame:
+    """Execute a streaming DF with availableNow and return the final
+    in-memory result table (test/smoke harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    spark = stream_df.sparkSession
+    return spark.table(name)

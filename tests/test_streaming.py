@@ -1,0 +1,109 @@
+"""Stream/batch equivalence: the readStream variants must produce the
+same final results as the hash-checked batch keys, micro-batched over
+a 4-file append simulation (SURVEY §5.2 streaming layer)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.streaming import engine
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, sf_dir):
+    return engine.stage_event_files(spark, sf_dir, n_files=4)
+
+
+@pytest.fixture()
+def events_stream(spark, src_dir):
+    return engine.read_events_stream(spark, src_dir)
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_stream):
+    from algebraicdb_spark.streaming.batch_equiv import stream_tumbling_agg
+
+    got = engine.run_to_memory(
+        engine.tumbling_agg(events_stream), "t_tumbling", output_mode="complete"
+    )
+    want = stream_tumbling_agg(spark, sf_dir)
+    cols = ["window_start_s", "event_type", "n_events", "sum_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_stream_session_matches_batch(spark, sf_dir, events_stream):
+    from algebraicdb_spark.streaming.batch_equiv import stream_session_window
+
+    got = engine.run_to_memory(
+        engine.session_agg(events_stream), "t_session", output_mode="complete"
+    )
+    want = stream_session_window(spark, sf_dir)
+    cols = ["user_id", "session_start_us", "n_events", "sum_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_stream_dedup_keeps_unique_ids(spark, sf_dir, events_stream):
+    got = engine.run_to_memory(
+        engine.dedup_watermarked(events_stream), "t_dedup", output_mode="append"
+    )
+    n_input = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == got.select("event_id").distinct().count()
+    # event_id is unique in the fixture → nothing dropped
+    assert got.count() == n_input
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
+    from algebraicdb_spark.streaming.batch_equiv import stream_stream_join as batch_join
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = engine.run_to_memory(
+        engine.stream_stream_join(clicks, purchases), "t_ssjoin", output_mode="append"
+    )
+    want = batch_join(spark, sf_dir)
+    cols = ["click_id", "purchase_id", "user_id", "purchase_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_stream_stateful_counter_matches_batch(spark, sf_dir, events_stream):
+    from algebraicdb_spark.streaming.batch_equiv import stream_stateful_custom
+
+    got = engine.run_to_memory(
+        engine.stateful_running_counter(events_stream),
+        "t_stateful",
+        output_mode="append",
+    )
+    want = stream_stateful_custom(spark, sf_dir)
+    cols = ["event_id", "user_id", "user_seq", "running_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_stream_late_row_dropped(spark, src_dir, tmp_path):
+    """A row older than the watermark at its arrival must be excluded
+    from its (already-finalized) window in append mode."""
+    import os
+    import pandas as pd
+
+    late_dir = str(tmp_path / "late_src")
+    os.makedirs(late_dir)
+    pdf = pd.read_parquet(os.path.join(src_dir, "part-000.parquet"))
+    pdf = pdf.sort_values("ts")
+    cut = len(pdf) // 2
+    on_time = pdf.iloc[cut:]  # newer half arrives first
+    late = pdf.iloc[:cut].copy()  # older half arrives after
+    on_time.to_parquet(os.path.join(late_dir, "b-000.parquet"), index=False)
+    late.to_parquet(os.path.join(late_dir, "b-001.parquet"), index=False)
+
+    stream = engine.read_events_stream(spark, late_dir)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = engine.run_to_memory(agg, "t_late", output_mode="append")
+    emitted = {r["w"]["start"] for r in got.select("w").collect()}
+    # windows covering only the late half must not re-emit with it
+    total_emitted = sum(r["n"] for r in got.collect())
+    assert total_emitted < len(pdf)
