@@ -1,1 +1,308 @@
-"""(placeholder — filled in a later milestone)"""
+"""§2.10 deduplication operators for LLM-training-data pipelines.
+
+Four tiers, each one scale class up:
+  - exact: hash-groupBy on normalized text. One shuffle of (hash) keys.
+  - near (exact Jaccard): shingle-explode → inverted-index self-join →
+    |∩|/|∪|. Exact but candidate pairs grow with shared-shingle
+    frequency; the stop-shingle cap (DF limit) bounds the blowup —
+    same trick CCNet/RefinedWeb pipelines use.
+  - MinHash+LSH banding: the 100 TB path — constant-size signatures,
+    candidates only within equal band buckets; repartition by band key
+    bounds skew. Hash fns are seeded xxhash64 (never Python hash()).
+  - SimHash: 64-bit fingerprint, hamming-bucket join on rotated
+    prefixes; cheapest signature, good for "same doc, tiny edits".
+
+Quality (recall vs brute force) is asserted in tests/test_dedup.py;
+LSH/SimHash keys are rows-only for the oracle because hash functions
+are engine-specific (SURVEY §5.3.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+# -- shared text canonicalization (one definition for every dedup op) --
+
+def canonical_text(col):
+    """lower + collapse whitespace — the normalization all tiers share."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles of the canonical text (distinct per doc)."""
+    toks = F.split(canonical_text(col), " ")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.when(
+                    i + n <= F.size(toks),
+                    F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ctext
+      FROM documents
+    ), g AS (
+      SELECT ctext, MIN(doc_id) AS keep_id, COUNT(*) AS grp_n
+      FROM canon GROUP BY ctext
+    )
+    SELECT CAST(SUM(grp_n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(grp_n) - COUNT(*) AS BIGINT) AS n_removed,
+           CAST(SUM(keep_id) AS BIGINT) AS kept_checksum
+    FROM g
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonical text; keeps min doc_id per group.
+
+    Fixtures have no exact dups (invariant) → n_removed = 0, but the
+    checksum of kept ids proves the keep-policy, not just the count.
+    At scale: groupBy(xxhash64(ctext)) first if texts are huge, then
+    resolve collisions within groups — here texts are small enough to
+    group directly.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    canon = d.select("doc_id", canonical_text("text").alias("ctext"))
+    groups = canon.groupBy("ctext").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("grp_n")
+    )
+    return groups.agg(
+        F.sum("grp_n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("grp_n") - F.count(F.lit(1))).alias("n_removed"),
+        F.sum("keep_id").alias("kept_checksum"),
+    )
+
+
+JACCARD_TAU = 0.5
+
+_JACCARD_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(r) - 1),
+                                      i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+           AS shingles
+  FROM raw
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS tok FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_toks FROM toks
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) /
+             (sa.n_toks + sb.n_toks - n_common), 4) AS jaccard
+FROM pairs
+JOIN sized sa ON sa.doc_id = doc_a
+JOIN sized sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_toks + sb.n_toks - n_common) >= {JACCARD_TAU}
+"""
+
+
+@register("dedup_near_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ τ via inverted-index self-join.
+
+    explode(shingles) → equi-join on shingle → count common → J =
+    |∩|/(|A|+|B|−|∩|). No cross-join anywhere: candidate pairs only
+    arise from shared shingles, which are sparse (fixture avg
+    cross-pair shingle-J is 0.0009 vs 0.5+ for true near-dups). At
+    100 TB add a document-frequency cap (drop shingles appearing in
+    >f docs) to bound hot-shingle blowup.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
+    sized = toks.select("doc_id", F.size("tokens").alias("n_toks"))
+    exploded = toks.select("doc_id", F.explode("tokens").alias("tok"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+N_MINHASH = 32  # permutations
+N_BANDS = 16  # → 2 rows per band; P(candidate | J=0.5) = 1-(1-0.25)^16 ≈ 0.99
+
+
+@register("dedup_minhash_lsh")  # rows-only: seeded-hash signatures are engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    Per doc: 32 minhashes (seeded xxhash64 over 3-gram shingles),
+    folded into 16 bands of 2; docs sharing any band bucket become
+    candidates; candidates are re-ranked with exact shingle Jaccard
+    at the same τ as the exact key.
+
+    Scale design: signatures are constant-size regardless of doc
+    length; the only join is on (band_idx, band_hash) — repartitioned
+    to spread hot buckets; exact Jaccard runs ONLY on candidates.
+    Recall vs the exact key is asserted in tests/test_dedup.py.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select(
+        "doc_id",
+        shingles(F.col("text"), 3).alias("sh"),
+        shingles(F.col("text"), 3).alias("tokens"),
+    )
+    # 32 minhashes: min over shingles of xxhash64(shingle, seed)
+    sig = docs.select(
+        "doc_id",
+        "tokens",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(N_MINHASH)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = sig.select(
+        "doc_id",
+        "tokens",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).repartition("band_idx", "band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tokens").alias("toks_a"),
+            F.col("b.tokens").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        cands.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+
+
+@register("dedup_simhash")  # rows-only: hash-based fingerprints
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints over 3-gram shingles,
+    candidates via equal 16-bit chunks (Hamming ≤ 3 ⇒ ≥1 of 4 chunks
+    equal — pigeonhole), verified by exact popcount.
+
+    Shingle features (not tokens): the fixture's shared vocabulary
+    makes token-level fingerprints collide for unrelated docs, while
+    shingle sets are sparse. All bit math is JVM-side (xxhash64 +
+    shiftright/bitwise) — no Python in the loop.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # per-bit vote: +1 if bit set else -1; simhash bit = sign of sum
+    bit_votes = h.select(
+        "doc_id",
+        *[
+            (
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{i}")
+            for i in range(64)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    fingerprint = bit_votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+                for i in range(63)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("fp"),
+    )
+    chunks = fingerprint.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= 3)

@@ -1,1 +1,316 @@
-"""(placeholder — filled in a later milestone)"""
+"""§2.10 text analysis for LLM-training-data pipelines.
+
+Tokenize/TF, TF-IDF, n-grams, corpus stats, quality scoring, token
+counting (whitespace + BPE-ish regex), content fingerprinting, and a
+corpus-profile language-ID. Everything is built-in-function DataFrame
+code (explode/groupBy/window) — the shapes that stay shuffle-bounded
+at 100 TB: per-doc work is map-side; corpus-wide aggregates shuffle
+only (term) or (lang, trigram) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.operators.dedup import canonical_text
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+def tokens(col):
+    return F.split(canonical_text(col), " ")
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS tf
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus, top-20 terms by frequency (token tie-break)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3 AND doc_id % 10 = 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(term,doc) × ln(N/df); top-3 terms per sampled doc.
+
+    Two aggregates + a broadcast join of the (small) df table — the
+    df side is |vocabulary|, tiny relative to the corpus at any scale.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rnk")
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH raw AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(r)), i -> r[i] || ' ' || r[i+1])) AS bigram
+      FROM raw
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams (multiset, not distinct-per-doc), top-20."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    bigrams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language × source corpus statistics."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS n_words,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             len(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> list_contains({list(STOPWORDS)}, t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(CAST(n_chars_m AS DOUBLE) / n_words, 4) AS avg_word_len,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 5 AND 1000
+                 AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1
+                THEN 1 ELSE 0 END AS passes_filter
+    FROM m
+    WHERE doc_id % 7 = 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (Gopher/C4-style): word count, mean
+    word length, punctuation ratio, stopword ratio, pass/fail gate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct_ratio = n_punct.cast("double") / n_chars
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_chars.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("stopword_ratio"),
+        F.when(n_words.between(5, 1000) & (punct_ratio < 0.1), 1)
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]')))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+             AS chars_div4_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting three ways: whitespace split, a BPE-ish
+    regex (lowercase runs / Capitalized / digits / punct), and the
+    chars/4 LLM heuristic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        )
+    )
+    est = F.ceil(F.length("text") / 4.0).cast("bigint")
+    return d.agg(
+        F.sum(ws).alias("whitespace_tokens"),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        F.sum(est).alias("chars_div4_estimate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS canon_len
+    FROM documents
+    WHERE doc_id % 9 = 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over canonical text (engine-portable;
+    the rolling/winnowing variants live in dedup_simhash/minhash)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    canon = canonical_text("text")
+    return d.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        F.md5(canon.cast("binary")).alias("content_hash"),
+        F.length(canon).alias("canon_len"),
+    )
+
+
+N_PROFILE = 40  # trigrams per language profile
+
+
+@register("text_lang_id")  # rows-only: corpus-derived profiles, no SQL twin
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID (TextCat shape): build per-lang
+    trigram profiles from the corpus, score each doc by profile
+    overlap, emit the confusion matrix vs the labeled lang.
+
+    (The fixture's text is language-independent word salad, so
+    accuracy ≈ prior — the key demonstrates the distributed profile/
+    score mechanics: profile build is one (lang,trigram) agg, scoring
+    is an explode + broadcast join, both scale-safe.)
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    chars = d.select("doc_id", "lang", canonical_text("text").alias("ctext"))
+    # char trigrams: substring at each position (expr form — the Python
+    # F.substring only takes literal start positions)
+    grams = chars.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(ctext) - 2, 1)), "
+                "i -> substring(ctext, i, 3))"
+            )
+        ).alias("tri"),
+    ).filter(F.length("tri") == 3)
+    profile = (
+        grams.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri"))
+            ),
+        )
+        .filter(F.col("rnk") <= N_PROFILE)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    doc_scores = (
+        grams.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("p_lang"))
+    predicted = (
+        doc_scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted"))
+    )
+    return (
+        predicted.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,51 @@
+"""Near-dup quality: the approximate tiers must recover the exact
+Jaccard pairs (SURVEY §5.2 — LSH keys are rows-only for the oracle, so
+recall vs brute force is asserted here instead)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    from algebraicdb_spark.operators.dedup import dedup_near_jaccard
+
+    return pairs(dedup_near_jaccard(spark, sf_dir))
+
+
+def test_exact_jaccard_finds_planted_dups(exact_pairs):
+    assert len(exact_pairs) > 0, "fixture should contain near-dup pairs"
+
+
+def test_minhash_lsh_recall(spark, sf_dir, exact_pairs):
+    from algebraicdb_spark.operators.dedup import dedup_minhash_lsh
+
+    got = pairs(dedup_minhash_lsh(spark, sf_dir))
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} < 0.8"
+    # rerank guarantees precision: every emitted pair passes exact tau
+    assert got <= exact_pairs
+
+
+def test_simhash_pairs_are_true_near_dups(spark, sf_dir, exact_pairs):
+    from algebraicdb_spark.operators.dedup import dedup_simhash
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    # hamming<=3 is stricter than jaccard>=tau: subset of the exact pairs
+    assert got <= exact_pairs
+
+
+def test_exact_dedup_no_false_removals(spark, sf_dir):
+    from algebraicdb_spark.operators.dedup import dedup_exact
+
+    row = dedup_exact(spark, sf_dir).collect()[0]
+    assert row["n_removed"] == 0  # fixture invariant: no exact dups
+    assert row["n_docs"] == row["n_unique"]
