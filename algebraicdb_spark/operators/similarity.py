@@ -39,7 +39,8 @@ def dot(a, b):
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     e = load_tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    # 10 fixed query vectors at every scale factor (ids 0,50,...,450)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return q, e
@@ -47,7 +48,8 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
 
 _KNN_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < 500
 ), scored AS (
   SELECT q.q_id, e.vec_id,
          list_dot_product(q.q_emb, e.embedding) AS sim

@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": <sum of medians>,
+   "unit": "sec", "queries": {key: median_sec, ...}, "sf": <sf>}
+
+Method mirrors BASELINE.md: one untimed warmup run (plan/codegen/read
+warm — BASELINE's "warm runs"), then median of 3 timed runs, one
+shared SparkSession. Materialization is a noop-sink write: every
+column of every result row is computed (no pruning shortcut), but
+nothing funnels through the Python driver — the engine-throughput
+number that actually extrapolates to cluster scale (collect()-ing
+10^5 rows measures Py4J, not the engine). shuffle.partitions=4 at this scale — 100k-600k-row
+shuffles are task-overhead-bound locally; on a cluster AQE re-targets
+partition counts from advisory sizes, so this knob is bench-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 3
+
+
+def materialize(df) -> None:
+    """Fully compute a result without driver-side row transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+HEADLINE = [
+    "agg_groupby_hash",
+    "join_multiway_star",
+    "win_row_number_topn",
+    "stream_tumbling_agg",
+    "sim_knn_cosine",
+    "text_tokenize_tf",
+    "agg_cube",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    from algebraicdb_spark.plans import registry
+    from algebraicdb_spark.session import get_spark
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    spark = get_spark("algebraicdb-bench", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, SF_DIR)
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        materialize(qs[key](spark, SF_DIR))  # warmup (untimed)
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            materialize(qs[key](spark, SF_DIR))
+            runs.append(time.time() - t0)
+        timings[key] = round(statistics.median(runs), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
