@@ -1,0 +1,100 @@
+"""Physical-plan regression tests (SURVEY §4.2): the scale properties
+we rely on at 100 TB must be visible in the executed plan at any SF —
+pushdown/pruning reach the scan, small dims broadcast, top-k avoids a
+global sort, banded LSH joins never degenerate to cartesian products.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = None  # provided by fixtures
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from algebraicdb_spark.plans import registry
+
+    return registry.queries()
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir, qs):
+    plan = plan_of(qs["scan_projection_pushdown"](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan_line and "l_linenumber" in scan_line
+    assert "l_extendedprice" not in scan_line  # untouched columns pruned
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    plan = plan_of(qs["filter_comparison"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir, qs):
+    plan = plan_of(qs["join_inner_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_single_big_shuffle(spark, sf_dir, qs):
+    """Q3 star: every dim side broadcasts; only lineitem⋈orders may
+    shuffle — no cartesian, no shuffled dim join."""
+    plan = plan_of(qs["join_multiway_star"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, qs):
+    plan = plan_of(qs["topk_order_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_keys_never_cartesian(spark, sf_dir, qs):
+    for key in ("dedup_minhash_lsh", "dedup_near_jaccard", "dedup_simhash"):
+        plan = plan_of(qs[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir, qs):
+    """Brute-force kNN: the (10-row) query side broadcasts; the corpus
+    streams. A CartesianProduct would mean both sides shuffle-explode."""
+    plan = plan_of(qs["sim_knn_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # broadcast subtree carries the query-set filter, not the full scan
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "vec_id" in bcast
+
+
+def test_semi_anti_planned_as_joins(spark, sf_dir, qs):
+    assert "LeftSemi" in plan_of(qs["join_left_semi"](spark, sf_dir))
+    assert "LeftAnti" in plan_of(qs["join_left_anti"](spark, sf_dir))
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir, qs):
+    """The flagship agg must stay inside WholeStageCodegen (no Python,
+    no interpreted expressions in the hot path). AQE only finalizes
+    the plan on execution, so run the query first."""
+    df = qs["agg_groupby_hash"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    # codegen stages render as "*(n) Operator" in the finalized plan
+    assert "*(1)" in plan and "*(2) HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_join_is_hash_not_bnlj(spark, sf_dir, qs):
+    """User-key equality must make the interval join a hash/merge join
+    with a residual range filter — not a nested loop."""
+    plan = plan_of(qs["join_interval"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
