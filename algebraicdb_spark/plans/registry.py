@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.aggregates",
     "algebraicdb_spark.operators.windows",
     "algebraicdb_spark.operators.sorts_setops",
+    "algebraicdb_spark.operators.subqueries",
     "algebraicdb_spark.functions.scalars",
     "algebraicdb_spark.functions.adt_queries",
     "algebraicdb_spark.streaming.batch_equiv",

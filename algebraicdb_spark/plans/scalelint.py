@@ -1,0 +1,106 @@
+"""Scale linter: inspect a DataFrame's physical plan for the patterns
+that kill jobs at 100 TB but pass unnoticed at test scale.
+
+    from algebraicdb_spark.plans.scalelint import lint, report
+    issues = lint(df)        # [(severity, code, message), ...]
+    print(report(df))        # human-readable summary
+
+Checks (each maps to a SURVEY §4 scale rule):
+  CARTESIAN      CartesianProduct — O(n·m) rows, never acceptable
+  GLOBAL_WINDOW  window function with an empty partition spec — the
+                 whole dataset lands on ONE task
+  GLOBAL_SORT    Sort with a single-partition exchange feeding it
+  BNLJ           BroadcastNestedLoopJoin — fine for a tiny broadcast
+                 side, fatal if both sides are big (warn)
+  PY_EVAL        row-at-a-time Python eval in the plan (BatchEvalPython)
+                 — Arrow/pandas variants are not flagged
+  MANY_SHUFFLES  more than `max_exchanges` Exchange operators
+
+The linter reads plan strings rather than walking JVM objects — it is
+a diagnostic, not a guarantee; plan tests pin the exact shapes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+WARN = "warn"
+ERROR = "error"
+
+
+def _plan_strings(df: DataFrame) -> tuple[str, str]:
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString(), qe.optimizedPlan().toString()
+
+
+def lint(df: DataFrame, max_exchanges: int = 4) -> list[tuple[str, str, str]]:
+    physical, optimized = _plan_strings(df)
+    issues: list[tuple[str, str, str]] = []
+
+    if "CartesianProduct" in physical:
+        issues.append(
+            (ERROR, "CARTESIAN", "cartesian product: O(n*m) blowup at scale")
+        )
+    if "BroadcastNestedLoopJoin" in physical:
+        issues.append(
+            (
+                WARN,
+                "BNLJ",
+                "nested-loop join: acceptable only if the broadcast side "
+                "stays small at production scale",
+            )
+        )
+    # window with empty partition spec: the spec's FIRST argument is an
+    # ordering expression ("col ASC/DESC NULLS ...") instead of a bare
+    # partition column
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", optimized):
+        first_arg = m.group(1).split(",", 1)[0]
+        if re.search(r"\s(ASC|DESC)(\s|$)", first_arg):
+            issues.append(
+                (
+                    ERROR,
+                    "GLOBAL_WINDOW",
+                    "window without partitionBy: entire input sorts on one task",
+                )
+            )
+            break
+    if re.search(r"Exchange SinglePartition(?![\s\S]*TakeOrdered)", physical) and (
+        "Sort " in physical
+    ):
+        issues.append(
+            (
+                WARN,
+                "GLOBAL_SORT",
+                "single-partition sort: fine for final small results only",
+            )
+        )
+    if "BatchEvalPython" in physical:
+        issues.append(
+            (
+                WARN,
+                "PY_EVAL",
+                "row-at-a-time Python UDF in plan: prefer built-ins or pandas_udf",
+            )
+        )
+    n_exchanges = physical.count("Exchange")
+    if n_exchanges > max_exchanges:
+        issues.append(
+            (
+                WARN,
+                "MANY_SHUFFLES",
+                f"{n_exchanges} exchanges (> {max_exchanges}): check for "
+                "reusable partitioning or pre-aggregation",
+            )
+        )
+    return issues
+
+
+def report(df: DataFrame, max_exchanges: int = 4) -> str:
+    issues = lint(df, max_exchanges)
+    if not issues:
+        return "scale-lint: clean"
+    lines = [f"scale-lint: {len(issues)} issue(s)"]
+    lines += [f"  [{sev}] {code}: {msg}" for sev, code, msg in issues]
+    return "\n".join(lines)
