@@ -17,8 +17,10 @@ Layout:
     streaming/  Structured Streaming variants of the stream operators
 """
 
+from algebraicdb_spark.engine import Engine
+from algebraicdb_spark.functions.adt import AdtType, Variant
 from algebraicdb_spark.session import get_spark
 from algebraicdb_spark.sources.catalog import load_tables
 
-__all__ = ["get_spark", "load_tables"]
+__all__ = ["Engine", "AdtType", "Variant", "get_spark", "load_tables"]
 __version__ = "0.1.0"

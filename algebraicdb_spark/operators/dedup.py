@@ -306,3 +306,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+# max pairwise cosine in the fixture is ~0.51 (99.9th pct 0.38):
+# 0.40 marks the extreme tail — 59 pairs at sf0.01
+COSINE_TAU = 0.40
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding) >= {COSINE_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= τ.
+
+    Exact formulation (oracle-checkable): block the self-join by
+    hyperplane-LSH band so only same-bucket pairs are scored, then
+    keep pairs over τ — identical output to the naive O(n²) scan
+    because candidates are exactly re-scored and τ-filtered... except
+    LSH can miss pairs; for the ORACLE-CHECKED key we therefore score
+    all pairs via a broadcast self-join (embeddings fit comfortably —
+    the table is the small dim here). The banded variant for corpora
+    that do NOT fit is `sim_knn_lsh`'s plan with a τ-filter instead
+    of top-k.
+    """
+    from algebraicdb_spark.operators.similarity import dot
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_TAU)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )

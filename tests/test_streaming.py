@@ -107,3 +107,22 @@ def test_stream_late_row_dropped(spark, src_dir, tmp_path):
     # windows covering only the late half must not re-emit with it
     total_emitted = sum(r["n"] for r in got.collect())
     assert total_emitted < len(pdf)
+
+
+def test_foreach_batch_parquet_sink(spark, events_stream, tmp_path):
+    """Stream → parquet via the batch writer (foreachBatch): streamed
+    output must equal the batch aggregation when the stream drains."""
+    from algebraicdb_spark.streaming import sinks
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = sinks.write_stream_parquet(
+        engine.tumbling_agg(events_stream), out, ckpt, output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    from algebraicdb_spark.streaming.batch_equiv import stream_tumbling_agg
+
+    want = stream_tumbling_agg(spark, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR)
+    cols = ["window_start_s", "event_type", "n_events", "sum_value"]
+    assert rows_set(got, cols) == rows_set(want, cols)
