@@ -317,9 +317,11 @@ COSINE_TAU = 0.40
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.embedding, b.embedding), 4) AS cosine
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 4) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding, b.embedding) >= {COSINE_TAU}
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,8 +51,11 @@ WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
   WHERE vec_id % 50 = 0 AND vec_id < 500
 ), scored AS (
+  -- DOUBLE[] casts: DuckDB accumulates FLOAT[] dots in float32, which
+  -- drifts a ulp from Spark's double fold at the 4th decimal
   SELECT q.q_id, e.vec_id,
-         list_dot_product(q.q_emb, e.embedding) AS sim
+         list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS sim
   FROM q JOIN embeddings e ON e.vec_id != q.q_id
 ), ranked AS (
   SELECT q_id, vec_id, sim,

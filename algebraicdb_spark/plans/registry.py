@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.windows",
     "algebraicdb_spark.operators.sorts_setops",
     "algebraicdb_spark.operators.subqueries",
+    "algebraicdb_spark.operators.skew",
     "algebraicdb_spark.functions.scalars",
     "algebraicdb_spark.functions.adt_queries",
     "algebraicdb_spark.streaming.batch_equiv",

@@ -35,7 +35,12 @@ def canon(v):
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # exact repr: catches 1-ulp cross-engine drift the driver's
+        # hash would catch (STRICT_FLOATS=0 relaxes to 6 sig digits)
+        import os as _os
+        if _os.environ.get("STRICT_FLOATS", "1") == "0":
+            return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
