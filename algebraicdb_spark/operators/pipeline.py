@@ -1,0 +1,138 @@
+"""End-to-end training-data pipeline: the composition the individual
+§2.10 operators exist for.
+
+    raw documents
+      → exact dedup        (canonical-text hash, keep min doc_id)
+      → near-dup removal   (shingle Jaccard >= τ, keep lower doc_id)
+      → quality gate       (word count + punctuation ratio)
+      → per-shard token accounting
+
+One declarative DAG — Catalyst pipelines the stages; the only
+shuffles are the dedup groupBy, the shingle inverted-index join, and
+the final stats agg. At 100 TB each stage is the scale-safe variant
+proven by its standalone key (swap the exact Jaccard stage for
+``dedup_minhash_lsh``'s banding above ~10M docs; the interface —
+a pair list of (keep, drop) — is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.operators.dedup import (
+    JACCARD_TAU,
+    canonical_text,
+    shingles,
+)
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_a < doc_b) pairs with shingle-Jaccard >= tau (exact tier)."""
+    toks = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    sized = toks.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = toks.select("doc_id", F.explode("sh").alias("tok"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b")
+    )
+
+
+def clean_corpus(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """Full cleaning DAG; returns the surviving documents."""
+    # 1. exact dedup: keep min doc_id per canonical text
+    canon = docs.withColumn("ctext", canonical_text("text"))
+    keep_exact = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
+    exact = canon.join(keep_exact, ["ctext", "doc_id"]).drop("ctext")
+    # 2. near-dup removal: drop the higher doc_id of each pair
+    drop_ids = near_dup_pairs(exact, tau).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    near = exact.join(drop_ids, "doc_id", "left_anti")
+    # 3. quality gate
+    toks = F.split(canonical_text("text"), " ")
+    n_words = F.size(toks)
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    return near.filter(n_words.between(5, 1000) & (punct_ratio < 0.1))
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH canon AS (
+      SELECT *, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ctext
+      FROM documents
+    ), exact AS (
+      SELECT c.* FROM canon c
+      JOIN (SELECT ctext, MIN(doc_id) AS doc_id FROM canon GROUP BY ctext) k
+        ON c.ctext = k.ctext AND c.doc_id = k.doc_id
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(ctext, ' ')) - 1),
+               i -> string_split(ctext, ' ')[i] || ' ' ||
+                    string_split(ctext, ' ')[i+1] || ' ' ||
+                    string_split(ctext, ' ')[i+2])) AS shingles
+      FROM exact
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    drops AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_TAU}
+    ), survivors AS (
+      SELECT e.* FROM exact e
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+        AND len(string_split(e.ctext, ' ')) BETWEEN 5 AND 1000
+        AND CAST(length(regexp_replace(e.text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              / length(e.text) < 0.1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(len(string_split(ctext, ' '))) AS BIGINT) AS n_tokens
+    FROM survivors
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline, checksummed per language: which documents
+    survive (id_checksum pins the exact keep-set, not just counts)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    survivors = clean_corpus(d)
+    n_tokens = F.size(F.split(canonical_text("text"), " "))
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )

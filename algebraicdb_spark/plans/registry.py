@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.text",
     "algebraicdb_spark.operators.multimodal",
     "algebraicdb_spark.functions.udfs",
+    "algebraicdb_spark.operators.pipeline",
 )
 
 
