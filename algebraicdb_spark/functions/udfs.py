@@ -128,7 +128,20 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_map_in_pandas")  # rows-only: partition-wise batch mapper
+@register(
+    "udtf_map_in_pandas",
+    # pandas str.split() == whitespace-run split dropping leading/
+    # trailing; the SQL twin must trim first and drop empty tokens
+    oracle=r"""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(
+             string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT)
+             AS total_words,
+           CAST(SUM(length(regexp_replace(text, '[^A-Z]', '', 'g'))) AS BIGINT)
+             AS total_upper
+    FROM documents
+    """,
+)
 def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-wise feature extraction with mapInPandas (pure map
     stage, Arrow batches, no shuffle) + tiny verification agg."""

@@ -3,8 +3,8 @@
 Reference parity: algebraicdb scans in-memory row tables; our scans
 are parquet with Catalyst pushdown (verified in tests via
 ``explain``: PushedFilters / ReadSchema pruning). Round-trip
-source/sink keys exercise the writer surface and are rows-only
-(file layout differs from any SQL oracle).
+source/sink keys exercise the writer surface; their oracles
+aggregate the ORIGINAL table, so a lossy round-trip fails the hash.
 
 Scale: every query here is a single scan stage — no shuffle except
 the counts' final singleton aggregation. Partitioned sink uses
@@ -63,7 +63,17 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_csv")  # rows-only: round-trip through our CSV writer/reader
+@register(
+    "source_csv",
+    # the round-trip must be lossless, so the oracle is the aggregate
+    # over the ORIGINAL table — any writer/reader corruption (quoting,
+    # type coercion, dropped rows) breaks the hash
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation
+    """,
+)
 def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip with explicit schema (CSV has no types of its own)."""
     nation = load_tables(spark, sf_dir)["nation"]
@@ -76,7 +86,14 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_json")  # rows-only: JSON-lines round-trip
+@register(
+    "source_json",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(r_regionkey) AS BIGINT) AS sum_key
+    FROM region
+    """,
+)
 def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines round-trip; schema pinned on read to avoid inference drift."""
     region = load_tables(spark, sf_dir)["region"]
@@ -89,7 +106,17 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_partitioned")  # rows-only: partition-pruned read-back
+@register(
+    "sink_parquet_partitioned",
+    # oracle = the same one-year slice straight off the source table:
+    # proves the partitioned write + pruned read-back lost nothing
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by year; read ONE partition back.
 

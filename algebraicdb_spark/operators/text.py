@@ -262,7 +262,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROFILE = 40  # trigrams per language profile
 
 
-@register("text_lang_id")  # rows-only: corpus-derived profiles, no SQL twin
+@register(
+    "text_lang_id",
+    # full SQL twin of the profile/score pipeline — every ranking has a
+    # total-order tie-break, so the confusion matrix is deterministic
+    oracle=rf"""
+    WITH chars AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ctext
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, tri
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 range(1, greatest(length(ctext) - 2, 1) + 1),
+                 i -> substring(ctext, i, 3))) AS tri
+        FROM chars
+      ) WHERE length(tri) = 3
+    ), profile AS (
+      SELECT lang AS p_lang, tri
+      FROM (
+        SELECT lang, tri,
+               row_number() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rnk
+        FROM grams GROUP BY lang, tri
+      ) WHERE rnk <= {N_PROFILE}
+    ), doc_scores AS (
+      SELECT g.doc_id, g.lang, p.p_lang, COUNT(*) AS overlap
+      FROM grams g JOIN profile p ON g.tri = p.tri
+      GROUP BY 1, 2, 3
+    ), predicted AS (
+      SELECT doc_id, lang, p_lang AS predicted
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rnk
+        FROM doc_scores
+      ) WHERE rnk = 1
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM predicted GROUP BY lang, predicted
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language-ID (TextCat shape): build per-lang
     trigram profiles from the corpus, score each doc by profile
