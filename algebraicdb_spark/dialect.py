@@ -1,0 +1,365 @@
+"""The reference's statement dialect, lowered to Catalyst.
+
+algebraicdb is driven entirely through its own SQL-ish language; a
+user of the reference writes statements, not DataFrame code. This
+module gives that workflow on Spark (reconstructed surface — the
+reference mount was empty, see SURVEY §0; statement shapes are
+`[R-high/med]` from public knowledge of the project):
+
+    CREATE TYPE Shape = Circle(r: Double) | Rect(w: Double, h: Double) | Point
+    CREATE TYPE Pair  = MkPair(Double, Double)        -- positional → _1, _2
+    CREATE TABLE shapes (id: Integer, s: Shape)
+    INSERT INTO shapes VALUES (1, Circle(2.0)), (2, Point)
+    SELECT id FROM shapes WHERE s: Circle(r) AND r > 1.0   -- pattern + binding
+    DROP TABLE shapes
+
+Lowering (everything ends up as plain Catalyst plans):
+
+- ``CREATE TYPE``    → an :class:`AdtType` (tagged-struct encoding, §1.3).
+- ``CREATE TABLE``   → an empty, fully-typed temp view + a catalog entry
+  recording which columns are ADTs (pattern resolution needs it).
+- ``INSERT``         → literal rows built as expressions (constructor
+  calls compile through ``AdtType.construct``) unioned onto the view.
+- ``SELECT`` (and any other statement) → pattern atoms ``col: Variant``
+  / ``col: Variant(b1, …)`` are rewritten to ``col.tag = 'Variant'``
+  and every binding identifier is substituted with its payload field
+  access (``col.variant._1``); the rewritten text goes to
+  ``spark.sql`` untouched, so the full Spark SQL surface composes with
+  patterns (CASE arms, aggregates, subqueries, …).
+
+Pattern-match semantics preserved from the reference: positional
+binding against the variant's declared fields, ``_`` wildcards, arity
+errors at *plan* time, and bindings usable anywhere in the statement.
+Binding names that shadow a real column of any table in scope are
+rejected instead of silently captured.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
+
+# Reference primitive names (algebraicdb's types) → Spark DDL.
+_TYPE_MAP = {
+    "integer": "bigint",
+    "int": "bigint",
+    "double": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "text": "string",
+    "string": "string",
+    "varchar": "string",
+}
+
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>\w+)\s*=\s*(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VARIANT_RE = re.compile(r"^(?P<name>\w+)\s*(?:\((?P<fields>[^)]*)\))?$")
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s*"
+    r"VALUES\s*(?P<rows>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# `col: Variant` / `col: Variant(b, _, …)` — an identifier, a single
+# colon (:: cast never matches: the variant side can't start with ':'),
+# an Uppercase variant name, optional binding list.
+_PATTERN_RE = re.compile(
+    r"(?<![:\w.])(?P<col>[A-Za-z_]\w*)\s*:\s*(?P<variant>[A-Z]\w*)"
+    r"(?:\s*\((?P<binds>[^()]*)\))?"
+)
+
+
+def spark_type(name: str) -> str:
+    """Map a reference/Spark type name to Spark DDL (passthrough if unknown)."""
+    return _TYPE_MAP.get(name.strip().lower(), name.strip().lower())
+
+
+def parse_create_type(stmt: str) -> AdtType:
+    """Parse ``CREATE TYPE T = A(x: T1) | B(T2, T3) | C``.
+
+    Named fields (``x: Double``) and the reference's positional form
+    (``Circle(Double)``) both work; positional payloads get tuple-style
+    field names ``_1, _2, …`` (bindings are positional either way).
+    """
+    m = _CREATE_TYPE_RE.match(stmt)
+    if not m:
+        raise AdtError(f"not a CREATE TYPE statement: {stmt!r}")
+    variants = []
+    for part in m.group("body").split("|"):
+        vm = _VARIANT_RE.match(part.strip())
+        if not vm:
+            raise AdtError(f"bad variant declaration: {part.strip()!r}")
+        fields = []
+        if vm.group("fields") and vm.group("fields").strip():
+            for i, f in enumerate(vm.group("fields").split(",")):
+                fname, colon, ftype = f.partition(":")
+                if colon:
+                    if not ftype.strip():
+                        raise AdtError(f"variant field needs a type: {f.strip()!r}")
+                    fields.append((fname.strip(), spark_type(ftype)))
+                else:
+                    fields.append((f"_{i + 1}", spark_type(fname)))
+        variants.append(Variant(vm.group("name"), fields))
+    return AdtType(m.group("name"), variants)
+
+
+class TableDef:
+    """Catalog entry: ordered (column → Spark DDL or AdtType)."""
+
+    def __init__(self, name: str, columns: Mapping[str, str | AdtType]):
+        self.name = name
+        self.columns = dict(columns)
+
+    def schema_ddl(self) -> str:
+        parts = []
+        for col, typ in self.columns.items():
+            ddl = typ.schema_ddl() if isinstance(typ, AdtType) else typ
+            parts.append(f"{col} {ddl}")
+        return ", ".join(parts)
+
+    @property
+    def adt_columns(self) -> dict[str, AdtType]:
+        return {c: t for c, t in self.columns.items() if isinstance(t, AdtType)}
+
+
+def parse_create_table(stmt: str, types: Mapping[str, AdtType]) -> TableDef:
+    """Parse ``CREATE TABLE t (col: Type, …)`` (``col Type`` also accepted).
+
+    A column type naming a declared ADT makes that column the tagged-
+    struct encoding; anything else resolves via :func:`spark_type`.
+    """
+    m = _CREATE_TABLE_RE.match(stmt)
+    if not m:
+        raise AdtError(f"not a CREATE TABLE statement: {stmt!r}")
+    columns: dict[str, str | AdtType] = {}
+    for coldef in _split_top_level(m.group("cols"), ","):
+        coldef = coldef.strip()
+        if not coldef:
+            continue
+        if ":" in coldef:
+            cname, _, ctype = coldef.partition(":")
+        else:
+            cname, _, ctype = coldef.partition(" ")
+        cname, ctype = cname.strip(), ctype.strip()
+        if not cname or not ctype:
+            raise AdtError(f"bad column declaration: {coldef!r}")
+        if ctype in types:
+            columns[cname] = types[ctype]
+        else:
+            columns[cname] = spark_type(ctype)
+    if not columns:
+        raise AdtError(f"CREATE TABLE {m.group('name')} declares no columns")
+    return TableDef(m.group("name"), columns)
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on `sep` outside parentheses and single-quoted strings."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_CTOR_RE = re.compile(r"^\s*(?P<variant>[A-Z]\w*)\s*(?:\((?P<args>.*)\))?\s*$", re.DOTALL)
+
+
+def _value_expr(raw: str, typ: str | AdtType, types: Mapping[str, AdtType]) -> str:
+    """One VALUES cell → a Spark SQL expression string of the right type."""
+    raw = raw.strip()
+    if isinstance(typ, AdtType):
+        m = _CTOR_RE.match(raw)
+        if not m or m.group("variant") not in typ.tags:
+            if raw.upper() == "NULL":
+                return f"CAST(NULL AS {typ.schema_ddl()})"
+            raise AdtError(
+                f"expected a {typ.name} constructor ({'|'.join(typ.tags)}), got {raw!r}"
+            )
+        variant = typ._by_name[m.group("variant")]
+        args = [a for a in _split_top_level(m.group("args") or "", ",") if a.strip()]
+        if len(args) != len(variant.fields):
+            raise AdtError(
+                f"{typ.name}.{variant.name} takes {len(variant.fields)} "
+                f"argument(s), got {len(args)}"
+            )
+        # build the full tagged struct as SQL: named_struct over every slot
+        parts = [f"'{variant.name}' AS tag"]
+        for v in typ.variants:
+            if v.name == variant.name and v.fields:
+                inner = ", ".join(
+                    f"CAST({_value_expr(a, t, types)} AS {t}) AS {f}"
+                    for a, (f, t) in zip(args, v.fields)
+                )
+                parts.append(f"struct({inner}) AS {v.slot}")
+            elif v.name == variant.name:
+                parts.append(f"struct(true AS _unit) AS {v.slot}")
+            else:
+                parts.append(f"CAST(NULL AS {typ._slot_ddl(v)}) AS {v.slot}")
+        return "struct(" + ", ".join(parts) + ")"
+    return f"CAST({raw} AS {typ})"
+
+
+def parse_insert_rows(
+    stmt: str, table: TableDef, types: Mapping[str, AdtType]
+) -> tuple[str, list[str]]:
+    """Parse INSERT; return (table_name, one SELECT-expression list per row)."""
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise AdtError(f"not an INSERT statement: {stmt!r}")
+    cols = list(table.columns)
+    if m.group("cols"):
+        declared = [c.strip() for c in m.group("cols").split(",")]
+        if set(declared) != set(cols):
+            raise AdtError(
+                f"INSERT column list {declared} must cover {cols} exactly"
+            )
+        cols = declared
+    rows = []
+    for tup in _split_top_level(m.group("rows"), ","):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            raise AdtError(f"bad VALUES tuple: {tup!r}")
+        cells = _split_top_level(tup[1:-1], ",")
+        if len(cells) != len(cols):
+            raise AdtError(
+                f"VALUES tuple has {len(cells)} cells, table {table.name} "
+                f"expects {len(cols)}"
+            )
+        exprs = [
+            f"{_value_expr(cell, table.columns[col], types)} AS {col}"
+            for col, cell in zip(cols, cells)
+        ]
+        # emit in declared table order so rows union cleanly
+        ordered = sorted(exprs, key=lambda e: list(table.columns).index(e.rsplit(" AS ", 1)[1]))
+        rows.append(", ".join(ordered))
+    return m.group("name"), rows
+
+
+# -- pattern rewriting ----------------------------------------------------
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace single-quoted literals with placeholders (scan safety)."""
+    out, i = [], 0
+    saved: list[str] = []
+    while i < len(sql):
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and not (j + 1 < len(sql) and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            saved.append(sql[i : j + 1])
+            out.append(f"\x00{len(saved) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out), saved
+
+
+def _unmask_strings(sql: str, saved: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: saved[int(m.group(1))], sql)
+
+
+def rewrite_patterns(
+    sql: str,
+    adt_columns: Mapping[str, AdtType],
+    known_columns: set[str] | None = None,
+) -> str:
+    """Rewrite every ``col: Variant(bindings)`` atom in a statement.
+
+    The atom becomes ``(col.tag = 'Variant')``; each binding name is
+    then substituted throughout the statement with its payload access
+    (``col.slot.field``, positional against the variant's declared
+    fields; ``_`` skips a position). Arity and unknown-variant errors
+    surface at rewrite (plan) time, mirroring the reference's
+    typechecker. ``known_columns`` guards against a binding shadowing
+    a real column.
+    """
+    masked, saved = _mask_strings(sql)
+    bindings: dict[str, str] = {}
+
+    def _rewrite(m: re.Match) -> str:
+        col, vname = m.group("col"), m.group("variant")
+        adt = adt_columns.get(col)
+        if adt is None:
+            raise AdtError(
+                f"pattern on {col!r}: not a known ADT column "
+                f"(have {sorted(adt_columns)})"
+            )
+        if vname not in adt.tags:
+            raise AdtError(f"{adt.name} has no variant {vname!r}")
+        variant = adt._by_name[vname]
+        binds = [
+            b.strip()
+            for b in (m.group("binds") or "").split(",")
+            if b.strip()
+        ]
+        if binds and len(binds) != len(variant.fields):
+            raise AdtError(
+                f"{adt.name}.{vname} has {len(variant.fields)} field(s), "
+                f"pattern binds {len(binds)}"
+            )
+        for b, (fname, _t) in zip(binds, variant.fields):
+            if b == "_":
+                continue
+            if known_columns and b in known_columns:
+                raise AdtError(
+                    f"binding {b!r} shadows a real column — rename the binding"
+                )
+            if b in bindings:
+                raise AdtError(f"binding {b!r} bound twice in one statement")
+            bindings[b] = f"{col}.{variant.slot}.{fname}"
+        return f"({col}.tag = '{vname}')"
+
+    rewritten = _PATTERN_RE.sub(_rewrite, masked)
+    for b, access in bindings.items():
+        def _subst(m: re.Match, b=b, access=access) -> str:
+            # a binding standing alone as a select-list item keeps its
+            # name: `SELECT k, b FROM …` → `…, col.slot.fld AS b` —
+            # otherwise the output column would be named after the
+            # payload field, not the user's binding
+            before = m.string[: m.start()].rstrip()
+            after = m.string[m.end() :].lstrip()
+            is_item_start = before.endswith(",") or re.search(
+                r"(?i)select(\s+distinct)?$", before
+            )
+            is_item_end = after.startswith(",") or re.match(r"(?i)from\b", after)
+            if is_item_start and is_item_end:
+                return f"{access} AS {b}"
+            return access
+
+        rewritten = re.sub(rf"(?<![\w.]){re.escape(b)}(?![\w.(])", _subst, rewritten)
+    return _unmask_strings(rewritten, saved)

@@ -1,63 +1,49 @@
 """Engine facade — the reference's user surface on Spark.
 
 algebraicdb is a client/server DBMS whose users issue statements:
-``CREATE TYPE`` (sum types), ``CREATE TABLE``, ``INSERT``, and
-``SELECT`` with pattern matching. This facade provides that workflow
-on a SparkSession:
+``CREATE TYPE`` (sum types), ``CREATE TABLE``, ``INSERT``, ``DROP
+TABLE``, and ``SELECT`` with pattern matching. This facade provides
+that exact workflow on a SparkSession (statement grammar and
+lowering: :mod:`algebraicdb_spark.dialect`):
 
     eng = Engine(spark, sf_dir="/root/testdata/sf0.01")   # fixtures
-    eng.sql("CREATE TYPE Shape = Circle(r: DOUBLE) | Rect(w: DOUBLE, h: DOUBLE) | Point")
-    shape = eng.type("Shape")
-    df = eng.table("part").select(shape.construct("Point").alias("s"))
-    eng.create_table("shapes", df)
-    eng.sql("SELECT s.tag, COUNT(*) FROM shapes GROUP BY s.tag")
+    eng.sql("CREATE TYPE Shape = Circle(r: Double) | Rect(w: Double, h: Double) | Point")
+    eng.sql("CREATE TABLE shapes (id: Integer, s: Shape)")
+    eng.sql("INSERT INTO shapes VALUES (1, Circle(2.0)), (2, Point)")
+    eng.sql("SELECT id, r FROM shapes WHERE s: Circle(r) AND r > 1.0")
+    eng.sql("DROP TABLE shapes")
 
-SELECT/INSERT/etc. delegate straight to Spark SQL (Catalyst is the
-planner/optimizer/executor — SURVEY §3.2 E1); ``CREATE TYPE`` is the
-one reference statement Spark lacks, parsed here into an
-:class:`~algebraicdb_spark.functions.adt.AdtType` whose constructors
-and matches compile to Catalyst expressions. Pattern matching is
-exposed through the AdtType API (match/is_variant/bind) rather than
-custom SELECT syntax — same semantics, plan-time exhaustiveness
-checking included.
+SELECT and every other read statement delegate to Spark SQL after
+pattern rewriting — Catalyst stays the planner/optimizer/executor
+(SURVEY §3.2 E1), and patterns compile to tag predicates + struct
+field accesses, never UDFs. The DataFrame-level ADT API
+(:mod:`algebraicdb_spark.functions.adt`: construct / match /
+is_variant / bind, with plan-time exhaustiveness) remains available
+for programmatic use; the dialect is the statement-level twin.
 """
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 
+from algebraicdb_spark.dialect import (
+    TableDef,
+    parse_create_table,
+    parse_create_type,
+    parse_insert_rows,
+    rewrite_patterns,
+)
+from algebraicdb_spark.dialect import (
+    _CREATE_TABLE_RE,
+    _CREATE_TYPE_RE,
+    _DROP_TABLE_RE,
+    _INSERT_RE,
+)
 from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
 from algebraicdb_spark.session import get_spark
 from algebraicdb_spark.sources.catalog import ensure_confs, load_tables
 
-_CREATE_TYPE_RE = re.compile(
-    r"^\s*CREATE\s+TYPE\s+(?P<name>\w+)\s*=\s*(?P<body>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_VARIANT_RE = re.compile(r"^(?P<name>\w+)\s*(?:\((?P<fields>[^)]*)\))?$")
-
-
-def parse_create_type(stmt: str) -> AdtType:
-    """Parse the reference's ``CREATE TYPE T = A(x: T1) | B | ...``."""
-    m = _CREATE_TYPE_RE.match(stmt)
-    if not m:
-        raise AdtError(f"not a CREATE TYPE statement: {stmt!r}")
-    variants = []
-    for part in m.group("body").split("|"):
-        vm = _VARIANT_RE.match(part.strip())
-        if not vm:
-            raise AdtError(f"bad variant declaration: {part.strip()!r}")
-        fields = []
-        if vm.group("fields"):
-            for f in vm.group("fields").split(","):
-                fname, _, ftype = f.partition(":")
-                if not ftype.strip():
-                    raise AdtError(f"variant field needs a type: {f.strip()!r}")
-                fields.append((fname.strip(), ftype.strip().lower()))
-        variants.append(Variant(vm.group("name"), fields))
-    return AdtType(m.group("name"), variants)
+__all__ = ["Engine", "parse_create_type"]
 
 
 class Engine:
@@ -67,6 +53,7 @@ class Engine:
         self.spark = spark or get_spark()
         ensure_confs(self.spark)
         self._types: dict[str, AdtType] = {}
+        self._tables: dict[str, TableDef] = {}
         if sf_dir:
             self.attach(sf_dir)
 
@@ -76,22 +63,72 @@ class Engine:
         """Register the fixture tables from a scale-factor directory."""
         load_tables(self.spark, sf_dir)
 
-    def create_table(self, name: str, df: DataFrame) -> None:
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        adt_columns: dict[str, AdtType] | None = None,
+    ) -> None:
+        """Register a DataFrame as a table; ``adt_columns`` marks which
+        columns hold ADT encodings so dialect patterns can resolve."""
         df.createOrReplaceTempView(name)
+        cols: dict[str, str | AdtType] = {
+            f.name: (adt_columns or {}).get(f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+        }
+        self._tables[name] = TableDef(name, cols)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
     # -- statements ----------------------------------------------------
 
-    def sql(self, stmt: str) -> DataFrame | AdtType:
-        """Run a statement: CREATE TYPE is handled by the engine,
-        everything else goes to Spark SQL untouched."""
+    def sql(self, stmt: str) -> DataFrame | AdtType | None:
+        """Run one statement of the dialect.
+
+        CREATE TYPE / CREATE TABLE / INSERT / DROP TABLE are engine
+        statements (Spark lacks them); anything else is pattern-
+        rewritten and handed to Spark SQL.
+        """
         if _CREATE_TYPE_RE.match(stmt):
             adt = parse_create_type(stmt)
             self._types[adt.name] = adt
             return adt
-        return self.spark.sql(stmt)
+        if _CREATE_TABLE_RE.match(stmt):
+            return self._create_table_stmt(stmt)
+        if _INSERT_RE.match(stmt):
+            return self._insert_stmt(stmt)
+        if _DROP_TABLE_RE.match(stmt):
+            name = _DROP_TABLE_RE.match(stmt).group("name")
+            self.spark.catalog.dropTempView(name)
+            self._tables.pop(name, None)
+            return None
+        return self.spark.sql(self._rewrite(stmt))
+
+    def _create_table_stmt(self, stmt: str) -> None:
+        td = parse_create_table(stmt, self._types)
+        empty = self.spark.createDataFrame([], td.schema_ddl())
+        empty.createOrReplaceTempView(td.name)
+        self._tables[td.name] = td
+
+    def _insert_stmt(self, stmt: str) -> None:
+        name = _INSERT_RE.match(stmt).group("name")
+        td = self._tables.get(name)
+        if td is None:
+            raise AdtError(f"INSERT into unknown table {name!r}")
+        _, rows = parse_insert_rows(stmt, td, self._types)
+        batch = self.spark.sql(" UNION ALL ".join(f"SELECT {r}" for r in rows))
+        self.table(name).unionByName(batch).createOrReplaceTempView(name)
+
+    def _rewrite(self, stmt: str) -> str:
+        adt_cols: dict[str, AdtType] = {}
+        known: set[str] = set()
+        for td in self._tables.values():
+            adt_cols.update(td.adt_columns)
+            known.update(td.columns)
+        if not adt_cols:
+            return stmt
+        return rewrite_patterns(stmt, adt_cols, known_columns=known)
 
     # -- types ---------------------------------------------------------
 

@@ -170,6 +170,71 @@ def adt_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adt_dialect_match",
+    oracle="""
+    SELECT event_id, ROUND(value, 4) AS amount
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200.0
+    """,
+)
+def adt_dialect_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's *statement* surface end-to-end: the pattern
+    ``e: Purchase(amt)`` is written in the dialect and rewritten to
+    tag predicate + payload access before Spark SQL plans it."""
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.create_table(
+        "tagged_events", encode_events(spark, sf_dir), adt_columns={"e": EVENT_ADT}
+    )
+    return eng.sql(
+        "SELECT event_id, ROUND(amt, 4) AS amount FROM tagged_events "
+        "WHERE e: Purchase(amt) AND amt > 200.0"
+    )
+
+
+@register(
+    "adt_dialect_table",
+    # the whole lifecycle (CREATE TYPE/TABLE, INSERT with constructor
+    # literals, pattern-matched SELECT) vs a plain-SQL VALUES twin
+    oracle="""
+    SELECT id,
+           CAST(CASE WHEN tag = 'Circle' THEN ROUND(3.0 * r * r, 4)
+                     WHEN tag = 'Rect' THEN ROUND(w * h, 4)
+                     ELSE 0.0 END AS DOUBLE) AS area
+    FROM (VALUES (1, 'Circle', 2.0, NULL, NULL),
+                 (2, 'Point', NULL, NULL, NULL),
+                 (3, 'Rect', NULL, 3.0, 4.0),
+                 (4, 'Circle', 0.5, NULL, NULL)) t(id, tag, r, w, h)
+    ORDER BY id
+    """,
+)
+def adt_dialect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TYPE → CREATE TABLE → INSERT (constructor literals) →
+    pattern-matched SELECT, all as dialect statements."""
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql(
+        "CREATE TYPE DShape = Circle(r: Double) | Rect(w: Double, h: Double) | Point"
+    )
+    eng.sql("CREATE TABLE dialect_shapes (id: Integer, s: DShape)")
+    eng.sql(
+        "INSERT INTO dialect_shapes VALUES "
+        "(1, Circle(2.0)), (2, Point), (3, Rect(3.0, 4.0)), (4, Circle(0.5))"
+    )
+    return eng.sql(
+        """
+        SELECT id,
+               CASE WHEN s: Circle(cr) THEN ROUND(3.0 * cr * cr, 4)
+                    WHEN s: Rect(w, h) THEN ROUND(w * h, 4)
+                    ELSE 0.0 END AS area
+        FROM dialect_shapes ORDER BY id
+        """
+    )
+
+
+@register(
     "adt_nested",
     oracle="""
     SELECT CASE WHEN value <= 50.0 THEN 'none'

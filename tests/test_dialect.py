@@ -1,0 +1,132 @@
+"""The reference's statement dialect: CREATE TYPE / CREATE TABLE /
+INSERT / DROP TABLE / SELECT with pattern matching, end to end."""
+
+from __future__ import annotations
+
+import pytest
+
+from algebraicdb_spark.dialect import parse_create_type, rewrite_patterns
+from algebraicdb_spark.engine import Engine
+from algebraicdb_spark.functions.adt import AdtError
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    eng = Engine(spark)
+    eng.sql(
+        "CREATE TYPE Shape = Circle(r: Double) | Rect(w: Double, h: Double) | Point"
+    )
+    eng.sql("CREATE TABLE shapes (id: Integer, s: Shape)")
+    eng.sql(
+        "INSERT INTO shapes VALUES (1, Circle(2.0)), (2, Point), (3, Rect(3.0, 4.0))"
+    )
+    return eng
+
+
+def test_positional_create_type():
+    t = parse_create_type("CREATE TYPE Pair = MkPair(Double, Double) | Unit")
+    assert t.tags == ("MkPair", "Unit")
+    assert t._by_name["MkPair"].fields == (("_1", "double"), ("_2", "double"))
+
+
+def test_reference_primitive_names():
+    t = parse_create_type("CREATE TYPE V = A(x: Integer, y: Bool, z: Text)")
+    assert t._by_name["A"].fields == (
+        ("x", "bigint"),
+        ("y", "boolean"),
+        ("z", "string"),
+    )
+
+
+def test_create_insert_select_roundtrip(eng):
+    assert eng.table("shapes").count() == 3
+    rows = eng.sql("SELECT id, r FROM shapes WHERE s: Circle(r)").collect()
+    assert [(r.id, r.r) for r in rows] == [(1, 2.0)]
+
+
+def test_insert_appends(eng):
+    eng.sql("INSERT INTO shapes VALUES (4, Circle(0.5))")
+    assert eng.table("shapes").count() == 4
+    small = eng.sql("SELECT id FROM shapes WHERE s: Circle(r) AND r < 1.0").collect()
+    assert [r.id for r in small] == [4]
+
+
+def test_match_in_case_arms(eng):
+    rows = eng.sql(
+        """
+        SELECT id,
+               CASE WHEN s: Circle(cr) THEN 3.0 * cr * cr
+                    WHEN s: Rect(w, h) THEN w * h
+                    ELSE 0.0 END AS area
+        FROM shapes WHERE id <= 3 ORDER BY id
+        """
+    ).collect()
+    assert [(r.id, r.area) for r in rows] == [(1, 12.0), (2, 0.0), (3, 12.0)]
+
+
+def test_binding_keeps_name_as_select_item(eng):
+    df = eng.sql("SELECT id, r FROM shapes WHERE s: Circle(r)")
+    assert df.columns == ["id", "r"]
+
+
+def test_wildcard_binding(eng):
+    eng.sql("CREATE TYPE Pair = MkPair(Double, Double) | Unit")
+    eng.sql("CREATE TABLE pairs (k: Integer, p: Pair)")
+    eng.sql("INSERT INTO pairs VALUES (1, MkPair(1.5, 2.5)), (2, Unit)")
+    rows = eng.sql("SELECT k, b FROM pairs WHERE p: MkPair(_, b)").collect()
+    assert [(r.k, r.b) for r in rows] == [(1, 2.5)]
+    eng.sql("DROP TABLE pairs")
+
+
+def test_payloadless_pattern(eng):
+    rows = eng.sql("SELECT id FROM shapes WHERE s: Point").collect()
+    assert [r.id for r in rows] == [2]
+
+
+def test_aggregate_over_pattern(eng):
+    rows = eng.sql(
+        """
+        SELECT COUNT(*) AS n, SUM(CASE WHEN s: Rect(w, h) THEN w * h END) AS rect_area
+        FROM shapes
+        """
+    ).collect()
+    assert rows[0].n == 4 and rows[0].rect_area == 12.0
+
+
+def test_unknown_variant_is_plan_time_error(eng):
+    with pytest.raises(AdtError, match="no variant"):
+        eng.sql("SELECT id FROM shapes WHERE s: Triangle(x)")
+
+
+def test_arity_mismatch_is_plan_time_error(eng):
+    with pytest.raises(AdtError, match="binds 2"):
+        eng.sql("SELECT id FROM shapes WHERE s: Circle(a, b)")
+
+
+def test_binding_shadowing_column_rejected(eng):
+    with pytest.raises(AdtError, match="shadows"):
+        eng.sql("SELECT id FROM shapes WHERE s: Circle(id)")
+
+
+def test_insert_arity_checked(eng):
+    with pytest.raises(AdtError, match="takes 1 argument"):
+        eng.sql("INSERT INTO shapes VALUES (9, Circle(1.0, 2.0))")
+    with pytest.raises(AdtError, match="constructor"):
+        eng.sql("INSERT INTO shapes VALUES (9, 42)")
+
+
+def test_pattern_inside_string_untouched():
+    out = rewrite_patterns("SELECT 'x: Circle(r)' AS lit FROM t", {}, set())
+    assert out == "SELECT 'x: Circle(r)' AS lit FROM t"
+
+
+def test_drop_table(eng, spark):
+    eng.sql("CREATE TABLE scratch (a: Integer)")
+    eng.sql("DROP TABLE scratch")
+    assert not any(t.name == "scratch" for t in spark.catalog.listTables())
+
+
+def test_cast_colon_not_a_pattern(eng):
+    # `::` and qualified names never parse as patterns
+    rows = eng.sql("SELECT id FROM shapes WHERE id = 1").collect()
+    assert len(rows) == 1

@@ -23,8 +23,11 @@ def test_create_type_statement_roundtrip(eng):
 
 
 def test_parse_rejects_malformed():
+    # NB: `Circle(r)` is now LEGAL — the reference's positional form
     with pytest.raises(AdtError):
-        parse_create_type("CREATE TYPE Bad = Circle(r)")
+        parse_create_type("CREATE TYPE Bad = Circle(r:)")
+    with pytest.raises(AdtError):
+        parse_create_type("CREATE TYPE Bad = circle(r: Double)")
     with pytest.raises(AdtError):
         parse_create_type("SELECT 1")
 
