@@ -154,9 +154,12 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # NO broadcast hint on sa/sb: they are per-doc tables that grow
+    # with the corpus — AQE broadcasts them while they're small and
+    # shuffle-joins at 100 TB; a hard hint would OOM the driver there
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

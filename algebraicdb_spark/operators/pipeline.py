@@ -49,9 +49,11 @@ def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # per-doc size tables: no broadcast hint (grows with the corpus;
+    # AQE picks broadcast only while the side actually fits)
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b")
     )
