@@ -368,3 +368,53 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", tie).alias("cheapest_order"),
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
     )
+
+
+@register(
+    "agg_pivot",
+    # pivot = conditional aggregation with a FIXED value list (an
+    # unbounded pivot would need a driver-side distinct scan — always
+    # pin the columns at 100 TB)
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue by market segment × order status."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, measure, val FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', ROUND(p_retailprice, 4) FROM part
+    ) WHERE p_partkey % 100 = 0
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide part measures → long (key, measure, value)."""
+    p = load_tables(spark, sf_dir)["part"]
+    return (
+        p.filter(F.col("p_partkey") % 100 == 0)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.round("p_retailprice", 4).alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "measure", "val")
+    )

@@ -383,3 +383,35 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_id").alias("purchases_within_1d"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("purchase_value"),
     )
+
+
+@register(
+    "join_bucketed",
+    # content is identical to a plain equi-join — what the bucketed
+    # variant buys is the PLAN: zero Exchange on either side (pinned
+    # by test_bucketed_join_has_no_exchange)
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over bucketed tables (SURVEY §4:
+    pay the shuffle once at write, zero exchanges per join after)."""
+    from algebraicdb_spark.sources.bucketed import prepare_bucketed
+
+    li_name, o_name = prepare_bucketed(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )

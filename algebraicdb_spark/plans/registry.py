@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.multimodal",
     "algebraicdb_spark.functions.udfs",
     "algebraicdb_spark.operators.pipeline",
+    "algebraicdb_spark.operators.sampling",
 )
 
 
