@@ -36,3 +36,24 @@ def test_clean_on_good_plans(spark, sf_dir):
     for key in ("agg_groupby_hash", "join_multiway_star", "win_row_number_topn"):
         bad = {c for sev, c, _ in lint(qs[key](spark, sf_dir)) if sev == "error"}
         assert not bad, f"{key}: {bad}"
+
+
+def test_no_error_findings_on_any_key(spark, sf_dir):
+    """Fleet-wide plan audit: no registered key may contain an
+    ERROR-severity pattern (CartesianProduct). Warn-level findings
+    (bounded BNLJ, final-result sorts, demo row-at-a-time UDF keys)
+    are intentional and documented in docs/SCALE.md §4."""
+    from algebraicdb_spark.plans import registry
+
+    skip_prefixes = ("stream_", "source_", "sink_")
+    skip_keys = {"join_bucketed"}  # writes managed tables; plan pinned elsewhere
+    failures = {}
+    for key, fn in registry.queries().items():
+        if key.startswith(skip_prefixes) or key in skip_keys:
+            continue
+        errs = [
+            (c, m) for sev, c, m in lint(fn(spark, sf_dir)) if sev == "error"
+        ]
+        if errs:
+            failures[key] = errs
+    assert not failures, failures
