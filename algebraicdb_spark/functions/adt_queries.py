@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.functions.adt import EVENT_ADT, option_of
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
@@ -50,7 +51,7 @@ def encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN event_type IN ('click','view','signup')
                          THEN user_id ELSE 0 END) AS BIGINT) AS user_checksum,
-           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+           floor(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS DOUBLE) * 10000 + 0.5) / 10000
              AS amount_checksum,
            CAST(SUM(CASE WHEN event_type = 'error'
                     THEN CAST(json_extract_string(props, '$.k') AS INT)
@@ -69,9 +70,8 @@ def adt_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.groupBy(e.getField("tag").alias("tag")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.coalesce(user, F.lit(0))).alias("user_checksum"),
-        F.round(
-            F.sum(F.coalesce(EVENT_ADT.bind(e, "Purchase", "amount"), F.lit(0.0))), 4
-        ).alias("amount_checksum"),
+        pround(
+            F.sum(F.coalesce(EVENT_ADT.bind(e, "Purchase", "amount"), F.lit(0.0)))).alias("amount_checksum"),
         F.sum(
             F.coalesce(EVENT_ADT.bind(e, "Error", "code").cast("bigint"), F.lit(0))
         ).alias("code_checksum"),
@@ -81,7 +81,7 @@ def adt_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "adt_match_filter",
     oracle="""
-    SELECT event_id, ROUND(value, 4) AS amount
+    SELECT event_id, floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS amount
     FROM events
     WHERE event_type = 'purchase' AND value > 100.0
     """,
@@ -93,7 +93,7 @@ def adt_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     amt = EVENT_ADT.bind(e, "Purchase", "amount")
     return (
         enc.filter(EVENT_ADT.is_variant(e, "Purchase") & (amt > 100.0))
-        .select("event_id", F.round(amt, 4).alias("amount"))
+        .select("event_id", pround(amt).alias("amount"))
     )
 
 
@@ -144,7 +144,7 @@ def adt_match_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adt_match_agg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,
-           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS revenue,
+           floor(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
     FROM events
@@ -161,7 +161,7 @@ def adt_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enc.groupBy(F.to_date("ts").alias("day"))
         .agg(
-            F.round(F.sum(amount), 4).alias("revenue"),
+            pround(F.sum(amount)).alias("revenue"),
             F.sum(is_("Purchase")).alias("n_purchases"),
             F.sum(is_("Error")).alias("n_errors"),
         )
@@ -172,7 +172,7 @@ def adt_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "adt_dialect_match",
     oracle="""
-    SELECT event_id, ROUND(value, 4) AS amount
+    SELECT event_id, floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS amount
     FROM events
     WHERE event_type = 'purchase' AND value > 200.0
     """,
@@ -188,7 +188,7 @@ def adt_dialect_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tagged_events", encode_events(spark, sf_dir), adt_columns={"e": EVENT_ADT}
     )
     return eng.sql(
-        "SELECT event_id, ROUND(amt, 4) AS amount FROM tagged_events "
+        "SELECT event_id, floor(CAST(amt AS DOUBLE) * 10000 + 0.5) / 10000 AS amount FROM tagged_events "
         "WHERE e: Purchase(amt) AND amt > 200.0"
     )
 
@@ -199,8 +199,8 @@ def adt_dialect_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literals, pattern-matched SELECT) vs a plain-SQL VALUES twin
     oracle="""
     SELECT id,
-           CAST(CASE WHEN tag = 'Circle' THEN ROUND(3.0 * r * r, 4)
-                     WHEN tag = 'Rect' THEN ROUND(w * h, 4)
+           CAST(CASE WHEN tag = 'Circle' THEN floor(CAST(3.0 * r * r AS DOUBLE) * 10000 + 0.5) / 10000
+                     WHEN tag = 'Rect' THEN floor(CAST(w * h AS DOUBLE) * 10000 + 0.5) / 10000
                      ELSE 0.0 END AS DOUBLE) AS area
     FROM (VALUES (1, 'Circle', 2.0, NULL, NULL),
                  (2, 'Point', NULL, NULL, NULL),
@@ -226,8 +226,8 @@ def adt_dialect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         """
         SELECT id,
-               CASE WHEN s: Circle(cr) THEN ROUND(3.0 * cr * cr, 4)
-                    WHEN s: Rect(w, h) THEN ROUND(w * h, 4)
+               CASE WHEN s: Circle(cr) THEN floor(CAST(3.0 * cr * cr AS DOUBLE) * 10000 + 0.5) / 10000
+                    WHEN s: Rect(w, h) THEN floor(CAST(w * h AS DOUBLE) * 10000 + 0.5) / 10000
                     ELSE 0.0 END AS area
         FROM dialect_shapes ORDER BY id
         """
@@ -241,8 +241,8 @@ def adt_dialect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type = 'purchase' THEN 'some-purchase'
                 ELSE 'some-other' END AS shape,
            COUNT(*) AS n,
-           ROUND(SUM(CASE WHEN value > 50.0 AND event_type = 'purchase'
-                          THEN value ELSE 0.0 END), 4) AS some_purchase_value
+           floor(CAST(SUM(CASE WHEN value > 50.0 AND event_type = 'purchase'
+                          THEN value ELSE 0.0 END) AS DOUBLE) * 10000 + 0.5) / 10000 AS some_purchase_value
     FROM events
     GROUP BY 1
     """,
@@ -285,5 +285,5 @@ def adt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wrapped.groupBy(shape.alias("shape")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(inner_purchase_value), 4).alias("some_purchase_value"),
+        pround(F.sum(inner_purchase_value)).alias("some_purchase_value"),
     )

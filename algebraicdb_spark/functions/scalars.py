@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -99,7 +100,7 @@ def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT EXTRACT(year FROM o_orderdate) AS yr,
            EXTRACT(month FROM o_orderdate) AS mth,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM orders
     WHERE EXTRACT(isodow FROM o_orderdate) - 1 <= 4  -- weekdays (Mon=0)
     GROUP BY 1, 2
@@ -120,7 +121,7 @@ def date_parts_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            exact_money_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -129,7 +130,7 @@ def date_parts_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_arith_interval",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(AVG(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_latency_days,
+           floor(CAST(AVG(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_latency_days,
            MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency_days,
            SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
                     THEN 1 ELSE 0 END) AS n_slow
@@ -143,7 +144,7 @@ def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
     latency = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
     return j.groupBy("o_orderstatus").agg(
-        F.round(F.avg(latency), 4).alias("avg_latency_days"),
+        pround(F.avg(latency)).alias("avg_latency_days"),
         F.max(latency).alias("max_latency_days"),
         F.sum(
             F.when(
@@ -158,12 +159,12 @@ def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_suite",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(abs(l_extendedprice - 50000.0), 4) AS abs_dev,
+           floor(CAST(abs(l_extendedprice - 50000.0) AS DOUBLE) * 10000 + 0.5) / 10000 AS abs_dev,
            floor(l_quantity) AS qty_floor,
            ceil(l_quantity)  AS qty_ceil,
-           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
-           ROUND(ln(l_extendedprice), 4) AS price_ln,
-           ROUND(pow(1.0 + l_discount, 2), 4) AS disc_sq,
+           floor(CAST(sqrt(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS price_sqrt,
+           floor(CAST(ln(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS price_ln,
+           floor(CAST(pow(1.0 + l_discount, 2) AS DOUBLE) * 10000 + 0.5) / 10000 AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
            sign(l_extendedprice - 50000.0) AS dev_sign
     FROM lineitem
@@ -176,12 +177,12 @@ def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 997 == 0).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_extendedprice") - 50000.0), 4).alias("abs_dev"),
+        pround(F.abs(F.col("l_extendedprice") - 50000.0)).alias("abs_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
-        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 4).alias("disc_sq"),
+        pround(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        pround(F.log("l_extendedprice")).alias("price_ln"),
+        pround(F.pow(F.lit(1.0) + F.col("l_discount"), 2)).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.signum(F.col("l_extendedprice") - 50000.0).alias("dev_sign"),
     )
@@ -191,10 +192,10 @@ def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cond_coalesce",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(COALESCE(l_extendedprice / NULLIF(l_discount, 0.0), -1.0), 4)
+           floor(CAST(COALESCE(l_extendedprice / NULLIF(l_discount, 0.0), -1.0) AS DOUBLE) * 10000 + 0.5) / 10000
              AS price_per_disc,
-           ROUND(GREATEST(l_extendedprice, 60000.0), 4) AS floor_60k,
-           ROUND(LEAST(l_tax, l_discount), 4) AS min_rate
+           floor(CAST(GREATEST(l_extendedprice, 60000.0) AS DOUBLE) * 10000 + 0.5) / 10000 AS floor_60k,
+           floor(CAST(LEAST(l_tax, l_discount) AS DOUBLE) * 10000 + 0.5) / 10000 AS min_rate
     FROM lineitem
     WHERE l_orderkey % 499 = 0
     """,
@@ -212,10 +213,10 @@ def cond_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("price_per_disc"),
-        F.round(F.greatest(F.col("l_extendedprice"), F.lit(60000.0)), 4).alias(
+        pround(F.greatest(F.col("l_extendedprice"), F.lit(60000.0))).alias(
             "floor_60k"
         ),
-        F.round(F.least(F.col("l_tax"), F.col("l_discount")), 4).alias("min_rate"),
+        pround(F.least(F.col("l_tax"), F.col("l_discount"))).alias("min_rate"),
     )
 
 
@@ -309,9 +310,9 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_lambda",
     oracle="""
     SELECT vec_id,
-           ROUND(list_dot_product(embedding, embedding), 4) AS dot_self,
+           floor(CAST(list_dot_product(embedding, embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS dot_self,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)), 4)
+           floor(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)) AS DOUBLE) * 10000 + 0.5) / 10000
              AS sum_doubled
     FROM embeddings
     WHERE vec_id % 10 = 0
@@ -333,9 +334,9 @@ def array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id",
-        F.round(dot_self, 4).alias("dot_self"),
+        pround(dot_self).alias("dot_self"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
-        F.round(sum_doubled, 4).alias("sum_doubled"),
+        pround(sum_doubled).alias("sum_doubled"),
     )
 
 
@@ -376,7 +377,7 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -389,7 +390,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy((k % 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
     )
 
@@ -399,7 +400,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (info).seg AS segment,
            COUNT(*) AS n_customers,
-           ROUND(SUM((info).bal), 4) AS sum_bal
+           floor(CAST(SUM((info).bal) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_bal
     FROM (
       SELECT struct_pack(seg := c_mktsegment, bal := c_acctbal) AS info
       FROM customer
@@ -418,5 +419,5 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_struct.groupBy(F.col("info.seg").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("info.bal"), 4).alias("sum_bal"),
+        pround(F.sum("info.bal")).alias("sum_bal"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from algebraicdb_spark.functions.rounding import pround, pround_np
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -74,7 +75,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_grouped",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           floor(CAST(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS DOUBLE) * 10000 + 0.5) / 10000
              AS weighted_avg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -89,7 +90,7 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float((price * qty).sum() / qty.sum())
 
     return li.groupBy("l_returnflag").agg(
-        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+        pround(weighted_avg("l_extendedprice", "l_quantity")).alias(
             "weighted_avg_price"
         )
     )
@@ -99,8 +100,8 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id,
-           ROUND((value - AVG(value) OVER (PARTITION BY user_id)) /
-                 stddev_samp(value) OVER (PARTITION BY user_id), 4) AS value_z
+           floor(CAST((value - AVG(value) OVER (PARTITION BY user_id)) /
+                 stddev_samp(value) OVER (PARTITION BY user_id) AS DOUBLE) * 10000 + 0.5) / 10000 AS value_z
     FROM events
     WHERE user_id % 20 = 0
     """,
@@ -117,7 +118,7 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "value_z": z.round(4),
+                "value_z": pround_np(z),
             }
         )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -31,10 +32,10 @@ from algebraicdb_spark.sources.catalog import load_tables
     "agg_global",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(MIN(l_extendedprice), 4) AS min_price,
-           ROUND(MAX(l_extendedprice), 4) AS max_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           floor(CAST(MIN(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS min_price,
+           floor(CAST(MAX(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS max_price,
+           floor(CAST(AVG(l_discount) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_disc
     FROM lineitem
     """,
 )
@@ -43,22 +44,22 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        exact_money_sum("l_quantity").alias("sum_qty"),
+        pround(F.min("l_extendedprice")).alias("min_price"),
+        pround(F.max("l_extendedprice")).alias("max_price"),
+        pround(F.avg("l_discount")).alias("avg_disc"),
     )
 
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 4) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       floor(CAST(AVG(l_quantity) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor(CAST(AVG(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_price,
+       floor(CAST(AVG(l_discount) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -79,13 +80,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_money_sum("l_quantity").alias("sum_qty"),
+            exact_money_sum("l_extendedprice").alias("sum_base_price"),
+            exact_money_sum(disc_price).alias("sum_disc_price"),
+            exact_money_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            pround(F.avg("l_quantity")).alias("avg_qty"),
+            pround(F.avg("l_extendedprice")).alias("avg_price"),
+            pround(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -99,7 +100,7 @@ register("agg_groupby_hash", oracle=Q1_ORACLE)(q1)
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           ROUND(AVG(c_acctbal), 4) AS avg_bal
+           floor(CAST(AVG(c_acctbal) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_bal
     FROM customer
     GROUP BY c_mktsegment
     HAVING AVG(c_acctbal) > 4400.0
@@ -118,7 +119,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "n_customers",
-            F.round("_avg_raw", 4).alias("avg_bal"),
+            pround("_avg_raw").alias("avg_bal"),
         )
     )
 
@@ -180,7 +181,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,
            COALESCE(l_linestatus, 'ALL') AS status,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_quantity), 4) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -195,7 +196,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(l_returnflag, 'ALL') AS flag,
                COALESCE(l_linestatus, 'ALL') AS status,
                COUNT(*) AS n_rows,
-               ROUND(SUM(l_quantity), 4) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -208,7 +209,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(r_name, 'ALL') AS region,
            COALESCE(n_name, 'ALL') AS nation,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 4) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -225,7 +226,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            exact_money_sum("c_acctbal").alias("sum_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -242,7 +243,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,
            COALESCE(l_linestatus, 'ALL') AS status,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -254,7 +255,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            exact_money_sum("l_extendedprice").alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
@@ -269,8 +270,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+           floor(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) * 10000 + 0.5) / 10000 AS p50,
+           floor(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) * 10000 + 0.5) / 10000 AS p90
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -279,8 +280,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile == quantile_cont)."""
     o = load_tables(spark, sf_dir)["orders"]
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        pround(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+        pround(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
     )
 
 
@@ -288,10 +289,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
-           ROUND(var_samp(l_extendedprice), 2) AS var_price,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+           floor(CAST(stddev_samp(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS sd_price,
+           floor(CAST(var_samp(l_extendedprice) AS DOUBLE) * 100 + 0.5) / 100 AS var_price,
+           floor(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS corr_qty_price,
+           floor(CAST(covar_samp(l_quantity, l_extendedprice) AS DOUBLE) * 100 + 0.5) / 100 AS cov_qty_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -300,10 +301,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev / variance / correlation / covariance per group."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        pround(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        pround(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        pround(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        pround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "cov_qty_price"
         ),
     )
@@ -353,7 +354,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
            MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
-           ROUND(MAX(o_totalprice), 4) AS max_price
+           floor(CAST(MAX(o_totalprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS max_price
     FROM ranked
     GROUP BY o_orderstatus
     """,
@@ -366,7 +367,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", tie).alias("priciest_order"),
         F.min_by("o_orderkey", tie).alias("cheapest_order"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        pround(F.max("o_totalprice")).alias("max_price"),
     )
 
 
@@ -377,9 +378,9 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the columns at 100 TB)
     oracle="""
     SELECT c_mktsegment,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS F,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS O,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS P
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -392,7 +393,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 4))
+        .agg(exact_money_sum("o_totalprice"))
     )
 
 
@@ -402,7 +403,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, measure, val FROM (
       SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
       UNION ALL
-      SELECT p_partkey, 'retailprice', ROUND(p_retailprice, 4) FROM part
+      SELECT p_partkey, 'retailprice', floor(CAST(p_retailprice AS DOUBLE) * 10000 + 0.5) / 10000 FROM part
     ) WHERE p_partkey % 100 = 0
     """,
 )
@@ -414,7 +415,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.col("p_size").cast("double").alias("size"),
-            F.round("p_retailprice", 4).alias("retailprice"),
+            pround("p_retailprice").alias("retailprice"),
         )
         .unpivot("p_partkey", ["size", "retailprice"], "measure", "val")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -112,8 +113,8 @@ WITH raw AS (
   SELECT doc_id, len(shingles) AS n_toks FROM toks
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_common AS DOUBLE) /
-             (sa.n_toks + sb.n_toks - n_common), 4) AS jaccard
+       floor(CAST(CAST(n_common AS DOUBLE) /
+             (sa.n_toks + sb.n_toks - n_common) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
 FROM pairs
 JOIN sized sa ON sa.doc_id = doc_a
 JOIN sized sb ON sb.doc_id = doc_b
@@ -161,7 +162,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", pround(jac).alias("jaccard"))
     )
 
 
@@ -237,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
     return (
-        cands.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        cands.select("doc_a", "doc_b", pround(inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
     )
 
@@ -320,8 +321,8 @@ COSINE_TAU = 0.40
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+           floor(CAST(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS DOUBLE) * 10000 + 0.5) / 10000 AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
                            CAST(b.embedding AS DOUBLE[])) >= {COSINE_TAU}
@@ -350,5 +351,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_TAU)
-        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .select("vec_a", "vec_b", pround("cosine").alias("cosine"))
     )

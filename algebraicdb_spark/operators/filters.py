@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -24,8 +25,8 @@ from algebraicdb_spark.sources.catalog import load_tables
     "project_select",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged
+           floor(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+           floor(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) * 10000 + 0.5) / 10000 AS charged
     FROM lineitem
     WHERE l_orderkey % 500 = 0
     """,
@@ -37,8 +38,8 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 500 == 0).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(rev, 4).alias("revenue"),
-        F.round(rev * (1 + F.col("l_tax")), 4).alias("charged"),
+        pround(rev).alias("revenue"),
+        pround(rev * (1 + F.col("l_tax"))).alias("charged"),
     )
 
 
@@ -46,7 +47,7 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_comparison",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -66,7 +67,7 @@ def filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            exact_money_sum("l_extendedprice").alias("sum_price"),
         )
     )
 
@@ -92,7 +93,7 @@ def filter_boolean_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_in_between_like",
     oracle="""
-    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 4) AS totalprice
+    SELECT o_orderkey, o_orderpriority, floor(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) / 10000 AS totalprice
     FROM orders
     WHERE o_orderstatus IN ('F', 'P')
       AND o_totalprice BETWEEN 100000.0 AND 150000.0
@@ -111,7 +112,7 @@ def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey",
         "o_orderpriority",
-        F.round("o_totalprice", 4).alias("totalprice"),
+        pround("o_totalprice").alias("totalprice"),
     )
 
 
@@ -159,7 +160,7 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "project_case_when",
     oracle="""
-    SELECT tier, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS sum_price
+    SELECT tier, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM (
       SELECT o_totalprice,
              CASE WHEN o_totalprice < 50000.0  THEN 'small'
@@ -185,7 +186,7 @@ def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            exact_money_sum("o_totalprice").alias("sum_price"),
         )
     )
 

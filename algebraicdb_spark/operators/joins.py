@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -35,7 +36,7 @@ from algebraicdb_spark.sources.catalog import load_tables
     "join_inner_broadcast",
     oracle="""
     SELECT r_name, COUNT(*) AS n_nations,
-           ROUND(SUM(n_nationkey), 4) AS sum_nationkey
+           floor(CAST(SUM(n_nationkey) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_nationkey
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
@@ -49,7 +50,7 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_nations"),
-            F.round(F.sum("n_nationkey"), 4).alias("sum_nationkey"),
+            pround(F.sum("n_nationkey")).alias("sum_nationkey"),
         )
     )
 
@@ -59,7 +60,7 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -74,16 +75,14 @@ def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
 
 Q3_ORACLE = """
 SELECT o_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
        o_orderpriority
 FROM customer
@@ -121,9 +120,7 @@ def q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -341,7 +338,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.event_id AS signup_id,
            s.user_id,
            COUNT(p.event_id) AS purchases_within_1d,
-           ROUND(COALESCE(SUM(p.value), 0.0), 4) AS purchase_value
+           floor(CAST(COALESCE(SUM(p.value), 0.0) AS DOUBLE) * 10000 + 0.5) / 10000 AS purchase_value
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
     LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
                WHERE event_type = 'purchase') p
@@ -381,7 +378,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("signup_id", "user_id").agg(
         F.count("p_id").alias("purchases_within_1d"),
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("purchase_value"),
+        pround(F.coalesce(F.sum("value"), F.lit(0.0))).alias("purchase_value"),
     )
 
 
@@ -393,7 +390,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -410,8 +407,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
         )
     )

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import pround, pround_np
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -78,7 +79,7 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "width": (64 + digest % 1024).astype("int32"),
                 "height": (64 + (digest // 1024) % 1024).astype("int32"),
                 "n_frames": (1 + n_bytes % 16).astype("int32"),
-                "mean_luma": ((digest % 256_000) / 1000.0).round(4),
+                "mean_luma": pround_np((digest % 256_000) / 1000.0),
             }
         )
 
@@ -97,6 +98,6 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.agg(
         F.count(F.lit(1)).alias("n_decoded"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        pround(F.avg("mean_luma")).alias("avg_luma"),
         F.max("width").alias("max_width"),
     )

@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -112,7 +113,7 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proves the partitioned write + pruned read-back lost nothing
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM orders
     WHERE EXTRACT(year FROM o_orderdate) = 1997
     """,
@@ -131,7 +132,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_year = spark.read.parquet(path).filter(F.col("yr") == 1997)
     return one_year.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        exact_money_sum("o_totalprice").alias("sum_price"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -62,7 +63,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
   FROM scored
 )
-SELECT q_id, vec_id, ROUND(sim, 4) AS sim, rnk
+SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
 
@@ -80,7 +81,7 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+        .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
 
 
@@ -167,7 +168,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+        .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
 
 
@@ -249,5 +250,5 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+        .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -25,7 +26,7 @@ from algebraicdb_spark.sources.catalog import load_tables
     "sort_multicol_nulls",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ROUND(NULLIF(c_acctbal, 0.0), 4) AS bal_or_null
+           floor(CAST(NULLIF(c_acctbal, 0.0) AS DOUBLE) * 10000 + 0.5) / 10000 AS bal_or_null
     FROM customer
     WHERE c_custkey % 10 = 0
     ORDER BY c_mktsegment ASC, bal_or_null DESC NULLS LAST, c_custkey ASC
@@ -39,7 +40,7 @@ def sort_multicol_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(F.nullif(F.col("c_acctbal"), F.lit(0.0)), 4).alias("bal_or_null"),
+            pround(F.nullif(F.col("c_acctbal"), F.lit(0.0))).alias("bal_or_null"),
         )
         .orderBy(
             F.col("c_mktsegment").asc(),
@@ -52,7 +53,7 @@ def sort_multicol_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_order_limit",
     oracle="""
-    SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice, o_orderstatus
+    SELECT o_orderkey, floor(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) / 10000 AS totalprice, o_orderstatus
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey DESC
     LIMIT 10
@@ -67,7 +68,7 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "o_orderkey",
-            F.round("o_totalprice", 4).alias("totalprice"),
+            pround("o_totalprice").alias("totalprice"),
             "o_orderstatus",
         )
     )

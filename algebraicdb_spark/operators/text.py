@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.operators.dedup import canonical_text
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
@@ -70,7 +71,7 @@ def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY tfidf DESC, term ASC) AS rnk
       FROM scored
     )
-    SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, rnk
+    SELECT doc_id, term, floor(CAST(tfidf AS DOUBLE) * 10000 + 0.5) / 10000 AS tfidf, rnk
     FROM ranked WHERE rnk <= 3 AND doc_id % 10 = 0
     """,
 )
@@ -94,7 +95,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 10 == 0))
-        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rnk")
+        .select("doc_id", "term", pround("tfidf").alias("tfidf"), "rnk")
     )
 
 
@@ -139,7 +140,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 4) AS avg_chars,
+           floor(CAST(AVG(n_chars) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_chars,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source
@@ -150,7 +151,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        pround(F.avg("n_chars")).alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -174,9 +175,9 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     )
     SELECT doc_id,
            n_words,
-           ROUND(CAST(n_chars_m AS DOUBLE) / n_words, 4) AS avg_word_len,
-           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
-           ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
+           floor(CAST(CAST(n_chars_m AS DOUBLE) / n_words AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_word_len,
+           floor(CAST(CAST(n_punct AS DOUBLE) / n_chars_m AS DOUBLE) * 10000 + 0.5) / 10000 AS punct_ratio,
+           floor(CAST(CAST(n_stop AS DOUBLE) / n_words AS DOUBLE) * 10000 + 0.5) / 10000 AS stopword_ratio,
            CASE WHEN n_words BETWEEN 5 AND 1000
                  AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1
                 THEN 1 ELSE 0 END AS passes_filter
@@ -198,9 +199,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(n_chars.cast("double") / n_words, 4).alias("avg_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(n_stop.cast("double") / n_words, 4).alias("stopword_ratio"),
+        pround(n_chars.cast("double") / n_words).alias("avg_word_len"),
+        pround(punct_ratio).alias("punct_ratio"),
+        pround(n_stop.cast("double") / n_words).alias("stopword_ratio"),
         F.when(n_words.between(5, 1000) & (punct_ratio < 0.1), 1)
         .otherwise(0)
         .alias("passes_filter"),

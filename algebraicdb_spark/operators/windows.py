@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -20,7 +21,7 @@ from algebraicdb_spark.sources.catalog import load_tables
 @register(
     "win_row_number_topn",
     oracle="""
-    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice, rn
+    SELECT o_custkey, o_orderkey, floor(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) / 10000 AS totalprice, rn
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -42,7 +43,7 @@ def win_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 4).alias("totalprice"),
+            pround("o_totalprice").alias("totalprice"),
             "rn",
         )
     )
@@ -55,8 +56,8 @@ def win_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank()  OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            ntile(4) OVER w AS quartile,
-           ROUND(percent_rank() OVER w, 4) AS pct_rank,
-           ROUND(cume_dist() OVER w, 4) AS cume
+           floor(CAST(percent_rank() OVER w AS DOUBLE) * 10000 + 0.5) / 10000 AS pct_rank,
+           floor(CAST(cume_dist() OVER w AS DOUBLE) * 10000 + 0.5) / 10000 AS cume
     FROM orders
     WHERE o_orderkey % 20 = 0
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC)
@@ -74,8 +75,8 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        pround(F.percent_rank().over(w)).alias("pct_rank"),
+        pround(F.cume_dist().over(w)).alias("cume"),
     )
 
 
@@ -83,9 +84,9 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value, 4) AS value,
-           ROUND(value - lag(value)  OVER w, 4) AS delta_prev,
-           ROUND(lead(value) OVER w - value, 4) AS delta_next
+           floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS value,
+           floor(CAST(value - lag(value)  OVER w AS DOUBLE) * 10000 + 0.5) / 10000 AS delta_prev,
+           floor(CAST(lead(value) OVER w - value AS DOUBLE) * 10000 + 0.5) / 10000 AS delta_next
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -97,9 +98,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round("value", 4).alias("value"),
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
-        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+        pround("value").alias("value"),
+        pround(F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        pround(F.lead("value").over(w) - F.col("value")).alias("delta_next"),
     )
 
 
@@ -107,9 +108,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum_rows",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           floor(CAST(SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 10000 + 0.5) / 10000 AS running_spend
     FROM orders
     WHERE o_custkey % 25 = 0
     """,
@@ -125,14 +126,14 @@ def win_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(F.col("o_custkey") % 25 == 0).select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+        pround(F.sum("o_totalprice").over(w)).alias("running_spend"),
     )
 
 
 @register(
     "win_range_frame",
     oracle="""
-    SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+    SELECT o_orderkey, floor(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) / 10000 AS totalprice,
            COUNT(*) OVER (
              PARTITION BY o_orderstatus ORDER BY o_totalprice
              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar
@@ -151,7 +152,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+        SELECT o_orderkey, floor(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) / 10000 AS totalprice,
                COUNT(*) OVER (
                  PARTITION BY o_orderstatus ORDER BY o_totalprice
                  RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar

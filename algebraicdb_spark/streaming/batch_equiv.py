@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -32,7 +33,7 @@ from algebraicdb_spark.sources.catalog import load_tables
     SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_s,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -46,7 +47,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -64,7 +65,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch(time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES)
              AS window_start_s,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
     FROM events CROSS JOIN offsets
     GROUP BY 1
     """,
@@ -76,7 +77,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -105,7 +106,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            epoch_us(MIN(ts)) AS session_start_us,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
     FROM islands
     GROUP BY user_id, session_id
     """,
@@ -120,7 +121,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -171,8 +172,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS user_seq,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+           floor(CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 10000 + 0.5) / 10000 AS running_value
     FROM events
     WHERE user_id % 10 = 0
     """,
@@ -187,9 +188,8 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.row_number().over(w).alias("user_seq"),
-        F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
-        ).alias("running_value"),
+        pround(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias("running_value"),
     )
 
 
@@ -199,7 +199,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_id AS click_id,
            p.event_id AS purchase_id,
            c.user_id,
-           ROUND(p.value, 4) AS purchase_value
+           floor(CAST(p.value AS DOUBLE) * 10000 + 0.5) / 10000 AS purchase_value
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
     JOIN (SELECT event_id, user_id, ts, value FROM events
           WHERE event_type = 'purchase') p
@@ -236,6 +236,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id",
             "purchase_id",
             "user_id",
-            F.round("value", 4).alias("purchase_value"),
+            pround("value").alias("purchase_value"),
         )
     )

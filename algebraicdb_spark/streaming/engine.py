@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from algebraicdb_spark.functions.rounding import pround, pround_py
 from algebraicdb_spark.sources.catalog import ensure_confs, normalize_events
 
 RAW_EVENTS_DDL = (
@@ -76,7 +77,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -93,7 +94,7 @@ def session_agg(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -135,7 +136,7 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         "click_id",
         "purchase_id",
         "user_id",
-        F.round("value", 4).alias("purchase_value"),
+        pround("value").alias("purchase_value"),
     )
 
 
@@ -153,7 +154,7 @@ def _running_counter(key, pdf_iter, state: GroupState):
         for _, row in pdf.iterrows():
             seq += 1
             total += float(row["value"])
-            out.append((int(row["event_id"]), int(user_id), seq, round(total, 4)))
+            out.append((int(row["event_id"]), int(user_id), seq, pround_py(total)))
     state.update((seq, total))
     yield pd.DataFrame(out, columns=["event_id", "user_id", "user_seq", "running_value"])
 
@@ -189,3 +190,59 @@ def run_to_memory(
     q.awaitTermination(timeout)
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+# ---- transformWithStateInPandas (Spark 4 stateful API) ----------------
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: E402
+
+TWS_OUTPUT_DDL = "user_id bigint, n_events bigint, total_value double"
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals via the Spark 4 ``StatefulProcessor``
+    API: ValueState in the state store, Arrow-batched input rows.
+    Module-level class — the instance is pickled to the stateful
+    Python worker. Update mode emits the user's CURRENT total each
+    micro-batch; state size is bounded by user-key cardinality."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n bigint, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, total = self._state.get()
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_events": [int(n)],
+                "total_value": [pround_py(total)],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user totals with transformWithStateInPandas (update mode)."""
+    return (
+        events.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_DDL,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

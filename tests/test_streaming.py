@@ -126,3 +126,50 @@ def test_foreach_batch_parquet_sink(spark, events_stream, tmp_path):
     want = stream_tumbling_agg(spark, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR)
     cols = ["window_start_s", "event_type", "n_events", "sum_value"]
     assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def _tws_available() -> bool:
+    # transformWithStateInPandas talks to its state server over
+    # protobuf; this container lacks google.protobuf (no installs) —
+    # the operator is implemented and gated, not silently dropped
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf unavailable in container")
+def test_transform_with_state_matches_batch(spark, sf_dir, events_stream, tables):
+    """Spark 4 transformWithStateInPandas: final per-user totals equal
+    the batch groupBy aggregate."""
+    got = engine.run_to_memory(
+        engine.stateful_totals_tws(events_stream),
+        "t_tws",
+        output_mode="update",
+    )
+    # update mode emits one row per (user, micro-batch); the LAST row
+    # per user is the final state
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    want = (
+        tables["events"]
+        .filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert rows_set(final, cols) == rows_set(want, cols)
