@@ -249,13 +249,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus)."""
+    """CUBE over (returnflag, linestatus) — via partial pre-aggregation.
+
+    SUM/COUNT are decomposable, so the cube runs over the FINEST
+    grouping's partials (|flag|×|status| ≈ 8 rows), not the fact
+    table: one fact-side hash agg + a trivially small cube, instead
+    of Expand×4 over every input row. At 100 TB this is the
+    difference between shuffling 4× the table and shuffling 8 rows.
+    """
     li = load_tables(spark, sf_dir)["lineitem"]
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("ps"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        partial.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            exact_money_sum("l_extendedprice").alias("sum_price"),
+            F.sum("pn").alias("n_rows"),
+            F.sum("ps").cast("double").alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
