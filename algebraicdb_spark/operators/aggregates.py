@@ -191,13 +191,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('ALL') so the output is plain strings (fixture group cols are
     never NULL, so the marker is unambiguous)."""
     load_tables(spark, sf_dir)
+    # same partial-aggregation shape as agg_cube: the grouping sets
+    # run over the finest grouping's ~8 partial rows, not the fact
     return spark.sql(
         """
+        WITH partial AS (
+          SELECT l_returnflag, l_linestatus,
+                 COUNT(*) AS pn,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ps
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT COALESCE(l_returnflag, 'ALL') AS flag,
                COALESCE(l_linestatus, 'ALL') AS status,
-               COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+               SUM(pn) AS n_rows,
+               CAST(SUM(ps) AS DOUBLE) AS sum_qty
+        FROM partial
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
@@ -217,16 +226,27 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over the region→nation hierarchy (dims broadcast)."""
+    """ROLLUP over the region→nation hierarchy.
+
+    The fact (customer) is pre-aggregated per nationkey BEFORE the
+    dim joins and the rollup: the expensive side collapses to ≤25
+    partial rows, the dims broadcast onto those, and ROLLUP expands
+    25 rows instead of every customer. Same answer, and the fact-side
+    shuffle carries (nationkey, count, decimal-sum) only.
+    """
     t = load_tables(spark, sf_dir)
-    joined = t["customer"].join(
+    partial = t["customer"].groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("ps"),
+    )
+    joined = partial.join(
         F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            exact_money_sum("c_acctbal").alias("sum_bal"),
+            F.sum("pn").alias("n_customers"),
+            F.sum("ps").cast("double").alias("sum_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
