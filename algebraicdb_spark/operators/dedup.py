@@ -353,3 +353,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_TAU)
         .select("vec_a", "vec_b", pround("cosine").alias("cosine"))
     )
+
+
+MAX_CC_ITERS = 20  # >= near-dup cluster diameter; fixture clusters are tiny
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint: (id, component) where
+    component = min doc_id reachable — the transitive keep-set the
+    pairwise dedup tiers feed into (drop every id != its component).
+
+    Iterative DataFrame algorithm, driver-coordinated: each round is
+    one join + groupBy-min; labels are monotonically non-increasing
+    integers, so the total strictly decreases until fixpoint (≤ graph
+    diameter rounds — near-dup clusters are shallow). Scale notes:
+    `localCheckpoint` truncates the exploding lineage each round (use
+    a checkpoint dir on a real cluster); the convergence probe is a
+    2-long aggregate, not a collect of labels.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    prev = None
+    for _ in range(MAX_CC_ITERS):
+        msgs = both.join(labels, both.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=False)
+        probe = labels.agg(
+            F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        cur = (probe.s, probe.n)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+@register(
+    "dedup_components",
+    # same shingle-Jaccard pair derivation as dedup_near_jaccard, then
+    # recursive-CTE reachability -> min reachable id per node
+    oracle=f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(r) - 1),
+                                          i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+               AS shingles
+      FROM raw
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM toks
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_toks FROM toks
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_toks + sb.n_toks - n_common)
+              >= {JACCARD_TAU}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id, MIN(label) AS label FROM walk GROUP BY id
+    ), sizes AS (
+      SELECT label, COUNT(*) AS n_members FROM comp GROUP BY label
+    )
+    SELECT n_members,
+           COUNT(*) AS n_components,
+           CAST(SUM(label) AS BIGINT) AS root_checksum
+    FROM sizes GROUP BY n_members
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: the keep-set is one
+    doc per component (min id), matching how production dedup resolves
+    A~B, B~C chains (pairwise dropping would under- or over-delete)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+    return comp.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+    ).groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("label").alias("root_checksum"),
+    )

@@ -356,3 +356,76 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted.groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_pii_scrub",
+    # the fixture corpus is PII-free word salad, so the key SEEDS
+    # deterministic emails/phones first (same expression both engines)
+    # and then scrubs them — redaction counts + a post-scrub leak
+    # check are all hash-verified
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text
+               AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ), scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_redacted,
+           CAST(SUM(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_redacted,
+           CAST(SUM(CASE WHEN regexp_matches(clean, '@|\+?\d{3}-') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaks,
+           CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) — a mandatory stage in any
+    training-data pipeline. Pure regexp_replace: map-side, codegen,
+    no shuffle except the final one-row audit aggregate; the leak
+    counter is the property a compliance gate would alert on."""
+    d = load_tables(spark, sf_dir)["documents"]
+    seeded = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" re: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ),
+        r"\+?\d[\d-]{7,}\d",
+        "<PHONE>",
+    )
+    scrubbed = seeded.select("doc_id", clean.alias("clean"))
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("clean").like("%<EMAIL>%").cast("bigint")).alias(
+            "n_email_redacted"
+        ),
+        F.sum(F.col("clean").like("%<PHONE>%").cast("bigint")).alias(
+            "n_phone_redacted"
+        ),
+        F.sum(F.col("clean").rlike(r"@|\+?\d{3}-").cast("bigint")).alias("n_leaks"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+    )

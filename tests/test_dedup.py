@@ -49,3 +49,20 @@ def test_exact_dedup_no_false_removals(spark, sf_dir):
     row = dedup_exact(spark, sf_dir).collect()[0]
     assert row["n_removed"] == 0  # fixture invariant: no exact dups
     assert row["n_docs"] == row["n_unique"]
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C chains must collapse to ONE component (pairwise
+    dropping alone would leave C a duplicate of A)."""
+    from algebraicdb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id bigint")
+    comp = {r.id: r.label for r in connected_components(edges, nodes).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+    assert comp[99] == 99  # singleton untouched
