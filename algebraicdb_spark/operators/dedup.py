@@ -371,10 +371,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     a checkpoint dir on a real cluster); the convergence probe is a
     2-long aggregate, not a collect of labels.
     """
-    both = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    both = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        # materialize ONCE — the loop re-reads the edge list every
+        # round, and without this the whole upstream pair derivation
+        # (shingle explode + self-join) would re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
     prev = None
