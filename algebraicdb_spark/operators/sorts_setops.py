@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
@@ -154,3 +155,73 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
     return a.exceptAll(b)
+
+
+@register(
+    "skyline_pareto",
+    # dominance: q beats p iff q.price > p.price AND q.day > p.day
+    # (strict on both dims); skyline = rows no one beats
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+    FROM orders p
+    WHERE o_orderkey % 3 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders q
+        WHERE q.o_orderkey % 3 = 0
+          AND q.o_orderpriority = p.o_orderpriority
+          AND q.o_totalprice > p.o_totalprice
+          AND CAST(q.o_orderdate AS DATE) > CAST(p.o_orderdate AS DATE)
+      )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 2-D Pareto skyline (maximize price AND recency).
+
+    Scale-safe exact formulation (EDBT'23 "Skyline Queries in Spark
+    SQL" problem, solved with relational ops instead of a quadratic
+    self-join): pre-aggregate max(day) per (group, price); running
+    max over STRICTLY greater prices via a 1-preceding window on the
+    distinct-price table (tiny); join back and keep rows whose day is
+    not strictly below that running max. One shuffle on the group
+    key + one broadcastable distinct-price window — works unchanged
+    when the fact side is 10^12 rows, because the window runs on
+    distinct (group, price) pairs only.
+    """
+    o = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.to_date("o_orderdate").alias("order_day"),
+        )
+    )
+    per_price = o.groupBy("o_orderpriority", "price").agg(
+        F.max("order_day").alias("best_day")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = per_price.select(
+        "o_orderpriority",
+        "price",
+        F.max("best_day").over(w).alias("beaten_by_day"),
+    )
+    return (
+        o.join(frontier, ["o_orderpriority", "price"])
+        .filter(
+            F.col("beaten_by_day").isNull()
+            | (F.col("order_day") >= F.col("beaten_by_day"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            F.col("order_day").cast("string").alias("order_day"),
+        )
+    )
