@@ -160,13 +160,13 @@ def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            floor(CAST(abs(l_extendedprice - 50000.0) AS DOUBLE) * 10000 + 0.5) / 10000 AS abs_dev,
-           floor(l_quantity) AS qty_floor,
-           ceil(l_quantity)  AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            floor(CAST(sqrt(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS price_sqrt,
            floor(CAST(ln(l_extendedprice) AS DOUBLE) * 10000 + 0.5) / 10000 AS price_ln,
            floor(CAST(pow(1.0 + l_discount, 2) AS DOUBLE) * 10000 + 0.5) / 10000 AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
-           sign(l_extendedprice - 50000.0) AS dev_sign
+           CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS dev_sign
     FROM lineitem
     WHERE l_orderkey % 997 = 0
     """,

@@ -30,7 +30,7 @@ from algebraicdb_spark.sources.catalog import load_tables
 @register(
     "stream_tumbling_agg",
     oracle="""
-    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_s,
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
            event_type,
            COUNT(*) AS n_events,
            floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
@@ -62,8 +62,8 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_agg",
     oracle="""
     WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k)
-    SELECT epoch(time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES)
-             AS window_start_s,
+    SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES)
+             AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,
            floor(CAST(SUM(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value
     FROM events CROSS JOIN offsets
@@ -136,7 +136,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_watermark",
     oracle="""
     SELECT DISTINCT user_id, event_type,
-           epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_s
+           CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_s
     FROM events
     """,
 )

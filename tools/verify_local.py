@@ -56,6 +56,35 @@ def value_hash(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+# canonical type lattice: Spark simpleString / DuckDB type id → family.
+# The driver compares schemas; a Spark BIGINT vs DuckDB INTEGER (or
+# DECIMAL vs DOUBLE) would fail ITS gate even when values hash equal,
+# so we surface family mismatches here.
+def type_family(t: str) -> str:
+    t = str(t).lower()
+    for fam, names in {
+        "int": ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+                "utinyint", "usmallint", "uinteger", "ubigint", "long", "short"),
+        "float": ("float", "real", "double"),
+        "decimal": ("decimal", "numeric"),
+        "bool": ("boolean", "bool"),
+        "string": ("string", "varchar", "text", "char"),
+        "date": ("date",),
+        "timestamp": ("timestamp", "timestamp_ns", "timestamp with time zone",
+                      "timestamp_s", "timestamp_ms"),
+        "binary": ("binary", "blob", "bytea"),
+    }.items():
+        if any(t == n or t.startswith(n + "(") for n in names):
+            return fam
+    if t.startswith(("array", "list", "map", "struct")):
+        return t.split("(")[0].split("<")[0].replace("list", "array")
+    return t
+
+
+def schema_families(pairs):
+    return {name.lower(): type_family(t) for name, t in pairs}
+
+
 def main() -> int:
     from algebraicdb_spark.plans import registry
     from algebraicdb_spark.session import get_spark
@@ -97,8 +126,9 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.execute(oracles[key])
-            dcols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[key])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as exc:
             print(f"{key:32s} ORACLE ERROR: {exc}")
@@ -110,6 +140,12 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)}!={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)}!={sorted(dcols)}")
+        else:
+            sfam = schema_families((f.name, f.dataType.simpleString()) for f in sdf.schema.fields)
+            dfam = schema_families(zip(dcols, dtypes))
+            diff = {c: (sfam[c], dfam[c]) for c in sfam if sfam[c] != dfam.get(c)}
+            if diff:
+                problems.append(f"schema {diff}")
         if not problems:
             sh = value_hash(scols, [tuple(r) for r in srows])
             dh = value_hash(dcols, drows)
