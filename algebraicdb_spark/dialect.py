@@ -363,3 +363,102 @@ def rewrite_patterns(
 
         rewritten = re.sub(rf"(?<![\w.]){re.escape(b)}(?![\w.(])", _subst, rewritten)
     return _unmask_strings(rewritten, saved)
+
+
+# -- MATCH expressions ----------------------------------------------------
+
+_MATCH_RE = re.compile(r"(?i)\bMATCH\s+(?P<col>[A-Za-z_]\w*)\s*\{")
+
+
+def _find_matching_brace(s: str, open_idx: int) -> int:
+    depth, in_str = 0, False
+    for j in range(open_idx, len(s)):
+        ch = s[j]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise AdtError("unterminated MATCH block")
+
+
+_ARM_RE = re.compile(
+    r"^\s*(?:(?P<wild>_)|(?P<variant>[A-Z]\w*)\s*(?:\((?P<binds>[^()]*)\))?)\s*=>\s*(?P<expr>.+)$",
+    re.DOTALL,
+)
+
+
+def rewrite_match_exprs(sql: str, adt_columns: Mapping[str, AdtType]) -> str:
+    """Rewrite ``MATCH col { Variant(b) => expr, …, _ => expr }`` to a
+    CASE ladder, enforcing the reference's EXHAUSTIVENESS rule at plan
+    time: every declared variant needs an arm, or a ``_`` default.
+    Bindings are arm-local (substituted only inside that arm's expr).
+    """
+    while True:
+        masked, saved = _mask_strings(sql)
+        m = _MATCH_RE.search(masked)
+        if not m:
+            return sql
+        col = m.group("col")
+        adt = adt_columns.get(col)
+        if adt is None:
+            raise AdtError(
+                f"MATCH on {col!r}: not a known ADT column (have {sorted(adt_columns)})"
+            )
+        open_idx = masked.index("{", m.end() - 1)
+        close_idx = _find_matching_brace(masked, open_idx)
+        body = masked[open_idx + 1 : close_idx]
+        covered: set[str] = set()
+        default_expr = None
+        whens: list[str] = []
+        for arm_src in _split_top_level(body, ","):
+            if not arm_src.strip():
+                continue
+            am = _ARM_RE.match(arm_src)
+            if not am:
+                raise AdtError(f"bad MATCH arm: {arm_src.strip()!r}")
+            expr = am.group("expr").strip()
+            if am.group("wild"):
+                default_expr = expr
+                continue
+            vname = am.group("variant")
+            if vname not in adt.tags:
+                raise AdtError(f"{adt.name} has no variant {vname!r}")
+            if vname in covered:
+                raise AdtError(f"duplicate MATCH arm for {vname!r}")
+            covered.add(vname)
+            variant = adt._by_name[vname]
+            binds = [
+                b.strip() for b in (am.group("binds") or "").split(",") if b.strip()
+            ]
+            if binds and len(binds) != len(variant.fields):
+                raise AdtError(
+                    f"{adt.name}.{vname} has {len(variant.fields)} field(s), "
+                    f"MATCH arm binds {len(binds)}"
+                )
+            for b, (fname, _t) in zip(binds, variant.fields):
+                if b == "_":
+                    continue
+                expr = re.sub(
+                    rf"(?<![\w.]){re.escape(b)}(?![\w.(])",
+                    f"{col}.{variant.slot}.{fname}",
+                    expr,
+                )
+            whens.append(f"WHEN {col}.tag = '{vname}' THEN {expr}")
+        missing = set(adt.tags) - covered
+        if missing and default_expr is None:
+            raise AdtError(
+                f"{adt.name}: non-exhaustive MATCH — missing {sorted(missing)} "
+                f"(add arms or `_ =>`)"
+            )
+        case = "CASE " + " ".join(whens)
+        if default_expr is not None:
+            case += f" ELSE {default_expr}"
+        case += " END"
+        masked = masked[: m.start()] + case + masked[close_idx + 1 :]
+        sql = _unmask_strings(masked, saved)

@@ -31,6 +31,7 @@ from algebraicdb_spark.dialect import (
     parse_create_table,
     parse_create_type,
     parse_insert_rows,
+    rewrite_match_exprs,
     rewrite_patterns,
 )
 from algebraicdb_spark.dialect import (
@@ -128,6 +129,7 @@ class Engine:
             known.update(td.columns)
         if not adt_cols:
             return stmt
+        stmt = rewrite_match_exprs(stmt, adt_cols)
         return rewrite_patterns(stmt, adt_cols, known_columns=known)
 
     # -- types ---------------------------------------------------------

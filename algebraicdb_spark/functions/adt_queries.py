@@ -194,6 +194,42 @@ def adt_dialect_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adt_dialect_match_expr",
+    oracle="""
+    SELECT CASE WHEN event_type = 'purchase' AND value > 250.0 THEN 'big'
+                WHEN event_type = 'purchase' THEN 'small'
+                WHEN event_type = 'error' THEN 'error'
+                ELSE 'engagement' END AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def adt_dialect_match_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MATCH expression in statement position, with
+    plan-time exhaustiveness (all five Event variants covered)."""
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.create_table(
+        "tagged_events2", encode_events(spark, sf_dir), adt_columns={"e": EVENT_ADT}
+    )
+    return eng.sql(
+        """
+        SELECT MATCH e { Purchase(amt) => CASE WHEN amt > 250.0 THEN 'big'
+                                               ELSE 'small' END,
+                         Error(code) => 'error',
+                         Click(u) => 'engagement',
+                         View(u2) => 'engagement',
+                         Signup(u3) => 'engagement' } AS bucket,
+               COUNT(*) AS n
+        FROM tagged_events2
+        GROUP BY 1
+        """
+    )
+
+
+@register(
     "adt_dialect_table",
     # the whole lifecycle (CREATE TYPE/TABLE, INSERT with constructor
     # literals, pattern-matched SELECT) vs a plain-SQL VALUES twin

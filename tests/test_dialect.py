@@ -130,3 +130,58 @@ def test_cast_colon_not_a_pattern(eng):
     # `::` and qualified names never parse as patterns
     rows = eng.sql("SELECT id FROM shapes WHERE id = 1").collect()
     assert len(rows) == 1
+
+
+def test_match_expression(eng):
+    rows = eng.sql(
+        """
+        SELECT id,
+               MATCH s { Circle(cr) => 3.0 * cr * cr,
+                         Rect(w, h) => w * h,
+                         Point => 0.0 } AS area
+        FROM shapes WHERE id <= 3 ORDER BY id
+        """
+    ).collect()
+    assert [(r.id, r.area) for r in rows] == [(1, 12.0), (2, 0.0), (3, 12.0)]
+
+
+def test_match_expression_wildcard(eng):
+    rows = eng.sql(
+        "SELECT id, MATCH s { Circle(cr) => cr, _ => -1.0 } AS r "
+        "FROM shapes WHERE id <= 3 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.r) for r in rows] == [(1, 2.0), (2, -1.0), (3, -1.0)]
+
+
+def test_match_non_exhaustive_rejected(eng):
+    with pytest.raises(AdtError, match="non-exhaustive MATCH"):
+        eng.sql("SELECT MATCH s { Circle(cr) => cr } AS r FROM shapes")
+
+
+def test_match_unknown_variant_rejected(eng):
+    with pytest.raises(AdtError, match="no variant"):
+        eng.sql("SELECT MATCH s { Blob => 1.0, _ => 0.0 } AS r FROM shapes")
+
+
+def test_match_duplicate_arm_rejected(eng):
+    with pytest.raises(AdtError, match="duplicate"):
+        eng.sql(
+            "SELECT MATCH s { Point => 1.0, Point => 2.0, _ => 0.0 } AS r FROM shapes"
+        )
+
+
+def test_match_in_aggregate(eng):
+    row = eng.sql(
+        """
+        SELECT SUM(MATCH s { Circle(cr) => 3.0 * cr * cr,
+                             Rect(w, h) => w * h,
+                             Point => 0.0 }) AS total_area
+        FROM shapes
+        """
+    ).collect()[0]
+    assert total_area_close(row.total_area)
+
+
+def total_area_close(v):
+    # shapes: Circle(2)→12, Point→0, Rect(3,4)→12, Circle(0.5)→0.75
+    return abs(v - 24.75) < 1e-9
