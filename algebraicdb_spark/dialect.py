@@ -462,3 +462,27 @@ def rewrite_match_exprs(sql: str, adt_columns: Mapping[str, AdtType]) -> str:
         case += " END"
         masked = masked[: m.start()] + case + masked[close_idx + 1 :]
         sql = _unmask_strings(masked, saved)
+
+
+# -- DELETE / UPDATE (view-rewrite lowering) ------------------------------
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)\s*(?:WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_update_sets(sets: str) -> list[tuple[str, str]]:
+    """``col = expr, col2 = expr2`` → [(col, expr), …]."""
+    out = []
+    for part in _split_top_level(sets, ","):
+        col, eq, expr = part.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise AdtError(f"bad SET clause: {part.strip()!r}")
+        out.append((col.strip(), expr.strip()))
+    return out

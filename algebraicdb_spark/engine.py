@@ -1,10 +1,13 @@
 """Engine facade — the reference's user surface on Spark.
 
 algebraicdb is a client/server DBMS whose users issue statements:
-``CREATE TYPE`` (sum types), ``CREATE TABLE``, ``INSERT``, ``DROP
-TABLE``, and ``SELECT`` with pattern matching. This facade provides
-that exact workflow on a SparkSession (statement grammar and
-lowering: :mod:`algebraicdb_spark.dialect`):
+``CREATE TYPE`` (sum types), ``CREATE TABLE``, ``INSERT``, ``UPDATE``,
+``DELETE``, ``DROP TABLE``, and ``SELECT`` with pattern matching —
+both ``WHERE``-position patterns (``s: Circle(r)``) and exhaustive
+``MATCH`` expressions. This facade provides that exact workflow on a
+SparkSession (statement grammar and lowering:
+:mod:`algebraicdb_spark.dialect`; mutations lower to view rewrites —
+filtered view for DELETE, CASE-projected view for UPDATE):
 
     eng = Engine(spark, sf_dir="/root/testdata/sf0.01")   # fixtures
     eng.sql("CREATE TYPE Shape = Circle(r: Double) | Rect(w: Double, h: Double) | Point")
@@ -37,8 +40,11 @@ from algebraicdb_spark.dialect import (
 from algebraicdb_spark.dialect import (
     _CREATE_TABLE_RE,
     _CREATE_TYPE_RE,
+    _DELETE_RE,
     _DROP_TABLE_RE,
     _INSERT_RE,
+    _UPDATE_RE,
+    parse_update_sets,
 )
 from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
 from algebraicdb_spark.session import get_spark
@@ -99,6 +105,10 @@ class Engine:
             return self._create_table_stmt(stmt)
         if _INSERT_RE.match(stmt):
             return self._insert_stmt(stmt)
+        if _DELETE_RE.match(stmt):
+            return self._delete_stmt(stmt)
+        if _UPDATE_RE.match(stmt):
+            return self._update_stmt(stmt)
         if _DROP_TABLE_RE.match(stmt):
             name = _DROP_TABLE_RE.match(stmt).group("name")
             self.spark.catalog.dropTempView(name)
@@ -120,6 +130,48 @@ class Engine:
         _, rows = parse_insert_rows(stmt, td, self._types)
         batch = self.spark.sql(" UNION ALL ".join(f"SELECT {r}" for r in rows))
         self.table(name).unionByName(batch).createOrReplaceTempView(name)
+
+    def _delete_stmt(self, stmt: str) -> None:
+        """DELETE FROM t [WHERE pred] — lowered to a filtered view
+        replacement (patterns allowed in the predicate)."""
+        m = _DELETE_RE.match(stmt)
+        name, pred = m.group("name"), m.group("pred")
+        if name not in self._tables:
+            raise AdtError(f"DELETE from unknown table {name!r}")
+        if pred is None:
+            kept = self.table(name).limit(0)
+        else:
+            kept = self.spark.sql(
+                self._rewrite(f"SELECT * FROM {name} WHERE NOT ({pred})")
+            )
+        kept.createOrReplaceTempView(name)
+
+    def _update_stmt(self, stmt: str) -> None:
+        """UPDATE t SET c = e, … [WHERE pred] — lowered to a projected
+        view replacement (CASE per updated column)."""
+        m = _UPDATE_RE.match(stmt)
+        name, sets, pred = m.group("name"), m.group("sets"), m.group("pred")
+        td = self._tables.get(name)
+        if td is None:
+            raise AdtError(f"UPDATE on unknown table {name!r}")
+        assignments = parse_update_sets(sets)
+        unknown = [c for c, _ in assignments if c not in td.columns]
+        if unknown:
+            raise AdtError(f"UPDATE {name}: unknown column(s) {unknown}")
+        cond = pred if pred is not None else "TRUE"
+        assigned = dict(assignments)
+        select_items = []
+        for col in td.columns:
+            if col in assigned:
+                select_items.append(
+                    f"CASE WHEN {cond} THEN ({assigned[col]}) ELSE {col} END AS {col}"
+                )
+            else:
+                select_items.append(col)
+        updated = self.spark.sql(
+            self._rewrite(f"SELECT {', '.join(select_items)} FROM {name}")
+        )
+        updated.createOrReplaceTempView(name)
 
     def _rewrite(self, stmt: str) -> str:
         adt_cols: dict[str, AdtType] = {}

@@ -185,3 +185,36 @@ def test_match_in_aggregate(eng):
 def total_area_close(v):
     # shapes: Circle(2)→12, Point→0, Rect(3,4)→12, Circle(0.5)→0.75
     return abs(v - 24.75) < 1e-9
+
+
+def test_delete_where_pattern(eng):
+    eng.sql("CREATE TABLE del_t (id: Integer, s: Shape)")
+    eng.sql("INSERT INTO del_t VALUES (1, Circle(9.0)), (2, Point), (3, Rect(1.0, 1.0))")
+    eng.sql("DELETE FROM del_t WHERE s: Circle(dr) AND dr > 5.0")
+    assert sorted(r.id for r in eng.table("del_t").collect()) == [2, 3]
+    eng.sql("DELETE FROM del_t")  # unconditional truncate
+    assert eng.table("del_t").count() == 0
+    eng.sql("DROP TABLE del_t")
+
+
+def test_update_set_where(eng):
+    eng.sql("CREATE TABLE upd_t (id: Integer, v: Double)")
+    eng.sql("INSERT INTO upd_t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.sql("UPDATE upd_t SET v = v * 2 WHERE id >= 2")
+    got = {r.id: r.v for r in eng.table("upd_t").collect()}
+    assert got == {1: 10.0, 2: 40.0, 3: 60.0}
+    eng.sql("UPDATE upd_t SET v = 0.0")  # unconditional
+    assert {r.v for r in eng.table("upd_t").collect()} == {0.0}
+    eng.sql("DROP TABLE upd_t")
+
+
+def test_update_unknown_column_rejected(eng):
+    eng.sql("CREATE TABLE upd_e (id: Integer)")
+    with pytest.raises(AdtError, match="unknown column"):
+        eng.sql("UPDATE upd_e SET nope = 1")
+    eng.sql("DROP TABLE upd_e")
+
+
+def test_delete_unknown_table_rejected(eng):
+    with pytest.raises(AdtError, match="unknown table"):
+        eng.sql("DELETE FROM ghosts WHERE 1 = 1")
