@@ -239,3 +239,68 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround("value").alias("purchase_value"),
         )
     )
+
+
+@register(
+    "time_gap_fill",
+    # dense hourly spine over the events span, zero-filled — the
+    # standard time-series densification every dashboard needs
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), actual AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT CAST(epoch(spine.h) AS BIGINT) AS hour_s,
+           COALESCE(n, 0) AS n,
+           COALESCE(sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN actual ON spine.h = actual.h
+    """,
+)
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly purchase series: hours with no events appear
+    as zeros.
+
+    Spine = sequence(min_hour, max_hour, 1h) exploded from a ONE-ROW
+    aggregate — the spine generation is O(#hours) on a single task and
+    broadcast to join the (shuffled) hourly aggregate; no driver-side
+    date loops. At 100 TB the aggregate side dominates and the plan is
+    unchanged.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    actual = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(actual, "h", "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_s"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
