@@ -69,6 +69,10 @@ _INSERT_RE = re.compile(
     r"VALUES\s*(?P<rows>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<query>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,

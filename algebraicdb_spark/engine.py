@@ -39,6 +39,7 @@ from algebraicdb_spark.dialect import (
 )
 from algebraicdb_spark.dialect import (
     _CREATE_TABLE_RE,
+    _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
     _DROP_TABLE_RE,
@@ -101,6 +102,11 @@ class Engine:
             adt = parse_create_type(stmt)
             self._types[adt.name] = adt
             return adt
+        if _CTAS_RE.match(stmt):
+            m = _CTAS_RE.match(stmt)
+            df = self.spark.sql(self._rewrite(m.group("query")))
+            self.create_table(m.group("name"), df)
+            return df
         if _CREATE_TABLE_RE.match(stmt):
             return self._create_table_stmt(stmt)
         if _INSERT_RE.match(stmt):

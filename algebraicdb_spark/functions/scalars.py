@@ -421,3 +421,35 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         pround(F.sum("info.bal")).alias("sum_bal"),
     )
+
+
+@register(
+    "json_from_schema",
+    # schema-declared JSON parsing (from_json → typed struct) vs the
+    # per-path extraction of `json_extract`
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_from_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON ingestion: from_json with a declared schema gives a
+    real struct column (codegen field access, no per-path re-parse —
+    the scale-correct way to read a JSON payload more than once)."""
+    e = load_tables(spark, sf_dir)["events"]
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k")).alias("k_sum"),
+        F.min(F.col("p.k")).alias("k_min"),
+        F.max(F.col("p.k")).alias("k_max"),
+    )

@@ -156,3 +156,79 @@ def insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(extra)
         .orderBy("r_regionkey")
     )
+
+
+@register(
+    "merge_upsert",
+    # MERGE INTO semantics via full-outer join: delta rows override
+    # matched targets, unmatched delta rows insert. Delta is derived
+    # deterministically from the fixture so both engines build it.
+    oracle="""
+    WITH delta AS (
+      SELECT o_orderkey,
+             o_custkey,
+             'X' AS o_orderstatus,
+             CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT -1, 1, 'N', 42.0
+    ), merged AS (
+      SELECT COALESCE(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice
+      FROM (SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders) t
+      FULL JOIN delta d USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): WHEN MATCHED update, WHEN NOT MATCHED
+    insert — as one full-outer join + coalesce projection.
+
+    This is the lakehouse write path in its batch form: one shuffle
+    on the merge key for both sides; at 100 TB you'd partition the
+    target by key range and AQE-skew-split hot keys — the plan shape
+    here is exactly that join.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    target = o.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).cast("double").alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 1, "N", 42.0)],
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+            )
+        )
+        .drop("o_custkey")
+    )
+    merged = target.alias("t").join(
+        delta.alias("d"), "o_orderkey", "full"
+    ).select(
+        F.col("o_orderkey"),
+        F.coalesce(F.col("d.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("d.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+            "total"
+        ),
+    )

@@ -218,3 +218,13 @@ def test_update_unknown_column_rejected(eng):
 def test_delete_unknown_table_rejected(eng):
     with pytest.raises(AdtError, match="unknown table"):
         eng.sql("DELETE FROM ghosts WHERE 1 = 1")
+
+
+def test_create_table_as_select(eng):
+    eng.sql(
+        "CREATE TABLE big_circles AS "
+        "SELECT id, cr2 AS radius FROM shapes WHERE s: Circle(cr2) AND cr2 > 1.0"
+    )
+    rows = eng.table("big_circles").collect()
+    assert [(r.id, r.radius) for r in rows] == [(1, 2.0)]
+    eng.sql("DROP TABLE big_circles")
