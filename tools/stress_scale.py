@@ -1,0 +1,109 @@
+"""Scale-headroom probe: replicate the sf0.1 fixtures N× (key-shifted
+so uniqueness invariants hold) into a temp dir, then time the heavy
+keys on the inflated data.
+
+    python tools/stress_scale.py [N]      # default N=10 → 6M lineitem rows
+
+Prints one line per key: inflated time, sf0.1 time, and the time
+ratio vs the data ratio — near-linear (ratio ≈ N or below) means the
+plan scales; superlinear growth flags a blowup the small-SF bench
+can't see.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# key columns to shift per replica so PK-ish invariants survive
+SHIFT_COLS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SHIFT_STEP = 100_000_000
+
+# replicated (fact) tables; dims stay 1× so joins keep their shape
+REPLICATED = set(SHIFT_COLS)
+
+KEYS = [
+    "agg_groupby_hash",
+    "join_multiway_star",
+    "agg_cube",
+    "win_row_number_topn",
+    "stream_tumbling_agg",
+    "text_tokenize_tf",
+    "dedup_exact",
+    "sim_knn_cosine",
+]
+
+
+def build(spark, n: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tempfile.gettempdir(), f"adb_stress_{n}x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES:
+        src = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
+        if t in REPLICATED:
+            parts = []
+            for i in range(n):
+                p = src
+                for c in SHIFT_COLS[t]:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT_STEP))
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = src
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from algebraicdb_spark.plans import registry
+    from algebraicdb_spark.session import get_spark
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    spark = get_spark("stress", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"building {n}x fixtures …", flush=True)
+    big = build(spark, n)
+
+    qs = registry.queries()
+
+    def run(sf_dir: str, key: str) -> float:
+        load_tables(spark, sf_dir)
+        t0 = time.time()
+        qs[key](spark, sf_dir).collect()
+        return time.time() - t0
+
+    print(f"{'key':28s} {'1x':>7s} {'%dx' % n:>8s}  ratio (data={n}x)")
+    for key in KEYS:
+        base = min(run(BASE_SF, key) for _ in range(2))
+        infl = min(run(big, key) for _ in range(2))
+        flag = "" if infl / max(base, 1e-9) <= n * 1.5 else "  <-- SUPERLINEAR"
+        print(f"{key:28s} {base:6.2f}s {infl:7.2f}s  {infl / max(base, 1e-9):5.1f}x{flag}",
+              flush=True)
+    shutil.rmtree(big, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
