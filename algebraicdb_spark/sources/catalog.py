@@ -57,6 +57,15 @@ def ensure_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
         except Exception:
             pass  # immutable on this session; builder must have set it
+    try:
+        # 200 reduce tasks is pure scheduling overhead at fixture scale;
+        # only lower it when the session still has Spark's untouched
+        # default, so a deliberately-tuned session (tests, bench, a
+        # real cluster) is never overridden
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
