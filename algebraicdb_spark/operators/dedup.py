@@ -130,8 +130,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |∩|/(|A|+|B|−|∩|). No cross-join anywhere: candidate pairs only
     arise from shared shingles, which are sparse (fixture avg
     cross-pair shingle-J is 0.0009 vs 0.5+ for true near-dups). At
-    100 TB add a document-frequency cap (drop shingles appearing in
-    >f docs) to bound hot-shingle blowup.
+    100 TB use :func:`jaccard_pairs_capped` — same result, with the
+    stop-shingle DF cap bounding hot-shingle candidate blowup
+    (recall proven equal in test_df_cap_keeps_recall).
     """
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
@@ -461,4 +462,72 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("n_members").agg(
         F.count(F.lit(1)).alias("n_components"),
         F.sum("label").alias("root_checksum"),
+    )
+
+
+def jaccard_candidate_pairs(
+    docs: DataFrame, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(doc_a < doc_b, n_common) candidate pairs from shared shingles,
+    with the 100 TB guard: ``max_df`` drops shingles that appear in
+    more than `max_df` documents BEFORE the self-join (the CCNet/
+    RefinedWeb "stop-shingle" trick). A shingle shared by f docs
+    contributes O(f²) candidate pairs — capping f bounds the join
+    output by |shingles|·max_df² instead of worst-case n².
+
+    Capping is SAFE for recall at any τ > 0 worth using: a true
+    near-dup pair shares many shingles, so losing its few corpus-hot
+    ones still leaves shared rare shingles to surface the pair (the
+    Jaccard score itself is then recomputed exactly on the full
+    shingle sets — see test_df_cap_keeps_recall).
+    """
+    toks = docs.select("doc_id", shingles(F.col("text"), n).alias("tokens"))
+    exploded = toks.select("doc_id", F.explode("tokens").alias("tok"))
+    if max_df is not None:
+        rare = (
+            exploded.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("tok")
+        )
+        exploded = exploded.join(rare, "tok")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_candidate_hits"))
+    )
+
+
+def jaccard_pairs_capped(
+    docs: DataFrame, tau: float = JACCARD_TAU, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup pairs at τ with DF-capped candidate generation and
+    EXACT rerank: candidates come from rare-shingle collisions, but
+    the Jaccard that decides the pair uses the full shingle sets."""
+    toks = docs.select("doc_id", shingles(F.col("text"), n).alias("tokens"))
+    sized = toks.select("doc_id", F.size("tokens").alias("n_toks"))
+    cands = jaccard_candidate_pairs(docs, n, max_df).select("doc_a", "doc_b")
+    ex = toks.select("doc_id", F.explode("tokens").alias("tok"))
+    common = (
+        cands.join(ex.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")), "doc_b")
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", pround(jac).alias("jaccard"))
     )

@@ -66,3 +66,26 @@ def test_connected_components_chain(spark):
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == comp[23] == 20
     assert comp[99] == 99  # singleton untouched
+
+
+def test_df_cap_keeps_recall(spark, sf_dir, tables):
+    """DF-capped candidate generation must find the SAME τ=0.5 pairs
+    the uncapped exact tier finds, while pruning hot shingles."""
+    from algebraicdb_spark.operators.dedup import (
+        dedup_near_jaccard,
+        jaccard_candidate_pairs,
+        jaccard_pairs_capped,
+    )
+
+    docs = tables["documents"]
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_near_jaccard(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs_capped(docs, max_df=5).collect()
+    }
+    assert exact  # fixture contains true near-dups
+    assert capped == exact  # full recall at max_df=5 (fixture max DF is 9)
+    n_uncapped = jaccard_candidate_pairs(docs).count()
+    n_capped = jaccard_candidate_pairs(docs, max_df=5).count()
+    assert n_capped < n_uncapped  # the cap actually prunes work
