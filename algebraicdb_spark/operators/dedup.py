@@ -1,16 +1,19 @@
 """§2.10 deduplication operators for LLM-training-data pipelines.
 
-Four tiers, each one scale class up:
+The tiers, each one scale class up:
   - exact: hash-groupBy on normalized text. One shuffle of (hash) keys.
   - near (exact Jaccard): shingle-explode → inverted-index self-join →
     |∩|/|∪|. Exact but candidate pairs grow with shared-shingle
-    frequency; the stop-shingle cap (DF limit) bounds the blowup —
-    same trick CCNet/RefinedWeb pipelines use.
+    frequency; ``jaccard_pairs_capped`` adds the stop-shingle DF cap
+    (same trick CCNet/RefinedWeb pipelines use) with exact rerank —
+    recall proven equal in tests.
   - MinHash+LSH banding: the 100 TB path — constant-size signatures,
     candidates only within equal band buckets; repartition by band key
     bounds skew. Hash fns are seeded xxhash64 (never Python hash()).
   - SimHash: 64-bit fingerprint, hamming-bucket join on rotated
     prefixes; cheapest signature, good for "same doc, tiny edits".
+  - components: pairwise tiers feed ``connected_components`` (iterative
+    min-label propagation) so A~B~C chains resolve to ONE keep-doc.
 
 Quality (recall vs brute force) is asserted in tests/test_dedup.py;
 LSH/SimHash keys are rows-only for the oracle because hash functions
