@@ -450,3 +450,34 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("p_partkey", ["size", "retailprice"], "measure", "val")
     )
+
+
+@register(
+    "agg_histogram",
+    # fixed-width histogram by pure arithmetic (no engine-specific
+    # width_bucket): bucket = floor(x/25000), clamped to [0, 19]
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices (20 buckets of 25k).
+
+    One map-side bucket computation + one hash agg on ≤20 keys —
+    the shuffle carries 20 rows regardless of input size; this is
+    the always-scale-safe way to profile a 100 TB column.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("bigint"), F.lit(19)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("lo"),
+        F.max(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("hi"),
+    )

@@ -304,3 +304,67 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    # classic funnel: per user, first click → earliest purchase within
+    # 1 h after it; conversion counted once per user
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(ts) AS c_ts
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id
+    ), converted AS (
+      SELECT f.user_id,
+             MIN(e.ts) AS p_ts
+      FROM first_click f
+      JOIN events e
+        ON e.user_id = f.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= f.c_ts
+       AND e.ts < f.c_ts + INTERVAL 1 HOUR
+      GROUP BY f.user_id
+    )
+    SELECT COUNT(*) AS n_clickers,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           floor(CAST(CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS conversion_rate
+    FROM first_click LEFT JOIN converted USING (user_id)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel within a 1-hour attribution window.
+
+    Shape at scale: one agg per stage (first click per user), one
+    interval join keyed on user_id (hash join + residual time band,
+    never a time-only range join), one final scalar agg.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    joined = first_click.join(converted, "user_id", "left")
+    n_conv = F.sum(F.col("p_ts").isNotNull().cast("bigint"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        n_conv.alias("n_converted"),
+        pround(n_conv.cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )
