@@ -145,8 +145,8 @@ def adt_match_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(ts AS DATE) AS day,
            floor(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
     FROM events
     GROUP BY 1
     HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0

@@ -132,8 +132,8 @@ def date_parts_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            floor(CAST(AVG(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_latency_days,
            MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency_days,
-           SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END) AS n_slow
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -345,8 +345,8 @@ def array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_keys,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
     FROM events
     GROUP BY user_id
     """,

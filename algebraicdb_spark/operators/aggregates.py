@@ -161,17 +161,39 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+@register(
+    "agg_approx_distinct",
+    # property oracle: HLL estimates are engine-specific, but the group
+    # keys, the exact cardinality, and the bounded-error property
+    # (|approx − exact| ≤ 5% + 1) are not — so those are hash-checked,
+    # with the sketch itself still computed in-plan on the Spark side
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per event type.
 
     The 100 TB path for cardinality: constant memory per group, no
     Expand, mergeable across partitions. rsd=0.01 keeps the local
-    answer within 1% of exact (asserted in tests).
+    answer within 1% of exact; the output carries the exact count and
+    an in-plan bounded-error assertion so the driver gate hash-checks
+    the property (the raw estimate is additionally pinned in tests).
     """
     e = load_tables(spark, sf_dir)["events"]
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    per_type = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    tol = F.col("n_exact") * 0.05 + F.lit(1)
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("approx_users") - F.col("n_exact")) <= tol).alias("approx_ok"),
     )
 
 

@@ -184,24 +184,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the same τ as the exact key.
 
     Scale design: signatures are constant-size regardless of doc
-    length; the only join is on (band_idx, band_hash) — repartitioned
-    to spread hot buckets; exact Jaccard runs ONLY on candidates.
-    Recall vs the exact key is asserted in tests/test_dedup.py.
+    length; the only self-join is on (band_idx, band_hash) —
+    repartitioned to spread hot buckets — and it carries ONLY
+    (doc_id, band) rows: the full shingle arrays are re-joined by
+    doc_id AFTER candidate dedup, so the wide payload never rides the
+    band shuffle (at 100 TB the token arrays dwarf the 16-byte band
+    keys). Exact Jaccard runs ONLY on candidates. Recall vs the exact
+    key is asserted in tests/test_dedup.py.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    docs = d.select(
-        "doc_id",
-        shingles(F.col("text"), 3).alias("sh"),
-        shingles(F.col("text"), 3).alias("tokens"),
-    )
+    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
     # 32 minhashes: min over shingles of xxhash64(shingle, seed)
-    sig = docs.select(
+    sig = toks.select(
         "doc_id",
-        "tokens",
         F.array(
             *[
                 F.array_min(
-                    F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                    F.transform(
+                        F.col("tokens"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                    )
                 )
                 for i in range(N_MINHASH)
             ]
@@ -210,7 +211,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = N_MINHASH // N_BANDS
     banded = sig.select(
         "doc_id",
-        "tokens",
         F.posexplode(
             F.array(
                 *[
@@ -234,10 +234,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.tokens").alias("toks_a"),
-            F.col("b.tokens").alias("toks_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact rerank: token arrays join back by doc_id (narrow keys only
+    # went through the band shuffle; |cands| ≪ |banded| post-dedup)
+    cands = cands.join(
+        toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a")),
+        "doc_a",
+    ).join(
+        toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
@@ -333,27 +340,93 @@ COSINE_TAU = 0.40
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= τ.
+    """Embedding-cosine near-dup: all pairs with cosine ≥ τ — EXACT,
+    with ball-cover cluster blocking instead of an all-pairs scan.
 
-    Exact formulation (oracle-checkable): block the self-join by
-    hyperplane-LSH band so only same-bucket pairs are scored, then
-    keep pairs over τ — identical output to the naive O(n²) scan
-    because candidates are exactly re-scored and τ-filtered... except
-    LSH can miss pairs; for the ORACLE-CHECKED key we therefore score
-    all pairs via a broadcast self-join (embeddings fit comfortably —
-    the table is the small dim here). The banded variant for corpora
-    that do NOT fit is `sim_knn_lsh`'s plan with a τ-filter instead
-    of top-k.
+    Plan: (1) assign every vector to its nearest of 16 deterministic
+    seed centroids (broadcast argmax — the only nested-loop join is
+    against the 16-row centroid table); (2) compute each cluster's
+    radius r_c = max dist(member, centroid); (3) prune the 16×16
+    centroid-pair table with the triangle bound
+    dist(c_i, c_j) ≤ θ + r_i + r_j where θ = √(2−2τ) (vectors are
+    L2-normalized, so dist = √(2−2·cos)); (4) generate candidates via
+    an EQUI-join on (cluster_a → cluster_b) and exactly re-score +
+    τ-filter. The bound is mathematical, not probabilistic: any pair
+    with cos ≥ τ lies within θ, so its cluster pair always survives
+    pruning — output is identical to the all-pairs oracle at every
+    input, unlike LSH banding (measured recall < 1 on this fixture).
+
+    Scale: centroid count grows ~√n (trained, not stride seeds) and
+    real embedding corpora cluster tightly, so surviving cluster pairs
+    ≪ k² and the equi-join touches a small corpus fraction. Worst case
+    (adversarially uniform vectors — this fixture) degrades to all
+    pairs, but through a distributed shuffle join keyed on cluster
+    ids, never a broadcast nested loop over the corpus.
     """
+    import math
+
+    from pyspark.sql.window import Window
+
     from algebraicdb_spark.operators.similarity import dot
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # same deterministic seed-id scheme as sim_knn_ivf: ≡7 (mod 31),
+    # below 496 → 16 ids present at every SF, no count/limit job
+    seeds = e.filter(
+        (F.col("vec_id") % 31 == 7) & (F.col("vec_id") < 496)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dist = lambda cos_col: F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * cos_col))  # noqa: E731
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "c_id",
+        dot(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "c_id", dist(F.col("c_sim")).alias("c_dist"))
+    )
+    radius = assigned.groupBy("c_id").agg(F.max("c_dist").alias("r"))
+    theta = math.sqrt(2.0 - 2.0 * COSINE_TAU)
+    ca = seeds.select(F.col("c_id").alias("src"), F.col("c_emb").alias("emb_src"))
+    cb = seeds.select(F.col("c_id").alias("dst"), F.col("c_emb").alias("emb_dst"))
+    # directed 16×16 pair table (tiny), ball-cover pruned; the 1e-9
+    # slack absorbs float error in the distance arithmetic
+    cpairs = (
+        ca.crossJoin(cb)
+        .select(
+            "src",
+            "dst",
+            dist(dot(F.col("emb_src"), F.col("emb_dst"))).alias("d_cc"),
+        )
+        .join(radius.select(F.col("c_id").alias("src"), F.col("r").alias("r_src")), "src")
+        .join(radius.select(F.col("c_id").alias("dst"), F.col("r").alias("r_dst")), "dst")
+        .filter(F.col("d_cc") <= theta + F.col("r_src") + F.col("r_dst") + 1e-9)
+        .select("src", "dst")
+    )
+    lhs = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("c_id").alias("src"),
+    )
+    rhs = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("c_id").alias("dst"),
+    )
+    # each unordered pair scored exactly once: its directed cluster
+    # pair (cluster(a) → cluster(b)) appears once, and vec_a < vec_b
+    # kills the mirror — no dropDuplicates pass needed
+    cand = (
+        lhs.join(F.broadcast(cpairs), "src")
+        .join(rhs, "dst")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
     cos = dot(F.col("emb_a"), F.col("emb_b"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        cand.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_TAU)
         .select("vec_a", "vec_b", pround("cosine").alias("cosine"))
     )
@@ -387,6 +460,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
     prev = None
+    converged = False
     for _ in range(MAX_CC_ITERS):
         msgs = both.join(labels, both.src == labels.id).select(
             F.col("dst").alias("id"), "label"
@@ -399,8 +473,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         ).collect()[0]
         cur = (probe.s, probe.n)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the last probe still changed: labels are NOT a fixpoint, and a
+        # silent return would over-retain docs (one component split into
+        # several keep-roots). Surface it loudly instead of guessing.
+        raise RuntimeError(
+            f"connected_components did not converge within {MAX_CC_ITERS} "
+            "iterations — component diameter exceeds the cap; raise "
+            "MAX_CC_ITERS (or switch to large-star/small-star rounds for "
+            "deep chains)"
+        )
     return labels
 
 
@@ -478,11 +563,17 @@ def jaccard_candidate_pairs(
     contributes O(f²) candidate pairs — capping f bounds the join
     output by |shingles|·max_df² instead of worst-case n².
 
-    Capping is SAFE for recall at any τ > 0 worth using: a true
-    near-dup pair shares many shingles, so losing its few corpus-hot
-    ones still leaves shared rare shingles to surface the pair (the
-    Jaccard score itself is then recomputed exactly on the full
-    shingle sets — see test_df_cap_keeps_recall).
+    Recall caveat (the cap is a high-probability guarantee, NOT an
+    absolute one): a true pair is surfaced iff it shares at least one
+    rare (df ≤ max_df) shingle. Near-dup pairs share many shingles, so
+    in practice they always share rare ones — equality with the uncapped
+    result is demonstrated on the fixture (test_df_cap_keeps_recall) —
+    but a pair whose shared shingles are ALL corpus-hot (e.g. two
+    boilerplate-only docs) is silently never generated. If that failure
+    mode matters, route docs whose rare-shingle count falls below a
+    floor through MinHash banding (dedup_minhash_lsh), which has no df
+    dependence; the Jaccard score itself is always recomputed exactly
+    on the full shingle sets for every surfaced candidate.
     """
     toks = docs.select("doc_id", shingles(F.col("text"), n).alias("tokens"))
     exploded = toks.select("doc_id", F.explode("tokens").alias("tok"))

@@ -125,10 +125,10 @@ def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       COUNT(*) AS n_rows,
-      SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_null,
-      SUM(CASE WHEN disc IS NOT NULL THEN 1 ELSE 0 END) AS n_not_null,
-      SUM(CASE WHEN disc IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq_null,
-      SUM(CASE WHEN (disc = 0.05) IS NULL THEN 1 ELSE 0 END) AS n_threevalued_unknown
+      CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(SUM(CASE WHEN disc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null,
+      CAST(SUM(CASE WHEN disc IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+      CAST(SUM(CASE WHEN (disc = 0.05) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_threevalued_unknown
     FROM d
     """,
 )

@@ -140,7 +140,7 @@ register("join_multiway_star", oracle=Q3_ORACLE)(q3_star)
     "join_left_outer",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_order,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_no_order,
            COUNT(o_orderkey) AS n_matched
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     """,
@@ -166,9 +166,9 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT DISTINCT o_custkey AS k FROM orders),
          u AS (SELECT DISTINCT user_id  AS k FROM events)
     SELECT
-      SUM(CASE WHEN c.k IS NOT NULL AND u.k IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
-      SUM(CASE WHEN u.k IS NULL THEN 1 ELSE 0 END) AS n_orders_only,
-      SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS n_events_only
+      CAST(SUM(CASE WHEN c.k IS NOT NULL AND u.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      CAST(SUM(CASE WHEN u.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only,
+      CAST(SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_events_only
     FROM c FULL JOIN u ON c.k = u.k
     """,
 )

@@ -84,13 +84,46 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@register("multimodal_decode_stub")  # rows-only: decode is a stubbed library call
+# The stub decoder is a pure function of the payload bytes, so the
+# oracle can replay it in SQL: fixture texts are ASCII (char offset ==
+# byte offset, asserted when the oracle runs via n_bytes) and ≥ 8
+# bytes, so the first-8-bytes big-endian digest is Σ ascii(c_i)·256^(8−i).
+_DIGEST_SQL = " + ".join(
+    f"CAST(ascii(substring(text, {i}, 1)) AS HUGEINT) * {256 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+_DECODE_ORACLE = f"""
+WITH dec AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         ({_DIGEST_SQL}) AS digest
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_bytes,
+         CAST(64 + digest % 1024 AS INTEGER) AS width,
+         floor(CAST(CAST(digest % 256000 AS BIGINT) / 1000.0 AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_luma
+  FROM dec
+)
+SELECT COUNT(*) AS n_decoded,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       floor(CAST(CAST(SUM(CAST(mean_luma AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_luma,
+       MAX(width) AS max_width
+FROM feat
+"""
+
+
+@register("multimodal_decode_stub", oracle=_DECODE_ORACLE)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extract pipeline over binary payloads.
 
     Plan shape for 100 TB: pure map stage (no shuffle), Arrow-batched
     into the Python workers, output schema fixed up front; a final
-    tiny agg keeps the checked output small.
+    tiny agg keeps the checked output small. The decode body is a
+    deterministic stub (no codec libs in the container), which makes
+    the whole pipeline value-checkable: the oracle replays the digest
+    arithmetic in SQL. avg_luma sums on the exact decimal grid
+    (exact_money_sum-style) so partitioning never shifts the mean.
     """
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
@@ -98,6 +131,9 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.agg(
         F.count(F.lit(1)).alias("n_decoded"),
         F.sum("n_bytes").alias("total_bytes"),
-        pround(F.avg("mean_luma")).alias("avg_luma"),
+        pround(
+            F.sum(F.col("mean_luma").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_luma"),
         F.max("width").alias("max_width"),
     )

@@ -38,17 +38,43 @@ def stratified_sample(events: DataFrame, fractions=None, seed: int = SEED) -> Da
     return events.sampleBy("event_type", fractions or STRATA_FRACTIONS, seed=seed)
 
 
-@register("sample_stratified")  # rows-only: samplers are engine-specific
+@register(
+    "sample_stratified",
+    # property oracle: which rows a Bernoulli sampler keeps is
+    # engine-specific, but the stratum key set, each stratum's exact
+    # total, and the sampling-rate property are not: fraction-1.0
+    # strata must be kept whole, down-sampled strata must land within
+    # ±0.05 of their fraction (≫5σ at every fixture SF, fixed seed)
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_stratum,
+           true AS sample_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sample of events + per-stratum counts, so the
-    (rows-only) check still sees a stable one-row-per-type summary."""
+    """Seeded stratified sample of events, checked as a property:
+    per-stratum exact totals plus an in-plan assertion that the
+    sampler honored each stratum's fraction (exactly for f=1.0,
+    within ±0.05 for down-sampled strata)."""
     e = load_tables(spark, sf_dir)["events"]
-    return (
+    sampled = (
         stratified_sample(e)
         .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("event_id").alias("id_checksum"),
-        )
-        .orderBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_stratum"))
+    frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    n_sampled = F.coalesce(F.col("n_sampled"), F.lit(0))
+    ok = F.when(frac >= 1.0, n_sampled == F.col("n_stratum")).otherwise(
+        F.abs(n_sampled / F.col("n_stratum") - frac) <= 0.05
+    )
+    return totals.join(sampled, "event_type", "left").select(
+        "event_type", "n_stratum", ok.alias("sample_ok")
     )

@@ -218,13 +218,14 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join hits ~nProbe/k of the corpus instead of all of it.
     """
     q, e = _queries_and_corpus(spark, sf_dir)
-    n = e.count()
-    step = max(n // N_CENTROIDS, 1)
-    seeds = (
-        e.filter((F.col("vec_id") % step == 0))
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-    )
+    # 16 deterministic seed ids: vec_id ≡ 7 (mod 31) below 496 — present
+    # at every SF (embeddings always has ≥ 500 rows), independent of
+    # partition/task order, and derived with NO driver-side count/limit
+    # job (an unordered .limit() would pick partition-order-dependent
+    # rows and make recall flaky across runs)
+    seeds = e.filter(
+        (F.col("vec_id") % 31 == 7) & (F.col("vec_id") < 496)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     centroids = _refine_centroids(e, seeds)
 
     def assign(df, emb_col, id_col, keep, n_best):

@@ -46,8 +46,18 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
 }
 
-# Per-session cache: (id(spark), sf_dir) -> {table: DataFrame}
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Per-session cache: (applicationId, sf_dir) -> {table: DataFrame}.
+# applicationId (not id(spark)): a stopped session's address can be
+# reused by a new session, which would then receive DataFrames bound
+# to the dead SparkContext.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"id:{id(spark)}"  # context already stopped / mocked
 
 
 def ensure_confs(spark: SparkSession) -> None:
@@ -70,7 +80,7 @@ def ensure_confs(spark: SparkSession) -> None:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register all fixture tables as temp views; cached per session."""
-    cache_key = (id(spark), sf_dir.rstrip("/"))
+    cache_key = (_session_key(spark), sf_dir.rstrip("/"))
     if cache_key in _CACHE:
         return _CACHE[cache_key]
     ensure_confs(spark)

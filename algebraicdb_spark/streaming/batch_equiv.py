@@ -152,11 +152,21 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-@register("stream_late_data")  # rows-only: watermark semantics are stream-side
+@register(
+    "stream_late_data",
+    oracle="""
+    WITH h AS (SELECT MAX(epoch_ns(ts)) - 3600000000000 AS wm FROM events)
+    SELECT CAST(SUM(CASE WHEN epoch_ns(ts) <  wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN epoch_ns(ts) >= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+    FROM events, h
+    """,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of late-row accounting: rows older than
     (max ts − 1 h) would be dropped by a 1 h watermark at end-of-stream.
-    The true streaming drop is asserted in tests/test_streaming.py."""
+    The batch analog is fully deterministic (nanosecond arithmetic on
+    both engines), so it is hash-checked; the true streaming drop is
+    asserted in tests/test_streaming.py."""
     e = load_tables(spark, sf_dir)["events"]
     horizon = e.agg(
         (F.max("ts_ns") - F.lit(3600 * 1_000_000_000)).alias("wm")

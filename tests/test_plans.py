@@ -64,6 +64,41 @@ def test_lsh_keys_never_cartesian(spark, sf_dir, qs):
         assert "BroadcastNestedLoopJoin" not in plan, key
 
 
+def test_embedding_cosine_not_allpairs(spark, sf_dir, qs):
+    """Ball-cover blocking: the only nested-loop joins may involve the
+    16-row centroid table — never corpus-vs-corpus (the r1 plan was a
+    broadcast all-pairs self-join, O(n²) at any cluster size). The
+    pair generation itself must be an equi-join on cluster keys."""
+    plan = plan_of(qs["dedup_embedding_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "vec_a" not in line and "vec_b" not in line, line
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+
+
+def test_minhash_band_shuffle_is_narrow(spark, sf_dir, qs):
+    """The band-bucket self-join must not carry the token arrays —
+    only (doc_id, band_idx, band_hash) rides that exchange; tokens
+    re-join by doc_id after candidate dedup."""
+    lines = plan_of(qs["dedup_minhash_lsh"](spark, sf_dir)).splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" in line and "band_idx" in line:
+            # the Generate feeding the band exchange lists its retained
+            # passthrough columns — tokens# there means the wide arrays
+            # ride the shuffle (the r1 shape this test pins against)
+            child = lines[i + 1]
+            assert "Generate posexplode" in child
+            assert "tokens#" not in child, child
+            checked += 1
+    assert checked >= 2  # both sides of the band self-join
+
+
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir, qs):
     """Brute-force kNN: the (10-row) query side broadcasts; the corpus
     streams. A CartesianProduct would mean both sides shuffle-explode."""

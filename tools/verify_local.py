@@ -63,8 +63,12 @@ def value_hash(cols, rows):
 def type_family(t: str) -> str:
     t = str(t).lower()
     for fam, names in {
-        "int": ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+        # hugeint is deliberately NOT in the int family: Spark has no
+        # int128, and the driver's value hash distinguishes it (the r1
+        # SUM(CASE) failures) — an oracle emitting HUGEINT must fail here
+        "int": ("tinyint", "smallint", "int", "integer", "bigint",
                 "utinyint", "usmallint", "uinteger", "ubigint", "long", "short"),
+        "hugeint": ("hugeint",),
         "float": ("float", "real", "double"),
         "decimal": ("decimal", "numeric"),
         "bool": ("boolean", "bool"),
