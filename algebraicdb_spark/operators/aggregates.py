@@ -503,3 +503,42 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("lo"),
         F.max(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("hi"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    # property oracle (like agg_approx_distinct): the t-digest/KLL-style
+    # sketch value is engine-specific, but the exact quantiles and the
+    # bounded-error property are not — those are hash-checked, with the
+    # sketch still computed in-plan on the Spark side
+    oracle="""
+    SELECT event_type,
+           floor(CAST(quantile_cont(value, 0.5) AS DOUBLE) * 10000 + 0.5) / 10000 AS p50_exact,
+           floor(CAST(quantile_cont(value, 0.95) AS DOUBLE) * 10000 + 0.5) / 10000 AS p95_exact,
+           true AS p50_ok,
+           true AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles: approx_percentile at accuracy 10000 is
+    the 100 TB path (mergeable constant-memory sketch, no global sort);
+    the exact interpolated quantile rides along only to hash-check the
+    ≤5% bounded-error property in-plan."""
+    e = load_tables(spark, sf_dir)["events"]
+    g = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("ap"),
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.95)).alias("e95"),
+    )
+    ok = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= F.abs(exact) * 0.05 + F.lit(0.01)
+    )
+    return g.select(
+        "event_type",
+        pround("e50").alias("p50_exact"),
+        pround("e95").alias("p95_exact"),
+        ok(F.col("ap")[0], F.col("e50")).alias("p50_ok"),
+        ok(F.col("ap")[1], F.col("e95")).alias("p95_ok"),
+    )

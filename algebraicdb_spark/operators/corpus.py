@@ -1,0 +1,251 @@
+"""Corpus-hygiene operators beyond SURVEY §2.10: benchmark
+contamination detection, intra-document repetition scoring, and
+chunk-level boilerplate dedup.
+
+These are the three corpus gates an LLM-training pipeline runs that
+§2.10's doc-level dedup does not cover:
+  - contamination: n-gram overlap of every training doc against a
+    held-out benchmark set (here: the ``src0`` slice of `documents`
+    stands in for the benchmark corpus). The benchmark gram set is
+    tiny relative to the corpus at any scale — eval suites are MBs,
+    corpora are TBs — so it broadcasts and the check stays map-side.
+  - repetition: per-doc duplicate n-gram fraction (the Gopher/C4
+    "repetitious text" gate). Pure per-row expression work: no
+    shuffle at all, whole-stage codegen end to end.
+  - chunk dedup: fixed-width token chunks hashed corpus-wide; docs
+    whose chunks recur elsewhere are boilerplate-heavy. One shuffle
+    on (chunk-hash) for the occurrence count, reusable by the join
+    back (same key) — the standard boilerplate-removal shape when a
+    suffix array is too expensive.
+
+All three are deterministic built-in-function plans with full SQL
+twins — value-hash-checked against DuckDB like every relational key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.functions.rounding import pround, pround_sql
+from algebraicdb_spark.operators.dedup import canonical_text, shingles
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+BENCH_SOURCE = "src0"  # fixture stand-in for the benchmark corpus
+CONTAM_N = 3  # gram width (real decontamination runs 8-13; fixture docs are short)
+CONTAM_TAU = 0.10
+
+# DuckDB twin of dedup.shingles / gram_multiset: word n-grams of the
+# canonical text. {dist} lets the caller choose multiset vs distinct.
+_GRAMS_SQL = """
+  {dist}(list_filter(
+    list_transform(range(1, greatest(len(r) - {n}, 0) + 2),
+                   i -> CASE WHEN i + {n1} <= len(r)
+                             THEN array_to_string(r[i:i + {n1}], ' ') END),
+    x -> x IS NOT NULL))
+"""
+
+
+def grams_sql(n: int, distinct: bool) -> str:
+    return _GRAMS_SQL.format(n=n, n1=n - 1, dist="list_distinct" if distinct else "")
+
+
+def gram_multiset(toks, n: int):
+    """Word n-grams of a token array, duplicates kept (Spark side)."""
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(
+                i + n <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {grams_sql(CONTAM_N, distinct=True)} AS grams
+      FROM (SELECT doc_id, source,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+            FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS g FROM t WHERE source = '{BENCH_SOURCE}'
+    ), doc_grams AS (
+      SELECT doc_id, unnest(grams) AS g FROM t WHERE source <> '{BENCH_SOURCE}'
+    ), hits AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM doc_grams d LEFT JOIN bench b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           {pround_sql('CAST(n_hit AS DOUBLE) / n_grams')} AS contam_ratio,
+           CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= {CONTAM_TAU}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM hits
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word n-grams that appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark gram set is distinct-aggregated once
+    and broadcast (eval suites stay small no matter how big the
+    corpus gets); the per-doc side is an explode + map-side hash
+    lookup + one (doc_id) aggregate — no corpus-sized shuffle key
+    ever carries gram text beyond the explode itself.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    doc_grams = d.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.explode(shingles(F.col("text"), CONTAM_N)).alias("g")
+    )
+    bench = (
+        d.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(shingles(F.col("text"), CONTAM_N)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_grams")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        pround(ratio).alias("contam_ratio"),
+        F.when(ratio >= CONTAM_TAU, 1).otherwise(0).alias("contaminated"),
+    )
+
+
+REPEAT_TAU = 0.10
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {grams_sql(2, distinct=False)} AS bi,
+             {grams_sql(3, distinct=False)} AS tri
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+            FROM documents WHERE doc_id % 6 = 0)
+    )
+    SELECT doc_id,
+           len(bi) AS n_bigrams,
+           {pround_sql('CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)')}
+             AS dup_bigram_ratio,
+           {pround_sql('CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)')}
+             AS dup_trigram_ratio,
+           CASE WHEN CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                     >= {REPEAT_TAU}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition (Gopher-style duplicate n-gram fraction):
+    1 − distinct/total over word bigrams and trigrams, plus the gate
+    flag. Pure projection — zero shuffles, fully codegen'd."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(canonical_text(F.col("text")), " ")
+    bi, tri = gram_multiset(toks, 2), gram_multiset(toks, 3)
+    dup = lambda g: (  # noqa: E731
+        (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g)
+    )
+    return d.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        F.size(bi).alias("n_bigrams"),
+        pround(dup(bi)).alias("dup_bigram_ratio"),
+        pround(dup(tri)).alias("dup_trigram_ratio"),
+        F.when(dup(bi) >= REPEAT_TAU, 1).otherwise(0).alias("repetitive"),
+    )
+
+
+CHUNK_TOKENS = 10
+BOILER_TAU = 0.5
+
+
+@register(
+    "dedup_chunk",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(floor((len(r) - 1) / {CHUNK_TOKENS}) AS BIGINT) + 1),
+               i -> md5(array_to_string(
+                      r[i * {CHUNK_TOKENS} + 1:i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                      ' ')))) AS ch
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+            FROM documents)
+    ), occ AS (
+      SELECT ch, COUNT(*) AS n_occ FROM c GROUP BY ch
+    ), per_doc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM c JOIN occ USING (ch)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_shared,
+           {pround_sql('CAST(n_shared AS DOUBLE) / n_chunks')} AS shared_ratio,
+           CASE WHEN CAST(n_shared AS DOUBLE) / n_chunks >= {BOILER_TAU}
+                THEN 1 ELSE 0 END AS boilerplate_heavy
+    FROM per_doc
+    """,
+)
+def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate detection: hash fixed 10-token chunks,
+    count corpus-wide occurrences, flag docs whose chunks mostly recur
+    elsewhere.
+
+    Scale shape: explode → groupBy(chunk-hash) → join back on the SAME
+    key (the exchange is reused, AQE handles hot chunks) → per-doc
+    aggregate. Chunk text never rides a shuffle — only its md5. This
+    is the sub-document dedup tier between doc-level exact dedup and
+    a full suffix-array pass.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(canonical_text(F.col("text")), " ")
+    n_chunks = ((F.size(toks) - 1) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ").cast(
+                "binary"
+            )
+        ),
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("ch"))
+    occ = c.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        c.join(occ, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int")).alias("n_shared"),
+        )
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        pround(ratio).alias("shared_ratio"),
+        F.when(ratio >= BOILER_TAU, 1).otherwise(0).alias("boilerplate_heavy"),
+    )

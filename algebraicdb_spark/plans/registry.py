@@ -49,6 +49,8 @@ _QUERY_MODULES = (
     "algebraicdb_spark.functions.udfs",
     "algebraicdb_spark.operators.pipeline",
     "algebraicdb_spark.operators.sampling",
+    "algebraicdb_spark.operators.corpus",
+    "algebraicdb_spark.operators.analytics",
 )
 
 
@@ -153,6 +155,13 @@ _CHECK_PRIORITY = (
     "subquery_correlated",
     "join_skew_salted",
     "skyline_pareto",
+    # round-2 additions (never driver-checked, after the r1 backlog)
+    "contamination_ngram",
+    "text_repetition",
+    "dedup_chunk",
+    "retention_cohort",
+    "time_resample_ohlc",
+    "agg_approx_percentile",
 )
 
 
