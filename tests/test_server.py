@@ -1,0 +1,90 @@
+"""Client/server protocol: a real socket round-trip of the dialect
+lifecycle (SURVEY §3.1) — CREATE TYPE → CREATE TABLE → INSERT with
+constructors → pattern SELECT → mutation → relational query on the
+attached fixture catalog — plus error shapes and page truncation."""
+
+import json
+import socket
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    from algebraicdb_spark.engine import Engine
+    from algebraicdb_spark.server import EngineServer
+
+    srv = EngineServer(Engine(spark, sf_dir=sf_dir), port=0, max_rows=50)
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def client(server):
+    from algebraicdb_spark.server import Client
+
+    with Client(port=server.port) as c:
+        yield c
+
+
+def test_full_dialect_lifecycle_over_socket(client):
+    client.sql(
+        "CREATE TYPE Shape = Circle(r: Double) | Rect(w: Double, h: Double) | Point"
+    )
+    client.sql("CREATE TABLE shapes (id: Integer, s: Shape)")
+    client.sql(
+        "INSERT INTO shapes VALUES (1, Circle(2.0)), (2, Rect(3.0, 4.0)), (3, Point)"
+    )
+    resp = client.sql("SELECT id, r FROM shapes WHERE s: Circle(r)")
+    assert resp["columns"] == ["id", "r"]
+    assert resp["rows"] == [[1, 2.0]]
+    client.sql("DELETE FROM shapes WHERE s: Point")
+    resp = client.sql("SELECT COUNT(*) AS n FROM shapes")
+    assert resp["rows"] == [[2]]
+    client.sql("DROP TABLE shapes")
+
+
+def test_fixture_catalog_visible_through_server(client):
+    resp = client.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    assert resp["columns"] == ["o_orderstatus", "n"]
+    assert resp["row_count"] >= 1
+    assert all(isinstance(r[1], int) for r in resp["rows"])
+
+
+def test_truncation_flag_and_bounded_page(client):
+    resp = client.sql("SELECT o_orderkey FROM orders")
+    assert resp["truncated"] is True
+    assert resp["row_count"] == 50  # server max_rows, not the table size
+
+
+def test_error_response_is_typed_not_fatal(client):
+    with pytest.raises(RuntimeError) as exc:
+        client.sql("SELECT * FROM definitely_not_a_table")
+    assert "definitely_not_a_table" in str(exc.value)
+    # connection survives an error: next statement still works
+    assert client.sql("SELECT 1 AS one")["rows"] == [[1]]
+
+
+def test_protocol_is_plain_newline_json(server):
+    # raw socket, no Client helper: the protocol is the contract
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as s:
+        s.sendall(b'{"id": 42, "sql": "SELECT 2 + 2 AS four"}\n')
+        f = s.makefile("rb")
+        resp = json.loads(f.readline())
+    assert resp["id"] == 42 and resp["ok"] and resp["rows"] == [[4]]
+
+
+def test_concurrent_clients_share_catalog(server):
+    from algebraicdb_spark.server import Client
+
+    with Client(port=server.port) as a, Client(port=server.port) as b:
+        a.sql("CREATE TYPE Ev2 = On | Off")
+        a.sql("CREATE TABLE switches (id: Integer, st: Ev2)")
+        a.sql("INSERT INTO switches VALUES (1, On), (2, Off), (3, On)")
+        # second connection sees the first one's DDL (server owns the catalog)
+        resp = b.sql("SELECT COUNT(*) AS n FROM switches WHERE st: On")
+        assert resp["rows"] == [[2]]
+        a.sql("DROP TABLE switches")

@@ -47,6 +47,11 @@ KEYS = [
     "text_tokenize_tf",
     "dedup_exact",
     "sim_knn_cosine",
+    "dedup_minhash_lsh",
+    "dedup_chunk",
+    "contamination_ngram",
+    "retention_cohort",
+    "time_resample_ohlc",
 ]
 
 
