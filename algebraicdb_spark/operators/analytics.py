@@ -127,3 +127,177 @@ def time_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_money_sum(F.col("value"), 2).alias("volume"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           floor(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000 AS p
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (event_type → next event_type) steps plus the
+    per-source transition probability.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (ties
+    broken by the (ts_ns, event_id) total order both engines share),
+    then a 25-cell aggregate — the matrix is |event_type|² regardless
+    of corpus size. The probability normalizer is a window over those
+    few cells, not over events. This is the standard sessionized
+    clickstream model (user journeys, anomaly detection) expressed
+    without a self-join.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wnorm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type", "n",
+        (F.floor(F.col("n").cast("double") / F.sum("n").over(wnorm) * 10000
+                 + F.lit(0.5)) / 10000).alias("p"),
+    )
+
+
+@register(
+    "win_count_distinct_sliding",
+    oracle="""
+    WITH triples AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT event_type, day FROM triples
+    )
+    SELECT d.event_type,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT t.user_id) AS users_7d
+    FROM days d
+    JOIN triples t
+      ON t.event_type = d.event_type
+     AND t.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.event_type, d.day
+    """,
+)
+def win_count_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) — the
+    sliding COUNT(DISTINCT) OVER that neither Spark nor DuckDB
+    supports as a window function.
+
+    Rewrite: dedup events to (type, day, user) triples FIRST (the big
+    cardinality drop happens before anything slides), then a bounded
+    range join — each triple matches ≤7 observed days — and an exact
+    distinct count per bucket. Amplification is capped at the window
+    length, so the plan is linear in distinct-triples × 7 at any
+    scale; the naive per-row collect_set window would instead carry a
+    user-set per EVENT. Day joins stay on (event_type) partitions.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    triples = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    days = triples.select("event_type", F.col("day").alias("d")).distinct()
+    joined = days.join(
+        triples,
+        (triples["event_type"] == days["event_type"])
+        & (F.col("day") >= F.date_sub(F.col("d"), 6))
+        & (F.col("day") <= F.col("d")),
+    ).select(days["event_type"], "d", "user_id")
+    return (
+        joined.groupBy("event_type", "d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+        )
+    )
+
+
+@register(
+    "attribution_first_last",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch,
+             epoch_ns(ts) AS tns, event_id
+      FROM events
+    ), attributed AS (
+      SELECT user_id, event_type, value,
+             first_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM marked
+    )
+    SELECT COALESCE(first_touch, 'none') AS first_touch,
+           COALESCE(last_touch, 'none') AS last_touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: every purchase is
+    credited to the user's earliest and most recent non-purchase
+    event types strictly before it ((ts_ns, event_id) total order;
+    'none' when the purchase is the user's first event).
+
+    Scale shape: one user_id shuffle serves both IGNORE-NULLS
+    windows (same partition + order), then a |types|²-cell rollup
+    with exact-decimal value sums. The classic self-join formulation
+    ("events × prior events per purchase") is quadratic per user;
+    the running first/last carries O(1) state per row instead.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    marked = e.select(
+        "user_id", "event_type", "value", "ts_ns", "event_id",
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        .alias("touch"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = marked.select(
+        "event_type", "value",
+        F.first("touch", ignorenulls=True).over(frame).alias("first_touch"),
+        F.last("touch", ignorenulls=True).over(frame).alias("last_touch"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_money_sum(F.col("value"), 2).alias("attributed_value"),
+        )
+    )

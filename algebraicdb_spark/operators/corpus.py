@@ -146,11 +146,14 @@ REPEAT_TAU = 0.10
     )
     SELECT doc_id,
            len(bi) AS n_bigrams,
-           {pround_sql('CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)')}
-             AS dup_bigram_ratio,
-           {pround_sql('CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)')}
-             AS dup_trigram_ratio,
-           CASE WHEN CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
+           CASE WHEN len(bi) > 0 THEN
+             {pround_sql('CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)')}
+           END AS dup_bigram_ratio,
+           CASE WHEN len(tri) > 0 THEN
+             {pround_sql('CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)')}
+           END AS dup_trigram_ratio,
+           CASE WHEN len(bi) > 0
+                 AND CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
                      >= {REPEAT_TAU}
                 THEN 1 ELSE 0 END AS repetitive
     FROM g
@@ -163,8 +166,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     toks = F.split(canonical_text(F.col("text")), " ")
     bi, tri = gram_multiset(toks, 2), gram_multiset(toks, 3)
-    dup = lambda g: (  # noqa: E731
-        (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g)
+    # zero-guard: a <2-token doc has no bigrams; 0/0 is NULL in Spark
+    # but NaN in DuckDB, so both sides must short-circuit to NULL
+    dup = lambda g: F.when(  # noqa: E731
+        F.size(g) > 0,
+        (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g),
     )
     return d.filter(F.col("doc_id") % 6 == 0).select(
         "doc_id",

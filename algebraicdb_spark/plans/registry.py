@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.sampling",
     "algebraicdb_spark.operators.corpus",
     "algebraicdb_spark.operators.analytics",
+    "algebraicdb_spark.operators.tpch",
 )
 
 
@@ -66,72 +67,16 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Exposure order for the driver's correctness gate. The round-1 driver
-# checked exactly the first 50 keys in dict order, leaving the entire
-# ADT / streaming / dedup / similarity / text / UDF surface without a
-# hard correctness row — so keys the driver has never checked (plus the
-# six whose oracles were fixed after round 1) come first; the 46 keys
-# already hash-verified by the driver in round 1 trail. Keys missing
-# from this list fall back to registration order after it.
+# Exposure order for the driver's correctness gate. The driver checks
+# the first 50 keys in dict order each round: round 1 covered the
+# relational head, round 2 the reordered ADT/streaming/dedup/text/UDF
+# backlog. Round 3 leads with the 29 keys neither round has checked
+# (§2.7 scalars, set ops, subqueries, round-2 additions), then this
+# round's new keys, so every registered key has a hard correctness row
+# by the end of round 3. Keys missing from this list fall back to
+# registration order after it.
 _CHECK_PRIORITY = (
-    # oracle fixes from round 1 (uncast SUM(CASE) → HUGEINT): re-check
-    "filter_null_semantics",
-    "join_left_outer",
-    "join_full_outer",
-    "date_arith_interval",
-    "map_ops",
-    "adt_match_agg",
-    # §2.8 ADT — the reference's signature feature, never driver-checked
-    "adt_construct",
-    "adt_match_filter",
-    "adt_match_project",
-    "adt_nested",
-    "adt_dialect_match",
-    "adt_dialect_match_expr",
-    "adt_dialect_table",
-    # §2.9 streaming batch-equivalents
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_late_data",
-    "stream_stateful_custom",
-    "stream_stream_join",
-    "time_gap_fill",
-    "funnel_conversion",
-    # §2.10 dedup / similarity / text / multimodal
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "sim_knn_cosine",
-    "sim_knn_lsh",
-    "sim_knn_ivf",
-    "text_tokenize_tf",
-    "text_tfidf",
-    "text_ngrams",
-    "text_lang_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    # §2.11 UDF/UDAF/UDTF surface
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "udtf_python",
-    # end-to-end pipeline + newly property-oracled keys
-    "pipeline_clean_corpus",
-    "agg_approx_distinct",
-    "sample_stratified",
-    # §2.7 scalar suite (never driver-checked)
+    # --- never driver-checked (r1 stopped at 50, r2 priority list) ---
     "str_basics",
     "str_split_regexp",
     "str_distance",
@@ -145,7 +90,6 @@ _CHECK_PRIORITY = (
     "json_extract",
     "struct_ops",
     "json_from_schema",
-    # §2.6 set ops + §2.12 extras (never driver-checked)
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
@@ -155,13 +99,37 @@ _CHECK_PRIORITY = (
     "subquery_correlated",
     "join_skew_salted",
     "skyline_pareto",
-    # round-2 additions (never driver-checked, after the r1 backlog)
+    "sample_stratified",
     "contamination_ngram",
     "text_repetition",
     "dedup_chunk",
     "retention_cohort",
     "time_resample_ohlc",
     "agg_approx_percentile",
+    # --- round-3 additions: TPC-H composite suite ---
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    # --- round-3 additions: event analytics / windows ---
+    "event_transition_matrix",
+    "win_count_distinct_sliding",
+    "attribution_first_last",
+    # --- keys touched this round: re-check ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_knn_lsh",
+    "sim_knn_ivf",
 )
 
 

@@ -17,9 +17,11 @@ result sets back. This module provides that workflow Spark-first:
     one Catalyst job producing ≤ max_rows+1 rows, not a driver OOM.
     ``truncated: true`` tells the client there was more.
 
-Concurrency: a threading TCP server; Spark actions are thread-safe on
-one session, and Engine's statement handlers take a lock so dialect
-DDL/mutations (which swap temp views) stay atomic per statement.
+Concurrency: a threading TCP server. Read statements run lock-free in
+parallel (Spark actions are thread-safe on one session — the JVM
+scheduler interleaves jobs); only dialect DDL/mutations (which swap
+temp views) serialize under the server lock so catalog changes stay
+atomic per statement.
 
 Usage:
     python -m algebraicdb_spark.server --port 7433 --sf-dir /root/testdata/sf0.01
@@ -41,21 +43,48 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import math
 import socket
 import socketserver
 import threading
 import time
 from typing import Any
 
+from algebraicdb_spark import dialect
 from algebraicdb_spark.engine import Engine
 from algebraicdb_spark.functions.adt import AdtError, AdtType
 
 DEFAULT_PORT = 7433
 DEFAULT_MAX_ROWS = 1000
 
+# Statements that mutate the shared catalog (temp-view swaps / type
+# declarations). Only these need the server lock; plain reads are
+# thread-safe Spark actions and run concurrently.
+_MUTATION_RES = (
+    dialect._CREATE_TYPE_RE,
+    dialect._CTAS_RE,
+    dialect._CREATE_TABLE_RE,
+    dialect._INSERT_RE,
+    dialect._DELETE_RE,
+    dialect._UPDATE_RE,
+    dialect._DROP_TABLE_RE,
+)
+
+
+def _is_mutation(sql: str) -> bool:
+    return any(r.match(sql) for r in _MUTATION_RES)
+
 
 def _json_safe(v: Any) -> Any:
-    """Map a collected Spark value onto the JSON wire types."""
+    """Map a collected Spark value onto the JSON wire types.
+
+    Non-finite doubles become ``null``: bare ``NaN``/``Infinity``
+    tokens are invalid JSON per RFC 8259 and break strict parsers in
+    other languages (responses are also serialized with
+    ``allow_nan=False`` so any leak fails loudly server-side).
+    """
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
@@ -109,21 +138,28 @@ class _Handler(socketserver.StreamRequestHandler):
             line = raw.decode("utf-8").strip()
             if not line:
                 continue
+            req: Any = {}
             try:
                 req = json.loads(line)
                 sql = req["sql"]
+                if not isinstance(sql, str):
+                    raise TypeError(f'"sql" must be a string, got {type(sql).__name__}')
             except Exception as exc:
                 resp = {"ok": False, "error": f"bad request: {exc}",
                         "error_type": "protocol"}
-                req = {}
             else:
                 if sql.strip().rstrip(";").lower() in (".quit", "quit", "exit"):
                     break
-                with server.lock:  # one statement at a time per catalog
+                if _is_mutation(sql):
+                    # catalog mutations (temp-view swaps) are atomic
+                    # per statement; reads run lock-free concurrently
+                    with server.lock:
+                        resp = execute(server.engine, sql, server.max_rows)
+                else:
                     resp = execute(server.engine, sql, server.max_rows)
-            if "id" in req:
+            if isinstance(req, dict) and "id" in req:
                 resp["id"] = req["id"]
-            self.wfile.write((json.dumps(resp) + "\n").encode("utf-8"))
+            self.wfile.write((json.dumps(resp, allow_nan=False) + "\n").encode("utf-8"))
             self.wfile.flush()
 
 

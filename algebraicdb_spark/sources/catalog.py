@@ -46,18 +46,21 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
 }
 
-# Per-session cache: (applicationId, sf_dir) -> {table: DataFrame}.
-# applicationId (not id(spark)): a stopped session's address can be
-# reused by a new session, which would then receive DataFrames bound
-# to the dead SparkContext.
-_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# Per-session cache: ((applicationId, id(spark)), sf_dir) -> {table:
+# DataFrame}. Both components matter: applicationId alone would make
+# two sessions sharing one SparkContext (spark.newSession()) hit the
+# same entry, so the second session would never get its temp views
+# registered; id(spark) alone could alias a new session allocated at a
+# dead session's address, handing out DataFrames bound to a stopped
+# SparkContext.
+_CACHE: dict[tuple[tuple[str, int], str], dict[str, DataFrame]] = {}
 
 
-def _session_key(spark: SparkSession) -> str:
+def _session_key(spark: SparkSession) -> tuple[str, int]:
     try:
-        return spark.sparkContext.applicationId
+        return (spark.sparkContext.applicationId, id(spark))
     except Exception:
-        return f"id:{id(spark)}"  # context already stopped / mocked
+        return ("<stopped>", id(spark))  # context already stopped / mocked
 
 
 def ensure_confs(spark: SparkSession) -> None:
