@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
@@ -541,4 +542,54 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("e95").alias("p95_exact"),
         ok(F.col("ap")[0], F.col("e50")).alias("p50_ok"),
         ok(F.col("ap")[1], F.col("e95")).alias("p95_ok"),
+    )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: the most frequent order priority per
+    market segment (count argmax, ties broken by priority name so the
+    answer is engine-independent).
+
+    Scale shape: the heavy aggregate shuffles (segment, priority)
+    pairs — bounded by the attribute-domain product, not the row
+    count — and the argmax window runs over those few counted rows.
+    This two-level shape is how exact mode stays cheap at 100 TB;
+    Spark's own `mode()` aggregate has no deterministic tie policy,
+    so the explicit window IS the portable implementation.
+    """
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
     )

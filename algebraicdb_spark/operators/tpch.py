@@ -632,3 +632,107 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"),
              exact_money_sum("c_acctbal").alias("totacctbal"))
     )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST({_REV_SQL} - 0.6 * p_retailprice * l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit, adapted: no partsupp in the fixture, so
+    supply cost is modeled as 60% of p_retailprice (deterministic and
+    on the 4-decimal grid: 2-dp price × 0.6 × integer quantity).
+    Profit per (supplier nation, order year) over '%red%' parts —
+    the name filter prunes part BEFORE the fact joins."""
+    t = load_tables(spark, sf_dir)
+    profit = _revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t["part"].filter(F.col("p_name").like("%red%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(exact_money_sum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority split, adapted: no ship modes in the
+    fixture, so lines bucket into late (>60 days after order) vs
+    ontime, counting urgent/high-priority orders against the rest.
+    The conditional counts are the classic SUM(CASE) map-side shape
+    (BIGINT-cast in the oracle — DuckDB integer SUM yields HUGEINT)."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "late",
+    ).otherwise("ontime")
+    return (
+        t["orders"]
+        .join(t["lineitem"].filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier-count per part attribute, adapted: the fixture has
+    no partsupp, so supplier relationships come from observed lineitem
+    (which supplier actually shipped the part). The brand/size
+    exclusions push into the part scan; COUNT(DISTINCT) shuffles the
+    deduped (attrs, suppkey) pairs only."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"].filter(
+            (F.col("p_brand") != "Brand#2")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -121,15 +121,14 @@ _CHECK_PRIORITY = (
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q16",
     # --- round-3 additions: event analytics / windows ---
     "event_transition_matrix",
     "win_count_distinct_sliding",
     "attribution_first_last",
-    # --- keys touched this round: re-check ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_knn_lsh",
-    "sim_knn_ivf",
+    "agg_mode_exact",
 )
 
 

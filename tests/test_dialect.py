@@ -228,3 +228,14 @@ def test_create_table_as_select(eng):
     rows = eng.table("big_circles").collect()
     assert [(r.id, r.radius) for r in rows] == [(1, 2.0)]
     eng.sql("DROP TABLE big_circles")
+
+
+def test_explain_rewrites_patterns(eng):
+    """EXPLAIN delegates to Spark's native EXPLAIN after pattern
+    rewriting — the plan text shows the compiled tag/field accesses,
+    never the raw `col: Variant` surface syntax."""
+    df = eng.sql("EXPLAIN SELECT id, r FROM shapes WHERE s: Circle(r) AND r > 1.0")
+    assert df.columns == ["plan"]
+    plan = df.collect()[0][0]
+    assert "tag" in plan  # compiled predicate, not surface pattern
+    assert ": Circle" not in plan

@@ -133,3 +133,74 @@ def test_interval_join_is_hash_not_bnlj(spark, sf_dir, qs):
     plan = plan_of(qs["join_interval"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_filters_pushed_single_stage(spark, sf_dir, qs):
+    """Q6 is scan + agg only: every predicate must reach PushedFilters
+    and the plan must contain no join or window at all."""
+    plan = plan_of(qs["tpch_q6"](spark, sf_dir))
+    # the rendered filter list is truncated, so assert on its head
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_tpch_q5_broadcasts_pruned_nations(spark, sf_dir, qs):
+    """The region-filtered nation table broadcasts; fact-side joins
+    are hash joins — never a cartesian/nested loop."""
+    plan = plan_of(qs["tpch_q5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q4_exists_lowered_to_semi_join(spark, sf_dir, qs):
+    plan = plan_of(qs["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir, qs):
+    plan = plan_of(qs["tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the 1-row global-average side broadcasts (never shuffles customer
+    # against it)
+    assert "BroadcastExchange" in plan
+
+
+def test_tpch_q15_no_global_window(spark, sf_dir, qs):
+    """Top-supplier keeps ties via a scalar-max broadcast join; a
+    rank() over an unpartitioned window would funnel all suppliers
+    through one task at cluster scale."""
+    plan = plan_of(qs["tpch_q15"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_tpch_topk_avoid_global_sort(spark, sf_dir, qs):
+    """Ordered LIMITs (Q3/Q10/Q18) plan as TakeOrderedAndProject —
+    per-partition heaps + driver merge, not a global sort."""
+    for key in ("tpch_q3", "tpch_q10", "tpch_q18"):
+        assert "TakeOrderedAndProject" in plan_of(qs[key](spark, sf_dir)), key
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir, qs):
+    """The lead() window is the only event-sized exchange; the
+    probability normalizer windows over the 25-cell matrix, not the
+    events table."""
+    plan = plan_of(qs["event_transition_matrix"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_sliding_distinct_no_cartesian(spark, sf_dir, qs):
+    """The trailing-window range join must stay an equi-join on
+    event_type with a residual day-range filter."""
+    plan = plan_of(qs["win_count_distinct_sliding"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_one_window_shuffle(spark, sf_dir, qs):
+    """Both IGNORE-NULLS windows share one (user_id) sort/partition —
+    the plan must contain exactly one Window node and one user_id
+    exchange."""
+    plan = plan_of(qs["attribution_first_last"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1

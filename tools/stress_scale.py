@@ -52,6 +52,12 @@ KEYS = [
     "contamination_ngram",
     "retention_cohort",
     "time_resample_ohlc",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
+    "event_transition_matrix",
+    "win_count_distinct_sliding",
+    "attribution_first_last",
 ]
 
 
