@@ -593,3 +593,49 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@register(
+    "agg_hll_partial_union",
+    # property oracle (agg_approx_distinct pattern): sketch bytes are
+    # engine-specific, but the exact distinct count and the bounded-
+    # error property of the MERGED estimate are hash-checked
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           true AS estimate_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-(status, month) HLL
+    sketches built independently, then hll_union_agg'd up to status
+    level and estimated — the rollup never re-reads rows.
+
+    This is THE incremental-warehouse pattern at 100 TB: persist
+    small per-partition sketch bytes (a few KB each), merge any
+    grouping of them later (day→month→year, region→global) at sketch
+    cost instead of rescanning the fact table. The in-plan check
+    pins the merged estimate within HLL's error envelope (lgK=12 →
+    ~1.6% standard error; 5% bound here) of the exact count computed
+    alongside.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    partials = o.groupBy(
+        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("mth")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= F.col("exact_customers") * 0.05
+        ).alias("estimate_ok"),
+    )

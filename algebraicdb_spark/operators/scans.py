@@ -108,6 +108,35 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_orc",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer
+    """,
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (Spark's second first-class columnar format).
+
+    Same lossless contract as the CSV/JSON keys: the oracle aggregates
+    the ORIGINAL table, so any writer/reader drift (type mapping,
+    precision, dropped rows) breaks the hash. ORC shares parquet's
+    scan behaviors (column pruning, predicate pushdown) so the same
+    scale properties apply at 100 TB.
+    """
+    customer = load_tables(spark, sf_dir)["customer"]
+    path = _scratch("customer_orc", sf_dir)
+    customer.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("sum_key"),
+        exact_money_sum("c_acctbal").alias("sum_bal"),
+    )
+
+
+@register(
     "sink_parquet_partitioned",
     # oracle = the same one-year slice straight off the source table:
     # proves the partitioned write + pruned read-back lost nothing

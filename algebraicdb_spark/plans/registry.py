@@ -129,6 +129,9 @@ _CHECK_PRIORITY = (
     "win_count_distinct_sliding",
     "attribution_first_last",
     "agg_mode_exact",
+    # 51st+: overflow — picked up by the round-4 window
+    "source_orc",
+    "agg_hll_partial_union",
 )
 
 

@@ -239,3 +239,13 @@ def test_explain_rewrites_patterns(eng):
     plan = df.collect()[0][0]
     assert "tag" in plan  # compiled predicate, not surface pattern
     assert ": Circle" not in plan
+
+
+def test_show_tables_and_describe_pass_through(eng):
+    """Catalog introspection (SHOW TABLES / DESCRIBE) delegates to
+    Spark SQL — the REPL user sees dialect-created tables alongside
+    the fixture views."""
+    names = {r.tableName for r in eng.sql("SHOW TABLES").collect()}
+    assert "shapes" in names
+    cols = {r[0] for r in eng.sql("DESCRIBE shapes").collect()}
+    assert "id" in cols and "s" in cols
