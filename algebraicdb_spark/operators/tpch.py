@@ -736,3 +736,224 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH shippers AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN shippers ON p_partkey = l_partkey
+      JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_size = 15
+    )
+    SELECT floor(CAST(s_acctbal AS DOUBLE) * 10000 + 0.5) / 10000 AS acctbal,
+           s_name, n_name, p_partkey, p_name
+    FROM cand WHERE s_acctbal = min_bal
+    ORDER BY acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier, adapted: no partsupp, so the
+    part↔supplier relation is the observed distinct (partkey, suppkey)
+    pairs from lineitem and "cost" is the supplier's account balance.
+    The correlated min-cost subquery decorrelates to a per-part window
+    over the EUROPE-filtered candidates (ties kept, like the original).
+    No arithmetic anywhere — the equality on min is float-safe."""
+    t = load_tables(spark, sf_dir)
+    shippers = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(
+            t["nation"]
+            .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cand = (
+        t["part"].filter(F.col("p_size") == 15)
+        .join(shippers, F.col("p_partkey") == F.col("l_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(pround("s_acctbal").alias("acctbal"),
+                "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("acctbal").desc(), F.col("n_name").asc(),
+                 F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH joined AS (
+      SELECT l_partkey, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ), v AS (
+      SELECT l_partkey AS partkey,
+             {exact_money_sum_sql(_REV_SQL)} AS part_value
+      FROM joined GROUP BY l_partkey
+    )
+    SELECT partkey, part_value
+    FROM v
+    WHERE part_value > (SELECT {exact_money_sum_sql(_REV_SQL)}
+                               * 2.0 / COUNT(DISTINCT l_partkey)
+                        FROM joined)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock, adapted: "stock value" is the observed
+    shipped revenue of NATION_3's suppliers per part; parts above 2x
+    the MEAN per-part share qualify (the original's FRACTION/SF knob,
+    derived from the part count so it self-scales at every SF). BOTH
+    the per-part values and the global threshold are exact-decimal
+    sums over the SAME base rows — never a re-sum of per-part
+    doubles, whose float summation order could flip membership right
+    at the threshold."""
+    t = load_tables(spark, sf_dir)
+    n3 = (
+        t["nation"].filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    per_part = joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        exact_money_sum(_revenue()).alias("part_value")
+    )
+    threshold = joined.agg(
+        (exact_money_sum(_revenue()) * 2.0
+         / F.countDistinct("l_partkey")).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH red AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01'
+                           THEN l_quantity END) AS DOUBLE) AS qty_97,
+             SUM(l_quantity) AS qty_all
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name, qty_97, qty_all
+    FROM red
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty_97 > 0.2 * qty_all
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess-inventory suppliers, adapted: no partsupp availqty,
+    so the flag is "1997 shipped over 20% of all-time shipped" for
+    '%red%' parts. Quantities are integral doubles, so the sums are
+    exact in any order and the 0.2 comparison can't flap. A supplier
+    with no 1997 red lines gets NULL qty_97 — filtered identically by
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    red = (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey"),
+              F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, F.col("l_quantity"))).alias("qty_97"),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty_97") > 0.2 * F.col("qty_all"))
+    )
+    return (
+        red.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "qty_97", "qty_all")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             bool_or(l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting, adapted to the ship-lag
+    lateness proxy: count, per supplier, the multi-supplier orders
+    where they were the ONLY late shipper.
+
+    The original's EXISTS/NOT EXISTS pair over lineitem decorrelates
+    to two aggregates on the (orderkey, suppkey) grain — one shuffle
+    on orderkey serves both, then the supplier rollup; no correlated
+    re-scan of the fact table."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_supp = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

@@ -132,6 +132,10 @@ _CHECK_PRIORITY = (
     # 51st+: overflow — picked up by the round-4 window
     "source_orc",
     "agg_hll_partial_union",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
 )
 
 
