@@ -429,3 +429,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("clean").rlike(r"@|\+?\d{3}-").cast("bigint")).alias("n_leaks"),
         F.sum(F.length("clean")).alias("clean_chars"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    # per-token surprise is grid-floored at 1e-6 BEFORE the sum: ln()
+    # may differ by an ulp between the JVM and libm, but a 1e-14
+    # discrepancy cannot move a 1e-6 floor, and the decimal-grid sum
+    # is then exact and order-independent on both engines
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS big_n FROM toks
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(floor(-ln(CAST(v.n AS DOUBLE) / big_n) * 1000000) / 1000000
+                  AS DECIMAL(18,6)) AS surprise
+      FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           floor(CAST(CAST(SUM(surprise) AS DOUBLE) / COUNT(*) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality score (CCNet-style): per-doc mean token
+    surprise −ln p(token) under the corpus's own unigram distribution.
+    Low = templated/common text, high = rare-token soup — both tails
+    are what a perplexity filter prunes before LLM training.
+
+    Scale shape: one vocab aggregate (token → count, the classic
+    zipf-bounded table), a broadcast-friendly equi-join back onto the
+    token stream, one per-doc aggregate. The corpus total rides a
+    1-row broadcast. At 100 TB the vocab table shards by token hash
+    and AQE picks the join side; nothing is quadratic and no Python
+    runs per token.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("big_n"))
+    surprise = F.floor(
+        -F.log(F.col("n").cast("double") / F.col("big_n")) * 1000000
+    ) / 1000000
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", surprise.cast("decimal(18,6)").alias("surprise"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        pround(
+            F.sum("surprise").cast("double") / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    )

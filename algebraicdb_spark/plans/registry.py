@@ -136,6 +136,7 @@ _CHECK_PRIORITY = (
     "tpch_q11",
     "tpch_q20",
     "tpch_q21",
+    "text_unigram_logprob",
 )
 
 
