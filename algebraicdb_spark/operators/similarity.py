@@ -253,3 +253,45 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
+
+
+RANGE_TAU = 0.25
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 50 = 0 AND vec_id < 500
+    )
+    SELECT q_id, e.vec_id,
+           floor(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[]))
+                 * 10000 + 0.5) / 10000 AS sim
+    FROM q JOIN embeddings e ON e.vec_id != q.q_id
+    WHERE list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector with
+    cosine ≥ τ of each query — the other half of a vector-search API
+    (kNN answers "closest k", range answers "all within τ", the shape
+    retrieval dedup and near-duplicate blocklists need).
+
+    Scale shape: identical to sim_knn_cosine — broadcast the tiny
+    query side, stream the corpus once with a JVM fold dot product,
+    no window at all (the τ filter replaces ranking, so this is pure
+    map-side work after the broadcast). The LSH/IVF banded variants
+    (sim_knn_lsh / sim_knn_ivf) cut the scanned fraction the same way
+    for radius queries — bucket probes are threshold-agnostic.
+    """
+    q, e = _queries_and_corpus(spark, sf_dir)
+    sim = dot(F.col("q_emb"), F.col("embedding"))
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("_s"))
+        .filter(F.col("_s") >= RANGE_TAU)
+        .select("q_id", "vec_id", pround("_s").alias("sim"))
+    )

@@ -137,6 +137,7 @@ _CHECK_PRIORITY = (
     "tpch_q20",
     "tpch_q21",
     "text_unigram_logprob",
+    "sim_range_search",
 )
 
 
