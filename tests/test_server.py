@@ -88,3 +88,57 @@ def test_concurrent_clients_share_catalog(server):
         resp = b.sql("SELECT COUNT(*) AS n FROM switches WHERE st: On")
         assert resp["rows"] == [[2]]
         a.sql("DROP TABLE switches")
+
+
+def test_non_string_sql_is_protocol_error_not_fatal(server):
+    """{"sql": 5} must produce a typed protocol error AND leave the
+    handler alive for the next request on the same connection."""
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as s:
+        f = s.makefile("rwb")
+        f.write(b'{"id": 1, "sql": 5}\n')
+        f.flush()
+        resp = json.loads(f.readline())
+        assert resp["ok"] is False
+        assert resp["error_type"] == "protocol"
+        assert resp["id"] == 1
+        # connection survives: a valid follow-up on the SAME socket works
+        f.write(b'{"id": 2, "sql": "SELECT 1 AS one"}\n')
+        f.flush()
+        resp2 = json.loads(f.readline())
+        assert resp2["ok"] is True and resp2["rows"] == [[1]]
+
+
+def test_nan_and_inf_serialize_as_null(client):
+    """Non-finite doubles must reach the wire as strict-JSON null,
+    never bare NaN/Infinity tokens (RFC 8259)."""
+    resp = client.sql(
+        "SELECT CAST('NaN' AS DOUBLE) AS a, CAST('Infinity' AS DOUBLE) AS b, "
+        "CAST(1.5 AS DOUBLE) AS c"
+    )
+    assert resp["rows"] == [[None, None, 1.5]]
+
+
+def test_reads_run_concurrently_without_deadlock(server):
+    """Read statements no longer serialize under the catalog lock: N
+    threads issuing SELECTs at once must all complete."""
+    import threading
+
+    from algebraicdb_spark.server import Client
+
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            with Client(port=server.port) as c:
+                r = c.sql(f"SELECT COUNT(*) + {i} AS n FROM orders")
+                results.append(r["rows"][0][0] - i)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(results) == 4 and len(set(results)) == 1
