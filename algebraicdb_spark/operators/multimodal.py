@@ -137,3 +137,82 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_luma"),
         F.max("width").alias("max_width"),
     )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_luma double"
+MAX_FRAMES_SAMPLED = 4
+_LUMA_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+def fake_frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """STUB FRAME SAMPLER — deterministic fake, 1→N rows.
+
+    Real implementation: ffmpeg seeks to k evenly-spaced timestamps
+    and decodes one frame each. Here frame count and per-frame
+    "luma" derive from the payload digest with exact integer
+    arithmetic, so the oracle can replay them. The 1→N Arrow batch
+    expansion (one output row per sampled frame) is the real
+    production shape — this is how video corpora explode into frame
+    tables without a shuffle.
+    """
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_luma": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            digest = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
+            n_frames = 1 + n_bytes % 16
+            k = min(MAX_FRAMES_SAMPLED, n_frames)
+            for j in range(k):
+                idx = (j * n_frames) // k
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_luma"].append(
+                    ((digest + idx * _LUMA_MIX) % 256_000) / 1000.0
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "frame_luma": pround_np(pd.Series(rows["frame_luma"], dtype="float64")),
+            }
+        )
+
+
+_FRAME_ORACLE = f"""
+WITH dec AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         ({_DIGEST_SQL}) AS digest
+  FROM documents
+), frames AS (
+  SELECT doc_id, digest,
+         1 + n_bytes % 16 AS n_frames,
+         LEAST({MAX_FRAMES_SAMPLED}, 1 + n_bytes % 16) AS k
+  FROM dec
+), sampled AS (
+  SELECT doc_id,
+         CAST((j * n_frames) // k AS INTEGER) AS frame_idx,
+         floor(CAST(CAST((digest + ((j * n_frames) // k) * {_LUMA_MIX})
+                         % 256000 AS BIGINT) / 1000.0 AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS frame_luma
+  FROM frames, LATERAL unnest(range(0, k)) AS t(j)
+)
+SELECT doc_id, frame_idx, frame_luma FROM sampled
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling from binary video-like payloads:
+    mapInPandas expands each payload into ≤4 (doc_id, frame_idx,
+    feature) rows — the 1→N decode-explode every video pipeline
+    needs, still a pure map stage (no shuffle; frame rows land in the
+    same partition as their source payload). Frame count and the
+    per-frame feature come from the deterministic stub decoder, which
+    the oracle replays with exact integer arithmetic in SQL.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(fake_frame_sample_batch, schema=FRAMES_SCHEMA)

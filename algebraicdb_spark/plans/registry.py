@@ -138,6 +138,7 @@ _CHECK_PRIORITY = (
     "tpch_q21",
     "text_unigram_logprob",
     "sim_range_search",
+    "multimodal_frame_sample",
 )
 
 
