@@ -216,3 +216,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return payloads.mapInPandas(fake_frame_sample_batch, schema=FRAMES_SCHEMA)
+
+
+RESIZE_TARGET = 256  # fit-within box, aspect preserved
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             ({_DIGEST_SQL}) AS digest
+      FROM documents
+    ), dims AS (
+      SELECT doc_id,
+             CAST(64 + digest % 1024 AS INTEGER) AS width,
+             CAST(64 + (digest // 1024) % 1024 AS INTEGER) AS height
+      FROM dec
+    )
+    SELECT doc_id, width, height,
+           CAST((width * {RESIZE_TARGET}) // GREATEST(width, height) AS INTEGER)
+             AS out_w,
+           CAST((height * {RESIZE_TARGET}) // GREATEST(width, height) AS INTEGER)
+             AS out_h
+    FROM dims
+    WHERE GREATEST(width, height) > {RESIZE_TARGET}
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image-like payloads: decode dimensions (via
+    the stub decoder's digest arithmetic), then fit-within-256 output
+    dimensions with aspect preserved, only for images that need
+    shrinking.
+
+    The geometry is JVM-side integer expressions — the actual pixel
+    resample would live inside the mapInPandas decode pass
+    (``fake_decode_batch``) at production; what Spark plans, schedules
+    and checks here (dimension math, the needs-resize predicate, pure
+    map stage) is identical either way.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    payload = F.col("text").cast("binary")
+    digest = F.conv(F.substring(F.hex(payload), 1, 16), 16, 10).cast("decimal(38,0)")
+    # only the low 20 digest bits matter; bring them into exact LONG
+    # range first (decimal division would ROUND, not floor)
+    low20 = (digest % F.lit(1048576)).cast("long")
+    width = (F.lit(64) + (low20 % 1024)).cast("int")
+    height = (F.lit(64) + F.floor(low20 / 1024) % 1024).cast("int")
+    dims = d.select("doc_id", width.alias("width"), height.alias("height"))
+    longest = F.greatest("width", "height")
+    return (
+        dims.filter(longest > RESIZE_TARGET)
+        .select(
+            "doc_id", "width", "height",
+            F.floor(F.col("width") * RESIZE_TARGET / longest).cast("int").alias("out_w"),
+            F.floor(F.col("height") * RESIZE_TARGET / longest).cast("int").alias("out_h"),
+        )
+    )

@@ -139,6 +139,7 @@ _CHECK_PRIORITY = (
     "text_unigram_logprob",
     "sim_range_search",
     "multimodal_frame_sample",
+    "multimodal_resize_stub",
 )
 
 
