@@ -91,12 +91,19 @@ class Engine:
 
     # -- statements ----------------------------------------------------
 
-    def sql(self, stmt: str) -> DataFrame | AdtType | None:
+    def sql(
+        self, stmt: str, params: dict | list | None = None
+    ) -> DataFrame | AdtType | None:
         """Run one statement of the dialect.
 
         CREATE TYPE / CREATE TABLE / INSERT / DROP TABLE are engine
         statements (Spark lacks them); anything else is pattern-
-        rewritten and handed to Spark SQL.
+        rewritten and handed to Spark SQL. ``params`` binds named
+        (``:name`` + dict) or positional (``?`` + list) parameters on
+        the read path via Spark's parameterized SQL — values never
+        enter the statement text, so clients need no quoting/escaping
+        (the server exposes this as the request's ``params`` field).
+        Engine statements (DDL/mutations) don't accept params.
         """
         if _CREATE_TYPE_RE.match(stmt):
             adt = parse_create_type(stmt)
@@ -120,6 +127,8 @@ class Engine:
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
             return None
+        if params is not None:
+            return self.spark.sql(self._rewrite(stmt), args=params)
         return self.spark.sql(self._rewrite(stmt))
 
     def _create_table_stmt(self, stmt: str) -> None:

@@ -333,6 +333,80 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    # same union+window formulation in SQL: DuckDB's ASOF JOIN has no
+    # tolerance clause either, so both engines express the pandas
+    # merge_asof(tolerance=...) semantics identically
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, NULL::BIGINT AS event_id, 0 AS kind
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_ns(ts), event_id, 1
+      FROM events WHERE event_type = 'purchase'
+    ), tagged AS (
+      SELECT *,
+             last_value(CASE WHEN kind = 0 THEN ts_ns END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_ns, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts_ns
+      FROM merged
+    )
+    SELECT event_id, user_id,
+           ts_ns // 1000 AS purchase_ts_us,
+           CASE WHEN ts_ns - last_click_ts_ns <= 3600000000000
+                THEN last_click_ts_ns // 1000 END AS click_ts_us,
+           CASE WHEN ts_ns - last_click_ts_ns <= 3600000000000
+                THEN 1 ELSE 0 END AS matched
+    FROM tagged WHERE kind = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance (pandas ``merge_asof``'s
+    ``tolerance=`` semantics): each purchase matches the user's latest
+    click only if it happened within the preceding hour; staler
+    matches become NULL instead of silently attributing ancient
+    clicks.
+
+    Same single (user, time) shuffle as ``join_asof`` — the tolerance
+    is a post-window projection, so bounding the lookback costs
+    nothing extra. At 100 TB the tolerance ALSO bounds what streaming
+    state would have to remember (cf. stream_stream_join's band).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns"), F.col("event_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts_ns"))
+    tol_ns = 3_600_000_000_000  # 1 hour
+    within = (F.col("ts_ns") - F.col("last_click_ts_ns")) <= tol_ns
+    return (
+        merged.withColumn(
+            "last_click_ts_ns", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns DIV 1000").alias("purchase_ts_us"),
+            F.when(within, F.expr("last_click_ts_ns DIV 1000")).alias("click_ts_us"),
+            F.when(within, 1).otherwise(0).alias("matched"),
+        )
+    )
+
+
+@register(
     "join_interval",
     oracle="""
     SELECT s.event_id AS signup_id,

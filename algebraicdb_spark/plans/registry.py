@@ -140,6 +140,7 @@ _CHECK_PRIORITY = (
     "sim_range_search",
     "multimodal_frame_sample",
     "multimodal_resize_stub",
+    "join_asof_tolerance",
 )
 
 

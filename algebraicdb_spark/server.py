@@ -7,7 +7,11 @@ result sets back. This module provides that workflow Spark-first:
   - the SERVER owns one SparkSession + Engine (catalog, declared ADTs,
     view-lowered mutations) and executes statements via Catalyst;
   - the WIRE PROTOCOL is newline-delimited JSON — one request object
-    per line in (``{"id": 1, "sql": "SELECT …"}``), one response object
+    per line in (``{"id": 1, "sql": "SELECT …"}``, optionally with
+    ``"params"``: a dict binding ``:name`` markers or a list binding
+    ``?`` markers through Spark's parameterized SQL — values never
+    enter the statement text, so clients need no quoting/escaping),
+    one response object
     per line out (columns, rows, truncation flag, timing, or a typed
     error). Line-oriented JSON keeps the protocol transcript-readable
     and language-agnostic without inventing a binary format;
@@ -100,11 +104,16 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
-def execute(engine: Engine, sql: str, max_rows: int = DEFAULT_MAX_ROWS) -> dict:
+def execute(
+    engine: Engine,
+    sql: str,
+    max_rows: int = DEFAULT_MAX_ROWS,
+    params: dict | list | None = None,
+) -> dict:
     """Run one statement, return the wire-shape response dict."""
     t0 = time.monotonic()
     try:
-        result = engine.sql(sql)
+        result = engine.sql(sql, params=params)
     except AdtError as exc:
         return {"ok": False, "error": str(exc), "error_type": "dialect"}
     except Exception as exc:  # Spark analysis/runtime errors
@@ -144,6 +153,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 sql = req["sql"]
                 if not isinstance(sql, str):
                     raise TypeError(f'"sql" must be a string, got {type(sql).__name__}')
+                params = req.get("params")
+                if params is not None and not isinstance(params, (dict, list)):
+                    raise TypeError(
+                        f'"params" must be an object or array, got {type(params).__name__}'
+                    )
             except Exception as exc:
                 resp = {"ok": False, "error": f"bad request: {exc}",
                         "error_type": "protocol"}
@@ -154,9 +168,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     # catalog mutations (temp-view swaps) are atomic
                     # per statement; reads run lock-free concurrently
                     with server.lock:
-                        resp = execute(server.engine, sql, server.max_rows)
+                        resp = execute(server.engine, sql, server.max_rows,
+                                       params=params)
                 else:
-                    resp = execute(server.engine, sql, server.max_rows)
+                    resp = execute(server.engine, sql, server.max_rows,
+                                   params=params)
             if isinstance(req, dict) and "id" in req:
                 resp["id"] = req["id"]
             self.wfile.write((json.dumps(resp, allow_nan=False) + "\n").encode("utf-8"))
@@ -198,9 +214,11 @@ class Client:
         self._rfile = self._sock.makefile("rb")
         self._next_id = 0
 
-    def sql(self, statement: str) -> dict:
+    def sql(self, statement: str, params: dict | list | None = None) -> dict:
         self._next_id += 1
-        req = {"id": self._next_id, "sql": statement}
+        req: dict = {"id": self._next_id, "sql": statement}
+        if params is not None:
+            req["params"] = params
         self._sock.sendall((json.dumps(req) + "\n").encode("utf-8"))
         line = self._rfile.readline()
         if not line:

@@ -142,3 +142,36 @@ def test_reads_run_concurrently_without_deadlock(server):
         t.join(timeout=120)
     assert not errors
     assert len(results) == 4 and len(set(results)) == 1
+
+
+def test_parameterized_query_named_and_positional(client):
+    """Parameterized SQL: values bind via Spark's parameter API, never
+    via string interpolation — quoting-hostile values round-trip."""
+    resp = client.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :st",
+        params={"st": "O"},
+    )
+    assert resp["rows"][0][0] > 0
+    resp_pos = client.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = ?",
+        params=["O"],
+    )
+    assert resp_pos["rows"] == resp["rows"]
+    # a value full of SQL metacharacters binds safely and matches nothing
+    hostile = "'; DROP TABLE orders; --"
+    resp2 = client.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :st",
+        params={"st": hostile},
+    )
+    assert resp2["rows"] == [[0]]
+    # catalog unharmed
+    assert client.sql("SELECT COUNT(*) AS n FROM orders")["rows"][0][0] > 0
+
+
+def test_bad_params_type_is_protocol_error(server):
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as s:
+        f = s.makefile("rwb")
+        f.write(b'{"id": 9, "sql": "SELECT 1", "params": "oops"}\n')
+        f.flush()
+        resp = json.loads(f.readline())
+        assert resp["ok"] is False and resp["error_type"] == "protocol"
