@@ -193,3 +193,41 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.first("event_id").over(w).alias("first_id"),
     ).distinct()
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(CAST(median(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS med_5
+    FROM events
+    WHERE user_id % 25 = 0
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving median of `value` per user — robust
+    smoothing that a mean window can't give (single outliers don't
+    move it). Spark evaluates the exact `percentile` aggregate over
+    the sliding frame; DuckDB's `median` interpolates identically on
+    the same frame, and the frame itself is deterministic under the
+    (ts_ns, event_id) total order.
+
+    Scale shape: one (user_id) shuffle; the frame holds ≤5 values per
+    row so the per-row aggregate is O(frame), never O(partition). For
+    very wide frames at 100 TB switch to approx_percentile over the
+    frame (mergeable sketch) — same plan, bounded state.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.filter(F.col("user_id") % 25 == 0).select(
+        "event_id",
+        "user_id",
+        pround(F.expr("percentile(value, 0.5)").over(w)).alias("med_5"),
+    )

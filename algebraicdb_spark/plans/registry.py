@@ -141,6 +141,7 @@ _CHECK_PRIORITY = (
     "multimodal_frame_sample",
     "multimodal_resize_stub",
     "join_asof_tolerance",
+    "win_moving_median",
 )
 
 
