@@ -261,3 +261,48 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    # oracle = the same aggregate straight off the source table for
+    # the dim-selected years; proves the pruned scan lost nothing
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1998)
+    GROUP BY 1
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is year-partitioned
+    parquet, the filter lives on a DIM table only — Catalyst injects a
+    runtime `dynamicpruning` subquery on the fact's partition column,
+    so only the dim-selected year directories are read.
+
+    This is the core 100 TB star-join scan behavior: the partition
+    filter is NOT known statically (it comes out of the dim join), yet
+    the fact scan still skips every non-matching partition.
+    `tests/test_plans.py::test_dynamic_partition_pruning_in_plan`
+    pins the dynamicpruning expression in the executed plan.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = _scratch("orders_dpp", sf_dir)
+    orders.withColumn("yr", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("yr").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(yr, 1 if yr in (1996, 1998) else 0) for yr in range(1995, 2002)],
+        "yr int, is_target int",
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("is_target") == 1)), "yr")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_money_sum("o_totalprice").alias("sum_price"),
+        )
+    )

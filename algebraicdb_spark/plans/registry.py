@@ -142,6 +142,7 @@ _CHECK_PRIORITY = (
     "multimodal_resize_stub",
     "join_asof_tolerance",
     "win_moving_median",
+    "scan_dynamic_partition_pruning",
 )
 
 

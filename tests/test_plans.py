@@ -204,3 +204,13 @@ def test_attribution_one_window_shuffle(spark, sf_dir, qs):
     exchange."""
     plan = plan_of(qs["attribution_first_last"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir, qs):
+    """The year-partitioned fact scan must carry a runtime
+    dynamicpruning filter derived from the dim join — the partition
+    list is not statically known, yet only matching directories are
+    read."""
+    df = qs["scan_dynamic_partition_pruning"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower()
