@@ -142,6 +142,25 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection): each nation key appears
+    min(count_a, count_b) times — the multiplicity-aware twin of
+    ``set_intersect``. Planned as a count-matching hash semi shape,
+    shuffling only the projected key column."""
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.intersectAll(b)
+
+
+@register(
     "set_except",
     oracle="""
     SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -143,6 +143,7 @@ _CHECK_PRIORITY = (
     "join_asof_tolerance",
     "win_moving_median",
     "scan_dynamic_partition_pruning",
+    "set_intersect_all",
 )
 
 
