@@ -41,7 +41,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
+from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant, field_ddl
 
 # Reference primitive names (algebraicdb's types) → Spark DDL.
 _TYPE_MAP = {
@@ -77,12 +77,15 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
-# `col: Variant` / `col: Variant(b, _, …)` — an identifier, a single
-# colon (:: cast never matches: the variant side can't start with ':'),
-# an Uppercase variant name, optional binding list.
-_PATTERN_RE = re.compile(
+# `col: Variant` head — an identifier, a single colon (:: cast never
+# matches: the variant side can't start with ':'), an Uppercase
+# variant name. The optional binding list follows as a balanced-paren
+# span scanned manually (regex can't nest — `Wrap(Circle(r))`).
+_PATTERN_HEAD_RE = re.compile(
     r"(?<![:\w.])(?P<col>[A-Za-z_]\w*)\s*:\s*(?P<variant>[A-Z]\w*)"
-    r"(?:\s*\((?P<binds>[^()]*)\))?"
+)
+_NESTED_PAT_RE = re.compile(
+    r"^(?P<variant>[A-Z]\w*)\s*(?:\((?P<binds>.*)\))?$", re.DOTALL
 )
 
 
@@ -91,16 +94,28 @@ def spark_type(name: str) -> str:
     return _TYPE_MAP.get(name.strip().lower(), name.strip().lower())
 
 
-def parse_create_type(stmt: str) -> AdtType:
+def parse_create_type(
+    stmt: str, types: Mapping[str, AdtType] | None = None
+) -> AdtType:
     """Parse ``CREATE TYPE T = A(x: T1) | B(T2, T3) | C``.
 
     Named fields (``x: Double``) and the reference's positional form
     (``Circle(Double)``) both work; positional payloads get tuple-style
     field names ``_1, _2, …`` (bindings are positional either way).
+    A field type naming a PREVIOUSLY DECLARED ADT (via ``types``)
+    makes that field the nested tagged-struct encoding — sum types
+    compose (``CREATE TYPE Obj = Wrap(inner: Shape) | Empty``).
     """
     m = _CREATE_TYPE_RE.match(stmt)
     if not m:
         raise AdtError(f"not a CREATE TYPE statement: {stmt!r}")
+
+    def resolve(type_name: str):
+        type_name = type_name.strip()
+        if types and type_name in types:
+            return types[type_name]
+        return spark_type(type_name)
+
     variants = []
     for part in m.group("body").split("|"):
         vm = _VARIANT_RE.match(part.strip())
@@ -113,9 +128,9 @@ def parse_create_type(stmt: str) -> AdtType:
                 if colon:
                     if not ftype.strip():
                         raise AdtError(f"variant field needs a type: {f.strip()!r}")
-                    fields.append((fname.strip(), spark_type(ftype)))
+                    fields.append((fname.strip(), resolve(ftype)))
                 else:
-                    fields.append((f"_{i + 1}", spark_type(fname)))
+                    fields.append((f"_{i + 1}", resolve(fname)))
         variants.append(Variant(vm.group("name"), fields))
     return AdtType(m.group("name"), variants)
 
@@ -222,7 +237,7 @@ def _value_expr(raw: str, typ: str | AdtType, types: Mapping[str, AdtType]) -> s
         for v in typ.variants:
             if v.name == variant.name and v.fields:
                 inner = ", ".join(
-                    f"CAST({_value_expr(a, t, types)} AS {t}) AS {f}"
+                    f"CAST({_value_expr(a, t, types)} AS {field_ddl(t)}) AS {f}"
                     for a, (f, t) in zip(args, v.fields)
                 )
                 parts.append(f"struct({inner}) AS {v.slot}")
@@ -315,20 +330,25 @@ def rewrite_patterns(
     masked, saved = _mask_strings(sql)
     bindings: dict[str, str] = {}
 
-    def _rewrite(m: re.Match) -> str:
-        col, vname = m.group("col"), m.group("variant")
-        adt = adt_columns.get(col)
-        if adt is None:
+    def _bind(name: str, access: str) -> None:
+        if known_columns and name in known_columns:
             raise AdtError(
-                f"pattern on {col!r}: not a known ADT column "
-                f"(have {sorted(adt_columns)})"
+                f"binding {name!r} shadows a real column — rename the binding"
             )
+        if name in bindings:
+            raise AdtError(f"binding {name!r} bound twice in one statement")
+        bindings[name] = access
+
+    def _compile(access: str, adt: AdtType, vname: str, binds_src: str | None) -> list[str]:
+        """One pattern (possibly nested) → list of tag conjuncts;
+        bindings accumulate as payload accesses."""
         if vname not in adt.tags:
             raise AdtError(f"{adt.name} has no variant {vname!r}")
         variant = adt._by_name[vname]
+        conds = [f"{access}.tag = '{vname}'"]
         binds = [
             b.strip()
-            for b in (m.group("binds") or "").split(",")
+            for b in _split_top_level(binds_src or "", ",")
             if b.strip()
         ]
         if binds and len(binds) != len(variant.fields):
@@ -336,19 +356,64 @@ def rewrite_patterns(
                 f"{adt.name}.{vname} has {len(variant.fields)} field(s), "
                 f"pattern binds {len(binds)}"
             )
-        for b, (fname, _t) in zip(binds, variant.fields):
+        for b, (fname, ftype) in zip(binds, variant.fields):
             if b == "_":
                 continue
-            if known_columns and b in known_columns:
-                raise AdtError(
-                    f"binding {b!r} shadows a real column — rename the binding"
+            sub_access = f"{access}.{variant.slot}.{fname}"
+            nm = _NESTED_PAT_RE.match(b)
+            if nm and isinstance(ftype, AdtType) and nm.group("variant") in ftype.tags:
+                # nested pattern on an ADT-typed field: recurse
+                conds.extend(
+                    _compile(sub_access, ftype, nm.group("variant"), nm.group("binds"))
                 )
-            if b in bindings:
-                raise AdtError(f"binding {b!r} bound twice in one statement")
-            bindings[b] = f"{col}.{variant.slot}.{fname}"
-        return f"({col}.tag = '{vname}')"
+            elif nm and nm.group("binds") is not None:
+                kind = ftype.name if isinstance(ftype, AdtType) else str(ftype)
+                raise AdtError(
+                    f"nested pattern {b!r} on field {fname!r} of type "
+                    f"{kind} — not a matching ADT variant"
+                )
+            else:
+                _bind(b, sub_access)
+        return conds
 
-    rewritten = _PATTERN_RE.sub(_rewrite, masked)
+    # scan pattern heads left-to-right; a following '(' opens a
+    # balanced binding span (nested patterns make it recursive)
+    pieces: list[str] = []
+    pos = 0
+    for m in _PATTERN_HEAD_RE.finditer(masked):
+        if m.start() < pos:
+            continue  # inside a previously consumed binding span
+        col, vname = m.group("col"), m.group("variant")
+        adt = adt_columns.get(col)
+        if adt is None:
+            raise AdtError(
+                f"pattern on {col!r}: not a known ADT column "
+                f"(have {sorted(adt_columns)})"
+            )
+        end = m.end()
+        binds_src: str | None = None
+        j = end
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        if j < len(masked) and masked[j] == "(":
+            depth = 0
+            for k in range(j, len(masked)):
+                if masked[k] == "(":
+                    depth += 1
+                elif masked[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        binds_src = masked[j + 1 : k]
+                        end = k + 1
+                        break
+            else:
+                raise AdtError(f"unbalanced parentheses in pattern after {col}: {vname}")
+        conds = _compile(col, adt, vname, binds_src)
+        pieces.append(masked[pos : m.start()])
+        pieces.append("(" + " AND ".join(conds) + ")")
+        pos = end
+    pieces.append(masked[pos:])
+    rewritten = "".join(pieces)
     for b, access in bindings.items():
         def _subst(m: re.Match, b=b, access=access) -> str:
             # a binding standing alone as a select-list item keeps its
@@ -365,7 +430,11 @@ def rewrite_patterns(
                 return f"{access} AS {b}"
             return access
 
-        rewritten = re.sub(rf"(?<![\w.]){re.escape(b)}(?![\w.(])", _subst, rewritten)
+        # trailing '.' allowed: a whole-struct binding (ADT-typed
+        # field) is used as `x.tag` / `x.slot.field` — the access
+        # substitutes and the suffix stays. `x(` stays excluded
+        # (function call), `a.x` stays excluded (qualified name).
+        rewritten = re.sub(rf"(?<![\w.]){re.escape(b)}(?![\w(])", _subst, rewritten)
     return _unmask_strings(rewritten, saved)
 
 

@@ -106,7 +106,7 @@ class Engine:
         Engine statements (DDL/mutations) don't accept params.
         """
         if _CREATE_TYPE_RE.match(stmt):
-            adt = parse_create_type(stmt)
+            adt = parse_create_type(stmt, self._types)
             self._types[adt.name] = adt
             return adt
         if _CTAS_RE.match(stmt):

@@ -36,6 +36,13 @@ class AdtMatchError(AdtError):
     """Non-exhaustive or ill-formed pattern match (plan-time error)."""
 
 
+def field_ddl(t) -> str:
+    """Spark DDL of a payload-field type: a plain DDL string, or the
+    tagged-struct encoding when the field is itself an ADT (nested
+    sum types — ``Wrap(inner: Shape)``)."""
+    return t.schema_ddl() if isinstance(t, AdtType) else t
+
+
 class Variant:
     """One constructor of a sum type: a name + typed payload fields."""
 
@@ -43,7 +50,7 @@ class Variant:
         if not name or not name[0].isupper():
             raise AdtError(f"variant names are capitalized: {name!r}")
         self.name = name
-        self.fields = tuple(fields)  # (field_name, spark_type_ddl)
+        self.fields = tuple(fields)  # (field_name, spark_type_ddl | AdtType)
 
     @property
     def slot(self) -> str:
@@ -78,7 +85,7 @@ class AdtType:
             # payload-less variant still gets a (nullable) marker struct
             return F.struct(F.lit(True).alias("_unit"))
         return F.struct(
-            *[values[f].cast(t).alias(f) for f, t in variant.fields]
+            *[values[f].cast(field_ddl(t)).alias(f) for f, t in variant.fields]
         )
 
     def construct(self, variant_name: str, **values: Column) -> Column:
@@ -115,7 +122,7 @@ class AdtType:
     def _slot_ddl(self, variant: Variant) -> str:
         if not variant.fields:
             return "struct<_unit: boolean>"
-        inner = ", ".join(f"{f}: {t}" for f, t in variant.fields)
+        inner = ", ".join(f"{f}: {field_ddl(t)}" for f, t in variant.fields)
         return f"struct<{inner}>"
 
     def schema_ddl(self) -> str:

@@ -249,3 +249,54 @@ def test_show_tables_and_describe_pass_through(eng):
     assert "shapes" in names
     cols = {r[0] for r in eng.sql("DESCRIBE shapes").collect()}
     assert "id" in cols and "s" in cols
+
+
+def test_nested_adt_lifecycle(eng):
+    """Sum types compose: an ADT-typed variant field declares, inserts
+    with nested constructors, and pattern-matches recursively."""
+    eng.sql("CREATE TYPE Obj = Wrap(inner: Shape, label: Text) | Bare")
+    eng.sql("CREATE TABLE objs (id: Integer, o: Obj)")
+    eng.sql(
+        "INSERT INTO objs VALUES "
+        "(1, Wrap(Circle(2.0), 'a')), (2, Wrap(Point, 'b')), "
+        "(3, Bare), (4, Wrap(Rect(1.0, 5.0), 'c'))"
+    )
+    # nested pattern with inner binding
+    rows = eng.sql(
+        "SELECT id, r, lbl FROM objs WHERE o: Wrap(Circle(r), lbl) AND r > 1.0"
+    ).collect()
+    assert [(r.id, r.r, r.lbl) for r in rows] == [(1, 2.0, "a")]
+    # nested payload-less variant + wildcards
+    assert [r.id for r in eng.sql(
+        "SELECT id FROM objs WHERE o: Wrap(Point, _)").collect()] == [2]
+    assert [(r.id, r.w) for r in eng.sql(
+        "SELECT id, w FROM objs WHERE o: Wrap(Rect(w, _), _)").collect()] == [(4, 1.0)]
+    # whole-struct binding: the inner ADT value binds opaquely and
+    # its encoding is addressable (x.tag)
+    rows = eng.sql(
+        "SELECT id, x.tag AS t FROM objs WHERE o: Wrap(x, _) ORDER BY id"
+    ).collect()
+    assert [(r.id, r.t) for r in rows] == [(1, "Circle"), (2, "Point"), (4, "Rect")]
+    eng.sql("DROP TABLE objs")
+
+
+def test_nested_pattern_on_non_adt_field_rejected(eng):
+    eng.sql("CREATE TYPE Holder = Keep(v: Double) | Drop2")
+    eng.sql("CREATE TABLE holders (id: Integer, h: Holder)")
+    eng.sql("INSERT INTO holders VALUES (1, Keep(1.0))")
+    from algebraicdb_spark.functions.adt import AdtError
+
+    with pytest.raises(AdtError, match="not a matching ADT variant"):
+        eng.sql("SELECT id FROM holders WHERE h: Keep(Circle(r))")
+    eng.sql("DROP TABLE holders")
+
+
+def test_nested_arity_error_at_plan_time(eng):
+    eng.sql("CREATE TYPE Obj2 = Wrap2(inner: Shape) | None2")
+    eng.sql("CREATE TABLE objs2 (id: Integer, o: Obj2)")
+    eng.sql("INSERT INTO objs2 VALUES (1, Wrap2(Circle(2.0)))")
+    from algebraicdb_spark.functions.adt import AdtError
+
+    with pytest.raises(AdtError, match="field"):
+        eng.sql("SELECT id FROM objs2 WHERE o: Wrap2(Circle(r, extra))")
+    eng.sql("DROP TABLE objs2")
