@@ -323,3 +323,64 @@ def adt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         pround(F.sum(inner_purchase_value)).alias("some_purchase_value"),
     )
+
+
+@register(
+    "adt_dialect_nested",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS uid,
+           floor(CAST(value AS DOUBLE) * 10000 + 0.5) / 10000 AS amount
+    FROM events
+    WHERE user_id % 3 <> 0
+      AND event_type = 'purchase'
+      AND value > 200.0
+    """,
+)
+def adt_dialect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested sum types through the STATEMENT surface (round 3):
+    ``Entry = Tracked(k: Kind, uid: Integer) | Dropped`` wraps
+    ``Kind = Purchase(amt) | Fault(code) | Engage(t)``; the query
+    pattern ``en: Tracked(Purchase(amt), uid)`` compiles to a
+    conjunction of OUTER and INNER tag tests with bindings on the
+    nested payload accesses — the composed-ADT twin of
+    ``adt_dialect_match``. The oracle states identical semantics on
+    the raw events table, so the nested encoding AND the recursive
+    rewrite are value-hash-checked, not just pytest-pinned.
+    """
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    kind = eng.sql(
+        "CREATE TYPE Kind = Purchase(amt: Double) | Fault(code: Integer)"
+        " | Engage(t: Text)"
+    )
+    entry = eng.sql(
+        "CREATE TYPE Entry = Tracked(k: Kind, uid: Integer) | Dropped"
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    code = F.get_json_object("props", "$.k").cast("int")
+    k = kind.construct_when(
+        [
+            (F.col("event_type") == "purchase", "Purchase", {"amt": F.col("value")}),
+            (F.col("event_type") == "error", "Fault", {"code": code}),
+            (F.lit(True), "Engage", {"t": F.col("event_type")}),
+        ]
+    )
+    en = entry.construct_when(
+        [
+            (F.col("user_id") % 3 != 0, "Tracked",
+             {"k": k, "uid": F.col("user_id")}),
+            (F.lit(True), "Dropped", {}),
+        ]
+    )
+    eng.create_table(
+        "nested_events",
+        ev.select("event_id", en.alias("en")),
+        adt_columns={"en": entry},
+    )
+    return eng.sql(
+        "SELECT event_id, uid, floor(CAST(amt AS DOUBLE) * 10000 + 0.5) / 10000"
+        " AS amount FROM nested_events"
+        " WHERE en: Tracked(Purchase(amt), uid) AND amt > 200.0"
+    )

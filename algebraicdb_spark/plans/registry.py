@@ -144,6 +144,7 @@ _CHECK_PRIORITY = (
     "win_moving_median",
     "scan_dynamic_partition_pruning",
     "set_intersect_all",
+    "adt_dialect_nested",
 )
 
 
