@@ -55,9 +55,13 @@ KEYS = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q18",
+    "tpch_q21",
     "event_transition_matrix",
     "win_count_distinct_sliding",
     "attribution_first_last",
+    "text_unigram_logprob",
+    "join_asof_tolerance",
+    "agg_hll_partial_union",
 ]
 
 
