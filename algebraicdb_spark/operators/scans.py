@@ -306,3 +306,57 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             exact_money_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "source_schema_evolution",
+    # v1 files lack the discount column entirely; the merged read must
+    # surface them as NULL discount (never 0, never dropped) — the
+    # oracle replays the version split straight off the source table
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INTEGER) AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice * 0.1 AS DECIMAL(18,4))
+                    END) AS DOUBLE) AS sum_discount,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_discount
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: half the orders land as v1 files
+    (no ``disc`` column), half as v2 files (with it); a single
+    ``mergeSchema`` read reconciles them — v1 rows surface NULL
+    discounts, totals are unaffected.
+
+    This is the data-lake reality at 100 TB (columns appear over
+    time; rewriting petabytes of old files is not an option). The
+    plan is still plain parquet scans — schema merge happens at
+    footer-read time, per-file pushdown/pruning keep working.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = _scratch("orders_evolving", sf_dir)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.1).alias("disc"),
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/v=1")
+    v2.write.mode("overwrite").parquet(f"{path}/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/v=1", f"{path}/v=2"
+    )
+    return (
+        merged.groupBy((F.col("o_orderkey") % 2).cast("int").alias("version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_money_sum("disc").alias("sum_discount"),
+            F.sum(F.when(F.col("disc").isNull(), 1).otherwise(0))
+            .alias("n_null_discount"),
+        )
+    )

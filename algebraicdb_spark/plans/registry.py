@@ -145,6 +145,7 @@ _CHECK_PRIORITY = (
     "scan_dynamic_partition_pruning",
     "set_intersect_all",
     "adt_dialect_nested",
+    "source_schema_evolution",
 )
 
 
