@@ -64,3 +64,52 @@ def test_insert_pattern_roundtrip(spark, values):
     assert got_t == want_t
     assert got_u == want_u
     eng.sql("DROP TABLE prop_vals")
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.tuples(st.just("WN"), _halves),   # Wrap(N(v))
+            st.tuples(st.just("WU"), st.none()),  # Wrap(U)
+            st.tuples(st.just("D"), st.none()),   # Detached
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_settings
+def test_nested_insert_pattern_roundtrip(spark, values):
+    """Random values written through NESTED constructor literals come
+    back exactly through recursive patterns — and the nested variant
+    partition is exact (every row matches exactly one pattern)."""
+    eng = Engine(spark)
+    eng.sql("CREATE TYPE NVal = N(v: Double) | U")
+    eng.sql("CREATE TYPE Box = Wrap(inner: NVal) | Detached")
+    eng.sql("CREATE TABLE prop_boxes (id: Integer, b: Box)")
+    tuples = []
+    for i, (tag, v) in enumerate(values):
+        if tag == "WN":
+            lit = f"Wrap(N({v!r}))"
+        elif tag == "WU":
+            lit = "Wrap(U)"
+        else:
+            lit = "Detached"
+        tuples.append(f"({i}, {lit})")
+    eng.sql(f"INSERT INTO prop_boxes VALUES {', '.join(tuples)}")
+
+    got_wn = {
+        (r.id, r.v)
+        for r in eng.sql("SELECT id, v FROM prop_boxes WHERE b: Wrap(N(v))").collect()
+    }
+    got_wu = {
+        r.id for r in eng.sql("SELECT id FROM prop_boxes WHERE b: Wrap(U)").collect()
+    }
+    got_d = {
+        r.id for r in eng.sql("SELECT id FROM prop_boxes WHERE b: Detached").collect()
+    }
+    assert got_wn == {(i, v) for i, (t, v) in enumerate(values) if t == "WN"}
+    assert got_wu == {i for i, (t, _) in enumerate(values) if t == "WU"}
+    assert got_d == {i for i, (t, _) in enumerate(values) if t == "D"}
+    # partition: every row matched exactly one of the three patterns
+    assert len(got_wn) + len(got_wu) + len(got_d) == len(values)
+    eng.sql("DROP TABLE prop_boxes")
