@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from algebraicdb_spark.functions.rounding import exact_money_sum
+from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -299,5 +299,87 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             exact_money_sum(F.col("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "event_anomaly_zscore",
+    # stddev is computed from EXACT integer moments (Σx, Σx² of daily
+    # counts) with the identical closed formula on both sides — never
+    # the engines' own stddev accumulators, whose update orders differ
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type, day, n,
+             COUNT(*)  OVER w AS w_cnt,
+             SUM(n)    OVER w AS s1,
+             SUM(n*n)  OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           floor(CAST((n - CAST(s1 AS DOUBLE) / w_cnt) /
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / w_cnt)
+                  / (w_cnt - 1)) AS DOUBLE) * 10000 + 0.5) / 10000 AS z,
+           CASE WHEN abs((n - CAST(s1 AS DOUBLE) / w_cnt) /
+                  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / w_cnt)
+                       / (w_cnt - 1))) > 3.0
+                THEN 1 ELSE 0 END AS anomaly
+    FROM mom
+    WHERE w_cnt >= 7
+      AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / w_cnt) > 0
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count scored
+    against the trailing-14-day mean/stddev; |z| > 3 flags the day.
+
+    Determinism at the hash level: the daily counts are exact
+    integers, so the trailing Σx and Σx² are exact in any order; mean
+    and sample stddev come from the CLOSED formula over those exact
+    moments — identical IEEE arithmetic on both engines — rather than
+    each engine's own streaming stddev accumulator (Welford vs naive
+    differ in final ulps). Scale shape: one (event_type, day)
+    aggregate, then one bounded window over days — days, not events,
+    so the window input is tiny at any corpus size.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    mom = daily.select(
+        "event_type", "day", "n",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("w_cnt")
+    var = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("w_cnt"))
+        / (F.col("w_cnt") - 1)
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        mom.filter(
+            (F.col("w_cnt") >= 7)
+            & ((F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("w_cnt")) > 0)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            pround(z).alias("z"),
+            F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("anomaly"),
         )
     )

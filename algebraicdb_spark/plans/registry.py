@@ -146,6 +146,7 @@ _CHECK_PRIORITY = (
     "set_intersect_all",
     "adt_dialect_nested",
     "source_schema_evolution",
+    "event_anomaly_zscore",
 )
 
 
