@@ -383,3 +383,54 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("anomaly"),
         )
     )
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (order-2 path mining, the
+    sequence-level complement of the order-1 transition matrix):
+    sliding event triples per user under the (ts_ns, event_id) total
+    order, counted corpus-wide.
+
+    Scale shape: the SAME one (user_id) shuffle serves both lead()
+    offsets; the path aggregate is bounded by |event_type|³ cells
+    regardless of corpus size, and the top-10 is a
+    TakeOrderedAndProject over those cells. Real clickstreams swap
+    event_type for page/screen ids — the plan is unchanged, the cell
+    count grows to (pages)³ which is why production systems count
+    paths, not sessions.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )

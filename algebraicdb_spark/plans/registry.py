@@ -147,6 +147,7 @@ _CHECK_PRIORITY = (
     "adt_dialect_nested",
     "source_schema_evolution",
     "event_anomaly_zscore",
+    "event_path_topk",
 )
 
 
