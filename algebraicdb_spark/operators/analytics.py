@@ -434,3 +434,58 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+BUCKET_NS = 90 * 60 * 1_000_000_000  # 90 minutes
+ORIGIN_NS = 1_577_836_800_000_000_000  # 2020-01-01T00:00:00Z
+
+
+@register(
+    "time_bucket_custom",
+    oracle=f"""
+    SELECT event_type,
+           (epoch_ns(ts) - {ORIGIN_NS}) // {BUCKET_NS} AS bucket_idx,
+           CAST(({ORIGIN_NS} + ((epoch_ns(ts) - {ORIGIN_NS}) // {BUCKET_NS})
+                 * {BUCKET_NS}) // 1000000000 AS BIGINT) AS bucket_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket with an ARBITRARY width and
+    origin (90-minute buckets anchored at 2020-01-01): the rollup
+    shape `date_trunc` cannot express, and the reason time-series
+    stores ship a time_bucket(width, ts, origin) primitive.
+
+    Bucketing is exact int64 nanosecond arithmetic (floor division
+    against the origin), so bucket identity can't drift between
+    engines or partitions; values sum on the 2-decimal grid. One
+    (type, bucket) shuffle carrying partial aggregates — identical to
+    any hash rollup at 100 TB, and the bucket index is
+    partition-pruning-friendly if the table is written bucketed.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    # integer DIV throughout: ts_ns-origin exceeds 2^53, so any double
+    # division would round boundary timestamps into the wrong bucket
+    idx = F.expr(f"(ts_ns - {ORIGIN_NS}L) DIV {BUCKET_NS}L")
+    return (
+        e.groupBy(
+            "event_type",
+            idx.alias("bucket_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_money_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "bucket_idx",
+            F.expr(
+                f"({ORIGIN_NS}L + bucket_idx * {BUCKET_NS}L) DIV 1000000000L"
+            ).alias("bucket_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )

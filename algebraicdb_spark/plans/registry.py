@@ -148,6 +148,7 @@ _CHECK_PRIORITY = (
     "source_schema_evolution",
     "event_anomaly_zscore",
     "event_path_topk",
+    "time_bucket_custom",
 )
 
 
