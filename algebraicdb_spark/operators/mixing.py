@@ -1,0 +1,283 @@
+"""Corpus-mixing operators: the report / pack / sample stage of a
+training-data pipeline (SURVEY §2.10 extension family).
+
+After cleaning and dedup, a pretraining pipeline has to answer three
+more questions before tokens hit the trainer, and each is a distinct
+distributed shape:
+
+  - ``corpus_mix_report``: what is the token mix? Per-source token
+    counts, shares, and the cumulative coverage curve. One hash
+    aggregation over the corpus; the share/cumulative windows run on
+    the AGGREGATED grain (|sources| rows, thousands at most at 100 TB),
+    never on the document grain — a single-partition window over a
+    few thousand rows is free, over 10^10 docs it would be the classic
+    global-sort anti-pattern.
+  - ``pack_sequences``: concat-and-chunk sequence packing. Documents
+    are concatenated per source in deterministic (doc_id) order and
+    cut into fixed-capacity token windows; each doc gets the sequence
+    id and offset where its first token lands. This is the standard
+    "pack to context length" step (GPT-style pipelines); the running
+    prefix sum is one window per source partition — a single shuffle
+    on source, linear within partition. At 100 TB the partition key
+    becomes (source, shard) so no single source serializes; the
+    prefix offset per shard is then a tiny second-stage cumsum over
+    the per-shard totals (same two-stage scan shape as Spark's own
+    ``zipWithIndex``).
+  - ``mix_weighted_sample``: deterministic weighted downsampling to a
+    target mix. Each source tier gets a keep-rate; a document is kept
+    iff a multiplicative-Fibonacci spread of its doc_id lands under
+    the rate threshold. Pure map-side predicate — zero shuffles before
+    the per-source report aggregation, reproducible run-to-run and
+    engine-to-engine (the production path would use xxhash64(doc_id)
+    the same way; the 16-bit spread here is the oracle-portable twin
+    since DuckDB lacks xxhash64).
+  - ``embedding_quantize_int8``: per-vector scalar quantization of
+    the embedding column (min/max → 255 levels), reporting per-label
+    reconstruction error. Everything is element-wise higher-order
+    function work inside codegen — the only shuffle is the final
+    per-label aggregation. The squared errors are grid-floored to the
+    1e-14 grid before summation so the cross-engine sum is exact
+    (same trick as text_unigram_logprob, see SKILL gotchas).
+
+All four are deterministic and value-hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.functions.rounding import pround, pround_sql
+from algebraicdb_spark.operators.dedup import canonical_text
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+# DuckDB twin of the whitespace token count over canonical text.
+_TOK_SQL = "len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+
+
+def _tok_count(col):
+    return F.size(F.split(canonical_text(col), " "))
+
+
+@register(
+    "corpus_mix_report",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           {pround_sql('CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()', 6)}
+             AS token_share,
+           {pround_sql('''CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                          / SUM(n_tokens) OVER ()''', 6)} AS cum_share
+    FROM per
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token mix: counts, shares, cumulative coverage curve.
+
+    The corpus-grain work is ONE hash aggregation; shares and the
+    coverage curve are windows over the aggregated |sources| rows
+    (empty partitionBy is safe there — thousands of rows, not docs).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_tok_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("n_tokens").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(w_all)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+        pround(F.sum("n_tokens").over(w_cum).cast("double") / total, 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+SEQ_CAP = 256  # tokens per packed sequence (fixture-sized context window)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOK_SQL} AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_prev // {SEQ_CAP} AS BIGINT) AS seq_id,
+           CAST(cum_prev % {SEQ_CAP} AS BIGINT) AS seq_offset
+    FROM w
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: per source, docs in doc_id order are
+    laid head-to-tail and cut every SEQ_CAP tokens; emit where each
+    doc's first token lands (sequence id + offset).
+
+    One shuffle (partition by source), one in-partition prefix-sum
+    window. Scale path: key by (source, shard) and prefix-offset the
+    shards with a second tiny cumsum over per-shard totals.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            _tok_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum_prev") / SEQ_CAP).cast("long").alias("seq_id"),
+            (F.col("cum_prev") % SEQ_CAP).alias("seq_offset"),
+        )
+    )
+
+
+# Keep-rate tiers in 65536ths: high-quality sources upsampled, tail
+# downsampled — the mix knob a pretraining pipeline actually turns.
+MIX_TIERS_SQL = """CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 52429
+                        WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 32768
+                        ELSE 16384 END"""
+# Multiplicative-Fibonacci spread of doc_id into [0, 65536).
+MIX_HASH_SQL = "(doc_id % 65536) * 40503 % 65536"
+
+
+@register(
+    "mix_weighted_sample",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {MIX_HASH_SQL} < {MIX_TIERS_SQL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           {pround_sql(f'CAST({MIX_TIERS_SQL} AS DOUBLE) / 65536', 6)} AS target_rate,
+           {pround_sql(f'''CAST(SUM(CASE WHEN {MIX_HASH_SQL} < {MIX_TIERS_SQL}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)''', 6)}
+             AS kept_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mix sampling: keep doc iff
+    spread(doc_id) < tier-rate; report target vs achieved per source.
+
+    The keep predicate is pure map-side integer math — no shuffle, no
+    RNG state, bit-identical on every engine and every rerun (the
+    production twin is ``xxhash64(doc_id) % 65536``; the 16-bit
+    multiplicative spread is used here because the oracle engine has
+    no xxhash64). Only the per-source report aggregates.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+    tier = (
+        F.when(src_num < 5, 52429).when(src_num < 10, 32768).otherwise(16384)
+    )
+    h = (F.col("doc_id") % 65536) * 40503 % 65536
+    kept = F.when(h < tier, 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        pround(F.first(tier).cast("double") / 65536, 6).alias("target_rate"),
+        pround(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("kept_rate"),
+    )
+
+
+_Q_LEVELS = 255
+_SQ_GRID = 10**14  # grid-floor squared errors so cross-engine sums are exact
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+             embedding
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             unnest(CASE WHEN mx > mn THEN
+               list_transform(embedding, x ->
+                 CAST(x AS DOUBLE)
+                 - (mn + floor((CAST(x AS DOUBLE) - mn) * {_Q_LEVELS}.0 / (mx - mn) + 0.5)
+                        * ((mx - mn) / {_Q_LEVELS}.0)))
+             ELSE list_transform(embedding, x -> 0.0) END) AS err
+      FROM q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_elems,
+           {pround_sql(f'''CAST(SUM(CAST(floor(err * err * {_SQ_GRID}.0) AS BIGINT))
+                           AS DOUBLE) / {_SQ_GRID}.0 / COUNT(*)''', 12)} AS mse,
+           {pround_sql('MAX(abs(err))', 6)} AS max_abs_err
+    FROM e
+    GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-label
+    reconstruction error (MSE + max abs error).
+
+    Quantize: q_i = round((x_i − mn)·255/(mx − mn)); reconstruct
+    mn + q_i·scale. All element-wise work is JVM higher-order
+    functions over the array — the only shuffle is the final per-label
+    agg. Squared errors are floored onto the 1e-14 grid before the sum
+    so both engines add exact integers (IEEE multiply/floor are
+    bit-identical; only summation ORDER differs across engines, and
+    integer sums don't care).
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    scale = (mx - mn) / _Q_LEVELS
+    err_arr = F.when(
+        mx > mn,
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double")
+            - (mn + F.floor((x.cast("double") - mn) * _Q_LEVELS / (mx - mn) + 0.5) * scale),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0.0)))
+    exploded = e.select("label", F.explode(err_arr).alias("err"))
+    return exploded.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        pround(
+            F.sum(F.floor(F.col("err") * F.col("err") * _SQ_GRID).cast("long")).cast(
+                "double"
+            )
+            / _SQ_GRID
+            / F.count(F.lit(1)),
+            12,
+        ).alias("mse"),
+        pround(F.max(F.abs("err")), 6).alias("max_abs_err"),
+    )

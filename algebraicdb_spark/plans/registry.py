@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.pipeline",
     "algebraicdb_spark.operators.sampling",
     "algebraicdb_spark.operators.corpus",
+    "algebraicdb_spark.operators.mixing",
     "algebraicdb_spark.operators.analytics",
     "algebraicdb_spark.operators.tpch",
 )
