@@ -489,3 +489,89 @@ def time_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 25
+
+
+def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
+             iters: int = PR_ITERS) -> DataFrame:
+    """Distributed PageRank over a weighted edge DataFrame
+    (``src``, ``dst``, ``weight``) → (``node``, ``rank``).
+
+    Each iteration is one join (ranks ⨝ out-normalized edges) + one
+    aggregation on dst — the textbook message-passing round, all
+    DataFrame ops. Dangling mass (nodes with no out-edges) is folded
+    back in-plan via a broadcast 1-row aggregate, NOT a driver
+    collect, so an iteration is a closed Catalyst DAG. Lineage is
+    truncated with ``localCheckpoint`` each round (the CC loop's
+    pattern, dedup.py `_connected_components`) — without it the plan
+    doubles per iteration. At 1000-executor scale the rank/edge join
+    shuffles on src; pre-partitioning edges by src makes every round
+    reuse that layout.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # one action to size the teleport term
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = norm.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+@register("event_pagerank")  # iterative fixpoint — no SQL oracle; pytest
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = per-user
+    consecutive event pairs, weighted by transition count).
+
+    The graph derivation is the transition-matrix shape (one user_id
+    window shuffle, then a |types|² aggregate); the rank loop is the
+    generic distributed ``pagerank`` above. Ranks are pround-ed and
+    totally ordered so output is stable run to run."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    edges = (
+        e.select("user_id", "event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges)
+    return ranks.select(
+        "node", pround(F.col("rank"), 6).alias("rank")
+    ).orderBy(F.desc("rank"), "node")

@@ -255,3 +255,65 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ratio).alias("shared_ratio"),
         F.when(ratio >= BOILER_TAU, 1).otherwise(0).alias("boilerplate_heavy"),
     )
+
+
+MG_CAPACITY = 64  # counters per partition sketch
+MG_TOPK = 10
+
+
+@register("text_heavy_hitters")  # sketch: bounds pytest-checked, no SQL twin
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via a mergeable Misra–Gries
+    sketch: each partition streams its docs through a MG_CAPACITY
+    counter set (Arrow-batched ``mapInPandas``), partials merge with a
+    plain token-sum aggregation, and the top MG_TOPK survive.
+
+    Why a sketch when exact counts are one groupBy away: at 100 TB the
+    vocabulary (URLs, hashes, typos) is billions of keys, so the exact
+    shuffle carries the full vocab; MG carries ≤ capacity rows per
+    partition — shuffle size is executors × capacity, independent of
+    data volume, with the classic deterministic guarantee that any
+    token with true count > N/capacity survives and merged estimates
+    undercount by at most N/capacity (pytest pins both bounds).
+
+    Input is repartitioned by doc_id and sorted within partitions so
+    the stream order — and therefore the sketch content — is
+    deterministic run to run.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+
+    def mg_partial(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < MG_CAPACITY:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for t in counters:
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counters[t]
+        yield pd.DataFrame(
+            {"token": list(counters), "cnt": list(counters.values())}
+        )
+
+    partials = (
+        d.select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(mg_partial, "token string, cnt long")
+    )
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), "token")
+        .limit(MG_TOPK)
+    )

@@ -92,21 +92,22 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_tok_count(F.col("text")).cast("long")).alias("n_tokens"),
     )
-    w_all = Window.partitionBy()
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
     w_cum = (
         Window.partitionBy()
         .orderBy(F.col("n_tokens").desc(), F.col("source"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    total = F.sum("n_tokens").over(w_all)
-    return per.select(
+    return per.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        pround(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
-        pround(F.sum("n_tokens").over(w_cum).cast("double") / total, 6).alias(
-            "cum_share"
+        pround(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "token_share"
         ),
+        pround(
+            F.sum("n_tokens").over(w_cum).cast("double") / F.col("total_tokens"), 6
+        ).alias("cum_share"),
     )
 
 

@@ -54,17 +54,38 @@ def lint(df: DataFrame, max_exchanges: int = 4) -> list[tuple[str, str, str]]:
         )
     # window with empty partition spec: the spec's FIRST argument is an
     # ordering expression ("col ASC/DESC NULLS ...") instead of a bare
-    # partition column
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", optimized):
+    # partition column. Severity depends on the window's INPUT grain:
+    # over raw data it serializes the whole dataset onto one task
+    # (error); over the output of an aggregation the row count is the
+    # group-key cardinality — bounded and data-volume-independent — so
+    # a single-task pass is the cheapest correct plan (warn, so the
+    # author still confirms the key cardinality stays small).
+    for line_no, line in enumerate(optimized.splitlines()):
+        m = re.search(r"windowspecdefinition\(([^)]*)", line)
+        if not m:
+            continue
         first_arg = m.group(1).split(",", 1)[0]
         if re.search(r"\s(ASC|DESC)(\s|$)", first_arg):
-            issues.append(
-                (
-                    ERROR,
-                    "GLOBAL_WINDOW",
-                    "window without partitionBy: entire input sorts on one task",
+            below = "\n".join(optimized.splitlines()[line_no + 1 :])
+            if re.search(r"\bAggregate\b", below):
+                issues.append(
+                    (
+                        WARN,
+                        "GLOBAL_WINDOW_AGG",
+                        "global window over aggregated input: single task, "
+                        "but row count = group-key cardinality (verify it "
+                        "stays bounded at scale)",
+                    )
                 )
-            )
+            else:
+                issues.append(
+                    (
+                        ERROR,
+                        "GLOBAL_WINDOW",
+                        "window without partitionBy: entire input sorts on "
+                        "one task",
+                    )
+                )
             break
     if re.search(r"Exchange SinglePartition(?![\s\S]*TakeOrdered)", physical) and (
         "Sort " in physical

@@ -114,3 +114,31 @@ def test_approx_percentile_property_holds(spark, sf_dir):
     for r in rows:
         assert r["p50_ok"] and r["p95_ok"]
         assert r["p50_exact"] <= r["p95_exact"]
+
+
+def test_heavy_hitters_mg_bounds(spark, sf_dir, tables):
+    from pyspark.sql import functions as F
+
+    from algebraicdb_spark.operators.corpus import (
+        MG_CAPACITY,
+        text_heavy_hitters,
+    )
+
+    got = text_heavy_hitters(spark, sf_dir).collect()
+    assert len(got) == 10
+    true = {
+        r.token: r.n
+        for r in tables["documents"]
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(true.values())
+    slack = n_total / MG_CAPACITY
+    for r in got:
+        assert r.est_count <= true[r.token]          # MG never overcounts
+        assert r.est_count >= true[r.token] - slack  # merged undercount bound
+    # deterministic stream order -> identical sketch run to run
+    again = text_heavy_hitters(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

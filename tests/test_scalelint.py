@@ -57,3 +57,14 @@ def test_no_error_findings_on_any_key(spark, sf_dir):
         if errs:
             failures[key] = errs
     assert not failures, failures
+
+
+def test_global_window_over_aggregate_is_warn_not_error(tables):
+    # prefix sum over a groupBy result: bounded by key cardinality, so
+    # the single-task window is the cheapest correct plan -> warn only
+    w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, 0)
+    per = tables["orders"].groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    df = per.select("o_orderstatus", F.sum("n").over(w).alias("cum"))
+    found = {c: sev for sev, c, _ in lint(df)}
+    assert "GLOBAL_WINDOW" not in found
+    assert found.get("GLOBAL_WINDOW_AGG") == "warn"
