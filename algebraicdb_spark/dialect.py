@@ -77,6 +77,12 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN"
+    r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST))?"
+    r"\s+(?P<query>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # `col: Variant` head — an identifier, a single colon (:: cast never
 # matches: the variant side can't start with ':'), an Uppercase
 # variant name. The optional binding list follows as a balanced-paren

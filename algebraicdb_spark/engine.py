@@ -43,6 +43,7 @@ from algebraicdb_spark.dialect import (
     _CREATE_TYPE_RE,
     _DELETE_RE,
     _DROP_TABLE_RE,
+    _EXPLAIN_RE,
     _INSERT_RE,
     _UPDATE_RE,
     parse_update_sets,
@@ -127,9 +128,24 @@ class Engine:
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
             return None
+        if _EXPLAIN_RE.match(stmt):
+            return self._explain_stmt(stmt)
         if params is not None:
             return self.spark.sql(self._rewrite(stmt), args=params)
         return self.spark.sql(self._rewrite(stmt))
+
+    def _explain_stmt(self, stmt: str) -> DataFrame:
+        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <read statement>.
+
+        The inner statement goes through the same pattern lowering as
+        a plain read, then Spark's own EXPLAIN renders the Catalyst
+        plan — so users can see that an ADT match compiled to tag
+        predicates + struct accesses (and that pushdown/broadcast
+        happened), exactly what a DBA asks a server for. Read-only:
+        nothing executes, so the server runs it lock-free."""
+        m = _EXPLAIN_RE.match(stmt)
+        mode = (m.group("mode") or "FORMATTED").upper()
+        return self.spark.sql(f"EXPLAIN {mode} {self._rewrite(m.group('query'))}")
 
     def _create_table_stmt(self, stmt: str) -> None:
         td = parse_create_table(stmt, self._types)

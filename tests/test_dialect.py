@@ -300,3 +300,25 @@ def test_nested_arity_error_at_plan_time(eng):
     with pytest.raises(AdtError, match="field"):
         eng.sql("SELECT id FROM objs2 WHERE o: Wrap2(Circle(r, extra))")
     eng.sql("DROP TABLE objs2")
+
+
+class TestExplain:
+    def test_explain_select_returns_plan(self, eng):
+        df = eng.sql("EXPLAIN SELECT 1 AS one")
+        out = "\n".join(r[0] for r in df.collect())
+        assert "Physical Plan" in out
+
+    def test_explain_pattern_select_compiles_to_tag_predicate(self, eng):
+        df = eng.sql(
+            "EXPLAIN EXTENDED SELECT id, r FROM shapes WHERE s: Circle(r)"
+        )
+        out = "\n".join(r[0] for r in df.collect())
+        # the pattern lowered to a tag test + struct access, no UDF
+        assert "Circle" in out
+        assert "BatchEvalPython" not in out
+
+    def test_explain_is_read_only(self, eng):
+        n_before = eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n
+        eng.sql("EXPLAIN SELECT * FROM shapes")
+        n_after = eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n
+        assert n_before == n_after

@@ -175,3 +175,10 @@ def test_bad_params_type_is_protocol_error(server):
         f.flush()
         resp = json.loads(f.readline())
         assert resp["ok"] is False and resp["error_type"] == "protocol"
+
+
+def test_explain_over_the_wire(client):
+    resp = client.sql("EXPLAIN SELECT COUNT(*) AS n FROM orders")
+    assert resp["ok"] and resp["columns"] == ["plan"]
+    plan = "\n".join(r[0] for r in resp["rows"])
+    assert "Physical Plan" in plan
