@@ -79,9 +79,13 @@ _DROP_TABLE_RE = re.compile(
 )
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN"
-    r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST))?"
+    r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE))?"
     r"\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
 # `col: Variant` head — an identifier, a single colon (:: cast never
 # matches: the variant side can't start with ':'), an Uppercase

@@ -42,9 +42,11 @@ from algebraicdb_spark.dialect import (
     _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
+    _DESCRIBE_RE,
     _DROP_TABLE_RE,
     _EXPLAIN_RE,
     _INSERT_RE,
+    _SHOW_TABLES_RE,
     _UPDATE_RE,
     parse_update_sets,
 )
@@ -130,22 +132,68 @@ class Engine:
             return None
         if _EXPLAIN_RE.match(stmt):
             return self._explain_stmt(stmt)
+        if _SHOW_TABLES_RE.match(stmt):
+            return self._show_tables_stmt()
+        if _DESCRIBE_RE.match(stmt):
+            return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
         if params is not None:
             return self.spark.sql(self._rewrite(stmt), args=params)
         return self.spark.sql(self._rewrite(stmt))
 
     def _explain_stmt(self, stmt: str) -> DataFrame:
-        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <read statement>.
+        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST|SCALE] <read stmt>.
 
         The inner statement goes through the same pattern lowering as
         a plain read, then Spark's own EXPLAIN renders the Catalyst
         plan — so users can see that an ADT match compiled to tag
         predicates + struct accesses (and that pushdown/broadcast
-        happened), exactly what a DBA asks a server for. Read-only:
-        nothing executes, so the server runs it lock-free."""
+        happened), exactly what a DBA asks a server for. EXPLAIN SCALE
+        instead runs this repo's scale linter over the physical plan
+        and returns its findings as rows — the 100 TB design review
+        (cartesian products, global windows, row-at-a-time Python,
+        shuffle counts) available to every client over the wire.
+        Read-only: nothing executes, so the server runs it lock-free."""
         m = _EXPLAIN_RE.match(stmt)
         mode = (m.group("mode") or "FORMATTED").upper()
-        return self.spark.sql(f"EXPLAIN {mode} {self._rewrite(m.group('query'))}")
+        lowered = self._rewrite(m.group("query"))
+        if mode == "SCALE":
+            from algebraicdb_spark.plans.scalelint import lint
+
+            findings = lint(self.spark.sql(lowered)) or [
+                ("ok", "CLEAN", "no scale findings")
+            ]
+            return self.spark.createDataFrame(
+                findings, "severity string, code string, finding string"
+            )
+        return self.spark.sql(f"EXPLAIN {mode} {lowered}")
+
+    def _show_tables_stmt(self) -> DataFrame:
+        """SHOW TABLES — every temp view visible to this session."""
+        names = [
+            (t.name,) for t in self.spark.catalog.listTables() if t.isTemporary
+        ]
+        return self.spark.createDataFrame(sorted(names), "table_name string")
+
+    def _describe_stmt(self, name: str) -> DataFrame:
+        """DESCRIBE t — column names and types; ADT-typed columns
+        declared through the dialect report their type NAME (the
+        user-facing contract), not the struct encoding."""
+        td = self._tables.get(name)
+        adt_cols = td.adt_columns if td else {}
+        try:
+            fields = self.spark.table(name).schema.fields
+        except Exception as exc:
+            raise AdtError(f"DESCRIBE: unknown table {name!r}") from exc
+        rows = [
+            (
+                f.name,
+                adt_cols[f.name].name
+                if f.name in adt_cols
+                else f.dataType.simpleString(),
+            )
+            for f in fields
+        ]
+        return self.spark.createDataFrame(rows, "column_name string, type string")
 
     def _create_table_stmt(self, stmt: str) -> None:
         td = parse_create_table(stmt, self._types)

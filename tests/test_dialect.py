@@ -242,12 +242,12 @@ def test_explain_rewrites_patterns(eng):
 
 
 def test_show_tables_and_describe_pass_through(eng):
-    """Catalog introspection (SHOW TABLES / DESCRIBE) delegates to
-    Spark SQL — the REPL user sees dialect-created tables alongside
-    the fixture views."""
-    names = {r.tableName for r in eng.sql("SHOW TABLES").collect()}
+    """Catalog introspection (SHOW TABLES / DESCRIBE) — the REPL user
+    sees dialect-created tables alongside the fixture views, with
+    ADT columns reported by their declared type name."""
+    names = {r.table_name for r in eng.sql("SHOW TABLES").collect()}
     assert "shapes" in names
-    cols = {r[0] for r in eng.sql("DESCRIBE shapes").collect()}
+    cols = {r.column_name for r in eng.sql("DESCRIBE shapes").collect()}
     assert "id" in cols and "s" in cols
 
 
@@ -322,3 +322,31 @@ class TestExplain:
         eng.sql("EXPLAIN SELECT * FROM shapes")
         n_after = eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n
         assert n_before == n_after
+
+
+class TestIntrospection:
+    def test_show_tables_lists_created(self, eng):
+        names = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+        assert "shapes" in names
+
+    def test_describe_reports_adt_type_name(self, eng):
+        rows = {r.column_name: r.type for r in eng.sql("DESCRIBE shapes").collect()}
+        assert rows["id"] == "bigint"
+        assert rows["s"] == "Shape"  # the declared sum type, not its encoding
+
+    def test_describe_unknown_table_is_dialect_error(self, eng):
+        with pytest.raises(AdtError):
+            eng.sql("DESCRIBE nope_no_such_table")
+
+    def test_explain_scale_flags_cartesian(self, eng):
+        rows = eng.sql(
+            "EXPLAIN SCALE SELECT * FROM shapes a, shapes b"
+        ).collect()
+        codes = {r.code for r in rows}
+        assert codes & {"CARTESIAN", "BNLJ"}
+
+    def test_explain_scale_clean_plan(self, eng):
+        rows = eng.sql(
+            "EXPLAIN SCALE SELECT id FROM shapes WHERE id = 1"
+        ).collect()
+        assert [r.code for r in rows] == ["CLEAN"]
