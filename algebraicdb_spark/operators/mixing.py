@@ -282,3 +282,84 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         pround(F.max(F.abs("err")), 6).alias("max_abs_err"),
     )
+
+
+BUDGET_FRACTION = 0.30  # token budget as a share of the corpus
+SCORE_BUCKETS = 20      # quality-score granularity for the greedy cut
+
+
+@register(
+    "select_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_distinct(string_split(regexp_replace(lower(trim(text)),
+                  '\\s+', ' ', 'g'), ' '))) AS n_distinct,
+             {_TOK_SQL} AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT CAST(floor(CAST(n_distinct AS DOUBLE) / n_tokens * {SCORE_BUCKETS})
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1
+    ), c AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM b
+    )
+    SELECT bucket, n_docs, n_tokens,
+           CAST(cum_prev + n_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN cum_prev < CAST(floor(total_tokens * {BUDGET_FRACTION})
+                                     AS BIGINT)
+                THEN 1 ELSE 0 END AS kept
+    FROM c
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection: rank documents by a cheap
+    quality proxy (lexical diversity = distinct/total tokens), then
+    keep the best score-buckets greedily until the token budget
+    (BUDGET_FRACTION of the corpus) is filled.
+
+    The scalable formulation works at BUCKET granularity: per-doc
+    scoring is map-side, the bucket rollup is one hash aggregation to
+    SCORE_BUCKETS rows, and the greedy cumulative cut is a window over
+    that aggregated grain (bounded, data-volume-independent — the
+    GLOBAL_WINDOW_AGG shape). The doc-grain alternative (global sort +
+    running sum over every document) would serialize the corpus
+    through one task; bucketing trades exact doc-level cuts for a
+    bounded plan, which is how budget selection actually ships.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(canonical_text(F.col("text")), " ")
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    b = (
+        d.select(
+            F.floor(score * SCORE_BUCKETS).cast("long").alias("bucket"),
+            F.size(toks).alias("toks"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy()
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w_prev), F.lit(0))
+    budget = F.floor(F.sum("n_tokens").over(w_all) * BUDGET_FRACTION)
+    return b.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        (cum_prev + F.col("n_tokens")).cast("long").alias("cum_tokens"),
+        F.when(cum_prev < budget, 1).otherwise(0).alias("kept"),
+    )

@@ -73,3 +73,29 @@ def test_quantize_error_bounded_by_half_step(spark, sf_dir, tables):
         bound = r.max_range / 510 + 1e-9
         assert stats[r.label].max_abs_err <= bound + 1e-6
         assert stats[r.label].mse <= bound * bound
+
+
+def test_token_budget_greedy_cut(spark, sf_dir):
+    from algebraicdb_spark.operators.mixing import (
+        BUDGET_FRACTION,
+        select_token_budget,
+    )
+
+    rows = sorted(
+        select_token_budget(spark, sf_dir).collect(), key=lambda r: -r.bucket
+    )
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * BUDGET_FRACTION)
+    # kept prefix is contiguous from the best bucket down
+    kept_flags = [r.kept for r in rows]
+    assert kept_flags == sorted(kept_flags, reverse=True)
+    kept = [r for r in rows if r.kept]
+    assert kept, "budget must keep at least the best bucket"
+    # greedy invariant: without its last bucket the selection is under
+    # budget; the cut bucket is the first to cross it
+    assert sum(r.n_tokens for r in kept[:-1]) < budget
+    # cum_tokens is the running total in bucket-desc order
+    run = 0
+    for r in rows:
+        run += r.n_tokens
+        assert r.cum_tokens == run
