@@ -114,6 +114,28 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_CAP = 256  # tokens per packed sequence (fixture-sized context window)
 
 
+def pack_layout(docs: DataFrame, cap: int = SEQ_CAP) -> DataFrame:
+    """Core packing layout over any (doc_id, source, n_tokens) frame:
+    per source in doc_id order, assign each doc the sequence id and
+    offset where its first token lands under concat-and-chunk."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn(
+            "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum_prev") / cap).cast("long").alias("seq_id"),
+            (F.col("cum_prev") % cap).alias("seq_offset"),
+        )
+    )
+
+
 @register(
     "pack_sequences",
     oracle=f"""
@@ -142,24 +164,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards with a second tiny cumsum over per-shard totals.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
+    return pack_layout(
         d.select(
             "doc_id",
             "source",
             _tok_count(F.col("text")).cast("long").alias("n_tokens"),
-        )
-        .withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            (F.col("cum_prev") / SEQ_CAP).cast("long").alias("seq_id"),
-            (F.col("cum_prev") % SEQ_CAP).alias("seq_offset"),
         )
     )
 
