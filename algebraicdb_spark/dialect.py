@@ -84,6 +84,17 @@ _EXPLAIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_CREATE_MATVIEW_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<query>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MATVIEW_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DROP_MATVIEW_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )

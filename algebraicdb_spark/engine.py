@@ -38,14 +38,17 @@ from algebraicdb_spark.dialect import (
     rewrite_patterns,
 )
 from algebraicdb_spark.dialect import (
+    _CREATE_MATVIEW_RE,
     _CREATE_TABLE_RE,
     _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
     _DESCRIBE_RE,
+    _DROP_MATVIEW_RE,
     _DROP_TABLE_RE,
     _EXPLAIN_RE,
     _INSERT_RE,
+    _REFRESH_MATVIEW_RE,
     _SHOW_TABLES_RE,
     _UPDATE_RE,
     parse_update_sets,
@@ -65,6 +68,7 @@ class Engine:
         ensure_confs(self.spark)
         self._types: dict[str, AdtType] = {}
         self._tables: dict[str, TableDef] = {}
+        self._matviews: dict[str, str] = {}  # name -> defining dialect SQL
         if sf_dir:
             self.attach(sf_dir)
 
@@ -130,6 +134,13 @@ class Engine:
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
             return None
+        if _CREATE_MATVIEW_RE.match(stmt):
+            m = _CREATE_MATVIEW_RE.match(stmt)
+            return self._create_matview(m.group("name"), m.group("query"))
+        if _REFRESH_MATVIEW_RE.match(stmt):
+            return self._refresh_matview(_REFRESH_MATVIEW_RE.match(stmt).group("name"))
+        if _DROP_MATVIEW_RE.match(stmt):
+            return self._drop_matview(_DROP_MATVIEW_RE.match(stmt).group("name"))
         if _EXPLAIN_RE.match(stmt):
             return self._explain_stmt(stmt)
         if _SHOW_TABLES_RE.match(stmt):
@@ -166,6 +177,42 @@ class Engine:
                 findings, "severity string, code string, finding string"
             )
         return self.spark.sql(f"EXPLAIN {mode} {lowered}")
+
+    def _create_matview(self, name: str, query: str) -> None:
+        """CREATE MATERIALIZED VIEW v AS SELECT … — a snapshot of the
+        defining query's result, pinned as a cached DataFrame.
+
+        Semantics (the classic non-incremental MV): the view reflects
+        table state AT DEFINITION TIME and stays stable while base
+        tables mutate (our mutations are view rewrites over immutable
+        parquet, so even a cache eviction recomputes the same
+        snapshot — the captured plan still reads the definition-time
+        views). REFRESH re-parses the defining SQL against the CURRENT
+        catalog. Spark-first: materialization is `.cache()` — on a
+        cluster the snapshot lives in executor block storage,
+        partitioned like the query output; swap for a parquet CTAS if
+        it must outlive the session."""
+        if name in self._matviews:
+            raise AdtError(f"materialized view {name!r} already exists")
+        df = self.spark.sql(self._rewrite(query))
+        df.cache().count()  # materialize eagerly so reads never re-plan
+        df.createOrReplaceTempView(name)
+        self._matviews[name] = query
+
+    def _refresh_matview(self, name: str) -> None:
+        if name not in self._matviews:
+            raise AdtError(f"REFRESH: unknown materialized view {name!r}")
+        self.spark.table(name).unpersist()
+        df = self.spark.sql(self._rewrite(self._matviews[name]))
+        df.cache().count()
+        df.createOrReplaceTempView(name)
+
+    def _drop_matview(self, name: str) -> None:
+        if name not in self._matviews:
+            raise AdtError(f"DROP MATERIALIZED VIEW: unknown view {name!r}")
+        self.spark.table(name).unpersist()
+        self.spark.catalog.dropTempView(name)
+        del self._matviews[name]
 
     def _show_tables_stmt(self) -> DataFrame:
         """SHOW TABLES — every temp view visible to this session."""

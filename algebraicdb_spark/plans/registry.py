@@ -150,6 +150,14 @@ _CHECK_PRIORITY = (
     "event_anomaly_zscore",
     "event_path_topk",
     "time_bucket_custom",
+    # --- round-4 additions: corpus mixing / graphs / sketches ---
+    "corpus_mix_report",
+    "pack_sequences",
+    "mix_weighted_sample",
+    "embedding_quantize_int8",
+    "select_token_budget",
+    "event_pagerank",
+    "text_heavy_hitters",
 )
 
 

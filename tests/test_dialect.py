@@ -350,3 +350,39 @@ class TestIntrospection:
             "EXPLAIN SCALE SELECT id FROM shapes WHERE id = 1"
         ).collect()
         assert [r.code for r in rows] == ["CLEAN"]
+
+
+class TestMaterializedViews:
+    def test_snapshot_then_refresh(self, spark, tables):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mv_base (id: Integer, v: Double)")
+        eng2.sql("INSERT INTO mv_base VALUES (1, 10.0), (2, 20.0)")
+        eng2.sql(
+            "CREATE MATERIALIZED VIEW mv_tot AS "
+            "SELECT COUNT(*) AS n, SUM(v) AS total FROM mv_base"
+        )
+        before = eng2.sql("SELECT * FROM mv_tot").collect()[0]
+        assert (before.n, before.total) == (2, 30.0)
+        # base mutates; the snapshot must NOT move
+        eng2.sql("UPDATE mv_base SET v = v * 10 WHERE id = 1")
+        stale = eng2.sql("SELECT * FROM mv_tot").collect()[0]
+        assert (stale.n, stale.total) == (2, 30.0)
+        # refresh re-runs the defining query against current state
+        eng2.sql("REFRESH MATERIALIZED VIEW mv_tot")
+        fresh = eng2.sql("SELECT * FROM mv_tot").collect()[0]
+        assert (fresh.n, fresh.total) == (2, 120.0)
+        eng2.sql("DROP MATERIALIZED VIEW mv_tot")
+        eng2.sql("DROP TABLE mv_base")
+
+    def test_matview_visible_and_errors(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE MATERIALIZED VIEW mv_one AS SELECT 1 AS one")
+        names = {r.table_name for r in eng2.sql("SHOW TABLES").collect()}
+        assert "mv_one" in names
+        with pytest.raises(AdtError):
+            eng2.sql("CREATE MATERIALIZED VIEW mv_one AS SELECT 2 AS two")
+        with pytest.raises(AdtError):
+            eng2.sql("REFRESH MATERIALIZED VIEW mv_nope")
+        eng2.sql("DROP MATERIALIZED VIEW mv_one")
+        with pytest.raises(AdtError):
+            eng2.sql("DROP MATERIALIZED VIEW mv_one")
