@@ -158,6 +158,7 @@ _CHECK_PRIORITY = (
     "select_token_budget",
     "event_pagerank",
     "text_heavy_hitters",
+    "stream_hopping_topk",
 )
 
 

@@ -378,3 +378,52 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conv.alias("n_converted"),
         pround(n_conv.cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
     )
+
+
+@register(
+    "stream_hopping_topk",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    cells AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES)
+               AS BIGINT) AS window_start_s,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events CROSS JOIN offsets
+      GROUP BY 1, 2
+    )
+    SELECT window_start_s, event_type, n_events, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start_s
+                                   ORDER BY n_events DESC, event_type) AS rn
+      FROM cells
+    )
+    WHERE rn <= 3
+    """,
+)
+def stream_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour window sliding every 15 min — the
+    'trending topics' shape (hopping window + per-window rank).
+
+    Aggregation first (cells = windows × |types|, bounded), THEN the
+    rank window over those cells partitioned by window_start — the
+    rank never touches event grain. In true streaming the same query
+    runs with `F.window` + watermark and the rank moves to the
+    foreachBatch consumer (per-window state is the |types| cell row,
+    mergeable across triggers)."""
+    e = load_tables(spark, sf_dir)["events"]
+    cells = (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
