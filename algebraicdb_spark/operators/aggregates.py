@@ -639,3 +639,104 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_customers") * 0.05
         ).alias("estimate_ok"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    # the oracle states WHAT (exact distinct per status); the bitmap
+    # plan is the mergeable HOW — results must be identical
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via re-aggregatable bitmaps
+    (bitmap_construct_agg → bitmap_or_agg → bitmap_count).
+
+    Why not COUNT(DISTINCT): bitmaps are MERGEABLE — per-(status,
+    month, bucket) partials OR together, so daily rollups fold into
+    monthly/yearly ones without re-touching raw data (the exact twin
+    of the HLL key `agg_hll_partial_union`, for when the answer must
+    be exact). Shuffle carries fixed-width bitmap segments (one per
+    2^15-key bucket), not one row per distinct key: at 100 TB the
+    width is |keyspace|/2^15 segments per group regardless of row
+    count. Spark ≥3.5 built-ins, all JVM-side.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    partial = o.selectExpr(
+        "o_orderstatus",
+        "month(o_orderdate) AS slice",  # stands in for the daily partition
+        "bitmap_bucket_number(o_custkey) AS bkt",
+        "bitmap_bit_position(o_custkey) AS pos",
+    ).groupBy("o_orderstatus", "slice", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("b")
+    )
+    merged = partial.groupBy("o_orderstatus", "bkt").agg(
+        F.expr("bitmap_or_agg(b)").alias("m")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(m)")).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS w
+      FROM lineitem
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT *,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM cells
+    )
+    SELECT l_returnflag,
+           floor(CAST(MIN(price) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS weighted_median
+    FROM c
+    WHERE cw * 2 >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: smallest price whose cumulative quantity
+    weight reaches half the group total.
+
+    Pre-aggregating to (flag, price) cells first makes the rank window
+    run over the DISTINCT-value grain (bounded by price cardinality,
+    not row count) and removes tie ambiguity; weights sum exactly in
+    decimal so the half-total comparison can't drift between engines
+    (cw*2 >= tot stays integer-exact on the 0.01 grid).
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cells = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = cells.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(pround(F.min("price")).alias("weighted_median"))
+    )

@@ -159,6 +159,8 @@ _CHECK_PRIORITY = (
     "event_pagerank",
     "text_heavy_hitters",
     "stream_hopping_topk",
+    "agg_bitmap_distinct",
+    "agg_weighted_percentile",
 )
 
 
