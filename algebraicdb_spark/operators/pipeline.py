@@ -138,3 +138,123 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
         F.sum(n_tokens).alias("n_tokens"),
     )
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ' ')) AS n_tokens,
+             len(list_distinct(string_split(regexp_replace(lower(trim(text)),
+                 '\\s+', ' ', 'g'), ' '))) AS n_distinct
+      FROM documents
+    ), b AS (
+      SELECT CAST(floor(CAST(n_distinct AS DOUBLE) / n_tokens * 20) AS BIGINT)
+               AS bucket,
+             CAST(SUM(n_tokens) AS BIGINT) AS btoks
+      FROM t GROUP BY 1
+    ), cut AS (
+      SELECT bucket FROM (
+        SELECT bucket,
+               COALESCE(SUM(btoks) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+               SUM(btoks) OVER () AS total
+        FROM b
+      ) WHERE cum_prev < floor(total * 0.30)
+    ), kept AS (
+      SELECT t.* FROM t
+      JOIN cut ON CAST(floor(CAST(n_distinct AS DOUBLE) / n_tokens * 20) AS BIGINT)
+                  = cut.bucket
+      WHERE (doc_id % 65536) * 40503 % 65536 <
+            CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 52429
+                 WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 32768
+                 ELSE 16384 END
+    ), packed AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum_prev + n_tokens - 1) // 256 + 1 AS BIGINT) AS n_seqs
+    FROM packed
+    GROUP BY source
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing capstone: quality budget cut → weighted mix sample →
+    sequence packing, composed as ONE declarative DAG (the stage twins
+    of `select_token_budget`, `mix_weighted_sample`, `pack_sequences`).
+
+    Per source: surviving docs, tokens, and how many SEQ_CAP context
+    windows they pack into. Stage order matters and mirrors production
+    (quality first so sampling rates act on the kept pool). Catalyst
+    pipelines all of it: one doc-grain pass for scoring + keep
+    predicates (map-side except the bucket rollup), one (source)
+    shuffle for packing, one final rollup.
+    """
+    from algebraicdb_spark.operators.mixing import (
+        BUDGET_FRACTION,
+        SCORE_BUCKETS,
+        SEQ_CAP,
+        pack_layout,
+    )
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(canonical_text(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            * SCORE_BUCKETS
+        ).cast("long").alias("bucket"),
+    )
+    b = scored.groupBy("bucket").agg(F.sum("n_tokens").alias("btoks"))
+    w_prev = (
+        Window.partitionBy()
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    cut = (
+        b.select(
+            "bucket",
+            F.coalesce(F.sum("btoks").over(w_prev), F.lit(0)).alias("cum_prev"),
+            F.sum("btoks").over(w_all).alias("total"),
+        )
+        .filter(F.col("cum_prev") < F.floor(F.col("total") * BUDGET_FRACTION))
+        .select("bucket")
+    )
+    src_num = F.substring("source", 4, 10).cast("int")
+    tier = F.when(src_num < 5, 52429).when(src_num < 10, 32768).otherwise(16384)
+    kept = (
+        scored.join(F.broadcast(cut), "bucket")
+        .filter((F.col("doc_id") % 65536) * 40503 % 65536 < tier)
+        .select("doc_id", "source", "n_tokens")
+    )
+    packed = pack_layout(kept, cap=SEQ_CAP)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.floor(
+                (
+                    F.max(
+                        F.col("seq_id") * SEQ_CAP
+                        + F.col("seq_offset")
+                        + F.col("n_tokens")
+                    )
+                    - 1
+                )
+                / SEQ_CAP
+            )
+            + 1
+        ).cast("long").alias("n_seqs"),
+    )

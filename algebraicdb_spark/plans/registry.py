@@ -161,6 +161,8 @@ _CHECK_PRIORITY = (
     "stream_hopping_topk",
     "agg_bitmap_distinct",
     "agg_weighted_percentile",
+    "pipeline_training_mix",
+    "event_session_stats",
 )
 
 

@@ -427,3 +427,58 @@ def stream_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type")
     )
     return cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "event_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT n_events AS session_len,
+           COUNT(*) AS n_sessions,
+           floor(CAST(AVG(duration_s) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS avg_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+    FROM sessions
+    GROUP BY 1
+    """,
+)
+def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: sessions (30-min gap) rolled up by
+    event count, with duration stats — the engagement histogram every
+    product-analytics stack derives from its sessionizer.
+
+    Same one (user) shuffle as `stream_session_window`; the rollup
+    grain is |distinct session lengths| (bounded), duration arithmetic
+    is exact integer µs→s division on both engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000"
+            ).alias("duration_s"),
+        )
+    )
+    return sessions.groupBy(F.col("n_events").alias("session_len")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        pround(F.avg("duration_s")).alias("avg_duration_s"),
+        F.max("duration_s").cast("long").alias("max_duration_s"),
+    )
