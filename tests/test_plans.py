@@ -214,3 +214,40 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir, qs):
     df = qs["scan_dynamic_partition_pruning"](spark, sf_dir)
     plan = plan_of(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir, qs):
+    """Packing = one exchange (on source) feeding the prefix window —
+    no second shuffle, no global sort."""
+    plan = plan_of(qs["pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mix_sample_predicate_is_map_side(spark, sf_dir, qs):
+    """The keep predicate must not shuffle: the only exchange is the
+    final per-source report aggregation."""
+    plan = plan_of(qs["mix_weighted_sample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir, qs):
+    """Bitmap distinct must not fall back to Spark's Expand-based
+    distinct rewrite — partials merge as plain aggregations."""
+    plan = plan_of(qs["agg_bitmap_distinct"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert "bitmap_or_agg" in plan.lower() or "bitmap" in plan.lower()
+
+
+def test_heavy_hitters_uses_arrow_not_row_python(spark, sf_dir, qs):
+    plan = plan_of(qs["text_heavy_hitters"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantize_stays_jvm_side(spark, sf_dir, qs):
+    """Element-wise quantization is higher-order-function work — no
+    Python evaluator of any kind in the plan."""
+    plan = plan_of(qs["embedding_quantize_int8"](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

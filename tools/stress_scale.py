@@ -62,6 +62,19 @@ KEYS = [
     "text_unigram_logprob",
     "join_asof_tolerance",
     "agg_hll_partial_union",
+    # round-4 additions
+    "corpus_mix_report",
+    "pack_sequences",
+    "mix_weighted_sample",
+    "embedding_quantize_int8",
+    "select_token_budget",
+    "event_pagerank",
+    "text_heavy_hitters",
+    "stream_hopping_topk",
+    "agg_bitmap_distinct",
+    "agg_weighted_percentile",
+    "pipeline_training_mix",
+    "event_session_stats",
 ]
 
 
