@@ -27,6 +27,8 @@ for programmatic use; the dialect is the statement-level twin.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 from algebraicdb_spark.dialect import (
@@ -309,6 +311,69 @@ class Engine:
             return stmt
         stmt = rewrite_match_exprs(stmt, adt_cols)
         return rewrite_patterns(stmt, adt_cols, known_columns=known)
+
+    # -- catalog persistence -------------------------------------------
+
+    def save_catalog(self, path: str) -> None:
+        """Write the session catalog METADATA (declared sum types,
+        dialect table schemas, materialized-view definitions) as JSON.
+
+        This is DDL persistence — the reference's `CREATE TYPE`/`CREATE
+        TABLE` declarations survive a restart; row data does NOT (data
+        belongs in parquet via the sinks; WAL-style row persistence is
+        explicitly out of scope). Types serialize structurally with
+        nested ADTs by name reference, so declaration order restores
+        dependencies."""
+
+        def ser(t):
+            return {"adt": t.name} if isinstance(t, AdtType) else t
+
+        data = {
+            "types": {
+                n: [
+                    [v.name, [[fn, ser(ft)] for fn, ft in v.fields]]
+                    for v in t.variants
+                ]
+                for n, t in self._types.items()
+            },
+            "tables": {
+                n: [[c, ser(t)] for c, t in td.columns.items()]
+                for n, td in self._tables.items()
+            },
+            "matviews": dict(self._matviews),
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2)
+
+    def load_catalog(self, path: str) -> None:
+        """Restore a catalog saved by :meth:`save_catalog` into this
+        session: re-declare types, re-create dialect tables (EMPTY —
+        only schemas persist) unless a same-named view already exists,
+        and re-run materialized-view definitions."""
+
+        def deser(t):
+            return self._types[t["adt"]] if isinstance(t, dict) else t
+
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        for name, variants in data["types"].items():
+            self._types[name] = AdtType(
+                name,
+                [
+                    Variant(vn, [(fn, deser(ft)) for fn, ft in fields])
+                    for vn, fields in variants
+                ],
+            )
+        existing = {t.name for t in self.spark.catalog.listTables()}
+        for name, cols in data["tables"].items():
+            td = TableDef(name, {c: deser(t) for c, t in cols})
+            if name not in existing:
+                empty = self.spark.createDataFrame([], td.schema_ddl())
+                empty.createOrReplaceTempView(name)
+            self._tables[name] = td
+        for name, query in data["matviews"].items():
+            if name not in self._matviews:
+                self._create_matview(name, query)
 
     # -- types ---------------------------------------------------------
 

@@ -360,3 +360,43 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null_discount"),
         )
     )
+
+
+@register(
+    "scan_file_lineage",
+    # the oracle states the lineage CONTRACT: every row carries its
+    # source file and a complete, contiguous per-file row index
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS first_row_index,
+           CAST(COUNT(*) - 1 AS BIGINT) AS last_row_index,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance via Spark's hidden ``_metadata`` struct:
+    every row knows its source file and row position — the lineage a
+    training pipeline needs to trace any example back to its shard
+    (and to build stable example ids as (file, row_index)).
+
+    Free at scale: ``_metadata`` is populated by the scan itself (no
+    join, no shuffle beyond the tiny per-file rollup here). The
+    aggregate asserts the contract — one complete contiguous 0-based
+    index per file — rather than echoing fixture values."""
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return (
+        df.select(
+            "doc_id",
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row_index"),
+            F.max("row_index").alias("last_row_index"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -163,6 +163,7 @@ _CHECK_PRIORITY = (
     "agg_weighted_percentile",
     "pipeline_training_mix",
     "event_session_stats",
+    "scan_file_lineage",
 )
 
 
