@@ -295,3 +295,138 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_s") >= RANGE_TAU)
         .select("q_id", "vec_id", pround("_s").alias("sim"))
     )
+
+
+PQ_BLOCKS = 8       # 64 dims -> 8 subspaces of 8 dims
+PQ_K = 16           # centroids per subspace (4-bit codes)
+PQ_ITERS = 10
+PQ_RERANK = 8 * TOP_K  # approx candidates kept per query for exact rerank
+PQ_TRAIN_MOD = 2    # train on ~1/MOD of the corpus (raise at scale: KB-sized
+                    # codebooks need only ~1e4 vectors however big the corpus)
+PQ_TRAIN_CAP = 4096  # hard per-block cap applied inside the trainer
+
+
+@register("sim_knn_pq")  # rows-only: codebooks are trainer-specific
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style tier): split vectors
+    into PQ_BLOCKS subspaces, k-means a PQ_K-entry codebook per
+    subspace, encode the corpus as PQ_BLOCKS 4-bit codes, score
+    queries by asymmetric distance (table lookups), exact-rerank the
+    top PQ_RERANK.
+
+    Scale shape: codebook training shuffles only a deterministic
+    1/PQ_TRAIN_MOD hash-sample, and the per-block trainer caps its
+    input at PQ_TRAIN_CAP vectors (codebooks are KB-sized regardless
+    of corpus size; raise MOD at scale). Encoding and ADC scoring are
+    equi-joins against the broadcast codebook/lookup table, so the
+    corpus-grain work is map-side + one (q, vec) agg over PQ_BLOCKS
+    partial sums; the exact rerank touches only PQ_RERANK × |queries|
+    vectors. Recall vs brute force is pinned in
+    tests/test_similarity.py.
+    """
+    import pandas as pd
+
+    q, e = _queries_and_corpus(spark, sf_dir)
+    # explode into (vec_id, block, subvec) — 8 rows per vector
+    blocks = F.array(*[F.lit(b) for b in range(PQ_BLOCKS)])
+    sub = lambda emb, b: F.slice(emb, b * (64 // PQ_BLOCKS) + 1, 64 // PQ_BLOCKS)  # noqa: E731
+    corpus_sub = e.select(
+        "vec_id",
+        F.explode(blocks).alias("block"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "block",
+        F.transform(
+            sub(F.col("embedding"), F.col("block")), lambda x: x.cast("double")
+        ).alias("subvec"),
+    )
+
+    def kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        X = np.array(pdf.sort_values("vec_id")["subvec"].tolist())[:PQ_TRAIN_CAP]
+        C = X[:PQ_K].copy()  # deterministic init: first PQ_K by vec_id
+        for _ in range(PQ_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(PQ_K):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        return pd.DataFrame(
+            {
+                "block": pdf["block"].iloc[0],
+                "centroid_id": range(PQ_K),
+                "centroid": [c.tolist() for c in C],
+            }
+        )
+
+    # deterministic hash-sample before the trainer shuffle: only ~1/MOD of
+    # the corpus moves, and the trainer caps each block at PQ_TRAIN_CAP rows
+    train = corpus_sub.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(PQ_TRAIN_MOD)) == 0
+    )
+    codebook = train.groupBy("block").applyInPandas(
+        kmeans, "block int, centroid_id int, centroid array<double>"
+    )
+    # encode: nearest centroid per (vec, block) — broadcast codebook join
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        corpus_sub.join(F.broadcast(codebook), "block")
+        .select("vec_id", "block", F.struct(d2.alias("d"), "centroid_id").alias("sc"))
+        .groupBy("vec_id", "block")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", "block", F.col("best.centroid_id").alias("centroid_id"))
+    )
+    # ADC lookup table: query-subvec · centroid per (q, block, centroid)
+    q_sub = q.select(
+        "q_id", F.explode(blocks).alias("block"),
+        F.col("q_emb").alias("emb"),
+    ).select(
+        "q_id",
+        "block",
+        F.transform(sub(F.col("emb"), F.col("block")), lambda x: x.cast("double")).alias(
+            "q_subvec"
+        ),
+    )
+    lut = q_sub.join(F.broadcast(codebook), "block").select(
+        "q_id",
+        "block",
+        "centroid_id",
+        F.aggregate(
+            F.zip_with(F.col("q_subvec"), F.col("centroid"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("partial"),
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["block", "centroid_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("partial").alias("approx_sim"))
+    )
+    w_a = Window.partitionBy("q_id").orderBy(
+        F.col("approx_sim").desc(), F.col("vec_id").asc()
+    )
+    cands = approx.withColumn("arn", F.row_number().over(w_a)).filter(
+        F.col("arn") <= PQ_RERANK
+    )
+    # exact rerank of the candidate pool only
+    exact = (
+        cands.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
+    )

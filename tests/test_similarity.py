@@ -44,6 +44,13 @@ def test_ivf_recall_at_5(spark, sf_dir, exact):
     assert recall >= 0.5, f"IVF recall@5 {recall:.2f} < 0.5"
 
 
+def test_pq_recall_at_5(spark, sf_dir, exact):
+    from algebraicdb_spark.operators.similarity import sim_knn_pq
+
+    recall = _recall(topk(sim_knn_pq(spark, sf_dir)), exact)
+    assert recall >= 0.5, f"PQ recall@5 {recall:.2f} < 0.5"
+
+
 def test_self_similarity_excluded(spark, sf_dir, exact):
     for q, nb in exact.items():
         assert q not in nb
