@@ -78,3 +78,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(sampled, "event_type", "left").select(
         "event_type", "n_stratum", ok.alias("sample_ok")
     )
+
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN_LT = 800  # buckets [0,800) -> train
+SPLIT_VAL_LT = 900    # [800,900) -> val, [900,1000) -> test
+
+
+@register(
+    "split_hash_assign",
+    oracle=f"""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN b < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {SPLIT_BUCKETS} AS b
+        FROM documents) t) s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hold-out split: bucket every doc by
+    the first 8 hex chars of md5(doc_id) into 1000 bins, cut at
+    800/900. The assignment is a pure per-row function of the key —
+    engine-independent (md5 is bit-identical everywhere), stable
+    under re-runs, insert-order, and cluster size, and a new document
+    never reshuffles existing assignments (the property that makes
+    hash splits the standard over random splits for training data).
+
+    Scale: one narrow map stage + one 3-group aggregate — no row is
+    shuffled except the 3 partial-agg rows per partition. The output
+    checksums (count/sum/min/max per split) verify the complete
+    assignment without materializing it.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
