@@ -740,3 +740,73 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(pround(F.min("price")).alias("weighted_median"))
     )
+
+
+@register(
+    "agg_linear_regression",
+    # OLS per group from EXACT decimal sums of grid-floored per-row
+    # terms (the text_unigram_logprob recipe): every double op below
+    # the sums is bit-identical across engines, the sums are exact
+    # integers, and the final divisions combine identical doubles in
+    # an identical order — so slope/intercept/r2 need no tolerance.
+    oracle="""
+    SELECT flag, n_rows,
+           floor(CAST(num / denx AS DOUBLE) * 10000 + 0.5) / 10000 AS slope,
+           floor(CAST(((sy * 1e-4) - (num / denx) * (sx * 1e-4)) / n AS DOUBLE) * 10000 + 0.5) / 10000 AS intercept,
+           floor(CAST((num * num) / (denx * deny) AS DOUBLE) * 10000 + 0.5) / 10000 AS r2
+    FROM (
+      SELECT flag, n_rows, n, sx, sy,
+             n * sxy - sx * sy * 1e-4 AS num,
+             n * sxx - sx * sx * 1e-4 AS denx,
+             n * syy - sy * sy * 1e-4 AS deny
+      FROM (
+        SELECT l_returnflag AS flag,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag) sums) t
+    ORDER BY flag
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity): slope, intercept,
+    R² — the `regr_slope`-family surface, computed from mergeable
+    map-side partials instead of the built-ins so the result is
+    deterministic cross-engine.
+
+    Scale: one hash aggregate; the shuffle carries 5 decimal partial
+    sums + 1 count per group, never rows — the same shape regr_*
+    would plan, but with an exact (order-independent) accumulator.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = lambda c: F.floor(c * F.lit(1e4)).cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(g(x)).cast("double").alias("sx"),
+        F.sum(g(y)).cast("double").alias("sy"),
+        F.sum(g(x * y)).cast("double").alias("sxy"),
+        F.sum(g(x * x)).cast("double").alias("sxx"),
+        F.sum(g(y * y)).cast("double").alias("syy"),
+    )
+    t = sums.select(
+        "flag", "n_rows", "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") * F.lit(1e-4)).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") * F.lit(1e-4)).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") * F.lit(1e-4)).alias("deny"),
+    )
+    return t.select(
+        "flag",
+        "n_rows",
+        pround(F.col("num") / F.col("denx")).alias("slope"),
+        pround(
+            ((F.col("sy") * F.lit(1e-4)) - (F.col("num") / F.col("denx")) * (F.col("sx") * F.lit(1e-4)))
+            / F.col("n")
+        ).alias("intercept"),
+        pround((F.col("num") * F.col("num")) / (F.col("denx") * F.col("deny"))).alias("r2"),
+    ).orderBy("flag")
