@@ -486,3 +486,100 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+BLOOM_BITS = 1 << 16   # 65536 bits = 1024 longs; size ~10 bits/key at scale
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_SEEDS = (0, 1, 2)
+BLOOM_PRICE_MIN = 480000.0  # selective build side (~3% of orders)
+
+
+def _bloom_slot(key_name: str, seed: int):
+    """(word, mask) for one hash function — JVM-side xxhash64.
+    SQL-expr form because shiftleft's Python wrapper only takes a
+    literal shift amount."""
+    pos = f"pmod(xxhash64({key_name}, {seed}), {BLOOM_BITS})"
+    word = F.expr(f"CAST({pos} DIV 64 AS INT)")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
+    return word, mask
+
+
+@register(
+    "join_bloom_prefilter",
+    # the bloom is a pure prefilter (no false negatives) followed by an
+    # exact semi-join, so the result is EXACTLY the plain semi-join —
+    # which is the oracle. What the bloom buys is the PLAN: probe-side
+    # rows that cannot match are dropped map-side, before any shuffle.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit broadcast Bloom-filter prefilter —
+    the classic shuffle-reduction pattern for a selective build side
+    (Spark's runtime row-level filtering does the same when
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` is on; this key
+    builds it declaratively so the plan is visible and testable).
+
+    Build: hash each build key with 3 seeded xxhash64 functions into a
+    65536-bit filter, OR-folded per 64-bit word by `bit_or` (map-side
+    partial, ≤1024-row shuffle). The filter ships to every probe task
+    as a one-row broadcast map. Probe: a row survives only if all 3
+    bits are set; survivors still pass through the EXACT semi-join, so
+    bloom false positives cannot leak into the result. At 100 TB, size
+    BLOOM_BITS at ~10 bits per build key (the filter stays KB-MB and
+    the probe-side shuffle shrinks by the prefilter's selectivity).
+    """
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        .select("o_orderkey")
+    )
+    slots = None
+    for s in BLOOM_SEEDS:
+        w, m = _bloom_slot("o_orderkey", s)
+        part = keys.select(w.alias("word"), m.alias("mask"))
+        slots = part if slots is None else slots.unionAll(part)
+    bloom = (
+        slots.groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    li = t["lineitem"]
+    member = None
+    for s in BLOOM_SEEDS:
+        w, m = _bloom_slot("l_orderkey", s)
+        hit = (
+            F.coalesce(F.element_at(F.col("bloom"), w), F.lit(0)).bitwiseAND(m)
+            != 0
+        )
+        member = hit if member is None else (member & hit)
+    prefiltered = (
+        li.join(F.broadcast(bloom))  # 1-row broadcast: the filter itself
+        .filter(member)
+        .drop("bloom")
+    )
+    return (
+        prefiltered.join(
+            keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -251,3 +251,12 @@ def test_quantize_stays_jvm_side(spark, sf_dir, qs):
     plan = plan_of(qs["embedding_quantize_int8"](spark, sf_dir))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_bloom_prefilter_plan_shape(spark, sf_dir, qs):
+    plan = plan_of(qs["join_bloom_prefilter"](spark, sf_dir))
+    # the 1-row filter map ships as a broadcast nested-loop (bounded),
+    # never a cartesian; the exactness join stays a semi hash join
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftSemi" in plan
