@@ -575,3 +575,100 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", pround(F.col("rank"), 6).alias("rank")
     ).orderBy(F.desc("rank"), "node")
+
+
+@register(
+    "interval_merge_coverage",
+    # pure integer arithmetic end-to-end (µs epochs, floor'd durations)
+    # so the island assignment and coverage sums are engine-exact
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(FLOOR(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(SUM(n_in_island) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_span) AS BIGINT) AS covered_us
+    FROM (
+      SELECT user_id, island_id,
+             COUNT(*) AS n_in_island,
+             MAX(e) - MIN(s) AS island_span
+      FROM islands GROUP BY user_id, island_id
+    ) per_island
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals (event start + value-derived
+    duration) and report interval count, merged-island count, and total
+    covered microseconds — the gaps-and-islands shape behind ad-break
+    coverage, on-call overlap, and machine-utilization queries.
+
+    Scale: two windows + two aggregates, ALL partitioned by user_id —
+    one shuffle total (every later stage reuses the user partitioning).
+    State per task is a running max, never the user's full history.
+    Touching intervals (start == prev end) merge, matching the closed-
+    interval convention; integer µs arithmetic keeps both engines
+    bit-equal with no rounding step.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60).cast("bigint") * F.lit(1000000)
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_in_island"),
+        (F.max("e") - F.min("s")).alias("island_span"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_in_island").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("island_span").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
