@@ -372,3 +372,82 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_prev + F.col("n_tokens")).cast("long").alias("cum_tokens"),
         F.when(cum_prev < budget, 1).otherwise(0).alias("kept"),
     )
+
+
+@register(
+    "agg_entropy_diversity",
+    # -p·ln(p) per (source, lang) cell is grid-floored at 1e-6 BEFORE
+    # the per-source sum (the text_unigram_logprob recipe): ln() ulp
+    # drift can't move the floor, and the decimal sum is exact
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, lang, n,
+             SUM(n) OVER (PARTITION BY source) AS n_src,
+             COUNT(*) OVER (PARTITION BY source) AS n_langs
+      FROM cells
+    ), terms AS (
+      SELECT source, n, n_langs,
+             CAST(floor(-(CAST(n AS DOUBLE) / n_src
+                          * ln(CAST(n AS DOUBLE) / n_src)) * 1000000)
+                  / 1000000 AS DECIMAL(18,6)) AS term
+      FROM tot
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n_langs) AS BIGINT) AS n_langs,
+           floor(CAST(SUM(term) AS DOUBLE) * 10000 + 0.5) / 10000 AS entropy_nats,
+           floor(CAST(CASE WHEN MAX(n_langs) > 1
+                           THEN CAST(SUM(term) AS DOUBLE)
+                                / ln(CAST(MAX(n_langs) AS DOUBLE))
+                           ELSE 0.0 END AS DOUBLE) * 10000 + 0.5) / 10000
+             AS norm_entropy
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def agg_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity report: Shannon entropy (nats) of
+    the language distribution plus entropy normalized by ln(#langs) —
+    the standard training-mix diversity gauge (a 0.0 means a
+    single-language source, 1.0 a perfectly balanced one).
+
+    Scale: one hash aggregate over the corpus to |source|×|lang|
+    cells; entropy terms and totals are windows/aggregates on that
+    tiny grain. The corpus is touched exactly once.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("source")
+    tot = cells.select(
+        "source",
+        "n",
+        F.sum("n").over(w_src).alias("n_src"),
+        F.count(F.lit(1)).over(w_src).alias("n_langs"),
+    )
+    p = F.col("n").cast("double") / F.col("n_src")
+    terms = tot.select(
+        "source",
+        "n",
+        "n_langs",
+        (F.floor(-(p * F.log(p)) * F.lit(1000000)) / F.lit(1000000))
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    ent = F.sum("term").cast("double")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            pround(ent).alias("entropy_nats"),
+            pround(
+                F.when(
+                    F.max("n_langs") > 1,
+                    ent / F.log(F.max("n_langs").cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -99,3 +99,18 @@ def test_token_budget_greedy_cut(spark, sf_dir):
     for r in rows:
         run += r.n_tokens
         assert r.cum_tokens == run
+
+
+def test_entropy_matches_numpy(spark, sf_dir, tables):
+    import numpy as np
+
+    from algebraicdb_spark.operators.mixing import agg_entropy_diversity
+
+    got = {r["source"]: r for r in agg_entropy_diversity(spark, sf_dir).collect()}
+    pdf = tables["documents"].groupBy("source", "lang").count().toPandas()
+    for source, grp in pdf.groupby("source"):
+        p = grp["count"].to_numpy() / grp["count"].sum()
+        h = float(-(p * np.log(p)).sum())
+        assert abs(got[source]["entropy_nats"] - h) < 1e-3
+        assert 0.0 <= got[source]["norm_entropy"] <= 1.0 + 1e-9
+        assert got[source]["n_langs"] == len(grp)
