@@ -672,3 +672,61 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "time_weighted_avg",
+    # value is floored to integer cents (exact both engines), weights
+    # are integer µs gaps, so the weighted sum is an exact decimal —
+    # the only doubles are two final identical-operand divisions
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(t_next - t) AS BIGINT) AS span_us,
+           floor(CAST(CAST(SUM(CAST(FLOOR(value * 100) AS DECIMAL(38,0))
+                                * (t_next - t)) AS DOUBLE) / 100
+                      / CAST(SUM(t_next - t) AS DOUBLE) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS twap
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (TWAP): each reading
+    is weighted by how long it was current (gap to the next event).
+    The sensor-data / position-marking workhorse a plain AVG gets
+    wrong whenever sampling is irregular.
+
+    Scale: one shuffle on user_id for the lead() window, then a hash
+    aggregate on the same partitioning — the second stage is
+    shuffle-free. State is one row of lookahead, never a history.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).withColumn("t_next", F.lead("t").over(w))
+    dt = F.col("t_next") - F.col("t")
+    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dt).alias("span_us"),
+            pround(
+                (F.sum(cents * dt).cast("double") / F.lit(100))
+                / F.sum(dt).cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
