@@ -1,14 +1,15 @@
 """Table registry: the single place every reader goes through.
 
 Loads the ten fixture tables (FIXTURES.md) from a scale-factor
-directory, fixes the one ingestion quirk (``events.ts`` is parquet
-TIMESTAMP(NANOS) which Spark 4 refuses by default), and registers temp
-views so both the DataFrame API and ``spark.sql`` see the same
-catalog.
+directory, normalizes timestamp ingestion quirks across fixture
+generations, and registers temp views so both the DataFrame API and
+``spark.sql`` see the same catalog.
 
-The nanos fix (FIXTURES.md "TIMESTAMP(NANOS) quirk"): with
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
-bigint nanoseconds; we expose
+Timestamp normalization (FIXTURES.md "regeneration" note): plain
+``timestamp[us]`` parquet arrives as TIMESTAMP_NTZ → cast to UTC
+TIMESTAMP; legacy TIMESTAMP(NANOS) parquet arrives (under
+``spark.sql.legacy.parquet.nanosAsLong=true``) as bigint nanoseconds.
+Either way ``events`` exposes
 
     ts      TIMESTAMP  -- truncated to microseconds (Spark's native
                           precision; matches DuckDB comparisons at
@@ -90,6 +91,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     tables: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        df = normalize_timestamps(df)
         if name == "events":
             df = normalize_events(df)
         df.createOrReplaceTempView(name)
@@ -98,11 +100,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    The 2026-08 fixture regeneration stores dates as plain
+    ``timestamp[us]`` parquet (no tz), which Spark 4 surfaces as
+    TIMESTAMP_NTZ. The session tz is pinned UTC, so the cast keeps the
+    wall-clock instant and restores the dtype the whole engine (and the
+    DuckDB oracle comparisons) were written against.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Convert the bigint-nanos ``ts`` to a proper timestamp column."""
-    if dict(df.dtypes).get("ts") != "bigint":
-        return df  # already a timestamp (e.g. future fixture change)
-    # integer DIV, not `/`: float division of int64 nanos loses precision
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    """Expose ``ts`` as TIMESTAMP and ``ts_ns`` as exact BIGINT nanos.
+
+    Handles both fixture generations:
+      - TIMESTAMP(NANOS) parquet read as bigint under
+        ``nanosAsLong=true`` (pre-2026-08 fixtures);
+      - plain ``timestamp[us]`` parquet, which Spark reads as
+        TIMESTAMP_NTZ (current fixtures). Session tz is pinned UTC, so
+        casting NTZ→TIMESTAMP keeps the same wall-clock instant and
+        ``unix_micros*1000`` equals DuckDB's ``epoch_ns(ts)`` exactly.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # integer DIV, not `/`: float division of int64 nanos loses precision
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    if dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))

@@ -48,6 +48,13 @@ def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
         shutil.rmtree(out)
     os.makedirs(out)
     raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    # Stage with bigint-nanos ts regardless of fixture generation
+    # (timestamp[us] or TIMESTAMP(NANOS)-as-long), so the stream schema
+    # below is stable and normalize_events takes its exact-int path.
+    raw = normalize_events(raw).select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
     pdf = raw.toPandas().sort_values("ts")
     per = (len(pdf) + n_files - 1) // n_files
     for i in range(n_files):
