@@ -9,15 +9,17 @@ The tiers, each one scale class up:
     recall proven equal in tests.
   - MinHash+LSH banding: the 100 TB path — constant-size signatures,
     candidates only within equal band buckets; repartition by band key
-    bounds skew. Hash fns are seeded xxhash64 (never Python hash()).
-  - SimHash: 64-bit fingerprint, hamming-bucket join on rotated
-    prefixes; cheapest signature, good for "same doc, tiny edits".
+    bounds skew. Hash fns are md5-derived 60-bit ints (never Python
+    hash()) — deterministic AND engine-portable, so the key is
+    value-hash-verified against the DuckDB oracle.
+  - SimHash: 60-bit fingerprint, hamming-bucket join on 15-bit
+    chunks; cheapest signature, good for "same doc, tiny edits".
   - components: pairwise tiers feed ``connected_components`` (iterative
     min-label propagation) so A~B~C chains resolve to ONE keep-doc.
 
 Quality (recall vs brute force) is asserted in tests/test_dedup.py;
-LSH/SimHash keys are rows-only for the oracle because hash functions
-are engine-specific (SURVEY §5.3.6).
+every tier, including MinHash-LSH and SimHash, is value-hash-verified
+against its DuckDB oracle (md5-based hashing is engine-portable).
 """
 
 from __future__ import annotations
@@ -174,11 +176,72 @@ N_MINHASH = 32  # permutations
 N_BANDS = 16  # → 2 rows per band; P(candidate | J=0.5) = 1-(1-0.25)^16 ≈ 0.99
 
 
-@register("dedup_minhash_lsh")  # rows-only: seeded-hash signatures are engine-specific
+def _mh(seed_expr, s):
+    """Cross-engine 60-bit hash: first 15 hex chars of md5, as BIGINT.
+
+    Identical in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``) — this is what lets
+    the MinHash/SimHash keys be value-hash-verified against the oracle
+    instead of rows-only. 60 bits < 2^63: always positive, no overflow.
+    """
+    return F.conv(F.substring(F.md5(F.concat(seed_expr, s)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(r) - 1),
+                                      i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+           AS shingles
+  FROM raw
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS s FROM toks
+), mh AS (
+  SELECT doc_id, r.range AS i,
+         MIN(CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || s), 1, 15)
+                  AS BIGINT)) AS h
+  FROM tok CROSS JOIN range(32) r
+  GROUP BY doc_id, r.range
+), sig AS (
+  SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, rb.range AS band_idx,
+         CAST('0x' || substr(md5(CAST(sig[2*rb.range + 1] AS VARCHAR) || ',' ||
+                                 CAST(sig[2*rb.range + 2] AS VARCHAR)), 1, 15)
+              AS BIGINT) AS band_hash
+  FROM sig CROSS JOIN range(16) rb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), rer AS (
+  SELECT doc_a, doc_b,
+         floor(CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+               / (len(ta.shingles) + len(tb.shingles)
+                  - len(list_intersect(ta.shingles, tb.shingles)))
+               * 10000 + 0.5) / 10000 AS jaccard
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
-    Per doc: 32 minhashes (seeded xxhash64 over 3-gram shingles),
+    Per doc: 32 minhashes (md5-derived 60-bit hashes over 3-gram
+    shingles — deterministic and engine-portable, so the whole pipeline
+    is value-hash-verified against the DuckDB oracle, not rows-only),
     folded into 16 bands of 2; docs sharing any band bucket become
     candidates; candidates are re-ranked with exact shingle Jaccard
     at the same τ as the exact key.
@@ -194,14 +257,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
-    # 32 minhashes: min over shingles of xxhash64(shingle, seed)
+    # 32 minhashes: min over shingles of the md5-derived 60-bit hash
     sig = toks.select(
         "doc_id",
         F.array(
             *[
                 F.array_min(
                     F.transform(
-                        F.col("tokens"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                        F.col("tokens"), lambda s, i=i: _mh(F.lit(f"{i}:"), s)
                     )
                 )
                 for i in range(N_MINHASH)
@@ -214,8 +277,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    _mh(
+                        F.lit(""),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -254,20 +324,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: hash-based fingerprints
+_SIMHASH_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(r) - 1),
+                                      i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+           AS shingles
+  FROM raw
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS s FROM toks
+), h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT) AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, r.range AS i,
+         CAST(SUM(CASE WHEN (h >> r.range) & 1 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS v
+  FROM h CROSS JOIN range(60) r
+  GROUP BY doc_id, r.range
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, fp, rc.range AS chunk_idx,
+         (fp >> (15 * rc.range)) & 32767 AS chunk
+  FROM fp CROSS JOIN range(4) rc
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints over 3-gram shingles,
-    candidates via equal 16-bit chunks (Hamming ≤ 3 ⇒ ≥1 of 4 chunks
+    """SimHash near-dup: 60-bit fingerprints over 3-gram shingles,
+    candidates via equal 15-bit chunks (Hamming ≤ 3 ⇒ ≥1 of 4 chunks
     equal — pigeonhole), verified by exact popcount.
 
     Shingle features (not tokens): the fixture's shared vocabulary
     makes token-level fingerprints collide for unrelated docs, while
-    shingle sets are sparse. All bit math is JVM-side (xxhash64 +
-    shiftright/bitwise) — no Python in the loop.
+    shingle sets are sparse. All bit math is JVM-side (md5-derived
+    60-bit hashes + shiftright/bitwise — engine-portable, so the key
+    is value-hash-verified against the DuckDB oracle) — no Python in
+    the loop.
     """
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("tok"))
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    h = toks.withColumn("h", _mh(F.lit("s:"), F.col("tok")))
     # per-bit vote: +1 if bit set else -1; simhash bit = sign of sum
     bit_votes = h.select(
         "doc_id",
@@ -275,15 +393,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(60)
         ],
-    ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(60)])
     fingerprint = bit_votes.select(
         "doc_id",
         sum(
             [
                 F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
-                for i in range(63)
+                for i in range(60)
             ],
             F.lit(0).cast("long"),
         ).alias("fp"),
@@ -294,7 +412,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("fp"), 15 * c).bitwiseAND(F.lit(0x7FFF))
                     for c in range(4)
                 ]
             )

@@ -91,10 +91,18 @@ def test_minhash_band_shuffle_is_narrow(spark, sf_dir, qs):
         if "Exchange hashpartitioning" in line and "band_idx" in line:
             # the Generate feeding the band exchange lists its retained
             # passthrough columns — tokens# there means the wide arrays
-            # ride the shuffle (the r1 shape this test pins against)
-            child = lines[i + 1]
-            assert "Generate posexplode" in child
-            assert "tokens#" not in child, child
+            # ride the shuffle (the r1 shape this test pins against).
+            # A null-filter on the join key may sit between them.
+            gen = next(
+                (
+                    lines[j]
+                    for j in range(i + 1, min(i + 4, len(lines)))
+                    if "Generate posexplode" in lines[j]
+                ),
+                None,
+            )
+            assert gen is not None, lines[i : i + 4]
+            assert "tokens#" not in gen, gen
             checked += 1
     assert checked >= 2  # both sides of the band self-join
 
