@@ -553,15 +553,145 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
     return ranks
 
 
-@register("event_pagerank")  # iterative fixpoint — no SQL oracle; pytest
+def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
+                   iters: int = PR_ITERS) -> DataFrame:
+    """Engine-exact PageRank for small graphs (≤ ~10⁴ nodes): the same
+    math as ``pagerank``, but every float reduction is an ORDERED left
+    fold (``aggregate(sort_array(collect_list(...)))``), so the IEEE
+    op sequence — and therefore every result bit — is reproducible by
+    any engine that folds in the same order. The DuckDB oracle unrolls
+    the identical folds (``list(x ORDER BY k)`` + ``list_reduce``).
+    Large graphs use ``pagerank`` (order-free sums, same fixpoint up
+    to summation order)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = norm.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = F.lit((1.0 - damping) / n_nodes)
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(F.col("src"), (F.col("p") * F.col("rank")).alias("term")).alias("st"),
+            )
+            .groupBy("node")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("st")),
+                    F.lit(0.0),
+                    lambda a, x: a + x["term"],
+                ).alias("c")
+            )
+        )
+        dangling = (
+            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("node", "rank"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["rank"],
+                ).alias("dm")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n_nodes)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of ``pagerank_exact`` over the event
+    transition graph: every per-iteration reduction is an ordered
+    ``list_reduce`` left fold matching Spark's
+    ``aggregate(sort_array(...))``, so 25 iterations of double
+    arithmetic land on identical bits."""
+    fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {lst}), (a, b) -> a + b)"
+    parts = [f"""
+WITH tr AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS next_type
+  FROM events
+), edges0 AS MATERIALIZED (
+  SELECT event_type AS src, next_type AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(weight) AS DOUBLE) AS out_w FROM edges0 GROUP BY src
+), edges AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.out_w AS p FROM edges0 e JOIN outw o USING (src)
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+), nn AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""]
+    for k in range(1, iters + 1):
+        c_fold = fold.format(lst="list(e.p * r.rank ORDER BY e.src)")
+        d_fold = fold.format(lst="list(r.rank ORDER BY r.node)")
+        parts.append(f""", c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, {c_fold} AS c
+  FROM edges e JOIN r{k-1} r ON e.src = r.node
+  GROUP BY e.dst
+), d{k} AS MATERIALIZED (
+  SELECT COALESCE({d_fold}, CAST(0 AS DOUBLE)) AS dm
+  FROM r{k-1} r LEFT JOIN (SELECT DISTINCT src FROM edges) s ON r.node = s.src
+  WHERE s.src IS NULL
+), r{k} AS MATERIALIZED (
+  SELECT n.node,
+         -- CAST to DOUBLE first: DuckDB parses 0.85 as DECIMAL, and
+         -- 1 - DECIMAL'0.85' is exact 0.15 — a different double than
+         -- IEEE 1.0-0.85, which Spark (and Python) compute
+         (CAST(1 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST({PR_DAMPING} AS DOUBLE)
+           * (COALESCE(c.c, CAST(0 AS DOUBLE))
+              + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank
+FROM r{iters} ORDER BY rank DESC, node""")
+    return "".join(parts)
+
+
+@register("event_pagerank", oracle=_pagerank_oracle())
 def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (edges = per-user
     consecutive event pairs, weighted by transition count).
 
     The graph derivation is the transition-matrix shape (one user_id
-    window shuffle, then a |types|² aggregate); the rank loop is the
-    generic distributed ``pagerank`` above. Ranks are pround-ed and
-    totally ordered so output is stable run to run."""
+    window shuffle, then a |types|² aggregate); the rank loop is
+    ``pagerank_exact`` — ordered-fold reductions over this small node
+    set (event types), bit-reproducible by the unrolled-CTE DuckDB
+    oracle, so the key is value-hash-verified rather than rows-only.
+    The generic order-free ``pagerank`` is the large-graph tier; both
+    are pinned against a dense numpy power iteration in
+    tests/test_pagerank.py. Ranks are pround-ed and totally ordered so
+    output is stable run to run."""
     e = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     edges = (
@@ -571,7 +701,7 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
-    ranks = pagerank(edges)
+    ranks = pagerank_exact(edges)
     return ranks.select(
         "node", pround(F.col("rank"), 6).alias("rank")
     ).orderBy(F.desc("rank"), "node")
