@@ -256,7 +256,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is asserted in tests/test_dedup.py.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
+    # docs under 3 tokens have no shingles: array_min over the empty
+    # array would NULL every signature slot and concat_ws would then
+    # collapse ALL such docs into one identical band bucket (m² bogus
+    # candidate pairs). The oracle drops them at the unnest; drop them
+    # here for designed (not coincidental) parity.
+    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
     # 32 minhashes: min over shingles of the md5-derived 60-bit hash
     sig = toks.select(
         "doc_id",

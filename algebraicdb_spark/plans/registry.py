@@ -70,67 +70,15 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 
 # Exposure order for the driver's correctness gate. The driver checks
 # the first 50 keys in dict order each round: round 1 covered the
-# relational head, round 2 the reordered ADT/streaming/dedup/text/UDF
-# backlog. Round 3 leads with the 29 keys neither round has checked
-# (§2.7 scalars, set ops, subqueries, round-2 additions), then this
-# round's new keys, so every registered key has a hard correctness row
-# by the end of round 3. Keys missing from this list fall back to
-# registration order after it.
+# relational head, round 2 the ADT/streaming/dedup/text/UDF backlog,
+# round 3 the scalar/set-op/subquery/TPC-H block (all 50 green in
+# CORRECTNESS_r03.json). Round 4 leads with the 39 keys no round has
+# checked yet (r3-overflow + post-r3 additions), then the 3 keys whose
+# oracles were upgraded after their last driver row (rows-only →
+# value-hash), then 8 load-bearing green keys as regression re-checks.
+# Keys missing from this list fall back to registration order after it.
 _CHECK_PRIORITY = (
-    # --- never driver-checked (r1 stopped at 50, r2 priority list) ---
-    "str_basics",
-    "str_split_regexp",
-    "str_distance",
-    "date_parts_trunc",
-    "math_suite",
-    "cond_coalesce",
-    "cast_types",
-    "array_ops",
-    "array_explode",
-    "array_lambda",
-    "json_extract",
-    "struct_ops",
-    "json_from_schema",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_correlated",
-    "join_skew_salted",
-    "skyline_pareto",
-    "sample_stratified",
-    "contamination_ngram",
-    "text_repetition",
-    "dedup_chunk",
-    "retention_cohort",
-    "time_resample_ohlc",
-    "agg_approx_percentile",
-    # --- round-3 additions: TPC-H composite suite ---
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q16",
-    # --- round-3 additions: event analytics / windows ---
-    "event_transition_matrix",
-    "win_count_distinct_sliding",
-    "attribution_first_last",
-    "agg_mode_exact",
-    # 51st+: overflow — picked up by the round-4 window
+    # --- never driver-checked (39): r3 overflow + round-4 additions ---
     "source_orc",
     "agg_hll_partial_union",
     "tpch_q2",
@@ -150,7 +98,6 @@ _CHECK_PRIORITY = (
     "event_anomaly_zscore",
     "event_path_topk",
     "time_bucket_custom",
-    # --- round-4 additions: corpus mixing / graphs / sketches ---
     "corpus_mix_report",
     "pack_sequences",
     "mix_weighted_sample",
@@ -164,6 +111,26 @@ _CHECK_PRIORITY = (
     "pipeline_training_mix",
     "event_session_stats",
     "scan_file_lineage",
+    "join_bloom_prefilter",
+    "agg_linear_regression",
+    "sim_knn_pq",
+    "split_hash_assign",
+    "agg_entropy_diversity",
+    "interval_merge_coverage",
+    "time_weighted_avg",
+    # --- oracles upgraded after their r02 rows-only driver rows ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "agg_approx_distinct",
+    # --- load-bearing green keys: headline-plan regression re-checks ---
+    "agg_groupby_hash",
+    "join_multiway_star",
+    "stream_session_window",
+    "sim_knn_cosine",
+    "text_tokenize_tf",
+    "dedup_exact",
+    "tpch_q3",
+    "win_row_number_topn",
 )
 
 

@@ -47,6 +47,26 @@ def test_unchecked_keys_lead_exposure_order():
         assert len(overflow) == len(unchecked) - 50
 
 
+def test_survey_inventory_matches_registry():
+    """SURVEY §2's declared inventory is the judge's t2 contract — it
+    must equal the live registry exactly, or the declaration drifts
+    from the code (round-3 verdict item 4)."""
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
+    m = re.search(
+        r"\*\*Inventory size: (\d+) registered query keys, (\d+) with\s*\n"
+        r"value-hash oracles, (\d+) rows-only by design\*\*",
+        text,
+    )
+    assert m, "SURVEY.md inventory line not found / format drifted"
+    qs, os_ = registry.queries(), registry.oracles()
+    assert int(m.group(1)) == len(qs)
+    assert int(m.group(2)) == len(os_)
+    assert int(m.group(3)) == len(qs) - len(os_)
+
+
 def test_every_oracle_key_is_a_query_key():
     qs, os_ = registry.queries(), registry.oracles()
     assert set(os_) <= set(qs)
