@@ -77,6 +77,21 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<action>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^ADD\s+COLUMN\s+(?P<col>\w+)\s*(?::\s*|\s+)(?P<type>\w+)"
+    r"(?:\s+DEFAULT\s+(?P<default>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE
+)
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN"
     r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE))?"

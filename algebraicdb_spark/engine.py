@@ -40,6 +40,10 @@ from algebraicdb_spark.dialect import (
     rewrite_patterns,
 )
 from algebraicdb_spark.dialect import (
+    _ALTER_ADD_RE,
+    _ALTER_DROP_RE,
+    _ALTER_RENAME_RE,
+    _ALTER_TABLE_RE,
     _CREATE_MATVIEW_RE,
     _CREATE_TABLE_RE,
     _CTAS_RE,
@@ -53,7 +57,9 @@ from algebraicdb_spark.dialect import (
     _REFRESH_MATVIEW_RE,
     _SHOW_TABLES_RE,
     _UPDATE_RE,
+    _value_expr,
     parse_update_sets,
+    spark_type,
 )
 from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
 from algebraicdb_spark.session import get_spark
@@ -136,6 +142,8 @@ class Engine:
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
             return None
+        if _ALTER_TABLE_RE.match(stmt):
+            return self._alter_table_stmt(stmt)
         if _CREATE_MATVIEW_RE.match(stmt):
             m = _CREATE_MATVIEW_RE.match(stmt)
             return self._create_matview(m.group("name"), m.group("query"))
@@ -249,6 +257,75 @@ class Engine:
         empty = self.spark.createDataFrame([], td.schema_ddl())
         empty.createOrReplaceTempView(td.name)
         self._tables[td.name] = td
+
+    def _alter_table_stmt(self, stmt: str) -> None:
+        """ALTER TABLE t ADD COLUMN c: Type [DEFAULT expr] | DROP
+        COLUMN c | RENAME COLUMN a TO b — lowered to a projected view
+        replacement (the same mechanism as UPDATE/CTAS), with the
+        catalog entry updated so later patterns/DESCRIBE/save_catalog
+        see the new shape. Works on dialect tables and on any attached
+        view (fixture tables auto-register a TableDef on first ALTER).
+        Existing rows get the DEFAULT (or NULL) for an added column —
+        pairing with evolution-on-read (`source_schema_evolution`),
+        which handles the same widening at the parquet scan."""
+        m = _ALTER_TABLE_RE.match(stmt)
+        name, action = m.group("name"), m.group("action").strip()
+        td = self._tables.get(name)
+        if td is None:
+            try:
+                fields = self.spark.table(name).schema.fields
+            except Exception as exc:
+                raise AdtError(f"ALTER TABLE: unknown table {name!r}") from exc
+            td = TableDef(name, {f.name: f.dataType.simpleString() for f in fields})
+            self._tables[name] = td
+
+        if am := _ALTER_ADD_RE.match(action):
+            col, tname = am.group("col"), am.group("type")
+            if col in td.columns:
+                raise AdtError(f"ALTER TABLE {name}: column {col!r} already exists")
+            typ: str | AdtType = self._types.get(tname, spark_type(tname))
+            ddl = typ.schema_ddl() if isinstance(typ, AdtType) else typ
+            if am.group("default") is not None:
+                value = _value_expr(am.group("default").strip(), typ, self._types)
+            else:
+                value = f"CAST(NULL AS {ddl})"
+            widened = self.spark.sql(
+                f"SELECT *, {value} AS {col} FROM {name}"
+            )
+            widened.createOrReplaceTempView(name)
+            td.columns[col] = typ
+        elif dm := _ALTER_DROP_RE.match(action):
+            col = dm.group("col")
+            if col not in td.columns:
+                raise AdtError(f"ALTER TABLE {name}: unknown column {col!r}")
+            if len(td.columns) == 1:
+                raise AdtError(f"ALTER TABLE {name}: cannot drop the only column")
+            kept = [c for c in td.columns if c != col]
+            self.spark.sql(
+                f"SELECT {', '.join(kept)} FROM {name}"
+            ).createOrReplaceTempView(name)
+            del td.columns[col]
+        elif rm := _ALTER_RENAME_RE.match(action):
+            old, new = rm.group("old"), rm.group("new")
+            if old not in td.columns:
+                raise AdtError(f"ALTER TABLE {name}: unknown column {old!r}")
+            if new in td.columns:
+                raise AdtError(f"ALTER TABLE {name}: column {new!r} already exists")
+            items = [
+                f"{c} AS {new}" if c == old else c for c in td.columns
+            ]
+            self.spark.sql(
+                f"SELECT {', '.join(items)} FROM {name}"
+            ).createOrReplaceTempView(name)
+            td.columns = {
+                (new if c == old else c): t for c, t in td.columns.items()
+            }
+        else:
+            raise AdtError(
+                f"unsupported ALTER TABLE action: {action!r} (supported: "
+                "ADD COLUMN c: Type [DEFAULT expr], DROP COLUMN c, "
+                "RENAME COLUMN a TO b)"
+            )
 
     def _insert_stmt(self, stmt: str) -> None:
         name = _INSERT_RE.match(stmt).group("name")

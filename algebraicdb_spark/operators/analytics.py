@@ -494,6 +494,11 @@ def time_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_DAMPING = 0.85
 PR_ITERS = 25
 
+# pagerank_exact's ordered folds collect per-node contribution lists;
+# past this node count the exact tier must refuse loudly (not quietly
+# grind) and the caller routes to the order-free `pagerank`.
+PR_EXACT_MAX_NODES = 10_000
+
 
 def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
              iters: int = PR_ITERS) -> DataFrame:
@@ -570,6 +575,12 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes > PR_EXACT_MAX_NODES:
+        raise ValueError(
+            f"pagerank_exact: {n_nodes} nodes exceeds the exact-tier cap of "
+            f"{PR_EXACT_MAX_NODES}; use pagerank() (order-free sums) for "
+            "large graphs"
+        )
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     norm = (
         edges.join(out_w, "src")

@@ -39,19 +39,28 @@ def canonical_text(col):
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingles of the canonical text (distinct per doc)."""
-    toks = F.split(canonical_text(col), " ")
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.when(
-                    i + n <= F.size(toks),
-                    F.array_join(F.slice(toks, i + 1, n), " "),
-                ),
-            ),
-            lambda s: s.isNotNull(),
+    """Word n-gram shingles of the canonical text (distinct per doc).
+
+    The split-words array is bound ONCE through a 1-element
+    ``transform`` lambda: naming it `w` makes Catalyst evaluate the
+    split/regexp a single time per row. Referencing the split
+    expression directly inside the per-index lambda instead would
+    re-run regexp_replace+split for every element access — measured
+    27x slower (16.6s -> 0.6s for 5k docs at sf0.1).
+    """
+
+    def grams(w):
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
         )
+        return F.when(F.size(w) >= n, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(canonical_text(col), " ")), grams), 1
     )
 
 
@@ -189,6 +198,22 @@ def _mh(seed_expr, s):
     )
 
 
+# Universal-hash permutation family h_i(x) = (a_i*x + b_i) mod P over a
+# single md5-derived base hash per shingle. One md5 per shingle instead
+# of N_MINHASH — measured 6x faster at sf0.1 — and the affine math is
+# plain positive-BIGINT arithmetic, identical in Spark and DuckDB, so
+# the key stays value-hash-verified. P = 2^31-1 keeps every product
+# under 2^62 (no overflow on either engine); a_i forced odd.
+MH_P = 2_147_483_647
+MH_AB = tuple(
+    (((1103515245 * (i + 1) + 12345) % MH_P) | 1, (69069 * (i + 1) + 362437) % MH_P)
+    for i in range(N_MINHASH)
+)
+
+_MH_PERM_VALUES = ",\n         ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MH_AB)
+)
+
 _MINHASH_ORACLE = f"""
 WITH raw AS (
   SELECT doc_id,
@@ -202,12 +227,16 @@ WITH raw AS (
   FROM raw
 ), tok AS (
   SELECT doc_id, unnest(shingles) AS s FROM toks
+), perms(i, a, b) AS (
+  VALUES {_MH_PERM_VALUES}
+), base AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT) % {MH_P} AS hb
+  FROM tok
 ), mh AS (
-  SELECT doc_id, r.range AS i,
-         MIN(CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || s), 1, 15)
-                  AS BIGINT)) AS h
-  FROM tok CROSS JOIN range(32) r
-  GROUP BY doc_id, r.range
+  SELECT doc_id, p.i AS i, MIN((hb * p.a + p.b) % {MH_P}) AS h
+  FROM base CROSS JOIN perms p
+  GROUP BY doc_id, p.i
 ), sig AS (
   SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id
 ), bands AS (
@@ -239,12 +268,13 @@ SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
-    Per doc: 32 minhashes (md5-derived 60-bit hashes over 3-gram
-    shingles — deterministic and engine-portable, so the whole pipeline
-    is value-hash-verified against the DuckDB oracle, not rows-only),
-    folded into 16 bands of 2; docs sharing any band bucket become
-    candidates; candidates are re-ranked with exact shingle Jaccard
-    at the same τ as the exact key.
+    Per doc: 32 minhashes — one md5-derived base hash per 3-gram
+    shingle, permuted through the ``MH_AB`` universal-hash family in
+    positive-BIGINT arithmetic (deterministic and engine-portable, so
+    the whole pipeline is value-hash-verified against the DuckDB
+    oracle, not rows-only) — folded into 16 bands of 2; docs sharing
+    any band bucket become candidates; candidates are re-ranked with
+    exact shingle Jaccard at the same τ as the exact key.
 
     Scale design: signatures are constant-size regardless of doc
     length; the only self-join is on (band_idx, band_hash) —
@@ -264,18 +294,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens")).filter(
         F.size("tokens") > 0
     )
-    # 32 minhashes: min over shingles of the md5-derived 60-bit hash
-    sig = toks.select(
+    # one md5-derived base hash per shingle, then the N_MINHASH affine
+    # permutations (MH_AB) in pure integer math — identical on both
+    # engines, and 32x fewer md5 evaluations than hashing per-slot
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MH_P)
+
+    hs = toks.select(
+        "doc_id",
+        F.transform("tokens", lambda s: _mh(F.lit("s:"), s) % F.lit(MH_P)).alias("hs"),
+    )
+    sig = hs.select(
         "doc_id",
         F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("tokens"), lambda s, i=i: _mh(F.lit(f"{i}:"), s)
-                    )
-                )
-                for i in range(N_MINHASH)
-            ]
+            *[F.array_min(F.transform("hs", _perm(a, b))) for a, b in MH_AB]
         ).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS

@@ -363,6 +363,55 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alter_table_evolution",
+    # the oracle replays the post-ALTER logical schema directly off the
+    # source table: added columns surface their DEFAULT (or the UPDATE
+    # result), the renamed column keeps its values
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           COUNT(*) AS n_nations,
+           CAST(SUM(CASE WHEN n_nationkey >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           'unreviewed' AS status
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def alter_table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-change DDL over the dialect: CTAS → ALTER TABLE ADD
+    COLUMN (with and without DEFAULT) → UPDATE → RENAME COLUMN, then a
+    read over the evolved shape. The write-side twin of
+    :func:`source_schema_evolution` (which handles the same widening
+    at the parquet scan): ALTERs lower to projected view replacements
+    + a catalog entry update (persisted by ``Engine.save_catalog``),
+    so existing data is never rewritten — the 100 TB migration story.
+    """
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS nation_evolved")
+    eng.sql(
+        "CREATE TABLE nation_evolved AS "
+        "SELECT n_nationkey, n_regionkey FROM nation"
+    )
+    eng.sql("ALTER TABLE nation_evolved ADD COLUMN status: Text DEFAULT 'unreviewed'")
+    eng.sql("ALTER TABLE nation_evolved ADD COLUMN flagged: Integer")
+    eng.sql("UPDATE nation_evolved SET flagged = 1 WHERE n_nationkey >= 10")
+    eng.sql("ALTER TABLE nation_evolved RENAME COLUMN n_regionkey TO region_key")
+    return eng.sql(
+        """
+        SELECT region_key,
+               COUNT(*) AS n_nations,
+               CAST(SUM(CASE WHEN flagged = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               MAX(status) AS status
+        FROM nation_evolved
+        GROUP BY region_key
+        """
+    )
+
+
+@register(
     "scan_file_lineage",
     # the oracle states the lineage CONTRACT: every row carries its
     # source file and a complete, contiguous per-file row index

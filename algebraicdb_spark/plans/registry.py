@@ -118,6 +118,7 @@ _CHECK_PRIORITY = (
     "agg_entropy_diversity",
     "interval_merge_coverage",
     "time_weighted_avg",
+    "alter_table_evolution",
     # --- oracles upgraded after their r02 rows-only driver rows ---
     "dedup_minhash_lsh",
     "dedup_simhash",

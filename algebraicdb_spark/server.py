@@ -72,6 +72,7 @@ _MUTATION_RES = (
     dialect._DELETE_RE,
     dialect._UPDATE_RE,
     dialect._DROP_TABLE_RE,
+    dialect._ALTER_TABLE_RE,
     dialect._CREATE_MATVIEW_RE,
     dialect._REFRESH_MATVIEW_RE,
     dialect._DROP_MATVIEW_RE,

@@ -46,6 +46,17 @@ HEADLINE = [
     "stream_session_window",
 ]
 
+# Slowest non-headline keys: timed (1 warmup + 1 run) and reported in
+# a separate "extra_queries" field so regressions in the wider surface
+# show up in the per-round artifact. NOT part of "value" — the
+# headline total stays comparable against BASELINE.md's query set.
+EXTRAS = [
+    "event_pagerank",
+    "corpus_mix_report",
+    "tpch_q21",
+    "dedup_minhash_lsh",
+]
+
 
 def main() -> None:
     from algebraicdb_spark.plans import registry
@@ -67,6 +78,13 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[key] = round(statistics.median(runs), 4)
 
+    extras: dict[str, float] = {}
+    for key in EXTRAS:
+        materialize(qs[key](spark, SF_DIR))  # warmup (untimed)
+        t0 = time.time()
+        materialize(qs[key](spark, SF_DIR))
+        extras[key] = round(time.time() - t0, 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -79,6 +97,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": sf_val,
             }
         )

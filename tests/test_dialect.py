@@ -352,6 +352,69 @@ class TestIntrospection:
         assert [r.code for r in rows] == ["CLEAN"]
 
 
+class TestAlterTable:
+    def test_add_column_with_default_and_null(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE alt_t (id: Integer, v: Double)")
+        eng2.sql("INSERT INTO alt_t VALUES (1, 10.0), (2, 20.0)")
+        eng2.sql("ALTER TABLE alt_t ADD COLUMN tag: Text DEFAULT 'old'")
+        eng2.sql("ALTER TABLE alt_t ADD COLUMN score: Double")
+        rows = eng2.sql("SELECT * FROM alt_t ORDER BY id").collect()
+        assert [tuple(r) for r in rows] == [(1, 10.0, "old", None), (2, 20.0, "old", None)]
+        # new inserts must supply every column, including the added ones
+        eng2.sql("INSERT INTO alt_t VALUES (3, 30.0, 'new', 0.5)")
+        assert eng2.table("alt_t").count() == 3
+        desc = {r.column_name: r.type for r in eng2.sql("DESCRIBE alt_t").collect()}
+        assert desc["tag"] == "string" and desc["score"] == "double"
+        eng2.sql("DROP TABLE alt_t")
+
+    def test_add_adt_column_with_constructor_default(self, eng):
+        eng.sql("CREATE TABLE alt_adt AS SELECT id FROM shapes")
+        eng.sql("ALTER TABLE alt_adt ADD COLUMN s2: Shape DEFAULT Circle(9.0)")
+        rows = eng.sql("SELECT id, r FROM alt_adt WHERE s2: Circle(r)").collect()
+        assert all(r.r == 9.0 for r in rows) and len(rows) == eng.table("alt_adt").count()
+        eng.sql("DROP TABLE alt_adt")
+
+    def test_drop_and_rename_column(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE alt_dr (a: Integer, b: Integer, c: Integer)")
+        eng2.sql("INSERT INTO alt_dr VALUES (1, 2, 3)")
+        eng2.sql("ALTER TABLE alt_dr DROP COLUMN b")
+        eng2.sql("ALTER TABLE alt_dr RENAME COLUMN c TO z")
+        rows = eng2.sql("SELECT * FROM alt_dr").collect()
+        assert [tuple(r) for r in rows] == [(1, 3)]
+        assert list(eng2.table("alt_dr").columns) == ["a", "z"]
+        with pytest.raises(AdtError, match="unknown column"):
+            eng2.sql("ALTER TABLE alt_dr DROP COLUMN b")
+        with pytest.raises(AdtError, match="already exists"):
+            eng2.sql("ALTER TABLE alt_dr RENAME COLUMN a TO z")
+        eng2.sql("DROP TABLE alt_dr")
+
+    def test_alter_errors(self, spark):
+        eng2 = Engine(spark)
+        with pytest.raises(AdtError, match="unknown table"):
+            eng2.sql("ALTER TABLE nope_missing ADD COLUMN x: Integer")
+        eng2.sql("CREATE TABLE alt_e (only_col: Integer)")
+        with pytest.raises(AdtError, match="only column"):
+            eng2.sql("ALTER TABLE alt_e DROP COLUMN only_col")
+        with pytest.raises(AdtError, match="unsupported ALTER"):
+            eng2.sql("ALTER TABLE alt_e SET SOMETHING = 1")
+        eng2.sql("DROP TABLE alt_e")
+
+    def test_altered_schema_survives_catalog_roundtrip(self, spark, tmp_path):
+        a = Engine(spark)
+        a.sql("CREATE TABLE alt_p (id: Integer)")
+        a.sql("ALTER TABLE alt_p ADD COLUMN note: Text DEFAULT 'x'")
+        p = str(tmp_path / "cat.json")
+        a.save_catalog(p)
+        a.sql("DROP TABLE alt_p")
+        b = Engine(spark)
+        b.load_catalog(p)
+        desc = {r.column_name: r.type for r in b.sql("DESCRIBE alt_p").collect()}
+        assert desc == {"id": "bigint", "note": "string"}
+        b.sql("DROP TABLE alt_p")
+
+
 class TestMaterializedViews:
     def test_snapshot_then_refresh(self, spark, tables):
         eng2 = Engine(spark)

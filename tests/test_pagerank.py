@@ -43,6 +43,24 @@ def test_pagerank_matches_numpy_with_dangling(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_exact_refuses_large_graphs(spark):
+    """The ordered-fold exact tier must refuse loudly past its node cap
+    instead of silently grinding — large graphs belong to pagerank()."""
+    import pytest
+
+    from algebraicdb_spark.operators.analytics import (
+        PR_EXACT_MAX_NODES,
+        pagerank_exact,
+    )
+
+    n = PR_EXACT_MAX_NODES + 1
+    edges = spark.range(n).selectExpr(
+        "id AS src", f"(id + 1) % {n} AS dst", "CAST(1 AS DOUBLE) AS weight"
+    )
+    with pytest.raises(ValueError, match="exact-tier cap"):
+        pagerank_exact(edges)
+
+
 def test_event_pagerank_is_a_distribution(spark, sf_dir):
     rows = event_pagerank(spark, sf_dir).collect()
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-3
