@@ -164,6 +164,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 − distinct/total over word bigrams and trigrams, plus the gate
     flag. Pure projection — zero shuffles, fully codegen'd."""
     d = load_tables(spark, sf_dir)["documents"]
+    return repetition_scores(d.filter(F.col("doc_id") % 6 == 0))
+
+
+def repetition_scores(d: DataFrame) -> DataFrame:
+    """Repetition projection over any (doc_id, text) DataFrame —
+    split out so the <2-token zero-guard is unit-testable against the
+    oracle on synthetic degenerate docs."""
     toks = F.split(canonical_text(F.col("text")), " ")
     bi, tri = gram_multiset(toks, 2), gram_multiset(toks, 3)
     # zero-guard: a <2-token doc has no bigrams; 0/0 is NULL in Spark
@@ -172,7 +179,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(g) > 0,
         (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g),
     )
-    return d.filter(F.col("doc_id") % 6 == 0).select(
+    return d.select(
         "doc_id",
         F.size(bi).alias("n_bigrams"),
         pround(dup(bi)).alias("dup_bigram_ratio"),

@@ -54,6 +54,46 @@ def test_repetition_ratios_bounded(spark, sf_dir):
         assert r["dup_trigram_ratio"] <= r["dup_bigram_ratio"] + 0.1
 
 
+def test_repetition_zero_bigram_doc_matches_oracle(spark):
+    """A <2-token doc has zero bigrams: Spark's 0/0 would be NULL but
+    DuckDB's is NaN, so both sides must short-circuit to NULL via the
+    size()>0 guard. Latent at sf0.01 (no degenerate doc in the
+    fixture) — pinned here on synthetic docs, both engines compared."""
+    import math
+
+    import duckdb
+
+    from algebraicdb_spark.operators.corpus import repetition_scores
+    from algebraicdb_spark.plans import registry
+
+    docs = [(0, "solo"), (6, ""), (12, "a b a b a b"), (18, "x y")]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.dup_bigram_ratio, r.dup_trigram_ratio, r.repetitive)
+        for r in repetition_scores(sdf).collect()
+    }
+    # degenerate docs: NULL ratios (never NaN), not repetitive
+    assert got[0] == (0, None, None, 0)
+    assert got[6] == (0, None, None, 0)
+    assert got[12][1] > 0.5 and got[12][3] == 1
+    assert got[18] == (1, 0.0, None, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") t(doc_id, text)"
+    )
+    oracle = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(registry.oracles()["text_repetition"]).fetchall()
+    }
+    for doc_id, vals in got.items():
+        o = oracle[doc_id]
+        assert not any(isinstance(v, float) and math.isnan(v) for v in o), o
+        assert vals == o, f"doc {doc_id}: spark={vals} oracle={o}"
+
+
 def test_chunk_dedup_flags_exact_duplicates(spark, sf_dir, tables):
     from algebraicdb_spark.operators.corpus import dedup_chunk
     from algebraicdb_spark.operators.dedup import canonical_text

@@ -128,6 +128,51 @@ def test_foreach_batch_parquet_sink(spark, events_stream, tmp_path):
     assert rows_set(got, cols) == rows_set(want, cols)
 
 
+SF_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def src_dir_sf001(spark):
+    return engine.stage_event_files(spark, SF_001, n_files=4)
+
+
+def test_stream_equivalence_at_sf001(spark, src_dir_sf001):
+    """Batch≡stream at a 10x larger scale factor than the default suite
+    (sf0.01, ~10x the events): the strongest correctness statement
+    available while the driver's oracle can't replay streams. Covers
+    the three stateful shapes — tumbling window, session window,
+    watermarked dedup — against the hash-verified batch keys."""
+    from algebraicdb_spark.streaming.batch_equiv import (
+        stream_session_window,
+        stream_tumbling_agg,
+    )
+
+    s = engine.read_events_stream(spark, src_dir_sf001)
+    got_t = engine.run_to_memory(
+        engine.tumbling_agg(s), "t01_tumbling", output_mode="complete"
+    )
+    cols_t = ["window_start_s", "event_type", "n_events", "sum_value"]
+    assert rows_set(got_t, cols_t) == rows_set(
+        stream_tumbling_agg(spark, SF_001), cols_t
+    )
+
+    s = engine.read_events_stream(spark, src_dir_sf001)
+    got_s = engine.run_to_memory(
+        engine.session_agg(s), "t01_session", output_mode="complete"
+    )
+    cols_s = ["user_id", "session_start_us", "n_events", "sum_value"]
+    assert rows_set(got_s, cols_s) == rows_set(
+        stream_session_window(spark, SF_001), cols_s
+    )
+
+    s = engine.read_events_stream(spark, src_dir_sf001)
+    got_d = engine.run_to_memory(
+        engine.dedup_watermarked(s), "t01_dedup", output_mode="append"
+    )
+    n_input = spark.read.parquet(f"{SF_001}/events.parquet").count()
+    assert got_d.count() == got_d.select("event_id").distinct().count() == n_input
+
+
 def _tws_available() -> bool:
     # transformWithStateInPandas talks to its state server over
     # protobuf; this container lacks google.protobuf (no installs) —
