@@ -374,6 +374,71 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature for mix flattening: q_s ∝ p_s^(1/T) with T=2, i.e.
+# sqrt(p). sqrt is IEEE-754 correctly rounded on every engine, so the
+# whole pipeline stays bit-portable without grid tricks on the power
+# itself; an arbitrary T would use pow() + the 1e-9 grid-floor below.
+MIX_TEMPERATURE = 2.0
+_Q_GRID = 10**9  # grid-floor the sqrt terms so the normalizer sums exactly
+
+
+@register(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(SUM({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), p AS (
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
+                        * {_Q_GRID}.0) AS BIGINT) AS q_grid
+      FROM per
+    )
+    SELECT source, n_tokens,
+           {pround_sql('share', 6)} AS token_share,
+           {pround_sql(f'CAST(q_grid AS DOUBLE) / SUM(q_grid) OVER ()', 6)}
+             AS temp_share,
+           {pround_sql(f'CAST(q_grid AS DOUBLE) / SUM(q_grid) OVER () / share', 6)}
+             AS upsample_factor
+    FROM p
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mix weights: q_s ∝ p_s^(1/T) over the
+    per-source token shares — the standard reweighting that flattens a
+    head-heavy corpus toward the tail (T>1) before sampling; reports
+    the natural share, the temperature share, and the per-source
+    upsample factor q/p a sampler would apply.
+
+    Scale: one corpus hash aggregation to |sources| rows; shares and
+    the normalizer are windows on that aggregated grain. Determinism:
+    with T=2 the power is sqrt (correctly rounded per IEEE-754 on
+    every engine); each sqrt term is floored onto the 1e-9 grid so the
+    normalizing sum is an exact integer sum on both engines.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    per = d.groupBy("source").agg(
+        F.sum(_tok_count(F.col("text")).cast("long")).alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    p = per.select(
+        "source",
+        "n_tokens",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * _Q_GRID).cast("long").alias("q_grid"),
+    )
+    temp_share = F.col("q_grid").cast("double") / F.sum("q_grid").over(w_all)
+    return p.select(
+        "source",
+        "n_tokens",
+        pround(F.col("share"), 6).alias("token_share"),
+        pround(temp_share, 6).alias("temp_share"),
+        pround(temp_share / F.col("share"), 6).alias("upsample_factor"),
+    )
+
+
 @register(
     "agg_entropy_diversity",
     # -p·ln(p) per (source, lang) cell is grid-floored at 1e-6 BEFORE

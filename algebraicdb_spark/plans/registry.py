@@ -119,6 +119,7 @@ _CHECK_PRIORITY = (
     "interval_merge_coverage",
     "time_weighted_avg",
     "alter_table_evolution",
+    "mix_temperature_sampling",
     # --- oracles upgraded after their r02 rows-only driver rows ---
     "dedup_minhash_lsh",
     "dedup_simhash",
