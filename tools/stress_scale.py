@@ -75,6 +75,8 @@ KEYS = [
     "agg_weighted_percentile",
     "pipeline_training_mix",
     "event_session_stats",
+    "mix_temperature_sampling",
+    "alter_table_evolution",
 ]
 
 
