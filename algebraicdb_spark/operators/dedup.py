@@ -214,8 +214,10 @@ _MH_PERM_VALUES = ",\n         ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(MH_AB)
 )
 
-_MINHASH_ORACLE = f"""
-WITH raw AS (
+# Shared CTE body (everything through the exact-reranked candidate
+# pairs in `rer`) — used by both the pairs oracle and the
+# minhash→components capstone oracle below.
+_MINHASH_CTES = f"""raw AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
   FROM documents
@@ -259,7 +261,10 @@ WITH raw AS (
   FROM cand
   JOIN toks ta ON ta.doc_id = doc_a
   JOIN toks tb ON tb.doc_id = doc_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
 """
 
@@ -708,6 +713,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("n_members").agg(
         F.count(F.lit(1)).alias("n_components"),
         F.sum("label").alias("root_checksum"),
+    )
+
+
+_MINHASH_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES}, mh_pairs AS (
+  SELECT doc_a, doc_b FROM rer WHERE jaccard >= {JACCARD_TAU}
+), mc_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+), walk(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN mc_edges e ON e.src = w.id
+), comp AS (
+  SELECT id, MIN(label) AS label FROM walk GROUP BY id
+), sizes AS (
+  SELECT label, COUNT(*) AS n_members FROM comp GROUP BY label
+)
+SELECT n_members,
+       COUNT(*) AS n_components,
+       CAST(SUM(label) AS BIGINT) AS root_checksum
+FROM sizes GROUP BY n_members
+"""
+
+
+@register("dedup_minhash_components", oracle=_MINHASH_COMPONENTS_ORACLE)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB near-dedup pipeline as one key: MinHash-LSH
+    banded candidates (constant-size signatures, band-bucket equi-join)
+    → exact Jaccard rerank → connected components → one keep-doc per
+    component. The exact-tier twin is :func:`dedup_components` (same
+    component rollup over the inverted-index pairs); this composition
+    is the one that ships at scale, and since the banded tier is
+    value-hash-verified, the composition is too — the oracle replays
+    banding + rerank + a recursive label walk."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+    return (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy("n_members")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("label").alias("root_checksum"),
+        )
     )
 
 

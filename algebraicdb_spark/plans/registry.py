@@ -120,6 +120,7 @@ _CHECK_PRIORITY = (
     "time_weighted_avg",
     "alter_table_evolution",
     "mix_temperature_sampling",
+    "dedup_minhash_components",
     # --- oracles upgraded after their r02 rows-only driver rows ---
     "dedup_minhash_lsh",
     "dedup_simhash",

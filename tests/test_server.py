@@ -90,6 +90,24 @@ def test_concurrent_clients_share_catalog(server):
         a.sql("DROP TABLE switches")
 
 
+def test_alter_table_over_socket(server):
+    """ALTER is a catalog mutation: it must serialize under the server
+    lock and its widened schema must be visible to other connections."""
+    from algebraicdb_spark.server import Client
+
+    with Client(port=server.port) as a, Client(port=server.port) as b:
+        a.sql("CREATE TABLE alt_srv (id: Integer)")
+        a.sql("INSERT INTO alt_srv VALUES (1), (2)")
+        a.sql("ALTER TABLE alt_srv ADD COLUMN note: Text DEFAULT 'n/a'")
+        resp = b.sql("SELECT id, note FROM alt_srv ORDER BY id")
+        assert resp["columns"] == ["id", "note"]
+        assert resp["rows"] == [[1, "n/a"], [2, "n/a"]]
+        with pytest.raises(RuntimeError) as exc:
+            b.sql("ALTER TABLE alt_srv DROP COLUMN nope")
+        assert "unknown column" in str(exc.value)
+        a.sql("DROP TABLE alt_srv")
+
+
 def test_non_string_sql_is_protocol_error_not_fatal(server):
     """{"sql": 5} must produce a typed protocol error AND leave the
     handler alive for the next request on the same connection."""
