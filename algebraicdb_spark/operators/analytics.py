@@ -529,7 +529,12 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
         .localCheckpoint(eager=True)
     )
-    has_out = norm.select("src").distinct()
+    has_out = norm.select("src").distinct().localCheckpoint(eager=True)
+    # dangling-node set is a property of the GRAPH, not the ranks: if
+    # no node lacks out-edges, dm is 0.0 every round and adding it is
+    # an exact no-op (x + 0.0 == x) — skip 25 anti-join + broadcast
+    # subplans. One extra setup action; bit-identical results.
+    n_dangling = nodes.join(has_out, nodes.node == has_out.src, "left_anti").count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         contribs = (
@@ -538,20 +543,19 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        dangling = (
-            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
+        mass = F.coalesce(F.col("c"), F.lit(0.0))
+        joined = nodes.join(contribs, "node", "left")
+        if n_dangling:
+            dangling = (
+                ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            mass = mass + F.col("dm") / n_nodes
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            joined.select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + damping
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n_nodes)
-                ).alias("rank"),
+                (F.lit((1.0 - damping) / n_nodes) + damping * mass).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
@@ -587,7 +591,11 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
         .localCheckpoint(eager=True)
     )
-    has_out = norm.select("src").distinct()
+    has_out = norm.select("src").distinct().localCheckpoint(eager=True)
+    # same dangling-free fast path as `pagerank`: dm = 0.0 every round
+    # on a graph with no out-edge-less nodes, and + 0.0 is IEEE-exact,
+    # so skipping the per-round ordered dangling fold is bit-identical
+    n_dangling = nodes.join(has_out, nodes.node == has_out.src, "left_anti").count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = F.lit((1.0 - damping) / n_nodes)
     for it in range(iters):
@@ -606,28 +614,24 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
                 ).alias("c")
             )
         )
-        dangling = (
-            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
-            .agg(
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("node", "rank"))),
-                    F.lit(0.0),
-                    lambda a, x: a + x["rank"],
-                ).alias("dm")
+        mass = F.coalesce(F.col("c"), F.lit(0.0))
+        joined = nodes.join(contribs, "node", "left")
+        if n_dangling:
+            dangling = (
+                ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+                .agg(
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.struct("node", "rank"))),
+                        F.lit(0.0),
+                        lambda a, x: a + x["rank"],
+                    ).alias("dm")
+                )
             )
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("dm") / F.lit(float(n_nodes)))
-                ).alias("rank"),
-            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            mass = mass + F.col("dm") / F.lit(float(n_nodes))
+        ranks = joined.select(
+            "node",
+            (teleport + F.lit(damping) * mass).alias("rank"),
         )
         # checkpoint every 5th round, not every round: 25 eager
         # materializations dominate wall time on a small graph, while
