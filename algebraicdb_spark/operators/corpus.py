@@ -52,17 +52,23 @@ def grams_sql(n: int, distinct: bool) -> str:
 
 
 def gram_multiset(toks, n: int):
-    """Word n-grams of a token array, duplicates kept (Spark side)."""
-    return F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(
-                i + n <= F.size(toks),
-                F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ),
-        lambda s: s.isNotNull(),
-    )
+    """Word n-grams of a token array, duplicates kept (Spark side).
+
+    The token expression is bound once through a 1-element
+    ``transform`` lambda — referencing it directly inside the
+    per-index lambda would re-evaluate it (often a regexp+split) for
+    every element access; see dedup.shingles for the measured 27x.
+    """
+
+    def grams(w):
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        )
+        return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
 
 
 @register(
