@@ -107,6 +107,16 @@ def test_minhash_band_shuffle_is_narrow(spark, sf_dir, qs):
     assert checked >= 2  # both sides of the band self-join
 
 
+def test_simhash_fingerprint_is_map_side(spark, sf_dir, qs):
+    """SimHash fingerprints are computed per row over the shingle-hash
+    array — the plan must contain NO doc_id exchange (the old shape
+    exploded shingles and shuffled a 60-column vote aggregate on
+    doc_id); the only shuffles allowed are the chunk band join and the
+    candidate dedup."""
+    plan = plan_of(qs["dedup_simhash"](spark, sf_dir))
+    assert "Exchange hashpartitioning(doc_id#" not in plan, plan
+
+
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir, qs):
     """Brute-force kNN: the (10-row) query side broadcasts; the corpus
     streams. A CartesianProduct would mean both sides shuffle-explode."""
