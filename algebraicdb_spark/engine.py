@@ -270,6 +270,11 @@ class Engine:
         which handles the same widening at the parquet scan."""
         m = _ALTER_TABLE_RE.match(stmt)
         name, action = m.group("name"), m.group("action").strip()
+        if name in self._matviews:
+            raise AdtError(
+                f"ALTER TABLE: {name!r} is a materialized view — alter its "
+                "defining query (DROP + CREATE MATERIALIZED VIEW) instead"
+            )
         td = self._tables.get(name)
         if td is None:
             try:

@@ -401,6 +401,16 @@ class TestAlterTable:
             eng2.sql("ALTER TABLE alt_e SET SOMETHING = 1")
         eng2.sql("DROP TABLE alt_e")
 
+    def test_alter_refuses_materialized_view(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE alt_mv_base (id: Integer)")
+        eng2.sql("INSERT INTO alt_mv_base VALUES (1)")
+        eng2.sql("CREATE MATERIALIZED VIEW alt_mv AS SELECT id FROM alt_mv_base")
+        with pytest.raises(AdtError, match="materialized view"):
+            eng2.sql("ALTER TABLE alt_mv ADD COLUMN x: Integer")
+        eng2.sql("DROP MATERIALIZED VIEW alt_mv")
+        eng2.sql("DROP TABLE alt_mv_base")
+
     def test_altered_schema_survives_catalog_roundtrip(self, spark, tmp_path):
         a = Engine(spark)
         a.sql("CREATE TABLE alt_p (id: Integer)")
