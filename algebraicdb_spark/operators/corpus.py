@@ -194,6 +194,60 @@ def repetition_scores(d: DataFrame) -> DataFrame:
     )
 
 
+SEG_DUP_TAU = 0.30
+
+
+@register(
+    "text_dup_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(lower(trim(text)), '.'),
+                                        x -> trim(x)),
+                         x -> x <> '') AS segs
+      FROM documents WHERE doc_id % 5 = 1
+    )
+    SELECT doc_id,
+           len(segs) AS n_segments,
+           CASE WHEN len(segs) > 0 THEN
+             {pround_sql('CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE) / len(segs)')}
+           END AS dup_segment_ratio,
+           CASE WHEN len(segs) > 0
+                 AND CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE)
+                     / len(segs) >= {SEG_DUP_TAU}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM s
+    """,
+)
+def text_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (sentence/line) duplicate fraction — the
+    Gopher/C4 "duplicate line fraction" gate, one level above the
+    n-gram repetition key (`text_repetition`): a doc that repeats
+    whole sentences is boilerplate even when its n-gram mix looks
+    fine. Segments are period-split, trimmed, lowercased; the 0/0
+    guard mirrors the <2-token rule (no segments → NULL ratio, never
+    NaN). Pure per-row array math — zero shuffles, fully codegen'd."""
+    d = load_tables(spark, sf_dir)["documents"]
+
+    def clean(segs):
+        return F.filter(F.transform(segs, F.trim), lambda x: x != "")
+
+    segs = F.element_at(
+        F.transform(
+            F.array(F.split(F.lower(F.trim(F.col("text"))), r"\.")), clean
+        ),
+        1,
+    )
+    n = F.size(segs)
+    dup = (n - F.size(F.array_distinct(segs))).cast("double") / n
+    return d.filter(F.col("doc_id") % 5 == 1).select(
+        "doc_id",
+        n.alias("n_segments"),
+        pround(F.when(n > 0, dup)).alias("dup_segment_ratio"),
+        F.when((n > 0) & (dup >= SEG_DUP_TAU), 1).otherwise(0).alias("repetitive"),
+    )
+
+
 CHUNK_TOKENS = 10
 BOILER_TAU = 0.5
 

@@ -121,6 +121,7 @@ _CHECK_PRIORITY = (
     "alter_table_evolution",
     "mix_temperature_sampling",
     "dedup_minhash_components",
+    "text_dup_segments",
     # --- oracles upgraded after their r02 rows-only driver rows ---
     "dedup_minhash_lsh",
     "dedup_simhash",

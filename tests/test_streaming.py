@@ -172,6 +172,22 @@ def test_stream_equivalence_at_sf001(spark, src_dir_sf001):
     n_input = spark.read.parquet(f"{SF_001}/events.parquet").count()
     assert got_d.count() == got_d.select("event_id").distinct().count() == n_input
 
+    from algebraicdb_spark.streaming.batch_equiv import (
+        stream_stream_join as batch_join,
+    )
+
+    s = engine.read_events_stream(spark, src_dir_sf001)
+    got_j = engine.run_to_memory(
+        engine.stream_stream_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+        ),
+        "t01_ssjoin",
+        output_mode="append",
+    )
+    cols_j = ["click_id", "purchase_id", "user_id", "purchase_value"]
+    assert rows_set(got_j, cols_j) == rows_set(batch_join(spark, SF_001), cols_j)
+
 
 def _tws_available() -> bool:
     # transformWithStateInPandas talks to its state server over
