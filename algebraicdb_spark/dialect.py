@@ -94,7 +94,7 @@ _ALTER_RENAME_RE = re.compile(
 )
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN"
-    r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE))?"
+    r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE|ANALYZE))?"
     r"\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )

@@ -162,7 +162,7 @@ class Engine:
         return self.spark.sql(self._rewrite(stmt))
 
     def _explain_stmt(self, stmt: str) -> DataFrame:
-        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST|SCALE] <read stmt>.
+        """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST|SCALE|ANALYZE] <read stmt>.
 
         The inner statement goes through the same pattern lowering as
         a plain read, then Spark's own EXPLAIN renders the Catalyst
@@ -173,7 +173,12 @@ class Engine:
         and returns its findings as rows — the 100 TB design review
         (cartesian products, global windows, row-at-a-time Python,
         shuffle counts) available to every client over the wire.
-        Read-only: nothing executes, so the server runs it lock-free."""
+        EXPLAIN ANALYZE EXECUTES the statement (JVM-side, no rows ever
+        reach the driver) and returns the per-operator runtime metrics
+        from the executed plan — actual row counts, spill, shuffle
+        bytes, scan/agg times. All modes are reads; the server runs
+        them lock-free (plain EXPLAIN never executes, ANALYZE executes
+        but mutates nothing)."""
         m = _EXPLAIN_RE.match(stmt)
         mode = (m.group("mode") or "FORMATTED").upper()
         lowered = self._rewrite(m.group("query"))
@@ -186,7 +191,45 @@ class Engine:
             return self.spark.createDataFrame(
                 findings, "severity string, code string, finding string"
             )
+        if mode == "ANALYZE":
+            return self._explain_analyze(lowered)
         return self.spark.sql(f"EXPLAIN {mode} {lowered}")
+
+    def _explain_analyze(self, lowered_sql: str) -> DataFrame:
+        """Execute the lowered statement via ``QueryExecution.toRdd``
+        (a JVM-only count — full execution, zero driver row transfer,
+        so a 100 TB ANALYZE costs one pass and O(1) driver memory) and
+        walk the executed plan for its SQLMetric values. AQE wrappers
+        (AdaptiveSparkPlan / *QueryStage) are descended so post-reopt
+        final-stage metrics are reported, not the pre-run skeleton."""
+        df = self.spark.sql(lowered_sql)
+        qe = df._jdf.queryExecution()
+        n_rows = qe.toRdd().count()
+        rows: list[tuple[int, str, str, int]] = []
+
+        def walk(node, depth: int) -> None:
+            name = node.nodeName()
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                value = int(kv._2().value())
+                if value != 0:
+                    rows.append((depth, name, kv._1(), value))
+            if name == "AdaptiveSparkPlan":
+                walk(node.executedPlan(), depth + 1)
+                return
+            if "QueryStage" in name:
+                walk(node.plan(), depth + 1)
+                return
+            children = node.children()
+            for i in range(children.size()):
+                walk(children.apply(i), depth + 1)
+
+        walk(qe.executedPlan(), 0)
+        rows.append((0, "<result>", "numOutputRows", int(n_rows)))
+        return self.spark.createDataFrame(
+            rows, "depth int, operator string, metric string, value bigint"
+        )
 
     def _create_matview(self, name: str, query: str) -> None:
         """CREATE MATERIALIZED VIEW v AS SELECT … — a snapshot of the

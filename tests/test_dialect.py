@@ -317,6 +317,23 @@ class TestExplain:
         assert "Circle" in out
         assert "BatchEvalPython" not in out
 
+    def test_explain_analyze_returns_runtime_metrics(self, eng, tables):
+        """EXPLAIN ANALYZE executes and reports per-operator SQLMetrics
+        (actual row counts), including a <result> summary row."""
+        rows = eng.sql(
+            "EXPLAIN ANALYZE SELECT o_orderstatus, COUNT(*) AS n "
+            "FROM orders GROUP BY o_orderstatus"
+        ).collect()
+        assert {"depth", "operator", "metric", "value"} <= set(rows[0].asDict())
+        result = [r for r in rows if r.operator == "<result>"]
+        assert len(result) == 1 and result[0].value >= 1
+        # the parquet scan's ACTUAL output rows are visible
+        scans = [
+            r for r in rows
+            if "Scan" in r.operator and r.metric == "numOutputRows"
+        ]
+        assert scans and all(r.value > 0 for r in scans)
+
     def test_explain_is_read_only(self, eng):
         n_before = eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n
         eng.sql("EXPLAIN SELECT * FROM shapes")
