@@ -92,6 +92,17 @@ _ALTER_DROP_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE
 )
+_COPY_TO_RE = re.compile(
+    r"^\s*COPY\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(?P<name>\w+)\s+FROM\s+'(?P<path>[^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+COPY_FORMATS = ("parquet", "csv", "json", "orc")
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN"
     r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE|ANALYZE))?"

@@ -40,10 +40,13 @@ from algebraicdb_spark.dialect import (
     rewrite_patterns,
 )
 from algebraicdb_spark.dialect import (
+    COPY_FORMATS,
     _ALTER_ADD_RE,
     _ALTER_DROP_RE,
     _ALTER_RENAME_RE,
     _ALTER_TABLE_RE,
+    _COPY_FROM_RE,
+    _COPY_TO_RE,
     _CREATE_MATVIEW_RE,
     _CREATE_TABLE_RE,
     _CTAS_RE,
@@ -144,6 +147,12 @@ class Engine:
             return None
         if _ALTER_TABLE_RE.match(stmt):
             return self._alter_table_stmt(stmt)
+        if _COPY_TO_RE.match(stmt):
+            m = _COPY_TO_RE.match(stmt)
+            return self._copy_to(m.group("name"), m.group("path"), m.group("fmt"))
+        if _COPY_FROM_RE.match(stmt):
+            m = _COPY_FROM_RE.match(stmt)
+            return self._copy_from(m.group("name"), m.group("path"), m.group("fmt"))
         if _CREATE_MATVIEW_RE.match(stmt):
             m = _CREATE_MATVIEW_RE.match(stmt)
             return self._create_matview(m.group("name"), m.group("query"))
@@ -374,6 +383,48 @@ class Engine:
                 "ADD COLUMN c: Type [DEFAULT expr], DROP COLUMN c, "
                 "RENAME COLUMN a TO b)"
             )
+
+    @staticmethod
+    def _copy_format(fmt: str | None) -> str:
+        fmt = (fmt or "parquet").lower()
+        if fmt not in COPY_FORMATS:
+            raise AdtError(
+                f"COPY: unsupported format {fmt!r} (supported: "
+                f"{', '.join(COPY_FORMATS)})"
+            )
+        return fmt
+
+    def _copy_to(self, name: str, path: str, fmt: str | None) -> None:
+        """COPY t TO 'path' (FORMAT parquet|csv|json|orc) — export a
+        table/view snapshot as files. A distributed write (one file per
+        partition), the same path a 100 TB export takes; CSV gets a
+        header row so round-trips keep column names."""
+        fmt = self._copy_format(fmt)
+        try:
+            df = self.spark.table(name)
+        except Exception as exc:
+            raise AdtError(f"COPY: unknown table {name!r}") from exc
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(path)
+
+    def _copy_from(self, name: str, path: str, fmt: str | None) -> None:
+        """COPY t FROM 'path' (FORMAT …) — append files into an
+        existing table. Files are read WITH the table's declared schema
+        (no inference drift: a CSV integer column comes back as the
+        table's type, not a guess) and appended via the same
+        view-union lowering INSERT uses."""
+        fmt = self._copy_format(fmt)
+        try:
+            existing = self.spark.table(name)
+        except Exception as exc:
+            raise AdtError(f"COPY: unknown table {name!r}") from exc
+        reader = self.spark.read.schema(existing.schema)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        batch = reader.format(fmt).load(path)
+        existing.unionByName(batch).createOrReplaceTempView(name)
 
     def _insert_stmt(self, stmt: str) -> None:
         name = _INSERT_RE.match(stmt).group("name")

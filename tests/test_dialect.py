@@ -442,6 +442,43 @@ class TestAlterTable:
         b.sql("DROP TABLE alt_p")
 
 
+class TestCopy:
+    def test_copy_roundtrip_parquet_and_csv(self, spark, tmp_path):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE cp_t (id: Integer, v: Double, s: Text)")
+        eng2.sql("INSERT INTO cp_t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+        for fmt in ("parquet", "csv"):
+            out = str(tmp_path / f"out_{fmt}")
+            eng2.sql(f"COPY cp_t TO '{out}' (FORMAT {fmt})")
+            eng2.sql(f"CREATE TABLE cp_{fmt} (id: Integer, v: Double, s: Text)")
+            eng2.sql(f"COPY cp_{fmt} FROM '{out}' (FORMAT {fmt})")
+            rows = eng2.sql(f"SELECT * FROM cp_{fmt} ORDER BY id").collect()
+            assert [tuple(r) for r in rows] == [(1, 1.5, "a"), (2, 2.5, "b")]
+            # schema comes from the table declaration, not inference
+            assert dict(eng2.table(f"cp_{fmt}").dtypes)["id"] == "bigint"
+            eng2.sql(f"DROP TABLE cp_{fmt}")
+        eng2.sql("DROP TABLE cp_t")
+
+    def test_copy_from_appends(self, spark, tmp_path):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE cp_a (id: Integer)")
+        eng2.sql("INSERT INTO cp_a VALUES (1)")
+        out = str(tmp_path / "cp_a_out")
+        eng2.sql(f"COPY cp_a TO '{out}'")
+        eng2.sql(f"COPY cp_a FROM '{out}'")  # append the exported copy
+        assert eng2.table("cp_a").count() == 2
+        eng2.sql("DROP TABLE cp_a")
+
+    def test_copy_errors(self, spark, tmp_path):
+        eng2 = Engine(spark)
+        with pytest.raises(AdtError, match="unknown table"):
+            eng2.sql(f"COPY nope_missing TO '{tmp_path / 'x'}'")
+        eng2.sql("CREATE TABLE cp_e (id: Integer)")
+        with pytest.raises(AdtError, match="unsupported format"):
+            eng2.sql(f"COPY cp_e TO '{tmp_path / 'x'}' (FORMAT avro)")
+        eng2.sql("DROP TABLE cp_e")
+
+
 class TestMaterializedViews:
     def test_snapshot_then_refresh(self, spark, tables):
         eng2 = Engine(spark)
