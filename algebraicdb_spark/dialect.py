@@ -93,9 +93,9 @@ _ALTER_RENAME_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE
 )
 _COPY_TO_RE = re.compile(
-    r"^\s*COPY\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"^\s*COPY\s+(?:(?P<name>\w+)|\((?P<query>.+)\))\s+TO\s+'(?P<path>[^']+)'"
     r"(?:\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _COPY_FROM_RE = re.compile(
     r"^\s*COPY\s+(?P<name>\w+)\s+FROM\s+'(?P<path>[^']+)'"

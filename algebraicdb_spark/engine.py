@@ -149,7 +149,10 @@ class Engine:
             return self._alter_table_stmt(stmt)
         if _COPY_TO_RE.match(stmt):
             m = _COPY_TO_RE.match(stmt)
-            return self._copy_to(m.group("name"), m.group("path"), m.group("fmt"))
+            return self._copy_to(
+                m.group("name"), m.group("path"), m.group("fmt"),
+                query=m.group("query"),
+            )
         if _COPY_FROM_RE.match(stmt):
             m = _COPY_FROM_RE.match(stmt)
             return self._copy_from(m.group("name"), m.group("path"), m.group("fmt"))
@@ -394,16 +397,24 @@ class Engine:
             )
         return fmt
 
-    def _copy_to(self, name: str, path: str, fmt: str | None) -> None:
-        """COPY t TO 'path' (FORMAT parquet|csv|json|orc) — export a
-        table/view snapshot as files. A distributed write (one file per
-        partition), the same path a 100 TB export takes; CSV gets a
-        header row so round-trips keep column names."""
+    def _copy_to(
+        self, name: str | None, path: str, fmt: str | None,
+        query: str | None = None,
+    ) -> None:
+        """COPY t TO 'path' / COPY (SELECT …) TO 'path' (FORMAT
+        parquet|csv|json|orc) — export a table or query result as
+        files. A distributed write (one file per partition), the same
+        path a 100 TB export takes; CSV gets a header row so
+        round-trips keep column names. The query form goes through the
+        same pattern lowering as any read."""
         fmt = self._copy_format(fmt)
-        try:
-            df = self.spark.table(name)
-        except Exception as exc:
-            raise AdtError(f"COPY: unknown table {name!r}") from exc
+        if query is not None:
+            df = self.spark.sql(self._rewrite(query))
+        else:
+            try:
+                df = self.spark.table(name)
+            except Exception as exc:
+                raise AdtError(f"COPY: unknown table {name!r}") from exc
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", True)

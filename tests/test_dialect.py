@@ -469,6 +469,17 @@ class TestCopy:
         assert eng2.table("cp_a").count() == 2
         eng2.sql("DROP TABLE cp_a")
 
+    def test_copy_query_form_with_pattern(self, eng, tmp_path):
+        """COPY (SELECT …) TO exports a query result — including one
+        using the ADT pattern surface."""
+        out = str(tmp_path / "circles")
+        eng.sql(
+            f"COPY (SELECT id, r FROM shapes WHERE s: Circle(r)) TO '{out}'"
+        )
+        got = eng.spark.read.parquet(out)
+        assert set(got.columns) == {"id", "r"}
+        assert got.count() >= 1
+
     def test_copy_errors(self, spark, tmp_path):
         eng2 = Engine(spark)
         with pytest.raises(AdtError, match="unknown table"):
