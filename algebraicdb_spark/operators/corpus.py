@@ -294,15 +294,22 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full suffix-array pass.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    toks = F.split(canonical_text(F.col("text")), " ")
-    n_chunks = ((F.size(toks) - 1) / CHUNK_TOKENS).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks),
-        lambda i: F.md5(
-            F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ").cast(
-                "binary"
-            )
-        ),
+
+    # bind the split once (dedup.shingles lambda-rebinding pattern)
+    def chunk_hashes(w):
+        n_chunks = ((F.size(w) - 1) / CHUNK_TOKENS).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(w, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                ).cast("binary")
+            ),
+        )
+
+    chunks = F.element_at(
+        F.transform(F.array(F.split(canonical_text(F.col("text")), " ")), chunk_hashes),
+        1,
     )
     c = d.select("doc_id", F.explode(chunks).alias("ch"))
     occ = c.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))

@@ -267,17 +267,31 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums don't care).
     """
     e = load_tables(spark, sf_dir)["embeddings"]
-    mn = F.array_min("embedding").cast("double")
-    mx = F.array_max("embedding").cast("double")
-    scale = (mx - mn) / _Q_LEVELS
-    err_arr = F.when(
-        mx > mn,
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double")
-            - (mn + F.floor((x.cast("double") - mn) * _Q_LEVELS / (mx - mn) + 0.5) * scale),
-        ),
-    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0.0)))
+
+    # bind (embedding, min, max) ONCE via a 1-element struct transform:
+    # referencing array_min/array_max directly inside the per-element
+    # lambda re-scans the vector per element — O(dim²) per row (the
+    # dedup.shingles lambda-rebinding pathology)
+    def errs(s):
+        mn, mx = s["mn"], s["mx"]
+        scale = (mx - mn) / _Q_LEVELS
+        return F.when(
+            mx > mn,
+            F.transform(
+                s["emb"],
+                lambda x: x.cast("double")
+                - (mn + F.floor((x.cast("double") - mn) * _Q_LEVELS / (mx - mn) + 0.5) * scale),
+            ),
+        ).otherwise(F.transform(s["emb"], lambda x: F.lit(0.0)))
+
+    ctx = F.array(
+        F.struct(
+            F.col("embedding").alias("emb"),
+            F.array_min("embedding").cast("double").alias("mn"),
+            F.array_max("embedding").cast("double").alias("mx"),
+        )
+    )
+    err_arr = F.element_at(F.transform(ctx, errs), 1)
     exploded = e.select("label", F.explode(err_arr).alias("err"))
     return exploded.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_elems"),

@@ -118,13 +118,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigrams (multiset, not distinct-per-doc), top-20."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = tokens(F.col("text"))
-    bigrams = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-        lambda s: s.isNotNull(),
+
+    # bind the split once (see dedup.shingles); the size >= 2 guard
+    # also fixes the latent 1-token crash: sequence(1, 0) descends
+    # through index 0, which element_at rejects
+    def grams(w):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        )
+        return F.when(F.size(w) >= 2, g).otherwise(F.array().cast("array<string>"))
+
+    bigrams = F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), grams), 1
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
