@@ -116,14 +116,68 @@ def _signature_bits(emb):
     ]
 
 
-@register("sim_knn_lsh")  # rows-only: signatures are seed/engine-specific
+# Value-hash oracle: the hyperplane constants are inlined (full float
+# repr round-trips to the identical double on both engines) and every
+# sign dot is an explicit left fold (list_reduce with a 0.0 seed)
+# matching Spark's F.aggregate order bit-for-bit, so the sign of every
+# plane dot — and therefore the candidate set — is engine-identical.
+_PLANE_VALUES = ",\n    ".join(
+    f"({i}, [{', '.join(repr(v) for v in plane)}])"
+    for i, plane in enumerate(_hyperplanes())
+)
+_SIG_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.vec[i])"
+    "), (a, b) -> a + b)"
+)
+
+_LSH_ORACLE = f"""
+WITH planes(p_idx, vec) AS (VALUES
+    {_PLANE_VALUES}
+), q_ids AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < 500
+), bits AS (
+  SELECT e.vec_id, p.p_idx,
+         CASE WHEN {_SIG_DOT} > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+), bands AS (
+  SELECT vec_id, p_idx // {BAND_BITS} AS band_idx,
+         CAST(SUM(bit * (1 << (p_idx % {BAND_BITS}))) AS BIGINT) AS band_val
+  FROM bits GROUP BY vec_id, p_idx // {BAND_BITS}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+  FROM bands cb JOIN bands qb
+    ON cb.band_idx = qb.band_idx AND cb.band_val = qb.band_val
+  JOIN q_ids q ON q.q_id = qb.vec_id
+  WHERE cb.vec_id != qb.vec_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM cand c JOIN q_ids q ON q.q_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_knn_lsh", oracle=_LSH_ORACLE)
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
     18 sign bits per vector → 6 bands of 3 bits; a corpus vector is a
     candidate iff it shares a band value with the query; candidates
     are exactly re-ranked. Recall@5 vs brute force is asserted in
-    tests (cosine-similar vectors agree on sign bits w.h.p.).
+    tests (cosine-similar vectors agree on sign bits w.h.p.), and the
+    whole pipeline is value-hash-verified: the DuckDB oracle replays
+    the inlined hyperplanes with Spark's exact fold order, so even the
+    sign of a near-zero plane dot agrees bit-for-bit.
 
     Banding is tuned for the fixture's near-random vectors (neighbor
     cosine ~0.4-0.5 → wide bands needed). Real embedding corpora have

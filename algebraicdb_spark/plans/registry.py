@@ -126,6 +126,7 @@ _CHECK_PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "agg_approx_distinct",
+    "sim_knn_lsh",
     # --- load-bearing green keys: headline-plan regression re-checks ---
     "agg_groupby_hash",
     "join_multiway_star",
