@@ -230,14 +230,24 @@ N_CENTROIDS = 16
 N_PROBE = 6
 
 
+_MEAN_GRID = 10**9  # floor v onto 1e-9 before the mean sum (see below)
+
+
 def _refine_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """One distributed Lloyd iteration: assign every vector to its
     nearest centroid, recompute centroids as element-wise means.
 
     Fully declarative: argmax assignment (broadcast join + window),
-    then posexplode → groupBy(c_id, dim) avg → re-assemble arrays.
+    then posexplode → groupBy(c_id, dim) mean → re-assemble arrays.
     This is exactly how IVF training scales — per-dimension partial
     means shuffle only (k × dim) cells.
+
+    The mean floors each element onto the 1e-9 grid and sums exact
+    integers instead of F.avg: a float avg depends on summation ORDER
+    (nondeterministic across partitionings and engines), while integer
+    sums are order-free — this is what makes the whole IVF pipeline
+    value-hash-verifiable against the DuckDB oracle. The ≤1e-9 centroid
+    perturbation is far below any assignment boundary that matters.
     """
     scored = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "embedding", "c_id", dot(F.col("embedding"), F.col("c_emb")).alias("s")
@@ -249,7 +259,12 @@ def _refine_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
     dims = assigned.select(
         "c_id", F.posexplode(F.col("embedding")).alias("dim", "v")
     )
-    means = dims.groupBy("c_id", "dim").agg(F.avg("v").alias("m"))
+    mean = (
+        F.sum(F.floor(F.col("v").cast("double") * _MEAN_GRID).cast("long"))
+        .cast("double")
+        / F.lit(float(_MEAN_GRID))
+    ) / F.count(F.lit(1))
+    means = dims.groupBy("c_id", "dim").agg(mean.alias("m"))
     return (
         means.groupBy("c_id")
         .agg(
@@ -261,7 +276,84 @@ def _refine_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_knn_ivf")  # rows-only: centroid assignment is seed-specific
+def _fold_dot(a: str, b: str) -> str:
+    """DuckDB left-fold dot product matching Spark's ``dot`` (zip
+    products in dim order, 0.0 seed, sequential adds) bit-for-bit."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * "
+        f"CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+# Full replay of the IVF pipeline: stride seeds → one Lloyd iteration
+# (grid-floored integer means — order-free on both engines) → bucket
+# assignment / nProbe probing via the same fold-order dots → exact
+# rerank. Every float op is either bit-identical (fold-order dots,
+# float casts) or an exact integer sum, so the key is value-hash-
+# verified despite being "trained".
+_IVF_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % 31 = 7 AND vec_id < 496
+), a0 AS (
+  SELECT e.vec_id, e.embedding, s.c_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_fold_dot('e.embedding', 's.c_emb')} DESC,
+                                     s.c_id) AS r
+  FROM embeddings e CROSS JOIN seeds s
+), dims AS (
+  SELECT c_id, u.dim, u.v
+  FROM (SELECT c_id, embedding FROM a0 WHERE r = 1) t,
+       LATERAL (SELECT UNNEST(t.embedding) AS v,
+                       generate_subscripts(t.embedding, 1) AS dim) u
+), means AS (
+  SELECT c_id, dim,
+         (CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_MEAN_GRID}) AS BIGINT))
+               AS DOUBLE) / {_MEAN_GRID}.0) / COUNT(*) AS m
+  FROM dims GROUP BY c_id, dim
+), cents AS (
+  SELECT c_id, list(CAST(m AS FLOAT) ORDER BY dim) AS c_emb
+  FROM means GROUP BY c_id
+), corpus_a AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_fold_dot('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < 500
+), probes AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT q.q_id, q.q_emb, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_fold_dot('q.q_emb', 'c.c_emb')} DESC,
+                                       c.c_id) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {N_PROBE}
+), cand AS (
+  SELECT DISTINCT p.q_id, p.q_emb, ca.vec_id, ca.embedding
+  FROM corpus_a ca JOIN probes p ON ca.c_id = p.c_id
+  WHERE ca.vec_id != p.q_id
+), scored AS (
+  SELECT q_id, vec_id,
+         list_dot_product(CAST(q_emb AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS sim
+  FROM cand
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_knn_ivf", oracle=_IVF_ORACLE)
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid buckets,
     search only the nProbe closest buckets per query.
@@ -270,6 +362,8 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iteration (see _refine_centroids); the probe/rerank plan is
     the real IVF shape — bucket assignment is a broadcast argmax, the
     candidate join hits ~nProbe/k of the corpus instead of all of it.
+    Value-hash-verified: the oracle replays seeds, the grid-floored
+    Lloyd means, and every assignment dot in Spark's fold order.
     """
     q, e = _queries_and_corpus(spark, sf_dir)
     # 16 deterministic seed ids: vec_id ≡ 7 (mod 31) below 496 — present

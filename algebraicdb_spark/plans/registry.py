@@ -127,6 +127,7 @@ _CHECK_PRIORITY = (
     "dedup_simhash",
     "agg_approx_distinct",
     "sim_knn_lsh",
+    "sim_knn_ivf",
     # --- load-bearing green keys: headline-plan regression re-checks ---
     "agg_groupby_hash",
     "join_multiway_star",
