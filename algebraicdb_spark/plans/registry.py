@@ -69,75 +69,60 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 
 
 # Exposure order for the driver's correctness gate. The driver checks
-# the first 50 keys in dict order each round: round 1 covered the
-# relational head, round 2 the ADT/streaming/dedup/text/UDF backlog,
-# round 3 the scalar/set-op/subquery/TPC-H block (all 50 green in
-# CORRECTNESS_r03.json). Round 4 leads with the 39 keys no round has
-# checked yet (r3-overflow + post-r3 additions), then the 3 keys whose
-# oracles were upgraded after their last driver row (rows-only →
-# value-hash), then 8 load-bearing green keys as regression re-checks.
-# Keys missing from this list fall back to registration order after it.
-_CHECK_PRIORITY = (
-    # --- never driver-checked (39): r3 overflow + round-4 additions ---
-    "source_orc",
-    "agg_hll_partial_union",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "text_unigram_logprob",
-    "sim_range_search",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "join_asof_tolerance",
-    "win_moving_median",
-    "scan_dynamic_partition_pruning",
-    "set_intersect_all",
-    "adt_dialect_nested",
-    "source_schema_evolution",
-    "event_anomaly_zscore",
-    "event_path_topk",
-    "time_bucket_custom",
-    "corpus_mix_report",
-    "pack_sequences",
-    "mix_weighted_sample",
-    "embedding_quantize_int8",
-    "select_token_budget",
-    "event_pagerank",
-    "text_heavy_hitters",
-    "stream_hopping_topk",
-    "agg_bitmap_distinct",
-    "agg_weighted_percentile",
-    "pipeline_training_mix",
-    "event_session_stats",
-    "scan_file_lineage",
-    "join_bloom_prefilter",
-    "agg_linear_regression",
-    "sim_knn_pq",
-    "split_hash_assign",
-    "agg_entropy_diversity",
-    "interval_merge_coverage",
-    "time_weighted_avg",
-    "alter_table_evolution",
-    "mix_temperature_sampling",
-    "dedup_minhash_components",
-    "text_dup_segments",
-    # --- oracles upgraded after their r02 rows-only driver rows ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "agg_approx_distinct",
-    "sim_knn_lsh",
-    "sim_knn_ivf",
-    # --- load-bearing green keys: headline-plan regression re-checks ---
-    "agg_groupby_hash",
-    "join_multiway_star",
-    "stream_session_window",
-    "sim_knn_cosine",
-    "text_tokenize_tf",
-    "dedup_exact",
-    "tpch_q3",
-    "win_row_number_topn",
-)
+# the first 50 keys in dict order each round, so the order IS part of
+# the evidence pipeline. Rounds 1-4 used a hand-rotated priority tuple;
+# that required manual rotation every round and went stale the moment
+# the driver wrote new rows (round-4 verdict item 1). The order is now
+# DERIVED from the committed CORRECTNESS_r*.json artifacts themselves:
+# keys sort by the round of their latest driver row, oldest first, with
+# registration order as the stable tie-break. Never-checked keys (new
+# this round) and keys whose latest row FAILED sort as round 0, so they
+# always lead the window. ``no_oracle`` rows (the rows-only-by-design
+# keys) count as normally checked. The net effect: every round the
+# 50-slot window automatically lands on the 50 keys whose driver
+# evidence is stalest — no manual rotation, no wasted slots.
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def latest_driver_round() -> dict[str, int]:
+    """key -> round of its latest committed driver correctness row.
+
+    A key whose latest row is a hard failure (rows/schema/hash mismatch
+    or an unexpected error) maps to 0 — it re-enters the next window
+    immediately, same as a never-checked key.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, int] = {}
+    ok: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict) or rnd < latest.get(key, 0):
+                continue
+            latest[key] = rnd
+            ok[key] = row.get("err") in (None, "no_oracle") and not any(
+                row.get(f) is False for f in ("rows_match", "schema_match", "hash_match")
+            )
+    return {k: (r if ok.get(k, False) else 0) for k, r in latest.items()}
 
 
 def load_all() -> None:
@@ -147,8 +132,10 @@ def load_all() -> None:
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: d[k] for k in _CHECK_PRIORITY if k in d}
-    return head | {k: v for k, v in d.items() if k not in head}
+    latest = latest_driver_round()
+    # sorted() is stable: within one staleness class, registration order
+    # (scans -> filters -> ... -> tpch) is preserved.
+    return {k: d[k] for k in sorted(d, key=lambda k: latest.get(k, 0))}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -8,43 +8,55 @@ evidence — a typo in the priority list would silently demote a key.
 from algebraicdb_spark.plans import registry
 
 
-def test_priority_keys_all_exist():
-    qs = registry.queries()
-    missing = [k for k in registry._CHECK_PRIORITY if k not in qs]
-    assert not missing, f"_CHECK_PRIORITY names unknown keys: {missing}"
-
-
-def test_priority_has_no_duplicates():
-    p = registry._CHECK_PRIORITY
-    assert len(p) == len(set(p))
-
-
-def test_unchecked_keys_lead_exposure_order():
+def test_exposure_order_is_stalest_first():
     """The driver writes a correctness row for the first 50 exposure
-    slots per round. Invariant: every registered key either already
-    has a row in a committed CORRECTNESS_r*.json or sits inside the
-    next round's 50-slot window — no key can stay unchecked forever."""
-    import glob
+    slots per round. Invariant (round-4 verdict item 1): exposure order
+    is sorted by the round of each key's latest committed driver row,
+    oldest first — so the window always covers the 50 keys with the
+    stalest driver evidence, and never-checked or last-round-failed
+    keys (staleness 0) lead unconditionally."""
+    latest = registry.latest_driver_round()
+    staleness = [latest.get(k, 0) for k in registry.queries()]
+    assert staleness == sorted(staleness), (
+        "queries() order is not stalest-first; a fresher-checked key "
+        "occupies a window slot ahead of a staler one"
+    )
+
+
+def test_window_wastes_no_slot():
+    """No key checked in the most recent round may sit inside the
+    50-slot window while a staler key waits outside it."""
+    latest = registry.latest_driver_round()
+    qs = list(registry.queries())
+    if not latest:
+        return
+    newest = max(latest.values())
+    in_window = [latest.get(k, 0) for k in qs[:50]]
+    outside = [latest.get(k, 0) for k in qs[50:]]
+    if any(s < newest for s in outside):
+        assert all(s < newest for s in in_window), (
+            "window slots spent on keys already checked in the newest "
+            "round while staler keys wait outside"
+        )
+
+
+def test_latest_driver_round_marks_failures_stale():
+    """A failed driver row must re-enter the window immediately: the
+    parser maps hard failures to staleness 0 while treating the
+    rows-only ``no_oracle`` rows as normally checked."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    checked: set[str] = set()
-    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(p)))
-    qs = list(registry.queries())
-    first50 = set(qs[:50])
-    unchecked = [k for k in qs if k not in checked]
-    overflow = [k for k in unchecked if k not in first50]
-    if overflow:
-        # more unchecked keys than window slots is allowed ONLY if the
-        # window wastes no slot on an already-checked key
-        wasted = [k for k in qs[:50] if k in checked]
-        assert not wasted, (
-            f"unchecked keys {overflow} wait outside the window while "
-            f"already-checked keys occupy slots: {wasted}"
-        )
-        assert len(overflow) == len(unchecked) - 50
+    latest = registry.latest_driver_round()
+    # the two rows-only-by-design keys have only no_oracle rows; they
+    # must NOT be pinned to the window head forever
+    rows = json.load(open(root / "CORRECTNESS_r04.json"))
+    for key, row in rows.items():
+        if row.get("err") == "no_oracle":
+            assert latest.get(key, 0) > 0, (
+                f"{key}: no_oracle row wrongly treated as a failure"
+            )
 
 
 def test_survey_inventory_matches_registry():
