@@ -94,7 +94,7 @@ _ALTER_RENAME_RE = re.compile(
 )
 _COPY_TO_RE = re.compile(
     r"^\s*COPY\s+(?:(?P<name>\w+)|\((?P<query>.+)\))\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*;?\s*$",
+    r"(?:\s*\(\s*(?P<opts>[^()]*?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COPY_FROM_RE = re.compile(
@@ -103,6 +103,31 @@ _COPY_FROM_RE = re.compile(
     re.IGNORECASE,
 )
 COPY_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def parse_copy_to_options(opts: str | None) -> tuple[str | None, bool]:
+    """Parse the COPY … TO option list: ``(FORMAT fmt[, OVERWRITE])``
+    in any order. Returns ``(format, overwrite)``. An existing target
+    directory is an error unless OVERWRITE is given — a silent
+    ``mode("overwrite")`` would let any export clobber an arbitrary
+    writable path (round-4 ADVICE)."""
+    fmt: str | None = None
+    overwrite = False
+    for raw in (opts or "").split(","):
+        tok = raw.strip()
+        if not tok:
+            continue
+        m = re.fullmatch(r"FORMAT\s+(\w+)", tok, re.IGNORECASE)
+        if m:
+            fmt = m.group(1)
+        elif tok.upper() == "OVERWRITE":
+            overwrite = True
+        else:
+            raise ValueError(
+                f"COPY TO: unknown option {tok!r} "
+                "(supported: FORMAT <fmt>, OVERWRITE)"
+            )
+    return fmt, overwrite
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN"
     r"(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST|SCALE|ANALYZE))?"

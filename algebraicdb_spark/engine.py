@@ -61,6 +61,7 @@ from algebraicdb_spark.dialect import (
     _SHOW_TABLES_RE,
     _UPDATE_RE,
     _value_expr,
+    parse_copy_to_options,
     parse_update_sets,
     spark_type,
 )
@@ -150,7 +151,7 @@ class Engine:
         if _COPY_TO_RE.match(stmt):
             m = _COPY_TO_RE.match(stmt)
             return self._copy_to(
-                m.group("name"), m.group("path"), m.group("fmt"),
+                m.group("name"), m.group("path"), m.group("opts"),
                 query=m.group("query"),
             )
         if _COPY_FROM_RE.match(stmt):
@@ -197,6 +198,7 @@ class Engine:
         if mode == "SCALE":
             from algebraicdb_spark.plans.scalelint import lint
 
+            self._assert_query_plan(lowered, "EXPLAIN SCALE")
             findings = lint(self.spark.sql(lowered)) or [
                 ("ok", "CLEAN", "no scale findings")
             ]
@@ -204,8 +206,34 @@ class Engine:
                 findings, "severity string, code string, finding string"
             )
         if mode == "ANALYZE":
+            self._assert_query_plan(lowered, "EXPLAIN ANALYZE")
             return self._explain_analyze(lowered)
         return self.spark.sql(f"EXPLAIN {mode} {lowered}")
+
+    def _assert_query_plan(self, lowered_sql: str, ctx: str) -> None:
+        """Reject non-query inner statements for the EXPLAIN modes that
+        must run the plan. ``spark.sql`` executes commands EAGERLY at
+        the call site, so ``EXPLAIN ANALYZE CREATE TABLE t AS …`` would
+        create a real table — and, because EXPLAIN is classified as a
+        lock-free read, do so on a replica past the server's mutation
+        gate (round-4 ADVICE, medium). The check is parse-only (no
+        execution): the statement is rejected when Catalyst parses it
+        to a ``Command`` node or a DDL/DML ``*Statement`` node."""
+        parser = self.spark._jsparkSession.sessionState().sqlParser()
+        try:
+            plan = parser.parsePlan(lowered_sql)
+        except Exception as exc:
+            raise AdtError(f"{ctx}: inner statement failed to parse") from exc
+        cmd_cls = self.spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        )
+        cls_name = plan.getClass().getSimpleName()
+        if cmd_cls.isInstance(plan) or cls_name.endswith("Statement"):
+            raise AdtError(
+                f"{ctx} executes its inner statement and therefore only "
+                f"accepts queries, not commands (got {cls_name}); run the "
+                "command directly through sql() instead"
+            )
 
     def _explain_analyze(self, lowered_sql: str) -> DataFrame:
         """Execute the lowered statement via ``QueryExecution.toRdd``
@@ -398,15 +426,23 @@ class Engine:
         return fmt
 
     def _copy_to(
-        self, name: str | None, path: str, fmt: str | None,
+        self, name: str | None, path: str, opts: str | None,
         query: str | None = None,
     ) -> None:
         """COPY t TO 'path' / COPY (SELECT …) TO 'path' (FORMAT
-        parquet|csv|json|orc) — export a table or query result as
-        files. A distributed write (one file per partition), the same
-        path a 100 TB export takes; CSV gets a header row so
+        parquet|csv|json|orc[, OVERWRITE]) — export a table or query
+        result as files. A distributed write (one file per partition),
+        the same path a 100 TB export takes; CSV gets a header row so
         round-trips keep column names. The query form goes through the
-        same pattern lowering as any read."""
+        same pattern lowering as any read. An existing target is an
+        ERROR unless OVERWRITE is given — the prior silent overwrite
+        let any export clobber an arbitrary writable path (round-4
+        ADVICE), and the OVERWRITE form is gated as a mutation by the
+        server."""
+        try:
+            fmt, overwrite = parse_copy_to_options(opts)
+        except ValueError as exc:
+            raise AdtError(str(exc)) from exc
         fmt = self._copy_format(fmt)
         if query is not None:
             df = self.spark.sql(self._rewrite(query))
@@ -415,7 +451,7 @@ class Engine:
                 df = self.spark.table(name)
             except Exception as exc:
                 raise AdtError(f"COPY: unknown table {name!r}") from exc
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite" if overwrite else "errorifexists")
         if fmt == "csv":
             writer = writer.option("header", True)
         writer.format(fmt).save(path)
@@ -425,7 +461,15 @@ class Engine:
         existing table. Files are read WITH the table's declared schema
         (no inference drift: a CSV integer column comes back as the
         table's type, not a guess) and appended via the same
-        view-union lowering INSERT uses."""
+        view-union lowering INSERT uses. Materialized views are
+        refused (mirroring ALTER): appending to the snapshot view
+        would silently diverge it from its defining query, and the
+        next REFRESH would discard the appended rows."""
+        if name in self._matviews:
+            raise AdtError(
+                f"COPY: {name!r} is a materialized view — COPY into a base "
+                "table and REFRESH, or DROP + re-CREATE the view"
+            )
         fmt = self._copy_format(fmt)
         try:
             existing = self.spark.table(name)
@@ -536,7 +580,15 @@ class Engine:
         """Restore a catalog saved by :meth:`save_catalog` into this
         session: re-declare types, re-create dialect tables (EMPTY —
         only schemas persist) unless a same-named view already exists,
-        and re-run materialized-view definitions."""
+        and re-run materialized-view definitions.
+
+        When a same-named view ALREADY exists (an attached fixture) and
+        its live column names differ from the saved TableDef — e.g. the
+        saved catalog recorded an ALTER on a fixture view, which is
+        session-scoped — the live schema WINS and the saved TableDef is
+        discarded for that table. Otherwise DESCRIBE would report the
+        altered shape while the data still has the original columns
+        (round-4 ADVICE: catalog/data drift after restore)."""
 
         def deser(t):
             return self._types[t["adt"]] if isinstance(t, dict) else t
@@ -557,6 +609,20 @@ class Engine:
             if name not in existing:
                 empty = self.spark.createDataFrame([], td.schema_ddl())
                 empty.createOrReplaceTempView(name)
+            else:
+                live_cols = [f.name for f in self.spark.table(name).schema.fields]
+                if live_cols != list(td.columns):
+                    # saved metadata drifted from live data (session-
+                    # scoped ALTER on a fixture view): trust the data,
+                    # keep ADT mappings for columns that still exist
+                    td = TableDef(
+                        name,
+                        {
+                            c: td.columns.get(c)
+                            or self.spark.table(name).schema[c].dataType.simpleString()
+                            for c in live_cols
+                        },
+                    )
             self._tables[name] = td
         for name, query in data["matviews"].items():
             if name not in self._matviews:

@@ -81,7 +81,20 @@ _MUTATION_RES = (
 
 
 def _is_mutation(sql: str) -> bool:
-    return any(r.match(sql) for r in _MUTATION_RES)
+    if any(r.match(sql) for r in _MUTATION_RES):
+        return True
+    # COPY … TO is a plain read-side export UNLESS it carries the
+    # OVERWRITE option, which deletes the existing target directory —
+    # that destructive form serializes under the primary lock like any
+    # other mutation (round-4 ADVICE).
+    m = dialect._COPY_TO_RE.match(sql)
+    if m:
+        try:
+            _, overwrite = dialect.parse_copy_to_options(m.group("opts"))
+        except ValueError:
+            return False  # engine will reject the malformed option list
+        return overwrite
+    return False
 
 
 def _json_safe(v: Any) -> Any:

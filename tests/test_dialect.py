@@ -340,6 +340,30 @@ class TestExplain:
         n_after = eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n
         assert n_before == n_after
 
+    def test_explain_analyze_rejects_commands(self, eng):
+        """EXPLAIN ANALYZE executes its inner statement, and spark.sql
+        runs commands EAGERLY — so command plans must be rejected
+        BEFORE execution or `EXPLAIN ANALYZE CREATE TABLE …` would
+        create a real table past the server's mutation gate."""
+        for cmd in (
+            "CREATE TABLE xp_sneak AS SELECT 1 AS a",
+            "DROP VIEW shapes",
+            "SET spark.sql.shuffle.partitions=1",
+        ):
+            with pytest.raises(AdtError, match="only\\s+accepts queries"):
+                eng.sql(f"EXPLAIN ANALYZE {cmd}")
+        # nothing executed: no sneak table, shapes still readable
+        tabs = {t.name for t in eng.spark.catalog.listTables()}
+        assert "xp_sneak" not in tabs
+        assert eng.sql("SELECT COUNT(*) AS n FROM shapes").collect()[0].n >= 1
+
+    def test_explain_scale_rejects_commands(self, eng):
+        with pytest.raises(AdtError, match="only\\s+accepts queries"):
+            eng.sql("EXPLAIN SCALE CREATE TABLE xp_sneak2 AS SELECT 1 AS a")
+        assert "xp_sneak2" not in {
+            t.name for t in eng.spark.catalog.listTables()
+        }
+
 
 class TestIntrospection:
     def test_show_tables_lists_created(self, eng):
@@ -441,6 +465,31 @@ class TestAlterTable:
         assert desc == {"id": "bigint", "note": "string"}
         b.sql("DROP TABLE alt_p")
 
+    def test_load_catalog_reconciles_fixture_drift(self, spark, tmp_path):
+        """An ALTER on an attached fixture view is session-scoped: after
+        a restart the re-attached view has its ORIGINAL columns while
+        the saved catalog metadata recorded the altered shape. The live
+        schema wins on load, so DESCRIBE never reports columns the data
+        does not have."""
+        spark.createDataFrame(
+            [(1, "x")], "id long, name string"
+        ).createOrReplaceTempView("fix_drift")
+        a = Engine(spark)
+        a.sql("ALTER TABLE fix_drift RENAME COLUMN name TO label")
+        p = str(tmp_path / "cat_drift.json")
+        a.save_catalog(p)
+        # simulate a restart: the fixture comes back with its original shape
+        spark.createDataFrame(
+            [(1, "x")], "id long, name string"
+        ).createOrReplaceTempView("fix_drift")
+        b = Engine(spark)
+        b.load_catalog(p)
+        desc = {
+            r.column_name: r.type for r in b.sql("DESCRIBE fix_drift").collect()
+        }
+        assert desc == {"id": "bigint", "name": "string"}
+        spark.catalog.dropTempView("fix_drift")
+
 
 class TestCopy:
     def test_copy_roundtrip_parquet_and_csv(self, spark, tmp_path):
@@ -487,7 +536,42 @@ class TestCopy:
         eng2.sql("CREATE TABLE cp_e (id: Integer)")
         with pytest.raises(AdtError, match="unsupported format"):
             eng2.sql(f"COPY cp_e TO '{tmp_path / 'x'}' (FORMAT avro)")
+        with pytest.raises(AdtError, match="unknown option"):
+            eng2.sql(f"COPY cp_e TO '{tmp_path / 'x'}' (FORMAT csv, BOGUS)")
         eng2.sql("DROP TABLE cp_e")
+
+    def test_copy_to_refuses_existing_target_without_overwrite(
+        self, spark, tmp_path
+    ):
+        """An existing target directory is an error unless OVERWRITE is
+        given — a silent overwrite would let any export clobber an
+        arbitrary writable path."""
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE cp_ow (id: Integer)")
+        eng2.sql("INSERT INTO cp_ow VALUES (1)")
+        out = str(tmp_path / "cp_ow_out")
+        eng2.sql(f"COPY cp_ow TO '{out}'")
+        with pytest.raises(Exception, match="already exists"):
+            eng2.sql(f"COPY cp_ow TO '{out}'")
+        eng2.sql("INSERT INTO cp_ow VALUES (2)")
+        eng2.sql(f"COPY cp_ow TO '{out}' (FORMAT parquet, OVERWRITE)")
+        assert spark.read.parquet(out).count() == 2
+        eng2.sql("DROP TABLE cp_ow")
+
+    def test_copy_from_refuses_matview(self, spark, tmp_path):
+        """COPY FROM into a materialized view would silently diverge
+        the snapshot from its defining query (next REFRESH discards
+        the appended rows) — refused, mirroring ALTER."""
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE cp_mv_base (id: Integer)")
+        eng2.sql("INSERT INTO cp_mv_base VALUES (1)")
+        out = str(tmp_path / "cp_mv_out")
+        eng2.sql(f"COPY cp_mv_base TO '{out}'")
+        eng2.sql("CREATE MATERIALIZED VIEW cp_mv AS SELECT id FROM cp_mv_base")
+        with pytest.raises(AdtError, match="materialized view"):
+            eng2.sql(f"COPY cp_mv FROM '{out}'")
+        eng2.sql("DROP MATERIALIZED VIEW cp_mv")
+        eng2.sql("DROP TABLE cp_mv_base")
 
 
 class TestMaterializedViews:

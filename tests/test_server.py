@@ -200,3 +200,18 @@ def test_explain_over_the_wire(client):
     assert resp["ok"] and resp["columns"] == ["plan"]
     plan = "\n".join(r[0] for r in resp["rows"])
     assert "Physical Plan" in plan
+
+
+def test_mutation_classifier_gates_overwrite_export():
+    """COPY … TO is a lock-free read UNLESS it carries OVERWRITE, which
+    deletes the existing target directory — that destructive form must
+    serialize under the primary lock like any other mutation."""
+    from algebraicdb_spark.server import _is_mutation
+
+    assert not _is_mutation("COPY t TO '/tmp/x'")
+    assert not _is_mutation("COPY t TO '/tmp/x' (FORMAT csv)")
+    assert _is_mutation("COPY t TO '/tmp/x' (OVERWRITE)")
+    assert _is_mutation("COPY t TO '/tmp/x' (FORMAT csv, OVERWRITE)")
+    assert _is_mutation("COPY t FROM '/tmp/x'")
+    # EXPLAIN stays a read — the engine itself rejects command payloads
+    assert not _is_mutation("EXPLAIN ANALYZE SELECT 1")
