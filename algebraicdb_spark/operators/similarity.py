@@ -446,38 +446,148 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_BLOCKS = 8       # 64 dims -> 8 subspaces of 8 dims
+PQ_SUB_DIM = 64 // PQ_BLOCKS
 PQ_K = 16           # centroids per subspace (4-bit codes)
-PQ_ITERS = 10
 PQ_RERANK = 8 * TOP_K  # approx candidates kept per query for exact rerank
-PQ_TRAIN_MOD = 2    # train on ~1/MOD of the corpus (raise at scale: KB-sized
+PQ_TRAIN_MOD = 2    # train on vec_id % MOD = 0 (raise at scale: KB-sized
                     # codebooks need only ~1e4 vectors however big the corpus)
-PQ_TRAIN_CAP = 4096  # hard per-block cap applied inside the trainer
+PQ_TRAIN_CAP = 4096  # cap train rows via vec_id < MOD*CAP (ids are dense)
+_ADC_GRID = 10**6    # floor each ADC partial onto 1e-6 before the block sum
 
 
-@register("sim_knn_pq")  # rows-only: codebooks are trainer-specific
+def _pq_l2(a: str, b: str) -> str:
+    """DuckDB left-fold squared-L2 over a PQ subspace, matching Spark's
+    ``zip_with (x-y)^2`` + ``aggregate`` fold bit-for-bit."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {PQ_SUB_DIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+
+
+# Full replay of the PQ pipeline (same determinism recipe as the IVF
+# oracle): stride-sampled train set with a vec_id cap, seed centroids =
+# first PQ_K train vectors, ONE Lloyd iteration with grid-floored
+# integer-sum means (order-free on both engines), nearest-centroid
+# encoding and ADC lookups via fold-order float ops, and an integer
+# (1e-6-grid) block sum for the approx ranking so the candidate cut is
+# engine-exact. The exact rerank then matches sim_knn_cosine's recipe.
+_PQ_ORACLE = f"""
+WITH blocks AS (
+  SELECT UNNEST(range(0, {PQ_BLOCKS})) AS block
+), corpus_sub AS (
+  SELECT e.vec_id, b.block,
+         list_transform(
+           list_slice(e.embedding, b.block * {PQ_SUB_DIM} + 1,
+                      b.block * {PQ_SUB_DIM} + {PQ_SUB_DIM}),
+           x -> CAST(x AS DOUBLE)) AS subvec
+  FROM embeddings e CROSS JOIN blocks b
+), train AS (
+  SELECT * FROM corpus_sub
+  WHERE vec_id % {PQ_TRAIN_MOD} = 0
+    AND vec_id < {PQ_TRAIN_MOD * PQ_TRAIN_CAP}
+), seeds AS (
+  SELECT block, CAST(vec_id // {PQ_TRAIN_MOD} AS INT) AS centroid_id,
+         subvec AS seed
+  FROM train WHERE vec_id < {PQ_TRAIN_MOD * PQ_K}
+), best AS (
+  SELECT vec_id, block, subvec, centroid_id FROM (
+    SELECT t.vec_id, t.block, t.subvec, s.centroid_id,
+           row_number() OVER (PARTITION BY t.vec_id, t.block
+                              ORDER BY {_pq_l2('t.subvec', 's.seed')} ASC,
+                                       s.centroid_id ASC) AS r
+    FROM train t JOIN seeds s USING (block)
+  ) WHERE r = 1
+), dims AS (
+  SELECT block, centroid_id, u.dim, u.v
+  FROM best t,
+       LATERAL (SELECT UNNEST(t.subvec) AS v,
+                       generate_subscripts(t.subvec, 1) AS dim) u
+), means AS (
+  SELECT block, centroid_id, dim,
+         (CAST(SUM(CAST(floor(v * {_MEAN_GRID}) AS BIGINT)) AS DOUBLE)
+          / {_MEAN_GRID}.0) / COUNT(*) AS m
+  FROM dims GROUP BY block, centroid_id, dim
+), trained AS (
+  SELECT block, centroid_id, list(m ORDER BY dim) AS trained
+  FROM means GROUP BY block, centroid_id
+), codebook AS (
+  SELECT s.block, s.centroid_id, COALESCE(t.trained, s.seed) AS centroid
+  FROM seeds s LEFT JOIN trained t USING (block, centroid_id)
+), codes AS (
+  SELECT vec_id, block, centroid_id FROM (
+    SELECT c.vec_id, c.block, cb.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id, c.block
+                              ORDER BY {_pq_l2('c.subvec', 'cb.centroid')} ASC,
+                                       cb.centroid_id ASC) AS r
+    FROM corpus_sub c JOIN codebook cb USING (block)
+  ) WHERE r = 1
+), q_sub AS (
+  SELECT vec_id AS q_id, block, subvec AS q_subvec FROM corpus_sub
+  WHERE vec_id % 50 = 0 AND vec_id < 500
+), lut AS (
+  SELECT qs.q_id, qs.block, cb.centroid_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, {PQ_SUB_DIM + 1}),
+                          i -> qs.q_subvec[i] * cb.centroid[i])),
+           (x, y) -> x + y) AS partial
+  FROM q_sub qs JOIN codebook cb USING (block)
+), approx AS (
+  SELECT l.q_id, c.vec_id,
+         SUM(CAST(floor(l.partial * {_ADC_GRID}) AS BIGINT)) AS approx_g
+  FROM codes c
+  JOIN lut l ON c.block = l.block AND c.centroid_id = l.centroid_id
+  WHERE c.vec_id != l.q_id
+  GROUP BY l.q_id, c.vec_id
+), cands AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY approx_g DESC, vec_id ASC) AS arn
+    FROM approx
+  ) WHERE arn <= {PQ_RERANK}
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_knn_pq", oracle=_PQ_ORACLE)
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the FAISS-style tier): split vectors
-    into PQ_BLOCKS subspaces, k-means a PQ_K-entry codebook per
-    subspace, encode the corpus as PQ_BLOCKS 4-bit codes, score
-    queries by asymmetric distance (table lookups), exact-rerank the
-    top PQ_RERANK.
+    into PQ_BLOCKS subspaces, train a PQ_K-entry codebook per subspace
+    (stride-sampled seeds + one grid-floored distributed Lloyd
+    iteration — the IVF trainer's recipe, so the whole pipeline is
+    value-hash-verifiable), encode the corpus as PQ_BLOCKS 4-bit
+    codes, score queries by asymmetric distance (table lookups),
+    exact-rerank the top PQ_RERANK.
 
-    Scale shape: codebook training shuffles only a deterministic
-    1/PQ_TRAIN_MOD hash-sample, and the per-block trainer caps its
-    input at PQ_TRAIN_CAP vectors (codebooks are KB-sized regardless
-    of corpus size; raise MOD at scale). Encoding and ADC scoring are
-    equi-joins against the broadcast codebook/lookup table, so the
-    corpus-grain work is map-side + one (q, vec) agg over PQ_BLOCKS
-    partial sums; the exact rerank touches only PQ_RERANK × |queries|
-    vectors. Recall vs brute force is pinned in
-    tests/test_similarity.py.
+    Scale shape: codebook training shuffles only the deterministic
+    vec_id-stride sample capped at PQ_TRAIN_CAP rows per block
+    (codebooks are KB-sized regardless of corpus size; raise MOD at
+    scale). Encoding and ADC scoring are equi-joins against the
+    broadcast codebook/lookup table, so the corpus-grain work is
+    map-side + one (q, vec) agg over PQ_BLOCKS partial sums; the
+    exact rerank touches only PQ_RERANK × |queries| vectors. The ADC
+    ranking sums 1e-6-grid-floored integer partials, so the candidate
+    cut is order-free and engine-exact; recall vs brute force is
+    additionally pinned in tests/test_similarity.py.
     """
-    import pandas as pd
-
     q, e = _queries_and_corpus(spark, sf_dir)
     # explode into (vec_id, block, subvec) — 8 rows per vector
     blocks = F.array(*[F.lit(b) for b in range(PQ_BLOCKS)])
-    sub = lambda emb, b: F.slice(emb, b * (64 // PQ_BLOCKS) + 1, 64 // PQ_BLOCKS)  # noqa: E731
+    sub = lambda emb, b: F.slice(emb, b * PQ_SUB_DIM + 1, PQ_SUB_DIM)  # noqa: E731
     corpus_sub = e.select(
         "vec_id",
         F.explode(blocks).alias("block"),
@@ -490,45 +600,64 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("subvec"),
     )
 
-    def kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        X = np.array(pdf.sort_values("vec_id")["subvec"].tolist())[:PQ_TRAIN_CAP]
-        C = X[:PQ_K].copy()  # deterministic init: first PQ_K by vec_id
-        for _ in range(PQ_ITERS):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(PQ_K):
-                pts = X[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(0)
-        return pd.DataFrame(
-            {
-                "block": pdf["block"].iloc[0],
-                "centroid_id": range(PQ_K),
-                "centroid": [c.tolist() for c in C],
-            }
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
 
-    # deterministic hash-sample before the trainer shuffle: only ~1/MOD of
-    # the corpus moves, and the trainer caps each block at PQ_TRAIN_CAP rows
+    # deterministic stride sample with a dense-id cap: only ~1/MOD of
+    # the corpus (bounded at MOD*CAP ids) enters the trainer shuffle
     train = corpus_sub.filter(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(PQ_TRAIN_MOD)) == 0
+        (F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        & (F.col("vec_id") < PQ_TRAIN_MOD * PQ_TRAIN_CAP)
     )
-    codebook = train.groupBy("block").applyInPandas(
-        kmeans, "block int, centroid_id int, centroid array<double>"
+    seeds = train.filter(F.col("vec_id") < PQ_TRAIN_MOD * PQ_K).select(
+        "block",
+        F.expr(f"CAST(vec_id DIV {PQ_TRAIN_MOD} AS INT)").alias("centroid_id"),
+        F.col("subvec").alias("seed"),
+    )
+    # one distributed Lloyd iteration, grid-floored integer-sum means
+    # (order-free — the same determinism device as _refine_centroids)
+    assigned = train.join(F.broadcast(seeds), "block").select(
+        "vec_id", "block", "subvec", "centroid_id",
+        l2(F.col("subvec"), F.col("seed")).alias("d2"),
+    )
+    w_tr = Window.partitionBy("vec_id", "block").orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc()
+    )
+    best = assigned.withColumn("r", F.row_number().over(w_tr)).filter(F.col("r") == 1)
+    tr_dims = best.select(
+        "block", "centroid_id", F.posexplode(F.col("subvec")).alias("dim", "v")
+    )
+    mean = (
+        F.sum(F.floor(F.col("v") * _MEAN_GRID).cast("long")).cast("double")
+        / F.lit(float(_MEAN_GRID))
+    ) / F.count(F.lit(1))
+    tr_means = tr_dims.groupBy("block", "centroid_id", "dim").agg(mean.alias("m"))
+    trained = tr_means.groupBy("block", "centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("trained")
+    )
+    # a seed whose cluster lost every point keeps its seed vector
+    codebook = seeds.join(trained, ["block", "centroid_id"], "left").select(
+        "block",
+        "centroid_id",
+        F.coalesce(F.col("trained"), F.col("seed")).alias("centroid"),
     )
     # encode: nearest centroid per (vec, block) — broadcast codebook join
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     codes = (
         corpus_sub.join(F.broadcast(codebook), "block")
-        .select("vec_id", "block", F.struct(d2.alias("d"), "centroid_id").alias("sc"))
+        .select(
+            "vec_id",
+            "block",
+            F.struct(
+                l2(F.col("subvec"), F.col("centroid")).alias("d"), "centroid_id"
+            ).alias("sc"),
+        )
         .groupBy("vec_id", "block")
         .agg(F.min("sc").alias("best"))
         .select("vec_id", "block", F.col("best.centroid_id").alias("centroid_id"))
@@ -554,14 +683,22 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("partial"),
     )
+    # grid-floor each partial to an integer BEFORE the block sum: an
+    # 8-double float sum depends on add order (engine/partitioning-
+    # dependent); the integer sum is exact, so the candidate cut is
+    # bit-identical on both engines
     approx = (
         codes.join(F.broadcast(lut), ["block", "centroid_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("partial").alias("approx_sim"))
+        .agg(
+            F.sum(F.floor(F.col("partial") * _ADC_GRID).cast("long")).alias(
+                "approx_g"
+            )
+        )
     )
     w_a = Window.partitionBy("q_id").orderBy(
-        F.col("approx_sim").desc(), F.col("vec_id").asc()
+        F.col("approx_g").desc(), F.col("vec_id").asc()
     )
     cands = approx.withColumn("arn", F.row_number().over(w_a)).filter(
         F.col("arn") <= PQ_RERANK
