@@ -598,6 +598,32 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
     n_dangling = nodes.join(has_out, nodes.node == has_out.src, "left_anti").count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = F.lit((1.0 - damping) / n_nodes)
+
+    def _same_bits(a: DataFrame, b: DataFrame) -> bool:
+        """True iff two checkpointed rank vectors are bitwise equal
+        (double ==, every node) — a cheap join of two tiny cached
+        frames."""
+        return (
+            a.join(b.select("node", F.col("rank").alias("prev_rank")), "node")
+            .filter(F.col("rank") != F.col("prev_rank"))
+            .limit(1)
+            .count()
+        ) == 0
+
+    # Convergence early-exit (measured, not assumed): in exact-fold
+    # arithmetic the event graphs settle fast — sf0.01 reaches a
+    # BIT-EXACT fixpoint (~round 13), sf0.1 a 1-ulp period-2 limit
+    # cycle (from round 7). Both let us stop early and still return
+    # the *identical bits* the full `iters` unroll (and the unrolled-
+    # CTE oracle) produces: a fixpoint makes remaining rounds exact
+    # no-ops, and for a period-2 cycle r_m = r_{w + (m-w) % 2}, so we
+    # return the vector whose PHASE matches round `iters`. Probe
+    # windows are three CONSECUTIVE checkpointed rounds starting at
+    # 10/15/20 — the two extra checkpoints per window have 1-round
+    # lineage, so probing is near-free; longer cycles or graphs that
+    # never settle just run all rounds as before.
+    probe_starts = tuple(w for w in (10, 15, 20) if w + 2 < iters)
+    window: dict[int, DataFrame] = {}
     for it in range(iters):
         contribs = (
             norm.join(ranks, norm.src == ranks.node)
@@ -638,8 +664,23 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
         # an unbounded plan (no checkpoints at all) explodes Catalyst
         # past ~15 rounds. Measured 1.7x faster than per-round at
         # sf0.1; identical bits (checkpointing never changes values).
-        if (it + 1) % 5 == 0 and it + 1 < iters:
+        nxt = it + 1
+        in_window = any(w <= nxt <= w + 2 for w in probe_starts)
+        if nxt < iters and (nxt % 5 == 0 or in_window):
             ranks = ranks.localCheckpoint(eager=True)
+        if in_window:
+            window[nxt] = ranks
+            w0 = next(w for w in probe_starts if w <= nxt <= w + 2)
+            if nxt == w0 + 2:
+                if _same_bits(window[w0 + 1], window[w0]):
+                    ranks = window[w0 + 1]  # fixpoint: all later rounds equal
+                    break
+                if _same_bits(window[w0 + 2], window[w0]):
+                    # period-2 limit cycle: r_iters carries the phase
+                    # of w0 + (iters - w0) % 2
+                    ranks = window[w0 + ((iters - w0) % 2)]
+                    break
+                window.clear()
     return ranks
 
 
