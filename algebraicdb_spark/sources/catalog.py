@@ -24,6 +24,7 @@ nothing here assumes single-file inputs.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,17 +70,21 @@ def ensure_confs(spark: SparkSession) -> None:
     for key, value in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            pass  # immutable on this session; builder must have set it
+        except AnalysisException:
+            # CANNOT_MODIFY_STATIC_CONFIG / CANNOT_MODIFY_CONFIG: the
+            # conf is immutable on this session, so the builder must
+            # have set it already. Anything else (stopped context,
+            # protocol error) should surface, not be swallowed.
+            pass
+    # 200 reduce tasks is pure scheduling overhead at fixture scale;
+    # only lower it when the session still has Spark's untouched
+    # default, so a deliberately-tuned session (tests, bench, a
+    # real cluster) is never overridden
     try:
-        # 200 reduce tasks is pure scheduling overhead at fixture scale;
-        # only lower it when the session still has Spark's untouched
-        # default, so a deliberately-tuned session (tests, bench, a
-        # real cluster) is never overridden
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", "32")
-    except Exception:
-        pass
+    except AnalysisException:
+        pass  # conf marked immutable on this session — leave it be
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -98,6 +103,63 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         tables[name] = df
     _CACHE[cache_key] = tables
     return tables
+
+
+#: TPC-H relational tables that benefit from table/column statistics —
+#: the join-reorder surface. events/documents/embeddings are excluded:
+#: they carry ingestion-normalized columns (ts_ns) that only exist on
+#: the temp views, and no query joins more than two of them.
+STATS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+#: Catalog-table prefix used by :func:`analyze_tables` — temp views
+#: cannot carry catalog statistics (EXPECT_PERMANENT_VIEW_NOT_TEMP),
+#: so the stats live on external parquet tables registered alongside.
+STATS_PREFIX = "stats_"
+
+
+def analyze_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = STATS_TABLES,
+    enable_cbo: bool = True,
+) -> None:
+    """Give the cost-based optimizer footing: register each fixture
+    table as an EXTERNAL parquet catalog table (``stats_<name>``, no
+    data copy — the location is the fixture file) and run ``ANALYZE
+    TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`` on it, then enable
+    CBO + stats-driven join reordering on the session.
+
+    Temp views cannot hold catalog statistics in Spark, so this is the
+    Spark-idiomatic equivalent of "ANALYZE the registered views"
+    (SURVEY §4.2): at 100 TB, join reordering without rowCount/NDV
+    stats leans entirely on AQE's runtime re-planning; with them,
+    ``CostBasedJoinReorder`` picks the cheap dimension-first order at
+    PLAN time (pinned in tests/test_plans.py — customer⋈orders⋈nation
+    reorders to customer⋈nation first). The ANALYZE scan is one pass
+    per table; on a cluster you re-run it on data refresh, exactly as
+    the reference's ANALYZE would."""
+    ensure_confs(spark)
+    for name in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {STATS_PREFIX}{name}")
+        spark.sql(
+            f"CREATE TABLE {STATS_PREFIX}{name} USING parquet "
+            f"LOCATION '{sf_dir.rstrip('/')}/{name}.parquet'"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {STATS_PREFIX}{name} "
+            "COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+    if enable_cbo:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:

@@ -278,3 +278,43 @@ def test_bloom_prefilter_plan_shape(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "LeftSemi" in plan
+
+
+def test_analyze_tables_enable_stats_driven_join_reorder(spark, sf_dir):
+    """SURVEY §4.2: with catalog statistics, CostBasedJoinReorder picks
+    the dimension-first join order at PLAN time instead of leaning on
+    AQE. analyze_tables registers external stats_<name> tables (no data
+    copy), computes row + column stats, and enables CBO; the syntactic
+    order customer JOIN orders JOIN nation must reorder to do the cheap
+    customer x nation join first."""
+    import re
+
+    from algebraicdb_spark.sources.catalog import analyze_tables
+
+    analyze_tables(spark, sf_dir)
+    try:
+        # rowCount stats surfaced into plan statistics
+        st = spark.table("stats_orders")._jdf.queryExecution().optimizedPlan().stats()
+        assert "rowCount" in st.toString(), st.toString()
+        q = """
+        SELECT n.n_name, COUNT(*) AS n
+        FROM stats_customer c
+        JOIN stats_orders o ON o.o_custkey = c.c_custkey
+        JOIN stats_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+        plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        leaves = re.findall(r"default\.(stats_\w+)", plan)
+        assert leaves == ["stats_customer", "stats_nation", "stats_orders"], (
+            f"stats-driven reorder did not fire; leaf order: {leaves}"
+        )
+        # and the reordered query still answers correctly
+        got = {r.n_name: r.n for r in spark.sql(q).collect()}
+        want = {
+            r.n_name: r.n
+            for r in spark.sql(q.replace("stats_", "")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
