@@ -55,12 +55,28 @@ def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
         "event_id", F.col("ts_ns").alias("ts"), "user_id",
         "event_type", "value", "props",
     )
-    pdf = raw.toPandas().sort_values("ts")
-    per = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if len(chunk):
-            chunk.to_parquet(os.path.join(out, f"part-{i:03d}.parquet"), index=False)
+    # Executor-side staging (no driver row transfer): range-partition on
+    # ts so part-0000k holds the k-th contiguous time slice, written in
+    # parallel.
+    (
+        raw.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # FileStreamSource ingests files in MODIFICATION-TIME order, and
+    # parallel write tasks finish in arbitrary order — restamp mtimes
+    # in path order (path order == ts-range order) so micro-batches
+    # arrive time-ordered and watermarks never see artificial late
+    # data. Metadata-only touch, O(n_files), no row transfer.
+    import time as _time
+
+    base = _time.time()
+    for i, fname in enumerate(
+        sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    ):
+        path = os.path.join(out, fname)
+        os.utime(path, (base + i, base + i))
     return out
 
 
@@ -74,6 +90,48 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     return normalize_events(raw)
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 200, n_users: int = 50
+) -> DataFrame:
+    """NON-FILE streaming source: a ``rate-micro-batch`` generator
+    mapped onto the events shape (event_id/ts/user_id/event_type/
+    value/ts_ns), so every transformation in this module runs
+    unchanged over it.
+
+    This is the Kafka-shaped path: a message-bus source yields
+    (offset, timestamp, payload) exactly like rate's (value,
+    timestamp), and the projection below is the deserialize step — on
+    a cluster, swap ``format("rate-micro-batch")`` for
+    ``format("kafka")`` + ``from_json(value)`` and nothing downstream
+    changes. rate-micro-batch (not plain ``rate``) keeps batches
+    deterministic: rowsPerBatch rows per trigger, event time advancing
+    a fixed step per batch."""
+    ensure_confs(spark)
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+        .withColumnRenamed("value", "seq")
+    )
+    types = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
+    return (
+        raw.select(
+            F.col("seq").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.pmod(F.col("seq"), F.lit(n_users)).alias("user_id"),
+            F.element_at(
+                types, (F.pmod(F.col("seq"), F.lit(3)) + 1).cast("int")
+            ).alias("event_type"),
+            F.pmod(F.col("seq"), F.lit(100)).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    )
 
 
 # ---- incremental transformations (same semantics as batch_equiv) ----

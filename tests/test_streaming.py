@@ -88,7 +88,10 @@ def test_stream_late_row_dropped(spark, src_dir, tmp_path):
 
     late_dir = str(tmp_path / "late_src")
     os.makedirs(late_dir)
-    pdf = pd.read_parquet(os.path.join(src_dir, "part-000.parquet"))
+    first_part = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )[0]
+    pdf = pd.read_parquet(os.path.join(src_dir, first_part))
     pdf = pdf.sort_values("ts")
     cut = len(pdf) // 2
     on_time = pdf.iloc[cut:]  # newer half arrives first
@@ -234,3 +237,40 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_stream, tables
     )
     cols = ["user_id", "n_events", "total_value"]
     assert rows_set(final, cols) == rows_set(want, cols)
+
+
+def test_rate_source_tumbling_agg_end_to_end(spark):
+    """Non-file streaming source: a rate-micro-batch generator (the
+    Kafka-shaped path — deterministic offsets + event time) feeds the
+    same tumbling aggregation the file-source tests use. The source
+    never drains, so run a few micro-batches, stop, and reconcile the
+    aggregate against the committed input-row count from the query's
+    own progress log."""
+    import time as _time
+
+    stream = engine.read_rate_stream(spark, rows_per_batch=200)
+    q = (
+        engine.tumbling_agg(stream)
+        .writeStream.format("memory")
+        .queryName("t_rate_tumbling")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if len(q.recentProgress) >= 3:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    total_in = sum(p["numInputRows"] for p in q.recentProgress)
+    assert total_in >= 3 * 200, f"only {total_in} rows generated"
+    rows = spark.table("t_rate_tumbling").collect()
+    # complete mode: the table is the aggregate over every committed row
+    assert sum(r.n_events for r in rows) == total_in
+    # event time advances 1 min per batch from epoch 0 -> hour windows
+    assert all(r.window_start_s % 3600 == 0 for r in rows)
+    assert {r.event_type for r in rows} == {"click", "view", "purchase"}
