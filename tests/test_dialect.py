@@ -608,3 +608,54 @@ class TestMaterializedViews:
         eng2.sql("DROP MATERIALIZED VIEW mv_one")
         with pytest.raises(AdtError):
             eng2.sql("DROP MATERIALIZED VIEW mv_one")
+
+
+class TestRecursiveCte:
+    def test_with_recursive_walks_dedup_pair_graph(self, spark):
+        """WITH RECURSIVE flows through the dialect read path into
+        Spark 4's native recursive CTE execution: walk an undirected
+        near-dup pair graph to its transitive closure (the SQL twin of
+        dedup_components' min-label loop)."""
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dd_pairs (a: Integer, b: Integer)")
+        eng2.sql("INSERT INTO dd_pairs VALUES (1, 2), (2, 3), (5, 6)")
+        rows = eng2.sql(
+            """
+            WITH RECURSIVE reach(node, lvl) AS (
+              SELECT CAST(1 AS BIGINT) AS node, 0 AS lvl
+              UNION ALL
+              SELECT CASE WHEN p.a = r.node THEN p.b ELSE p.a END, r.lvl + 1
+              FROM reach r JOIN dd_pairs p ON p.a = r.node OR p.b = r.node
+              WHERE r.lvl < 3
+            )
+            SELECT DISTINCT node FROM reach ORDER BY node
+            """
+        ).collect()
+        # component of doc 1 is {1,2,3}; {5,6} is unreachable
+        assert [r.node for r in rows] == [1, 2, 3]
+        eng2.sql("DROP TABLE dd_pairs")
+
+    def test_recursion_depth_is_bounded_not_infinite(self, spark):
+        """An unbounded recursive walk over a cyclic graph must hit
+        Spark's cteRecursionLevelLimit and raise — not spin forever."""
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dd_cycle (a: Integer, b: Integer)")
+        eng2.sql("INSERT INTO dd_cycle VALUES (1, 2), (2, 1)")
+        limit_key = "spark.sql.cteRecursionLevelLimit"
+        prev = spark.conf.get(limit_key)
+        spark.conf.set(limit_key, "8")  # default 100 — slow to hit in a test
+        try:
+            with pytest.raises(Exception, match="(?i)recursion|level|limit"):
+                eng2.sql(
+                    """
+                    WITH RECURSIVE reach(node) AS (
+                      SELECT CAST(1 AS BIGINT) AS node
+                      UNION ALL
+                      SELECT p.b FROM reach r JOIN dd_cycle p ON p.a = r.node
+                    )
+                    SELECT COUNT(*) AS n FROM reach
+                    """
+                ).collect()
+        finally:
+            spark.conf.set(limit_key, prev)
+        eng2.sql("DROP TABLE dd_cycle")
