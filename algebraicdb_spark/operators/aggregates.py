@@ -810,3 +810,109 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         pround((F.col("num") * F.col("num")) / (F.col("denx") * F.col("deny"))).alias("r2"),
     ).orderBy("flag")
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    """Pairwise Pearson matrix from the agg_linear_regression moment
+    recipe: grid-floored (1e4) per-row terms summed as exact DECIMALs,
+    then identical double combinations on both engines — corr needs no
+    tolerance despite being a ratio of five float reductions."""
+    s = lambda c: f"CAST(SUM(CAST(FLOOR({c} * 1e4) AS DECIMAL(38,0))) AS DOUBLE)"  # noqa: E731
+    moments = ", ".join(
+        [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+        + [f"{s(c)} AS s_{i}" for i, c in enumerate(_CORR_COLS)]
+        + [
+            f"{s(f'{c} * {c}')} AS s_{i}_{i}"
+            for i, c in enumerate(_CORR_COLS)
+        ]
+        + [
+            f"{s(f'{a} * {b}')} AS s_{_CORR_COLS.index(a)}_{_CORR_COLS.index(b)}"
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    branches = []
+    for a, b in _CORR_PAIRS:
+        i, j = _CORR_COLS.index(a), _CORR_COLS.index(b)
+        num = f"(m.n * m.s_{i}_{j} - m.s_{i} * m.s_{j} * 1e-4)"
+        den = (
+            f"sqrt((m.n * m.s_{i}_{i} - m.s_{i} * m.s_{i} * 1e-4)"
+            f" * (m.n * m.s_{j}_{j} - m.s_{j} * m.s_{j} * 1e-4))"
+        )
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"floor(CAST({num} / {den} AS DOUBLE) * 10000 + 0.5) / 10000 AS corr"
+        )
+    return (
+        f"WITH m AS (SELECT {moments} FROM lineitem) "
+        f"SELECT p.col_a, p.col_b, p.corr FROM m, LATERAL ("
+        + " UNION ALL ".join(branches)
+        + ") p ORDER BY col_a, col_b"
+    )
+
+
+@register("agg_corr_matrix", oracle=_corr_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measure
+    columns — the `corr()`-surface generalized to all column pairs in
+    ONE scan (feature-correlation screening, the tabular sibling of
+    embedding near-dup checks).
+
+    Scale shape: a single hash aggregate computes every moment (count,
+    4 sums, 4 square-sums, 6 cross-sums as exact decimal-grid
+    partials — mergeable map-side, the shuffle carries 15 cells
+    total), then `stack` unpivots the one moment row into 6 result
+    rows driver-free. Built-in `F.corr` would need a scan per pair
+    and its float sums are summation-order-dependent; this form is
+    one scan and cross-engine exact.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = lambda c: F.floor(c * F.lit(1e4)).cast("decimal(38,0)")  # noqa: E731
+    cols = [F.col(c) for c in _CORR_COLS]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(g(c)).cast("double").alias(f"s_{i}") for i, c in enumerate(cols)]
+    aggs += [
+        F.sum(g(c * c)).cast("double").alias(f"s_{i}_{i}")
+        for i, c in enumerate(cols)
+    ]
+    aggs += [
+        F.sum(g(cols[i] * cols[j])).cast("double").alias(f"s_{i}_{j}")
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    m = li.agg(*aggs)
+
+    def corr_expr(i: int, j: int):
+        num = F.col("n") * F.col(f"s_{i}_{j}") - F.col(f"s_{i}") * F.col(
+            f"s_{j}"
+        ) * F.lit(1e-4)
+        den = F.sqrt(
+            (F.col("n") * F.col(f"s_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}") * F.lit(1e-4))
+            * (F.col("n") * F.col(f"s_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}") * F.lit(1e-4))
+        )
+        return pround(num / den)
+
+    with_corrs = m.select(
+        *[
+            corr_expr(_CORR_COLS.index(a), _CORR_COLS.index(b)).alias(
+                f"c_{_CORR_COLS.index(a)}_{_CORR_COLS.index(b)}"
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{_CORR_COLS.index(a)}_{_CORR_COLS.index(b)}"
+        for a, b in _CORR_PAIRS
+    )
+    return with_corrs.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    ).orderBy("col_a", "col_b")

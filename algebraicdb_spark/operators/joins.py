@@ -456,6 +456,181 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_BLOCK_NS = 3_600 * 1_000_000_000  # block size == window length
+
+
+@register(
+    "join_interval_bucketed",
+    # the bucketed plan must produce EXACTLY the naive interval join's
+    # answer — which is the oracle. Per-value 1e-6 grid-floor before
+    # the sum keeps the cross-user aggregate order-free on both
+    # engines (the text_unigram_logprob recipe).
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id AS signup_id, epoch_ns(ts) AS s_ts
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT epoch_ns(ts) AS p_ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.signup_id,
+           COUNT(p.p_ts) AS n_purchases,
+           floor(CAST(CAST(COALESCE(SUM(p.v6), 0) AS DOUBLE) / 1000000.0
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS purchase_value
+    FROM s LEFT JOIN p
+      ON p.p_ts >= s.s_ts AND p.p_ts < s.s_ts + {INTERVAL_BLOCK_NS}
+    GROUP BY s.signup_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equality key, bucketed: all purchases
+    (any user) within 1 h after each signup.
+
+    ``join_interval`` has user_id equality to hash on; drop that and
+    Spark can only plan a broadcast-nested-loop over the range
+    predicate — quadratic at scale. The standard fix (Databricks
+    range-join binning): quantize time into fixed blocks no smaller
+    than the window, equi-join on block id — each signup probes
+    exactly 2 blocks (its own + the next), the residual range filter
+    runs on block-co-located rows, and the plan is a plain hash join
+    that scales with (rows × window density), never |s|×|p|. The
+    block size is a tuning knob: window-sized blocks give ≤2 probe
+    blocks per row and ~2× residual over-read.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts_ns").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("ts_ns").alias("p_ts"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    pb = p.withColumn("blk", F.expr(f"p_ts DIV {INTERVAL_BLOCK_NS}"))
+    sb = s.select(
+        "signup_id",
+        "s_ts",
+        F.explode(
+            F.array(
+                F.expr(f"s_ts DIV {INTERVAL_BLOCK_NS}"),
+                F.expr(f"s_ts DIV {INTERVAL_BLOCK_NS} + 1"),
+            )
+        ).alias("blk"),
+    )
+    hits = sb.join(pb, "blk").filter(
+        (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") < F.col("s_ts") + F.lit(INTERVAL_BLOCK_NS))
+    )
+    agg = hits.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_p"), F.sum("v6").alias("sv6")
+    )
+    return s.join(agg, "signup_id", "left").select(
+        "signup_id",
+        F.coalesce(F.col("n_p"), F.lit(0)).alias("n_purchases"),
+        pround(
+            F.coalesce(F.col("sv6"), F.lit(0)).cast("double") / F.lit(1e6)
+        ).alias("purchase_value"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    # pure BIGINT nanosecond arithmetic end to end — both directions'
+    # window passes and the nearest pick replay exactly in SQL
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, NULL::BIGINT AS event_id, 0 AS kind
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_ns(ts), event_id, 1
+      FROM events WHERE event_type = 'purchase'
+    ), tagged AS (
+      SELECT *,
+             last_value(CASE WHEN kind = 0 THEN ts_ns END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_ns, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+             last_value(CASE WHEN kind = 0 THEN ts_ns END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_ns DESC, kind DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_ts
+      FROM merged
+    )
+    SELECT event_id, user_id,
+           ts_ns // 1000 AS purchase_ts_us,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL
+                  OR (back_ts IS NOT NULL
+                      AND ts_ns - back_ts <= fwd_ts - ts_ns)
+                THEN back_ts // 1000 ELSE fwd_ts // 1000
+           END AS nearest_click_ts_us,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL
+                  OR (back_ts IS NOT NULL
+                      AND ts_ns - back_ts <= fwd_ts - ts_ns)
+                THEN 'back' ELSE 'fwd'
+           END AS direction
+    FROM tagged WHERE kind = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction='nearest'`` (the third pandas
+    ``merge_asof`` direction, completing backward/``join_asof`` and
+    tolerance/``join_asof_tolerance``): each purchase matches the
+    user's CLOSEST click in either time direction, ties to the
+    earlier click.
+
+    Scale shape: the same union-the-streams trick run in both time
+    directions — two window functions over ONE (user, time) sort (a
+    descending-order window reuses the ascending sort's partitioning;
+    Spark plans a single Exchange), then an integer-ns nearest pick.
+    Still linear, still one shuffle, no per-key range explosion.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns"), F.col("event_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(purchases)
+    click_ts = F.when(F.col("kind") == 0, F.col("ts_ns"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = merged.select(
+        "*",
+        F.last(click_ts, ignorenulls=True).over(w_back).alias("back_ts"),
+        F.last(click_ts, ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    ).filter(F.col("kind") == 1)
+    back_wins = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull()
+        & (F.col("ts_ns") - F.col("back_ts") <= F.col("fwd_ts") - F.col("ts_ns"))
+    )
+    nothing = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    return tagged.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns DIV 1000").alias("purchase_ts_us"),
+        F.when(nothing, F.lit(None).cast("long"))
+        .when(back_wins, F.expr("back_ts DIV 1000"))
+        .otherwise(F.expr("fwd_ts DIV 1000"))
+        .alias("nearest_click_ts_us"),
+        F.when(nothing, F.lit(None).cast("string"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )
+
+
 @register(
     "join_bucketed",
     # content is identical to a plain equi-join — what the bucketed

@@ -499,3 +499,105 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("surprise").cast("double") / F.count(F.lit(1))
         ).alias("avg_logprob"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    # same determinism recipe as text_unigram_logprob: each bigram's
+    # -ln P(w2|w1) is grid-floored at 1e-6 BEFORE the per-doc sum
+    # (ulp-level ln() disagreement cannot move the floor), and the
+    # decimal-grid sum is exact and order-free on both engines. The
+    # context count is derived from the bigram stream itself, so both
+    # engines see identical denominators.
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, u.tok, u.pos
+      FROM documents d,
+           LATERAL (
+             SELECT UNNEST(string_split(
+                      regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'),
+                      ' ')) AS tok,
+                    generate_subscripts(string_split(
+                      regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'),
+                      ' '), 1) AS pos
+           ) u
+    ), bigs AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ), ctx AS (
+      SELECT w1, COUNT(*) AS nc FROM bigs GROUP BY w1
+    ), bv AS (
+      SELECT w1, w2, COUNT(*) AS nb FROM bigs GROUP BY w1, w2
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(floor(-ln(CAST(v.nb AS DOUBLE) / c.nc) * 1000000) / 1000000
+                  AS DECIMAL(18,6)) AS surprise
+      FROM bigs b
+      JOIN bv v ON b.w1 = v.w1 AND b.w2 = v.w2
+      JOIN ctx c ON b.w1 = c.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           floor(CAST(CAST(SUM(surprise) AS DOUBLE) / COUNT(*) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: per-doc mean surprise -ln P(w2|w1)
+    under the corpus's own bigram model (context counts from the same
+    bigram stream, so P sums to 1 per context). The 2-gram step up
+    from ``text_unigram_logprob``: catches word-salad documents whose
+    unigram mix looks normal but whose transitions are improbable —
+    the stronger CCNet-style filter signal.
+
+    Scale shape: bigrams are built ARRAY-SIDE (zip the token array
+    against its own tail inside one projection — zero shuffle, and the
+    token array is lambda-bound once per row, never re-split per
+    element), then one bigram-vocab aggregate, one context aggregate
+    derived from it, two equi-joins back, one per-doc aggregate. The
+    bigram vocab is the biggest intermediate; it shards by (w1, w2)
+    hash exactly like any token-count table.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    # bind the token array ONCE via a 1-element transform (HOF lambda
+    # rebinding: referencing tokens(text) directly inside the zip
+    # lambda would re-split the text per element)
+    bigrams = F.element_at(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda a: F.when(
+                F.size(a) >= 2,
+                F.zip_with(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.slice(a, 2, F.size(a) - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    bigs = d.select("doc_id", F.explode(bigrams).alias("big"))
+    ctx = bigs.select(F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("w1")) \
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("nc"))
+    bv = bigs.groupBy("big").agg(F.count(F.lit(1)).alias("nb"))
+    surprise = (
+        F.floor(-F.log(F.col("nb").cast("double") / F.col("nc")) * 1000000)
+        / 1000000
+    )
+    scored = (
+        bigs.join(bv, "big")
+        .withColumn("w1", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1")
+        .select("doc_id", surprise.cast("decimal(18,6)").alias("surprise"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        pround(F.sum("surprise").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )

@@ -318,3 +318,33 @@ def test_analyze_tables_enable_stats_driven_join_reorder(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+
+
+def test_interval_bucketed_is_hash_join_not_bnlj(spark, sf_dir, qs):
+    """The keyless interval join's bucketed form must plan as a plain
+    equi hash join on the block id — no BNLJ / cartesian anywhere."""
+    plan = plan_of(qs["join_interval_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_user_exchange(spark, sf_dir, qs):
+    """Both direction windows must share ONE user_id exchange — the
+    descending pass re-sorts but never re-shuffles."""
+    plan = plan_of(qs["join_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_bigram_logprob_no_python_eval(spark, sf_dir, qs):
+    """Bigram construction is array-side HOF work — no Python
+    evaluator of any kind in the plan."""
+    plan = plan_of(qs["text_bigram_logprob"](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_corr_matrix_single_scan(spark, sf_dir, qs):
+    """All 15 moments come from ONE lineitem scan; the pair unpivot is
+    a generate over the single aggregated row."""
+    plan = plan_of(qs["agg_corr_matrix"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
