@@ -134,6 +134,14 @@ _EXPLAIN_RE = re.compile(
     r"\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)\s+USING\s+(?P<source>\w+)"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((?P<ins>.+)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _CREATE_MATVIEW_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<query>.+?)\s*;?\s*$",

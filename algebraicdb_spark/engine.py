@@ -57,6 +57,7 @@ from algebraicdb_spark.dialect import (
     _DROP_TABLE_RE,
     _EXPLAIN_RE,
     _INSERT_RE,
+    _MERGE_RE,
     _REFRESH_MATVIEW_RE,
     _SHOW_TABLES_RE,
     _UPDATE_RE,
@@ -141,6 +142,8 @@ class Engine:
             return self._delete_stmt(stmt)
         if _UPDATE_RE.match(stmt):
             return self._update_stmt(stmt)
+        if _MERGE_RE.match(stmt):
+            return self._merge_stmt(stmt)
         if _DROP_TABLE_RE.match(stmt):
             name = _DROP_TABLE_RE.match(stmt).group("name")
             self.spark.catalog.dropTempView(name)
@@ -489,6 +492,78 @@ class Engine:
         _, rows = parse_insert_rows(stmt, td, self._types)
         batch = self.spark.sql(" UNION ALL ".join(f"SELECT {r}" for r in rows))
         self.table(name).unionByName(batch).createOrReplaceTempView(name)
+
+    def _merge_stmt(self, stmt: str) -> None:
+        """MERGE INTO t USING s ON <cond>
+        [WHEN MATCHED THEN UPDATE SET c = e, …]
+        [WHEN NOT MATCHED THEN INSERT VALUES (e, …)]
+
+        The lakehouse upsert statement (the dialect twin of the
+        ``merge_upsert`` operator key), lowered to ONE full-outer join
+        + per-column CASE projection that replaces the target view:
+        matched rows take the SET assignments (or keep their value),
+        target-only rows pass through untouched, source-only rows
+        become the INSERT row (positional, target column order).
+        Without an INSERT clause source-only rows are dropped (the
+        join degrades to left-outer semantics); without an UPDATE
+        clause matched rows keep their target values. At scale this
+        is one shuffle of both sides on the join keys — exactly the
+        plan Delta/Iceberg MERGE executes per touched partition.
+        Standard-MERGE caveat: a target row matching multiple source
+        rows is an error in the standard; this lowering keeps every
+        join match instead — deduplicate the source on the merge key
+        first."""
+        m = _MERGE_RE.match(stmt)
+        target, source = m.group("target"), m.group("source")
+        cond = m.group("cond").strip()
+        if target == source:
+            raise AdtError("MERGE: target and source must differ")
+        if m.group("sets") is None and m.group("ins") is None:
+            raise AdtError(
+                "MERGE needs at least one WHEN clause (WHEN MATCHED THEN "
+                "UPDATE SET … and/or WHEN NOT MATCHED THEN INSERT VALUES …)"
+            )
+        try:
+            cols = [f.name for f in self.spark.table(target).schema.fields]
+        except Exception as exc:
+            raise AdtError(f"MERGE into unknown table {target!r}") from exc
+        try:
+            self.spark.table(source)
+        except Exception as exc:
+            raise AdtError(f"MERGE: unknown source {source!r}") from exc
+        assigned: dict[str, str] = {}
+        if m.group("sets") is not None:
+            assigned = dict(parse_update_sets(m.group("sets")))
+            unknown = [c for c in assigned if c not in cols]
+            if unknown:
+                raise AdtError(f"MERGE {target}: unknown column(s) {unknown}")
+        ins_exprs: list[str] | None = None
+        if m.group("ins") is not None:
+            from algebraicdb_spark.dialect import _split_top_level
+
+            ins_exprs = [e.strip() for e in _split_top_level(m.group("ins"), ",")]
+            if len(ins_exprs) != len(cols):
+                raise AdtError(
+                    f"MERGE {target}: INSERT VALUES has {len(ins_exprs)} "
+                    f"expressions for {len(cols)} target columns"
+                )
+        items = []
+        for i, c in enumerate(cols):
+            upd = assigned.get(c, f"{target}.{c}")
+            ins = ins_exprs[i] if ins_exprs is not None else "NULL"
+            items.append(
+                f"CASE WHEN {target}.__t IS NOT NULL AND {source}.__s IS NOT "
+                f"NULL THEN ({upd}) WHEN {target}.__t IS NOT NULL THEN "
+                f"{target}.{c} ELSE ({ins}) END AS {c}"
+            )
+        where = "" if ins_exprs is not None else f" WHERE {target}.__t IS NOT NULL"
+        sql = (
+            f"SELECT {', '.join(items)} FROM "
+            f"(SELECT *, TRUE AS __t FROM {target}) {target} FULL OUTER JOIN "
+            f"(SELECT *, TRUE AS __s FROM {source}) {source} ON {cond}{where}"
+        )
+        merged = self.spark.sql(self._rewrite(sql))
+        merged.createOrReplaceTempView(target)
 
     def _delete_stmt(self, stmt: str) -> None:
         """DELETE FROM t [WHERE pred] — lowered to a filtered view

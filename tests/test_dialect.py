@@ -712,3 +712,95 @@ class TestTemporalAndDecimalColumnTypes:
             "dur": "interval day to second",
         }
         eng2.sql("DROP TABLE t_tmprl")
+
+
+class TestMerge:
+    def test_merge_upsert_update_and_insert(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mg_t (k: Integer, v: Double, tag: Text)")
+        eng2.sql("INSERT INTO mg_t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+        eng2.sql("CREATE TABLE mg_s (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_s VALUES (2, 99.0), (3, 30.0)")
+        eng2.sql(
+            "MERGE INTO mg_t USING mg_s ON mg_t.k = mg_s.k "
+            "WHEN MATCHED THEN UPDATE SET v = mg_s.v, tag = 'upd' "
+            "WHEN NOT MATCHED THEN INSERT VALUES (mg_s.k, mg_s.v, 'new')"
+        )
+        got = {
+            r.k: (r.v, r.tag)
+            for r in eng2.sql("SELECT * FROM mg_t").collect()
+        }
+        assert got == {
+            1: (10.0, "a"),     # target-only: untouched
+            2: (99.0, "upd"),  # matched: updated
+            3: (30.0, "new"),  # source-only: inserted
+        }
+        eng2.sql("DROP TABLE mg_t")
+        eng2.sql("DROP TABLE mg_s")
+
+    def test_merge_update_only_drops_unmatched_source(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mg_u (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_u VALUES (1, 1.0)")
+        eng2.sql("CREATE TABLE mg_us (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_us VALUES (1, 5.0), (9, 9.0)")
+        eng2.sql(
+            "MERGE INTO mg_u USING mg_us ON mg_u.k = mg_us.k "
+            "WHEN MATCHED THEN UPDATE SET v = mg_us.v"
+        )
+        got = {r.k: r.v for r in eng2.table("mg_u").collect()}
+        assert got == {1: 5.0}  # no INSERT clause: source-only row 9 dropped
+        eng2.sql("DROP TABLE mg_u")
+        eng2.sql("DROP TABLE mg_us")
+
+    def test_merge_insert_only(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mg_i (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_i VALUES (1, 1.0)")
+        eng2.sql("CREATE TABLE mg_is (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_is VALUES (1, 5.0), (2, 2.0)")
+        eng2.sql(
+            "MERGE INTO mg_i USING mg_is ON mg_i.k = mg_is.k "
+            "WHEN NOT MATCHED THEN INSERT VALUES (mg_is.k, mg_is.v)"
+        )
+        got = {r.k: r.v for r in eng2.table("mg_i").collect()}
+        assert got == {1: 1.0, 2: 2.0}  # matched row keeps target value
+        eng2.sql("DROP TABLE mg_i")
+        eng2.sql("DROP TABLE mg_is")
+
+    def test_merge_errors(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mg_e (k: Integer)")
+        with pytest.raises(AdtError, match="at least one WHEN"):
+            eng2.sql("MERGE INTO mg_e USING mg_e2 ON mg_e.k = mg_e2.k")
+        with pytest.raises(AdtError, match="must differ"):
+            eng2.sql(
+                "MERGE INTO mg_e USING mg_e ON 1 = 1 "
+                "WHEN MATCHED THEN UPDATE SET k = 1"
+            )
+        with pytest.raises(AdtError, match="unknown source"):
+            eng2.sql(
+                "MERGE INTO mg_e USING nope_src ON 1 = 1 "
+                "WHEN MATCHED THEN UPDATE SET k = 1"
+            )
+        with pytest.raises(AdtError, match="unknown column"):
+            eng2.sql("CREATE TABLE mg_e2 (k: Integer)")
+            eng2.sql(
+                "MERGE INTO mg_e USING mg_e2 ON mg_e.k = mg_e2.k "
+                "WHEN MATCHED THEN UPDATE SET nope = 1"
+            )
+        with pytest.raises(AdtError, match="2 expressions for 1"):
+            eng2.sql(
+                "MERGE INTO mg_e USING mg_e2 ON mg_e.k = mg_e2.k "
+                "WHEN NOT MATCHED THEN INSERT VALUES (mg_e2.k, 1)"
+            )
+        eng2.sql("DROP TABLE mg_e")
+        eng2.sql("DROP TABLE mg_e2")
+
+    def test_merge_is_server_mutation(self):
+        from algebraicdb_spark.server import _is_mutation
+
+        assert _is_mutation(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
