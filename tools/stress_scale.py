@@ -77,6 +77,12 @@ KEYS = [
     "event_session_stats",
     "mix_temperature_sampling",
     "alter_table_evolution",
+    # round-5 additions
+    "join_interval_bucketed",
+    "join_asof_nearest",
+    "text_bigram_logprob",
+    "agg_corr_matrix",
+    "sim_knn_pq",
 ]
 
 
