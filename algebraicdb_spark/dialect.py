@@ -134,6 +134,12 @@ _EXPLAIN_RE = re.compile(
     r"\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>\w+)\s+USING\s+(?P<source>\w+)"
     r"\s+ON\s+(?P<cond>.+?)"

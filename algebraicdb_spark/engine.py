@@ -59,7 +59,9 @@ from algebraicdb_spark.dialect import (
     _INSERT_RE,
     _MERGE_RE,
     _REFRESH_MATVIEW_RE,
+    _SHOW_CREATE_RE,
     _SHOW_TABLES_RE,
+    _TRUNCATE_RE,
     _UPDATE_RE,
     _value_expr,
     parse_copy_to_options,
@@ -169,8 +171,16 @@ class Engine:
             return self._drop_matview(_DROP_MATVIEW_RE.match(stmt).group("name"))
         if _EXPLAIN_RE.match(stmt):
             return self._explain_stmt(stmt)
+        if _SHOW_CREATE_RE.match(stmt):
+            return self._show_create_stmt(_SHOW_CREATE_RE.match(stmt).group("name"))
         if _SHOW_TABLES_RE.match(stmt):
             return self._show_tables_stmt()
+        if _TRUNCATE_RE.match(stmt):
+            # TRUNCATE t == DELETE FROM t without a predicate: the view
+            # swaps to an empty limit(0) of itself, schema intact
+            return self._delete_stmt(
+                f"DELETE FROM {_TRUNCATE_RE.match(stmt).group('name')}"
+            )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
         if params is not None:
@@ -316,6 +326,31 @@ class Engine:
             (t.name,) for t in self.spark.catalog.listTables() if t.isTemporary
         ]
         return self.spark.createDataFrame(sorted(names), "table_name string")
+
+    def _show_create_stmt(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE t — a round-trippable dialect DDL string:
+        dialect tables print their declared column types (ADT columns
+        by type NAME), materialized views their defining query,
+        attached fixture views their live Spark schema."""
+        if name in self._matviews:
+            stmt = f"CREATE MATERIALIZED VIEW {name} AS {self._matviews[name]}"
+            return self.spark.createDataFrame([(stmt,)], "create_stmt string")
+        td = self._tables.get(name)
+        if td is not None:
+            cols = ", ".join(
+                f"{c}: {t.name if isinstance(t, AdtType) else t}"
+                for c, t in td.columns.items()
+            )
+        else:
+            try:
+                fields = self.spark.table(name).schema.fields
+            except Exception as exc:
+                raise AdtError(
+                    f"SHOW CREATE TABLE: unknown table {name!r}"
+                ) from exc
+            cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in fields)
+        stmt = f"CREATE TABLE {name} ({cols})"
+        return self.spark.createDataFrame([(stmt,)], "create_stmt string")
 
     def _describe_stmt(self, name: str) -> DataFrame:
         """DESCRIBE t — column names and types; ADT-typed columns

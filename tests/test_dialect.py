@@ -804,3 +804,43 @@ class TestMerge:
             "MERGE INTO t USING s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET v = s.v"
         )
+
+
+class TestShowCreateAndTruncate:
+    def test_show_create_table_round_trips(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TYPE Sc = A(x: Double) | B")
+        eng2.sql("CREATE TABLE sct (id: Integer, s: Sc, amount: Decimal(18,4))")
+        stmt = eng2.sql("SHOW CREATE TABLE sct").collect()[0].create_stmt
+        assert stmt == "CREATE TABLE sct (id: bigint, s: Sc, amount: decimal(18,4))"
+        # the emitted DDL is re-runnable against the same engine
+        eng2.sql("DROP TABLE sct")
+        eng2.sql(stmt)
+        desc = {r.column_name: r.type for r in eng2.sql("DESCRIBE sct").collect()}
+        assert desc == {"id": "bigint", "s": "Sc", "amount": "decimal(18,4)"}
+        eng2.sql("DROP TABLE sct")
+
+    def test_show_create_matview_shows_defining_query(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE scm_b (k: Integer)")
+        eng2.sql("INSERT INTO scm_b VALUES (1)")
+        eng2.sql("CREATE MATERIALIZED VIEW scm_v AS SELECT k FROM scm_b")
+        stmt = eng2.sql("SHOW CREATE TABLE scm_v").collect()[0].create_stmt
+        assert stmt == "CREATE MATERIALIZED VIEW scm_v AS SELECT k FROM scm_b"
+        eng2.sql("DROP MATERIALIZED VIEW scm_v")
+        eng2.sql("DROP TABLE scm_b")
+
+    def test_show_create_unknown_table_errors(self, spark):
+        with pytest.raises(AdtError, match="unknown table"):
+            Engine(spark).sql("SHOW CREATE TABLE nope_sct")
+
+    def test_truncate_empties_but_keeps_schema(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE tr_t (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO tr_t VALUES (1, 1.0), (2, 2.0)")
+        eng2.sql("TRUNCATE TABLE tr_t")
+        assert eng2.table("tr_t").count() == 0
+        assert eng2.table("tr_t").columns == ["k", "v"]
+        eng2.sql("INSERT INTO tr_t VALUES (3, 3.0)")  # still writable
+        assert eng2.table("tr_t").count() == 1
+        eng2.sql("DROP TABLE tr_t")
