@@ -916,3 +916,95 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
         )
     ).orderBy("col_a", "col_b")
+
+
+@register(
+    "agg_skew_kurtosis",
+    # Higher central moments from EXACT integer power sums. l_quantity
+    # is integer-valued (fixture invariant, asserted by the oracle's
+    # own floor), so q..q4 are exact BIGINTs (q4 <= 50^4 = 6.25e6) and
+    # their sums stay below 2^53 to ~1.4e9 rows per group — the
+    # BIGINT->DOUBLE casts are value-preserving, unlike the >2^53
+    # DECIMAL casts that drift 1 ulp between engines (measured). All
+    # double combining below the sums uses one explicit
+    # parenthesization, mirrored verbatim in SQL; m2^1.5 is
+    # m2*sqrt(m2) because sqrt is IEEE-correctly-rounded everywhere
+    # while pow() is libm-dependent.
+    oracle="""
+    SELECT flag, n_rows,
+           floor(mean * 1000000 + 0.5) / 1000000 AS mean_q,
+           floor((m3 / (m2 * sqrt(m2))) * 1000000 + 0.5) / 1000000 AS skewness,
+           floor((m4 / (m2 * m2) - 3) * 1000000 + 0.5) / 1000000 AS kurtosis
+    FROM (
+      SELECT flag, n_rows, e1 AS mean,
+             e2 - e1 * e1 AS m2,
+             e3 - (3 * e1) * e2 + (2 * e1) * (e1 * e1) AS m3,
+             e4 - (4 * e1) * e3 + ((6 * (e1 * e1)) * e2)
+                - (3 * ((e1 * e1) * (e1 * e1))) AS m4
+      FROM (
+        SELECT flag, n_rows, s1 / n AS e1, s2 / n AS e2,
+               s3 / n AS e3, s4 / n AS e4
+        FROM (
+          SELECT l_returnflag AS flag, COUNT(*) AS n_rows,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(q) AS DOUBLE) AS s1,
+                 CAST(SUM(q * q) AS DOUBLE) AS s2,
+                 CAST(SUM((q * q) * q) AS DOUBLE) AS s3,
+                 CAST(SUM(((q * q) * q) * q) AS DOUBLE) AS s4
+          FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q
+                FROM lineitem)
+          GROUP BY l_returnflag) sums) m) c
+    ORDER BY flag
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis from mergeable integer
+    power sums — the deterministic twin of Spark's `skewness`/
+    `kurtosis` built-ins (whose float accumulation order varies by
+    partitioning, so they can never hash-match another engine).
+
+    Scale shape: identical to agg_linear_regression — one hash
+    aggregate whose shuffle carries four BIGINT partials + a count
+    per group, never rows. Map-side combine does almost all the work;
+    adding moments (5th, 6th, ...) widens the partial row, not the
+    shuffle row count.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = F.floor("l_quantity").cast("long")
+    sums = (
+        li.select(F.col("l_returnflag").alias("flag"), q.alias("q"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("q").cast("double").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+            F.sum((F.col("q") * F.col("q")) * F.col("q")).cast("double").alias("s3"),
+            F.sum(((F.col("q") * F.col("q")) * F.col("q")) * F.col("q"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    e1, e2 = F.col("s1") / F.col("n"), F.col("s2") / F.col("n")
+    e3, e4 = F.col("s3") / F.col("n"), F.col("s4") / F.col("n")
+    m = sums.select(
+        "flag",
+        "n_rows",
+        e1.alias("mean"),
+        (e2 - e1 * e1).alias("m2"),
+        (e3 - (F.lit(3) * e1) * e2 + (F.lit(2) * e1) * (e1 * e1)).alias("m3"),
+        (
+            e4
+            - (F.lit(4) * e1) * e3
+            + ((F.lit(6) * (e1 * e1)) * e2)
+            - (F.lit(3) * ((e1 * e1) * (e1 * e1)))
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return m.select(
+        "flag",
+        "n_rows",
+        pround(F.col("mean"), 6).alias("mean_q"),
+        pround(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        pround(F.col("m4") / (m2 * m2) - F.lit(3), 6).alias("kurtosis"),
+    ).orderBy("flag")

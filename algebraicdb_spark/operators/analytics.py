@@ -922,3 +922,156 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "time_ewma",
+    # Dyadic EWMA: alpha = 1/2 makes every weight a power of two, so
+    # the weighted sum is EXACT BIGINT arithmetic (value on the 1e-4
+    # grid x 2^(16-rn), max ~2.6e12 << 2^53) and the only float ops
+    # are two identically-written IEEE divisions at the end. pow()/
+    # exp() never appear — this is the EWMA you can hash-check across
+    # engines, and the recursive form s_t = (x_t + s_{t-1})/2 an
+    # incremental/streaming engine would run matches it bit-for-bit.
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    k AS (
+      SELECT user_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT)
+               * (CAST(1 AS BIGINT) << (16 - rn)) AS term,
+             rn
+      FROM r WHERE rn <= 16
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+           floor(((CAST(SUM(term) AS DOUBLE)
+                   / (65536 - (CAST(1 AS BIGINT) << (16 - COUNT(*)))))
+                  / 10000.0) * 1000000 + 0.5) / 1000000 AS ewma
+    FROM k GROUP BY user_id
+    """,
+)
+def time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of `value` over
+    the 16 most recent events (alpha = 1/2, weights renormalized to
+    the observed count) — the time-series smoothing primitive every
+    metrics/hypertable engine ships.
+
+    Scale shape: one shuffle on user_id serves both the recency
+    row_number and the grouped fold (same key — the sort is in-
+    partition). The 16-row cap bounds per-user state, so the
+    aggregate input is at most 16x|users| rows regardless of event
+    volume; on a real cluster the window + filter pipeline into one
+    stage with no second exchange.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    k = (
+        e.select("user_id", "value", "ts_ns", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+        .select(
+            "user_id",
+            (
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+                * F.expr("CAST(1 AS BIGINT) << (16 - rn)")
+            ).alias("term"),
+        )
+    )
+    return k.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        pround(
+            (
+                F.sum("term").cast("double")
+                / (F.lit(65536) - F.expr("CAST(1 AS BIGINT) << (16 - COUNT(*))"))
+            )
+            / F.lit(10000.0),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "event_anomaly_mad",
+    # Robust (median/MAD) outlier gate. Exactness recipe: values on
+    # the cent grid are BIGINTs; an exact median of integers is
+    # integer-or-half (linear interpolation at p=0.5), so doubling
+    # both sides keeps every deviation |2v - 2*med| an exact BIGINT,
+    # and the second median (the MAD) lands on the same half-grid.
+    # Spark's percentile() and DuckDB's quantile_cont() share the
+    # p*(n-1) interpolation rule, so both medians agree bit-for-bit.
+    # The only free-form float op is the single threshold multiply,
+    # written identically on both engines.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(vc, 0.5) AS med_c FROM e GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.vc, med.med_c,
+             abs(e.vc * 2 - CAST(med.med_c * 2 AS BIGINT)) AS d2
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d2, 0.5) AS mad2 FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor((MIN(d.med_c) / 100) * 1000000 + 0.5) / 1000000 AS median_v,
+           floor(((MIN(mad.mad2) / 2) / 100) * 1000000 + 0.5) / 1000000 AS mad_v,
+           CAST(SUM(CASE WHEN CAST(d.d2 AS DOUBLE) > 5.1891 * mad.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type —
+    the robust twin of event_anomaly_zscore (immune to the outliers
+    it is hunting, unlike mean/stddev).
+
+    Threshold: |v - median| > 3.5 x 1.4826 x MAD (= 5.1891xMAD), the
+    standard robust-z cut at 3.5 sigma-equivalents.
+
+    Scale shape: two exact-median aggregates over the (event_type)
+    key — ~|types| groups, so the medians are per-group sorts that
+    AQE splits on skew — then broadcast joins of the tiny per-type
+    stats back onto events. At larger group cardinality the swap is
+    approx_percentile partials; here exactness is the point (the
+    oracle replays the same grid medians).
+    """
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc")
+    )
+    med = e.groupBy("event_type").agg(F.percentile("vc", F.lit(0.5)).alias("med_c"))
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "vc",
+        "med_c",
+        F.abs(F.col("vc") * 2 - (F.col("med_c") * 2).cast("long")).alias("d2"),
+    )
+    mad = d.groupBy("event_type").agg(F.percentile("d2", F.lit(0.5)).alias("mad2"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pround(F.min("med_c") / F.lit(100), 6).alias("median_v"),
+            pround((F.min("mad2") / F.lit(2)) / F.lit(100), 6).alias("mad_v"),
+            F.sum(
+                F.when(
+                    F.col("d2").cast("double") > F.lit(5.1891) * F.col("mad2"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

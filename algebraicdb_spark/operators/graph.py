@@ -1,0 +1,259 @@
+"""Graph mining over the part co-purchase graph.
+
+Two classic warehouse-adjacent graph workloads the relational surface
+can express without a graph engine: triangle counting (the standard
+graph-health metric, here with the degree-ordered orientation that
+makes it feasible at scale) and market-basket association mining
+(pair support / confidence / lift). Both run on the same implicit
+graph — parts are nodes, "appeared in the same order" is an edge —
+built from lineitem with one self-join on l_orderkey, so the shapes
+and their costs are exactly the ones a 100 TB co-occurrence pipeline
+pays.
+
+Scale notes baked into the plans:
+  - Edge building self-joins on l_orderkey AFTER deduplicating to the
+    (orderkey, partkey) grain, so pair fan-out is bounded by
+    (items-per-basket choose 2), never by raw line count.
+  - Triangle counting orients every edge from its (degree, id)-smaller
+    endpoint to the larger one. Wedge enumeration then runs over
+    out-neighborhoods whose size is O(sqrt(m)) on skewed graphs
+    (standard Schank/Wagner bound), instead of the hub-degree² blowup
+    the undirected join would pay. Each triangle is counted exactly
+    once — no /3 correction, no duplicate-elimination shuffle.
+  - All metrics are exact integer counts; ordering near a LIMIT uses
+    an exact integer grid (DIV), and every exposed ratio is a single
+    IEEE division of exact integers — bit-identical on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.functions.rounding import pround, pround_sql
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+# Quantity floor keeps the demo graph mid-density (drops ~half the
+# lines); the plan is floor-free-correct — it exists so the sf0.1
+# graph stays ~100k edges, not to make the algorithm viable.
+MIN_QTY = 25
+
+_LI_SQL = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_quantity >= {MIN_QTY}
+    )
+"""
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(orderkey, partkey) grain of qualifying lines — the baskets."""
+    return (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where(F.col("l_quantity") >= MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_LI_SQL
+    + f""",
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      -- orient from (degree, id)-smaller endpoint to larger
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pa ELSE e.pb END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pb ELSE e.pa END AS v
+      FROM edges e
+      JOIN deg da ON da.node = e.pa
+      JOIN deg db ON db.node = e.pb
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.v
+      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedge AS (
+      SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           {pround_sql("3.0 * n_triangles / n_wedges", 6)} AS clustering
+    FROM tri, wedge
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph, via degree-ordered edge orientation.
+
+    Scale shape: the classic distributed triangle algorithm
+    (MapReduce "NodeIterator++"). Orienting each edge from its
+    (degree, id)-smaller endpoint bounds every out-neighborhood by
+    O(sqrt(m)), so the wedge join — the only superlinear step — emits
+    O(m^1.5) rows worst-case instead of sum(deg_hub²). The closing
+    existence check is an equi-join on (u, v): an ordinary shuffle
+    hash join, AQE-skew-splittable. No iteration; three shuffles
+    total (degree agg, wedge join, closing join).
+    """
+    edges = (
+        _basket_items(spark, sf_dir)
+        .alias("a")
+        .join(_basket_items(spark, sf_dir).alias("b"), on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    e = (
+        edges.join(deg.withColumnsRenamed({"node": "pa", "d": "da"}), "pa")
+        .join(deg.withColumnsRenamed({"node": "pb", "d": "db"}), "pb")
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+    )
+    # wedge (u -> m -> v); middle vertex dropped, duplicates kept —
+    # each closed wedge IS one distinct triangle under the orientation
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e2.u") == F.col("e1.v")
+    ).select(F.col("e1.u").alias("u"), F.col("e2.v").alias("v"))
+    n_tri = wedges.join(e, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)  # three 1-row aggregates — no driver round-trip
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            pround(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering"
+            ),
+        )
+    )
+
+
+@register(
+    "assoc_basket_lift",
+    oracle=_LI_SQL
+    + """,
+    pair_cnt AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    item_cnt AS (
+      SELECT l_partkey AS p, COUNT(*) AS n_p FROM li GROUP BY l_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    scored AS (
+      SELECT pc.pa, pc.pb, pc.n_ab, ia.n_p AS n_a, ib.n_p AS n_b, t.n_orders,
+             (pc.n_ab * t.n_orders * 1000000)
+               // (CAST(ia.n_p AS BIGINT) * ib.n_p) AS lift_grid
+      FROM pair_cnt pc
+      JOIN item_cnt ia ON ia.p = pc.pa
+      JOIN item_cnt ib ON ib.p = pc.pb
+      CROSS JOIN tot t
+    )
+    SELECT pa, pb, n_ab, n_a, n_b,
+           CAST(lift_grid AS DOUBLE) / 1000000 AS lift,
+           CAST(n_ab AS DOUBLE) / n_orders AS support,
+           CAST(n_ab AS DOUBLE) / n_a AS confidence
+    FROM scored
+    ORDER BY lift_grid DESC, pa, pb
+    LIMIT 20
+    """,
+)
+def assoc_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 part pairs by lift,
+    with support and confidence.
+
+    lift = P(a,b) / (P(a)·P(b)) is ranked on an exact integer grid
+    (n_ab·n_orders·10⁶ DIV n_a·n_b) so the top-20 cut is
+    engine-identical — no double enters the ordering. The exposed
+    support/confidence/lift ratios are single IEEE divisions of
+    exact integers (bit-identical on every engine, SURVEY §5.3).
+
+    Scale shape: identical pair fan-out bound as the triangle key
+    (per-basket item count, not line count). One orderkey shuffle
+    for pairing, one (pa, pb) shuffle for counts; the per-item
+    counts and the scalar total are broadcast back — no extra
+    all-to-all. HAVING n_ab ≥ 2 drops the singleton-pair tail
+    before the broadcast joins touch it.
+    """
+    li = _basket_items(spark, sf_dir)
+    pair_cnt = (
+        li.alias("a")
+        .join(li.alias("b"), on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    item_cnt = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    scored = (
+        pair_cnt.join(
+            F.broadcast(item_cnt.withColumnsRenamed({"p": "pa", "n_p": "n_a"})), "pa"
+        )
+        .join(
+            F.broadcast(item_cnt.withColumnsRenamed({"p": "pb", "n_p": "n_b"})), "pb"
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_grid",
+            F.expr(
+                "(n_ab * n_orders * 1000000L) DIV (CAST(n_a AS BIGINT) * n_b)"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("lift_grid").desc(), "pa", "pb")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("lift_grid").cast("double") / 1_000_000).alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+        )
+    )

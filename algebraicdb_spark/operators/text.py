@@ -601,3 +601,123 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+CMS_D = 3  # hash rows
+CMS_W = 1024  # buckets per row
+
+
+@register(
+    "text_count_min",
+    # Count-Min sketch with a FULL value-hash oracle: the d=3 hash
+    # functions are md5-derived (engine-portable, the dedup_minhash
+    # recipe), so DuckDB can rebuild the identical 3x1024 cell grid
+    # and replay every estimate. CMS guarantees est >= exact always
+    # and est <= exact + eps*N w.h.p.; the overcount column makes the
+    # first invariant part of the hashed result.
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    js AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
+    cells AS (
+      SELECT j,
+             CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 15) AS BIGINT)
+               % {CMS_W} AS bucket,
+             COUNT(*) AS cell_cnt
+      FROM toks, js GROUP BY 1, 2
+    ),
+    tf AS (SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token),
+    top AS (
+      SELECT token, n_exact
+      FROM (SELECT token, n_exact,
+                   row_number() OVER (ORDER BY n_exact DESC, token) AS rk
+            FROM tf)
+      WHERE rk <= 20
+    ),
+    tb AS (
+      SELECT top.token, top.n_exact, js.j,
+             CAST('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || top.token), 1, 15) AS BIGINT)
+               % {CMS_W} AS bucket
+      FROM top, js
+    )
+    SELECT tb.token,
+           CAST(MIN(tb.n_exact) AS BIGINT) AS n_exact,
+           CAST(MIN(cells.cell_cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(cells.cell_cnt) - MIN(tb.n_exact) AS BIGINT) AS overcount
+    FROM tb JOIN cells ON cells.j = tb.j AND cells.bucket = tb.bucket
+    GROUP BY tb.token
+    """,
+)
+def text_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch term frequencies: build a d=3 x w=1024 cell
+    grid over the token stream, then answer point queries for the
+    top-20 exact terms next to their true counts.
+
+    This is the mergeable-sketch counterpart of text_heavy_hitters
+    (Misra-Gries) that CAN be value-hash-checked: fixed md5 hash
+    functions make the grid bit-reproducible on any engine. Cells
+    are sum-mergeable, so per-slice partial grids union by simple
+    addition — the re-aggregation property warehouse rollups need.
+
+    Scale shape: the sketch build shuffles at most d*w = 3072 cells
+    regardless of corpus size (map-side combine collapses the token
+    stream per partition); the exact tf pass exists only to ground
+    the estimates and is itself one token-key shuffle. Queries probe
+    d cells per term against the broadcast-size grid.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    def bucket(j: int, col):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+        return h % CMS_W
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("token")).alias("bucket"),
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), "token")
+    top = tf.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("token")).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "n_exact", "c.j", "c.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.min("n_exact").cast("long").alias("n_exact"),
+            F.min("cell_cnt").cast("long").alias("cms_est"),
+            (F.min("cell_cnt") - F.min("n_exact")).cast("long").alias("overcount"),
+        )
+    )

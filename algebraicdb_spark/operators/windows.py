@@ -231,3 +231,48 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         pround(F.expr("percentile(value, 0.5)").over(w)).alias("med_5"),
     )
+
+
+@register(
+    "win_percent_cume",
+    # percent_rank = (rank-1)/(n-1) and cume_dist = peers_thru/n are
+    # single IEEE divisions of exact integers, and both engines
+    # implement exactly the SQL-standard formulas — deterministic
+    # with no rounding as long as the ORDER BY is a total order.
+    # Ties on price are deliberately kept (rank and peer-group
+    # semantics are the point of these functions); the tie-break
+    # columns only stabilize the emitted row identity.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           percent_rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS pct_rank,
+           cume_dist() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice) AS cume
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per return-flag partition — the
+    relative-standing window pair (completes the ranking family next
+    to rank/dense_rank/ntile in win_rank_dense_ntile).
+
+    Scale shape: one (l_returnflag) shuffle + in-partition sort
+    shared by both functions (identical window spec ⇒ single Window
+    physical operator). Low-cardinality partitions like returnflag
+    are the worst case for window skew at 100 TB — the AQE-era fix
+    is a higher-cardinality partition key or a two-pass rank
+    (per-bucket rank + offset), which win_count_distinct_sliding
+    demonstrates; here 3 partitions at fixture scale is the honest
+    plan.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return li.where(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

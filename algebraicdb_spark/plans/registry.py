@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.corpus",
     "algebraicdb_spark.operators.mixing",
     "algebraicdb_spark.operators.analytics",
+    "algebraicdb_spark.operators.graph",
     "algebraicdb_spark.operators.tpch",
 )
 

@@ -1,0 +1,196 @@
+"""Semantic invariants + cross-checks for the round-5 mining batch
+(graph, association, moments, EWMA, MAD, percent/cume, Count-Min).
+Value correctness is oracle-gated in tools/verify_local.py; these pin
+the mathematical properties an order-insensitive hash can't see."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    from algebraicdb_spark.operators.graph import graph_triangle_count
+
+    r = graph_triangle_count(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0
+    # every triangle closes 3 wedges; clustering = 3T/W in [0, 1]
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0.0 <= row["clustering"] <= 1.0
+
+
+def test_triangle_count_brute_force_small(spark, sf_dir):
+    """Exact cross-check against a driver-side brute force on the
+    sf0.001 co-purchase graph (small enough to enumerate)."""
+    from itertools import combinations
+
+    from algebraicdb_spark.operators.graph import (
+        _basket_items,
+        graph_triangle_count,
+    )
+
+    small = sf_dir.replace("0.01", "0.001")
+    items = _basket_items(spark, small).collect()
+    baskets = {}
+    for r in items:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # count each triangle once: a < b < c by edge order
+    )
+    got = graph_triangle_count(spark, small).collect()[0]
+    assert got["n_triangles"] == brute
+    assert got["n_edges"] == len(edges)
+
+
+def test_basket_lift_bounds_and_order(spark, sf_dir):
+    from algebraicdb_spark.operators.graph import assoc_basket_lift
+
+    rows = assoc_basket_lift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["n_ab"] >= 2
+        assert 0.0 < r["support"] <= r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+
+
+def test_skew_kurtosis_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from algebraicdb_spark.operators.aggregates import agg_skew_kurtosis
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {r["flag"]: r for r in agg_skew_kurtosis(spark, sf_dir).collect()}
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(float(r["l_quantity"]))
+    for flag, xs in by_flag.items():
+        a = np.asarray(xs)
+        m = a.mean()
+        m2 = ((a - m) ** 2).mean()
+        skew = ((a - m) ** 3).mean() / m2**1.5
+        kurt = ((a - m) ** 4).mean() / m2**2 - 3
+        assert got[flag]["n_rows"] == len(xs)
+        assert got[flag]["mean_q"] == pytest.approx(m, abs=1e-4)
+        assert got[flag]["skewness"] == pytest.approx(skew, abs=1e-4)
+        assert got[flag]["kurtosis"] == pytest.approx(kurt, abs=1e-4)
+
+
+def test_ewma_matches_recursive_form(spark, sf_dir):
+    """The dyadic weighted sum must equal the truncated recursion
+    s = (x_new + s_prev)/2 renormalized over observed lags."""
+    from algebraicdb_spark.operators.analytics import time_ewma
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {r["user_id"]: r for r in time_ewma(spark, sf_dir).collect()}
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "value", "ts_ns", "event_id")
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["ts_ns"], r["event_id"], r["value"]))
+    for uid in list(series)[:25]:
+        recent = sorted(series[uid], reverse=True)[:16]
+        vals = [math.floor(v * 10000 + 0.5) / 10000 for _, _, v in recent]
+        num = sum(v * 2.0 ** -(i + 1) for i, v in enumerate(vals))
+        den = sum(2.0 ** -(i + 1) for i in range(len(vals)))
+        assert got[uid]["n_used"] == len(vals)
+        assert got[uid]["ewma"] == pytest.approx(num / den, abs=1e-4)
+        lo, hi = min(vals), max(vals)
+        assert lo - 1e-9 <= got[uid]["ewma"] <= hi + 1e-9
+
+
+def test_mad_outliers_bounded_and_median_checks(spark, sf_dir):
+    import numpy as np
+
+    from algebraicdb_spark.operators.analytics import event_anomaly_mad
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {r["event_type"]: r for r in event_anomaly_mad(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value").collect()
+    vals = {}
+    for r in ev:
+        vals.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 100 + 0.5) / 100
+        )
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        a = np.asarray(xs)
+        assert got[et]["n"] == len(xs)
+        assert got[et]["median_v"] == pytest.approx(float(np.median(a)), abs=1e-4)
+        mad = float(np.median(np.abs(a - np.median(a))))
+        assert got[et]["mad_v"] == pytest.approx(mad, abs=1e-4)
+        # robust gate fires on a small tail only
+        assert got[et]["n_outliers"] <= 0.1 * got[et]["n"]
+
+
+def test_percent_cume_formulas(spark, sf_dir):
+    from algebraicdb_spark.operators.windows import win_percent_cume
+
+    rows = win_percent_cume(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+        # peers-through/n dominates (rank-1)/(n-1) for every rank <= n
+        assert r["cume"] >= r["pct_rank"] - 1e-12
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from algebraicdb_spark.operators.text import text_count_min
+
+    rows = text_count_min(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overcount"] >= 0, "CMS must never underestimate"
+        assert r["cms_est"] == r["n_exact"] + r["overcount"]
+
+
+def test_count_min_cells_bounded_shuffle(spark, sf_dir):
+    """The sketch's aggregate grain is d*w cells — the property that
+    makes it a sketch. Probe the intermediate directly."""
+    from algebraicdb_spark.operators.dedup import canonical_text
+    from algebraicdb_spark.operators.text import CMS_D, CMS_W
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token")
+    )
+    n_cells = (
+        toks.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("cms0:"), F.col("token"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ).alias("bucket")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_cells <= CMS_W
+    assert CMS_D * CMS_W == 3072
