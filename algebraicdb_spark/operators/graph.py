@@ -112,6 +112,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join, AQE-skew-splittable. No iteration; three shuffles
     total (degree agg, wedge join, closing join).
     """
+    # Materialize the edge list once: it feeds FIVE consumers (degree
+    # agg twice, orientation, both wedge sides via `e`, edge count) and
+    # Spark's reuse-exchange can't unify them, so the un-checkpointed
+    # plan re-runs the basket self-join 30+ times. This is exactly what
+    # a production graph pipeline does — build the edge list, then run
+    # graph ops against the materialized edges (the pagerank/CC keys'
+    # localCheckpoint precedent, analytics.py).
     edges = (
         _basket_items(spark, sf_dir)
         .alias("a")
@@ -119,6 +126,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("pa").alias("node"))
@@ -136,6 +144,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         )
+        .localCheckpoint(eager=False)  # 3 consumers: both wedge sides + closing join
     )
     # wedge (u -> m -> v); middle vertex dropped, duplicates kept —
     # each closed wedge IS one distinct triangle under the orientation
