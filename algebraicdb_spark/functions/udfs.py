@@ -200,3 +200,64 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_sentences(d.doc_id, d.text) s
         """
     )
+
+
+@register(
+    "udtf_apply_in_arrow",
+    # Arrow-native grouped map (Spark 4 applyInArrow): the UDF sees a
+    # pyarrow.Table per group with NO pandas conversion — the
+    # zero-copy fast path for columnar Python extensions. The body
+    # works on the exact cent grid (int64 end-to-end after one
+    # floor), so the SQL twin hash-matches with no tolerance.
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events
+    WHERE user_id % 20 = 0
+    GROUP BY user_id
+    """,
+)
+def udtf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow record batches (table-in/table-out
+    without the pandas detour) — completes the UDF surface trio:
+    applyInPandas (pandas), mapInPandas (streaming batches), and
+    applyInArrow (zero-copy columnar).
+
+    Scale shape: one (user_id) shuffle, then pure columnar compute
+    per group; pyarrow.compute kernels are vectorized C++, so the
+    Python tax is per-GROUP, not per-row. The same body runs
+    unchanged whether a group holds 10 rows or 10 million (Arrow
+    chunks internally).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_tables(spark, sf_dir)["events"]
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([table.column("user_id")[0].as_py()], pa.int64()),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        e.filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id")
+        .applyInArrow(
+            stats,
+            schema="user_id bigint, n bigint, sum_cents bigint, "
+            "min_cents bigint, max_cents bigint",
+        )
+    )

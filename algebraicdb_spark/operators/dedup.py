@@ -843,3 +843,74 @@ def jaccard_pairs_capped(
         .filter(jac >= tau)
         .select("doc_a", "doc_b", pround(jac).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_blocked_levenshtein",
+    # Levenshtein is a pure integer metric — both engines implement
+    # the classic DP, so distances hash-match with no rounding. The
+    # (length-bucket, 12-char-prefix) blocking key is computed on the
+    # SAME canonical text both sides.
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, t, len(t) // 16 AS lb, substr(t, 1, 12) AS pfx FROM c
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, d.doc_id AS doc_b,
+             levenshtein(a.t, d.t) AS lev,
+             CASE WHEN len(a.t) > len(d.t) THEN len(a.t) ELSE len(d.t) END AS max_len
+      FROM b a JOIN b d
+        ON a.lb = d.lb AND a.pfx = d.pfx AND a.doc_id < d.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+           1.0 - CAST(lev AS DOUBLE) / max_len AS sim
+    FROM cand WHERE lev <= 10
+    """,
+)
+def dedup_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: edit-distance near-dups found inside
+    (length-bucket, prefix) blocks — the record-linkage shape for
+    typo-grade duplicates that shingle Jaccard over-fragments.
+
+    Blocking is what makes O(n²) edit distance shippable: candidates
+    are bounded per block, the self-join is an equi-join on the block
+    key (shuffle-partitioned, AQE-skew-splittable), and the quadratic
+    DP runs only inside blocks. An edit within the first 12 chars can
+    escape the prefix block — production systems union several
+    blocking passes (prefix, suffix, sorted-token); one pass is the
+    honest single-key demo.
+
+    Cites dedup_near_jaccard (same fixture near-dup pairs, different
+    metric): Jaccard catches reorderings, Levenshtein catches
+    character-grade edits.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.select("doc_id", canonical_text(F.col("text")).alias("t"))
+    b = c.select(
+        "doc_id",
+        "t",
+        (F.length("t") / 16).cast("long").alias("lb"),
+        F.substring("t", 1, 12).alias("pfx"),
+    )
+    a, d = b.alias("a"), b.alias("d")
+    cand = (
+        a.join(d, ["lb", "pfx"])
+        .where(F.col("a.doc_id") < F.col("d.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("d.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.t"), F.col("d.t")).cast("long").alias("lev"),
+            F.greatest(F.length("a.t"), F.length("d.t")).alias("max_len"),
+        )
+    )
+    return cand.where(F.col("lev") <= 10).select(
+        "doc_a",
+        "doc_b",
+        "lev",
+        (F.lit(1.0) - F.col("lev").cast("double") / F.col("max_len")).alias("sim"),
+    )

@@ -144,3 +144,51 @@ def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "feature_quantile_bins",
+    # ntile is deterministic under a TOTAL order (both engines use the
+    # SQL-standard rule: floor(n/k)-sized buckets, remainder spread to
+    # the leading buckets), so equal-frequency bin edges hash-match.
+    oracle="""
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mass
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    ) GROUP BY bin
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order totals — the
+    discretization step of a feature pipeline (quantile bucketizer),
+    emitting per-bin row count, value range, and exact-decimal mass.
+
+    Scale shape: ntile needs a global sort of the measure; at 100 TB
+    the production swap is approx_percentile edges + a broadcast range
+    join (same output grain, sketch-bounded), which agg_approx_percentile
+    demonstrates. Here the exact global ntile IS the point: its bin
+    populations are the ground truth the sketch is judged against.
+    """
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.functions.rounding import exact_money_sum
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            exact_money_sum(F.col("o_totalprice")).alias("mass"),
+        )
+    )

@@ -715,3 +715,137 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
+
+
+@register(
+    "sim_tfidf_cosine",
+    # Sparse retrieval with an exact-integer core: idf is grid-floored
+    # at 1e-4 (text_unigram_logprob's ln() recipe) so every weight is
+    # a BIGINT (tf x idf_scaled), dots and norms are exact integer
+    # sums (max ~4e14 << 2^53 — BIGINT->DOUBLE casts preserve value),
+    # and the top-5 cut ranks on floor(cos*1e6+0.5) — an integer grid,
+    # so no double ever decides a LIMIT.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.c * CAST(floor(ln(CAST(nn.n AS DOUBLE) / df.dfc) * 10000) AS BIGINT) AS w
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN nn
+    ),
+    norm2 AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS q_doc, d.doc_id AS doc_id, SUM(q.w * d.w) AS dot
+      FROM w q JOIN w d ON d.token = q.token
+      WHERE q.doc_id % 50 = 0 AND d.doc_id <> q.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.q_doc, dots.doc_id,
+             CAST(floor((CAST(dots.dot AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))))
+                        * 1000000 + 0.5) AS BIGINT) AS cos_grid
+      FROM dots
+      JOIN norm2 nq ON nq.doc_id = dots.q_doc
+      JOIN norm2 nd ON nd.doc_id = dots.doc_id
+    )
+    SELECT q_doc, rk, doc_id, CAST(cos_grid AS DOUBLE) / 1000000 AS cosine
+    FROM (
+      SELECT q_doc, doc_id, cos_grid,
+             row_number() OVER (PARTITION BY q_doc
+                                ORDER BY cos_grid DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine retrieval: every 50th doc queries the
+    corpus through an inverted index (token-keyed join of weight
+    postings), top-5 neighbors each — the lexical twin of the dense
+    sim_knn_cosine, and THE shape sparse similarity ships at scale
+    (BM25/TF-IDF retrieval, candidate generation for dedup).
+
+    Scale shape: the inverted index partitions by token, so partial
+    dot products accumulate where the postings live and only
+    (query, doc) partial sums shuffle — never full vectors. The tiny
+    query side broadcasts. On a hub token (a stopword) the postings
+    list explodes quadratically; production prunes df > 30%N tokens —
+    this fixture's 31-word vocabulary makes every token a hub, so the
+    honest demo keeps them and documents the cut instead of faking
+    selectivity.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    w = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("n").cast("double") / F.col("dfc")) * 10000
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    norm2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    q = w.where(F.col("doc_id") % 50 == 0).withColumnsRenamed(
+        {"doc_id": "q_doc", "w": "wq"}
+    )
+    dots = (
+        F.broadcast(q)
+        .join(w, "token")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norm2.withColumnsRenamed({"doc_id": "q_doc", "n2": "qn2"})),
+            "q_doc",
+        )
+        .join(F.broadcast(norm2), "doc_id")
+        .select(
+            "q_doc",
+            "doc_id",
+            F.floor(
+                (
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("qn2").cast("double"))
+                        * F.sqrt(F.col("n2").cast("double"))
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_grid"),
+        )
+    )
+    wr = Window.partitionBy("q_doc").orderBy(F.col("cos_grid").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 5)
+        .select(
+            "q_doc",
+            "rk",
+            "doc_id",
+            (F.col("cos_grid").cast("double") / 1_000_000).alias("cosine"),
+        )
+    )

@@ -276,3 +276,46 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "win_nth_value",
+    # nth_value under a total order; Spark's ignoreNulls=False default
+    # matches DuckDB's. The frame must be the whole partition (ROWS
+    # BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) on both
+    # engines or row 3 is invisible until the frame reaches it.
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(value, 3) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_value,
+           nth_value(event_type, 2) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_type
+    FROM events WHERE user_id % 25 = 0
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame — positional access
+    that first/last/lag can't express (the "second touchpoint" /
+    "third transaction" analytics shape), completing the value-window
+    family next to win_first_last.
+
+    Scale shape: one (user_id) shuffle + sort shared by both
+    functions; the unbounded frame is evaluated once per partition
+    (Spark's UnboundedWindowFunctionFrame), not once per row.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.where(F.col("user_id") % 25 == 0).select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 3).over(w).alias("third_value"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )

@@ -194,3 +194,82 @@ def test_count_min_cells_bounded_shuffle(spark, sf_dir):
     )
     assert n_cells <= CMS_W
     assert CMS_D * CMS_W == 3072
+
+
+def test_nth_value_positional_semantics(spark, sf_dir):
+    from algebraicdb_spark.operators.windows import win_nth_value
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = win_nth_value(spark, sf_dir).collect()
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("user_id") % 25 == 0)
+        .select("user_id", "value", "event_type", "ts_ns", "event_id")
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts_ns"], r["event_id"], r["value"], r["event_type"])
+        )
+    for uid in series:
+        series[uid].sort()
+    for r in rows:
+        s = series[r["user_id"]]
+        expect_third = s[2][2] if len(s) >= 3 else None
+        expect_second = s[1][3] if len(s) >= 2 else None
+        assert r["third_value"] == expect_third
+        assert r["second_type"] == expect_second
+
+
+def test_quantile_bins_equal_frequency(spark, sf_dir):
+    from algebraicdb_spark.operators.sampling import feature_quantile_bins
+
+    rows = sorted(feature_quantile_bins(spark, sf_dir).collect(), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1, "ntile buckets must differ by <=1"
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"], "bin ranges must be non-overlapping, ordered"
+        assert prev["lo"] <= prev["hi"]
+
+
+def test_blocked_levenshtein_finds_real_neardups(spark, sf_dir):
+    from algebraicdb_spark.operators.dedup import dedup_blocked_levenshtein
+
+    rows = dedup_blocked_levenshtein(spark, sf_dir).collect()
+    assert rows, "fixture near-dups must surface"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["lev"] <= 10
+        assert 0.0 <= r["sim"] <= 1.0
+
+
+def test_tfidf_cosine_ranking(spark, sf_dir):
+    from algebraicdb_spark.operators.similarity import sim_tfidf_cosine
+
+    rows = sim_tfidf_cosine(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_doc"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            assert 0.0 <= r["cosine"] <= 1.0 + 1e-9  # idf >= 0 -> non-negative
+            assert r["doc_id"] != q
+
+
+def test_apply_in_arrow_stats_consistent(spark, sf_dir):
+    from algebraicdb_spark.functions.udfs import udtf_apply_in_arrow
+
+    rows = udtf_apply_in_arrow(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        assert r["min_cents"] <= r["max_cents"]
+        assert r["n"] * r["min_cents"] <= r["sum_cents"] <= r["n"] * r["max_cents"]
