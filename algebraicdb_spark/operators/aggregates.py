@@ -1008,3 +1008,88 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         pround(F.col("m4") / (m2 * m2) - F.lit(3), 6).alias("kurtosis"),
     ).orderBy("flag")
+
+
+@register(
+    "agg_string_agg",
+    # Ordered string aggregation: concat_ws over a SORTED collect_list
+    # equals string_agg(… ORDER BY …) — the ordering clause is what
+    # makes a string agg deterministic at all (unordered listagg/
+    # string_agg output is partitioning-dependent on every engine).
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                      ORDER BY CAST(c_nationkey AS VARCHAR)) AS nation_list
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg / LISTAGG: per-segment comma-joined nation-key list
+    in a deterministic (sorted) element order — the report/export
+    aggregation every SQL dialect grew (Spark 4 ships `listagg`; the
+    concat_ws(array_sort(collect_set)) composition used here is the
+    version whose order is explicit rather than WITHIN-GROUP-implied).
+
+    Scale shape: collect_set partials merge map-side, so the shuffle
+    carries one deduped array per (group, partition) — safe while
+    group element counts stay bounded (25 nations); for unbounded
+    lists the honest swap is an explicit sort + per-group
+    mapInPandas writer, because a billion-element string is an
+    anti-goal, not an aggregate.
+    """
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.col("c_nationkey").cast("string")))
+        ).alias("nation_list"),
+    )
+
+
+@register(
+    "agg_conditional_family",
+    # count_if / bool_and / bool_or + FILTER'd sums: every output is
+    # an exact integer, boolean, or decimal-grid sum — nothing to
+    # round. The FILTER (WHERE …) clause in the oracle is the ANSI
+    # form of Spark's when()-guarded aggregate inputs.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 900) AS all_above_floor,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate family in one grouped pass: count_if,
+    bool_and, bool_or, and a FILTER'd exact-decimal sum — the
+    SUM(CASE…) idioms with their standard-SQL names.
+
+    Scale shape: one hash aggregate; every conditional is evaluated
+    map-side inside the same partial, so adding predicates widens
+    the partial row, not the shuffle. NULL discipline: FILTER'd
+    sums over an empty slice yield NULL on both engines (not 0) —
+    kept as-is, since that IS the standard semantics.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_above_floor"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.col("o_totalprice").cast("decimal(18,4)"),
+            )
+        )
+        .cast("double")
+        .alias("open_revenue"),
+    )

@@ -1075,3 +1075,86 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "event_rfm_scores",
+    # RFM on exact grids: recency in whole hours (integer ns DIV),
+    # frequency a count, monetary in cents (BIGINT) — ntile(5) under
+    # total orders (metric, user_id) is engine-deterministic, so the
+    # whole segmentation hash-matches with zero float ops.
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(epoch_ns(ts)) AS last_ns,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_ns) AS corpus_ns FROM per_user),
+    rfm AS (
+      SELECT user_id,
+             (mx.corpus_ns - last_ns) // 3600000000000 AS recency_hours,
+             frequency, m_cents
+      FROM per_user, mx
+    )
+    SELECT user_id, recency_hours, frequency, m_cents,
+           ntile(5) OVER (ORDER BY recency_hours, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY recency_hours, user_id) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS VARCHAR)
+             AS segment
+    FROM rfm
+    """,
+)
+def event_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (hours since last
+    event), Frequency (event count), Monetary (cent-exact value sum),
+    each quintile-scored (1 = best) and concatenated into the classic
+    three-digit segment label.
+
+    Scale shape: one user_id hash aggregate collapses events to the
+    user grain; the three ntile windows then run over |users| rows,
+    not events. A global ntile needs a total sort — at 100 TB the
+    swap is approx_percentile quintile EDGES broadcast as a range
+    lookup (feature_quantile_bins documents the same trade); exact
+    ntile here is what grounds that sketch.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_ns"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "m_cents"
+        ),
+    )
+    mx = per_user.agg(F.max("last_ns").alias("corpus_ns"))
+    rfm = per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("(corpus_ns - last_ns) DIV 3600000000000").alias("recency_hours"),
+        "frequency",
+        "m_cents",
+    )
+    wr = Window.orderBy("recency_hours", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("m_cents").desc(), "user_id")
+    scored = rfm.select(
+        "user_id",
+        "recency_hours",
+        "frequency",
+        "m_cents",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

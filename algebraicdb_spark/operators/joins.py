@@ -758,3 +758,65 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_null_safe",
+    # <=> / IS NOT DISTINCT FROM: the join where NULL matches NULL.
+    # Fixtures are NULL-free, so both sides nullify their key on the
+    # same deterministic predicate — the classic "unknown bucket"
+    # linkage shape (records with missing keys still pair up).
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier
+    )
+    SELECT COALESCE(CAST(c.nk AS VARCHAR), 'NULL') AS nation_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): customers
+    and suppliers matched on nationkey where records with a MISSING
+    nation also pair with each other — semantics a plain equi-join
+    silently drops (NULL = NULL is never true).
+
+    Scale shape: Spark plans eqNullSafe as an ordinary hash join on
+    a null-coalesced key, so it shuffles like any equi-join — BUT
+    every NULL row lands in ONE bucket, making NULL the natural skew
+    hotspot at 100 TB (here ~14% of keys). Production either
+    pre-filters the NULL slice into a separate broadcast-size branch
+    or salts that single bucket; AQE's skew-join split handles the
+    middle ground.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    s = t["supplier"].select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    j = c.join(s, c["nk"].eqNullSafe(s["nk"]))
+    return j.groupBy(
+        F.coalesce(c["nk"].cast("string"), F.lit("NULL")).alias("nation_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )

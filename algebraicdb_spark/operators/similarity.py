@@ -743,7 +743,8 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (
       SELECT q.doc_id AS q_doc, d.doc_id AS doc_id, SUM(q.w * d.w) AS dot
       FROM w q JOIN w d ON d.token = q.token
-      WHERE q.doc_id % 50 = 0 AND d.doc_id <> q.doc_id
+      WHERE q.doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+        AND d.doc_id <> q.doc_id
       GROUP BY 1, 2
     ),
     scored AS (
@@ -804,9 +805,11 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     norm2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    q = w.where(F.col("doc_id") % 50 == 0).withColumnsRenamed(
-        {"doc_id": "q_doc", "w": "wq"}
-    )
+    # FIXED query set (not a modulus): retrieval cost is |Q| x postings,
+    # so |Q| must stay constant as the corpus grows for linear scaling
+    q = w.where(
+        F.col("doc_id").isin([0, 50, 100, 150, 200, 250, 300, 350, 400, 450])
+    ).withColumnsRenamed({"doc_id": "q_doc", "w": "wq"})
     dots = (
         F.broadcast(q)
         .join(w, "token")

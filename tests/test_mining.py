@@ -273,3 +273,56 @@ def test_apply_in_arrow_stats_consistent(spark, sf_dir):
         assert r["n"] > 0
         assert r["min_cents"] <= r["max_cents"]
         assert r["n"] * r["min_cents"] <= r["sum_cents"] <= r["n"] * r["max_cents"]
+
+
+def test_null_safe_join_null_bucket_pairs(spark, sf_dir):
+    """NULL keys must pair with each other (the semantics a plain
+    equi-join drops) and bucket counts must multiply out."""
+    from algebraicdb_spark.operators.joins import join_null_safe
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = {r["nation_bucket"]: r for r in join_null_safe(spark, sf_dir).collect()}
+    assert "NULL" in rows, "null-null matches missing"
+    t = load_tables(spark, sf_dir)
+    n_null_c = t["customer"].where(F.col("c_custkey") % 7 == 0).count()
+    n_null_s = t["supplier"].where(F.col("s_suppkey") % 7 == 0).count()
+    assert rows["NULL"]["n_pairs"] == n_null_c * n_null_s
+    assert rows["NULL"]["n_customers"] == n_null_c
+    assert rows["NULL"]["n_suppliers"] == n_null_s
+
+
+def test_string_agg_sorted_and_consistent(spark, sf_dir):
+    from algebraicdb_spark.operators.aggregates import agg_string_agg
+
+    for r in agg_string_agg(spark, sf_dir).collect():
+        parts = r["nation_list"].split(",")
+        assert parts == sorted(parts), "element order must be the sorted one"
+        assert len(parts) == r["n_nations"]
+
+
+def test_conditional_family_consistency(spark, sf_dir):
+    from algebraicdb_spark.operators.aggregates import agg_conditional_family
+
+    rows = agg_conditional_family(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_big"] <= r["n_orders"]
+        assert isinstance(r["all_above_floor"], bool)
+        assert isinstance(r["any_finished"], bool)
+
+
+def test_rfm_scores_quintiles(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import event_rfm_scores
+
+    rows = event_rfm_scores(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        assert r["recency_hours"] >= 0

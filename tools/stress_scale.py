@@ -83,6 +83,19 @@ KEYS = [
     "text_bigram_logprob",
     "agg_corr_matrix",
     "sim_knn_pq",
+    # round-5 mining batch
+    "graph_triangle_count",
+    "assoc_basket_lift",
+    "agg_skew_kurtosis",
+    "time_ewma",
+    "event_anomaly_mad",
+    "text_count_min",
+    "sim_tfidf_cosine",
+    "dedup_blocked_levenshtein",
+    "feature_quantile_bins",
+    "win_percent_cume",
+    "win_nth_value",
+    "udtf_apply_in_arrow",
 ]
 
 
@@ -112,7 +125,9 @@ def build(spark, n: int) -> str:
 
 
 def main() -> int:
+    # usage: stress_scale.py [N] [key ...]  (keys default to KEYS)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    keys = sys.argv[2:] or KEYS
     from algebraicdb_spark.plans import registry
     from algebraicdb_spark.session import get_spark
     from algebraicdb_spark.sources.catalog import load_tables
@@ -131,7 +146,7 @@ def main() -> int:
         return time.time() - t0
 
     print(f"{'key':28s} {'1x':>7s} {'%dx' % n:>8s}  ratio (data={n}x)")
-    for key in KEYS:
+    for key in keys:
         base = min(run(BASE_SF, key) for _ in range(2))
         infl = min(run(big, key) for _ in range(2))
         flag = "" if infl / max(base, 1e-9) <= n * 1.5 else "  <-- SUPERLINEAR"
