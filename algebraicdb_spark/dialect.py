@@ -149,6 +149,15 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_CREATE_FUNCTION_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)"
+    r"\s*\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNCTION_RE = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.IGNORECASE)
 _CREATE_MATVIEW_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -645,3 +654,99 @@ def parse_update_sets(sets: str) -> list[tuple[str, str]]:
             raise AdtError(f"bad SET clause: {part.strip()!r}")
         out.append((col.strip(), expr.strip()))
     return out
+
+
+def parse_create_function(stmt: str) -> tuple[str, list[str], str, bool]:
+    """``CREATE [OR REPLACE] FUNCTION f(a, b) AS <scalar expr>`` →
+    (name, params, body, replace). DuckDB-style scalar SQL macro:
+    the body is an expression template over the parameter names,
+    textually inlined at call sites (no runtime dispatch — the
+    optimizer sees the expanded expression, so pushdown/codegen are
+    unaffected)."""
+    m = _CREATE_FUNCTION_RE.match(stmt)
+    if not m:
+        raise AdtError(f"not a CREATE FUNCTION statement: {stmt!r}")
+    name = m.group("name").lower()
+    raw = m.group("params").strip()
+    params = [p.strip() for p in raw.split(",")] if raw else []
+    for p in params:
+        if not re.fullmatch(r"\w+", p or ""):
+            raise AdtError(f"CREATE FUNCTION {name}: bad parameter {p!r}")
+    if len(set(pl.lower() for pl in params)) != len(params):
+        raise AdtError(f"CREATE FUNCTION {name}: duplicate parameter names")
+    body = m.group("body").strip()
+    if not body:
+        raise AdtError(f"CREATE FUNCTION {name}: empty body")
+    return name, [p.lower() for p in params], body, bool(m.group("replace"))
+
+
+_MACRO_DEPTH_CAP = 10
+
+
+def expand_macros(sql: str, macros: Mapping[str, tuple[list[str], str]]) -> str:
+    """Inline every ``name(args…)`` call of a declared macro.
+
+    Textual expansion with the usual hygiene rules: string literals
+    are masked first (a macro name inside quotes never expands), each
+    argument is parenthesized before substitution (so ``a + b`` passed
+    into ``x * 2`` becomes ``(a + b) * 2``), parameter names replace
+    only whole words, and nested/recursive expansion is bounded by a
+    depth cap that turns macro recursion into a loud error instead of
+    a hang. Matching is case-insensitive like SQL identifiers."""
+    if not macros:
+        return sql
+    for _ in range(_MACRO_DEPTH_CAP):
+        masked, saved = _mask_strings(sql)
+        changed = False
+        for name, (params, body) in macros.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                m = pat.search(masked, pos)
+                if not m:
+                    break
+                open_idx = masked.index("(", m.end() - 1)
+                close_idx = _find_matching_paren(masked, open_idx)
+                inner = masked[open_idx + 1 : close_idx]
+                args = (
+                    [a.strip() for a in _split_top_level(inner, ",")]
+                    if inner.strip()
+                    else []
+                )
+                if len(args) != len(params):
+                    raise AdtError(
+                        f"macro {name} expects {len(params)} argument(s), "
+                        f"got {len(args)}"
+                    )
+                expanded = body
+                for p, a in zip(params, args):
+                    expanded = re.sub(
+                        rf"\b{re.escape(p)}\b", f"({a})", expanded, flags=re.IGNORECASE
+                    )
+                replacement = f"({expanded})"
+                masked = masked[: m.start()] + replacement + masked[close_idx + 1 :]
+                # resume AFTER the expansion: rescanning it in the same
+                # round would spin forever on a self-recursive macro
+                # before the outer depth cap could fire — nested calls
+                # expand on the next round instead
+                pos = m.start() + len(replacement)
+                changed = True
+        sql = _unmask_strings(masked, saved)
+        if not changed:
+            return sql
+    raise AdtError(
+        f"macro expansion did not terminate in {_MACRO_DEPTH_CAP} rounds "
+        "(recursive macro?)"
+    )
+
+
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise AdtError("unbalanced parentheses in macro call")

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from algebraicdb_spark.dialect import (
     TableDef,
+    expand_macros,
+    parse_create_function,
     parse_create_table,
     parse_create_type,
     parse_insert_rows,
@@ -47,12 +49,14 @@ from algebraicdb_spark.dialect import (
     _ALTER_TABLE_RE,
     _COPY_FROM_RE,
     _COPY_TO_RE,
+    _CREATE_FUNCTION_RE,
     _CREATE_MATVIEW_RE,
     _CREATE_TABLE_RE,
     _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
     _DESCRIBE_RE,
+    _DROP_FUNCTION_RE,
     _DROP_MATVIEW_RE,
     _DROP_TABLE_RE,
     _EXPLAIN_RE,
@@ -60,6 +64,7 @@ from algebraicdb_spark.dialect import (
     _MERGE_RE,
     _REFRESH_MATVIEW_RE,
     _SHOW_CREATE_RE,
+    _SHOW_FUNCTIONS_RE,
     _SHOW_TABLES_RE,
     _TRUNCATE_RE,
     _UPDATE_RE,
@@ -84,6 +89,7 @@ class Engine:
         self._types: dict[str, AdtType] = {}
         self._tables: dict[str, TableDef] = {}
         self._matviews: dict[str, str] = {}  # name -> defining dialect SQL
+        self._functions: dict[str, tuple[list[str], str]] = {}  # macros
         if sf_dir:
             self.attach(sf_dir)
 
@@ -183,6 +189,16 @@ class Engine:
             )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
+        if _CREATE_FUNCTION_RE.match(stmt):
+            return self._create_function_stmt(stmt)
+        if _DROP_FUNCTION_RE.match(stmt):
+            name = _DROP_FUNCTION_RE.match(stmt).group("name").lower()
+            if name not in self._functions:
+                raise AdtError(f"no such function: {name}")
+            del self._functions[name]
+            return None
+        if _SHOW_FUNCTIONS_RE.match(stmt):
+            return self._show_functions_stmt()
         if params is not None:
             return self.spark.sql(self._rewrite(stmt), args=params)
         return self.spark.sql(self._rewrite(stmt))
@@ -642,7 +658,39 @@ class Engine:
         )
         updated.createOrReplaceTempView(name)
 
+    def _create_function_stmt(self, stmt: str) -> None:
+        """CREATE [OR REPLACE] FUNCTION f(a, b) AS <expr> — a scalar
+        SQL macro, inlined textually at every call site before pattern
+        lowering (so macro bodies may use ADT patterns and other
+        macros). No runtime dispatch: Catalyst optimizes the expanded
+        expression like hand-written SQL."""
+        name, fn_params, body, replace = parse_create_function(stmt)
+        if name in self._functions and not replace:
+            raise AdtError(
+                f"function {name} already exists (use CREATE OR REPLACE)"
+            )
+        if name in self._tables or name in self._matviews:
+            raise AdtError(f"name {name} already names a table/matview")
+        probe = dict(self._functions)
+        probe[name] = (fn_params, body)
+        # recursion check at DECLARE time: expanding a call must
+        # terminate (expand_macros raises past its depth cap)
+        expand_macros(f"{name}({', '.join('1' for _ in fn_params)})", probe)
+        self._functions[name] = (fn_params, body)
+        return None
+
+    def _show_functions_stmt(self) -> DataFrame:
+        rows = [
+            (n, ", ".join(ps), body)
+            for n, (ps, body) in sorted(self._functions.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [], "function string, parameters string, body string"
+        )
+
     def _rewrite(self, stmt: str) -> str:
+        if self._functions:
+            stmt = expand_macros(stmt, self._functions)
         adt_cols: dict[str, AdtType] = {}
         known: set[str] = set()
         for td in self._tables.values():
@@ -682,6 +730,9 @@ class Engine:
                 for n, td in self._tables.items()
             },
             "matviews": dict(self._matviews),
+            "functions": {
+                n: [ps, body] for n, (ps, body) in self._functions.items()
+            },
         }
         with open(path, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=2)
@@ -737,6 +788,8 @@ class Engine:
         for name, query in data["matviews"].items():
             if name not in self._matviews:
                 self._create_matview(name, query)
+        for name, (ps, body) in data.get("functions", {}).items():
+            self._functions.setdefault(name, (list(ps), body))
 
     # -- types ---------------------------------------------------------
 

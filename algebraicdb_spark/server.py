@@ -79,6 +79,8 @@ _MUTATION_RES = (
     dialect._CREATE_MATVIEW_RE,
     dialect._REFRESH_MATVIEW_RE,
     dialect._DROP_MATVIEW_RE,
+    dialect._CREATE_FUNCTION_RE,
+    dialect._DROP_FUNCTION_RE,
 )
 
 

@@ -55,6 +55,8 @@ EXTRAS = [
     "corpus_mix_report",
     "tpch_q21",
     "dedup_minhash_lsh",
+    "graph_triangle_count",
+    "sim_tfidf_cosine",
 ]
 
 

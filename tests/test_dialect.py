@@ -844,3 +844,94 @@ class TestShowCreateAndTruncate:
         eng2.sql("INSERT INTO tr_t VALUES (3, 3.0)")  # still writable
         assert eng2.table("tr_t").count() == 1
         eng2.sql("DROP TABLE tr_t")
+
+
+class TestFunctions:
+    """CREATE FUNCTION — scalar SQL macros (DuckDB-style), textually
+    inlined before pattern lowering."""
+
+    def test_create_call_and_show(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE fn_t (a: Integer, b: Integer)")
+        eng.sql("INSERT INTO fn_t VALUES (10, 2), (20, 3)")
+        eng.sql("CREATE FUNCTION addmul(x, y) AS (x + y) * y")
+        rows = eng.sql(
+            "SELECT a, addmul(a, b) AS m FROM fn_t ORDER BY a"
+        ).collect()
+        assert [(r.a, r.m) for r in rows] == [(10, 24), (20, 69)]
+        shown = eng.sql("SHOW FUNCTIONS").collect()
+        assert [(r.function, r.parameters) for r in shown] == [("addmul", "x, y")]
+        eng.sql("DROP TABLE fn_t")
+
+    def test_argument_parenthesization_hygiene(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION dbl(x) AS x * 2")
+        # 1 + 2 must be wrapped before the multiply: (1 + 2) * 2 = 6, not 5
+        assert eng.sql("SELECT dbl(1 + 2) AS v").collect()[0].v == 6
+
+    def test_nested_macros_expand(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION inner_net(p) AS p - 1")
+        eng.sql("CREATE FUNCTION outer_net(p) AS inner_net(p) * 10")
+        assert eng.sql("SELECT outer_net(5) AS v").collect()[0].v == 40
+
+    def test_string_literals_never_expand(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION greet(x) AS x + 1")
+        v = eng.sql("SELECT 'greet(1)' AS s").collect()[0].s
+        assert v == "greet(1)"
+
+    def test_or_replace_and_duplicate_error(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION rep(x) AS x + 1")
+        with pytest.raises(AdtError, match="already exists"):
+            eng.sql("CREATE FUNCTION rep(x) AS x + 2")
+        eng.sql("CREATE OR REPLACE FUNCTION rep(x) AS x + 2")
+        assert eng.sql("SELECT rep(1) AS v").collect()[0].v == 3
+
+    def test_recursive_macro_rejected_at_declare_time(self, spark):
+        eng = Engine(spark)
+        with pytest.raises(AdtError, match="did not terminate"):
+            eng.sql("CREATE FUNCTION loopy(x) AS loopy(x) + 1")
+        assert not eng.sql("SHOW FUNCTIONS").collect()
+
+    def test_arity_mismatch_errors(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION two_args(x, y) AS x + y")
+        with pytest.raises(AdtError, match="expects 2"):
+            eng.sql("SELECT two_args(1) AS v")
+
+    def test_drop_function(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION gone(x) AS x")
+        eng.sql("DROP FUNCTION gone")
+        with pytest.raises(AdtError, match="no such function"):
+            eng.sql("DROP FUNCTION gone")
+
+    def test_functions_persist_via_catalog(self, spark, tmp_path):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION keeper(x) AS x * 3")
+        path = str(tmp_path / "cat.json")
+        eng.save_catalog(path)
+        eng2 = Engine(spark)
+        eng2.load_catalog(path)
+        assert eng2.sql("SELECT keeper(7) AS v").collect()[0].v == 21
+
+    def test_macro_composes_with_adt_patterns(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TYPE FnShape = FnCircle(r: Double) | FnPoint")
+        eng.sql("CREATE TABLE fn_shapes (id: Integer, s: FnShape)")
+        eng.sql("INSERT INTO fn_shapes VALUES (1, FnCircle(2.0)), (2, FnPoint)")
+        eng.sql("CREATE FUNCTION area_floor(r) AS r * r * 3")
+        rows = eng.sql(
+            "SELECT id, area_floor(r) AS a FROM fn_shapes WHERE s: FnCircle(r)"
+        ).collect()
+        assert [(r.id, r.a) for r in rows] == [(1, 12.0)]
+        eng.sql("DROP TABLE fn_shapes")
+
+    def test_create_drop_function_are_server_mutations(self):
+        from algebraicdb_spark.server import _is_mutation
+
+        assert _is_mutation("CREATE FUNCTION f(x) AS x")
+        assert _is_mutation("DROP FUNCTION f")
+        assert not _is_mutation("SHOW FUNCTIONS")
