@@ -223,7 +223,9 @@ def assoc_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-to-all. HAVING n_ab ≥ 2 drops the singleton-pair tail
     before the broadcast joins touch it.
     """
-    li = _basket_items(spark, sf_dir)
+    # one materialization serves the pair join (both sides), the
+    # per-item counts, and the order total — four consumers
+    li = _basket_items(spark, sf_dir).localCheckpoint(eager=False)
     pair_cnt = (
         li.alias("a")
         .join(li.alias("b"), on="l_orderkey")

@@ -787,7 +787,14 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the (doc, token, tf) postings once: they feed df,
+    # the doc count, and the weight join — without this the tokenize+
+    # count pipeline re-runs per consumer (35 exchanges, lint-flagged)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
     nn = tf.agg(F.countDistinct("doc_id").alias("n"))
     w = (
@@ -803,6 +810,7 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("w"),
         )
+        .localCheckpoint(eager=False)  # weights feed norms, queries, dots
     )
     norm2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     # FIXED query set (not a modulus): retrieval cost is |Q| x postings,
