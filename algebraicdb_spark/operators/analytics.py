@@ -1158,3 +1158,295 @@ def event_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register(
+    "event_cooccurrence_pmi",
+    # PMI over exact integer counts: the only float ops are one
+    # division of exact BIGINTs and one ln(), grid-floored at 1e-6
+    # (the text_unigram_logprob recipe for libm-vs-JVM ulp drift).
+    oracle="""
+    WITH ctx AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    n_ctx AS (
+      SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM ctx)
+    ),
+    marg AS (
+      SELECT event_type, COUNT(*) AS n_t FROM ctx GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ctx a JOIN ctx b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(ma.n_t AS BIGINT) AS n_a,
+           CAST(mb.n_t AS BIGINT) AS n_b,
+           CAST(n_ctx.n AS BIGINT) AS n_ctx,
+           floor(ln((CAST(p.n_ab AS DOUBLE) * n_ctx.n)
+                    / (CAST(ma.n_t AS DOUBLE) * mb.n_t)) * 1000000)
+             / 1000000 AS pmi
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b
+    CROSS JOIN n_ctx
+    """,
+)
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of event-type pairs co-occurring
+    in the same (user, day) context — the association-mining measure
+    that corrects raw co-occurrence for marginal popularity (the
+    basket-lift key's information-theoretic twin; PMI = ln(lift)).
+
+    Scale shape: contexts dedupe on one (user, day) shuffle; the pair
+    self-join is bounded by |types|² per context; margins and the
+    context count are broadcast-size. Output grain is |types|² rows
+    regardless of event volume.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ctx = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_ctx = ctx.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = ctx.alias("a"), ctx.alias("b")
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnsRenamed({"event_type": "type_a", "n_t": "n_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnsRenamed({"event_type": "type_b", "n_t": "n_b"})),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_ctx))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.col("n").alias("n_ctx"),
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n_ab").cast("double") * F.col("n"))
+                        / (F.col("n_a").cast("double") * F.col("n_b"))
+                    )
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "event_active_streaks",
+    # Gaps-and-islands on integer day numbers: dayno - row_number is
+    # constant exactly within a consecutive run. Pure integer
+    # arithmetic end to end.
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dayno
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, dayno,
+             dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno)
+               AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS run_len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def event_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus total
+    active days and streak count) — the engagement metric every
+    product-analytics engine ships, as one gaps-and-islands pass.
+
+    Scale shape: one user_id shuffle serves the distinct, the
+    row_number, and both rollups (same key throughout — no second
+    exchange). Per-user state is bounded by distinct active days,
+    not events.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "dayno"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    g = d.withColumn("grp", F.col("dayno") - F.row_number().over(w))
+    runs = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+N_LTTB_BUCKETS = 24
+
+
+@register(
+    "time_lttb_downsample",
+    # Largest-Triangle-Three-Buckets, mean-anchor (parallel) variant:
+    # per bucket keep the point with the largest triangle area against
+    # the NEIGHBOR BUCKET MEANS (true LTTB anchors on the previously
+    # selected point, which is inherently sequential; the mean-anchor
+    # form is the standard distributed approximation). Determinism:
+    # x (epoch day) and y (cents) are exact BIGINTs, bucket sums are
+    # exact, the area is ONE fixed-parenthesization double expression
+    # of those integers (bit-identical both engines), and the argmax
+    # breaks ties on (ts, id).
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS xd,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
+             epoch_ns(ts) AS tns, event_id,
+             ntile({N_LTTB_BUCKETS}) OVER (PARTITION BY event_type
+                                ORDER BY epoch_ns(ts), event_id) AS bk
+      FROM events
+    ),
+    bstat AS (
+      SELECT event_type, bk, COUNT(*) AS n,
+             SUM(xd) AS sx, SUM(yc) AS sy
+      FROM pts GROUP BY event_type, bk
+    ),
+    anch AS (
+      SELECT event_type, bk, n,
+             lag(n)  OVER w AS np, lag(sx)  OVER w AS sxp, lag(sy)  OVER w AS syp,
+             lead(n) OVER w AS nc, lead(sx) OVER w AS sxc, lead(sy) OVER w AS syc
+      FROM bstat
+      WINDOW w AS (PARTITION BY event_type ORDER BY bk)
+    ),
+    scored AS (
+      SELECT p.event_type, p.bk, p.xd, p.yc, p.tns, p.event_id, a.n,
+             abs( (CAST(a.sxp AS DOUBLE) / a.np)
+                    * (CAST(p.yc AS DOUBLE) - CAST(a.syc AS DOUBLE) / a.nc)
+                + CAST(p.xd AS DOUBLE)
+                    * (CAST(a.syc AS DOUBLE) / a.nc - CAST(a.syp AS DOUBLE) / a.np)
+                + (CAST(a.sxc AS DOUBLE) / a.nc)
+                    * (CAST(a.syp AS DOUBLE) / a.np - CAST(p.yc AS DOUBLE)) )
+               AS area2,
+             row_number() OVER (PARTITION BY p.event_type, p.bk
+                                ORDER BY p.tns, p.event_id) AS rn_a,
+             row_number() OVER (PARTITION BY p.event_type, p.bk
+                                ORDER BY p.tns DESC, p.event_id DESC) AS rn_d
+      FROM pts p JOIN anch a ON a.event_type = p.event_type AND a.bk = p.bk
+    )
+    SELECT event_type, bk, xd, yc, CAST(n AS BIGINT) AS bucket_n
+    FROM (
+      SELECT event_type, bk, xd, yc, n,
+             row_number() OVER (
+               PARTITION BY event_type, bk
+               ORDER BY CASE WHEN bk = 1 THEN -rn_a
+                             WHEN bk = {N_LTTB_BUCKETS} THEN -rn_d
+                             ELSE area2 END DESC,
+                        tns, event_id) AS pick
+      FROM scored
+    ) WHERE pick = 1
+    """,
+)
+def time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually-lossless time-series downsampling (LTTB, mean-anchor
+    variant): each per-type series reduces to 24 representative
+    points — the hypertable/dashboard operator that keeps peaks and
+    inflections a naive every-k-th sample destroys. First and last
+    points are kept verbatim (classic LTTB endpoints).
+
+    Scale shape: one (event_type) shuffle for the global ntile
+    bucketing, one (type, bucket) aggregate for anchors (24 rows per
+    type), broadcast-size lag/lead, then a per-bucket argmax window.
+    Output is buckets x types regardless of input volume. The global
+    per-type ntile is the honest exact tier; at 100 TB bucket by
+    fixed TIME ranges instead (pure map-side) — same downstream plan.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    pts = e.select(
+        "event_type",
+        F.expr("ts_ns DIV 86400000000000").alias("xd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+        F.col("ts_ns").alias("tns"),
+        "event_id",
+    ).withColumn(
+        "bk",
+        F.ntile(N_LTTB_BUCKETS).over(
+            Window.partitionBy("event_type").orderBy("tns", "event_id")
+        ),
+    )
+    bstat = pts.groupBy("event_type", "bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yc").alias("sy"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bk")
+    anch = bstat.select(
+        "event_type",
+        "bk",
+        "n",
+        F.lag("n").over(wb).alias("np"),
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lead("n").over(wb).alias("nc"),
+        F.lead("sx").over(wb).alias("sxc"),
+        F.lead("sy").over(wb).alias("syc"),
+    )
+    p = pts.join(F.broadcast(anch), ["event_type", "bk"])
+    ax = F.col("sxp").cast("double") / F.col("np")
+    ay = F.col("syp").cast("double") / F.col("np")
+    cx = F.col("sxc").cast("double") / F.col("nc")
+    cy = F.col("syc").cast("double") / F.col("nc")
+    bx, by = F.col("xd").cast("double"), F.col("yc").cast("double")
+    area2 = F.abs(ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    wkey = Window.partitionBy("event_type", "bk")
+    scored = p.select(
+        "event_type", "bk", "xd", "yc", "tns", "event_id", "n",
+        area2.alias("area2"),
+        F.row_number().over(wkey.orderBy("tns", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wkey.orderBy(F.col("tns").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    pick_key = (
+        F.when(F.col("bk") == 1, -F.col("rn_a").cast("double"))
+        .when(F.col("bk") == N_LTTB_BUCKETS, -F.col("rn_d").cast("double"))
+        .otherwise(F.col("area2"))
+    )
+    wpick = Window.partitionBy("event_type", "bk").orderBy(
+        pick_key.desc(), "tns", "event_id"
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .where(F.col("pick") == 1)
+        .select("event_type", "bk", "xd", "yc", F.col("n").cast("long").alias("bucket_n"))
+    )

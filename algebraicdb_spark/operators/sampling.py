@@ -148,47 +148,76 @@ def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "feature_quantile_bins",
-    # ntile is deterministic under a TOTAL order (both engines use the
-    # SQL-standard rule: floor(n/k)-sized buckets, remainder spread to
-    # the leading buckets), so equal-frequency bin edges hash-match.
+    # Value-grain equal-frequency bins: all rows of one price share a
+    # bin (bin = prior-count*10 DIV n) — pure integer arithmetic, and
+    # the cumulative window runs on the AGGREGATED price grain, never
+    # the row grain. Ties-stay-together is the defensible semantics
+    # for a bucketizer anyway: bin membership is a function of the
+    # VALUE, so the fitted edges broadcast as a range lookup.
     oracle="""
-    SELECT bin,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           MIN(o_totalprice) AS lo,
-           MAX(o_totalprice) AS hi,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mass
-    FROM (
-      SELECT o_orderkey, o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
-      FROM orders
-    ) GROUP BY bin
+    WITH pg AS (
+      SELECT o_totalprice AS price, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mass
+      FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+      SELECT price, cnt, mass,
+             COALESCE(SUM(cnt) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before,
+             SUM(cnt) OVER () AS n
+      FROM pg
+    )
+    SELECT CAST((c_before * 10) // n + 1 AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_orders,
+           MIN(price) AS lo,
+           MAX(price) AS hi,
+           CAST(CAST(SUM(CAST(mass AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS mass
+    FROM cum GROUP BY 1
     """,
 )
 def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency (decile) binning of order totals — the
     discretization step of a feature pipeline (quantile bucketizer),
     emitting per-bin row count, value range, and exact-decimal mass.
+    Rows with equal value always share a bin (prior-count DIV rule),
+    so bin membership is a pure function of the value.
 
-    Scale shape: ntile needs a global sort of the measure; at 100 TB
-    the production swap is approx_percentile edges + a broadcast range
-    join (same output grain, sketch-bounded), which agg_approx_percentile
-    demonstrates. Here the exact global ntile IS the point: its bin
-    populations are the ground truth the sketch is judged against.
+    Scale shape: one hash aggregate to the price grain, then the
+    cumulative window runs over DISTINCT prices (the aggregated
+    grain), not rows — for real measures with heavy ties that is
+    orders of magnitude smaller; a raw-grain global ntile is the #1
+    scale-lint error and this plan avoids it. At 100 TB the swap is
+    approx_percentile edges + a broadcast range join, which
+    agg_approx_percentile demonstrates; this exact tier grounds it.
     """
     from pyspark.sql.window import Window
 
     from algebraicdb_spark.functions.rounding import exact_money_sum
 
     o = load_tables(spark, sf_dir)["orders"]
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    pg = o.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        exact_money_sum(F.col("o_totalprice")).alias("mass"),
+    )
+    wc = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pg.select(
+        "price",
+        "cnt",
+        "mass",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("c_before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
     return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("bin", F.ntile(10).over(w))
+        cum.withColumn("bin", F.expr("(c_before * 10) DIV n + 1"))
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-            exact_money_sum(F.col("o_totalprice")).alias("mass"),
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+            F.sum(F.col("mass").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("mass"),
         )
     )

@@ -721,3 +721,75 @@ def text_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell_cnt") - F.min("n_exact")).cast("long").alias("overcount"),
         )
     )
+
+
+@register(
+    "text_keyword_topk",
+    # Per-doc keyword extraction: weights are tf x grid-floored idf
+    # (exact BIGINTs, the sim_tfidf_cosine recipe), ranked per doc on
+    # (weight DESC, token) — a total integer order, no float near the
+    # cut. Scoped to a fixed doc sample so output stays bounded.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.c * CAST(floor(ln(CAST(nn.n AS DOUBLE) / df.dfc) * 10000) AS BIGINT)
+               AS w
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN nn
+      WHERE tf.doc_id < 25
+    )
+    SELECT doc_id, rk, token, CAST(w AS BIGINT) AS w_scaled
+    FROM (
+      SELECT doc_id, token, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, token) AS rk
+      FROM w
+    ) WHERE rk <= 3
+    """,
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 TF-IDF terms for a fixed
+    doc sample — the retrieval-index inversion of sim_tfidf_cosine
+    (what characterizes THIS doc, rather than which docs are alike).
+
+    Scale shape: corpus-wide df/N aggregates broadcast onto the
+    per-doc term rows; the rank window partitions by doc_id (never a
+    global sort), so the full-corpus version is the same plan with
+    the WHERE removed — per-doc work stays map-local after one
+    (doc, token) shuffle.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    w = (
+        tf.where(F.col("doc_id") < 25)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("n").cast("double") / F.col("dfc")) * 10000
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "token")
+    return (
+        w.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", F.col("w").cast("long").alias("w_scaled"))
+    )

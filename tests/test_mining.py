@@ -326,3 +326,89 @@ def test_rfm_scores_quintiles(spark, sf_dir):
     for r in rows:
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
         assert r["recency_hours"] >= 0
+
+
+def test_pmi_equals_ln_lift(spark, sf_dir):
+    """PMI must equal ln(lift) computed from its own exposed counts."""
+    from algebraicdb_spark.operators.analytics import event_cooccurrence_pmi
+
+    rows = event_cooccurrence_pmi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = math.log((r["n_ab"] * r["n_ctx"]) / (r["n_a"] * r["n_b"]))
+        assert r["pmi"] == pytest.approx(expect, abs=2e-6)
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+
+
+def test_streaks_against_python_rebuild(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import event_active_streaks
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {r["user_id"]: r for r in event_active_streaks(spark, sf_dir).collect()}
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    days = {}
+    for r in ev:
+        days.setdefault(r["user_id"], set()).add(r["d"].toordinal())
+    for uid, ds in days.items():
+        s = sorted(ds)
+        longest = cur = 1
+        streaks = 1
+        for a, b in zip(s, s[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks += 1
+                cur = 1
+            longest = max(longest, cur)
+        assert got[uid]["n_active_days"] == len(s)
+        assert got[uid]["longest_streak"] == longest
+        assert got[uid]["n_streaks"] == streaks
+
+
+def test_keyword_topk_ranks_by_weight(spark, sf_dir):
+    from algebraicdb_spark.operators.text import text_keyword_topk
+
+    rows = text_keyword_topk(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        assert doc < 25
+        rs.sort(key=lambda r: r["rk"])
+        ws = [r["w_scaled"] for r in rs]
+        assert ws == sorted(ws, reverse=True)
+        assert len(rs) <= 3
+
+
+def test_lttb_keeps_endpoints_and_bucket_count(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        N_LTTB_BUCKETS,
+        time_lttb_downsample,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = time_lttb_downsample(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["bk"]] = r
+    ev = load_tables(spark, sf_dir)["events"]
+    first_last = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.min(F.struct("ts_ns", "event_id", "value")).alias("first"),
+            F.max(F.struct("ts_ns", "event_id", "value")).alias("last"),
+        )
+        .collect()
+    }
+    for et, buckets in by_type.items():
+        assert len(buckets) == N_LTTB_BUCKETS, f"{et}: every bucket emits one point"
+        f, last = first_last[et]["first"], first_last[et]["last"]
+        assert buckets[1]["xd"] == f["ts_ns"] // 86400000000000
+        assert buckets[N_LTTB_BUCKETS]["xd"] == last["ts_ns"] // 86400000000000
