@@ -453,3 +453,47 @@ def json_from_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("p.k")).alias("k_min"),
         F.max(F.col("p.k")).alias("k_max"),
     )
+
+
+@register(
+    "json_variant_extract",
+    # Spark 4 VARIANT path: parse_json → binary variant → typed
+    # variant_get extraction. Semi-structured columns stored as
+    # VARIANT (not string) decode once at ingest and push typed,
+    # shredded accesses into the scan — the lakehouse replacement for
+    # per-query JSON string parsing. Values here are exact integers;
+    # DuckDB replays the same accesses over its JSON type.
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (
+             WHERE json_extract_string(props, '$.missing') IS NULL) AS BIGINT)
+             AS n_missing_null
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` path extraction —
+    including the try-semantics NULL for a missing path (counted to
+    pin the behavior). The open-format twin of ``json_extract``
+    (string functions) and ``json_from_schema`` (static struct): a
+    VARIANT column keeps the full value queryable when the schema is
+    NOT declared up front.
+
+    Scale shape: parse_json is a map-side expression; the variant
+    binary encodes fields positionally, so repeated ``variant_get``
+    calls don't re-parse text. One 5-group hash aggregate.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.select(F.parse_json(F.col("props")).alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.variant_get("v", "$.missing", "bigint")
+    return v.groupBy((k % 5).alias("k_mod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count_if(missing.isNull()).cast("long").alias("n_missing_null"),
+    )
