@@ -348,3 +348,60 @@ def test_corr_matrix_single_scan(spark, sf_dir, qs):
     a generate over the single aggregated row."""
     plan = plan_of(qs["agg_corr_matrix"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
+
+
+def test_triangle_closing_join_is_hash_join(spark, sf_dir, qs):
+    """The wedge-closing existence check must plan as an equi hash/SMJ
+    join on (u, v) — a cartesian or BNLJ there is the O(m²) failure."""
+    plan = plan_of(qs["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_pmi_margins_broadcast(spark, sf_dir, qs):
+    """PMI margins and the context count are broadcast-size — the pair
+    aggregate must never shuffle against them."""
+    plan = plan_of(qs["event_cooccurrence_pmi"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_count_min_grid_is_aggregate_not_window(spark, sf_dir, qs):
+    """The CMS cell grid must build via hash aggregate (map-side
+    combinable, d*w-bounded shuffle), and the probe side joins against
+    a broadcast of the tiny grid."""
+    plan = plan_of(qs["text_count_min"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_streaks_single_user_shuffle(spark, sf_dir, qs):
+    """Distinct days, the row_number, and both rollups share the
+    user_id partitioning: exactly one exchange on the events side."""
+    plan = plan_of(qs["event_active_streaks"](spark, sf_dir))
+    import re
+
+    exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange\b", l)]
+    real = [l for l in exchanges if "SinglePartition" not in l]
+    assert len(real) <= 2, f"expected <=2 partitioned exchanges, got:\n" + "\n".join(real)
+
+
+def test_quantile_bins_window_over_aggregated_grain(spark, sf_dir, qs):
+    """The cumulative window must consume the price-grain AGGREGATE,
+    not raw order rows (the raw-grain global ntile is a lint error)."""
+    df = qs["feature_quantile_bins"](spark, sf_dir)
+    opt = optimized_of(df)
+    w_idx = opt.index("Window")
+    agg_after_window = "Aggregate" in opt[w_idx:]
+    assert agg_after_window, "window should sit above the price-grain aggregate"
+    from algebraicdb_spark.plans.scalelint import lint
+
+    assert not [c for sev, c, _ in lint(df) if sev == "error"]
+
+
+def test_tfidf_dots_shuffle_partials_not_vectors(spark, sf_dir, qs):
+    """The inverted-index retrieval must broadcast the fixed query
+    side; no cartesian anywhere."""
+    plan = plan_of(qs["sim_tfidf_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
