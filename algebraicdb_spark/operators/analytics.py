@@ -1450,3 +1450,107 @@ def time_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick") == 1)
         .select("event_type", "bk", "xd", "yc", F.col("n").cast("long").alias("bucket_n"))
     )
+
+
+@register(
+    "event_abtest_lift",
+    # Variant assignment is a pure md5 function of user_id (the
+    # split_hash_assign recipe), conversion counts are exact integers,
+    # and rate/lift/z are ONE fixed-parenthesization double formula of
+    # those integers, pround-floored — the experimentation readout you
+    # can hash-check across engines.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                          THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_conv
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN n_conv END) AS c_a,
+        MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN n_conv END) AS c_b
+      FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           floor((CAST(c_a AS DOUBLE) / n_a) * 1000000 + 0.5) / 1000000 AS rate_a,
+           floor((CAST(c_b AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000 AS rate_b,
+           floor(((CAST(c_b AS DOUBLE) / n_b) / (CAST(c_a AS DOUBLE) / n_a) - 1)
+                 * 1000000 + 0.5) / 1000000 AS rel_lift,
+           floor(((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                  / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                         * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)))
+                 * 1000000 + 0.5) / 1000000 AS z_stat
+    FROM wide
+    """,
+)
+def event_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 (md5 — stable,
+    engine-independent, the same property split_hash_assign pins),
+    high-value-purchase conversion (a purchase of value >= 200 —
+    chosen so the rate sits mid-range; every user has SOME purchase)
+    per variant, relative lift, and the pooled two-proportion z
+    statistic.
+
+    Scale shape: one user_id aggregate (converted = MAX over the
+    user's events — no distinct needed), a 2-group rollup, then a
+    1-row wide pivot; everything after the first aggregate is
+    broadcast-size. The z formula uses only the 4 exact counts, so
+    the statistics never touch row data.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+    ).select(variant.alias("variant"), "converted")
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rb - ra) / F.sqrt(
+        pooled
+        * (F.lit(1) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        pround(ra, 6).alias("rate_a"),
+        pround(rb, 6).alias("rate_b"),
+        pround(rb / ra - F.lit(1), 6).alias("rel_lift"),
+        pround(z, 6).alias("z_stat"),
+    )

@@ -268,3 +268,102 @@ def assoc_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
         )
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    # Neighborhood Jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — exact
+    # integer counts throughout; the top-20 cut ranks on
+    # inter·10⁶ DIV union, an integer grid.
+    oracle=_LI_SQL
+    + """,
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    inter AS (
+      SELECT x.node AS a, y.node AS b, COUNT(*) AS n_common
+      FROM adj x JOIN adj y
+        ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT i.a, i.b, i.n_common, da.d AS deg_a, db.d AS deg_b,
+             (i.n_common * 1000000)
+               // (CAST(da.d AS BIGINT) + db.d - i.n_common) AS jac_grid
+      FROM inter i
+      JOIN deg da ON da.node = i.a
+      JOIN deg db ON db.node = i.b
+    )
+    SELECT a, b, n_common, deg_a, deg_b,
+           CAST(jac_grid AS DOUBLE) / 1000000 AS jaccard
+    FROM scored
+    ORDER BY jac_grid DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood similarity: the top-20 part
+    pairs whose co-purchase NEIGHBORHOODS overlap most (Jaccard of
+    adjacency sets) — parts bought alongside the same other parts,
+    whether or not they ever share an order themselves. Completes the
+    graph family: counting (triangles), components (dedup_components),
+    centrality (pagerank), similarity (this).
+
+    Scale shape: candidate pairs enumerate via the shared-neighbor
+    join — the same wedge shape as triangle counting, so the same
+    hub-degree² hazard; the HAVING floor (≥3 common) prunes the tail
+    before the degree joins, and production orients or samples hub
+    adjacency just like the triangle key. Counts broadcast back onto
+    the candidate aggregate.
+    """
+    edges = (
+        _basket_items(spark, sf_dir)
+        .alias("a")
+        .join(_basket_items(spark, sf_dir).alias("b"), on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    inter = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .where(F.col("x.node") < F.col("y.node"))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 3)
+    )
+    scored = (
+        inter.join(F.broadcast(deg.withColumnsRenamed({"node": "a", "d": "deg_a"})), "a")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "b", "d": "deg_b"})), "b")
+        .withColumn(
+            "jac_grid",
+            F.expr(
+                "(n_common * 1000000L) DIV (CAST(deg_a AS BIGINT) + deg_b - n_common)"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("jac_grid").desc(), "a", "b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (F.col("jac_grid").cast("double") / 1_000_000).alias("jaccard"),
+        )
+    )

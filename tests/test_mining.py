@@ -412,3 +412,38 @@ def test_lttb_keeps_endpoints_and_bucket_count(spark, sf_dir):
         f, last = first_last[et]["first"], first_last[et]["last"]
         assert buckets[1]["xd"] == f["ts_ns"] // 86400000000000
         assert buckets[N_LTTB_BUCKETS]["xd"] == last["ts_ns"] // 86400000000000
+
+
+def test_jaccard_neighbors_bounds(spark, sf_dir):
+    from algebraicdb_spark.operators.graph import graph_jaccard_neighbors
+
+    rows = graph_jaccard_neighbors(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    jacs = [r["jaccard"] for r in rows]
+    assert jacs == sorted(jacs, reverse=True)
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["n_common"] >= 3
+        # |N(a) ∩ N(b)| can't exceed either degree
+        assert r["n_common"] <= min(r["deg_a"], r["deg_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_abtest_readout_consistent(spark, sf_dir):
+    import math as m
+
+    from algebraicdb_spark.operators.analytics import event_abtest_lift
+
+    r = event_abtest_lift(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 < r["c_a"] < r["n_a"] and 0 < r["c_b"] < r["n_b"]
+    assert r["rate_a"] == pytest.approx(r["c_a"] / r["n_a"], abs=1e-6)
+    assert r["rate_b"] == pytest.approx(r["c_b"] / r["n_b"], abs=1e-6)
+    assert r["rel_lift"] == pytest.approx(
+        (r["c_b"] / r["n_b"]) / (r["c_a"] / r["n_a"]) - 1, abs=1e-5
+    )
+    p = (r["c_a"] + r["c_b"]) / (r["n_a"] + r["n_b"])
+    z = ((r["c_b"] / r["n_b"]) - (r["c_a"] / r["n_a"])) / m.sqrt(
+        p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"])
+    )
+    assert r["z_stat"] == pytest.approx(z, abs=1e-5)
