@@ -1554,3 +1554,145 @@ def event_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(rb / ra - F.lit(1), 6).alias("rel_lift"),
         pround(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "ml_eval_auc",
+    # Exact AUC via the Mann-Whitney rank statistic with proper tie
+    # handling: doubled average ranks (2r + c - 1 for a tie group of
+    # size c at min-rank r) keep everything integer until ONE final
+    # division. Labels/scores are exact cent-grid integers; the
+    # threshold metrics are single IEEE divisions of exact counts.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                           THEN 1 ELSE 0 END) AS BIGINT) AS label
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, score, label,
+             rank() OVER (ORDER BY score) AS rk,
+             COUNT(*) OVER (PARTITION BY score) AS c
+      FROM u
+    ),
+    agg AS (
+      SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN label = 1 THEN 2 * rk + c - 1 ELSE 0 END)
+                  AS BIGINT) AS sum_r2_pos,
+             CAST(SUM(score) AS BIGINT) AS sum_score,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r
+    ),
+    thr AS (
+      SELECT agg.*,
+             CAST(SUM(CASE WHEN u.label = 1
+                       AND CAST(u.score AS DOUBLE) > CAST(agg.sum_score AS DOUBLE) / agg.n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN u.label = 0
+                       AND CAST(u.score AS DOUBLE) > CAST(agg.sum_score AS DOUBLE) / agg.n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp
+      FROM u CROSS JOIN agg
+      GROUP BY agg.n_pos, agg.n_neg, agg.sum_r2_pos, agg.sum_score, agg.n
+    )
+    SELECT n_pos, n_neg, tp, fp,
+           floor((CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg)) * 1000000 + 0.5) / 1000000 AS auc,
+           floor((CAST(tp AS DOUBLE) / (tp + fp)) * 1000000 + 0.5) / 1000000
+             AS precision_at_mean,
+           floor((CAST(tp AS DOUBLE) / n_pos) * 1000000 + 0.5) / 1000000
+             AS recall_at_mean
+    FROM thr
+    """,
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation without an ML library: exact ROC-AUC via
+    the Mann-Whitney rank statistic (tie-correct), plus precision and
+    recall of the threshold-at-mean-score classifier. Score = a user's
+    total click value (cents); label = the high-value-purchase
+    conversion event_abtest_lift defines. The eval harness every
+    training-data pipeline needs to grade features BEFORE training.
+
+    Scale shape: one user aggregate, then the rank window runs on the
+    aggregated user grain (|users| rows). AUC at 100 TB swaps the
+    global rank for a histogram approximation (bucket scores, trapezoid
+    over bucket counts) — the exact tier here grounds it.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("label"),
+    )
+    r = u.select(
+        "user_id",
+        "score",
+        "label",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("c"),
+    )
+    agg = r.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(F.col("label") == 1, 2 * F.col("rk") + F.col("c") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_r2_pos"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mean_score = F.col("sum_score").cast("double") / F.col("n")
+    thr = (
+        u.crossJoin(F.broadcast(agg))
+        .groupBy("n_pos", "n_neg", "sum_r2_pos", "sum_score", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("label") == 1) & (F.col("score").cast("double") > mean_score),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("label") == 0) & (F.col("score").cast("double") > mean_score),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return thr.select(
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        pround(
+            (F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        pround(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_at_mean"
+        ),
+        pround(F.col("tp").cast("double") / F.col("n_pos"), 6).alias("recall_at_mean"),
+    )

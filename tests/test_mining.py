@@ -447,3 +447,37 @@ def test_abtest_readout_consistent(spark, sf_dir):
         p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"])
     )
     assert r["z_stat"] == pytest.approx(z, abs=1e-5)
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    """AUC must equal a driver-side tie-correct Mann-Whitney rebuild
+    (and sit in [0, 1]); precision/recall consistency checked too."""
+    from algebraicdb_spark.operators.analytics import ml_eval_auc
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = ml_eval_auc(spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "value"
+    ).collect()
+    users = {}
+    for row in ev:
+        s, lab = users.get(row["user_id"], (0, 0))
+        if row["event_type"] == "click":
+            s += math.floor(row["value"] * 100 + 0.5)
+        if row["event_type"] == "purchase" and row["value"] >= 200:
+            lab = 1
+        users[row["user_id"]] = (s, lab)
+    pos = sorted(s for s, l in users.values() if l == 1)
+    neg = sorted(s for s, l in users.values() if l == 0)
+    wins = ties = 0
+    for p in pos:
+        import bisect
+
+        wins += bisect.bisect_left(neg, p)
+        ties += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert r["auc"] == pytest.approx(expect, abs=1e-6)
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert r["tp"] <= r["n_pos"]
+    assert r["recall_at_mean"] == pytest.approx(r["tp"] / r["n_pos"], abs=1e-6)
