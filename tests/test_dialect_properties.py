@@ -113,3 +113,59 @@ def test_nested_insert_pattern_roundtrip(spark, values):
     # partition: every row matched exactly one of the three patterns
     assert len(got_wn) + len(got_wu) + len(got_d) == len(values)
     eng.sql("DROP TABLE prop_boxes")
+
+
+# ---------------------------------------------------------------- macros
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,7}", fullmatch=True)
+_arg_expr = st.from_regex(r"[a-z0-9_+\- ]{1,12}", fullmatch=True).map(str.strip).filter(bool)
+
+
+@given(name=_ident, params=st.lists(_ident, min_size=1, max_size=3, unique=True),
+       args=st.data())
+@settings(max_examples=50, deadline=None)
+def test_macro_expansion_substitutes_each_param(name, params, args):
+    """Pure-text property: expanding name(a1, …) of body `p1|p2|…`
+    yields every argument parenthesized, in parameter order, and no
+    trace of the macro call remains."""
+    from algebraicdb_spark.dialect import expand_macros
+
+    # body references every param once, separated by commas
+    body = " , ".join(params)
+    vals = [args.draw(_arg_expr) for _ in params]
+    if name in params:
+        return  # a macro named like its own param would self-reference
+    sql = f"SELECT {name}({', '.join(vals)}) FROM t"
+    out = expand_macros(sql, {name: (params, body)})
+    for v in vals:
+        assert f"({v})" in out
+    assert f"{name}(" not in out
+
+
+@given(lit=st.text(alphabet="abcdef ()',", max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_macro_never_rewrites_string_literals(lit):
+    from algebraicdb_spark.dialect import expand_macros
+
+    quoted = "'" + lit.replace("'", "''") + "'"
+    sql = f"SELECT f(1), {quoted} AS s"
+    out = expand_macros(sql, {"f": (["x"], "x + 1")})
+    assert quoted in out, "string literal must survive expansion byte-for-byte"
+    assert "((1) + 1)" in out
+
+
+@given(depth=st.integers(min_value=1, max_value=8))
+@settings(max_examples=20, deadline=None)
+def test_macro_chains_expand_fully_within_cap(depth):
+    """A linear chain f1 -> f2 -> … -> fN (N <= 8 < cap 10) must fully
+    resolve; the final text contains no macro names."""
+    from algebraicdb_spark.dialect import expand_macros
+
+    macros = {}
+    for i in range(depth):
+        body = f"f{i + 1}(x) + 1" if i + 1 < depth else "x * 2"
+        macros[f"f{i}"] = (["x"], body)
+    out = expand_macros("SELECT f0(5)", macros)
+    for n in macros:
+        assert f"{n}(" not in out
+    assert "5" in out and "* 2" in out
