@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import pround, pround_sql
 from algebraicdb_spark.operators.dedup import canonical_text, shingles
@@ -390,4 +391,99 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("est_count"))
         .orderBy(F.desc("est_count"), "token")
         .limit(MG_TOPK)
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    # Zipf exponent by OLS on (ln rank, ln tf) over the top-1000
+    # vocabulary: both lns grid-floored at 1e-4 so every per-token
+    # term is an exact BIGINT (xy <= ~2e10, x 1000 tokens << 2^53 —
+    # the DECIMAL>2^53 cast trap never applies), then the
+    # agg_linear_regression combine with identical parenthesization.
+    oracle="""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+        FROM documents
+      ) GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token) AS rnk
+      FROM tf
+    ),
+    grid AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000) AS BIGINT) AS xs,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT) AS ys
+      FROM ranked WHERE rnk <= 1000
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_fit,
+             CAST(SUM(xs) AS DOUBLE) AS sx,
+             CAST(SUM(ys) AS DOUBLE) AS sy,
+             CAST(SUM(xs * ys) AS DOUBLE) AS sxy,
+             CAST(SUM(xs * xs) AS DOUBLE) AS sxx,
+             CAST(SUM(ys * ys) AS DOUBLE) AS syy
+      FROM grid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_vocab,
+           n_fit,
+           floor((-((n * sxy - sx * sy) / (n * sxx - sx * sx))) * 10000 + 0.5)
+             / 10000 AS zipf_exponent,
+           floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5)
+             / 10000 AS r2
+    FROM sums
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus vocabulary: the exponent s in
+    tf ∝ rank^(−s) by least squares on the log-log rank/frequency
+    curve (top-1000 vocabulary), plus R² — the corpus-health
+    statistic that flags synthetic or boilerplate-heavy text (natural
+    corpora sit near s ≈ 1 with high R²).
+
+    Scale shape: one (token) shuffle for tf; the rank window runs on
+    the aggregated vocabulary grain capped at 1000 fit points, and
+    the OLS reduces to 5 BIGINT partials — the same mergeable-moment
+    shape as agg_linear_regression.
+    """
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        docs.select(F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_vocab = tf.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), "token"))
+    ).where(F.col("rnk") <= 1000)
+    grid = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 10000).cast("long").alias("xs"),
+        F.floor(F.log(F.col("c").cast("double")) * 10000).cast("long").alias("ys"),
+    )
+    sums = grid.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum("xs").cast("double").alias("sx"),
+        F.sum("ys").cast("double").alias("sy"),
+        F.sum(F.col("xs") * F.col("ys")).cast("double").alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).cast("double").alias("sxx"),
+        F.sum(F.col("ys") * F.col("ys")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.crossJoin(F.broadcast(n_vocab))  # 1-row aggregates
+        .select(
+            "n_vocab",
+            "n_fit",
+            pround(-(num / denx), 4).alias("zipf_exponent"),
+            pround((num * num) / (denx * deny), 4).alias("r2"),
+        )
     )

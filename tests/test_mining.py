@@ -481,3 +481,14 @@ def test_auc_matches_sklearn_free_reference(spark, sf_dir):
     assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
     assert r["tp"] <= r["n_pos"]
     assert r["recall_at_mean"] == pytest.approx(r["tp"] / r["n_pos"], abs=1e-6)
+
+
+def test_zipf_fit_sane(spark, sf_dir):
+    from algebraicdb_spark.operators.corpus import corpus_zipf_fit
+
+    r = corpus_zipf_fit(spark, sf_dir).collect()[0]
+    assert r["n_fit"] <= 1000 and r["n_fit"] <= r["n_vocab"]
+    # frequencies are non-increasing in rank, so the slope is <= 0
+    # and the exponent >= 0; R² bounded
+    assert r["zipf_exponent"] >= 0.0
+    assert 0.0 <= r["r2"] <= 1.0 + 1e-9
