@@ -1696,3 +1696,112 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(F.col("tp").cast("double") / F.col("n_pos"), 6).alias("recall_at_mean"),
     )
+
+
+@register(
+    "event_window_funnel",
+    # ClickHouse windowFunnel semantics, strict-order variant: the
+    # deepest prefix of click -> view -> purchase completed within 1 h
+    # of the chain's first step. Greedy earliest-chain evaluation is
+    # expressible as three nested MIN aggregates over exact integer
+    # nanoseconds — no per-row state machine needed.
+    oracle="""
+    WITH per_user AS (
+      SELECT e.user_id,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1
+      FROM events e GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT p.user_id, p.t1,
+             MIN(CASE WHEN e.event_type = 'view'
+                       AND epoch_ns(e.ts) > p.t1
+                       AND epoch_ns(e.ts) <= p.t1 + 3600000000000
+                      THEN epoch_ns(e.ts) END) AS t2
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      GROUP BY p.user_id, p.t1
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND s2.t2 IS NOT NULL
+                       AND epoch_ns(e.ts) > s2.t2
+                       AND epoch_ns(e.ts) <= s2.t1 + 3600000000000
+                      THEN epoch_ns(e.ts) END) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      GROUP BY s2.user_id, s2.t1, s2.t2
+    ),
+    depth AS (
+      SELECT user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_depth
+      FROM s3
+    )
+    SELECT funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY funnel_depth
+    """,
+)
+def event_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel (ClickHouse-style): how deep into the ordered
+    chain click → view → purchase each user gets within 1 hour of
+    their first click, reported as users per depth. Differs from
+    funnel_conversion (pairwise attribution): this is ordered
+    multi-step sequence matching with a single window anchored at
+    step 1.
+
+    Scale shape: the greedy earliest-chain semantics decompose into
+    three user-keyed aggregates (anchor, then each next step as a
+    conditional MIN over the same user partition) — every pass is
+    one shuffle on user_id and the per-user state is three BIGINTs,
+    which is also exactly the state a streaming evaluator would
+    keep. All comparisons on exact integer nanoseconds.
+    """
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts_ns"
+    )
+    hour = 3_600_000_000_000
+    p1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ns"))).alias("t1")
+    )
+    s2 = (
+        p1.join(e, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts_ns") > F.col("t1"))
+                    & (F.col("ts_ns") <= F.col("t1") + hour),
+                    F.col("ts_ns"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        s2.join(e, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("t2").isNotNull()
+                    & (F.col("ts_ns") > F.col("t2"))
+                    & (F.col("ts_ns") <= F.col("t1") + hour),
+                    F.col("ts_ns"),
+                )
+            ).alias("t3")
+        )
+    )
+    depth = s3.select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_depth"),
+    )
+    return depth.groupBy("funnel_depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -492,3 +492,42 @@ def test_zipf_fit_sane(spark, sf_dir):
     # and the exponent >= 0; R² bounded
     assert r["zipf_exponent"] >= 0.0
     assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+
+
+def test_window_funnel_depths_against_python(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import event_window_funnel
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {
+        r["funnel_depth"]: r["n_users"]
+        for r in event_window_funnel(spark, sf_dir).collect()
+    }
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "event_type", "ts_ns")
+        .collect()
+    )
+    users = {}
+    for r in ev:
+        users.setdefault(r["user_id"], []).append((r["ts_ns"], r["event_type"]))
+    hour = 3_600_000_000_000
+    expect = {}
+    for uid, evs in users.items():
+        t1 = min((t for t, ty in evs if ty == "click"), default=None)
+        depth = 0
+        if t1 is not None:
+            depth = 1
+            t2 = min(
+                (t for t, ty in evs if ty == "view" and t1 < t <= t1 + hour),
+                default=None,
+            )
+            if t2 is not None:
+                depth = 2
+                t3 = min(
+                    (t for t, ty in evs if ty == "purchase" and t2 < t <= t1 + hour),
+                    default=None,
+                )
+                if t3 is not None:
+                    depth = 3
+        expect[depth] = expect.get(depth, 0) + 1
+    assert got == expect
