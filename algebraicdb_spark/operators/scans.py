@@ -449,3 +449,107 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+_RLE_COLS = ("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
+
+
+@register(
+    "storage_rle_advisor",
+    # Column compressibility report: run counts under the physical
+    # write order (lines clustered by order, sequenced by linenumber).
+    # A "run" break is value != lag(value) within each l_orderkey
+    # partition under the TOTAL order (linenumber, partkey, suppkey)
+    # — (orderkey, linenumber) alone has ties, and a tied order makes
+    # lag() engine-dependent. Partitions are storage-cluster-sized,
+    # so no global window. All outputs exact integers + one ratio.
+    oracle="""
+    WITH runs AS (
+      SELECT
+        """
+    + ",\n        ".join(
+        f"""CAST(SUM(CASE WHEN {c}_prev IS NULL OR {c} <> {c}_prev
+                 THEN 1 ELSE 0 END) AS BIGINT) AS runs_{c},
+        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}"""
+        for c in _RLE_COLS
+    )
+    + """,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT l_returnflag, l_linestatus, l_partkey, l_quantity, l_suppkey,
+        """
+    + ",\n        ".join(
+        f"""lag({c}) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey)
+             AS {c}_prev"""
+        for c in _RLE_COLS
+    )
+    + """
+        FROM lineitem) t
+    )
+    SELECT col_name, n_rows, n_runs, n_distinct,
+           floor((CAST(n_rows AS DOUBLE) / n_runs) * 10000 + 0.5) / 10000
+             AS avg_run_len
+    FROM (
+      """
+    + "\n      UNION ALL\n      ".join(
+        f"""SELECT '{c}' AS col_name, n_rows, runs_{c} AS n_runs,
+             nd_{c} AS n_distinct FROM runs"""
+        for c in _RLE_COLS
+    )
+    + """
+    )
+    """,
+)
+def storage_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: per-column run-length statistics under
+    the physical write order (order-clustered, linenumber-sequenced) —
+    how well each column would RLE/dictionary-encode in a columnar
+    format. Long runs (returnflag/linestatus) say "RLE wins"; runs ≈
+    rows (partkey) say "dictionary or delta". The report that guides
+    sort-key selection before a 100 TB rewrite.
+
+    Scale shape: one (l_orderkey) shuffle serves all four lag windows
+    (same partition spec → one Window operator), then a single global
+    aggregate of integer partials; the unpivot is 4 rows. Exactness:
+    run breaks and distinct counts are integers; the only float op is
+    the final ratio.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    with_prev = li.select(
+        *_RLE_COLS,
+        *[F.lag(c).over(w).alias(f"{c}_prev") for c in _RLE_COLS],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _RLE_COLS:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"{c}_prev").isNull() | (F.col(c) != F.col(f"{c}_prev")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"runs_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    runs = with_prev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', runs_{c}, nd_{c}" for c in _RLE_COLS
+    )
+    return runs.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_RLE_COLS)}, {stack_args}) AS (col_name, n_runs, n_distinct)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        "n_distinct",
+        pround(F.col("n_rows").cast("double") / F.col("n_runs")).alias("avg_run_len"),
+    )

@@ -531,3 +531,16 @@ def test_window_funnel_depths_against_python(spark, sf_dir):
                     depth = 3
         expect[depth] = expect.get(depth, 0) + 1
     assert got == expect
+
+
+def test_rle_advisor_invariants(spark, sf_dir):
+    from algebraicdb_spark.operators.scans import storage_rle_advisor
+
+    rows = {r["col_name"]: r for r in storage_rle_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"l_returnflag", "l_linestatus", "l_partkey", "l_quantity"}
+    for r in rows.values():
+        assert 1 <= r["n_runs"] <= r["n_rows"]
+        assert r["n_distinct"] <= r["n_runs"]  # each distinct value starts >=1 run
+        assert r["avg_run_len"] >= 1.0
+    # low-cardinality flags must compress better than the near-unique key
+    assert rows["l_returnflag"]["avg_run_len"] > rows["l_partkey"]["avg_run_len"]
