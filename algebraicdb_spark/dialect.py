@@ -158,6 +158,15 @@ _DROP_FUNCTION_RE = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)"
+    r"\s+AS\s+(?P<query>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_MATVIEW_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<query>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,

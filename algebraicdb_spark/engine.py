@@ -51,6 +51,7 @@ from algebraicdb_spark.dialect import (
     _COPY_TO_RE,
     _CREATE_FUNCTION_RE,
     _CREATE_MATVIEW_RE,
+    _CREATE_VIEW_RE,
     _CREATE_TABLE_RE,
     _CTAS_RE,
     _CREATE_TYPE_RE,
@@ -58,6 +59,7 @@ from algebraicdb_spark.dialect import (
     _DESCRIBE_RE,
     _DROP_FUNCTION_RE,
     _DROP_MATVIEW_RE,
+    _DROP_VIEW_RE,
     _DROP_TABLE_RE,
     _EXPLAIN_RE,
     _INSERT_RE,
@@ -90,6 +92,7 @@ class Engine:
         self._tables: dict[str, TableDef] = {}
         self._matviews: dict[str, str] = {}  # name -> defining dialect SQL
         self._functions: dict[str, tuple[list[str], str]] = {}  # macros
+        self._views: dict[str, str] = {}  # name -> defining dialect SQL
         if sf_dir:
             self.attach(sf_dir)
 
@@ -154,6 +157,8 @@ class Engine:
             return self._merge_stmt(stmt)
         if _DROP_TABLE_RE.match(stmt):
             name = _DROP_TABLE_RE.match(stmt).group("name")
+            if name in self._views:
+                raise AdtError(f"{name} is a view — use DROP VIEW")
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
             return None
@@ -189,6 +194,13 @@ class Engine:
             )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
+        if _CREATE_VIEW_RE.match(stmt):
+            m = _CREATE_VIEW_RE.match(stmt)
+            return self._create_view(
+                m.group("name"), m.group("query"), bool(m.group("replace"))
+            )
+        if _DROP_VIEW_RE.match(stmt):
+            return self._drop_view(_DROP_VIEW_RE.match(stmt).group("name"), stmt)
         if _CREATE_FUNCTION_RE.match(stmt):
             return self._create_function_stmt(stmt)
         if _DROP_FUNCTION_RE.match(stmt):
@@ -351,6 +363,9 @@ class Engine:
         if name in self._matviews:
             stmt = f"CREATE MATERIALIZED VIEW {name} AS {self._matviews[name]}"
             return self.spark.createDataFrame([(stmt,)], "create_stmt string")
+        if name in self._views:
+            stmt = f"CREATE VIEW {name} AS {self._views[name]}"
+            return self.spark.createDataFrame([(stmt,)], "create_stmt string")
         td = self._tables.get(name)
         if td is not None:
             cols = ", ".join(
@@ -407,6 +422,11 @@ class Engine:
         which handles the same widening at the parquet scan."""
         m = _ALTER_TABLE_RE.match(stmt)
         name, action = m.group("name"), m.group("action").strip()
+        if name in self._views:
+            raise AdtError(
+                f"ALTER TABLE: {name!r} is a view — alter its defining "
+                "query (CREATE OR REPLACE VIEW) instead"
+            )
         if name in self._matviews:
             raise AdtError(
                 f"ALTER TABLE: {name!r} is a materialized view — alter its "
@@ -519,6 +539,10 @@ class Engine:
         refused (mirroring ALTER): appending to the snapshot view
         would silently diverge it from its defining query, and the
         next REFRESH would discard the appended rows."""
+        if name in self._views:
+            raise AdtError(
+                f"COPY: {name!r} is a view — COPY into its base table instead"
+            )
         if name in self._matviews:
             raise AdtError(
                 f"COPY: {name!r} is a materialized view — COPY into a base "
@@ -537,6 +561,7 @@ class Engine:
 
     def _insert_stmt(self, stmt: str) -> None:
         name = _INSERT_RE.match(stmt).group("name")
+        self._refuse_view_mutation("INSERT", name)
         td = self._tables.get(name)
         if td is None:
             raise AdtError(f"INSERT into unknown table {name!r}")
@@ -566,6 +591,7 @@ class Engine:
         first."""
         m = _MERGE_RE.match(stmt)
         target, source = m.group("target"), m.group("source")
+        self._refuse_view_mutation("MERGE INTO", target)
         cond = m.group("cond").strip()
         if target == source:
             raise AdtError("MERGE: target and source must differ")
@@ -621,6 +647,7 @@ class Engine:
         replacement (patterns allowed in the predicate)."""
         m = _DELETE_RE.match(stmt)
         name, pred = m.group("name"), m.group("pred")
+        self._refuse_view_mutation("DELETE", name)
         if name not in self._tables:
             raise AdtError(f"DELETE from unknown table {name!r}")
         if pred is None:
@@ -636,6 +663,7 @@ class Engine:
         view replacement (CASE per updated column)."""
         m = _UPDATE_RE.match(stmt)
         name, sets, pred = m.group("name"), m.group("sets"), m.group("pred")
+        self._refuse_view_mutation("UPDATE", name)
         td = self._tables.get(name)
         if td is None:
             raise AdtError(f"UPDATE on unknown table {name!r}")
@@ -657,6 +685,52 @@ class Engine:
             self._rewrite(f"SELECT {', '.join(select_items)} FROM {name}")
         )
         updated.createOrReplaceTempView(name)
+
+    def _refuse_view_mutation(self, verb: str, name: str) -> None:
+        """Logical views are not mutation targets: the view-swap
+        lowering every mutation uses would silently REPLACE the view
+        registration with a materialized union/projection, destroying
+        the re-resolving semantics. Mutate the base table instead."""
+        if name in self._views:
+            raise AdtError(
+                f"{verb}: {name!r} is a view — mutate its base table instead"
+            )
+
+    def _create_view(self, name: str, query: str, replace: bool) -> None:
+        """CREATE [OR REPLACE] VIEW — a LOGICAL view: the pattern- and
+        macro-lowered query is stored as Spark temporary-view DDL, so
+        every reference re-resolves against the CURRENT base tables
+        (INSERT/UPDATE/DELETE view swaps show through — verified
+        semantics; a DataFrame-registered view would freeze at
+        creation). The snapshot twin is CREATE MATERIALIZED VIEW."""
+        if name in self._views and not replace:
+            raise AdtError(f"view {name} already exists (use CREATE OR REPLACE)")
+        if name in self._matviews:
+            raise AdtError(f"{name} is a materialized view (DROP it first)")
+        if name in self._tables and name not in self._views:
+            raise AdtError(f"name {name} already names a table")
+        lowered = self._rewrite(query)
+        self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {lowered}")
+        self._views[name] = query.strip()
+        # catalog entry (plain types) so DESCRIBE / SHOW TABLES see it
+        self._tables[name] = TableDef(
+            name,
+            {
+                f.name: f.dataType.simpleString()
+                for f in self.spark.table(name).schema.fields
+            },
+        )
+        return None
+
+    def _drop_view(self, name: str, stmt: str) -> None:
+        if name not in self._views:
+            if "IF EXISTS" in stmt.upper():
+                return None
+            raise AdtError(f"no such view: {name}")
+        self.spark.catalog.dropTempView(name)
+        del self._views[name]
+        self._tables.pop(name, None)
+        return None
 
     def _create_function_stmt(self, stmt: str) -> None:
         """CREATE [OR REPLACE] FUNCTION f(a, b) AS <expr> — a scalar
@@ -728,8 +802,10 @@ class Engine:
             "tables": {
                 n: [[c, ser(t)] for c, t in td.columns.items()]
                 for n, td in self._tables.items()
+                if n not in self._views  # views re-create from their SQL
             },
             "matviews": dict(self._matviews),
+            "views": dict(self._views),
             "functions": {
                 n: [ps, body] for n, (ps, body) in self._functions.items()
             },
@@ -790,6 +866,9 @@ class Engine:
                 self._create_matview(name, query)
         for name, (ps, body) in data.get("functions", {}).items():
             self._functions.setdefault(name, (list(ps), body))
+        for name, query in data.get("views", {}).items():
+            if name not in self._views:
+                self._create_view(name, query, replace=True)
 
     # -- types ---------------------------------------------------------
 

@@ -81,6 +81,8 @@ _MUTATION_RES = (
     dialect._DROP_MATVIEW_RE,
     dialect._CREATE_FUNCTION_RE,
     dialect._DROP_FUNCTION_RE,
+    dialect._CREATE_VIEW_RE,
+    dialect._DROP_VIEW_RE,
 )
 
 

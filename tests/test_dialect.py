@@ -935,3 +935,110 @@ class TestFunctions:
         assert _is_mutation("CREATE FUNCTION f(x) AS x")
         assert _is_mutation("DROP FUNCTION f")
         assert not _is_mutation("SHOW FUNCTIONS")
+
+
+class TestViews:
+    """CREATE VIEW — logical (re-resolving) views, the lazy twin of
+    CREATE MATERIALIZED VIEW."""
+
+    def test_create_query_and_freshness(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE vw_b (k: Integer, v: Integer)")
+        eng.sql("INSERT INTO vw_b VALUES (1, 10), (2, 20)")
+        eng.sql("CREATE VIEW vw_v AS SELECT k, v * 2 AS dbl FROM vw_b")
+        assert {(r.k, r.dbl) for r in eng.sql("SELECT * FROM vw_v").collect()} == {
+            (1, 20),
+            (2, 40),
+        }
+        # a logical view must see subsequent base mutations
+        eng.sql("INSERT INTO vw_b VALUES (3, 30)")
+        assert {(r.k, r.dbl) for r in eng.sql("SELECT * FROM vw_v").collect()} == {
+            (1, 20),
+            (2, 40),
+            (3, 60),
+        }
+        eng.sql("DROP VIEW vw_v")
+        eng.sql("DROP TABLE vw_b")
+
+    def test_view_composes_with_patterns_and_macros(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TYPE VwShape = VwCircle(r: Double) | VwPoint")
+        eng.sql("CREATE TABLE vw_shapes (id: Integer, s: VwShape)")
+        eng.sql("INSERT INTO vw_shapes VALUES (1, VwCircle(3.0)), (2, VwPoint)")
+        eng.sql("CREATE FUNCTION vw_area(r) AS r * r * 3")
+        eng.sql(
+            "CREATE VIEW vw_circles AS "
+            "SELECT id, vw_area(r) AS a FROM vw_shapes WHERE s: VwCircle(r)"
+        )
+        rows = eng.sql("SELECT * FROM vw_circles").collect()
+        assert [(r.id, r.a) for r in rows] == [(1, 27.0)]
+        eng.sql("DROP VIEW vw_circles")
+        eng.sql("DROP TABLE vw_shapes")
+
+    def test_view_mutation_refused(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE vw_m (k: Integer)")
+        eng.sql("INSERT INTO vw_m VALUES (1)")
+        eng.sql("CREATE VIEW vw_mv AS SELECT k FROM vw_m")
+        for stmt in (
+            "INSERT INTO vw_mv VALUES (9)",
+            "DELETE FROM vw_mv",
+            "UPDATE vw_mv SET k = 2",
+            "TRUNCATE vw_mv",
+            "DROP TABLE vw_mv",
+            "ALTER TABLE vw_mv ADD COLUMN x Integer",
+        ):
+            with pytest.raises(AdtError, match="view"):
+                eng.sql(stmt)
+        eng.sql("DROP VIEW vw_mv")
+        eng.sql("DROP TABLE vw_m")
+
+    def test_or_replace_and_duplicate(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE vw_r (k: Integer)")
+        eng.sql("INSERT INTO vw_r VALUES (4)")
+        eng.sql("CREATE VIEW vw_rv AS SELECT k FROM vw_r")
+        with pytest.raises(AdtError, match="already exists"):
+            eng.sql("CREATE VIEW vw_rv AS SELECT k + 1 AS k FROM vw_r")
+        eng.sql("CREATE OR REPLACE VIEW vw_rv AS SELECT k + 1 AS k2 FROM vw_r")
+        assert eng.sql("SELECT * FROM vw_rv").collect()[0].k2 == 5
+        eng.sql("DROP VIEW vw_rv")
+        eng.sql("DROP TABLE vw_r")
+
+    def test_show_create_and_describe(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE vw_s (k: Integer)")
+        eng.sql("CREATE VIEW vw_sv AS SELECT k FROM vw_s")
+        stmt = eng.sql("SHOW CREATE TABLE vw_sv").collect()[0].create_stmt
+        assert stmt == "CREATE VIEW vw_sv AS SELECT k FROM vw_s"
+        desc = {r.column_name for r in eng.sql("DESCRIBE vw_sv").collect()}
+        assert desc == {"k"}
+        eng.sql("DROP VIEW vw_sv")
+        eng.sql("DROP TABLE vw_s")
+
+    def test_views_persist_via_catalog(self, spark, tmp_path):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE vw_p (k: Integer)")
+        eng.sql("INSERT INTO vw_p VALUES (7)")
+        eng.sql("CREATE VIEW vw_pv AS SELECT k * 10 AS big FROM vw_p")
+        path = str(tmp_path / "cat.json")
+        eng.save_catalog(path)
+        eng2 = Engine(spark)
+        eng2.load_catalog(path)
+        # data survives only because the temp view is session-shared;
+        # the point is the VIEW re-declares and still resolves
+        assert eng2.sql("SELECT * FROM vw_pv").collect()[0].big == 70
+        eng2.sql("DROP VIEW vw_pv")
+        eng2.sql("DROP TABLE vw_p")
+
+    def test_drop_view_errors_and_if_exists(self, spark):
+        eng = Engine(spark)
+        with pytest.raises(AdtError, match="no such view"):
+            eng.sql("DROP VIEW vw_nope")
+        eng.sql("DROP VIEW IF EXISTS vw_nope")
+
+    def test_create_drop_view_are_server_mutations(self):
+        from algebraicdb_spark.server import _is_mutation
+
+        assert _is_mutation("CREATE VIEW v AS SELECT 1")
+        assert _is_mutation("DROP VIEW v")
