@@ -1093,3 +1093,87 @@ def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("open_revenue"),
     )
+
+
+@register(
+    "agg_abc_classification",
+    # Pareto/ABC inventory analysis: customers bucketed by cumulative
+    # revenue share. Revenue is an exact decimal sum per customer; the
+    # cumulative window runs on the customer grain in cent-exact
+    # BIGINTs; class cuts compare integer cumulative cents against
+    # integer thresholds of the grand total (cum*100 <= total*80) —
+    # no float touches the classification.
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT o_custkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             SUM(rev_c) OVER () AS total_c
+      FROM per_cust
+    ),
+    classed AS (
+      SELECT o_custkey, rev_c,
+             CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents,
+           floor((CAST(SUM(rev_c) AS DOUBLE)
+                  / (SELECT SUM(rev_c) FROM per_cust)) * 1000000 + 0.5)
+             / 1000000 AS revenue_share
+    FROM classed GROUP BY abc
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by revenue and split at
+    cumulative 80% (A) and 95% (B) of total — the classic
+    concentration report ("which 20% of customers drive 80% of
+    revenue"), per-class counts and shares.
+
+    Scale shape: one custkey hash aggregate collapses orders, then
+    the cumulative window runs over the CUSTOMER grain (never order
+    rows); classification is integer arithmetic. At 100 TB the
+    cumulative cut swaps to quantile-sketch boundaries on the revenue
+    distribution (feature_quantile_bins' documented trade) — the
+    exact tier grounds it.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = (
+        Window.orderBy(F.col("rev_c").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_cust.select(
+        "o_custkey",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).alias("total_c"),
+    )
+    classed = cum.select(
+        "rev_c",
+        F.when(F.col("cum_c") * 100 <= F.col("total_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "total_c",
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_c").cast("long").alias("revenue_cents"),
+        pround(
+            F.sum("rev_c").cast("double") / F.min("total_c"), 6
+        ).alias("revenue_share"),
+    )

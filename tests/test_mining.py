@@ -544,3 +544,27 @@ def test_rle_advisor_invariants(spark, sf_dir):
         assert r["avg_run_len"] >= 1.0
     # low-cardinality flags must compress better than the near-unique key
     assert rows["l_returnflag"]["avg_run_len"] > rows["l_partkey"]["avg_run_len"]
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    from algebraicdb_spark.operators.aggregates import agg_abc_classification
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = {r["abc"]: r for r in agg_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = (
+        load_tables(spark, sf_dir)["orders"].select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    shares = {k: r["revenue_share"] for k, r in rows.items()}
+    assert abs(sum(shares.values()) - 1.0) < 1e-4
+    # A is cut at cumulative 80% of revenue (fixture revenue is
+    # near-uniform, so A is NOT a minority of customers here — the
+    # classic 20/80 shape is a data property, not an operator one)
+    assert shares["A"] <= 0.80 + 0.02
+    assert rows["A"]["n_customers"] < n_cust
+    # the three classes concentrate: per-customer average revenue A > B > C
+    avg = {
+        k: rows[k]["revenue_cents"] / rows[k]["n_customers"] for k in rows
+    }
+    assert avg["A"] > avg["B"] > avg["C"]
