@@ -1,0 +1,220 @@
+"""In-engine model training: logistic regression by batch gradient
+descent with a BIT-EXACT cross-engine oracle.
+
+The claim being demonstrated: a training loop is just an iterated
+aggregate — per-example gradients are map-side expressions, the
+gradient sum is one hash aggregate (the same mergeable-partial shape
+as agg_linear_regression), and the weight update is a 1-row combine.
+On a cluster each epoch is ONE shuffle of 3 BIGINT partials; no
+parameter server, no driver-side math.
+
+Determinism recipe (the pagerank_exact playbook applied to training):
+  - features min-max normalized onto an exact 1e6 integer grid
+    (integer multiply + floor-division of positive ints),
+  - the sigmoid — the only transcendental — is grid-floored to 1e-6
+    per example per epoch, so gradient sums are EXACT BIGINTs,
+  - weight updates use floor(double/..) on magnitudes < 2^53 (IEEE
+    division is correctly rounded, so the floor is engine-identical;
+    integer DIV is avoided because Spark truncates toward zero while
+    DuckDB floors — they disagree on negatives),
+  - the DuckDB oracle replays all 10 epochs as meta-generated
+    unrolled CTEs, so the driver hash-checks every trained weight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.functions.rounding import pround
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+N_EPOCHS = 10
+GRID = 1_000_000  # 1e6 fixed-point scale for features, sigmoid, weights
+# learning rate 1/2: dw = grad / (2n) — a power of two, exact in the
+# floor-double update at any magnitude
+
+_FEATS_SQL = """
+      SELECT CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS x1,
+             CAST(n_chars AS BIGINT) AS x2,
+             CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents
+"""
+
+
+def _logreg_oracle() -> str:
+    """Meta-generate the unrolled 10-epoch training replay."""
+    g = GRID
+    parts = [
+        f"""
+    WITH raw AS ({_FEATS_SQL}),
+    bounds AS (
+      SELECT MIN(x1) AS l1, MAX(x1) AS h1, MIN(x2) AS l2, MAX(x2) AS h2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM raw
+    ),
+    feats AS (
+      SELECT ((x1 - l1) * {g}) // (h1 - l1) AS x1n,
+             ((x2 - l2) * {g}) // (h2 - l2) AS x2n,
+             y, n
+      FROM raw, bounds
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for t in range(1, N_EPOCHS + 1):
+        prev = f"it{t - 1}"
+        parts.append(
+            f""",
+    p{t} AS (
+      SELECT f.x1n, f.x2n, f.y, f.n,
+             CAST(floor({g} / (1 + exp(-(CAST(w.w0
+                 + CAST(floor(CAST(w.w1 * f.x1n AS DOUBLE) / {g}) AS BIGINT)
+                 + CAST(floor(CAST(w.w2 * f.x2n AS DOUBLE) / {g}) AS BIGINT)
+               AS DOUBLE) / {g})))) AS BIGINT) AS ps
+      FROM feats f, {prev} w
+    ),
+    it{t} AS (
+      SELECT w.w0 - CAST(floor(CAST(SUM((p.ps - p.y * {g}) * {g}) AS DOUBLE)
+                          / (2.0 * MIN(p.n) * {g})) AS BIGINT) AS w0,
+             w.w1 - CAST(floor(CAST(SUM((p.ps - p.y * {g}) * p.x1n) AS DOUBLE)
+                          / (2.0 * MIN(p.n) * {g})) AS BIGINT) AS w1,
+             w.w2 - CAST(floor(CAST(SUM((p.ps - p.y * {g}) * p.x2n) AS DOUBLE)
+                          / (2.0 * MIN(p.n) * {g})) AS BIGINT) AS w2
+      FROM p{t} p, {prev} w
+      GROUP BY w.w0, w.w1, w.w2
+    )"""
+        )
+    t = N_EPOCHS
+    parts.append(
+        f""",
+    final_p AS (
+      SELECT f.y, f.n,
+             CAST(floor({g} / (1 + exp(-(CAST(w.w0
+                 + CAST(floor(CAST(w.w1 * f.x1n AS DOUBLE) / {g}) AS BIGINT)
+                 + CAST(floor(CAST(w.w2 * f.x2n AS DOUBLE) / {g}) AS BIGINT)
+               AS DOUBLE) / {g})))) AS BIGINT) AS ps
+      FROM feats f, it{t} w
+    )
+    SELECT MIN(p.n) AS n,
+           floor((CAST(w.w0 AS DOUBLE) / {g}) * 1000000 + 0.5) / 1000000 AS w0,
+           floor((CAST(w.w1 AS DOUBLE) / {g}) * 1000000 + 0.5) / 1000000 AS w1,
+           floor((CAST(w.w2 AS DOUBLE) / {g}) * 1000000 + 0.5) / 1000000 AS w2,
+           CAST(SUM(CASE WHEN (p.ps >= {g // 2}) = (p.y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           floor((CAST(SUM(CASE WHEN (p.ps >= {g // 2}) = (p.y = 1)
+                                THEN 1 ELSE 0 END) AS DOUBLE) / MIN(p.n))
+                 * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM final_p p, it{t} w
+    GROUP BY w.w0, w.w1, w.w2
+    """
+    )
+    return "".join(parts)
+
+
+def _sigmoid_grid(w0, w1, w2):
+    """floor(1e6·sigmoid(z)) with z assembled in exact fixed point."""
+    g = GRID
+    z_s = (
+        w0
+        + F.floor((w1 * F.col("x1n")).cast("double") / g).cast("long")
+        + F.floor((w2 * F.col("x2n")).cast("double") / g).cast("long")
+    )
+    z = z_s.cast("double") / g
+    return F.floor(F.lit(float(g)) / (F.lit(1.0) + F.exp(-z))).cast("long")
+
+
+@register("ml_train_logreg", oracle=_logreg_oracle())
+def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 2-feature logistic regression (predicting the long-doc
+    gate n_chars ≥ 300 from token count + char count) with 10 epochs
+    of batch gradient descent, entirely in-engine, and return the
+    trained weights + training accuracy — all value-hash-checked
+    against a DuckDB replay of every epoch.
+
+    Scale shape: per epoch ONE hash aggregate whose shuffle carries
+    three BIGINT gradient partials (map-side combined), plus a 1-row
+    broadcast of the weights — the minimal synchronous-SGD topology.
+    localCheckpoint truncates lineage per epoch (the pagerank loop's
+    pattern); 10 epochs = 10 short stages, no driver-side math.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    g = GRID
+    raw = docs.select(
+        F.size(F.split(canonical_text(F.col("text")), " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long").alias("y"),
+    )
+    b = raw.agg(
+        F.min("x1").alias("l1"),
+        F.max("x1").alias("h1"),
+        F.min("x2").alias("l2"),
+        F.max("x2").alias("h2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    feats = (
+        raw.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"((x1 - l1) * {g}) DIV (h1 - l1)").alias("x1n"),
+            F.expr(f"((x2 - l2) * {g}) DIV (h2 - l2)").alias("x2n"),
+            "y",
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    weights = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+    )
+    for _ in range(N_EPOCHS):
+        p = feats.crossJoin(F.broadcast(weights)).select(
+            "x1n",
+            "x2n",
+            "y",
+            "n",
+            "w0",
+            "w1",
+            "w2",
+            _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
+        )
+        err = F.col("ps") - F.col("y") * g
+
+        def upd(wcol, xfactor):
+            grad = F.sum(err * xfactor)
+            return (
+                F.min(wcol)
+                - F.floor(grad.cast("double") / (2.0 * F.min("n") * g)).cast("long")
+            )
+
+        weights = p.agg(
+            upd(F.col("w0"), F.lit(g)).alias("w0"),
+            upd(F.col("w1"), F.col("x1n")).alias("w1"),
+            upd(F.col("w2"), F.col("x2n")).alias("w2"),
+        ).localCheckpoint(eager=True)
+    final = feats.crossJoin(F.broadcast(weights)).select(
+        "y",
+        "n",
+        "w0",
+        "w1",
+        "w2",
+        _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
+    )
+    correct = F.sum(
+        F.when((F.col("ps") >= g // 2) == (F.col("y") == 1), 1).otherwise(0)
+    )
+    return final.groupBy("w0", "w1", "w2").agg(
+        F.min("n").alias("n"),
+        correct.cast("long").alias("n_correct"),
+        pround(correct.cast("double") / F.min("n"), 6).alias("accuracy"),
+    ).select(
+        "n",
+        pround(F.col("w0").cast("double") / g, 6).alias("w0"),
+        pround(F.col("w1").cast("double") / g, 6).alias("w1"),
+        pround(F.col("w2").cast("double") / g, 6).alias("w2"),
+        "n_correct",
+        "accuracy",
+    )

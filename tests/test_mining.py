@@ -568,3 +568,20 @@ def test_abc_classes_partition_and_order(spark, sf_dir):
         k: rows[k]["revenue_cents"] / rows[k]["n_customers"] for k in rows
     }
     assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_logreg_learns_and_weights_sane(spark, sf_dir):
+    """Training must beat the majority-class baseline, and the
+    weights must point the right way (longer docs -> higher logit)."""
+    from algebraicdb_spark.operators.ml import ml_train_logreg
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = ml_train_logreg(spark, sf_dir).collect()[0]
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = docs.count()
+    n_pos = docs.where(F.col("n_chars") >= 300).count()
+    base = max(n_pos, n - n_pos) / n
+    assert r["n"] == n
+    assert r["accuracy"] > base, "10 GD epochs must beat majority class"
+    assert r["w2"] > 0, "char-count weight must be positive for the long-doc gate"
+    assert r["n_correct"] == round(r["accuracy"] * n)
