@@ -43,8 +43,10 @@ _FEATS_SQL = """
 """
 
 
-def _logreg_oracle() -> str:
-    """Meta-generate the unrolled 10-epoch training replay."""
+def _logreg_oracle(epilogue: str | None = None) -> str:
+    """Meta-generate the unrolled 10-epoch training replay; the
+    epilogue (a SELECT over final_p + it10) defaults to the trained
+    weights + accuracy readout."""
     g = GRID
     parts = [
         f"""
@@ -97,6 +99,10 @@ def _logreg_oracle() -> str:
                AS DOUBLE) / {g})))) AS BIGINT) AS ps
       FROM feats f, it{t} w
     )
+    """
+    )
+    if epilogue is None:
+        epilogue = f"""
     SELECT MIN(p.n) AS n,
            floor((CAST(w.w0 AS DOUBLE) / {g}) * 1000000 + 0.5) / 1000000 AS w0,
            floor((CAST(w.w1 AS DOUBLE) / {g}) * 1000000 + 0.5) / 1000000 AS w1,
@@ -109,7 +115,7 @@ def _logreg_oracle() -> str:
     FROM final_p p, it{t} w
     GROUP BY w.w0, w.w1, w.w2
     """
-    )
+    parts.append(epilogue)
     return "".join(parts)
 
 
@@ -217,4 +223,107 @@ def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("w2").cast("double") / g, 6).alias("w2"),
         "n_correct",
         "accuracy",
+    )
+
+
+@register(
+    "ml_eval_calibration",
+    # Reliability diagram for the trained model: predictions bucketed
+    # on their exact 1e6 grid (bucket = ps DIV 1e5 -> 10 bins, integer
+    # division of non-negative ints agrees across engines), per-bin
+    # observed rate vs mean predicted probability. Replays the SAME
+    # unrolled training CTEs as ml_train_logreg, then one extra
+    # aggregate — the oracle is the training oracle's epilogue.
+    oracle=_logreg_oracle(
+        epilogue="""
+    SELECT p.ps // 100000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_bin,
+           CAST(SUM(p.y) AS BIGINT) AS n_pos,
+           floor((CAST(SUM(p.y) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+             AS observed_rate
+    FROM final_p p GROUP BY 1
+    """
+    ),
+)
+def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) report for the trained logistic
+    regression: predictions bucketed into 10 probability bins, each
+    with its observed positive rate — the companion readout to
+    accuracy/AUC that says whether the probabilities MEAN anything.
+
+    Scale shape: re-runs the ml_train_logreg loop (same plan), then
+    one 10-group hash aggregate over the final forward pass. The
+    oracle is the training oracle's unrolled CTEs with a different
+    epilogue — trained weights stay hash-locked between both keys.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    g = GRID
+    raw = docs.select(
+        F.size(F.split(canonical_text(F.col("text")), " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long").alias("y"),
+    )
+    b = raw.agg(
+        F.min("x1").alias("l1"),
+        F.max("x1").alias("h1"),
+        F.min("x2").alias("l2"),
+        F.max("x2").alias("h2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    feats = (
+        raw.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"((x1 - l1) * {g}) DIV (h1 - l1)").alias("x1n"),
+            F.expr(f"((x2 - l2) * {g}) DIV (h2 - l2)").alias("x2n"),
+            "y",
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    weights = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+    )
+    for _ in range(N_EPOCHS):
+        p = feats.crossJoin(F.broadcast(weights)).select(
+            "x1n", "x2n", "y", "n", "w0", "w1", "w2",
+            _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
+        )
+        err = F.col("ps") - F.col("y") * g
+        weights = p.agg(
+            (
+                F.min("w0")
+                - F.floor(
+                    F.sum(err * F.lit(g)).cast("double") / (2.0 * F.min("n") * g)
+                ).cast("long")
+            ).alias("w0"),
+            (
+                F.min("w1")
+                - F.floor(
+                    F.sum(err * F.col("x1n")).cast("double") / (2.0 * F.min("n") * g)
+                ).cast("long")
+            ).alias("w1"),
+            (
+                F.min("w2")
+                - F.floor(
+                    F.sum(err * F.col("x2n")).cast("double") / (2.0 * F.min("n") * g)
+                ).cast("long")
+            ).alias("w2"),
+        ).localCheckpoint(eager=True)
+    final = feats.crossJoin(F.broadcast(weights)).select(
+        "y", _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps")
+    )
+    return (
+        final.select(F.expr("ps DIV 100000").alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bin"),
+            F.sum("y").cast("long").alias("n_pos"),
+            pround(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "observed_rate"
+            ),
+        )
     )

@@ -585,3 +585,20 @@ def test_logreg_learns_and_weights_sane(spark, sf_dir):
     assert r["accuracy"] > base, "10 GD epochs must beat majority class"
     assert r["w2"] > 0, "char-count weight must be positive for the long-doc gate"
     assert r["n_correct"] == round(r["accuracy"] * n)
+
+
+def test_calibration_bins_consistent_with_training(spark, sf_dir):
+    from algebraicdb_spark.operators.ml import ml_eval_calibration, ml_train_logreg
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    bins = ml_eval_calibration(spark, sf_dir).collect()
+    assert bins
+    n_total = load_tables(spark, sf_dir)["documents"].count()
+    assert sum(r["n_bin"] for r in bins) == n_total
+    for r in bins:
+        assert 0 <= r["bin"] <= 10
+        assert 0 <= r["n_pos"] <= r["n_bin"]
+        assert r["observed_rate"] == pytest.approx(r["n_pos"] / r["n_bin"], abs=1e-6)
+    # calibration positives must total the training positives
+    train = ml_train_logreg(spark, sf_dir).collect()[0]
+    assert train["n"] == n_total
