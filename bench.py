@@ -57,6 +57,7 @@ EXTRAS = [
     "dedup_minhash_lsh",
     "graph_triangle_count",
     "sim_tfidf_cosine",
+    "ml_train_logreg",
 ]
 
 
