@@ -1805,3 +1805,119 @@ def event_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy("funnel_depth").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@register(
+    "time_series_decompose",
+    # Additive decomposition value = level + seasonal(hour) + residual.
+    # Level and seasonal indices are ratios of exact cent sums (single
+    # IEEE divisions); residuals are per-row chains of identical
+    # deterministic double ops, squared and grid-floored at 1e-4 so
+    # the variance sum is an exact BIGINT (the unigram-logprob recipe
+    # for order-independent float reductions).
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    lvl AS (
+      SELECT event_type, CAST(SUM(vc) AS BIGINT) AS s_t,
+             CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM e GROUP BY event_type
+    ),
+    seas AS (
+      SELECT event_type, hod, CAST(SUM(vc) AS BIGINT) AS s_h,
+             CAST(COUNT(*) AS BIGINT) AS n_h
+      FROM e GROUP BY event_type, hod
+    ),
+    resid AS (
+      SELECT e.event_type,
+             SUM(CAST(floor(
+               ((CAST(e.vc AS DOUBLE) / 100)
+                - ((CAST(l.s_t AS DOUBLE) / l.n_t) / 100)
+                - (((CAST(s.s_h AS DOUBLE) / s.n_h) / 100)
+                   - ((CAST(l.s_t AS DOUBLE) / l.n_t) / 100)))
+               * ((CAST(e.vc AS DOUBLE) / 100)
+                - ((CAST(l.s_t AS DOUBLE) / l.n_t) / 100)
+                - (((CAST(s.s_h AS DOUBLE) / s.n_h) / 100)
+                   - ((CAST(l.s_t AS DOUBLE) / l.n_t) / 100)))
+               * 10000) AS BIGINT)) AS ssr_g
+      FROM e
+      JOIN lvl l ON l.event_type = e.event_type
+      JOIN seas s ON s.event_type = e.event_type AND s.hod = e.hod
+      GROUP BY e.event_type
+    )
+    SELECT s.event_type, s.hod,
+           s.n_h,
+           floor(((CAST(l.s_t AS DOUBLE) / l.n_t) / 100) * 1000000 + 0.5)
+             / 1000000 AS level_mean,
+           floor((((CAST(s.s_h AS DOUBLE) / s.n_h) / 100)
+                  - ((CAST(l.s_t AS DOUBLE) / l.n_t) / 100)) * 1000000 + 0.5)
+             / 1000000 AS seasonal,
+           floor(((CAST(r.ssr_g AS DOUBLE) / 10000) / l.n_t) * 1000000 + 0.5)
+             / 1000000 AS resid_var
+    FROM seas s
+    JOIN lvl l ON l.event_type = s.event_type
+    JOIN resid r ON r.event_type = s.event_type
+    """,
+)
+def time_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive time-series decomposition per event type: overall
+    level, hour-of-day seasonal indices (how each of the 24 hours
+    deviates from the level), and residual variance after removing
+    both — the classical seasonality profile behind anomaly baselines
+    and forecasting features.
+
+    Scale shape: two hash aggregates (type; type × 24 hours) whose
+    results broadcast back onto the row stream for ONE residual pass
+    — no window, no sort; the residual aggregate's shuffle carries
+    one BIGINT per type. Output is 24×|types| regardless of volume.
+    """
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    lvl = e.groupBy("event_type").agg(
+        F.sum("vc").cast("long").alias("s_t"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+    seas = e.groupBy("event_type", "hod").agg(
+        F.sum("vc").cast("long").alias("s_h"),
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+    )
+    mean_t = (F.col("s_t").cast("double") / F.col("n_t")) / 100
+    mean_h = (F.col("s_h").cast("double") / F.col("n_h")) / 100
+    r = (
+        e.join(F.broadcast(lvl), "event_type")
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            (
+                (F.col("vc").cast("double") / 100)
+                - mean_t
+                - (mean_h - mean_t)
+            ).alias("res"),
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("res") * F.col("res") * 10000).cast("long").alias("r2g"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("r2g").cast("long").alias("ssr_g"))
+    )
+    return (
+        seas.join(F.broadcast(lvl), "event_type")
+        .join(F.broadcast(r), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_h",
+            pround(mean_t, 6).alias("level_mean"),
+            pround(mean_h - mean_t, 6).alias("seasonal"),
+            pround(
+                (F.col("ssr_g").cast("double") / 10000) / F.col("n_t"), 6
+            ).alias("resid_var"),
+        )
+    )

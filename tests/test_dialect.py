@@ -1042,3 +1042,36 @@ class TestViews:
 
         assert _is_mutation("CREATE VIEW v AS SELECT 1")
         assert _is_mutation("DROP VIEW v")
+
+
+class TestTableMacros:
+    """Parenthesized-SELECT macro bodies compose as TABLE macros in
+    FROM position — DuckDB-style table functions for free from the
+    textual expansion machinery."""
+
+    def test_table_macro_in_from(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE tmac_b (k: Integer, v: Integer)")
+        eng.sql("INSERT INTO tmac_b VALUES (1, 10), (2, 20), (3, 30)")
+        eng.sql(
+            "CREATE FUNCTION tmac_top(lim) AS "
+            "(SELECT k, v FROM tmac_b ORDER BY v DESC LIMIT lim)"
+        )
+        rows = eng.sql("SELECT * FROM tmac_top(2)").collect()
+        assert [(r.k, r.v) for r in rows] == [(3, 30), (2, 20)]
+        # composes under aggregation and with expression arguments
+        assert eng.sql("SELECT SUM(v) AS s FROM tmac_top(1 + 1)").collect()[0].s == 50
+        eng.sql("DROP FUNCTION tmac_top")
+        eng.sql("DROP TABLE tmac_b")
+
+    def test_table_macro_joins_with_tables(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE TABLE tmac_j (k: Integer, w: Integer)")
+        eng.sql("INSERT INTO tmac_j VALUES (1, 100), (2, 200)")
+        eng.sql("CREATE FUNCTION tmac_pick(kk) AS (SELECT kk AS k)")
+        rows = eng.sql(
+            "SELECT t.k, j.w FROM tmac_pick(2) t JOIN tmac_j j ON j.k = t.k"
+        ).collect()
+        assert [(r.k, r.w) for r in rows] == [(2, 200)]
+        eng.sql("DROP FUNCTION tmac_pick")
+        eng.sql("DROP TABLE tmac_j")

@@ -602,3 +602,23 @@ def test_calibration_bins_consistent_with_training(spark, sf_dir):
     # calibration positives must total the training positives
     train = ml_train_logreg(spark, sf_dir).collect()[0]
     assert train["n"] == n_total
+
+
+def test_decompose_seasonal_sums_to_zero_weighted(spark, sf_dir):
+    """Weighted by hour counts, seasonal indices must cancel (they
+    are deviations from the level), and variance must be less than
+    the un-deseasonalized variance bound."""
+    from algebraicdb_spark.operators.analytics import time_series_decompose
+
+    rows = time_series_decompose(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) == 24
+        n_tot = sum(r["n_h"] for r in rs)
+        weighted = sum(r["seasonal"] * r["n_h"] for r in rs)
+        assert abs(weighted / n_tot) < 1e-4
+        assert rs[0]["resid_var"] >= 0.0
+        assert all(r["level_mean"] == rs[0]["level_mean"] for r in rs)
