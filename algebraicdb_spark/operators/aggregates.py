@@ -1177,3 +1177,99 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").cast("double") / F.min("total_c"), 6
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "agg_hll_intersection",
+    # property oracle (agg_hll_partial_union pattern): intersection
+    # cardinality estimated via inclusion-exclusion over mergeable
+    # sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B). Sketch bytes are
+    # engine-specific; the exact intersection and the bounded-error
+    # boolean are what the driver hashes. The error bound is looser
+    # than the union key's (differencing compounds the envelope:
+    # ~1.6%·(|A|+|B|+|A∪B|) absolute, checked at 10% of |A∪B|).
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'click') AS BIGINT) AS exact_a,
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'purchase') AS BIGINT) AS exact_b,
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type IN ('click', 'purchase')) AS BIGINT) AS exact_union,
+      CAST((SELECT COUNT(DISTINCT e1.user_id)
+            FROM events e1
+            WHERE e1.event_type = 'click'
+              AND EXISTS (SELECT 1 FROM events e2
+                          WHERE e2.user_id = e1.user_id
+                            AND e2.event_type = 'purchase')) AS BIGINT)
+        AS exact_intersection,
+      true AS estimate_ok
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimate the CLICKERS ∩ PURCHASERS audience
+    overlap by inclusion–exclusion over HLL sketches — the segment-
+    overlap question every audience platform answers from persisted
+    per-segment sketches without touching raw rows.
+
+    Scale shape: one pass builds all three sketches (A, B, and A∪B
+    via filtered sketch aggs over the same scan); the arithmetic is
+    three KB-sized sketch estimates. The in-plan check pins the
+    differenced estimate within a compounded HLL error envelope of
+    the exact overlap computed alongside. Caveat the docstring makes
+    loud: inclusion–exclusion error grows with |A∪B|/|A∩B|, so tiny
+    overlaps of huge sets need θ-sketches (true intersection
+    support) instead — this key IS the motivation for them.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    sk = e.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == "click", F.col("user_id")), F.lit(12)
+            )
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == "purchase", F.col("user_id")),
+                F.lit(12),
+            )
+        ).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"), F.col("user_id")
+                ),
+                F.lit(12),
+            )
+        ).alias("est_u"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(
+            buys.distinct().agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
+        )
+        .crossJoin(
+            clicks.unionAll(buys)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        )
+        .crossJoin(
+            clicks.join(buys, "user_id", "left_semi")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        )
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return exact.crossJoin(sk).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(est_inter - F.col("exact_intersection"))
+            <= F.greatest(F.col("exact_union") * 0.1, F.lit(5.0))
+        ).alias("estimate_ok"),
+    )

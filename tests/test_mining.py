@@ -622,3 +622,13 @@ def test_decompose_seasonal_sums_to_zero_weighted(spark, sf_dir):
         assert abs(weighted / n_tot) < 1e-4
         assert rs[0]["resid_var"] >= 0.0
         assert all(r["level_mean"] == rs[0]["level_mean"] for r in rs)
+
+
+def test_hll_intersection_inclusion_exclusion(spark, sf_dir):
+    from algebraicdb_spark.operators.aggregates import agg_hll_intersection
+
+    r = agg_hll_intersection(spark, sf_dir).collect()[0]
+    # inclusion-exclusion identity on the EXACT counts
+    assert r["exact_intersection"] == r["exact_a"] + r["exact_b"] - r["exact_union"]
+    assert r["exact_intersection"] <= min(r["exact_a"], r["exact_b"])
+    assert r["estimate_ok"] is True
