@@ -311,3 +311,62 @@ def stateful_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+TWS_TIMER_OUTPUT_DDL = "user_id bigint, phase string, n_events bigint"
+
+
+class IdleFinalizeProcessor(StatefulProcessor):
+    """Timer-driven session finalization (the TTL/idle-expiry shape):
+    every input batch refreshes a short processing-time timer; when a
+    user goes idle past it, ``handleExpiredTimer`` emits a terminal
+    'final' row and clears their state. The other half of the Spark 4
+    stateful API that UserTotalsProcessor doesn't touch — state that
+    CLEANS ITSELF UP, which is what makes unbounded-keyspace stateful
+    pipelines shippable (abandoned keys cost nothing forever)."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("idle_n", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._state.get()[0] if self._state.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._state.update((n,))
+        # arm an idle timer 1 ms out, so the NEXT micro-batch (test
+        # harness: one file each) fires it; stale timers for a key
+        # whose state was already finalized are no-ops (the expiry
+        # handler checks state existence)
+        self._handle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + 1)
+        (user_id,) = key
+        yield pd.DataFrame(
+            {"user_id": [int(user_id)], "phase": ["live"], "n_events": [int(n)]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            (n,) = self._state.get()
+            self._state.clear()
+            (user_id,) = key
+            yield pd.DataFrame(
+                {"user_id": [int(user_id)], "phase": ["final"], "n_events": [int(n)]}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_idle_finalize_tws(events: DataFrame) -> DataFrame:
+    """Idle-expiry finalization with transformWithStateInPandas
+    processing-time timers."""
+    return (
+        events.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            IdleFinalizeProcessor(),
+            outputStructType=TWS_TIMER_OUTPUT_DDL,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )

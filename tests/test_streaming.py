@@ -274,3 +274,37 @@ def test_rate_source_tumbling_agg_end_to_end(spark):
     # event time advances 1 min per batch from epoch 0 -> hour windows
     assert all(r.window_start_s % 3600 == 0 for r in rows)
     assert {r.event_type for r in rows} == {"click", "view", "purchase"}
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf unavailable in container")
+def test_stream_tws_timers_finalize_idle_state(spark, sf_dir, events_stream):
+    """Spark 4 TWS processing-time timers: idle users get a terminal
+    'final' row and their state is CLEARED (the next event restarts
+    the count) — the self-cleaning-state half of the stateful API."""
+    got = engine.run_to_memory(
+        engine.stateful_idle_finalize_tws(events_stream),
+        "t_tws_timers",
+        output_mode="append",
+    )
+    rows = got.collect()
+    finals = [r for r in rows if r["phase"] == "final"]
+    lives = [r for r in rows if r["phase"] == "live"]
+    assert lives, "live updates must flow"
+    assert finals, "idle timers must fire between micro-batches"
+    live_users = {r["user_id"] for r in lives}
+    for r in finals:
+        assert r["user_id"] in live_users
+        assert r["n_events"] > 0
+    # a finalized count never exceeds the user's true total
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    totals = {
+        r["user_id"]: r["n"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in finals:
+        assert r["n_events"] <= totals[r["user_id"]]
