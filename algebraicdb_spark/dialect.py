@@ -149,10 +149,11 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+# dispatch head only: the parameter list may nest parens (defaults
+# like `rate := base_rate()`), so the parser scans them manually
 _CREATE_FUNCTION_RE = re.compile(
-    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)"
-    r"\s*\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*\(",
+    re.IGNORECASE,
 )
 _DROP_FUNCTION_RE = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
@@ -676,17 +677,41 @@ def parse_create_function(stmt: str) -> tuple[str, list[str], str, bool]:
     if not m:
         raise AdtError(f"not a CREATE FUNCTION statement: {stmt!r}")
     name = m.group("name").lower()
-    raw = m.group("params").strip()
-    params = [p.strip() for p in raw.split(",")] if raw else []
-    for p in params:
-        if not re.fullmatch(r"\w+", p or ""):
-            raise AdtError(f"CREATE FUNCTION {name}: bad parameter {p!r}")
-    if len(set(pl.lower() for pl in params)) != len(params):
+    open_idx = stmt.index("(", m.end() - 1)
+    close_idx = _find_matching_paren(stmt, open_idx)
+    raw = stmt[open_idx + 1 : close_idx].strip()
+    rest = stmt[close_idx + 1 :].strip()
+    mb = re.match(r"(?is)^AS\s+(?P<body>.+?)\s*;?\s*$", rest)
+    if not mb:
+        raise AdtError(f"CREATE FUNCTION {name}: expected AS <body>")
+    params: list[tuple[str, str | None]] = []
+    if raw:
+        for item in _split_top_level(raw, ","):
+            pname, sep, default = item.partition(":=")
+            pname = pname.strip()
+            if not re.fullmatch(r"\w+", pname or ""):
+                raise AdtError(f"CREATE FUNCTION {name}: bad parameter {item!r}")
+            if sep and not default.strip():
+                raise AdtError(
+                    f"CREATE FUNCTION {name}: empty default for {pname!r}"
+                )
+            params.append((pname.lower(), default.strip() if sep else None))
+    if len(set(pn for pn, _ in params)) != len(params):
         raise AdtError(f"CREATE FUNCTION {name}: duplicate parameter names")
-    body = m.group("body").strip()
+    # defaults only at the tail (call sites bind positionally)
+    seen_default = False
+    for pn, d in params:
+        if d is not None:
+            seen_default = True
+        elif seen_default:
+            raise AdtError(
+                f"CREATE FUNCTION {name}: required parameter {pn!r} after "
+                "a defaulted one"
+            )
+    body = mb.group("body").strip()
     if not body:
         raise AdtError(f"CREATE FUNCTION {name}: empty body")
-    return name, [p.lower() for p in params], body, bool(m.group("replace"))
+    return name, params, body, bool(m.group("replace"))
 
 
 _MACRO_DEPTH_CAP = 10
@@ -722,13 +747,26 @@ def expand_macros(sql: str, macros: Mapping[str, tuple[list[str], str]]) -> str:
                     if inner.strip()
                     else []
                 )
-                if len(args) != len(params):
+                # normalize: params may be plain names or (name, default)
+                spec = [
+                    p if isinstance(p, tuple) else (p, None) for p in params
+                ]
+                n_required = sum(1 for _, d in spec if d is None)
+                if not (n_required <= len(args) <= len(spec)):
+                    want = (
+                        str(len(spec))
+                        if n_required == len(spec)
+                        else f"{n_required}..{len(spec)}"
+                    )
                     raise AdtError(
-                        f"macro {name} expects {len(params)} argument(s), "
+                        f"macro {name} expects {want} argument(s), "
                         f"got {len(args)}"
                     )
+                full_args = list(args) + [
+                    d for _, d in spec[len(args) :]
+                ]
                 expanded = body
-                for p, a in zip(params, args):
+                for (p, _), a in zip(spec, full_args):
                     expanded = re.sub(
                         rf"\b{re.escape(p)}\b", f"({a})", expanded, flags=re.IGNORECASE
                     )

@@ -754,9 +754,14 @@ class Engine:
         return None
 
     def _show_functions_stmt(self) -> DataFrame:
+        def fmt(ps):
+            return ", ".join(
+                pn if d is None else f"{pn} := {d}"
+                for pn, d in (p if isinstance(p, tuple) else (p, None) for p in ps)
+            )
+
         rows = [
-            (n, ", ".join(ps), body)
-            for n, (ps, body) in sorted(self._functions.items())
+            (n, fmt(ps), body) for n, (ps, body) in sorted(self._functions.items())
         ]
         return self.spark.createDataFrame(
             rows or [], "function string, parameters string, body string"
@@ -865,7 +870,8 @@ class Engine:
             if name not in self._matviews:
                 self._create_matview(name, query)
         for name, (ps, body) in data.get("functions", {}).items():
-            self._functions.setdefault(name, (list(ps), body))
+            norm = [tuple(p) if isinstance(p, list) else (p, None) for p in ps]
+            self._functions.setdefault(name, (norm, body))
         for name, query in data.get("views", {}).items():
             if name not in self._views:
                 self._create_view(name, query, replace=True)

@@ -820,3 +820,50 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_customers"),
         F.countDistinct("s_suppkey").alias("n_suppliers"),
     )
+
+
+@register(
+    "join_lateral",
+    # LATERAL (correlated subquery in FROM) with per-row ORDER BY +
+    # LIMIT under a TOTAL order — the "top-N per outer row" join both
+    # engines ship natively. Spark decorrelates this to a ranked
+    # window under the hood; declaring it LATERAL keeps the intent.
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice AS price
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey
+      LIMIT 2
+    ) t
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join: each sampled order pulls its own top-2 priciest
+    lines through a correlated subquery in FROM — the join-family
+    member that parameterizes the inner relation by the outer row
+    (the SQL-standard form of "top-N per key").
+
+    Scale shape: Catalyst decorrelates the lateral subquery into a
+    join + per-key rank — the same physical plan win_row_number_topn
+    declares directly, so there is no hidden per-row re-scan; the
+    lineitem side shuffles once on orderkey. The LIMIT's ORDER BY is
+    a total order (price, line, part, supp) so the kept rows are
+    engine-identical.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice AS price
+        FROM orders o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey
+          LIMIT 2
+        ) t
+        WHERE o.o_orderkey % 100 = 0
+        """
+    )

@@ -1075,3 +1075,44 @@ class TestTableMacros:
         assert [(r.k, r.w) for r in rows] == [(2, 200)]
         eng.sql("DROP FUNCTION tmac_pick")
         eng.sql("DROP TABLE tmac_j")
+
+
+class TestMacroDefaults:
+    """Default parameter values (`p := expr`, DuckDB-style)."""
+
+    def test_defaults_fill_missing_tail_args(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION md_scaled(x, factor := 10) AS x * factor")
+        r = eng.sql("SELECT md_scaled(3) AS a, md_scaled(3, 2) AS b").collect()[0]
+        assert (r.a, r.b) == (30, 6)
+        shown = {f.function: f.parameters for f in eng.sql("SHOW FUNCTIONS").collect()}
+        assert shown["md_scaled"] == "x, factor := 10"
+
+    def test_default_may_call_another_macro(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION md_base() AS 100")
+        eng.sql("CREATE FUNCTION md_taxed(p, rate := md_base()) AS p + rate")
+        assert eng.sql("SELECT md_taxed(1) AS t").collect()[0].t == 101
+        assert eng.sql("SELECT md_taxed(1, 5) AS t").collect()[0].t == 6
+
+    def test_arity_range_enforced(self, spark):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION md_two(x, y := 1) AS x + y")
+        with pytest.raises(AdtError, match="1..2"):
+            eng.sql("SELECT md_two() AS v")
+        with pytest.raises(AdtError, match="1..2"):
+            eng.sql("SELECT md_two(1, 2, 3) AS v")
+
+    def test_required_after_default_rejected(self, spark):
+        eng = Engine(spark)
+        with pytest.raises(AdtError, match="after"):
+            eng.sql("CREATE FUNCTION md_bad(x := 1, y) AS x + y")
+
+    def test_defaults_persist_via_catalog(self, spark, tmp_path):
+        eng = Engine(spark)
+        eng.sql("CREATE FUNCTION md_keep(x, k := 7) AS x * k")
+        path = str(tmp_path / "cat.json")
+        eng.save_catalog(path)
+        eng2 = Engine(spark)
+        eng2.load_catalog(path)
+        assert eng2.sql("SELECT md_keep(2) AS v").collect()[0].v == 14
