@@ -553,3 +553,59 @@ def storage_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         pround(F.col("n_rows").cast("double") / F.col("n_runs")).alias("avg_run_len"),
     )
+
+
+@register(
+    "source_csv_malformed",
+    # Tolerant-reader contract: every o_orderkey % 10 = 0 row is
+    # WRITTEN corrupted (non-numeric cents column), Spark reads with
+    # mode=DROPMALFORMED, and the oracle states the surviving set —
+    # exactly the rows whose key isn't % 10 (verified equivalent to
+    # DuckDB's read_csv ignore_errors on the same bytes: both drop
+    # bad-type and bad-arity rows whole).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input CSV ingestion: a file where 10% of rows are
+    deliberately corrupted (unparseable numeric field), read with the
+    tolerant DROPMALFORMED mode — the dirty-data path every real
+    ingest hits. The surviving-row checksums ARE the result, so the
+    reader's drop semantics are hash-pinned (PERMISSIVE-with-
+    _corrupt_record is the row-preserving alternative; DROPMALFORMED
+    is the one whose semantics DuckDB's ignore_errors mirrors).
+
+    Scale shape: write and read are both distributed (one file per
+    partition, line-grain corruption is a map-side expression);
+    malformed-row handling is per-row in the reader — no skew, no
+    shuffle beyond the final checksum aggregate.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = _scratch("orders_malformed_csv", sf_dir)
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("o_orderkey bigint, cents bigint")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

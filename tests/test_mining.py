@@ -632,3 +632,15 @@ def test_hll_intersection_inclusion_exclusion(spark, sf_dir):
     assert r["exact_intersection"] == r["exact_a"] + r["exact_b"] - r["exact_union"]
     assert r["exact_intersection"] <= min(r["exact_a"], r["exact_b"])
     assert r["estimate_ok"] is True
+
+
+def test_malformed_csv_drops_exactly_the_corrupted_tenth(spark, sf_dir):
+    from algebraicdb_spark.operators.scans import source_csv_malformed
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = source_csv_malformed(spark, sf_dir).collect()[0]
+    o = load_tables(spark, sf_dir)["orders"]
+    n_total = o.count()
+    n_corrupt = o.where(F.col("o_orderkey") % 10 == 0).count()
+    assert r["n_good"] == n_total - n_corrupt
+    assert n_corrupt > 0, "fixture must actually exercise the tolerant path"

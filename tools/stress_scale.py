@@ -96,6 +96,27 @@ KEYS = [
     "win_percent_cume",
     "win_nth_value",
     "udtf_apply_in_arrow",
+    # round-5 second wave
+    "join_null_safe",
+    "agg_string_agg",
+    "agg_conditional_family",
+    "event_rfm_scores",
+    "event_cooccurrence_pmi",
+    "event_active_streaks",
+    "text_keyword_topk",
+    "time_lttb_downsample",
+    "graph_jaccard_neighbors",
+    "event_abtest_lift",
+    "ml_eval_auc",
+    "json_variant_extract",
+    "corpus_zipf_fit",
+    "event_window_funnel",
+    "storage_rle_advisor",
+    "agg_abc_classification",
+    "ml_train_logreg",
+    "time_series_decompose",
+    "agg_hll_intersection",
+    "join_lateral",
 ]
 
 
