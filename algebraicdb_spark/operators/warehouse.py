@@ -1,0 +1,271 @@
+"""Warehouse maintenance operators: SCD type-2 builds, CDC log
+application, and deterministic sampling.
+
+These are the table-maintenance patterns every lakehouse pipeline
+runs between ingestion and analytics (reference surface: the
+reconstructed engine exposed INSERT/UPDATE-style mutation only;
+SURVEY §2.12 extends it with the declarative batch equivalents a
+Spark shop actually ships — cf. Delta/Iceberg MERGE-based SCD2 and
+CDF apply):
+
+  - ``scd2_history``: collapse a change-event stream into type-2
+    dimension rows (valid_from / valid_to / version / is_current) —
+    the gaps-and-islands formulation: one window pass, one shuffle
+    on the dimension key.
+  - ``cdc_apply_log``: fold an ordered changelog (upsert / update /
+    delete ops) into final table state with last-writer-wins
+    semantics — one window pass, rn = 1, no iteration.
+  - ``sample_reservoir``: uniform k-sample WITHOUT replacement as a
+    total order over a cryptographic row hash. Distributed shape is
+    Spark's TakeOrderedAndProject: per-partition top-k partials
+    merged on the driver — the same communication pattern as a
+    distributed reservoir, but deterministic and engine-portable.
+
+Scale notes:
+  - Both SCD2 and CDC are single-window-pass plans partitioned by
+    the natural key; at 100 TB the shuffle is one exchange on
+    user_id and every user's history fits a partition (skew on a
+    power-law user would be handled by AQE skew split — the window
+    itself is per-key sequential by semantics).
+  - The hash sample never materializes more than k rows per
+    partition (TakeOrderedAndProject keeps a bounded heap), so
+    k = 200 costs O(k) memory per partition regardless of input
+    size — this IS the reservoir algorithm, expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from algebraicdb_spark.functions.rounding import pround, pround_sql
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+@register(
+    "scd2_history",
+    # The events stream is read as a change feed of each user's
+    # "segment" attribute (event_type). Consecutive duplicates
+    # collapse; each retained change opens a version interval.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS segment,
+             epoch_us(ts) AS ts_us,
+             lag(event_type) OVER w AS prev_segment
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), changes AS (
+      SELECT user_id, segment, ts_us
+      FROM ordered
+      WHERE prev_segment IS NULL OR segment <> prev_segment
+    )
+    SELECT user_id, segment,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           CAST(CASE WHEN lead(ts_us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream.
+
+    Gaps-and-islands: a lag() change detector keeps only rows where
+    the tracked attribute actually changed, then lead() closes each
+    version's validity interval. is_current marks the open row.
+
+    Scale shape: both windows partition on user_id, so Catalyst
+    plans ONE exchange (hash on user_id) feeding two sorts; the
+    second window reuses the first's partitioning. Per-key history
+    is processed sequentially inside a partition — the only shape
+    SCD2 semantics permit — and the change filter runs BEFORE the
+    second window, so version numbering sees only the collapsed
+    rows, not the raw feed.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w_raw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(w_raw).alias("prev_segment"),
+        )
+        .where(
+            F.col("prev_segment").isNull()
+            | (F.col("segment") != F.col("prev_segment"))
+        )
+        .drop("prev_segment")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        "segment",
+        F.row_number().over(w_ver).cast("bigint").alias("version"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w_ver).alias("valid_to_us"),
+        F.when(F.lead("ts_us").over(w_ver).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "cdc_apply_log",
+    # op mapping over the fixture stream: signup => upsert (I),
+    # error => delete (D), anything else => update (U). KV
+    # last-writer-wins: an update after a delete re-inserts (upsert
+    # semantics, as Delta CDF / Kafka compacted topics behave).
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error'  THEN 'D'
+                             ELSE 'U' END AS op,
+             value, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) DESC, event_id DESC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+             CAST(SUM(CASE event_type WHEN 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+      FROM events
+    )
+    SELECT user_id, op AS last_op,
+           {pround_sql("value")} AS final_value,
+           ts_us AS last_ts_us, n_ops, n_deletes
+    FROM log
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold an ordered CDC changelog into final table state.
+
+    Last-writer-wins per key: the newest op decides liveness (a
+    trailing delete kills the key; any other trailing op leaves it
+    alive with that op's value). Equivalent to replaying the log
+    sequentially, computed in one declarative pass — the standard
+    "compact a changelog" shape (Kafka log compaction, Delta CDF
+    MERGE).
+
+    Scale shape: one exchange on user_id serves BOTH the rn window
+    and the per-key op counters (same partition spec, zero extra
+    shuffle), then a map-side rn = 1 filter. No driver loop, no
+    iteration: folding n ops per key is O(n) inside the partition.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    log = e.select(
+        "user_id",
+        op.alias("op"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.row_number().over(w_desc).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_ops"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_all)
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return log.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        pround("value").alias("final_value"),
+        F.col("ts_us").alias("last_ts_us"),
+        "n_ops",
+        "n_deletes",
+    )
+
+
+SAMPLE_K = 200
+
+# (l_orderkey, l_linenumber) is NOT unique in the fixture (11.7k dup
+# pairs at sf0.01) — hashing a non-unique key would tie at the LIMIT
+# boundary and let each engine cut ties arbitrarily. Full rows ARE
+# unique, so the rank hash covers every column, with doubles lifted
+# onto exact integer grids (cents / percent) so the hash input string
+# never depends on either engine's float-to-string formatting.
+_ROW_KEY_SQL = """md5(
+      CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+      || '-' || CAST(l_suppkey AS VARCHAR)
+      || '-' || CAST(l_linenumber AS VARCHAR)
+      || '-' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+      || '-' || CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR)
+      || '-' || CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR)
+      || '-' || CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR)
+      || '-' || l_returnflag || '-' || l_linestatus
+      || '-' || strftime(l_shipdate, '%Y-%m-%d'))"""
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {pround_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           {_ROW_KEY_SQL} AS rank_hash
+    FROM lineitem
+    ORDER BY rank_hash
+    LIMIT {SAMPLE_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample without replacement, deterministic across
+    engines: rank every row by md5(primary key) and keep the k
+    smallest. A cryptographic hash of a unique key is uniform on
+    [0, 2^128), so this is exact uniform sampling — reproducible on
+    any engine, any partitioning, any run.
+
+    Scale shape: Spark compiles orderBy().limit(k) to
+    TakeOrderedAndProject — each partition keeps a k-row bounded
+    heap, the driver merges P heaps. That is O(k) memory per
+    partition and O(P·k) at the driver regardless of table size:
+    the distributed-reservoir communication pattern, without RNG
+    state. The hash is computed map-side; no full sort, no shuffle
+    of the table.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ranked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.md5(row_hash_input(li)).alias("rank_hash"),
+    )
+    return ranked.orderBy("rank_hash").limit(SAMPLE_K)
+
+
+def row_hash_input(li: DataFrame):
+    """The full-row key string (Spark twin of _ROW_KEY_SQL): every
+    column, doubles on exact integer grids so no float formatting
+    ever reaches the hash."""
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("bigint").cast("string")  # noqa: E731
+    return F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.mixing",
     "algebraicdb_spark.operators.analytics",
     "algebraicdb_spark.operators.graph",
+    "algebraicdb_spark.operators.warehouse",
     "algebraicdb_spark.operators.ml",
     "algebraicdb_spark.operators.tpch",
 )

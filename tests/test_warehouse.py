@@ -1,0 +1,99 @@
+"""Semantic invariants for the warehouse-maintenance operators
+(SCD2 build, CDC apply, deterministic reservoir sample). Value
+correctness is oracle-gated (tools/verify_local.py); these pin the
+interval algebra and sampling properties a value hash can't see."""
+
+from pyspark.sql import functions as F
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    """Per user: versions are 1..n dense, intervals are adjacent
+    (valid_to == next valid_from), non-overlapping, exactly one
+    current row, and consecutive segments actually differ."""
+    from algebraicdb_spark.operators.warehouse import scd2_history
+
+    rows = scd2_history(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for hist in by_user.values():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r["is_current"] for r in hist) == 1
+        assert hist[-1]["is_current"] == 1 and hist[-1]["valid_to_us"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # adjacency
+            assert a["valid_from_us"] < a["valid_to_us"]  # positive span
+            assert a["segment"] != b["segment"]  # real change
+
+
+def test_scd2_collapses_duplicate_runs(spark, sf_dir):
+    """Version count per user == number of value changes + 1, never
+    the raw event count (consecutive duplicates must collapse)."""
+    from algebraicdb_spark.operators.warehouse import scd2_history
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = e.groupBy("user_id").count().collect()
+    raw_counts = {r["user_id"]: r["count"] for r in raw}
+    hist = (
+        scd2_history(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("version").alias("n"))
+        .collect()
+    )
+    assert any(r["n"] < raw_counts[r["user_id"]] for r in hist), (
+        "no user collapsed any run — change detector suspicious"
+    )
+    for r in hist:
+        assert r["n"] <= raw_counts[r["user_id"]]
+
+
+def test_cdc_final_state_matches_sequential_replay(spark, sf_dir):
+    """Replay the changelog row-by-row on the driver (small fixture)
+    and compare final liveness + value with the declarative fold."""
+    from algebraicdb_spark.operators.warehouse import cdc_apply_log
+
+    small = sf_dir.replace("0.01", "0.001")
+    e = (
+        spark.read.parquet(f"{small}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    state = {}
+    for r in e:
+        op = {"signup": "I", "error": "D"}.get(r["event_type"], "U")
+        if op == "D":
+            state.pop(r["user_id"], None)
+        else:
+            state[r["user_id"]] = r["value"]
+    got = {r["user_id"]: r for r in cdc_apply_log(spark, small).collect()}
+    assert set(got) == set(state)
+    for uid, val in state.items():
+        assert abs(got[uid]["final_value"] - val) < 1e-3
+
+
+def test_reservoir_sample_is_uniform_and_stable(spark, sf_dir):
+    from algebraicdb_spark.operators.warehouse import (
+        SAMPLE_K,
+        sample_reservoir,
+    )
+
+    a = sample_reservoir(spark, sf_dir).collect()
+    b = sample_reservoir(spark, sf_dir).collect()
+    assert len(a) == SAMPLE_K
+    # deterministic: identical sample (and order) across runs
+    assert [r["rank_hash"] for r in a] == [r["rank_hash"] for r in b]
+    # without replacement: the full-row rank hash is tie-free — a tie
+    # at the LIMIT boundary would make the cut engine-arbitrary
+    hashes = {r["rank_hash"] for r in a}
+    assert len(hashes) == SAMPLE_K
+    # the sample is the GLOBAL hash top-k, not a per-partition artifact:
+    # exactly k rows of the whole table hash <= the kth sampled hash
+    from algebraicdb_spark.operators.warehouse import row_hash_input
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    all_hash = li.select(F.md5(row_hash_input(li)).alias("h"))
+    kth = sorted(r["rank_hash"] for r in a)[-1]
+    n_below = all_hash.where(F.col("h") <= kth).count()
+    assert n_below == SAMPLE_K
