@@ -1921,3 +1921,166 @@ def time_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid_var"),
         )
     )
+
+
+@register(
+    "event_conversion_latency",
+    # latencies are EXACT integer microseconds; quantile_cont ==
+    # Spark percentile (same linear interpolation over exact ints),
+    # and the mean is a single IEEE division of exact integers.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ), lat AS (
+      SELECT user_id, t_purchase - t_signup AS latency_us
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           MIN(latency_us) AS min_us,
+           CAST(floor(CAST(quantile_cont(latency_us, 0.5) AS DOUBLE) + 0.5)
+                AS BIGINT) AS p50_us,
+           CAST(floor(CAST(quantile_cont(latency_us, 0.9) AS DOUBLE) + 0.5)
+                AS BIGINT) AS p90_us,
+           MAX(latency_us) AS max_us,
+           floor(CAST(CAST(SUM(latency_us) AS DOUBLE) / COUNT(*)
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_us
+    FROM lat
+    """,
+)
+def event_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel metric: per user, latency from FIRST
+    signup to FIRST subsequent purchase; overall count + min/p50/
+    p90/max/mean of the latency distribution.
+
+    Scale shape: the per-user firsts are two conditional MINs in ONE
+    hash aggregate keyed on user_id (mergeable partials — the same
+    state shape as event_window_funnel, 2 BIGINTs per user), then a
+    single global aggregate over one row per converted user. Exact
+    integer microseconds end-to-end; the only doubles are the final
+    interpolated quantiles and one mean division.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "t_purchase"
+        ),
+    )
+    lat = firsts.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select((F.col("t_purchase") - F.col("t_signup")).alias("latency_us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("latency_us").alias("min_us"),
+        F.floor(F.percentile("latency_us", F.lit(0.5)) + 0.5).alias("p50_us"),
+        F.floor(F.percentile("latency_us", F.lit(0.9)) + 0.5).alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+        pround(
+            F.sum("latency_us").cast("double") / F.count(F.lit(1))
+        ).alias("mean_us"),
+    )
+
+
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+_CREDIT_GRID = 10**6
+
+
+@register(
+    "attribution_linear",
+    # each credit term value/n is grid-floored to 1e-6 BEFORE the sum
+    # so the aggregate adds exact integers — summation order (and the
+    # engines' double accumulators) can never drift the total.
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pe_id, user_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.pe_id, p.value, t.touch_type,
+             COUNT(t.touch_type) OVER (PARTITION BY p.pe_id) AS n_touch
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_us >= p.p_us - {ATTR_WINDOW_US} AND t.t_us < p.p_us
+    )
+    SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(COUNT(DISTINCT pe_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(floor(value / GREATEST(n_touch, 1)
+                                * {_CREDIT_GRID}) AS BIGINT)) AS DOUBLE)
+             / {_CREDIT_GRID} AS credited_value
+    FROM j
+    GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every purchase
+    splits its value equally across the user's click/view touches in
+    the 7 days before it; purchases with no prior touch keep full
+    credit under '(none)'.
+
+    Completes the attribution family next to attribution_first_last:
+    fractional credit is the case where float summation order would
+    normally bite, so each value/n term is floored onto the 1e-6
+    grid and summed as exact integers.
+
+    Scale shape: the touch lookup is an equi-join on user_id with a
+    band predicate — one shuffle on user_id, per-user nested loop
+    bounded by that user's event count (AQE skew-splittable). The
+    per-purchase touch count reuses a pe_id window; final rollup is
+    a 3-group aggregate. At 100 TB the 7-day band would additionally
+    bucket by day to prune the join (join_interval_bucketed's
+    pattern); the per-user band join is the correct exact tier.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        "value",
+    )
+    t = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        us.alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US)
+        & (F.col("t_us") < F.col("p_us")),
+        "left",
+    ).select(
+        "pe_id",
+        "value",
+        "touch_type",
+        F.count("touch_type")
+        .over(Window.partitionBy("pe_id"))
+        .alias("n_touch"),
+    )
+    credit_grid = F.floor(
+        F.col("value") / F.greatest(F.col("n_touch"), F.lit(1)) * _CREDIT_GRID
+    ).cast("long")
+    return (
+        j.groupBy(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.countDistinct("pe_id").cast("bigint").alias("n_purchases"),
+            (F.sum(credit_grid).cast("double") / _CREDIT_GRID).alias(
+                "credited_value"
+            ),
+        )
+    )

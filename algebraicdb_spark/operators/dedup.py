@@ -925,3 +925,83 @@ def dedup_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lev",
         (F.lit(1.0) - F.col("lev").cast("double") / F.col("max_len")).alias("sim"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    # keep-policy dedup: groups are docs with the IDENTICAL distinct
+    # token set (order/multiplicity-insensitive — a coarser equality
+    # than dedup_exact's canonical text, so fixture groups are real);
+    # within a group the survivor is the best doc, not the first.
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ctext
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(ctext, ' '))), ' '))
+               AS set_fp
+      FROM canon
+    ), ranked AS (
+      SELECT set_fp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY set_fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY set_fp) AS grp_n
+      FROM keyed
+    )
+    SELECT set_fp, CAST(grp_n AS BIGINT) AS grp_n,
+           doc_id AS kept_id, n_chars AS kept_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a QUALITY keep-policy: group documents by their
+    distinct-token-set fingerprint and keep the longest doc per
+    group (ties break to the smallest doc_id).
+
+    dedup_exact keeps MIN(doc_id) — fine when duplicates are
+    byte-identical. Real corpus dedup keeps the best representative
+    (longest, highest quality score, newest crawl), which needs a
+    total order inside the group, not an aggregate: row_number over
+    (quality DESC, id) rather than MIN.
+
+    Scale shape: fingerprint is map-side (split/distinct/sort/md5
+    all codegen'd), then ONE exchange on set_fp shared by the rank
+    window and the group-size window (same partition spec). The
+    survivor filter is map-side rn = 1. Same single-shuffle cost as
+    dedup_exact — keep-policy sophistication is free.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(F.split(canonical_text("text"), " "))
+                ),
+            )
+        ).alias("set_fp"),
+    )
+    w_rank = Window.partitionBy("set_fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_grp = Window.partitionBy("set_fp")
+    ranked = keyed.select(
+        "set_fp",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_grp).cast("bigint").alias("grp_n"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "set_fp",
+        "grp_n",
+        F.col("doc_id").alias("kept_id"),
+        F.col("n_chars").alias("kept_chars"),
+    )

@@ -367,3 +367,66 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("jac_grid").cast("double") / 1_000_000).alias("jaccard"),
         )
     )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=_LI_SQL
+    + """,
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(d) AS min_deg, MAX(d) AS max_deg,
+           CAST(SUM(d) AS BIGINT) AS sum_deg
+    FROM deg
+    GROUP BY 1
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in power-of-two
+    buckets (bucket = bit-length of the degree, i.e. floor(log2 d)+1
+    computed in EXACT integer arithmetic via length(bin(d)) — no
+    transcendental log whose ulps could differ between engines).
+
+    The first diagnostic a graph pipeline runs before committing to
+    a join strategy: a heavy tail here is what forces the salting /
+    degree-ordered orientation the triangle and pagerank keys use.
+
+    Scale shape: edge build (one self-join bounded by basket size),
+    one degree aggregate, one ~32-group bucket aggregate — the last
+    two collapse map-side; nothing is shuffled at node cardinality
+    except the degree agg itself.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.length(F.bin("d")).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+            F.sum("d").cast("bigint").alias("sum_deg"),
+        )
+    )

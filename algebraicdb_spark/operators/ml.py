@@ -327,3 +327,67 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+FH_DIM = 32  # hashed feature dimension
+
+
+@register(
+    "ml_feature_hashing",
+    # signed hashing trick (Weinberger et al., ICML'09): bucket =
+    # md5(token) % D from the first 8 hex chars, sign = parity of the
+    # 9th hex char. Both engines read the identical hex substrings, so
+    # features are bit-identical with zero vocabulary state.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {FH_DIM}
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2
+                       = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE tok <> ''
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS val,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM hashed
+    GROUP BY doc_id, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text featurization: each token maps to one of
+    FH_DIM buckets by md5, contributing +1/-1 by a second hash bit
+    (the sign trick keeps collision noise zero-mean, so E[<phi(a),
+    phi(b)>] equals the true kernel). The layer every large-scale
+    linear/recsys model uses to featurize unbounded vocabularies with
+    ZERO vocabulary state — no dictionary build, no OOV path, and a
+    new shard never reshuffles existing features.
+
+    Scale shape: pure map-side expression per token (md5 + substring
+    + modulo, all codegen'd JVM built-ins) followed by ONE partial+
+    final hash aggregate on (doc_id, bucket). No vocabulary
+    broadcast, no second pass — contrast text_tfidf, which needs the
+    corpus-wide document-frequency join. Output stays sparse long
+    format; densifying to array<float> is a single groupBy collect
+    the consumer does at model-ingest time.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % FH_DIM
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("val"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
