@@ -405,3 +405,51 @@ def test_tfidf_dots_shuffle_partials_not_vectors(spark, sf_dir, qs):
     plan = plan_of(qs["sim_tfidf_cosine"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir, qs):
+    """Both SCD2 windows (change detector, version numbering) must
+    share ONE user_id exchange — per-key history is sequential, but
+    the partitioning is established once."""
+    import re
+
+    plan = plan_of(qs["scd2_history"](spark, sf_dir))
+    real = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "SinglePartition" not in l
+    ]
+    assert len(real) == 1, "expected exactly 1 exchange:\n" + "\n".join(real)
+
+
+def test_cdc_apply_single_exchange_no_join(spark, sf_dir, qs):
+    """Last-writer-wins fold: one user_id exchange serving the rn
+    window and both per-key counters; no self-join materializes."""
+    import re
+
+    plan = plan_of(qs["cdc_apply_log"](spark, sf_dir))
+    assert "Join" not in plan
+    real = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "SinglePartition" not in l
+    ]
+    assert len(real) == 1, "expected exactly 1 exchange:\n" + "\n".join(real)
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir, qs):
+    """The hash sample must compile to TakeOrderedAndProject (bounded
+    per-partition heap — the reservoir pattern), never a global Sort."""
+    plan = plan_of(qs["sample_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_feature_hashing_single_aggregate_no_shuffle_of_tokens(
+    spark, sf_dir, qs
+):
+    """Hashing trick = map-side expression + ONE (doc,bucket) hash
+    aggregate; no join, no window, no vocabulary broadcast."""
+    plan = plan_of(qs["ml_feature_hashing"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan  # all codegen'd built-ins
