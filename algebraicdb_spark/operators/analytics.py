@@ -2084,3 +2084,261 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KM_GRID = 10**6  # per-term ln grid (see text_unigram_logprob)
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "event_survival_km",
+    # Kaplan-Meier over exact integer day durations. The survival
+    # product is computed as exp(sum(ln terms)) with each ln term
+    # grid-floored to 1e-6 and summed as exact BIGINTs, so the
+    # cumulative log-survival (log_s_grid) is hash-exact on both
+    # engines; s_km is its exp, pround'd for display.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), subjects AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' AND t_us >= t0
+                      THEN t_us END) AS t_evt,
+             MAX(t_us) AS t_last, MIN(t0) AS t0
+      FROM ev WHERE t0 IS NOT NULL
+      GROUP BY user_id
+    ), durs AS (
+      SELECT CASE WHEN t_evt IS NOT NULL THEN (t_evt - t0) // {_DAY_US}
+                  ELSE (t_last - t0) // {_DAY_US} END AS t_days,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM subjects
+    ), grid AS (
+      SELECT t_days,
+             CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(SUM(1 - observed) AS BIGINT) AS c
+      FROM durs GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d, c,
+             (SELECT COUNT(*) FROM durs)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grid
+    ), terms AS (
+      SELECT t_days, d, c, n_risk,
+             CASE WHEN d < n_risk
+                  THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                  * {_KM_GRID}) AS BIGINT)
+                  ELSE NULL END AS term_grid
+      FROM risk
+    )
+    SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           c AS n_censored,
+           CAST(SUM(term_grid) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS log_s_grid,
+           CASE WHEN MAX(CASE WHEN term_grid IS NULL THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE floor(exp(CAST(SUM(term_grid) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / {_KM_GRID}) * 10000 + 0.5) / 10000
+                END AS s_km
+    FROM terms
+    WHERE d > 0
+    """,
+)
+def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-first-purchase after
+    signup, with right-censoring at each non-converting user's last
+    observed event — the correct way to answer "how long until users
+    convert" when many haven't yet (a plain mean over converters is
+    survivorship-biased; event_conversion_latency is that biased twin,
+    kept deliberately for contrast).
+
+    Determinism: durations are exact integer days (µs DIV); the KM
+    product is exp(Σ ln(1 - d/n)) with every ln term grid-floored to
+    1e-6 and summed as exact integers — log_s_grid is bit-exact
+    cross-engine, s_km its display-rounded exp. A d = n_risk plateau
+    (everyone left converts) sets survival to exactly 0 from there on.
+
+    Scale shape: one user_id exchange (signup-time window + subject
+    aggregate share it), then all KM windows run over the DISTINCT-DAY
+    grain — dozens of rows regardless of corpus size, the
+    window-over-aggregated-grain discipline every analytics key here
+    follows.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    w_user = Window.partitionBy("user_id")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        us.alias("t_us"),
+        F.min(F.when(F.col("event_type") == "signup", us))
+        .over(w_user)
+        .alias("t0"),
+    )
+    subjects = (
+        ev.where(F.col("t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t_us") >= F.col("t0")),
+                    F.col("t_us"),
+                )
+            ).alias("t_evt"),
+            F.max("t_us").alias("t_last"),
+            F.min("t0").alias("t0"),
+        )
+    )
+    durs = subjects.select(
+        F.when(
+            F.col("t_evt").isNotNull(),
+            F.expr(f"(t_evt - t0) DIV {_DAY_US}"),
+        )
+        .otherwise(F.expr(f"(t_last - t0) DIV {_DAY_US}"))
+        .alias("t_days"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    grid = durs.groupBy("t_days").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(1 - F.col("observed")).cast("bigint").alias("c"),
+    )
+    total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            * _KM_GRID
+        ).cast("bigint"),
+    )
+    terms = risk.select("t_days", "d", "c", "n_risk", term.alias("term_grid"))
+    log_s = F.sum("term_grid").over(w_cum).cast("bigint")
+    hit_zero = (
+        F.max(F.when(F.col("term_grid").isNull(), 1).otherwise(0)).over(w_cum)
+        == 1
+    )
+    return terms.where(F.col("d") > 0).select(
+        "t_days",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        log_s.alias("log_s_grid"),
+        F.when(hit_zero, F.lit(0.0))
+        .otherwise(pround(F.exp(log_s.cast("double") / _KM_GRID)))
+        .alias("s_km"),
+    )
+
+
+@register(
+    "interval_max_concurrency",
+    # sweep-line twin of interval_merge_coverage (same value-derived
+    # intervals): +1 at start, -1 at end (end-exclusive; ends sort
+    # before starts at the same instant), running sum per user, max =
+    # that user's peak overlap. Pure integer arithmetic throughout.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(FLOOR(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta, event_id FROM iv),
+    swept AS (
+      SELECT user_id,
+             SUM(delta) OVER (PARTITION BY user_id
+                              ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+      FROM pts),
+    peaks AS (
+      SELECT user_id, MAX(conc) AS peak FROM swept GROUP BY user_id)
+    SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM peaks
+    GROUP BY peak
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval overlap per user by the classic sweep line:
+    every interval contributes a +1 (start) and a -1 (end-exclusive)
+    point; the running sum over time is the live concurrency and its
+    max the user's peak. Reported as a peak-level histogram — the
+    load-planning question ("how many sessions run at once?")
+    interval_merge_coverage's union-length answer can't give.
+
+    Tie discipline: at equal timestamps ends (-1) sort before starts
+    (+1) via the delta sort key, so back-to-back intervals [a,b),
+    [b,c) never double-count — and event_id makes the order total,
+    engine-identical.
+
+    Scale shape: the explode-to-points union doubles rows map-side;
+    ONE user_id exchange drives the sweep window and the per-user
+    max; the histogram is a tiny final aggregate. No global sweep is
+    ever materialized — at 100 TB a global concurrency curve would
+    instead bucket time per partition and prefix-sum bucket totals
+    (the two-level scan pattern), which this per-key form avoids
+    entirely.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.floor(F.col("value") * 60).cast("bigint") * 1_000_000).alias(
+            "e"
+        ),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w_sweep = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select(
+        "user_id", F.sum("delta").over(w_sweep).alias("conc")
+    )
+    peaks = swept.groupBy("user_id").agg(F.max("conc").alias("peak"))
+    return peaks.groupBy(
+        F.col("peak").cast("bigint").alias("peak_concurrency")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+    )

@@ -430,3 +430,116 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("sum_deg"),
         )
     )
+
+
+KCORE_K = 3
+KCORE_ITERS = 8  # fixed peel rounds; convergence asserted in pytest
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: iteration i keeps nodes with degree >= k in
+    the surviving edge set, then keeps edges with both endpoints
+    alive (the ml_train_logreg unrolled-CTE device, applied to graph
+    iteration)."""
+    ctes = [
+        _LI_SQL.strip().removeprefix("WITH").strip()
+        + """,
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for i in range(KCORE_ITERS):
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT pa AS node FROM e{i} UNION ALL SELECT pb FROM e{i}
+      ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.pa, e.pb FROM e{i} e
+      JOIN d{i} a ON a.node = e.pa
+      JOIN d{i} b ON b.node = e.pb
+    )""")
+    last = f"e{KCORE_ITERS}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    core_deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT pa AS node FROM {last} UNION ALL SELECT pb FROM {last}
+      ) GROUP BY node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {last}) AS n_core_edges,
+           CAST(SUM(node) AS BIGINT) AS node_checksum,
+           MIN(d) AS min_core_deg
+    FROM core_deg
+    """
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k = 3) of the co-purchase graph by
+    iterative peeling: drop nodes with degree < k, drop edges that
+    lost an endpoint, repeat. The standard "dense cohesive subgraph"
+    extraction that precedes community detection — and the dual of
+    graph_degree_stats' tail diagnostic.
+
+    Fixed KCORE_ITERS rounds on BOTH engines (peeling is idempotent
+    at the fixpoint, so extra rounds are no-ops and a fixed count is
+    deterministic; pytest asserts the fixture converges well inside
+    the budget — the loud-error discipline dedup_components uses,
+    shifted to test time because the oracle must replay the same
+    round count). Each round: one degree aggregate + two semi-join
+    filters, lineage cut by localCheckpoint every other round. At
+    100 TB each round is two shuffles on node id — the same bounded
+    shape as dedup_components' label propagation, with the edge set
+    monotonically shrinking.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(KCORE_ITERS):
+        deg = (
+            edges.select(F.col("pa").alias("node"))
+            .unionAll(edges.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(deg.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+        )
+        if i % 2 == 1:
+            edges = edges.localCheckpoint(eager=True)
+    core_deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return core_deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+        F.min("d").alias("min_core_deg"),
+    ).crossJoin(F.broadcast(n_edges)).select(
+        "n_core_nodes",
+        F.col("n").alias("n_core_edges"),
+        "node_checksum",
+        "min_core_deg",
+    )

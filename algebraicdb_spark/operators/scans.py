@@ -609,3 +609,128 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# --- Z-order layout advisor ---------------------------------------------
+
+ZORDER_BITS = 4          # 16 buckets per dimension
+ZORDER_FILES = 32        # target file count for the simulated rewrite
+
+def _interleave_sql(x: str, y: str) -> str:
+    """Morton interleave of two 4-bit bucket ids as portable integer
+    bit arithmetic (identical operators on Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_MAX = 1 << (2 * ZORDER_BITS)          # 256 z-values
+_ZF_DIV = _Z_MAX // ZORDER_FILES         # z-range per file
+_LIN_BUCKETS = 1 << ZORDER_BITS
+
+
+@register(
+    "storage_zorder_advisor",
+    oracle=f"""
+    WITH ext AS (
+      SELECT MAX(l_partkey) + 1 AS pmax, MAX(l_suppkey) + 1 AS smax
+      FROM lineitem
+    ), keyed AS (
+      SELECT CAST(l_partkey * {_LIN_BUCKETS} // pmax AS BIGINT) AS x,
+             CAST(l_suppkey * {_LIN_BUCKETS} // smax AS BIGINT) AS y,
+             l_partkey, l_suppkey
+      FROM lineitem, ext
+    ), assigned AS (
+      SELECT 'zorder' AS layout,
+             ({_interleave_sql('x', 'y')}) // {_ZF_DIV} AS file_id,
+             l_partkey, l_suppkey
+      FROM keyed
+      UNION ALL
+      SELECT 'linear' AS layout,
+             x * {ZORDER_FILES // _LIN_BUCKETS}
+               + (y % {ZORDER_FILES // _LIN_BUCKETS}) AS file_id,
+             l_partkey, l_suppkey
+      FROM keyed
+    ), files AS (
+      SELECT layout, file_id, COUNT(*) AS n_rows,
+             MAX(l_partkey) - MIN(l_partkey) AS part_span,
+             MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      FROM assigned GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           floor(CAST(CAST(SUM(part_span) AS DOUBLE) / COUNT(*)
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_part_span,
+           floor(CAST(CAST(SUM(supp_span) AS DOUBLE) / COUNT(*)
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_supp_span
+    FROM files
+    GROUP BY layout
+    """,
+)
+def storage_zorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout advisor: simulate rewriting lineitem
+    into {ZORDER_FILES} files clustered by the bit-interleaved
+    (partkey, suppkey) bucket key vs a linear partkey-major sort, and
+    report the per-file min/max span of BOTH dimensions. Narrow spans
+    = effective parquet min/max row-group skipping for point filters
+    on EITHER column — the measurement behind Delta/Iceberg OPTIMIZE
+    ZORDER BY decisions before paying for a 100 TB rewrite.
+
+    The file assignment is a pure function of the z-key (z DIV
+    range-width), so the "rewrite" needs NO global sort — on a
+    cluster this is repartitionByRange on zkey, writing each range as
+    one file; here the advisor only aggregates the would-be layout:
+    one map stage + two small aggregates, no shuffle wider than
+    2 x {ZORDER_FILES} file rows. Bit interleave is exact integer
+    arithmetic (shift/mask/add), identical on every engine — no UDF.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ext = li.agg(
+        (F.max("l_partkey") + 1).alias("pmax"),
+        (F.max("l_suppkey") + 1).alias("smax"),
+    )
+    keyed = li.crossJoin(F.broadcast(ext)).select(
+        F.floor(F.col("l_partkey") * _LIN_BUCKETS / F.col("pmax"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_suppkey") * _LIN_BUCKETS / F.col("smax"))
+        .cast("bigint")
+        .alias("y"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    zkey = F.expr(_interleave_sql("x", "y"))
+    per_x = ZORDER_FILES // _LIN_BUCKETS
+    assigned = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.floor(zkey / _ZF_DIV).cast("bigint").alias("file_id"),
+        "l_partkey",
+        "l_suppkey",
+    ).unionAll(
+        keyed.select(
+            F.lit("linear").alias("layout"),
+            (F.col("x") * per_x + (F.col("y") % per_x))
+            .cast("bigint")
+            .alias("file_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
+    )
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        pround(F.sum("part_span").cast("double") / F.count(F.lit(1))).alias(
+            "avg_part_span"
+        ),
+        pround(F.sum("supp_span").cast("double") / F.count(F.lit(1))).alias(
+            "avg_supp_span"
+        ),
+    )

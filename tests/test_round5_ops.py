@@ -107,3 +107,65 @@ def test_dedup_keep_best_policy(spark, sf_dir):
     ).collect()
     best = sorted(grp, key=lambda r: (-r["n_chars"], r["doc_id"]))[0]
     assert best["doc_id"] == big["kept_id"]
+
+
+def test_zorder_improves_secondary_dimension(spark, sf_dir):
+    """Z-order must trade a wider primary span for a much narrower
+    secondary span vs the linear partkey-major layout."""
+    from algebraicdb_spark.operators.scans import storage_zorder_advisor
+
+    rows = {r["layout"]: r for r in storage_zorder_advisor(spark, sf_dir).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["n_rows"] == lin["n_rows"]
+    assert z["avg_supp_span"] < lin["avg_supp_span"] / 2, (
+        "z-order should at least halve the suppkey span"
+    )
+    assert lin["avg_part_span"] < z["avg_part_span"]  # the price paid
+
+
+def test_survival_km_is_monotone_and_bounded(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import event_survival_km
+
+    rows = sorted(
+        event_survival_km(spark, sf_dir).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0.0 <= r["s_km"] <= prev_s + 1e-9  # survival non-increasing
+        if prev_risk is not None:
+            assert r["n_risk"] <= prev_risk  # risk set shrinks
+        assert r["n_events"] >= 1
+        prev_s, prev_risk = r["s_km"], r["n_risk"]
+    # KM lies between the naive bounds: more than 0 (censoring) and
+    # below 1 - cumulative-events/initial-risk-set (no censoring)
+    total_events = sum(r["n_events"] for r in rows)
+    n0 = max(r["n_risk"] for r in rows)
+    assert rows[-1]["s_km"] <= 1.0 - total_events / n0 + 1e-9
+
+
+def test_max_concurrency_histogram_covers_users(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        interval_max_concurrency,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = interval_max_concurrency(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert r["peak_concurrency"] >= 1
+
+
+def test_kcore_is_a_fixpoint_within_budget(spark, sf_dir):
+    """Every node of the returned core must have degree >= k inside
+    the core — i.e. the fixed iteration budget reached the fixpoint
+    (if this fails, raise KCORE_ITERS in operator AND oracle)."""
+    from algebraicdb_spark.operators.graph import KCORE_K, graph_kcore
+
+    r = graph_kcore(spark, sf_dir).collect()[0]
+    assert r["min_core_deg"] >= KCORE_K
+    assert r["n_core_nodes"] > 0
+    # handshake bound inside the core
+    assert r["n_core_edges"] >= r["n_core_nodes"] * KCORE_K / 2
