@@ -159,6 +159,12 @@ _DROP_FUNCTION_RE = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.IGNORECASE)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+(?:FOR\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)"
     r"\s+AS\s+(?P<query>.+?)\s*;?\s*$",

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from algebraicdb_spark.dialect import (
     TableDef,
@@ -68,6 +69,8 @@ from algebraicdb_spark.dialect import (
     _SHOW_CREATE_RE,
     _SHOW_FUNCTIONS_RE,
     _SHOW_TABLES_RE,
+    _ANALYZE_RE,
+    _SHOW_STATS_RE,
     _TRUNCATE_RE,
     _UPDATE_RE,
     _value_expr,
@@ -93,6 +96,7 @@ class Engine:
         self._matviews: dict[str, str] = {}  # name -> defining dialect SQL
         self._functions: dict[str, tuple[list[str], str]] = {}  # macros
         self._views: dict[str, str] = {}  # name -> defining dialect SQL
+        self._stats: dict[str, list[tuple]] = {}  # name -> ANALYZE rows
         if sf_dir:
             self.attach(sf_dir)
 
@@ -186,6 +190,10 @@ class Engine:
             return self._show_create_stmt(_SHOW_CREATE_RE.match(stmt).group("name"))
         if _SHOW_TABLES_RE.match(stmt):
             return self._show_tables_stmt()
+        if _SHOW_STATS_RE.match(stmt):
+            return self._show_stats_stmt(_SHOW_STATS_RE.match(stmt).group("name"))
+        if _ANALYZE_RE.match(stmt):
+            return self._analyze_stmt(_ANALYZE_RE.match(stmt).group("name"))
         if _TRUNCATE_RE.match(stmt):
             # TRUNCATE t == DELETE FROM t without a predicate: the view
             # swaps to an empty limit(0) of itself, schema intact
@@ -354,6 +362,51 @@ class Engine:
             (t.name,) for t in self.spark.catalog.listTables() if t.isTemporary
         ]
         return self.spark.createDataFrame(sorted(names), "table_name string")
+
+    _STATS_SCHEMA = (
+        "column_name string, n_rows bigint, ndv_approx bigint, n_nulls bigint"
+    )
+
+    def _analyze_stmt(self, name: str) -> DataFrame:
+        """ANALYZE [TABLE] t — one scan computing per-column statistics
+        (row count, HLL approx-NDV, null count), cached on the engine
+        and returned as rows. SHOW STATS t reads the cache.
+
+        Spark temp views cannot hold catalog statistics (so this cache
+        is engine metadata, not CBO input — for stats-driven join
+        reordering over the parquet fixtures use
+        ``sources.catalog.analyze_tables``, which registers external
+        catalog tables and runs Spark's own ANALYZE on them; SCALE.md
+        §4 documents the split). One job, all columns at once: the
+        aggregate ships count + approx_count_distinct + null-count
+        partials per column in a single pass — never one scan per
+        column.
+        """
+        try:
+            df = self.spark.table(name)
+        except Exception as exc:  # unknown view/table
+            raise AdtError(f"ANALYZE: no such table: {name}") from exc
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in df.columns:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        stats = [
+            (c, row["__n"], row[f"__ndv_{c}"], row[f"__nn_{c}"])
+            for c in df.columns
+        ]
+        self._stats[name] = stats
+        return self.spark.createDataFrame(stats, self._STATS_SCHEMA)
+
+    def _show_stats_stmt(self, name: str) -> DataFrame:
+        """SHOW STATS [FOR] t — the cached ANALYZE rows (error if the
+        table was never analyzed; re-ANALYZE after mutations, exactly
+        as other warehouses require)."""
+        if name not in self._stats:
+            raise AdtError(f"SHOW STATS: {name} has not been ANALYZEd")
+        return self.spark.createDataFrame(self._stats[name], self._STATS_SCHEMA)
 
     def _show_create_stmt(self, name: str) -> DataFrame:
         """SHOW CREATE TABLE t — a round-trippable dialect DDL string:

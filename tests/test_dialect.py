@@ -1116,3 +1116,45 @@ class TestMacroDefaults:
         eng2 = Engine(spark)
         eng2.load_catalog(path)
         assert eng2.sql("SELECT md_keep(2) AS v").collect()[0].v == 14
+
+
+class TestAnalyzeStats:
+    def test_analyze_returns_and_caches_stats(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE an_t (k: Integer, v: Double, s: Text)")
+        eng2.sql(
+            "INSERT INTO an_t VALUES (1, 1.0, 'a'), (2, 2.0, 'a'), "
+            "(3, NULL, NULL)"
+        )
+        rows = {r.column_name: r for r in eng2.sql("ANALYZE an_t").collect()}
+        assert set(rows) == {"k", "v", "s"}
+        assert all(r.n_rows == 3 for r in rows.values())
+        assert rows["k"].ndv_approx == 3  # HLL exact at tiny N
+        assert rows["v"].n_nulls == 1 and rows["s"].n_nulls == 1
+        assert rows["s"].ndv_approx == 1
+        # SHOW STATS reads the cache without rescanning
+        again = {
+            r.column_name: r
+            for r in eng2.sql("SHOW STATS FOR an_t").collect()
+        }
+        assert again["k"].ndv_approx == 3
+        eng2.sql("DROP TABLE an_t")
+
+    def test_show_stats_requires_prior_analyze(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE an_u (k: Integer)")
+        with pytest.raises(AdtError, match="has not been ANALYZEd"):
+            eng2.sql("SHOW STATS an_u")
+        eng2.sql("DROP TABLE an_u")
+
+    def test_analyze_unknown_table_errors(self, spark):
+        with pytest.raises(AdtError, match="no such table"):
+            Engine(spark).sql("ANALYZE TABLE nope_an")
+
+    def test_analyze_works_on_fixture_views(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = {
+            r.column_name: r for r in eng2.sql("ANALYZE region").collect()
+        }
+        assert rows["r_regionkey"].n_rows == 5
+        assert rows["r_regionkey"].ndv_approx == 5

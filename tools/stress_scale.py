@@ -117,6 +117,19 @@ KEYS = [
     "time_series_decompose",
     "agg_hll_intersection",
     "join_lateral",
+    # round-5 third wave (warehouse / survival / graph / layout)
+    "scd2_history",
+    "cdc_apply_log",
+    "sample_reservoir",
+    "ml_feature_hashing",
+    "graph_degree_stats",
+    "event_conversion_latency",
+    "attribution_linear",
+    "dedup_keep_best",
+    "storage_zorder_advisor",
+    "event_survival_km",
+    "interval_max_concurrency",
+    "graph_kcore",
 ]
 
 
