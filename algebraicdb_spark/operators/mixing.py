@@ -530,3 +530,120 @@ def agg_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+EPOCH_CAP = 3          # max repetition per source
+_EPOCH_FRAC_GRID = 1000  # md5-bucket resolution for fractional epochs
+
+
+@register(
+    "mix_epoch_repeat",
+    # per-source epoch weight w = min(CAP, max_source_tokens /
+    # source_tokens): every source is upsampled toward the largest
+    # source's token mass, capped. Integer part repeats every doc;
+    # the fractional part repeats a deterministic md5-chosen subset
+    # (so the REALIZED epoch count is exact, not in expectation-only
+    # — a new shard never re-rolls existing docs).
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+             COUNT(*) AS n_docs
+      FROM docs GROUP BY source
+    ), mx AS (
+      SELECT MAX(src_tok) AS max_tok FROM src
+    ), w AS (
+      SELECT source, n_docs, src_tok,
+             LEAST(CAST({EPOCH_CAP} AS DOUBLE),
+                   CAST(max_tok AS DOUBLE) / src_tok) AS wgt
+      FROM src, mx
+    ), per_doc AS (
+      SELECT d.doc_id, d.source, d.n_tok,
+             CAST(floor(w.wgt) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT)
+                         % {_EPOCH_FRAC_GRID}
+                       < CAST(floor((w.wgt - floor(w.wgt))
+                                    * {_EPOCH_FRAC_GRID}) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_epochs
+      FROM docs d JOIN w ON w.source = d.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(n_epochs) AS BIGINT) AS n_instances_out,
+           CAST(SUM(n_tok * n_epochs) AS BIGINT) AS tokens_out,
+           {pround_sql("CAST(SUM(n_epochs) AS DOUBLE) / COUNT(*)")}
+             AS realized_epochs
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based mixture upsampling: repeat each source's documents
+    min(3, max_source_tokens / source_tokens) times, with the
+    fractional epoch realized by a deterministic md5 subset of docs —
+    the data-mixing primitive behind "epochs per dataset" tables in
+    LLM training recipes (upsampling twin of mix_weighted_sample's
+    downsampling).
+
+    Determinism: the weight is one IEEE division of exact integers;
+    the fractional cut compares an md5 bucket against the grid-floored
+    fraction — reproducible on any engine, stable under corpus
+    extension (a new doc never changes existing docs' epoch counts).
+
+    Scale shape: two tiny aggregates (per-source tokens, global max —
+    broadcast), one map-side epoch assignment, one final rollup. The
+    materialization (explode by n_epochs) is deliberately NOT in this
+    key: the checksums prove the assignment; the explode is a
+    sequence() flatMap the consumer fuses into the training shuffle.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tok"
+        ),
+    )
+    src = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("src_tok"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    mx = src.agg(F.max("src_tok").alias("max_tok"))
+    w = src.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(float(EPOCH_CAP)),
+            F.col("max_tok").cast("double") / F.col("src_tok"),
+        ).alias("wgt"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EPOCH_FRAC_GRID
+    )
+    frac_cut = F.floor(
+        (F.col("wgt") - F.floor("wgt")) * _EPOCH_FRAC_GRID
+    ).cast("bigint")
+    per_doc = docs.join(F.broadcast(w), "source").select(
+        "source",
+        "n_tok",
+        (
+            F.floor("wgt").cast("bigint")
+            + F.when(bucket < frac_cut, 1).otherwise(0)
+        ).alias("n_epochs"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in"),
+        F.sum("n_epochs").cast("bigint").alias("n_instances_out"),
+        F.sum(F.col("n_tok") * F.col("n_epochs"))
+        .cast("bigint")
+        .alias("tokens_out"),
+        pround(F.sum("n_epochs").cast("double") / F.count(F.lit(1))).alias(
+            "realized_epochs"
+        ),
+    )

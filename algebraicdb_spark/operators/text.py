@@ -793,3 +793,73 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "rk", "token", F.col("w").cast("long").alias("w_scaled"))
     )
+
+
+@register(
+    "text_ngram_novelty",
+    # prefix novelty: a shingle is "novel" for the LOWEST doc_id that
+    # contains it (ingestion order in the fixtures). The standard
+    # incremental-corpus curation metric: low novelty => the doc is
+    # mostly re-treading earlier content even if no single earlier
+    # doc is a near-duplicate (which is why the MinHash keys can't
+    # see it).
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS r
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(r) - 1),
+                           i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+               AS shingles
+      FROM raw
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM toks
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM exploded GROUP BY tok
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(CAST(CAST(SUM(CASE WHEN f.first_doc = e.doc_id
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS novelty
+    FROM exploded e JOIN firsts f ON f.tok = e.tok
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested before
+    it: the fraction of the doc's distinct 3-gram shingles whose
+    FIRST corpus occurrence (minimum doc_id) is this doc.
+
+    Scale shape: one shingle explode (distinct per doc, the shared
+    dedup helper), one (shingle -> min doc_id) aggregate, one
+    equi-join back on the shingle, one per-doc aggregate — all hash
+    partitioned by shingle then doc, no window over raw rows, no
+    all-pairs anything. On a growing corpus the firsts table is the
+    persistent state (upsert min per new shingle batch) — the same
+    mergeable-MIN shape this one-shot form computes globally.
+    """
+    from algebraicdb_spark.operators.dedup import shingles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ex = d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("tok")
+    )
+    firsts = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ex.join(firsts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            pround(
+                F.sum(novel).cast("double") / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

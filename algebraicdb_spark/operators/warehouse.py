@@ -269,3 +269,111 @@ def row_hash_input(li: DataFrame):
         F.col("l_linestatus"),
         F.date_format("l_shipdate", "yyyy-MM-dd"),
     )
+
+
+PIT_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "feature_pit_join",
+    # Every feature frame ends at "1 PRECEDING" — strictly before the
+    # label instant. THE feature-store correctness property (no
+    # training-serving leakage): a feature computed AT the label
+    # timestamp would see the label itself.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS t_us
+      FROM events
+    ), feat AS (
+      SELECT user_id, event_id, event_type, t_us,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY t_us
+                        RANGE BETWEEN {PIT_LOOKBACK_US} PRECEDING
+                        AND 1 PRECEDING) AS BIGINT) AS f_clicks_7d,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS f_last_view_val,
+             MIN(CASE WHEN event_type = 'signup' THEN t_us END)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_signup_us
+      FROM ev
+    )
+    SELECT event_id AS label_id, user_id, t_us AS label_t_us,
+           COALESCE(f_clicks_7d, 0) AS f_clicks_7d,
+           floor(CAST(f_last_view_val AS DOUBLE) * 10000 + 0.5) / 10000
+             AS f_last_view_val,
+           (t_us - first_signup_us) // 86400000000 AS f_signup_age_days
+    FROM feat
+    WHERE event_type = 'purchase'
+    """,
+)
+def feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) feature join for a training set: each
+    purchase label row gets three features computed from the user's
+    history STRICTLY BEFORE the label instant — a 7-day click count
+    (range frame), the latest prior view's value (last-value as-of),
+    and account age since first signup. The feature-store "PIT
+    correctness" pattern (Feast/Tecton's core join) expressed as one
+    window pass.
+
+    Scale shape: no join at all — the spine and every feature view
+    live on the same event stream, so ONE user_id exchange + one sort
+    serves all three frames, then a map-side filter keeps label rows.
+    With features in separate tables this becomes the union-window
+    as-of device join_asof already demonstrates; either way nothing
+    fans out and nothing leaks. All frames end at 1 PRECEDING:
+    pytest pins that a feature computed AT the label time would
+    differ (the leakage probe).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-PIT_LOOKBACK_US, -1)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t_us",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w_range)
+        .cast("bigint")
+        .alias("f_clicks_7d"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")), True
+        )
+        .over(w_rows)
+        .alias("f_last_view_val"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("t_us")))
+        .over(w_rows)
+        .alias("first_signup_us"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("t_us").alias("label_t_us"),
+        F.coalesce("f_clicks_7d", F.lit(0)).alias("f_clicks_7d"),
+        pround("f_last_view_val").alias("f_last_view_val"),
+        F.expr("(t_us - first_signup_us) DIV 86400000000").alias(
+            "f_signup_age_days"
+        ),
+    )

@@ -169,3 +169,95 @@ def test_kcore_is_a_fixpoint_within_budget(spark, sf_dir):
     assert r["n_core_nodes"] > 0
     # handshake bound inside the core
     assert r["n_core_edges"] >= r["n_core_nodes"] * KCORE_K / 2
+
+
+def test_ngram_novelty_prefix_property(spark, sf_dir):
+    """Doc 0 (nothing before it) must be 100% novel; novelty is a
+    valid fraction; totals are conserved (every shingle is novel for
+    exactly one doc)."""
+    from algebraicdb_spark.operators.text import text_ngram_novelty
+
+    rows = {r["doc_id"]: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    first = rows[min(rows)]
+    assert first["n_novel"] == first["n_shingles"]
+    assert abs(first["novelty"] - 1.0) < 1e-9
+    for r in rows.values():
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+    # conservation: sum of novel shingles == corpus distinct shingles
+    from algebraicdb_spark.operators.dedup import shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = (
+        d.select(F.explode(shingles(F.col("text"))).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows.values()) == n_distinct
+
+
+def test_pit_features_never_leak(spark, sf_dir):
+    """The leakage probe: recompute each purchase's 7-day click count
+    INCLUDING the label instant — whenever a click shares the purchase
+    timestamp the counts must differ; and the as-of view value must
+    come from an event strictly earlier."""
+    from algebraicdb_spark.operators.warehouse import feature_pit_join
+
+    small = sf_dir.replace("0.01", "0.001")
+    feat = {r["label_id"]: r for r in feature_pit_join(spark, small).collect()}
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    ev = (
+        load_tables(spark, small)["events"]
+        .selectExpr(
+            "event_id", "user_id", "event_type", "value", "unix_micros(ts) t"
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for r in ev:
+        if r["event_type"] != "purchase" or r["event_id"] not in feat:
+            continue
+        hist = by_user[r["user_id"]]
+        week = 7 * 24 * 3600 * 1_000_000
+        clicks = [
+            h
+            for h in hist
+            if h["event_type"] == "click"
+            and r["t"] - week <= h["t"] < r["t"]
+        ]
+        assert feat[r["event_id"]]["f_clicks_7d"] == len(clicks)
+        views = [
+            h
+            for h in hist
+            if h["event_type"] == "view"
+            and (h["t"], h["event_id"]) < (r["t"], r["event_id"])
+        ]
+        want = max(views, key=lambda h: (h["t"], h["event_id"]))["value"] if views else None
+        got = feat[r["event_id"]]["f_last_view_val"]
+        if want is None:
+            assert got is None
+        else:
+            assert abs(got - want) < 1e-3
+        checked += 1
+    assert checked > 50
+
+
+def test_epoch_repeat_weights_and_determinism(spark, sf_dir):
+    from algebraicdb_spark.operators.mixing import (
+        EPOCH_CAP,
+        mix_epoch_repeat,
+    )
+
+    a = sorted(mix_epoch_repeat(spark, sf_dir).collect(), key=lambda r: r["source"])
+    b = sorted(mix_epoch_repeat(spark, sf_dir).collect(), key=lambda r: r["source"])
+    assert a == b  # deterministic
+    for r in a:
+        assert 1.0 - 1e-9 <= r["realized_epochs"] <= EPOCH_CAP + 1e-9
+        assert r["n_instances_out"] >= r["n_docs_in"]
+    # the largest source keeps epoch weight exactly 1
+    biggest = max(a, key=lambda r: r["tokens_out"] / r["realized_epochs"])
+    assert biggest["realized_epochs"] == 1.0
