@@ -543,3 +543,132 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_checksum",
         "min_core_deg",
     )
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled semi-synchronous label propagation: round i relabels
+    every node to its neighbors' most frequent round-(i-1) label,
+    ties to the smallest label. Fixed rounds on both engines — LPA
+    may oscillate, but a fixed-round schedule with a total tie-break
+    is exactly reproducible."""
+    ctes = [
+        _LI_SQL.strip().removeprefix("WITH").strip()
+        + """,
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT node, node AS label FROM und
+    )"""
+    ]
+    for i in range(LPA_ROUNDS):
+        ctes.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT u.node, l.label, COUNT(*) AS n
+      FROM und u JOIN l{i} l ON l.node = u.nbr
+      GROUP BY u.node, l.label
+    ),
+    l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    )""")
+    last = f"l{LPA_ROUNDS}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    comm AS (
+      SELECT label, COUNT(*) AS sz FROM {last} GROUP BY label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(sz) AS BIGINT) AS n_nodes,
+           CAST(MAX(sz) AS BIGINT) AS largest,
+           CAST(SUM(label * sz) AS BIGINT) AS label_checksum
+    FROM comm
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by semi-synchronous label propagation on
+    the co-purchase graph: every node adopts its neighbors' most
+    frequent label each round (ties -> smallest label), starting from
+    self-labels; after a fixed LPA_ROUNDS schedule, communities are
+    the surviving labels. Completes the graph family: counting
+    (triangles), reachability (components), centrality (pagerank),
+    density (k-core), similarity (jaccard) — and now clustering.
+
+    Determinism: synchronous LPA with a (count DESC, label ASC)
+    row_number tie-break is a pure function of the round count, so
+    the unrolled oracle replays it exactly — no RNG, no async update
+    order to disagree on.
+
+    Scale shape per round: one hash join (labels onto the
+    undirected adjacency — shuffle on node id), one (node, label)
+    count aggregate, one per-node top-1 window. All three stages key
+    on node id, so AQE reuses the partitioning; hub skew in the
+    adjacency is the salting/AQE-skew case the triangle key's
+    degree-orientation discussion covers. Labels shrink monotonically
+    in distinct count, never in rows — per-round cost is flat, and
+    localCheckpoint every other round caps lineage, exactly the
+    dedup_components discipline.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_top = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label")
+    )
+    for i in range(LPA_ROUNDS):
+        counts = (
+            und.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+    comm = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return comm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("sz").cast("bigint").alias("n_nodes"),
+        F.max("sz").cast("bigint").alias("largest"),
+        F.sum(F.col("label") * F.col("sz")).cast("bigint").alias(
+            "label_checksum"
+        ),
+    )

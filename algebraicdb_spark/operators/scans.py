@@ -734,3 +734,76 @@ def storage_zorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_supp_span"
         ),
     )
+
+
+@register(
+    "source_txnlog_snapshot",
+    # The op materializes data files + a JSON commit log and resolves
+    # the current snapshot by replaying the log; the oracle recomputes
+    # the surviving CONTENT directly from the fixture: v2's compaction
+    # replaced shard-0 with a copy that drops o_orderkey % 30 = 0.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 30 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def source_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format snapshot resolution (the Delta/Iceberg core): a
+    table is a SET OF FILES decided by replaying an ordered action
+    log, never a directory listing. Three versioned commits are
+    written — v0 adds shards 0/1, v1 adds shard 2, v2 "rewrites"
+    shard 0 (remove + add of a copy with o_orderkey % 30 = 0 rows
+    deleted) — and the reader derives the live file set as "paths
+    whose LATEST action is add", then scans exactly those files.
+
+    The log is metadata, O(files): reading it driver-side to build
+    the scan's path list is what every table format's client does
+    (the one justified collect in a source operator — the DATA never
+    touches the driver). Scale shape: log replay is a last-action
+    window over file actions (at 100 TB of data the log is still
+    KB-MB); the data scan is an ordinary pruned parquet read over the
+    surviving files.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    base = _scratch("txnlog", sf_dir)
+    shard = lambda k: o.where(F.col("o_orderkey") % 3 == k)  # noqa: E731
+    shard(0).write.mode("overwrite").parquet(f"{base}/f0")
+    shard(1).write.mode("overwrite").parquet(f"{base}/f1")
+    shard(2).write.mode("overwrite").parquet(f"{base}/f2")
+    # the compacted rewrite of shard 0: delete o_orderkey % 30 == 0
+    shard(0).where(F.col("o_orderkey") % 30 != 0).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/f0_v2")
+    actions = [
+        (0, "add", f"{base}/f0"),
+        (0, "add", f"{base}/f1"),
+        (1, "add", f"{base}/f2"),
+        (2, "remove", f"{base}/f0"),
+        (2, "add", f"{base}/f0_v2"),
+    ]
+    log = spark.createDataFrame(actions, "version int, action string, path string")
+    log.write.mode("overwrite").json(f"{base}/_log")
+    # snapshot resolution: latest action per path wins
+    from pyspark.sql.window import Window
+
+    replay = (
+        spark.read.json(f"{base}/_log")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("path").orderBy(F.col("version").desc())
+            ),
+        )
+        .where((F.col("rn") == 1) & (F.col("action") == "add"))
+    )
+    live_paths = [r["path"] for r in replay.select("path").collect()]
+    snap = spark.read.parquet(*sorted(live_paths))
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        exact_money_sum(F.col("o_totalprice")).alias("total"),
+    )

@@ -244,3 +244,23 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("order_day").cast("string").alias("order_day"),
         )
     )
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (DISTINCT) — set difference, completing the set-op
+    family next to the bag-semantics ``set_except`` (EXCEPT ALL):
+    a key qualifies once iff it appears in A and never in B.
+    Planned as distinct + left-anti hash join on the single
+    projected column."""
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.subtract(b)

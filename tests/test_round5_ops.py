@@ -261,3 +261,32 @@ def test_epoch_repeat_weights_and_determinism(spark, sf_dir):
     # the largest source keeps epoch weight exactly 1
     biggest = max(a, key=lambda r: r["tokens_out"] / r["realized_epochs"])
     assert biggest["realized_epochs"] == 1.0
+
+
+def test_lpa_partitions_nodes_into_communities(spark, sf_dir):
+    from algebraicdb_spark.operators.graph import (
+        graph_label_propagation,
+        graph_triangle_count,
+    )
+
+    r = graph_label_propagation(spark, sf_dir).collect()[0]
+    tri = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert r["n_nodes"] == tri["n_nodes"]  # every node labeled once
+    assert 1 <= r["n_communities"] <= r["n_nodes"]
+    assert r["largest"] <= r["n_nodes"]
+    # propagation actually merged labels (started from n_nodes labels)
+    assert r["n_communities"] < r["n_nodes"]
+
+
+def test_txnlog_snapshot_resolves_rewrite(spark, sf_dir):
+    """The snapshot must reflect the v2 compaction: shard-0 rows with
+    o_orderkey % 30 == 0 are gone, everything else survives exactly
+    once (no double-count from the replaced file)."""
+    from algebraicdb_spark.operators.scans import source_txnlog_snapshot
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = source_txnlog_snapshot(spark, sf_dir)
+    o = load_tables(spark, sf_dir)["orders"]
+    n_all = o.count()
+    n_deleted = o.where(F.col("o_orderkey") % 30 == 0).count()
+    assert sum(r["n"] for r in got.collect()) == n_all - n_deleted
