@@ -510,6 +510,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_count = edges.count()  # 1-value probe (the CC discipline)
     for i in range(KCORE_ITERS):
         deg = (
             edges.select(F.col("pa").alias("node"))
@@ -519,13 +520,35 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("d") >= KCORE_K)
             .select("node")
         )
+        # broadcast the surviving-node set into both endpoint filters:
+        # nodes are O(sqrt) of edges on this graph (and any graph worth
+        # peeling), so the per-round cost collapses to the degree agg's
+        # single shuffle — the edge set itself never moves. At a node
+        # count too large to broadcast, drop the hint and AQE plans the
+        # same two semi-joins shuffled (the pre-hint shape).
         edges = (
-            edges.join(deg.withColumnRenamed("node", "pa"), "pa", "left_semi")
-            .join(deg.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            edges.join(
+                F.broadcast(deg.withColumnRenamed("node", "pa")),
+                "pa",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(deg.withColumnRenamed("node", "pb")),
+                "pb",
+                "left_semi",
+            )
             .select("pa", "pb")
         )
         if i % 2 == 1:
             edges = edges.localCheckpoint(eager=True)
+            # convergence early-exit: an unchanged edge count means no
+            # node fell below k, so every later round is a no-op — the
+            # fixed-count oracle still matches because peeling is
+            # idempotent at the fixpoint. 1-value probe per 2 rounds.
+            n = edges.count()
+            if n == prev_count:
+                break
+            prev_count = n
     core_deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
