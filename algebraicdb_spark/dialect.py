@@ -803,3 +803,69 @@ def _find_matching_paren(s: str, open_idx: int) -> int:
             if depth == 0:
                 return i
     raise AdtError("unbalanced parentheses in macro call")
+
+
+# -- QUALIFY clause -------------------------------------------------------
+
+_QUALIFY_KW_RE = re.compile(r"(?i)\bQUALIFY\b")
+_QUALIFY_TAIL_RE = re.compile(r"(?i)\b(ORDER\s+BY|LIMIT)\b")
+_QUALIFY_FROM_RE = re.compile(r"(?i)\bFROM\b")
+
+
+def _depth_at(masked: str, idx: int) -> int:
+    return masked.count("(", 0, idx) - masked.count(")", 0, idx)
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Lower a DuckDB/Snowflake-style top-level QUALIFY clause.
+
+        SELECT <list> FROM <rel> [WHERE ...] QUALIFY <pred> [tail]
+          ->
+        SELECT * EXCEPT (__qualify)
+        FROM (SELECT <list>, (<pred>) AS __qualify FROM <rel> ...) t
+        WHERE __qualify [tail]
+
+    The predicate is computed INSIDE the projection, so it may
+    reference raw window functions or select-list aliases (Spark's
+    lateral column alias resolution covers the alias case) — the
+    post-window filter semantics QUALIFY defines. String literals are
+    masked during the scan; only the outermost SELECT's QUALIFY is
+    lowered (one QUALIFY per SELECT, as in the source dialects).
+    """
+    masked, saved = _mask_strings(sql)
+    q = next(
+        (m for m in _QUALIFY_KW_RE.finditer(masked) if _depth_at(masked, m.start()) == 0),
+        None,
+    )
+    if q is None:
+        return sql
+    t = next(
+        (
+            m
+            for m in _QUALIFY_TAIL_RE.finditer(masked, q.end())
+            if _depth_at(masked, m.start()) == 0
+        ),
+        None,
+    )
+    pred = masked[q.end() : t.start() if t else len(masked)]
+    pred = pred.strip().rstrip(";").strip()
+    if not pred:
+        raise AdtError("QUALIFY: empty predicate")
+    tail = " " + masked[t.start() :].strip().rstrip(";") if t else ""
+    inner = masked[: q.start()].strip()
+    f = next(
+        (m for m in _QUALIFY_FROM_RE.finditer(inner) if _depth_at(inner, m.start()) == 0),
+        None,
+    )
+    if f is None:
+        raise AdtError("QUALIFY requires a FROM clause")
+    inner2 = (
+        inner[: f.start()].rstrip()
+        + f", ({pred}) AS __qualify "
+        + inner[f.start() :]
+    )
+    out = (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner2}) __qualify_t "
+        f"WHERE __qualify{tail}"
+    )
+    return _unmask_strings(out, saved)

@@ -41,6 +41,7 @@ from algebraicdb_spark.dialect import (
     parse_insert_rows,
     rewrite_match_exprs,
     rewrite_patterns,
+    rewrite_qualify,
 )
 from algebraicdb_spark.dialect import (
     COPY_FORMATS,
@@ -823,6 +824,7 @@ class Engine:
     def _rewrite(self, stmt: str) -> str:
         if self._functions:
             stmt = expand_macros(stmt, self._functions)
+        stmt = rewrite_qualify(stmt)
         adt_cols: dict[str, AdtType] = {}
         known: set[str] = set()
         for td in self._tables.values():

@@ -1158,3 +1158,53 @@ class TestAnalyzeStats:
         }
         assert rows["r_regionkey"].n_rows == 5
         assert rows["r_regionkey"].ndv_approx == 5
+
+
+class TestQualify:
+    def test_qualify_alias_top1_per_key(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT o_custkey, o_orderkey, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders QUALIFY rn = 1 ORDER BY o_custkey LIMIT 10"
+        ).collect()
+        assert len(rows) == 10
+        assert all(r.rn == 1 for r in rows)
+        assert "rn" in rows[0].asDict()  # helper column stripped, rn kept
+
+    def test_qualify_raw_window_expression(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        got = eng2.sql(
+            "SELECT o_custkey, o_orderkey FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderkey) = 1"
+        )
+        assert got.count() == eng2.table("orders").select(
+            "o_custkey"
+        ).distinct().count()
+        assert got.columns == ["o_custkey", "o_orderkey"]
+
+    def test_qualify_composes_with_where(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT o_custkey, o_totalprice, "
+            "rank() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC) AS r "
+            "FROM orders WHERE o_orderstatus = 'F' QUALIFY r <= 2"
+        ).collect()
+        assert rows and all(r.r <= 2 for r in rows)
+
+    def test_qualify_string_literal_not_confused(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT 'qualify me' AS s, r_regionkey, "
+            "row_number() OVER (ORDER BY r_regionkey) AS rn "
+            "FROM region QUALIFY rn <= 2"
+        ).collect()
+        assert len(rows) == 2 and rows[0].s == "qualify me"
+
+    def test_qualify_empty_predicate_errors(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        with pytest.raises(AdtError, match="empty predicate"):
+            eng2.sql("SELECT r_regionkey FROM region QUALIFY LIMIT 2")
