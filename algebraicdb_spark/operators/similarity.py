@@ -860,3 +860,120 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos_grid").cast("double") / 1_000_000).alias("cosine"),
         )
     )
+
+
+MMR_K = 10
+MMR_LAMBDA = 0.7           # relevance weight; 1-λ penalizes redundancy
+_MMR_GRID = 10**6          # per-similarity integer grid
+_MMR_MS_INIT = -2_000_000  # below any grid similarity (dot >= -1)
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled: round i picks the candidate maximizing
+    0.7·rel − 0.3·max-sim-to-selected (similarities grid-floored to
+    exact integers so the argmax compares identical doubles), then
+    folds the pick's similarity into every survivor's running max."""
+    ctes = [
+        f"""c0 AS MATERIALIZED (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             CAST(floor(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))
+                        * {_MMR_GRID}) AS BIGINT) AS rel_g,
+             CAST({_MMR_MS_INIT} AS BIGINT) AS ms_g
+      FROM embeddings e,
+           (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    )"""
+    ]
+    for i in range(1, MMR_K + 1):
+        ctes.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT vec_id, emb, rel_g FROM c{i - 1}
+      ORDER BY {MMR_LAMBDA} * rel_g - {round(1 - MMR_LAMBDA, 10)} * ms_g
+               DESC, vec_id
+      LIMIT 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT c.vec_id, c.emb, c.rel_g,
+             GREATEST(c.ms_g,
+                      CAST(floor(list_dot_product(c.emb, s.emb)
+                                 * {_MMR_GRID}) AS BIGINT)) AS ms_g
+      FROM c{i - 1} c, s{i} s WHERE c.vec_id <> s.vec_id
+    )""")
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, "
+        f"CAST(rel_g AS DOUBLE) / {_MMR_GRID} AS rel FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",".join(ctes) + " " + picks
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98): greedy
+    top-k that trades relevance against redundancy — each round picks
+    argmax λ·rel(v) − (1−λ)·max_{s∈S} sim(v, s). The retrieval-side
+    twin of the dedup keys: where MinHash removes near-duplicates
+    from the corpus, MMR removes them from a RESULT LIST (RAG context
+    packing, search diversification).
+
+    Determinism: every similarity is grid-floored to an exact 1e-6
+    integer before any comparison, so the per-round argmax (score
+    DESC, vec_id) compares identical doubles on both engines; the
+    oracle replays all K rounds as unrolled MATERIALIZED CTEs.
+
+    Scale shape: greedy MMR is sequential in k BY DEFINITION — the
+    round-i pick depends on rounds 1..i−1. Each round is one map
+    (fold the 1 picked vector into the running max via a broadcast
+    literal) + one TakeOrderedAndProject argmax over candidates;
+    the 1-row pick collect per round is the CC-probe discipline
+    (k = 10 constant, data-size-independent). At 100 TB you first
+    cut candidates to a few hundred with sim_knn_* (ANN), then run
+    MMR on that page — k·|page| work, never k·|corpus|.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q_emb = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cands = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_emb))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            F.floor(dot(F.col("q_emb"), F.col("embedding")) * _MMR_GRID)
+            .cast("bigint")
+            .alias("rel_g"),
+            F.lit(_MMR_MS_INIT).cast("bigint").alias("ms_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    score = (
+        F.lit(MMR_LAMBDA) * F.col("rel_g")
+        - F.lit(round(1 - MMR_LAMBDA, 10)) * F.col("ms_g")
+    )
+    picks = []
+    for rank in range(1, MMR_K + 1):
+        top = (
+            cands.orderBy(score.desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )  # 1-row argmax probe per round; k is a constant
+        picks.append((rank, top["vec_id"], top["rel_g"] / _MMR_GRID))
+        pick_vec = F.array(*[F.lit(float(x)) for x in top["emb"]])
+        cands = cands.where(F.col("vec_id") != top["vec_id"]).select(
+            "vec_id",
+            "emb",
+            "rel_g",
+            F.greatest(
+                F.col("ms_g"),
+                F.floor(dot(F.col("emb"), pick_vec) * _MMR_GRID).cast(
+                    "bigint"
+                ),
+            ).alias("ms_g"),
+        )
+        if rank % 3 == 0:
+            cands = cands.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "rank bigint, vec_id bigint, rel double"
+    )

@@ -54,3 +54,43 @@ def test_pq_recall_at_5(spark, sf_dir, exact):
 def test_self_similarity_excluded(spark, sf_dir, exact):
     for q, nb in exact.items():
         assert q not in nb
+
+
+def test_mmr_diversifies_vs_pure_topk(spark, sf_dir):
+    """MMR invariants: k distinct picks; rank 1 is the pure-relevance
+    argmax; and the diversity term actually changes the set vs plain
+    top-k (otherwise λ might as well be 1)."""
+    from pyspark.sql import functions as F
+
+    from algebraicdb_spark.operators.similarity import (
+        MMR_K,
+        dot,
+        sim_mmr_diversify,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    picks = sim_mmr_diversify(spark, sf_dir).collect()
+    assert len(picks) == MMR_K
+    ids = [r["vec_id"] for r in picks]
+    assert len(set(ids)) == MMR_K
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(MMR_K)
+        .collect()
+    )
+    top_ids = [r["vec_id"] for r in rel]
+    assert ids[0] == top_ids[0]  # first pick = pure argmax
+    assert set(ids) != set(top_ids), "MMR never traded relevance for diversity"
+    # picked relevances are non-increasing in the PURE top-k order only
+    # for rank 1; later ranks may sacrifice relevance — but never below
+    # the corpus minimum
+    assert all(-1.0 <= r["rel"] <= 1.0 + 1e-9 for r in picks)
