@@ -497,3 +497,47 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.count_if(missing.isNull()).cast("long").alias("n_missing_null"),
     )
+
+
+@register(
+    "array_posexplode",
+    # UNNEST WITH ORDINALITY: position-preserving explode, plus the
+    # outer variant keeping empty-array rows as a NULL row.
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(n_name, 'A') END AS parts
+      FROM nation
+    ), packed AS (
+      SELECT n_nationkey,
+             CASE WHEN len(parts) = 0
+                  THEN [{'pos': CAST(NULL AS INT),
+                         'part': CAST(NULL AS VARCHAR)}]
+                  ELSE list_transform(parts,
+                         (x, i) -> {'pos': CAST(i - 1 AS INT), 'part': x})
+             END AS entries
+      FROM src
+    )
+    SELECT n_nationkey, u.pos AS pos, u.part AS part
+    FROM (SELECT n_nationkey, unnest(entries) AS u FROM packed)
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: position-preserving array explode that KEEPS
+    rows whose array is empty (pos/part NULL) — the WITH ORDINALITY +
+    outer-join semantics every flattening pipeline needs when empty
+    collections must not drop the parent row."""
+    n = load_tables(spark, sf_dir)["nation"]
+    src = n.select(
+        "n_nationkey",
+        F.when(
+            F.col("n_nationkey") % 5 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split("n_name", "A"))
+        .alias("parts"),
+    )
+    return src.select(
+        "n_nationkey", F.posexplode_outer("parts").alias("pos", "part")
+    )

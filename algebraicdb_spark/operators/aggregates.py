@@ -1273,3 +1273,66 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_union") * 0.1, F.lit(5.0))
         ).alias("estimate_ok"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_custkey) AS BIGINT) AS band,
+           CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+           CAST(bit_xor(o_custkey) AS BIGINT) AS bxor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT_AND / BIT_OR / BIT_XOR aggregates — the bitmask rollup
+    surface (permission masks, feature flags, parity checks). All
+    three are commutative-associative, so they run as ordinary
+    mergeable partials: map-side combine, one shuffle of 3 BIGINTs
+    per group."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").cast("bigint").alias("band"),
+        F.bit_or("o_custkey").cast("bigint").alias("bor"),
+        F.bit_xor("o_custkey").cast("bigint").alias("bxor"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    # DISCRETE percentiles: the returned value is an actual data
+    # point (no interpolation), so the result is exact on both
+    # engines with zero float plumbing.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_disc,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_disc,
+           CAST(quantile_disc(o_totalprice, 0.99) AS DOUBLE) AS p99_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC — the discrete twin of agg_percentile's
+    interpolated quantiles: returns the smallest data value whose
+    cumulative distribution reaches p. Because the answer is an
+    actual member of the column, cross-engine equality is exact with
+    no rounding grid at all (contrast every _cont quantile here).
+
+    Spark's SQL percentile_disc and DuckDB's quantile_disc both
+    implement the SQL-standard lower-bound definition.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_disc"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p99_disc"),
+    )

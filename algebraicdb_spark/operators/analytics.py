@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from algebraicdb_spark.functions.rounding import exact_money_sum, pround
+from algebraicdb_spark.functions.rounding import (
+    exact_money_sum,
+    pround,
+    pround_sql,
+)
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables
 
@@ -2341,4 +2345,194 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.min("user_id").cast("bigint").alias("min_user"),
         F.max("user_id").cast("bigint").alias("max_user"),
+    )
+
+
+M4_BUCKETS = 64
+
+
+@register(
+    "time_downsample_m4",
+    # M4 (Jugel et al., VLDB'14): per (series, pixel-bucket) keep the
+    # rows realizing min/max value and first/last timestamp — the
+    # four extremes that make a line chart pixel-exact. All argmins
+    # use total tie-break orders, bucket ids are exact integers.
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, event_id, epoch_ns(ts) AS tns, value
+      FROM events
+    ), ext AS (
+      SELECT event_type, MIN(tns) AS lo, MAX(tns) AS hi
+      FROM ev GROUP BY event_type
+    ), bucketed AS (
+      SELECT e.event_type, e.event_id, e.tns, e.value,
+             CAST((e.tns - x.lo) * {M4_BUCKETS} // (x.hi - x.lo + 1)
+                  AS BIGINT) AS bucket
+      FROM ev e JOIN ext x ON x.event_type = e.event_type
+    ), ranked AS (
+      SELECT event_type, bucket, tns, value, event_id,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value, tns, event_id) AS r_minv,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value DESC, tns, event_id) AS r_maxv,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tns, event_id) AS r_first,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tns DESC, event_id DESC) AS r_last
+      FROM bucketed
+    )
+    SELECT event_type, bucket, tns AS t_ns,
+           {pround_sql("value")} AS value,
+           CAST(CASE WHEN r_minv = 1 THEN 1 ELSE 0 END AS INT) AS is_min,
+           CAST(CASE WHEN r_maxv = 1 THEN 1 ELSE 0 END AS INT) AS is_max,
+           CAST(CASE WHEN r_first = 1 THEN 1 ELSE 0 END AS INT) AS is_first,
+           CAST(CASE WHEN r_last = 1 THEN 1 ELSE 0 END AS INT) AS is_last
+    FROM ranked
+    WHERE r_minv = 1 OR r_maxv = 1 OR r_first = 1 OR r_last = 1
+    """,
+)
+def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per series and per pixel bucket,
+    keep exactly the rows that realize the bucket's min value, max
+    value, first and last timestamp — the four points that make a
+    width-W line rendering pixel-identical to the full series
+    (Jugel et al., VLDB'14). The dashboarding twin of
+    time_lttb_downsample: M4 is error-free for line charts, LTTB is
+    perceptual.
+
+    Scale shape: one per-series extent aggregate (broadcast back),
+    exact-integer bucket assignment map-side, then four rank windows
+    over the SAME (series, bucket) partitioning — one exchange. The
+    output is <= 4·W·|series| rows no matter how many points came
+    in; the reduction ratio GROWS with data size.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "event_type", "event_id", F.col("ts_ns").alias("tns"), "value"
+    )
+    ext = ev.groupBy("event_type").agg(
+        F.min("tns").alias("lo"), F.max("tns").alias("hi")
+    )
+    bucketed = ev.join(F.broadcast(ext), "event_type").select(
+        "event_type",
+        "event_id",
+        "tns",
+        "value",
+        # integer DIV, not double division: (tns-lo)*64 is ~1e17 on a
+        # month of nanoseconds — past 2^53, a double quotient would
+        # misplace bucket boundaries
+        F.expr(f"(tns - lo) * {M4_BUCKETS} DIV (hi - lo + 1)")
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    p = Window.partitionBy("event_type", "bucket")
+    ranked = bucketed.select(
+        "event_type",
+        "bucket",
+        "tns",
+        "value",
+        F.row_number()
+        .over(p.orderBy("value", "tns", "event_id"))
+        .alias("r_minv"),
+        F.row_number()
+        .over(p.orderBy(F.col("value").desc(), "tns", "event_id"))
+        .alias("r_maxv"),
+        F.row_number().over(p.orderBy("tns", "event_id")).alias("r_first"),
+        F.row_number()
+        .over(p.orderBy(F.col("tns").desc(), F.col("event_id").desc()))
+        .alias("r_last"),
+    )
+    keep = (
+        (F.col("r_minv") == 1)
+        | (F.col("r_maxv") == 1)
+        | (F.col("r_first") == 1)
+        | (F.col("r_last") == 1)
+    )
+    flag = lambda c: F.when(F.col(c) == 1, 1).otherwise(0).cast("int")  # noqa: E731
+    return ranked.where(keep).select(
+        "event_type",
+        "bucket",
+        F.col("tns").alias("t_ns"),
+        pround("value").alias("value"),
+        flag("r_minv").alias("is_min"),
+        flag("r_maxv").alias("is_max"),
+        flag("r_first").alias("is_first"),
+        flag("r_last").alias("is_last"),
+    )
+
+
+FUNNEL_UNORDERED_WINDOW_US = 3600 * 1_000_000
+
+
+@register(
+    "event_funnel_unordered",
+    # unordered windowFunnel: a user completes k steps if SOME anchor
+    # event opens a 1 h window containing all k types (any order) —
+    # three boolean MAX range-frames per anchor, max over anchors.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ), anch AS (
+      SELECT user_id,
+             MAX(is_c) OVER w + MAX(is_v) OVER w + MAX(is_p) OVER w
+               AS steps
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                   RANGE BETWEEN CURRENT ROW
+                   AND {FUNNEL_UNORDERED_WINDOW_US} FOLLOWING)
+    ), per_user AS (
+      SELECT user_id, MAX(steps) AS best FROM anch GROUP BY user_id
+    )
+    SELECT CAST(best AS BIGINT) AS steps_completed,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM per_user GROUP BY best
+    """,
+)
+def event_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered window funnel: how many of {click, view, purchase}
+    a user completes within SOME 1-hour window, in any order — the
+    order-free twin of event_window_funnel's strict sequence (both
+    exist in ClickHouse as windowFunnel modes).
+
+    Every event anchors a forward-looking 1 h range frame; three
+    boolean MAXes over that frame count the distinct step types
+    present, and the per-user best anchor is the answer. No joins,
+    no per-type self-join blowup: ONE user_id exchange drives the
+    range window and the per-user max.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        (F.col("event_type") == "click").cast("int").alias("is_c"),
+        (F.col("event_type") == "view").cast("int").alias("is_v"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(0, FUNNEL_UNORDERED_WINDOW_US)
+    )
+    anch = ev.select(
+        "user_id",
+        (
+            F.max("is_c").over(w)
+            + F.max("is_v").over(w)
+            + F.max("is_p").over(w)
+        ).alias("steps"),
+    )
+    per_user = anch.groupBy("user_id").agg(F.max("steps").alias("best"))
+    return per_user.groupBy(
+        F.col("best").cast("bigint").alias("steps_completed")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("user_checksum"),
     )

@@ -319,3 +319,46 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 3).over(w).alias("third_value"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    # INTERVAL-typed RANGE frames over a real TIMESTAMP ordering —
+    # the SQL surface win_range_frame demonstrates on numerics,
+    # exercised on time (trailing-hour event rate + value sum).
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW over
+    a TIMESTAMP ordering: each event's trailing-hour event count and
+    value sum within its type — the rolling-rate window written the
+    way an analyst writes it (interval literal, not epoch
+    arithmetic; the µs-arithmetic twin is feature_pit_join's frame).
+
+    The sum accumulates DECIMAL(18,4), so frame evaluation order
+    can't drift the double. One event_type exchange + one sort; the
+    frame itself is a sliding two-pointer inside the partition.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    e.createOrReplaceTempView("__wtrf_events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_trailing_hour
+        FROM __wtrf_events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        """
+    )

@@ -290,3 +290,77 @@ def test_txnlog_snapshot_resolves_rewrite(spark, sf_dir):
     n_all = o.count()
     n_deleted = o.where(F.col("o_orderkey") % 30 == 0).count()
     assert sum(r["n"] for r in got.collect()) == n_all - n_deleted
+
+
+def test_m4_preserves_bucket_extremes(spark, sf_dir):
+    """Per (series, bucket): the kept rows must include the true min
+    and max value of ALL rows in that bucket, and <= 4 flagged roles."""
+    from algebraicdb_spark.operators.analytics import time_downsample_m4
+
+    rows = time_downsample_m4(spark, sf_dir).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((r["event_type"], r["bucket"]), []).append(r)
+    for grp in by_bucket.values():
+        assert 1 <= len(grp) <= 4
+        assert sum(r["is_min"] for r in grp) == 1
+        assert sum(r["is_max"] for r in grp) == 1
+        mn = next(r for r in grp if r["is_min"])
+        mx = next(r for r in grp if r["is_max"])
+        assert mn["value"] <= mx["value"]
+        first = next(r for r in grp if r["is_first"])
+        last = next(r for r in grp if r["is_last"])
+        assert first["t_ns"] <= last["t_ns"]
+
+
+def test_funnel_unordered_dominates_ordered(spark, sf_dir):
+    """Unordered completion is a superset of strict-sequence
+    completion: at least as many users complete all 3 steps."""
+    from algebraicdb_spark.operators.analytics import (
+        event_funnel_unordered,
+        event_window_funnel,
+    )
+
+    un = {
+        r["steps_completed"]: r["n_users"]
+        for r in event_funnel_unordered(spark, sf_dir).collect()
+    }
+    ordered = {
+        r["funnel_depth"]: r["n_users"]
+        for r in event_window_funnel(spark, sf_dir).collect()
+    }
+    # dominance, cumulatively: completing the STRICT sequence to depth
+    # k within the window implies k unordered steps in some window
+    for k in (2, 3):
+        un_ge = sum(n for s, n in un.items() if s >= k)
+        ord_ge = sum(n for d, n in ordered.items() if d >= k)
+        assert un_ge >= ord_ge
+    assert sum(un.values()) > 0
+
+
+def test_interval_frame_matches_numeric_twin(spark, sf_dir):
+    """The INTERVAL range frame must agree with an explicit epoch-µs
+    numeric range frame on the same data."""
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.operators.windows import win_time_range_frame
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {
+        r["event_id"]: r["n_trailing_hour"]
+        for r in win_time_range_frame(spark, sf_dir).collect()
+    }
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    want = {
+        r["event_id"]: r["n"]
+        for r in e.select(
+            "event_id", F.count(F.lit(1)).over(w).alias("n")
+        ).collect()
+    }
+    assert got == want
