@@ -261,3 +261,19 @@ def udtf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_cents bigint, max_cents bigint",
         )
     )
+
+
+@register("udf_arrow_scalar", oracle=_CLASSIFY_ORACLE)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same classifier via the Arrow-OPTIMIZED Python UDF path
+    (``useArrow=True``, Spark 3.5+): row-at-a-time author ergonomics,
+    Arrow-batched transfer — the migration story between
+    udf_python_scalar (pickle serialization) and udf_pandas_scalar
+    (vectorized author surface). All three keys share one oracle, so
+    the three execution paths are pinned byte-identical.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    classify = F.udf(_classify, StringType(), useArrow=True)
+    return li.filter(F.col("l_orderkey") % 799 == 0).select(
+        "l_orderkey", "l_linenumber", classify("l_discount").alias("disc_class")
+    )

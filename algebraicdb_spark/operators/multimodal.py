@@ -274,3 +274,87 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("height") * RESIZE_TARGET / longest).cast("int").alias("out_h"),
         )
     )
+
+
+CHUNK_BYTES = 96       # chunk length (stands in for e.g. 30 s of audio)
+CHUNK_STRIDE = 64      # hop — CHUNK_BYTES-CHUNK_STRIDE bytes of overlap
+
+
+@register(
+    "multimodal_chunk_overlap",
+    # overlapping segmentation of an opaque payload (audio windows,
+    # video GOPs, long-doc context chunks): chunk i covers
+    # [i*stride, i*stride+len), last partial chunk kept; per-chunk
+    # content hash proves byte-exact slicing on both engines.
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, text AS payload,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents WHERE doc_id % 8 = 0
+    ), chunks AS (
+      SELECT doc_id, n_bytes,
+             CAST(t.i AS INT) AS chunk_idx,
+             CAST(t.i * {CHUNK_STRIDE} AS BIGINT) AS start_byte,
+             substring(payload, t.i * {CHUNK_STRIDE} + 1,
+                       {CHUNK_BYTES}) AS chunk
+      FROM src,
+           LATERAL unnest(range(0,
+             CAST(GREATEST((n_bytes - {CHUNK_BYTES} + {CHUNK_STRIDE} - 1)
+                  // {CHUNK_STRIDE}, 0) + 1 AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, start_byte,
+           CAST(octet_length(CAST(chunk AS BLOB)) AS INT) AS chunk_bytes,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    """,
+)
+def multimodal_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk segmentation of an opaque binary payload —
+    the windowing every audio/ASR and long-context pipeline runs
+    (30 s windows with hop, video GOP splits, token-window chunking).
+    Chunk i covers bytes [i·stride, i·stride+len); the final partial
+    window is kept; the per-chunk md5 pins byte-exact slicing.
+
+    Scale shape: pure map-side sequence-explode — zero shuffle, and
+    the expansion factor is len/stride (bounded 1.5x here). The
+    chunk count derives from the payload length in EXACT integer
+    ceil-division; a real decoder swaps byte offsets for sample or
+    frame offsets without touching the plan.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    src = d.where(F.col("doc_id") % 8 == 0).select(
+        "doc_id",
+        F.col("text").alias("payload"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+    n_chunks = (
+        F.greatest(
+            F.expr(
+                f"(n_bytes - {CHUNK_BYTES} + {CHUNK_STRIDE} - 1) "
+                f"DIV {CHUNK_STRIDE}"
+            ),
+            F.lit(0),
+        )
+        + 1
+    )
+    chunks = src.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "payload",
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i").cast("bigint") * CHUNK_STRIDE).alias("start_byte"),
+        F.expr(
+            f"substring(payload, i * {CHUNK_STRIDE} + 1, {CHUNK_BYTES})"
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_byte",
+        F.octet_length(F.col("chunk").cast("binary"))
+        .cast("int")
+        .alias("chunk_bytes"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )

@@ -258,3 +258,94 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("long").alias("n_seqs"),
     )
+
+
+INCR_SPLIT = 400  # doc_id < split = already-ingested corpus; rest = new batch
+
+
+@register(
+    "pipeline_incremental_dedup",
+    # incremental ingestion dedup: a NEW batch is checked against the
+    # standing corpus fingerprint state, then within itself — the
+    # batch-mode statement of stream_dedup_watermark's semantics, on
+    # content fingerprints instead of ids.
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))),
+               ' ')) AS fp
+      FROM documents
+    ), old_fps AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {INCR_SPLIT}
+    ), batch AS (
+      SELECT f.doc_id, f.fp,
+             CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS hits_corpus,
+             row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id)
+               AS rn_in_batch
+      FROM fps f LEFT JOIN old_fps o ON o.fp = f.fp
+      WHERE f.doc_id >= {INCR_SPLIT}
+    )
+    SELECT doc_id,
+           CASE WHEN hits_corpus = 1 THEN 'dup_of_corpus'
+                WHEN rn_in_batch > 1 THEN 'dup_in_batch'
+                ELSE 'fresh' END AS status
+    FROM batch
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: classify every document of a new
+    batch against (a) the standing corpus's fingerprint state and
+    (b) the batch itself — 'dup_of_corpus' / 'dup_in_batch' /
+    'fresh'. This is how dedup actually runs in production: the
+    corpus fingerprints are a persisted table that each ingest batch
+    left-joins, NOT a full-corpus recompute (the one-shot keys'
+    shape). First-in-batch keeps 'fresh' so the batch's survivors
+    plus the old state form the next state — the fold is associative
+    across batches.
+
+    Scale shape: fingerprints map-side; ONE join of the batch against
+    the (distinct) state on fp; the in-batch tiebreak window shares
+    the fp partitioning. State grows with UNIQUE content only.
+    """
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(F.split(canonical_text("text"), " "))
+                ),
+            )
+        ).alias("fp"),
+    )
+    old_fps = (
+        fps.where(F.col("doc_id") < INCR_SPLIT)
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = (
+        fps.where(F.col("doc_id") >= INCR_SPLIT)
+        .join(old_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.coalesce("hit", F.lit(0)).alias("hits_corpus"),
+            F.row_number()
+            .over(Window.partitionBy("fp").orderBy("doc_id"))
+            .alias("rn_in_batch"),
+        )
+    )
+    return batch.select(
+        "doc_id",
+        F.when(F.col("hits_corpus") == 1, "dup_of_corpus")
+        .when(F.col("rn_in_batch") > 1, "dup_in_batch")
+        .otherwise("fresh")
+        .alias("status"),
+    )

@@ -364,3 +364,75 @@ def test_interval_frame_matches_numeric_twin(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_is_associative_with_state(spark, sf_dir):
+    """fresh batch docs + old state must equal the one-shot keep-best
+    group structure: a batch doc is non-fresh iff its fingerprint
+    appeared earlier (in corpus or batch)."""
+    from algebraicdb_spark.operators.pipeline import (
+        INCR_SPLIT,
+        pipeline_incremental_dedup,
+    )
+
+    rows = {r["doc_id"]: r["status"] for r in
+            pipeline_incremental_dedup(spark, sf_dir).collect()}
+    assert rows and all(did >= INCR_SPLIT for did in rows)
+    assert set(rows.values()) <= {"fresh", "dup_of_corpus", "dup_in_batch"}
+    # cross-check against the global keep-best grouping
+    from algebraicdb_spark.operators.dedup import dedup_keep_best
+
+    kept_groups = dedup_keep_best(spark, sf_dir).collect()
+    # every batch doc marked fresh must be the FIRST occurrence of its
+    # fingerprint corpus-wide => counts line up with groups whose
+    # minimum member is >= the split
+    n_fresh = sum(1 for s in rows.values() if s == "fresh")
+    # recompute first-occurrence doc per set_fp
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.operators.dedup import canonical_text
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(F.split(canonical_text("text"), " "))
+                ),
+            )
+        ).alias("fp"),
+    )
+    firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    n_first_in_batch = firsts.where(
+        F.col("first_doc") >= INCR_SPLIT
+    ).count()
+    assert n_fresh == n_first_in_batch
+    assert len(kept_groups) >= n_first_in_batch
+
+
+def test_chunk_overlap_reconstructs_payload(spark, sf_dir):
+    """Chunks must tile the payload: stride-spaced starts, full chunks
+    of len CHUNK_BYTES except the last, and chunk 0 starts at 0."""
+    from algebraicdb_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        CHUNK_STRIDE,
+        multimodal_chunk_overlap,
+    )
+
+    rows = multimodal_chunk_overlap(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_idx"] == 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_byte"] == c["chunk_idx"] * CHUNK_STRIDE
+            assert 1 <= c["chunk_bytes"] <= CHUNK_BYTES
+        for c in chunks[:-1]:
+            assert c["chunk_bytes"] == CHUNK_BYTES

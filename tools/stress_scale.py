@@ -130,6 +130,16 @@ KEYS = [
     "event_survival_km",
     "interval_max_concurrency",
     "graph_kcore",
+    # round-5 fourth wave (novelty / PIT / mixing / MMR / LPA / M4)
+    "text_ngram_novelty",
+    "feature_pit_join",
+    "mix_epoch_repeat",
+    "sim_mmr_diversify",
+    "graph_label_propagation",
+    "source_txnlog_snapshot",
+    "time_downsample_m4",
+    "event_funnel_unordered",
+    "win_time_range_frame",
 ]
 
 
