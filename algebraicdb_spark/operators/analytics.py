@@ -2536,3 +2536,174 @@ def event_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("user_id").cast("bigint").alias("user_checksum"),
     )
+
+
+@register(
+    "event_cart_abandonment",
+    # 30-min-gap sessions (event_session_stats' islands), classified:
+    # engaged = has click/view, converted = has purchase; abandonment
+    # = engaged AND NOT converted. Daily rate from exact counts.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             CAST(date_trunc('day', MIN(ts)) AS DATE) AS day,
+             MAX(CASE WHEN event_type IN ('click', 'view')
+                 THEN 1 ELSE 0 END) AS engaged,
+             MAX(CASE WHEN event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS converted
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN engaged = 1 AND converted = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           floor(CAST(CAST(SUM(CASE WHEN engaged = 1 AND converted = 0
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS abandonment_rate
+    FROM sessions
+    GROUP BY day
+    """,
+)
+def event_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level cart abandonment: sessionize (30-min gaps, the
+    same islands as event_session_stats), classify each session as
+    engaged (clicked/viewed) and/or converted (purchased), and roll
+    the abandoned share up by day — the conversion-health metric
+    product teams watch daily, derived entirely from the sessionizer
+    this engine already ships.
+
+    Scale shape: one user_id exchange (gap flag + island sum + the
+    session aggregate all share it), then a day-grain rollup —
+    counts are exact integers, the rate one IEEE division.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(w_cum).alias("session_id"),
+    )
+    sessions = islands.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.max(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).alias("engaged"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    abandoned = F.when(
+        (F.col("engaged") == 1) & (F.col("converted") == 0), 1
+    ).otherwise(0)
+    return sessions.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(abandoned).cast("bigint").alias("n_abandoned"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        pround(
+            F.sum(abandoned).cast("double") / F.count(F.lit(1))
+        ).alias("abandonment_rate"),
+    )
+
+
+@register(
+    "inventory_backlog_timeline",
+    # open-line backlog over time: a lineitem is OPEN from its order
+    # date until its ship date. Month-grain sweep: +1 at order month,
+    # -1 after ship month, cumulative sum = end-of-month backlog.
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m_open,
+             CAST(date_trunc('month', l.l_shipdate) AS DATE) AS m_ship
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deltas AS (
+      SELECT m_open AS month, 1 AS delta FROM li
+      UNION ALL
+      SELECT m_ship + INTERVAL 1 MONTH, -1 FROM li
+    ), monthly AS (
+      SELECT CAST(month AS DATE) AS month, CAST(SUM(delta) AS BIGINT) AS d
+      FROM deltas GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           CAST(SUM(d) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_lines,
+           d AS net_change
+    FROM monthly
+    """,
+)
+def inventory_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month open-order backlog: each lineitem is open from
+    its order month through its ship month; the timeline is the
+    classic event-delta sweep (+1 open, −1 after ship) cumulated
+    over months — the point-in-time inventory/backlog question that
+    naive per-month recounting answers with a full rescan PER MONTH,
+    and this shape answers with one pass.
+
+    Scale shape: one orderkey join (lineitem⋈orders), a month-grain
+    delta aggregate (map-side combinable to |months|×2 rows), and a
+    cumulative window over the TINY month grain. The sweep never
+    materializes per-line intervals beyond the two delta rows.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = load_tables(spark, sf_dir)["orders"]
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m_open"),
+        F.add_months(
+            F.date_trunc("month", "l_shipdate").cast("date"), 1
+        ).alias("m_close"),
+    )
+    deltas = j.select(
+        F.col("m_open").alias("month"), F.lit(1).alias("delta")
+    ).unionAll(
+        j.select(F.col("m_close").alias("month"), F.lit(-1).alias("delta"))
+    )
+    monthly = deltas.groupBy("month").agg(
+        F.sum("delta").cast("bigint").alias("d")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.sum("d").over(w).cast("bigint").alias("open_lines"),
+        F.col("d").alias("net_change"),
+    )

@@ -58,6 +58,9 @@ EXTRAS = [
     "graph_triangle_count",
     "sim_tfidf_cosine",
     "ml_train_logreg",
+    "graph_kcore",
+    "sim_mmr_diversify",
+    "text_ngram_novelty",
 ]
 
 

@@ -436,3 +436,37 @@ def test_chunk_overlap_reconstructs_payload(spark, sf_dir):
             assert 1 <= c["chunk_bytes"] <= CHUNK_BYTES
         for c in chunks[:-1]:
             assert c["chunk_bytes"] == CHUNK_BYTES
+
+
+def test_cart_abandonment_partitions_sessions(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        event_cart_abandonment,
+    )
+    from algebraicdb_spark.streaming.batch_equiv import event_session_stats
+
+    days = event_cart_abandonment(spark, sf_dir).collect()
+    assert days
+    n_sessions = sum(r["n_sessions"] for r in days)
+    # same sessionizer as event_session_stats => same session count
+    stats = event_session_stats(spark, sf_dir).collect()
+    assert n_sessions == sum(r["n_sessions"] for r in stats)
+    for r in days:
+        assert 0 <= r["n_abandoned"] <= r["n_sessions"]
+        assert 0.0 <= r["abandonment_rate"] <= 1.0
+
+
+def test_backlog_timeline_conserves_lines(spark, sf_dir):
+    """The sweep must start at 0-net, peak positive, and return to 0
+    open lines after the last ship month (every opened line closes)."""
+    from algebraicdb_spark.operators.analytics import (
+        inventory_backlog_timeline,
+    )
+
+    rows = sorted(
+        inventory_backlog_timeline(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["open_lines"] == rows[0]["net_change"] >= 0
+    assert max(r["open_lines"] for r in rows) > 0
+    assert rows[-1]["open_lines"] == 0  # all lines eventually ship
+    assert sum(r["net_change"] for r in rows) == 0
