@@ -771,11 +771,23 @@ def expand_macros(sql: str, macros: Mapping[str, tuple[list[str], str]]) -> str:
                 full_args = list(args) + [
                     d for _, d in spec[len(args) :]
                 ]
+                # SIMULTANEOUS substitution: params go to opaque
+                # placeholders first, then placeholders to argument
+                # text. Sequential re.sub would re-substitute an
+                # argument that happens to name a LATER parameter
+                # (macro a(a0, b) called as a(b, 0) turned the first
+                # argument's `b` into the second's `0` — caught by the
+                # hypothesis hygiene property).
                 expanded = body
-                for (p, _), a in zip(spec, full_args):
+                for idx, (p, _) in enumerate(spec):
                     expanded = re.sub(
-                        rf"\b{re.escape(p)}\b", f"({a})", expanded, flags=re.IGNORECASE
+                        rf"\b{re.escape(p)}\b",
+                        f"\x01{idx}\x01",
+                        expanded,
+                        flags=re.IGNORECASE,
                     )
+                for idx, a in enumerate(full_args):
+                    expanded = expanded.replace(f"\x01{idx}\x01", f"({a})")
                 replacement = f"({expanded})"
                 masked = masked[: m.start()] + replacement + masked[close_idx + 1 :]
                 # resume AFTER the expansion: rescanning it in the same

@@ -2707,3 +2707,139 @@ def inventory_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").over(w).cast("bigint").alias("open_lines"),
         F.col("d").alias("net_change"),
     )
+
+
+CUSUM_C = 5  # alarm threshold in population-sigma units
+
+
+@register(
+    "time_changepoint_cusum",
+    # CUSUM drift detection with EXACT integer arithmetic end-to-end.
+    # The textbook recurrence S+_t = max(0, S+_{t-1} + y_t) has the
+    # closed form S+_t = P_t - min(0, min_{j<=t} P_j) over prefix
+    # sums P — so the sequential-looking scan is just two windows.
+    # Work is scaled by n (days) so the mean never becomes a float:
+    # y'_t = n*x_t - S. Threshold h' = C*sigma*n = C*sqrt(n*SS - S^2);
+    # IEEE sqrt is correctly rounded, so floor(C*sqrt(A)) is the same
+    # BIGINT on every engine.
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type
+    ), scaled AS (
+      SELECT d.event_type, d.day, d.x,
+             d.x * t.n - t.s AS y,
+             CAST(floor({CUSUM_C} * sqrt(CAST(t.n * t.ss - t.s * t.s
+                                              AS DOUBLE))) AS BIGINT) AS h
+      FROM daily d JOIN stats t ON t.event_type = d.event_type
+    ), prefixes AS (
+      SELECT event_type, day, x, h,
+             SUM(y) OVER w AS p_pos,
+             SUM(-y) OVER w AS p_neg
+      FROM scaled
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pre AS (
+      SELECT event_type, day, x, h, p_pos, p_neg,
+             LEAST(CAST(0 AS BIGINT), MIN(p_pos) OVER w2) AS m_pos,
+             LEAST(CAST(0 AS BIGINT), MIN(p_neg) OVER w2) AS m_neg
+      FROM prefixes
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+           CAST(p_pos - m_pos AS BIGINT) AS cusum_pos,
+           CAST(p_neg - m_neg AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN p_pos - m_pos > h OR p_neg - m_neg > h
+                THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM pre
+    """,
+)
+def time_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection on daily event volumes:
+    alarms when the cumulative deviation from the series mean drifts
+    past C·σ — the drift detector that catches slow regime changes
+    the pointwise z-score key (event_anomaly_zscore) cannot.
+
+    Declarative trick: the sequential max(0, ·) reset recurrence
+    equals P_t − min(0, running-min of P) over plain prefix sums, so
+    CUSUM is two stacked windows — no UDF, no loop, no state. All
+    arithmetic is exact integers scaled by n (days per series); the
+    only float touchpoint is one correctly-rounded sqrt for the
+    threshold, floored to a BIGINT identically on both engines.
+
+    Scale shape: the raw scan collapses to the (type, day) grain
+    immediately; every window runs over that tiny grain, partitioned
+    by series.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    scaled = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("x") * F.col("n") - F.col("s")).alias("y"),
+        F.floor(
+            CUSUM_C
+            * F.sqrt(
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = scaled.select(
+        "event_type",
+        "day",
+        "x",
+        "h",
+        F.sum("y").over(w).alias("p_pos"),
+        F.sum(-F.col("y")).over(w).alias("p_neg"),
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        "h",
+        "p_pos",
+        "p_neg",
+        F.least(F.lit(0).cast("bigint"), F.min("p_pos").over(w)).alias(
+            "m_pos"
+        ),
+        F.least(F.lit(0).cast("bigint"), F.min("p_neg").over(w)).alias(
+            "m_neg"
+        ),
+    )
+    cpos = F.col("p_pos") - F.col("m_pos")
+    cneg = F.col("p_neg") - F.col("m_neg")
+    return pre.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        cpos.cast("bigint").alias("cusum_pos"),
+        cneg.cast("bigint").alias("cusum_neg"),
+        F.when((cpos > F.col("h")) | (cneg > F.col("h")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alarm"),
+    )

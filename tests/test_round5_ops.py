@@ -470,3 +470,44 @@ def test_backlog_timeline_conserves_lines(spark, sf_dir):
     assert max(r["open_lines"] for r in rows) > 0
     assert rows[-1]["open_lines"] == 0  # all lines eventually ship
     assert sum(r["net_change"] for r in rows) == 0
+
+
+def test_cusum_closed_form_matches_sequential_replay(spark, sf_dir):
+    """The prefix − running-min closed form must equal the textbook
+    sequential recurrence S+_t = max(0, S+_{t-1} + y_t), replayed on
+    the driver over the tiny day grain."""
+    from algebraicdb_spark.operators.analytics import (
+        time_changepoint_cusum,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in time_changepoint_cusum(spark, sf_dir).collect()
+    }
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    for etype, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = sum(x for _, x in pts)
+        spos = sneg = 0
+        for day, x in pts:
+            y = x * n - s
+            spos = max(0, spos + y)
+            sneg = max(0, sneg - y)
+            row = got[(etype, day)]
+            assert row["cusum_pos"] == spos
+            assert row["cusum_neg"] == sneg
