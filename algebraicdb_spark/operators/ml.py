@@ -391,3 +391,164 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+KMEANS_ITERS = 2
+_KM_FIT_GRID = 10**6
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled 2-iteration Lloyd replay: stride seeds, fold-order
+    dot assignment (argmax, c_id tie-break), grid-floored integer
+    means — the sim_knn_ivf training device, run for a second
+    iteration and finished with cluster-level fit statistics."""
+    from algebraicdb_spark.operators.similarity import (
+        _MEAN_GRID,
+        _fold_dot,
+    )
+
+    ctes = [
+        """seeds AS MATERIALIZED (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % 60 = 0 AND vec_id < 480
+    )"""
+    ]
+    prev = "seeds"
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, embedding, c_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_fold_dot('e.embedding', 'c.c_emb')} DESC,
+                          c.c_id) AS r
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE r = 1
+    ),
+    dims{i} AS MATERIALIZED (
+      SELECT c_id, u.dim, u.v
+      FROM a{i} t,
+           LATERAL (SELECT UNNEST(t.embedding) AS v,
+                           generate_subscripts(t.embedding, 1) AS dim) u
+    ),
+    raw_cents{i} AS MATERIALIZED (
+      SELECT c_id, list(CAST(m AS FLOAT) ORDER BY dim) AS c_raw
+      FROM (
+        SELECT c_id, dim,
+               (CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_MEAN_GRID})
+                              AS BIGINT)) AS DOUBLE) / {_MEAN_GRID}.0)
+                 / COUNT(*) AS m
+        FROM dims{i} GROUP BY c_id, dim
+      ) GROUP BY c_id
+    ),
+    cents{i} AS MATERIALIZED (
+      -- spherical k-means: project the mean back to the unit sphere
+      -- (the mean direction is the EXACT argmax of the summed-dot
+      -- objective over unit centroids, which keeps Lloyd monotone)
+      SELECT c_id,
+             list_transform(c_raw,
+               x -> CAST(CAST(x AS DOUBLE) /
+                    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        i -> CAST(c_raw[i] AS DOUBLE)
+                             * CAST(c_raw[i] AS DOUBLE))),
+                      (a, b) -> a + b)) AS FLOAT)) AS c_emb
+      FROM raw_cents{i}
+    )""")
+        prev = f"cents{i}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    final_a AS (
+      SELECT vec_id, c_id, fit_g FROM (
+        SELECT e.vec_id, c.c_id,
+               CAST(floor({_fold_dot('e.embedding', 'c.c_emb')}
+                          * {_KM_FIT_GRID}) AS BIGINT) AS fit_g,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_fold_dot('e.embedding', 'c.c_emb')} DESC,
+                          c.c_id) AS r
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE r = 1
+    )
+    SELECT c_id AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
+           CAST(SUM(fit_g) AS BIGINT) AS fit_grid
+    FROM final_a GROUP BY c_id
+    """
+    )
+
+
+def spherical_refine(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One spherical-k-means iteration: Lloyd assignment + grid-exact
+    mean (shared with IVF), then projection back to the unit sphere.
+    The unit mean direction is the exact argmax of the summed-dot
+    objective over unit centroids, so iterations are monotone in the
+    total fit (pytest pins this). Fold order of the norm matches the
+    oracle: sequential dim-order sum of squared doubles."""
+    from algebraicdb_spark.operators.similarity import _refine_centroids
+
+    def renorm(c):
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.transform(
+            c, lambda x: (x.cast("double") / norm).cast("float")
+        )
+
+    return _refine_centroids(e, cents).select(
+        "c_id", renorm(F.col("c_emb")).alias("c_emb")
+    )
+
+
+@register("ml_train_kmeans", oracle=_kmeans_oracle())
+def ml_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-means training: 2 full Lloyd iterations from
+    deterministic stride seeds, finished with per-cluster membership
+    and fit statistics — the third in-engine trainer next to
+    ml_train_logreg (GD) and the IVF index builder (whose single
+    iteration this generalizes).
+
+    Every iteration is the declarative shape that scales: a
+    broadcast-centroid argmax assignment (k×|corpus| map work, no
+    corpus shuffle) and a posexplode per-dimension mean whose shuffle
+    is k×64 integer cells. Means are 1e-9-grid integer sums (order-
+    free), assignment similarity is the shared fold-order dot, and
+    the cluster fit total sums 1e-6-grid integers — bit-replayable
+    end-to-end by the unrolled oracle.
+    """
+    from algebraicdb_spark.operators.similarity import dot
+    from pyspark.sql.window import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cents = e.where(
+        (F.col("vec_id") % 60 == 0) & (F.col("vec_id") < 480)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    for _ in range(KMEANS_ITERS):
+        cents = spherical_refine(e, cents).localCheckpoint(eager=True)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "c_id",
+        dot(F.col("embedding"), F.col("c_emb")).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("c_id"))
+    final_a = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "vec_id",
+            "c_id",
+            F.floor(F.col("s") * _KM_FIT_GRID).cast("bigint").alias("fit_g"),
+        )
+    )
+    return final_a.groupBy(F.col("c_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("member_checksum"),
+        F.sum("fit_g").cast("bigint").alias("fit_grid"),
+    )

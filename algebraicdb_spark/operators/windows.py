@@ -362,3 +362,53 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "win_ignore_nulls",
+    # IGNORE NULLS across the navigation family (lag / lead /
+    # first_value-style nth) over a sparse column: only purchases
+    # carry a value; every event sees its nearest non-null neighbors.
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    SELECT event_id,
+           floor(CAST(lag(pv IGNORE NULLS) OVER w AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS prev_purchase,
+           floor(CAST(lead(pv IGNORE NULLS) OVER w AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS next_purchase
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG / LEAD … IGNORE NULLS over a sparse measure: each event
+    sees the user's nearest prior and next purchase value, skipping
+    the non-purchase rows between — the forward/backward-fill
+    navigation surface (win_lag_lead's dense twin never skips).
+
+    One user_id exchange + one sort serves both directions. Null
+    skipping happens inside the window frame evaluation — no
+    pre-filter + re-join of the sparse rows.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    e.createOrReplaceTempView("__win_ig_events")
+    return spark.sql(
+        """
+        WITH ev AS (
+          SELECT user_id, event_id, unix_micros(ts) AS t_us,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM __win_ig_events
+        )
+        SELECT event_id,
+               floor(CAST(lag(pv) IGNORE NULLS OVER w AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS prev_purchase,
+               floor(CAST(lead(pv) IGNORE NULLS OVER w AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS next_purchase
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        """
+    )

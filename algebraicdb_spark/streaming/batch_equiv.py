@@ -514,3 +514,74 @@ def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg("duration_s")).alias("avg_duration_s"),
         F.max("duration_s").cast("long").alias("max_duration_s"),
     )
+
+
+@register(
+    "stream_stream_left_join",
+    # the LEFT OUTER watermarked stream-stream join: every click is
+    # emitted; unmatched clicks surface with NULLs once the watermark
+    # passes click_ts + 1 h (state eviction = the join condition's
+    # time bound). The batch twin is the same left join — the null
+    # rows ARE the late-emission rows a streaming run produces.
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           floor(CAST(p.value AS DOUBLE) * 10000 + 0.5) / 10000
+             AS purchase_value,
+           CAST(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS unmatched
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <  c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (clicks ⟕ purchases within 1 h):
+    the outer twin of stream_stream_join. In Structured Streaming
+    this is the join whose NULL rows can only be emitted when the
+    watermark passes the click's upper time bound — the batch
+    formulation makes those exact rows (unmatched = 1) first-class
+    and hash-checkable.
+
+    Scale/state shape: the 1 h bound on BOTH sides is what makes
+    streaming state finite (each side's buffer holds one hour); in
+    batch the same bound is the band predicate that keeps the
+    per-user nested loop bounded. One user_id shuffle either way.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_ns").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("p_ts"),
+        F.col("value"),
+    )
+    hour_ns = 3600 * 1_000_000_000
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.lit(hour_ns)),
+            "left",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            pround("value").alias("purchase_value"),
+            F.when(F.col("purchase_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("unmatched"),
+        )
+    )

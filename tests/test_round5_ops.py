@@ -511,3 +511,65 @@ def test_cusum_closed_form_matches_sequential_replay(spark, sf_dir):
             row = got[(etype, day)]
             assert row["cusum_pos"] == spos
             assert row["cusum_neg"] == sneg
+
+
+def test_kmeans_clusters_partition_corpus(spark, sf_dir):
+    from algebraicdb_spark.operators.ml import ml_train_kmeans
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = ml_train_kmeans(spark, sf_dir).collect()
+    n_vecs = load_tables(spark, sf_dir)["embeddings"].count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert 1 <= len(rows) <= 8
+    assert sum(r["member_checksum"] for r in rows) == n_vecs * (n_vecs - 1) // 2
+
+
+def test_kmeans_iterations_do_not_hurt_fit(spark, sf_dir):
+    """Spherical Lloyd is monotone between UNIT-centroid
+    configurations: the 2-iteration fit must be >= the 1-iteration
+    fit (computed with the operator's own refine step)."""
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.operators.ml import (
+        _KM_FIT_GRID,
+        ml_train_kmeans,
+        spherical_refine,
+    )
+    from algebraicdb_spark.operators.similarity import dot
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    trained_fit = sum(
+        r["fit_grid"] for r in ml_train_kmeans(spark, sf_dir).collect()
+    )
+    e = load_tables(spark, sf_dir)["embeddings"]
+    seeds = e.where((F.col("vec_id") % 60 == 0) & (F.col("vec_id") < 480)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    one_iter = spherical_refine(e, seeds)
+    scored = e.crossJoin(F.broadcast(one_iter)).select(
+        "vec_id", "c_id", dot(F.col("embedding"), F.col("c_emb")).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("c_id"))
+    one_iter_fit = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .agg(F.sum(F.floor(F.col("s") * _KM_FIT_GRID).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert trained_fit >= one_iter_fit
+
+
+def test_left_stream_join_supersets_inner(spark, sf_dir):
+    from algebraicdb_spark.streaming.batch_equiv import (
+        stream_stream_join,
+        stream_stream_left_join,
+    )
+
+    left = stream_stream_left_join(spark, sf_dir).collect()
+    inner_n = stream_stream_join(spark, sf_dir).count()
+    matched = [r for r in left if r["unmatched"] == 0]
+    unmatched = [r for r in left if r["unmatched"] == 1]
+    assert len(matched) == inner_n
+    for r in unmatched:
+        assert r["purchase_id"] is None and r["purchase_value"] is None
+    assert unmatched, "fixture should contain never-converted clicks"
