@@ -2843,3 +2843,57 @@ def time_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+@register(
+    "event_dwell_time",
+    # inter-event dwell per user, summarized per event type with
+    # DISCRETE percentiles — exact integer microseconds end-to-end
+    # (percentile_disc returns actual data points, no interpolation).
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+               AS dwell_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           MIN(dwell_us) AS min_us,
+           CAST(quantile_disc(dwell_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(dwell_us, 0.9) AS BIGINT) AS p90_us,
+           MAX(dwell_us) AS max_us
+    FROM gaps WHERE dwell_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution: the gap from each event to the user's
+    previous event (any type), summarized per event type — "how long
+    do users sit before doing X", the engagement metric between the
+    transition matrix (which ignores time) and session stats (which
+    only see gap > threshold).
+
+    One user_id exchange for the lag, then a 5-group aggregate over
+    exact integer microseconds; discrete percentiles keep the whole
+    key float-free.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("dwell_us"),
+    ).where(F.col("dwell_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("dwell_us").alias("min_us"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_us)"
+        ).cast("bigint").alias("p50_us"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_us)"
+        ).cast("bigint").alias("p90_us"),
+        F.max("dwell_us").alias("max_us"),
+    )

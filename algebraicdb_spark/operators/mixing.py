@@ -647,3 +647,63 @@ def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "realized_epochs"
         ),
     )
+
+
+@register(
+    "mix_source_overlap_matrix",
+    # cross-source duplication diagnostic: for every source pair, how
+    # many distinct-token-set fingerprints they share — the matrix
+    # that decides which sources to dedup against each other before
+    # mixing (a one-source-at-a-time dedup can't see it).
+    oracle="""
+    WITH fps AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))),
+               ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b
+      ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def mix_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source duplication matrix: distinct content
+    fingerprints shared by each source pair. The pre-mixing
+    diagnostic that tells you WHERE duplication lives — two crawls
+    of the same site, a dataset embedded in another — before
+    corpus-wide dedup flattens the signal.
+
+    Scale shape: fingerprints collapse to (source, fp) DISTINCT
+    first (so a source's internal duplicates count once), then ONE
+    equi-join on fp whose fan-out per fingerprint is the number of
+    sources containing it (<= |sources|, never document count), then
+    a |sources|^2-bounded aggregate.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(F.split(canonical_text("text"), " "))
+                ),
+            )
+        ).alias("fp"),
+    ).distinct()
+    b = fps.select(
+        F.col("source").alias("source_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        fps.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )

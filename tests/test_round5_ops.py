@@ -573,3 +573,29 @@ def test_left_stream_join_supersets_inner(spark, sf_dir):
     for r in unmatched:
         assert r["purchase_id"] is None and r["purchase_value"] is None
     assert unmatched, "fixture should contain never-converted clicks"
+
+
+def test_dwell_time_ordering_and_counts(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import event_dwell_time
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = event_dwell_time(spark, sf_dir).collect()
+    e = load_tables(spark, sf_dir)["events"]
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # every event except each user's first produces one gap
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+    for r in rows:
+        assert 0 <= r["min_us"] <= r["p50_us"] <= r["p90_us"] <= r["max_us"]
+
+
+def test_source_overlap_symmetric_and_bounded(spark, sf_dir):
+    from algebraicdb_spark.operators.mixing import mix_source_overlap_matrix
+
+    rows = mix_source_overlap_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # upper triangle only
+        assert r["shared_fps"] >= 1
+    pairs = {(r["source_a"], r["source_b"]) for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate cells
