@@ -881,3 +881,79 @@ def rewrite_qualify(sql: str) -> str:
         f"WHERE __qualify{tail}"
     )
     return _unmask_strings(out, saved)
+
+
+# -- DISTINCT ON ----------------------------------------------------------
+
+_DISTINCT_ON_RE = re.compile(
+    r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\("
+)
+_DO_ORDER_RE = re.compile(r"(?i)\bORDER\s+BY\b")
+_DO_LIMIT_RE = re.compile(r"(?i)\bLIMIT\b")
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """Lower PostgreSQL ``SELECT DISTINCT ON (keys) list … ORDER BY
+    keys, tiebreak`` to a rank-1 window subquery:
+
+        SELECT * EXCEPT (__don_rn)
+        FROM (SELECT list, row_number() OVER (PARTITION BY keys
+              ORDER BY <order-by or keys>) AS __don_rn FROM …) t
+        WHERE __don_rn = 1 [ORDER BY …] [LIMIT …]
+
+    Postgres semantics preserved: the ORDER BY decides which row of
+    each key group survives AND the final output order; with no ORDER
+    BY the survivor is the keys-order arbitrary row (here made
+    deterministic by ordering on the keys themselves)."""
+    masked, saved = _mask_strings(sql)
+    m = _DISTINCT_ON_RE.match(masked)
+    if m is None:
+        return sql
+    open_idx = masked.index("(", m.end() - 1)
+    close_idx = _find_matching_paren(masked, open_idx)
+    keys = masked[open_idx + 1 : close_idx].strip()
+    rest = masked[close_idx + 1 :].strip()  # "<list> FROM … [tail]"
+    t = next(
+        (
+            x
+            for x in _DO_ORDER_RE.finditer(rest)
+            if _depth_at(rest, x.start()) == 0
+        ),
+        None,
+    )
+    lim = next(
+        (
+            x
+            for x in _DO_LIMIT_RE.finditer(rest)
+            if _depth_at(rest, x.start()) == 0
+        ),
+        None,
+    )
+    if t is not None:
+        body = rest[: t.start()].rstrip()
+        order = rest[t.start() : lim.start() if lim else len(rest)]
+        order = order.strip().rstrip(";")
+        tail = " " + order
+        win_order = re.sub(r"(?i)^ORDER\s+BY\s+", "", order)
+    else:
+        body = (rest[: lim.start()] if lim else rest).rstrip()
+        tail = ""
+        win_order = keys
+    limit_tail = (
+        " " + rest[lim.start() :].strip().rstrip(";") if lim else ""
+    )
+    if t is None:
+        body = body.rstrip(";").rstrip()
+    sel_m = re.match(r"(?is)^(?P<list>.*?)\bFROM\b", body)
+    if sel_m is None:
+        raise AdtError("DISTINCT ON requires a FROM clause")
+    inner = (
+        f"SELECT {sel_m.group('list').strip()}, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {win_order}) AS __don_rn "
+        f"{body[sel_m.end() - 4:]}"
+    )
+    out = (
+        f"SELECT * EXCEPT (__don_rn) FROM ({inner}) __don_t "
+        f"WHERE __don_rn = 1{tail}{limit_tail}"
+    )
+    return _unmask_strings(out, saved)

@@ -39,6 +39,7 @@ from algebraicdb_spark.dialect import (
     parse_create_table,
     parse_create_type,
     parse_insert_rows,
+    rewrite_distinct_on,
     rewrite_match_exprs,
     rewrite_patterns,
     rewrite_qualify,
@@ -824,6 +825,7 @@ class Engine:
     def _rewrite(self, stmt: str) -> str:
         if self._functions:
             stmt = expand_macros(stmt, self._functions)
+        stmt = rewrite_distinct_on(stmt)
         stmt = rewrite_qualify(stmt)
         adt_cols: dict[str, AdtType] = {}
         known: set[str] = set()

@@ -1208,3 +1208,42 @@ class TestQualify:
         eng2 = Engine(spark, sf_dir)
         with pytest.raises(AdtError, match="empty predicate"):
             eng2.sql("SELECT r_regionkey FROM region QUALIFY LIMIT 2")
+
+
+class TestDistinctOn:
+    def test_distinct_on_latest_per_key(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, "
+            "o_totalprice FROM orders "
+            "ORDER BY o_custkey, o_totalprice DESC, o_orderkey LIMIT 20"
+        ).collect()
+        assert len(rows) == 20
+        assert rows[0].o_custkey < rows[1].o_custkey  # outer order kept
+        # survivor is the priciest order of its customer
+        top = eng2.spark.sql(
+            "SELECT o_custkey, MAX(o_totalprice) AS m FROM orders "
+            "GROUP BY o_custkey"
+        ).collect()
+        maxes = {r.o_custkey: r.m for r in top}
+        for r in rows:
+            assert abs(r.o_totalprice - maxes[r.o_custkey]) < 1e-9
+
+    def test_distinct_on_without_order_by(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT DISTINCT ON (o_orderstatus) o_orderstatus FROM orders"
+        ).collect()
+        statuses = {r.o_orderstatus for r in rows}
+        assert len(rows) == len(statuses) == 3
+
+    def test_distinct_on_composes_with_where(self, spark, sf_dir):
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey "
+            "FROM orders WHERE o_orderstatus = 'F' "
+            "ORDER BY o_custkey, o_orderkey LIMIT 5"
+        ).collect()
+        assert len(rows) == 5
+        # one row per customer
+        assert len({r.o_custkey for r in rows}) == 5

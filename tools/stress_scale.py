@@ -140,6 +140,15 @@ KEYS = [
     "time_downsample_m4",
     "event_funnel_unordered",
     "win_time_range_frame",
+    # round-5 fifth wave
+    "time_changepoint_cusum",
+    "event_cart_abandonment",
+    "inventory_backlog_timeline",
+    "ml_train_kmeans",
+    "event_dwell_time",
+    "mix_source_overlap_matrix",
+    "stream_stream_left_join",
+    "win_ignore_nulls",
 ]
 
 
