@@ -807,3 +807,61 @@ def source_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         exact_money_sum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@register(
+    "scan_table_checksum",
+    # order-insensitive whole-table checksum: every row hashes (via
+    # the full-row grid key sample_reservoir introduced) to a 63-bit
+    # integer; the SUM of those integers is partition-order-free and
+    # engine-portable — the pt-table-checksum / replication-consistency
+    # primitive, one number per table.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_partkey AS VARCHAR) || '-'
+             || CAST(l_suppkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR) || '-'
+             || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '-'
+             || CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR) || '-'
+             || CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR) || '-'
+             || CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             || '-' || l_returnflag || '-' || l_linestatus || '-'
+             || strftime(l_shipdate, '%Y-%m-%d')), 1, 15))
+             AS BIGINT)) AS DECIMAL(38,0)) AS row_checksum
+    FROM lineitem
+    """,
+)
+def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: each row maps to a 60-bit
+    integer (first 15 hex chars of the full-row md5, every double
+    lifted onto its exact integer grid first) and the table digest is
+    their DECIMAL(38,0) SUM — commutative/associative, so ANY partitioning,
+    engine, or row order produces the identical pair (n_rows,
+    row_checksum). The replication-consistency primitive
+    (pt-table-checksum, Debezium snapshot verification): run it on
+    both sides of a copy and compare two BIGINTs instead of terabytes.
+
+    Scale shape: pure map-side hash + ONE mergeable sum — the
+    cheapest full-table integrity pass possible (no sort, no
+    shuffle beyond one decimal + one long per partition). The
+    38-digit decimal accumulator holds ~10^18 rows of 60-bit values.
+    """
+    from algebraicdb_spark.operators.warehouse import row_hash_input
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    row_int = F.conv(
+        F.substring(F.md5(row_hash_input(li)), 1, 15), 16, 10
+    ).cast("bigint")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        # DECIMAL(38,0) accumulation: 60-bit row values overflow an
+        # int64 sum past ~8k rows; decimal summation is exact to 38
+        # digits (~10^18 rows of headroom)
+        F.sum(row_int.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("row_checksum"),
+    )

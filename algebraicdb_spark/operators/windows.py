@@ -412,3 +412,63 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
         """
     )
+
+
+@register(
+    "win_exclude_current",
+    # SQL-standard EXCLUDE CURRENT ROW frames don't exist in Spark or
+    # DuckDB's default dialect — the portable form is frame-minus-
+    # self arithmetic over exact cents: peer mean = (sum - x)/(n - 1).
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER w AS BIGINT) AS s
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey,
+           floor((CAST(s - cents AS DOUBLE) / (n - 1) / 100.0)
+                 * 10000 + 0.5) / 10000 AS peer_avg_price,
+           CAST(CASE WHEN cents * (n - 1) > (s - cents) THEN 1 ELSE 0 END
+                AS INT) AS above_peers
+    FROM c WHERE n > 1
+    """,
+)
+def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW emulation: each order compared against the
+    mean of the customer's OTHER orders — the peer-comparison frame
+    (fraud scoring, price-outlier detection) that naive full-frame
+    averages contaminate with the row's own value.
+
+    Portable device: one unbounded window per key collects exact
+    integer cents (sum, count); the peer mean is (sum − self)/(n−1)
+    and the above-peers flag is the cross-multiplied INTEGER
+    comparison cents·(n−1) > (sum − cents) — no division ever decides
+    the boolean, so the flag is exact on any engine. One o_custkey
+    exchange, no self-join.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    w = Window.partitionBy("o_custkey")
+    c = o.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(cents).over(w).cast("bigint").alias("s"),
+    ).where(F.col("n") > 1)
+    peers = F.col("s") - F.col("cents")
+    return c.select(
+        "o_orderkey",
+        "o_custkey",
+        pround(
+            peers.cast("double") / (F.col("n") - 1) / 100.0
+        ).alias("peer_avg_price"),
+        F.when(F.col("cents") * (F.col("n") - 1) > peers, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("above_peers"),
+    )

@@ -599,3 +599,68 @@ def test_source_overlap_symmetric_and_bounded(spark, sf_dir):
         assert r["shared_fps"] >= 1
     pairs = {(r["source_a"], r["source_b"]) for r in rows}
     assert len(pairs) == len(rows)  # no duplicate cells
+
+
+def test_exclude_current_never_self_contaminates(spark, sf_dir):
+    """For a customer with n orders all priced P except one at Q, the
+    outlier's peer average must be exactly P — spot-check via a
+    synthetic-free invariant: peer_avg != own price whenever the
+    customer has any price variance and flag is consistent."""
+    from algebraicdb_spark.operators.windows import win_exclude_current
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = win_exclude_current(spark, sf_dir).collect()
+    o = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in load_tables(spark, sf_dir)["orders"].collect()
+    }
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    checked = 0
+    for cust, rs in list(by_cust.items())[:200]:
+        prices = [round(o[r["o_orderkey"]] * 100) for r in rs]
+        total = sum(prices)
+        for r, cents in zip(rs, prices):
+            peers = (total - cents) / (len(rs) - 1) / 100.0
+            assert abs(r["peer_avg_price"] - peers) < 1e-3
+            assert r["above_peers"] == (
+                1 if cents * (len(rs) - 1) > total - cents else 0
+            )
+            checked += 1
+    assert checked > 100
+
+
+def test_table_checksum_detects_any_row_change(spark, sf_dir):
+    """The digest over the real table differs from the digest over
+    the table with ONE row's price nudged by a cent — single-row
+    sensitivity, the property a replication check lives on."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from algebraicdb_spark.operators.scans import scan_table_checksum
+    from algebraicdb_spark.operators.warehouse import row_hash_input
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    base = scan_table_checksum(spark, sf_dir).collect()[0]
+    li = load_tables(spark, sf_dir)["lineitem"]
+    victim = li.limit(1).collect()[0]
+    mutated = li.withColumn(
+        "l_extendedprice",
+        F.when(
+            (F.col("l_orderkey") == victim["l_orderkey"])
+            & (F.col("l_partkey") == victim["l_partkey"])
+            & (F.col("l_suppkey") == victim["l_suppkey"])
+            & (F.col("l_linenumber") == victim["l_linenumber"]),
+            F.col("l_extendedprice") + 0.01,
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    row_int = F.conv(
+        F.substring(F.md5(row_hash_input(mutated)), 1, 15), 16, 10
+    ).cast("bigint")
+    mut_sum = mutated.agg(
+        F.sum(row_int.cast("decimal(38,0)")).cast("decimal(38,0)")
+    ).collect()[0][0]
+    assert base["n_rows"] == li.count()
+    assert int(mut_sum) != int(base["row_checksum"])
