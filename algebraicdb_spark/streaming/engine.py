@@ -370,3 +370,91 @@ def stateful_idle_finalize_tws(events: DataFrame) -> DataFrame:
             timeMode="ProcessingTime",
         )
     )
+
+
+SCD2_TWS_OUTPUT_DDL = (
+    "user_id bigint, segment string, version bigint, "
+    "valid_from_us bigint, valid_to_us bigint"
+)
+
+
+def scd2_fold(user_id, cur, batch):
+    """Fold one micro-batch of a user's events into SCD2 state: sort
+    by (ts_us, event_id), close an interval on every segment change.
+    Returns (closed_rows, new_open_row). Pure pandas — unit-testable
+    without a state store, and the exact logic Scd2Processor runs."""
+    out: list[tuple[int, str, int, int, int]] = []
+    batch = batch.sort_values(["ts_us", "event_id"])
+    for seg, ts_us in zip(batch["event_type"], batch["ts_us"]):
+        if cur is None:
+            cur = (str(seg), 1, int(ts_us))
+        elif seg != cur[0]:
+            out.append((user_id, cur[0], cur[1], cur[2], int(ts_us)))
+            cur = (str(seg), cur[1] + 1, int(ts_us))
+    return out, cur
+
+
+class Scd2Processor(StatefulProcessor):
+    """Streaming SCD type-2 build: per-user ValueState carries the
+    OPEN dimension row (segment, version, valid_from); every arriving
+    change CLOSES it (emits the finished interval) and opens the
+    next. The streaming twin of the batch ``scd2_history`` key — the
+    closed intervals it emits must equal the batch build's
+    ``is_current = 0`` rows exactly (pinned in test_streaming.py),
+    with state carried across micro-batch boundaries.
+
+    State per key is ONE row regardless of history length — this is
+    why SCD2 is streamable at unbounded key cardinality: the closed
+    intervals leave the state store the moment they're final."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "open_row", "segment string, version bigint, valid_from bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self._state.get() if self._state.exists() else None
+        (user_id,) = key
+        pdfs = [pdf for pdf in rows]
+        out: list[tuple[int, str, int, int, int]] = []
+        if pdfs:
+            batch = pd.concat(pdfs)
+            out, cur = scd2_fold(int(user_id), cur, batch)
+            self._state.update(cur)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "segment",
+                    "version",
+                    "valid_from_us",
+                    "valid_to_us",
+                ],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def scd2_tws(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 via transformWithStateInPandas (append mode:
+    each closed interval is emitted exactly once, when it closes)."""
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Scd2Processor(),
+            outputStructType=SCD2_TWS_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

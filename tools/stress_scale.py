@@ -149,6 +149,10 @@ KEYS = [
     "mix_source_overlap_matrix",
     "stream_stream_left_join",
     "win_ignore_nulls",
+    "win_exclude_current",
+    "scan_table_checksum",
+    "pipeline_incremental_dedup",
+    "multimodal_chunk_overlap",
 ]
 
 
