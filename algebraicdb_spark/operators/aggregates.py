@@ -1336,3 +1336,70 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
         ).alias("p99_disc"),
     )
+
+
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@register(
+    "agg_trimmed_mean",
+    # robust location estimate: drop the top/bottom 5% BY RANK (exact
+    # integer cut via rank <= n*5/100), decimal-exact mean of the
+    # middle 90% — completing the robust family next to median/MAD.
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           floor((CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0)
+                 * 10000 + 0.5) / 10000 AS trimmed_mean,
+           floor(CAST(MIN(cents) AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000
+             AS lo_cut,
+           floor(CAST(MAX(cents) AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000
+             AS hi_cut
+    FROM ranked
+    WHERE rn > n * {TRIM_PCT} // 100 AND rn <= n - n * {TRIM_PCT} // 100
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order prices per status — the
+    robust location estimate between the mean (outlier-hostage) and
+    the median (throws away 98% of the data). Trim cuts are EXACT
+    integer rank thresholds (n·5 DIV 100 with a total tie-break
+    order), and the surviving mass sums exact cents, so the entire
+    statistic is engine-identical with one final division.
+
+    Scale shape: one o_orderstatus exchange serves the rank window,
+    the per-group count, and the final aggregate. At extreme group
+    sizes the rank window is the cost — the approx tier swaps it for
+    two approx-quantile cuts + a filter (the same trade documented
+    for the exact-percentile keys).
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    p = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.row_number()
+        .over(p.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(p).alias("n"),
+    )
+    cut = F.expr(f"n * {TRIM_PCT} DIV 100")
+    kept = ranked.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        pround(F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "trimmed_mean"
+        ),
+        pround(F.min("cents").cast("double") / 100.0).alias("lo_cut"),
+        pround(F.max("cents").cast("double") / 100.0).alias("hi_cut"),
+    )

@@ -2897,3 +2897,93 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("p90_us"),
         F.max("dwell_us").alias("max_us"),
     )
+
+
+SLO_ERROR_PCT = 25     # error budget: 25% of events may be errors
+BURN_FAST, BURN_SLOW = 2, 1  # multi-window burn thresholds (x budget)
+
+
+@register(
+    "event_error_burn_rate",
+    # Google-SRE multi-window burn-rate alert on the hour grain:
+    # trailing 1 h and 6 h error ratios vs the SLO budget; the alert
+    # requires BOTH windows burning (fast window = responsive, slow
+    # window = not a blip). Every comparison is cross-multiplied
+    # exact integers — no ratio ever decides a boolean.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events GROUP BY 1
+    ), windows AS (
+      SELECT hour_s, errs, total,
+             CAST(SUM(errs) OVER w1 AS BIGINT) AS e1,
+             CAST(SUM(total) OVER w1 AS BIGINT) AS t1,
+             CAST(SUM(errs) OVER w6 AS BIGINT) AS e6,
+             CAST(SUM(total) OVER w6 AS BIGINT) AS t6
+      FROM hourly
+      WINDOW w1 AS (ORDER BY hour_s RANGE BETWEEN 3599 PRECEDING
+                    AND CURRENT ROW),
+             w6 AS (ORDER BY hour_s RANGE BETWEEN 21599 PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT hour_s,
+           floor(CAST(CAST(e1 AS DOUBLE) / t1 AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS ratio_1h,
+           floor(CAST(CAST(e6 AS DOUBLE) / t6 AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS ratio_6h,
+           CAST(CASE WHEN e1 * 100 * {100 // SLO_ERROR_PCT}
+                          > t1 * {SLO_ERROR_PCT} * {BURN_FAST}
+                          * {100 // SLO_ERROR_PCT}
+                      AND e6 * 100 > t6 * {SLO_ERROR_PCT} * {BURN_SLOW}
+                THEN 1 ELSE 0 END AS INT) AS alert
+    FROM windows
+    """,
+)
+def event_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn-rate alerting (the Google SRE multi-window
+    pattern): per hour, the trailing 1 h and 6 h error ratios against
+    a 25% SLO; the page fires only when the FAST window burns at 2x
+    budget AND the SLOW window is above budget — responsive to real
+    incidents, immune to single-bucket blips.
+
+    Exactness: hour-grain counts are exact integers; both trailing
+    windows are integer-second range frames over the hour grain; the
+    alert boolean is decided by cross-multiplied integers (e·100 >
+    t·threshold), never by a float ratio. The displayed ratios are
+    display-only. Scale shape: raw events collapse to the hour grain
+    first; windows run over hours — thousands of rows at any volume.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    w1 = Window.orderBy("hour_s").rangeBetween(-3599, 0)
+    w6 = Window.orderBy("hour_s").rangeBetween(-21599, 0)
+    windows = hourly.select(
+        "hour_s",
+        F.sum("errs").over(w1).cast("bigint").alias("e1"),
+        F.sum("total").over(w1).cast("bigint").alias("t1"),
+        F.sum("errs").over(w6).cast("bigint").alias("e6"),
+        F.sum("total").over(w6).cast("bigint").alias("t6"),
+    )
+    fast_burn = (
+        F.col("e1") * 100 * (100 // SLO_ERROR_PCT)
+        > F.col("t1") * SLO_ERROR_PCT * BURN_FAST * (100 // SLO_ERROR_PCT)
+    )
+    slow_burn = F.col("e6") * 100 > F.col("t6") * SLO_ERROR_PCT * BURN_SLOW
+    return windows.select(
+        "hour_s",
+        pround(F.col("e1").cast("double") / F.col("t1")).alias("ratio_1h"),
+        pround(F.col("e6").cast("double") / F.col("t6")).alias("ratio_6h"),
+        F.when(fast_burn & slow_burn, 1).otherwise(0).cast("int").alias(
+            "alert"
+        ),
+    )

@@ -487,3 +487,139 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround((num * num) / (denx * deny), 4).alias("r2"),
         )
     )
+
+
+_HEAPS_GRID = 10**6
+
+
+@register(
+    "corpus_heaps_law",
+    # Heaps' law V(n) = K * n^beta fitted by log-log OLS over the
+    # cumulative (tokens seen, vocab size) curve in doc_id order.
+    # Same determinism device as corpus_zipf_fit: each ln is floored
+    # onto the 1e-6 grid, the OLS moments are exact BIGINT sums, and
+    # the closed-form slope/intercept/R2 are single IEEE expressions
+    # of those exact integers.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok
+      WHERE t <> '' GROUP BY doc_id
+    ), firsts AS (
+      SELECT MIN(doc_id) AS first_doc FROM tok WHERE t <> '' GROUP BY t
+    ), new_types AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_new
+      FROM firsts GROUP BY first_doc
+    ), curve AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.n_tok) OVER w AS BIGINT) AS cum_tok,
+             CAST(SUM(COALESCE(nt.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+      FROM per_doc p LEFT JOIN new_types nt ON nt.doc_id = p.doc_id
+      WINDOW w AS (ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), grid AS (
+      SELECT CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * {_HEAPS_GRID})
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * {_HEAPS_GRID})
+                  AS BIGINT) AS y
+      FROM curve
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM grid
+    )
+    SELECT n AS n_points,
+           floor(CAST((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS beta,
+           floor(CAST((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+                 - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)) * sx) / n / {_HEAPS_GRID}
+                 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ln_k,
+           floor(CAST(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r2
+    FROM mom
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary size as a power of tokens seen,
+    V(n) = K·n^beta, by log-log OLS over the cumulative ingestion
+    curve (doc_id order). The companion corpus-health statistic to
+    corpus_zipf_fit: a natural corpus grows vocabulary at beta ~
+    0.4-0.6; beta near 0 means the vocabulary is exhausted
+    (templated/synthetic text), near 1 means token soup.
+
+    Scale shape: token explode -> (token -> first doc) mergeable MIN
+    (the text_ngram_novelty state), new-type counts per doc, ONE
+    cumulative window over the doc grain, and a 6-moment OLS whose
+    partials are exact BIGINTs. The curve is |docs| rows regardless
+    of token volume.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    tok = d.select(
+        "doc_id", F.explode(F.split(canonical_text("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    new_types = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        per_doc.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+    grid = curve.select(
+        F.floor(F.log(F.col("cum_tok").cast("double")) * _HEAPS_GRID)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * _HEAPS_GRID)
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    cov = nD * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx = nD * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nD * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    beta = cov / varx
+    return mom.select(
+        F.col("n").alias("n_points"),
+        pround(beta, 6).alias("beta"),
+        pround(
+            (F.col("sy").cast("double") - beta * F.col("sx"))
+            / F.col("n")
+            / _HEAPS_GRID,
+            6,
+        ).alias("ln_k"),
+        pround(cov * cov / (varx * vary), 6).alias("r2"),
+    )

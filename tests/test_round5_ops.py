@@ -664,3 +664,56 @@ def test_table_checksum_detects_any_row_change(spark, sf_dir):
     ).collect()[0][0]
     assert base["n_rows"] == li.count()
     assert int(mut_sum) != int(base["row_checksum"])
+
+
+def test_trimmed_mean_between_min_and_max_robust(spark, sf_dir):
+    from algebraicdb_spark.operators.aggregates import agg_trimmed_mean
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = {r["o_orderstatus"]: r for r in agg_trimmed_mean(spark, sf_dir).collect()}
+    o = load_tables(spark, sf_dir)["orders"]
+    full = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    }
+    for status, r in rows.items():
+        f = full[status]
+        cut = f["n"] * 5 // 100
+        assert r["n_kept"] == f["n"] - 2 * cut
+        # cuts strictly inside the full range when anything was trimmed
+        if cut > 0:
+            assert f["mn"] < r["lo_cut"] <= r["trimmed_mean"] <= r["hi_cut"] < f["mx"]
+
+
+def test_burn_rate_alert_implies_both_windows(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        BURN_FAST,
+        SLO_ERROR_PCT,
+        event_error_burn_rate,
+    )
+
+    rows = event_error_burn_rate(spark, sf_dir).collect()
+    assert rows
+    slo = SLO_ERROR_PCT / 100.0
+    for r in rows:
+        assert 0.0 <= r["ratio_1h"] <= 1.0 and 0.0 <= r["ratio_6h"] <= 1.0
+        if r["alert"]:
+            assert r["ratio_1h"] > slo * BURN_FAST - 1e-3
+            assert r["ratio_6h"] > slo - 1e-3
+
+
+def test_heaps_law_fit_is_sane(spark, sf_dir):
+    from algebraicdb_spark.operators.corpus import corpus_heaps_law
+
+    r = corpus_heaps_law(spark, sf_dir).collect()[0]
+    assert r["n_points"] > 100
+    # the fixture vocabulary saturates fast (tiny synthetic vocab), so
+    # beta must land in [0, 1) and the log-log fit must be tight-ish
+    assert 0.0 <= r["beta"] < 1.0
+    assert 0.0 <= r["r2"] <= 1.0

@@ -185,6 +185,10 @@ def main() -> int:
     # usage: stress_scale.py [N] [key ...]  (keys default to KEYS)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keys = sys.argv[2:] or KEYS
+    # 100x probes build broadcasts (saturated dictionaries, firsts
+    # tables) that are tens-of-MB at 10x but hundreds at 100x — give
+    # the single local JVM cluster-executor-sized heap room
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from algebraicdb_spark.plans import registry
     from algebraicdb_spark.session import get_spark
     from algebraicdb_spark.sources.catalog import load_tables
