@@ -2987,3 +2987,106 @@ def event_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alert"
         ),
     )
+
+
+_MIG_LO, _MIG_HI = 20, 60  # period purchase-value tier cuts
+
+
+@register(
+    "event_segment_migration",
+    # customer value-tier migration between the two halves of the
+    # observation window: the retention-marketing matrix ("how many
+    # high-value customers decayed to low?"). Halves split at the
+    # exact integer midpoint of the observed time range; tiers cut
+    # exact cents totals with integer thresholds.
+    oracle=f"""
+    WITH ext AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) <= mid
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) > mid
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS v2
+      FROM events, ext
+      GROUP BY user_id
+    ), tiers AS (
+      SELECT user_id,
+             CASE WHEN v1 >= {_MIG_HI * 100} THEN 'high'
+                  WHEN v1 >= {_MIG_LO * 100} THEN 'mid'
+                  WHEN v1 > 0 THEN 'low' ELSE 'none' END AS tier_h1,
+             CASE WHEN v2 >= {_MIG_HI * 100} THEN 'high'
+                  WHEN v2 >= {_MIG_LO * 100} THEN 'mid'
+                  WHEN v2 > 0 THEN 'low' ELSE 'none' END AS tier_h2
+      FROM per_user
+    )
+    SELECT tier_h1, tier_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM tiers GROUP BY tier_h1, tier_h2
+    """,
+)
+def event_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier migration matrix: each user's purchase-value tier
+    (none/low/mid/high on exact cents) in the first vs second half of
+    the observed window, counted per (from, to) cell — the customer-
+    lifecycle movement view (churn = high→none, growth = low→high)
+    that completes the RFM family next to event_rfm_scores'
+    single-period snapshot.
+
+    Scale shape: both period totals come from ONE conditional hash
+    aggregate keyed on user_id (two BIGINT partials per user — no
+    second pass, no join between periods); the matrix is a ≤16-group
+    rollup. The midpoint is a broadcast 1-row aggregate in exact
+    integer µs.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    ext = e.agg(
+        F.expr(
+            "(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2"
+        ).alias("mid")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = (
+        e.crossJoin(F.broadcast(ext))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (us <= F.col("mid")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v1"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (us > F.col("mid")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v2"),
+        )
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) >= _MIG_HI * 100, "high")
+            .when(F.col(c) >= _MIG_LO * 100, "mid")
+            .when(F.col(c) > 0, "low")
+            .otherwise("none")
+        )
+
+    return per_user.select(
+        "user_id", tier("v1").alias("tier_h1"), tier("v2").alias("tier_h2")
+    ).groupBy("tier_h1", "tier_h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("user_checksum"),
+    )

@@ -623,3 +623,140 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ln_k"),
         pround(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+_JSD_GRID = 10**6
+_JSD_SMOOTH = 1  # add-one smoothing numerator
+
+
+@register(
+    "corpus_js_divergence",
+    # Jensen-Shannon divergence between per-source unigram
+    # distributions, for the 5 largest sources pairwise — the
+    # corpus-drift distance (symmetric, bounded [0, ln 2]) that KL
+    # can't give on disjoint supports. Probabilities are exact
+    # rationals (add-one smoothed counts over a shared vocabulary);
+    # each ln term is grid-floored to 1e-6 and summed as exact
+    # BIGINTs, so the statistic hashes identically cross-engine.
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ), counts AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY source, t
+    ), vocab AS (
+      SELECT DISTINCT t FROM counts
+    ), totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts
+      GROUP BY source
+    ), dense AS (
+      SELECT s.source, v.t,
+             COALESCE(c.c, 0) + {_JSD_SMOOTH} AS ck,
+             s.n + {_JSD_SMOOTH} * (SELECT COUNT(*) FROM vocab) AS nk
+      FROM totals s CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.t = v.t
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.t,
+             CAST(a.ck AS DOUBLE) / a.nk AS p,
+             CAST(b.ck AS DOUBLE) / b.nk AS q
+      FROM dense a JOIN dense b
+        ON a.t = b.t AND a.source < b.source
+    ), terms AS (
+      SELECT source_a, source_b,
+             CAST(floor(0.5 * (p * ln(2.0 * p / (p + q))
+                               + q * ln(2.0 * q / (p + q)))
+                        * {_JSD_GRID}) AS BIGINT) AS term_g
+      FROM pairs
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(term_g) AS BIGINT) AS jsd_grid,
+           floor((CAST(SUM(term_g) AS DOUBLE) / {_JSD_GRID})
+                 * 1000000 + 0.5) / 1000000 AS jsd
+    FROM terms
+    GROUP BY source_a, source_b
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (5 sources, add-one smoothing over the shared
+    vocabulary) — the drift metric for corpus monitoring: symmetric,
+    finite on disjoint supports, bounded by ln 2. A mixing pipeline
+    watches this to catch a source whose content quietly changed
+    under the same name.
+
+    Determinism: probabilities are exact rationals of BIGINT counts
+    divided identically on both engines; each 0.5·(p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q))) term is floored onto the 1e-6 grid BEFORE the
+    per-pair sum, so jsd_grid is an exact integer (the
+    text_unigram_logprob device, applied pairwise).
+
+    Scale shape: counts collapse to (source, term) immediately; the
+    dense smoothing grid is |sources|×|vocab| (bounded by vocabulary,
+    not corpus volume), and the pair join fans out each term to
+    C(5,2) = 10 pairs. With thousands of sources you'd bucket pairs
+    by an LSH of the count vectors first — the same
+    candidates-then-exact discipline as the dedup tiers.
+    """
+    from pyspark.sql.window import Window  # noqa: F401
+
+    d = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    tok = (
+        d.where(F.col("source").isin(srcs))
+        .select(
+            "source",
+            F.explode(F.split(canonical_text("text"), " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    counts = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vocab = counts.select("t").distinct()
+    v_n = vocab.count()  # vocabulary size: tiny, fixture-bounded
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    dense = (
+        totals.crossJoin(vocab)
+        .join(counts, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce("c", F.lit(0)) + _JSD_SMOOTH).alias("ck"),
+            (F.col("n") + _JSD_SMOOTH * v_n).alias("nk"),
+        )
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("t_b"),
+        F.col("ck").alias("ck_b"),
+        F.col("nk").alias("nk_b"),
+    )
+    pairs = dense.join(
+        b,
+        (F.col("t") == F.col("t_b")) & (F.col("source") < F.col("source_b")),
+    ).select(
+        F.col("source").alias("source_a"),
+        "source_b",
+        (F.col("ck").cast("double") / F.col("nk")).alias("p"),
+        (F.col("ck_b").cast("double") / F.col("nk_b")).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    term = 0.5 * (
+        p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+    )
+    terms = pairs.select(
+        "source_a",
+        "source_b",
+        F.floor(term * _JSD_GRID).cast("bigint").alias("term_g"),
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        F.sum("term_g").cast("bigint").alias("jsd_grid"),
+        pround(F.sum("term_g").cast("double") / _JSD_GRID, 6).alias("jsd"),
+    )

@@ -717,3 +717,33 @@ def test_heaps_law_fit_is_sane(spark, sf_dir):
     # beta must land in [0, 1) and the log-log fit must be tight-ish
     assert 0.0 <= r["beta"] < 1.0
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_jsd_is_symmetric_bounded_metric_like(spark, sf_dir):
+    import math
+
+    from algebraicdb_spark.operators.corpus import corpus_js_divergence
+
+    rows = corpus_js_divergence(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        assert -1e-6 <= r["jsd"] <= math.log(2.0) + 1e-6
+        assert r["source_a"] < r["source_b"]
+
+
+def test_segment_migration_partitions_users(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        event_segment_migration,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    rows = event_segment_migration(spark, sf_dir).collect()
+    e = load_tables(spark, sf_dir)["events"]
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    tiers = {"none", "low", "mid", "high"}
+    for r in rows:
+        assert r["tier_h1"] in tiers and r["tier_h2"] in tiers
+    # checksum conservation: per-cell user sums add to the total
+    total_ids = e.select("user_id").distinct().agg(F.sum("user_id")).collect()[0][0]
+    assert sum(r["user_checksum"] for r in rows) == total_ids
