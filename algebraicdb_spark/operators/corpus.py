@@ -489,7 +489,12 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HEAPS_GRID = 10**6
+# 1e-3 ln grid: x ~ ln(corpus tokens) <= ~40 so x*x <= 1.6e9 grid^2
+# cells; BIGINT moment sums stay exact to ~3e10 curve points. The
+# first 1e-6-grid draft overflowed int64 at the 10x probe (5e4 docs *
+# (16e6)^2 > 2^63) — caught by tools/stress_scale.py, the reason the
+# probe exists.
+_HEAPS_GRID = 10**3
 
 
 @register(

@@ -153,6 +153,13 @@ KEYS = [
     "scan_table_checksum",
     "pipeline_incremental_dedup",
     "multimodal_chunk_overlap",
+    "agg_trimmed_mean",
+    "event_error_burn_rate",
+    "corpus_heaps_law",
+    "corpus_js_divergence",
+    "event_segment_migration",
+    "event_dwell_time",
+    "mix_source_overlap_matrix",
 ]
 
 
