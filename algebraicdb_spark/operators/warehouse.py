@@ -377,3 +377,95 @@ def feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_signup_age_days"
         ),
     )
+
+
+@register(
+    "join_temporal_scd2",
+    # temporal (valid-time) join: each purchase event looks up the
+    # SCD2 dimension row whose validity interval CONTAINS the event
+    # instant — the query pattern SCD2 exists to serve ("what was the
+    # customer's segment when they bought?"). The dimension is the
+    # scd2_history build inlined; the open row matches everything
+    # from its valid_from onward.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS segment,
+             epoch_us(ts) AS ts_us,
+             lag(event_type) OVER w AS prev_segment
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), changes AS (
+      SELECT user_id, segment, ts_us FROM ordered
+      WHERE prev_segment IS NULL OR segment <> prev_segment
+    ), dim AS (
+      SELECT user_id, segment,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             ts_us AS valid_from_us,
+             lead(ts_us) OVER w AS valid_to_us
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), facts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT f.event_id, d.segment, d.version, f.cents
+      FROM facts f JOIN dim d
+        ON d.user_id = f.user_id
+       AND d.valid_from_us <= f.t_us
+       AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(SUM(version) AS BIGINT) AS version_checksum
+    FROM joined GROUP BY segment
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid-time temporal join: purchase facts joined to the SCD2
+    dimension row in force AT the purchase instant (valid_from <= t <
+    valid_to, open row unbounded), rolled up by the segment that was
+    TRUE AT THE TIME. The composition that justifies scd2_history:
+    without it, analytics silently use each user's CURRENT segment
+    and rewrite history.
+
+    Invariant (pytest): every purchase matches EXACTLY one dimension
+    row — the intervals partition each user's timeline by
+    construction, so the join is 1:1 and count-preserving.
+
+    Scale shape: the dimension build and the fact join both key on
+    user_id — one exchange covers the windows AND the interval join
+    (per-user nested loop over that user's few versions). At
+    warehouse scale with a materialized SCD2 table this is the same
+    plan minus the build; version-interval bucketing (join the month
+    of t first) is the standard prune when histories get long.
+    """
+    dim = scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "segment",
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    e = load_tables(spark, sf_dir)["events"]
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    joined = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from_us") <= F.col("t_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("t_us") < F.col("valid_to_us"))
+        ),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+        F.sum("version").cast("bigint").alias("version_checksum"),
+    )

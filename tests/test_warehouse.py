@@ -97,3 +97,18 @@ def test_reservoir_sample_is_uniform_and_stable(spark, sf_dir):
     kth = sorted(r["rank_hash"] for r in a)[-1]
     n_below = all_hash.where(F.col("h") <= kth).count()
     assert n_below == SAMPLE_K
+
+
+def test_temporal_join_is_one_to_one(spark, sf_dir):
+    """Every purchase must land in EXACTLY one SCD2 validity
+    interval: the join is count-preserving."""
+    from algebraicdb_spark.operators.warehouse import join_temporal_scd2
+
+    rows = join_temporal_scd2(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purchases = e.where(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    # a purchase event IS a segment-change boundary or inside one; the
+    # in-force segment at a purchase instant is 'purchase' itself only
+    # when the purchase opened the interval — all segments can appear
+    assert all(r["n_purchases"] > 0 for r in rows)
