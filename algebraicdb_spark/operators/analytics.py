@@ -3090,3 +3090,256 @@ def event_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("user_id").cast("bigint").alias("user_checksum"),
     )
+
+
+_SRM_GRID = 10**6
+
+
+@register(
+    "event_ab_srm_check",
+    # sample-ratio-mismatch guardrail: md5 hash-split (the
+    # event_abtest_lift assignment) should give a 50/50 split; the
+    # chi-square statistic against that expectation flags broken
+    # randomization BEFORE anyone reads the metric. chi2 terms are
+    # exact rationals of integer counts, grid-floored before the sum.
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant
+      FROM events
+    ), counts AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n FROM assign
+      GROUP BY variant
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+    )
+    SELECT CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(floor(
+             (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)
+             / (CAST(total AS DOUBLE) / 2) * {_SRM_GRID}) AS BIGINT))
+             AS BIGINT) AS chi2_grid,
+           CAST(CASE WHEN SUM(CAST(floor(
+             (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2)
+             / (CAST(total AS DOUBLE) / 2) * {_SRM_GRID}) AS BIGINT))
+             > 3841459 THEN 1 ELSE 0 END AS INT) AS srm_alarm
+    FROM counts, tot
+    """,
+)
+def event_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the hash-split experiment: the
+    chi-square statistic of observed variant sizes against the
+    designed 50/50 split, alarmed at the p=0.05 critical value
+    (3.841459, 1 dof, on the 1e-6 grid). The guardrail every
+    experimentation platform runs before reading ANY metric — a
+    failed SRM means the assignment itself is broken and the
+    experiment is void (event_abtest_lift's readout assumes this
+    passed).
+
+    Exactness: counts are integers; each (o−e)²/e term is one IEEE
+    expression of those integers, grid-floored before the 2-term sum.
+    Scale shape: DISTINCT users → 2-group count → 1-row statistic.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+    )
+    counts = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    exp = F.col("total").cast("double") / 2
+    term_g = F.floor(
+        (F.col("n").cast("double") - exp)
+        * (F.col("n").cast("double") - exp)
+        / exp
+        * _SRM_GRID
+    ).cast("bigint")
+    return j.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(term_g).cast("bigint").alias("chi2_grid"),
+        F.when(F.sum(term_g) > 3_841_459, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_alarm"),
+    )
+
+
+@register(
+    "agg_gini_coefficient",
+    # Gini of customer revenue concentration via the rank formula
+    # G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n over cents sorted
+    # ascending with a total tie-break — every moment an exact
+    # BIGINT, two IEEE divisions at the end.
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           floor((2.0 * CAST(SUM(i * cents) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * SUM(cents))
+                  - (CAST(COUNT(*) AS DOUBLE) + 1) / COUNT(*))
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number inequality summary behind agg_abc_classification's
+    80/95 cuts (G=0 all equal, G→1 winner-take-all).
+
+    Rank formula over exact cents: Σi·x_i and Σx_i are exact BIGINTs
+    (i from a total-ordered rank window), so the statistic is two
+    IEEE divisions of exact integers. The global rank window runs on
+    the CUSTOMER grain (already aggregated); at extreme cardinality
+    the distributed form is sort + per-partition offset ranks — the
+    same two-pass rank decomposition every engine uses.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("i"),
+    )
+    nD = F.count(F.lit(1)).cast("double")
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("cents")).cast("double")
+        / (nD * F.sum("cents"))
+        - (nD + 1) / F.count(F.lit(1))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+        pround(gini, 6).alias("gini"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "time_autocorrelation_acf",
+    # lag-k autocorrelation of daily volumes per event type, k=1..7:
+    # r_k = sum((x_t - mean)(x_{t+k} - mean)) / sum((x_t - mean)^2)
+    # computed from EXACT integer moments (the deviations are exact
+    # n-scaled integers, the same device as CUSUM), one division per
+    # (type, lag).
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      -- n-scaled deviation: d = n*x - s is exact; products of two
+      -- deviations are exact BIGINTs (daily counts are small)
+      SELECT d.event_type, d.day, d.x * t.n - t.s AS d, t.n
+      FROM daily d JOIN stats t ON t.event_type = d.event_type
+    ), lags AS (
+      SELECT a.event_type, l.lag_k,
+             CAST(SUM(a.d * b.d) AS BIGINT) AS num
+      FROM dev a
+      JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag_k) l ON TRUE
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.day = a.day + l.lag_k * INTERVAL 1 DAY
+      GROUP BY a.event_type, l.lag_k
+    ), denom AS (
+      SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den FROM dev
+      GROUP BY event_type
+    )
+    SELECT lg.event_type, CAST(lg.lag_k AS BIGINT) AS lag_k,
+           floor(CAST(CAST(lg.num AS DOUBLE) / dn.den AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS acf
+    FROM lags lg JOIN denom dn ON dn.event_type = lg.event_type
+    """,
+)
+def time_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volumes (lags 1-7 per
+    type): THE seasonality diagnostic — a weekly cycle shows as an
+    acf spike at lag 7 — complementing time_series_decompose (which
+    assumes the period) by MEASURING which period exists.
+
+    Exactness: deviations are n-scaled exact integers (n·x − Σx, the
+    CUSUM device), so numerator and denominator moments are exact
+    BIGINT sums and each acf value is one IEEE division. Scale shape:
+    collapses to the (type, day) grain first; the lag join is a
+    self-join on day+k over that tiny grain.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("x") * F.col("n") - F.col("s")).alias("d"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag_k")
+    )
+    b = dev.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("d").alias("d_b"),
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (
+                F.col("day_b")
+                == F.date_add(F.col("day"), F.col("lag_k"))
+            ),
+        )
+        .groupBy("event_type", "lag_k")
+        .agg(F.sum(F.col("d") * F.col("d_b")).cast("bigint").alias("num"))
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den")
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        pround(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
+    )

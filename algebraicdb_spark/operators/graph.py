@@ -695,3 +695,99 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_checksum"
         ),
     )
+
+
+@register(
+    "graph_assortativity",
+    # degree assortativity (Newman 2002): Pearson correlation of
+    # endpoint degrees over edges, computed from exact integer edge
+    # moments (degrees are ints; both edge directions counted, which
+    # symmetrizes the sums) — one formula, zero floats until the end.
+    oracle=_LI_SQL
+    + """,
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    ),
+    dir_edges AS (
+      SELECT pa AS u, pb AS v FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(du.d) AS BIGINT) AS sx,
+             CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy,
+             CAST(SUM(du.d * du.d) AS BIGINT) AS sxx
+      FROM dir_edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           floor(CAST((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS assortativity
+    FROM moments
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    do high-degree parts co-occur with other high-degree parts
+    (r > 0, social-network-like) or with low-degree ones (r < 0,
+    hub-and-spoke)? The one-number structure summary that decides
+    whether hub-salting (r < 0 ⇒ hubs meet everyone) or community
+    partitioning (r > 0) is the right 100 TB strategy — completing
+    the graph family's metrics row.
+
+    Exactness: both directions of every edge enter the sums, making
+    Σx = Σy and Σx² = Σy² identical BY CONSTRUCTION, so Newman's r
+    reduces to (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²) over four exact
+    BIGINT moments — one IEEE expression at the end. Scale: edge
+    build + degree agg + ONE join of edges to degrees; moments are
+    mergeable partials.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dir_edges = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    mom = (
+        dir_edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m2"),
+            F.sum("du").cast("bigint").alias("sx"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+            F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sxx"),
+        )
+    )
+    m2D = F.col("m2").cast("double")
+    sxD = F.col("sx").cast("double")
+    r = (m2D * F.col("sxy") - sxD * F.col("sx")) / (
+        m2D * F.col("sxx") - sxD * F.col("sx")
+    )
+    return mom.select(
+        F.expr("m2 DIV 2").alias("n_edges"),
+        pround(r, 6).alias("assortativity"),
+    )

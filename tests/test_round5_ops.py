@@ -747,3 +747,66 @@ def test_segment_migration_partitions_users(spark, sf_dir):
     # checksum conservation: per-cell user sums add to the total
     total_ids = e.select("user_id").distinct().agg(F.sum("user_id")).collect()[0][0]
     assert sum(r["user_checksum"] for r in rows) == total_ids
+
+
+def test_srm_matches_direct_chi2(spark, sf_dir):
+    import math
+
+    from algebraicdb_spark.operators.analytics import event_ab_srm_check
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = event_ab_srm_check(spark, sf_dir).collect()[0]
+    n_users = (
+        load_tables(spark, sf_dir)["events"].select("user_id").distinct().count()
+    )
+    assert r["n_a"] + r["n_b"] == n_users
+    exp = n_users / 2.0
+    chi2 = sum((n - exp) ** 2 / exp for n in (r["n_a"], r["n_b"]))
+    assert abs(r["chi2_grid"] / 1e6 - chi2) < 1e-3
+    assert r["srm_alarm"] == (1 if chi2 > 3.841459 else 0)
+    # the md5 split on a healthy fixture must NOT trip the alarm
+    assert r["srm_alarm"] == 0
+
+
+def test_gini_matches_driver_formula(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import agg_gini_coefficient
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = agg_gini_coefficient(spark, sf_dir).collect()[0]
+    o = load_tables(spark, sf_dir)["orders"].collect()
+    totals = {}
+    for row in o:
+        totals[row["o_custkey"]] = totals.get(row["o_custkey"], 0) + round(
+            row["o_totalprice"] * 100
+        )
+    xs = sorted(totals.values())
+    n, s = len(xs), sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    assert 0.0 <= r["gini"] <= 1.0
+    assert abs(r["gini"] - gini) < 1e-4
+    assert r["n_customers"] == n
+
+
+def test_acf_lag_bounds_and_self_consistency(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        ACF_MAX_LAG,
+        time_autocorrelation_acf,
+    )
+
+    rows = time_autocorrelation_acf(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["lag_k"] <= ACF_MAX_LAG
+        assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+
+
+def test_assortativity_in_valid_range(spark, sf_dir):
+    from algebraicdb_spark.operators.graph import (
+        graph_assortativity,
+        graph_triangle_count,
+    )
+
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    tri = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert r["n_edges"] == tri["n_edges"]
+    assert -1.0 - 1e-6 <= r["assortativity"] <= 1.0 + 1e-6
