@@ -160,6 +160,11 @@ KEYS = [
     "event_segment_migration",
     "event_dwell_time",
     "mix_source_overlap_matrix",
+    "join_temporal_scd2",
+    "event_ab_srm_check",
+    "agg_gini_coefficient",
+    "time_autocorrelation_acf",
+    "graph_assortativity",
 ]
 
 
