@@ -3343,3 +3343,51 @@ def time_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag_k").cast("bigint").alias("lag_k"),
         pround(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
     )
+
+
+@register(
+    "time_week_over_week",
+    # WoW growth per event type: weekly exact counts, lag-1 window on
+    # the week grain, growth as one division of exact integers (NULL
+    # on the first week — no fake 0% growth).
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_s, n,
+           lag(n) OVER w AS prev_n,
+           floor(CAST((CAST(n AS DOUBLE) - lag(n) OVER w)
+                 / lag(n) OVER w AS DOUBLE) * 10000 + 0.5) / 10000
+             AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_s)
+    """,
+)
+def time_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the reporting staple
+    (N vs prior period, percent delta) as one week-grain aggregate +
+    one lag window. First week's growth is NULL, not zero: absence
+    of a baseline is not flat growth.
+
+    Scale shape: the raw scan collapses to (type, week) immediately;
+    the lag window runs over dozens of rows per type.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    weekly = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_s")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week_s",
+        "n",
+        prev.alias("prev_n"),
+        pround((F.col("n").cast("double") - prev) / prev).alias(
+            "wow_growth"
+        ),
+    )

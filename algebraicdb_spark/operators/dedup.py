@@ -1005,3 +1005,110 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_id"),
         F.col("n_chars").alias("kept_chars"),
     )
+
+
+CONTAIN_TAU = 0.8  # containment threshold
+
+
+@register(
+    "dedup_containment",
+    # ASYMMETRIC containment C(A->B) = |A∩B| / |A|: catches a doc
+    # EMBEDDED in a larger one, which symmetric Jaccard dilutes below
+    # its threshold (|A∩B|/|A∪B| is small when |B| >> |A|). Same
+    # shingle infrastructure as dedup_near_jaccard; both directions
+    # of every candidate pair are scored, only breaching directions
+    # emitted.
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                          'g'), ' ') AS r
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(r) - 1),
+               i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2])) AS shingles
+      FROM raw
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_toks FROM toks
+    ), directed AS (
+      SELECT doc_a AS contained, doc_b AS container, n_common,
+             sa.n_toks AS n_contained
+      FROM pairs JOIN sized sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b, doc_a, n_common, sb.n_toks
+      FROM pairs JOIN sized sb ON sb.doc_id = doc_b
+    )
+    SELECT contained, container,
+           floor(CAST(CAST(n_common AS DOUBLE) / n_contained AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS containment
+    FROM directed
+    WHERE n_common * 100 >= n_contained * {int(CONTAIN_TAU * 100)}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: doc A is (near-)contained in
+    doc B when |shingles(A) ∩ shingles(B)| / |shingles(A)| >= 0.8.
+    The subset-duplication detector symmetric Jaccard structurally
+    misses — a paragraph quoted inside a 100x longer page has tiny
+    Jaccard but containment ~1. Standard corpus-curation tier next
+    to dedup_near_jaccard (Broder's containment vs resemblance).
+
+    Threshold decided by cross-multiplied INTEGERS (n_common·100 >=
+    n_contained·80); the exposed score is display-rounded. Scale
+    shape identical to the Jaccard key: shingle explode + equi-join
+    on the shingle + pair aggregate — the banded MinHash tier is the
+    candidate generator at 100 TB, this is the exact scorer.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    ex = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pairs = (
+        ex.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = d.select(
+        "doc_id", F.size(shingles(F.col("text"))).alias("n_toks")
+    )
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na")
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb")
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    directed = j.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "n_common",
+        F.col("na").alias("n_contained"),
+    ).unionAll(
+        j.select(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            "n_common",
+            F.col("nb").alias("n_contained"),
+        )
+    )
+    return directed.where(
+        F.col("n_common") * 100
+        >= F.col("n_contained") * int(CONTAIN_TAU * 100)
+    ).select(
+        "contained",
+        "container",
+        pround(
+            F.col("n_common").cast("double") / F.col("n_contained")
+        ).alias("containment"),
+    )

@@ -810,3 +810,40 @@ def test_assortativity_in_valid_range(spark, sf_dir):
     tri = graph_triangle_count(spark, sf_dir).collect()[0]
     assert r["n_edges"] == tri["n_edges"]
     assert -1.0 - 1e-6 <= r["assortativity"] <= 1.0 + 1e-6
+
+
+def test_wow_growth_nulls_first_week_only(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import time_week_over_week
+
+    rows = time_week_over_week(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["week_s"])
+        assert series[0]["prev_n"] is None and series[0]["wow_growth"] is None
+        for prev, cur in zip(series, series[1:]):
+            assert cur["prev_n"] == prev["n"]
+            assert cur["wow_growth"] is not None
+
+
+def test_containment_supersets_jaccard_pairs(spark, sf_dir):
+    """Every Jaccard>=tau pair must breach containment in at least
+    one direction (containment >= jaccard always), and containment
+    scores stay in (0, 1]."""
+    from algebraicdb_spark.operators.dedup import (
+        dedup_containment,
+        dedup_near_jaccard,
+    )
+
+    cont = dedup_containment(spark, sf_dir).collect()
+    assert cont
+    for r in cont:
+        assert 0.0 < r["containment"] <= 1.0 + 1e-9
+        assert r["contained"] != r["container"]
+    directed = {(r["contained"], r["container"]) for r in cont}
+    jac = dedup_near_jaccard(spark, sf_dir).collect()
+    for r in jac:
+        a, b = r["doc_a"], r["doc_b"]
+        if r["jaccard"] >= 0.8:
+            assert (a, b) in directed or (b, a) in directed
