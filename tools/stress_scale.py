@@ -165,6 +165,8 @@ KEYS = [
     "agg_gini_coefficient",
     "time_autocorrelation_acf",
     "graph_assortativity",
+    "time_week_over_week",
+    "dedup_containment",
 ]
 
 
