@@ -3391,3 +3391,80 @@ def time_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     )
+
+
+@register(
+    "event_littles_law",
+    # Little's law audit over the value-derived session intervals:
+    # time-average concurrency L must equal arrival rate λ times mean
+    # duration W. All three sides from exact integer µs sums — the
+    # identity holds EXACTLY (up to boundary effects) because both
+    # L·horizon and λ·W·horizon reduce to Σduration; the exposed
+    # check divides the same exact integers two ways.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             CAST(FLOOR(value * 60) AS BIGINT) * 1000000 AS dur_us
+      FROM events
+    ), horizon AS (
+      SELECT MIN(s) AS t0, MAX(s) AS t1 FROM iv
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
+      FROM iv
+    )
+    SELECT n_arrivals,
+           floor(CAST(CAST(sum_dur_us AS DOUBLE) / (t1 - t0)
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_concurrency_L,
+           floor(CAST(CAST(n_arrivals AS DOUBLE) * 3600000000 / (t1 - t0)
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS lambda_per_hour,
+           floor(CAST(CAST(sum_dur_us AS DOUBLE) / n_arrivals / 1000000
+                 AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_w_seconds
+    FROM agg, horizon
+    """,
+)
+def event_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law summary of the session intervals: time-average
+    concurrency L = Σduration / horizon, arrival rate λ, and mean
+    residence W — the capacity-planning triple (servers needed =
+    L; L = λ·W holds identically here, pytest-pinned) that
+    interval_max_concurrency's PEAK view complements with the
+    average.
+
+    Exactness: durations and the horizon are exact integer µs; each
+    exposed figure is one IEEE division of exact integers. One scan,
+    two tiny aggregates, zero windows — the cheapest of the interval
+    family.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+    iv = e.select(
+        us.alias("s"),
+        (F.floor(F.col("value") * 60).cast("bigint") * 1_000_000).alias(
+            "dur_us"
+        ),
+    )
+    horizon = iv.agg(
+        F.min("s").alias("t0"), F.max("s").alias("t1")
+    )
+    agg = iv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        F.sum("dur_us").cast("bigint").alias("sum_dur_us"),
+    )
+    j = agg.crossJoin(F.broadcast(horizon))
+    span = (F.col("t1") - F.col("t0")).cast("double")
+    return j.select(
+        "n_arrivals",
+        pround(F.col("sum_dur_us").cast("double") / span).alias(
+            "avg_concurrency_L"
+        ),
+        pround(
+            F.col("n_arrivals").cast("double") * 3_600_000_000 / span
+        ).alias("lambda_per_hour"),
+        pround(
+            F.col("sum_dur_us").cast("double")
+            / F.col("n_arrivals")
+            / 1_000_000
+        ).alias("mean_w_seconds"),
+    )

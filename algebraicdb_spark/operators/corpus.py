@@ -765,3 +765,91 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_g").cast("bigint").alias("jsd_grid"),
         pround(F.sum("term_g").cast("double") / _JSD_GRID, 6).alias("jsd"),
     )
+
+
+BURST_TOP_TERMS = 20
+
+
+@register(
+    "text_term_burstiness",
+    # Church-Gale burstiness: Fano factor (variance-to-mean ratio) of
+    # a term's per-document counts. Function words ~ Poisson (F ~ 1);
+    # topical terms are bursty (F >> 1). Exact n-scaled integer
+    # moments (the CUSUM device) for the top-DF terms.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents
+    ), counts AS (
+      SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY t, doc_id
+    ), top_terms AS (
+      SELECT t FROM counts GROUP BY t
+      ORDER BY COUNT(*) DESC, t LIMIT {BURST_TOP_TERMS}
+    ), n_docs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), mom AS (
+      -- zero-count docs included via the closed moments: with k docs
+      -- containing the term, sum over ALL n docs of c and c^2 equals
+      -- the sums over the k non-zero docs
+      SELECT c.t,
+             CAST(SUM(c.c) AS BIGINT) AS s1,
+             CAST(SUM(c.c * c.c) AS BIGINT) AS s2
+      FROM counts c JOIN top_terms tt ON tt.t = c.t
+      GROUP BY c.t
+    )
+    SELECT t AS term, s1 AS total_count,
+           floor(CAST(
+             (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n AS DOUBLE) - 1) / s1
+             AS DOUBLE) * 10000 + 0.5) / 10000 AS fano
+    FROM mom, n_docs
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): the Fano factor of each top
+    term's per-document count distribution, zero-count documents
+    included. F ~ 1 means Poisson scatter (function-word-like); F >> 1
+    means the term clusters into few documents (topical) — the
+    statistic behind burstiness-aware TF weighting and stopword
+    discovery, complementing tf-idf's document-frequency view.
+
+    Closed-moment trick: with zero-count docs contributing nothing to
+    Σc and Σc², the sample variance over ALL n docs is
+    (n·Σc² − (Σc)²)/(n(n−1)) — computed from the NON-ZERO rows only,
+    never materializing the dense term×doc grid. Moments are exact
+    BIGINTs; fano = one IEEE expression.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    tok = d.select(
+        "doc_id", F.explode(F.split(canonical_text("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    counts = tok.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    top = (
+        counts.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "t")
+        .limit(BURST_TOP_TERMS)
+        .select("t")
+    )
+    n_docs = d.count()  # scalar fixture metadata; exact
+    mom = counts.join(F.broadcast(top), "t").groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    nD = F.lit(float(n_docs))
+    fano = (
+        (nD * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+        / (nD - 1)
+        / F.col("s1")
+    )
+    return mom.select(
+        F.col("t").alias("term"),
+        F.col("s1").alias("total_count"),
+        pround(fano).alias("fano"),
+    )

@@ -847,3 +847,28 @@ def test_containment_supersets_jaccard_pairs(spark, sf_dir):
         a, b = r["doc_a"], r["doc_b"]
         if r["jaccard"] >= 0.8:
             assert (a, b) in directed or (b, a) in directed
+
+
+def test_burstiness_fano_positive_and_function_words_low(spark, sf_dir):
+    from algebraicdb_spark.operators.corpus import (
+        BURST_TOP_TERMS,
+        text_term_burstiness,
+    )
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    assert len(rows) == BURST_TOP_TERMS
+    for r in rows:
+        assert r["fano"] > 0
+        assert r["total_count"] > 0
+
+
+def test_littles_law_identity_holds(spark, sf_dir):
+    """L = lambda * W must hold from the returned figures (same exact
+    integers divided two ways)."""
+    from algebraicdb_spark.operators.analytics import event_littles_law
+
+    r = event_littles_law(spark, sf_dir).collect()[0]
+    lhs = r["avg_concurrency_L"]
+    rhs = r["lambda_per_hour"] * r["mean_w_seconds"] / 3600.0
+    assert abs(lhs - rhs) / lhs < 1e-3
+    assert r["n_arrivals"] > 0 and lhs > 0
