@@ -3468,3 +3468,62 @@ def event_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("mean_w_seconds"),
     )
+
+
+@register(
+    "orders_repeat_purchase_gap",
+    # repeat-purchase latency: days between a customer's consecutive
+    # orders (lag over the order date, total tie-break), summarized
+    # with discrete percentiles over exact integer days — the CRM
+    # reorder-cycle metric.
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE)
+               - lag(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           MIN(gap_days) AS min_days,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90_days,
+           MAX(gap_days) AS max_days,
+           CAST(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_30d
+    FROM seq WHERE gap_days IS NOT NULL
+    """,
+)
+def orders_repeat_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cycle distribution: days between each customer's
+    consecutive orders, with discrete percentiles and a 30-day
+    repeat-rate count — the CRM metric behind replenishment
+    campaigns, float-free end-to-end (integer day gaps, _disc
+    percentiles, exact counts).
+
+    Scale shape: one o_custkey exchange for the lag, then a 1-row
+    aggregate — the event_dwell_time pattern applied to the orders
+    fact.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("bigint")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("gap_days") <= 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_30d"),
+    )

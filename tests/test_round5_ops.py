@@ -872,3 +872,18 @@ def test_littles_law_identity_holds(spark, sf_dir):
     rhs = r["lambda_per_hour"] * r["mean_w_seconds"] / 3600.0
     assert abs(lhs - rhs) / lhs < 1e-3
     assert r["n_arrivals"] > 0 and lhs > 0
+
+
+def test_repeat_gap_counts_and_ordering(spark, sf_dir):
+    from algebraicdb_spark.operators.analytics import (
+        orders_repeat_purchase_gap,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    r = orders_repeat_purchase_gap(spark, sf_dir).collect()[0]
+    o = load_tables(spark, sf_dir)["orders"]
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert r["n_gaps"] == n_orders - n_cust
+    assert 0 <= r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+    assert 0 <= r["n_within_30d"] <= r["n_gaps"]
