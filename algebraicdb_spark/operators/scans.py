@@ -818,7 +818,7 @@ def source_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # primitive, one number per table.
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(md5(
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(
              CAST(l_orderkey AS VARCHAR) || '-'
              || CAST(l_partkey AS VARCHAR) || '-'
              || CAST(l_suppkey AS VARCHAR) || '-'
@@ -831,7 +831,7 @@ def source_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              || CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR)
              || '-' || l_returnflag || '-' || l_linestatus || '-'
              || strftime(l_shipdate, '%Y-%m-%d')), 1, 15))
-             AS BIGINT)) AS DECIMAL(38,0)) AS row_checksum
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS row_checksum
     FROM lineitem
     """,
 )
@@ -860,8 +860,12 @@ def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         # DECIMAL(38,0) accumulation: 60-bit row values overflow an
         # int64 sum past ~8k rows; decimal summation is exact to 38
-        # digits (~10^18 rows of headroom)
+        # digits (~10^18 rows of headroom). Emitted as STRING: a
+        # ~10^22 digest fits neither int64 nor an exact double, so a
+        # raw decimal column invites client-side canonicalization
+        # drift — digits-as-text is the portable wire form.
         F.sum(row_int.cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("row_checksum"),
     )

@@ -97,13 +97,20 @@ def latest_driver_round() -> dict[str, int]:
 
     A key whose latest row is a hard failure (rows/schema/hash mismatch
     or an unexpected error) maps to 0 — it re-enters the next window
-    immediately, same as a never-checked key.
+    immediately, same as a never-checked key. A key whose latest row is
+    the weaker ``no_oracle`` rows-only check but which NOW has a
+    registered oracle also maps to 0: the oracle was added after the
+    driver last saw the key, so its value-hash evidence is vacuously
+    stale and should not wait for normal rotation (round-5 verdict
+    item 3 — ``sim_knn_pq`` gained a grid-replay oracle its r04
+    ``no_oracle`` row predates).
     """
     import glob
     import json
     import os
     import re
 
+    load_all()  # ORACLES must be populated for the no_oracle-vacuity rule
     latest: dict[str, int] = {}
     ok: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
@@ -122,9 +129,13 @@ def latest_driver_round() -> dict[str, int]:
             if not isinstance(row, dict) or rnd < latest.get(key, 0):
                 continue
             latest[key] = rnd
-            ok[key] = row.get("err") in (None, "no_oracle") and not any(
+            rows_only = row.get("err") == "no_oracle"
+            hash_green = row.get("err") is None and not any(
                 row.get(f) is False for f in ("rows_match", "schema_match", "hash_match")
             )
+            # rows-only counts as checked ONLY while the key still has
+            # no oracle; once an oracle exists the row is vacuous.
+            ok[key] = hash_green or (rows_only and key not in ORACLES)
     return {k: (r if ok.get(k, False) else 0) for k, r in latest.items()}
 
 

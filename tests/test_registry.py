@@ -41,19 +41,35 @@ def test_window_wastes_no_slot():
 
 
 def test_latest_driver_round_marks_failures_stale():
-    """A failed driver row must re-enter the window immediately: the
-    parser maps hard failures to staleness 0 while treating the
-    rows-only ``no_oracle`` rows as normally checked."""
+    """A failed driver row must re-enter the window immediately. A
+    ``no_oracle`` row counts as normally checked ONLY while the key
+    still has no oracle (the rows-only-by-design sketches must not pin
+    the window head forever); once an oracle is registered the old
+    rows-only row is vacuous and the key re-enters at staleness 0
+    (round-5 verdict item 3: sim_knn_pq)."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
+    registry.load_all()
     latest = registry.latest_driver_round()
-    # the two rows-only-by-design keys have only no_oracle rows; they
-    # must NOT be pinned to the window head forever
     rows = json.load(open(root / "CORRECTNESS_r04.json"))
     for key, row in rows.items():
-        if row.get("err") == "no_oracle":
+        if row.get("err") != "no_oracle":
+            continue
+        if key in registry.ORACLES:
+            # oracle added after this row -> must be re-exposed, unless
+            # a LATER round already hash-checked it
+            later = any(
+                json.load(open(p)).get(key, {}).get("err") is None
+                for p in root.glob("CORRECTNESS_r0[5-9].json")
+            )
+            if not later:
+                assert latest.get(key, 0) == 0, (
+                    f"{key}: gained an oracle but its stale no_oracle row "
+                    "still counts as checked"
+                )
+        else:
             assert latest.get(key, 0) > 0, (
                 f"{key}: no_oracle row wrongly treated as a failure"
             )

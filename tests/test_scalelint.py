@@ -42,21 +42,41 @@ def test_no_error_findings_on_any_key(spark, sf_dir):
     """Fleet-wide plan audit: no registered key may contain an
     ERROR-severity pattern (CartesianProduct). Warn-level findings
     (bounded BNLJ, final-result sorts, demo row-at-a-time UDF keys)
-    are intentional and documented in docs/SCALE.md §4."""
+    are intentional and documented in docs/SCALE.md §4.
+
+    Same sweep also pins the output-schema contract from the round-5
+    verdict: no key may emit a raw DECIMAL column wider than precision
+    18. Wider decimals (e.g. a DECIMAL(38,0) checksum, ~10^22) fit
+    neither int64 nor an exact double, so client-side hash
+    canonicalization diverges between engines — emit STRING (digits) or
+    split BIGINTs instead (the scan_table_checksum r05 driver FAIL)."""
+    from pyspark.sql.types import DecimalType
+
     from algebraicdb_spark.plans import registry
 
     skip_prefixes = ("stream_", "source_", "sink_")
     skip_keys = {"join_bucketed"}  # writes managed tables; plan pinned elsewhere
     failures = {}
+    wide_decimals = {}
     for key, fn in registry.queries().items():
         if key.startswith(skip_prefixes) or key in skip_keys:
             continue
-        errs = [
-            (c, m) for sev, c, m in lint(fn(spark, sf_dir)) if sev == "error"
-        ]
+        df = fn(spark, sf_dir)
+        errs = [(c, m) for sev, c, m in lint(df) if sev == "error"]
         if errs:
             failures[key] = errs
+        wide = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+        ]
+        if wide:
+            wide_decimals[key] = wide
     assert not failures, failures
+    assert not wide_decimals, (
+        f"output columns of decimal precision > 18 (cast to STRING or "
+        f"DOUBLE-on-grid instead): {wide_decimals}"
+    )
 
 
 def test_global_window_over_aggregate_is_warn_not_error(tables):
