@@ -821,6 +821,7 @@ def _find_matching_paren(s: str, open_idx: int) -> int:
 
 _QUALIFY_KW_RE = re.compile(r"(?i)\bQUALIFY\b")
 _QUALIFY_TAIL_RE = re.compile(r"(?i)\b(ORDER\s+BY|LIMIT)\b")
+_QUALIFY_SETOP_RE = re.compile(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b")
 _QUALIFY_FROM_RE = re.compile(r"(?i)\bFROM\b")
 
 
@@ -851,6 +852,24 @@ def rewrite_qualify(sql: str) -> str:
     )
     if q is None:
         return sql
+    # a depth-0 set operation in a QUALIFY query is unsupported: after
+    # QUALIFY the UNION branch would be swallowed into the predicate
+    # (the tail scan only knows ORDER BY/LIMIT) and before it the
+    # lowering would wrap ALL branches instead of just the last —
+    # either way silently-wrong SQL, so refuse with a clear error
+    setop = next(
+        (
+            m
+            for m in _QUALIFY_SETOP_RE.finditer(masked)
+            if _depth_at(masked, m.start()) == 0
+        ),
+        None,
+    )
+    if setop is not None:
+        raise AdtError(
+            "QUALIFY is not supported in set-operation queries; apply it "
+            "inside a parenthesized subquery branch instead"
+        )
     t = next(
         (
             m

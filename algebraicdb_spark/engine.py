@@ -122,6 +122,7 @@ class Engine:
             for f in df.schema.fields
         }
         self._tables[name] = TableDef(name, cols)
+        self._invalidate_stats(name)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -167,6 +168,7 @@ class Engine:
                 raise AdtError(f"{name} is a view — use DROP VIEW")
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
+            self._invalidate_stats(name)
             return None
         if _ALTER_TABLE_RE.match(stmt):
             return self._alter_table_stmt(stmt)
@@ -464,6 +466,7 @@ class Engine:
         empty = self.spark.createDataFrame([], td.schema_ddl())
         empty.createOrReplaceTempView(td.name)
         self._tables[td.name] = td
+        self._invalidate_stats(td.name)
 
     def _alter_table_stmt(self, stmt: str) -> None:
         """ALTER TABLE t ADD COLUMN c: Type [DEFAULT expr] | DROP
@@ -543,6 +546,7 @@ class Engine:
                 "ADD COLUMN c: Type [DEFAULT expr], DROP COLUMN c, "
                 "RENAME COLUMN a TO b)"
             )
+        self._invalidate_stats(name)
 
     @staticmethod
     def _copy_format(fmt: str | None) -> str:
@@ -613,6 +617,7 @@ class Engine:
             reader = reader.option("header", True)
         batch = reader.format(fmt).load(path)
         existing.unionByName(batch).createOrReplaceTempView(name)
+        self._invalidate_stats(name)
 
     def _insert_stmt(self, stmt: str) -> None:
         name = _INSERT_RE.match(stmt).group("name")
@@ -623,6 +628,7 @@ class Engine:
         _, rows = parse_insert_rows(stmt, td, self._types)
         batch = self.spark.sql(" UNION ALL ".join(f"SELECT {r}" for r in rows))
         self.table(name).unionByName(batch).createOrReplaceTempView(name)
+        self._invalidate_stats(name)
 
     def _merge_stmt(self, stmt: str) -> None:
         """MERGE INTO t USING s ON <cond>
@@ -696,6 +702,7 @@ class Engine:
         )
         merged = self.spark.sql(self._rewrite(sql))
         merged.createOrReplaceTempView(target)
+        self._invalidate_stats(target)
 
     def _delete_stmt(self, stmt: str) -> None:
         """DELETE FROM t [WHERE pred] — lowered to a filtered view
@@ -712,6 +719,7 @@ class Engine:
                 self._rewrite(f"SELECT * FROM {name} WHERE NOT ({pred})")
             )
         kept.createOrReplaceTempView(name)
+        self._invalidate_stats(name)
 
     def _update_stmt(self, stmt: str) -> None:
         """UPDATE t SET c = e, … [WHERE pred] — lowered to a projected
@@ -740,6 +748,14 @@ class Engine:
             self._rewrite(f"SELECT {', '.join(select_items)} FROM {name}")
         )
         updated.createOrReplaceTempView(name)
+        self._invalidate_stats(name)
+
+    def _invalidate_stats(self, name: str) -> None:
+        """ANALYZE stats are a snapshot of one table state; any mutation
+        or drop/recreate makes them lies. Evict so SHOW STATS errors
+        with 'not analyzed' instead of silently serving the old table's
+        numbers (advisor finding, round 5)."""
+        self._stats.pop(name, None)
 
     def _refuse_view_mutation(self, verb: str, name: str) -> None:
         """Logical views are not mutation targets: the view-swap

@@ -1147,6 +1147,31 @@ class TestAnalyzeStats:
             eng2.sql("SHOW STATS an_u")
         eng2.sql("DROP TABLE an_u")
 
+    def test_stats_evicted_on_drop_and_mutation(self, spark):
+        # advisor finding: DROP + recreate must not serve the old
+        # table's statistics; mutations must force re-ANALYZE
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE an_ev (k: Integer)")
+        eng2.sql("INSERT INTO an_ev VALUES (1), (2)")
+        eng2.sql("ANALYZE an_ev")
+        eng2.sql("DROP TABLE an_ev")
+        eng2.sql("CREATE TABLE an_ev (k: Integer)")
+        with pytest.raises(AdtError, match="has not been ANALYZEd"):
+            eng2.sql("SHOW STATS an_ev")
+        eng2.sql("INSERT INTO an_ev VALUES (1)")
+        eng2.sql("ANALYZE an_ev")
+        for mutation in (
+            "INSERT INTO an_ev VALUES (9)",
+            "UPDATE an_ev SET k = 5 WHERE k = 9",
+            "DELETE FROM an_ev WHERE k = 5",
+            "TRUNCATE an_ev",
+        ):
+            eng2.sql("ANALYZE an_ev")
+            eng2.sql(mutation)
+            with pytest.raises(AdtError, match="has not been ANALYZEd"):
+                eng2.sql("SHOW STATS an_ev")
+        eng2.sql("DROP TABLE an_ev")
+
     def test_analyze_unknown_table_errors(self, spark):
         with pytest.raises(AdtError, match="no such table"):
             Engine(spark).sql("ANALYZE TABLE nope_an")
@@ -1208,6 +1233,33 @@ class TestQualify:
         eng2 = Engine(spark, sf_dir)
         with pytest.raises(AdtError, match="empty predicate"):
             eng2.sql("SELECT r_regionkey FROM region QUALIFY LIMIT 2")
+
+    def test_qualify_setop_refused(self, spark, sf_dir):
+        # the UNION branch would otherwise be swallowed into the
+        # predicate, surfacing as an opaque Spark parse error
+        eng2 = Engine(spark, sf_dir)
+        with pytest.raises(AdtError, match="set-operation"):
+            eng2.sql(
+                "SELECT r_regionkey, row_number() OVER (ORDER BY "
+                "r_regionkey) AS rn FROM region QUALIFY rn = 1 "
+                "UNION ALL SELECT n_regionkey, 1 FROM nation"
+            )
+        with pytest.raises(AdtError, match="set-operation"):
+            eng2.sql(
+                "SELECT n_regionkey FROM nation UNION "
+                "SELECT r_regionkey FROM region "
+                "QUALIFY row_number() OVER (ORDER BY r_regionkey) = 1"
+            )
+
+    def test_qualify_setop_inside_subquery_ok(self, spark, sf_dir):
+        # parenthesized (depth > 0) set-ops stay legal under QUALIFY
+        eng2 = Engine(spark, sf_dir)
+        rows = eng2.sql(
+            "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM "
+            "(SELECT r_regionkey AS k FROM region UNION ALL "
+            "SELECT n_regionkey AS k FROM nation) u QUALIFY rn <= 3"
+        ).collect()
+        assert len(rows) == 3 and all(r.rn <= 3 for r in rows)
 
 
 class TestDistinctOn:

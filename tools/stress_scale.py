@@ -158,8 +158,6 @@ KEYS = [
     "corpus_heaps_law",
     "corpus_js_divergence",
     "event_segment_migration",
-    "event_dwell_time",
-    "mix_source_overlap_matrix",
     "join_temporal_scd2",
     "event_ab_srm_check",
     "agg_gini_coefficient",
@@ -198,7 +196,7 @@ def build(spark, n: int) -> str:
 def main() -> int:
     # usage: stress_scale.py [N] [key ...]  (keys default to KEYS)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    keys = sys.argv[2:] or KEYS
+    keys = list(dict.fromkeys(sys.argv[2:] or KEYS))
     # 100x probes build broadcasts (saturated dictionaries, firsts
     # tables) that are tens-of-MB at 10x but hundreds at 100x — give
     # the single local JVM cluster-executor-sized heap room
