@@ -80,6 +80,7 @@ from algebraicdb_spark.dialect import (
     parse_update_sets,
     spark_type,
 )
+from algebraicdb_spark.fixpoint import _HEAD_RE as _FIXPOINT_RE
 from algebraicdb_spark.functions.adt import AdtError, AdtType, Variant
 from algebraicdb_spark.session import get_spark
 from algebraicdb_spark.sources.catalog import ensure_confs, load_tables
@@ -223,6 +224,15 @@ class Engine:
             return None
         if _SHOW_FUNCTIONS_RE.match(stmt):
             return self._show_functions_stmt()
+        if _FIXPOINT_RE.match(stmt):
+            from algebraicdb_spark.fixpoint import run_fixpoint
+
+            if params is not None:
+                raise AdtError(
+                    "WITH RECURSIVE / WITH ITERATE statements do not "
+                    "accept bound parameters"
+                )
+            return run_fixpoint(self.spark, stmt, self._rewrite)
         if params is not None:
             return self.spark.sql(self._rewrite(stmt), args=params)
         return self.spark.sql(self._rewrite(stmt))

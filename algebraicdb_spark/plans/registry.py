@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.warehouse",
     "algebraicdb_spark.operators.ml",
     "algebraicdb_spark.operators.tpch",
+    "algebraicdb_spark.operators.fixpoint_queries",
 )
 
 

@@ -1262,6 +1262,207 @@ class TestQualify:
         assert len(rows) == 3 and all(r.rn <= 3 for r in rows)
 
 
+class TestRecursive:
+    """WITH RECURSIVE: UNION ALL runs natively (one Catalyst plan);
+    UNION distinct lowers to the semi-naive set fixpoint Spark can't
+    express (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)."""
+
+    def test_union_all_series_native(self, spark):
+        got = Engine(spark).sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t WHERE n < 10) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c FROM t"
+        ).collect()
+        assert got[0].s == 55 and got[0].c == 10
+
+    def test_union_distinct_terminates_on_cycle(self, spark):
+        # reachability over a cyclic graph: UNION ALL would spin to the
+        # recursion limit; the distinct fixpoint stops at closure
+        rows = Engine(spark).sql(
+            """
+            WITH RECURSIVE e(src, dst) AS (
+              SELECT 0, 1 UNION ALL SELECT 1, 2 UNION ALL
+              SELECT 2, 0 UNION ALL SELECT 5, 6
+            ),
+            walk(id, label) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.id
+            ),
+            comp AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+            SELECT label, COUNT(*) AS n FROM comp GROUP BY label
+            ORDER BY label
+            """
+        ).collect()
+        assert [(r.label, r.n) for r in rows] == [(0, 3), (5, 2)]
+
+    def test_deep_chain_reaches_fixpoint(self, spark):
+        # a 40-hop chain needs 40 frontier rounds — semi-naive keeps
+        # each round's work at one frontier row, not the whole closure
+        rows = Engine(spark).sql(
+            """
+            WITH RECURSIVE hop(n) AS (
+              SELECT 0
+              UNION
+              SELECT n + 1 FROM hop WHERE n < 40
+            )
+            SELECT COUNT(*) AS c, CAST(MAX(n) AS BIGINT) AS m FROM hop
+            """
+        ).collect()
+        assert rows[0].c == 41 and rows[0].m == 40
+
+    def test_self_join_step_uses_naive_mode(self, spark):
+        # transitive closure via walk JOIN walk: the step references
+        # the CTE twice, so delta-only evaluation would miss
+        # delta-x-old pairs — the engine must fall back to full-state
+        # evaluation and still converge
+        rows = Engine(spark).sql(
+            """
+            WITH RECURSIVE tc(src, dst) AS (
+              SELECT * FROM VALUES (1, 2), (2, 3), (3, 4) AS e(s, d)
+              UNION
+              SELECT a.src, b.dst FROM tc a JOIN tc b ON a.dst = b.src
+            )
+            SELECT COUNT(*) AS c FROM tc
+            """
+        ).collect()
+        assert rows[0].c == 6  # 3 edges + (1,3),(2,4),(1,4)
+
+    def test_suffix_cte_and_final_see_result(self, spark, sf_dir):
+        got = Engine(spark, sf_dir).sql(
+            """
+            WITH RECURSIVE r(k) AS (
+              SELECT 0 UNION SELECT k + 1 FROM r WHERE k < 3
+            ),
+            named AS (
+              SELECT r_name FROM region JOIN r ON r_regionkey = k
+            )
+            SELECT COUNT(*) AS c FROM named
+            """
+        ).collect()
+        assert got[0].c == 4
+
+    def test_mixed_union_kinds_refused(self, spark):
+        with pytest.raises(AdtError, match="mixed UNION"):
+            Engine(spark).sql(
+                "WITH RECURSIVE w(n) AS (SELECT 1 UNION "
+                "SELECT n + 1 FROM w UNION ALL SELECT n + 2 FROM w) "
+                "SELECT 1"
+            )
+
+    def test_no_anchor_refused(self, spark):
+        with pytest.raises(AdtError, match="anchor"):
+            Engine(spark).sql(
+                "WITH RECURSIVE w(n) AS (SELECT n + 1 FROM w UNION "
+                "SELECT n + 2 FROM w) SELECT 1"
+            )
+
+    def test_nonconvergence_raises(self, spark):
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "5")
+        try:
+            with pytest.raises(AdtError, match="no fixpoint within 5"):
+                Engine(spark).sql(
+                    "WITH RECURSIVE w(n) AS (SELECT 1 UNION "
+                    "SELECT n + 1 FROM w) SELECT COUNT(*) FROM w"
+                )
+        finally:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+
+    def test_constraint_conf_restored(self, spark):
+        before = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+        Engine(spark).sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+            "SELECT n + 1 FROM t WHERE n < 3) SELECT * FROM t"
+        ).collect()
+        assert (
+            spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+            == before
+        )
+
+    def test_params_refused(self, spark):
+        with pytest.raises(AdtError, match="parameters"):
+            Engine(spark).sql(
+                "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+                "SELECT n + 1 FROM t WHERE n < :k) SELECT * FROM t",
+                params={"k": 3},
+            )
+
+
+class TestIterate:
+    """WITH ITERATE: the replacement fixpoint (state_{i+1} =
+    step(state_i)) recursive CTEs cannot express — aggregating steps
+    like k-core peeling and label propagation."""
+
+    def test_peel_converges(self, spark):
+        rows = Engine(spark).sql(
+            """
+            WITH ITERATE s(v) AS (
+              SELECT * FROM VALUES (1), (2), (3), (10), (11), (12) AS t(v)
+              STEP SELECT v FROM s WHERE v >= (SELECT AVG(v) - 3 FROM s)
+            )
+            SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total FROM s
+            """
+        ).collect()
+        assert rows[0].n == 3 and rows[0].total == 33
+
+    def test_max_bounds_rounds(self, spark):
+        got = Engine(spark).sql(
+            "WITH ITERATE g(v) MAX 5 AS (SELECT 1 AS v "
+            "STEP SELECT v * 2 AS v FROM g) SELECT MAX(v) AS m FROM g"
+        ).collect()
+        assert got[0].m == 32  # exactly 5 doublings, then stop
+
+    def test_oscillation_without_max_raises(self, spark):
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "6")
+        try:
+            with pytest.raises(AdtError, match="no fixpoint within 6"):
+                Engine(spark).sql(
+                    "WITH ITERATE g(v) AS (SELECT 1 AS v "
+                    "STEP SELECT 1 - v AS v FROM g) SELECT * FROM g"
+                )
+        finally:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+
+    def test_step_must_reference_state(self, spark):
+        with pytest.raises(AdtError, match="must reference"):
+            Engine(spark).sql(
+                "WITH ITERATE s(v) AS (SELECT 1 AS v STEP SELECT 2 AS v) "
+                "SELECT 1"
+            )
+
+    def test_missing_step_refused(self, spark):
+        with pytest.raises(AdtError, match="STEP"):
+            Engine(spark).sql(
+                "WITH ITERATE s(v) AS (SELECT 1 AS v) SELECT 1"
+            )
+
+    def test_kcore_twin_matches_python_operator(self, spark, sf_dir):
+        from algebraicdb_spark.operators.fixpoint_queries import (
+            dialect_iterate_kcore,
+        )
+        from algebraicdb_spark.operators.graph import graph_kcore
+
+        got = dialect_iterate_kcore(spark, sf_dir).collect()[0]
+        want = graph_kcore(spark, sf_dir).collect()[0]
+        assert got.asDict() == want.asDict()
+
+    def test_components_twin_matches_python_operator(self, spark, sf_dir):
+        from algebraicdb_spark.operators.dedup import dedup_components
+        from algebraicdb_spark.operators.fixpoint_queries import (
+            dialect_recursive_components,
+        )
+
+        got = {
+            r.n_members: (r.n_components, r.root_checksum)
+            for r in dialect_recursive_components(spark, sf_dir).collect()
+        }
+        want = {
+            r.n_members: (r.n_components, r.root_checksum)
+            for r in dedup_components(spark, sf_dir).collect()
+        }
+        assert got == want
+
+
 class TestDistinctOn:
     def test_distinct_on_latest_per_key(self, spark, sf_dir):
         eng2 = Engine(spark, sf_dir)
