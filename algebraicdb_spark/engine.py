@@ -863,6 +863,29 @@ class Engine:
         stmt = rewrite_match_exprs(stmt, adt_cols)
         return rewrite_patterns(stmt, adt_cols, known_columns=known)
 
+    # -- model persistence ---------------------------------------------
+
+    def save_model(
+        self, path: str, df: DataFrame, kind: str, params: dict | None = None
+    ) -> None:
+        """Persist trained/derived operator state (IVF centroids, PQ
+        codebooks, LSH planes, dedup fingerprints) as parquet + a JSON
+        manifest — the DML twin of ``save_catalog``'s DDL persistence.
+        At 100 TB the ANN index build dwarfs the query; this is how a
+        session skips the rebuild."""
+        from algebraicdb_spark.models import save_model
+
+        save_model(df, path, kind, params)
+
+    def load_model(self, path: str):
+        """Reload a saved model as a ``ModelHandle`` (plain parquet
+        scan + metadata); feed ``.df`` to the matching search function
+        (``ivf_search``, ``pq_search``, ``incremental_dedup_classify``)
+        for a plan with zero training stages."""
+        from algebraicdb_spark.models import load_model
+
+        return load_model(self.spark, path)
+
     # -- catalog persistence -------------------------------------------
 
     def save_catalog(self, path: str) -> None:

@@ -263,6 +263,55 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_SPLIT = 400  # doc_id < split = already-ingested corpus; rest = new batch
 
 
+def doc_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 of the sorted distinct canonical token set —
+    the content fingerprint the incremental dedup state is keyed on.
+    Map-side only."""
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(F.split(canonical_text("text"), " "))
+                ),
+            )
+        ).alias("fp"),
+    )
+
+
+def incremental_dedup_classify(
+    batch_fps: DataFrame, state_fps: DataFrame
+) -> DataFrame:
+    """Classify a batch of (doc_id, fp) rows against a standing
+    fingerprint state (fp): 'dup_of_corpus' / 'dup_in_batch' /
+    'fresh'. The state is the natural ``Engine.save_model``
+    artifact (kind='dedup_fingerprints') — persisted once per ingest,
+    reloaded as a parquet scan, joined on fp; state grows with UNIQUE
+    content only, and the fold is associative across batches (next
+    state = old state ∪ fresh fingerprints)."""
+    from pyspark.sql.window import Window
+
+    state = state_fps.select("fp").distinct().withColumn("hit", F.lit(1))
+    batch = batch_fps.join(state, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.coalesce("hit", F.lit(0)).alias("hits_corpus"),
+        F.row_number()
+        .over(Window.partitionBy("fp").orderBy("doc_id"))
+        .alias("rn_in_batch"),
+    )
+    return batch.select(
+        "doc_id",
+        F.when(F.col("hits_corpus") == 1, "dup_of_corpus")
+        .when(F.col("rn_in_batch") > 1, "dup_in_batch")
+        .otherwise("fresh")
+        .alias("status"),
+    )
+
+
 @register(
     "pipeline_incremental_dedup",
     # incremental ingestion dedup: a NEW batch is checked against the
@@ -306,46 +355,13 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fingerprints map-side; ONE join of the batch against
     the (distinct) state on fp; the in-batch tiebreak window shares
-    the fp partitioning. State grows with UNIQUE content only.
+    the fp partitioning. State grows with UNIQUE content only. The
+    standing state is the ``Engine.save_model(kind='dedup_fingerprints')``
+    artifact — ``incremental_dedup_classify`` consumes a reloaded
+    state identically (pytest-pinned in test_models.py).
     """
-    from pyspark.sql.window import Window
-
-    from algebraicdb_spark.operators.dedup import canonical_text
-
     d = load_tables(spark, sf_dir)["documents"]
-    fps = d.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.sort_array(
-                    F.array_distinct(F.split(canonical_text("text"), " "))
-                ),
-            )
-        ).alias("fp"),
-    )
-    old_fps = (
-        fps.where(F.col("doc_id") < INCR_SPLIT)
-        .select("fp")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    batch = (
-        fps.where(F.col("doc_id") >= INCR_SPLIT)
-        .join(old_fps, "fp", "left")
-        .select(
-            "doc_id",
-            "fp",
-            F.coalesce("hit", F.lit(0)).alias("hits_corpus"),
-            F.row_number()
-            .over(Window.partitionBy("fp").orderBy("doc_id"))
-            .alias("rn_in_batch"),
-        )
-    )
-    return batch.select(
-        "doc_id",
-        F.when(F.col("hits_corpus") == 1, "dup_of_corpus")
-        .when(F.col("rn_in_batch") > 1, "dup_in_batch")
-        .otherwise("fresh")
-        .alias("status"),
-    )
+    fps = doc_fingerprints(d)
+    state = fps.where(F.col("doc_id") < INCR_SPLIT)
+    batch = fps.where(F.col("doc_id") >= INCR_SPLIT)
+    return incremental_dedup_classify(batch, state)

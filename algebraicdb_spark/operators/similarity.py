@@ -96,8 +96,30 @@ def _hyperplanes() -> list[list[float]]:
     return rng.randn(N_PLANES, 64).tolist()
 
 
-def _signature_bits(emb):
-    planes = _hyperplanes()
+def build_lsh_planes(spark: SparkSession) -> DataFrame:
+    """The LSH plane set as data -> (p_idx, vec): persist once with
+    ``Engine.save_model(kind='lsh_planes')`` so every consumer of the
+    signature space (indexer, online query path, a second cluster)
+    provably hashes with the SAME planes — regenerating 'deterministic'
+    planes in two places is exactly how signature spaces silently
+    fork. Reload via ``lsh_planes_from_model``."""
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_hyperplanes())],
+        "p_idx int, vec array<double>",
+    )
+
+
+def lsh_planes_from_model(planes_df: DataFrame) -> list[list[float]]:
+    """Collect a (p_idx, vec) model back into the plane list
+    ``_signature_bits`` inlines. Bounded: N_PLANES rows (16), KB-sized
+    — a metadata collect, not a data collect."""
+    rows = planes_df.orderBy("p_idx").collect()
+    return [list(r.vec) for r in rows]
+
+
+def _signature_bits(emb, planes: list[list[float]] | None = None):
+    if planes is None:
+        planes = _hyperplanes()
     return [
         F.when(
             F.aggregate(
@@ -353,19 +375,13 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@register("sim_knn_ivf", oracle=_IVF_ORACLE)
-def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: partition the corpus into centroid buckets,
-    search only the nProbe closest buckets per query.
-
-    Centroids: deterministic stride sample refined by one distributed
-    Lloyd iteration (see _refine_centroids); the probe/rerank plan is
-    the real IVF shape — bucket assignment is a broadcast argmax, the
-    candidate join hits ~nProbe/k of the corpus instead of all of it.
-    Value-hash-verified: the oracle replays seeds, the grid-floored
-    Lloyd means, and every assignment dot in Spark's fold order.
-    """
-    q, e = _queries_and_corpus(spark, sf_dir)
+def build_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: deterministic stride seeds refined by one
+    distributed Lloyd iteration -> (c_id, c_emb). The expensive half
+    of the IVF pipeline — persist it with ``Engine.save_model`` so
+    queries skip training entirely (at 100 TB the index build dwarfs
+    any single query)."""
+    _, e = _queries_and_corpus(spark, sf_dir)
     # 16 deterministic seed ids: vec_id ≡ 7 (mod 31) below 496 — present
     # at every SF (embeddings always has ≥ 500 rows), independent of
     # partition/task order, and derived with NO driver-side count/limit
@@ -374,7 +390,14 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(
         (F.col("vec_id") % 31 == 7) & (F.col("vec_id") < 496)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-    centroids = _refine_centroids(e, seeds)
+    return _refine_centroids(e, seeds)
+
+
+def ivf_search(q: DataFrame, e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The query half of IVF: bucket-assign the corpus, probe the
+    N_PROBE nearest buckets per query, exact-rerank candidates. Takes
+    centroids as data — freshly trained or reloaded from a saved
+    model — and builds NO training stages."""
 
     def assign(df, emb_col, id_col, keep, n_best):
         scored = df.crossJoin(F.broadcast(centroids)).select(
@@ -401,6 +424,22 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
+
+
+@register("sim_knn_ivf", oracle=_IVF_ORACLE)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid buckets,
+    search only the nProbe closest buckets per query.
+
+    Composition of ``build_ivf_centroids`` (train — persistable via
+    Engine.save_model) and ``ivf_search`` (probe/rerank): bucket
+    assignment is a broadcast argmax, the candidate join hits
+    ~nProbe/k of the corpus instead of all of it. Value-hash-verified:
+    the oracle replays seeds, the grid-floored Lloyd means, and every
+    assignment dot in Spark's fold order.
+    """
+    q, e = _queries_and_corpus(spark, sf_dir)
+    return ivf_search(q, e, build_ivf_centroids(spark, sf_dir))
 
 
 RANGE_TAU = 0.25
@@ -563,50 +602,41 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@register("sim_knn_pq", oracle=_PQ_ORACLE)
-def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (the FAISS-style tier): split vectors
-    into PQ_BLOCKS subspaces, train a PQ_K-entry codebook per subspace
-    (stride-sampled seeds + one grid-floored distributed Lloyd
-    iteration — the IVF trainer's recipe, so the whole pipeline is
-    value-hash-verifiable), encode the corpus as PQ_BLOCKS 4-bit
-    codes, score queries by asymmetric distance (table lookups),
-    exact-rerank the top PQ_RERANK.
-
-    Scale shape: codebook training shuffles only the deterministic
-    vec_id-stride sample capped at PQ_TRAIN_CAP rows per block
-    (codebooks are KB-sized regardless of corpus size; raise MOD at
-    scale). Encoding and ADC scoring are equi-joins against the
-    broadcast codebook/lookup table, so the corpus-grain work is
-    map-side + one (q, vec) agg over PQ_BLOCKS partial sums; the
-    exact rerank touches only PQ_RERANK × |queries| vectors. The ADC
-    ranking sums 1e-6-grid-floored integer partials, so the candidate
-    cut is order-free and engine-exact; recall vs brute force is
-    additionally pinned in tests/test_similarity.py.
-    """
-    q, e = _queries_and_corpus(spark, sf_dir)
-    # explode into (vec_id, block, subvec) — 8 rows per vector
-    blocks = F.array(*[F.lit(b) for b in range(PQ_BLOCKS)])
+def _pq_subvecs(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Explode (id, embedding) into PQ_BLOCKS (id, block, subvec) rows."""
     sub = lambda emb, b: F.slice(emb, b * PQ_SUB_DIM + 1, PQ_SUB_DIM)  # noqa: E731
-    corpus_sub = e.select(
-        "vec_id",
+    blocks = F.array(*[F.lit(b) for b in range(PQ_BLOCKS)])
+    return df.select(
+        id_col,
         F.explode(blocks).alias("block"),
-        "embedding",
+        emb_col,
     ).select(
-        "vec_id",
+        id_col,
         "block",
         F.transform(
-            sub(F.col("embedding"), F.col("block")), lambda x: x.cast("double")
+            sub(F.col(emb_col), F.col("block")), lambda x: x.cast("double")
         ).alias("subvec"),
     )
 
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
+def _pq_sub_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def build_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook train -> (block, centroid_id, centroid): stride-
+    sampled subvectors, seed centroids, one grid-floored distributed
+    Lloyd iteration (the IVF trainer's determinism recipe). KB-sized
+    however big the corpus — the canonical persist-once artifact for
+    ``Engine.save_model``; at 100 TB the train sample is bounded by
+    PQ_TRAIN_CAP rows per block regardless of corpus size."""
+    _, e = _queries_and_corpus(spark, sf_dir)
+    corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
+    l2 = _pq_sub_l2
     # deterministic stride sample with a dense-id cap: only ~1/MOD of
     # the corpus (bounded at MOD*CAP ids) enters the trainer shuffle
     train = corpus_sub.filter(
@@ -643,11 +673,21 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trained")
     )
     # a seed whose cluster lost every point keeps its seed vector
-    codebook = seeds.join(trained, ["block", "centroid_id"], "left").select(
+    return seeds.join(trained, ["block", "centroid_id"], "left").select(
         "block",
         "centroid_id",
         F.coalesce(F.col("trained"), F.col("seed")).alias("centroid"),
     )
+
+
+def pq_search(q: DataFrame, e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """The query half of PQ: encode the corpus against the (possibly
+    reloaded) codebook, score queries by asymmetric distance over
+    broadcast lookup tables, exact-rerank the top PQ_RERANK. Contains
+    NO training stages — pair with ``build_pq_codebook`` /
+    ``Engine.load_model``."""
+    l2 = _pq_sub_l2
+    corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
     # encode: nearest centroid per (vec, block) — broadcast codebook join
     codes = (
         corpus_sub.join(F.broadcast(codebook), "block")
@@ -663,16 +703,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "block", F.col("best.centroid_id").alias("centroid_id"))
     )
     # ADC lookup table: query-subvec · centroid per (q, block, centroid)
-    q_sub = q.select(
-        "q_id", F.explode(blocks).alias("block"),
-        F.col("q_emb").alias("emb"),
-    ).select(
-        "q_id",
-        "block",
-        F.transform(sub(F.col("emb"), F.col("block")), lambda x: x.cast("double")).alias(
-            "q_subvec"
-        ),
-    )
+    q_sub = _pq_subvecs(q, "q_id", "q_emb").withColumnRenamed("subvec", "q_subvec")
     lut = q_sub.join(F.broadcast(codebook), "block").select(
         "q_id",
         "block",
@@ -715,6 +746,30 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
     )
+
+
+@register("sim_knn_pq", oracle=_PQ_ORACLE)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style tier): split vectors
+    into PQ_BLOCKS subspaces, train a PQ_K-entry codebook per subspace
+    (``build_pq_codebook`` — persistable via Engine.save_model),
+    encode the corpus as PQ_BLOCKS 4-bit codes, score queries by
+    asymmetric distance (table lookups), exact-rerank the top
+    PQ_RERANK (``pq_search``).
+
+    Scale shape: codebook training shuffles only the deterministic
+    vec_id-stride sample capped at PQ_TRAIN_CAP rows per block
+    (codebooks are KB-sized regardless of corpus size; raise MOD at
+    scale). Encoding and ADC scoring are equi-joins against the
+    broadcast codebook/lookup table, so the corpus-grain work is
+    map-side + one (q, vec) agg over PQ_BLOCKS partial sums; the
+    exact rerank touches only PQ_RERANK × |queries| vectors. The ADC
+    ranking sums 1e-6-grid-floored integer partials, so the candidate
+    cut is order-free and engine-exact; recall vs brute force is
+    additionally pinned in tests/test_similarity.py.
+    """
+    q, e = _queries_and_corpus(spark, sf_dir)
+    return pq_search(q, e, build_pq_codebook(spark, sf_dir))
 
 
 @register(
