@@ -81,56 +81,27 @@ def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """readStream over the staged directory, one file per micro-batch,
-    normalized exactly like the batch catalog (ts µs + ts_ns)."""
-    ensure_confs(spark)
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_DDL)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    return normalize_events(raw)
+    """readStream over the staged directory via the ``StreamSource``
+    seam (one file per micro-batch), normalized exactly like the
+    batch catalog (ts µs + ts_ns)."""
+    from algebraicdb_spark.streaming.sources import FileEventsSource, open_stream
+
+    return open_stream(spark, FileEventsSource(src_dir))
 
 
 def read_rate_stream(
     spark: SparkSession, rows_per_batch: int = 200, n_users: int = 50
 ) -> DataFrame:
-    """NON-FILE streaming source: a ``rate-micro-batch`` generator
-    mapped onto the events shape (event_id/ts/user_id/event_type/
-    value/ts_ns), so every transformation in this module runs
-    unchanged over it.
+    """NON-FILE streaming source via the seam: a deterministic
+    ``rate-micro-batch`` generator mapped onto the events shape, so
+    every transformation in this module runs unchanged over it. The
+    Kafka-shaped path lives next to it as
+    ``sources.KafkaEventsSource`` — same normalized output schema,
+    nothing downstream changes."""
+    from algebraicdb_spark.streaming.sources import RateEventsSource, open_stream
 
-    This is the Kafka-shaped path: a message-bus source yields
-    (offset, timestamp, payload) exactly like rate's (value,
-    timestamp), and the projection below is the deserialize step — on
-    a cluster, swap ``format("rate-micro-batch")`` for
-    ``format("kafka")`` + ``from_json(value)`` and nothing downstream
-    changes. rate-micro-batch (not plain ``rate``) keeps batches
-    deterministic: rowsPerBatch rows per trigger, event time advancing
-    a fixed step per batch."""
-    ensure_confs(spark)
-    raw = (
-        spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", rows_per_batch)
-        .option("numPartitions", 2)
-        .option("startTimestamp", 0)
-        .option("advanceMillisPerBatch", 60_000)
-        .load()
-        .withColumnRenamed("value", "seq")
-    )
-    types = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
-    return (
-        raw.select(
-            F.col("seq").alias("event_id"),
-            F.col("timestamp").alias("ts"),
-            F.pmod(F.col("seq"), F.lit(n_users)).alias("user_id"),
-            F.element_at(
-                types, (F.pmod(F.col("seq"), F.lit(3)) + 1).cast("int")
-            ).alias("event_type"),
-            F.pmod(F.col("seq"), F.lit(100)).cast("double").alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
-        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return open_stream(
+        spark, RateEventsSource(rows_per_batch=rows_per_batch, n_users=n_users)
     )
 
 

@@ -379,3 +379,79 @@ def test_scd2_fold_matches_batch_key_across_microbatches(spark, sf_dir):
         .collect()
     }
     assert closed == want
+
+
+class TestStreamSourceSeam:
+    """The StreamSource protocol: every ingress yields the same
+    normalized schema, and the Kafka adapter is config-complete even
+    though the sandbox has no broker/connector."""
+
+    def test_file_source_schema_matches_rate_source(self, spark, src_dir):
+        from algebraicdb_spark.streaming.sources import (
+            FileEventsSource,
+            RateEventsSource,
+            open_stream,
+        )
+
+        f = open_stream(spark, FileEventsSource(src_dir))
+        r = open_stream(spark, RateEventsSource())
+        assert f.isStreaming and r.isStreaming
+        assert [
+            (x.name, x.dataType.simpleString()) for x in f.schema.fields
+        ] == [(x.name, x.dataType.simpleString()) for x in r.schema.fields]
+
+    def test_sources_satisfy_protocol(self, src_dir):
+        from algebraicdb_spark.streaming.sources import (
+            FileEventsSource,
+            KafkaEventsSource,
+            RateEventsSource,
+            StreamSource,
+        )
+
+        for s in (
+            FileEventsSource(src_dir),
+            RateEventsSource(),
+            KafkaEventsSource("broker:9092", "events"),
+        ):
+            assert isinstance(s, StreamSource)
+
+    def test_kafka_reader_options_contract(self):
+        from algebraicdb_spark.streaming.sources import KafkaEventsSource
+
+        s = KafkaEventsSource(
+            "b1:9092,b2:9092",
+            "events",
+            starting_offsets="latest",
+            max_offsets_per_trigger=5000,
+            extra_options={"minPartitions": "64"},
+        )
+        opts = s.reader_options()
+        assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+        assert opts["subscribe"] == "events"
+        assert opts["startingOffsets"] == "latest"
+        assert opts["maxOffsetsPerTrigger"] == "5000"
+        assert opts["failOnDataLoss"] == "true"
+        assert opts["minPartitions"] == "64"
+        # unbounded trigger drops the cap instead of writing "None"
+        assert "maxOffsetsPerTrigger" not in KafkaEventsSource(
+            "b:9092", "t", max_offsets_per_trigger=None
+        ).reader_options()
+
+    def test_kafka_load_raises_actionable_error_without_connector(self, spark):
+        from algebraicdb_spark.streaming.sources import KafkaEventsSource
+
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            KafkaEventsSource("localhost:9092", "events").load(spark)
+
+    def test_existing_readers_route_through_seam(self, spark, src_dir):
+        # read_events_stream/read_rate_stream are now thin wrappers —
+        # their output is byte-identical to the seam's
+        from algebraicdb_spark.streaming import engine as streng
+        from algebraicdb_spark.streaming.sources import (
+            FileEventsSource,
+            open_stream,
+        )
+
+        a = streng.read_events_stream(spark, src_dir)
+        b = open_stream(spark, FileEventsSource(src_dir))
+        assert a.schema == b.schema
