@@ -53,6 +53,15 @@ _TYPE_MAP = {
     "text": "string",
     "string": "string",
     "varchar": "string",
+    # bare INTERVAL means the ANSI day-time interval (arithmetic +
+    # SUM/AVG work; columns are comparable and sortable) — NOT Spark's
+    # legacy CalendarIntervalType, which rejects aggregation. The
+    # year-month flavor is declarable explicitly as
+    # `Interval Year To Month` (passthrough).
+    "interval": "interval day to second",
+    # DECIMAL(p,s)/NUMERIC(p,s) pass through to Spark's exact decimal
+    # unchanged (exact-money arithmetic end-to-end); bare DECIMAL
+    # defaults to Spark's decimal(10,0).
 }
 
 _CREATE_TYPE_RE = re.compile(

