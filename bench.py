@@ -61,6 +61,8 @@ EXTRAS = [
     "graph_kcore",
     "sim_mmr_diversify",
     "text_ngram_novelty",
+    "dialect_recursive_components",
+    "dialect_iterate_kcore",
 ]
 
 
