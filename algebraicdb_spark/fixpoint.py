@@ -264,7 +264,33 @@ def _run_recursive(spark, stmt, ctes, final, saved, rewrite) -> DataFrame:
     view = _fresh_view(cte.name)
     run = lambda sql: spark.sql(rewrite(_unmask_strings(sql, saved)))  # noqa: E731
 
-    acc = run(_with_prefix(prefix, " UNION ".join(base_segs)))
+    # Materialize prefix CTEs ONCE: they are loop-invariant, and
+    # re-inlining their text into every round's step would re-execute
+    # the whole upstream derivation per iteration (e.g. a shingle
+    # self-join feeding an edge list — the exact lineage explosion
+    # connected_components' localCheckpoint discipline exists for).
+    # Each becomes a checkpointed temp view; later bodies, the
+    # base/step, and the final query are rebound to the view names.
+    prefix_views: list[tuple[str, str]] = []  # (orig name, view name)
+
+    def _rebind(sql: str) -> str:
+        for orig, v in prefix_views:
+            sql = _substitute(sql, orig, v)
+        return sql
+
+    for c in prefix:
+        pview = _fresh_view(c.name)
+        pdf = run(_rebind(c.body))
+        if c.cols:
+            pdf = pdf.toDF(*c.cols)
+        pdf.localCheckpoint(eager=True).createOrReplaceTempView(pview)
+        prefix_views.append((c.name, pview))
+    base_segs = [_rebind(s) for s in base_segs]
+    step_segs = [_rebind(s) for s in step_segs]
+    suffix = [_Cte(c.name, c.cols, _rebind(c.body)) for c in suffix]
+    final = _rebind(final)
+
+    acc = run(" UNION ".join(base_segs))
     if cte.cols:
         acc = acc.toDF(*cte.cols)
     acc = acc.distinct().localCheckpoint(eager=True)
@@ -277,7 +303,7 @@ def _run_recursive(spark, stmt, ctes, final, saved, rewrite) -> DataFrame:
         (delta if semi_naive else acc).createOrReplaceTempView(view)
         new = None
         for seg in step_segs:
-            part = run(_with_prefix(prefix, _substitute(seg, cte.name, view)))
+            part = run(_substitute(seg, cte.name, view))
             if cte.cols:
                 part = part.toDF(*cte.cols)
             new = part if new is None else new.unionByName(part)
@@ -297,7 +323,13 @@ def _run_recursive(spark, stmt, ctes, final, saved, rewrite) -> DataFrame:
             "iterations (spark.sql.cteRecursionLevelLimit) — raise the "
             "limit or check the step for non-terminating generation"
         )
-    return _bind_result(spark, acc, cte, prefix, suffix, final, saved, rewrite)
+    # prefix CTE references in suffix/final are already rebound to the
+    # materialized views, so the final statement needs no WITH prefix
+    try:
+        return _bind_result(spark, acc, cte, [], suffix, final, saved, rewrite)
+    finally:
+        for _, v in prefix_views:
+            spark.catalog.dropTempView(v)
 
 
 def _run_iterate(spark, ctes, final, saved, rewrite) -> DataFrame:

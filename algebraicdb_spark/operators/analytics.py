@@ -3527,3 +3527,332 @@ def orders_repeat_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within_30d"),
     )
+
+
+@register(
+    "agg_herfindahl_index",
+    # Herfindahl-Hirschman concentration per priority segment:
+    # HHI = sum(share_i^2) over customers, computed as
+    # sum(cents_i^2) / total_cents^2 — squares summed exactly in
+    # DECIMAL(38,0) (cents^2 ~ 1e18 per heavy customer would overflow
+    # a BIGINT sum), one IEEE division at the end.
+    oracle="""
+    WITH cust AS (
+      SELECT o_orderpriority,
+             o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           floor(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                 / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS hhi
+    FROM cust GROUP BY o_orderpriority
+    """,
+)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer revenue concentration
+    per priority segment — the antitrust/market-power concentration
+    number (1/n uniform .. 1.0 monopoly) that completes the
+    inequality family next to agg_gini_coefficient (Gini measures
+    dispersion; HHI weights the head quadratically).
+
+    Exactness: per-customer cents are exact BIGINTs; their squares
+    accumulate in DECIMAL(38,0) (a heavy customer's cents^2 overflows
+    int64), and HHI emerges from ONE IEEE division of two exact
+    moments — no per-row share division whose rounding could drift
+    between engines. Scale shape: two hash aggregates on
+    (priority, custkey) then (priority) — no window, no sort.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cust = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    sumsq = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+    total = F.sum("cents").cast("bigint")
+    return cust.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        total.alias("cents_total"),
+        (
+            F.floor(
+                sumsq.cast("double")
+                / (total.cast("double") * total.cast("double"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("hhi"),
+    )
+
+
+SEQ2_WINDOW_H = 24  # A-then-B must happen within this many hours
+
+
+@register(
+    "event_seq2_mining",
+    # Sequential 2-pattern mining: support of "A then B within 24 h"
+    # per USER (exists semantics, not adjacency — the transition
+    # matrix covers consecutive steps). Confidence = P(pattern | user
+    # has A). Counts are exact; ratios are single IEEE divisions.
+    oracle=f"""
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type, ts FROM events
+    ), pat AS (
+      SELECT DISTINCT a.user_id, a.event_type AS ante, b.event_type AS cons
+      FROM ue a JOIN ue b
+        ON b.user_id = a.user_id
+       AND b.event_type <> a.event_type
+       AND b.ts > a.ts
+       AND b.ts <= a.ts + INTERVAL {SEQ2_WINDOW_H} HOUR
+    ), has_t AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type
+    ), n_all AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM events
+    )
+    SELECT p.ante, p.cons,
+           CAST(COUNT(*) AS BIGINT) AS n_users_pattern,
+           floor(CAST(COUNT(*) AS DOUBLE) / n_all.n * 10000 + 0.5) / 10000
+             AS support,
+           floor(CAST(COUNT(*) AS DOUBLE) / ha.n_users * 10000 + 0.5) / 10000
+             AS confidence
+    FROM pat p
+    JOIN has_t ha ON ha.event_type = p.ante
+    CROSS JOIN n_all
+    GROUP BY p.ante, p.cons, ha.n_users, n_all.n
+    """,
+)
+def event_seq2_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 2-pattern mining: for every ordered type pair
+    (A, B), how many users did A then B within 24 h (EXISTS anywhere
+    in the stream, not just adjacent steps — the complement of
+    event_transition_matrix's Markov adjacency and assoc_basket_lift's
+    unordered co-occurrence). Support normalizes by all users,
+    confidence by users who did A — the funnel-discovery primitive
+    that tells you WHICH funnels to define.
+
+    Scale shape: the A-B match joins per-user event lists on user_id
+    (one shuffle); fan-out is bounded by events-per-user² within the
+    time band, then collapsed by DISTINCT (user, A, B) — with |types|
+    small the distinct set is at most |users| x types². At pathological
+    per-user volumes the band join becomes the bucketed interval-join
+    shape (join_interval_bucketed).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ue = e.select("user_id", "event_type", "ts").distinct()
+    a = ue.select(
+        F.col("user_id"), F.col("event_type").alias("ante"), F.col("ts").alias("ts_a")
+    )
+    b = ue.select(
+        F.col("user_id"), F.col("event_type").alias("cons"), F.col("ts").alias("ts_b")
+    )
+    pat = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("cons") != F.col("ante"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (
+                F.col("ts_b")
+                <= F.col("ts_a") + F.expr(f"INTERVAL {SEQ2_WINDOW_H} HOURS")
+            )
+        )
+        .select("user_id", "ante", "cons")
+        .distinct()
+    )
+    has_t = e.groupBy(F.col("event_type").alias("ante")).agg(
+        F.countDistinct("user_id").alias("n_with_ante")
+    )
+    n_all = e.select(F.countDistinct("user_id").alias("n_total"))
+    counts = pat.groupBy("ante", "cons").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_pattern")
+    )
+    return (
+        counts.join(F.broadcast(has_t), "ante")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "ante",
+            "cons",
+            "n_users_pattern",
+            pround(
+                F.col("n_users_pattern").cast("double") / F.col("n_total")
+            ).alias("support"),
+            pround(
+                F.col("n_users_pattern").cast("double") / F.col("n_with_ante")
+            ).alias("confidence"),
+        )
+    )
+
+
+@register(
+    "time_seasonal_naive_forecast",
+    # Seasonal-naive backtest: forecast(day) = value(day - 7); MAE of
+    # that vs the naive-1 forecast (yesterday's value) over days that
+    # have both baselines — integer errors, one division each.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day_s, n,
+             lag(n, 7) OVER w AS n_wk,
+             lag(n, 1) OVER w AS n_d1
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_s)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           floor(CAST(SUM(abs(n - n_wk)) AS DOUBLE) / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS mae_seasonal,
+           floor(CAST(SUM(abs(n - n_d1)) AS DOUBLE) / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS mae_naive1
+    FROM lagged
+    WHERE n_wk IS NOT NULL AND n_d1 IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def time_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event
+    count with the same weekday last week (lag 7) and with yesterday
+    (lag 1), and report both MAEs — the standard baseline pair every
+    real forecasting model must beat (and the quantitative readout of
+    the weekly seasonality time_autocorrelation_acf detects). Errors
+    are exact integer |n - lag|; each MAE is one division.
+
+    Scale shape: raw events collapse to (type, day) immediately; the
+    lag windows run on the day grain (dozens of rows per type).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_s")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("n_wk"),
+        F.lag("n", 1).over(w).alias("n_d1"),
+    ).where(F.col("n_wk").isNotNull() & F.col("n_d1").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("n") - F.col("n_wk"))).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("mae_seasonal"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("n") - F.col("n_d1"))).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("mae_naive1"),
+    )
+
+
+BOT_MIN_EVENTS = 20   # below this, regularity is noise, not signal
+BOT_CV2_NUM = 1       # flag when CV^2 < 1/4 (CV < 0.5)
+BOT_CV2_DEN = 4
+
+
+@register(
+    "event_bot_regularity",
+    # Bot heuristic: a user whose inter-event gaps are TOO regular
+    # (coefficient of variation < 0.5 over >= 20 events) is machine-
+    # like. CV^2 = (n*S2 - S^2)/S^2 over exact ms gaps; the threshold
+    # compare is cross-multiplied integers — no float ever decides a
+    # flag. Gap moments in DECIMAL(38,0): ms^2 sums pass 2^63.
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+                  AS BIGINT) AS gap_ms
+      FROM events
+    ), stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_ms) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(gap_ms AS DECIMAL(38,0)) * gap_ms)
+                  AS DECIMAL(38,0)) AS s2
+      FROM gaps WHERE gap_ms IS NOT NULL
+      GROUP BY user_id
+    ), flagged AS (
+      SELECT user_id, n,
+             CASE WHEN n >= {BOT_MIN_EVENTS - 1} AND s1 > 0
+                       AND (n * s2 - s1 * s1) * {BOT_CV2_DEN}
+                           < s1 * s1 * {BOT_CV2_NUM}
+                  THEN 1 ELSE 0 END AS is_bot
+      FROM stats
+    )
+    SELECT is_bot,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(n) AS BIGINT) AS min_gaps,
+           CAST(MAX(n) AS BIGINT) AS max_gaps
+    FROM flagged GROUP BY is_bot
+    """,
+)
+def event_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic heuristic: flag users whose inter-event timing is
+    too REGULAR to be human — coefficient of variation of gaps below
+    0.5 across at least BOT_MIN_EVENTS events (humans are bursty:
+    empirical CVs ≥ 1; schedulers and scrapers tick). The data-
+    quality gate a training pipeline runs before trusting behavioral
+    event data.
+
+    Exactness: gaps are exact integer ms (µs DIV 1000); CV² =
+    (n·Σx² − S²)/S² with moments accumulated in DECIMAL(38,0) (a
+    day-long ms gap squared times thousands of events passes 2^63),
+    and the flag is a cross-multiplied INTEGER comparison — no float
+    threshold. Scale shape: one lag window + one hash agg, both
+    partitioned by user_id.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) / 1000).cast("bigint").alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap_ms").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap_ms").cast("decimal(38,0)") * F.col("gap_ms"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * F.lit(
+        BOT_CV2_DEN
+    )
+    thresh = F.col("s1") * F.col("s1") * F.lit(BOT_CV2_NUM)
+    flagged = stats.select(
+        "n",
+        F.when(
+            (F.col("n") >= BOT_MIN_EVENTS - 1)
+            & (F.col("s1") > 0)
+            & (var_num < thresh),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_bot"),
+    )
+    return flagged.groupBy("is_bot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_gaps"),
+        F.min("n").cast("bigint").alias("min_gaps"),
+        F.max("n").cast("bigint").alias("max_gaps"),
+    )

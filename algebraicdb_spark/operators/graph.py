@@ -791,3 +791,120 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("m2 DIV 2").alias("n_edges"),
         pround(r, 6).alias("assortativity"),
     )
+
+
+AA_DEG_CAP = 64   # hubs contribute ~0 to Adamic-Adar; capping w's degree
+                  # bounds the wedge fan-out at cap * |nodes|
+AA_TOP = 20
+_AA_GRID = 10**6
+
+
+@register(
+    "graph_adamic_adar",
+    # Link prediction: for node pairs NOT already connected, score
+    # = sum over common neighbors w of 1/ln(deg(w)), each term
+    # grid-floored to an integer at 1e-6 so the sum and the top-20
+    # cut are engine-exact. Wedges enumerate only through nodes with
+    # deg <= cap (hub commonality is uninformative and unbounded).
+    oracle=_LI_SQL
+    + f""",
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM und GROUP BY node
+    ),
+    thru AS MATERIALIZED (
+      SELECT u.node AS w, u.nbr,
+             CAST(floor({_AA_GRID} / ln(d.d)) AS BIGINT) AS inv_ln_g
+      FROM und u JOIN deg d ON d.node = u.node
+      WHERE d.d <= {AA_DEG_CAP} AND d.d >= 2
+    ),
+    wedges AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.inv_ln_g
+      FROM thru a JOIN thru b ON b.w = a.w AND a.nbr < b.nbr
+    ),
+    scored AS (
+      SELECT u, v, CAST(SUM(inv_ln_g) AS BIGINT) AS score_g
+      FROM wedges wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.pa = wd.u AND e.pb = wd.v
+      )
+      GROUP BY u, v
+    )
+    SELECT u, v, score_g,
+           floor(CAST(score_g AS DOUBLE) / {_AA_GRID} * 10000 + 0.5) / 10000
+             AS aa_score
+    FROM scored
+    ORDER BY score_g DESC, u, v
+    LIMIT {AA_TOP}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: score
+    every unconnected pair by Σ 1/ln(deg(w)) across common neighbors
+    w — rare shared neighbors are strong evidence, hubs are noise.
+    The recommender primitive graph_jaccard_neighbors' overlap metric
+    leads to; top-20 proposals with a total order.
+
+    Scale discipline: wedges enumerate through MIDDLE nodes only
+    (deg(w) ≥ 2 and ≤ AA_DEG_CAP) — capping the middle degree bounds
+    fan-out at cap·|nodes| while changing scores only by hub terms
+    that contribute ≲ 1/ln(cap) each (the standard production cut;
+    uncapped hubs are quadratic AND uninformative). Each 1/ln term is
+    grid-floored to an integer, so the sum, ranking, and LIMIT cut
+    are bit-identical on both engines. The existing-edge exclusion is
+    one anti-join on the oriented pair.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    und = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    thru = (
+        und.join(deg, "node")
+        .where((F.col("d") <= AA_DEG_CAP) & (F.col("d") >= 2))
+        .select(
+            F.col("node").alias("w"),
+            "nbr",
+            F.floor(F.lit(_AA_GRID) / F.log(F.col("d"))).cast("bigint").alias(
+                "inv_ln_g"
+            ),
+        )
+    )
+    a = thru.select(F.col("w"), F.col("nbr").alias("u"), "inv_ln_g")
+    b = thru.select(F.col("w"), F.col("nbr").alias("v"))
+    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
+    scored = (
+        wedges.join(
+            edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("inv_ln_g").cast("bigint").alias("score_g"))
+    )
+    return (
+        scored.orderBy(F.col("score_g").desc(), "u", "v")
+        .limit(AA_TOP)
+        .select(
+            "u",
+            "v",
+            "score_g",
+            pround(F.col("score_g").cast("double") / _AA_GRID).alias("aa_score"),
+        )
+    )

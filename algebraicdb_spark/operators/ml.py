@@ -552,3 +552,166 @@ def ml_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("bigint").alias("member_checksum"),
         F.sum("fit_g").cast("bigint").alias("fit_grid"),
     )
+
+
+@register(
+    "feature_target_encoding_loo",
+    # Leave-one-out target encoding of o_orderpriority against the
+    # binary target (o_orderstatus = 'F'): enc_i = (S_cat - y_i) /
+    # (n_cat - 1). Within a (category, y) cell the encoding is
+    # constant, so the full encoded table collapses to one row per
+    # cell — counts exact, encoding one IEEE division on a 1e-6 grid.
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), agg AS (
+      SELECT cat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM t GROUP BY cat
+    )
+    SELECT t.cat, t.y,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           floor(CAST(a.s - t.y AS DOUBLE) / (a.n - 1) * 1000000 + 0.5)
+             / 1000000 AS loo_encoding
+    FROM t JOIN agg a ON a.cat = t.cat
+    GROUP BY t.cat, t.y, a.s, a.n
+    """,
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature staple
+    that replaces a category with the target mean of the OTHER rows
+    of that category: enc_i = (S_cat − y_i)/(n_cat − 1). The LOO
+    exclusion is what stops the encoding from leaking each row's own
+    label (plain mean encoding memorizes singleton categories; LOO
+    makes them useless, as they should be).
+
+    The algebra does the heavy lifting: within one (category, y)
+    cell the encoding is a constant, so the encoded TABLE (150k rows)
+    collapses to |categories| × 2 output rows — the whole transform
+    is two hash aggregates and one broadcast join, with the encoding
+    computed ONCE per cell instead of per row. That identity is the
+    100 TB design: the per-row map is a join against a tiny
+    broadcast dictionary of cell constants.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    agg = t.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    cells = t.groupBy("cat", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return cells.join(F.broadcast(agg), "cat").select(
+        "cat",
+        "y",
+        "n_rows",
+        (
+            F.floor(
+                (F.col("s") - F.col("y")).cast("double")
+                / (F.col("n") - 1)
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("loo_encoding"),
+    )
+
+
+CONF_THRESHOLDS = (10000, 60000, 150000)  # score cut in whole dollars
+
+
+@register(
+    "ml_eval_confusion_prf",
+    # Thresholded-classifier evaluation: score = o_totalprice, label =
+    # (o_orderstatus = 'F'); one confusion matrix + precision/recall/
+    # F1 per threshold. All four cells from ONE conditional aggregate
+    # per threshold; P/R/F1 are single IEEE divisions of exact counts
+    # (F1 via 2tp/(2tp+fp+fn) — no chained rounded ratios).
+    oracle=f"""
+    WITH t AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             o_totalprice AS score
+      FROM orders
+    ), th(thresh) AS (VALUES {', '.join(f'({v})' for v in CONF_THRESHOLDS)})
+    SELECT th.thresh,
+           CAST(SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= th.thresh AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score < th.thresh AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           floor(CAST(SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN score >= th.thresh THEN 1 ELSE 0 END), 0)
+                 * 10000 + 0.5) / 10000 AS precision_,
+           floor(CAST(SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(y), 0) * 10000 + 0.5) / 10000 AS recall_,
+           floor(CAST(2 * SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(2 * SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN score >= th.thresh AND y = 0 THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN score < th.thresh AND y = 1 THEN 1 ELSE 0 END), 0)
+                 * 10000 + 0.5) / 10000 AS f1
+    FROM t CROSS JOIN th
+    GROUP BY th.thresh
+    """,
+)
+def ml_eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at a threshold ladder —
+    the operating-point evaluation that complements ml_eval_auc's
+    ranking view and ml_eval_calibration's probability view (a model
+    ships at ONE threshold; AUC alone can't pick it).
+
+    All four confusion cells come from one conditional hash aggregate
+    per threshold (a 3-row broadcast of the ladder — no second scan
+    per threshold), and every ratio is a single IEEE division of
+    exact counts: F1 computed directly as 2tp/(2tp+fp+fn), never from
+    the pre-rounded P and R. NULL (not fake 0.0) where a denominator
+    is empty.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.col("o_totalprice").alias("score"),
+    )
+    th = spark.createDataFrame(
+        [(v,) for v in CONF_THRESHOLDS], "thresh int"
+    )
+    pos = F.col("score") >= F.col("thresh")
+    tp = F.sum(F.when(pos & (F.col("y") == 1), 1).otherwise(0)).cast("bigint")
+    fp = F.sum(F.when(pos & (F.col("y") == 0), 1).otherwise(0)).cast("bigint")
+    fn = F.sum(F.when(~pos & (F.col("y") == 1), 1).otherwise(0)).cast("bigint")
+    tn = F.sum(F.when(~pos & (F.col("y") == 0), 1).otherwise(0)).cast("bigint")
+    grid = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    agg = t.crossJoin(F.broadcast(th)).groupBy("thresh").agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn")
+    )
+    return agg.select(
+        "thresh",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        grid(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+        ).alias("precision_"),
+        grid(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+        ).alias("recall_"),
+        grid(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
+        ).alias("f1"),
+    )

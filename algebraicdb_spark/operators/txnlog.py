@@ -1,0 +1,259 @@
+"""Transactional table-format WRITER (the twin of log replay reads).
+
+``source_txnlog_snapshot`` (scans.py) proved the READ side of a
+Delta/Iceberg-style table: the live file set is decided by replaying
+an ordered commit log, never by listing a directory. This module adds
+the write side the round-5 verdict listed as the last residual gap: a
+``TxnLogTable`` writer with versioned APPEND / OVERWRITE commits,
+optimistic concurrency, and time travel — the minimal ACID surface a
+lakehouse table needs (real deployments would adopt Delta/Iceberg
+libraries; this pins the semantics with the same relational tools).
+
+Protocol (the Delta core, radically simplified):
+
+    <path>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <path>/_log/v00000000.json ... v{n}.json   one JSON doc per commit
+
+Each commit file holds the full action list of that version:
+``{"version": n, "actions": [{"action": "add"|"remove", "path": p}]}``.
+A reader resolves a snapshot AT version v by folding actions of
+versions 0..v in order — a path is live iff its latest action ≤ v is
+``add``. APPEND emits only adds; OVERWRITE emits removes for every
+currently-live file plus adds for the new data. Commit n is admitted
+only if n == latest+1 at publish time (optimistic concurrency — a
+racing writer loses with ``ConcurrentWriteError`` and must rebase,
+exactly Delta's protocol). The commit publish is a create-exclusive
+of the version file: on a POSIX/HDFS-like store that is atomic; on
+S3-class stores real formats route this through a commit service or
+conditional-put, which is a deployment detail behind ``_publish``.
+
+Scale shape: the log is METADATA — O(commits) KB-sized JSON docs read
+driver-side (what every table-format client does); data files never
+move on commit, appends never rewrite history, and snapshot reads are
+ordinary pruned parquet scans over the live path list. OVERWRITE is
+O(1) in data size: it tombstones paths, it does not delete bytes
+(vacuum is a separate concern, as in every real format).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.functions.rounding import pround
+from algebraicdb_spark.operators.scans import _scratch
+from algebraicdb_spark.plans.registry import register
+from algebraicdb_spark.sources.catalog import load_tables
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class TxnLogTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log primitives ------------------------------------------------
+
+    def latest_version(self) -> int:
+        """-1 when the table has no commits yet."""
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=-1)
+
+    def _commits(self, as_of: int | None = None) -> list[dict]:
+        out = []
+        for v in range(self.latest_version() + 1):
+            if as_of is not None and v > as_of:
+                break
+            with open(os.path.join(self.log_dir, f"v{v:08d}.json")) as f:
+                out.append(json.load(f))
+        return out
+
+    def live_paths(self, as_of: int | None = None) -> list[str]:
+        """Fold the action log: a path is live iff its latest action
+        at or before ``as_of`` is an add."""
+        state: dict[str, str] = {}
+        for commit in self._commits(as_of):
+            for a in commit["actions"]:
+                state[a["path"]] = a["action"]
+        return sorted(p for p, act in state.items() if act == "add")
+
+    def _publish(self, version: int, actions: list[dict]) -> None:
+        """Create-exclusive publish of one commit file. 'x' mode is the
+        atomicity primitive: two racers targeting the same version get
+        exactly one winner (FileExistsError -> ConcurrentWriteError)."""
+        doc = json.dumps({"version": version, "actions": actions})
+        target = os.path.join(self.log_dir, f"v{version:08d}.json")
+        try:
+            with open(target, "x") as f:
+                f.write(doc)
+        except FileExistsError as exc:
+            raise ConcurrentWriteError(
+                f"version {version} already committed by another writer — "
+                "rebase on the new snapshot and retry"
+            ) from exc
+
+    # -- transactions --------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write the batch as an immutable data directory; returns the
+        staged paths. Staging is outside the commit: uncommitted data
+        is invisible to every reader by construction."""
+        dest = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(dest)
+        return [dest]
+
+    def append(self, df: DataFrame, expected_version: int | None = None) -> int:
+        """APPEND commit: stage files, publish adds. Returns the new
+        version. ``expected_version`` pins the optimistic check (the
+        read-snapshot the writer based itself on); default = whatever
+        is latest at publish time + 1 (blind append — always safe for
+        adds-only commits)."""
+        version = (
+            self.latest_version() + 1
+            if expected_version is None
+            else expected_version
+        )
+        paths = self._stage(df)
+        self._publish(version, [{"action": "add", "path": p} for p in paths])
+        return version
+
+    def overwrite(self, df: DataFrame, expected_version: int) -> int:
+        """OVERWRITE commit: tombstone every live file of the snapshot
+        this writer read, add the replacement. ``expected_version`` is
+        REQUIRED — an overwrite that raced an append would silently
+        drop the append's rows, so the version check is the
+        correctness gate, not a nicety."""
+        current = self.latest_version()
+        if expected_version != current + 1:
+            raise ConcurrentWriteError(
+                f"overwrite based on version {expected_version - 1} but "
+                f"table is at {current} — rebase and retry"
+            )
+        removes = [
+            {"action": "remove", "path": p} for p in self.live_paths()
+        ]
+        paths = self._stage(df)
+        self._publish(
+            expected_version,
+            removes + [{"action": "add", "path": p} for p in paths],
+        )
+        return expected_version
+
+    # -- reads ---------------------------------------------------------
+
+    def snapshot(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame:
+        """Scan the snapshot at ``as_of`` (default: latest). An empty
+        live set raises — a table with zero commits is an error, not
+        an empty frame (matching every format's behavior)."""
+        paths = self.live_paths(as_of)
+        if not paths:
+            raise ValueError(
+                f"txnlog table {self.path} has no live files at "
+                f"version {as_of if as_of is not None else 'latest'}"
+            )
+        return spark.read.parquet(*paths)
+
+
+def _fresh_table(spark: SparkSession, sf_dir: str, name: str) -> TxnLogTable:
+    import shutil
+
+    base = _scratch(name, sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    return TxnLogTable(base)
+
+
+@register(
+    "sink_txnlog_append",
+    # Writer lifecycle: v0 append (o_orderkey%3==0), v1 append (%3==1),
+    # v2 OVERWRITE with the 'F'-status subset of everything. The oracle
+    # recomputes the final content directly from the fixture.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_txnlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional writer lifecycle: two APPEND commits build the
+    table, an OVERWRITE commit (curation pass keeping only status-'F'
+    rows) replaces the snapshot, and a stale overwrite is REFUSED by
+    the optimistic version check — then the final snapshot is read
+    back through log replay. The aggregate over the result proves the
+    committed content is exactly append₀ ∪ append₁ curated, no
+    uncommitted or tombstoned file leaking in."""
+    o = load_tables(spark, sf_dir)["orders"]
+    t = _fresh_table(spark, sf_dir, "txnlog_w")
+    v0 = t.append(o.where(F.col("o_orderkey") % 3 == 0))
+    v1 = t.append(o.where(F.col("o_orderkey") % 3 == 1))
+    assert (v0, v1) == (0, 1)
+    curated = t.snapshot(spark).where(F.col("o_orderstatus") == "F")
+    # a writer that read v0 and tries to overwrite now must LOSE:
+    try:
+        t.overwrite(curated, expected_version=1)
+        raise AssertionError("stale overwrite must be refused")
+    except ConcurrentWriteError:
+        pass
+    t.overwrite(curated, expected_version=2)
+    snap = t.snapshot(spark)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+        ).alias("total"),
+    )
+
+
+@register(
+    "source_txnlog_time_travel",
+    # AS OF v1 sees appends 0+1 in full (the later overwrite is
+    # invisible); the oracle recomputes that pre-overwrite content.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def source_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the same writer lifecycle as sink_txnlog_append,
+    read back AS OF version 1 — the pre-overwrite snapshot, with every
+    row the curation pass later tombstoned still visible. Versioned
+    reads are what make table formats auditable (reproduce any past
+    training run) and are free here: old data files are immutable, so
+    time travel is just folding a shorter log prefix."""
+    o = load_tables(spark, sf_dir)["orders"]
+    t = _fresh_table(spark, sf_dir, "txnlog_tt")
+    t.append(o.where(F.col("o_orderkey") % 3 == 0))
+    t.append(o.where(F.col("o_orderkey") % 3 == 1))
+    t.overwrite(
+        t.snapshot(spark).where(F.col("o_orderstatus") == "F"),
+        expected_version=2,
+    )
+    past = t.snapshot(spark, as_of=1)
+    return past.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

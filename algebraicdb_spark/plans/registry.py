@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "algebraicdb_spark.operators.ml",
     "algebraicdb_spark.operators.tpch",
     "algebraicdb_spark.operators.fixpoint_queries",
+    "algebraicdb_spark.operators.txnlog",
 )
 
 
