@@ -3856,3 +3856,169 @@ def event_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("bigint").alias("min_gaps"),
         F.max("n").cast("bigint").alias("max_gaps"),
     )
+
+
+AGING_BUCKETS = ((0, 30), (31, 60), (61, 90))  # days; beyond = "90+"
+
+
+@register(
+    "orders_fulfillment_aging",
+    # Fulfillment aging report: ship latency (l_shipdate - o_orderdate)
+    # bucketed 0-30 / 31-60 / 61-90 / 90+ days per priority, with each
+    # bucket's share of its priority — exact integer day diffs and
+    # counts, one division per share.
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), bucketed AS (
+      SELECT priority,
+             CASE WHEN days <= 30 THEN '00-30'
+                  WHEN days <= 60 THEN '31-60'
+                  WHEN days <= 90 THEN '61-90'
+                  ELSE '90+' END AS bucket,
+             days
+      FROM lat
+    ), per AS (
+      SELECT priority, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(MAX(days) AS BIGINT) AS max_days
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT priority, bucket, n_lines, max_days,
+           floor(CAST(n_lines AS DOUBLE)
+                 / SUM(n_lines) OVER (PARTITION BY priority)
+                 * 10000 + 0.5) / 10000 AS share
+    FROM per
+    """,
+)
+def orders_fulfillment_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment aging report: how long after ordering do lines
+    actually ship, bucketed into the 0-30/31-60/61-90/90+ day bands
+    every operations dashboard uses, with each band's share of its
+    priority class — the slow-tail diagnostic behind SLA conversations
+    (a priority whose 90+ band grows is the one to escalate).
+
+    Exactness: day diffs and counts are integers; shares are one IEEE
+    division each. Scale shape: one key join (orderkey) + one hash
+    agg on (priority, bucket); the share window runs on the bucketed
+    grain (|priorities| x 4 rows).
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = load_tables(spark, sf_dir)["orders"]
+    lat = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("days"),
+    )
+    bucket = (
+        F.when(F.col("days") <= 30, "00-30")
+        .when(F.col("days") <= 60, "31-60")
+        .when(F.col("days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    per = lat.select("priority", bucket.alias("bucket"), "days").groupBy(
+        "priority", "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+    w = Window.partitionBy("priority")
+    return per.select(
+        "priority",
+        "bucket",
+        "n_lines",
+        "max_days",
+        pround(
+            F.col("n_lines").cast("double") / F.sum("n_lines").over(w)
+        ).alias("share"),
+    )
+
+
+@register(
+    "event_inter_arrival_fit",
+    # Exponential-arrivals goodness check per event type: MLE rate
+    # lambda = n/sum(gaps); the empirical p25/p50/p75 of gaps (exact
+    # integer ms, discrete percentiles) are compared against the
+    # exponential quantiles ln(4/3)/l, ln(2)/l, ln(4)/l. Discrepancy =
+    # max relative gap on a 1e-4 grid. Poisson-ness decides whether
+    # capacity math (event_littles_law) may assume memorylessness.
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id)) // 1000
+                  AS BIGINT) AS gap_ms
+      FROM events
+    ), g AS (SELECT * FROM gaps WHERE gap_ms IS NOT NULL AND gap_ms > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_ms) AS BIGINT) AS total_ms,
+           CAST(quantile_disc(gap_ms, 0.25) AS BIGINT) AS p25_ms,
+           CAST(quantile_disc(gap_ms, 0.50) AS BIGINT) AS p50_ms,
+           CAST(quantile_disc(gap_ms, 0.75) AS BIGINT) AS p75_ms,
+           floor(greatest(
+             abs(quantile_disc(gap_ms, 0.25)
+                 - ln(4.0/3.0) * SUM(gap_ms) / COUNT(*))
+               / (ln(4.0/3.0) * SUM(gap_ms) / COUNT(*)),
+             abs(quantile_disc(gap_ms, 0.50)
+                 - ln(2.0) * SUM(gap_ms) / COUNT(*))
+               / (ln(2.0) * SUM(gap_ms) / COUNT(*)),
+             abs(quantile_disc(gap_ms, 0.75)
+                 - ln(4.0) * SUM(gap_ms) / COUNT(*))
+               / (ln(4.0) * SUM(gap_ms) / COUNT(*))
+           ) * 10000 + 0.5) / 10000 AS max_rel_discrepancy
+    FROM g GROUP BY event_type
+    """,
+)
+def event_inter_arrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are arrivals Poisson? Fit an exponential to inter-event gaps
+    per type (MLE mean = Σgap/n) and report the worst relative gap
+    between the empirical quartiles and the exponential's theoretical
+    quantiles (mean·ln 4/3, mean·ln 2, mean·ln 4) — a 3-point
+    Q-Q check. Memorylessness is the assumption behind every queueing
+    shortcut (event_littles_law); this key measures whether it holds.
+
+    Exactness: gaps are exact integer ms; quartiles are DISCRETE
+    percentiles (actual data values); the discrepancy combines exact
+    integers with ln constants in one identical double expression on
+    both engines, then lands on a 1e-4 grid. Scale shape: one lag
+    window + one agg, both partitioned by event_type.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = (
+        e.select(
+            "event_type",
+            ((us - F.lag(us).over(w)) / 1000).cast("bigint").alias("gap_ms"),
+        )
+        .where(F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0))
+    )
+    q = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY gap_ms)"
+    ).cast("bigint")
+    mean = F.sum("gap_ms").cast("double") / F.count(F.lit(1))
+    import math
+
+    def rel(quant, lnc):
+        theo = F.lit(lnc) * mean
+        return F.abs(quant - theo) / theo
+
+    disc = F.greatest(
+        rel(q(0.25), math.log(4.0 / 3.0)),
+        rel(q(0.50), math.log(2.0)),
+        rel(q(0.75), math.log(4.0)),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_ms").cast("bigint").alias("total_ms"),
+        q(0.25).alias("p25_ms"),
+        q(0.50).alias("p50_ms"),
+        q(0.75).alias("p75_ms"),
+        (F.floor(disc * 10000 + 0.5) / 10000).alias("max_rel_discrepancy"),
+    )

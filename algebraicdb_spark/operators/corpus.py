@@ -853,3 +853,103 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").alias("total_count"),
         pround(fano).alias("fano"),
     )
+
+
+@register(
+    "corpus_loo_nll_by_source",
+    # Leave-one-source-out surprise: score each source's tokens under
+    # the add-one-smoothed unigram model of the REST of the corpus —
+    # p_loo(t | not s) = (c_t - c_st + 1) / (N - N_s + V). High NLL =
+    # domain-shifted source (the cross-source drift signal
+    # corpus_js_divergence gives pairwise, here against everything).
+    # Each distinct (source, token) ln lands on a 1e-6 grid BEFORE
+    # being weighted by its count and summed exactly.
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY 1, 2
+    ), tot AS (
+      SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ), ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+    ), consts AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS big_n,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM tot
+    ), scored AS (
+      SELECT s.source, s.c_st,
+             CAST(floor(-ln(CAST(t.c_t - s.c_st + 1 AS DOUBLE)
+                            / (consts.big_n - ns.n_s + consts.v))
+                        * 1000000) AS BIGINT) AS nll_g
+      FROM st s
+      JOIN tot t USING (tok)
+      JOIN ns ON ns.source = s.source
+      CROSS JOIN consts
+    )
+    SELECT source,
+           CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+           floor(CAST(SUM(c_st * nll_g) AS DOUBLE) / SUM(c_st) / 1000000
+                 * 10000 + 0.5) / 10000 AS avg_loo_nll
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_loo_nll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How surprising is each source to a model trained on the REST of
+    the corpus? Average per-token negative log-likelihood under the
+    leave-one-source-out add-one unigram LM. The domain-shift ranking
+    a data-mixing pipeline needs before weighting sources: a source
+    whose LOO-NLL towers over the others is out-of-distribution for
+    everything else (or trash) — either way it needs a decision.
+
+    The LOO algebra needs no per-source model rebuild: p_loo derives
+    from the GLOBAL term counts minus the source's own (c_t - c_st),
+    so the whole statistic is two hash aggregates on (source, token)
+    and (token), one join between them, and exact grid-int sums —
+    |sources| models for the price of one scan. At 100 TB the
+    (token) side is the vocab table (broadcastable after a min-count
+    cut); the (source, token) side shuffles once.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source",
+        F.explode(F.split(canonical_text("text"), " ")).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    tot = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    consts = tot.agg(
+        F.sum("c_t").cast("bigint").alias("big_n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    nll_g = F.floor(
+        -F.log(
+            (F.col("c_t") - F.col("c_st") + 1).cast("double")
+            / (F.col("big_n") - F.col("n_s") + F.col("v"))
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        st.join(tot, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(consts))
+        .select("source", "c_st", nll_g.alias("nll_g"))
+    )
+    return scored.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("c_st") * F.col("nll_g")).cast("double")
+                / F.sum("c_st")
+                / 1000000
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_loo_nll"),
+    )

@@ -908,3 +908,146 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("score_g").cast("double") / _AA_GRID).alias("aa_score"),
         )
     )
+
+
+LCC_TOP = 20
+_LCC_GRID = 10**6
+
+
+@register(
+    "graph_local_clustering_topk",
+    # Per-node local clustering coefficient: 2*tri_v / (d_v*(d_v-1)),
+    # nodes with d >= 2; ranked on the exact integer grid
+    # floor(1e6 * 2*tri_v / (d_v*(d_v-1))) with (grid, node) total
+    # order, top-20. Triangles enumerated once via the degree-ordered
+    # orientation, then credited to ALL THREE corners.
+    oracle=_LI_SQL
+    + f""",
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pa ELSE e.pb END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pb ELSE e.pa END AS v
+      FROM edges e
+      JOIN deg da ON da.node = e.pa
+      JOIN deg db ON db.node = e.pb
+    ),
+    tris AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.v
+      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_v AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    ),
+    lcc AS (
+      SELECT d.node, d.d, COALESCE(t.t, 0) AS t,
+             CAST(2 * {_LCC_GRID} * COALESCE(t.t, 0)
+                  // (d.d * (d.d - 1)) AS BIGINT) AS lcc_g
+      FROM deg d LEFT JOIN tri_v t ON t.node = d.node
+      WHERE d.d >= 2
+    )
+    SELECT node, CAST(d AS BIGINT) AS degree, t AS n_triangles,
+           floor(CAST(lcc_g AS DOUBLE) / {_LCC_GRID} * 10000 + 0.5) / 10000
+             AS local_cc
+    FROM lcc
+    ORDER BY lcc_g DESC, node
+    LIMIT {LCC_TOP}
+    """,
+)
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient, top-20: how close each
+    node's neighborhood is to a clique (2·tri_v / d_v(d_v−1)). The
+    node-level read of graph_triangle_count's global coefficient —
+    high-LCC nodes sit inside tight communities (bundle candidates),
+    low-LCC high-degree nodes are brokers between them.
+
+    Scale shape: triangles enumerate ONCE through the same
+    degree-ordered orientation (O(m^1.5) wedge bound), then each
+    triangle credits its three corners via one explode + hash agg —
+    no per-node neighborhood materialization. The ranking uses
+    integer-DIV grid values with a (grid, node) total order, so the
+    LIMIT cut is engine-exact.
+    """
+    items = _basket_items(spark, sf_dir)
+    e2 = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        edges.join(deg.withColumnsRenamed({"node": "pa", "d": "da"}), "pa")
+        .join(deg.withColumnsRenamed({"node": "pb", "d": "db"}), "pb")
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e2.u") == F.col("e1.v")
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    tri_v = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    lcc = (
+        deg.where(F.col("d") >= 2)
+        .join(tri_v, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                f"CAST(2 * {_LCC_GRID} * COALESCE(t, 0) DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("lcc_g"),
+        )
+    )
+    return (
+        lcc.orderBy(F.col("lcc_g").desc(), "node")
+        .limit(LCC_TOP)
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            pround(F.col("lcc_g").cast("double") / _LCC_GRID).alias("local_cc"),
+        )
+    )

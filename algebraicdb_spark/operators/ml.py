@@ -715,3 +715,88 @@ def ml_eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))
         ).alias("f1"),
     )
+
+
+@register(
+    "feature_woe_iv",
+    # Weight of evidence + information value of o_orderpriority
+    # against target (o_orderstatus = 'F'): WoE_cat =
+    # ln((pos_cat/POS)/(neg_cat/NEG)) on a 1e-6 grid (add-0.5
+    # Laplace keeps empty cells finite); IV contribution =
+    # (pos_share - neg_share) * WoE. The credit-scoring screen for
+    # "does this categorical carry signal at all".
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), cells AS (
+      SELECT cat,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM t GROUP BY cat
+    ), tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS all_pos,
+             CAST(SUM(neg) AS BIGINT) AS all_neg
+      FROM cells
+    )
+    SELECT cat, pos, neg,
+           floor(ln(((pos + 0.5) / all_pos) / ((neg + 0.5) / all_neg))
+                 * 1000000) / 1000000 AS woe,
+           floor((CAST(pos AS DOUBLE) / all_pos - CAST(neg AS DOUBLE) / all_neg)
+                 * (floor(ln(((pos + 0.5) / all_pos)
+                             / ((neg + 0.5) / all_neg)) * 1000000) / 1000000)
+                 * 1000000 + 0.5) / 1000000 AS iv_contrib
+    FROM cells CROSS JOIN tot
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence / information value — the classical
+    categorical-signal screen (credit scoring, churn): WoE compares a
+    category's share of positives vs its share of negatives in log
+    space; summing (share gap) x WoE over categories gives IV, the
+    one-number "keep or drop this feature" statistic (<0.02 useless,
+    >0.3 strong). Pairs with feature_target_encoding_loo: WoE is the
+    population-level read, LOO encoding the per-row transform.
+
+    Exactness: cell counts are exact; each WoE lands on a 1e-6 grid
+    before entering its IV product, so the statistic is reproducible
+    cross-engine. Scale: one conditional hash agg over the category
+    grain + a 1-row broadcast of the totals.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = t.groupBy("cat").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    tot = cells.agg(
+        F.sum("pos").cast("bigint").alias("all_pos"),
+        F.sum("neg").cast("bigint").alias("all_neg"),
+    )
+    woe = (
+        F.floor(
+            F.log(
+                ((F.col("pos") + 0.5) / F.col("all_pos"))
+                / ((F.col("neg") + 0.5) / F.col("all_neg"))
+            )
+            * 1000000
+        )
+        / 1000000
+    )
+    share_gap = (
+        F.col("pos").cast("double") / F.col("all_pos")
+        - F.col("neg").cast("double") / F.col("all_neg")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "pos",
+        "neg",
+        woe.alias("woe"),
+        (F.floor(share_gap * woe * 1000000 + 0.5) / 1000000).alias(
+            "iv_contrib"
+        ),
+    )

@@ -469,3 +469,91 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("cents_total"),
         F.sum("version").cast("bigint").alias("version_checksum"),
     )
+
+
+DUPBILL_WINDOW_DAYS = 7
+
+
+@register(
+    "orders_duplicate_billing",
+    # Duplicate-invoice detection: order pairs of the SAME customer
+    # with the SAME exact cents total within 7 days — the billing-QA
+    # staple. Blocked equi-join on (custkey, cents): candidate pairs
+    # exist only inside exact-amount blocks, never all-pairs.
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), pairs AS (
+      SELECT a.o_custkey, a.cents,
+             a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+             abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS gap_days
+      FROM o a JOIN o b
+        ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate))
+              <= {DUPBILL_WINDOW_DAYS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(key_a + key_b) AS BIGINT) AS pair_checksum,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(cents) AS BIGINT) AS cents_at_risk
+    FROM pairs
+    """,
+)
+def orders_duplicate_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice detection: same customer, same exact amount,
+    within 7 days — the classic billing/payments QA sweep (double
+    submits, retried jobs, copy-paste invoices). A dedup problem on
+    TRANSACTIONS, where near-match on (who, how much, when) is the
+    signal and exact text hashing (dedup_exact) sees nothing.
+
+    Scale discipline: candidates come from an equi-join on the
+    (custkey, exact-cents) BLOCK — amount equality is the blocking
+    key, so pair fan-out is bounded by per-block order counts (tiny:
+    few orders share one exact cent amount per customer), never
+    |orders|². The 7-day band then filters inside blocks. The same
+    blocked-join shape as dedup_blocked_levenshtein, applied to the
+    warehouse. Exact cents, integer day gaps, bigint checksums.
+    """
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    a = o.select(
+        F.col("o_custkey"),
+        F.col("cents"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = o.select(
+        F.col("o_custkey"),
+        F.col("cents"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    pairs = (
+        a.join(b, ["o_custkey", "cents"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "o_custkey",
+            "cents",
+            "key_a",
+            "key_b",
+            F.abs(F.datediff("date_a", "date_b")).alias("gap_days"),
+        )
+        .where(F.col("gap_days") <= DUPBILL_WINDOW_DAYS)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.col("key_a") + F.col("key_b")).cast("bigint").alias("pair_checksum"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.sum("cents").cast("bigint").alias("cents_at_risk"),
+    )

@@ -585,3 +585,97 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unmatched"),
         )
     )
+
+
+LATE_BUCKET = 1000  # arrival-sequence bucket width for the 2-pass max
+
+
+@register(
+    "stream_lateness_audit",
+    # Watermark pre-flight: replay events in ARRIVAL order (event_id)
+    # and count how many would be dropped by a 1 h / 6 h / 24 h
+    # watermark — an event is dropped when its event time trails the
+    # max event time already arrived by more than the delay. The
+    # oracle states it as one global running max; the Spark plan
+    # computes the identical value via the two-pass bucket
+    # decomposition (see docstring).
+    oracle="""
+    WITH seq AS (
+      SELECT epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_us
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts_us < prev_max_us - 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+           CAST(SUM(CASE WHEN ts_us < prev_max_us - 21600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_6h,
+           CAST(SUM(CASE WHEN ts_us < prev_max_us - 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_24h,
+           floor(CAST(SUM(CASE WHEN ts_us < prev_max_us - 3600000000
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS drop_rate_1h
+    FROM seq
+    """,
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark pre-flight audit: BEFORE picking `withWatermark`
+    delays (stream_late_data's knob), measure on historical data how
+    many events would have been dropped at 1 h / 6 h / 24 h — the
+    disorder profile of the feed. Arrival order is the ingest
+    sequence (event_id); an event is late by (max event time seen so
+    far − its event time).
+
+    Scale shape: the naive statement is a GLOBAL running max over raw
+    rows — a single-task sort at 100 TB. The plan instead uses the
+    two-pass decomposition every distributed rank/prefix computation
+    uses: (1) per-bucket running max, partitioned by
+    event_id DIV 1000 (parallel); (2) prefix max over the BUCKET
+    grain (n/1000 rows — a window over an aggregated grain);
+    (3) combined = max(prior buckets' prefix, within-bucket prefix).
+    Identical value to the oracle's global window, no global raw-row
+    sort. Exact integer µs throughout; one division for the rate.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts"))
+    b = e.select(
+        (F.col("event_id") / LATE_BUCKET).cast("bigint").alias("bucket"),
+        F.col("event_id"),
+        us.alias("ts_us"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn("in_prev_max", F.max("ts_us").over(w_in))
+    bucket_max = b.groupBy("bucket").agg(F.max("ts_us").alias("b_max"))
+    w_pre = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bucket_max.select(
+        "bucket", F.max("b_max").over(w_pre).alias("prior_max")
+    )
+    seq = within.join(F.broadcast(prior), "bucket").select(
+        "ts_us",
+        F.greatest(
+            F.coalesce(F.col("in_prev_max"), F.lit(None)),
+            F.coalesce(F.col("prior_max"), F.lit(None)),
+        ).alias("prev_max_us"),
+    )
+    late = lambda h: F.sum(  # noqa: E731
+        F.when(F.col("ts_us") < F.col("prev_max_us") - h * 3600000000, 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        late(1).alias("n_late_1h"),
+        late(6).alias("n_late_6h"),
+        late(24).alias("n_late_24h"),
+        (
+            F.floor(late(1).cast("double") / F.count(F.lit(1)) * 1000000 + 0.5)
+            / 1000000
+        ).alias("drop_rate_1h"),
+    )

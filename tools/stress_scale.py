@@ -165,6 +165,18 @@ KEYS = [
     "graph_assortativity",
     "time_week_over_week",
     "dedup_containment",
+    # round-6 wave
+    "dialect_recursive_components",
+    "dialect_iterate_kcore",
+    "sink_txnlog_append",
+    "source_txnlog_time_travel",
+    "agg_herfindahl_index",
+    "event_seq2_mining",
+    "time_seasonal_naive_forecast",
+    "event_bot_regularity",
+    "graph_adamic_adar",
+    "feature_target_encoding_loo",
+    "ml_eval_confusion_prf",
 ]
 
 
