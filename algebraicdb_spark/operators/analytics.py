@@ -4022,3 +4022,88 @@ def event_inter_arrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.75).alias("p75_ms"),
         (F.floor(disc * 10000 + 0.5) / 10000).alias("max_rel_discrepancy"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    # Cohort LTV curves: customers grouped by first-order month, value
+    # accumulated by cohort age in months; LTV per customer = running
+    # exact cents / cohort size. The money view of retention_cohort.
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), sized AS (
+      SELECT cohort_m, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_m
+    ), spend AS (
+      SELECT f.cohort_m,
+             CAST(date_diff('month', f.cohort_m,
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS age_m,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(s.cohort_m) AS BIGINT) AS cohort_s,
+           s.age_m,
+           CAST(z.n_cohort AS BIGINT) AS n_cohort,
+           CAST(SUM(s.cents) OVER (PARTITION BY s.cohort_m ORDER BY s.age_m)
+                AS BIGINT) AS cum_cents,
+           floor(CAST(SUM(s.cents) OVER (PARTITION BY s.cohort_m
+                                         ORDER BY s.age_m) AS DOUBLE)
+                 / z.n_cohort / 100 * 10000 + 0.5) / 10000 AS ltv_per_cust
+    FROM spend s JOIN sized z ON z.cohort_m = s.cohort_m
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each first-order-month cohort,
+    cumulative revenue per customer by months-since-acquisition — the
+    money companion of retention_cohort (retention says WHO comes
+    back; LTV says what that's worth), and the payback-period input
+    every acquisition-spend decision uses.
+
+    Exactness: cents are exact BIGINTs; the cumulative sum is a
+    window over the (cohort, age) AGGREGATED grain (months × months
+    rows, not orders); LTV is one division per row. Scale shape: one
+    min-agg for cohorts, one join + hash agg to the cohort-age grain,
+    one tiny window.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    sized = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort_m")
+            )
+            .cast("bigint")
+            .alias("age_m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    cum = F.sum("cents").over(w).cast("bigint")
+    return spend.join(F.broadcast(sized), "cohort_m").select(
+        F.unix_timestamp("cohort_m").alias("cohort_s"),
+        "age_m",
+        "n_cohort",
+        cum.alias("cum_cents"),
+        (
+            F.floor(
+                cum.cast("double") / F.col("n_cohort") / 100 * 10000 + 0.5
+            )
+            / 10000
+        ).alias("ltv_per_cust"),
+    )

@@ -651,16 +651,21 @@ CONF_THRESHOLDS = (10000, 60000, 150000)  # score cut in whole dollars
                 AS BIGINT) AS tn,
            floor(CAST(SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
                       AS DOUBLE)
-                 / NULLIF(SUM(CASE WHEN score >= th.thresh THEN 1 ELSE 0 END), 0)
+                 / NULLIF(CAST(SUM(CASE WHEN score >= th.thresh THEN 1 ELSE 0 END)
+                               AS BIGINT), 0)
                  * 10000 + 0.5) / 10000 AS precision_,
            floor(CAST(SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
                       AS DOUBLE)
-                 / NULLIF(SUM(y), 0) * 10000 + 0.5) / 10000 AS recall_,
+                 / NULLIF(CAST(SUM(y) AS BIGINT), 0) * 10000 + 0.5) / 10000
+             AS recall_,
            floor(CAST(2 * SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
                       AS DOUBLE)
-                 / NULLIF(2 * SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
-                          + SUM(CASE WHEN score >= th.thresh AND y = 0 THEN 1 ELSE 0 END)
-                          + SUM(CASE WHEN score < th.thresh AND y = 1 THEN 1 ELSE 0 END), 0)
+                 / NULLIF(CAST(2 * SUM(CASE WHEN score >= th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT)
+                          + CAST(SUM(CASE WHEN score >= th.thresh AND y = 0 THEN 1 ELSE 0 END)
+                                 AS BIGINT)
+                          + CAST(SUM(CASE WHEN score < th.thresh AND y = 1 THEN 1 ELSE 0 END)
+                                 AS BIGINT), 0)
                  * 10000 + 0.5) / 10000 AS f1
     FROM t CROSS JOIN th
     GROUP BY th.thresh

@@ -365,3 +365,117 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = fps.where(F.col("doc_id") < INCR_SPLIT)
     batch = fps.where(F.col("doc_id") >= INCR_SPLIT)
     return incremental_dedup_classify(batch, state)
+
+
+DECON_N = 3       # gram width (production runs 8-13; fixture docs are short)
+DECON_TAU = 0.10  # drop a held-out doc when >= 10% of its grams hit train
+
+
+@register(
+    "pipeline_split_decontaminate",
+    # Split + decontaminate in one pass: docs hash-split 80/10/10
+    # (split_hash_assign's md5 rule), then every val/test doc whose
+    # distinct 3-gram overlap with the TRAIN gram set reaches 10% is
+    # dropped — the leakage sweep every benchmark pipeline owes its
+    # eval sets, stated on the engine's own split.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000 < 800 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), t AS (
+      SELECT doc_id, split,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(r) - 3, 0) + 2),
+                              i -> CASE WHEN i + 2 <= len(r)
+                                        THEN array_to_string(r[i:i + 2], ' ')
+                                   END),
+               x -> x IS NOT NULL)) AS grams
+      FROM (SELECT doc_id, split,
+                   string_split(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS r
+            FROM s)
+    ), train_grams AS (
+      SELECT DISTINCT unnest(grams) AS g FROM t WHERE split = 'train'
+    ), held AS (
+      SELECT doc_id, split, unnest(grams) AS g FROM t WHERE split <> 'train'
+    ), hits AS (
+      SELECT h.doc_id, h.split,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM held h LEFT JOIN train_grams tg ON tg.g = h.g
+      GROUP BY h.doc_id, h.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= {DECON_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= {DECON_TAU}
+                         THEN 0 ELSE doc_id END) AS BIGINT) AS kept_checksum
+    FROM hits GROUP BY split
+    """,
+)
+def pipeline_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-out hygiene end-to-end: hash-split the corpus 80/10/10
+    (split_hash_assign's deterministic md5 rule), then DECONTAMINATE
+    the held-out splits against the train split — any val/test doc
+    sharing ≥ 10% of its distinct 3-grams with ANY train doc is
+    dropped. This is contamination_ngram pointed at the pipeline's
+    own split instead of an external benchmark: the leakage that
+    silently inflates eval scores comes from the train set itself.
+
+    Scale shape: split assignment is a pure per-row hash; the train
+    gram set is distinct-aggregated once (and is the big side here —
+    the held-out 20% explodes, the train grams arrive via one
+    gram-keyed shuffle join, no broadcast assumption); per-held-doc
+    overlap is one (doc) aggregate. Same cost envelope as one
+    near-dup exact pass over 20% of the corpus.
+    """
+    from algebraicdb_spark.operators.dedup import shingles
+
+    d = load_tables(spark, sf_dir)["documents"]
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    s = d.select(
+        "doc_id",
+        "text",
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    grams = s.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(shingles(F.col("text"), DECON_N))).alias("g"),
+    )
+    train_grams = (
+        grams.where(F.col("split") == "train").select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    held = grams.where(F.col("split") != "train")
+    hits = (
+        held.join(train_grams, "g", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+    )
+    dropped = (
+        F.col("n_hit").cast("double") / F.col("n_grams") >= DECON_TAU
+    )
+    return hits.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(dropped, 0).otherwise(F.col("doc_id")))
+        .cast("bigint")
+        .alias("kept_checksum"),
+    )

@@ -869,3 +869,78 @@ def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("row_checksum"),
     )
+
+
+SKIP_FILE_KEYS = 100  # orderkeys per synthetic file
+
+
+@register(
+    "scan_minmax_file_skipping",
+    # File-skipping audit: rows assigned to synthetic files by
+    # orderkey range, per-file min/max(l_shipdate) footers computed,
+    # then a ship-date predicate is evaluated twice — against footers
+    # (files whose [min,max] misses the range are skipped wholesale)
+    # and against rows (true selectivity). The gap between "rows in
+    # scanned files" and "matching rows" is the read amplification
+    # min/max pruning leaves on an UNSORTED layout — the number
+    # storage_zorder_advisor exists to shrink.
+    oracle=f"""
+    WITH assigned AS (
+      SELECT l_orderkey // {SKIP_FILE_KEYS} AS file_id, l_shipdate
+      FROM lineitem
+    ), footers AS (
+      SELECT file_id, COUNT(*) AS n_rows,
+             MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+      FROM assigned GROUP BY file_id
+    ), pred AS (
+      SELECT DATE '1995-01-01' AS lo_p, DATE '1995-03-31' AS hi_p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN f.hi >= p.lo_p AND f.lo <= p.hi_p
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN f.hi >= p.lo_p AND f.lo <= p.hi_p
+                         THEN f.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned a, pred p2
+             WHERE a.l_shipdate >= p2.lo_p AND a.l_shipdate <= p2.hi_p)
+             AS rows_matching
+    FROM footers f CROSS JOIN pred p
+    """,
+)
+def scan_minmax_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max footer skipping audit (the parquet/Delta data-skipping
+    mechanic, made measurable): synthesize a file layout (orderkey
+    ranges), compute each file's ship-date footer, and report how
+    many files a quarter-range predicate can skip outright — plus the
+    read amplification (rows in scanned files vs rows actually
+    matching) that remains because ship dates are UNSORTED within
+    orderkey files. The before-picture for storage_zorder_advisor's
+    re-layout; together they quantify why sort order is a first-class
+    storage decision at 100 TB.
+
+    Scale shape: footer build is one hash agg on file_id (exactly the
+    metadata pass a writer does); the audit is arithmetic on the
+    footer grain (n/100 rows) + one exact count.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    lo_p, hi_p = "1995-01-01", "1995-03-31"
+    assigned = li.select(
+        (F.col("l_orderkey") / SKIP_FILE_KEYS).cast("bigint").alias("file_id"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    footers = assigned.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ship_d").alias("lo"),
+        F.max("ship_d").alias("hi"),
+    )
+    overlaps = (F.col("hi") >= F.lit(lo_p)) & (F.col("lo") <= F.lit(hi_p))
+    audit = footers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(overlaps, 0).otherwise(1)).cast("bigint").alias("n_skipped"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+    )
+    matching = assigned.where(
+        (F.col("ship_d") >= F.lit(lo_p)) & (F.col("ship_d") <= F.lit(hi_p))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
+    return audit.crossJoin(F.broadcast(matching))

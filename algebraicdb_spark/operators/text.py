@@ -863,3 +863,92 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+CODE_KEYWORDS = ("def ", "return ", "import ", "function ", "class ", "var ")
+
+
+@register(
+    "text_code_detect",
+    # Heuristic code-vs-prose classifier for corpus triage: symbol
+    # density ({}();=<>[]) and programming-keyword hits per doc, both
+    # exact integer counts; a doc is "code-like" when symbols*40 >=
+    # chars (>=2.5% symbol density) or it contains >= 2 distinct
+    # keywords — integer cross-multiplied decisions, no float
+    # thresholds. Aggregated per (source, flag).
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(
+               regexp_replace(text, '[{{}}();=<>\\[\\]]', '', 'g'))
+               AS BIGINT) AS n_sym,
+             CAST({' + '.join(f"CASE WHEN contains(text, '{k}') THEN 1 ELSE 0 END" for k in CODE_KEYWORDS)}
+                  AS BIGINT) AS n_kw
+      FROM documents
+    ), flagged AS (
+      SELECT source, n_chars, n_sym, n_kw,
+             CASE WHEN n_sym * 40 >= n_chars OR n_kw >= 2
+                  THEN 1 ELSE 0 END AS is_code
+      FROM feat
+    )
+    SELECT source, is_code,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sym) AS BIGINT) AS total_sym,
+           CAST(SUM(n_kw) AS BIGINT) AS total_kw,
+           floor(CAST(SUM(n_sym) AS DOUBLE) / SUM(n_chars)
+                 * 10000 + 0.5) / 10000 AS sym_density
+    FROM flagged GROUP BY source, is_code
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage: the corpus-mixing decision 'is this
+    source shipping source code?' answered with the two heuristics
+    production pipelines actually start from — symbol density
+    ({}();=<>[] per char) and programming-keyword presence. Flag
+    decided by integer cross-multiplication (symbols·40 ≥ chars ⇔
+    density ≥ 2.5%) or ≥ 2 distinct keywords — no float threshold.
+    Routes docs to a code-aware tokenizer/quality path, next to
+    text_lang_id's natural-language routing.
+
+    Scale shape: per-doc feature extraction is pure map-side string
+    ops (JVM regexp, no UDF); one hash agg on (source, flag).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    n_chars = F.length("text").cast("bigint")
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{}();=<>\[\]]", ""))
+    ).cast("bigint")
+    n_kw = sum(
+        F.when(F.col("text").contains(k), 1).otherwise(0)
+        for k in CODE_KEYWORDS
+    ).cast("bigint")
+    feat = d.select(
+        "source",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_kw.alias("n_kw"),
+    )
+    flagged = feat.select(
+        "source",
+        "n_chars",
+        "n_sym",
+        "n_kw",
+        F.when(
+            (F.col("n_sym") * 40 >= F.col("n_chars")) | (F.col("n_kw") >= 2), 1
+        )
+        .otherwise(0)
+        .alias("is_code"),
+    )
+    return flagged.groupBy("source", "is_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sym").cast("bigint").alias("total_sym"),
+        F.sum("n_kw").cast("bigint").alias("total_kw"),
+        (
+            F.floor(
+                F.sum("n_sym").cast("double") / F.sum("n_chars") * 10000 + 0.5
+            )
+            / 10000
+        ).alias("sym_density"),
+    )

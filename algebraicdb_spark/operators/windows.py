@@ -472,3 +472,67 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("above_peers"),
     )
+
+
+@register(
+    "win_groups_frame",
+    # GROUPS frame mode (SQL:2011): running sum over "the previous
+    # peer GROUP and mine", peers = same order date. Neither Spark
+    # nor DuckDB implements GROUPS frames (both raise), so BOTH sides
+    # state it through peer-grain rewrites — deliberately DIFFERENT
+    # ones: the oracle uses lag over the group grain (frame = own
+    # group sum + previous group's), Spark uses a ROWS BETWEEN
+    # 1 PRECEDING frame over the aggregated rows. Agreement pins that
+    # both rewrites implement the same GROUPS semantics.
+    oracle="""
+    WITH per AS (
+      SELECT o_orderstatus,
+             CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_s,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS g_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, day_s, n_rows,
+           CAST(g_cents + COALESCE(lag(g_cents) OVER
+                  (PARTITION BY o_orderstatus ORDER BY day_s), 0)
+                AS BIGINT) AS frame_cents
+    FROM per
+    """,
+)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS frame mode — 'this peer group and the previous
+    one' — which neither Spark nor DuckDB implements natively
+    (ROWS/RANGE only; both parsers raise on GROUPS). The lossless
+    rewrite: a GROUPS frame is exactly a ROWS frame on the peer-group
+    GRAIN, because every row of a peer group sees the same frame
+    value. This plan aggregates to (status, day) and applies ROWS
+    BETWEEN 1 PRECEDING AND CURRENT ROW there; the oracle derives the
+    same value via lag over the group grain — two independent
+    rewrites agreeing pins the semantics.
+
+    Scale shape: the window runs on the AGGREGATED grain (days ×
+    statuses), not raw orders — the rewrite is also the efficient
+    form; a native GROUPS engine would sort raw rows instead.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    per = o.groupBy(
+        "o_orderstatus",
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_s"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("g_cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("day_s")
+        .rowsBetween(-1, 0)
+    )
+    return per.select(
+        "o_orderstatus",
+        "day_s",
+        "n_rows",
+        F.sum("g_cents").over(w).cast("bigint").alias("frame_cents"),
+    )

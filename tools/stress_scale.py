@@ -177,6 +177,19 @@ KEYS = [
     "graph_adamic_adar",
     "feature_target_encoding_loo",
     "ml_eval_confusion_prf",
+    "orders_fulfillment_aging",
+    "event_inter_arrival_fit",
+    "corpus_loo_nll_by_source",
+    "feature_woe_iv",
+    "graph_local_clustering_topk",
+    "stream_lateness_audit",
+    "orders_duplicate_billing",
+    "orders_cohort_ltv",
+    "text_code_detect",
+    "scan_minmax_file_skipping",
+    "multimodal_pair_integrity",
+    "pipeline_split_decontaminate",
+    "win_groups_frame",
 ]
 
 
