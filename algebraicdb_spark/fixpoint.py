@@ -359,17 +359,28 @@ def _run_iterate(spark, ctes, final, saved, rewrite) -> DataFrame:
         state = state.toDF(*cte.cols)
     state = state.localCheckpoint(eager=True)
     converged = False
+    prev_count = state.count()
     for _ in range(limit):
         state.createOrReplaceTempView(view)
         nxt = run(_substitute(step_sql, cte.name, view))
         if cte.cols:
             nxt = nxt.toDF(*cte.cols)
         nxt = _rebase(nxt).localCheckpoint(eager=True)
-        # set-equality probe: two null-safe EXCEPT DISTINCTs (state is
-        # a SET here; multiset-sensitive steps should key their state)
-        if nxt.subtract(state).isEmpty() and state.subtract(nxt).isEmpty():
+        # two-tier convergence probe: counts first (one cheap job on a
+        # checkpointed RDD — unequal counts prove inequality, which is
+        # the common case while a peel/propagation still moves), then
+        # the two null-safe EXCEPT DISTINCTs only on count equality
+        # (state is a SET here; multiset-sensitive steps should key
+        # their state)
+        n = nxt.count()
+        if (
+            n == prev_count
+            and nxt.subtract(state).isEmpty()
+            and state.subtract(nxt).isEmpty()
+        ):
             converged = True
             break
+        prev_count = n
         state = nxt
     spark.catalog.dropTempView(view)
     if not converged and not explicit_max:
