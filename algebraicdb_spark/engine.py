@@ -257,6 +257,16 @@ class Engine:
         but mutates nothing)."""
         m = _EXPLAIN_RE.match(stmt)
         mode = (m.group("mode") or "FORMATTED").upper()
+        if _FIXPOINT_RE.match(m.group("query")):
+            # the driver-coordinated lowering has no single Catalyst
+            # plan; Spark's native message for the UNION-distinct form
+            # (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) would mislead
+            raise AdtError(
+                "EXPLAIN is not supported for WITH RECURSIVE / WITH "
+                "ITERATE statements — the fixpoint executes as a loop "
+                "of per-round plans; EXPLAIN the anchor and step "
+                "queries individually"
+            )
         lowered = self._rewrite(m.group("query"))
         if mode == "SCALE":
             from algebraicdb_spark.plans.scalelint import lint

@@ -63,7 +63,12 @@ _AS_RE = re.compile(r"(?is)\s*AS\s*\(")
 _UNION_RE = re.compile(r"(?is)\bUNION(?P<all>\s+ALL)?\b")
 _STEP_RE = re.compile(r"(?is)\bSTEP\b")
 
-_VIEW_SEQ = [0]  # unique suffix so nested/concurrent lowering can't collide
+import itertools
+
+# unique suffix so nested/concurrent lowering can't collide; the
+# server runs fixpoint statements as READS (no catalog lock), so the
+# counter must be atomic — itertools.count.__next__ is C-level atomic
+_VIEW_SEQ = itertools.count(1)
 
 
 def is_fixpoint(stmt: str) -> bool:
@@ -166,8 +171,7 @@ def _iteration_limit(spark: SparkSession) -> int:
 
 
 def _fresh_view(name: str) -> str:
-    _VIEW_SEQ[0] += 1
-    return f"__fixpoint_{name}_{_VIEW_SEQ[0]}"
+    return f"__fixpoint_{name}_{next(_VIEW_SEQ)}"
 
 
 def _rebase(df: DataFrame) -> DataFrame:

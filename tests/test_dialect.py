@@ -1594,3 +1594,11 @@ class TestDistinctOn:
         assert len(rows) == 5
         # one row per customer
         assert len({r.o_custkey for r in rows}) == 5
+
+
+def test_explain_fixpoint_clear_error(spark):
+    with pytest.raises(AdtError, match="EXPLAIN is not supported for WITH"):
+        Engine(spark).sql(
+            "EXPLAIN WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+            "SELECT n + 1 FROM t WHERE n < 3) SELECT * FROM t"
+        )

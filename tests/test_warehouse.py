@@ -112,3 +112,68 @@ def test_temporal_join_is_one_to_one(spark, sf_dir):
     # in-force segment at a purchase instant is 'purchase' itself only
     # when the purchase opened the interval — all segments can appear
     assert all(r["n_purchases"] > 0 for r in rows)
+
+
+class TestTxnLogTable:
+    """The transactional writer's API invariants beyond what the two
+    registered keys exercise."""
+
+    def _table(self, tmp_path):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        return TxnLogTable(str(tmp_path / "t"))
+
+    def test_empty_table_snapshot_errors(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._table(tmp_path)
+        assert t.latest_version() == -1
+        with _pytest.raises(ValueError, match="no live files"):
+            t.snapshot(spark)
+
+    def test_append_versions_and_snapshot_grow(self, spark, tables, tmp_path):
+        t = self._table(tmp_path)
+        r = tables["region"]
+        assert t.append(r.limit(2)) == 0
+        assert t.append(r.limit(3)) == 1
+        assert t.snapshot(spark).count() == 5
+        assert t.snapshot(spark, as_of=0).count() == 2
+
+    def test_publish_race_has_one_winner(self, spark, tables, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import ConcurrentWriteError
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        # two writers race for version 1: the second publish loses
+        t.append(tables["nation"], expected_version=1)
+        with _pytest.raises(ConcurrentWriteError, match="version 1"):
+            t.append(tables["region"], expected_version=1)
+
+    def test_overwrite_requires_fresh_base(self, spark, tables, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import ConcurrentWriteError
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        t.append(tables["region"])
+        with _pytest.raises(ConcurrentWriteError, match="rebase"):
+            t.overwrite(tables["nation"], expected_version=1)
+        t.overwrite(tables["nation"], expected_version=2)
+        assert t.snapshot(spark).count() == tables["nation"].count()
+        # pre-overwrite history intact
+        assert t.snapshot(spark, as_of=1).count() == 2 * tables["region"].count()
+
+    def test_overwrite_tombstones_do_not_delete_bytes(
+        self, spark, tables, tmp_path
+    ):
+        import os
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        old_paths = t.live_paths()
+        t.overwrite(tables["nation"], expected_version=1)
+        assert old_paths[0] not in t.live_paths()
+        assert os.path.isdir(old_paths[0])  # vacuum is a separate concern
