@@ -4107,3 +4107,241 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("ltv_per_cust"),
     )
+
+
+@register(
+    "agg_theil_index",
+    # Theil-T inequality per priority segment: T = sum(x/X * ln(x/mu))
+    # over customer revenues. Each customer's ln term is grid-floored
+    # at 1e-6 then weighted by exact cents and summed as DECIMAL(38,0)
+    # — completing the inequality trio (Gini rank-based, HHI
+    # quadratic, Theil entropy-based/decomposable).
+    oracle="""
+    WITH cust AS (
+      SELECT o_orderpriority, o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), seg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cust GROUP BY o_orderpriority
+    ), terms AS (
+      SELECT c.o_orderpriority, c.cents, s.total, s.n,
+             CAST(floor(ln(CAST(c.cents AS DOUBLE) * s.n / s.total)
+                        * 1000000) AS BIGINT) AS ln_g
+      FROM cust c JOIN seg s USING (o_orderpriority)
+      WHERE c.cents > 0
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS cents_total,
+           floor(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * ln_g) AS DOUBLE)
+                 / MAX(total) / 1000000 * 1000000 + 0.5) / 1000000
+             AS theil_t
+    FROM terms GROUP BY o_orderpriority
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T index of customer revenue concentration per priority —
+    the entropy-based member of the inequality family, and the only
+    one that DECOMPOSES additively (total inequality = within-group +
+    between-group), which is why economists reach for it when the
+    question is 'where does the concentration live'. T = Σ (xᵢ/X)·
+    ln(xᵢ/μ): 0 = equal, ln(n) = one customer has everything.
+
+    Exactness: ln(x·n/X) is grid-floored at 1e-6 per customer, then
+    weighted by exact cents with the products accumulated in
+    DECIMAL(38,0); one IEEE division at the end. Scale: two hash
+    aggregates + one broadcast-joined segment table — same shape as
+    agg_herfindahl_index.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cust = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    seg = cust.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ln_g = F.floor(
+        F.log(F.col("cents").cast("double") * F.col("n") / F.col("total"))
+        * 1000000
+    ).cast("bigint")
+    terms = (
+        cust.join(F.broadcast(seg), "o_orderpriority")
+        .where(F.col("cents") > 0)
+        .select("o_orderpriority", "cents", "total", "n", ln_g.alias("ln_g"))
+    )
+    return terms.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("total").cast("bigint").alias("cents_total"),
+        (
+            F.floor(
+                F.sum(F.col("cents").cast("decimal(38,0)") * F.col("ln_g"))
+                .cast("double")
+                / F.max("total")
+                / 1000000
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("theil_t"),
+    )
+
+
+@register(
+    "event_new_vs_returning",
+    # Daily new-vs-returning user split: a user's first-ever day is
+    # "new", later days "returning" — the top-of-dashboard growth
+    # decomposition (retention_cohort gives the matrix; this gives
+    # the daily headline).
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(day_s) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT ud.day_s,
+           CAST(SUM(CASE WHEN ud.day_s = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN ud.day_s > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           floor(CAST(SUM(CASE WHEN ud.day_s > f.first_day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+             AS returning_share
+    FROM ud JOIN firsts f USING (user_id)
+    GROUP BY ud.day_s
+    """,
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning — the growth
+    headline every product dashboard leads with, and the daily-grain
+    companion of retention_cohort's cohort matrix. A user is 'new' on
+    their first-ever active day, 'returning' on every later one.
+
+    Scale shape: the raw stream collapses to DISTINCT (user, day)
+    immediately; firsts are one min-agg per user; the classify join
+    shares the user_id shuffle key. Exact integer counts; one
+    division per day.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ud = e.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day_s").alias("first_day"))
+    j = ud.join(firsts, "user_id")
+    n_new = F.sum(
+        F.when(F.col("day_s") == F.col("first_day"), 1).otherwise(0)
+    ).cast("bigint")
+    n_ret = F.sum(
+        F.when(F.col("day_s") > F.col("first_day"), 1).otherwise(0)
+    ).cast("bigint")
+    return j.groupBy("day_s").agg(
+        n_new.alias("n_new"),
+        n_ret.alias("n_returning"),
+        (
+            F.floor(n_ret.cast("double") / F.count(F.lit(1)) * 10000 + 0.5)
+            / 10000
+        ).alias("returning_share"),
+    )
+
+
+@register(
+    "orders_sales_mix_shift",
+    # Price-volume decomposition of period-over-period revenue change
+    # per priority: split H1->H2 delta into a volume effect
+    # (dn x avg_old cents) and a value effect (n_new x d_avg), exact
+    # where possible, the two effects reconciling to the total delta
+    # by construction (laspeyres volume + paasche value split).
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(epoch(MIN(o_orderdate)) AS BIGINT)
+             + (CAST(epoch(MAX(o_orderdate)) AS BIGINT)
+                - CAST(epoch(MIN(o_orderdate)) AS BIGINT)) // 2 AS m
+      FROM orders
+    ), per AS (
+      SELECT o_orderpriority,
+             CASE WHEN CAST(epoch(o_orderdate) AS BIGINT)
+                       < (SELECT m FROM mid) THEN 'h1'
+                  ELSE 'h2' END AS half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), wide AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN half = 'h1' THEN n END) AS n1,
+             MAX(CASE WHEN half = 'h1' THEN cents END) AS c1,
+             MAX(CASE WHEN half = 'h2' THEN n END) AS n2,
+             MAX(CASE WHEN half = 'h2' THEN cents END) AS c2
+      FROM per GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(c2 - c1 AS BIGINT) AS delta_cents,
+           floor((n2 - n1) * (CAST(c1 AS DOUBLE) / n1) * 0.01
+                 * 100 + 0.5) / 100 AS volume_effect,
+           floor(n2 * (CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)
+                 * 0.01 * 100 + 0.5) / 100 AS value_effect
+    FROM wide
+    """,
+)
+def orders_sales_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition — finance's standard answer to 'did
+    revenue move because we sold MORE or because orders got BIGGER':
+    ΔR = Δn·avg₁ (volume effect, at old average value) + n₂·Δavg
+    (value effect, at new volume). The two effects sum to the total
+    delta identically, which is what makes the bridge auditable.
+    Periods are the date-range halves of the fixture.
+
+    Exactness: per-half counts and cents are exact; the two effects
+    are identical double expressions on both engines, rounded to
+    whole-dollar 2dp at the end. Scale: one conditional hash agg per
+    (priority, half) + a 10-row pivot — no window, no join beyond
+    the 1-row midpoint broadcast.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    lo = F.unix_timestamp(F.min("o_orderdate"))
+    hi = F.unix_timestamp(F.max("o_orderdate"))
+    mid = o.agg(
+        (lo + F.floor((hi - lo) / 2)).cast("long").alias("m")
+    )
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .select(
+            "o_orderpriority",
+            F.when(F.unix_timestamp("o_orderdate") < F.col("m"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "half")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    wide = per.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("half") == "h1", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == "h1", F.col("cents"))).alias("c1"),
+        F.max(F.when(F.col("half") == "h2", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("half") == "h2", F.col("cents"))).alias("c2"),
+    )
+    avg1 = F.col("c1").cast("double") / F.col("n1")
+    avg2 = F.col("c2").cast("double") / F.col("n2")
+    return wide.select(
+        "o_orderpriority",
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("delta_cents"),
+        (
+            F.floor((F.col("n2") - F.col("n1")) * avg1 * 0.01 * 100 + 0.5) / 100
+        ).alias("volume_effect"),
+        (
+            F.floor(F.col("n2") * (avg2 - avg1) * 0.01 * 100 + 0.5) / 100
+        ).alias("value_effect"),
+    )

@@ -1112,3 +1112,109 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double") / F.col("n_contained")
         ).alias("containment"),
     )
+
+
+SWEEP_MIN_BAND = 3  # report bands from jaccard 0.3 up
+
+
+@register(
+    "sim_dedup_threshold_sweep",
+    # Threshold calibration for the Jaccard dedup tiers: histogram of
+    # candidate-pair similarity in 0.1-wide bands (band = 10*|A∩B| DIV
+    # |A∪B| — integer arithmetic, no float ever buckets a pair) plus
+    # the would-drop count at each cut (cumulative from the top). The
+    # data that turns "tau = 0.5" from folklore into a decision.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(r) - 1),
+                                          i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+               AS shingles
+      FROM raw
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM toks
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_toks FROM toks
+    ), banded AS (
+      SELECT CAST((10 * n_common) // (sa.n_toks + sb.n_toks - n_common)
+                  AS BIGINT) AS band
+      FROM cand
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+    ), hist AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM banded WHERE band >= 3 GROUP BY band
+    )
+    SELECT band, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM hist
+    """,
+)
+def sim_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the near-dup tiers: the similarity
+    HISTOGRAM of candidate pairs (0.1-wide Jaccard bands) with the
+    cumulative would-drop count at each cut. Dedup thresholds are
+    usually copied from a paper; this key computes the curve on YOUR
+    corpus — a cliff between bands means the threshold is safe to put
+    in the gap, a smooth slope means every choice trades recall for
+    precision and you should know by how much.
+
+    Exactness: a pair's band is (10·|A∩B|) DIV |A∪B| — pure integer
+    arithmetic, so banding is engine-identical; the cumulative sum
+    runs on the band grain (≤ 8 rows). Scale shape: identical to
+    dedup_near_jaccard's inverted-index candidate generation (shared-
+    shingle pairs only), one extra 8-row window. Above ~10⁷ docs the
+    candidate generator swaps for the MinHash tier like every other
+    exact-tier consumer.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    sized = toks.select("doc_id", F.size("sh").alias("n_toks"))
+    ex = toks.select("doc_id", F.explode("sh").alias("tok"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    banded = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("CAST((10 * n_common) DIV (na + nb - n_common) AS BIGINT)")
+            .alias("band")
+        )
+        .where(F.col("band") >= SWEEP_MIN_BAND)
+    )
+    from pyspark.sql.window import Window
+
+    hist = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "band",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )

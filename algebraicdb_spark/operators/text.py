@@ -952,3 +952,91 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("sym_density"),
     )
+
+
+DF_MIN = 3        # keep terms appearing in >= 3 docs
+DF_MAX_PCT = 50   # ...and in <= 50% of docs (stopword cut)
+
+
+@register(
+    "text_frequency_filter",
+    # Vocabulary pruning (min-df / max-df): the sklearn/gensim dial
+    # every sparse-text pipeline turns first. Reports, per decision
+    # class, vocab size and TOKEN coverage — the quantity that tells
+    # you what the pruned representation still explains.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    classed AS (
+      SELECT tok, n_occ, df,
+             CASE WHEN df < {DF_MIN} THEN 'rare'
+                  WHEN df * 100 > nd.n_docs * {DF_MAX_PCT} THEN 'stopword'
+                  ELSE 'kept' END AS class
+      FROM tf CROSS JOIN nd
+    )
+    SELECT class,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(n_occ) AS BIGINT) AS n_tokens,
+           floor(CAST(SUM(n_occ) AS DOUBLE)
+                 / (SELECT SUM(n_occ) FROM tf) * 10000 + 0.5) / 10000
+             AS token_share
+    FROM classed GROUP BY class
+    """,
+)
+def text_frequency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-df / max-df vocabulary pruning audit: classify every term
+    as rare (df < 3), stopword (df > 50% of docs), or kept, and report
+    each class's vocab size and share of total TOKEN mass. The
+    decision data behind the first dial of every sparse-text pipeline
+    — rare terms are usually most of the VOCAB but a sliver of the
+    tokens, stopwords the mirror image; this key shows both numbers
+    instead of assuming them.
+
+    Exactness: df decided by integer cross-multiplication (df·100 >
+    n_docs·50), counts exact, shares one division each. Scale: one
+    (token) hash agg carries the whole statistic; the doc-count is a
+    1-row broadcast.
+    """
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(canonical_text("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    nd = toks.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    tot = tf.agg(F.sum("n_occ").cast("bigint").alias("all_occ"))
+    classed = tf.crossJoin(F.broadcast(nd)).select(
+        "n_occ",
+        F.when(F.col("df") < DF_MIN, "rare")
+        .when(F.col("df") * 100 > F.col("n_docs") * DF_MAX_PCT, "stopword")
+        .otherwise("kept")
+        .alias("class"),
+    )
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum("n_occ").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "class",
+            "vocab_size",
+            "n_tokens",
+            pround(F.col("n_tokens").cast("double") / F.col("all_occ")).alias(
+                "token_share"
+            ),
+        )
+    )

@@ -190,6 +190,11 @@ KEYS = [
     "multimodal_pair_integrity",
     "pipeline_split_decontaminate",
     "win_groups_frame",
+    "agg_theil_index",
+    "event_new_vs_returning",
+    "orders_sales_mix_shift",
+    "text_frequency_filter",
+    "sim_dedup_threshold_sweep",
 ]
 
 
