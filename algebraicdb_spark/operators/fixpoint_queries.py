@@ -123,3 +123,58 @@ def dialect_iterate_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM core_deg
         """
     )
+
+
+@register("dialect_iterate_components", oracle=ORACLES["dedup_components"])
+def dialect_iterate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_components`` a THIRD way: min-label propagation as a
+    WITH ITERATE replacement fixpoint over (id, label) state — ONE row
+    per node, exactly the linear-state formulation the Python
+    operator uses and the reason it scales where the recursive-CTE
+    reachability walk (``dialect_recursive_components``, quadratic
+    pairs per component) does not. Each round replaces every node's
+    label with the min over itself and its neighbors; the engine's
+    count+set-equality probe detects the fixpoint (state size is
+    constant, so the count tier passes and the EXCEPT pair decides).
+
+    Same oracle as the other two formulations — three independent
+    computations (Python label-prop, recursive walk, ITERATE
+    label-prop) hash-agreeing pins the semantics from every side.
+    """
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    # checkpoint the pair derivation: the STEP references this view
+    # every round, and an un-materialized view would re-run the
+    # shingle self-join per iteration (the prefix-CTE lesson, applied
+    # to statement-external views)
+    pairs = (
+        dedup_near_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pairs.createOrReplaceTempView("nd_pairs_it")
+    return eng.sql(
+        """
+        WITH ITERATE labels(id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          STEP
+          SELECT l.id, LEAST(l.label, MIN(n.nlabel)) AS label
+          FROM labels l
+          LEFT JOIN (
+            SELECT e.dst AS id, l2.label AS nlabel
+            FROM (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs_it
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM nd_pairs_it) e
+            JOIN labels l2 ON l2.id = e.src
+          ) n ON n.id = l.id
+          GROUP BY l.id, l.label
+        ),
+        comp AS (SELECT id, label FROM labels),
+        sizes AS (SELECT label, COUNT(*) AS n_members FROM comp GROUP BY label)
+        SELECT n_members,
+               COUNT(*) AS n_components,
+               CAST(SUM(label) AS BIGINT) AS root_checksum
+        FROM sizes GROUP BY n_members
+        """
+    )
