@@ -195,6 +195,7 @@ KEYS = [
     "orders_sales_mix_shift",
     "text_frequency_filter",
     "sim_dedup_threshold_sweep",
+    "dialect_iterate_components",
 ]
 
 
