@@ -1032,3 +1032,123 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rank bigint, vec_id bigint, rel double"
     )
+
+
+_EMB_GRID = 10**6
+
+
+@register(
+    "embedding_quality_audit",
+    # Embedding-table health gate: NaN/Inf cells, exact-zero cells,
+    # norm distribution (discrete quantiles of the grid-int squared
+    # norm), and per-dimension variance concentration (trace + max
+    # dim's share — a collapsed dimension or a dominating one both
+    # mean the encoder is sick). Every statistic from exact integer
+    # moments on the 1e-6 grid.
+    oracle=f"""
+    WITH cells AS (
+      SELECT e.vec_id, u.dim,
+             CAST(floor(u.v * {_EMB_GRID}) AS BIGINT) AS g,
+             CASE WHEN isnan(u.v) OR NOT isfinite(u.v) THEN 1 ELSE 0 END AS bad,
+             CASE WHEN u.v = 0.0 THEN 1 ELSE 0 END AS zero
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS v,
+                           generate_subscripts(e.embedding, 1) AS dim) u
+    ), per_vec AS (
+      SELECT vec_id, CAST(SUM(g * g) AS BIGINT) AS norm2_g,
+             CAST(SUM(bad) AS BIGINT) AS n_bad, CAST(SUM(zero) AS BIGINT) AS n_zero
+      FROM cells GROUP BY vec_id
+    ), per_dim AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s, CAST(SUM(g * g) AS BIGINT) AS s2
+      FROM cells GROUP BY dim
+    ), dim_var AS (
+      SELECT dim,
+             (CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+               / (CAST(n AS DOUBLE) * n) AS var_g2
+      FROM per_dim
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_vec) AS n_vectors,
+           (SELECT CAST(SUM(n_bad) AS BIGINT) FROM per_vec) AS n_nonfinite_cells,
+           (SELECT CAST(SUM(n_zero) AS BIGINT) FROM per_vec) AS n_zero_cells,
+           (SELECT CAST(MIN(norm2_g) AS BIGINT) FROM per_vec) AS norm2_min,
+           (SELECT CAST(quantile_disc(norm2_g, 0.5) AS BIGINT) FROM per_vec)
+             AS norm2_p50,
+           (SELECT CAST(MAX(norm2_g) AS BIGINT) FROM per_vec) AS norm2_max,
+           floor((SELECT SUM(var_g2) FROM dim_var) / {_EMB_GRID} / {_EMB_GRID}
+                 * 1000000 + 0.5) / 1000000 AS var_trace,
+           floor((SELECT MAX(var_g2) FROM dim_var)
+                 / (SELECT SUM(var_g2) FROM dim_var) * 10000 + 0.5) / 10000
+             AS max_dim_var_share
+    """,
+)
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit — the gate an ANN index build or
+    training run should demand before trusting a vector column:
+    non-finite cells (a NaN poisons every dot product it touches),
+    exact-zero cells (dead dimensions / failed encodes), the squared-
+    norm distribution (collapsed or exploding norms break cosine
+    assumptions), and variance concentration across dimensions (one
+    dimension holding most of the variance = the encoder collapsed;
+    the max-share statistic reads it off directly).
+
+    Exactness: cells land on the 1e-6 grid; norms and per-dim moments
+    are exact BIGINT sums; quantiles are DISCRETE; the two variance
+    readouts are identical double expressions of exact integers.
+    Scale shape: one posexplode + two hash aggregates (vec grain, dim
+    grain) — dim-grain output is 64 rows regardless of corpus size.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cells = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * _EMB_GRID).cast("bigint").alias("g"),
+        F.when(F.isnan("v") | ~F.col("v").between(-1e308, 1e308), 1)
+        .otherwise(0)
+        .alias("bad"),
+        F.when(F.col("v") == 0.0, 1).otherwise(0).alias("zero"),
+    )
+    per_vec = cells.groupBy("vec_id").agg(
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("norm2_g"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+        F.sum("zero").cast("bigint").alias("n_zero"),
+    )
+    per_dim = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    )
+    dim_var = per_dim.select(
+        (
+            (F.col("n").cast("double") * F.col("s2") - F.col("s").cast("double") * F.col("s"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("var_g2")
+    )
+    vec_stats = per_vec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("n_bad").cast("bigint").alias("n_nonfinite_cells"),
+        F.sum("n_zero").cast("bigint").alias("n_zero_cells"),
+        F.min("norm2_g").cast("bigint").alias("norm2_min"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2_g)")
+        .cast("bigint")
+        .alias("norm2_p50"),
+        F.max("norm2_g").cast("bigint").alias("norm2_max"),
+    )
+    var_stats = dim_var.agg(
+        (
+            F.floor(
+                F.sum("var_g2") / _EMB_GRID / _EMB_GRID * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("var_trace"),
+        (
+            F.floor(F.max("var_g2") / F.sum("var_g2") * 10000 + 0.5) / 10000
+        ).alias("max_dim_var_share"),
+    )
+    return vec_stats.crossJoin(F.broadcast(var_stats))

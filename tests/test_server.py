@@ -215,3 +215,21 @@ def test_mutation_classifier_gates_overwrite_export():
     assert _is_mutation("COPY t FROM '/tmp/x'")
     # EXPLAIN stays a read — the engine itself rejects command payloads
     assert not _is_mutation("EXPLAIN ANALYZE SELECT 1")
+
+
+def test_fixpoint_over_the_wire(client):
+    # WITH RECURSIVE / ITERATE classify as reads (no catalog lock)
+    # and their unique temp views never leak into the shared catalog
+    resp = client.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+        "SELECT n + 1 FROM t WHERE n < 6) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS s FROM t"
+    )
+    assert resp["rows"] == [[21]]
+    resp = client.sql(
+        "WITH ITERATE g(v) MAX 4 AS (SELECT 1 AS v "
+        "STEP SELECT v * 3 AS v FROM g) SELECT MAX(v) AS m FROM g"
+    )
+    assert resp["rows"] == [[81]]
+    tables = client.sql("SHOW TABLES")
+    assert not any("__fixpoint" in str(r) for r in tables["rows"])
