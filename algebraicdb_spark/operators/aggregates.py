@@ -1403,3 +1403,90 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("cents").cast("double") / 100.0).alias("lo_cut"),
         pround(F.max("cents").cast("double") / 100.0).alias("hi_cut"),
     )
+
+
+import math as _math
+
+_BENFORD = [(d, _math.log10(1 + 1 / d)) for d in range(1, 10)]
+_BENFORD_VALUES = ", ".join(
+    f"({d}, CAST({p!r} AS DOUBLE))" for d, p in _BENFORD
+)
+
+
+@register(
+    "agg_benford_digits",
+    # Benford's-law first-digit audit of order totals — the classic
+    # fraud/fabrication screen. Expected shares are inlined literal
+    # doubles (full-repr round-trip, identical on both engines);
+    # observed counts are exact; each digit's chi-square contribution
+    # (O-E)^2/E is one identical double expression on a 1e-6 grid.
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ), exp_t(d, p) AS (VALUES {_BENFORD_VALUES}),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.d AS digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           floor(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / tot.n
+                 * 1000000 + 0.5) / 1000000 AS obs_share,
+           floor(e.p * 1000000 + 0.5) / 1000000 AS exp_share,
+           floor((CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - e.p * tot.n)
+                 * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - e.p * tot.n)
+                 / (e.p * tot.n) * 1000000 + 0.5) / 1000000
+             AS chi2_contrib
+    FROM exp_t e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the standard forensic-accounting screen: naturally occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d) (30.1% start
+    with 1), and fabricated or capped numbers don't. Per digit:
+    observed count/share, the Benford expectation, and the chi-square
+    contribution (a digit whose contribution dominates is WHERE the
+    books are cooked; Σ over the 9 rows against χ²₈ = 15.5 is the
+    formal test).
+
+    Exactness: the first digit comes from the decimal STRING of exact
+    cents (no log/pow float path can misround a boundary value like
+    999.999...); expectations are inlined full-repr literals; every
+    readout lands on a 1e-6 grid. Scale: one map + 9-group hash agg.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    digits = o.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    exp_t = load_tables(spark, sf_dir)["region"].sparkSession.createDataFrame(
+        _BENFORD, "d int, p double"
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    dev = n_obs.cast("double") - F.col("p") * F.col("n")
+    return (
+        exp_t.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            n_obs.cast("bigint").alias("n_obs"),
+            (
+                F.floor(n_obs.cast("double") / F.col("n") * 1000000 + 0.5)
+                / 1000000
+            ).alias("obs_share"),
+            (F.floor(F.col("p") * 1000000 + 0.5) / 1000000).alias("exp_share"),
+            (
+                F.floor(dev * dev / (F.col("p") * F.col("n")) * 1000000 + 0.5)
+                / 1000000
+            ).alias("chi2_contrib"),
+        )
+    )

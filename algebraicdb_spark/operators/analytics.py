@@ -4345,3 +4345,213 @@ def orders_sales_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n2") * (avg2 - avg1) * 0.01 * 100 + 0.5) / 100
         ).alias("value_effect"),
     )
+
+
+@register(
+    "inventory_abc_xyz",
+    # ABC×XYZ inventory matrix: parts classed by cumulative revenue
+    # share (A ≤80%, B ≤95%, C) AND by weekly-demand variability
+    # (X: CV < 0.5, Y: CV < 1.0, Z). Both axes decided by integer
+    # cross-multiplication — cumulative cents vs total thresholds,
+    # CV² vs 1/4 and 1 via exact weekly-quantity moments.
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             CAST(epoch(date_trunc('week', l_shipdate)) AS BIGINT) AS week_s,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), var_m AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM wk GROUP BY l_partkey
+    ), rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             SUM(rev_c) OVER () AS total_c
+      FROM rev
+    ), classed AS (
+      SELECT c.l_partkey, c.rev_c,
+             CASE WHEN c.cum_c * 100 <= c.total_c * 80 THEN 'A'
+                  WHEN c.cum_c * 100 <= c.total_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN v.n < 2 THEN 'Z'
+                  WHEN (v.n * v.s2 - v.s1 * v.s1) * 4 < v.s1 * v.s1 THEN 'X'
+                  WHEN (v.n * v.s2 - v.s1 * v.s1) < v.s1 * v.s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM cum c JOIN var_m v ON v.l_partkey = c.l_partkey
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents,
+           floor(CAST(SUM(rev_c) AS DOUBLE)
+                 / (SELECT SUM(rev_c) FROM rev) * 1000000 + 0.5) / 1000000
+             AS revenue_share
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory matrix — the planning grid every supply-chain
+    org draws: value concentration (ABC, cumulative revenue cuts at
+    80/95%) crossed with demand PREDICTABILITY (XYZ, coefficient of
+    variation of weekly quantity: X steady < 0.5, Y < 1.0, Z erratic
+    or single-week). AX items get automated replenishment, CZ items
+    get made-to-order — the matrix is the routing table.
+
+    Exactness: revenue cuts compare integer cumulative cents against
+    integer thresholds of the total (agg_abc_classification's rule);
+    CV classes compare exact integer moments cross-multiplied
+    ((n·Σq² − S²)·4 < S² ⇔ CV < 0.5) — no float touches either axis.
+    Scale shape: two hash aggregates to the part grain, a cumulative
+    window on the PART grain (not line rows), one join.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wk = li.groupBy(
+        "l_partkey",
+        F.unix_timestamp(F.date_trunc("week", "l_shipdate")).alias("week_s"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    var_m = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w_cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = rev.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.sum("rev_c").over(w_all).alias("total_c"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    s1sq = F.col("s1") * F.col("s1")
+    classed = cum.join(var_m, "l_partkey").select(
+        "rev_c",
+        F.when(F.col("cum_c") * 100 <= F.col("total_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("n") < 2, "Z")
+        .when(var_num * 4 < s1sq, "X")
+        .when(var_num < s1sq, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("all_c"))
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            "revenue_cents",
+            (
+                F.floor(
+                    F.col("revenue_cents").cast("double")
+                    / F.col("all_c")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "time_peak_detection",
+    # Local-peak detection with prominence on the daily series per
+    # type: a peak day strictly exceeds both neighbors AND clears the
+    # larger neighbor by 20% (5n >= 6*max(prev,next), integer
+    # cross-multiplied). The alerting primitive between
+    # event_anomaly_zscore (global outliers) and
+    # time_changepoint_cusum (level shifts) — peaks are LOCAL events.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), nb AS (
+      SELECT event_type, day_s, n,
+             lag(n) OVER w AS prev_n, lead(n) OVER w AS next_n
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_s)
+    ), peaks AS (
+      SELECT * FROM nb
+      WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+        AND n > prev_n AND n > next_n
+        AND 5 * n >= 6 * greatest(prev_n, next_n)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(MAX(n) AS BIGINT) AS max_peak_n,
+           CAST(MIN(CASE WHEN n = (SELECT MAX(p2.n) FROM peaks p2
+                                   WHERE p2.event_type = peaks.event_type)
+                         THEN day_s END) AS BIGINT) AS max_peak_day_s
+    FROM peaks GROUP BY event_type
+    """,
+)
+def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the daily event series: a day is a peak
+    when it strictly exceeds both neighbors AND clears the larger one
+    by ≥ 20% (the prominence guard that kills noise wiggles). Counts
+    and the argmax peak per type — launch days, incident spikes,
+    campaign hits: the LOCAL-event detector between
+    event_anomaly_zscore's global outliers and
+    time_changepoint_cusum's level shifts.
+
+    Exactness: prominence decided by 5n ≥ 6·max(neighbors) — pure
+    integers; the argmax day uses a min-day tie-break via one
+    conditional aggregate (no second scan). Scale shape: lag/lead on
+    the (type, day) aggregated grain.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_s")
+    nb = daily.select(
+        "event_type",
+        "day_s",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    peaks = nb.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+        & (5 * F.col("n") >= 6 * F.greatest("prev_n", "next_n"))
+    )
+    w_max = Window.partitionBy("event_type")
+    flagged = peaks.withColumn("max_n", F.max("n").over(w_max))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+        F.max("n").cast("bigint").alias("max_peak_n"),
+        F.min(F.when(F.col("n") == F.col("max_n"), F.col("day_s")))
+        .cast("bigint")
+        .alias("max_peak_day_s"),
+    )

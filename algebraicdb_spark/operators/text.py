@@ -1040,3 +1040,91 @@ def text_frequency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_readability",
+    # Flesch reading-ease per source: 206.835 - 1.015*(words/sentences)
+    # - 84.6*(syllables/words), with syllables approximated by vowel
+    # groups and sentences by [.!?] runs (min 1) — the standard cheap
+    # proxies. Per-doc scores grid-floored at 1e-2 then averaged from
+    # exact integer sums; components exposed alongside.
+    oracle=r"""
+    WITH feat AS (
+      SELECT source,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    ), scored AS (
+      SELECT source, n_words, n_sents, n_syll,
+             CAST(floor((206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                         - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                        * 100) AS BIGINT) AS flesch_g
+      FROM feat WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_syll) AS BIGINT) AS n_syllables,
+           floor(CAST(SUM(flesch_g) AS DOUBLE) / COUNT(*) / 100
+                 * 100 + 0.5) / 100 AS avg_flesch
+    FROM scored GROUP BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability score
+    (90 = grade school, 30 = academic), with the standard cheap
+    proxies: syllables ≈ vowel groups, sentences ≈ [.!?] runs. A
+    corpus-mixing quality axis orthogonal to text_quality_score's
+    surface stats and the LM-surprise keys: readability targets the
+    HUMAN difficulty of text, which matters when curating instruction
+    or educational data.
+
+    Exactness: all three counts are exact integers from JVM regexp
+    (no UDF); each doc's score is one identical double expression
+    grid-floored at 1e-2, and the per-source average divides exact
+    integer sums once. Scale: map-side features + one hash agg.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    n_words = F.size(F.split(canonical_text("text"), " ")).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    feat = d.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    flesch_g = F.floor(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+        )
+        * 100
+    ).cast("bigint")
+    scored = feat.select("source", "n_words", "n_syll", flesch_g.alias("flesch_g"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_syll").cast("bigint").alias("n_syllables"),
+        (
+            F.floor(
+                F.sum("flesch_g").cast("double") / F.count(F.lit(1)) / 100 * 100
+                + 0.5
+            )
+            / 100
+        ).alias("avg_flesch"),
+    )
