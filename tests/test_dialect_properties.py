@@ -169,3 +169,52 @@ def test_macro_chains_expand_fully_within_cap(depth):
     for n in macros:
         assert f"{n}(" not in out
     assert "5" in out and "* 2" in out
+
+
+# ---- fixpoint properties -------------------------------------------------
+
+
+@given(n=st.integers(2, 25))
+@_settings
+def test_recursive_series_closed_form(spark, n):
+    # UNION-distinct lowering and native UNION ALL agree with the
+    # closed form on acyclic generation
+    eng = Engine(spark)
+    distinct = eng.sql(
+        f"WITH RECURSIVE t(k) AS (SELECT 1 UNION "
+        f"SELECT k + 1 FROM t WHERE k < {n}) "
+        "SELECT CAST(SUM(k) AS BIGINT) AS s FROM t"
+    ).collect()[0].s
+    native = eng.sql(
+        f"WITH RECURSIVE t(k) AS (SELECT 1 UNION ALL "
+        f"SELECT k + 1 FROM t WHERE k < {n}) "
+        "SELECT CAST(SUM(k) AS BIGINT) AS s FROM t"
+    ).collect()[0].s
+    assert distinct == native == n * (n + 1) // 2
+
+
+@given(k=st.integers(1, 8))
+@_settings
+def test_iterate_bounded_doubling(spark, k):
+    got = Engine(spark).sql(
+        f"WITH ITERATE g(v) MAX {k} AS (SELECT 1 AS v "
+        "STEP SELECT v * 2 AS v FROM g) SELECT MAX(v) AS m FROM g"
+    ).collect()[0].m
+    assert got == 2**k
+
+
+@given(
+    lit=st.text(alphabet="abc UNIONSTEP().", min_size=1, max_size=20),
+)
+@_settings
+def test_fixpoint_parser_ignores_keywords_in_strings(spark, lit):
+    # string literals containing UNION / STEP / parens must not
+    # confuse the masked scan; the literal comes back intact
+    safe = lit.replace("'", "")
+    got = Engine(spark).sql(
+        "WITH RECURSIVE t(k, s) AS ("
+        f"SELECT 1, '{safe}' UNION "
+        f"SELECT k + 1, '{safe}' FROM t WHERE k < 3) "
+        "SELECT COUNT(*) AS c, MIN(s) AS s FROM t"
+    ).collect()[0]
+    assert got.c == 3 and got.s == safe
