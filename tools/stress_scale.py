@@ -196,6 +196,11 @@ KEYS = [
     "text_frequency_filter",
     "sim_dedup_threshold_sweep",
     "dialect_iterate_components",
+    "embedding_quality_audit",
+    "inventory_abc_xyz",
+    "time_peak_detection",
+    "agg_benford_digits",
+    "text_readability",
 ]
 
 
