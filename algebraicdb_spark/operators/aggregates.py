@@ -1490,3 +1490,95 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    # Winsorized mean per group: clamp to the DISCRETE p05/p95 of
+    # exact cents, then average — the robust estimator that KEEPS
+    # outlier rows (at the fence) where agg_trimmed_mean drops them.
+    # Two-pass: group percentiles, broadcast back, clamp, one exact
+    # division.
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), fences AS (
+      SELECT flag,
+             CAST(quantile_disc(c, 0.05) AS BIGINT) AS lo,
+             CAST(quantile_disc(c, 0.95) AS BIGINT) AS hi
+      FROM cents GROUP BY flag
+    )
+    SELECT c.flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           f.lo AS fence_lo,
+           f.hi AS fence_hi,
+           floor(CAST(SUM(LEAST(GREATEST(c.c, f.lo), f.hi)) AS DOUBLE)
+                 / COUNT(*) / 100 * 10000 + 0.5) / 10000 AS winsorized_mean,
+           floor(CAST(SUM(c.c) AS DOUBLE) / COUNT(*) / 100 * 10000 + 0.5)
+             / 10000 AS raw_mean
+    FROM cents c JOIN fences f USING (flag)
+    GROUP BY c.flag, f.lo, f.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5% two-sided) per return flag: outliers are
+    CLAMPED to the p05/p95 fences instead of dropped — the robust
+    estimator of choice when every row must keep its weight (billing
+    reconciliation, capped-payout metrics), completing the robust
+    family beside agg_trimmed_mean (drops) and event_anomaly_mad
+    (flags). The raw mean rides along so the outlier influence is
+    directly readable.
+
+    Exactness: fences are DISCRETE percentiles of exact cents (actual
+    data values, engine-identical); clamped sums are exact BIGINTs;
+    one division per group. Scale: one percentile agg on the group
+    grain, fences broadcast back, one clamped hash agg.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    fences = cents.groupBy("flag").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        cents.join(F.broadcast(fences), "flag")
+        .groupBy("flag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.floor(
+                    F.sum(clamped).cast("double")
+                    / F.count(F.lit(1))
+                    / 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("winsorized_mean"),
+            (
+                F.floor(
+                    F.sum("c").cast("double") / F.count(F.lit(1)) / 100 * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("raw_mean"),
+        )
+        .select(
+            "flag",
+            "n_rows",
+            F.col("lo").alias("fence_lo"),
+            F.col("hi").alias("fence_hi"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+    )
