@@ -4555,3 +4555,77 @@ def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_peak_day_s"),
     )
+
+
+@register(
+    "supply_single_source_risk",
+    # Single-source supply risk: parts bucketed by supplier diversity
+    # (1 / 2 / 3+ distinct suppliers observed), with each bucket's
+    # part count and revenue at risk — the resilience report behind
+    # every supply-chain review. Exact distinct counts and cents.
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ), bucketed AS (
+      SELECT CASE WHEN n_supp = 1 THEN 'single'
+                  WHEN n_supp = 2 THEN 'dual'
+                  ELSE 'multi' END AS sourcing,
+             rev_c
+      FROM per_part
+    )
+    SELECT sourcing,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents,
+           floor(CAST(SUM(rev_c) AS DOUBLE)
+                 / (SELECT SUM(rev_c) FROM per_part) * 10000 + 0.5) / 10000
+             AS revenue_share
+    FROM bucketed GROUP BY sourcing
+    """,
+)
+def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source risk report: how much revenue flows through parts
+    with exactly one observed supplier (no failover), two (fragile),
+    or three-plus (resilient). The supply-chain review's first
+    slide — and the procurement action list is literally the 'single'
+    bucket sorted by revenue. Complements inventory_abc_xyz: ABC-XYZ
+    says what to stock, this says where a supplier outage hurts.
+
+    Scale shape: one (partkey) hash aggregate with a distinct-count
+    and a cents sum, then a 3-group rollup; the grand total is a
+    1-row broadcast. All integers until the final share divisions.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    tot = per_part.agg(F.sum("rev_c").cast("bigint").alias("all_c"))
+    bucketed = per_part.select(
+        F.when(F.col("n_supp") == 1, "single")
+        .when(F.col("n_supp") == 2, "dual")
+        .otherwise("multi")
+        .alias("sourcing"),
+        "rev_c",
+    )
+    return (
+        bucketed.groupBy("sourcing")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "sourcing",
+            "n_parts",
+            "revenue_cents",
+            pround(F.col("revenue_cents").cast("double") / F.col("all_c")).alias(
+                "revenue_share"
+            ),
+        )
+    )
