@@ -130,6 +130,23 @@ class Engine:
 
     # -- statements ----------------------------------------------------
 
+    def sql_script(self, script: str) -> DataFrame | AdtType | None:
+        """Execute a ``;``-separated multi-statement script in order,
+        returning the LAST statement's result — what a REPL paste or a
+        migration file needs. Splitting respects string literals and
+        parentheses (a ';' inside a quoted value or a subquery never
+        splits), empty fragments and trailing semicolons are ignored,
+        and any statement error aborts the remainder (statements
+        before it have already executed — the dialect has no
+        transactional DDL, matching Spark itself)."""
+        from algebraicdb_spark.dialect import _split_top_level
+
+        result: DataFrame | AdtType | None = None
+        for stmt in _split_top_level(script, ";"):
+            if stmt.strip():
+                result = self.sql(stmt)
+        return result
+
     def sql(
         self, stmt: str, params: dict | list | None = None
     ) -> DataFrame | AdtType | None:

@@ -151,6 +151,41 @@ class TxnLogTable:
         )
         return expected_version
 
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Delete data directories referenced by NO snapshot within the
+        last ``retain_versions`` versions — the physical-delete pass
+        every table format separates from the logical OVERWRITE
+        tombstones. Returns the deleted paths.
+
+        Retention is the time-travel contract: vacuuming to
+        ``retain_versions=n`` keeps every snapshot in
+        [latest-n+1, latest] readable and breaks older AS OF reads —
+        exactly Delta's ``VACUUM ... RETAIN`` semantics, stated in
+        versions instead of hours (the fixture has no wall-clock).
+        The log itself is never deleted: history STRUCTURE stays
+        auditable even after its bytes are reclaimed.
+
+        Scale shape: pure metadata — fold the log once, diff two path
+        sets, delete directories; no data is read or moved.
+        """
+        import shutil
+
+        latest = self.latest_version()
+        if latest < 0:
+            return []
+        keep_from = max(0, latest - max(retain_versions, 1) + 1)
+        keep: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            keep.update(self.live_paths(as_of=v))
+        all_paths: set[str] = set()
+        for commit in self._commits():
+            for a in commit["actions"]:
+                all_paths.add(a["path"])
+        doomed = sorted(all_paths - keep)
+        for p in doomed:
+            shutil.rmtree(p, ignore_errors=True)
+        return doomed
+
     # -- reads ---------------------------------------------------------
 
     def snapshot(

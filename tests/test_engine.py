@@ -98,3 +98,38 @@ def test_catalog_save_load_roundtrip(spark, tmp_path):
     assert b.sql("SELECT * FROM cat_mv").collect()[0].n == 1
     b.sql("DROP MATERIALIZED VIEW cat_mv")
     b.sql("DROP TABLE cat_t")
+
+
+class TestSqlScript:
+    def test_script_runs_in_order_returns_last(self, spark):
+        from algebraicdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        got = eng.sql_script(
+            """
+            CREATE TABLE scr_t (k: Integer, s: Text);
+            INSERT INTO scr_t VALUES (1, 'a;b'), (2, 'c');
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(s) AS first_s FROM scr_t;
+            """
+        ).collect()[0]
+        # the ';' inside the string literal did NOT split the INSERT
+        assert got.n == 2 and got.first_s == "a;b"
+        eng.sql("DROP TABLE scr_t")
+
+    def test_script_error_aborts_remainder(self, spark):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+
+        eng = Engine(spark)
+        with _pytest.raises(AdtError):
+            eng.sql_script(
+                "CREATE TABLE scr_u (k: Integer); "
+                "INSERT INTO nope_scr VALUES (1); "
+                "DROP TABLE scr_u"
+            )
+        # first statement ran, third never did
+        assert eng.sql("SELECT COUNT(*) AS n FROM scr_u").collect()[0].n == 0
+        eng.sql("DROP TABLE scr_u")

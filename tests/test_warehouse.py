@@ -177,3 +177,36 @@ class TestTxnLogTable:
         t.overwrite(tables["nation"], expected_version=1)
         assert old_paths[0] not in t.live_paths()
         assert os.path.isdir(old_paths[0])  # vacuum is a separate concern
+
+    def test_vacuum_reclaims_only_unreachable_versions(
+        self, spark, tables, tmp_path
+    ):
+        import os
+
+        import pytest as _pytest
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])              # v0
+        t.overwrite(tables["nation"], 1)        # v1 (tombstones v0 files)
+        t.append(tables["region"])              # v2
+        v0_paths = t.live_paths(as_of=0)
+        deleted = t.vacuum(retain_versions=2)   # keep v1, v2
+        assert deleted == v0_paths
+        assert not os.path.isdir(v0_paths[0])
+        # v1 and v2 snapshots still read
+        assert t.snapshot(spark, as_of=1).count() == tables["nation"].count()
+        assert (
+            t.snapshot(spark, as_of=2).count()
+            == tables["nation"].count() + tables["region"].count()
+        )
+        # v0 time travel is gone, and says so via the read path
+        with _pytest.raises(Exception):
+            t.snapshot(spark, as_of=0).count()
+
+    def test_vacuum_on_append_only_table_deletes_nothing(
+        self, spark, tables, tmp_path
+    ):
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        t.append(tables["nation"])
+        assert t.vacuum(retain_versions=1) == []  # every file still live
