@@ -176,6 +176,45 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every click emits;
+    unmatched clicks surface with NULL purchase columns only when the
+    watermark passes the click's join-window upper bound (c_ts + 1 h)
+    — Structured Streaming cannot emit an outer NULL earlier without
+    risking a late match. Consequence pinned in the runtime test: an
+    availableNow replay emits the unmatched rows whose windows the
+    final watermark closed; clicks still inside the last open window
+    stay buffered (they are NOT lost — a restart with more data
+    resolves them), while the batch twin (`stream_stream_left_join`
+    in batch_equiv) sees the whole timeline at once and emits every
+    unmatched click."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        pround("value").alias("purchase_value"),
+        F.when(F.col("purchase_id").isNull(), 1).otherwise(0).cast("int").alias(
+            "unmatched"
+        ),
+        "c_ts",
+    )
+
+
 STATEFUL_OUTPUT_DDL = "event_id bigint, user_id bigint, user_seq int, running_value double"
 STATEFUL_STATE_DDL = "seq int, total double"
 

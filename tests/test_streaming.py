@@ -455,3 +455,63 @@ class TestStreamSourceSeam:
         a = streng.read_events_stream(spark, src_dir)
         b = open_stream(spark, FileEventsSource(src_dir))
         assert a.schema == b.schema
+
+
+def test_stream_stream_left_join_matches_batch_up_to_watermark(
+    spark, sf_dir, src_dir, events_stream
+):
+    """The OUTER join's defining runtime behavior: matched rows equal
+    the batch twin exactly; unmatched (NULL) rows are emitted exactly
+    for clicks whose join window the FINAL watermark closed — clicks
+    inside the last open window stay buffered, never wrongly emitted."""
+    from algebraicdb_spark.sources.catalog import load_tables
+    from algebraicdb_spark.streaming.batch_equiv import (
+        stream_stream_left_join as batch_left,
+    )
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = engine.run_to_memory(
+        engine.stream_stream_left_join(clicks, purchases),
+        "t_ssljoin",
+        output_mode="append",
+    )
+    want = batch_left(spark, sf_dir)
+    cols = ["click_id", "purchase_id", "user_id", "purchase_value", "unmatched"]
+
+    # matched rows: identical sets
+    got_m = rows_set(got.filter("unmatched = 0"), cols)
+    want_m = rows_set(want.filter("unmatched = 0"), cols)
+    assert got_m == want_m
+
+    # unmatched rows: availableNow ends with a no-data micro-batch
+    # (spark.sql.streaming.noDataMicroBatches, default on) that
+    # advances the GLOBAL watermark — the MIN over the two
+    # watermarked inputs (clicks max − 1 h, purchases max − 2 h) —
+    # and evicts; a click is emitted as unmatched iff its window
+    # bound (c_ts + 1 h) is STRICTLY below that final watermark
+    ev = load_tables(spark, sf_dir)["events"]
+    c_max = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    p_max = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    # global watermark = min over the two watermarked inputs
+    wm_us = min(c_max - 3_600_000_000, p_max - 7_200_000_000)
+    closed = (
+        ev.filter(F.col("event_type") == "click")
+        .filter(F.unix_micros("ts") + 3_600_000_000 < wm_us)
+        .select(F.col("event_id").alias("click_id"))
+    )
+    want_u_closed = rows_set(
+        want.filter("unmatched = 1").join(closed, "click_id"), cols
+    )
+    got_u = rows_set(got.filter("unmatched = 1"), cols)
+    assert got_u == want_u_closed
+    # nothing inside the open window leaked out early
+    assert got_u <= rows_set(want.filter("unmatched = 1"), cols)
