@@ -707,3 +707,141 @@ def mix_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("source").alias("source_a"), "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
     )
+
+
+# target mix: head sources get fixed shares, the rest split the tail
+# evenly — a typical hand-tuned training recipe to audit against
+KL_TARGETS = {"src0": 0.20, "src1": 0.15, "src2": 0.10}
+KL_TAIL_SHARE = 0.55  # remaining sources split this evenly
+
+
+def _kl_target_values() -> str:
+    return ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in KL_TARGETS.items()
+    )
+
+
+@register(
+    "mix_kl_to_target",
+    # Mix-balance audit: KL(realized token shares || target recipe).
+    # Per-source ln terms grid-floored at 1e-6 and weighted by exact
+    # token counts; the target for tail sources derives from their
+    # COUNT (an exact integer), so both engines compute identical
+    # expected shares.
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(string_split(regexp_replace(lower(trim(text)),
+                  '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_toks
+      FROM documents GROUP BY source
+    ), tgt AS (
+      SELECT * FROM (VALUES {_kl_target_values()}) h(source, w)
+    ), n_tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      WHERE source NOT IN (SELECT source FROM tgt)
+    ), shaped AS (
+      SELECT t.source, t.n_toks,
+             COALESCE(g.w, {KL_TAIL_SHARE} / n_tail.n) AS target_share
+      FROM tok t LEFT JOIN tgt g ON g.source = t.source
+      CROSS JOIN n_tail
+    ), terms AS (
+      SELECT source, n_toks, target_share,
+             CAST(SUM(n_toks) OVER () AS BIGINT) AS total,
+             CAST(floor(ln((CAST(n_toks AS DOUBLE)
+                            / SUM(n_toks) OVER ()) / target_share)
+                        * 1000000) AS BIGINT) AS ln_g
+      FROM shaped
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           floor(CAST(SUM(CAST(n_toks AS DECIMAL(38,0)) * ln_g) AS DOUBLE)
+                 / MAX(total) / 1000000 * 1000000 + 0.5) / 1000000
+             AS kl_realized_vs_target,
+           (SELECT source FROM terms
+            ORDER BY CAST(n_toks AS DOUBLE) / total / target_share DESC,
+                     source LIMIT 1) AS most_overweighted
+    FROM terms
+    """,
+)
+def mix_kl_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-balance audit: KL divergence of the REALIZED token mix from
+    the target recipe (named head shares + an even tail split), plus
+    the most-overweighted source. The number a mixing pipeline alerts
+    on — KL near 0 means the sampling weights are doing their job,
+    and the argmax ratio names the source to fix first. Companion to
+    corpus_mix_report (which states the mix) and mix_weighted_sample
+    (which enforces it).
+
+    Exactness: realized shares come from exact token counts; each
+    ln(realized/target) lands on a 1e-6 grid and is weighted by exact
+    counts in DECIMAL(38,0); tail targets derive from an exact source
+    COUNT. One window over the SOURCE grain (|sources| rows).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split(canonical_text("text"), " ")))
+        .cast("bigint")
+        .alias("n_toks")
+    )
+    tgt = d.sparkSession.createDataFrame(
+        list(KL_TARGETS.items()), "source string, w double"
+    )
+    n_tail = tok.join(tgt, "source", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    shaped = (
+        tok.join(F.broadcast(tgt), "source", "left")
+        .crossJoin(F.broadcast(n_tail))
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(F.col("w"), F.lit(KL_TAIL_SHARE) / F.col("n")).alias(
+                "target_share"
+            ),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = shaped.select(
+        "source",
+        "n_toks",
+        "target_share",
+        F.sum("n_toks").over(w_all).cast("bigint").alias("total"),
+        F.floor(
+            F.log(
+                (F.col("n_toks").cast("double") / F.sum("n_toks").over(w_all))
+                / F.col("target_share")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("ln_g"),
+    )
+    ratio = F.col("n_toks").cast("double") / F.col("total") / F.col("target_share")
+    w_rank = Window.orderBy(ratio.desc(), "source")
+    top = (
+        terms.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(F.col("source").alias("most_overweighted"))
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("n_toks").cast("decimal(38,0)") * F.col("ln_g"))
+                    .cast("double")
+                    / F.max("total")
+                    / 1000000
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("kl_realized_vs_target"),
+        )
+        .crossJoin(F.broadcast(top))
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.operators.dedup import (
     JACCARD_TAU,
     canonical_text,
@@ -478,4 +479,123 @@ def pipeline_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dropped, 0).otherwise(F.col("doc_id")))
         .cast("bigint")
         .alias("kept_checksum"),
+    )
+
+
+@register(
+    "pipeline_dedup_funnel",
+    # The dedup ladder as a funnel report: docs and tokens surviving
+    # each tier (raw -> exact dedup -> near-dup removal), with each
+    # tier's retention share — the one table a data lead actually
+    # reads about the dedup pipeline. Composes the same keep-rules the
+    # standalone keys verify.
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ctext
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, len(string_split(ctext, ' ')) AS n_toks FROM canon
+    ), exact_keep AS (
+      SELECT ctext, MIN(doc_id) AS doc_id FROM canon GROUP BY ctext
+    ), sh AS (
+      SELECT c.doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(c.ctext, ' ')) - 1),
+               i -> string_split(c.ctext, ' ')[i] || ' ' ||
+                    string_split(c.ctext, ' ')[i+1] || ' ' ||
+                    string_split(c.ctext, ' ')[i+2])) AS shingles
+      FROM canon c JOIN exact_keep k
+        ON k.ctext = c.ctext AND k.doc_id = c.doc_id
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS tok FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    near_drops AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {0.5}
+    ), tiers AS (
+      SELECT 0 AS tier, 'raw' AS stage, doc_id FROM canon
+      UNION ALL
+      SELECT 1, 'exact_dedup', doc_id FROM exact_keep
+      UNION ALL
+      SELECT 2, 'near_dedup', k.doc_id
+      FROM exact_keep k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drops)
+    )
+    SELECT tier, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+           floor(CAST(SUM(t.n_toks) AS DOUBLE)
+                 / (SELECT SUM(n_toks) FROM toks) * 10000 + 0.5) / 10000
+             AS token_share
+    FROM tiers JOIN toks t USING (doc_id)
+    GROUP BY tier, stage
+    """,
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder as a funnel: documents and TOKENS surviving
+    raw → exact dedup → near-dup removal, with each tier's share of
+    the original token mass. This is the report a data lead reads —
+    'dedup cost us 12% of tokens, 9% from exact copies' — and it
+    composes exactly the keep-rules the standalone keys
+    (dedup_exact, dedup_near_jaccard) verify, so the funnel numbers
+    inherit their correctness.
+
+    Scale shape: tier 1 is the exact-dedup hash agg; tier 2 adds the
+    near-dup pair derivation (exact tier here; the MinHash swap above
+    ~10⁷ docs changes the candidate generator, not the funnel). The
+    tier union is doc-id-grain metadata; token sums join one
+    (doc, n_tokens) table built map-side.
+    """
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    d = load_tables(spark, sf_dir)["documents"]
+    canon = d.withColumn("ctext", canonical_text("text"))
+    toks = canon.select(
+        "doc_id", F.size(F.split("ctext", " ")).cast("bigint").alias("n_toks")
+    )
+    exact_keep = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
+    exact_docs = canon.join(exact_keep, ["ctext", "doc_id"]).select(
+        "doc_id", "text"
+    )
+    near_drops = (
+        near_dup_pairs(exact_docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    tier0 = canon.select(F.lit(0).alias("tier"), F.lit("raw").alias("stage"), "doc_id")
+    tier1 = exact_keep.select(
+        F.lit(1).alias("tier"), F.lit("exact_dedup").alias("stage"), "doc_id"
+    )
+    tier2 = (
+        exact_keep.join(near_drops, "doc_id", "left_anti")
+        .select(F.lit(2).alias("tier"), F.lit("near_dedup").alias("stage"), "doc_id")
+    )
+    tiers = tier0.unionByName(tier1).unionByName(tier2)
+    tot = toks.agg(F.sum("n_toks").cast("bigint").alias("all_toks"))
+    return (
+        tiers.join(toks, "doc_id")
+        .groupBy("tier", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            pround(F.col("n_tokens").cast("double") / F.col("all_toks")).alias(
+                "token_share"
+            ),
+        )
     )
