@@ -201,6 +201,10 @@ KEYS = [
     "time_peak_detection",
     "agg_benford_digits",
     "text_readability",
+    "agg_winsorized_mean",
+    "supply_single_source_risk",
+    "pipeline_dedup_funnel",
+    "mix_kl_to_target",
 ]
 
 
