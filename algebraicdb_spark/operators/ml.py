@@ -506,32 +506,28 @@ def spherical_refine(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@register("ml_train_kmeans", oracle=_kmeans_oracle())
-def ml_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-engine k-means training: 2 full Lloyd iterations from
-    deterministic stride seeds, finished with per-cluster membership
-    and fit statistics — the third in-engine trainer next to
-    ml_train_logreg (GD) and the IVF index builder (whose single
-    iteration this generalizes).
-
-    Every iteration is the declarative shape that scales: a
-    broadcast-centroid argmax assignment (k×|corpus| map work, no
-    corpus shuffle) and a posexplode per-dimension mean whose shuffle
-    is k×64 integer cells. Means are 1e-9-grid integer sums (order-
-    free), assignment similarity is the shared fold-order dot, and
-    the cluster fit total sums 1e-6-grid integers — bit-replayable
-    end-to-end by the unrolled oracle.
-    """
-    from algebraicdb_spark.operators.similarity import dot
-    from pyspark.sql.window import Window
-
+def build_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means train half -> (c_id, c_emb): deterministic stride seeds
+    + KMEANS_ITERS spherical Lloyd rounds. Persist with
+    ``Engine.save_model(kind='kmeans_centroids')`` — the clustering
+    twin of build_ivf_centroids (same trainer, more rounds)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     cents = e.where(
         (F.col("vec_id") % 60 == 0) & (F.col("vec_id") < 480)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-
     for _ in range(KMEANS_ITERS):
         cents = spherical_refine(e, cents).localCheckpoint(eager=True)
+    return cents
+
+
+def kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The inference half: broadcast-argmax assignment + per-cluster
+    membership/fit stats over given (possibly reloaded) centroids —
+    zero training stages."""
+    from pyspark.sql.window import Window
+
+    from algebraicdb_spark.operators.similarity import dot
+
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
@@ -552,6 +548,28 @@ def ml_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("bigint").alias("member_checksum"),
         F.sum("fit_g").cast("bigint").alias("fit_grid"),
     )
+
+
+@register("ml_train_kmeans", oracle=_kmeans_oracle())
+def ml_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-means training: 2 full Lloyd iterations from
+    deterministic stride seeds, finished with per-cluster membership
+    and fit statistics — the third in-engine trainer next to
+    ml_train_logreg (GD) and the IVF index builder (whose single
+    iteration this generalizes).
+
+    Every iteration is the declarative shape that scales: a
+    broadcast-centroid argmax assignment (k×|corpus| map work, no
+    corpus shuffle) and a posexplode per-dimension mean whose shuffle
+    is k×64 integer cells. Means are 1e-9-grid integer sums (order-
+    free), assignment similarity is the shared fold-order dot, and
+    the cluster fit total sums 1e-6-grid integers — bit-replayable
+    end-to-end by the unrolled oracle. Composition of
+    ``build_kmeans_centroids`` (persistable via Engine.save_model)
+    and ``kmeans_assign`` (zero training stages).
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return kmeans_assign(e, build_kmeans_centroids(spark, sf_dir))
 
 
 @register(

@@ -134,3 +134,30 @@ class TestManifestHygiene:
         )
         with pytest.raises(AdtError, match="schema drift"):
             load_model(spark, path)
+
+
+class TestKmeansPersistence:
+    def test_saved_centroids_match_and_skip_training(self, spark, sf_dir, tmp_path):
+        from algebraicdb_spark.operators.ml import (
+            build_kmeans_centroids,
+            kmeans_assign,
+            ml_train_kmeans,
+        )
+        from algebraicdb_spark.sources.catalog import load_tables
+
+        path = str(tmp_path / "km")
+        save_model(
+            build_kmeans_centroids(spark, sf_dir), path, "kmeans_centroids"
+        )
+        e = load_tables(spark, sf_dir)["embeddings"]
+        reloaded = kmeans_assign(e, load_model(spark, path).df)
+        want = {
+            (r.cluster_id, r.n_members, r.member_checksum, r.fit_grid)
+            for r in ml_train_kmeans(spark, sf_dir).collect()
+        }
+        got = {
+            (r.cluster_id, r.n_members, r.member_checksum, r.fit_grid)
+            for r in reloaded.collect()
+        }
+        assert got == want
+        assert "posexplode" not in _plan(reloaded)
