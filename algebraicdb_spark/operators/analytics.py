@@ -4629,3 +4629,286 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "part_price_consistency",
+    # Pricing data-quality: per part, the spread of observed unit
+    # prices (extendedprice / quantity, exact cents-per-unit on a
+    # 1e-2 grid); parts bucketed by max/min price ratio decided with
+    # integer cross-multiplication (max*10 vs min*{12,15,20}) — the
+    # catalog-hygiene sweep beside orders_duplicate_billing.
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+               AS unit_c
+      FROM lineitem WHERE l_quantity > 0
+    ), per AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(MIN(unit_c) AS BIGINT) AS min_c,
+             CAST(MAX(unit_c) AS BIGINT) AS max_c
+      FROM unit GROUP BY l_partkey
+    ), classed AS (
+      SELECT CASE WHEN max_c * 10 <= min_c * 12 THEN 'tight'
+                  WHEN max_c * 10 <= min_c * 15 THEN 'loose'
+                  WHEN max_c * 10 <= min_c * 20 THEN 'wide'
+                  ELSE 'suspect' END AS spread,
+             n_obs
+      FROM per
+    )
+    SELECT spread,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n_obs) AS BIGINT) AS n_lines,
+           floor(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM per) * 10000 + 0.5) / 10000
+             AS part_share
+    FROM classed GROUP BY spread
+    """,
+)
+def part_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency audit: for each part, how far apart are the
+    unit prices it actually sold at? Parts bucket into tight (≤1.2×
+    min..max ratio) / loose (≤1.5×) / wide (≤2×) / suspect (>2×) —
+    the 'suspect' bucket is the catalog-hygiene worklist (mistyped
+    prices, unit confusion, unauthorized discounts). Transaction-
+    grain data quality beside orders_duplicate_billing's duplicate
+    sweep.
+
+    Exactness: unit prices land on the cents grid; the ratio buckets
+    are integer cross-multiplications (max·10 ≤ min·12 ⇔ ratio ≤
+    1.2) — no float decides a bucket. Scale: one hash agg to the part
+    grain, then a 4-group rollup.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    unit = li.where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5)
+        .cast("bigint")
+        .alias("unit_c"),
+    )
+    per = unit.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min("unit_c").cast("bigint").alias("min_c"),
+        F.max("unit_c").cast("bigint").alias("max_c"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    classed = per.select(
+        F.when(F.col("max_c") * 10 <= F.col("min_c") * 12, "tight")
+        .when(F.col("max_c") * 10 <= F.col("min_c") * 15, "loose")
+        .when(F.col("max_c") * 10 <= F.col("min_c") * 20, "wide")
+        .otherwise("suspect")
+        .alias("spread"),
+        "n_obs",
+    )
+    return (
+        classed.groupBy("spread")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_obs").cast("bigint").alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "spread",
+            "n_parts",
+            "n_lines",
+            pround(F.col("n_parts").cast("double") / F.col("n_all")).alias(
+                "part_share"
+            ),
+        )
+    )
+
+
+@register(
+    "event_audience_overlap",
+    # Audience-overlap matrix: Jaccard of the USER sets behind each
+    # ordered event-type pair, from exact distinct counts — |A∩B| via
+    # one (user, type-pair) co-membership join on the distinct
+    # (user, type) grain, |A|, |B| from per-type distincts.
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           pa.n_users AS n_a, pb.n_users AS n_b,
+           floor(CAST(i.n_both AS DOUBLE)
+                 / (pa.n_users + pb.n_users - i.n_both) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM inter i
+    JOIN per pa ON pa.event_type = i.type_a
+    JOIN per pb ON pb.event_type = i.type_b
+    """,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the Jaccard
+    similarity of their USER sets — do clickers purchase, do viewers
+    click? The audience-planning readout that assoc_basket_lift gives
+    for products and event_seq2_mining gives for sequences, here for
+    populations (order-free, time-free).
+
+    Scale shape: the stream collapses to DISTINCT (user, type)
+    immediately (|users| × |types| rows max); the intersection join
+    shares the user_id shuffle; the matrix is |types|² tiny. All
+    counts exact; one division per pair.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ut = e.select("user_id", "event_type").distinct()
+    per = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            pround(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "event_retention_curve_fit",
+    # Retention-curve model: r(age) ~ r0 * exp(-lambda*age) fitted by
+    # log-linear OLS over the cohort-averaged retention-by-age curve
+    # (ages >= 1). Every retention rate is an exact rational of
+    # distinct counts; its ln lands on a 1e-6 grid; the OLS moments
+    # are exact integer sums over the AGE grain (weeks, not users).
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(week_s) AS w0 FROM ud GROUP BY user_id
+    ), ages AS (
+      SELECT ud.user_id, (ud.week_s - f.w0) // 604800 AS age_w
+      FROM ud JOIN firsts f USING (user_id)
+    ), cohort_n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM firsts
+    ), curve AS (
+      SELECT age_w,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM ages WHERE age_w >= 1 GROUP BY age_w
+    ), pts AS (
+      SELECT age_w AS x,
+             CAST(floor(ln(CAST(n_active AS DOUBLE) / cohort_n.n0)
+                        * 1000000) AS BIGINT) AS y_g
+      FROM curve CROSS JOIN cohort_n
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y_g) AS BIGINT) AS sy,
+             CAST(SUM(x * y_g) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_ages,
+           floor(-(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 1000000 * 1000000 + 0.5) / 1000000 AS decay_lambda,
+           floor((CAST(sy AS DOUBLE) / n
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * (CAST(sx AS DOUBLE) / n))
+                 / 1000000 * 1000000 + 0.5) / 1000000 AS ln_r0
+    FROM m
+    """,
+)
+def event_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-curve model fit: r(age) ≈ r₀·e^(−λ·age) by log-linear
+    OLS over weekly retention-by-age. retention_cohort gives the raw
+    matrix; this key compresses it to the two numbers planning
+    actually uses — the decay rate λ (how fast users churn) and the
+    intercept ln r₀ (the week-1 anchor) — the inputs to every LTV
+    projection (orders_cohort_ltv measures the past; this
+    extrapolates it).
+
+    Exactness: retention rates are exact rationals of distinct
+    counts, grid-floored in log space at 1e-6; OLS moments are exact
+    integer sums over the AGE grain (a handful of weeks). Scale:
+    distinct (user, week) collapse, one min-agg, one age-grain agg —
+    the regression itself is arithmetic on one row of moments.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ud = e.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week_s"),
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("week_s").alias("w0"))
+    ages = ud.join(firsts, "user_id").select(
+        "user_id",
+        ((F.col("week_s") - F.col("w0")) / 604800).cast("bigint").alias("age_w"),
+    )
+    n0 = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    curve = (
+        ages.where(F.col("age_w") >= 1)
+        .groupBy("age_w")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    pts = curve.crossJoin(F.broadcast(n0)).select(
+        F.col("age_w").alias("x"),
+        F.floor(
+            F.log(F.col("n_active").cast("double") / F.col("n0")) * 1000000
+        )
+        .cast("bigint")
+        .alias("y_g"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y_g").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y_g")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_ages"),
+        (F.floor(-slope / 1000000 * 1000000 + 0.5) / 1000000).alias(
+            "decay_lambda"
+        ),
+        (
+            F.floor(
+                (
+                    F.col("sy").cast("double") / F.col("n")
+                    - slope * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / 1000000
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("ln_r0"),
+    )

@@ -1128,3 +1128,78 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("avg_flesch"),
     )
+
+
+@register(
+    "text_nonascii_audit",
+    # Encoding hygiene: per source, docs and chars that are non-ASCII,
+    # plus the mojibake tell (U+FFFD replacement chars) — the cheap
+    # screen run before any tokenizer sees the bytes. Counts exact
+    # (length minus ASCII-stripped length); flags by integer
+    # cross-multiplication (non-ascii*20 > chars ⇔ >5%).
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                  AS BIGINT) AS n_nonascii,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+                  AS BIGINT) AS n_replacement
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_nonascii) AS BIGINT) AS nonascii_chars,
+           CAST(SUM(n_replacement) AS BIGINT) AS replacement_chars,
+           CAST(SUM(CASE WHEN n_nonascii * 20 > n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy_docs,
+           floor(CAST(SUM(n_nonascii) AS DOUBLE) / SUM(n_chars)
+                 * 1000000 + 0.5) / 1000000 AS nonascii_ratio
+    FROM feat GROUP BY source
+    """,
+)
+def text_nonascii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene audit per source: non-ASCII character mass,
+    U+FFFD replacement characters (the mojibake smoking gun — a
+    decoder already destroyed bytes upstream), and docs that are
+    >5% non-ASCII (integer cross-multiplied flag). The screen that
+    runs BEFORE tokenization in every corpus pipeline: replacement
+    chars mean re-fetch the source, heavy non-ASCII in a declared-
+    English source means the lang label lies (handing off to
+    text_lang_id).
+
+    Scale shape: pure map-side JVM regexp/replace counting + one
+    hash agg per source — no UDF, no shuffle beyond the source grain.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    n_chars = F.length("text").cast("bigint")
+    n_nonascii = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    ).cast("bigint")
+    n_repl = (
+        F.length("text") - F.length(F.regexp_replace("text", "�", ""))
+    ).cast("bigint")
+    feat = d.select(
+        "source",
+        n_chars.alias("n_chars"),
+        n_nonascii.alias("n_nonascii"),
+        n_repl.alias("n_replacement"),
+    )
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_nonascii").cast("bigint").alias("nonascii_chars"),
+        F.sum("n_replacement").cast("bigint").alias("replacement_chars"),
+        F.sum(
+            F.when(F.col("n_nonascii") * 20 > F.col("n_chars"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_heavy_docs"),
+        (
+            F.floor(
+                F.sum("n_nonascii").cast("double") / F.sum("n_chars") * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("nonascii_ratio"),
+    )
