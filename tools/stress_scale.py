@@ -205,6 +205,10 @@ KEYS = [
     "supply_single_source_risk",
     "pipeline_dedup_funnel",
     "mix_kl_to_target",
+    "part_price_consistency",
+    "event_audience_overlap",
+    "event_retention_curve_fit",
+    "text_nonascii_audit",
 ]
 
 
