@@ -4912,3 +4912,191 @@ def event_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("ln_r0"),
     )
+
+
+PSI_BANDS = (10.0, 25.0, 50.0, 75.0, 90.0)  # fixed value-band edges
+
+
+@register(
+    "event_psi_value_drift",
+    # Population Stability Index between the two halves of the event
+    # timeline over fixed value bands: PSI = sum (p2-p1)*ln(p2/p1).
+    # Counts exact; shares smoothed add-0.5; each band's ln ratio
+    # grid-floored at 1e-6 before the weighted sum — the standard
+    # ML-monitoring drift alarm (PSI < 0.1 stable, > 0.25 drifted).
+    oracle=f"""
+    WITH mid AS (
+      SELECT CAST(epoch(MIN(ts)) AS BIGINT)
+             + (CAST(epoch(MAX(ts)) AS BIGINT)
+                - CAST(epoch(MIN(ts)) AS BIGINT)) // 2 AS m
+      FROM events
+    ), banded AS (
+      SELECT CASE WHEN CAST(epoch(ts) AS BIGINT) < (SELECT m FROM mid)
+                  THEN 'p1' ELSE 'p2' END AS period,
+             CASE WHEN value < {PSI_BANDS[0]} THEN 0
+                  WHEN value < {PSI_BANDS[1]} THEN 1
+                  WHEN value < {PSI_BANDS[2]} THEN 2
+                  WHEN value < {PSI_BANDS[3]} THEN 3
+                  WHEN value < {PSI_BANDS[4]} THEN 4
+                  ELSE 5 END AS band
+      FROM events
+    ), counts AS (
+      SELECT band,
+             CAST(SUM(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM banded GROUP BY band
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+      FROM counts
+    ), terms AS (
+      SELECT band, n1, n2,
+             (n2 + 0.5) / (tot.t2 + 3.0) - (n1 + 0.5) / (tot.t1 + 3.0) AS dp,
+             CAST(floor(ln(((n2 + 0.5) / (tot.t2 + 3.0))
+                           / ((n1 + 0.5) / (tot.t1 + 3.0))) * 1000000)
+                  AS BIGINT) AS ln_g
+      FROM counts CROSS JOIN tot
+    )
+    SELECT band, n1, n2,
+           floor(dp * ln_g / 1000000 * 1000000 + 0.5) / 1000000
+             AS psi_contrib
+    FROM terms
+    """,
+)
+def event_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring standard for
+    'did my feature distribution move': value bands from fixed edges,
+    compared between the two halves of the event timeline; per-band
+    contribution (p₂−p₁)·ln(p₂/p₁), with the usual rule of thumb
+    Σ < 0.1 stable, > 0.25 retrain. Completes the drift family:
+    corpus_js_divergence watches text, embedding_quality_audit
+    watches vectors, PSI watches scalar features.
+
+    Exactness: integer-second midpoint and integer band cuts; counts
+    exact; add-0.5 Laplace keeps empty bands finite; each ln ratio
+    lands on a 1e-6 grid before multiplying the share delta. Scale:
+    one conditional hash agg over 6 bands — the cheapest drift alarm
+    possible.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    lo = F.unix_timestamp(F.min("ts"))
+    hi = F.unix_timestamp(F.max("ts"))
+    mid = e.agg((lo + F.floor((hi - lo) / 2)).cast("long").alias("m"))
+    band = (
+        F.when(F.col("value") < PSI_BANDS[0], 0)
+        .when(F.col("value") < PSI_BANDS[1], 1)
+        .when(F.col("value") < PSI_BANDS[2], 2)
+        .when(F.col("value") < PSI_BANDS[3], 3)
+        .when(F.col("value") < PSI_BANDS[4], 4)
+        .otherwise(5)
+    )
+    banded = e.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_timestamp("ts") < F.col("m"), "p1")
+        .otherwise("p2")
+        .alias("period"),
+        band.alias("band"),
+    )
+    counts = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == "p1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("period") == "p2", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    tot = counts.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    p1 = (F.col("n1") + 0.5) / (F.col("t1") + 3.0)
+    p2 = (F.col("n2") + 0.5) / (F.col("t2") + 3.0)
+    ln_g = F.floor(F.log(p2 / p1) * 1000000).cast("bigint")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n1",
+        "n2",
+        (
+            F.floor((p2 - p1) * ln_g / 1000000 * 1000000 + 0.5) / 1000000
+        ).alias("psi_contrib"),
+    )
+
+
+@register(
+    "orders_quarter_end_loading",
+    # Revenue pull-forward detection: share of each quarter's revenue
+    # booked in its last 3 days vs the ~3.3% a uniform quarter would
+    # give. Exact cents; the loading flag decided by integer
+    # cross-multiplication (last3_cents * 10 > total_cents) — the
+    # behavioral forensic screen beside agg_benford_digits' digit
+    # test.
+    oracle="""
+    WITH q AS (
+      SELECT date_trunc('quarter', o_orderdate) AS qtr,
+             o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), bounds AS (
+      SELECT qtr, MAX(o_orderdate) AS q_last FROM q GROUP BY qtr
+    ), flagged AS (
+      SELECT q.qtr, q.cents,
+             CASE WHEN q.o_orderdate > b.q_last - INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END AS in_last3
+      FROM q JOIN bounds b ON b.qtr = q.qtr
+    )
+    SELECT CAST(epoch(qtr) AS BIGINT) AS quarter_s,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(in_last3 * cents) AS BIGINT) AS last3_cents,
+           floor(CAST(SUM(in_last3 * cents) AS DOUBLE) / SUM(cents)
+                 * 10000 + 0.5) / 10000 AS last3_share,
+           CAST(CASE WHEN SUM(in_last3 * cents) * 10 > SUM(cents)
+                     THEN 1 ELSE 0 END AS INT) AS loaded
+    FROM flagged GROUP BY qtr
+    """,
+)
+def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading detection: what share of each quarter's
+    revenue lands in its final 3 days? A uniform quarter gives ~3.3%;
+    a persistently loaded quarter (flag: > 10%, decided by integer
+    cross-multiplication) is the classic revenue-pull-forward /
+    sales-incentive distortion auditors screen for — the behavioral
+    companion of agg_benford_digits' numeric screen.
+
+    Exactness: exact cents; the quarter's 'last day' comes from the
+    data (MAX per quarter — robust to partial final quarters); the
+    flag never touches a float. Scale: one quarter-grain max-agg
+    broadcast back + one conditional hash agg.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    q = o.select(
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.col("o_orderdate"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    bounds = q.groupBy("qtr").agg(F.max("o_orderdate").alias("q_last"))
+    flagged = q.join(F.broadcast(bounds), "qtr").select(
+        "qtr",
+        "cents",
+        F.when(
+            F.col("o_orderdate") > F.col("q_last") - F.expr("INTERVAL 3 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("in_last3"),
+    )
+    last3 = F.sum(F.col("in_last3") * F.col("cents")).cast("bigint")
+    total = F.sum("cents").cast("bigint")
+    return flagged.groupBy("qtr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        total.alias("total_cents"),
+        last3.alias("last3_cents"),
+        (
+            F.floor(last3.cast("double") / total * 10000 + 0.5) / 10000
+        ).alias("last3_share"),
+        F.when(last3 * 10 > total, 1).otherwise(0).cast("int").alias("loaded"),
+    ).select(
+        F.unix_timestamp("qtr").alias("quarter_s"),
+        "n_orders",
+        "total_cents",
+        "last3_cents",
+        "last3_share",
+        "loaded",
+    )

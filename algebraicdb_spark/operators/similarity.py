@@ -1152,3 +1152,106 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_dim_var_share"),
     )
     return vec_stats.crossJoin(F.broadcast(var_stats))
+
+
+_SC_GRID = 10**6
+
+
+def _sc_fold_dot(a: str, b: str) -> str:
+    """DuckDB left fold over 64 dims matching Spark's F.aggregate."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+@register(
+    "embedding_source_centroids",
+    # Domain geometry: per-source mean embedding (grid-floored
+    # integer-sum means — the _refine_centroids determinism recipe)
+    # and the pairwise cosine between source centroids. High cosine =
+    # sources the encoder can't tell apart; low = genuinely distinct
+    # domains. Sources come from the caption join (doc_id = vec_id).
+    oracle=f"""
+    WITH cells AS (
+      SELECT d.source, u.dim, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id,
+      LATERAL (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS v,
+                      generate_subscripts(e.embedding, 1) AS dim) u
+    ), means AS (
+      SELECT source, dim,
+             (CAST(SUM(CAST(floor(v * {_SC_GRID}) AS BIGINT)) AS DOUBLE)
+              / {_SC_GRID}.0) / COUNT(*) AS m
+      FROM cells GROUP BY source, dim
+    ), cents AS (
+      SELECT source, list(m ORDER BY dim) AS c FROM means GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           floor({_sc_fold_dot('a.c', 'b.c')}
+                 / sqrt({_sc_fold_dot('a.c', 'a.c')})
+                 / sqrt({_sc_fold_dot('b.c', 'b.c')})
+                 * 10000 + 0.5) / 10000 AS centroid_cosine
+    FROM cents a JOIN cents b ON a.source < b.source
+    """,
+)
+def embedding_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain geometry readout: the mean embedding per SOURCE (via the
+    caption join) and the cosine between every source-centroid pair.
+    Two sources whose centroids sit at cosine ≈ 1 are indistinguishable
+    to the encoder — mixing weights between them are cosmetic; a
+    source at low cosine to everything is the genuinely novel domain.
+    The embedding-space companion of corpus_js_divergence's token view
+    and mix_source_overlap_matrix's fingerprint view.
+
+    Exactness: per-dim means are 1e-6-grid integer sums (order-free);
+    dots and norms are the shared fold-order expressions, sqrt is
+    IEEE-exact, and the cosine lands on a 4dp grid. Scale: one
+    (source, dim) hash agg (|sources|×64 cells), then a |sources|²
+    tiny pair join.
+    """
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cells = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select(
+            "source", F.posexplode(F.col("embedding")).alias("dim0", "v0")
+        )
+        .select(
+            "source",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("v0").cast("double").alias("v"),
+        )
+    )
+    mean = (
+        F.sum(F.floor(F.col("v") * _SC_GRID).cast("long")).cast("double")
+        / F.lit(float(_SC_GRID))
+    ) / F.count(F.lit(1))
+    means = cells.groupBy("source", "dim").agg(mean.alias("m"))
+    cents = means.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("c")
+    )
+    a = cents.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = cents.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    fold = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        (
+            F.floor(
+                fold(F.col("ca"), F.col("cb"))
+                / F.sqrt(fold(F.col("ca"), F.col("ca")))
+                / F.sqrt(fold(F.col("cb"), F.col("cb")))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("centroid_cosine"),
+    )
