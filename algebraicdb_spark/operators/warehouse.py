@@ -557,3 +557,120 @@ def orders_duplicate_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
         F.sum("cents").cast("bigint").alias("cents_at_risk"),
     )
+
+
+@register(
+    "data_contract_audit",
+    # Declarative data-contract checks over the star schema, one row
+    # per rule: null/range invariants map-side, referential integrity
+    # via anti-join counts (orphaned lineitems, orders without a
+    # customer, customers pointing at unknown nations). The dbt-test /
+    # Great-Expectations surface as ONE scan-bounded report.
+    oracle="""
+    SELECT 'lineitem_discount_range' AS rule,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphaned',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_unknown_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_unknown_nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit — the dbt-test / Great-Expectations layer
+    as one declarative report: range invariants (discount ∈ [0, 0.1],
+    positive quantities and totals) and referential integrity
+    (orphaned lineitems, orders without a customer, customers with an
+    unknown nation), one row per rule with violation and checked
+    counts. A fixture where every rule passes is the point: the audit
+    proves the CONTRACT, and the first non-zero row after an ingest
+    is the incident.
+
+    Scale shape: range rules are conditional aggregates fused into
+    each table's single scan; FK rules are left-anti joins on the key
+    (broadcast for dims, shuffle for orders⋈lineitem — the same join
+    the queries pay anyway). No window, no sort.
+    """
+    t = load_tables(spark, sf_dir)
+    li, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+
+    def rule(name: str, violations, checked) -> DataFrame:
+        return violations.crossJoin(checked).select(
+            F.lit(name).alias("rule"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("n").cast("bigint").alias("n_checked"),
+        )
+
+    li_n = li.agg(F.count(F.lit(1)).alias("n"))
+    o_n = o.agg(F.count(F.lit(1)).alias("n"))
+    c_n = c.agg(F.count(F.lit(1)).alias("n"))
+    r1 = rule(
+        "lineitem_discount_range",
+        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
+            F.count(F.lit(1)).alias("v")
+        ),
+        li_n,
+    )
+    r2 = rule(
+        "lineitem_qty_positive",
+        li.where(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("v")),
+        li_n,
+    )
+    r3 = rule(
+        "lineitem_orphaned",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        li_n,
+    )
+    r4 = rule(
+        "orders_unknown_customer",
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        o_n,
+    )
+    r5 = rule(
+        "customer_unknown_nation",
+        c.join(
+            F.broadcast(n.select("n_nationkey")),
+            c.c_nationkey == n.n_nationkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+        c_n,
+    )
+    r6 = rule(
+        "orders_totalprice_positive",
+        o.where(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("v")),
+        o_n,
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(
+        r5
+    ).unionByName(r6)

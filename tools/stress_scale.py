@@ -209,6 +209,10 @@ KEYS = [
     "event_audience_overlap",
     "event_retention_curve_fit",
     "text_nonascii_audit",
+    "event_psi_value_drift",
+    "orders_quarter_end_loading",
+    "embedding_source_centroids",
+    "data_contract_audit",
 ]
 
 
