@@ -1240,7 +1240,10 @@ def embedding_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
     )
-    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    # broadcast the |sources|-row side: the pair join is inherently
+    # theta (<) over a tiny aggregated grain — BNLJ on a broadcast is
+    # the right plan, never a shuffled cartesian
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
     return pairs.select(
         "source_a",
         "source_b",
