@@ -5100,3 +5100,129 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last3_share",
         "loaded",
     )
+
+
+TOPN_CUSTOMERS = 10
+
+
+@register(
+    "orders_top_customer_share",
+    # The exec-summary concentration number: what share of revenue do
+    # the top-10 customers hold? Exact cents, total-ordered top-N cut
+    # (rev DESC, custkey), one division — the headline statistic the
+    # Gini/HHI/Theil/ABC family backs with distributions.
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rnk <= {TOPN_CUSTOMERS} THEN cents ELSE 0 END)
+                AS BIGINT) AS top_cents,
+           floor(CAST(SUM(CASE WHEN rnk <= {TOPN_CUSTOMERS}
+                               THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(cents) * 10000 + 0.5) / 10000 AS top_share
+    FROM ranked
+    """,
+)
+def orders_top_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10-customer revenue share — the one-number concentration
+    headline ('our top 10 accounts are X% of revenue') that every
+    board deck leads with; the distributional family (Gini, HHI,
+    Theil, ABC) explains it, this states it.
+
+    Exactness: exact cents, total-ordered rank (rev DESC, custkey) so
+    the top-N cut is deterministic, one division. Scale shape: one
+    custkey hash agg, then rank on the CUSTOMER grain (the same
+    two-pass decomposition note as agg_gini_coefficient at extreme
+    cardinality).
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = cust.select("cents", F.row_number().over(w).alias("rnk"))
+    top = F.sum(
+        F.when(F.col("rnk") <= TOPN_CUSTOMERS, F.col("cents")).otherwise(0)
+    ).cast("bigint")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        top.alias("top_cents"),
+        (
+            F.floor(top.cast("double") / F.sum("cents") * 10000 + 0.5) / 10000
+        ).alias("top_share"),
+    )
+
+
+@register(
+    "event_hourly_heatmap",
+    # The hour x day-of-week activity heatmap every ops dashboard
+    # shows, plus the argmax cell — ISO dow so both engines agree on
+    # weekday numbering; exact counts, shares on a 1e-4 grid.
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hh,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hh, n,
+           floor(CAST(n AS DOUBLE) / SUM(n) OVER () * 10000 + 0.5) / 10000
+             AS share,
+           CAST(CASE WHEN n = MAX(n) OVER ()
+                     AND (dow, hh) = (SELECT (dow, hh) FROM cells
+                                      ORDER BY n DESC, dow, hh LIMIT 1)
+                THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM cells
+    """,
+)
+def event_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × ISO-weekday activity heatmap with the peak cell flagged
+    — the capacity-planning and anomaly-context staple (is Tuesday
+    10:00 ALWAYS the peak, or is today weird?). Pairs with
+    time_bucket_custom's arbitrary grids and event_anomaly_zscore's
+    outlier view; ISO weekday numbering keeps engines and humans
+    agreeing on what 'day 1' means.
+
+    Exactness: 168-cell exact counts; shares on a 1e-4 grid; the peak
+    flag is an argmax with a (n DESC, dow, hh) total order so exactly
+    one cell wins ties. Scale: one hash agg to 168 rows; every window
+    runs on that grain.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    cells = e.groupBy(
+        F.dayofweek("ts").alias("dow_us"),
+        F.hour("ts").cast("bigint").alias("hh"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Spark dayofweek: Sunday=1..Saturday=7 -> ISO Monday=1..Sunday=7
+    cells = cells.select(
+        (((F.col("dow_us") + 5) % 7) + 1).cast("bigint").alias("dow"),
+        "hh",
+        "n",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_peak = Window.orderBy(F.col("n").desc(), "dow", "hh")
+    flagged = cells.withColumn("rk", F.row_number().over(w_peak))
+    return flagged.select(
+        "dow",
+        "hh",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.sum("n").over(w_all) * 10000 + 0.5)
+            / 10000
+        ).alias("share"),
+        F.when(F.col("rk") == 1, 1).otherwise(0).cast("int").alias("is_peak"),
+    )

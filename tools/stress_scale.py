@@ -213,6 +213,8 @@ KEYS = [
     "orders_quarter_end_loading",
     "embedding_source_centroids",
     "data_contract_audit",
+    "orders_top_customer_share",
+    "event_hourly_heatmap",
 ]
 
 
