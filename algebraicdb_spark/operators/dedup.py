@@ -215,12 +215,16 @@ _MH_PERM_VALUES = ",\n         ".join(
 )
 
 # Shared CTE body (everything through the exact-reranked candidate
-# pairs in `rer`) — used by both the pairs oracle and the
-# minhash→components capstone oracle below.
-_MINHASH_CTES = f"""raw AS (
+# pairs in `rer`) — used by the pairs oracle, the minhash→components
+# capstone oracle, the LSH threshold sweep, and (parameterized by
+# `source`) the dedup-funnel oracle in pipeline.py. `source` must
+# expose (doc_id, text); canonicalization inside is idempotent so a
+# pre-canonicalized text column is fine.
+def minhash_ctes(source: str = "documents") -> str:
+    return f"""raw AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
-  FROM documents
+  FROM {source}
 ), toks AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(r) - 1),
