@@ -215,16 +215,14 @@ _MH_PERM_VALUES = ",\n         ".join(
 )
 
 # Shared CTE body (everything through the exact-reranked candidate
-# pairs in `rer`) — used by the pairs oracle, the minhash→components
-# capstone oracle, the LSH threshold sweep, and (parameterized by
-# `source`) the dedup-funnel oracle in pipeline.py. `source` must
-# expose (doc_id, text); canonicalization inside is idempotent so a
-# pre-canonicalized text column is fine.
-def minhash_ctes(source: str = "documents") -> str:
+# pairs in `rer`) — used by the MinHash pairs oracle and the
+# minhash→components capstone oracle below. Reads (doc_id, text)
+# from the `documents` view; canonicalization inside is idempotent.
+def minhash_ctes() -> str:
     return f"""raw AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
-  FROM {source}
+  FROM documents
 ), toks AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(r) - 1),
@@ -268,7 +266,7 @@ def minhash_ctes(source: str = "documents") -> str:
 )"""
 
 _MINHASH_ORACLE = f"""
-WITH {_MINHASH_CTES}
+WITH {minhash_ctes()}
 SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
 """
 
@@ -729,7 +727,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CTES}, mh_pairs AS (
+WITH RECURSIVE {minhash_ctes()}, mh_pairs AS (
   SELECT doc_a, doc_b FROM rer WHERE jaccard >= {JACCARD_TAU}
 ), mc_edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM mh_pairs

@@ -119,3 +119,28 @@ def test_no_uncast_integer_sum_case_in_oracles():
             assert "CAST(" in before or "floor(" in before, (
                 f"{key}: uncast SUM(CASE…) in oracle line: {line.strip()}"
             )
+
+
+def test_every_package_module_imports_cleanly():
+    """Round-7 regression: a top-level NameError in one operator module
+    (dedup.py referencing a deleted constant inside a module-level
+    f-string) made ``registry.queries()`` unrunnable and zeroed the
+    whole round's correctness sweep. Import every module in the
+    package eagerly so any top-level evaluation error fails collection
+    here, with the module named, instead of cascading through the
+    registry loader.
+    """
+    import importlib
+    import pkgutil
+
+    import algebraicdb_spark
+
+    failures = []
+    for mod in pkgutil.walk_packages(
+        algebraicdb_spark.__path__, prefix="algebraicdb_spark."
+    ):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            failures.append(f"{mod.name}: {type(exc).__name__}: {exc}")
+    assert not failures, "modules failed to import:\n" + "\n".join(failures)
