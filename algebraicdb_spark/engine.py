@@ -275,14 +275,29 @@ class Engine:
         m = _EXPLAIN_RE.match(stmt)
         mode = (m.group("mode") or "FORMATTED").upper()
         if _FIXPOINT_RE.match(m.group("query")):
+            if mode == "SCALE":
+                # no single Catalyst plan to lint, but the statement
+                # itself carries the scale story: a pair-materializing
+                # accumulator is quadratic by SQL semantics no matter
+                # how the rounds execute — warn statically and name
+                # the WITH ITERATE linear-state alternative
+                from algebraicdb_spark.plans.scalelint import lint_fixpoint
+
+                findings = lint_fixpoint(m.group("query")) or [
+                    ("ok", "CLEAN", "no scale findings")
+                ]
+                return self.spark.createDataFrame(
+                    findings, "severity string, code string, finding string"
+                )
             # the driver-coordinated lowering has no single Catalyst
             # plan; Spark's native message for the UNION-distinct form
             # (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) would mislead
             raise AdtError(
                 "EXPLAIN is not supported for WITH RECURSIVE / WITH "
                 "ITERATE statements — the fixpoint executes as a loop "
-                "of per-round plans; EXPLAIN the anchor and step "
-                "queries individually"
+                "of per-round plans; EXPLAIN SCALE runs the static "
+                "fixpoint lint; for other modes EXPLAIN the anchor "
+                "and step queries individually"
             )
         lowered = self._rewrite(m.group("query"))
         if mode == "SCALE":

@@ -215,14 +215,17 @@ _MH_PERM_VALUES = ",\n         ".join(
 )
 
 # Shared CTE body (everything through the exact-reranked candidate
-# pairs in `rer`) — used by the MinHash pairs oracle and the
-# minhash→components capstone oracle below. Reads (doc_id, text)
-# from the `documents` view; canonicalization inside is idempotent.
-def minhash_ctes() -> str:
+# pairs in `rer`) — used by the MinHash pairs oracle, the
+# minhash→components capstone oracle, the LSH-tier threshold sweep
+# (`sim_dedup_threshold_sweep`), and — parameterized by `source` —
+# the MinHash-tier dedup-funnel oracle in pipeline.py. `source` must
+# expose (doc_id, text); canonicalization inside is idempotent so a
+# pre-canonicalized text column is fine.
+def minhash_ctes(source: str = "documents") -> str:
     return f"""raw AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
-  FROM documents
+  FROM {source}
 ), toks AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(r) - 1),
@@ -271,39 +274,29 @@ SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding — the 100 TB near-dup path.
+def minhash_token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens): distinct 3-gram shingles of canonical text.
 
-    Per doc: 32 minhashes — one md5-derived base hash per 3-gram
-    shingle, permuted through the ``MH_AB`` universal-hash family in
-    positive-BIGINT arithmetic (deterministic and engine-portable, so
-    the whole pipeline is value-hash-verified against the DuckDB
-    oracle, not rows-only) — folded into 16 bands of 2; docs sharing
-    any band bucket become candidates; candidates are re-ranked with
-    exact shingle Jaccard at the same τ as the exact key.
-
-    Scale design: signatures are constant-size regardless of doc
-    length; the only self-join is on (band_idx, band_hash) —
-    repartitioned to spread hot buckets — and it carries ONLY
-    (doc_id, band) rows: the full shingle arrays are re-joined by
-    doc_id AFTER candidate dedup, so the wide payload never rides the
-    band shuffle (at 100 TB the token arrays dwarf the 16-byte band
-    keys). Exact Jaccard runs ONLY on candidates. Recall vs the exact
-    key is asserted in tests/test_dedup.py.
+    Docs under 3 tokens have no shingles: array_min over the empty
+    array would NULL every signature slot and concat_ws would then
+    collapse ALL such docs into one identical band bucket (m² bogus
+    candidate pairs). The oracle drops them at the unnest; drop them
+    here for designed (not coincidental) parity.
     """
-    d = load_tables(spark, sf_dir)["documents"]
-    # docs under 3 tokens have no shingles: array_min over the empty
-    # array would NULL every signature slot and concat_ws would then
-    # collapse ALL such docs into one identical band bucket (m² bogus
-    # candidate pairs). The oracle drops them at the unnest; drop them
-    # here for designed (not coincidental) parity.
-    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens")).filter(
-        F.size("tokens") > 0
-    )
-    # one md5-derived base hash per shingle, then the N_MINHASH affine
-    # permutations (MH_AB) in pure integer math — identical on both
-    # engines, and 32x fewer md5 evaluations than hashing per-slot
+    return docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+
+
+def minhash_candidates(toks: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from banded MinHash.
+
+    One md5-derived base hash per shingle, then the N_MINHASH affine
+    permutations (MH_AB) in pure integer math — identical on both
+    engines, and 32x fewer md5 evaluations than hashing per-slot.
+    The only self-join is on (band_idx, band_hash) — repartitioned to
+    spread hot buckets — and it carries ONLY (doc_id, band) rows.
+    """
 
     def _perm(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MH_P)
@@ -341,7 +334,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition("band_idx", "band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -354,9 +347,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact rerank: token arrays join back by doc_id (narrow keys only
-    # went through the band shuffle; |cands| ≪ |banded| post-dedup)
-    cands = cands.join(
+
+
+def minhash_rerank(cands: DataFrame, toks: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, toks_a, toks_b, jaccard): exact shingle Jaccard
+    on candidate pairs — token arrays join back by doc_id (narrow keys
+    only went through the band shuffle; |cands| ≪ |banded| post-dedup).
+    """
+    joined = cands.join(
         toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a")),
         "doc_a",
     ).join(
@@ -365,10 +363,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return joined.withColumn("jaccard", pround(inter / union))
+
+
+def minhash_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs at the MinHash tier:
+    banded candidates → exact Jaccard rerank ≥ tau. `docs` is any
+    (doc_id, text) DataFrame — the funnel feeds exact-dedup survivors.
+    """
+    toks = minhash_token_arrays(docs)
+    cands = minhash_candidates(toks)
     return (
-        cands.select("doc_a", "doc_b", pround(inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_TAU)
+        minhash_rerank(cands, toks)
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= tau)
     )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    Per doc: 32 minhashes — one md5-derived base hash per 3-gram
+    shingle, permuted through the ``MH_AB`` universal-hash family in
+    positive-BIGINT arithmetic (deterministic and engine-portable, so
+    the whole pipeline is value-hash-verified against the DuckDB
+    oracle, not rows-only) — folded into 16 bands of 2; docs sharing
+    any band bucket become candidates; candidates are re-ranked with
+    exact shingle Jaccard at the same τ as the exact key.
+
+    Scale design: signatures are constant-size regardless of doc
+    length; the only self-join is on (band_idx, band_hash) —
+    repartitioned to spread hot buckets — and it carries ONLY
+    (doc_id, band) rows: the full shingle arrays are re-joined by
+    doc_id AFTER candidate dedup, so the wide payload never rides the
+    band shuffle (at 100 TB the token arrays dwarf the 16-byte band
+    keys). Exact Jaccard runs ONLY on candidates. Recall vs the exact
+    key is asserted in tests/test_dedup.py. Shared plumbing:
+    :func:`minhash_pairs` (also consumed by ``pipeline_dedup_funnel``
+    and ``sim_dedup_threshold_sweep``).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_pairs(d)
 
 
 _SIMHASH_ORACLE = """
@@ -1122,38 +1158,27 @@ SWEEP_MIN_BAND = 3  # report bands from jaccard 0.3 up
 @register(
     "sim_dedup_threshold_sweep",
     # Threshold calibration for the Jaccard dedup tiers: histogram of
-    # candidate-pair similarity in 0.1-wide bands (band = 10*|A∩B| DIV
-    # |A∪B| — integer arithmetic, no float ever buckets a pair) plus
-    # the would-drop count at each cut (cumulative from the top). The
-    # data that turns "tau = 0.5" from folklore into a decision.
-    oracle="""
-    WITH raw AS (
-      SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS r
-      FROM documents
-    ), toks AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(r) - 1),
-                                          i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
-               AS shingles
-      FROM raw
-    ), exploded AS (
-      SELECT doc_id, unnest(shingles) AS tok FROM toks
-    ), cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM exploded a JOIN exploded b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), sized AS (
-      SELECT doc_id, len(shingles) AS n_toks FROM toks
-    ), banded AS (
-      SELECT CAST((10 * n_common) // (sa.n_toks + sb.n_toks - n_common)
+    # LSH-candidate-pair similarity in 0.1-wide bands (band = 10*|A∩B|
+    # DIV |A∪B| — integer arithmetic, no float ever buckets a pair)
+    # plus the would-drop count at each cut (cumulative from the top).
+    # The data that turns "tau = 0.5" from folklore into a decision.
+    # Candidates come from the SAME banded MinHash generator the
+    # production tier (dedup_minhash_lsh) uses — the curve calibrates
+    # the threshold for the pipeline that will actually run, and the
+    # cost stays at the LSH floor instead of the quadratic
+    # shared-shingle join.
+    oracle=f"""
+    WITH {minhash_ctes()}, jbands AS (
+      SELECT CAST((10 * len(list_intersect(ta.shingles, tb.shingles)))
+                  // (len(ta.shingles) + len(tb.shingles)
+                      - len(list_intersect(ta.shingles, tb.shingles)))
                   AS BIGINT) AS band
       FROM cand
-      JOIN sized sa ON sa.doc_id = doc_a
-      JOIN sized sb ON sb.doc_id = doc_b
+      JOIN toks ta ON ta.doc_id = doc_a
+      JOIN toks tb ON tb.doc_id = doc_b
     ), hist AS (
       SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
-      FROM banded WHERE band >= 3 GROUP BY band
+      FROM jbands WHERE band >= {SWEEP_MIN_BAND} GROUP BY band
     )
     SELECT band, n_pairs,
            CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
@@ -1163,50 +1188,44 @@ SWEEP_MIN_BAND = 3  # report bands from jaccard 0.3 up
 )
 def sim_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold calibration for the near-dup tiers: the similarity
-    HISTOGRAM of candidate pairs (0.1-wide Jaccard bands) with the
+    HISTOGRAM of LSH candidate pairs (0.1-wide Jaccard bands) with the
     cumulative would-drop count at each cut. Dedup thresholds are
     usually copied from a paper; this key computes the curve on YOUR
     corpus — a cliff between bands means the threshold is safe to put
     in the gap, a smooth slope means every choice trades recall for
     precision and you should know by how much.
 
+    Candidates are the banded MinHash pairs (:func:`minhash_candidates`
+    — exactly the generator ``dedup_minhash_lsh`` runs in production),
+    so the sweep calibrates the threshold for the pipeline that will
+    actually execute AND inherits the LSH cost floor: constant-size
+    signatures, (band, band_hash) equi-join, exact Jaccard only on
+    candidates. Band recall is the LSH S-curve (≈0.99 at J=0.5, lower
+    toward band 3) — the histogram reads as "what the production tier
+    would see", not the exhaustive pair census (that is
+    ``dedup_near_jaccard``'s quadratic exact tier).
+
     Exactness: a pair's band is (10·|A∩B|) DIV |A∪B| — pure integer
     arithmetic, so banding is engine-identical; the cumulative sum
-    runs on the band grain (≤ 8 rows). Scale shape: identical to
-    dedup_near_jaccard's inverted-index candidate generation (shared-
-    shingle pairs only), one extra 8-row window. Above ~10⁷ docs the
-    candidate generator swaps for the MinHash tier like every other
-    exact-tier consumer.
+    runs on the band grain (≤ 8 rows).
     """
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    toks = minhash_token_arrays(d)
+    cand = minhash_candidates(toks)
+    joined = cand.join(
+        toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a")),
+        "doc_a",
+    ).join(
+        toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b")),
+        "doc_b",
     )
-    sized = toks.select("doc_id", F.size("sh").alias("n_toks"))
-    ex = toks.select("doc_id", F.explode("sh").alias("tok"))
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
-    banded = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.expr("CAST((10 * n_common) DIV (na + nb - n_common) AS BIGINT)")
-            .alias("band")
-        )
-        .where(F.col("band") >= SWEEP_MIN_BAND)
-    )
+    banded = joined.select(
+        F.expr(
+            "CAST((10 * size(array_intersect(toks_a, toks_b))) DIV "
+            "(size(toks_a) + size(toks_b) - size(array_intersect(toks_a, toks_b))) "
+            "AS BIGINT)"
+        ).alias("band"),
+    ).where(F.col("band") >= SWEEP_MIN_BAND)
     from pyspark.sql.window import Window
 
     hist = banded.groupBy("band").agg(

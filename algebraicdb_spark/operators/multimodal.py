@@ -1,19 +1,24 @@
 """§2.10 multimodal columns: opaque binary payloads + typed metadata.
 
 Real multimodal corpora carry image/audio/video as ``binary`` columns
-with a metadata struct alongside. The container has no codec
-libraries, so the DECODE step is a clearly-marked deterministic stub
-(see ``fake_decode_batch``) — but everything Spark-cares-about is
-real and tested: the binary column handling, the metadata schema, the
+with a metadata struct alongside. The IMAGE decode path is real since
+round 8: ``multimodal_decode_ppm`` encodes a genuine PPM/P6 byte
+stream per document and parses it back (header regex + numpy pixel
+math — see ``decode_ppm_batch``). The container has no ffmpeg, so the
+VIDEO frame-sample step remains a clearly-marked deterministic stub
+(``fake_frame_sample_batch``) — but everything Spark-cares-about is
+real and tested throughout: binary column handling, metadata schema,
 ``mapInPandas`` batch iteration (Arrow transfer, bounded batches),
 and the partition-parallel feature-extract plan shape.
 
-Swap-in for production: replace ``fake_decode_batch``'s body with
-PIL/ffmpeg calls; signatures, schema, and the plan don't change.
+Swap-in for production: point ``decode_ppm_batch`` at
+PIL.Image.open / ffmpeg; signatures, schema, and the plan don't
+change.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,92 +57,151 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- real codec path: PPM (P6) encode → parse (round 8) ----------
+#
+# The container has no PIL/ffmpeg, but PPM "P6" (netpbm) is a real,
+# public, self-describing image format with a header simple enough to
+# parse correctly in pure Python + numpy: b"P6\n<w> <h>\n<maxval>\n"
+# followed by w*h*3 raw RGB bytes. The fixtures carry no images, so
+# the pipeline ENCODES one deterministically per document (pixel
+# bytes = the doc's ASCII text cycled — pure function of
+# (doc_id, text)) and then DECODES it by genuinely parsing the bytes:
+# header regex, dimension extraction, numpy pixel math. A parser bug
+# (wrong offset, wrong dims, wrong channel order) breaks the value
+# hash against the oracle, which computes the expected features from
+# the SOURCE columns without ever seeing the bytes.
+
 DECODED_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, "
-    "n_frames int, mean_luma double"
+    "doc_id bigint, width int, height int, maxval int, "
+    "n_pixels bigint, sum_luma_milli bigint, mean_luma double"
 )
 
 
-def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB DECODER — deterministic fake.
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image geometry (8..16 × 8..14)."""
+    return 8 + doc_id % 9, 8 + (doc_id // 9) % 7
 
-    Real implementation would do ``PIL.Image.open(io.BytesIO(payload))``
-    / ffmpeg frame sampling; this container has no codec libs
-    (by design — see module docstring), so dimensions/luma are derived
-    deterministically from the payload bytes. The Arrow batch
-    iteration, output schema, and per-partition parallelism are the
-    real thing.
-    """
+
+def encode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) -> (doc_id, payload): a real binary P6 stream
+    per document. Pixel byte i (R,G,B,R,G,B,… order) is the text's
+    byte at i mod len — ASCII fixtures make char offset == byte
+    offset, which is what lets the oracle replay the pixel values
+    with ascii(substring(...)) in SQL."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        digest = payloads.map(lambda b: int.from_bytes(b[:8].ljust(8, b"\0"), "big"))
-        yield pd.DataFrame(
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w, h = _ppm_dims(int(doc_id))
+            raw = text.encode("utf-8")
+            n = w * h * 3
+            reps = n // len(raw) + 1
+            pixels = (raw * reps)[:n]
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + pixels)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL P6 parser: header regex → dims/maxval → numpy over the raw
+    RGB bytes → integer Rec.601 luma (299R+587G+114B per mill). All
+    feature values come from the parsed BYTES, never from the source
+    row — a decoder bug surfaces as an oracle hash mismatch."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "width", "height", "maxval",
+            "n_pixels", "sum_luma_milli",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = _PPM_HEADER.match(bytes(payload))
+            if not m:
+                raise ValueError(f"doc {doc_id}: not a P6 stream")
+            w, h, maxval = (int(g) for g in m.groups())
+            px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                               offset=m.end()).astype(np.int64).reshape(-1, 3)
+            lm = int(px[:, 0].sum() * 299 + px[:, 1].sum() * 587
+                     + px[:, 2].sum() * 114)
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["maxval"].append(maxval)
+            rows["n_pixels"].append(w * h)
+            rows["sum_luma_milli"].append(lm)
+        out = pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
-                "width": (64 + digest % 1024).astype("int32"),
-                "height": (64 + (digest // 1024) % 1024).astype("int32"),
-                "n_frames": (1 + n_bytes % 16).astype("int32"),
-                "mean_luma": pround_np((digest % 256_000) / 1000.0),
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "maxval": pd.Series(rows["maxval"], dtype="int32"),
+                "n_pixels": pd.Series(rows["n_pixels"], dtype="int64"),
+                "sum_luma_milli": pd.Series(
+                    rows["sum_luma_milli"], dtype="int64"
+                ),
             }
         )
+        out["mean_luma"] = pround_np(
+            out["sum_luma_milli"] / (1000.0 * out["n_pixels"])
+        )
+        yield out
 
 
-# The stub decoder is a pure function of the payload bytes, so the
-# oracle can replay it in SQL: fixture texts are ASCII (char offset ==
-# byte offset, asserted when the oracle runs via n_bytes) and ≥ 8
-# bytes, so the first-8-bytes big-endian digest is Σ ascii(c_i)·256^(8−i).
+_PPM_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text,
+         CAST(8 + doc_id % 9 AS INTEGER) AS width,
+         CAST(8 + (doc_id // 9) % 7 AS INTEGER) AS height,
+         len(text) AS n_chars
+  FROM documents
+), px AS (
+  SELECT doc_id, width, height,
+         list_sum(list_transform(range(0, width * height * 3),
+           i -> CAST(ascii(substring(text,
+                    CAST(i % n_chars AS INTEGER) + 1, 1)) AS BIGINT)
+                * (CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END)))
+           AS sum_lm
+  FROM dims
+)
+SELECT doc_id, width, height, 255 AS maxval,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(sum_lm AS BIGINT) AS sum_luma_milli,
+       floor(CAST(sum_lm AS DOUBLE) / (1000.0 * width * height)
+             * 10000 + 0.5) / 10000 AS mean_luma
+FROM px
+"""
+
+
+@register("multimodal_decode_ppm", oracle=_PPM_ORACLE)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image decode as a real codec path: encode a P6 PPM per
+    document (pure function of the row), then PARSE the byte stream
+    back — header regex, dimensions, maxval, numpy Rec.601 luma over
+    the raw RGB bytes (replaces round-2's digest-replay stub key).
+
+    Plan shape for 100 TB: two chained Arrow map stages (encode,
+    decode), no shuffle anywhere — frame-exact with how a production
+    corpus would run PIL/ffmpeg decode over mapInPandas. Features are
+    computed from the PARSED bytes only; the oracle recomputes them
+    from the source columns, so the value hash checks the whole
+    encode→parse loop end to end.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    payloads = d.select("doc_id", "text").mapInPandas(
+        encode_ppm_batch, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(decode_ppm_batch, schema=DECODED_SCHEMA)
+
+
+# The frame-sample/resize stubs are pure functions of the payload
+# bytes, so their oracles can replay them in SQL: fixture texts are
+# ASCII (char offset == byte offset) and ≥ 8 bytes, so the
+# first-8-bytes big-endian digest is Σ ascii(c_i)·256^(8−i).
 _DIGEST_SQL = " + ".join(
     f"CAST(ascii(substring(text, {i}, 1)) AS HUGEINT) * {256 ** (8 - i)}"
     for i in range(1, 9)
 )
-
-_DECODE_ORACLE = f"""
-WITH dec AS (
-  SELECT doc_id,
-         octet_length(CAST(text AS BLOB)) AS n_bytes,
-         ({_DIGEST_SQL}) AS digest
-  FROM documents
-), feat AS (
-  SELECT doc_id, n_bytes,
-         CAST(64 + digest % 1024 AS INTEGER) AS width,
-         floor(CAST(CAST(digest % 256000 AS BIGINT) / 1000.0 AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_luma
-  FROM dec
-)
-SELECT COUNT(*) AS n_decoded,
-       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-       floor(CAST(CAST(SUM(CAST(mean_luma AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_luma,
-       MAX(width) AS max_width
-FROM feat
-"""
-
-
-@register("multimodal_decode_stub", oracle=_DECODE_ORACLE)
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature-extract pipeline over binary payloads.
-
-    Plan shape for 100 TB: pure map stage (no shuffle), Arrow-batched
-    into the Python workers, output schema fixed up front; a final
-    tiny agg keeps the checked output small. The decode body is a
-    deterministic stub (no codec libs in the container), which makes
-    the whole pipeline value-checkable: the oracle replays the digest
-    arithmetic in SQL. avg_luma sums on the exact decimal grid
-    (exact_money_sum-style) so partitioning never shifts the mean.
-    """
-    d = load_tables(spark, sf_dir)["documents"]
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    decoded = payloads.mapInPandas(fake_decode_batch, schema=DECODED_SCHEMA)
-    return decoded.agg(
-        F.count(F.lit(1)).alias("n_decoded"),
-        F.sum("n_bytes").alias("total_bytes"),
-        pround(
-            F.sum(F.col("mean_luma").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_luma"),
-        F.max("width").alias("max_width"),
-    )
-
 
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_luma double"
 MAX_FRAMES_SAMPLED = 4
@@ -245,14 +309,13 @@ RESIZE_TARGET = 256  # fit-within box, aspect preserved
     """,
 )
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize planning for image-like payloads: decode dimensions (via
-    the stub decoder's digest arithmetic), then fit-within-256 output
-    dimensions with aspect preserved, only for images that need
-    shrinking.
+    """Resize planning for image-like payloads: derive dimensions from
+    the payload digest, then fit-within-256 output dimensions with
+    aspect preserved, only for images that need shrinking.
 
     The geometry is JVM-side integer expressions — the actual pixel
     resample would live inside the mapInPandas decode pass
-    (``fake_decode_batch``) at production; what Spark plans, schedules
+    (``decode_ppm_batch``) at production; what Spark plans, schedules
     and checks here (dimension math, the needs-resize predicate, pure
     map stage) is identical either way.
     """

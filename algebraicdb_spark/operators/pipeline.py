@@ -24,6 +24,8 @@ from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.operators.dedup import (
     JACCARD_TAU,
     canonical_text,
+    minhash_ctes,
+    minhash_pairs,
     shingles,
 )
 from algebraicdb_spark.plans.registry import register
@@ -485,42 +487,27 @@ def pipeline_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_dedup_funnel",
     # The dedup ladder as a funnel report: docs and tokens surviving
-    # each tier (raw -> exact dedup -> near-dup removal), with each
-    # tier's retention share — the one table a data lead actually
-    # reads about the dedup pipeline. Composes the same keep-rules the
-    # standalone keys verify.
+    # each tier (raw -> exact dedup -> MinHash-LSH near-dup removal),
+    # with each tier's retention share — the one table a data lead
+    # actually reads about the dedup pipeline. Composes the same
+    # keep-rules the standalone keys verify; the near tier runs the
+    # banded MinHash candidate generator (dedup_minhash_lsh), the
+    # 100 TB path, NOT the quadratic exact-Jaccard tier.
     oracle=f"""
     WITH canon AS (
       SELECT doc_id,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ctext
       FROM documents
-    ), toks AS (
+    ), ntoks AS (
       SELECT doc_id, len(string_split(ctext, ' ')) AS n_toks FROM canon
     ), exact_keep AS (
       SELECT ctext, MIN(doc_id) AS doc_id FROM canon GROUP BY ctext
-    ), sh AS (
-      SELECT c.doc_id,
-             list_distinct(list_transform(
-               range(1, len(string_split(c.ctext, ' ')) - 1),
-               i -> string_split(c.ctext, ' ')[i] || ' ' ||
-                    string_split(c.ctext, ' ')[i+1] || ' ' ||
-                    string_split(c.ctext, ' ')[i+2])) AS shingles
-      FROM canon c JOIN exact_keep k
-        ON k.ctext = c.ctext AND k.doc_id = c.doc_id
-    ), ex AS (
-      SELECT doc_id, unnest(shingles) AS tok FROM sh
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ), exact_docs AS (
+      SELECT doc_id, ctext AS text FROM exact_keep
+    ), {minhash_ctes("exact_docs")},
     near_drops AS (
       SELECT DISTINCT doc_b AS doc_id
-      FROM pairs
-      JOIN sized sa ON sa.doc_id = doc_a
-      JOIN sized sb ON sb.doc_id = doc_b
-      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
-              >= {0.5}
+      FROM rer WHERE jaccard >= {JACCARD_TAU}
     ), tiers AS (
       SELECT 0 AS tier, 'raw' AS stage, doc_id FROM canon
       UNION ALL
@@ -534,40 +521,39 @@ def pipeline_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
            floor(CAST(SUM(t.n_toks) AS DOUBLE)
-                 / (SELECT SUM(n_toks) FROM toks) * 10000 + 0.5) / 10000
+                 / (SELECT SUM(n_toks) FROM ntoks) * 10000 + 0.5) / 10000
              AS token_share
-    FROM tiers JOIN toks t USING (doc_id)
+    FROM tiers JOIN ntoks t USING (doc_id)
     GROUP BY tier, stage
     """,
 )
 def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ladder as a funnel: documents and TOKENS surviving
-    raw → exact dedup → near-dup removal, with each tier's share of
-    the original token mass. This is the report a data lead reads —
-    'dedup cost us 12% of tokens, 9% from exact copies' — and it
-    composes exactly the keep-rules the standalone keys
-    (dedup_exact, dedup_near_jaccard) verify, so the funnel numbers
+    raw → exact dedup → MinHash-LSH near-dup removal, with each tier's
+    share of the original token mass. This is the report a data lead
+    reads — 'dedup cost us 12% of tokens, 9% from exact copies' — and
+    it composes exactly the keep-rules the standalone keys
+    (dedup_exact, dedup_minhash_lsh) verify, so the funnel numbers
     inherit their correctness.
 
-    Scale shape: tier 1 is the exact-dedup hash agg; tier 2 adds the
-    near-dup pair derivation (exact tier here; the MinHash swap above
-    ~10⁷ docs changes the candidate generator, not the funnel). The
-    tier union is doc-id-grain metadata; token sums join one
+    Scale shape: tier 1 is the exact-dedup hash agg; tier 2 runs the
+    BANDED MinHash candidate generator over the exact survivors —
+    constant-size signatures, equi-join on (band, band_hash), exact
+    Jaccard only on candidates — never the quadratic shared-shingle
+    tier. The tier union is doc-id-grain metadata; token sums join one
     (doc, n_tokens) table built map-side.
     """
-    from algebraicdb_spark.operators.dedup import canonical_text
-
     d = load_tables(spark, sf_dir)["documents"]
     canon = d.withColumn("ctext", canonical_text("text"))
     toks = canon.select(
         "doc_id", F.size(F.split("ctext", " ")).cast("bigint").alias("n_toks")
     )
     exact_keep = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
-    exact_docs = canon.join(exact_keep, ["ctext", "doc_id"]).select(
-        "doc_id", "text"
-    )
+    # feed the canonical text as `text`: minhash_pairs re-canonicalizes
+    # idempotently, and the oracle's exact_docs CTE does the same
+    exact_docs = exact_keep.select("doc_id", F.col("ctext").alias("text"))
     near_drops = (
-        near_dup_pairs(exact_docs)
+        minhash_pairs(exact_docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

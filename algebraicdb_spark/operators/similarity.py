@@ -308,42 +308,64 @@ def _fold_dot(a: str, b: str) -> str:
     )
 
 
-# Full replay of the IVF pipeline: stride seeds → one Lloyd iteration
-# (grid-floored integer means — order-free on both engines) → bucket
-# assignment / nProbe probing via the same fold-order dots → exact
-# rerank. Every float op is either bit-identical (fold-order dots,
-# float casts) or an exact integer sum, so the key is value-hash-
-# verified despite being "trained".
-_IVF_ORACLE = f"""
-WITH seeds AS (
+IVF_ITERS = 2  # Lloyd rounds in the index build (round-8: was 1)
+
+
+def _ivf_oracle() -> str:
+    """Full replay of the IVF pipeline: stride seeds → IVF_ITERS
+    unrolled Lloyd iterations (grid-floored integer means — order-free
+    on both engines) → bucket assignment / nProbe probing via the same
+    fold-order dots → exact rerank. Every float op is either
+    bit-identical (fold-order dots, float casts) or an exact integer
+    sum, so the key is value-hash-verified despite being "trained".
+    Same unrolled-CTE device as ``ml_train_kmeans``'s oracle
+    (ml.py:_kmeans_oracle); MATERIALIZED stops DuckDB inlining each
+    round into the next.
+    """
+    ctes = [
+        """seeds AS MATERIALIZED (
   SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
   WHERE vec_id % 31 = 7 AND vec_id < 496
-), a0 AS (
-  SELECT e.vec_id, e.embedding, s.c_id,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {_fold_dot('e.embedding', 's.c_emb')} DESC,
-                                     s.c_id) AS r
-  FROM embeddings e CROSS JOIN seeds s
-), dims AS (
-  SELECT c_id, u.dim, u.v
-  FROM (SELECT c_id, embedding FROM a0 WHERE r = 1) t,
-       LATERAL (SELECT UNNEST(t.embedding) AS v,
-                       generate_subscripts(t.embedding, 1) AS dim) u
-), means AS (
-  SELECT c_id, dim,
-         (CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_MEAN_GRID}) AS BIGINT))
-               AS DOUBLE) / {_MEAN_GRID}.0) / COUNT(*) AS m
-  FROM dims GROUP BY c_id, dim
-), cents AS (
-  SELECT c_id, list(CAST(m AS FLOAT) ORDER BY dim) AS c_emb
-  FROM means GROUP BY c_id
-), corpus_a AS (
+)"""
+    ]
+    prev = "seeds"
+    for i in range(IVF_ITERS):
+        ctes.append(f"""a{i} AS MATERIALIZED (
   SELECT vec_id, embedding, c_id FROM (
     SELECT e.vec_id, e.embedding, c.c_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_fold_dot('e.embedding', 'c.c_emb')} DESC,
                                        c.c_id) AS r
-    FROM embeddings e CROSS JOIN cents c
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE r = 1
+),
+dims{i} AS MATERIALIZED (
+  SELECT c_id, u.dim, u.v
+  FROM a{i} t,
+       LATERAL (SELECT UNNEST(t.embedding) AS v,
+                       generate_subscripts(t.embedding, 1) AS dim) u
+),
+cents{i} AS MATERIALIZED (
+  SELECT c_id, list(CAST(m AS FLOAT) ORDER BY dim) AS c_emb
+  FROM (
+    SELECT c_id, dim,
+           (CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {_MEAN_GRID}) AS BIGINT))
+                 AS DOUBLE) / {_MEAN_GRID}.0) / COUNT(*) AS m
+    FROM dims{i} GROUP BY c_id, dim
+  ) GROUP BY c_id
+)""")
+        prev = f"cents{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+corpus_a AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_fold_dot('e.embedding', 'c.c_emb')} DESC,
+                                       c.c_id) AS r
+    FROM embeddings e CROSS JOIN {prev} c
   ) WHERE r = 1
 ), q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
@@ -354,7 +376,7 @@ WITH seeds AS (
            row_number() OVER (PARTITION BY q.q_id
                               ORDER BY {_fold_dot('q.q_emb', 'c.c_emb')} DESC,
                                        c.c_id) AS r
-    FROM q CROSS JOIN cents c
+    FROM q CROSS JOIN {prev} c
   ) WHERE r <= {N_PROBE}
 ), cand AS (
   SELECT DISTINCT p.q_id, p.q_emb, ca.vec_id, ca.embedding
@@ -373,24 +395,38 @@ WITH seeds AS (
 SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
+    )
+
+
+_IVF_ORACLE = _ivf_oracle()
 
 
 def build_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index build: deterministic stride seeds refined by one
-    distributed Lloyd iteration -> (c_id, c_emb). The expensive half
-    of the IVF pipeline — persist it with ``Engine.save_model`` so
-    queries skip training entirely (at 100 TB the index build dwarfs
-    any single query)."""
+    """IVF index build: deterministic stride seeds refined by
+    IVF_ITERS distributed Lloyd iterations -> (c_id, c_emb). The
+    expensive half of the IVF pipeline — persist it with
+    ``Engine.save_model`` so queries skip training entirely (at 100 TB
+    the index build dwarfs any single query); the saved model carries
+    the multi-round centroids."""
     _, e = _queries_and_corpus(spark, sf_dir)
     # 16 deterministic seed ids: vec_id ≡ 7 (mod 31) below 496 — present
     # at every SF (embeddings always has ≥ 500 rows), independent of
     # partition/task order, and derived with NO driver-side count/limit
     # job (an unordered .limit() would pick partition-order-dependent
     # rows and make recall flaky across runs)
-    seeds = e.filter(
+    cents = e.filter(
         (F.col("vec_id") % 31 == 7) & (F.col("vec_id") < 496)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-    return _refine_centroids(e, seeds)
+    for i in range(IVF_ITERS):
+        # checkpoint BETWEEN rounds: round N's plan otherwise embeds
+        # round N-1's whole assignment DAG (doubling per round). The
+        # final round stays un-checkpointed so the returned frame's
+        # plan still shows the Lloyd stage (pinned by test_models) and
+        # composes lazily with the caller's search plan.
+        if i:
+            cents = cents.localCheckpoint(eager=True)
+        cents = _refine_centroids(e, cents)
+    return cents
 
 
 def ivf_search(q: DataFrame, e: DataFrame, centroids: DataFrame) -> DataFrame:

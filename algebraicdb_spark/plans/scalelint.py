@@ -125,3 +125,70 @@ def report(df: DataFrame, max_exchanges: int = 4) -> str:
     lines = [f"scale-lint: {len(issues)} issue(s)"]
     lines += [f"  [{sev}] {code}: {msg}" for sev, code, msg in issues]
     return "\n".join(lines)
+
+
+def lint_fixpoint(stmt: str) -> list[tuple[str, str, str]]:
+    """Static scale lint for WITH RECURSIVE / WITH ITERATE statements.
+
+    The driver-coordinated fixpoint has no single Catalyst plan to
+    inspect, but its scale failure mode is visible in the STATEMENT:
+    an accumulating (UNION-distinct) recursive CTE whose step joins
+    the accumulator materializes every derived row — for transitive
+    closure / reachability that is a row per reachable PAIR, quadratic
+    in component size by SQL semantics, regardless of how cleverly the
+    rounds are scheduled. The linear-state alternative is the dialect's
+    ``WITH ITERATE`` replacement fixpoint (state_{i+1} = step(state_i):
+    per-entity labels, degrees, distances — O(|entities|) per round).
+    ``EXPLAIN SCALE`` routes fixpoint statements here (engine.py).
+    """
+    from algebraicdb_spark.fixpoint import _UNION_RE, _STEP_RE, _parse, _refs
+
+    kind, ctes, _final, _saved = _parse(stmt)
+    issues: list[tuple[str, str, str]] = []
+    for cte in ctes:
+        if not _refs(cte.body, cte.name):
+            continue
+        if kind == "RECURSIVE":
+            m = _UNION_RE.search(cte.body)
+            step = cte.body[m.end():] if m else cte.body
+            if re.search(r"(?i)\bJOIN\b", step) and _refs(step, cte.name):
+                issues.append(
+                    (
+                        WARN,
+                        "RECURSIVE_PAIR_GROWTH",
+                        f"accumulating fixpoint '{cte.name}' joins its own "
+                        "accumulator each round: the result set grows with "
+                        "derived PAIRS (quadratic in component size for "
+                        "closure/reachability). If the state you need is "
+                        "per-entity (labels, degrees, distances), use the "
+                        "WITH ITERATE replacement fixpoint — linear state "
+                        "per round",
+                    )
+                )
+            if _refs(step, cte.name) >= 2:
+                issues.append(
+                    (
+                        WARN,
+                        "RECURSIVE_NAIVE_FALLBACK",
+                        f"step references '{cte.name}' more than once: "
+                        "semi-naive (delta-only) evaluation is unsound here, "
+                        "so each round re-evaluates against the FULL "
+                        "accumulator — cost grows with the accumulated set, "
+                        "not the frontier",
+                    )
+                )
+        else:  # ITERATE: replacement fixpoint — state is user-bounded
+            m = _STEP_RE.search(cte.body)
+            step = cte.body[m.end():] if m else cte.body
+            if cte.max_iters is None:
+                issues.append(
+                    (
+                        WARN,
+                        "ITERATE_NO_MAX",
+                        f"WITH ITERATE '{cte.name}' has no MAX n: a "
+                        "non-converging step raises after the recursion "
+                        "budget instead of returning — set MAX for "
+                        "fixed-round algorithms",
+                    )
+                )
+    return issues

@@ -887,3 +887,34 @@ def test_repeat_gap_counts_and_ordering(spark, sf_dir):
     assert r["n_gaps"] == n_orders - n_cust
     assert 0 <= r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
     assert 0 <= r["n_within_30d"] <= r["n_gaps"]
+
+
+def test_ppm_codec_roundtrip_and_rejects_garbage():
+    """The round-8 real-codec path: decode_ppm_batch must parse what
+    encode_ppm_batch writes (values checked against hand math on a
+    tiny frame) and loudly reject a non-P6 stream."""
+    import pandas as pd
+    import pytest
+
+    from algebraicdb_spark.operators.multimodal import (
+        decode_ppm_batch,
+        encode_ppm_batch,
+    )
+
+    # doc_id=0 -> 8x8; text "ab" cycles ababab... so R=97,G=98,B=97
+    # for even pixels etc. Compute the expectation directly.
+    src = pd.DataFrame({"doc_id": [0], "text": ["ab"]})
+    [payload_df] = list(encode_ppm_batch(iter([src])))
+    assert bytes(payload_df["payload"][0]).startswith(b"P6\n8 8\n255\n")
+    [out] = list(decode_ppm_batch(iter([payload_df])))
+    row = out.iloc[0]
+    assert (row.width, row.height, row.maxval, row.n_pixels) == (8, 8, 255, 64)
+    raw = (b"ab" * 96)[: 8 * 8 * 3]
+    expect = sum(
+        v * w for v, w in zip(raw, [299, 587, 114] * 64)
+    )
+    assert row.sum_luma_milli == expect
+
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"JFIF notppm"]})
+    with pytest.raises(ValueError, match="not a P6 stream"):
+        list(decode_ppm_batch(iter([bad])))

@@ -88,3 +88,64 @@ def test_global_window_over_aggregate_is_warn_not_error(tables):
     found = {c: sev for sev, c, _ in lint(df)}
     assert "GLOBAL_WINDOW" not in found
     assert found.get("GLOBAL_WINDOW_AGG") == "warn"
+
+
+def test_fixpoint_lint_flags_pair_materializing_closure():
+    from algebraicdb_spark.plans.scalelint import lint_fixpoint
+
+    stmt = (
+        "WITH RECURSIVE reach(src, dst) AS ("
+        "  SELECT src, dst FROM edges"
+        "  UNION"
+        "  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst"
+        ") SELECT COUNT(*) FROM reach"
+    )
+    codes = {c: sev for sev, c, _ in lint_fixpoint(stmt)}
+    assert codes.get("RECURSIVE_PAIR_GROWTH") == "warn"
+    # the warning must point users at the linear-state alternative
+    msg = next(m for _, c, m in lint_fixpoint(stmt) if c == "RECURSIVE_PAIR_GROWTH")
+    assert "WITH ITERATE" in msg
+
+
+def test_fixpoint_lint_flags_naive_fallback_and_no_max():
+    from algebraicdb_spark.plans.scalelint import lint_fixpoint
+
+    naive = (
+        "WITH RECURSIVE p(a, b) AS ("
+        "  SELECT a, b FROM base"
+        "  UNION"
+        "  SELECT x.a, y.b FROM p x JOIN p y ON x.b = y.a"
+        ") SELECT * FROM p"
+    )
+    codes = {c for _, c, _ in lint_fixpoint(naive)}
+    assert "RECURSIVE_NAIVE_FALLBACK" in codes
+
+    no_max = (
+        "WITH ITERATE lbl AS ("
+        "  SELECT id, id AS label FROM nodes"
+        "  STEP SELECT id, MIN(label) AS label FROM lbl GROUP BY id"
+        ") SELECT * FROM lbl"
+    )
+    assert {c for _, c, _ in lint_fixpoint(no_max)} == {"ITERATE_NO_MAX"}
+    with_max = no_max.replace("ITERATE lbl AS", "ITERATE lbl MAX 20 AS")
+    assert lint_fixpoint(with_max) == []
+
+
+def test_explain_scale_on_fixpoint_returns_findings(spark):
+    from algebraicdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "EXPLAIN SCALE WITH RECURSIVE t(n) AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM t WHERE n < 3) SELECT * FROM t"
+    ).collect()
+    # linear counter: no pair growth — the clean row comes back
+    assert [r.code for r in rows] == ["CLEAN"]
+    rows2 = eng.sql(
+        "EXPLAIN SCALE WITH RECURSIVE reach(src, dst) AS ("
+        "SELECT 1 AS src, 2 AS dst UNION "
+        "SELECT r.src, r2.dst FROM reach r JOIN reach r2 ON r.dst = r2.src"
+        ") SELECT * FROM reach"
+    ).collect()
+    codes = {r.code for r in rows2}
+    assert "RECURSIVE_PAIR_GROWTH" in codes
