@@ -142,9 +142,30 @@ def latest_driver_round() -> dict[str, int]:
 
 
 def load_all() -> None:
-    """Import every operator module so its @register calls run."""
+    """Import every operator module so its @register calls run.
+
+    A module whose import raises is rolled back: keys its decorators
+    registered before the crash line are removed so a retried import
+    (pytest collects each test module independently) reports the
+    ORIGINAL error instead of a misleading ``duplicate query key`` two
+    modules later — the round-7 failure cascade.
+    """
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        before_q = set(QUERIES)
+        before_o = set(ORACLES)
+        try:
+            importlib.import_module(mod)
+        except Exception:
+            import sys
+
+            for k in set(QUERIES) - before_q:
+                del QUERIES[k]
+            for k in set(ORACLES) - before_o:
+                del ORACLES[k]
+            # drop the half-initialized module so the next import
+            # retries from scratch (and raises the same root error)
+            sys.modules.pop(mod, None)
+            raise
 
 
 def _ordered(d: dict) -> dict:

@@ -144,3 +144,54 @@ def test_every_package_module_imports_cleanly():
         except Exception as exc:  # pragma: no cover - failure reporting
             failures.append(f"{mod.name}: {type(exc).__name__}: {exc}")
     assert not failures, "modules failed to import:\n" + "\n".join(failures)
+
+
+def test_load_all_rolls_back_partial_registration(monkeypatch):
+    """Round-7 cascade guard: when a module's import dies mid-file,
+    load_all removes the keys its decorators already registered and
+    evicts the half-initialized module, so a retried load_all raises
+    the ROOT error again — never 'duplicate query key'."""
+    import importlib
+
+    real_import = importlib.import_module
+    calls = {"n": 0}
+
+    def exploding_import(name, *a, **k):
+        mod = real_import(name, *a, **k)
+        if name == "algebraicdb_spark.operators.dedup":
+            calls["n"] += 1
+            # simulate a crash AFTER the module registered its keys
+            raise NameError("boom after partial registration")
+        return mod
+
+    monkeypatch.setattr(importlib, "import_module", exploding_import)
+    # dedup keys/module may already be loaded from other tests; stash
+    # both so the finally block restores the exact pre-test state
+    # (re-importing the evicted module against restored dicts would
+    # itself trip the duplicate guard)
+    import sys
+
+    saved_q = dict(registry.QUERIES)
+    saved_o = dict(registry.ORACLES)
+    saved_mod = sys.modules.get("algebraicdb_spark.operators.dedup")
+    registry.QUERIES.clear()
+    registry.ORACLES.clear()
+    try:
+        import pytest
+
+        with pytest.raises(NameError, match="boom"):
+            registry.load_all()
+        assert "dedup_exact" not in registry.QUERIES
+        with pytest.raises(NameError, match="boom"):
+            registry.load_all()  # retry: same root error, no duplicate-key
+        assert calls["n"] == 2
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(saved_q)
+        registry.ORACLES.clear()
+        registry.ORACLES.update(saved_o)
+        if saved_mod is not None:
+            sys.modules["algebraicdb_spark.operators.dedup"] = saved_mod
+        else:
+            sys.modules.pop("algebraicdb_spark.operators.dedup", None)
+        monkeypatch.undo()
