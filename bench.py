@@ -63,6 +63,8 @@ EXTRAS = [
     "text_ngram_novelty",
     "dialect_recursive_components",
     "dialect_iterate_kcore",
+    "pipeline_dedup_funnel",
+    "sim_dedup_threshold_sweep",
 ]
 
 
