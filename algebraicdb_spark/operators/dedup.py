@@ -149,7 +149,10 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall proven equal in test_df_cap_keeps_recall).
     """
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
+    # shingle once: toks feeds sized + both inverted-index sides
+    toks = d.select(
+        "doc_id", shingles(F.col("text"), 3).alias("tokens")
+    ).localCheckpoint(eager=False)
     sized = toks.select("doc_id", F.size("tokens").alias("n_toks"))
     exploded = toks.select("doc_id", F.explode("tokens").alias("tok"))
     a = exploded.alias("a")
@@ -283,9 +286,16 @@ def minhash_token_arrays(docs: DataFrame) -> DataFrame:
     candidate pairs). The oracle drops them at the unnest; drop them
     here for designed (not coincidental) parity.
     """
-    return docs.select(
-        "doc_id", shingles(F.col("text"), 3).alias("tokens")
-    ).filter(F.size("tokens") > 0)
+    return (
+        docs.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        # every caller reads this ≥3 times (signature build + both
+        # rerank sides); uncached, the regex+shingle transform re-ran
+        # per consumer. Tokenize ONCE — the materialized shingle table
+        # is what a production dedup pipeline persists anyway. Lazy:
+        # plan-only callers pay nothing.
+        .localCheckpoint(eager=False)
+    )
 
 
 def minhash_candidates(toks: DataFrame) -> DataFrame:
@@ -596,6 +606,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "c_id", dist(F.col("c_sim")).alias("c_dist"))
+        # assigned feeds radius + both join sides; uncached, the
+        # corpus argmax (16-way broadcast + window) ran three times —
+        # 10 embeddings scans in the plan, 15.8 s at sf0.1. The
+        # assignment table is THE ball-cover index every consumer
+        # needs; materialize it once (lazy: no job until the query
+        # actually executes).
+        .localCheckpoint(eager=False)
     )
     radius = assigned.groupBy("c_id").agg(F.max("c_dist").alias("r"))
     theta = math.sqrt(2.0 - 2.0 * COSINE_TAU)

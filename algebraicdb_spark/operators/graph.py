@@ -870,6 +870,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
         .select(F.col("l_partkey").alias("pa"), "pb")
         .distinct()
+        # edges feeds FIVE consumers (both und legs x {deg, thru} and
+        # the anti-join); uncached, Catalyst re-ran the basket
+        # self-join per consumer — 18 lineitem scans in the physical
+        # plan, 15 s at sf0.1. One edge-grain materialization (the
+        # graph itself — the natural persisted artifact of any graph
+        # pipeline) cuts it to one pass. Lazy: materializes when the
+        # query first executes, so plan-only callers pay nothing.
+        .localCheckpoint(eager=False)
     )
     und = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
@@ -885,6 +893,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "inv_ln_g"
             ),
         )
+        # thru feeds both wedge legs; edge-grain, same reasoning
+        .localCheckpoint(eager=False)
     )
     a = thru.select(F.col("w"), F.col("nbr").alias("u"), "inv_ln_g")
     b = thru.select(F.col("w"), F.col("nbr").alias("v"))

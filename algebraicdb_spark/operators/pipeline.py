@@ -34,7 +34,10 @@ from algebraicdb_spark.sources.catalog import load_tables
 
 def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     """(doc_a < doc_b) pairs with shingle-Jaccard >= tau (exact tier)."""
-    toks = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    # shingle once: toks feeds sized + both inverted-index sides
+    toks = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
     sized = toks.select("doc_id", F.size("sh").alias("n_sh"))
     ex = toks.select("doc_id", F.explode("sh").alias("tok"))
     pairs = (
@@ -67,7 +70,13 @@ def clean_corpus(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     # 1. exact dedup: keep min doc_id per canonical text
     canon = docs.withColumn("ctext", canonical_text("text"))
     keep_exact = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
-    exact = canon.join(keep_exact, ["ctext", "doc_id"]).drop("ctext")
+    # exact survivors feed the near-dup tier (3 reads) AND the final
+    # anti-join; materialize the doc-grain table once
+    exact = (
+        canon.join(keep_exact, ["ctext", "doc_id"])
+        .drop("ctext")
+        .localCheckpoint(eager=False)
+    )
     # 2. near-dup removal: drop the higher doc_id of each pair
     drop_ids = near_dup_pairs(exact, tau).select(
         F.col("doc_b").alias("doc_id")
@@ -548,7 +557,14 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = canon.select(
         "doc_id", F.size(F.split("ctext", " ")).cast("bigint").alias("n_toks")
     )
-    exact_keep = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
+    # exact_keep feeds tier1, tier2's anti-join AND the near-dup tier;
+    # materialize the doc-grain table once instead of re-running the
+    # canonicalize+groupBy per consumer
+    exact_keep = (
+        canon.groupBy("ctext")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
     # feed the canonical text as `text`: minhash_pairs re-canonicalizes
     # idempotently, and the oracle's exact_docs CTE does the same
     exact_docs = exact_keep.select("doc_id", F.col("ctext").alias("text"))

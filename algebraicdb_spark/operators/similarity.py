@@ -708,11 +708,20 @@ def build_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("m"),
         ).alias("trained")
     )
-    # a seed whose cluster lost every point keeps its seed vector
-    return seeds.join(trained, ["block", "centroid_id"], "left").select(
-        "block",
-        "centroid_id",
-        F.coalesce(F.col("trained"), F.col("seed")).alias("centroid"),
+    # a seed whose cluster lost every point keeps its seed vector.
+    # Checkpoint the finished codebook: it is KB-sized and the search
+    # half broadcasts it into several consumers — uncached, each one
+    # re-ran the whole trainer (10 embeddings scans in sim_knn_pq's
+    # plan). Lazy: save_model/plan-only callers trigger it only when
+    # they actually execute.
+    return (
+        seeds.join(trained, ["block", "centroid_id"], "left")
+        .select(
+            "block",
+            "centroid_id",
+            F.coalesce(F.col("trained"), F.col("seed")).alias("centroid"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 
