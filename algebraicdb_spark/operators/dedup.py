@@ -1123,7 +1123,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator at 100 TB, this is the exact scorer.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    ex = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+    # shingle once; ex feeds both inverted-index sides (and sized
+    # below re-derives lengths) — 8 documents scans uncached
+    toks_c = d.select(
+        "doc_id", shingles(F.col("text")).alias("tokens")
+    ).localCheckpoint(eager=False)
+    ex = toks_c.select("doc_id", F.explode("tokens").alias("tok"))
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     pairs = (
         ex.join(
@@ -1134,9 +1139,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sized = d.select(
-        "doc_id", F.size(shingles(F.col("text"))).alias("n_toks")
-    )
+    sized = toks_c.select("doc_id", F.size("tokens").alias("n_toks"))
     sa = sized.select(
         F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na")
     )

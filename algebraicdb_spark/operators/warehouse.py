@@ -630,20 +630,31 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_checked"),
         )
 
-    li_n = li.agg(F.count(F.lit(1)).alias("n"))
-    o_n = o.agg(F.count(F.lit(1)).alias("n"))
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    # ONE scan per fact table for all its range rules + row count —
+    # conditional aggregates fused, then the 1-row stats frame is
+    # checkpointed so each rule row reads it, not the table
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "v_disc"
+        ),
+        viol(F.col("l_quantity") <= 0).alias("v_qty"),
+    ).localCheckpoint(eager=False)
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_totalprice") <= 0).alias("v_total"),
+    ).localCheckpoint(eager=False)
+    li_n = li_stats.select("n")
+    o_n = o_stats.select("n")
     c_n = c.agg(F.count(F.lit(1)).alias("n"))
     r1 = rule(
-        "lineitem_discount_range",
-        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
-            F.count(F.lit(1)).alias("v")
-        ),
-        li_n,
+        "lineitem_discount_range", li_stats.select(F.col("v_disc").alias("v")), li_n
     )
     r2 = rule(
-        "lineitem_qty_positive",
-        li.where(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("v")),
-        li_n,
+        "lineitem_qty_positive", li_stats.select(F.col("v_qty").alias("v")), li_n
     )
     r3 = rule(
         "lineitem_orphaned",
@@ -668,7 +679,7 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r6 = rule(
         "orders_totalprice_positive",
-        o.where(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("v")),
+        o_stats.select(F.col("v_total").alias("v")),
         o_n,
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(
