@@ -414,6 +414,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
         .select(F.col("l_partkey").alias("pa"), "pb")
         .distinct()
+        # both union legs read edges; uncached, the basket self-join
+        # ran twice (4 lineitem scans) — materialize the edge list once
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("pa").alias("node"))

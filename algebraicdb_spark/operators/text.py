@@ -581,7 +581,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    bigs = d.select("doc_id", F.explode(bigrams).alias("big"))
+    # tokenize once: bigs feeds the context counts, the bigram counts,
+    # and the scored join — uncached, the explode ran three times
+    bigs = d.select("doc_id", F.explode(bigrams).alias("big")).localCheckpoint(
+        eager=False
+    )
     ctx = bigs.select(F.split_part(F.col("big"), F.lit(" "), F.lit(1)).alias("w1")) \
         .groupBy("w1").agg(F.count(F.lit(1)).alias("nc"))
     bv = bigs.groupBy("big").agg(F.count(F.lit(1)).alias("nb"))
