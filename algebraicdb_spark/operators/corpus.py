@@ -927,7 +927,9 @@ def corpus_loo_nll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         toks.groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes when the query executes, so plan-only
+        # callers (the scalelint sweep) never run the corpus explode
+        .localCheckpoint(eager=False)
     )
     tot = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))

@@ -92,7 +92,12 @@ def encode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             w, h = _ppm_dims(int(doc_id))
-            raw = text.encode("utf-8")
+            raw = text.encode("utf-8") if text else b""
+            if not raw:
+                raise ValueError(
+                    f"doc {doc_id}: empty text has no bytes to encode "
+                    "(filter len(text) > 0 upstream)"
+                )
             n = w * h * 3
             reps = n // len(raw) + 1
             pixels = (raw * reps)[:n]
@@ -155,6 +160,7 @@ WITH dims AS (
          CAST(8 + (doc_id // 9) % 7 AS INTEGER) AS height,
          len(text) AS n_chars
   FROM documents
+  WHERE len(text) > 0
 ), px AS (
   SELECT doc_id, width, height,
          list_sum(list_transform(range(0, width * height * 3),
@@ -188,8 +194,13 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→parse loop end to end.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    payloads = d.select("doc_id", "text").mapInPandas(
-        encode_ppm_batch, schema="doc_id bigint, payload binary"
+    # empty/null text has no bytes to cycle into pixels: excluded on
+    # BOTH sides (oracle: WHERE len(text) > 0) so the encoder never
+    # divides by a zero-length payload source
+    payloads = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode_ppm_batch, schema="doc_id bigint, payload binary")
     )
     return payloads.mapInPandas(decode_ppm_batch, schema=DECODED_SCHEMA)
 

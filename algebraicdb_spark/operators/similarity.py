@@ -419,12 +419,14 @@ def build_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     for i in range(IVF_ITERS):
         # checkpoint BETWEEN rounds: round N's plan otherwise embeds
-        # round N-1's whole assignment DAG (doubling per round). The
-        # final round stays un-checkpointed so the returned frame's
-        # plan still shows the Lloyd stage (pinned by test_models) and
-        # composes lazily with the caller's search plan.
+        # round N-1's whole assignment DAG (doubling per round). Lazy,
+        # so merely CONSTRUCTING the frame (scalelint sweep, plan
+        # pins) runs no Lloyd job; and the final round stays
+        # un-checkpointed so the returned plan still shows the Lloyd
+        # stage (pinned by test_models) and composes with the caller's
+        # search plan.
         if i:
-            cents = cents.localCheckpoint(eager=True)
+            cents = cents.localCheckpoint(eager=False)
         cents = _refine_centroids(e, cents)
     return cents
 

@@ -631,7 +631,10 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def viol(cond):
-        return F.sum(F.when(cond, 1).otherwise(0))
+        # coalesce: SUM over zero rows is NULL, but the contract report
+        # (and the oracle's COUNT(*)) must say 0 for an empty table —
+        # the broken-ingest case this audit exists for
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
 
     # ONE scan per fact table for all its range rules + row count —
     # conditional aggregates fused, then the 1-row stats frame is

@@ -148,22 +148,30 @@ def load_all() -> None:
     registered before the crash line are removed so a retried import
     (pytest collects each test module independently) reports the
     ORIGINAL error instead of a misleading ``duplicate query key`` two
-    modules later — the round-7 failure cascade.
+    modules later — the round-7 failure cascade. The eviction covers
+    every package module the failed import pulled in TRANSITIVELY,
+    not just the named one: a cached-but-rolled-back dependency would
+    otherwise re-import as a no-op and leave its keys missing forever.
     """
+    import sys
+
     for mod in _QUERY_MODULES:
         before_q = set(QUERIES)
         before_o = set(ORACLES)
+        before_mods = set(sys.modules)
         try:
             importlib.import_module(mod)
         except Exception:
-            import sys
-
             for k in set(QUERIES) - before_q:
                 del QUERIES[k]
             for k in set(ORACLES) - before_o:
                 del ORACLES[k]
-            # drop the half-initialized module so the next import
-            # retries from scratch (and raises the same root error)
+            # drop every package module this import added (the named
+            # module AND anything it imported transitively) so the
+            # next attempt retries from scratch and re-registers
+            for name in set(sys.modules) - before_mods:
+                if name.startswith("algebraicdb_spark"):
+                    sys.modules.pop(name, None)
             sys.modules.pop(mod, None)
             raise
 

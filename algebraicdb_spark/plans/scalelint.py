@@ -141,16 +141,30 @@ def lint_fixpoint(stmt: str) -> list[tuple[str, str, str]]:
     per-entity labels, degrees, distances — O(|entities|) per round).
     ``EXPLAIN SCALE`` routes fixpoint statements here (engine.py).
     """
-    from algebraicdb_spark.fixpoint import _UNION_RE, _STEP_RE, _parse, _refs
+    from algebraicdb_spark.fixpoint import (
+        _UNION_RE,
+        _depth_at,
+        _parse,
+        _refs,
+    )
 
     kind, ctes, _final, _saved = _parse(stmt)
     issues: list[tuple[str, str, str]] = []
+
+    def _split_at_top_level(body: str, pattern) -> str:
+        """Step body after the first DEPTH-0 match of pattern — a
+        UNION inside an anchor subquery must not cut the body (the
+        executor uses the same depth-0 rule)."""
+        for m in pattern.finditer(body):
+            if _depth_at(body, m.start()) == 0:
+                return body[m.end():]
+        return body
+
     for cte in ctes:
         if not _refs(cte.body, cte.name):
             continue
         if kind == "RECURSIVE":
-            m = _UNION_RE.search(cte.body)
-            step = cte.body[m.end():] if m else cte.body
+            step = _split_at_top_level(cte.body, _UNION_RE)
             if re.search(r"(?i)\bJOIN\b", step) and _refs(step, cte.name):
                 issues.append(
                     (
@@ -178,8 +192,6 @@ def lint_fixpoint(stmt: str) -> list[tuple[str, str, str]]:
                     )
                 )
         else:  # ITERATE: replacement fixpoint — state is user-bounded
-            m = _STEP_RE.search(cte.body)
-            step = cte.body[m.end():] if m else cte.body
             if cte.max_iters is None:
                 issues.append(
                     (

@@ -136,8 +136,13 @@ def test_every_package_module_imports_cleanly():
     import algebraicdb_spark
 
     failures = []
+    # onerror: walk_packages swallows ImportErrors raised while
+    # importing a package __init__ by default, silently skipping the
+    # whole subtree — record them instead
     for mod in pkgutil.walk_packages(
-        algebraicdb_spark.__path__, prefix="algebraicdb_spark."
+        algebraicdb_spark.__path__,
+        prefix="algebraicdb_spark.",
+        onerror=lambda name: failures.append(f"{name}: package import failed"),
     ):
         try:
             importlib.import_module(mod.name)
@@ -164,11 +169,15 @@ def test_load_all_rolls_back_partial_registration(monkeypatch):
             raise NameError("boom after partial registration")
         return mod
 
+    # load everything FIRST so the saved snapshot is complete — in a
+    # fresh process an empty snapshot would be restored over a
+    # fully-cached sys.modules, permanently emptying the registry for
+    # every later test in the run
+    registry.load_all()
     monkeypatch.setattr(importlib, "import_module", exploding_import)
-    # dedup keys/module may already be loaded from other tests; stash
-    # both so the finally block restores the exact pre-test state
-    # (re-importing the evicted module against restored dicts would
-    # itself trip the duplicate guard)
+    # stash keys AND the dedup module object so the finally block
+    # restores the exact pre-test state (re-importing the evicted
+    # module against restored dicts would trip the duplicate guard)
     import sys
 
     saved_q = dict(registry.QUERIES)

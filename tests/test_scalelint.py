@@ -149,3 +149,21 @@ def test_explain_scale_on_fixpoint_returns_findings(spark):
     ).collect()
     codes = {r.code for r in rows2}
     assert "RECURSIVE_PAIR_GROWTH" in codes
+
+
+def test_fixpoint_lint_ignores_union_inside_anchor_subquery():
+    """A UNION nested inside the anchor's subquery must not cut the
+    body: only the depth-0 UNION separates anchor from step (same rule
+    the executor uses), so a linear counter whose anchor contains a
+    nested UNION + JOIN is NOT flagged as pair growth."""
+    from algebraicdb_spark.plans.scalelint import lint_fixpoint
+
+    stmt = (
+        "WITH RECURSIVE t(n) AS ("
+        "  SELECT s.n FROM (SELECT 1 AS n UNION SELECT 2 AS n) s"
+        "  JOIN (SELECT 1 AS k) d ON s.n = d.k"
+        "  UNION"
+        "  SELECT n + 1 FROM t WHERE n < 10"
+        ") SELECT * FROM t"
+    )
+    assert lint_fixpoint(stmt) == []

@@ -31,8 +31,12 @@ def main() -> int:
 
     import algebraicdb_spark
 
+    # onerror: without it walk_packages silently skips a subtree whose
+    # package __init__ fails to import
     for mod in pkgutil.walk_packages(
-        algebraicdb_spark.__path__, prefix="algebraicdb_spark."
+        algebraicdb_spark.__path__,
+        prefix="algebraicdb_spark.",
+        onerror=lambda name: failures.append(f"package import failed: {name}"),
     ):
         try:
             importlib.import_module(mod.name)
