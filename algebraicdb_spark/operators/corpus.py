@@ -719,8 +719,12 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") != "")
     )
-    counts = tok.groupBy("source", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # vocab-grain count table feeds vocab/totals/dense (and v_n runs
+    # an action anyway) — count the corpus once
+    counts = (
+        tok.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     vocab = counts.select("t").distinct()
     v_n = vocab.count()  # vocabulary size: tiny, fixture-bounded

@@ -780,10 +780,16 @@ def mix_kl_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     from algebraicdb_spark.operators.dedup import canonical_text
 
-    tok = d.groupBy("source").agg(
-        F.sum(F.size(F.split(canonical_text("text"), " ")))
-        .cast("bigint")
-        .alias("n_toks")
+    # tokenize-count once: the |sources|-row table feeds several
+    # consumers; uncached, the corpus split re-ran per consumer
+    tok = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(canonical_text("text"), " ")))
+            .cast("bigint")
+            .alias("n_toks")
+        )
+        .localCheckpoint(eager=False)
     )
     tgt = d.sparkSession.createDataFrame(
         list(KL_TARGETS.items()), "source string, w double"

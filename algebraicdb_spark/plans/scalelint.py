@@ -115,6 +115,27 @@ def lint(df: DataFrame, max_exchanges: int = 4) -> list[tuple[str, str, str]]:
                 "reusable partitioning or pre-aggregation",
             )
         )
+    # RESCAN (round 8): Catalyst re-runs a shared subplan once per
+    # consumer across DataFrame branch points — ReuseExchange does not
+    # cover these. ≥4 scans of one file usually means a derived frame
+    # (inverted index, edge list, count table) is being recomputed;
+    # the fix is a lazy localCheckpoint of the grain-bounded
+    # intermediate. (≤3 scans is common for legitimate multi-pass
+    # reads of a pruned base table.)
+    scan_counts: dict[str, int] = {}
+    for m in re.finditer(r"Scan \w+ [^\n]*?([\w.]+)\.(?:parquet|csv|json)", physical):
+        scan_counts[m.group(1)] = scan_counts.get(m.group(1), 0) + 1
+    for src, cnt in scan_counts.items():
+        if cnt >= 4:
+            issues.append(
+                (
+                    WARN,
+                    "RESCAN",
+                    f"'{src}' scanned {cnt}x in one plan: a shared "
+                    "intermediate is likely recomputed per consumer — "
+                    "localCheckpoint the grain-bounded derived frame",
+                )
+            )
     return issues
 
 

@@ -167,3 +167,23 @@ def test_fixpoint_lint_ignores_union_inside_anchor_subquery():
         ") SELECT * FROM t"
     )
     assert lint_fixpoint(stmt) == []
+
+
+def test_rescan_lint_flags_recomputed_shared_subplan(tables):
+    """Round-8 audit institutionalized: a frame derived once but
+    consumed by several branches without a checkpoint shows the same
+    file scanned per consumer; the RESCAN warn names the pattern."""
+    li = tables["lineitem"]
+    # heavy derived frame feeding four consumers, uncached on purpose
+    agg = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    four = (
+        agg.select("l_partkey")
+        .unionAll(agg.select("l_partkey"))
+        .unionAll(agg.select("l_partkey"))
+        .unionAll(agg.select("l_partkey"))
+    )
+    codes = {c for _, c, _ in lint(four, max_exchanges=99)}
+    assert "RESCAN" in codes
+    # a single-scan plan stays clean
+    clean = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    assert "RESCAN" not in {c for _, c, _ in lint(clean, max_exchanges=99)}
