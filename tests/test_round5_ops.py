@@ -918,3 +918,46 @@ def test_ppm_codec_roundtrip_and_rejects_garbage():
     bad = pd.DataFrame({"doc_id": [1], "payload": [b"JFIF notppm"]})
     with pytest.raises(ValueError, match="not a P6 stream"):
         list(decode_ppm_batch(iter([bad])))
+
+
+def test_ppm_codec_roundtrip_property():
+    """Property: for ANY non-empty ASCII text and doc_id, the encoded
+    P6 stream parses back to the geometry the encoder chose, and the
+    luma sum equals the independent pure-Python computation over the
+    cycled text bytes — the parser never reads the source row, so
+    agreement proves the byte format end to end."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from algebraicdb_spark.operators.multimodal import (
+        _ppm_dims,
+        decode_ppm_batch,
+        encode_ppm_batch,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=0, max_value=10**9),
+        text=st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=200,
+        ),
+    )
+    def check(doc_id, text):
+        src = pd.DataFrame({"doc_id": [doc_id], "text": [text]})
+        [enc] = list(encode_ppm_batch(iter([src])))
+        [out] = list(decode_ppm_batch(iter([enc])))
+        row = out.iloc[0]
+        w, h = _ppm_dims(doc_id)
+        assert (row.width, row.height, row.maxval) == (w, h, 255)
+        raw = text.encode()
+        n = w * h * 3
+        cycled = (raw * (n // len(raw) + 1))[:n]
+        expect = sum(
+            v * wgt for v, wgt in zip(cycled, [299, 587, 114] * (w * h))
+        )
+        assert row.sum_luma_milli == expect
+
+    check()
