@@ -961,3 +961,72 @@ def test_ppm_codec_roundtrip_property():
         assert row.sum_luma_milli == expect
 
     check()
+
+
+def test_y4m_codec_seek_samples_correct_frames():
+    """The Y4M sampler must land on the RIGHT frames by offset
+    arithmetic: frame f's Y bytes start at text offset f*7919 mod len,
+    so a seek that is off by even one byte changes sum_y."""
+    import pandas as pd
+    import pytest
+
+    from algebraicdb_spark.operators.multimodal import (
+        _Y4M_STRIDE,
+        _y4m_geometry,
+        encode_y4m_batch,
+        sample_y4m_batch,
+    )
+
+    doc_id, text = 23, "the quick brown fox jumps over the lazy dog"
+    src = pd.DataFrame({"doc_id": [doc_id], "text": [text]})
+    [enc] = list(encode_y4m_batch(iter([src])))
+    [out] = list(sample_y4m_batch(iter([enc])))
+    w, h, n_frames = _y4m_geometry(doc_id)
+    assert set(out["n_frames"]) == {n_frames}
+    k = min(4, n_frames)
+    assert list(out["frame_idx"]) == [(j * n_frames) // k for j in range(k)]
+    raw = text.encode()
+    for _, row in out.iterrows():
+        start = (int(row.frame_idx) * _Y4M_STRIDE) % len(raw)
+        cyc = raw * ((start + w * h) // len(raw) + 1)
+        assert int(row.sum_y) == sum(cyc[start : start + w * h])
+
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"RIFF not y4m"]})
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        list(sample_y4m_batch(iter([bad])))
+
+
+def test_y4m_codec_roundtrip_property():
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from algebraicdb_spark.operators.multimodal import (
+        _Y4M_STRIDE,
+        _y4m_geometry,
+        encode_y4m_batch,
+        sample_y4m_batch,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=0, max_value=10**9),
+        text=st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=120,
+        ),
+    )
+    def check(doc_id, text):
+        src = pd.DataFrame({"doc_id": [doc_id], "text": [text]})
+        [enc] = list(encode_y4m_batch(iter([src])))
+        [out] = list(sample_y4m_batch(iter([enc])))
+        w, h, n_frames = _y4m_geometry(doc_id)
+        raw = text.encode()
+        assert len(out) == min(4, n_frames)
+        for _, row in out.iterrows():
+            start = (int(row.frame_idx) * _Y4M_STRIDE) % len(raw)
+            cyc = raw * ((start + w * h) // len(raw) + 1)
+            assert int(row.sum_y) == sum(cyc[start : start + w * h])
+
+    check()
