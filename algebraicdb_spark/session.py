@@ -37,6 +37,15 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32) -> Sp
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffledHashJoinFactor", "3")
+        # RocksDB state store: required by transformWithStateInPandas
+        # (multi-column-family state) and the scale-correct provider
+        # anyway — state lives off-heap on local disk with changelog
+        # checkpointing, instead of a full HDFS snapshot of the JVM
+        # heap map per batch.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
 
@@ -48,6 +57,16 @@ def get_spark(app_name: str = "algebraicdb-spark", cpus: str | None = None,
     Local test mode is ``local[$SPARK_GRAFT_CPUS]``; on a cluster the
     master comes from spark-submit and this builder only adds conf.
     """
+    # transformWithStateInPandas needs google.protobuf in BOTH the
+    # driver and the forked Python workers; this container has no
+    # installable protobuf, so shim it from the host's Cloud SDK copy.
+    # The env var must be set before the JVM launches (workers inherit
+    # it); a no-op if a real protobuf exists or the SDK copy is absent.
+    from algebraicdb_spark._vendor import protobuf_compat
+
+    if protobuf_compat.install():
+        os.environ["PYTHONPATH"] = protobuf_compat.worker_pythonpath_env()
+
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus or DEFAULT_CPUS}]")

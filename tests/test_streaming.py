@@ -194,8 +194,13 @@ def test_stream_equivalence_at_sf001(spark, src_dir_sf001):
 
 def _tws_available() -> bool:
     # transformWithStateInPandas talks to its state server over
-    # protobuf; this container lacks google.protobuf (no installs) —
-    # the operator is implemented and gated, not silently dropped
+    # protobuf; the container has no installable protobuf, but the
+    # vendored Cloud-SDK shim (algebraicdb_spark._vendor.
+    # protobuf_compat) makes google.protobuf importable on hosts that
+    # ship the SDK — install it, then probe.
+    from algebraicdb_spark._vendor import protobuf_compat
+
+    protobuf_compat.install()
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True
