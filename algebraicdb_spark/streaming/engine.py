@@ -468,3 +468,109 @@ def scd2_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---- streaming incremental dedup (TWS) --------------------------------
+
+DEDUP_TWS_OUTPUT_DDL = "doc_id bigint, status string"
+
+
+def stage_document_files(spark: SparkSession, sf_dir: str, split: int) -> str:
+    """Split the documents fixture into two ingest files — doc_id <
+    ``split`` (the standing corpus) then the rest (the new batch) —
+    in a temp dir with mtimes ordered so FileStreamSource replays them
+    as two micro-batches in that order. Each half is a filtered write
+    (the boundary must be exact: the dedup twin's statuses depend on
+    it), then moved into the stream dir under an ordered name."""
+    ensure_confs(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"adb_docs_src_{split}_{sf_dir.rstrip('/').replace('/', '_')}",
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    import time as _time
+
+    base = _time.time()
+    halves = (
+        docs.filter(F.col("doc_id") < split),
+        docs.filter(F.col("doc_id") >= split),
+    )
+    for i, half in enumerate(halves):
+        stage = os.path.join(out, f"_stage{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(out, f"batch{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base + i, base + i))
+    return out
+
+
+def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over a staged documents ingest directory via the
+    ``StreamSource`` seam (one file per micro-batch)."""
+    from algebraicdb_spark.streaming.sources import (
+        FileDocumentsSource,
+        open_stream,
+    )
+
+    return open_stream(spark, FileDocumentsSource(src_dir))
+
+
+class IncrementalDedupProcessor(StatefulProcessor):
+    """Streaming incremental dedup: keyed by content fingerprint, ONE
+    ValueState row per UNIQUE fingerprint ('seen in a prior batch').
+    Every row of a micro-batch whose fp is already in state is
+    'dup_of_corpus'; within the first batch to carry an fp, the lowest
+    doc_id is 'fresh' and the rest are 'dup_in_batch' — exactly the
+    batch ``incremental_dedup_classify`` rule, folded associatively
+    across micro-batches by the state store. State grows with unique
+    content only — the same bound as the batch key's persisted
+    fingerprint state, which is what keeps ingest-time dedup
+    streamable over an unbounded corpus."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        doc_ids = sorted(int(x) for pdf in rows for x in pdf["doc_id"].tolist())
+        if not doc_ids:
+            return
+        if self._state.exists():
+            statuses = ["dup_of_corpus"] * len(doc_ids)
+            n = int(self._state.get()[0]) + len(doc_ids)
+        else:
+            statuses = ["fresh"] + ["dup_in_batch"] * (len(doc_ids) - 1)
+            n = len(doc_ids)
+        self._state.update((n,))
+        yield pd.DataFrame({"doc_id": doc_ids, "status": statuses})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def incremental_dedup_tws(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``pipeline_incremental_dedup``: fingerprints
+    computed map-side (the same md5-of-canonical-token-set as the
+    batch key), then transformWithStateInPandas keyed on fp. Append
+    mode — each doc's status is final the moment its batch commits."""
+    from algebraicdb_spark.operators.pipeline import doc_fingerprints
+
+    return (
+        doc_fingerprints(docs)
+        .groupBy("fp")
+        .transformWithStateInPandas(
+            IncrementalDedupProcessor(),
+            outputStructType=DEDUP_TWS_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -78,6 +78,28 @@ class FileEventsSource:
         return normalize_events(raw)
 
 
+RAW_DOCUMENTS_DDL = "doc_id bigint, text string"
+
+
+@dataclass(frozen=True)
+class FileDocumentsSource:
+    """Append-only documents ingest directory, one file per
+    micro-batch — the corpus-ingestion twin of ``FileEventsSource``:
+    each arriving file is one ingest batch of raw documents (the unit
+    the streaming incremental-dedup state folds over)."""
+
+    src_dir: str
+    max_files_per_trigger: int = 1
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        ensure_confs(spark)
+        return (
+            spark.readStream.schema(RAW_DOCUMENTS_DDL)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.src_dir)
+        )
+
+
 @dataclass(frozen=True)
 class RateEventsSource:
     """Deterministic generator mapped onto the events shape — the

@@ -520,3 +520,40 @@ def test_stream_stream_left_join_matches_batch_up_to_watermark(
     assert got_u == want_u_closed
     # nothing inside the open window leaked out early
     assert got_u <= rows_set(want.filter("unmatched = 1"), cols)
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_tws_incremental_dedup_matches_batch_fold(spark, sf_dir):
+    """Streaming incremental dedup (fp-keyed TWS ValueState) must equal
+    the associative batch fold: classify(batch0, empty state) then
+    classify(batch1, state = batch0's fingerprints). The fingerprint
+    state riding the store across the micro-batch boundary is what
+    turns batch-1 repeats into 'dup_of_corpus'."""
+    from algebraicdb_spark.operators.pipeline import (
+        INCR_SPLIT,
+        doc_fingerprints,
+        incremental_dedup_classify,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    got = engine.run_to_memory(
+        engine.incremental_dedup_tws(engine.read_documents_stream(spark, src)),
+        "t_tws_incr_dedup",
+        output_mode="append",
+    )
+    docs = load_tables(spark, sf_dir)["documents"]
+    fps = doc_fingerprints(docs)
+    b0 = fps.where(F.col("doc_id") < INCR_SPLIT)
+    b1 = fps.where(F.col("doc_id") >= INCR_SPLIT)
+    want = incremental_dedup_classify(b0, b0.where(F.lit(False))).unionByName(
+        incremental_dedup_classify(b1, b0)
+    )
+    cols = ["doc_id", "status"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    # every document is classified exactly once, and the batch-1 half
+    # must actually exercise the cross-batch state path
+    assert got.count() == docs.count()
+    assert got.filter("status = 'dup_of_corpus'").count() > 0
