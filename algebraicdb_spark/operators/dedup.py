@@ -298,14 +298,16 @@ def minhash_token_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(toks: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs from banded MinHash.
+def minhash_banded(toks: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH bucket rows — the banded
+    MinHash representation both tiers share: the batch self-join
+    (``minhash_candidates``) and the streaming bucket-state processor
+    (``streaming.engine.lsh_candidates_tws``) consume it unchanged.
 
     One md5-derived base hash per shingle, then the N_MINHASH affine
     permutations (MH_AB) in pure integer math — identical on both
     engines, and 32x fewer md5 evaluations than hashing per-slot.
-    The only self-join is on (band_idx, band_hash) — repartitioned to
-    spread hot buckets — and it carries ONLY (doc_id, band) rows.
+    All expressions are narrow/map-side, so the plan is stream-safe.
     """
 
     def _perm(a: int, b: int):
@@ -322,7 +324,7 @@ def minhash_candidates(toks: DataFrame) -> DataFrame:
         ).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -341,7 +343,16 @@ def minhash_candidates(toks: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_hash"),
-    ).repartition("band_idx", "band_hash")
+    )
+
+
+def minhash_candidates(toks: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from banded MinHash.
+
+    The only self-join is on (band_idx, band_hash) — repartitioned to
+    spread hot buckets — and it carries ONLY (doc_id, band) rows.
+    """
+    banded = minhash_banded(toks).repartition("band_idx", "band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -557,6 +557,74 @@ class IncrementalDedupProcessor(StatefulProcessor):
         pass
 
 
+LSH_TWS_OUTPUT_DDL = "doc_a bigint, doc_b bigint"
+
+
+class LshBucketProcessor(StatefulProcessor):
+    """Streaming MinHash-LSH candidate generation: keyed by
+    (band_idx, band_hash), ListState holds the bucket's member doc
+    ids. Each arriving doc pairs with every standing member (the
+    cross-batch candidates) and with its batch-mates in the same
+    bucket (the within-batch candidates) — together exactly the pairs
+    the batch band self-join produces, so ingest-time near-dup checks
+    see the same candidate set as a full-corpus recompute.
+
+    State per key is the bucket's occupancy list; at production scale
+    the same bucket-size cap as the batch tier
+    (``dedup.jaccard_pairs_capped``) bounds both state and the
+    per-arrival pair fan-out on pathological buckets."""
+
+    def init(self, handle) -> None:
+        self._members = handle.getListState("members", "doc_id bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        new_ids = sorted({int(x) for pdf in rows for x in pdf["doc_id"].tolist()})
+        if not new_ids:
+            return
+        old_ids = [int(r[0]) for r in self._members.get()]
+        pairs = [
+            (min(o, n), max(o, n)) for n in new_ids for o in old_ids if o != n
+        ]
+        pairs += [
+            (new_ids[i], new_ids[j])
+            for i in range(len(new_ids))
+            for j in range(i + 1, len(new_ids))
+        ]
+        self._members.appendList([(n,) for n in new_ids])
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def lsh_candidates_tws(docs: DataFrame) -> DataFrame:
+    """Streaming near-dup candidate pairs: the map-side banded MinHash
+    the batch tier uses (``dedup.minhash_banded`` — shingles,
+    signatures, band hashes, all narrow expressions), then
+    transformWithStateInPandas keyed on the band bucket. A pair that
+    collides in several bands is emitted once per band (append mode);
+    consumers dedup, as the batch tier's dropDuplicates does."""
+    from algebraicdb_spark.operators.dedup import minhash_banded, shingles
+
+    toks = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    return (
+        minhash_banded(toks)
+        .groupBy("band_idx", "band_hash")
+        .transformWithStateInPandas(
+            LshBucketProcessor(),
+            outputStructType=LSH_TWS_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def incremental_dedup_tws(docs: DataFrame) -> DataFrame:
     """Streaming twin of ``pipeline_incremental_dedup``: fingerprints
     computed map-side (the same md5-of-canonical-token-set as the

@@ -557,3 +557,35 @@ def test_stream_tws_incremental_dedup_matches_batch_fold(spark, sf_dir):
     # must actually exercise the cross-batch state path
     assert got.count() == docs.count()
     assert got.filter("status = 'dup_of_corpus'").count() > 0
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_tws_lsh_candidates_match_batch_self_join(spark, sf_dir):
+    """Streaming LSH candidate generation (band-bucket ListState) must
+    produce, after pair dedup, EXACTLY the batch band self-join's
+    candidate set — cross-batch pairs come from bucket members riding
+    the state store, within-batch pairs from batch-mates in the same
+    bucket."""
+    from algebraicdb_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_token_arrays,
+    )
+    from algebraicdb_spark.operators.pipeline import INCR_SPLIT
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    got = engine.run_to_memory(
+        engine.lsh_candidates_tws(engine.read_documents_stream(spark, src)),
+        "t_tws_lsh",
+        output_mode="append",
+    ).dropDuplicates(["doc_a", "doc_b"])
+    docs = load_tables(spark, sf_dir)["documents"]
+    want = minhash_candidates(minhash_token_arrays(docs))
+    cols = ["doc_a", "doc_b"]
+    got_set, want_set = rows_set(got, cols), rows_set(want, cols)
+    assert got_set == want_set
+    # the cross-micro-batch state path must actually fire: at least one
+    # candidate pair spans the batch boundary
+    assert any(a < INCR_SPLIT <= b for a, b in got_set)
