@@ -470,6 +470,25 @@ def scd2_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, timeout: int = 120
+) -> None:
+    """One availableNow pass to a parquet sink with an EXPLICIT
+    checkpoint — call again (with a freshly built stream) after new
+    source files land to simulate a stop/restart: source offsets and
+    operator state both resume from the checkpoint, which is the
+    recovery contract a production stateful job runs on."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
 # ---- streaming incremental dedup (TWS) --------------------------------
 
 DEDUP_TWS_OUTPUT_DDL = "doc_id bigint, status string"

@@ -589,3 +589,63 @@ def test_stream_tws_lsh_candidates_match_batch_self_join(spark, sf_dir):
     # the cross-micro-batch state path must actually fire: at least one
     # candidate pair spans the batch boundary
     assert any(a < INCR_SPLIT <= b for a, b in got_set)
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_tws_state_survives_query_restart(spark, sf_dir, tmp_path):
+    """Stop/restart recovery: run the stateful dedup over batch 0,
+    terminate the query, then start a NEW query from the same
+    checkpoint for batch 1. The fingerprint state must ride the
+    checkpoint — batch-1 repeats of batch-0 content classify as
+    'dup_of_corpus'; a state loss would classify them 'fresh'."""
+    import os
+
+    from algebraicdb_spark.operators.pipeline import (
+        INCR_SPLIT,
+        doc_fingerprints,
+        incremental_dedup_classify,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    held = os.path.join(src, "batch1.parquet")
+    # park batch 1 OUTSIDE the source dir — the file source matches any
+    # visible file in the directory, so an in-place rename won't hide it
+    aside = str(tmp_path / "batch1.parquet")
+    os.rename(held, aside)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    try:
+        engine.run_to_parquet(
+            engine.incremental_dedup_tws(
+                engine.read_documents_stream(spark, src)
+            ),
+            out,
+            ckpt,
+        )
+    finally:
+        os.rename(aside, held)
+    # restart: a brand-new query object, same checkpoint
+    engine.run_to_parquet(
+        engine.incremental_dedup_tws(engine.read_documents_stream(spark, src)),
+        out,
+        ckpt,
+    )
+    got = spark.read.parquet(out)
+    docs = load_tables(spark, sf_dir)["documents"]
+    fps = doc_fingerprints(docs)
+    b0 = fps.where(F.col("doc_id") < INCR_SPLIT)
+    b1 = fps.where(F.col("doc_id") >= INCR_SPLIT)
+    want = incremental_dedup_classify(b0, b0.where(F.lit(False))).unionByName(
+        incremental_dedup_classify(b1, b0)
+    )
+    cols = ["doc_id", "status"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    # the discriminating half: post-restart cross-batch dups exist
+    assert (
+        got.filter(
+            (F.col("doc_id") >= INCR_SPLIT) & (F.col("status") == "dup_of_corpus")
+        ).count()
+        > 0
+    )
