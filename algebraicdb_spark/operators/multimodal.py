@@ -620,3 +620,125 @@ def multimodal_pair_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("id").cast("bigint").alias("id_checksum"),
     )
+
+
+# ---- audio: real WAV/PCM codec path (pytest-pinned, §2 dash row) ------
+# Canonical RIFF/WAVE bytes per document (stdlib ``wave`` writer), then
+# an INDEPENDENT chunk-walking parser (struct over RIFF framing — the
+# stdlib reader is never used), so writer/parser agreement proves the
+# byte format end to end. The registry stays frozen at 329, so the
+# audio modality rides the same two-Arrow-stage mapInPandas plumbing
+# as multimodal_decode_ppm without a new key; contracts live in
+# tests/test_round5_ops.py.
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "duration_ms bigint, rms_milli bigint, zero_crossings bigint"
+)
+WAV_RATE = 8000       # Hz, PCM16 mono
+_WAV_CENTER = 79      # printable-ASCII midpoint: fixture audio oscillates
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    """Deterministic per-doc clip length (64..192 samples)."""
+    return 64 + doc_id % 129
+
+
+def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) -> (doc_id, payload): PCM16 mono RIFF/WAVE via
+    the stdlib ``wave`` writer. Sample i is (byte_i − 79) << 8 of the
+    text's byte at i mod len — centered on the printable-ASCII
+    midpoint so real sign changes (zero crossings) occur."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            raw = text.encode("utf-8") if text else b""
+            if not raw:
+                raise ValueError(
+                    f"doc {doc_id}: empty text has no bytes to encode "
+                    "(filter len(text) > 0 upstream)"
+                )
+            n = _wav_n_samples(int(doc_id))
+            cyc = (raw * (n // len(raw) + 1))[:n]
+            pcm = (
+                (np.frombuffer(cyc, dtype=np.uint8).astype(np.int32)
+                 - _WAV_CENTER) << 8
+            ).astype("<i2")
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_RATE)
+                w.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL RIFF parser, independent of the writer: verify RIFF/WAVE
+    magic, walk word-aligned chunks to ``fmt ``/``data``, require
+    PCM16 mono, then numpy over the sample bytes. Features come from
+    the PARSED bytes only — rms on a deterministic integer grid
+    (isqrt(10⁶·Σs²//n)), zero crossings as sign products < 0."""
+    import math
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        recs = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE stream")
+            fmt = data = None
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt ":
+                    fmt = b[pos + 8 : pos + 8 + sz]
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+            audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+            if (audio_fmt, nch, bits) != (1, 1, 16):
+                raise ValueError(f"doc {doc_id}: not PCM16 mono")
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            n = len(s)
+            recs.append(
+                (
+                    int(doc_id),
+                    int(rate),
+                    n,
+                    n * 1000 // int(rate),
+                    math.isqrt(int((s * s).sum()) * 1_000_000 // n),
+                    int(((s[:-1] * s[1:]) < 0).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "doc_id", "sample_rate", "n_samples",
+                "duration_ms", "rms_milli", "zero_crossings",
+            ],
+        ).astype({"sample_rate": "int32"})
+
+
+def decode_wav_features(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> parsed audio features: the same
+    shuffle-free two-Arrow-stage plan shape as multimodal_decode_ppm,
+    over the audio modality."""
+    payloads = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode_wav_batch, schema="doc_id bigint, payload binary")
+    )
+    return payloads.mapInPandas(decode_wav_batch, schema=AUDIO_SCHEMA)
