@@ -644,6 +644,25 @@ def lsh_candidates_tws(docs: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_pairs_tws(docs: DataFrame, toks: DataFrame) -> DataFrame:
+    """The full streaming near-dup tier: bucket-state LSH candidates
+    (``lsh_candidates_tws``) reranked by exact shingle Jaccard via a
+    STREAM-STATIC join against the corpus token table — the production
+    shape, where the shingle store is a persisted lookup table the
+    arriving batch joins (``dedup.minhash_rerank`` runs unchanged on
+    the stream side). Emits (doc_a, doc_b, jaccard ≥ τ); a pair that
+    collides in several bands repeats per band — consumers dedup, as
+    the batch tier's dropDuplicates does."""
+    from algebraicdb_spark.operators.dedup import JACCARD_TAU, minhash_rerank
+
+    cands = lsh_candidates_tws(docs)
+    return (
+        minhash_rerank(cands, toks)
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= F.lit(JACCARD_TAU))
+    )
+
+
 def incremental_dedup_tws(docs: DataFrame) -> DataFrame:
     """Streaming twin of ``pipeline_incremental_dedup``: fingerprints
     computed map-side (the same md5-of-canonical-token-set as the

@@ -649,3 +649,34 @@ def test_stream_tws_state_survives_query_restart(spark, sf_dir, tmp_path):
         ).count()
         > 0
     )
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_tws_near_dup_pairs_match_batch_tier(spark, sf_dir):
+    """The complete streaming near-dup tier (bucket-state candidates +
+    stream-static Jaccard rerank against the corpus token table) must
+    produce, after pair dedup, EXACTLY the batch minhash_pairs set —
+    same pairs, same rounded jaccard."""
+    from algebraicdb_spark.operators.dedup import (
+        minhash_pairs,
+        minhash_token_arrays,
+    )
+    from algebraicdb_spark.operators.pipeline import INCR_SPLIT
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = minhash_token_arrays(docs)
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    got = engine.run_to_memory(
+        engine.near_dup_pairs_tws(
+            engine.read_documents_stream(spark, src), toks
+        ),
+        "t_tws_near_dup",
+        output_mode="append",
+    ).dropDuplicates(["doc_a", "doc_b"])
+    want = minhash_pairs(docs)
+    cols = ["doc_a", "doc_b", "jaccard"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    assert got.count() > 0
