@@ -308,7 +308,16 @@ def _fold_dot(a: str, b: str) -> str:
     )
 
 
-IVF_ITERS = 2  # Lloyd rounds in the index build (round-8: was 1)
+# Lloyd rounds in the index build (round-8: was 1). Measured recall@5
+# by rounds × SF (deterministic pipeline, 2026-08-14):
+#   2 rounds: sf0.001 0.72 / sf0.01 0.66 / sf0.1 0.60
+#   3 rounds: 0.76 / 0.62 / 0.60
+#   4 rounds: 0.82 / 0.64 / 0.62
+# Beyond 2 rounds quality saturates at the probe bound (N_PROBE of
+# N_CENTROIDS buckets scanned) — at scale the recall lever is more
+# probes (or more, finer centroids), not more Lloyd rounds, while each
+# extra round doubles the unrolled oracle. 2 is the knee.
+IVF_ITERS = 2
 
 
 def _ivf_oracle() -> str:
