@@ -588,10 +588,18 @@ class LshBucketProcessor(StatefulProcessor):
     the batch band self-join produces, so ingest-time near-dup checks
     see the same candidate set as a full-corpus recompute.
 
-    State per key is the bucket's occupancy list; at production scale
-    the same bucket-size cap as the batch tier
-    (``dedup.jaccard_pairs_capped``) bounds both state and the
-    per-arrival pair fan-out on pathological buckets."""
+    State per key is the bucket's occupancy list, and ``max_bucket``
+    makes the bound ENFORCED, not advisory: once a bucket holds that
+    many members, further arrivals are dropped from it — no more state
+    growth and no more pair fan-out from that key. A saturated bucket
+    is a super-common band pattern carrying little dedup signal, so
+    dropping it is the standard trade (the batch tier's DF cap,
+    ``dedup.jaccard_pairs_capped``, prunes the same hazard by shingle
+    frequency). Default None = exact parity with the batch self-join
+    (pinned in tests)."""
+
+    def __init__(self, max_bucket: int | None = None):
+        self._max_bucket = max_bucket
 
     def init(self, handle) -> None:
         self._members = handle.getListState("members", "doc_id bigint")
@@ -601,6 +609,11 @@ class LshBucketProcessor(StatefulProcessor):
         if not new_ids:
             return
         old_ids = [int(r[0]) for r in self._members.get()]
+        if self._max_bucket is not None:
+            room = self._max_bucket - len(old_ids)
+            if room <= 0:
+                return
+            new_ids = new_ids[:room]
         pairs = [
             (min(o, n), max(o, n)) for n in new_ids for o in old_ids if o != n
         ]
@@ -620,13 +633,15 @@ class LshBucketProcessor(StatefulProcessor):
         pass
 
 
-def lsh_candidates_tws(docs: DataFrame) -> DataFrame:
+def lsh_candidates_tws(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Streaming near-dup candidate pairs: the map-side banded MinHash
     the batch tier uses (``dedup.minhash_banded`` — shingles,
     signatures, band hashes, all narrow expressions), then
     transformWithStateInPandas keyed on the band bucket. A pair that
     collides in several bands is emitted once per band (append mode);
-    consumers dedup, as the batch tier's dropDuplicates does."""
+    consumers dedup, as the batch tier's dropDuplicates does.
+    ``max_bucket`` enforces the per-bucket occupancy/fan-out bound
+    (see LshBucketProcessor)."""
     from algebraicdb_spark.operators.dedup import minhash_banded, shingles
 
     toks = docs.select(
@@ -636,7 +651,7 @@ def lsh_candidates_tws(docs: DataFrame) -> DataFrame:
         minhash_banded(toks)
         .groupBy("band_idx", "band_hash")
         .transformWithStateInPandas(
-            LshBucketProcessor(),
+            LshBucketProcessor(max_bucket),
             outputStructType=LSH_TWS_OUTPUT_DDL,
             outputMode="Append",
             timeMode="None",

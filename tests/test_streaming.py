@@ -680,3 +680,59 @@ def test_stream_tws_near_dup_pairs_match_batch_tier(spark, sf_dir):
     cols = ["doc_a", "doc_b", "jaccard"]
     assert rows_set(got, cols) == rows_set(want, cols)
     assert got.count() > 0
+
+
+def test_lsh_bucket_processor_cap_bounds_state_and_fanout():
+    """Pure-unit: LshBucketProcessor with max_bucket must never grow a
+    bucket past the cap nor pair beyond it (saturated buckets go
+    silent); with the default None it emits ALL pairs. No Spark — the
+    state handle is a list-backed stub."""
+    import pandas as pd
+
+    from algebraicdb_spark.streaming.engine import LshBucketProcessor
+
+    class _ListState:
+        def __init__(self):
+            self.rows = []
+
+        def get(self):
+            return iter(self.rows)
+
+        def appendList(self, vals):
+            self.rows.extend(vals)
+
+    class _Handle:
+        def __init__(self, state):
+            self._state = state
+
+        def getListState(self, name, schema):
+            return self._state
+
+    def run(proc, batches):
+        state = _ListState()
+        proc.init(_Handle(state))
+        out = []
+        for ids in batches:
+            for pdf in proc.handleInputRows(
+                (0, 0), iter([pd.DataFrame({"doc_id": ids})]), None
+            ):
+                out.extend(map(tuple, pdf.itertuples(index=False)))
+        return out, state.rows
+
+    batches = [[1, 2, 3], [4, 5], [6]]
+    pairs, members = run(LshBucketProcessor(), batches)
+    # uncapped: every cross- and within-batch pair, 6 members -> C(6,2)
+    assert len(members) == 6
+    assert sorted(pairs) == [
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+    ]
+
+    pairs, members = run(LshBucketProcessor(max_bucket=4), batches)
+    # capped at 4: members stop at 4, pairs only among the admitted
+    assert len(members) == 4
+    assert sorted(pairs) == [
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    ]
+
+    pairs, members = run(LshBucketProcessor(max_bucket=1), batches)
+    assert len(members) == 1 and pairs == []
