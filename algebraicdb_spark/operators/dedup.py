@@ -277,8 +277,12 @@ SELECT doc_a, doc_b, jaccard FROM rer WHERE jaccard >= {JACCARD_TAU}
 """
 
 
-def minhash_token_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, tokens): distinct 3-gram shingles of canonical text.
+def shingle_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens): distinct 3-gram shingles of canonical text —
+    the PURE transform, stream-safe (no checkpoint). Both tiers must
+    tokenize identically or LSH parity silently breaks, so the batch
+    wrapper (``minhash_token_arrays``) and the streaming tier
+    (``streaming.engine.lsh_candidates_tws``) share THIS function.
 
     Docs under 3 tokens have no shingles: array_min over the empty
     array would NULL every signature slot and concat_ws would then
@@ -286,16 +290,21 @@ def minhash_token_arrays(docs: DataFrame) -> DataFrame:
     candidate pairs). The oracle drops them at the unnest; drop them
     here for designed (not coincidental) parity.
     """
-    return (
-        docs.select("doc_id", shingles(F.col("text"), 3).alias("tokens"))
-        .filter(F.size("tokens") > 0)
-        # every caller reads this ≥3 times (signature build + both
-        # rerank sides); uncached, the regex+shingle transform re-ran
-        # per consumer. Tokenize ONCE — the materialized shingle table
-        # is what a production dedup pipeline persists anyway. Lazy:
-        # plan-only callers pay nothing.
-        .localCheckpoint(eager=False)
-    )
+    return docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+
+
+def minhash_token_arrays(docs: DataFrame) -> DataFrame:
+    """Batch-side shingle table: ``shingle_tokens`` checkpointed.
+
+    Every batch caller reads this ≥3 times (signature build + both
+    rerank sides); uncached, the regex+shingle transform re-ran per
+    consumer. Tokenize ONCE — the materialized shingle table is what a
+    production dedup pipeline persists anyway. Lazy: plan-only callers
+    pay nothing. (Streams can't checkpoint — they use shingle_tokens.)
+    """
+    return shingle_tokens(docs).localCheckpoint(eager=False)
 
 
 def minhash_banded(toks: DataFrame) -> DataFrame:

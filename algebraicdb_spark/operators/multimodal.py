@@ -646,9 +646,11 @@ def _wav_n_samples(doc_id: int) -> int:
 
 def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, text) -> (doc_id, payload): PCM16 mono RIFF/WAVE via
-    the stdlib ``wave`` writer. Sample i is (byte_i − 79) << 8 of the
+    the stdlib ``wave`` writer. Sample i is (byte_i − 79) << 7 of the
     text's byte at i mod len — centered on the printable-ASCII
-    midpoint so real sign changes (zero crossings) occur."""
+    midpoint so real sign changes (zero crossings) occur, and shifted
+    7 (not 8) so the full byte range fits int16: (255−79)·128 = 22528
+    < 32767, where << 8 would silently wrap any UTF-8 byte ≥ 0xD0."""
     import io
     import wave as _wave
 
@@ -667,7 +669,7 @@ def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cyc = (raw * (n // len(raw) + 1))[:n]
             pcm = (
                 (np.frombuffer(cyc, dtype=np.uint8).astype(np.int32)
-                 - _WAV_CENTER) << 8
+                 - _WAV_CENTER) << 7
             ).astype("<i2")
             buf = io.BytesIO()
             with _wave.open(buf, "wb") as w:

@@ -61,10 +61,12 @@ def get_spark(app_name: str = "algebraicdb-spark", cpus: str | None = None,
     # driver and the forked Python workers; this container has no
     # installable protobuf, so shim it from the host's Cloud SDK copy.
     # The env var must be set before the JVM launches (workers inherit
-    # it); a no-op if a real protobuf exists or the SDK copy is absent.
+    # it). Only the "shim" outcome touches PYTHONPATH — with a native
+    # protobuf (or no SDK copy) the environment is left alone, so the
+    # bootstrap sitecustomize never shadows a host's own one needlessly.
     from algebraicdb_spark._vendor import protobuf_compat
 
-    if protobuf_compat.install():
+    if protobuf_compat.install() == "shim":
         os.environ["PYTHONPATH"] = protobuf_compat.worker_pythonpath_env()
 
     builder = SparkSession.builder.appName(app_name)

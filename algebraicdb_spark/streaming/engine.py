@@ -262,7 +262,11 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        # still running at the deadline: reading the memory table now
+        # would return a silently partial result
+        q.stop()
+        raise TimeoutError(f"stream '{name}' still running after {timeout}s")
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -486,7 +490,12 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        # a timed-out query is still RUNNING and still holds the
+        # checkpoint — proceeding would race it (stale source reads,
+        # concurrent-writer checkpoint conflicts). Fail loudly.
+        q.stop()
+        raise TimeoutError(f"stream to {out_dir} still running after {timeout}s")
 
 
 # ---- streaming incremental dedup (TWS) --------------------------------
@@ -494,15 +503,21 @@ def run_to_parquet(
 DEDUP_TWS_OUTPUT_DDL = "doc_id bigint, status string"
 
 
-def stage_document_files(spark: SparkSession, sf_dir: str, split: int) -> str:
+def stage_document_files(
+    spark: SparkSession, sf_dir: str, split: int, out_dir: str | None = None
+) -> str:
     """Split the documents fixture into two ingest files — doc_id <
     ``split`` (the standing corpus) then the rest (the new batch) —
     in a temp dir with mtimes ordered so FileStreamSource replays them
     as two micro-batches in that order. Each half is a filtered write
     (the boundary must be exact: the dedup twin's statuses depend on
-    it), then moved into the stream dir under an ordered name."""
+    it), then moved into the stream dir under an ordered name.
+
+    Pass ``out_dir`` for an isolated directory (a test that mutates
+    the staged files, parallel runners); the default fixed path is
+    shared per (split, sf_dir) across sequential callers."""
     ensure_confs(spark)
-    out = os.path.join(
+    out = out_dir or os.path.join(
         tempfile.gettempdir(),
         f"adb_docs_src_{split}_{sf_dir.rstrip('/').replace('/', '_')}",
     )
@@ -642,13 +657,10 @@ def lsh_candidates_tws(docs: DataFrame, max_bucket: int | None = None) -> DataFr
     consumers dedup, as the batch tier's dropDuplicates does.
     ``max_bucket`` enforces the per-bucket occupancy/fan-out bound
     (see LshBucketProcessor)."""
-    from algebraicdb_spark.operators.dedup import minhash_banded, shingles
+    from algebraicdb_spark.operators.dedup import minhash_banded, shingle_tokens
 
-    toks = docs.select(
-        "doc_id", shingles(F.col("text"), 3).alias("tokens")
-    ).filter(F.size("tokens") > 0)
     return (
-        minhash_banded(toks)
+        minhash_banded(shingle_tokens(docs))
         .groupBy("band_idx", "band_hash")
         .transformWithStateInPandas(
             LshBucketProcessor(max_bucket),
@@ -659,18 +671,28 @@ def lsh_candidates_tws(docs: DataFrame, max_bucket: int | None = None) -> DataFr
     )
 
 
-def near_dup_pairs_tws(docs: DataFrame, toks: DataFrame) -> DataFrame:
+def near_dup_pairs_tws(
+    docs: DataFrame, toks: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """The full streaming near-dup tier: bucket-state LSH candidates
-    (``lsh_candidates_tws``) reranked by exact shingle Jaccard via a
-    STREAM-STATIC join against the corpus token table — the production
-    shape, where the shingle store is a persisted lookup table the
-    arriving batch joins (``dedup.minhash_rerank`` runs unchanged on
-    the stream side). Emits (doc_a, doc_b, jaccard ≥ τ); a pair that
-    collides in several bands repeats per band — consumers dedup, as
-    the batch tier's dropDuplicates does."""
+    (``lsh_candidates_tws``, ``max_bucket`` forwarded) reranked by
+    exact shingle Jaccard via a STREAM-STATIC join against the corpus
+    token table — the production shape, where the shingle store is a
+    persisted lookup table the arriving batch joins
+    (``dedup.minhash_rerank`` runs unchanged on the stream side).
+
+    A pair that collides in several bands would otherwise pay the
+    double-join + array Jaccard once PER band — and near-identical
+    docs collide in the most bands — so candidates are deduped BEFORE
+    the wide rerank (stateful dropDuplicates; its state is the pair
+    set the bucket ListStates already hold, and at production scale
+    ``dropDuplicatesWithinWatermark`` bounds it in time). Emits each
+    (doc_a, doc_b, jaccard ≥ τ) exactly once, like the batch tier."""
     from algebraicdb_spark.operators.dedup import JACCARD_TAU, minhash_rerank
 
-    cands = lsh_candidates_tws(docs)
+    cands = lsh_candidates_tws(docs, max_bucket).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
     return (
         minhash_rerank(cands, toks)
         .select("doc_a", "doc_b", "jaccard")

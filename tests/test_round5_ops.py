@@ -1048,7 +1048,7 @@ def test_wav_codec_roundtrip_and_rejects_garbage():
     )
 
     # doc_id=0 -> 64 samples; "a0" cycles a0a0... -> s alternates
-    # (97-79)<<8 = +4608 and (48-79)<<8 = -7936: every step crosses 0
+    # (97-79)<<7 = +2304 and (48-79)<<7 = -3968: every step crosses 0
     src = pd.DataFrame({"doc_id": [0], "text": ["a0"]})
     [enc] = list(encode_wav_batch(iter([src])))
     assert bytes(enc["payload"][0])[:4] == b"RIFF"
@@ -1057,7 +1057,7 @@ def test_wav_codec_roundtrip_and_rejects_garbage():
     assert (row.sample_rate, row.n_samples) == (WAV_RATE, 64)
     assert row.duration_ms == 64 * 1000 // WAV_RATE
     assert row.zero_crossings == 63
-    sq = 32 * (4608 * 4608 + 7936 * 7936)
+    sq = 32 * (2304 * 2304 + 3968 * 3968)
     assert row.rms_milli == math.isqrt(sq * 1_000_000 // 64)
 
     bad = pd.DataFrame({"doc_id": [1], "payload": [b"P6 not wav"]})
@@ -1087,8 +1087,11 @@ def test_wav_codec_roundtrip_property():
     @settings(max_examples=50, deadline=None)
     @given(
         doc_id=st.integers(min_value=0, max_value=10**9),
+        # codepoints beyond ASCII on purpose: multi-byte UTF-8 carries
+        # bytes ≥ 0xD0, which a 16-bit overflow in the encoder would
+        # silently wrap (the bug class the << 7 scaling prevents)
         text=st.text(
-            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x44F),
             min_size=1,
             max_size=200,
         ),
@@ -1100,7 +1103,7 @@ def test_wav_codec_roundtrip_property():
         row = out.iloc[0]
         n = _wav_n_samples(doc_id)
         raw = text.encode()
-        s = [((raw * (n // len(raw) + 1))[i] - _WAV_CENTER) * 256 for i in range(n)]
+        s = [((raw * (n // len(raw) + 1))[i] - _WAV_CENTER) * 128 for i in range(n)]
         assert row.n_samples == n
         assert row.rms_milli == math.isqrt(
             sum(v * v for v in s) * 1_000_000 // n
@@ -1140,7 +1143,7 @@ def test_wav_features_spark_end_to_end(spark, sf_dir):
     ).orderBy("doc_id").first()
     n = _wav_n_samples(d0)
     raw = text.encode()
-    s = [((raw * (n // len(raw) + 1))[i] - _WAV_CENTER) * 256 for i in range(n)]
+    s = [((raw * (n // len(raw) + 1))[i] - _WAV_CENTER) * 128 for i in range(n)]
     assert rows[d0]["rms_milli"] == math.isqrt(
         sum(v * v for v in s) * 1_000_000 // n
     )

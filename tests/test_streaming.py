@@ -285,12 +285,37 @@ def test_rate_source_tumbling_agg_end_to_end(spark):
 def test_stream_tws_timers_finalize_idle_state(spark, sf_dir, events_stream):
     """Spark 4 TWS processing-time timers: idle users get a terminal
     'final' row and their state is CLEARED (the next event restarts
-    the count) — the self-cleaning-state half of the stateful API."""
-    got = engine.run_to_memory(
-        engine.stateful_idle_finalize_tws(events_stream),
-        "t_tws_timers",
-        output_mode="append",
+    the count) — the self-cleaning-state half of the stateful API.
+
+    A timer-driven query is inherently LONG-RUNNING: pending
+    processing-time timers keep scheduling micro-batches, so
+    availableNow never reaches the strict harness's termination (the
+    old lenient harness silently read a still-running query). Drive it
+    like the rate-source test instead: start, poll until every live
+    user has finalized, stop."""
+    import time as _time
+
+    q = (
+        engine.stateful_idle_finalize_tws(events_stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_timers")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
     )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            snap = spark.table("t_tws_timers").collect()
+            live_u = {r["user_id"] for r in snap if r["phase"] == "live"}
+            final_u = {r["user_id"] for r in snap if r["phase"] == "final"}
+            if live_u and live_u <= final_u:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = spark.table("t_tws_timers")
     rows = got.collect()
     finals = [r for r in rows if r["phase"] == "final"]
     lives = [r for r in rows if r["phase"] == "live"]
@@ -609,7 +634,11 @@ def test_stream_tws_state_survives_query_restart(spark, sf_dir, tmp_path):
     )
     from algebraicdb_spark.sources.catalog import load_tables
 
-    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    # isolated staging dir: this test MUTATES the staged files, so it
+    # must not share the default fixed path with the other TWS tests
+    src = engine.stage_document_files(
+        spark, sf_dir, INCR_SPLIT, out_dir=str(tmp_path / "src")
+    )
     held = os.path.join(src, "batch1.parquet")
     # park batch 1 OUTSIDE the source dir — the file source matches any
     # visible file in the directory, so an in-place rename won't hide it
