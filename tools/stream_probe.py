@@ -23,9 +23,11 @@ from algebraicdb_spark.streaming import engine  # noqa: E402
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
 SPLIT_FRACTION = 0.8  # corpus/batch boundary scaled per SF
+_CURRENT_SF = [SFS[0]]  # which fixture the op builder should read
 
 
 def probe(spark, sf_dir: str, op_name: str, build) -> tuple[float, int]:
+    _CURRENT_SF[0] = sf_dir
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     n = docs.count()
     split = int(docs.agg({"doc_id": "max"}).collect()[0][0] * SPLIT_FRACTION)
@@ -43,9 +45,21 @@ def probe(spark, sf_dir: str, op_name: str, build) -> tuple[float, int]:
 def main() -> None:
     spark = get_spark("stream-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    def near_dup(docs):
+        # the complete tier needs the static corpus token table (the
+        # persisted shingle store a production ingest joins)
+        from algebraicdb_spark.operators.dedup import minhash_token_arrays
+
+        sf_dir = _CURRENT_SF[0]
+        corpus = docs.sparkSession.read.parquet(
+            f"{sf_dir.rstrip('/')}/documents.parquet"
+        )
+        return engine.near_dup_pairs_tws(docs, minhash_token_arrays(corpus))
+
     ops = {
         "incremental_dedup_tws": engine.incremental_dedup_tws,
         "lsh_candidates_tws": engine.lsh_candidates_tws,
+        "near_dup_pairs_tws": near_dup,
     }
     # warmup: the session's FIRST streaming query pays one-time JVM/
     # state-server/Arrow init that would otherwise land on the small-SF
