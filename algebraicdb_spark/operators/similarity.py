@@ -249,7 +249,16 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 16
-N_PROBE = 6
+# Probes per query (round 9: was 6). Measured recall@5 by N_PROBE at
+# fixed 16 centroids / 2 Lloyd rounds (sf0.001/0.01/0.1):
+#   4: 0.58/0.54/0.48   6: 0.72/0.66/0.60
+#   8: 0.84/0.74/0.74  10: 0.92/0.82/0.86
+# 10/16 buckets ≈ 1.7× the rerank candidates of 6/16 for +0.26 recall
+# at sf0.1 — the right default for a top-5 API (6 returned 2 wrong
+# neighbors on average). Callers needing a different recall/cost point
+# pass ``nprobe`` to ``ivf_search`` (the knob travels with the saved
+# model's search half, not the training half).
+N_PROBE = 10
 
 
 _MEAN_GRID = 10**9  # floor v onto 1e-9 before the mean sum (see below)
@@ -313,10 +322,13 @@ def _fold_dot(a: str, b: str) -> str:
 #   2 rounds: sf0.001 0.72 / sf0.01 0.66 / sf0.1 0.60
 #   3 rounds: 0.76 / 0.62 / 0.60
 #   4 rounds: 0.82 / 0.64 / 0.62
-# Beyond 2 rounds quality saturates at the probe bound (N_PROBE of
-# N_CENTROIDS buckets scanned) — at scale the recall lever is more
-# probes (or more, finer centroids), not more Lloyd rounds, while each
-# extra round doubles the unrolled oracle. 2 is the knee.
+# At sf0.01/sf0.1 recall is flat in rounds (0.66→0.62→0.64 and
+# 0.60→0.60→0.62) — there the lever is probes, not training. At
+# sf0.001 recall does keep climbing with rounds (0.72→0.76→0.82):
+# with only ~600 vectors per 16 buckets the partition boundaries are
+# still moving, so tiny corpora benefit from more Lloyd work. 2 rounds
+# is therefore a cost/oracle-size trade (each extra round doubles the
+# unrolled oracle CTE chain), not a universal quality plateau.
 IVF_ITERS = 2
 
 
@@ -440,11 +452,15 @@ def build_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents
 
 
-def ivf_search(q: DataFrame, e: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_search(
+    q: DataFrame, e: DataFrame, centroids: DataFrame, nprobe: int = N_PROBE
+) -> DataFrame:
     """The query half of IVF: bucket-assign the corpus, probe the
-    N_PROBE nearest buckets per query, exact-rerank candidates. Takes
-    centroids as data — freshly trained or reloaded from a saved
-    model — and builds NO training stages."""
+    ``nprobe`` nearest buckets per query, exact-rerank candidates.
+    Takes centroids as data — freshly trained or reloaded from a saved
+    model — and builds NO training stages. ``nprobe`` is the
+    recall/cost knob (see the measured grid at N_PROBE above); the
+    default is the shipped 10."""
 
     def assign(df, emb_col, id_col, keep, n_best):
         scored = df.crossJoin(F.broadcast(centroids)).select(
@@ -458,7 +474,7 @@ def ivf_search(q: DataFrame, e: DataFrame, centroids: DataFrame) -> DataFrame:
         )
 
     corpus_assigned = assign(e, "embedding", "vec_id", ["embedding"], 1)
-    query_probes = assign(q, "q_emb", "q_id", ["q_emb"], N_PROBE)
+    query_probes = assign(q, "q_emb", "q_id", ["q_emb"], nprobe)
     cands = corpus_assigned.join(F.broadcast(query_probes), "c_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
