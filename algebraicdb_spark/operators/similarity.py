@@ -550,7 +550,19 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_BLOCKS = 8       # 64 dims -> 8 subspaces of 8 dims
 PQ_SUB_DIM = 64 // PQ_BLOCKS
 PQ_K = 16           # centroids per subspace (4-bit codes)
-PQ_RERANK = 8 * TOP_K  # approx candidates kept per query for exact rerank
+# Approx candidates kept per query for exact rerank (round 9: was
+# 8*TOP_K=40). Measured recall@5 by rerank pool at 2 Lloyd rounds
+# (sf0.001/0.01/0.1, 2026-08-15):
+#   40: 0.68/0.60/0.40   80: 0.84/0.72/0.58
+#  160: 1.00/0.92/0.78  240: 1.00/1.00/0.84
+# The pool is the recall lever for PQ — ADC ranking error, not
+# codebook quality, is what loses true neighbors (see PQ_ITERS grid:
+# Lloyd rounds are flat). The pool costs one exact dot per candidate
+# fetched by id AFTER the ADC scan has already ranked the whole
+# corpus, so 6× the pool is ~free relative to the scan; 240 lands PQ
+# at parity with IVF's shipped recall (0.84 vs 0.86 at sf0.1).
+# Callers pick their own point via pq_search(rerank=...).
+PQ_RERANK = 48 * TOP_K
 PQ_TRAIN_MOD = 2    # train on vec_id % MOD = 0 (raise at scale: KB-sized
                     # codebooks need only ~1e4 vectors however big the corpus)
 PQ_TRAIN_CAP = 4096  # cap train rows via vec_id < MOD*CAP (ids are dense)
@@ -567,62 +579,98 @@ def _pq_l2(a: str, b: str) -> str:
     )
 
 
-# Full replay of the PQ pipeline (same determinism recipe as the IVF
-# oracle): stride-sampled train set with a vec_id cap, seed centroids =
-# first PQ_K train vectors, ONE Lloyd iteration with grid-floored
-# integer-sum means (order-free on both engines), nearest-centroid
-# encoding and ADC lookups via fold-order float ops, and an integer
-# (1e-6-grid) block sum for the approx ranking so the candidate cut is
-# engine-exact. The exact rerank then matches sim_knn_cosine's recipe.
-_PQ_ORACLE = f"""
-WITH blocks AS (
+# Lloyd rounds in the codebook build (round 9: was 1). Measured
+# recall@5 by rounds × SF (deterministic pipeline, 2026-08-15; grid in
+# docs/SCALE.md §6), at the shipped rerank=240:
+#   1 round:  sf0.001 1.00 / sf0.01 1.00 / sf0.1 0.86
+#   2 rounds: 1.00 / 1.00 / 0.84
+#   3 rounds: 0.98 / 0.98 / 0.82
+# and at the old rerank=40: 0.72/0.58/0.46 → 0.68/0.60/0.40 →
+# 0.70/0.66/0.38. Rounds are FLAT to slightly negative (±0.02–0.04 =
+# one to two hits of the 50-hit probe's granularity — noise): with 16
+# centroids per 8-dim subspace over a 4096-row train sample the seeds
+# are already near-stationary, and PQ recall is bounded by ADC
+# ranking error, which training cannot remove. The recall lever is
+# PQ_RERANK (measured grid there), not rounds. 2 rounds ships to pin
+# the multi-round trainer/oracle machinery (each extra round adds 5
+# MATERIALIZED CTEs to the unrolled oracle; the train sample is
+# PQ_TRAIN_CAP rows however big the corpus, so round cost is bounded).
+PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """Full replay of the PQ pipeline (same determinism recipe as the
+    IVF oracle): stride-sampled train set with a vec_id cap, seed
+    centroids = first PQ_K train vectors, PQ_ITERS unrolled Lloyd
+    rounds with grid-floored integer-sum means (order-free on both
+    engines; an empty cluster keeps its previous-round centroid),
+    nearest-centroid encoding and ADC lookups via fold-order float
+    ops, and an integer (1e-6-grid) block sum for the approx ranking
+    so the candidate cut is engine-exact. The exact rerank then
+    matches sim_knn_cosine's recipe. MATERIALIZED on every iteration
+    CTE stops DuckDB inlining each round into the next."""
+    ctes = [
+        f"""blocks AS (
   SELECT UNNEST(range(0, {PQ_BLOCKS})) AS block
-), corpus_sub AS (
+), corpus_sub AS MATERIALIZED (
   SELECT e.vec_id, b.block,
          list_transform(
            list_slice(e.embedding, b.block * {PQ_SUB_DIM} + 1,
                       b.block * {PQ_SUB_DIM} + {PQ_SUB_DIM}),
            x -> CAST(x AS DOUBLE)) AS subvec
   FROM embeddings e CROSS JOIN blocks b
-), train AS (
+), train AS MATERIALIZED (
   SELECT * FROM corpus_sub
   WHERE vec_id % {PQ_TRAIN_MOD} = 0
     AND vec_id < {PQ_TRAIN_MOD * PQ_TRAIN_CAP}
-), seeds AS (
+), cbseed AS MATERIALIZED (
   SELECT block, CAST(vec_id // {PQ_TRAIN_MOD} AS INT) AS centroid_id,
-         subvec AS seed
+         subvec AS centroid
   FROM train WHERE vec_id < {PQ_TRAIN_MOD * PQ_K}
-), best AS (
+)"""
+    ]
+    prev = "cbseed"
+    for i in range(PQ_ITERS):
+        ctes.append(f"""best{i} AS MATERIALIZED (
   SELECT vec_id, block, subvec, centroid_id FROM (
-    SELECT t.vec_id, t.block, t.subvec, s.centroid_id,
+    SELECT t.vec_id, t.block, t.subvec, cb.centroid_id,
            row_number() OVER (PARTITION BY t.vec_id, t.block
-                              ORDER BY {_pq_l2('t.subvec', 's.seed')} ASC,
-                                       s.centroid_id ASC) AS r
-    FROM train t JOIN seeds s USING (block)
+                              ORDER BY {_pq_l2('t.subvec', 'cb.centroid')} ASC,
+                                       cb.centroid_id ASC) AS r
+    FROM train t JOIN {prev} cb USING (block)
   ) WHERE r = 1
-), dims AS (
+),
+dims{i} AS MATERIALIZED (
   SELECT block, centroid_id, u.dim, u.v
-  FROM best t,
+  FROM best{i} t,
        LATERAL (SELECT UNNEST(t.subvec) AS v,
                        generate_subscripts(t.subvec, 1) AS dim) u
-), means AS (
+),
+means{i} AS MATERIALIZED (
   SELECT block, centroid_id, dim,
          (CAST(SUM(CAST(floor(v * {_MEAN_GRID}) AS BIGINT)) AS DOUBLE)
           / {_MEAN_GRID}.0) / COUNT(*) AS m
-  FROM dims GROUP BY block, centroid_id, dim
-), trained AS (
+  FROM dims{i} GROUP BY block, centroid_id, dim
+),
+trained{i} AS MATERIALIZED (
   SELECT block, centroid_id, list(m ORDER BY dim) AS trained
-  FROM means GROUP BY block, centroid_id
-), codebook AS (
-  SELECT s.block, s.centroid_id, COALESCE(t.trained, s.seed) AS centroid
-  FROM seeds s LEFT JOIN trained t USING (block, centroid_id)
-), codes AS (
+  FROM means{i} GROUP BY block, centroid_id
+),
+cb{i} AS MATERIALIZED (
+  SELECT p.block, p.centroid_id, COALESCE(t.trained, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN trained{i} t USING (block, centroid_id)
+)""")
+        prev = f"cb{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""", codes AS (
   SELECT vec_id, block, centroid_id FROM (
     SELECT c.vec_id, c.block, cb.centroid_id,
            row_number() OVER (PARTITION BY c.vec_id, c.block
                               ORDER BY {_pq_l2('c.subvec', 'cb.centroid')} ASC,
                                        cb.centroid_id ASC) AS r
-    FROM corpus_sub c JOIN codebook cb USING (block)
+    FROM corpus_sub c JOIN {prev} cb USING (block)
   ) WHERE r = 1
 ), q_sub AS (
   SELECT vec_id AS q_id, block, subvec AS q_subvec FROM corpus_sub
@@ -633,7 +681,7 @@ WITH blocks AS (
            list_transform(range(1, {PQ_SUB_DIM + 1}),
                           i -> qs.q_subvec[i] * cb.centroid[i])),
            (x, y) -> x + y) AS partial
-  FROM q_sub qs JOIN codebook cb USING (block)
+  FROM q_sub qs JOIN {prev} cb USING (block)
 ), approx AS (
   SELECT l.q_id, c.vec_id,
          SUM(CAST(floor(l.partial * {_ADC_GRID}) AS BIGINT)) AS approx_g
@@ -663,6 +711,10 @@ WITH blocks AS (
 SELECT q_id, vec_id, floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
 FROM ranked WHERE rnk <= {TOP_K}
 """
+    )
+
+
+_PQ_ORACLE = _pq_oracle()
 
 
 def _pq_subvecs(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
@@ -690,32 +742,19 @@ def _pq_sub_l2(a, b):
     )
 
 
-def build_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codebook train -> (block, centroid_id, centroid): stride-
-    sampled subvectors, seed centroids, one grid-floored distributed
-    Lloyd iteration (the IVF trainer's determinism recipe). KB-sized
-    however big the corpus — the canonical persist-once artifact for
-    ``Engine.save_model``; at 100 TB the train sample is bounded by
-    PQ_TRAIN_CAP rows per block regardless of corpus size."""
-    _, e = _queries_and_corpus(spark, sf_dir)
-    corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
+def _refine_pq_codebook(train: DataFrame, codebook: DataFrame) -> DataFrame:
+    """One distributed Lloyd round over the subspace train sample:
+    assign every (vec, block) subvector to its nearest centroid,
+    recompute per-(block, centroid, dim) grid-floored integer-sum
+    means (order-free — the same determinism device as
+    ``_refine_centroids``), re-assemble arrays. A centroid whose
+    cluster lost every point keeps its previous-round vector
+    (COALESCE against the incoming codebook) so the codebook always
+    has PQ_BLOCKS × PQ_K entries."""
     l2 = _pq_sub_l2
-    # deterministic stride sample with a dense-id cap: only ~1/MOD of
-    # the corpus (bounded at MOD*CAP ids) enters the trainer shuffle
-    train = corpus_sub.filter(
-        (F.col("vec_id") % PQ_TRAIN_MOD == 0)
-        & (F.col("vec_id") < PQ_TRAIN_MOD * PQ_TRAIN_CAP)
-    )
-    seeds = train.filter(F.col("vec_id") < PQ_TRAIN_MOD * PQ_K).select(
-        "block",
-        F.expr(f"CAST(vec_id DIV {PQ_TRAIN_MOD} AS INT)").alias("centroid_id"),
-        F.col("subvec").alias("seed"),
-    )
-    # one distributed Lloyd iteration, grid-floored integer-sum means
-    # (order-free — the same determinism device as _refine_centroids)
-    assigned = train.join(F.broadcast(seeds), "block").select(
+    assigned = train.join(F.broadcast(codebook), "block").select(
         "vec_id", "block", "subvec", "centroid_id",
-        l2(F.col("subvec"), F.col("seed")).alias("d2"),
+        l2(F.col("subvec"), F.col("centroid")).alias("d2"),
     )
     w_tr = Window.partitionBy("vec_id", "block").orderBy(
         F.col("d2").asc(), F.col("centroid_id").asc()
@@ -735,29 +774,65 @@ def build_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("m"),
         ).alias("trained")
     )
-    # a seed whose cluster lost every point keeps its seed vector.
+    return codebook.join(trained, ["block", "centroid_id"], "left").select(
+        "block",
+        "centroid_id",
+        F.coalesce(F.col("trained"), F.col("centroid")).alias("centroid"),
+    )
+
+
+def build_pq_codebook(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS
+) -> DataFrame:
+    """PQ codebook train -> (block, centroid_id, centroid): stride-
+    sampled subvectors, seed centroids, ``iters`` grid-floored
+    distributed Lloyd rounds (the IVF trainer's determinism recipe).
+    KB-sized however big the corpus — the canonical persist-once
+    artifact for ``Engine.save_model``; at 100 TB the train sample is
+    bounded by PQ_TRAIN_CAP rows per block regardless of corpus
+    size."""
+    _, e = _queries_and_corpus(spark, sf_dir)
+    corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
+    # deterministic stride sample with a dense-id cap: only ~1/MOD of
+    # the corpus (bounded at MOD*CAP ids) enters the trainer shuffle.
+    # Checkpoint it: every Lloyd round joins against it, and uncached
+    # each round re-derived the whole explode from the parquet scan.
+    train = corpus_sub.filter(
+        (F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        & (F.col("vec_id") < PQ_TRAIN_MOD * PQ_TRAIN_CAP)
+    ).localCheckpoint(eager=False)
+    codebook = train.filter(F.col("vec_id") < PQ_TRAIN_MOD * PQ_K).select(
+        "block",
+        F.expr(f"CAST(vec_id DIV {PQ_TRAIN_MOD} AS INT)").alias("centroid_id"),
+        F.col("subvec").alias("centroid"),
+    )
+    for i in range(iters):
+        # checkpoint BETWEEN rounds (lazy): round N's plan otherwise
+        # embeds round N-1's whole assignment DAG — the same device as
+        # build_ivf_centroids
+        if i:
+            codebook = codebook.localCheckpoint(eager=False)
+        codebook = _refine_pq_codebook(train, codebook)
     # Checkpoint the finished codebook: it is KB-sized and the search
     # half broadcasts it into several consumers — uncached, each one
     # re-ran the whole trainer (10 embeddings scans in sim_knn_pq's
     # plan). Lazy: save_model/plan-only callers trigger it only when
     # they actually execute.
-    return (
-        seeds.join(trained, ["block", "centroid_id"], "left")
-        .select(
-            "block",
-            "centroid_id",
-            F.coalesce(F.col("trained"), F.col("seed")).alias("centroid"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    return codebook.localCheckpoint(eager=False)
 
 
-def pq_search(q: DataFrame, e: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_search(
+    q: DataFrame, e: DataFrame, codebook: DataFrame, rerank: int = PQ_RERANK
+) -> DataFrame:
     """The query half of PQ: encode the corpus against the (possibly
     reloaded) codebook, score queries by asymmetric distance over
-    broadcast lookup tables, exact-rerank the top PQ_RERANK. Contains
-    NO training stages — pair with ``build_pq_codebook`` /
-    ``Engine.load_model``."""
+    broadcast lookup tables, exact-rerank the top ``rerank``
+    candidates. Contains NO training stages — pair with
+    ``build_pq_codebook`` / ``Engine.load_model``. ``rerank`` is the
+    recall/cost knob (see the measured grid at PQ_RERANK): ADC
+    ranking error — not codebook quality — bounds PQ recall, so a
+    bigger exact-rerank pool is how recall is bought; each candidate
+    costs one exact dot over the full vector."""
     l2 = _pq_sub_l2
     corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
     # encode: nearest centroid per (vec, block) — broadcast codebook join
@@ -804,7 +879,7 @@ def pq_search(q: DataFrame, e: DataFrame, codebook: DataFrame) -> DataFrame:
         F.col("approx_g").desc(), F.col("vec_id").asc()
     )
     cands = approx.withColumn("arn", F.row_number().over(w_a)).filter(
-        F.col("arn") <= PQ_RERANK
+        F.col("arn") <= rerank
     )
     # exact rerank of the candidate pool only
     exact = (

@@ -74,7 +74,31 @@ def test_pq_recall_at_5(spark, sf_dir, exact):
     from algebraicdb_spark.operators.similarity import sim_knn_pq
 
     recall = _recall(topk(sim_knn_pq(spark, sf_dir)), exact)
-    assert recall >= 0.5, f"PQ recall@5 {recall:.2f} < 0.5"
+    # rerank=240 / 2 Lloyd rounds measures 1.00/1.00/0.84 at
+    # sf0.001/0.01/0.1 (the rerank × SF grid lives at
+    # similarity.PQ_RERANK); 0.8 holds at every SF while pinning the
+    # round-9 improvement over the 40-candidate pool (0.40 at sf0.1)
+    assert recall >= 0.8, f"PQ recall@5 {recall:.2f} < 0.8"
+
+
+def test_pq_rerank_knob(spark, sf_dir, exact):
+    # rerank is a caller knob on the search half: a smaller pool still
+    # yields a valid top-k (possibly lower recall), and recall must be
+    # monotone non-decreasing in the pool size on the same codebook
+    from algebraicdb_spark.operators.similarity import (
+        _queries_and_corpus,
+        build_pq_codebook,
+        pq_search,
+    )
+
+    q, e = _queries_and_corpus(spark, sf_dir)
+    cb = build_pq_codebook(spark, sf_dir).localCheckpoint()
+    small = _recall(topk(pq_search(q, e, cb, rerank=40)), exact)
+    big = _recall(topk(pq_search(q, e, cb, rerank=240)), exact)
+    assert big >= small, f"recall not monotone in rerank: {small} -> {big}"
+    low = pq_search(q, e, cb, rerank=10)
+    counts = [r["count"] for r in low.groupBy("q_id").count().collect()]
+    assert counts and all(c <= 5 for c in counts)
 
 
 def test_self_similarity_excluded(spark, sf_dir, exact):
