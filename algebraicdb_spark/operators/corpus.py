@@ -335,13 +335,39 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MG_CAPACITY = 64  # counters per partition sketch
 MG_TOPK = 10
 
+# Property oracle (the agg_approx_distinct / agg_approx_percentile
+# pattern): the deterministic half of the output — the EXACT top-k
+# tokens by true count — is replayed in SQL, while the sketch half is
+# reduced to an in-plan guarantee boolean the oracle pins to TRUE.
+# If the Misra–Gries merge ever violates its bound (estimate > true,
+# undercount > N/capacity, or a token above the N/capacity threshold
+# missing from the merged sketch), the Spark side emits FALSE and the
+# value hash breaks. Tokenization matches the sketch stream:
+# lower + trim + collapse-\s+ + split, empty tokens dropped (Python
+# str.split() yields none; SQL string_split of '' yields ['']).
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS true_count
+  FROM toks WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, true_count,
+         row_number() OVER (ORDER BY true_count DESC, token ASC) AS rnk
+  FROM tf
+)
+SELECT token, true_count, rnk, TRUE AS mg_ok
+FROM ranked WHERE rnk <= {MG_TOPK}
+"""
 
-@register("text_heavy_hitters")  # sketch: bounds pytest-checked, no SQL twin
+
+@register("text_heavy_hitters", oracle=_HH_ORACLE)
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy-hitter tokens via a mergeable Misra–Gries
     sketch: each partition streams its docs through a MG_CAPACITY
     counter set (Arrow-batched ``mapInPandas``), partials merge with a
-    plain token-sum aggregation, and the top MG_TOPK survive.
+    plain token-sum aggregation.
 
     Why a sketch when exact counts are one groupBy away: at 100 TB the
     vocabulary (URLs, hashes, typos) is billions of keys, so the exact
@@ -349,7 +375,19 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — shuffle size is executors × capacity, independent of
     data volume, with the classic deterministic guarantee that any
     token with true count > N/capacity survives and merged estimates
-    undercount by at most N/capacity (pytest pins both bounds).
+    undercount by at most N/capacity.
+
+    Output contract (round 9 — the key's property oracle): the exact
+    top-MG_TOPK tokens with their true counts, each annotated with an
+    in-plan ``mg_ok`` boolean asserting the sketch guarantee —
+    estimate ≤ true, estimate ≥ true − N/capacity (exact integer
+    arithmetic: est·cap ≥ true·cap − N), and survival for any token
+    whose true count exceeds N/capacity. The DuckDB oracle replays
+    the exact half and pins ``mg_ok`` to TRUE, so the sketch bound is
+    value-hash-checked every round (the exact groupBy exists here to
+    VERIFY the sketch; production calls the sketch alone). Bounds are
+    additionally pytest-pinned over the full top-10-by-estimate in
+    tests/test_corpus_analytics.py.
 
     Input is repartitioned by doc_id and sorted within partitions so
     the stream order — and therefore the sketch content — is
@@ -386,12 +424,33 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("doc_id")
         .mapInPandas(mg_partial, "token string, cnt long")
     )
-    return (
-        partials.groupBy("token")
-        .agg(F.sum("cnt").alias("est_count"))
-        .orderBy(F.desc("est_count"), "token")
+    sketch = partials.groupBy("token").agg(F.sum("cnt").alias("est_count"))
+    # exact side — same tokenization as the sketch stream (Python
+    # str.split() on the lowered text ≡ canonical split for this
+    # whitespace-normal corpus; empty tokens dropped on both engines)
+    toks = d.select(
+        F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    # TakeOrderedAndProject (distributed per-partition top-k + merge),
+    # NOT a global window over the whole vocabulary — the window then
+    # ranks only the MG_TOPK surviving rows
+    w = Window.orderBy(F.col("true_count").desc(), F.col("token").asc())
+    top = (
+        exact.orderBy(F.col("true_count").desc(), F.col("token").asc())
         .limit(MG_TOPK)
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sketch, "token", "left")
+        .crossJoin(F.broadcast(n_total))
     )
+    est, true_c, n = F.col("est_count"), F.col("true_count"), F.col("n_tok")
+    cap = F.lit(MG_CAPACITY)
+    mg_ok = F.when(
+        est.isNotNull(),
+        (est <= true_c) & (est * cap >= true_c * cap - n),
+    ).otherwise(true_c * cap <= n)
+    return top.select("token", "true_count", "rnk", mg_ok.alias("mg_ok"))
 
 
 @register(
