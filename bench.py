@@ -75,6 +75,21 @@ def main() -> None:
 
     spark = get_spark("algebraicdb-bench", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence DAGScheduler's "Failed to update accumulator NNN /
+    # attempted to access non-existent accumulator" stack traces in
+    # the bench tail. Root cause (diagnosed round 9, rc was 0 and the
+    # JSON complete throughout): the bench rebuilds each query's
+    # DataFrame per timed run, so a finished run's lazily-materialized
+    # localCheckpoint RDDs and their task-metric accumulators are
+    # GC-unregistered on the driver while a straggler task from that
+    # run's last job is still reporting — its accumulator update then
+    # logs this benign ERROR. Scoped to this one logger inside the
+    # bench process only (the engine never changes log levels); real
+    # job failures still surface as Python exceptions -> rc != 0.
+    jvm = spark.sparkContext._jvm
+    (jvm.org.apache.logging.log4j.core.config.Configurator
+        .setLevel("org.apache.spark.scheduler.DAGScheduler",
+                  jvm.org.apache.logging.log4j.Level.FATAL))
     load_tables(spark, SF_DIR)
     qs = registry.queries()
 
