@@ -54,6 +54,21 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+def _fold_live(commits) -> list[str]:
+    """The snapshot fold every log-structured table format shares: walk
+    commits in version order, keep each path's LATEST action, a path
+    is live iff that action is an add. ``commits`` yields per-commit
+    lists of (path, action) pairs with action in {"add", "remove"}.
+    Used by both the bespoke ``TxnLogTable`` and the Delta-format
+    ``DeltaLogTable`` reader — the fold is the format-independent
+    core; only the action-file encodings differ."""
+    state: dict[str, str] = {}
+    for actions in commits:
+        for path, act in actions:
+            state[path] = act
+    return sorted(p for p, act in state.items() if act == "add")
+
+
 class TxnLogTable:
     def __init__(self, path: str):
         self.path = path
@@ -83,11 +98,10 @@ class TxnLogTable:
     def live_paths(self, as_of: int | None = None) -> list[str]:
         """Fold the action log: a path is live iff its latest action
         at or before ``as_of`` is an add."""
-        state: dict[str, str] = {}
-        for commit in self._commits(as_of):
-            for a in commit["actions"]:
-                state[a["path"]] = a["action"]
-        return sorted(p for p, act in state.items() if act == "add")
+        return _fold_live(
+            [(a["path"], a["action"]) for a in commit["actions"]]
+            for commit in self._commits(as_of)
+        )
 
     def _publish(self, version: int, actions: list[dict]) -> None:
         """Create-exclusive publish of one commit file. 'x' mode is the
@@ -199,6 +213,118 @@ class TxnLogTable:
             raise ValueError(
                 f"txnlog table {self.path} has no live files at "
                 f"version {as_of if as_of is not None else 'latest'}"
+            )
+        return spark.read.parquet(*paths)
+
+
+class DeltaLogTable:
+    """READ-ONLY reader for a standard Delta Lake table directory —
+    the interop shim that lets this engine scan tables other systems
+    maintain, without adopting a Delta library.
+
+    Covers Delta's public JSON commit schema
+    (https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+    - ``<table>/_delta_log/<20-digit version>.json``, one commit per
+      file, newline-delimited JSON with ONE action object per line;
+    - action kinds ``add`` / ``remove`` (their ``path`` is relative to
+      the table root and URL-encoded) fold into the live set;
+      ``metaData`` / ``protocol`` / ``commitInfo`` / ``txn`` are
+      metadata and don't affect it (commitInfo surfaces in
+      ``history()``);
+    - versions must be contiguous from 0 — a gap means a corrupted or
+      vacuumed-past log and raises instead of silently dropping
+      commits;
+    - snapshot resolution is the SAME fold as ``TxnLogTable``
+      (``_fold_live``) — replaying actions in version order beats any
+      directory listing, which is the whole point of log-structured
+      formats.
+
+    Out of scope, loudly: parquet checkpoint replay (a table with
+    ``_last_checkpoint`` raises NotImplementedError — replaying only
+    the post-checkpoint JSON tail would silently miss files),
+    deletion vectors, and column-mapping metadata. Production swaps
+    this class for delta-rs / Delta Standalone behind the same
+    three-method surface (latest_version / live_paths / snapshot);
+    the scan itself is already just a pruned parquet read either way.
+
+    Scale shape: identical to TxnLogTable — the log is O(commits) of
+    KB-sized driver-side metadata (every Delta client reads it this
+    way); data files are scanned distributed via one multi-path
+    parquet read.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+        if not os.path.isdir(self.log_dir):
+            raise ValueError(f"{path} has no _delta_log directory")
+        if os.path.exists(os.path.join(self.log_dir, "_last_checkpoint")):
+            raise NotImplementedError(
+                "checkpointed Delta log: this minimal reader replays JSON "
+                "commits only — reading past a checkpoint would drop the "
+                "compacted state; use a full Delta client for this table"
+            )
+
+    def versions(self) -> list[int]:
+        vs = sorted(
+            int(f[:20])
+            for f in os.listdir(self.log_dir)
+            if len(f) == 25 and f.endswith(".json") and f[:20].isdigit()
+        )
+        if vs and vs != list(range(0, vs[-1] + 1)):
+            raise ValueError(
+                f"non-contiguous Delta log versions {vs} — log is corrupt "
+                "or vacuumed past version 0"
+            )
+        return vs
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def _commit_actions(self, as_of: int | None = None):
+        """Yield (version, [action-dict, ...]) in version order, one
+        JSON object per NDJSON line."""
+        for v in self.versions():
+            if as_of is not None and v > as_of:
+                break
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                yield v, [json.loads(line) for line in f if line.strip()]
+
+    def live_paths(self, as_of: int | None = None) -> list[str]:
+        from urllib.parse import unquote
+
+        def pairs():
+            for _, actions in self._commit_actions(as_of):
+                out = []
+                for a in actions:
+                    if "add" in a:
+                        out.append((a["add"]["path"], "add"))
+                    elif "remove" in a:
+                        out.append((a["remove"]["path"], "remove"))
+                yield out
+
+        return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
+
+    def history(self) -> list[dict]:
+        """(version, operation) per commit — DESCRIBE HISTORY's core."""
+        out = []
+        for v, actions in self._commit_actions():
+            info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+            out.append({"version": v, "operation": info.get("operation")})
+        return out
+
+    def snapshot(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame:
+        """Scan the snapshot at ``as_of`` (default: latest) — time
+        travel over a Delta table someone else wrote."""
+        paths = self.live_paths(as_of)
+        if not paths:
+            raise ValueError(
+                f"delta table {self.path} has no live files at version "
+                f"{as_of if as_of is not None else 'latest'}"
             )
         return spark.read.parquet(*paths)
 

@@ -210,3 +210,112 @@ class TestTxnLogTable:
         t.append(tables["region"])
         t.append(tables["nation"])
         assert t.vacuum(retain_versions=1) == []  # every file still live
+
+
+class TestDeltaLogTable:
+    """Read-only interop with Delta Lake's public `_delta_log` JSON
+    commit format (PROTOCOL.md action schema): the test WRITES a
+    Delta-format table by hand — NDJSON action files, 20-digit
+    version names, root-relative URL-encoded paths — and proves
+    live-file resolution, time travel, history, and the loud failure
+    modes (checkpointed log, version gap)."""
+
+    def _write_delta(self, spark, tables, root):
+        """Build <root> as a Delta table: v0 adds f1 (2 rows, with a
+        URL-encoded space in its name), v1 adds f2 (3 rows), v2
+        removes f1 (overwrite-style tombstone) + commitInfo rows."""
+        import glob
+        import json
+        import os
+        import shutil
+
+        os.makedirs(os.path.join(root, "_delta_log"))
+        r = tables["region"]
+
+        def stage(df, name):
+            tmp = os.path.join(root, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(root, name))
+            shutil.rmtree(tmp)
+
+        stage(r.limit(2), "part f1.parquet")  # space exercises unquote
+        stage(r.limit(3), "part-f2.parquet")
+
+        def commit(v, lines):
+            with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "00000000-feed-beef-0000-000000000000",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": "{}", "partitionColumns": []}},
+            {"commitInfo": {"operation": "WRITE"}},
+            {"add": {"path": "part%20f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        commit(1, [
+            {"commitInfo": {"operation": "WRITE"}},
+            {"add": {"path": "part-f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        commit(2, [
+            {"commitInfo": {"operation": "DELETE"}},
+            {"remove": {"path": "part%20f1.parquet", "deletionTimestamp": 0,
+                        "dataChange": True}},
+        ])
+
+    def test_snapshot_time_travel_and_history(self, spark, tables, tmp_path):
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_t")
+        self._write_delta(spark, tables, root)
+        t = DeltaLogTable(root)
+        assert t.latest_version() == 2
+        # latest: f1 tombstoned -> only f2's 3 rows
+        assert t.snapshot(spark).count() == 3
+        # time travel: v1 sees both files, v0 only the first
+        assert t.snapshot(spark, as_of=1).count() == 5
+        assert t.snapshot(spark, as_of=0).count() == 2
+        # URL-encoded relative path resolved against the table root
+        assert any(p.endswith("part f1.parquet") for p in t.live_paths(as_of=0))
+        assert [h["operation"] for h in t.history()] == [
+            "WRITE", "WRITE", "DELETE",
+        ]
+
+    def test_checkpointed_log_refuses(self, spark, tables, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cp")
+        self._write_delta(spark, tables, root)
+        open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w").write(
+            '{"version": 1, "size": 4}'
+        )
+        with _pytest.raises(NotImplementedError, match="checkpoint"):
+            DeltaLogTable(root)
+
+    def test_version_gap_refuses(self, spark, tables, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_gap")
+        self._write_delta(spark, tables, root)
+        os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+        with _pytest.raises(ValueError, match="non-contiguous"):
+            DeltaLogTable(root).snapshot(spark)
+
+    def test_missing_log_dir_refuses(self, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        with _pytest.raises(ValueError, match="_delta_log"):
+            DeltaLogTable(str(tmp_path / "nope"))
