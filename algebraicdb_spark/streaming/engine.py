@@ -672,7 +672,10 @@ def lsh_candidates_tws(docs: DataFrame, max_bucket: int | None = None) -> DataFr
 
 
 def near_dup_pairs_tws(
-    docs: DataFrame, toks: DataFrame, max_bucket: int | None = None
+    docs: DataFrame,
+    toks: DataFrame,
+    max_bucket: int | None = None,
+    dedup_horizon: str | None = None,
 ) -> DataFrame:
     """The full streaming near-dup tier: bucket-state LSH candidates
     (``lsh_candidates_tws``, ``max_bucket`` forwarded) reranked by
@@ -684,15 +687,33 @@ def near_dup_pairs_tws(
     A pair that collides in several bands would otherwise pay the
     double-join + array Jaccard once PER band — and near-identical
     docs collide in the most bands — so candidates are deduped BEFORE
-    the wide rerank (stateful dropDuplicates; its state is the pair
-    set the bucket ListStates already hold, and at production scale
-    ``dropDuplicatesWithinWatermark`` bounds it in time). Emits each
-    (doc_a, doc_b, jaccard ≥ τ) exactly once, like the batch tier."""
+    the wide rerank. ``dedup_horizon`` is the state bound for that
+    dedup (the same role ``max_bucket`` plays for bucket state):
+
+    - ``None`` (default): plain stateful ``dropDuplicates`` — the
+      pair-set state grows forever, but every re-collision is
+      suppressed; exact parity with the batch tier (pinned in tests).
+    - an interval string (e.g. ``"10 minutes"``): stamps candidates
+      with their processing-time arrival, watermarks that column, and
+      uses ``dropDuplicatesWithinWatermark`` — state is evicted once
+      older than the horizon, so a pair re-colliding AFTER the
+      horizon re-emits (consumers are idempotent on (doc_a, doc_b)
+      anyway). This is the 100 TB setting: pair-dedup state becomes
+      O(pairs per horizon) instead of O(pairs ever).
+
+    Emits each (doc_a, doc_b, jaccard ≥ τ) once per horizon."""
     from algebraicdb_spark.operators.dedup import JACCARD_TAU, minhash_rerank
 
-    cands = lsh_candidates_tws(docs, max_bucket).dropDuplicates(
-        ["doc_a", "doc_b"]
-    )
+    raw_cands = lsh_candidates_tws(docs, max_bucket)
+    if dedup_horizon is None:
+        cands = raw_cands.dropDuplicates(["doc_a", "doc_b"])
+    else:
+        cands = (
+            raw_cands.withColumn("arrival_ts", F.current_timestamp())
+            .withWatermark("arrival_ts", dedup_horizon)
+            .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+            .drop("arrival_ts")
+        )
     return (
         minhash_rerank(cands, toks)
         .select("doc_a", "doc_b", "jaccard")
@@ -717,3 +738,139 @@ def incremental_dedup_tws(docs: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+DEDUP_GATE_OUTPUT_DDL = "doc_id bigint, text string"
+
+
+class DedupGateProcessor(StatefulProcessor):
+    """Exact-dedup GATE for the composed streaming funnel: keyed by
+    md5(canonical text) — the same grain as the batch funnel's
+    ``GROUP BY ctext`` exact tier (NOT the coarser token-set fp the
+    classify tier uses: docs sharing a token set but differing in
+    order/multiplicity must stay distinct here). The first batch to
+    carry a fingerprint passes its lowest doc_id through WITH its
+    text (so downstream tiers can shingle it without rejoining a
+    store); every later row of that fingerprint is swallowed. One
+    bigint ValueState row per unique text — the same state bound as
+    the classify tier."""
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        best_id: int | None = None
+        best_text = None
+        n = 0
+        for pdf in rows:
+            for i, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                n += 1
+                if best_id is None or int(i) < best_id:
+                    best_id, best_text = int(i), t
+        if best_id is None:
+            return
+        if self._seen.exists():
+            self._seen.update((int(self._seen.get()[0]) + n,))
+            return
+        self._seen.update((n,))
+        yield pd.DataFrame({"doc_id": [best_id], "text": [best_text]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_funnel_tws(
+    docs: DataFrame, toks: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """The COMPOSED streaming dedup funnel — the three pinned tiers as
+    ONE streaming query, the ingest-time shape of the batch
+    ``pipeline_dedup_funnel``:
+
+        staged ingest → exact-dedup gate (text-grain TWS ValueState)
+        → banded MinHash → LSH bucket state (TWS ListState, optional
+        ``max_bucket``) → candidate dedup → stream-static exact-Jaccard
+        rerank against the corpus token table → τ filter
+
+    Output is an append-only union of typed rows, the lakehouse
+    event-log pattern for a result that needs late retraction:
+      - kind='fresh': a doc_id that passed the exact gate (tier-1
+        survivor) the moment its batch committed;
+      - kind='pair': a confirmed near-dup (doc_a keeps, doc_b drops).
+    A doc emitted fresh may LATER lose to a pair — append mode cannot
+    retract, so the final keep-set is a view over the sink:
+    ``dedup_funnel_keep_set``. Parity with the batch funnel's tiers is
+    pinned in tests/test_streaming.py.
+
+    Note the gate subtree feeds both union branches; Structured
+    Streaming instantiates one stateful gate operator PER branch
+    (identical deterministic state twice). That doubles gate state —
+    acceptable here because the composed query is the parity/e2e
+    harness; a production deployment sinks the single-branch pair
+    stream and derives fresh-set from the classify tier it already
+    runs (see SCALE.md §5n)."""
+    from algebraicdb_spark.operators.dedup import (
+        JACCARD_TAU,
+        canonical_text,
+        minhash_banded,
+        minhash_rerank,
+        shingle_tokens,
+    )
+
+    fresh = (
+        docs.select("doc_id", "text", F.md5(canonical_text("text")).alias("fp"))
+        .groupBy("fp")
+        .transformWithStateInPandas(
+            DedupGateProcessor(),
+            outputStructType=DEDUP_GATE_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+    cands = (
+        minhash_banded(shingle_tokens(fresh))
+        .groupBy("band_idx", "band_hash")
+        .transformWithStateInPandas(
+            LshBucketProcessor(max_bucket),
+            outputStructType=LSH_TWS_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        minhash_rerank(cands, toks)
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= F.lit(JACCARD_TAU))
+    )
+    fresh_rows = fresh.select(
+        F.lit("fresh").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+    )
+    return fresh_rows.unionByName(pair_rows)
+
+
+def dedup_funnel_keep_set(sink: DataFrame) -> DataFrame:
+    """The keep-set view over a ``dedup_funnel_tws`` sink: tier-2
+    survivors = fresh docs minus every confirmed near-dup loser.
+    Plain batch ops over the append-only event log — one anti-join,
+    doc-id grain."""
+    fresh = sink.filter(F.col("kind") == "fresh").select("doc_id")
+    drops = (
+        sink.filter(F.col("kind") == "pair")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return fresh.join(drops, "doc_id", "left_anti")

@@ -765,3 +765,101 @@ def test_lsh_bucket_processor_cap_bounds_state_and_fanout():
 
     pairs, members = run(LshBucketProcessor(max_bucket=1), batches)
     assert len(members) == 1 and pairs == []
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_dedup_funnel_end_to_end_matches_batch(spark, sf_dir):
+    """The COMPOSED funnel — staged ingest → exact-dedup gate → LSH
+    bucket state → candidate dedup → stream-static Jaccard rerank —
+    as ONE streaming query must reproduce the batch
+    pipeline_dedup_funnel's tiers on the same docs: the fresh rows are
+    exactly the batch exact-keep set (min doc_id per canonical text),
+    the pair rows are exactly the batch minhash_pairs over the exact
+    survivors, and the keep-set view equals the batch tier-2 set —
+    so the funnel REPORT (n_docs per tier) matches the registered
+    key's output row for row."""
+    from algebraicdb_spark.operators.dedup import (
+        canonical_text,
+        minhash_pairs,
+        minhash_token_arrays,
+    )
+    from algebraicdb_spark.operators.pipeline import (
+        INCR_SPLIT,
+        pipeline_dedup_funnel,
+    )
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = minhash_token_arrays(docs)
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    sink = engine.run_to_memory(
+        engine.dedup_funnel_tws(engine.read_documents_stream(spark, src), toks),
+        "t_tws_funnel",
+        output_mode="append",
+    )
+    # batch twins of each tier (the funnel key's own recipe)
+    exact_keep = (
+        docs.withColumn("ct", canonical_text("text"))
+        .groupBy("ct")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    exact_docs = exact_keep.select("doc_id", F.col("ct").alias("text"))
+    want_fresh = rows_set(exact_keep, ["doc_id"])
+    got_fresh = rows_set(sink.filter("kind = 'fresh'"), ["doc_id"])
+    assert got_fresh == want_fresh
+    want_pairs = rows_set(minhash_pairs(exact_docs), ["doc_a", "doc_b", "jaccard"])
+    got_pairs = rows_set(
+        sink.filter("kind = 'pair'"), ["doc_a", "doc_b", "jaccard"]
+    )
+    assert got_pairs == want_pairs
+    assert got_pairs  # near tier actually fired
+    # keep-set view == fresh minus losers == batch tier-2 survivors
+    keep = {r.doc_id for r in engine.dedup_funnel_keep_set(sink).collect()}
+    drops = {b for _a, b, _j in want_pairs}
+    assert keep == {d for (d,) in want_fresh} - drops
+    # and therefore the streaming funnel reproduces the registered
+    # key's report numbers exactly
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in pipeline_dedup_funnel(spark, sf_dir).collect()
+    }
+    assert report["raw"] == docs.count()
+    assert report["exact_dedup"] == len(got_fresh)
+    assert report["near_dedup"] == len(keep)
+    # the cross-micro-batch state path fired in the composed query too
+    assert any(a < INCR_SPLIT <= b for a, b, _ in got_pairs)
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_near_dup_horizon_dedup_matches_unbounded(spark, sf_dir):
+    """dropDuplicatesWithinWatermark as the pair-dedup state bound:
+    with a horizon far wider than the run, the bounded variant must
+    emit exactly the unbounded tier's pair set (both batches arrive
+    inside one horizon, so nothing re-emits) — proving the knob
+    changes state retention, not results, on in-horizon data."""
+    from algebraicdb_spark.operators.dedup import (
+        minhash_pairs,
+        minhash_token_arrays,
+    )
+    from algebraicdb_spark.operators.pipeline import INCR_SPLIT
+    from algebraicdb_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = minhash_token_arrays(docs)
+    src = engine.stage_document_files(spark, sf_dir, INCR_SPLIT)
+    got = engine.run_to_memory(
+        engine.near_dup_pairs_tws(
+            engine.read_documents_stream(spark, src),
+            toks,
+            dedup_horizon="1 hour",
+        ),
+        "t_tws_near_dup_wm",
+        output_mode="append",
+    ).dropDuplicates(["doc_a", "doc_b"])
+    want = minhash_pairs(docs)
+    cols = ["doc_a", "doc_b", "jaccard"]
+    assert rows_set(got, cols) == rows_set(want, cols)

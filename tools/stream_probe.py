@@ -56,10 +56,21 @@ def main() -> None:
         )
         return engine.near_dup_pairs_tws(docs, minhash_token_arrays(corpus))
 
+    def funnel(docs):
+        # the composed tier: gate + LSH + rerank in one query
+        from algebraicdb_spark.operators.dedup import minhash_token_arrays
+
+        sf_dir = _CURRENT_SF[0]
+        corpus = docs.sparkSession.read.parquet(
+            f"{sf_dir.rstrip('/')}/documents.parquet"
+        )
+        return engine.dedup_funnel_tws(docs, minhash_token_arrays(corpus))
+
     ops = {
         "incremental_dedup_tws": engine.incremental_dedup_tws,
         "lsh_candidates_tws": engine.lsh_candidates_tws,
         "near_dup_pairs_tws": near_dup,
+        "dedup_funnel_tws": funnel,
     }
     # warmup: the session's FIRST streaming query pays one-time JVM/
     # state-server/Arrow init that would otherwise land on the small-SF
