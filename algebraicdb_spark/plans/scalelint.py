@@ -122,8 +122,14 @@ def lint(df: DataFrame, max_exchanges: int = 4) -> list[tuple[str, str, str]]:
     # the fix is a lazy localCheckpoint of the grain-bounded
     # intermediate. (≤3 scans is common for legitimate multi-pass
     # reads of a pruned base table.)
+    # Key scan counts by the full matched path, not the bare filename:
+    # two distinct tables whose files share a name (e.g. documents
+    # .parquet staged under different directories in one stream-static
+    # plan) must not merge into one count and trip a false warning.
     scan_counts: dict[str, int] = {}
-    for m in re.finditer(r"Scan \w+ [^\n]*?([\w.]+)\.(?:parquet|csv|json)", physical):
+    for m in re.finditer(
+        r"Scan \w+ [^\n]*?([\w./-]+\.(?:parquet|csv|json))", physical
+    ):
         scan_counts[m.group(1)] = scan_counts.get(m.group(1), 0) + 1
     for src, cnt in scan_counts.items():
         if cnt >= 4:

@@ -66,10 +66,28 @@ def get_spark(app_name: str = "algebraicdb-spark", cpus: str | None = None,
     # bootstrap sitecustomize never shadows a host's own one needlessly.
     from algebraicdb_spark._vendor import protobuf_compat
 
-    if protobuf_compat.install() == "shim":
+    # Scope the PYTHONPATH mutation to the JVM launch: the gateway JVM
+    # copies the env at process creation (workers inherit the JVM's
+    # copy), so the var only needs to be set while getOrCreate() may
+    # launch it. Restoring afterwards keeps the bootstrap dir out of
+    # every OTHER subprocess this driver later spawns (duckdb CLIs,
+    # git hooks, nested pytest) — they'd otherwise all run the
+    # vendored sitecustomize for no reason. Re-entrant calls re-set it
+    # before each getOrCreate, so an already-running JVM is unaffected
+    # and a first launch always sees it.
+    shim = protobuf_compat.install() == "shim"
+    prior = os.environ.get("PYTHONPATH")
+    if shim:
         os.environ["PYTHONPATH"] = protobuf_compat.worker_pythonpath_env()
 
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus or DEFAULT_CPUS}]")
-    return configure(builder, shuffle_partitions).getOrCreate()
+    try:
+        return configure(builder, shuffle_partitions).getOrCreate()
+    finally:
+        if shim:
+            if prior is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prior
