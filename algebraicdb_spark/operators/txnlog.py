@@ -97,11 +97,29 @@ class TxnLogTable:
 
     def live_paths(self, as_of: int | None = None) -> list[str]:
         """Fold the action log: a path is live iff its latest action
-        at or before ``as_of`` is an add."""
+        at or before ``as_of`` is an add. Non-file actions (``txn``
+        markers from idempotent streaming commits) are metadata and
+        don't participate in the fold — same as Delta's reader."""
         return _fold_live(
-            [(a["path"], a["action"]) for a in commit["actions"]]
+            [
+                (a["path"], a["action"])
+                for a in commit["actions"]
+                if a["action"] in ("add", "remove")
+            ]
             for commit in self._commits(as_of)
         )
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn_version`` any commit recorded for ``app_id``
+        (-1 when none) — the idempotence high-water mark of Delta's
+        transaction-identifier protocol. O(commits) driver-side
+        metadata, read once per streaming micro-batch."""
+        latest = -1
+        for commit in self._commits():
+            for a in commit["actions"]:
+                if a.get("action") == "txn" and a.get("app_id") == app_id:
+                    latest = max(latest, int(a["txn_version"]))
+        return latest
 
     def _publish(self, version: int, actions: list[dict]) -> None:
         """Create-exclusive publish of one commit file. 'x' mode is the
@@ -142,6 +160,48 @@ class TxnLogTable:
         paths = self._stage(df)
         self._publish(version, [{"action": "add", "path": p} for p in paths])
         return version
+
+    def append_txn(
+        self, df: DataFrame, app_id: str, txn_version: int, max_retries: int = 8
+    ) -> int | None:
+        """Idempotent APPEND — Delta's transaction-identifier protocol
+        (a ``txn`` action carrying (appId, version) rides in the same
+        commit as the adds, so data and the idempotence marker are
+        admitted ATOMICALLY or not at all). This is what makes a
+        Structured Streaming ``foreachBatch`` sink exactly-once: the
+        engine guarantees at-least-once batch delivery with a stable
+        ``batch_id``; passing that id as ``txn_version`` makes the
+        redelivered batch a no-op (returns None), because the log
+        already carries a txn marker at or past it.
+
+        Concurrency: adds-only commits never conflict logically, so a
+        lost publish race (another writer took our version slot) is
+        resolved by re-checking the idempotence mark and retrying one
+        version up — no restaging, the data files are already
+        immutable. ``max_retries`` bounds pathological contention
+        loudly instead of spinning.
+        """
+        if txn_version <= self.last_txn_version(app_id):
+            return None
+        paths = self._stage(df)
+        actions = [{"action": "add", "path": p} for p in paths] + [
+            {"action": "txn", "app_id": app_id, "txn_version": txn_version}
+        ]
+        for _ in range(max_retries):
+            try:
+                version = self.latest_version() + 1
+                self._publish(version, actions)
+                return version
+            except ConcurrentWriteError:
+                # a racer (same app restarted? another table writer)
+                # took the slot — if it carried OUR txn mark, the
+                # batch is committed and we must NOT double-commit
+                if txn_version <= self.last_txn_version(app_id):
+                    return None
+        raise ConcurrentWriteError(
+            f"append_txn({app_id}, {txn_version}) lost {max_retries} "
+            "publish races — table is under pathological write contention"
+        )
 
     def overwrite(self, df: DataFrame, expected_version: int) -> int:
         """OVERWRITE commit: tombstone every live file of the snapshot
@@ -194,7 +254,8 @@ class TxnLogTable:
         all_paths: set[str] = set()
         for commit in self._commits():
             for a in commit["actions"]:
-                all_paths.add(a["path"])
+                if a["action"] in ("add", "remove"):
+                    all_paths.add(a["path"])
         doomed = sorted(all_paths - keep)
         for p in doomed:
             shutil.rmtree(p, ignore_errors=True)

@@ -1,0 +1,74 @@
+"""Exactly-once streaming sink into a transactional table.
+
+Structured Streaming's delivery contract to ``foreachBatch`` is
+AT-LEAST-ONCE with a stable ``batch_id``: after a crash between "sink
+committed" and "checkpoint advanced", the SAME batch (same id, same
+content — the checkpoint pins source offsets per batch) is delivered
+again. Exactly-once therefore lives in the sink: the commit must be
+idempotent in ``batch_id``. This module wires that contract into
+``TxnLogTable.append_txn`` — Delta's transaction-identifier protocol,
+where a ``txn (appId, version)`` marker rides atomically in the same
+commit as the data files, so replayed batches see the marker and
+become no-ops. This is precisely how production Delta sinks achieve
+exactly-once (``txnAppId``/``txnVersion`` write options); here the
+mechanics are pinned with the bespoke log so the semantics are
+testable without a Delta library.
+
+Scale shape: per micro-batch, ONE distributed parquet write of the
+batch (executor-side, never through the driver) + O(commits) KB of
+driver-side log metadata for the idempotence probe and publish — the
+same metadata a Delta commit reads. State: none beyond the sink table
+and the query checkpoint; restarts recover from both independently.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+
+def txn_committer(
+    table: TxnLogTable, app_id: str
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body: commit the micro-batch under its
+    engine-assigned batch_id. Factored out so tests can invoke it
+    directly with a duplicated batch_id — simulating the redelivery
+    window that is hard to trigger deterministically in-process."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_txn(batch_df, app_id, batch_id)
+
+    return commit
+
+
+def txnlog_sink(
+    stream_df: DataFrame,
+    table: TxnLogTable,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout: int = 120,
+) -> None:
+    """Drain everything currently available in ``stream_df`` into
+    ``table``, exactly-once, one APPEND commit per micro-batch. Call
+    again (with a freshly built stream and the SAME checkpoint + app_id)
+    after new source data lands: source offsets resume from the
+    checkpoint, and any batch the checkpoint failed to record but the
+    table already committed is deduplicated by its txn marker."""
+    q = (
+        stream_df.writeStream.foreachBatch(txn_committer(table, app_id))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        # a still-running query holds the checkpoint and may be
+        # mid-commit — proceeding would race it; fail loudly (the
+        # run_to_parquet contract).
+        q.stop()
+        raise TimeoutError(
+            f"txnlog sink for {table.path} still running after {timeout}s"
+        )

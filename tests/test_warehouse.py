@@ -319,3 +319,129 @@ class TestDeltaLogTable:
 
         with _pytest.raises(ValueError, match="_delta_log"):
             DeltaLogTable(str(tmp_path / "nope"))
+
+
+class TestTxnStreamSink:
+    """Exactly-once streaming into TxnLogTable (streaming/sink.py):
+    the foreachBatch at-least-once contract made exactly-once by
+    Delta's transaction-identifier protocol (append_txn)."""
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        """The redelivery window: the same (app_id, batch_id) commit a
+        second time must add NOTHING — this is the whole exactly-once
+        guarantee, simulated directly because a real crash between
+        sink-commit and checkpoint-advance can't be forced in-process."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+        from algebraicdb_spark.streaming.sink import txn_committer
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        commit = txn_committer(t, "app")
+        df = spark.range(10)
+        commit(df, 0)
+        assert t.snapshot(spark).count() == 10
+        assert t.last_txn_version("app") == 0
+        v = t.latest_version()
+        commit(df, 0)  # redelivered batch: must be a no-op
+        assert t.latest_version() == v
+        assert t.snapshot(spark).count() == 10
+        commit(df, 1)  # next batch commits normally
+        assert t.snapshot(spark).count() == 20
+        assert t.last_txn_version("app") == 1
+        # a DIFFERENT app's ids are an independent sequence
+        assert t.last_txn_version("other") == -1
+        t2_v = t.append_txn(spark.range(5), "other", 0)
+        assert t2_v is not None and t.snapshot(spark).count() == 25
+        # txn markers are metadata: vacuum and time travel ignore them
+        assert t.vacuum(retain_versions=100) == []
+        assert t.snapshot(spark, as_of=0).count() == 10
+
+    def test_lost_publish_race_retries_once_not_twice(self, spark, tmp_path):
+        """A concurrent writer steals the version slot between our
+        latest_version() read and _publish: append_txn must retry one
+        slot up WITHOUT restaging or double-committing; a racer that
+        carried OUR txn marker (crashed prior incarnation) must turn
+        the retry into a no-op."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        orig_publish = t._publish
+        raced = {"done": False}
+
+        def racy_publish(version, actions):
+            if not raced["done"]:
+                raced["done"] = True
+                orig_publish(
+                    version,
+                    [{"action": "txn", "app_id": "other", "txn_version": 7}],
+                )
+            orig_publish(version, actions)
+
+        t._publish = racy_publish
+        v = t.append_txn(spark.range(10), "app", 0)
+        assert v == 1  # slot 0 was stolen; retry landed at 1
+        assert t.snapshot(spark).count() == 10
+        assert t.last_txn_version("app") == 0
+        assert t.last_txn_version("other") == 7
+        # crashed-prior-incarnation case: the marker is already in the
+        # log, so the "retry" must become a no-op skip
+        t._publish = orig_publish
+        assert t.append_txn(spark.range(99), "app", 0) is None
+        assert t.snapshot(spark).count() == 10
+
+    def test_stream_drains_commits_per_batch_and_resumes(
+        self, spark, sf_dir, tmp_path
+    ):
+        """End-to-end: staged event files -> file stream -> txnlog
+        sink. One commit per micro-batch; snapshot equals the batch
+        read; an immediate restart from the same checkpoint adds
+        nothing; newly landed source files flow through the SAME
+        checkpoint + table without duplicating old batches."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+        from algebraicdb_spark.streaming.engine import (
+            read_events_stream,
+            stage_event_files,
+        )
+        from algebraicdb_spark.streaming.sink import txnlog_sink
+
+        src = stage_event_files(spark, sf_dir, n_files=4)
+        t = TxnLogTable(str(tmp_path / "sink"))
+        ckpt = str(tmp_path / "ckpt")
+        txnlog_sink(read_events_stream(spark, src), t, "ingest", ckpt)
+        expect = spark.read.parquet(src).count()
+        assert t.snapshot(spark).count() == expect
+        # one micro-batch per staged file (FileEventsSource contract),
+        # one commit per batch
+        assert t.last_txn_version("ingest") == 3
+        n_versions = t.latest_version() + 1
+        assert n_versions == 4
+        # restart with nothing new: checkpoint yields no batches
+        txnlog_sink(read_events_stream(spark, src), t, "ingest", ckpt)
+        assert t.snapshot(spark).count() == expect
+        # new data lands (distinct ids, later mtime), same checkpoint
+        extra = (
+            spark.read.parquet(src)
+            .limit(500)
+            .withColumn("event_id", F.col("event_id") + F.lit(10**12))
+        )
+        extra_dir = str(tmp_path / "extra")
+        extra.coalesce(1).write.parquet(extra_dir)
+        part = next(
+            f for f in os.listdir(extra_dir) if f.endswith(".parquet")
+        )
+        dest = os.path.join(src, "part-0099-extra.parquet")
+        os.rename(os.path.join(extra_dir, part), dest)
+        os.utime(dest, (time.time() + 60, time.time() + 60))
+        txnlog_sink(read_events_stream(spark, src), t, "ingest", ckpt)
+        got = t.snapshot(spark)
+        assert got.count() == expect + 500
+        # exactly-once: per-event_id occurrence multiset in the sink
+        # equals the source directory's — no batch dropped, none doubled
+        a = got.groupBy("event_id").count()
+        b = spark.read.parquet(src).groupBy("event_id").count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
