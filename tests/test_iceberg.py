@@ -1,0 +1,387 @@
+"""Read-only Iceberg interop (operators/iceberg.py).
+
+Methodology mirrors the multimodal codecs: the test WRITES Avro
+object-container bytes through a hardcoded, schema-specific encoder
+below, and the engine reads them back through its independent
+schema-DRIVEN decoder — two code paths that only agree if both match
+the public Avro spec. The Iceberg layout (metadata JSON, manifest
+list, manifests, statuses, time travel) follows the public spec at
+https://iceberg.apache.org/spec/; fixtures carry a minimal field
+subset, which the schema-driven reader treats no differently from a
+full 30-field production manifest.
+"""
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from algebraicdb_spark.operators.iceberg import AvroFileReader, IcebergTable
+
+SYNC = b"\xde\xad\xbe\xef" * 4
+
+
+def zz(n: int) -> bytes:
+    """Zigzag + varint encode (Avro int/long wire form)."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def av_bytes(b: bytes) -> bytes:
+    return zz(len(b)) + b
+
+
+def av_str(s: str) -> bytes:
+    return av_bytes(s.encode("utf-8"))
+
+
+def avro_container(
+    schema: dict, record_bufs: list[bytes], codec: str = "null"
+) -> bytes:
+    """One-block Avro object-container file around pre-encoded records."""
+    meta = (
+        zz(2)
+        + av_str("avro.schema")
+        + av_bytes(json.dumps(schema).encode())
+        + av_str("avro.codec")
+        + av_bytes(codec.encode())
+        + zz(0)
+    )
+    payload = b"".join(record_bufs)
+    if codec == "deflate":
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = c.compress(payload) + c.flush()
+    return (
+        b"Obj\x01"
+        + meta
+        + SYNC
+        + zz(len(record_bufs))
+        + zz(len(payload))
+        + payload
+        + SYNC
+    )
+
+
+# ---- minimal Iceberg manifest schemas (field subset of the spec) ----
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def manifest_list_rec(path: str, snap_id: int, content: int = 0) -> bytes:
+    return av_str(path) + zz(os.path.getsize(path)) + zz(0) + zz(content) + zz(
+        snap_id
+    )
+
+
+def manifest_rec(
+    status: int, snap_id: int, file_path: str, n_rows: int, content: int = 0
+) -> bytes:
+    return (
+        zz(status)
+        + zz(1)  # union branch: long
+        + zz(snap_id)
+        + zz(content)
+        + av_str(file_path)
+        + av_str("PARQUET")
+        + zz(n_rows)
+        + zz(os.path.getsize(file_path))
+    )
+
+
+def write_parquet_file(spark, df, dest: str) -> int:
+    """Write df as ONE concrete parquet file at dest; returns rowcount."""
+    tmp = dest + ".stage"
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), dest)
+    return df.count()
+
+
+class TestAvroDecoder:
+    def test_all_types_roundtrip_hand_encoded(self, tmp_path):
+        """Every Avro type the decoder claims, against hand-laid bytes:
+        record, union, array (incl. the negative-count skippable block
+        form), map, enum, fixed, all primitives."""
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "b", "type": "boolean"},
+                {"name": "i", "type": "int"},
+                {"name": "l", "type": "long"},
+                {"name": "f", "type": "float"},
+                {"name": "d", "type": "double"},
+                {"name": "s", "type": "string"},
+                {"name": "by", "type": "bytes"},
+                {"name": "u", "type": ["null", "string"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "int"}},
+                {
+                    "name": "e",
+                    "type": {"type": "enum", "name": "col",
+                             "symbols": ["RED", "GREEN"]},
+                },
+                {
+                    "name": "fx",
+                    "type": {"type": "fixed", "name": "f4", "size": 4},
+                },
+                {
+                    "name": "ts",
+                    "type": {"type": "long",
+                             "logicalType": "timestamp-micros"},
+                },
+            ],
+        }
+        rec = (
+            b"\x01"  # true
+            + zz(-7)
+            + zz(2**40 + 3)
+            + struct.pack("<f", 1.5)
+            + struct.pack("<d", -2.25)
+            + av_str("héllo")
+            + av_bytes(b"\x00\xff")
+            + zz(1) + av_str("set")  # union branch 1
+            # array in two blocks, second in negative-count form
+            + zz(2) + zz(10) + zz(20)
+            + zz(-1) + zz(len(zz(30))) + zz(30)
+            + zz(0)
+            + zz(1) + av_str("k") + zz(42) + zz(0)
+            + zz(1)  # GREEN
+            + b"ABCD"
+            + zz(123456789)
+        )
+        p = tmp_path / "t.avro"
+        p.write_bytes(avro_container(schema, [rec, rec]))
+        rows = AvroFileReader(str(p)).records
+        assert len(rows) == 2
+        r = rows[0]
+        assert r["b"] is True and r["i"] == -7 and r["l"] == 2**40 + 3
+        assert r["f"] == 1.5 and r["d"] == -2.25
+        assert r["s"] == "héllo" and r["by"] == b"\x00\xff"
+        assert r["u"] == "set"
+        assert r["arr"] == [10, 20, 30]
+        assert r["m"] == {"k": 42}
+        assert r["e"] == "GREEN" and r["fx"] == b"ABCD"
+        assert r["ts"] == 123456789
+
+    def test_deflate_codec_and_corruption_refusals(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        p = tmp_path / "d.avro"
+        p.write_bytes(avro_container(schema, [zz(5), zz(6)], codec="deflate"))
+        assert [r["x"] for r in AvroFileReader(str(p)).records] == [5, 6]
+        # bad magic
+        bad = tmp_path / "bad.avro"
+        bad.write_bytes(b"PAR1" + b"\x00" * 32)
+        with pytest.raises(ValueError, match="not an avro"):
+            AvroFileReader(str(bad))
+        # flipped sync marker
+        buf = bytearray(avro_container(schema, [zz(5)]))
+        buf[-1] ^= 0xFF
+        (tmp_path / "sync.avro").write_bytes(bytes(buf))
+        with pytest.raises(ValueError, match="sync marker"):
+            AvroFileReader(str(tmp_path / "sync.avro"))
+        # unsupported codec
+        s = avro_container(schema, [zz(5)], codec="null").replace(
+            av_str("avro.codec") + av_bytes(b"null"),
+            av_str("avro.codec") + av_bytes(b"snappy"),
+        )
+        (tmp_path / "sn.avro").write_bytes(s)
+        with pytest.raises(NotImplementedError, match="snappy"):
+            AvroFileReader(str(tmp_path / "sn.avro"))
+
+
+class TestIcebergTable:
+    def _build(self, spark, sf_dir, root: str) -> dict:
+        """Two-snapshot table over orders subsets:
+        snap1 = {A, C} (both ADDED); snap2 rewrites C away
+        (A EXISTING, C DELETED) and appends B."""
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["orders"]
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        fa = os.path.join(data, "a.parquet")
+        fb = os.path.join(data, "b.parquet")
+        fc = os.path.join(data, "c.parquet")
+        na = write_parquet_file(spark, o.where(F.col("o_orderkey") % 3 == 0), fa)
+        nb = write_parquet_file(spark, o.where(F.col("o_orderkey") % 3 == 1), fb)
+        nc = write_parquet_file(spark, o.where(F.col("o_orderkey") % 3 == 2), fc)
+        s1, s2 = 1001, 1002
+        m1 = os.path.join(meta, "m1.avro")
+        with open(m1, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_SCHEMA,
+                    [manifest_rec(1, s1, fa, na), manifest_rec(1, s1, fc, nc)],
+                )
+            )
+        m2a = os.path.join(meta, "m2a.avro")
+        with open(m2a, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_SCHEMA,
+                    [manifest_rec(0, s1, fa, na), manifest_rec(2, s2, fc, nc)],
+                    codec="deflate",  # prove codec path inside a manifest
+                )
+            )
+        m2b = os.path.join(meta, "m2b.avro")
+        with open(m2b, "wb") as f:
+            f.write(
+                avro_container(MANIFEST_SCHEMA, [manifest_rec(1, s2, fb, nb)])
+            )
+        ml1 = os.path.join(meta, "snap-1001.avro")
+        with open(ml1, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_LIST_SCHEMA, [manifest_list_rec(m1, s1)]
+                )
+            )
+        ml2 = os.path.join(meta, "snap-1002.avro")
+        with open(ml2, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_LIST_SCHEMA,
+                    [manifest_list_rec(m2a, s2), manifest_list_rec(m2b, s2)],
+                )
+            )
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000001",
+            "location": root,
+            "current-snapshot-id": s2,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1, "manifest-list": ml1},
+                {"snapshot-id": s2, "timestamp-ms": 2, "manifest-list": ml2},
+            ],
+        }
+        with open(os.path.join(meta, "v2.metadata.json"), "w") as f:
+            json.dump(md, f)
+        # a stale v1 that must NOT be picked without a version hint
+        md1 = dict(md, **{"current-snapshot-id": s1,
+                          "snapshots": md["snapshots"][:1]})
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md1, f)
+        return {"na": na, "nb": nb, "nc": nc, "s1": s1, "s2": s2,
+                "fa": fa, "fb": fb, "fc": fc, "meta": meta}
+
+    def test_snapshot_and_time_travel(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        t = IcebergTable(root)
+        assert t.current_snapshot_id() == ctx["s2"]
+        # current: A + B (C's DELETED entry dropped)
+        assert t.live_paths() == sorted([ctx["fa"], ctx["fb"]])
+        cur = t.snapshot(spark)
+        assert cur.count() == ctx["na"] + ctx["nb"]
+        assert cur.where(F.col("o_orderkey") % 3 == 2).count() == 0
+        # time travel: snapshot 1 = A + C
+        past = t.snapshot(spark, snapshot_id=ctx["s1"])
+        assert past.count() == ctx["na"] + ctx["nc"]
+        assert past.where(F.col("o_orderkey") % 3 == 1).count() == 0
+        with pytest.raises(ValueError, match="not in metadata"):
+            t.snapshot(spark, snapshot_id=999)
+
+    def test_version_hint_pins_metadata(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        hint = os.path.join(ctx["meta"], "version-hint.text")
+        with open(hint, "w") as f:
+            f.write("1\n")
+        t = IcebergTable(root)  # hint wins over highest file
+        assert t.current_snapshot_id() == ctx["s1"]
+        assert t.snapshot(spark).count() == ctx["na"] + ctx["nc"]
+
+    def test_merge_on_read_refusals(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        # (a) delete MANIFEST in the list (content=1)
+        bad_ml = os.path.join(ctx["meta"], "snap-1002.avro")
+        with open(bad_ml, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_LIST_SCHEMA,
+                    [manifest_list_rec(
+                        os.path.join(ctx["meta"], "m2b.avro"),
+                        ctx["s2"], content=1,
+                    )],
+                )
+            )
+        with pytest.raises(NotImplementedError, match="delete manifest"):
+            IcebergTable(root).live_paths()
+        # (b) delete DATA FILE inside a manifest (data_file.content=1)
+        with open(os.path.join(ctx["meta"], "m2b.avro"), "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_SCHEMA,
+                    [manifest_rec(1, ctx["s2"], ctx["fb"], ctx["nb"],
+                                  content=1)],
+                )
+            )
+        with open(bad_ml, "wb") as f:
+            f.write(
+                avro_container(
+                    MANIFEST_LIST_SCHEMA,
+                    [manifest_list_rec(
+                        os.path.join(ctx["meta"], "m2b.avro"), ctx["s2"]
+                    )],
+                )
+            )
+        with pytest.raises(NotImplementedError, match="delete file"):
+            IcebergTable(root).live_paths()
+
+    def test_missing_metadata_refuses(self, tmp_path):
+        with pytest.raises(ValueError, match="metadata"):
+            IcebergTable(str(tmp_path / "nope"))
+        os.makedirs(str(tmp_path / "empty" / "metadata"))
+        with pytest.raises(ValueError, match="metadata.json"):
+            IcebergTable(str(tmp_path / "empty"))
