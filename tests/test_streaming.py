@@ -863,3 +863,148 @@ def test_stream_near_dup_horizon_dedup_matches_unbounded(spark, sf_dir):
     want = minhash_pairs(docs)
     cols = ["doc_a", "doc_b", "jaccard"]
     assert rows_set(got, cols) == rows_set(want, cols)
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="google.protobuf unavailable in container"
+)
+def test_stream_funnel_drains_exactly_once_into_txnlog(spark, sf_dir, tmp_path):
+    """The full ingest story as ONE pipeline: staged docs → composed
+    dedup funnel (exact gate → LSH bucket state → pair dedup →
+    stream-static rerank) → EXACTLY-ONCE txn sink. Three guarantees,
+    each checked from the TABLE (not a memory sink):
+
+    1. one atomic commit per micro-batch, and the event log in the
+       table equals the batch twins (fresh = exact-keep set, pairs =
+       minhash_pairs over survivors) with NO duplicate rows — the
+       exactly-once multiset property end-to-end;
+    2. an immediate restart from the same checkpoint and a simulated
+       foreachBatch redelivery (same batch_id, direct committer call)
+       both no-op — the txn-marker path under the funnel's output;
+    3. a LATE third wave (mutated near-dup texts) flows through the
+       SAME checkpoint + table: the recovered TWS state produces the
+       cross-restart pairs, and the keep-set view over the table's
+       snapshot equals the batch tier-2 set over the grown corpus.
+    """
+    from algebraicdb_spark.operators.dedup import (
+        canonical_text,
+        minhash_pairs,
+        minhash_token_arrays,
+    )
+    from algebraicdb_spark.operators.pipeline import INCR_SPLIT
+    from algebraicdb_spark.operators.txnlog import TxnLogTable
+    from algebraicdb_spark.sources.catalog import load_tables
+    from algebraicdb_spark.streaming.sink import txn_committer, txnlog_sink
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # wave 3: mutated copies of the 20 longest DISTINCT texts (the
+    # fixture replicates exact dups — mutating two identical texts
+    # would collapse at the gate, so pick from exact survivors). One
+    # appended token keeps jaccard ≈ n/(n+1) ≫ τ, so each mutation is
+    # a guaranteed near-dup loser to its source (and FRESH to the gate)
+    exact_keep = (
+        docs.withColumn("ct", canonical_text("text"))
+        .groupBy("ct")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    extra = (
+        exact_keep.orderBy(F.length("ct").desc(), "doc_id")
+        .limit(20)
+        .select(
+            (F.col("doc_id") + F.lit(10**6)).alias("doc_id"),
+            F.concat(F.col("ct"), F.lit(" zzqx7mut")).alias("text"),
+        )
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(extra)
+    # the stream-static rerank side covers every doc the run will see
+    toks = minhash_token_arrays(all_docs)
+
+    src = engine.stage_document_files(
+        spark, sf_dir, INCR_SPLIT, out_dir=str(tmp_path / "src")
+    )
+    t = TxnLogTable(str(tmp_path / "funnel_log"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        txnlog_sink(
+            engine.dedup_funnel_tws(
+                engine.read_documents_stream(spark, src), toks
+            ),
+            t,
+            "funnel",
+            ckpt,
+        )
+
+    drain()
+    # 2 staged files → 2 micro-batches → 2 atomic commits (0, 1),
+    # txn markers at the engine-assigned batch ids
+    assert t.latest_version() == 1
+    assert t.last_txn_version("funnel") == 1
+
+    # batch twins over the initial corpus
+    want_fresh = rows_set(exact_keep, ["doc_id"])
+    want_pairs = rows_set(
+        minhash_pairs(exact_keep.select("doc_id", F.col("ct").alias("text"))),
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    snap = t.snapshot(spark)
+    assert rows_set(snap.filter("kind = 'fresh'"), ["doc_id"]) == want_fresh
+    assert (
+        rows_set(snap.filter("kind = 'pair'"), ["doc_a", "doc_b", "jaccard"])
+        == want_pairs
+    )
+    # exactly-once multiset: every event exactly once, none doubled
+    assert snap.count() == len(want_fresh) + len(want_pairs)
+
+    # restart with nothing new: checkpoint yields no batches
+    drain()
+    assert t.latest_version() == 1
+    # simulated redelivery window: foreachBatch re-invoked with an
+    # already-committed batch_id must no-op on the txn marker
+    replay = snap.limit(3)
+    txn_committer(t, "funnel")(replay, 1)
+    assert t.latest_version() == 1
+    assert t.snapshot(spark).count() == len(want_fresh) + len(want_pairs)
+
+    # wave 3 lands in the SAME source dir; same checkpoint + table
+    import os
+    import time
+
+    stage = str(tmp_path / "extra_stage")
+    extra.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    dst = os.path.join(src, "batch2.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    os.utime(dst, (time.time() + 60, time.time() + 60))
+    drain()
+    assert t.last_txn_version("funnel") == 2
+
+    # final parity over the grown corpus, read from the table snapshot
+    exact_keep_u = (
+        all_docs.withColumn("ct", canonical_text("text"))
+        .groupBy("ct")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want_fresh_u = rows_set(exact_keep_u, ["doc_id"])
+    want_pairs_u = rows_set(
+        minhash_pairs(exact_keep_u.select("doc_id", F.col("ct").alias("text"))),
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    final = t.snapshot(spark)
+    assert rows_set(final.filter("kind = 'fresh'"), ["doc_id"]) == want_fresh_u
+    assert (
+        rows_set(final.filter("kind = 'pair'"), ["doc_a", "doc_b", "jaccard"])
+        == want_pairs_u
+    )
+    assert final.count() == len(want_fresh_u) + len(want_pairs_u)
+    # the recovered LSH state produced cross-restart pairs: every
+    # mutated doc loses to a pre-restart original
+    new_losers = {b for _a, b, _j in want_pairs_u if b >= 10**6}
+    assert len(new_losers) == 20
+    assert want_pairs_u > want_pairs
+    # keep-set view over the TABLE == batch tier-2 survivors
+    keep = {
+        r.doc_id for r in engine.dedup_funnel_keep_set(final).collect()
+    }
+    drops = {b for _a, b, _j in want_pairs_u}
+    assert keep == {d for (d,) in want_fresh_u} - drops
