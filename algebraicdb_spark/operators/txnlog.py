@@ -301,18 +301,35 @@ class DeltaLogTable:
       directory listing, which is the whole point of log-structured
       formats.
 
-    Out of scope, loudly: parquet checkpoint replay (a table with
-    ``_last_checkpoint`` raises NotImplementedError — replaying only
-    the post-checkpoint JSON tail would silently miss files),
-    deletion vectors, and column-mapping metadata. Production swaps
-    this class for delta-rs / Delta Standalone behind the same
+    Checkpoint replay IS in scope (every real Delta table checkpoints
+    every ~10 commits and then CLEANS the old JSON, so a reader that
+    can't start from a checkpoint can't read a table older than its
+    retention window): ``_last_checkpoint`` names the version, the
+    checkpoint is one parquet file (classic
+    ``<v>.checkpoint.parquet``) or N multipart files
+    (``<v>.checkpoint.<i-of-10>.<n-of-10>.parquet``), each row ONE
+    action in struct columns — the live set at the checkpoint is
+    exactly its non-null ``add`` rows (``remove`` rows there are
+    retention tombstones, already folded out). Snapshot = checkpoint
+    adds + the JSON tail fold for versions past it; time travel BELOW
+    the checkpoint works iff the JSON prefix 0..as_of still exists,
+    else raises. Checkpoints are read driver-side via pyarrow with
+    column pruning to ``add`` — the same O(metadata) shape as the
+    JSON fold.
+
+    Out of scope, loudly: v2/UUID-named checkpoints with sidecar
+    files (NotImplementedError — their state lives in files
+    ``_last_checkpoint`` doesn't name), deletion vectors (an ``add``
+    carrying one describes rows we would resurrect by scanning the
+    file raw), and column-mapping metadata. Production swaps this
+    class for delta-rs / Delta Standalone behind the same
     three-method surface (latest_version / live_paths / snapshot);
     the scan itself is already just a pruned parquet read either way.
 
     Scale shape: identical to TxnLogTable — the log is O(commits) of
-    KB-sized driver-side metadata (every Delta client reads it this
-    way); data files are scanned distributed via one multi-path
-    parquet read.
+    KB-sized driver-side metadata plus O(live files) checkpoint rows
+    (every Delta client reads both this way); data files are scanned
+    distributed via one multi-path parquet read.
     """
 
     def __init__(self, path: str):
@@ -320,47 +337,142 @@ class DeltaLogTable:
         self.log_dir = os.path.join(path, "_delta_log")
         if not os.path.isdir(self.log_dir):
             raise ValueError(f"{path} has no _delta_log directory")
-        if os.path.exists(os.path.join(self.log_dir, "_last_checkpoint")):
-            raise NotImplementedError(
-                "checkpointed Delta log: this minimal reader replays JSON "
-                "commits only — reading past a checkpoint would drop the "
-                "compacted state; use a full Delta client for this table"
-            )
+        self._cp: dict | None = None
+        lc = os.path.join(self.log_dir, "_last_checkpoint")
+        if os.path.exists(lc):
+            with open(lc) as f:
+                self._cp = json.load(f)
 
-    def versions(self) -> list[int]:
-        vs = sorted(
+    def _json_versions(self) -> list[int]:
+        """JSON commit versions that still exist on disk — with a
+        checkpoint, the pre-checkpoint prefix may be legally cleaned,
+        so no contiguity demand here; each consumer states its own."""
+        return sorted(
             int(f[:20])
             for f in os.listdir(self.log_dir)
             if len(f) == 25 and f.endswith(".json") and f[:20].isdigit()
         )
-        if vs and vs != list(range(0, vs[-1] + 1)):
+
+    def versions(self) -> list[int]:
+        vs = self._json_versions()
+        if self._cp is None:
+            if vs and vs != list(range(0, vs[-1] + 1)):
+                raise ValueError(
+                    f"non-contiguous Delta log versions {vs} — log is corrupt "
+                    "or vacuumed past version 0"
+                )
+            return vs
+        c = self._cp["version"]
+        tail = [v for v in vs if v > c]
+        if tail and tail != list(range(c + 1, c + 1 + len(tail))):
             raise ValueError(
-                f"non-contiguous Delta log versions {vs} — log is corrupt "
-                "or vacuumed past version 0"
+                f"non-contiguous Delta log tail {tail} after checkpoint "
+                f"{c} — commits past the checkpoint must be complete"
             )
         return vs
 
     def latest_version(self) -> int:
         vs = self.versions()
-        return vs[-1] if vs else -1
+        latest_json = vs[-1] if vs else -1
+        if self._cp is not None:
+            return max(latest_json, self._cp["version"])
+        return latest_json
 
-    def _commit_actions(self, as_of: int | None = None):
-        """Yield (version, [action-dict, ...]) in version order, one
-        JSON object per NDJSON line."""
-        for v in self.versions():
-            if as_of is not None and v > as_of:
-                break
+    # -- checkpoint replay ----------------------------------------------
+
+    def _checkpoint_files(self) -> list[str]:
+        """Resolve the parquet file(s) `_last_checkpoint` names —
+        classic single-file or multipart — refusing v2/sidecar
+        layouts whose state those names don't reach."""
+        c = self._cp["version"]
+        parts = self._cp.get("parts")
+        if parts:
+            names = [
+                f"{c:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+                for i in range(1, parts + 1)
+            ]
+        else:
+            names = [f"{c:020d}.checkpoint.parquet"]
+        paths = [os.path.join(self.log_dir, n) for n in names]
+        missing = [n for n, p in zip(names, paths) if not os.path.exists(p)]
+        if missing:
+            stem = f"{c:020d}.checkpoint."
+            others = sorted(
+                f for f in os.listdir(self.log_dir) if f.startswith(stem)
+            )
+            if others:
+                raise NotImplementedError(
+                    f"unsupported checkpoint layout {others} at version {c} "
+                    "— likely a v2/UUID checkpoint with sidecar files; this "
+                    "reader replays classic/multipart checkpoints only"
+                )
+            raise ValueError(
+                f"_last_checkpoint names version {c} but {missing} "
+                "is absent — checkpoint is incomplete or corrupt"
+            )
+        return paths
+
+    def _checkpoint_adds(self) -> list[str]:
+        """The live set at the checkpoint: its non-null ``add`` rows
+        (still URL-encoded, root-relative). Column-pruned read — the
+        checkpoint may carry wide stats structs we never touch."""
+        import pyarrow.parquet as pq
+
+        adds: list[str] = []
+        for p in self._checkpoint_files():
+            for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
+                if row is None:
+                    continue
+                if row.get("deletionVector") is not None:
+                    raise NotImplementedError(
+                        f"add action for {row.get('path')} carries a "
+                        "deletion vector — scanning the file raw would "
+                        "resurrect deleted rows; use a full Delta client"
+                    )
+                adds.append(row["path"])
+        return adds
+
+    def _json_commit_actions(self, lo: int, hi: int | None):
+        """Yield (version, [action-dict, ...]) for JSON commits in
+        [lo, hi] (hi=None → everything past lo), REQUIRING every
+        version in the range to exist — a hole means commits this
+        replay cannot see."""
+        vs = [
+            v
+            for v in self._json_versions()
+            if lo <= v and (hi is None or v <= hi)
+        ]
+        want_hi = hi if hi is not None else (vs[-1] if vs else lo - 1)
+        if vs != list(range(lo, want_hi + 1)):
+            raise ValueError(
+                f"non-contiguous Delta log: missing JSON commits in "
+                f"[{lo}, {want_hi}] (have {vs}) — cleaned past the "
+                "requested version or corrupt"
+            )
+        for v in vs:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 yield v, [json.loads(line) for line in f if line.strip()]
 
     def live_paths(self, as_of: int | None = None) -> list[str]:
         from urllib.parse import unquote
 
+        cp_v = self._cp["version"] if self._cp is not None else None
+        use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
+
         def pairs():
-            for _, actions in self._commit_actions(as_of):
+            if use_cp:
+                yield [(p, "add") for p in self._checkpoint_adds()]
+            for _, actions in self._json_commit_actions(
+                cp_v + 1 if use_cp else 0, as_of
+            ):
                 out = []
                 for a in actions:
                     if "add" in a:
+                        if a["add"].get("deletionVector") is not None:
+                            raise NotImplementedError(
+                                f"add action for {a['add']['path']} carries "
+                                "a deletion vector; use a full Delta client"
+                            )
                         out.append((a["add"]["path"], "add"))
                     elif "remove" in a:
                         out.append((a["remove"]["path"], "remove"))
@@ -369,9 +481,13 @@ class DeltaLogTable:
         return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
 
     def history(self) -> list[dict]:
-        """(version, operation) per commit — DESCRIBE HISTORY's core."""
+        """(version, operation) per SURVIVING JSON commit — DESCRIBE
+        HISTORY's core. Commits compacted into a checkpoint and
+        cleaned are gone from history too, exactly as in Delta."""
         out = []
-        for v, actions in self._commit_actions():
+        for v in self._json_versions():
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                actions = [json.loads(line) for line in f if line.strip()]
             info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
             out.append({"version": v, "operation": info.get("operation")})
         return out

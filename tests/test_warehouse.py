@@ -284,20 +284,217 @@ class TestDeltaLogTable:
             "WRITE", "WRITE", "DELETE",
         ]
 
-    def test_checkpointed_log_refuses(self, spark, tables, tmp_path):
+    def _checkpoint_at_2(self, spark, tables, root, parts=None):
+        """Turn `_write_delta`'s table into a checkpointed one, as a
+        real Delta writer would after commit 2: checkpoint parquet
+        row-per-action (live add f2, tombstoned remove f1, protocol +
+        metaData carried along) via an INDEPENDENT pyarrow write, the
+        `_last_checkpoint` pointer, the pre-checkpoint JSON cleaned
+        per retention, and a live JSON tail — v3 adds f3 (1 row), v4
+        removes f2 and adds f4 (4 rows)."""
+        import glob
+        import json
         import os
+        import shutil
 
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        log = os.path.join(root, "_delta_log")
+        r = tables["region"]
+
+        def stage(df, name):
+            tmp = os.path.join(root, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(root, name))
+            shutil.rmtree(tmp)
+
+        stage(r.limit(1), "part-f3.parquet")
+        stage(r.limit(4), "part-f4.parquet")
+        rows = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "00000000-feed-beef-0000-000000000000",
+                          "schemaString": "{}"}},
+            {"remove": {"path": "part%20f1.parquet", "deletionTimestamp": 0}},
+            {"add": {"path": "part-f2.parquet", "size": 1,
+                     "modificationTime": 0, "dataChange": False,
+                     "stats": '{"numRecords": 3}'}},
+        ]
+        # one action per ROW, one struct column per action KIND — every
+        # row must carry all columns (from_pylist infers the schema
+        # from the first row otherwise)
+        keys = ("protocol", "metaData", "remove", "add")
+        rows = [{k: r.get(k) for k in keys} for r in rows]
+        if parts:
+            # split action rows across the multipart file set
+            chunks = [rows[:3], rows[3:]]
+            assert len(chunks) == parts
+            for i, chunk in enumerate(chunks, start=1):
+                pq.write_table(
+                    pa.Table.from_pylist(chunk),
+                    os.path.join(
+                        log,
+                        f"{2:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                    ),
+                )
+            lc = {"version": 2, "size": len(rows), "parts": parts}
+        else:
+            pq.write_table(
+                pa.Table.from_pylist(rows),
+                os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+            )
+            lc = {"version": 2, "size": len(rows)}
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            f.write(json.dumps(lc))
+        # retention cleanup: the checkpointed prefix's JSON is deleted
+        for v in (0, 1, 2):
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+
+        def commit(v, lines):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        commit(3, [
+            {"commitInfo": {"operation": "WRITE"}},
+            {"add": {"path": "part-f3.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        commit(4, [
+            {"commitInfo": {"operation": "OVERWRITE"}},
+            {"remove": {"path": "part-f2.parquet", "deletionTimestamp": 0,
+                        "dataChange": True}},
+            {"add": {"path": "part-f4.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+
+    def test_checkpoint_replay_with_cleaned_prefix(self, spark, tables, tmp_path):
+        """The shape every aged Delta table has: a checkpoint, NO JSON
+        before it, live commits after. Snapshot = checkpoint adds +
+        tail fold; time travel to the checkpoint and into the tail
+        works; below the checkpoint (JSON gone) raises."""
         import pytest as _pytest
 
         from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
         root = str(tmp_path / "delta_cp")
         self._write_delta(spark, tables, root)
-        open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w").write(
-            '{"version": 1, "size": 4}'
+        self._checkpoint_at_2(spark, tables, root)
+        t = DeltaLogTable(root)
+        assert t.latest_version() == 4
+        # latest: f2 removed at v4 -> f3 (1) + f4 (4)
+        assert t.snapshot(spark).count() == 5
+        # tail time travel: v3 = f2 (3) + f3 (1)
+        assert t.snapshot(spark, as_of=3).count() == 4
+        # AT the checkpoint: its add rows alone (remove row ignored)
+        assert t.snapshot(spark, as_of=2).count() == 3
+        # below the checkpoint the JSON is cleaned -> loud refusal
+        with _pytest.raises(ValueError, match="missing JSON commits"):
+            t.live_paths(as_of=1)
+        # history covers the surviving commits only, like Delta's
+        assert [h["version"] for h in t.history()] == [3, 4]
+
+    def test_multipart_checkpoint_replays(self, spark, tables, tmp_path):
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cp_mp")
+        self._write_delta(spark, tables, root)
+        self._checkpoint_at_2(spark, tables, root, parts=2)
+        t = DeltaLogTable(root)
+        assert t.snapshot(spark).count() == 5
+        assert t.snapshot(spark, as_of=2).count() == 3
+
+    def test_checkpoint_tail_gap_refuses(self, spark, tables, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cp_gap")
+        self._write_delta(spark, tables, root)
+        self._checkpoint_at_2(spark, tables, root)
+        os.remove(os.path.join(root, "_delta_log", f"{3:020d}.json"))
+        with _pytest.raises(ValueError, match="non-contiguous"):
+            DeltaLogTable(root).snapshot(spark)
+
+    def test_v2_uuid_checkpoint_refuses(self, spark, tables, tmp_path):
+        """A v2/UUID-named checkpoint keeps state in sidecar files the
+        pointer doesn't name — replaying what we CAN see would
+        silently drop files, so refuse."""
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cp_v2")
+        self._write_delta(spark, tables, root)
+        self._checkpoint_at_2(spark, tables, root)
+        log = os.path.join(root, "_delta_log")
+        os.rename(
+            os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+            os.path.join(
+                log, f"{2:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
+            ),
         )
-        with _pytest.raises(NotImplementedError, match="checkpoint"):
-            DeltaLogTable(root)
+        with _pytest.raises(NotImplementedError, match="v2/UUID"):
+            DeltaLogTable(root).snapshot(spark)
+        # and a pointer with NO checkpoint file at all is corrupt
+        os.remove(
+            os.path.join(
+                log, f"{2:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
+            )
+        )
+        with _pytest.raises(ValueError, match="incomplete or corrupt"):
+            DeltaLogTable(root).snapshot(spark)
+
+    def test_deletion_vector_refuses(self, spark, tables, tmp_path):
+        """An add carrying a deletion vector means the parquet file
+        contains rows Delta considers deleted — scanning it raw would
+        resurrect them, so the reader refuses."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cp_dv")
+        self._write_delta(spark, tables, root)
+        self._checkpoint_at_2(spark, tables, root)
+        log = os.path.join(root, "_delta_log")
+        pq.write_table(
+            pa.Table.from_pylist([
+                {"add": {"path": "part-f2.parquet", "size": 1,
+                         "modificationTime": 0, "dataChange": False,
+                         "deletionVector": {"storageType": "u",
+                                            "pathOrInlineDv": "x",
+                                            "offset": 1, "sizeInBytes": 2,
+                                            "cardinality": 3}}},
+            ]),
+            os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+        )
+        with _pytest.raises(NotImplementedError, match="deletion vector"):
+            DeltaLogTable(root).live_paths()
+        # same refusal on the JSON-commit path: an uncheckpointed
+        # table whose latest commit carries a DV add
+        root2 = str(tmp_path / "delta_json_dv")
+        self._write_delta(spark, tables, root2)
+        with open(
+            os.path.join(root2, "_delta_log", f"{3:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"add": {
+                "path": "part-f2.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+                "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                   "offset": 1, "sizeInBytes": 2,
+                                   "cardinality": 3},
+            }}) + "\n")
+        with _pytest.raises(NotImplementedError, match="deletion vector"):
+            DeltaLogTable(root2).live_paths()
 
     def test_version_gap_refuses(self, spark, tables, tmp_path):
         import os
