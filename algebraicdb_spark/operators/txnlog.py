@@ -225,6 +225,72 @@ class TxnLogTable:
         )
         return expected_version
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        min_inputs: int = 2,
+        max_retries: int = 8,
+    ) -> int | None:
+        """OPTIMIZE — transactional small-file compaction, the
+        maintenance pass every streaming-ingested table needs: the
+        exactly-once sink commits one data directory PER MICRO-BATCH,
+        so a long-running ingest accretes thousands of small files and
+        every snapshot scan pays per-file open cost. Compaction
+        rewrites the current live set into ``target_files`` coalesced
+        directories and commits remove(inputs) + add(compacted)
+        ATOMICALLY — content-preserving by construction (one
+        ``coalesce`` read-through, no shuffle, no row changes), and
+        time travel to pre-compaction versions still sees the old
+        layout until VACUUM reclaims it.
+
+        Concurrency follows Delta's OPTIMIZE conflict matrix:
+        - a concurrent APPEND never conflicts — it adds directories we
+          didn't read, compaction doesn't touch them; on a lost publish
+          race we re-check our inputs and retry one version up;
+        - a concurrent OVERWRITE (or anything that REMOVED one of our
+          inputs) aborts with ConcurrentWriteError — publishing would
+          resurrect replaced data under the new snapshot.
+
+        Returns the new version, or None when fewer than ``min_inputs``
+        live directories exist (nothing worth compacting — also what
+        makes back-to-back OPTIMIZE calls idempotent). Scale shape:
+        ONE distributed read→write of the live bytes (the unavoidable
+        cost of compaction) + O(commits) KB of driver-side metadata;
+        at cluster scale the same protocol runs per partition with a
+        size-based file picker instead of whole-snapshot coalesce.
+        """
+        inputs = self.live_paths()
+        if len(inputs) < min_inputs:
+            return None
+        staged = self._stage(
+            spark.read.parquet(*inputs).coalesce(max(target_files, 1))
+        )
+        actions = [{"action": "remove", "path": p} for p in inputs] + [
+            {"action": "add", "path": p} for p in staged
+        ]
+        for _ in range(max_retries):
+            live_now = set(self.live_paths())
+            gone = [p for p in inputs if p not in live_now]
+            if gone:
+                raise ConcurrentWriteError(
+                    f"optimize inputs {gone} were removed by a concurrent "
+                    "writer — committing the rewrite would resurrect "
+                    "replaced data; rerun optimize on the new snapshot"
+                )
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, actions)
+                return version
+            except ConcurrentWriteError:
+                # a racer took the slot; if it only APPENDED our inputs
+                # are still live and the next loop retries one slot up
+                continue
+        raise ConcurrentWriteError(
+            f"optimize lost {max_retries} publish races — table is under "
+            "pathological write contention"
+        )
+
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Delete data directories referenced by NO snapshot within the
         last ``retain_versions`` versions — the physical-delete pass

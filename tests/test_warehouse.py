@@ -211,6 +211,98 @@ class TestTxnLogTable:
         t.append(tables["nation"])
         assert t.vacuum(retain_versions=1) == []  # every file still live
 
+    def test_optimize_compacts_preserving_snapshot(
+        self, spark, tables, tmp_path
+    ):
+        """OPTIMIZE bin-packs the live set into one directory without
+        changing a row; time travel still sees the small-file layout;
+        VACUUM then reclaims it; a second OPTIMIZE is a no-op."""
+        t = self._table(tmp_path)
+        o = tables["orders"].select("o_orderkey", "o_totalprice")
+        for k in range(3):
+            t.append(o.filter(f"o_orderkey % 3 = {k}"))
+        small = t.live_paths()
+        assert len(small) == 3
+        pre = t.snapshot(spark).groupBy("o_orderkey").count()
+        assert t.optimize(spark) == 3  # commits as v3
+        assert len(t.live_paths()) == 1
+        post = t.snapshot(spark).groupBy("o_orderkey").count()
+        assert pre.exceptAll(post).count() == 0
+        assert post.exceptAll(pre).count() == 0
+        # pre-compaction layout still time-travels…
+        assert t.live_paths(as_of=2) == small
+        # …until vacuum reclaims it (latest only ⇒ v0-v2 unreachable)
+        import os
+
+        assert sorted(t.vacuum(retain_versions=1)) == sorted(small)
+        assert not any(os.path.isdir(p) for p in small)
+        assert t.snapshot(spark).count() == tables["orders"].count()
+        # nothing left to compact
+        assert t.optimize(spark) is None
+
+    def test_optimize_tolerates_concurrent_append(
+        self, spark, tables, tmp_path, monkeypatch
+    ):
+        """Delta's conflict matrix, the commuting half: an APPEND that
+        lands between OPTIMIZE's snapshot read and its publish adds a
+        directory compaction never read — the retry commits one slot
+        up and the appended data stays live and untouched."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        t.append(tables["region"])
+        orig = TxnLogTable._stage
+        fired = {}
+
+        def racy_stage(self_, df):
+            if not fired:
+                fired["x"] = True  # before the racer's own _stage re-enters
+                TxnLogTable(t.path).append(tables["nation"])
+            return orig(self_, df)
+
+        monkeypatch.setattr(TxnLogTable, "_stage", racy_stage)
+        v = t.optimize(spark)
+        assert v == 3  # racer took v2 during our staging; retry landed v3
+        n_region, n_nation = tables["region"].count(), tables["nation"].count()
+        assert t.snapshot(spark).count() == 2 * n_region + n_nation
+        # the racer's directory is still live alongside the compacted one
+        assert len(t.live_paths()) == 2
+
+    def test_optimize_aborts_when_input_removed(
+        self, spark, tables, tmp_path, monkeypatch
+    ):
+        """The conflicting half: a concurrent OVERWRITE tombstones the
+        directories OPTIMIZE read — publishing the rewrite would
+        resurrect replaced data, so it must abort loudly."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            ConcurrentWriteError,
+            TxnLogTable,
+        )
+
+        t = self._table(tmp_path)
+        t.append(tables["region"])
+        t.append(tables["region"])
+        orig = TxnLogTable._stage
+        fired = {}
+
+        def racy_stage(self_, df):
+            if not fired:
+                fired["x"] = True  # before the racer's own _stage re-enters
+                racer = TxnLogTable(t.path)
+                racer.overwrite(
+                    tables["nation"], expected_version=racer.latest_version() + 1
+                )
+            return orig(self_, df)
+
+        monkeypatch.setattr(TxnLogTable, "_stage", racy_stage)
+        with _pytest.raises(ConcurrentWriteError, match="resurrect"):
+            t.optimize(spark)
+        # the overwrite's result is intact — optimize changed nothing
+        assert t.snapshot(spark).count() == tables["nation"].count()
+
 
 class TestDeltaLogTable:
     """Read-only interop with Delta Lake's public `_delta_log` JSON
@@ -642,3 +734,12 @@ class TestTxnStreamSink:
         b = spark.read.parquet(src).groupBy("event_id").count()
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+        # the sink's file-per-micro-batch layout is exactly what
+        # OPTIMIZE exists for: compact, then re-check the multiset
+        n_small = len(t.live_paths())
+        assert n_small == 5  # one directory per committed batch
+        t.optimize(spark)
+        assert len(t.live_paths()) == 1
+        c = t.snapshot(spark).groupBy("event_id").count()
+        assert c.exceptAll(b).count() == 0
+        assert b.exceptAll(c).count() == 0
