@@ -86,20 +86,108 @@ class TxnLogTable:
         ]
         return max(versions, default=-1)
 
-    def _commits(self, as_of: int | None = None) -> list[dict]:
+    def _commits(self, as_of: int | None = None, lo: int = 0) -> list[dict]:
         out = []
-        for v in range(self.latest_version() + 1):
+        for v in range(lo, self.latest_version() + 1):
             if as_of is not None and v > as_of:
                 break
             with open(os.path.join(self.log_dir, f"v{v:08d}.json")) as f:
                 out.append(json.load(f))
         return out
 
+    # -- log checkpoints -------------------------------------------------
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"ckpt-v{version:08d}.json")
+
+    def _last_ckpt(self) -> dict | None:
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            v = json.load(f)["version"]
+        with open(self._ckpt_path(v)) as f:
+            return json.load(f)
+
+    def write_checkpoint(self) -> int | None:
+        """Checkpoint the log: persist the FOLDED state (live path set
+        + per-app txn high-water marks) at the current latest version,
+        so readers replay O(commits since checkpoint) instead of
+        O(all commits) — the same reason Delta checkpoints every ~10
+        commits, and the piece that keeps the streaming sink's
+        per-micro-batch ``last_txn_version`` probe O(tail) over a
+        months-long ingest. Unlike Delta, the JSON log is NEVER
+        cleaned here, so time travel below the checkpoint still works
+        by full replay; the checkpoint is purely a read accelerator
+        and is itself built incrementally from the previous one.
+
+        Concurrency: the checkpoint at version v is a pure function of
+        commits 0..v, so two racers derive identical bytes — the
+        create-exclusive write lets the first win and the second
+        no-op; the pointer advances via atomic rename and only ever
+        forward. Returns the checkpointed version, or None when there
+        is nothing new to checkpoint."""
+        latest = self.latest_version()
+        if latest < 0:
+            return None
+        prev = self._last_ckpt()
+        if prev is not None and prev["version"] >= latest:
+            return None
+        state: dict[str, str] = {}
+        txn: dict[str, int] = {}
+        lo = 0
+        if prev is not None:
+            state = {p: "add" for p in prev["live"]}
+            txn = dict(prev["txn"])
+            lo = prev["version"] + 1
+        for commit in self._commits(as_of=latest, lo=lo):
+            for a in commit["actions"]:
+                if a["action"] in ("add", "remove"):
+                    state[a["path"]] = a["action"]
+                elif a["action"] == "txn":
+                    k = a["app_id"]
+                    txn[k] = max(txn.get(k, -1), int(a["txn_version"]))
+        doc = {
+            "version": latest,
+            "live": sorted(p for p, act in state.items() if act == "add"),
+            "txn": txn,
+        }
+        try:
+            with open(self._ckpt_path(latest), "x") as f:
+                json.dump(doc, f)
+        except FileExistsError:
+            pass  # a racer derived the same pure function of the log
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        cur = self._last_ckpt()
+        if cur is None or cur["version"] < latest:
+            tmp = ptr + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"version": latest}, f)
+            os.replace(tmp, ptr)  # atomic pointer swing, forward only
+        return latest
+
     def live_paths(self, as_of: int | None = None) -> list[str]:
         """Fold the action log: a path is live iff its latest action
         at or before ``as_of`` is an add. Non-file actions (``txn``
         markers from idempotent streaming commits) are metadata and
-        don't participate in the fold — same as Delta's reader."""
+        don't participate in the fold — same as Delta's reader. With a
+        log checkpoint at or below ``as_of``, the fold starts from its
+        folded live set and replays only the tail; below the
+        checkpoint the full retained log replays (time travel never
+        breaks on checkpointing alone — only VACUUM retires versions).
+        """
+        ckpt = self._last_ckpt()
+        if ckpt is not None and (as_of is None or as_of >= ckpt["version"]):
+            def commits():
+                yield [(p, "add") for p in ckpt["live"]]
+                for c in self._commits(as_of, lo=ckpt["version"] + 1):
+                    yield [
+                        (a["path"], a["action"])
+                        for a in c["actions"]
+                        if a["action"] in ("add", "remove")
+                    ]
+
+            return _fold_live(commits())
         return _fold_live(
             [
                 (a["path"], a["action"])
@@ -112,10 +200,17 @@ class TxnLogTable:
     def last_txn_version(self, app_id: str) -> int:
         """Highest ``txn_version`` any commit recorded for ``app_id``
         (-1 when none) — the idempotence high-water mark of Delta's
-        transaction-identifier protocol. O(commits) driver-side
-        metadata, read once per streaming micro-batch."""
+        transaction-identifier protocol. Read once per streaming
+        micro-batch, so with a log checkpoint it folds the checkpoint's
+        high-water mark + the tail only (O(commits since checkpoint),
+        not O(all commits))."""
+        ckpt = self._last_ckpt()
         latest = -1
-        for commit in self._commits():
+        lo = 0
+        if ckpt is not None:
+            latest = int(ckpt["txn"].get(app_id, -1))
+            lo = ckpt["version"] + 1
+        for commit in self._commits(lo=lo):
             for a in commit["actions"]:
                 if a.get("action") == "txn" and a.get("app_id") == app_id:
                     latest = max(latest, int(a["txn_version"]))

@@ -31,15 +31,29 @@ from algebraicdb_spark.operators.txnlog import TxnLogTable
 
 
 def txn_committer(
-    table: TxnLogTable, app_id: str
+    table: TxnLogTable, app_id: str, log_checkpoint_every: int | None = None
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body: commit the micro-batch under its
     engine-assigned batch_id. Factored out so tests can invoke it
     directly with a duplicated batch_id — simulating the redelivery
-    window that is hard to trigger deterministically in-process."""
+    window that is hard to trigger deterministically in-process.
+
+    ``log_checkpoint_every`` folds a table-log checkpoint every N
+    commits (`TxnLogTable.write_checkpoint`) — without it, the
+    per-batch idempotence probe (``last_txn_version``) replays the
+    WHOLE log, turning a months-long one-batch-per-minute ingest
+    quadratic in total commits; with it the probe is O(N tail
+    commits). Failure-safe: checkpointing is a pure read accelerator,
+    so a crash between commit and checkpoint loses nothing."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        table.append_txn(batch_df, app_id, batch_id)
+        version = table.append_txn(batch_df, app_id, batch_id)
+        if (
+            log_checkpoint_every
+            and version is not None
+            and version % log_checkpoint_every == 0
+        ):
+            table.write_checkpoint()
 
     return commit
 
@@ -50,6 +64,7 @@ def txnlog_sink(
     app_id: str,
     checkpoint_dir: str,
     timeout: int = 120,
+    log_checkpoint_every: int | None = None,
 ) -> None:
     """Drain everything currently available in ``stream_df`` into
     ``table``, exactly-once, one APPEND commit per micro-batch. Call
@@ -58,7 +73,9 @@ def txnlog_sink(
     checkpoint, and any batch the checkpoint failed to record but the
     table already committed is deduplicated by its txn marker."""
     q = (
-        stream_df.writeStream.foreachBatch(txn_committer(table, app_id))
+        stream_df.writeStream.foreachBatch(
+            txn_committer(table, app_id, log_checkpoint_every)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

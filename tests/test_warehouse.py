@@ -211,6 +211,39 @@ class TestTxnLogTable:
         t.append(tables["nation"])
         assert t.vacuum(retain_versions=1) == []  # every file still live
 
+    def test_log_checkpoint_preserves_semantics_and_is_incremental(
+        self, spark, tables, tmp_path
+    ):
+        """A log checkpoint is a pure read accelerator: every read —
+        live set, txn high-water marks, time travel above AND below
+        the checkpoint — answers identically; a second checkpoint
+        builds incrementally from the first; re-checkpointing with
+        nothing new is a no-op."""
+        t = self._table(tmp_path)
+        r = tables["region"]
+        t.append(r.limit(1))                    # v0
+        t.append_txn(r.limit(2), "app", 5)      # v1 + txn mark
+        t.overwrite(tables["nation"], 2)        # v2 tombstones v0-v1
+        t.append(r.limit(3))                    # v3
+        pre_live = t.live_paths()
+        pre_v1 = t.live_paths(as_of=1)
+        assert t.write_checkpoint() == 3
+        assert t.write_checkpoint() is None     # nothing new
+        assert t.live_paths() == pre_live
+        assert t.last_txn_version("app") == 5
+        assert t.last_txn_version("ghost") == -1
+        # below the checkpoint the retained log still replays in full
+        assert t.live_paths(as_of=1) == pre_v1
+        assert t.snapshot(spark, as_of=3).count() == (
+            tables["nation"].count() + 3
+        )
+        # incremental second checkpoint folds prev state + tail only
+        t.append_txn(r.limit(1), "app", 9)      # v4
+        assert t.last_txn_version("app") == 9   # tail read pre-ckpt
+        assert t.write_checkpoint() == 4
+        assert t.last_txn_version("app") == 9   # ckpt read post-ckpt
+        assert len(t.live_paths()) == len(pre_live) + 1
+
     def test_optimize_compacts_preserving_snapshot(
         self, spark, tables, tmp_path
     ):
@@ -725,7 +758,16 @@ class TestTxnStreamSink:
         dest = os.path.join(src, "part-0099-extra.parquet")
         os.rename(os.path.join(extra_dir, part), dest)
         os.utime(dest, (time.time() + 60, time.time() + 60))
-        txnlog_sink(read_events_stream(spark, src), t, "ingest", ckpt)
+        txnlog_sink(
+            read_events_stream(spark, src), t, "ingest", ckpt,
+            log_checkpoint_every=2,
+        )
+        # the new batch committed v4 (divisible by 2) → the sink folded
+        # a log checkpoint, keeping the per-batch idempotence probe
+        # O(tail); reads below answer through it
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "sink"), "_log", "_last_checkpoint")
+        )
         got = t.snapshot(spark)
         assert got.count() == expect + 500
         # exactly-once: per-event_id occurrence multiset in the sink
