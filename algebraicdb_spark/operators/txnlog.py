@@ -69,6 +69,63 @@ def _fold_live(commits) -> list[str]:
     return sorted(p for p, act in state.items() if act == "add")
 
 
+_OPT_ZBITS = 8  # 256 buckets per clustering dimension
+
+
+def _zorder_clustered(df: DataFrame, cols: list[str], target_files: int) -> DataFrame:
+    """Cluster ``df`` by the Morton (Z-order) key over ``cols`` for a
+    compaction rewrite: bucket each column to ``_OPT_ZBITS`` bits
+    against its observed min/max, interleave bit i of dimension k to
+    position i·n+k (the n-column generalization of
+    ``storage_zorder_advisor``'s 2-column key, scans.py), then
+    ``repartitionByRange`` + sort-within on the key so every output
+    file covers a NARROW span of EVERY clustering column — which is
+    what makes parquet min/max file/row-group skipping fire for point
+    filters on any of them. Cost over plain compaction: one extent
+    agg (1 driver row) + one range shuffle of the live bytes — the
+    unavoidable price of clustering, same as Delta's OPTIMIZE ZORDER.
+
+    Pure integer bit arithmetic JVM-side; no UDF. Nulls bucket to 0
+    (they cluster together at the low edge, like Delta)."""
+    n = len(cols)
+    row = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+            )
+        ]
+    ).collect()[0]
+    out = df
+    znames = []
+    for k, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        width = (mx - mn) + 1.0 if mn is not None else 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(mn if mn is not None else 0.0))
+            * (1 << _OPT_ZBITS)
+            / F.lit(width)
+        ).cast("bigint")
+        # clamp the max value into the top bucket, nulls to the bottom
+        b = F.least(b, F.lit((1 << _OPT_ZBITS) - 1))
+        name = f"__zb{k}"
+        out = out.withColumn(name, F.coalesce(b, F.lit(0)))
+        znames.append(name)
+    interleave = " + ".join(
+        f"(((__zb{k} >> {i}) & 1) << {i * n + k})"
+        for i in range(_OPT_ZBITS)
+        for k in range(n)
+    )
+    return (
+        out.withColumn("__zkey", F.expr(interleave))
+        .repartitionByRange(max(target_files, 1), "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *znames)
+    )
+
+
 class TxnLogTable:
     def __init__(self, path: str):
         self.path = path
@@ -326,6 +383,7 @@ class TxnLogTable:
         target_files: int = 1,
         min_inputs: int = 2,
         max_retries: int = 8,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE — transactional small-file compaction, the
         maintenance pass every streaming-ingested table needs: the
@@ -356,11 +414,18 @@ class TxnLogTable:
         size-based file picker instead of whole-snapshot coalesce.
         """
         inputs = self.live_paths()
-        if len(inputs) < min_inputs:
+        if len(inputs) < min_inputs and not zorder_by:
             return None
-        staged = self._stage(
-            spark.read.parquet(*inputs).coalesce(max(target_files, 1))
-        )
+        df = spark.read.parquet(*inputs)
+        if zorder_by:
+            # OPTIMIZE ZORDER BY: re-CLUSTER, not just re-pack — also
+            # legitimate on a single input (min_inputs gates only the
+            # small-file path; clustering changes layout value even at
+            # one directory)
+            df = _zorder_clustered(df, zorder_by, target_files)
+        else:
+            df = df.coalesce(max(target_files, 1))
+        staged = self._stage(df)
         actions = [{"action": "remove", "path": p} for p in inputs] + [
             {"action": "add", "path": p} for p in staged
         ]

@@ -273,6 +273,57 @@ class TestTxnLogTable:
         # nothing left to compact
         assert t.optimize(spark) is None
 
+    def test_optimize_zorder_clusters_both_dimensions(
+        self, spark, tables, tmp_path
+    ):
+        """OPTIMIZE ZORDER BY: the compacted files must each cover a
+        NARROW min/max span of EVERY clustering column (that's what
+        makes parquet file/row-group skipping fire for point filters
+        on either one), while the row multiset is untouched. The
+        unclustered inputs each span the full key range, so global
+        span is the pre-optimize per-file span — the assertion is a
+        direct before/after on skipping effectiveness."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        t = self._table(tmp_path)
+        full = tables["lineitem"]
+        cols = ["l_partkey", "l_suppkey", "l_quantity"]
+        for k in range(2):
+            t.append(full.filter(f"l_orderkey % 2 = {k}").select(*cols))
+        pre = t.snapshot(spark).groupBy(*cols).count()
+        assert t.optimize(
+            spark, target_files=16, zorder_by=["l_partkey", "l_suppkey"]
+        ) == 2
+        (out_dir,) = t.live_paths()
+        parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
+        assert 1 < len(parts) <= 16
+        post = t.snapshot(spark).groupBy(*cols).count()
+        assert pre.exceptAll(post).count() == 0
+        assert post.exceptAll(pre).count() == 0
+        g = t.snapshot(spark).agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+        ).collect()[0]
+        spans = [
+            spark.read.parquet(p)
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+            )
+            .collect()[0]
+            for p in parts
+        ]
+        avg_p = sum(r["p"] for r in spans) / len(spans)
+        avg_s = sum(r["s"] for r in spans) / len(spans)
+        # 16 z-range files split BOTH 8-bit dims into ~quarters; the
+        # 0.45 bound leaves room for range-sampling wobble while still
+        # proving genuine 2-D clustering (unclustered would be ~1.0)
+        assert avg_p < 0.45 * g["p"]
+        assert avg_s < 0.45 * g["s"]
+
     def test_optimize_tolerates_concurrent_append(
         self, spark, tables, tmp_path, monkeypatch
     ):
