@@ -377,6 +377,73 @@ class TxnLogTable:
         )
         return expected_version
 
+    def overwrite_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        expected_version: int,
+    ) -> int | None:
+        """Idempotent OVERWRITE — ``append_txn``'s REPLACE twin: the
+        new content, the tombstones for the old, and the ``txn``
+        idempotence marker ride in ONE atomic commit. A redelivered
+        (app_id, txn_version) no-ops; a stale base loses to
+        ``ConcurrentWriteError`` like any overwrite. This is the
+        primitive a complete-mode / state-replacing consumer needs
+        (e.g. a materialized view whose refresh watermark must commit
+        atomically WITH the refreshed state — crash between the two
+        can then never desync them)."""
+        if txn_version <= self.last_txn_version(app_id):
+            return None
+        current = self.latest_version()
+        if expected_version != current + 1:
+            raise ConcurrentWriteError(
+                f"overwrite based on version {expected_version - 1} but "
+                f"table is at {current} — rebase and retry"
+            )
+        removes = [{"action": "remove", "path": p} for p in self.live_paths()]
+        paths = self._stage(df)
+        self._publish(
+            expected_version,
+            removes
+            + [{"action": "add", "path": p} for p in paths]
+            + [{"action": "txn", "app_id": app_id, "txn_version": txn_version}],
+        )
+        return expected_version
+
+    def changes(
+        self, spark: SparkSession, since: int, to: int | None = None
+    ) -> DataFrame | None:
+        """Rows ADDED to the table in versions (``since``, ``to``] —
+        the change feed an incremental consumer folds instead of
+        rescanning the table (Delta CDF's append-only core). Commits
+        flagged ``data_change: False`` (OPTIMIZE rewrites) are
+        SKIPPED: they rearrange bytes, not content. A data-changing
+        REMOVE in the window (an OVERWRITE) raises — this feed is
+        adds-only by contract, and the consumer must rebuild from the
+        snapshot. Returns None when the window adds nothing.
+
+        Scale shape: O(window commits) driver-side metadata + ONE
+        multi-path parquet read of just the new files — refresh cost
+        follows the delta, never the table."""
+        hi = self.latest_version() if to is None else to
+        paths: list[str] = []
+        for commit in self._commits(as_of=hi, lo=since + 1):
+            for a in commit["actions"]:
+                if not a.get("data_change", True):
+                    continue  # compaction traffic, content unchanged
+                if a["action"] == "remove":
+                    raise ValueError(
+                        f"version {commit['version']} removed data inside "
+                        f"the change window ({since}, {hi}] — the feed is "
+                        "adds-only; rebuild the consumer from the snapshot"
+                    )
+                if a["action"] == "add":
+                    paths.append(a["path"])
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
     def optimize(
         self,
         spark: SparkSession,
@@ -426,8 +493,16 @@ class TxnLogTable:
         else:
             df = df.coalesce(max(target_files, 1))
         staged = self._stage(df)
-        actions = [{"action": "remove", "path": p} for p in inputs] + [
-            {"action": "add", "path": p} for p in staged
+        # data_change: False — compaction rearranges bytes, it never
+        # changes table CONTENT, so incremental consumers (``changes``,
+        # IncrementalAggView) can skip these commits entirely. Same
+        # flag, same reason as Delta's dataChange=false.
+        actions = [
+            {"action": "remove", "path": p, "data_change": False}
+            for p in inputs
+        ] + [
+            {"action": "add", "path": p, "data_change": False}
+            for p in staged
         ]
         for _ in range(max_retries):
             live_now = set(self.live_paths())
@@ -502,6 +577,148 @@ class TxnLogTable:
                 f"version {as_of if as_of is not None else 'latest'}"
             )
         return spark.read.parquet(*paths)
+
+
+class IncrementalAggView:
+    """Incrementally-maintained materialized aggregate over a
+    ``TxnLogTable`` — the O(delta) REFRESH that full-recompute
+    matviews (`Engine`'s REFRESH MATERIALIZED VIEW) lack, and the
+    batch-orchestration twin of the streaming aggregation tier.
+
+    The view is ``base.groupBy(group_cols)`` with count / exact
+    decimal sums / min / max (the associative, appends-only-
+    maintainable aggregates; avg = sum/count downstream). Each
+    ``refresh``:
+
+    - folds ONLY the base versions past the last watermark, via
+      ``TxnLogTable.changes`` — compaction commits (data_change:
+      False) are skipped outright, so OPTIMIZE never triggers view
+      work;
+    - merges delta partials into the state (union + re-aggregate:
+      O(delta + groups), never O(base));
+    - commits the new state AND the watermark ATOMICALLY via
+      ``overwrite_txn`` (the watermark IS the commit's txn marker) —
+      a crash between "state written" and "watermark advanced" is
+      impossible by construction, and a replayed refresh no-ops on
+      the marker;
+    - an all-metadata window advances the watermark with a
+      marker-only commit (no state rewrite at all).
+
+    A data-changing base OVERWRITE breaks the adds-only feed:
+    ``refresh`` raises and ``rebuild`` recomputes from the snapshot
+    under the same atomic-watermark contract. Sums are DECIMAL(38,6)
+    — order-free exact arithmetic, so the incremental state is
+    bit-equal to a from-scratch recompute, not approximately equal.
+    Consume within the base's VACUUM retention (a vacuumed window
+    fails loudly on the parquet read), exactly Delta CDF's contract.
+
+    State lives in its own ``TxnLogTable``, so the view itself is
+    versioned and time-travelable for free.
+    """
+
+    WATERMARK_APP = "__view_base_version"
+
+    def __init__(
+        self,
+        base: TxnLogTable,
+        state_path: str,
+        group_cols: list[str],
+        sum_cols: list[str] | tuple = (),
+        min_cols: list[str] | tuple = (),
+        max_cols: list[str] | tuple = (),
+    ):
+        self.base = base
+        self.state = TxnLogTable(state_path)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols)
+        self.max_cols = list(max_cols)
+
+    def _needed_cols(self) -> list[str]:
+        seen: list[str] = []
+        for c in self.group_cols + self.sum_cols + self.min_cols + self.max_cols:
+            if c not in seen:
+                seen.append(c)
+        return seen
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(27,6)"))
+                .cast("decimal(38,6)")
+                .alias(f"sum_{c}")
+            )
+        for c in self.min_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def _merge(self, old: DataFrame, part: DataFrame) -> DataFrame:
+        both = old.unionByName(part)
+        aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(f"sum_{c}").cast("decimal(38,6)").alias(f"sum_{c}")
+            )
+        for c in self.min_cols:
+            aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        return both.groupBy(*self.group_cols).agg(*aggs)
+
+    def watermark(self) -> int:
+        """Base version the state reflects (-1 before the first
+        refresh) — read from the state table's txn marker."""
+        return self.state.last_txn_version(self.WATERMARK_APP)
+
+    def refresh(self, spark: SparkSession) -> int | None:
+        """Fold base commits past the watermark into the state.
+        Returns the new watermark, or None when already current."""
+        hw = self.watermark()
+        target = self.base.latest_version()
+        if target <= hw:
+            return None
+        delta = self.base.changes(spark, since=hw, to=target)
+        if delta is None:
+            # nothing but metadata/compaction traffic: advance the
+            # watermark alone — a marker-only commit, no state rewrite
+            self.state._publish(
+                self.state.latest_version() + 1,
+                [{"action": "txn", "app_id": self.WATERMARK_APP,
+                  "txn_version": target}],
+            )
+            return target
+        part = self._partial(delta.select(*self._needed_cols()))
+        if self.state.live_paths():
+            merged = self._merge(self.state.snapshot(spark), part)
+        else:
+            merged = part
+        self.state.overwrite_txn(
+            merged, self.WATERMARK_APP, target,
+            self.state.latest_version() + 1,
+        )
+        return target
+
+    def rebuild(self, spark: SparkSession) -> int:
+        """Full recompute from the base snapshot — the recovery path
+        after a data-changing base OVERWRITE (``refresh`` raises on
+        those). Same atomic state+watermark commit."""
+        target = self.base.latest_version()
+        merged = self._partial(
+            self.base.snapshot(spark).select(*self._needed_cols())
+        )
+        self.state.overwrite_txn(
+            merged, self.WATERMARK_APP, target,
+            self.state.latest_version() + 1,
+        )
+        return target
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The current materialized state (refresh first; reading a
+        never-refreshed view raises via the empty-snapshot path)."""
+        return self.state.snapshot(spark)
 
 
 class DeltaLogTable:

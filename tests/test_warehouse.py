@@ -388,6 +388,92 @@ class TestTxnLogTable:
         assert t.snapshot(spark).count() == tables["nation"].count()
 
 
+class TestIncrementalAggView:
+    """Incrementally-maintained aggregates over a TxnLogTable: each
+    refresh folds only the change feed past the watermark, compaction
+    commits are invisible to the view, and the state+watermark commit
+    is atomic — so the incremental state is BIT-equal (exact decimal
+    sums) to a from-scratch recompute at every step."""
+
+    def _mk(self, tables, tmp_path):
+        from algebraicdb_spark.operators.txnlog import (
+            IncrementalAggView,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "base"))
+        v = IncrementalAggView(
+            t,
+            str(tmp_path / "view"),
+            group_cols=["o_orderpriority"],
+            sum_cols=["o_totalprice"],
+            min_cols=["o_orderdate"],
+            max_cols=["o_orderdate"],
+        )
+        return t, v, tables["orders"].select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+
+    def _assert_equals_recompute(self, spark, t, v):
+        got = v.read(spark)
+        want = v._partial(t.snapshot(spark))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_refresh_folds_only_the_delta(self, spark, tables, tmp_path):
+        t, v, o = self._mk(tables, tmp_path)
+        t.append(o.filter("o_orderkey % 3 = 0"))
+        t.append(o.filter("o_orderkey % 3 = 1"))
+        assert v.refresh(spark) == 1
+        self._assert_equals_recompute(spark, t, v)
+        # already current → no-op (and a replayed refresh can't double)
+        assert v.refresh(spark) is None
+        # new appends fold incrementally and stay bit-equal
+        t.append(o.filter("o_orderkey % 3 = 2"))
+        assert v.refresh(spark) == 2
+        assert v.watermark() == 2
+        self._assert_equals_recompute(spark, t, v)
+        # the view state is itself versioned: its first refresh is
+        # still time-travelable
+        assert v.state.snapshot(spark, as_of=0).count() > 0
+
+    def test_compaction_is_invisible_to_the_view(
+        self, spark, tables, tmp_path
+    ):
+        t, v, o = self._mk(tables, tmp_path)
+        t.append(o.filter("o_orderkey % 2 = 0"))
+        t.append(o.filter("o_orderkey % 2 = 1"))
+        assert v.refresh(spark) == 1
+        state_v = v.state.latest_version()
+        # OPTIMIZE rewrites the base (data_change: False throughout)
+        assert t.optimize(spark) == 2
+        # refresh sees an all-metadata window: watermark advances via
+        # a marker-only commit, the state parquet is NOT rewritten
+        assert v.refresh(spark) == 2
+        assert v.watermark() == 2
+        assert v.state.latest_version() == state_v + 1
+        assert v.state.live_paths(as_of=state_v) == v.state.live_paths()
+        self._assert_equals_recompute(spark, t, v)
+
+    def test_overwrite_breaks_the_feed_and_rebuild_recovers(
+        self, spark, tables, tmp_path
+    ):
+        import pytest as _pytest
+
+        t, v, o = self._mk(tables, tmp_path)
+        t.append(o.filter("o_orderkey % 2 = 0"))
+        assert v.refresh(spark) == 0
+        t.overwrite(o.limit(100), 1)
+        with _pytest.raises(ValueError, match="adds-only"):
+            v.refresh(spark)
+        assert v.rebuild(spark) == 1
+        self._assert_equals_recompute(spark, t, v)
+        # and incremental refresh resumes past the rebuild point
+        t.append(o.limit(50))
+        assert v.refresh(spark) == 2
+        self._assert_equals_recompute(spark, t, v)
+
+
 class TestDeltaLogTable:
     """Read-only interop with Delta Lake's public `_delta_log` JSON
     commit format (PROTOCOL.md action schema): the test WRITES a
