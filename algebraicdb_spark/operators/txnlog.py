@@ -923,6 +923,45 @@ class DeltaLogTable:
 
         return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
 
+    def changes(
+        self, spark: SparkSession, since: int, to: int | None = None
+    ) -> DataFrame | None:
+        """Rows ADDED to someone else's Delta table in versions
+        (``since``, ``to``] — incremental consumption of an external
+        table without a Delta library, the interop twin of
+        ``TxnLogTable.changes`` with the same adds-only contract:
+        actions with ``dataChange: false`` (OPTIMIZE / clustering
+        traffic) are skipped, a data-changing remove raises (rebuild
+        from the snapshot), None when the window adds nothing. The
+        window must lie within the surviving JSON commits — below a
+        cleaned checkpoint there is no change information at all
+        (checkpoints store STATE, not deltas), which is exactly
+        Delta CDF's own retention constraint."""
+        from urllib.parse import unquote
+
+        hi = self.latest_version() if to is None else to
+        paths: list[str] = []
+        for v, actions in self._json_commit_actions(since + 1, hi):
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange", True):
+                    if a["add"].get("deletionVector") is not None:
+                        raise NotImplementedError(
+                            f"add action for {a['add']['path']} carries a "
+                            "deletion vector; use a full Delta client"
+                        )
+                    paths.append(a["add"]["path"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    raise ValueError(
+                        f"version {v} removed data inside the change "
+                        f"window ({since}, {hi}] — the feed is adds-only; "
+                        "rebuild the consumer from the snapshot"
+                    )
+        if not paths:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.path, unquote(p)) for p in paths]
+        )
+
     def history(self) -> list[dict]:
         """(version, operation) per SURVIVING JSON commit — DESCRIBE
         HISTORY's core. Commits compacted into a checkpoint and

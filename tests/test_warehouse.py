@@ -680,6 +680,38 @@ class TestDeltaLogTable:
         with _pytest.raises(ValueError, match="non-contiguous"):
             DeltaLogTable(root).snapshot(spark)
 
+    def test_change_feed_over_external_delta(self, spark, tables, tmp_path):
+        """Incremental consumption of someone else's Delta table: the
+        change feed returns the window's data-changing adds, skips
+        dataChange:false rewrite traffic, raises on a data-changing
+        remove, and has no change info below a cleaned checkpoint."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cdf")
+        self._write_delta(spark, tables, root)
+        self._checkpoint_at_2(spark, tables, root)
+        t = DeltaLogTable(root)
+        # (2, 3]: v3's add of f3 (1 row)
+        assert t.changes(spark, since=2, to=3).count() == 1
+        # (2, 4]: v4 removes f2 with dataChange true → adds-only breach
+        with _pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, since=2)
+        # a clustering rewrite (dataChange: false) is invisible
+        with open(os.path.join(root, "_delta_log", f"{5:020d}.json"), "w") as f:
+            f.write(json.dumps({"add": {
+                "path": "part-f4.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": False,
+            }}) + "\n")
+        assert t.changes(spark, since=4, to=5) is None
+        # below the cleaned checkpoint there is no change information
+        with _pytest.raises(ValueError, match="non-contiguous"):
+            t.changes(spark, since=0, to=3)
+
     def test_v2_uuid_checkpoint_refuses(self, spark, tables, tmp_path):
         """A v2/UUID-named checkpoint keeps state in sidecar files the
         pointer doesn't name — replaying what we CAN see would
@@ -922,3 +954,18 @@ class TestTxnStreamSink:
         c = t.snapshot(spark).groupBy("event_id").count()
         assert c.exceptAll(b).count() == 0
         assert b.exceptAll(c).count() == 0
+        # and the full maintenance loop composes: an incremental
+        # aggregate view over the ingested table builds through the
+        # change feed, reading the ORIGINAL batch commits and skipping
+        # the compaction commit (data_change: False)
+        from algebraicdb_spark.operators.txnlog import IncrementalAggView
+
+        view = IncrementalAggView(
+            t, str(tmp_path / "rollup"),
+            group_cols=["event_type"], sum_cols=["value"],
+        )
+        assert view.refresh(spark) == t.latest_version()
+        want = view._partial(t.snapshot(spark))
+        got = view.read(spark)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
