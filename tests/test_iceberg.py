@@ -385,3 +385,92 @@ class TestIcebergTable:
         os.makedirs(str(tmp_path / "empty" / "metadata"))
         with pytest.raises(ValueError, match="metadata.json"):
             IcebergTable(str(tmp_path / "empty"))
+
+
+class TestIcebergChanges:
+    """Incremental append scan between snapshots — the adds-only
+    change feed over an EXTERNAL Iceberg table, completing the
+    TxnLog/Delta/Iceberg interop triplet."""
+
+    def _extend_chain(self, spark, sf_dir, root: str, ctx: dict) -> dict:
+        """Grow the 2-snapshot `_build` table into a 4-snapshot parent
+        chain: s3 appends D (summary append), s4 compacts (summary
+        replace, adds E). Metadata v3 carries parent ids + summaries."""
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["orders"]
+        meta, data = ctx["meta"], os.path.join(root, "data")
+        s1, s2, s3, s4 = ctx["s1"], ctx["s2"], 1003, 1004
+        fd = os.path.join(data, "d.parquet")
+        fe = os.path.join(data, "e.parquet")
+        nd = write_parquet_file(spark, o.where(F.col("o_orderkey") % 5 == 4), fd)
+        write_parquet_file(spark, o.limit(7), fe)
+        m3 = os.path.join(meta, "m3.avro")
+        with open(m3, "wb") as f:
+            f.write(avro_container(MANIFEST_SCHEMA, [manifest_rec(1, s3, fd, nd)]))
+        m4 = os.path.join(meta, "m4.avro")
+        with open(m4, "wb") as f:
+            f.write(avro_container(MANIFEST_SCHEMA, [manifest_rec(1, s4, fe, 7)]))
+        ml3 = os.path.join(meta, "snap-1003.avro")
+        with open(ml3, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA,
+                [manifest_list_rec(os.path.join(meta, "m2a.avro"), s2),
+                 manifest_list_rec(os.path.join(meta, "m2b.avro"), s2),
+                 manifest_list_rec(m3, s3)],
+            ))
+        ml4 = os.path.join(meta, "snap-1004.avro")
+        with open(ml4, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA, [manifest_list_rec(m4, s4)]
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000001",
+            "location": root,
+            "current-snapshot-id": s4,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1,
+                 "manifest-list": os.path.join(meta, "snap-1001.avro")},
+                {"snapshot-id": s2, "timestamp-ms": 2,
+                 "parent-snapshot-id": s1,
+                 "manifest-list": os.path.join(meta, "snap-1002.avro")},
+                {"snapshot-id": s3, "timestamp-ms": 3,
+                 "parent-snapshot-id": s2,
+                 "summary": {"operation": "append"},
+                 "manifest-list": ml3},
+                {"snapshot-id": s4, "timestamp-ms": 4,
+                 "parent-snapshot-id": s3,
+                 "summary": {"operation": "replace"},
+                 "manifest-list": ml4},
+            ],
+        }
+        with open(os.path.join(meta, "v3.metadata.json"), "w") as f:
+            json.dump(md, f)
+        return dict(ctx, s3=s3, s4=s4, nd=nd)
+
+    def test_incremental_append_scan(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice")
+        os.makedirs(root)
+        ctx = self._extend_chain(
+            spark, sf_dir, root,
+            TestIcebergTable()._build(spark, sf_dir, root),
+        )
+        t = IcebergTable(root)
+        assert t.current_snapshot_id() == ctx["s4"]
+        # (s2, s3]: exactly s3's appended file — carried-forward
+        # EXISTING/DELETED entries in s3's manifests are not new info
+        got = t.changes(spark, ctx["s2"], ctx["s3"])
+        assert got.count() == ctx["nd"]
+        assert got.where(F.col("o_orderkey") % 5 != 4).count() == 0
+        # (s3, s4]: a replace (compaction) snapshot — content
+        # unchanged, the feed skips it entirely
+        assert t.changes(spark, ctx["s3"], ctx["s4"]) is None
+        # (s2, current]: append + skipped replace = the append alone
+        assert t.changes(spark, ctx["s2"]).count() == ctx["nd"]
+        # (s1, s2]: s2 deleted C — adds-only breach, rebuild instead
+        with pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, ctx["s1"], ctx["s2"])
+        # a snapshot outside the parent chain has no incremental path
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.changes(spark, 999, ctx["s3"])
