@@ -126,6 +126,61 @@ def _zorder_clustered(df: DataFrame, cols: list[str], target_files: int) -> Data
     )
 
 
+def _footer_stats(data_dir: str, cols: list[str]) -> dict:
+    """Per-column [min, max] for every parquet file under ``data_dir``,
+    read from ROW-GROUP FOOTERS via pyarrow — O(KB of metadata), zero
+    data scanned; this is how every real writer collects skipping
+    stats (Delta's add.stats, Iceberg's manifest bounds). A column
+    with any missing/statless row group is dropped from the result —
+    absent stats mean "cannot prune", never "prune wrongly"."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dead: set[str] = set()
+    want = set(cols)
+    for f in sorted(_glob.glob(os.path.join(data_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        seen_here: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                c = md.row_group(rg).column(i)
+                name = c.path_in_schema
+                if name not in want or name in dead:
+                    continue
+                st = c.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    # stats ride the JSON log: only JSON-native,
+                    # totally-ordered types prune
+                    or not isinstance(st.min, (int, float, str))
+                    or isinstance(st.min, bool)
+                ):
+                    dead.add(name)
+                    continue
+                seen_here.add(name)
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
+        dead |= want - seen_here - dead  # column absent from this file
+    return {
+        c: [mins[c], maxs[c]] for c in cols if c in mins and c not in dead
+    }
+
+
+def _ckpt_live_items(ckpt: dict):
+    """Checkpoint live-set items as (path, stats) — tolerating the
+    earlier list-of-paths artifact shape (stats None = unprunable)."""
+    live = ckpt["live"]
+    if isinstance(live, list):
+        return [(p, None) for p in live]
+    return list(live.items())
+
+
 class TxnLogTable:
     def __init__(self, path: str):
         self.path = path
@@ -190,23 +245,28 @@ class TxnLogTable:
         prev = self._last_ckpt()
         if prev is not None and prev["version"] >= latest:
             return None
-        state: dict[str, str] = {}
+        state: dict[str, tuple[str, dict | None]] = {}
         txn: dict[str, int] = {}
         lo = 0
         if prev is not None:
-            state = {p: "add" for p in prev["live"]}
+            for p, st in _ckpt_live_items(prev):
+                state[p] = ("add", st)
             txn = dict(prev["txn"])
             lo = prev["version"] + 1
         for commit in self._commits(as_of=latest, lo=lo):
             for a in commit["actions"]:
                 if a["action"] in ("add", "remove"):
-                    state[a["path"]] = a["action"]
+                    state[a["path"]] = (a["action"], a.get("stats"))
                 elif a["action"] == "txn":
                     k = a["app_id"]
                     txn[k] = max(txn.get(k, -1), int(a["txn_version"]))
         doc = {
             "version": latest,
-            "live": sorted(p for p, act in state.items() if act == "add"),
+            # stats ride the checkpoint too, so skipping survives the
+            # fold starting from it
+            "live": {
+                p: st for p, (act, st) in sorted(state.items()) if act == "add"
+            },
             "txn": txn,
         }
         try:
@@ -223,36 +283,63 @@ class TxnLogTable:
             os.replace(tmp, ptr)  # atomic pointer swing, forward only
         return latest
 
-    def live_paths(self, as_of: int | None = None) -> list[str]:
+    def _live_state(self, as_of: int | None = None) -> dict[str, dict | None]:
+        """The live fold, carrying each live path's skipping stats
+        (from the add action that made it live; None = unprunable).
+        With a log checkpoint at or below ``as_of``, starts from its
+        folded state and replays only the tail; below the checkpoint
+        the full retained log replays (time travel never breaks on
+        checkpointing alone — only VACUUM retires versions)."""
+        ckpt = self._last_ckpt()
+        state: dict[str, tuple[str, dict | None]] = {}
+        lo = 0
+        if ckpt is not None and (as_of is None or as_of >= ckpt["version"]):
+            for p, st in _ckpt_live_items(ckpt):
+                state[p] = ("add", st)
+            lo = ckpt["version"] + 1
+        for commit in self._commits(as_of, lo=lo):
+            for a in commit["actions"]:
+                if a["action"] in ("add", "remove"):
+                    state[a["path"]] = (a["action"], a.get("stats"))
+        return {
+            p: st for p, (act, st) in sorted(state.items()) if act == "add"
+        }
+
+    def live_paths(
+        self,
+        as_of: int | None = None,
+        skip: list[tuple] | None = None,
+    ) -> list[str]:
         """Fold the action log: a path is live iff its latest action
         at or before ``as_of`` is an add. Non-file actions (``txn``
         markers from idempotent streaming commits) are metadata and
-        don't participate in the fold — same as Delta's reader. With a
-        log checkpoint at or below ``as_of``, the fold starts from its
-        folded live set and replays only the tail; below the
-        checkpoint the full retained log replays (time travel never
-        breaks on checkpointing alone — only VACUUM retires versions).
-        """
-        ckpt = self._last_ckpt()
-        if ckpt is not None and (as_of is None or as_of >= ckpt["version"]):
-            def commits():
-                yield [(p, "add") for p in ckpt["live"]]
-                for c in self._commits(as_of, lo=ckpt["version"] + 1):
-                    yield [
-                        (a["path"], a["action"])
-                        for a in c["actions"]
-                        if a["action"] in ("add", "remove")
-                    ]
+        don't participate in the fold — same as Delta's reader.
 
-            return _fold_live(commits())
-        return _fold_live(
-            [
-                (a["path"], a["action"])
-                for a in commit["actions"]
-                if a["action"] in ("add", "remove")
-            ]
-            for commit in self._commits(as_of)
-        )
+        ``skip`` = [(col, lo, hi), …] applies log-level DATA SKIPPING
+        (Delta's add.stats / Iceberg's manifest bounds): a directory
+        is pruned when its recorded [min, max] for EVERY listed column
+        misses the range; directories without stats for a column are
+        kept — absent stats mean "cannot prune", never "prune wrongly".
+        Pruning is pure driver-side metadata; combined with a
+        Z-ordered OPTIMIZE (whose per-file directories carry footer
+        stats on the clustering columns) a point-range filter opens a
+        small fraction of the files before Spark reads a byte."""
+        state = self._live_state(as_of)
+        if not skip:
+            return sorted(state)
+        out = []
+        for p, st in state.items():
+            keep = True
+            for col, lo_v, hi_v in skip:
+                bounds = (st or {}).get(col)
+                if bounds is not None and (
+                    bounds[0] > hi_v or bounds[1] < lo_v
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(p)
+        return sorted(out)
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest ``txn_version`` any commit recorded for ``app_id``
@@ -298,19 +385,58 @@ class TxnLogTable:
         df.write.mode("errorifexists").parquet(dest)
         return [dest]
 
-    def append(self, df: DataFrame, expected_version: int | None = None) -> int:
+    def _stage_split(self, df: DataFrame) -> list[str]:
+        """Stage with ONE directory per output parquet file, so each
+        add action (and its skipping stats) is file-grain — the shape
+        a clustered OPTIMIZE needs: per-file stats are what make a
+        Z-ordered layout prunable; directory-grain stats over all the
+        files would span the whole key range again."""
+        import shutil
+
+        tmp = os.path.join(self.path, "data", "_stage_" + uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(tmp)
+        dirs = []
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            d = os.path.join(self.path, "data", uuid.uuid4().hex)
+            os.makedirs(d)
+            os.replace(os.path.join(tmp, f), os.path.join(d, f))
+            dirs.append(d)
+        shutil.rmtree(tmp)
+        return dirs
+
+    @staticmethod
+    def _add_action(path: str, stats_cols: list[str] | None, **extra) -> dict:
+        a = {"action": "add", "path": path, **extra}
+        if stats_cols:
+            stats = _footer_stats(path, list(stats_cols))
+            if stats:
+                a["stats"] = stats
+        return a
+
+    def append(
+        self,
+        df: DataFrame,
+        expected_version: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """APPEND commit: stage files, publish adds. Returns the new
         version. ``expected_version`` pins the optimistic check (the
         read-snapshot the writer based itself on); default = whatever
         is latest at publish time + 1 (blind append — always safe for
-        adds-only commits)."""
+        adds-only commits). ``stats_cols`` records per-column
+        [min, max] skipping stats in the add action, read from the
+        staged parquet FOOTERS — O(KB of metadata), no data scanned."""
         version = (
             self.latest_version() + 1
             if expected_version is None
             else expected_version
         )
         paths = self._stage(df)
-        self._publish(version, [{"action": "add", "path": p} for p in paths])
+        self._publish(
+            version, [self._add_action(p, stats_cols) for p in paths]
+        )
         return version
 
     def append_txn(
@@ -451,6 +577,7 @@ class TxnLogTable:
         min_inputs: int = 2,
         max_retries: int = 8,
         zorder_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE — transactional small-file compaction, the
         maintenance pass every streaming-ingested table needs: the
@@ -488,11 +615,20 @@ class TxnLogTable:
             # OPTIMIZE ZORDER BY: re-CLUSTER, not just re-pack — also
             # legitimate on a single input (min_inputs gates only the
             # small-file path; clustering changes layout value even at
-            # one directory)
+            # one directory). Stats default to the clustering columns:
+            # that's the whole point of the layout.
+            if stats_cols is None:
+                stats_cols = zorder_by
             df = _zorder_clustered(df, zorder_by, target_files)
         else:
             df = df.coalesce(max(target_files, 1))
-        staged = self._stage(df)
+        # clustered rewrites stage FILE-grain directories so the stats
+        # (and therefore skipping) follow the narrow per-file spans
+        staged = (
+            self._stage_split(df)
+            if zorder_by and stats_cols
+            else self._stage(df)
+        )
         # data_change: False — compaction rearranges bytes, it never
         # changes table CONTENT, so incremental consumers (``changes``,
         # IncrementalAggView) can skip these commits entirely. Same
@@ -501,7 +637,7 @@ class TxnLogTable:
             {"action": "remove", "path": p, "data_change": False}
             for p in inputs
         ] + [
-            {"action": "add", "path": p, "data_change": False}
+            self._add_action(p, stats_cols, data_change=False)
             for p in staged
         ]
         for _ in range(max_retries):
@@ -565,16 +701,26 @@ class TxnLogTable:
     # -- reads ---------------------------------------------------------
 
     def snapshot(
-        self, spark: SparkSession, as_of: int | None = None
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        skip: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the snapshot at ``as_of`` (default: latest). An empty
         live set raises — a table with zero commits is an error, not
-        an empty frame (matching every format's behavior)."""
-        paths = self.live_paths(as_of)
+        an empty frame (matching every format's behavior). ``skip``
+        prunes directories by their logged [min, max] stats BEFORE the
+        scan (see ``live_paths``); the caller still applies the actual
+        row filter — skipping bounds the file list, it never filters
+        rows. A filter that prunes everything raises the same
+        no-live-files error: distinguish it from an empty table by the
+        version in the message."""
+        paths = self.live_paths(as_of, skip=skip)
         if not paths:
             raise ValueError(
                 f"txnlog table {self.path} has no live files at "
                 f"version {as_of if as_of is not None else 'latest'}"
+                + (" matching the skip ranges" if skip else "")
             )
         return spark.read.parquet(*paths)
 

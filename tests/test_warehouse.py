@@ -297,9 +297,13 @@ class TestTxnLogTable:
         assert t.optimize(
             spark, target_files=16, zorder_by=["l_partkey", "l_suppkey"]
         ) == 2
-        (out_dir,) = t.live_paths()
-        parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
-        assert 1 < len(parts) <= 16
+        # clustered rewrites stage FILE-grain directories (one parquet
+        # file each) so their stats/skipping follow per-file spans
+        dirs = t.live_paths()
+        assert 1 < len(dirs) <= 16
+        parts = [glob.glob(os.path.join(d, "*.parquet")) for d in dirs]
+        assert all(len(p) == 1 for p in parts)
+        parts = [p[0] for p in parts]
         post = t.snapshot(spark).groupBy(*cols).count()
         assert pre.exceptAll(post).count() == 0
         assert post.exceptAll(pre).count() == 0
@@ -323,6 +327,61 @@ class TestTxnLogTable:
         # proving genuine 2-D clustering (unclustered would be ~1.0)
         assert avg_p < 0.45 * g["p"]
         assert avg_s < 0.45 * g["s"]
+
+    def test_stats_skipping_prunes_zordered_files(
+        self, spark, tables, tmp_path
+    ):
+        """The complete skipping story: OPTIMIZE ZORDER BY stages
+        FILE-grain directories whose add actions carry footer-stats
+        [min, max] on the clustering columns, and a point-range read
+        then opens a small fraction of the directories — on EITHER
+        clustered dimension — while returning exactly the same rows.
+        Unclustered appends span the whole range (stats exist, prune
+        nothing); columns without stats are never pruned; a log
+        checkpoint carries the stats through."""
+        from pyspark.sql import functions as F
+
+        t = self._table(tmp_path)
+        li = tables["lineitem"]
+        cols = ["l_partkey", "l_suppkey", "l_quantity"]
+        for k in range(2):
+            t.append(
+                li.filter(f"l_orderkey % 2 = {k}").select(*cols),
+                stats_cols=["l_partkey"],
+            )
+        full = t.live_paths()
+        g = t.snapshot(spark).agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).collect()[0]
+        p_rng = (int(g[0]), int(g[0]) + (int(g[1]) - int(g[0])) // 8)
+        s_rng = (int(g[2]), int(g[2]) + (int(g[3]) - int(g[2])) // 8)
+        # unclustered appends: stats recorded but spans cover the
+        # whole range → nothing prunes (correct, not clever)
+        assert t.live_paths(skip=[("l_partkey", *p_rng)]) == full
+        t.optimize(
+            spark, target_files=16, zorder_by=["l_partkey", "l_suppkey"]
+        )
+        all_dirs = t.live_paths()
+        assert len(all_dirs) > 4  # file-grain directories, not one blob
+        pruned_p = t.live_paths(skip=[("l_partkey", *p_rng)])
+        pruned_s = t.live_paths(skip=[("l_suppkey", *s_rng)])
+        assert len(pruned_p) <= len(all_dirs) / 2
+        assert len(pruned_s) <= len(all_dirs) / 2
+        # no stats for the unclustered column → keep everything
+        assert t.live_paths(skip=[("l_quantity", 0, 1)]) == all_dirs
+        # pruned scan + row filter ≡ full scan + row filter
+        flt = F.col("l_partkey").between(*p_rng)
+        want = t.snapshot(spark).filter(flt).count()
+        got = (
+            t.snapshot(spark, skip=[("l_partkey", *p_rng)])
+            .filter(flt)
+            .count()
+        )
+        assert got == want > 0
+        # stats survive the checkpointed fold
+        t.write_checkpoint()
+        assert t.live_paths(skip=[("l_partkey", *p_rng)]) == pruned_p
 
     def test_optimize_tolerates_concurrent_append(
         self, spark, tables, tmp_path, monkeypatch
