@@ -533,6 +533,80 @@ class TestIncrementalAggView:
         self._assert_equals_recompute(spark, t, v)
 
 
+class TestIncrementalViewOverDelta:
+    """IncrementalAggView is duck-typed over latest_version / changes /
+    snapshot — so the O(delta) rollup maintains itself over an
+    EXTERNAL Delta table too (state still lives in a TxnLogTable):
+    refresh folds the Delta change feed, dataChange:false rewrites are
+    invisible, and a data-changing remove → rebuild from snapshot."""
+
+    def test_incremental_rollup_over_external_delta(
+        self, spark, tables, tmp_path
+    ):
+        import glob
+        import json
+        import os
+        import shutil
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            IncrementalAggView,
+        )
+
+        root = str(tmp_path / "ext_delta")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        r = tables["orders"].select("o_orderpriority", "o_totalprice")
+
+        def stage(df, name):
+            tmp = os.path.join(root, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(root, name))
+            shutil.rmtree(tmp)
+
+        def commit(v, lines):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        def add(name, dc=True):
+            return {"add": {"path": name, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": dc}}
+
+        stage(r.filter("o_totalprice < 100000"), "f1.parquet")
+        stage(r.filter("o_totalprice >= 100000"), "f2.parquet")
+        commit(0, [{"commitInfo": {"operation": "WRITE"}}, add("f1.parquet")])
+        t = DeltaLogTable(root)
+        v = IncrementalAggView(
+            t, str(tmp_path / "view"),
+            group_cols=["o_orderpriority"], sum_cols=["o_totalprice"],
+        )
+        assert v.refresh(spark) == 0
+        # second wave arrives in the external table
+        commit(1, [{"commitInfo": {"operation": "WRITE"}}, add("f2.parquet")])
+        assert v.refresh(spark) == 1
+        got = v.read(spark)
+        want = v._partial(t.snapshot(spark))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # a dataChange:false rewrite commit is invisible to the view
+        commit(2, [add("f1.parquet", dc=False)])
+        assert v.refresh(spark) == 2
+        assert v.read(spark).exceptAll(want).count() == 0
+        # a data-changing remove breaks the feed; rebuild recovers
+        commit(3, [{"commitInfo": {"operation": "DELETE"}},
+                   {"remove": {"path": "f2.parquet", "deletionTimestamp": 0,
+                               "dataChange": True}}])
+        with _pytest.raises(ValueError, match="adds-only"):
+            v.refresh(spark)
+        assert v.rebuild(spark) == 3
+        want3 = v._partial(t.snapshot(spark))
+        assert v.read(spark).exceptAll(want3).count() == 0
+        assert want3.exceptAll(v.read(spark)).count() == 0
+
+
 class TestDeltaLogTable:
     """Read-only interop with Delta Lake's public `_delta_log` JSON
     commit format (PROTOCOL.md action schema): the test WRITES a
