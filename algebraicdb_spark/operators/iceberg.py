@@ -316,7 +316,11 @@ class IcebergTable:
             )
         return p
 
-    def _manifest_paths(self, snap: dict) -> list[str]:
+    def _manifests(self, snap: dict) -> list[tuple[str, int | None]]:
+        """(manifest path, added_snapshot_id) pairs for a snapshot —
+        the added_snapshot_id is what null-``snapshot_id`` manifest
+        entries INHERIT per the spec, so incremental reads need it to
+        attribute entries correctly."""
         if "manifest-list" in snap:
             rows = AvroFileReader(
                 self._resolve(snap["manifest-list"])
@@ -330,14 +334,20 @@ class IcebergTable:
                         "need a full Iceberg client (scanning data files "
                         "alone would resurrect deleted rows)"
                     )
-                out.append(self._resolve(r["manifest_path"]))
+                out.append(
+                    (self._resolve(r["manifest_path"]),
+                     r.get("added_snapshot_id"))
+                )
             return out
-        if "manifests" in snap:  # v1 inline form
-            return [self._resolve(p) for p in snap["manifests"]]
+        if "manifests" in snap:  # v1 inline form: no added_snapshot_id
+            return [(self._resolve(p), None) for p in snap["manifests"]]
         raise ValueError(
             f"{self.path}: snapshot {snap.get('snapshot-id')} has neither "
             "manifest-list nor manifests"
         )
+
+    def _manifest_paths(self, snap: dict) -> list[str]:
+        return [p for p, _sid in self._manifests(snap)]
 
     def live_paths(self, snapshot_id: int | None = None) -> list[str]:
         snap = self._snapshot(snapshot_id)
@@ -384,9 +394,12 @@ class IcebergTable:
         the committing snapshot) are ignored: a later snapshot's
         manifests re-list older files as EXISTING and older deletes
         as DELETED, and neither is new information for the window.
-        Entries with a null ``snapshot_id`` (v1 writers inherit it
-        from the manifest) are attributed to the snapshot being
-        walked — the conservative reading.
+        Entries with a null ``snapshot_id`` inherit the manifest's
+        ``added_snapshot_id`` (the spec's inheritance rule) — without
+        that, a reused manifest whose null-sid entries were counted
+        once per walked snapshot would duplicate rows in the feed;
+        when even that is absent (v1 inline form) the entry is
+        attributed to the walked snapshot and the path set is deduped.
 
         ``since`` must be an ancestor of ``to`` along
         ``parent-snapshot-id`` — Iceberg history is a chain of
@@ -416,10 +429,12 @@ class IcebergTable:
                     f"the change window — the feed is adds-only; rebuild "
                     "from snapshot()"
                 )
-            for mpath in self._manifest_paths(snap):
+            for mpath, m_sid in self._manifests(snap):
                 for entry in AvroFileReader(mpath).records:
                     e_sid = entry.get("snapshot_id")
-                    if e_sid is not None and e_sid != sid:
+                    if e_sid is None:
+                        e_sid = m_sid if m_sid is not None else sid
+                    if e_sid != sid:
                         continue  # carried forward from an older commit
                     status = entry.get("status", _EXISTING)
                     if status == _DELETED:
@@ -447,7 +462,7 @@ class IcebergTable:
                     paths.append(self._resolve(df["file_path"]))
         if not paths:
             return None
-        return spark.read.parquet(*sorted(paths))
+        return spark.read.parquet(*sorted(set(paths)))
 
     # -- reads ---------------------------------------------------------
 

@@ -108,10 +108,12 @@ def _zorder_clustered(df: DataFrame, cols: list[str], target_files: int) -> Data
             * (1 << _OPT_ZBITS)
             / F.lit(width)
         ).cast("bigint")
-        # clamp the max value into the top bucket, nulls to the bottom
-        b = F.least(b, F.lit((1 << _OPT_ZBITS) - 1))
+        # nulls to the bottom bucket FIRST (F.least skips nulls, so
+        # clamping before the default would send nulls to the TOP),
+        # then clamp the max value into the top bucket
+        b = F.least(F.coalesce(b, F.lit(0)), F.lit((1 << _OPT_ZBITS) - 1))
         name = f"__zb{k}"
-        out = out.withColumn(name, F.coalesce(b, F.lit(0)))
+        out = out.withColumn(name, b)
         znames.append(name)
     interleave = " + ".join(
         f"(((__zb{k} >> {i}) & 1) << {i * n + k})"
@@ -269,11 +271,15 @@ class TxnLogTable:
             },
             "txn": txn,
         }
-        try:
-            with open(self._ckpt_path(latest), "x") as f:
-                json.dump(doc, f)
-        except FileExistsError:
-            pass  # a racer derived the same pure function of the log
+        # tmp + atomic rename, NOT create-exclusive: a racer crashed
+        # (or still streaming) mid-write must never leave a torn file
+        # that the pointer then blesses — replace is atomic and both
+        # racers derive identical bytes from the same log prefix
+        target_path = self._ckpt_path(latest)
+        tmp_ck = target_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp_ck, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp_ck, target_path)
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
         cur = self._last_ckpt()
         if cur is None or cur["version"] < latest:
@@ -481,12 +487,19 @@ class TxnLogTable:
             "publish races — table is under pathological write contention"
         )
 
-    def overwrite(self, df: DataFrame, expected_version: int) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expected_version: int,
+        extra_actions: list[dict] | tuple = (),
+    ) -> int:
         """OVERWRITE commit: tombstone every live file of the snapshot
         this writer read, add the replacement. ``expected_version`` is
         REQUIRED — an overwrite that raced an append would silently
         drop the append's rows, so the version check is the
-        correctness gate, not a nicety."""
+        correctness gate, not a nicety. ``extra_actions`` ride in the
+        same atomic commit (how ``overwrite_txn`` attaches its
+        idempotence marker)."""
         current = self.latest_version()
         if expected_version != current + 1:
             raise ConcurrentWriteError(
@@ -499,7 +512,9 @@ class TxnLogTable:
         paths = self._stage(df)
         self._publish(
             expected_version,
-            removes + [{"action": "add", "path": p} for p in paths],
+            removes
+            + [{"action": "add", "path": p} for p in paths]
+            + list(extra_actions),
         )
         return expected_version
 
@@ -521,21 +536,13 @@ class TxnLogTable:
         can then never desync them)."""
         if txn_version <= self.last_txn_version(app_id):
             return None
-        current = self.latest_version()
-        if expected_version != current + 1:
-            raise ConcurrentWriteError(
-                f"overwrite based on version {expected_version - 1} but "
-                f"table is at {current} — rebase and retry"
-            )
-        removes = [{"action": "remove", "path": p} for p in self.live_paths()]
-        paths = self._stage(df)
-        self._publish(
+        return self.overwrite(
+            df,
             expected_version,
-            removes
-            + [{"action": "add", "path": p} for p in paths]
-            + [{"action": "txn", "app_id": app_id, "txn_version": txn_version}],
+            extra_actions=[
+                {"action": "txn", "app_id": app_id, "txn_version": txn_version}
+            ],
         )
-        return expected_version
 
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
@@ -552,7 +559,14 @@ class TxnLogTable:
         Scale shape: O(window commits) driver-side metadata + ONE
         multi-path parquet read of just the new files — refresh cost
         follows the delta, never the table."""
-        hi = self.latest_version() if to is None else to
+        latest = self.latest_version()
+        hi = latest if to is None else to
+        if hi > latest:
+            raise ValueError(
+                f"change window ({since}, {hi}] extends past the log head "
+                f"{latest} — recording it as a watermark would silently "
+                "skip the commits that land there later"
+            )
         paths: list[str] = []
         for commit in self._commits(as_of=hi, lo=since + 1):
             for a in commit["actions"]:
@@ -608,7 +622,7 @@ class TxnLogTable:
         size-based file picker instead of whole-snapshot coalesce.
         """
         inputs = self.live_paths()
-        if len(inputs) < min_inputs and not zorder_by:
+        if not inputs or (len(inputs) < min_inputs and not zorder_by):
             return None
         df = spark.read.parquet(*inputs)
         if zorder_by:
@@ -852,8 +866,11 @@ class IncrementalAggView:
         after a data-changing base OVERWRITE (``refresh`` raises on
         those). Same atomic state+watermark commit."""
         target = self.base.latest_version()
+        # pin the scan to `target`: an append racing between the two
+        # calls would otherwise be IN the state but PAST the watermark,
+        # and the next refresh would fold it again (double count)
         merged = self._partial(
-            self.base.snapshot(spark).select(*self._needed_cols())
+            self.base.snapshot(spark, target).select(*self._needed_cols())
         )
         self.state.overwrite_txn(
             merged, self.WATERMARK_APP, target,
@@ -926,11 +943,21 @@ class DeltaLogTable:
         self.log_dir = os.path.join(path, "_delta_log")
         if not os.path.isdir(self.log_dir):
             raise ValueError(f"{path} has no _delta_log directory")
-        self._cp: dict | None = None
+
+    @property
+    def _cp(self) -> dict | None:
+        """Re-read `_last_checkpoint` on every access (a KB): the
+        EXTERNAL writer checkpoints and retention-cleans on its own
+        schedule, and a long-lived reader (e.g. the base of an
+        IncrementalAggView) caching a stale pointer would start
+        failing contiguity checks the moment old JSON is cleaned —
+        even though the table is perfectly readable through the new
+        checkpoint."""
         lc = os.path.join(self.log_dir, "_last_checkpoint")
-        if os.path.exists(lc):
-            with open(lc) as f:
-                self._cp = json.load(f)
+        if not os.path.exists(lc):
+            return None
+        with open(lc) as f:
+            return json.load(f)
 
     def _json_versions(self) -> list[int]:
         """JSON commit versions that still exist on disk — with a
@@ -944,14 +971,15 @@ class DeltaLogTable:
 
     def versions(self) -> list[int]:
         vs = self._json_versions()
-        if self._cp is None:
+        cp = self._cp
+        if cp is None:
             if vs and vs != list(range(0, vs[-1] + 1)):
                 raise ValueError(
                     f"non-contiguous Delta log versions {vs} — log is corrupt "
                     "or vacuumed past version 0"
                 )
             return vs
-        c = self._cp["version"]
+        c = cp["version"]
         tail = [v for v in vs if v > c]
         if tail and tail != list(range(c + 1, c + 1 + len(tail))):
             raise ValueError(
@@ -963,8 +991,9 @@ class DeltaLogTable:
     def latest_version(self) -> int:
         vs = self.versions()
         latest_json = vs[-1] if vs else -1
-        if self._cp is not None:
-            return max(latest_json, self._cp["version"])
+        cp = self._cp
+        if cp is not None:
+            return max(latest_json, cp["version"])
         return latest_json
 
     # -- checkpoint replay ----------------------------------------------
@@ -973,8 +1002,9 @@ class DeltaLogTable:
         """Resolve the parquet file(s) `_last_checkpoint` names —
         classic single-file or multipart — refusing v2/sidecar
         layouts whose state those names don't reach."""
-        c = self._cp["version"]
-        parts = self._cp.get("parts")
+        cp = self._cp
+        c = cp["version"]
+        parts = cp.get("parts")
         if parts:
             names = [
                 f"{c:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
@@ -1113,7 +1143,7 @@ class DeltaLogTable:
         HISTORY's core. Commits compacted into a checkpoint and
         cleaned are gone from history too, exactly as in Delta."""
         out = []
-        for v in self._json_versions():
+        for v in self.versions():
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 actions = [json.loads(line) for line in f if line.strip()]
             info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})

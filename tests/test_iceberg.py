@@ -474,3 +474,86 @@ class TestIcebergChanges:
         # a snapshot outside the parent chain has no incremental path
         with pytest.raises(ValueError, match="not an ancestor"):
             t.changes(spark, 999, ctx["s3"])
+
+
+def manifest_rec_nullsid(status: int, file_path: str, n_rows: int) -> bytes:
+    """A manifest entry whose snapshot_id is the union's NULL branch —
+    the spec says readers inherit it from the manifest-list row's
+    added_snapshot_id (v2 writers rely on this)."""
+    return (
+        zz(status)
+        + zz(0)  # union branch: null
+        + zz(0)  # data_file.content
+        + av_str(file_path)
+        + av_str("PARQUET")
+        + zz(n_rows)
+        + zz(os.path.getsize(file_path))
+    )
+
+
+class TestIcebergNullSidInheritance:
+    def test_reused_nullsid_manifest_not_double_counted(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A manifest with null-snapshot_id ADDED entries, written at
+        s1 and REUSED by s2's manifest list: the entries inherit s1
+        from the list row's added_snapshot_id, so an incremental read
+        of (s1, s2] must return ONLY s2's file — attributing null-sid
+        entries to every walked snapshot would duplicate rows."""
+        root = str(tmp_path / "ice_null")
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["orders"]
+        ff = os.path.join(data, "f.parquet")
+        fg = os.path.join(data, "g.parquet")
+        nf = write_parquet_file(spark, o.where(F.col("o_orderkey") % 2 == 0), ff)
+        ng = write_parquet_file(spark, o.where(F.col("o_orderkey") % 2 == 1), fg)
+        s1, s2 = 2001, 2002
+        m1 = os.path.join(meta, "m1.avro")
+        with open(m1, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA, [manifest_rec_nullsid(1, ff, nf)]
+            ))
+        m2 = os.path.join(meta, "m2.avro")
+        with open(m2, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA, [manifest_rec_nullsid(1, fg, ng)]
+            ))
+        ml1 = os.path.join(meta, "snap-2001.avro")
+        with open(ml1, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA, [manifest_list_rec(m1, s1)]
+            ))
+        ml2 = os.path.join(meta, "snap-2002.avro")
+        with open(ml2, "wb") as f:
+            # s2 REUSES m1 (added at s1) alongside its own m2
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA,
+                [manifest_list_rec(m1, s1), manifest_list_rec(m2, s2)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000002",
+            "location": root,
+            "current-snapshot-id": s2,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1, "manifest-list": ml1},
+                {"snapshot-id": s2, "timestamp-ms": 2,
+                 "parent-snapshot-id": s1,
+                 "summary": {"operation": "append"},
+                 "manifest-list": ml2},
+            ],
+        }
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md, f)
+        t = IcebergTable(root)
+        # snapshot read sees both files exactly once
+        assert t.snapshot(spark).count() == nf + ng
+        # incremental (s1, s2]: only g, each row exactly once
+        got = t.changes(spark, s1, s2)
+        assert got.count() == ng
+        assert got.where(F.col("o_orderkey") % 2 == 0).count() == 0

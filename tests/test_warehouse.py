@@ -273,6 +273,24 @@ class TestTxnLogTable:
         # nothing left to compact
         assert t.optimize(spark) is None
 
+    def test_zorder_nulls_cluster_at_the_low_edge(self, spark):
+        """Null clustering-column values bucket to 0 (Delta's rule):
+        they must co-locate with the MIN-value rows, never the max —
+        F.least skips nulls, so the default has to apply first."""
+        from pyspark.sql import functions as F
+
+        from algebraicdb_spark.operators.txnlog import _zorder_clustered
+
+        df = spark.createDataFrame(
+            [(None,), (1,), (1000,)], "x int"
+        )
+        out = _zorder_clustered(df, ["x"], 2).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        pid = {r["x"]: r["pid"] for r in out.collect()}
+        assert pid[None] == pid[1]
+        assert pid[None] != pid[1000]
+
     def test_optimize_zorder_clusters_both_dimensions(
         self, spark, tables, tmp_path
     ):
@@ -487,6 +505,12 @@ class TestIncrementalAggView:
         self._assert_equals_recompute(spark, t, v)
         # already current → no-op (and a replayed refresh can't double)
         assert v.refresh(spark) is None
+        # a window past the log head refuses: recording it as a
+        # watermark would silently skip commits that land there later
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="past the log head"):
+            t.changes(spark, since=0, to=99)
         # new appends fold incrementally and stay bit-equal
         t.append(o.filter("o_orderkey % 3 = 2"))
         assert v.refresh(spark) == 2
