@@ -465,6 +465,104 @@ class TestTxnLogTable:
         assert t.snapshot(spark).count() == tables["nation"].count()
 
 
+class TestTxnLogRandomModel:
+    """Model-based interleaving test over the WHOLE maintenance
+    surface: random sequences of append / overwrite / optimize
+    (plain + zordered) / write_checkpoint / vacuum / change-feed
+    consumption, checked after every step against an in-memory model.
+    Deterministic seeds — this is a fixed battery, not a flaky fuzz."""
+
+    def test_random_interleavings_match_model(self, spark, tmp_path):
+        import random
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        def mkdf(ids):
+            return spark.createDataFrame([(i,) for i in ids], "id long")
+
+        for seed in (1, 7, 23):
+            rng = random.Random(seed)
+            t = TxnLogTable(str(tmp_path / f"m{seed}"))
+            live: list[int] = []     # model: current table content
+            next_id = 0
+            # change-feed consumer model
+            wm, folded, pending, dirty = -1, [], [], False
+            for step in range(12):
+                op = rng.choice(
+                    ["append", "append", "append", "overwrite",
+                     "optimize", "ckpt", "vacuum", "consume"]
+                )
+                if op == "append":
+                    ids = list(range(next_id, next_id + rng.randint(1, 5)))
+                    next_id += len(ids)
+                    t.append(
+                        mkdf(ids),
+                        stats_cols=["id"] if rng.random() < 0.5 else None,
+                    )
+                    live = live + ids
+                    pending.append(ids)
+                elif op == "overwrite":
+                    ids = list(range(next_id, next_id + rng.randint(1, 4)))
+                    next_id += len(ids)
+                    t.overwrite(mkdf(ids), t.latest_version() + 1)
+                    if live:
+                        dirty = True  # tombstones break the adds-only feed
+                    else:
+                        pending.append(ids)  # no removes emitted: an append
+                    live = ids
+                elif op == "optimize":
+                    t.optimize(
+                        spark,
+                        zorder_by=["id"] if rng.random() < 0.5 else None,
+                    )  # content-preserving; None on empty/single input
+                elif op == "ckpt":
+                    t.write_checkpoint()
+                elif op == "vacuum":
+                    t.vacuum(retain_versions=2)
+                elif op == "consume":
+                    if t.latest_version() <= wm:
+                        pass  # nothing new
+                    elif dirty:
+                        with _pytest.raises(ValueError, match="adds-only"):
+                            t.changes(spark, wm)
+                        folded, wm, pending, dirty = (
+                            list(live), t.latest_version(), [], False
+                        )  # the rebuild-from-snapshot path
+                    else:
+                        delta = t.changes(spark, wm)
+                        got = (
+                            sorted(r["id"] for r in delta.collect())
+                            if delta is not None else []
+                        )
+                        want = sorted(i for ids in pending for i in ids)
+                        assert got == want, (seed, step)
+                        folded += got
+                        wm, pending = t.latest_version(), []
+                        # an up-to-date, never-broken consumer holds
+                        # exactly the table content
+                        assert sorted(folded) == sorted(live), (seed, step)
+                # invariant: the snapshot equals the model after EVERY op
+                if live:
+                    got = sorted(
+                        r["id"] for r in t.snapshot(spark).collect()
+                    )
+                    assert got == sorted(live), (seed, step, op)
+            # stats skipping returns row-identical results on a subrange
+            if live and max(live) > min(live):
+                lo = min(live)
+                hi = lo + (max(live) - lo) // 3
+                got = sorted(
+                    r["id"]
+                    for r in t.snapshot(spark, skip=[("id", lo, hi)])
+                    .filter(F.col("id").between(lo, hi))
+                    .collect()
+                )
+                assert got == sorted(i for i in live if lo <= i <= hi)
+
+
 class TestIncrementalAggView:
     """Incrementally-maintained aggregates over a TxnLogTable: each
     refresh folds only the change feed past the watermark, compaction
