@@ -158,6 +158,13 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+_ATTACH_TABLE_RE = re.compile(
+    r"^\s*ATTACH\s+TABLE\s+(?P<name>\w+)\s+FROM\s+"
+    r"(?P<fmt>txnlog|delta|iceberg)\s+LOCATION\s+'(?P<path>[^']+)'"
+    r"(?:\s+VERSION\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # dispatch head only: the parameter list may nest parens (defaults
 # like `rate := base_rate()`), so the parser scans them manually
 _CREATE_FUNCTION_RE = re.compile(

@@ -47,6 +47,7 @@ from algebraicdb_spark.dialect import (
 from algebraicdb_spark.dialect import (
     COPY_FORMATS,
     _ALTER_ADD_RE,
+    _ATTACH_TABLE_RE,
     _ALTER_DROP_RE,
     _ALTER_RENAME_RE,
     _ALTER_TABLE_RE,
@@ -127,6 +128,34 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def _attach_table_stmt(
+        self, name: str, fmt: str, path: str, version: str | None
+    ) -> DataFrame:
+        """ATTACH TABLE n FROM txnlog|delta|iceberg LOCATION '<path>'
+        [VERSION v] — register a transactional lakehouse table (ours,
+        or one Delta/Iceberg systems maintain) as a queryable SQL
+        table. The snapshot's FILE LIST is resolved at ATTACH time
+        (the log/metadata fold is driver-side KBs); the data itself
+        stays a lazy pruned parquet scan. Re-ATTACH to advance to new
+        commits, or pin VERSION (txnlog/delta: version; iceberg:
+        snapshot id) for a reproducible historical read — time travel
+        from the REPL."""
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        readers = {
+            "txnlog": TxnLogTable,
+            "delta": DeltaLogTable,
+            "iceberg": IcebergTable,
+        }
+        v = int(version) if version is not None else None
+        df = readers[fmt.lower()](path).snapshot(self.spark, v)
+        self.create_table(name, df)
+        return df
 
     # -- statements ----------------------------------------------------
 
@@ -212,6 +241,12 @@ class Engine:
             return self._show_create_stmt(_SHOW_CREATE_RE.match(stmt).group("name"))
         if _SHOW_TABLES_RE.match(stmt):
             return self._show_tables_stmt()
+        if _ATTACH_TABLE_RE.match(stmt):
+            m = _ATTACH_TABLE_RE.match(stmt)
+            return self._attach_table_stmt(
+                m.group("name"), m.group("fmt"), m.group("path"),
+                m.group("version"),
+            )
         if _SHOW_STATS_RE.match(stmt):
             return self._show_stats_stmt(_SHOW_STATS_RE.match(stmt).group("name"))
         if _ANALYZE_RE.match(stmt):

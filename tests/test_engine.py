@@ -133,3 +133,72 @@ class TestSqlScript:
         # first statement ran, third never did
         assert eng.sql("SELECT COUNT(*) AS n FROM scr_u").collect()[0].n == 0
         eng.sql("DROP TABLE scr_u")
+
+
+class TestAttachTable:
+    """ATTACH TABLE … FROM txnlog|delta|iceberg LOCATION '…': the
+    lakehouse layer becomes a queryable SQL table, with VERSION as
+    REPL-level time travel; the file list resolves at ATTACH time and
+    the data stays a lazy pruned parquet scan."""
+
+    def test_attach_txnlog_with_version_time_travel(
+        self, spark, tables, tmp_path
+    ):
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        r = tables["region"]
+        t.append(r.limit(2))
+        t.append(r.limit(5))
+        eng = Engine(spark)
+        n = eng.sql(
+            f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'"
+        ).count()
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == 7
+        assert n == 7
+        eng.sql(
+            f"ATTACH TABLE reg0 FROM txnlog LOCATION '{t.path}' VERSION 0"
+        )
+        assert (
+            eng.sql("SELECT COUNT(*) AS n FROM reg0").collect()[0]["n"] == 2
+        )
+        # attached tables join with ordinary ones in plain SQL
+        eng.create_table("nat", tables["nation"])
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM nat JOIN reg0 "
+            "ON nat.n_regionkey = reg0.r_regionkey"
+        ).collect()[0]["n"]
+        want = (
+            tables["nation"]
+            .join(r.limit(2), tables["nation"].n_regionkey == r.r_regionkey)
+            .count()
+        )
+        assert got == want
+
+    def test_attach_delta(self, spark, tables, tmp_path):
+        import glob
+        import json
+        import os
+        import shutil
+
+        from algebraicdb_spark.engine import Engine
+
+        root = str(tmp_path / "d")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        r = tables["region"]
+        tmp = os.path.join(root, "_stage")
+        r.limit(3).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(root, "f1.parquet"))
+        shutil.rmtree(tmp)
+        with open(
+            os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"add": {
+                "path": "f1.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+            }}) + "\n")
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE dt FROM delta LOCATION '{root}'")
+        assert eng.sql("SELECT COUNT(*) AS n FROM dt").collect()[0]["n"] == 3
