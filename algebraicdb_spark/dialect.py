@@ -159,6 +159,19 @@ _MERGE_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 
+_OPTIMIZE_TABLE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)"
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_TABLE_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>\w+)(?:\s+RETAIN\s+(?P<retain>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH_TABLE_RE = re.compile(
+    r"^\s*REFRESH\s+TABLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+
 _ATTACH_TABLE_RE = re.compile(
     r"^\s*ATTACH\s+TABLE\s+(?P<name>\w+)\s+FROM\s+"
     r"(?P<fmt>txnlog|delta|iceberg)\s+LOCATION\s+'(?P<path>[^']+)'"

@@ -48,6 +48,9 @@ from algebraicdb_spark.dialect import (
     COPY_FORMATS,
     _ALTER_ADD_RE,
     _ATTACH_TABLE_RE,
+    _OPTIMIZE_TABLE_RE,
+    _REFRESH_TABLE_RE,
+    _VACUUM_TABLE_RE,
     _ALTER_DROP_RE,
     _ALTER_RENAME_RE,
     _ALTER_TABLE_RE,
@@ -101,6 +104,7 @@ class Engine:
         self._functions: dict[str, tuple[list[str], str]] = {}  # macros
         self._views: dict[str, str] = {}  # name -> defining dialect SQL
         self._stats: dict[str, list[tuple]] = {}  # name -> ANALYZE rows
+        self._attached: dict[str, tuple[str, str]] = {}  # name -> (fmt, path)
         if sf_dir:
             self.attach(sf_dir)
 
@@ -154,6 +158,44 @@ class Engine:
         }
         v = int(version) if version is not None else None
         df = readers[fmt.lower()](path).snapshot(self.spark, v)
+        self.create_table(name, df)
+        self._attached[name] = (fmt.lower(), path)
+        return df
+
+    def _maintain_attached(self, name: str, op: str, **kw) -> DataFrame | None:
+        """OPTIMIZE TABLE / VACUUM / REFRESH TABLE over an ATTACHed
+        table. Maintenance WRITES, so only the txnlog format qualifies
+        — Delta/Iceberg attachments are read-only interop and refuse
+        loudly. After a mutating op the view re-registers on the fresh
+        snapshot (the file list changed even though content didn't).
+        REFRESH just re-resolves the snapshot to pick up new commits."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        if name not in self._attached:
+            raise AdtError(
+                f"{op.upper()}: {name!r} is not an ATTACHed table"
+            )
+        fmt, path = self._attached[name]
+        if op != "refresh" and fmt != "txnlog":
+            raise AdtError(
+                f"{op.upper()}: {name!r} is {fmt} interop — read-only; "
+                "maintain it with its owning system"
+            )
+        if op == "refresh":
+            from algebraicdb_spark.operators.iceberg import IcebergTable
+            from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+            readers = {"txnlog": TxnLogTable, "delta": DeltaLogTable,
+                       "iceberg": IcebergTable}
+            df = readers[fmt](path).snapshot(self.spark)
+            self.create_table(name, df)
+            return df
+        t = TxnLogTable(path)
+        if op == "optimize":
+            t.optimize(self.spark, **kw)
+        else:
+            t.vacuum(**kw)
+        df = t.snapshot(self.spark)
         self.create_table(name, df)
         return df
 
@@ -247,6 +289,26 @@ class Engine:
                 m.group("name"), m.group("fmt"), m.group("path"),
                 m.group("version"),
             )
+        if _OPTIMIZE_TABLE_RE.match(stmt):
+            m = _OPTIMIZE_TABLE_RE.match(stmt)
+            cols = m.group("cols")
+            return self._maintain_attached(
+                m.group("name"), "optimize",
+                zorder_by=[c.strip() for c in cols.split(",")] if cols else None,
+            )
+        if _VACUUM_TABLE_RE.match(stmt):
+            m = _VACUUM_TABLE_RE.match(stmt)
+            r = m.group("retain")
+            return self._maintain_attached(
+                m.group("name"), "vacuum",
+                retain_versions=int(r) if r else 2,
+            )
+        if _REFRESH_TABLE_RE.match(stmt):
+            name = _REFRESH_TABLE_RE.match(stmt).group("name")
+            if name in self._attached:
+                return self._maintain_attached(name, "refresh")
+            # not ours: Spark's own REFRESH TABLE (metadata cache)
+            return self.spark.sql(stmt)
         if _SHOW_STATS_RE.match(stmt):
             return self._show_stats_stmt(_SHOW_STATS_RE.match(stmt).group("name"))
         if _ANALYZE_RE.match(stmt):

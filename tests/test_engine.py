@@ -202,3 +202,47 @@ class TestAttachTable:
         eng = Engine(spark)
         eng.sql(f"ATTACH TABLE dt FROM delta LOCATION '{root}'")
         assert eng.sql("SELECT COUNT(*) AS n FROM dt").collect()[0]["n"] == 3
+
+    def test_maintenance_statements_on_attached_txnlog(
+        self, spark, tables, tmp_path
+    ):
+        """OPTIMIZE TABLE / VACUUM / REFRESH TABLE from the dialect:
+        the full maintenance loop without leaving SQL. Read-only
+        interop attachments refuse maintenance loudly."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "m"))
+        r = tables["region"]
+        for _ in range(3):
+            t.append(r)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'")
+        n = 3 * r.count()
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == n
+        eng.sql("OPTIMIZE TABLE reg ZORDER BY (r_regionkey)")
+        assert len(t.live_paths()) < 3  # compacted (file-grain dirs ≤ target)
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == n
+        # new commits appear after REFRESH, not before
+        t.append(r.limit(1))
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == n
+        eng.sql("REFRESH TABLE reg")
+        assert (
+            eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == n + 1
+        )
+        # vacuum reclaims the pre-compaction layout, content unchanged
+        eng.sql("VACUUM reg RETAIN 1")
+        eng.sql("REFRESH TABLE reg")
+        assert (
+            eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == n + 1
+        )
+        # maintenance of something never attached refuses
+        with _pytest.raises(AdtError, match="not an ATTACHed"):
+            eng.sql("OPTIMIZE TABLE nope")
+        # read-only interop attachments refuse maintenance loudly
+        eng._attached["dly"] = ("delta", "/does/not/matter")
+        with _pytest.raises(AdtError, match="read-only"):
+            eng.sql("VACUUM dly")
