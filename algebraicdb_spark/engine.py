@@ -104,7 +104,8 @@ class Engine:
         self._functions: dict[str, tuple[list[str], str]] = {}  # macros
         self._views: dict[str, str] = {}  # name -> defining dialect SQL
         self._stats: dict[str, list[tuple]] = {}  # name -> ANALYZE rows
-        self._attached: dict[str, tuple[str, str]] = {}  # name -> (fmt, path)
+        # name -> {"fmt", "path", "version"} for ATTACHed lakehouse tables
+        self._attached: dict[str, dict] = {}
         if sf_dir:
             self.attach(sf_dir)
 
@@ -159,7 +160,9 @@ class Engine:
         v = int(version) if version is not None else None
         df = readers[fmt.lower()](path).snapshot(self.spark, v)
         self.create_table(name, df)
-        self._attached[name] = (fmt.lower(), path)
+        self._attached[name] = {
+            "fmt": fmt.lower(), "path": path, "version": v,
+        }
         return df
 
     def _maintain_attached(self, name: str, op: str, **kw) -> DataFrame | None:
@@ -175,7 +178,8 @@ class Engine:
             raise AdtError(
                 f"{op.upper()}: {name!r} is not an ATTACHed table"
             )
-        fmt, path = self._attached[name]
+        att = self._attached[name]
+        fmt, path = att["fmt"], att["path"]
         if op != "refresh" and fmt != "txnlog":
             raise AdtError(
                 f"{op.upper()}: {name!r} is {fmt} interop — read-only; "
@@ -189,6 +193,7 @@ class Engine:
                        "iceberg": IcebergTable}
             df = readers[fmt](path).snapshot(self.spark)
             self.create_table(name, df)
+            att["version"] = None  # advanced to latest: the pin is gone
             return df
         t = TxnLogTable(path)
         if op == "optimize":
@@ -197,6 +202,7 @@ class Engine:
             t.vacuum(**kw)
         df = t.snapshot(self.spark)
         self.create_table(name, df)
+        att["version"] = None  # re-registered at latest
         return df
 
     # -- statements ----------------------------------------------------
@@ -1055,6 +1061,7 @@ class Engine:
                 if n not in self._views  # views re-create from their SQL
             },
             "matviews": dict(self._matviews),
+            "attached": dict(self._attached),
             "views": dict(self._views),
             "functions": {
                 n: [ps, body] for n, (ps, body) in self._functions.items()
@@ -1090,6 +1097,23 @@ class Engine:
                     for vn, fields in variants
                 ],
             )
+        # re-ATTACH lakehouse tables FIRST (loudly if the path is
+        # gone), so the declared-tables loop below sees them as live
+        # views instead of resurrecting empty shells; the VERSION pin
+        # round-trips
+        for name, att in data.get("attached", {}).items():
+            try:
+                self._attach_table_stmt(
+                    name, att["fmt"], att["path"],
+                    att["version"] if att.get("version") is not None else None,
+                )
+            except AdtError:
+                raise
+            except Exception as exc:
+                raise AdtError(
+                    f"catalog restore: re-ATTACH of {name!r} "
+                    f"({att['fmt']} at {att['path']}) failed: {exc}"
+                ) from exc
         existing = {t.name for t in self.spark.catalog.listTables()}
         for name, cols in data["tables"].items():
             td = TableDef(name, {c: deser(t) for c, t in cols})

@@ -243,6 +243,44 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="not an ATTACHed"):
             eng.sql("OPTIMIZE TABLE nope")
         # read-only interop attachments refuse maintenance loudly
-        eng._attached["dly"] = ("delta", "/does/not/matter")
+        eng._attached["dly"] = {
+            "fmt": "delta", "path": "/does/not/matter", "version": None,
+        }
         with _pytest.raises(AdtError, match="read-only"):
             eng.sql("VACUUM dly")
+
+    def test_attachments_survive_catalog_roundtrip(
+        self, spark, tables, tmp_path
+    ):
+        """save_catalog persists attachments (fmt/path/VERSION pin);
+        load_catalog re-ATTACHes them FIRST so they come back as live
+        data, not empty schema shells — and a missing path refuses
+        loudly instead of silently restoring an empty table."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "ct"))
+        r = tables["region"]
+        t.append(r.limit(2))
+        t.append(r.limit(5))
+        a = Engine(spark)
+        a.sql(f"ATTACH TABLE creg FROM txnlog LOCATION '{t.path}' VERSION 0")
+        p = str(tmp_path / "catalog.json")
+        a.save_catalog(p)
+        spark.catalog.dropTempView("creg")
+        b = Engine(spark)
+        b.load_catalog(p)
+        # live data at the PINNED version, not an empty shell
+        assert b.sql("SELECT COUNT(*) AS n FROM creg").collect()[0]["n"] == 2
+        spark.catalog.dropTempView("creg")
+        # a vanished table path fails the restore loudly
+        import json as _json
+
+        doc = _json.load(open(p))
+        doc["attached"]["creg"]["path"] = str(tmp_path / "gone")
+        _json.dump(doc, open(p, "w"))
+        with _pytest.raises(AdtError, match="re-ATTACH"):
+            Engine(spark).load_catalog(p)
