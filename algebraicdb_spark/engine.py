@@ -263,6 +263,9 @@ class Engine:
                 raise AdtError(f"{name} is a view — use DROP VIEW")
             self.spark.catalog.dropTempView(name)
             self._tables.pop(name, None)
+            # a dropped ATTACHment must not resurrect through the
+            # catalog round-trip
+            self._attached.pop(name, None)
             self._invalidate_stats(name)
             return None
         if _ALTER_TABLE_RE.match(stmt):

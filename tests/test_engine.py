@@ -284,3 +284,14 @@ class TestAttachTable:
         _json.dump(doc, open(p, "w"))
         with _pytest.raises(AdtError, match="re-ATTACH"):
             Engine(spark).load_catalog(p)
+        # DROP TABLE forgets the attachment: it must NOT resurrect
+        # through a later save/load
+        c = Engine(spark)
+        c.sql(f"ATTACH TABLE creg2 FROM txnlog LOCATION '{t.path}'")
+        c.sql("DROP TABLE creg2")
+        p2 = str(tmp_path / "catalog2.json")
+        c.save_catalog(p2)
+        Engine(spark).load_catalog(p2)
+        assert "creg2" not in {
+            tb.name for tb in spark.catalog.listTables()
+        }
