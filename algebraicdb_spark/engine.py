@@ -28,6 +28,7 @@ for programmatic use; the dialect is the statement-level twin.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +130,11 @@ class Engine:
             for f in df.schema.fields
         }
         self._tables[name] = TableDef(name, cols)
+        # redefining a name detaches it: CTAS/CREATE TABLE over an
+        # ATTACHed name must not leave maintenance statements and the
+        # catalog round-trip pointing at the old lakehouse table
+        # (attachers re-register AFTER this call)
+        self._attached.pop(name, None)
         self._invalidate_stats(name)
 
     def table(self, name: str) -> DataFrame:
@@ -157,6 +163,15 @@ class Engine:
             "delta": DeltaLogTable,
             "iceberg": IcebergTable,
         }
+        if fmt.lower() == "txnlog" and not os.path.isdir(
+            os.path.join(path, "_log")
+        ):
+            # the writer class mkdirs its log on construction; ATTACH
+            # is a READ and must not leave an empty-but-valid-looking
+            # table skeleton behind a typo'd LOCATION
+            raise AdtError(
+                f"ATTACH TABLE: no txnlog table at {path!r} (missing _log)"
+            )
         v = int(version) if version is not None else None
         df = readers[fmt.lower()](path).snapshot(self.spark, v)
         self.create_table(name, df)
@@ -186,15 +201,8 @@ class Engine:
                 "maintain it with its owning system"
             )
         if op == "refresh":
-            from algebraicdb_spark.operators.iceberg import IcebergTable
-            from algebraicdb_spark.operators.txnlog import DeltaLogTable
-
-            readers = {"txnlog": TxnLogTable, "delta": DeltaLogTable,
-                       "iceberg": IcebergTable}
-            df = readers[fmt](path).snapshot(self.spark)
-            self.create_table(name, df)
-            att["version"] = None  # advanced to latest: the pin is gone
-            return df
+            # a refresh IS a re-ATTACH at latest (pin cleared)
+            return self._attach_table_stmt(name, fmt, path, None)
         t = TxnLogTable(path)
         if op == "optimize":
             t.optimize(self.spark, **kw)
@@ -202,7 +210,8 @@ class Engine:
             t.vacuum(**kw)
         df = t.snapshot(self.spark)
         self.create_table(name, df)
-        att["version"] = None  # re-registered at latest
+        # create_table detached the name; re-register at latest
+        self._attached[name] = {"fmt": fmt, "path": path, "version": None}
         return df
 
     # -- statements ----------------------------------------------------
@@ -1110,8 +1119,6 @@ class Engine:
                     name, att["fmt"], att["path"],
                     att["version"] if att.get("version") is not None else None,
                 )
-            except AdtError:
-                raise
             except Exception as exc:
                 raise AdtError(
                     f"catalog restore: re-ATTACH of {name!r} "

@@ -398,8 +398,9 @@ class IcebergTable:
         ``added_snapshot_id`` (the spec's inheritance rule) — without
         that, a reused manifest whose null-sid entries were counted
         once per walked snapshot would duplicate rows in the feed;
-        when even that is absent (v1 inline form) the entry is
-        attributed to the walked snapshot and the path set is deduped.
+        when even that is absent (v1 inline form) attribution is
+        impossible and the read REFUSES — a reused manifest would
+        otherwise double-count across successive windows.
 
         ``since`` must be an ancestor of ``to`` along
         ``parent-snapshot-id`` — Iceberg history is a chain of
@@ -433,7 +434,17 @@ class IcebergTable:
                 for entry in AvroFileReader(mpath).records:
                     e_sid = entry.get("snapshot_id")
                     if e_sid is None:
-                        e_sid = m_sid if m_sid is not None else sid
+                        if m_sid is None:
+                            raise NotImplementedError(
+                                f"{self.path}: manifest entry in {mpath} "
+                                "has no snapshot_id and the v1 inline "
+                                "manifest list carries no "
+                                "added_snapshot_id to inherit — "
+                                "attribution is impossible, and a reused "
+                                "manifest would double-count; rebuild "
+                                "from snapshot()"
+                            )
+                        e_sid = m_sid
                     if e_sid != sid:
                         continue  # carried forward from an older commit
                     status = entry.get("status", _EXISTING)

@@ -241,9 +241,21 @@ class TxnLogTable:
         no-op; the pointer advances via atomic rename and only ever
         forward. Returns the checkpointed version, or None when there
         is nothing new to checkpoint."""
+        import glob as _glob
+        import time as _time
+
         latest = self.latest_version()
         if latest < 0:
             return None
+        # reap tmp files a crashed checkpointer left mid-write — they
+        # are invisible to readers but accrete over a months-long
+        # ingest; >1h old means no live racer still holds them
+        for stale in _glob.glob(os.path.join(self.log_dir, "*.tmp.*")):
+            try:
+                if _time.time() - os.path.getmtime(stale) > 3600:
+                    os.unlink(stale)
+            except OSError:
+                pass  # racer reaped it first
         prev = self._last_ckpt()
         if prev is not None and prev["version"] >= latest:
             return None
@@ -998,11 +1010,14 @@ class DeltaLogTable:
 
     # -- checkpoint replay ----------------------------------------------
 
-    def _checkpoint_files(self) -> list[str]:
+    def _checkpoint_files(self, cp: dict | None = None) -> list[str]:
         """Resolve the parquet file(s) `_last_checkpoint` names —
         classic single-file or multipart — refusing v2/sidecar
-        layouts whose state those names don't reach."""
-        cp = self._cp
+        layouts whose state those names don't reach. Callers that
+        already read the pointer pass it in, so one logical operation
+        never mixes two pointer generations."""
+        if cp is None:
+            cp = self._cp
         c = cp["version"]
         parts = cp.get("parts")
         if parts:
@@ -1031,14 +1046,14 @@ class DeltaLogTable:
             )
         return paths
 
-    def _checkpoint_adds(self) -> list[str]:
+    def _checkpoint_adds(self, cp: dict | None = None) -> list[str]:
         """The live set at the checkpoint: its non-null ``add`` rows
         (still URL-encoded, root-relative). Column-pruned read — the
         checkpoint may carry wide stats structs we never touch."""
         import pyarrow.parquet as pq
 
         adds: list[str] = []
-        for p in self._checkpoint_files():
+        for p in self._checkpoint_files(cp):
             for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
                 if row is None:
                     continue
@@ -1075,12 +1090,14 @@ class DeltaLogTable:
     def live_paths(self, as_of: int | None = None) -> list[str]:
         from urllib.parse import unquote
 
-        cp_v = self._cp["version"] if self._cp is not None else None
+        cp = self._cp  # ONE pointer read per operation: an external
+        # checkpoint advance mid-call must not mix two generations
+        cp_v = cp["version"] if cp is not None else None
         use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
 
         def pairs():
             if use_cp:
-                yield [(p, "add") for p in self._checkpoint_adds()]
+                yield [(p, "add") for p in self._checkpoint_adds(cp)]
             for _, actions in self._json_commit_actions(
                 cp_v + 1 if use_cp else 0, as_of
             ):
@@ -1115,7 +1132,14 @@ class DeltaLogTable:
         Delta CDF's own retention constraint."""
         from urllib.parse import unquote
 
-        hi = self.latest_version() if to is None else to
+        latest = self.latest_version()
+        hi = latest if to is None else to
+        if hi > latest:
+            raise ValueError(
+                f"change window ({since}, {hi}] extends past the log head "
+                f"{latest} — recording it as a watermark would silently "
+                "skip the commits that land there later"
+            )
         paths: list[str] = []
         for v, actions in self._json_commit_actions(since + 1, hi):
             for a in actions:

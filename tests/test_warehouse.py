@@ -522,6 +522,12 @@ class TestTxnLogRandomModel:
                     t.write_checkpoint()
                 elif op == "vacuum":
                     t.vacuum(retain_versions=2)
+                    # the feed contract: consume WITHIN retention; the
+                    # model consumer resyncs from the snapshot rather
+                    # than read a window vacuum may have reclaimed
+                    folded, wm, pending, dirty = (
+                        list(live), t.latest_version(), [], False
+                    )
                 elif op == "consume":
                     if t.latest_version() <= wm:
                         pass  # nothing new
