@@ -473,7 +473,15 @@ class IcebergTable:
                     paths.append(self._resolve(df["file_path"]))
         if not paths:
             return None
-        return spark.read.parquet(*sorted(set(paths)))
+        out = sorted(set(paths))
+        gone = [p for p in out if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"{self.path}: change window references data files "
+                f"maintenance already expired ({gone[:3]}…) — consume "
+                "within the table's retention, or rebuild from snapshot()"
+            )
+        return spark.read.parquet(*out)
 
     # -- reads ---------------------------------------------------------
 

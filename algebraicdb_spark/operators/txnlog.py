@@ -594,6 +594,13 @@ class TxnLogTable:
                     paths.append(a["path"])
         if not paths:
             return None
+        gone = [p for p in paths if not os.path.isdir(p)]
+        if gone:
+            raise ValueError(
+                f"change window ({since}, {hi}] references data VACUUM "
+                f"already reclaimed ({gone[:3]}…) — consume within the "
+                "retention window, or rebuild from the snapshot"
+            )
         return spark.read.parquet(*paths)
 
     def optimize(
@@ -1158,9 +1165,16 @@ class DeltaLogTable:
                     )
         if not paths:
             return None
-        return spark.read.parquet(
-            *[os.path.join(self.path, unquote(p)) for p in paths]
-        )
+        resolved = [os.path.join(self.path, unquote(p)) for p in paths]
+        gone = [p for p in resolved if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"change window ({since}, {hi}] references data the "
+                f"external writer's retention already cleaned "
+                f"({gone[:3]}…) — consume within its retention, or "
+                "rebuild from the snapshot"
+            )
+        return spark.read.parquet(*resolved)
 
     def history(self) -> list[dict]:
         """(version, operation) per SURVIVING JSON commit — DESCRIBE

@@ -623,6 +623,13 @@ class TestIncrementalAggView:
         # the view state is itself versioned: its first refresh is
         # still time-travelable
         assert v.state.snapshot(spark, as_of=0).count() > 0
+        # a window referencing vacuumed data refuses at RESOLUTION
+        # time with a domain error, not a raw scan failure: compact,
+        # vacuum the originals, then ask for the pre-compaction window
+        t.optimize(spark)
+        t.vacuum(retain_versions=1)
+        with _pytest.raises(ValueError, match="VACUUM already reclaimed"):
+            t.changes(spark, since=-1, to=2)
 
     def test_compaction_is_invisible_to_the_view(
         self, spark, tables, tmp_path
