@@ -54,6 +54,19 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+class SchemaEvolutionError(RuntimeError):
+    """The batch's schema drifted from the table's and the write did
+    not opt into (or the drift is not an) additive evolution."""
+
+
+def _schema_fields(schema_json: str) -> dict[str, str]:
+    """field name -> JSON-serialized type, from a StructType.json()."""
+    import json as _json
+
+    doc = _json.loads(schema_json)
+    return {f["name"]: _json.dumps(f["type"]) for f in doc["fields"]}
+
+
 def _fold_live(commits) -> list[str]:
     """The snapshot fold every log-structured table format shares: walk
     commits in version order, keep each path's LATEST action, a path
@@ -261,11 +274,13 @@ class TxnLogTable:
             return None
         state: dict[str, tuple[str, dict | None]] = {}
         txn: dict[str, int] = {}
+        schema = None
         lo = 0
         if prev is not None:
             for p, st in _ckpt_live_items(prev):
                 state[p] = ("add", st)
             txn = dict(prev["txn"])
+            schema = prev.get("schema")
             lo = prev["version"] + 1
         for commit in self._commits(as_of=latest, lo=lo):
             for a in commit["actions"]:
@@ -274,8 +289,11 @@ class TxnLogTable:
                 elif a["action"] == "txn":
                     k = a["app_id"]
                     txn[k] = max(txn.get(k, -1), int(a["txn_version"]))
+                elif a["action"] == "metaData":
+                    schema = a["schema"]
         doc = {
             "version": latest,
+            "schema": schema,
             # stats ride the checkpoint too, so skipping survives the
             # fold starting from it
             "live": {
@@ -433,11 +451,63 @@ class TxnLogTable:
                 a["stats"] = stats
         return a
 
+    def table_schema(self, as_of: int | None = None) -> str | None:
+        """The TABLE schema (StructType.json()) at ``as_of`` — the
+        latest ``metaData`` action at or before it, checkpoint-aware.
+        None on pre-schema-tracking tables (reads fall back to
+        whatever parquet footer Spark samples — the legacy behavior).
+        """
+        ckpt = self._last_ckpt()
+        schema = None
+        lo = 0
+        if (
+            ckpt is not None
+            and (as_of is None or as_of >= ckpt["version"])
+        ):
+            schema = ckpt.get("schema")
+            lo = ckpt["version"] + 1
+        for commit in self._commits(as_of, lo=lo):
+            for a in commit["actions"]:
+                if a["action"] == "metaData":
+                    schema = a["schema"]
+        return schema
+
+    def _schema_actions(self, df: DataFrame, evolve_schema: bool) -> list[dict]:
+        """The ``metaData`` action (if any) an incoming batch needs —
+        and the gate: Delta's writer contract. A first write records
+        the schema; an identical schema records nothing; a DRIFTED
+        schema refuses unless ``evolve_schema=True`` AND the change is
+        purely additive (every existing column present, same type) —
+        reads then surface nulls for the new columns in old files.
+        Without this gate, multi-schema parquet reads resolve to
+        whichever file's footer Spark samples — nondeterministic."""
+        new = df.schema.json()
+        cur = self.table_schema()
+        if cur is None or cur == new:
+            return [] if cur == new else [
+                {"action": "metaData", "schema": new}
+            ]
+        old_f, new_f = _schema_fields(cur), _schema_fields(new)
+        missing = [c for c in old_f if c not in new_f]
+        retyped = [
+            c for c in old_f if c in new_f and new_f[c] != old_f[c]
+        ]
+        if missing or retyped or not evolve_schema:
+            raise SchemaEvolutionError(
+                f"batch schema drifted from the table's (missing="
+                f"{missing}, retyped={retyped}, added="
+                f"{[c for c in new_f if c not in old_f]}); only "
+                "ADDITIVE evolution is supported, and it must be "
+                "opted into with evolve_schema=True"
+            )
+        return [{"action": "metaData", "schema": new}]
+
     def append(
         self,
         df: DataFrame,
         expected_version: int | None = None,
         stats_cols: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """APPEND commit: stage files, publish adds. Returns the new
         version. ``expected_version`` pins the optimistic check (the
@@ -445,7 +515,11 @@ class TxnLogTable:
         is latest at publish time + 1 (blind append — always safe for
         adds-only commits). ``stats_cols`` records per-column
         [min, max] skipping stats in the add action, read from the
-        staged parquet FOOTERS — O(KB of metadata), no data scanned."""
+        staged parquet FOOTERS — O(KB of metadata), no data scanned.
+        ``evolve_schema`` admits an ADDITIVE schema change, recorded
+        as a ``metaData`` action in the same commit (see
+        ``_schema_actions``); drift without it refuses."""
+        meta = self._schema_actions(df, evolve_schema)
         version = (
             self.latest_version() + 1
             if expected_version is None
@@ -453,7 +527,8 @@ class TxnLogTable:
         )
         paths = self._stage(df)
         self._publish(
-            version, [self._add_action(p, stats_cols) for p in paths]
+            version,
+            meta + [self._add_action(p, stats_cols) for p in paths],
         )
         return version
 
@@ -521,10 +596,17 @@ class TxnLogTable:
         removes = [
             {"action": "remove", "path": p} for p in self.live_paths()
         ]
+        new_schema = df.schema.json()
+        meta = (
+            []
+            if self.table_schema() == new_schema
+            else [{"action": "metaData", "schema": new_schema}]
+        )  # OVERWRITE replaces content, so any schema change is legal
         paths = self._stage(df)
         self._publish(
             expected_version,
-            removes
+            meta
+            + removes
             + [{"action": "add", "path": p} for p in paths]
             + list(extra_actions),
         )
@@ -601,6 +683,13 @@ class TxnLogTable:
                 f"already reclaimed ({gone[:3]}…) — consume within the "
                 "retention window, or rebuild from the snapshot"
             )
+        schema = self.table_schema(hi)
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(json.loads(schema))
+            ).parquet(*paths)
         return spark.read.parquet(*paths)
 
     def optimize(
@@ -643,7 +732,19 @@ class TxnLogTable:
         inputs = self.live_paths()
         if not inputs or (len(inputs) < min_inputs and not zorder_by):
             return None
-        df = spark.read.parquet(*inputs)
+        # the rewrite MUST read with the table schema: a raw read
+        # samples one footer, and under additive evolution sampling an
+        # OLD file would silently drop the newer columns from the
+        # compacted files — data loss through maintenance
+        schema = self.table_schema()
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            df = spark.read.schema(
+                StructType.fromJson(json.loads(schema))
+            ).parquet(*inputs)
+        else:
+            df = spark.read.parquet(*inputs)
         if zorder_by:
             # OPTIMIZE ZORDER BY: re-CLUSTER, not just re-pack — also
             # legitimate on a single input (min_inputs gates only the
@@ -755,6 +856,17 @@ class TxnLogTable:
                 f"version {as_of if as_of is not None else 'latest'}"
                 + (" matching the skip ranges" if skip else "")
             )
+        schema = self.table_schema(as_of)
+        if schema is not None:
+            # the TABLE schema (latest metaData ≤ as_of) governs the
+            # read: files written before an additive evolution surface
+            # NULL for the newer columns, files are never resolved by
+            # whichever footer Spark happens to sample
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(json.loads(schema))
+            ).parquet(*paths)
         return spark.read.parquet(*paths)
 
 

@@ -147,7 +147,7 @@ class TestTxnLogTable:
         t = self._table(tmp_path)
         t.append(tables["region"])
         # two writers race for version 1: the second publish loses
-        t.append(tables["nation"], expected_version=1)
+        t.append(tables["region"].limit(2), expected_version=1)
         with _pytest.raises(ConcurrentWriteError, match="version 1"):
             t.append(tables["region"], expected_version=1)
 
@@ -186,19 +186,17 @@ class TestTxnLogTable:
         import pytest as _pytest
 
         t = self._table(tmp_path)
-        t.append(tables["region"])              # v0
-        t.overwrite(tables["nation"], 1)        # v1 (tombstones v0 files)
-        t.append(tables["region"])              # v2
+        r = tables["region"]
+        t.append(r)                             # v0
+        t.overwrite(r.limit(3), 1)              # v1 (tombstones v0 files)
+        t.append(r.limit(2))                    # v2
         v0_paths = t.live_paths(as_of=0)
         deleted = t.vacuum(retain_versions=2)   # keep v1, v2
         assert deleted == v0_paths
         assert not os.path.isdir(v0_paths[0])
         # v1 and v2 snapshots still read
-        assert t.snapshot(spark, as_of=1).count() == tables["nation"].count()
-        assert (
-            t.snapshot(spark, as_of=2).count()
-            == tables["nation"].count() + tables["region"].count()
-        )
+        assert t.snapshot(spark, as_of=1).count() == 3
+        assert t.snapshot(spark, as_of=2).count() == 5
         # v0 time travel is gone, and says so via the read path
         with _pytest.raises(Exception):
             t.snapshot(spark, as_of=0).count()
@@ -208,7 +206,7 @@ class TestTxnLogTable:
     ):
         t = self._table(tmp_path)
         t.append(tables["region"])
-        t.append(tables["nation"])
+        t.append(tables["region"].limit(2))
         assert t.vacuum(retain_versions=1) == []  # every file still live
 
     def test_log_checkpoint_preserves_semantics_and_is_incremental(
@@ -223,7 +221,7 @@ class TestTxnLogTable:
         r = tables["region"]
         t.append(r.limit(1))                    # v0
         t.append_txn(r.limit(2), "app", 5)      # v1 + txn mark
-        t.overwrite(tables["nation"], 2)        # v2 tombstones v0-v1
+        t.overwrite(r.limit(4), 2)              # v2 tombstones v0-v1
         t.append(r.limit(3))                    # v3
         pre_live = t.live_paths()
         pre_v1 = t.live_paths(as_of=1)
@@ -234,9 +232,7 @@ class TestTxnLogTable:
         assert t.last_txn_version("ghost") == -1
         # below the checkpoint the retained log still replays in full
         assert t.live_paths(as_of=1) == pre_v1
-        assert t.snapshot(spark, as_of=3).count() == (
-            tables["nation"].count() + 3
-        )
+        assert t.snapshot(spark, as_of=3).count() == 4 + 3
         # incremental second checkpoint folds prev state + tail only
         t.append_txn(r.limit(1), "app", 9)      # v4
         assert t.last_txn_version("app") == 9   # tail read pre-ckpt
@@ -419,14 +415,14 @@ class TestTxnLogTable:
         def racy_stage(self_, df):
             if not fired:
                 fired["x"] = True  # before the racer's own _stage re-enters
-                TxnLogTable(t.path).append(tables["nation"])
+                TxnLogTable(t.path).append(tables["region"].limit(3))
             return orig(self_, df)
 
         monkeypatch.setattr(TxnLogTable, "_stage", racy_stage)
         v = t.optimize(spark)
         assert v == 3  # racer took v2 during our staging; retry landed v3
-        n_region, n_nation = tables["region"].count(), tables["nation"].count()
-        assert t.snapshot(spark).count() == 2 * n_region + n_nation
+        n_region = tables["region"].count()
+        assert t.snapshot(spark).count() == 2 * n_region + 3
         # the racer's directory is still live alongside the compacted one
         assert len(t.live_paths()) == 2
 
@@ -463,6 +459,67 @@ class TestTxnLogTable:
             t.optimize(spark)
         # the overwrite's result is intact — optimize changed nothing
         assert t.snapshot(spark).count() == tables["nation"].count()
+
+
+class TestSchemaEvolution:
+    """Writer-side schema evolution (the source-side twin is the
+    registered `source_schema_evolution` key): the TABLE schema lives
+    in metaData actions, reads pin it (never
+    whichever-footer-Spark-samples), drift refuses unless opted into
+    AND additive, and the schema rides checkpoints and the feed."""
+
+    def test_additive_evolution_end_to_end(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            SchemaEvolutionError,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+        wide = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        )
+        # drift refuses by default…
+        with _pytest.raises(SchemaEvolutionError, match="evolve_schema"):
+            t.append(wide)
+        # …and non-additive drift refuses even when opted in
+        with _pytest.raises(SchemaEvolutionError, match="missing"):
+            t.append(
+                spark.createDataFrame([(3,)], "id long"),
+                evolve_schema=True,
+            )
+        with _pytest.raises(SchemaEvolutionError, match="retyped"):
+            t.append(
+                spark.createDataFrame([(3, 4)], "id long, s long"),
+                evolve_schema=True,
+            )
+        t.append(wide, evolve_schema=True)
+        snap = t.snapshot(spark)
+        assert snap.schema.simpleString() == (
+            "struct<id:bigint,s:string,score:double>"
+        )
+        rows = {r["id"]: r for r in snap.collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+        # time travel below the evolution sees the OLD table schema
+        assert "score" not in t.snapshot(spark, as_of=0).columns
+        # the schema rides the checkpoint fold (O(tail) resolution)
+        t.write_checkpoint()
+        assert "score" in t.snapshot(spark).columns
+        # the change feed reads with the window-head schema
+        delta = t.changes(spark, since=-1)
+        assert "score" in delta.columns and delta.count() == 2
+        # compaction materializes the evolved schema
+        t.optimize(spark)
+        post = {r["id"]: r for r in t.snapshot(spark).collect()}
+        assert post[1]["score"] is None and post[2]["score"] == 9.5
+        # OVERWRITE replaces content, so wholesale schema change is fine
+        t.overwrite(
+            spark.createDataFrame([("x",)], "k string"),
+            t.latest_version() + 1,
+        )
+        assert t.snapshot(spark).columns == ["k"]
 
 
 class TestTxnLogRandomModel:
