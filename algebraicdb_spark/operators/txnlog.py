@@ -1235,6 +1235,51 @@ class DeltaLogTable:
 
         return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
 
+    def table_schema(self):
+        """The table's Spark schema from the latest ``metaData``
+        action's ``schemaString`` (Delta serializes exactly Spark's
+        StructType JSON) — checkpoint-aware. None when the table never
+        recorded a parseable schema (e.g. minimal fixtures with
+        ``schemaString: "{}"``); a PRESENT but malformed schemaString
+        raises rather than silently falling back to footer sampling.
+        Pinning the read matters for the same reason as in
+        ``TxnLogTable``: an externally-evolved table read raw resolves
+        to whichever file's footer Spark samples."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType
+
+        doc = None
+        cp = self._cp
+        lo = 0
+        if cp is not None:
+            for fp in self._checkpoint_files(cp):
+                try:
+                    col = pq.read_table(fp, columns=["metaData"]).column(
+                        "metaData"
+                    )
+                except Exception:
+                    continue  # checkpoint without a metaData column
+                for row in col.to_pylist():
+                    if row is not None and row.get("schemaString"):
+                        doc = row["schemaString"]
+            lo = cp["version"] + 1
+        for _v, actions in self._json_commit_actions(lo, None):
+            for a in actions:
+                if "metaData" in a and a["metaData"].get("schemaString"):
+                    doc = a["metaData"]["schemaString"]
+        if not doc:
+            return None
+        parsed = json.loads(doc)
+        if not parsed or not parsed.get("fields"):
+            return None  # "{}" — schema not recorded (minimal fixtures)
+        try:
+            return StructType.fromJson(parsed)
+        except Exception as exc:
+            raise ValueError(
+                f"{self.path}: metaData.schemaString is present but not "
+                f"a Spark StructType JSON: {exc}"
+            ) from exc
+
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
     ) -> DataFrame | None:
@@ -1286,6 +1331,9 @@ class DeltaLogTable:
                 f"({gone[:3]}…) — consume within its retention, or "
                 "rebuild from the snapshot"
             )
+        st = self.table_schema()
+        if st is not None:
+            return spark.read.schema(st).parquet(*resolved)
         return spark.read.parquet(*resolved)
 
     def history(self) -> list[dict]:
@@ -1304,13 +1352,22 @@ class DeltaLogTable:
         self, spark: SparkSession, as_of: int | None = None
     ) -> DataFrame:
         """Scan the snapshot at ``as_of`` (default: latest) — time
-        travel over a Delta table someone else wrote."""
+        travel over a Delta table someone else wrote. Reads pin the
+        metaData schemaString when the table recorded one (see
+        ``table_schema``); note this is the LATEST schema, not the
+        as-of one — Delta's own time travel reads historical data
+        under the current table schema unless the reader opts into
+        schema-at-timestamp, and the minimal reader matches the
+        default."""
         paths = self.live_paths(as_of)
         if not paths:
             raise ValueError(
                 f"delta table {self.path} has no live files at version "
                 f"{as_of if as_of is not None else 'latest'}"
             )
+        st = self.table_schema()
+        if st is not None:
+            return spark.read.schema(st).parquet(*paths)
         return spark.read.parquet(*paths)
 
 

@@ -1005,6 +1005,62 @@ class TestDeltaLogTable:
         with _pytest.raises(ValueError, match="non-contiguous"):
             DeltaLogTable(root).snapshot(spark)
 
+    def test_schema_string_pins_reads(self, spark, tables, tmp_path):
+        """A real Delta table records its schema as metaData.
+        schemaString (Spark's own StructType JSON): the reader pins it,
+        so a mixed-schema (externally evolved) table reads with the
+        TABLE schema — old files surface NULL for newer columns —
+        instead of resolving to whichever footer Spark samples."""
+        import glob
+        import json
+        import os
+        import shutil
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_schema")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+
+        def stage(df, name):
+            tmp = os.path.join(root, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(root, name))
+            shutil.rmtree(tmp)
+
+        stage(spark.createDataFrame([(1, "a")], "id long, s string"),
+              "f1.parquet")
+        stage(spark.createDataFrame([(2, "b", 9.5)],
+                                    "id long, s string, score double"),
+              "f2.parquet")
+        wide = spark.createDataFrame(
+            [], "id long, s string, score double"
+        ).schema.json()
+
+        def commit(v, lines):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        def add(name):
+            return {"add": {"path": name, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "0-0", "schemaString": wide}},
+            add("f1.parquet"),
+        ])
+        commit(1, [add("f2.parquet")])
+        t = DeltaLogTable(root)
+        snap = t.snapshot(spark)
+        assert snap.columns == ["id", "s", "score"]
+        rows = {r["id"]: r for r in snap.collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+        # the change feed reads pinned too
+        delta = t.changes(spark, since=-1)
+        assert "score" in delta.columns and delta.count() == 2
+
     def test_change_feed_over_external_delta(self, spark, tables, tmp_path):
         """Incremental consumption of someone else's Delta table: the
         change feed returns the window's data-changing adds, skips
