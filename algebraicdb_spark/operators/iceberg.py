@@ -477,9 +477,11 @@ class IcebergTable:
         gone = [p for p in out if not os.path.exists(p)]
         if gone:
             raise ValueError(
-                f"{self.path}: change window references data files "
-                f"maintenance already expired ({gone[:3]}…) — consume "
-                "within the table's retention, or rebuild from snapshot()"
+                f"{self.path}: change window references data files absent "
+                f"from this copy ({gone[:3]}…) — either maintenance "
+                "expired them (consume within retention / rebuild from "
+                "snapshot()) or their absolute URIs resolve outside this "
+                "local table copy"
             )
         return spark.read.parquet(*out)
 

@@ -187,6 +187,20 @@ def _footer_stats(data_dir: str, cols: list[str]) -> dict:
     }
 
 
+def _read_pinned(spark: SparkSession, paths: list[str], schema_json: str | None) -> DataFrame:
+    """One place for the pin-or-fallback read contract: with a
+    recorded table schema, read under it (old files surface NULL for
+    newer columns, never footer-sampling roulette); without one, the
+    legacy raw read."""
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def _ckpt_live_items(ckpt: dict):
     """Checkpoint live-set items as (path, stats) — tolerating the
     earlier list-of-paths artifact shape (stats None = unprunable)."""
@@ -457,6 +471,12 @@ class TxnLogTable:
         None on pre-schema-tracking tables (reads fall back to
         whatever parquet footer Spark samples — the legacy behavior).
         """
+        key = (self.latest_version(), as_of)
+        cache = getattr(self, "_schema_memo", None)
+        if cache is None:
+            cache = self._schema_memo = {}
+        if key in cache:
+            return cache[key]
         ckpt = self._last_ckpt()
         schema = None
         lo = 0
@@ -470,6 +490,10 @@ class TxnLogTable:
             for a in commit["actions"]:
                 if a["action"] == "metaData":
                     schema = a["schema"]
+        # the log is append-only and never cleaned, so (head, as_of)
+        # fully determines the answer — safe to memoize; bounded by
+        # distinct (head, as_of) pairs actually queried
+        cache[key] = schema
         return schema
 
     def _schema_actions(self, df: DataFrame, evolve_schema: bool) -> list[dict]:
@@ -483,11 +507,14 @@ class TxnLogTable:
         whichever file's footer Spark samples — nondeterministic."""
         new = df.schema.json()
         cur = self.table_schema()
-        if cur is None or cur == new:
-            return [] if cur == new else [
-                {"action": "metaData", "schema": new}
-            ]
+        if cur is None:
+            return [{"action": "metaData", "schema": new}]
         old_f, new_f = _schema_fields(cur), _schema_fields(new)
+        if old_f == new_f and list(old_f) == list(new_f):
+            # identical names+types (possibly differing only in
+            # nullability / StructField metadata): not drift, and no
+            # new metaData — the first recording's flags keep governing
+            return []
         missing = [c for c in old_f if c not in new_f]
         retyped = [
             c for c in old_f if c in new_f and new_f[c] != old_f[c]
@@ -533,7 +560,12 @@ class TxnLogTable:
         return version
 
     def append_txn(
-        self, df: DataFrame, app_id: str, txn_version: int, max_retries: int = 8
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        max_retries: int = 8,
+        evolve_schema: bool = False,
     ) -> int | None:
         """Idempotent APPEND — Delta's transaction-identifier protocol
         (a ``txn`` action carrying (appId, version) rides in the same
@@ -554,8 +586,13 @@ class TxnLogTable:
         """
         if txn_version <= self.last_txn_version(app_id):
             return None
+        # the streaming sink is exactly where schema drift arrives over
+        # months — it must pass the SAME gate as append, or a drifted
+        # micro-batch would commit ungoverned into a pinned table and
+        # the next OPTIMIZE would rewrite it under the stale schema
+        meta = self._schema_actions(df, evolve_schema)
         paths = self._stage(df)
-        actions = [{"action": "add", "path": p} for p in paths] + [
+        actions = meta + [{"action": "add", "path": p} for p in paths] + [
             {"action": "txn", "app_id": app_id, "txn_version": txn_version}
         ]
         for _ in range(max_retries):
@@ -683,14 +720,7 @@ class TxnLogTable:
                 f"already reclaimed ({gone[:3]}…) — consume within the "
                 "retention window, or rebuild from the snapshot"
             )
-        schema = self.table_schema(hi)
-        if schema is not None:
-            from pyspark.sql.types import StructType
-
-            return spark.read.schema(
-                StructType.fromJson(json.loads(schema))
-            ).parquet(*paths)
-        return spark.read.parquet(*paths)
+        return _read_pinned(spark, paths, self.table_schema(hi))
 
     def optimize(
         self,
@@ -736,15 +766,7 @@ class TxnLogTable:
         # samples one footer, and under additive evolution sampling an
         # OLD file would silently drop the newer columns from the
         # compacted files — data loss through maintenance
-        schema = self.table_schema()
-        if schema is not None:
-            from pyspark.sql.types import StructType
-
-            df = spark.read.schema(
-                StructType.fromJson(json.loads(schema))
-            ).parquet(*inputs)
-        else:
-            df = spark.read.parquet(*inputs)
+        df = _read_pinned(spark, inputs, self.table_schema())
         if zorder_by:
             # OPTIMIZE ZORDER BY: re-CLUSTER, not just re-pack — also
             # legitimate on a single input (min_inputs gates only the
@@ -856,18 +878,10 @@ class TxnLogTable:
                 f"version {as_of if as_of is not None else 'latest'}"
                 + (" matching the skip ranges" if skip else "")
             )
-        schema = self.table_schema(as_of)
-        if schema is not None:
-            # the TABLE schema (latest metaData ≤ as_of) governs the
-            # read: files written before an additive evolution surface
-            # NULL for the newer columns, files are never resolved by
-            # whichever footer Spark happens to sample
-            from pyspark.sql.types import StructType
-
-            return spark.read.schema(
-                StructType.fromJson(json.loads(schema))
-            ).parquet(*paths)
-        return spark.read.parquet(*paths)
+        # the TABLE schema (latest metaData ≤ as_of) governs the read:
+        # files written before an additive evolution surface NULL for
+        # the newer columns, never footer-sampling roulette
+        return _read_pinned(spark, paths, self.table_schema(as_of))
 
 
 class IncrementalAggView:
@@ -1235,13 +1249,15 @@ class DeltaLogTable:
 
         return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
 
-    def table_schema(self):
+    def table_schema(self, as_of: int | None = None):
         """The table's Spark schema from the latest ``metaData``
-        action's ``schemaString`` (Delta serializes exactly Spark's
-        StructType JSON) — checkpoint-aware. None when the table never
-        recorded a parseable schema (e.g. minimal fixtures with
-        ``schemaString: "{}"``); a PRESENT but malformed schemaString
-        raises rather than silently falling back to footer sampling.
+        action's ``schemaString`` at or before ``as_of`` (Delta
+        serializes exactly Spark's StructType JSON) — checkpoint-aware.
+        None when the table never recorded a parseable schema (e.g.
+        minimal fixtures with ``schemaString: "{}"``); a PRESENT but
+        malformed schemaString raises rather than silently falling
+        back to footer sampling (a checkpoint whose parquet simply has
+        no metaData column is fine; a corrupt checkpoint raises).
         Pinning the read matters for the same reason as in
         ``TxnLogTable``: an externally-evolved table read raw resolves
         to whichever file's footer Spark samples."""
@@ -1251,19 +1267,19 @@ class DeltaLogTable:
         doc = None
         cp = self._cp
         lo = 0
-        if cp is not None:
+        if cp is not None and (as_of is None or as_of >= cp["version"]):
             for fp in self._checkpoint_files(cp):
-                try:
-                    col = pq.read_table(fp, columns=["metaData"]).column(
-                        "metaData"
-                    )
-                except Exception:
+                pf = pq.ParquetFile(fp)
+                if "metaData" not in pf.schema_arrow.names:
                     continue  # checkpoint without a metaData column
+                col = pq.read_table(fp, columns=["metaData"]).column(
+                    "metaData"
+                )
                 for row in col.to_pylist():
                     if row is not None and row.get("schemaString"):
                         doc = row["schemaString"]
             lo = cp["version"] + 1
-        for _v, actions in self._json_commit_actions(lo, None):
+        for _v, actions in self._json_commit_actions(lo, as_of):
             for a in actions:
                 if "metaData" in a and a["metaData"].get("schemaString"):
                     doc = a["metaData"]["schemaString"]
@@ -1331,7 +1347,10 @@ class DeltaLogTable:
                 f"({gone[:3]}…) — consume within its retention, or "
                 "rebuild from the snapshot"
             )
-        st = self.table_schema()
+        # pin the schema AT the window head, not the latest: an
+        # external non-additive evolution AFTER the window must not
+        # break reading the window's own files
+        st = self.table_schema(hi)
         if st is not None:
             return spark.read.schema(st).parquet(*resolved)
         return spark.read.parquet(*resolved)

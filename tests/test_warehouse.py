@@ -521,6 +521,42 @@ class TestSchemaEvolution:
         )
         assert t.snapshot(spark).columns == ["k"]
 
+    def test_sink_path_shares_the_schema_gate(self, spark, tmp_path):
+        """append_txn — the exactly-once streaming sink's commit path,
+        where drift is MOST likely to arrive over a months-long ingest
+        — must pass the same gate as append: a drifted micro-batch
+        refuses instead of committing ungoverned into a pinned table
+        (where the next OPTIMIZE would rewrite it under the stale
+        schema and destroy the new column)."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            SchemaEvolutionError,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append_txn(
+            spark.createDataFrame([(1, "a")], "id long, s string"), "app", 0
+        )
+        wide = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        )
+        with _pytest.raises(SchemaEvolutionError, match="evolve_schema"):
+            t.append_txn(wide, "app", 1)
+        assert t.append_txn(wide, "app", 1, evolve_schema=True) == 1
+        t.optimize(spark)  # maintenance must preserve the evolution
+        rows = {r["id"]: r for r in t.snapshot(spark).collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+        # nullability-only difference is NOT drift (DDL-built schemas
+        # flip nullable flags): same names+types commits cleanly
+        t.append_txn(
+            spark.range(3).selectExpr("id", "CAST('c' AS STRING) AS s",
+                                      "CAST(1.0 AS DOUBLE) AS score"),
+            "app", 2,
+        )
+        assert t.snapshot(spark).count() == 5
+
 
 class TestTxnLogRandomModel:
     """Model-based interleaving test over the WHOLE maintenance
