@@ -67,21 +67,6 @@ def _schema_fields(schema_json: str) -> dict[str, str]:
     return {f["name"]: _json.dumps(f["type"]) for f in doc["fields"]}
 
 
-def _fold_live(commits) -> list[str]:
-    """The snapshot fold every log-structured table format shares: walk
-    commits in version order, keep each path's LATEST action, a path
-    is live iff that action is an add. ``commits`` yields per-commit
-    lists of (path, action) pairs with action in {"add", "remove"}.
-    Used by both the bespoke ``TxnLogTable`` and the Delta-format
-    ``DeltaLogTable`` reader — the fold is the format-independent
-    core; only the action-file encodings differ."""
-    state: dict[str, str] = {}
-    for actions in commits:
-        for path, act in actions:
-            state[path] = act
-    return sorted(p for p, act in state.items() if act == "add")
-
-
 _OPT_ZBITS = 8  # 256 buckets per clustering dimension
 
 
@@ -101,6 +86,17 @@ def _zorder_clustered(df: DataFrame, cols: list[str], target_files: int) -> Data
     Pure integer bit arithmetic JVM-side; no UDF. Nulls bucket to 0
     (they cluster together at the low edge, like Delta)."""
     n = len(cols)
+    # the interleaved key must fit a SIGNED bigint: the top bit index is
+    # (_OPT_ZBITS-1)*n + (n-1) = 8n-1, so n=8 lands on bit 63 (the sign
+    # bit — range partitioning would invert the top bucket) and n>8
+    # wraps entirely. Refuse loudly instead of misclustering silently.
+    if n * _OPT_ZBITS - 1 >= 63:
+        raise ValueError(
+            f"ZORDER BY supports at most {63 // _OPT_ZBITS} columns "
+            f"(got {n}): the {_OPT_ZBITS}-bit interleaved key would "
+            "overflow bigint's sign bit and senselessly serialize the "
+            "range clustering; drop the lowest-value columns"
+        )
     row = df.agg(
         *[
             f
@@ -546,18 +542,32 @@ class TxnLogTable:
         ``evolve_schema`` admits an ADDITIVE schema change, recorded
         as a ``metaData`` action in the same commit (see
         ``_schema_actions``); drift without it refuses."""
-        meta = self._schema_actions(df, evolve_schema)
-        version = (
-            self.latest_version() + 1
-            if expected_version is None
-            else expected_version
-        )
         paths = self._stage(df)
-        self._publish(
-            version,
-            meta + [self._add_action(p, stats_cols) for p in paths],
+        adds = [self._add_action(p, stats_cols) for p in paths]
+        if expected_version is not None:
+            # pinned: the caller read a snapshot and demands this slot
+            meta = self._schema_actions(df, evolve_schema)
+            self._publish(expected_version, meta + adds)
+            return expected_version
+        # blind append: adds-only commits never logically conflict, so
+        # resolve the slot immediately before each publish attempt and
+        # retry one version up on a lost race — the docstring's "always
+        # safe" promise. The schema gate re-runs per attempt: the racer
+        # may have evolved the table, and republishing metaData computed
+        # against the pre-race schema would silently revert it (same
+        # fix as append_txn's retry loop).
+        for _ in range(8):
+            meta = self._schema_actions(df, evolve_schema)
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, meta + adds)
+                return version
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            "append lost 8 publish races — table is under pathological "
+            "write contention"
         )
-        return version
 
     def append_txn(
         self,
@@ -586,19 +596,25 @@ class TxnLogTable:
         """
         if txn_version <= self.last_txn_version(app_id):
             return None
-        # the streaming sink is exactly where schema drift arrives over
-        # months — it must pass the SAME gate as append, or a drifted
-        # micro-batch would commit ungoverned into a pinned table and
-        # the next OPTIMIZE would rewrite it under the stale schema
-        meta = self._schema_actions(df, evolve_schema)
         paths = self._stage(df)
-        actions = meta + [{"action": "add", "path": p} for p in paths] + [
+        tail = [{"action": "add", "path": p} for p in paths] + [
             {"action": "txn", "app_id": app_id, "txn_version": txn_version}
         ]
         for _ in range(max_retries):
+            # the streaming sink is exactly where schema drift arrives
+            # over months — it must pass the SAME gate as append, or a
+            # drifted micro-batch would commit ungoverned into a pinned
+            # table and the next OPTIMIZE would rewrite it under the
+            # stale schema. Recomputed PER ATTEMPT: a racer that won the
+            # slot may itself have evolved the table schema, and
+            # republishing a metaData action computed against the
+            # pre-race schema would silently revert its evolution (the
+            # gate instead re-evaluates — and refuses loudly if the
+            # racer's evolution now conflicts with this batch).
+            meta = self._schema_actions(df, evolve_schema)
             try:
                 version = self.latest_version() + 1
-                self._publish(version, actions)
+                self._publish(version, meta + tail)
                 return version
             except ConcurrentWriteError:
                 # a racer (same app restarted? another table writer)
@@ -1047,10 +1063,10 @@ class DeltaLogTable:
     - versions must be contiguous from 0 — a gap means a corrupted or
       vacuumed-past log and raises instead of silently dropping
       commits;
-    - snapshot resolution is the SAME fold as ``TxnLogTable``
-      (``_fold_live``) — replaying actions in version order beats any
-      directory listing, which is the whole point of log-structured
-      formats.
+    - snapshot resolution is the SAME fold as ``TxnLogTable`` —
+      replaying actions in version order (latest action per path wins,
+      live iff add) beats any directory listing, which is the whole
+      point of log-structured formats.
 
     Checkpoint replay IS in scope (every real Delta table checkpoints
     every ~10 commits and then CLEANS the old JSON, so a reader that
@@ -1068,11 +1084,21 @@ class DeltaLogTable:
     column pruning to ``add`` — the same O(metadata) shape as the
     JSON fold.
 
-    Out of scope, loudly: v2/UUID-named checkpoints with sidecar
-    files (NotImplementedError — their state lives in files
-    ``_last_checkpoint`` doesn't name), deletion vectors (an ``add``
-    carrying one describes rows we would resurrect by scanning the
-    file raw), and column-mapping metadata. Production swaps this
+    Partitioned tables ARE in scope: metaData.partitionColumns names
+    them and each add's ``partitionValues`` carries the (string-
+    serialized) values — the parquet files themselves never contain
+    the partition columns, so the reader synthesizes them as typed
+    literals per partition group (``_assemble``); reading the files
+    raw would silently return those columns as all-NULL.
+
+    Out of scope, loudly (``_check_readable`` gates every scan on the
+    folded ``protocol``/``metaData`` actions): v2/UUID-named
+    checkpoints with sidecar files (NotImplementedError — their state
+    lives in files ``_last_checkpoint`` doesn't name), deletion
+    vectors (an ``add`` carrying one describes rows we would resurrect
+    by scanning the file raw), column mapping (physical parquet names
+    differ from the logical schema — a raw scan reads all-NULLs), and
+    any readerFeature beyond the honored set. Production swaps this
     class for delta-rs / Delta Standalone behind the same
     three-method surface (latest_version / live_paths / snapshot);
     the scan itself is already just a pruned parquet read either way.
@@ -1179,13 +1205,16 @@ class DeltaLogTable:
             )
         return paths
 
-    def _checkpoint_adds(self, cp: dict | None = None) -> list[str]:
-        """The live set at the checkpoint: its non-null ``add`` rows
-        (still URL-encoded, root-relative). Column-pruned read — the
-        checkpoint may carry wide stats structs we never touch."""
+    def _checkpoint_adds(
+        self, cp: dict | None = None
+    ) -> list[tuple[str, dict]]:
+        """The live set at the checkpoint: its non-null ``add`` rows as
+        (path, partitionValues) pairs (paths still URL-encoded,
+        root-relative). Column-pruned read — the checkpoint may carry
+        wide stats structs we never touch."""
         import pyarrow.parquet as pq
 
-        adds: list[str] = []
+        adds: list[tuple[str, dict]] = []
         for p in self._checkpoint_files(cp):
             for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
                 if row is None:
@@ -1196,8 +1225,103 @@ class DeltaLogTable:
                         "deletion vector — scanning the file raw would "
                         "resurrect deleted rows; use a full Delta client"
                     )
-                adds.append(row["path"])
+                pv = row.get("partitionValues") or {}
+                if isinstance(pv, list):
+                    # pyarrow surfaces parquet MAP columns as [(k, v)]
+                    pv = dict(pv)
+                adds.append((row["path"], pv))
         return adds
+
+    # reader features this minimal client actually honors when the
+    # protocol announces them: deletion vectors refuse PER ADD (a table
+    # with the feature enabled but no live DV carries nothing we would
+    # misread), timestampNtz is just a type Spark reads natively, and
+    # vacuumProtocolCheck constrains VACUUM (a write we never perform).
+    _READER_FEATURES = {"deletionVectors", "timestampNtz",
+                        "vacuumProtocolCheck"}
+
+    def _protocol_meta(self, as_of: int | None = None) -> tuple[dict, dict]:
+        """The latest ``protocol`` and ``metaData`` actions at or
+        before ``as_of`` (checkpoint-aware) — the table facts a reader
+        must consult BEFORE trusting its own scan: minReaderVersion /
+        readerFeatures say whether this client may read at all, and
+        metaData.partitionColumns says whether row values live in the
+        log (add.partitionValues) instead of the parquet files."""
+        import pyarrow.parquet as pq
+
+        proto: dict = {}
+        meta: dict = {}
+        cp = self._cp
+        lo = 0
+        if cp is not None and (as_of is None or as_of >= cp["version"]):
+            for fp in self._checkpoint_files(cp):
+                pf = pq.ParquetFile(fp)
+                cols = [
+                    c for c in ("protocol", "metaData")
+                    if c in pf.schema_arrow.names
+                ]
+                if not cols:
+                    continue
+                tbl = pq.read_table(fp, columns=cols)
+                for c in cols:
+                    for row in tbl.column(c).to_pylist():
+                        if row is None:
+                            continue
+                        if c == "protocol":
+                            proto = row
+                        else:
+                            meta = row
+            lo = cp["version"] + 1
+        for _v, actions in self._json_commit_actions(lo, as_of):
+            for a in actions:
+                if "protocol" in a:
+                    proto = a["protocol"]
+                elif "metaData" in a:
+                    meta = a["metaData"]
+        return proto, meta
+
+    def _check_readable(self, proto: dict, meta: dict) -> None:
+        """Refuse — loudly, before any scan — tables whose protocol or
+        metadata this minimal reader cannot honor. Silently wrong >
+        unsupported: a column-mapped table read raw surfaces all-NULL
+        columns (physical parquet names differ from the logical
+        schema), and an unknown reader feature means the log encodes
+        semantics we would ignore."""
+        conf = meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)  # pyarrow MAP columns surface as [(k, v)]
+        mode = conf.get("delta.columnMapping.mode")
+        if mode not in (None, "", "none"):
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping.mode={mode!r} — "
+                "physical parquet column names differ from the logical "
+                "schema, so a raw scan would return all-NULL columns; "
+                "use a full Delta client"
+            )
+        mrv = int(proto.get("minReaderVersion", 1) or 1)
+        if mrv <= 1:
+            return
+        if mrv == 2:
+            # reader v2 == column-mapping capability; with the mode
+            # unset/none (checked above) logical == physical names and
+            # the raw scan is faithful
+            return
+        if mrv == 3:
+            unsupported = sorted(
+                set(proto.get("readerFeatures") or []) - self._READER_FEATURES
+            )
+            if unsupported:
+                raise NotImplementedError(
+                    f"{self.path}: protocol readerFeatures {unsupported} "
+                    "are not honored by this minimal reader — scanning "
+                    "anyway could silently misread the table; use a "
+                    "full Delta client"
+                )
+            return
+        raise NotImplementedError(
+            f"{self.path}: minReaderVersion={mrv} is newer than this "
+            "reader understands; use a full Delta client"
+        )
 
     def _json_commit_actions(self, lo: int, hi: int | None):
         """Yield (version, [action-dict, ...]) for JSON commits in
@@ -1220,34 +1344,44 @@ class DeltaLogTable:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 yield v, [json.loads(line) for line in f if line.strip()]
 
-    def live_paths(self, as_of: int | None = None) -> list[str]:
+    def _live_adds(self, as_of: int | None = None) -> list[tuple[str, dict]]:
+        """The live fold, carrying each path's ``partitionValues`` from
+        the add action that made it live — for a partitioned table the
+        partition columns' VALUES exist only here, never in the parquet
+        files. Returns (absolute path, partitionValues) sorted by path."""
         from urllib.parse import unquote
 
         cp = self._cp  # ONE pointer read per operation: an external
         # checkpoint advance mid-call must not mix two generations
         cp_v = cp["version"] if cp is not None else None
         use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
+        state: dict[str, tuple[str, dict]] = {}
+        if use_cp:
+            for p, pv in self._checkpoint_adds(cp):
+                state[p] = ("add", pv)
+        for _, actions in self._json_commit_actions(
+            cp_v + 1 if use_cp else 0, as_of
+        ):
+            for a in actions:
+                if "add" in a:
+                    if a["add"].get("deletionVector") is not None:
+                        raise NotImplementedError(
+                            f"add action for {a['add']['path']} carries "
+                            "a deletion vector; use a full Delta client"
+                        )
+                    state[a["add"]["path"]] = (
+                        "add", a["add"].get("partitionValues") or {},
+                    )
+                elif "remove" in a:
+                    state[a["remove"]["path"]] = ("remove", {})
+        return sorted(
+            (os.path.join(self.path, unquote(p)), pv)
+            for p, (act, pv) in state.items()
+            if act == "add"
+        )
 
-        def pairs():
-            if use_cp:
-                yield [(p, "add") for p in self._checkpoint_adds(cp)]
-            for _, actions in self._json_commit_actions(
-                cp_v + 1 if use_cp else 0, as_of
-            ):
-                out = []
-                for a in actions:
-                    if "add" in a:
-                        if a["add"].get("deletionVector") is not None:
-                            raise NotImplementedError(
-                                f"add action for {a['add']['path']} carries "
-                                "a deletion vector; use a full Delta client"
-                            )
-                        out.append((a["add"]["path"], "add"))
-                    elif "remove" in a:
-                        out.append((a["remove"]["path"], "remove"))
-                yield out
-
-        return [os.path.join(self.path, unquote(p)) for p in _fold_live(pairs())]
+    def live_paths(self, as_of: int | None = None) -> list[str]:
+        return [p for p, _pv in self._live_adds(as_of)]
 
     def table_schema(self, as_of: int | None = None):
         """The table's Spark schema from the latest ``metaData``
@@ -1296,6 +1430,65 @@ class DeltaLogTable:
                 f"a Spark StructType JSON: {exc}"
             ) from exc
 
+    def _assemble(
+        self,
+        spark: SparkSession,
+        adds: list[tuple[str, dict]],
+        st,
+        part_cols: list[str],
+    ) -> DataFrame:
+        """Build the scan DataFrame from (path, partitionValues) adds.
+        Unpartitioned: one pinned multi-path parquet read. Partitioned:
+        the partition columns' values exist ONLY in the log (Delta
+        never writes them into the parquet files), so files group by
+        their partition tuple, each group reads under the DATA schema
+        (table schema minus partition columns) and gets its partition
+        values attached as typed literals, then the groups union.
+
+        Scale shape: the union has one branch per DISTINCT LIVE
+        PARTITION TUPLE — metadata-bounded (the same cardinality every
+        Delta client materializes in its file index); a production
+        reader folds the values into the datasource's partition spec
+        instead of a union, but the scan work is identical: each
+        branch is a pruned parquet read of just that partition's files."""
+        from functools import reduce as _reduce
+
+        from pyspark.sql.types import StructType
+
+        if not part_cols:
+            paths = [p for p, _pv in adds]
+            if st is not None:
+                return spark.read.schema(st).parquet(*paths)
+            return spark.read.parquet(*paths)
+        types = {f.name: f.dataType for f in st.fields} if st else {}
+        data_st = (
+            StructType([f for f in st.fields if f.name not in part_cols])
+            if st
+            else None
+        )
+        order = [f.name for f in st.fields] if st else None
+        groups: dict[tuple, list[str]] = {}
+        for p, pv in adds:
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key in sorted(
+            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+        ):
+            df = (
+                spark.read.schema(data_st).parquet(*groups[key])
+                if data_st is not None
+                else spark.read.parquet(*groups[key])
+            )
+            for c, v in zip(part_cols, key):
+                lit = F.lit(v)  # Delta serializes partition values as
+                # strings (null = missing/None); cast restores the
+                # declared column type
+                lit = lit.cast(types[c]) if c in types else lit.cast("string")
+                df = df.withColumn(c, lit)
+            parts.append(df.select(*order) if order else df)
+        return _reduce(lambda a, b: a.unionByName(b), parts)
+
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
     ) -> DataFrame | None:
@@ -1320,7 +1513,9 @@ class DeltaLogTable:
                 f"{latest} — recording it as a watermark would silently "
                 "skip the commits that land there later"
             )
-        paths: list[str] = []
+        proto, meta = self._protocol_meta(hi)
+        self._check_readable(proto, meta)
+        adds: list[tuple[str, dict]] = []
         for v, actions in self._json_commit_actions(since + 1, hi):
             for a in actions:
                 if "add" in a and a["add"].get("dataChange", True):
@@ -1329,17 +1524,23 @@ class DeltaLogTable:
                             f"add action for {a['add']['path']} carries a "
                             "deletion vector; use a full Delta client"
                         )
-                    paths.append(a["add"]["path"])
+                    adds.append(
+                        (
+                            os.path.join(
+                                self.path, unquote(a["add"]["path"])
+                            ),
+                            a["add"].get("partitionValues") or {},
+                        )
+                    )
                 elif "remove" in a and a["remove"].get("dataChange", True):
                     raise ValueError(
                         f"version {v} removed data inside the change "
                         f"window ({since}, {hi}] — the feed is adds-only; "
                         "rebuild the consumer from the snapshot"
                     )
-        if not paths:
+        if not adds:
             return None
-        resolved = [os.path.join(self.path, unquote(p)) for p in paths]
-        gone = [p for p in resolved if not os.path.exists(p)]
+        gone = [p for p, _pv in adds if not os.path.exists(p)]
         if gone:
             raise ValueError(
                 f"change window ({since}, {hi}] references data the "
@@ -1350,10 +1551,10 @@ class DeltaLogTable:
         # pin the schema AT the window head, not the latest: an
         # external non-additive evolution AFTER the window must not
         # break reading the window's own files
-        st = self.table_schema(hi)
-        if st is not None:
-            return spark.read.schema(st).parquet(*resolved)
-        return spark.read.parquet(*resolved)
+        return self._assemble(
+            spark, adds, self.table_schema(hi),
+            meta.get("partitionColumns") or [],
+        )
 
     def history(self) -> list[dict]:
         """(version, operation) per SURVIVING JSON commit — DESCRIBE
@@ -1371,23 +1572,28 @@ class DeltaLogTable:
         self, spark: SparkSession, as_of: int | None = None
     ) -> DataFrame:
         """Scan the snapshot at ``as_of`` (default: latest) — time
-        travel over a Delta table someone else wrote. Reads pin the
-        metaData schemaString when the table recorded one (see
-        ``table_schema``); note this is the LATEST schema, not the
-        as-of one — Delta's own time travel reads historical data
-        under the current table schema unless the reader opts into
-        schema-at-timestamp, and the minimal reader matches the
-        default."""
-        paths = self.live_paths(as_of)
-        if not paths:
+        travel over a Delta table someone else wrote. The protocol /
+        metaData gate runs first (column mapping, unknown reader
+        features refuse loudly); reads pin the metaData schemaString
+        AT ``as_of`` (see ``table_schema``) — Delta reconstructs the
+        queried version's own metadata, so time travel across a
+        non-additive external evolution returns that version's actual
+        content, not NULLs under the newest shape (``changes`` pins
+        its window head the same way). Partitioned tables get their
+        partition columns synthesized from add.partitionValues (see
+        ``_assemble``) — the values live only in the log."""
+        proto, meta = self._protocol_meta(as_of)
+        self._check_readable(proto, meta)
+        adds = self._live_adds(as_of)
+        if not adds:
             raise ValueError(
                 f"delta table {self.path} has no live files at version "
                 f"{as_of if as_of is not None else 'latest'}"
             )
-        st = self.table_schema()
-        if st is not None:
-            return spark.read.schema(st).parquet(*paths)
-        return spark.read.parquet(*paths)
+        return self._assemble(
+            spark, adds, self.table_schema(as_of),
+            meta.get("partitionColumns") or [],
+        )
 
 
 def _fresh_table(spark: SparkSession, sf_dir: str, name: str) -> TxnLogTable:

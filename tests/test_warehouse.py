@@ -1229,6 +1229,332 @@ class TestDeltaLogTable:
             DeltaLogTable(str(tmp_path / "nope"))
 
 
+class TestDeltaProtocolAndPartitions:
+    """Round-10 reader-honesty fixes: the scan consults the folded
+    protocol/metaData actions first (column mapping and unknown reader
+    features refuse — a raw scan would silently misread), PARTITIONED
+    external tables get their partition columns synthesized from
+    add.partitionValues (the values exist only in the log — the
+    parquet files never contain those columns, so a raw read returns
+    all-NULLs), and AS OF reads pin the queried version's OWN schema
+    (time travel across a non-additive external evolution returns
+    that version's actual content)."""
+
+    SCHEMA = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "r", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+
+    def _write_partitioned(self, root, configuration=None, protocol=None):
+        """<root> as a partitioned external Delta table: partition
+        column r lives ONLY in partitionValues; the data files carry
+        just (id, name). v0 = two partitions, v1 adds to r=2."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(root, "_delta_log"))
+
+        def stage(rel, ids, names):
+            os.makedirs(os.path.join(root, os.path.dirname(rel)),
+                        exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {"id": ids, "name": names},
+                    schema=pa.schema(
+                        [("id", pa.int64()), ("name", pa.string())]
+                    ),
+                ),
+                os.path.join(root, rel),
+            )
+
+        stage("r=1/f1.parquet", [1, 2], ["a", "b"])
+        stage("r=2/f2.parquet", [3], ["c"])
+        stage("r=2/f3.parquet", [4], ["d"])
+
+        def commit(v, lines):
+            with open(
+                os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+            ) as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        meta = {
+            "id": "00000000-feed-beef-0000-000000000001",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(self.SCHEMA),
+            "partitionColumns": ["r"],
+        }
+        if configuration is not None:
+            meta["configuration"] = configuration
+        commit(0, [
+            {"protocol": protocol
+             or {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "r%3D1/f1.parquet",
+                     "partitionValues": {"r": "1"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "r%3D2/f2.parquet",
+                     "partitionValues": {"r": "2"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        commit(1, [
+            {"add": {"path": "r%3D2/f3.parquet",
+                     "partitionValues": {"r": "2"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+
+    def test_partition_columns_synthesized_and_typed(self, spark, tmp_path):
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_part")
+        self._write_partitioned(root)
+        snap = DeltaLogTable(root).snapshot(spark)
+        # schema order matches the table schema, r restored as INT
+        assert snap.schema.simpleString() == (
+            "struct<id:bigint,name:string,r:int>"
+        )
+        rows = {r["id"]: r["r"] for r in snap.collect()}
+        assert rows == {1: 1, 2: 1, 3: 2, 4: 2}
+        # the change feed synthesizes them too
+        delta = DeltaLogTable(root).changes(spark, since=0)
+        assert [(r["id"], r["r"]) for r in delta.collect()] == [(4, 2)]
+        # time travel keeps partition resolution
+        assert DeltaLogTable(root).snapshot(spark, as_of=0).count() == 3
+
+    def test_partition_values_survive_a_checkpoint(self, spark, tmp_path):
+        """A checkpointed partitioned table must carry partitionValues
+        through the checkpoint's add rows — losing them there would
+        NULL the partition column for every pre-checkpoint file."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_part_cp")
+        self._write_partitioned(root)
+        log = os.path.join(root, "_delta_log")
+        keys = ("protocol", "metaData", "add")
+        rows = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "00000000-feed-beef-0000-000000000001",
+                          "schemaString": json.dumps(self.SCHEMA),
+                          "partitionColumns": ["r"]}},
+            {"add": {"path": "r%3D1/f1.parquet",
+                     "partitionValues": {"r": "1"},
+                     "size": 1, "modificationTime": 0, "dataChange": False}},
+            {"add": {"path": "r%3D2/f2.parquet",
+                     "partitionValues": {"r": "2"},
+                     "size": 1, "modificationTime": 0, "dataChange": False}},
+        ]
+        rows = [{k: r.get(k) for k in keys} for r in rows]
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(log, f"{0:020d}.checkpoint.parquet"),
+        )
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": 0}, f)
+        os.remove(os.path.join(log, f"{0:020d}.json"))  # retention clean
+        snap = DeltaLogTable(root).snapshot(spark)
+        rows = {r["id"]: r["r"] for r in snap.collect()}
+        assert rows == {1: 1, 2: 1, 3: 2, 4: 2}
+
+    def test_column_mapping_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_cm")
+        self._write_partitioned(
+            root,
+            configuration={"delta.columnMapping.mode": "name"},
+            protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+        )
+        with _pytest.raises(NotImplementedError, match="columnMapping"):
+            DeltaLogTable(root).snapshot(spark)
+        # reader v2 WITHOUT the mode configured is logically unmapped
+        root2 = str(tmp_path / "delta_v2_plain")
+        self._write_partitioned(
+            root2, protocol={"minReaderVersion": 2, "minWriterVersion": 5}
+        )
+        assert DeltaLogTable(root2).snapshot(spark).count() == 4
+
+    def test_reader_features_gate(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        # an honored feature set reads fine (DVs refuse per-add)
+        root = str(tmp_path / "delta_rf_ok")
+        self._write_partitioned(
+            root,
+            protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "timestampNtz"],
+                      "writerFeatures": ["deletionVectors"]},
+        )
+        assert DeltaLogTable(root).snapshot(spark).count() == 4
+        # an unknown feature refuses loudly
+        root2 = str(tmp_path / "delta_rf_bad")
+        self._write_partitioned(
+            root2,
+            protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]},
+        )
+        with _pytest.raises(NotImplementedError, match="columnMapping"):
+            DeltaLogTable(root2).snapshot(spark)
+        # a reader version from the future refuses loudly
+        root3 = str(tmp_path / "delta_rf_future")
+        self._write_partitioned(
+            root3, protocol={"minReaderVersion": 4, "minWriterVersion": 9}
+        )
+        with _pytest.raises(NotImplementedError, match="minReaderVersion"):
+            DeltaLogTable(root3).snapshot(spark)
+
+    def test_as_of_reads_pin_the_historical_schema(self, spark, tmp_path):
+        """Time travel across a non-additive EXTERNAL evolution (an
+        overwrite that replaced the schema wholesale) must read the
+        old version under its OWN metaData — pinning the latest schema
+        would surface the historical files as all-NULL/missing."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "delta_asof")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        pq.write_table(pa.table({"id": [1, 2]}), os.path.join(root, "f1.parquet"))
+        pq.write_table(pa.table({"k": ["x"]}), os.path.join(root, "f2.parquet"))
+
+        def schema_str(name, typ):
+            return json.dumps({"type": "struct", "fields": [
+                {"name": name, "type": typ, "nullable": True, "metadata": {}},
+            ]})
+
+        def commit(v, lines):
+            with open(
+                os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+            ) as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m0", "schemaString": schema_str("id", "long"),
+                          "partitionColumns": []}},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        commit(1, [
+            {"metaData": {"id": "m0", "schemaString": schema_str("k", "string"),
+                          "partitionColumns": []}},
+            {"remove": {"path": "f1.parquet", "deletionTimestamp": 0,
+                        "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        t = DeltaLogTable(root)
+        assert t.snapshot(spark).columns == ["k"]
+        old = t.snapshot(spark, as_of=0)
+        assert old.columns == ["id"]
+        assert sorted(r["id"] for r in old.collect()) == [1, 2]
+
+
+class TestTxnLogRaceFixes:
+    """Round-10 advisor fixes on the writer: blind appends resolve
+    their version slot at publish time (two concurrent blind appends
+    both land instead of spuriously conflicting), and a retry after a
+    lost race re-runs the schema gate instead of republishing stale
+    metaData (which would silently revert a racer's evolution)."""
+
+    def test_concurrent_blind_appends_both_land(
+        self, spark, tables, tmp_path, monkeypatch
+    ):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(tables["region"])
+        orig = TxnLogTable._publish
+        fired = {}
+
+        def racy_publish(self_, version, actions):
+            if not fired:
+                fired["x"] = True  # racer takes OUR slot first
+                TxnLogTable(t.path).append(tables["region"].limit(2))
+            return orig(self_, version, actions)
+
+        monkeypatch.setattr(TxnLogTable, "_publish", racy_publish)
+        v = t.append(tables["region"].limit(3))  # blind: no expected_version
+        assert v == 2  # racer won v1; the blind append retried into v2
+        n = tables["region"].count()
+        assert t.snapshot(spark).count() == n + 2 + 3
+
+    def test_retry_reruns_schema_gate_instead_of_reverting(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """append_txn staged under schema A; a racer evolves the table
+        to A+score and wins the slot. Republishing the PRE-race
+        metaData would revert the evolution — the retry must re-gate
+        against the racer's schema and refuse (our batch is now
+        missing a column)."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            SchemaEvolutionError,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        base = spark.createDataFrame([(1, "a")], "id long, s string")
+        wide = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        )
+        t.append(base)
+        orig = TxnLogTable._publish
+        fired = {}
+
+        def racy_publish(self_, version, actions):
+            if not fired:
+                fired["x"] = True
+                TxnLogTable(t.path).append(wide, evolve_schema=True)
+            return orig(self_, version, actions)
+
+        monkeypatch.setattr(TxnLogTable, "_publish", racy_publish)
+        with _pytest.raises(SchemaEvolutionError, match="missing"):
+            t.append_txn(base, app_id="app", txn_version=0)
+        # the racer's evolution SURVIVED — nothing reverted it
+        assert "score" in t.snapshot(spark).columns
+
+    def test_zorder_refuses_past_seven_columns(self, spark, tables, tmp_path):
+        """8 columns × 8 bits lands the interleaved key's top bit on
+        bigint's sign bit — range clustering would silently invert the
+        top bucket, so the writer refuses."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        df = tables["lineitem"].limit(10)
+        t.append(df)
+        cols = [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        ]
+        with _pytest.raises(ValueError, match="at most 7"):
+            t.optimize(spark, zorder_by=cols)
+
+
 class TestTxnStreamSink:
     """Exactly-once streaming into TxnLogTable (streaming/sink.py):
     the foreachBatch at-least-once contract made exactly-once by
