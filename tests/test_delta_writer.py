@@ -1,0 +1,235 @@
+"""Round-trip tests for the standard-format Delta writer.
+
+The proof shape: ``DeltaTableWriter`` emits the table, and EVERY read
+goes back through ``DeltaLogTable`` — the reader that was built and
+validated against hand-written protocol fixtures (test_warehouse.py's
+TestDeltaLogTable), never against this writer. Agreement between the
+two is therefore evidence both speak the published action schema, not
+that they share bugs. Structural tests additionally pin the raw JSON
+a third-party client would parse (required action fields, URL-encoded
+relative paths, stats strings, 20-digit names)."""
+
+import json
+import os
+
+import pytest
+
+from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+from algebraicdb_spark.operators.txnlog import (
+    ConcurrentWriteError,
+    DeltaLogTable,
+    SchemaEvolutionError,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestDeltaWriterRoundTrip:
+    def test_append_overwrite_time_travel_history(self, spark, tables, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        assert w.append(r.limit(2)) == 0
+        assert w.append(r.limit(3)) == 1
+        # stale overwrite refused — optimistic concurrency holds
+        with pytest.raises(ConcurrentWriteError, match="rebase"):
+            w.overwrite(r.limit(1), expected_version=1)
+        assert w.overwrite(r.limit(1), expected_version=2) == 2
+        t = DeltaLogTable(root)
+        assert t.latest_version() == 2
+        assert t.snapshot(spark).count() == 1
+        assert t.snapshot(spark, as_of=1).count() == 5
+        assert t.snapshot(spark, as_of=0).count() == 2
+        # history surfaces the commitInfo operations
+        assert [h["operation"] for h in t.history()] == [
+            "WRITE", "WRITE", "WRITE",
+        ]
+        # schema pinned from metaData, not footer sampling
+        assert t.snapshot(spark).schema == r.schema
+
+    def test_log_is_spec_shaped_json(self, spark, tables, tmp_path):
+        """Pin the raw bytes a third-party client parses: NDJSON, one
+        action per line, protocol+metaData in commit 0, adds with
+        URL-encoded relative paths and footer stats."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(tables["region"])
+        log = os.path.join(root, "_delta_log")
+        assert sorted(os.listdir(log)) == [f"{0:020d}.json"]
+        with open(os.path.join(log, f"{0:020d}.json")) as f:
+            actions = [json.loads(line) for line in f if line.strip()]
+        kinds = [next(iter(a)) for a in actions]
+        assert kinds[0] == "protocol" and kinds[1] == "metaData"
+        proto = actions[0]["protocol"]
+        assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+        meta = actions[1]["metaData"]
+        assert meta["format"] == {"provider": "parquet", "options": {}}
+        assert meta["partitionColumns"] == []
+        # schemaString is Spark StructType JSON — parseable, field-true
+        fields = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+        assert fields == tables["region"].columns
+        adds = [a["add"] for a in actions if "add" in a]
+        assert adds, "commit 0 carries the staged files"
+        for add in adds:
+            assert not add["path"].startswith("/"), "paths are root-relative"
+            assert add["dataChange"] is True
+            assert add["size"] > 0
+            stats = json.loads(add["stats"])
+            assert stats["numRecords"] > 0
+            assert "r_regionkey" in stats["minValues"]
+            # the physical file exists where the path says
+            assert os.path.exists(os.path.join(root, add["path"]))
+
+    def test_partitioned_write_round_trips_typed_values(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        df = _df(
+            spark,
+            [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", None)],
+            "id long, name string, bucket int",
+        )
+        w.append(df, partition_by=["bucket"])
+        # physical layout is hive-style; the data files do NOT contain
+        # the partition column (it lives in partitionValues only)
+        import pyarrow.parquet as pq
+
+        leaf_dirs = sorted(
+            d for d in os.listdir(root) if d.startswith("bucket=")
+        )
+        assert leaf_dirs == [
+            "bucket=10", "bucket=20", "bucket=__HIVE_DEFAULT_PARTITION__",
+        ]
+        one = os.path.join(root, "bucket=10")
+        fp = os.path.join(one, sorted(os.listdir(one))[0])
+        assert "bucket" not in pq.ParquetFile(fp).schema_arrow.names
+        # the reader synthesizes bucket back, typed, null included
+        snap = DeltaLogTable(root).snapshot(spark)
+        assert dict(snap.dtypes)["bucket"] == "int"
+        got = {r["id"]: r["bucket"] for r in snap.collect()}
+        assert got == {1: 10, 2: 10, 3: 20, 4: None}
+        # appends must keep the partition spec
+        with pytest.raises(SchemaEvolutionError, match="partition spec"):
+            w.append(df)
+        # a second partitioned append lands in the same layout
+        w.append(
+            _df(spark, [(5, "e", 20)], "id long, name string, bucket int"),
+            partition_by=["bucket"],
+        )
+        assert DeltaLogTable(root).snapshot(spark).count() == 5
+
+    def test_schema_evolution_round_trips(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, "a")], "id long, s string"))
+        wide = _df(spark, [(2, "b", 9.5)], "id long, s string, score double")
+        with pytest.raises(SchemaEvolutionError, match="evolve_schema"):
+            w.append(wide)
+        with pytest.raises(SchemaEvolutionError, match="missing"):
+            w.append(_df(spark, [(3,)], "id long"), evolve_schema=True)
+        w.append(wide, evolve_schema=True)
+        t = DeltaLogTable(root)
+        snap = t.snapshot(spark)
+        rows = {r["id"]: r for r in snap.collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+        # the evolved metaData kept the STABLE table id
+        metas = []
+        for v in (0, 1):
+            with open(
+                os.path.join(root, "_delta_log", f"{v:020d}.json")
+            ) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        metas.append(a["metaData"])
+        assert len(metas) == 2 and metas[0]["id"] == metas[1]["id"]
+        # AS OF below the evolution reads the old shape (reader pins
+        # the historical metaData)
+        assert "score" not in t.snapshot(spark, as_of=0).columns
+
+    def test_checkpoint_round_trips_with_cleaned_prefix(
+        self, spark, tables, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))
+        w.append(r.limit(3))
+        w.overwrite(r.limit(4), expected_version=2)
+        assert w.write_checkpoint(clean=True) == 2
+        log = os.path.join(root, "_delta_log")
+        # the JSON prefix is gone — replay MUST start from the parquet
+        assert not any(f.endswith(".json") and f[0].isdigit()
+                       for f in os.listdir(log))
+        w.append(r.limit(1))  # a live JSON tail past the checkpoint
+        t = DeltaLogTable(root)
+        assert t.latest_version() == 3
+        assert t.snapshot(spark).count() == 5
+        assert t.snapshot(spark, as_of=2).count() == 4
+        # schema still pinned (it rides the checkpoint's metaData row)
+        assert t.snapshot(spark).schema == r.schema
+        # below the cleaned prefix there is no replay information
+        with pytest.raises(ValueError, match="non-contiguous"):
+            t.snapshot(spark, as_of=1)
+
+    def test_partitioned_checkpoint_keeps_partition_values(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        df = _df(
+            spark,
+            [(1, 10), (2, 20), (3, 20)],
+            "id long, bucket int",
+        )
+        w.append(df, partition_by=["bucket"])
+        w.append(
+            _df(spark, [(4, 30)], "id long, bucket int"),
+            partition_by=["bucket"],
+        )
+        assert w.write_checkpoint(clean=True) == 1
+        snap = DeltaLogTable(root).snapshot(spark)
+        got = {r["id"]: r["bucket"] for r in snap.collect()}
+        assert got == {1: 10, 2: 20, 3: 20, 4: 30}
+
+    def test_change_feed_over_own_output(self, spark, tables, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))
+        w.append(r.limit(3))
+        t = DeltaLogTable(root)
+        assert t.changes(spark, since=0).count() == 3
+        w.overwrite(r.limit(1), expected_version=2)
+        # a data-changing remove breaks the adds-only feed, loudly
+        with pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, since=0)
+
+    def test_publish_race_has_one_winner(self, spark, tables, tmp_path):
+        root = str(tmp_path / "t")
+        a, b = DeltaTableWriter(root), DeltaTableWriter(root)
+        a.append(tables["region"].limit(2))
+        # both writers rebase off v0 and race overwrite for v1
+        b_snapshot = b.latest_version()
+        a.overwrite(tables["region"].limit(3), expected_version=1)
+        with pytest.raises(ConcurrentWriteError):
+            b.overwrite(
+                tables["region"].limit(4), expected_version=b_snapshot + 1
+            )
+        assert DeltaLogTable(root).snapshot(spark).count() == 3
+
+    def test_attach_from_sql_dialect(self, spark, tables, tmp_path):
+        """The written table is queryable through the engine's ATTACH
+        surface like any external Delta table."""
+        from algebraicdb_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(tables["region"])
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE reg FROM delta LOCATION '{root}'")
+        assert (
+            eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"]
+            == tables["region"].count()
+        )
