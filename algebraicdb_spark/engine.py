@@ -871,12 +871,59 @@ class Engine:
         merged.createOrReplaceTempView(target)
         self._invalidate_stats(target)
 
+    def _mutable_attachment(self, verb: str, name: str):
+        """The TxnLogTable behind an ATTACHed name, for row-level
+        mutation — Delta/Iceberg attachments are read-only interop and
+        refuse; a VERSION-pinned attachment refuses too (mutating a
+        historical snapshot is a contradiction: rebase on latest)."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        att = self._attached[name]
+        if att["fmt"] != "txnlog":
+            raise AdtError(
+                f"{verb}: {name!r} is {att['fmt']} interop — read-only; "
+                "mutate it with its owning system"
+            )
+        if att["version"] is not None:
+            raise AdtError(
+                f"{verb}: {name!r} is pinned at VERSION {att['version']} "
+                "— re-ATTACH at latest before mutating"
+            )
+        return TxnLogTable(att["path"])
+
+    def _reattach_after_mutation(self, name: str, t) -> None:
+        """Re-register the view on the post-mutation snapshot. A table
+        whose every row was deleted has NO live files — legal state:
+        register an empty frame under the pinned table schema."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        att = self._attached[name]
+        if t.live_paths():
+            df = t.snapshot(self.spark)
+        else:
+            df = self.spark.createDataFrame(
+                [], StructType.fromJson(_json.loads(t.table_schema()))
+            )
+        self.create_table(name, df)
+        self._attached[name] = {**att, "version": None}
+        self._invalidate_stats(name)
+
     def _delete_stmt(self, stmt: str) -> None:
-        """DELETE FROM t [WHERE pred] — lowered to a filtered view
-        replacement (patterns allowed in the predicate)."""
+        """DELETE FROM t [WHERE pred] — on an ATTACHed txnlog table this
+        is COPY-ON-WRITE row deletion (only files containing matching
+        rows are rewritten; the commit is remove+add, atomic,
+        time-travelable); on a dialect table it lowers to a filtered
+        view replacement (patterns allowed in the predicate)."""
         m = _DELETE_RE.match(stmt)
         name, pred = m.group("name"), m.group("pred")
         self._refuse_view_mutation("DELETE", name)
+        if name in self._attached:
+            t = self._mutable_attachment("DELETE", name)
+            t.delete(self.spark, pred if pred is not None else "TRUE")
+            self._reattach_after_mutation(name, t)
+            return
         if name not in self._tables:
             raise AdtError(f"DELETE from unknown table {name!r}")
         if pred is None:
@@ -889,11 +936,18 @@ class Engine:
         self._invalidate_stats(name)
 
     def _update_stmt(self, stmt: str) -> None:
-        """UPDATE t SET c = e, … [WHERE pred] — lowered to a projected
-        view replacement (CASE per updated column)."""
+        """UPDATE t SET c = e, … [WHERE pred] — on an ATTACHed txnlog
+        table this is COPY-ON-WRITE row update (matched files rewritten
+        with CASE per assigned column, atomic remove+add commit); on a
+        dialect table it lowers to a projected view replacement."""
         m = _UPDATE_RE.match(stmt)
         name, sets, pred = m.group("name"), m.group("sets"), m.group("pred")
         self._refuse_view_mutation("UPDATE", name)
+        if name in self._attached:
+            t = self._mutable_attachment("UPDATE", name)
+            t.update(self.spark, dict(parse_update_sets(sets)), pred)
+            self._reattach_after_mutation(name, t)
+            return
         td = self._tables.get(name)
         if td is None:
             raise AdtError(f"UPDATE on unknown table {name!r}")

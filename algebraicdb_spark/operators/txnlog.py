@@ -691,6 +691,216 @@ class TxnLogTable:
             ],
         )
 
+    # -- copy-on-write row mutation ---------------------------------------
+
+    @staticmethod
+    def _local_path(uri: str) -> str:
+        """``input_file_name()`` returns a file URI with URL-encoded
+        specials; commits record plain local paths — normalize."""
+        from urllib.parse import unquote, urlparse
+
+        if "://" in uri or uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return unquote(uri)
+
+    def _probe_affected(
+        self,
+        spark: SparkSession,
+        inputs: list[str],
+        predicate: str,
+        skip: list[tuple] | None,
+    ) -> tuple[dict[str, int], int]:
+        """Which live directories contain rows matching ``predicate``,
+        and how many — ONE distributed scan with the predicate pushed
+        into the parquet reader (row groups whose footer stats miss
+        the range are skipped before a byte of data decodes — the
+        executor-side twin of the log-level ``skip`` pruning, which
+        the caller may ALSO pass to bound the probe's file list
+        driver-side). Returns ({directory: match count}, total)."""
+        probe_paths = (
+            self.live_paths(skip=skip) if skip else inputs
+        )
+        df = _read_pinned(spark, probe_paths, self.table_schema())
+        rows = (
+            df.where(F.expr(predicate))
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_dir: dict[str, int] = {}
+        for r in rows:
+            fp = self._local_path(r["__file"])
+            d = next((p for p in inputs if fp.startswith(p + os.sep)), None)
+            if d is None:
+                raise RuntimeError(
+                    f"probe returned file {fp} outside every live "
+                    "directory — concurrent vacuum mid-probe?"
+                )
+            by_dir[d] = by_dir.get(d, 0) + int(r["__n"])
+        return by_dir, sum(by_dir.values())
+
+    @staticmethod
+    def _dir_row_count(d: str) -> int:
+        """Total rows under a data directory, from parquet footers —
+        O(KB of metadata), distinguishes fully-matching directories
+        (droppable without a rewrite) from partial ones."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    def _commit_cow(
+        self,
+        removed: list[str],
+        staged: list[str],
+        stats_cols: list[str] | None,
+        max_retries: int,
+        op: str,
+    ) -> int:
+        """Publish a copy-on-write rewrite: remove(affected) +
+        add(rewritten), all data-changing, under OPTIMIZE's conflict
+        matrix — a concurrent APPEND commutes (it added directories
+        this rewrite never read; retry one slot up), a concurrent
+        removal of one of our inputs aborts (publishing would
+        resurrect rows the racer replaced, or double-delete)."""
+        actions = [
+            {"action": "remove", "path": p} for p in removed
+        ] + [self._add_action(p, stats_cols) for p in staged]
+        for _ in range(max_retries):
+            live_now = set(self.live_paths())
+            gone = [p for p in removed if p not in live_now]
+            if gone:
+                raise ConcurrentWriteError(
+                    f"{op} inputs {gone} were removed by a concurrent "
+                    "writer — committing would resurrect or double-"
+                    f"mutate replaced data; rerun {op} on the new snapshot"
+                )
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, actions)
+                return version
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"{op} lost {max_retries} publish races — table is under "
+            "pathological write contention"
+        )
+
+    def delete(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        skip: list[tuple] | None = None,
+        stats_cols: list[str] | None = None,
+        max_retries: int = 8,
+    ) -> dict:
+        """Row-level ``DELETE FROM … WHERE predicate`` as COPY-ON-WRITE
+        — Delta's model: identify the files that contain matching rows,
+        rewrite ONLY those minus the matches, and commit remove+add
+        atomically (data-changing, so incremental consumers get the
+        loud rebuild signal instead of silently missing the deletion).
+        Untouched files keep their original add entries — on a 100 TB
+        table a selective delete rewrites the few files the predicate
+        reaches, never the table.
+
+        Three file classes fall out of one probe scan + footer counts:
+        no match → untouched; ALL rows match → pure remove (no rewrite
+        I/O at all); partial → rewritten keeping rows where the
+        predicate is not TRUE (NULL keeps the row — SQL DELETE
+        semantics). Returns {"version", "rows_deleted",
+        "files_removed", "files_rewritten"}; a predicate matching
+        nothing commits nothing (version None).
+        """
+        inputs = self.live_paths()
+        if not inputs:
+            raise ValueError(
+                f"txnlog table {self.path} has no live files to delete from"
+            )
+        by_dir, matched = self._probe_affected(spark, inputs, predicate, skip)
+        if not matched:
+            return {"version": None, "rows_deleted": 0,
+                    "files_removed": 0, "files_rewritten": 0}
+        full = [d for d, n in by_dir.items() if n == self._dir_row_count(d)]
+        partial = sorted(set(by_dir) - set(full))
+        staged: list[str] = []
+        if partial:
+            keep = _read_pinned(spark, partial, self.table_schema()).where(
+                ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            )
+            staged = self._stage(keep)
+        version = self._commit_cow(
+            sorted(by_dir), staged, stats_cols, max_retries, "delete"
+        )
+        return {
+            "version": version,
+            "rows_deleted": matched,
+            "files_removed": len(by_dir),
+            "files_rewritten": len(partial),
+        }
+
+    def update(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        skip: list[tuple] | None = None,
+        stats_cols: list[str] | None = None,
+        max_retries: int = 8,
+    ) -> dict:
+        """Row-level ``UPDATE … SET col = expr WHERE predicate`` as
+        COPY-ON-WRITE: the same affected-file identification as
+        ``delete``, rewriting each matched file with a CASE per
+        assigned column (rows the predicate misses are carried through
+        BYTE-IDENTICAL in content); assigned expressions are cast back
+        to the column's declared type — an UPDATE never drifts the
+        table schema. Unmatched files keep their add entries."""
+        inputs = self.live_paths()
+        if not inputs:
+            raise ValueError(
+                f"txnlog table {self.path} has no live files to update"
+            )
+        pred = predicate if predicate is not None else "TRUE"
+        schema_json = self.table_schema()
+        if schema_json is not None:
+            known = set(_schema_fields(schema_json))
+            unknown = [c for c in assignments if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns unknown column(s) {unknown} — the "
+                    "table schema is pinned; evolve it through append"
+                )
+        by_dir, matched = self._probe_affected(spark, inputs, pred, skip)
+        if not matched:
+            return {"version": None, "rows_updated": 0,
+                    "files_rewritten": 0}
+        affected = sorted(by_dir)
+        df = _read_pinned(spark, affected, schema_json)
+        cond = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        out = df.select(
+            *[
+                F.when(cond, F.expr(assignments[c]))
+                .otherwise(F.col(c))
+                .cast(df.schema[c].dataType)
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        staged = self._stage(out)
+        version = self._commit_cow(
+            affected, staged, stats_cols, max_retries, "update"
+        )
+        return {
+            "version": version,
+            "rows_updated": matched,
+            "files_rewritten": len(affected),
+        }
+
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
     ) -> DataFrame | None:

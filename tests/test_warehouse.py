@@ -1555,6 +1555,200 @@ class TestTxnLogRaceFixes:
             t.optimize(spark, zorder_by=cols)
 
 
+class TestCopyOnWrite:
+    """Row-level DELETE/UPDATE on TxnLogTable as copy-on-write — the
+    GDPR-delete / corrections shape: only files containing matching
+    rows are rewritten, fully-matching files drop without rewrite I/O,
+    the commit is an atomic data-changing remove+add (incremental
+    consumers get the loud rebuild signal), and time travel still sees
+    the pre-delete content."""
+
+    def _three_file_table(self, spark, tmp_path):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame(
+            [(1, "keep"), (2, "drop")], "id long, tag string"))
+        t.append(spark.createDataFrame(
+            [(3, "drop"), (4, "drop")], "id long, tag string"))
+        t.append(spark.createDataFrame(
+            [(5, "keep"), (6, "keep")], "id long, tag string"))
+        return t
+
+    def test_delete_rewrites_only_affected_files(self, spark, tmp_path):
+        t = self._three_file_table(spark, tmp_path)
+        before = t.live_paths()
+        res = t.delete(spark, "tag = 'drop'")
+        # file 1 partial → rewritten; file 2 fully matching → pure
+        # remove; file 3 untouched → keeps its ORIGINAL add entry
+        assert res["rows_deleted"] == 3
+        assert res["files_removed"] == 2
+        assert res["files_rewritten"] == 1
+        after = t.live_paths()
+        untouched = set(before) & set(after)
+        assert len(untouched) == 1, "exactly one file kept its add entry"
+        # and it is the no-match file (ids 5, 6) — never rewritten
+        assert sorted(
+            r["id"] for r in spark.read.parquet(*untouched).collect()
+        ) == [5, 6]
+        assert len(after) == 2  # untouched + the one rewritten
+        assert sorted(
+            r["id"] for r in t.snapshot(spark).collect()
+        ) == [1, 5, 6]
+        # time travel across the delete sees the pre-delete content
+        assert t.snapshot(spark, as_of=2).count() == 6
+        # the feed refuses the window — data-changing removes inside
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, since=1)
+
+    def test_delete_null_predicate_keeps_rows(self, spark, tmp_path):
+        """SQL DELETE semantics: a NULL predicate does NOT delete."""
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id long, v int"))
+        res = t.delete(spark, "v > 15")
+        assert res["rows_deleted"] == 1
+        assert sorted(r["id"] for r in t.snapshot(spark).collect()) == [1, 2]
+
+    def test_delete_matching_nothing_commits_nothing(self, spark, tmp_path):
+        t = self._three_file_table(spark, tmp_path)
+        v = t.latest_version()
+        res = t.delete(spark, "tag = 'absent'")
+        assert res["version"] is None and t.latest_version() == v
+
+    def test_update_rewrites_matched_files_preserving_types(
+        self, spark, tmp_path
+    ):
+        t = self._three_file_table(spark, tmp_path)
+        before = t.live_paths()
+        res = t.update(
+            spark, {"tag": "upper(tag)"}, predicate="id IN (2, 3)"
+        )
+        assert res["rows_updated"] == 2 and res["files_rewritten"] == 2
+        after = t.live_paths()
+        untouched = set(before) & set(after)
+        assert len(untouched) == 1, "unmatched file keeps its add entry"
+        assert sorted(
+            r["id"] for r in spark.read.parquet(*untouched).collect()
+        ) == [5, 6]
+        got = {r["id"]: r["tag"] for r in t.snapshot(spark).collect()}
+        # matched rows updated; unmatched rows in REWRITTEN files intact
+        assert got == {1: "keep", 2: "DROP", 3: "DROP", 4: "drop",
+                       5: "keep", 6: "keep"}
+        assert dict(t.snapshot(spark).dtypes)["tag"] == "string"
+        # assigned expressions cast back to the column type — an UPDATE
+        # never drifts the pinned schema
+        t.update(spark, {"id": "id + 0.9"}, predicate="id = 1")
+        snap = t.snapshot(spark)
+        assert dict(snap.dtypes)["id"] == "bigint"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown column"):
+            t.update(spark, {"nope": "1"})
+
+    def test_delete_tolerates_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = self._three_file_table(spark, tmp_path)
+        orig = TxnLogTable._publish
+        fired = {}
+
+        def racy_publish(self_, version, actions):
+            if not fired and any(
+                a["action"] == "remove" for a in actions
+            ):
+                fired["x"] = True
+                TxnLogTable(t.path).append(spark.createDataFrame(
+                    [(7, "drop")], "id long, tag string"))
+            return orig(self_, version, actions)
+
+        monkeypatch.setattr(TxnLogTable, "_publish", racy_publish)
+        res = t.delete(spark, "tag = 'drop'")
+        assert res["version"] == 4  # racer took v3, retry landed v4
+        # the racer's row appended AFTER the probe survives — the
+        # rewrite never read it (file-disjoint commits commute)
+        assert sorted(
+            r["id"] for r in t.snapshot(spark).collect()
+        ) == [1, 5, 6, 7]
+
+    def test_delete_aborts_when_input_removed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            ConcurrentWriteError,
+            TxnLogTable,
+        )
+
+        t = self._three_file_table(spark, tmp_path)
+        orig = TxnLogTable._publish
+        fired = {}
+
+        def racy_publish(self_, version, actions):
+            if not fired and any(
+                a["action"] == "remove" for a in actions
+            ):
+                fired["x"] = True
+                racer = TxnLogTable(t.path)
+                racer.overwrite(
+                    spark.createDataFrame([(9, "x")], "id long, tag string"),
+                    expected_version=racer.latest_version() + 1,
+                )
+            return orig(self_, version, actions)
+
+        monkeypatch.setattr(TxnLogTable, "_publish", racy_publish)
+        with _pytest.raises(ConcurrentWriteError, match="resurrect"):
+            t.delete(spark, "tag = 'drop'")
+        # the racer's overwrite is intact — the delete changed nothing
+        assert [r["id"] for r in t.snapshot(spark).collect()] == [9]
+
+    def test_dialect_delete_update_on_attached_table(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = self._three_file_table(spark, tmp_path)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE tl FROM txnlog LOCATION '{t.path}'")
+        eng.sql("UPDATE tl SET tag = 'kept' WHERE tag = 'keep'")
+        eng.sql("DELETE FROM tl WHERE tag = 'drop'")
+        got = {r["id"]: r["tag"]
+               for r in eng.sql("SELECT * FROM tl").collect()}
+        assert got == {1: "kept", 5: "kept", 6: "kept"}
+        # the mutation went through the LOG, not a view swap: a fresh
+        # reader on the same path sees it
+        assert TxnLogTable(t.path).snapshot(spark).count() == 3
+        # deleting every row leaves a legal empty table with schema
+        eng.sql("DELETE FROM tl")
+        empty = eng.sql("SELECT * FROM tl")
+        assert empty.count() == 0 and empty.columns == ["id", "tag"]
+        # read-only interop attachments refuse row mutation
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+
+        droot = str(tmp_path / "d")
+        DeltaTableWriter(droot).append(
+            spark.createDataFrame([(1,)], "id long"))
+        eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{droot}'")
+        with _pytest.raises(AdtError, match="read-only"):
+            eng.sql("DELETE FROM dl WHERE id = 1")
+        # and a VERSION-pinned attachment refuses too
+        eng.sql(
+            f"ATTACH TABLE tl0 FROM txnlog LOCATION '{t.path}' VERSION 2"
+        )
+        with _pytest.raises(AdtError, match="pinned"):
+            eng.sql("DELETE FROM tl0 WHERE id = 1")
+
+
 class TestTxnStreamSink:
     """Exactly-once streaming into TxnLogTable (streaming/sink.py):
     the foreachBatch at-least-once contract made exactly-once by
