@@ -36,10 +36,17 @@ Iceberg semantics covered (spec: https://iceberg.apache.org/spec/):
   instead of replaying a shorter prefix;
 - time travel by ``snapshot_id`` over the metadata's snapshot list.
 
-Loud refusals (silently wrong > unsupported): delete files (v2 merge-
-on-read, ``content != 0`` or the manifest's ``content == 1``) raise —
-scanning only the data side of a MoR table returns deleted rows;
-unknown codecs and format versions raise.
+v2 merge-on-read POSITION DELETES are applied at scan time: delete
+manifests (``content == 1``) fan out to parquet delete files of
+(file_path, pos) rows, and ``snapshot`` anti-joins the data scan
+against them on Spark's ``_metadata`` file-path/row-index columns —
+path-exact matching, safe without sequence numbers because data file
+paths are immutable and unique. Loud refusals (silently wrong >
+unsupported): EQUALITY deletes (``content == 2``, which do need
+sequence-number ordering), ``live_paths`` on a snapshot carrying
+position deletes (a raw path list would resurrect deleted rows — use
+``snapshot``), delete manifests committed inside a ``changes`` window
+(adds-only feed), unknown codecs and format versions.
 
 Production swaps this class for pyiceberg behind the same surface
 (``live_paths`` / ``snapshot``); the final scan is already just a
@@ -316,64 +323,105 @@ class IcebergTable:
             )
         return p
 
-    def _manifests(self, snap: dict) -> list[tuple[str, int | None]]:
-        """(manifest path, added_snapshot_id) pairs for a snapshot —
-        the added_snapshot_id is what null-``snapshot_id`` manifest
-        entries INHERIT per the spec, so incremental reads need it to
-        attribute entries correctly."""
+    def _manifests(self, snap: dict) -> list[tuple[str, int | None, int]]:
+        """(manifest path, added_snapshot_id, content) triples for a
+        snapshot — added_snapshot_id is what null-``snapshot_id``
+        manifest entries INHERIT per the spec; content distinguishes
+        DATA manifests (0) from DELETE manifests (1, v2 merge-on-read)."""
         if "manifest-list" in snap:
             rows = AvroFileReader(
                 self._resolve(snap["manifest-list"])
             ).records
-            out = []
-            for r in rows:
-                if r.get("content", 0) == 1:
-                    raise NotImplementedError(
-                        f"{self.path}: delete manifest in snapshot "
-                        f"{snap['snapshot-id']} — merge-on-read tables "
-                        "need a full Iceberg client (scanning data files "
-                        "alone would resurrect deleted rows)"
-                    )
-                out.append(
-                    (self._resolve(r["manifest_path"]),
-                     r.get("added_snapshot_id"))
-                )
-            return out
-        if "manifests" in snap:  # v1 inline form: no added_snapshot_id
-            return [(self._resolve(p), None) for p in snap["manifests"]]
+            return [
+                (self._resolve(r["manifest_path"]),
+                 r.get("added_snapshot_id"),
+                 r.get("content", 0))
+                for r in rows
+            ]
+        if "manifests" in snap:  # v1 inline form: no added_snapshot_id,
+            # and v1 has no delete manifests at all
+            return [(self._resolve(p), None, 0) for p in snap["manifests"]]
         raise ValueError(
             f"{self.path}: snapshot {snap.get('snapshot-id')} has neither "
             "manifest-list nor manifests"
         )
 
-    def _manifest_paths(self, snap: dict) -> list[str]:
-        return [p for p, _sid in self._manifests(snap)]
+    def _check_status(self, entry: dict) -> int:
+        status = entry.get("status", _EXISTING)
+        if status not in (_EXISTING, _ADDED, _DELETED):
+            raise ValueError(
+                f"{self.path}: unknown manifest entry status {status}"
+            )
+        return status
+
+    def _check_parquet(self, df: dict, kind: str) -> None:
+        fmt = str(df.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(
+                f"{self.path}: {fmt} {kind} file — parquet scans only"
+            )
+
+    def _files(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[tuple[str, str]], list[str]]:
+        """The snapshot's file sets: ([(resolved data path, file_path
+        exactly as recorded in metadata)], [resolved POSITION delete
+        paths]). The recorded URI rides along because position delete
+        rows reference data files by that exact string — matching on
+        it (not on local resolution) is what keeps the anti-join
+        correct for moved/copied tables. Equality deletes (content 2)
+        refuse: applying them needs sequence-number ordering semantics
+        a raw scan can't honor."""
+        snap = self._snapshot(snapshot_id)
+        data: list[tuple[str, str]] = []
+        deletes: set[str] = set()
+        for mpath, _sid, m_content in self._manifests(snap):
+            for entry in AvroFileReader(mpath).records:
+                status = self._check_status(entry)
+                df = entry["data_file"]
+                content = df.get("content", 0)
+                if m_content == 0:
+                    if content != 0:
+                        raise NotImplementedError(
+                            f"{self.path}: delete file "
+                            f"{df.get('file_path')} inside a DATA "
+                            "manifest — corrupt or unsupported layout"
+                        )
+                    if status == _DELETED:
+                        continue
+                    self._check_parquet(df, "data")
+                    data.append(
+                        (self._resolve(df["file_path"]), df["file_path"])
+                    )
+                else:  # delete manifest (v2 merge-on-read)
+                    if status == _DELETED:
+                        continue  # this delete file no longer applies
+                    if content == 2:
+                        raise NotImplementedError(
+                            f"{self.path}: equality delete file "
+                            f"{df.get('file_path')} — applying equality "
+                            "deletes needs sequence-number ordering; use "
+                            "a full Iceberg client"
+                        )
+                    if content != 1:
+                        raise ValueError(
+                            f"{self.path}: entry with data_file.content="
+                            f"{content} inside a DELETE manifest — corrupt"
+                        )
+                    self._check_parquet(df, "position delete")
+                    deletes.add(self._resolve(df["file_path"]))
+        return sorted(set(data)), sorted(deletes)
 
     def live_paths(self, snapshot_id: int | None = None) -> list[str]:
-        snap = self._snapshot(snapshot_id)
-        out = []
-        for mpath in self._manifest_paths(snap):
-            for entry in AvroFileReader(mpath).records:
-                status = entry.get("status", _EXISTING)
-                df = entry["data_file"]
-                if df.get("content", 0) != 0:
-                    raise NotImplementedError(
-                        f"{self.path}: delete file {df.get('file_path')} — "
-                        "merge-on-read tables need a full Iceberg client"
-                    )
-                if status == _DELETED:
-                    continue
-                if status not in (_EXISTING, _ADDED):
-                    raise ValueError(
-                        f"{self.path}: unknown manifest entry status {status}"
-                    )
-                fmt = str(df.get("file_format", "PARQUET")).upper()
-                if fmt != "PARQUET":
-                    raise NotImplementedError(
-                        f"{self.path}: {fmt} data file — parquet scans only"
-                    )
-                out.append(self._resolve(df["file_path"]))
-        return sorted(out)
+        data, deletes = self._files(snapshot_id)
+        if deletes:
+            raise ValueError(
+                f"{self.path}: snapshot carries position delete files — "
+                "the live rows are not expressible as a raw file list "
+                "(scanning these paths would resurrect deleted rows); "
+                "use snapshot(), which applies the deletes"
+            )
+        return sorted(p for p, _u in data)
 
     def changes(
         self,
@@ -430,7 +478,21 @@ class IcebergTable:
                     f"the change window — the feed is adds-only; rebuild "
                     "from snapshot()"
                 )
-            for mpath, m_sid in self._manifests(snap):
+            for mpath, m_sid, m_content in self._manifests(snap):
+                if m_content != 0:
+                    # a delete manifest COMMITTED in the window is a row
+                    # mutation — adds-only breach; one carried forward
+                    # from at-or-before ``since`` predates every file
+                    # the window adds (paths are immutable and unique,
+                    # so its position deletes cannot reference them)
+                    # and is not new information
+                    if m_sid is None or m_sid == sid:
+                        raise ValueError(
+                            f"{self.path}: snapshot {sid} carries a delete "
+                            "manifest inside the change window — the feed "
+                            "is adds-only; rebuild from snapshot()"
+                        )
+                    continue
                 for entry in AvroFileReader(mpath).records:
                     e_sid = entry.get("snapshot_id")
                     if e_sid is None:
@@ -491,11 +553,71 @@ class IcebergTable:
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:
         """Scan the (possibly time-traveled) snapshot as one multi-path
-        parquet read — distributed, prunable, same as every client."""
-        paths = self.live_paths(snapshot_id)
-        if not paths:
+        parquet read — distributed, prunable, same as every client.
+
+        v2 POSITION DELETES are applied: a merge-on-read snapshot's
+        delete files are parquet rows of (file_path, pos) naming exact
+        (data file URI, row ordinal) pairs, so the scan reads the data
+        files with Spark's ``_metadata.file_path`` / ``row_index``
+        hidden columns and LEFT ANTI-joins the delete set on both —
+        the same plan every MoR-capable engine executes. Matching is
+        safe without sequence-number bookkeeping because data file
+        paths are immutable and unique: a position delete can only
+        ever reference the one file it names, and a compaction that
+        rewrites the file drops both it and its deletes from the new
+        snapshot's manifests. Scale shape: data stays one distributed
+        pruned read; the delete set is a second (usually tiny) read,
+        and the anti-join broadcasts when small — AQE's call; the
+        file-count-sized URI mapping (local path → recorded URI, which
+        the delete rows reference) is broadcast explicitly.
+
+        Equality deletes still refuse (they DO need sequence-number
+        ordering); a raw path list for a snapshot with position
+        deletes refuses too (``live_paths``) — scanning it would
+        resurrect deleted rows."""
+        data, deletes = self._files(snapshot_id)
+        if not data:
             raise ValueError(
                 f"iceberg table {self.path} has no data files at snapshot "
                 f"{snapshot_id if snapshot_id is not None else 'current'}"
             )
-        return spark.read.parquet(*paths)
+        paths = [p for p, _u in data]
+        if not deletes:
+            return spark.read.parquet(*paths)
+        from pyspark.sql import functions as F
+
+        for dp in deletes:  # loud schema check beats an analysis error
+            import pyarrow.parquet as pq
+
+            names = pq.ParquetFile(dp).schema_arrow.names
+            if not {"file_path", "pos"} <= set(names):
+                raise ValueError(
+                    f"{self.path}: position delete file {dp} lacks the "
+                    f"spec columns file_path/pos (has {names})"
+                )
+        df = spark.read.parquet(*paths).select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # _metadata.file_path is a URI; strip scheme+authority to the
+        # local path the mapping is keyed by
+        df = df.withColumn(
+            "__lp",
+            F.regexp_replace(
+                F.col("__fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", ""
+            ),
+        )
+        mapping = spark.createDataFrame(
+            list(data), "__lp string, __uri string"
+        )
+        dels = spark.read.parquet(*deletes).select(
+            F.col("file_path").alias("__uri"),
+            F.col("pos").cast("long").alias("__pos"),
+        )
+        cols = [c for c in df.columns if c not in ("__fp", "__pos", "__lp")]
+        return (
+            df.join(F.broadcast(mapping), "__lp", "inner")
+            .join(dels, ["__uri", "__pos"], "left_anti")
+            .select(*cols)
+        )

@@ -344,7 +344,8 @@ class TestIcebergTable:
         root = str(tmp_path / "ice")
         os.makedirs(root)
         ctx = self._build(spark, sf_dir, root)
-        # (a) delete MANIFEST in the list (content=1)
+        # (a) a DELETE manifest whose entry claims data content — the
+        # layout is self-contradictory, refuse as corrupt
         bad_ml = os.path.join(ctx["meta"], "snap-1002.avro")
         with open(bad_ml, "wb") as f:
             f.write(
@@ -356,9 +357,9 @@ class TestIcebergTable:
                     )],
                 )
             )
-        with pytest.raises(NotImplementedError, match="delete manifest"):
+        with pytest.raises(ValueError, match="DELETE manifest"):
             IcebergTable(root).live_paths()
-        # (b) delete DATA FILE inside a manifest (data_file.content=1)
+        # (b) delete DATA FILE inside a data manifest (data_file.content=1)
         with open(os.path.join(ctx["meta"], "m2b.avro"), "wb") as f:
             f.write(
                 avro_container(
@@ -474,6 +475,153 @@ class TestIcebergChanges:
         # a snapshot outside the parent chain has no incremental path
         with pytest.raises(ValueError, match="not an ancestor"):
             t.changes(spark, 999, ctx["s3"])
+
+
+class TestIcebergPositionDeletes:
+    """v2 merge-on-read: position delete files (parquet rows of
+    (file_path, pos)) applied at scan time via an anti-join on Spark's
+    _metadata file-path/row-index — the round-3 refusal narrowed to
+    equality deletes only. The delete manifest and delete parquet are
+    hand-written (two-path methodology); expectations are computed by
+    reading the data file's actual row order back independently."""
+
+    def _build(self, spark, sf_dir, root: str) -> dict:
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["orders"]
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        fa = os.path.join(data, "a.parquet")
+        fb = os.path.join(data, "b.parquet")
+        na = write_parquet_file(spark, o.where(F.col("o_orderkey") % 3 == 0), fa)
+        nb = write_parquet_file(spark, o.where(F.col("o_orderkey") % 3 == 1), fb)
+        # position delete: rows 0, 2 and 5 of file A, plus a stale row
+        # targeting a path not in the snapshot (must be a no-op)
+        fdel = os.path.join(data, "del1.parquet")
+        del_rows = [(fa, 0), (fa, 2), (fa, 5), (fa + ".gone", 1)]
+        write_parquet_file(
+            spark,
+            spark.createDataFrame(del_rows, "file_path string, pos long"),
+            fdel,
+        )
+        s1 = 3001
+        m_data = os.path.join(meta, "mdata.avro")
+        with open(m_data, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, s1, fa, na), manifest_rec(1, s1, fb, nb)],
+            ))
+        m_del = os.path.join(meta, "mdel.avro")
+        with open(m_del, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, s1, fdel, 4, content=1)],
+            ))
+        ml = os.path.join(meta, "snap-3001.avro")
+        with open(ml, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA,
+                [manifest_list_rec(m_data, s1),
+                 manifest_list_rec(m_del, s1, content=1)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000003",
+            "location": root,
+            "current-snapshot-id": s1,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1, "manifest-list": ml},
+            ],
+        }
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md, f)
+        return {"fa": fa, "fb": fb, "na": na, "nb": nb, "s1": s1,
+                "meta": meta, "m_del": m_del, "ml": ml, "fdel": fdel}
+
+    def test_position_deletes_apply_at_scan(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice_pd")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        t = IcebergTable(root)
+        snap = t.snapshot(spark)
+        # 3 real deletes hit file A; the stale path is a no-op
+        assert snap.count() == ctx["na"] + ctx["nb"] - 3
+        # the EXACT rows at positions 0/2/5 of A are the ones gone —
+        # recompute them independently from the file's physical order
+        doomed = [
+            r["o_orderkey"]
+            for r in spark.read.parquet(ctx["fa"])
+            .select("o_orderkey", F.col("_metadata.row_index").alias("i"))
+            .where(F.col("i").isin([0, 2, 5]))
+            .collect()
+        ]
+        assert len(doomed) == 3
+        got = set(r["o_orderkey"] for r in snap.collect())
+        assert not (set(doomed) & got)
+        # every surviving A-row and all of B intact
+        assert snap.where(F.col("o_orderkey") % 3 == 1).count() == ctx["nb"]
+        # a raw path list would resurrect the deleted rows — refuse
+        with pytest.raises(ValueError, match="position delete"):
+            t.live_paths()
+
+    def test_equality_delete_refuses(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ice_eq")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        # rewrite the delete manifest claiming EQUALITY content (2)
+        with open(ctx["m_del"], "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, ctx["s1"], ctx["fdel"], 4, content=2)],
+            ))
+        with pytest.raises(NotImplementedError, match="equality delete"):
+            IcebergTable(root).snapshot(spark)
+
+    def test_in_window_delete_manifest_breaks_the_feed(
+        self, spark, sf_dir, tmp_path
+    ):
+        """changes() must refuse a window whose snapshot committed a
+        delete manifest — the feed is adds-only."""
+        root = str(tmp_path / "ice_pd_feed")
+        os.makedirs(root)
+        ctx = self._build(spark, sf_dir, root)
+        meta = ctx["meta"]
+        s1, s2 = ctx["s1"], 3002
+        # s2 appends a delete manifest on top of s1's files
+        ml2 = os.path.join(meta, "snap-3002.avro")
+        m_del2 = os.path.join(meta, "mdel2.avro")
+        with open(m_del2, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, s2, ctx["fdel"], 4, content=1)],
+            ))
+        with open(ml2, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA,
+                [manifest_list_rec(
+                    os.path.join(meta, "mdata.avro"), s1),
+                 manifest_list_rec(m_del2, s2, content=1)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000003",
+            "location": root,
+            "current-snapshot-id": s2,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1,
+                 "manifest-list": ctx["ml"]},
+                {"snapshot-id": s2, "timestamp-ms": 2,
+                 "parent-snapshot-id": s1,
+                 "summary": {"operation": "append"},
+                 "manifest-list": ml2},
+            ],
+        }
+        with open(os.path.join(meta, "v2.metadata.json"), "w") as f:
+            json.dump(md, f)
+        with pytest.raises(ValueError, match="adds-only"):
+            IcebergTable(root).changes(spark, s1, s2)
 
 
 def manifest_rec_nullsid(status: int, file_path: str, n_rows: int) -> bytes:
