@@ -250,14 +250,20 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 # Probes per query (round 9: was 6). Measured recall@5 by N_PROBE at
-# fixed 16 centroids / 2 Lloyd rounds (sf0.001/0.01/0.1):
+# fixed 16 centroids / 2 Lloyd rounds (sf0.001/0.01/0.1; sf0.1 column
+# extended round 10):
 #   4: 0.58/0.54/0.48   6: 0.72/0.66/0.60
 #   8: 0.84/0.74/0.74  10: 0.92/0.82/0.86
-# 10/16 buckets ≈ 1.7× the rerank candidates of 6/16 for +0.26 recall
-# at sf0.1 — the right default for a top-5 API (6 returned 2 wrong
-# neighbors on average). Callers needing a different recall/cost point
-# pass ``nprobe`` to ``ivf_search`` (the knob travels with the saved
-# model's search half, not the training half).
+#  12: -/-/0.88        14: -/-/0.96
+# 0.86 at nprobe=10 IS the knee for THIS index shape: pushing past 0.9
+# needs 14 of 16 buckets — scanning 7/8 of the corpus, at which point
+# the "index" is a brute-force scan with extra steps. The honest lever
+# for ≥0.9 at scale is CENTROID COUNT, not probes: production sizes
+# N_CENTROIDS ∝ √N (e.g. 10⁴ buckets for 10⁸ vectors) so each probe
+# covers ~N/10⁴ vectors and nprobe ~32 reaches 0.9+ while scanning
+# <1% of the corpus — the fixture's 16 buckets exist to keep the
+# unrolled DuckDB oracle tractable, and the knob travels with the
+# saved model's search half (``ivf_search(nprobe=…)``).
 N_PROBE = 10
 
 
@@ -551,18 +557,21 @@ PQ_BLOCKS = 8       # 64 dims -> 8 subspaces of 8 dims
 PQ_SUB_DIM = 64 // PQ_BLOCKS
 PQ_K = 16           # centroids per subspace (4-bit codes)
 # Approx candidates kept per query for exact rerank (round 9: was
-# 8*TOP_K=40). Measured recall@5 by rerank pool at 2 Lloyd rounds
-# (sf0.001/0.01/0.1, 2026-08-15):
+# 8*TOP_K=40; round 10: 48*TOP_K=240 → 72*TOP_K=360). Measured
+# recall@5 by rerank pool at 2 Lloyd rounds (sf0.001/0.01/0.1,
+# 2026-08-15, extended grid):
 #   40: 0.68/0.60/0.40   80: 0.84/0.72/0.58
 #  160: 1.00/0.92/0.78  240: 1.00/1.00/0.84
+#  360: 1.00/1.00/0.94  480: -/-/0.94  ← knee at 360
 # The pool is the recall lever for PQ — ADC ranking error, not
 # codebook quality, is what loses true neighbors (see PQ_ITERS grid:
 # Lloyd rounds are flat). The pool costs one exact dot per candidate
 # fetched by id AFTER the ADC scan has already ranked the whole
-# corpus, so 6× the pool is ~free relative to the scan; 240 lands PQ
-# at parity with IVF's shipped recall (0.84 vs 0.86 at sf0.1).
+# corpus, so 1.5× the pool is ~free relative to the scan; 360 lifts
+# sf0.1 recall 0.84 → 0.94 (floor pinned at 0.9 in
+# tests/test_similarity.py) and saturates — 480 buys nothing more.
 # Callers pick their own point via pq_search(rerank=...).
-PQ_RERANK = 48 * TOP_K
+PQ_RERANK = 72 * TOP_K
 PQ_TRAIN_MOD = 2    # train on vec_id % MOD = 0 (raise at scale: KB-sized
                     # codebooks need only ~1e4 vectors however big the corpus)
 PQ_TRAIN_CAP = 4096  # cap train rows via vec_id < MOD*CAP (ids are dense)

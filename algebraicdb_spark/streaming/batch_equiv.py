@@ -587,6 +587,53 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_full_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the FULL OUTER stream-stream join (NOT a
+    registered key — the registry is frozen at 329; this exists for
+    the runtime-parity pytest): every unmatched click AND every
+    unmatched purchase is NULL-padded, which is the terminal-watermark
+    limit of the streaming query. Same 1 h band predicate, same one
+    user_id shuffle."""
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("p_ts"),
+        F.col("value"),
+    )
+    hour_ns = 3600 * 1_000_000_000
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.lit(hour_ns)),
+            "full",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            pround("value").alias("purchase_value"),
+            F.when(F.col("purchase_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("unmatched_click"),
+            F.when(F.col("click_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("unmatched_purchase"),
+            "c_ts",
+            "p_ts",
+        )
+    )
+
+
 LATE_BUCKET = 1000  # arrival-sequence bucket width for the 2-pass max
 
 

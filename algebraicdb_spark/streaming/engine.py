@@ -215,6 +215,52 @@ def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFram
     )
 
 
+def stream_stream_full_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — the family's last
+    member: BOTH sides emit NULL-padded rows at watermark expiry. A
+    click with no purchase surfaces once the watermark passes its join
+    window's upper bound (c_ts + 1 h, same as the left join); a
+    purchase with no click surfaces once the watermark passes its OWN
+    event time (every matching click has c_ts ≤ p_ts, so nothing that
+    could still arrive can match it). Until those bounds pass, rows
+    stay buffered — Structured Streaming cannot emit an outer NULL
+    earlier without risking a late match; the batch twin
+    (`stream_stream_full_join_batch`, batch_equiv) sees the whole
+    timeline and emits every unmatched row, which is exactly the
+    terminal-watermark limit of this query."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        pround("value").alias("purchase_value"),
+        F.when(F.col("purchase_id").isNull(), 1).otherwise(0).cast("int").alias(
+            "unmatched_click"
+        ),
+        F.when(F.col("click_id").isNull(), 1).otherwise(0).cast("int").alias(
+            "unmatched_purchase"
+        ),
+        "c_ts",
+        "p_ts",
+    )
+
+
 STATEFUL_OUTPUT_DDL = "event_id bigint, user_id bigint, user_seq int, running_value double"
 STATEFUL_STATE_DDL = "seq int, total double"
 

@@ -68,6 +68,22 @@ def test_connected_components_chain(spark):
     assert comp[99] == 99  # singleton untouched
 
 
+def test_near_dup_pairs_facade_routes_to_lsh(spark, sf_dir, tables, exact_pairs):
+    """The caller-facing entry point defaults to the LSH tier — the
+    plan that survives corpus scale — and only `exact=True` opts into
+    the quadratic exhaustive tier. Both agree on the fixture: the
+    exact facade IS the exact pair set; the default is its LSH subset
+    with the pinned recall floor."""
+    from algebraicdb_spark.operators.dedup import near_dup_pairs
+
+    docs = tables["documents"]
+    got_exact = pairs(near_dup_pairs(docs, exact=True))
+    assert got_exact == exact_pairs
+    got_lsh = pairs(near_dup_pairs(docs))
+    assert got_lsh <= exact_pairs  # rerank precision
+    assert len(got_lsh & exact_pairs) / len(exact_pairs) >= 0.8
+
+
 def test_df_cap_keeps_recall(spark, sf_dir, tables):
     """DF-capped candidate generation must find the SAME τ=0.5 pairs
     the uncapped exact tier finds, while pruning hot shingles."""

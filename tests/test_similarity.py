@@ -41,9 +41,11 @@ def test_ivf_recall_at_5(spark, sf_dir, exact):
     from algebraicdb_spark.operators.similarity import sim_knn_ivf
 
     recall = _recall(topk(sim_knn_ivf(spark, sf_dir)), exact)
-    # N_PROBE=10 measures 0.92/0.82/0.86 at sf0.001/0.01/0.1 (the
-    # probes × SF grid lives at similarity.N_PROBE); 0.8 holds at
-    # every SF while pinning the round-9 improvement over the
+    # N_PROBE=10 measures 0.92/0.82/0.86 at sf0.001/0.01/0.1; 0.86 is
+    # the measured KNEE for a 16-bucket index (≥0.9 needs 14/16 probes
+    # = scanning 7/8 of the corpus — see the grid + the
+    # N_CENTROIDS ∝ √N production sizing note at similarity.N_PROBE).
+    # 0.8 holds at every SF, pinning the round-9 improvement over the
     # 6-probe build (which measured 0.60 at sf0.1)
     assert recall >= 0.8, f"IVF recall@5 {recall:.2f} < 0.8"
 
@@ -74,11 +76,12 @@ def test_pq_recall_at_5(spark, sf_dir, exact):
     from algebraicdb_spark.operators.similarity import sim_knn_pq
 
     recall = _recall(topk(sim_knn_pq(spark, sf_dir)), exact)
-    # rerank=240 / 2 Lloyd rounds measures 1.00/1.00/0.84 at
+    # rerank=360 / 2 Lloyd rounds measures 1.00/1.00/0.94 at
     # sf0.001/0.01/0.1 (the rerank × SF grid lives at
-    # similarity.PQ_RERANK); 0.8 holds at every SF while pinning the
-    # round-9 improvement over the 40-candidate pool (0.40 at sf0.1)
-    assert recall >= 0.8, f"PQ recall@5 {recall:.2f} < 0.8"
+    # similarity.PQ_RERANK — 360 is the measured knee: 480 buys
+    # nothing); 0.9 holds at every SF, pinning the round-10 lift over
+    # the 240-candidate pool (0.84 at sf0.1)
+    assert recall >= 0.9, f"PQ recall@5 {recall:.2f} < 0.9"
 
 
 def test_pq_rerank_knob(spark, sf_dir, exact):

@@ -547,6 +547,82 @@ def test_stream_stream_left_join_matches_batch_up_to_watermark(
     assert got_u <= rows_set(want.filter("unmatched = 1"), cols)
 
 
+def test_stream_stream_full_join_matches_batch_up_to_watermark(
+    spark, sf_dir, src_dir, events_stream
+):
+    """The FULL OUTER twin completes the stream-stream join family —
+    watermark expiry exercised on BOTH sides: matched rows equal the
+    batch twin; unmatched CLICKS emit iff the final watermark closed
+    their window bound (c_ts + 1 h, as in the left join); unmatched
+    PURCHASES emit iff it passed their own event time (every matching
+    click satisfies c_ts ≤ p_ts, so nothing later can match). Nothing
+    inside an open window leaks early from either side."""
+    from algebraicdb_spark.sources.catalog import load_tables
+    from algebraicdb_spark.streaming.batch_equiv import (
+        stream_stream_full_join_batch,
+    )
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = engine.run_to_memory(
+        engine.stream_stream_full_join(clicks, purchases),
+        "t_ssfjoin",
+        output_mode="append",
+    )
+    want = stream_stream_full_join_batch(spark, sf_dir)
+    cols = [
+        "click_id", "purchase_id", "user_id", "purchase_value",
+        "unmatched_click", "unmatched_purchase",
+    ]
+
+    # matched rows: identical sets
+    m_pred = "unmatched_click = 0 AND unmatched_purchase = 0"
+    assert rows_set(got.filter(m_pred), cols) == rows_set(
+        want.filter(m_pred), cols
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    c_max = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    p_max = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    # global watermark = min over the two watermarked inputs
+    wm_us = min(c_max - 3_600_000_000, p_max - 7_200_000_000)
+
+    # unmatched clicks: window bound strictly below the watermark
+    closed_c = (
+        ev.filter(F.col("event_type") == "click")
+        .filter(F.unix_micros("ts") + 3_600_000_000 < wm_us)
+        .select(F.col("event_id").alias("click_id"))
+    )
+    got_uc = rows_set(got.filter("unmatched_click = 1"), cols)
+    assert got_uc == rows_set(
+        want.filter("unmatched_click = 1").join(closed_c, "click_id"), cols
+    )
+    assert got_uc <= rows_set(want.filter("unmatched_click = 1"), cols)
+
+    # unmatched purchases: own event time strictly below the watermark
+    closed_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.unix_micros("ts") < wm_us)
+        .select(F.col("event_id").alias("purchase_id"))
+    )
+    got_up = rows_set(got.filter("unmatched_purchase = 1"), cols)
+    assert got_up == rows_set(
+        want.filter("unmatched_purchase = 1").join(closed_p, "purchase_id"),
+        cols,
+    )
+    assert got_up <= rows_set(want.filter("unmatched_purchase = 1"), cols)
+    # the fixture must actually exercise both NULL sides
+    assert got_uc and got_up
+
+
 @pytest.mark.skipif(
     not _tws_available(), reason="google.protobuf unavailable in container"
 )
