@@ -894,7 +894,9 @@ class Engine:
     def _reattach_after_mutation(self, name: str, t) -> None:
         """Re-register the view on the post-mutation snapshot. A table
         whose every row was deleted has NO live files — legal state:
-        register an empty frame under the pinned table schema."""
+        register an empty frame under the pinned table schema (or,
+        for a pre-schema-tracking log, under the shape the view had
+        before the mutation — the best remaining authority)."""
         import json as _json
 
         from pyspark.sql.types import StructType
@@ -902,10 +904,12 @@ class Engine:
         att = self._attached[name]
         if t.live_paths():
             df = t.snapshot(self.spark)
-        else:
+        elif t.table_schema() is not None:
             df = self.spark.createDataFrame(
                 [], StructType.fromJson(_json.loads(t.table_schema()))
             )
+        else:
+            df = self.table(name).limit(0)
         self.create_table(name, df)
         self._attached[name] = {**att, "version": None}
         self._invalidate_stats(name)
@@ -921,7 +925,13 @@ class Engine:
         self._refuse_view_mutation("DELETE", name)
         if name in self._attached:
             t = self._mutable_attachment("DELETE", name)
-            t.delete(self.spark, pred if pred is not None else "TRUE")
+            # the predicate passes the SAME text lowering as every
+            # other statement (macros, ADT patterns) — a WHERE clause
+            # that works in SELECT must work in DELETE
+            t.delete(
+                self.spark,
+                self._rewrite(pred) if pred is not None else "TRUE",
+            )
             self._reattach_after_mutation(name, t)
             return
         if name not in self._tables:
@@ -945,7 +955,14 @@ class Engine:
         self._refuse_view_mutation("UPDATE", name)
         if name in self._attached:
             t = self._mutable_attachment("UPDATE", name)
-            t.update(self.spark, dict(parse_update_sets(sets)), pred)
+            t.update(
+                self.spark,
+                {
+                    c: self._rewrite(e)
+                    for c, e in parse_update_sets(sets)
+                },
+                self._rewrite(pred) if pred is not None else None,
+            )
             self._reattach_after_mutation(name, t)
             return
         td = self._tables.get(name)

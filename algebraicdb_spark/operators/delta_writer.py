@@ -58,7 +58,7 @@ import os
 import shutil
 import time
 import uuid
-from urllib.parse import quote, unquote
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,10 +66,9 @@ from algebraicdb_spark.operators.txnlog import (
     ConcurrentWriteError,
     DeltaLogTable,
     SchemaEvolutionError,
+    _hive_partition_values,
     _schema_fields,
 )
-
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _file_stats_json(fpath: str) -> str:
@@ -180,12 +179,9 @@ class DeltaTableWriter:
                 if rel_dir == ".":
                     rel = fn
                 else:
-                    # hive layout: one `col=value` component per
-                    # partition column, values percent-escaped by the
-                    # Spark writer, nulls as the hive default marker
-                    for comp in rel_dir.split(os.sep):
-                        k, _, v = comp.partition("=")
-                        pv[k] = None if v == _HIVE_NULL else unquote(v)
+                    # hive layout decoded by the SAME helper as the
+                    # txnlog staging path (txnlog._hive_partition_values)
+                    pv = _hive_partition_values(rel_dir)
                     os.makedirs(
                         os.path.join(self.path, rel_dir), exist_ok=True
                     )
@@ -358,14 +354,19 @@ class DeltaTableWriter:
         rdr = self.reader()
         _proto, cur_meta = rdr._protocol_meta()
         now_ms = int(time.time() * 1000)
+        # tombstones reuse the committed add.path BYTES verbatim — the
+        # log fold is keyed by the raw string, and re-encoding a
+        # resolved path may not match a foreign writer's
+        # percent-encoding canonicalization, which would leave the old
+        # add live (silent row resurrection on every later snapshot)
         removes = [
             {"remove": {
-                "path": quote(os.path.relpath(p, self.path), safe="/"),
+                "path": raw,
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
                 "partitionValues": pv,
             }}
-            for p, pv in rdr._live_adds()
+            for raw, _res, pv in rdr._live_entries()
         ]
         new_schema = df.schema.json()
         cur_schema_st = rdr.table_schema()
@@ -410,55 +411,80 @@ class DeltaTableWriter:
         latest = rdr.latest_version()
         if latest < 0:
             return None
-        def pa_safe(obj):
-            """Drop empty-dict fields — parquet cannot represent a
-            struct with no children, and a reader treats a missing
-            ``configuration``/``options`` exactly like an empty one."""
-            if isinstance(obj, dict):
-                return {
-                    k: pa_safe(v)
-                    for k, v in obj.items()
-                    if not (isinstance(v, dict) and not v)
-                }
-            return obj
-
         proto, meta = rdr._protocol_meta(latest)
-        rows: list[dict] = [
-            {"protocol": pa_safe(proto or
-                                 self._protocol_action()["protocol"])},
-        ]
+        proto = proto or self._protocol_action()["protocol"]
+        rows: list[dict] = [{"protocol": {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": proto.get("minWriterVersion", 2),
+        }}]
         if meta:
-            rows.append({"metaData": pa_safe(meta)})
-        # homogeneous add structs: with a partitioned table EVERY add
-        # row carries the full partitionValues key set (pyarrow infers
-        # the struct type across rows — ragged shapes make bad columns)
-        part_cols = list((meta or {}).get("partitionColumns") or [])
-        for p, pv in rdr._live_adds(latest):
-            rel = os.path.relpath(p, self.path)
-            add: dict = {
-                "path": quote(rel, safe="/"),
+            conf = meta.get("configuration") or {}
+            if isinstance(conf, list):
+                conf = dict(conf)
+            rows.append({"metaData": {
+                "id": meta.get("id"),
+                "format": {"provider": (meta.get("format") or {}).get(
+                    "provider", "parquet")},
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []),
+                "configuration": conf,
+                "createdTime": meta.get("createdTime"),
+            }})
+        for raw, p, pv in rdr._live_entries(latest):
+            # the raw committed path string carries through verbatim —
+            # see overwrite(): re-encoding can diverge from a foreign
+            # writer's canonicalization and break the fold keying
+            rows.append({"add": {
+                "path": raw,
+                "partitionValues": dict(pv or {}),
                 "size": os.path.getsize(p),
                 "modificationTime": int(os.path.getmtime(p) * 1000),
                 "dataChange": False,
                 "stats": _file_stats_json(p),
-            }
-            if part_cols:
-                add["partitionValues"] = {c: pv.get(c) for c in part_cols}
-            rows.append({"add": add})
-        keys: list[str] = []
-        for r in rows:
-            for k in r:
-                if k not in keys:
-                    keys.append(k)
+            }})
+        # the spec's FIXED checkpoint schema, stated explicitly — never
+        # inferred: partitionValues is map<string,string> (an inferred
+        # struct would make the file unreadable to Spark Delta /
+        # delta-rs, with no JSON fallback once the prefix is cleaned),
+        # it is present on EVERY add ({} when unpartitioned — a
+        # required field), and empty MAPS are representable in parquet
+        # where empty structs are not
+        kv = pa.map_(pa.string(), pa.string())
+        schema = pa.schema([
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", kv),
+                ("createdTime", pa.int64()),
+            ])),
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", kv),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ])),
+        ])
+        keys = [f.name for f in schema]
         rows = [{k: r.get(k) for k in keys} for r in rows]
         pq.write_table(
-            pa.Table.from_pylist(rows),
+            pa.Table.from_pylist(rows, schema=schema),
             os.path.join(self.log_dir, f"{latest:020d}.checkpoint.parquet"),
         )
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
         tmp = ptr + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": latest}, f)
+            # ``size`` = the number of actions stored in the
+            # checkpoint, part of the pointer's published schema
+            json.dump({"version": latest, "size": len(rows)}, f)
         os.replace(tmp, ptr)  # atomic pointer swing
         if clean:
             for v in range(0, latest + 1):

@@ -600,13 +600,21 @@ class IcebergTable:
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        # _metadata.file_path is a URI; strip scheme+authority to the
-        # local path the mapping is keyed by
+        # _metadata.file_path is a Hadoop Path URI — scheme prefix AND
+        # percent-encoded specials (verified: a dir named "my tables+x"
+        # yields file:/tmp/my%20tables+x/…, '+' left literal). Strip
+        # the scheme/authority, then percent-decode WITHOUT the
+        # url_decode '+'→space rule (escape literal '+' first) so the
+        # join key equals the mapping's plain local path; skipping the
+        # decode would silently drop EVERY row of a file under an
+        # encodable path (inner join matches nothing — whole-file
+        # loss, not just unapplied deletes).
+        stripped = F.regexp_replace(
+            F.col("__fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", ""
+        )
         df = df.withColumn(
             "__lp",
-            F.regexp_replace(
-                F.col("__fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", ""
-            ),
+            F.url_decode(F.regexp_replace(stripped, r"\+", "%2B")),
         )
         mapping = spark.createDataFrame(
             list(data), "__lp string, __uri string"

@@ -67,6 +67,24 @@ def _schema_fields(schema_json: str) -> dict[str, str]:
     return {f["name"]: _json.dumps(f["type"]) for f in doc["fields"]}
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_partition_values(rel_dir: str) -> dict:
+    """Decode a hive-layout relative directory (``col=val[/col2=val2]``,
+    values percent-escaped by the Spark writer, nulls as the hive
+    default marker) into a {column: string-or-None} dict — shared by
+    the txnlog and Delta staging paths so the two decoders can never
+    drift."""
+    from urllib.parse import unquote
+
+    pv: dict = {}
+    for comp in rel_dir.split(os.sep):
+        k, _, v = comp.partition("=")
+        pv[k] = None if v == _HIVE_NULL else unquote(v)
+    return pv
+
+
 _OPT_ZBITS = 8  # 256 buckets per clustering dimension
 
 
@@ -208,6 +226,11 @@ def _assemble_groups(
 
     from pyspark.sql.types import StructType
 
+    if not adds:
+        raise ValueError(
+            "empty add set — callers decide what zero live files means "
+            "(empty table vs fully-pruned scan) before assembling"
+        )
     if not part_cols:
         paths = [p for p, _pv in adds]
         if st is not None:
@@ -259,10 +282,16 @@ def _pv_prunes(pv: dict | None, col: str, lo_v, hi_v) -> bool:
     if isinstance(lo_v, bool) or isinstance(hi_v, bool):
         return False
     if isinstance(lo_v, (int, float)) and isinstance(hi_v, (int, float)):
+        # parse as int FIRST: Python compares int/float across types
+        # EXACTLY, while float(v) rounds past 2^53 and could wrongly
+        # prune a bigint partition whose value matches the bound
         try:
-            v = float(v)
+            v = int(v)
         except (TypeError, ValueError):
-            return False
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                return False
     return v > hi_v or v < lo_v
 
 
@@ -462,13 +491,22 @@ class TxnLogTable:
         skip: list[tuple] | None = None,
     ) -> dict[str, tuple[dict | None, dict | None]]:
         """``_live_state`` with the two log-level pruning tiers
-        applied, coarse first: a directory drops when its PARTITION
-        VALUE for a skip column proves the range misses (hive-style
-        partition pruning — O(1) per directory, no stats needed), else
-        when its recorded per-column [min, max] misses. Directories
-        without either for a column are kept — absent metadata means
-        "cannot prune", never "prune wrongly"."""
-        state = self._live_state(as_of)
+        applied (see ``_prune_state``)."""
+        return self._prune_state(self._live_state(as_of), skip)
+
+    @staticmethod
+    def _prune_state(
+        state: dict[str, tuple[dict | None, dict | None]],
+        skip: list[tuple] | None,
+    ) -> dict[str, tuple[dict | None, dict | None]]:
+        """The two log-level pruning tiers over an ALREADY-FOLDED live
+        state (so callers holding one never refold the log), coarse
+        first: a directory drops when its PARTITION VALUE for a skip
+        column proves the range misses (hive-style partition pruning —
+        O(1) per directory, no stats needed), else when its recorded
+        per-column [min, max] misses. Directories without either for a
+        column are kept — absent metadata means "cannot prune", never
+        "prune wrongly"."""
         if not skip:
             return state
         out: dict[str, tuple[dict | None, dict | None]] = {}
@@ -586,7 +624,6 @@ class TxnLogTable:
         leaf partition. Returns [(directory, {col: string-value})] —
         None for the hive null marker."""
         import shutil
-        from urllib.parse import unquote
 
         tmp = os.path.join(self.path, "data", "_stage_" + uuid.uuid4().hex)
         df.write.mode("errorifexists").partitionBy(*part_cols).parquet(tmp)
@@ -594,13 +631,7 @@ class TxnLogTable:
         for dirpath, _dirs, files in os.walk(tmp):
             if not any(f.endswith(".parquet") for f in files):
                 continue
-            rel = os.path.relpath(dirpath, tmp)
-            pv: dict = {}
-            for comp in rel.split(os.sep):
-                k, _, v = comp.partition("=")
-                pv[k] = (
-                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                )
+            pv = _hive_partition_values(os.path.relpath(dirpath, tmp))
             d = os.path.join(self.path, "data", uuid.uuid4().hex)
             os.makedirs(d)
             for f in sorted(files):
@@ -951,7 +982,9 @@ class TxnLogTable:
         driver-side, partition values included). Partition columns
         synthesize into the probe, so predicates over them work.
         Returns ({directory: match count}, total)."""
-        probed = self._live_pruned(skip=skip) if skip else state
+        probed = self._prune_state(state, skip)
+        if not probed:
+            return {}, 0  # skip pruned every directory: nothing matches
         df = self._scan_adds(
             spark, [(p, pv) for p, (_st, pv) in probed.items()]
         )
@@ -1051,12 +1084,16 @@ class TxnLogTable:
         "files_removed", "files_rewritten"}; a predicate matching
         nothing commits nothing (version None).
         """
-        state = self._live_state()
-        if not state:
+        if self.latest_version() < 0:
             raise ValueError(
-                f"txnlog table {self.path} has no live files to delete from"
+                f"txnlog table {self.path} has no commits to delete from"
             )
-        by_dir, matched = self._probe_affected(spark, state, predicate, skip)
+        state = self._live_state()
+        by_dir, matched = (
+            self._probe_affected(spark, state, predicate, skip)
+            if state
+            else ({}, 0)  # legal-empty table: DELETE is a no-op, as in SQL
+        )
         if not matched:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
@@ -1096,11 +1133,15 @@ class TxnLogTable:
         BYTE-IDENTICAL in content); assigned expressions are cast back
         to the column's declared type — an UPDATE never drifts the
         table schema. Unmatched files keep their add entries."""
+        if self.latest_version() < 0:
+            raise ValueError(
+                f"txnlog table {self.path} has no commits to update"
+            )
         state = self._live_state()
         if not state:
-            raise ValueError(
-                f"txnlog table {self.path} has no live files to update"
-            )
+            # legal-empty table (everything deleted): no-op, as in SQL
+            return {"version": None, "rows_updated": 0,
+                    "files_rewritten": 0}
         pred = predicate if predicate is not None else "TRUE"
         schema_json, parts = self._meta_at()
         if schema_json is not None:
@@ -1840,11 +1881,19 @@ class DeltaLogTable:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 yield v, [json.loads(line) for line in f if line.strip()]
 
-    def _live_adds(self, as_of: int | None = None) -> list[tuple[str, dict]]:
-        """The live fold, carrying each path's ``partitionValues`` from
-        the add action that made it live — for a partitioned table the
-        partition columns' VALUES exist only here, never in the parquet
-        files. Returns (absolute path, partitionValues) sorted by path."""
+    def _live_entries(
+        self, as_of: int | None = None
+    ) -> list[tuple[str, str, dict]]:
+        """The live fold as (raw add.path EXACTLY as committed,
+        resolved absolute path, partitionValues). The raw string
+        matters to writers: the log fold is keyed by it, so a remove
+        tombstone must reuse the committed bytes verbatim — re-encoding
+        a resolved path can produce a different percent-encoding
+        canonicalization than the foreign writer's, leaving the
+        original add live and silently resurrecting replaced rows.
+        partitionValues ride along because for a partitioned table the
+        partition columns' VALUES exist only here, never in the
+        parquet files."""
         from urllib.parse import unquote
 
         cp = self._cp  # ONE pointer read per operation: an external
@@ -1871,9 +1920,15 @@ class DeltaLogTable:
                 elif "remove" in a:
                     state[a["remove"]["path"]] = ("remove", {})
         return sorted(
-            (os.path.join(self.path, unquote(p)), pv)
+            (p, os.path.join(self.path, unquote(p)), pv)
             for p, (act, pv) in state.items()
             if act == "add"
+        )
+
+    def _live_adds(self, as_of: int | None = None) -> list[tuple[str, dict]]:
+        """(resolved absolute path, partitionValues) pairs, sorted."""
+        return sorted(
+            (res, pv) for _raw, res, pv in self._live_entries(as_of)
         )
 
     def live_paths(self, as_of: int | None = None) -> list[str]:

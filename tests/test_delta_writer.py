@@ -193,6 +193,50 @@ class TestDeltaWriterRoundTrip:
         got = {r["id"]: r["bucket"] for r in snap.collect()}
         assert got == {1: 10, 2: 20, 3: 20, 4: 30}
 
+    def test_checkpoint_is_spec_shaped(self, spark, tmp_path):
+        """Pin the checkpoint parquet's PHYSICAL schema against the
+        protocol's fixed shape — an external client reads it under
+        that schema with no JSON fallback once the prefix is cleaned:
+        add.partitionValues must be map<string,string> (never an
+        inferred struct), present ({}) on unpartitioned adds, and the
+        _last_checkpoint pointer carries the action count as size."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10)], "id long, bucket int"),
+                 partition_by=["bucket"])
+        w.write_checkpoint()
+        cp = os.path.join(root, "_delta_log", f"{0:020d}.checkpoint.parquet")
+        sch = pq.ParquetFile(cp).schema_arrow
+        add_t = sch.field("add").type
+        pv_t = add_t.field("partitionValues").type
+        assert pa.types.is_map(pv_t), f"partitionValues is {pv_t}, not map"
+        assert pv_t.key_type == pa.string() and pv_t.item_type == pa.string()
+        for name in ("path", "size", "modificationTime", "dataChange",
+                     "stats"):
+            assert add_t.field(name) is not None
+        meta_t = sch.field("metaData").type
+        assert pa.types.is_map(meta_t.field("configuration").type)
+        with open(os.path.join(root, "_delta_log", "_last_checkpoint")) as f:
+            ptr = json.load(f)
+        assert ptr["version"] == 0 and ptr["size"] == 3  # proto+meta+add
+        # unpartitioned adds still carry partitionValues (required), {}
+        root2 = str(tmp_path / "t2")
+        w2 = DeltaTableWriter(root2)
+        w2.append(_df(spark, [(1,)], "id long"))
+        w2.write_checkpoint()
+        cp2 = os.path.join(
+            root2, "_delta_log", f"{0:020d}.checkpoint.parquet")
+        add_rows = [
+            r for r in pq.read_table(cp2, columns=["add"])
+            .column("add").to_pylist() if r is not None
+        ]
+        assert add_rows and all(r["partitionValues"] == [] or
+                                r["partitionValues"] == {}
+                                for r in add_rows)
+
     def test_change_feed_over_own_output(self, spark, tables, tmp_path):
         root = str(tmp_path / "t")
         w = DeltaTableWriter(root)

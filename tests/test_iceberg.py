@@ -541,7 +541,11 @@ class TestIcebergPositionDeletes:
                 "meta": meta, "m_del": m_del, "ml": ml, "fdel": fdel}
 
     def test_position_deletes_apply_at_scan(self, spark, sf_dir, tmp_path):
-        root = str(tmp_path / "ice_pd")
+        # the space in the root exercises _metadata.file_path percent-
+        # encoding: without url-decoding the join key, the anti-join's
+        # inner mapping join would match NOTHING and silently drop
+        # every row of the encoded files
+        root = str(tmp_path / "ice pd")
         os.makedirs(root)
         ctx = self._build(spark, sf_dir, root)
         t = IcebergTable(root)

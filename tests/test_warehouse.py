@@ -1732,6 +1732,11 @@ class TestCopyOnWrite:
         eng.sql("DELETE FROM tl")
         empty = eng.sql("SELECT * FROM tl")
         assert empty.count() == 0 and empty.columns == ["id", "tag"]
+        # mutating the now-empty table is a successful no-op (SQL
+        # semantics), not an error
+        eng.sql("DELETE FROM tl WHERE id = 1")
+        eng.sql("UPDATE tl SET tag = 'x' WHERE id = 1")
+        assert eng.sql("SELECT * FROM tl").count() == 0
         # read-only interop attachments refuse row mutation
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
 
@@ -1903,6 +1908,32 @@ class TestTxnLogPartitions:
         assert vals[3] == 600.0 and vals[1] == 100.0
         with _pytest.raises(ValueError, match="partition column"):
             t.update(spark, {"bucket": "bucket + 1"})
+
+    def test_mutation_with_all_pruning_skip_is_noop(self, spark, tmp_path):
+        """A skip that prunes EVERY live directory must fall through to
+        the documented no-match no-op, not crash assembling an empty
+        scan."""
+        t = self._table(spark, tmp_path)
+        v = t.latest_version()
+        res = t.delete(spark, "id = 1", skip=[("bucket", 90, 99)])
+        assert res == {"version": None, "rows_deleted": 0,
+                       "files_removed": 0, "files_rewritten": 0}
+        assert t.latest_version() == v
+
+    def test_pv_pruning_is_exact_past_float_precision(self):
+        """Partition values compare as INTs when they parse as ints —
+        float(v) rounds past 2^53 and would wrongly prune a bigint
+        partition whose value matches the bound exactly."""
+        from algebraicdb_spark.operators.txnlog import _pv_prunes
+
+        big = 9007199254740993  # 2^53 + 1: float() rounds it DOWN
+        assert not _pv_prunes({"k": str(big)}, "k", big, big)
+        assert _pv_prunes({"k": str(big)}, "k", big + 1, big + 2)
+        # null partition values prune (authoritative), absent cols don't
+        assert _pv_prunes({"k": None}, "k", 0, 9)
+        assert not _pv_prunes({"j": "5"}, "k", 0, 9)
+        # unparseable values keep the directory
+        assert not _pv_prunes({"k": "abc"}, "k", 0, 9)
 
 
 class TestTxnStreamSink:
