@@ -332,6 +332,53 @@ class DeltaTableWriter:
             "pathological write contention"
         )
 
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        partition_by: list[str] | tuple = (),
+        evolve_schema: bool = False,
+        max_retries: int = 8,
+    ) -> int | None:
+        """Idempotent APPEND — Delta's REAL transaction-identifier
+        protocol (the spec's ``txn`` action: ``{"txn": {"appId",
+        "version"}}`` riding atomically with the adds), which is what
+        production Delta sinks use as ``txnAppId``/``txnVersion`` write
+        options. A redelivered (app_id, txn_version) no-ops (returns
+        None); a lost publish race re-checks the mark and retries one
+        slot up without restaging, re-running the schema gate each
+        attempt. This makes the exactly-once streaming sink
+        (streaming/sink.py) able to target a table every other Delta
+        engine can then consume."""
+        if txn_version <= self.reader().last_txn_version(app_id):
+            return None
+        staged = self._stage(df, partition_by)
+        tail = self._add_actions(staged) + [
+            {"txn": {"appId": app_id, "version": txn_version,
+                     "lastUpdated": int(time.time() * 1000)}}
+        ]
+        for _ in range(max_retries):
+            meta = self._meta_action(df, partition_by, evolve_schema)
+            version = self.latest_version() + 1
+            head = [self._protocol_action()] if version == 0 else []
+            try:
+                self._publish(
+                    version,
+                    head + meta
+                    + [self._commit_info("STREAMING UPDATE",
+                                         outputMode="Append")]
+                    + tail,
+                )
+                return version
+            except ConcurrentWriteError:
+                if txn_version <= self.reader().last_txn_version(app_id):
+                    return None  # the racer carried OUR mark
+        raise ConcurrentWriteError(
+            f"append_txn({app_id}, {txn_version}) lost {max_retries} "
+            "publish races — table is under pathological write contention"
+        )
+
     def overwrite(
         self,
         df: DataFrame,
@@ -431,6 +478,11 @@ class DeltaTableWriter:
                 "configuration": conf,
                 "createdTime": meta.get("createdTime"),
             }})
+        for app, ver in sorted(rdr._txn_marks().items()):
+            # idempotence high-water marks survive the checkpoint (one
+            # txn row per appId, latest version — the spec's shape), or
+            # a cleaned prefix would reset every sink's replay guard
+            rows.append({"txn": {"appId": app, "version": ver}})
         for raw, p, pv in rdr._live_entries(latest):
             # the raw committed path string carries through verbatim —
             # see overwrite(): re-encoding can diverge from a foreign
@@ -455,6 +507,10 @@ class DeltaTableWriter:
             ("protocol", pa.struct([
                 ("minReaderVersion", pa.int32()),
                 ("minWriterVersion", pa.int32()),
+            ])),
+            ("txn", pa.struct([
+                ("appId", pa.string()),
+                ("version", pa.int64()),
             ])),
             ("metaData", pa.struct([
                 ("id", pa.string()),

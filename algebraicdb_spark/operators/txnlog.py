@@ -295,20 +295,6 @@ def _pv_prunes(pv: dict | None, col: str, lo_v, hi_v) -> bool:
     return v > hi_v or v < lo_v
 
 
-def _read_pinned(spark: SparkSession, paths: list[str], schema_json: str | None) -> DataFrame:
-    """One place for the pin-or-fallback read contract: with a
-    recorded table schema, read under it (old files surface NULL for
-    newer columns, never footer-sampling roulette); without one, the
-    legacy raw read."""
-    if schema_json is not None:
-        from pyspark.sql.types import StructType
-
-        return spark.read.schema(
-            StructType.fromJson(json.loads(schema_json))
-        ).parquet(*paths)
-    return spark.read.parquet(*paths)
-
-
 def _ckpt_live_items(ckpt: dict):
     """Checkpoint live-set items as (path, stats, partition_values) —
     tolerating both earlier artifact shapes (list of paths; dict of
@@ -1933,6 +1919,44 @@ class DeltaLogTable:
 
     def live_paths(self, as_of: int | None = None) -> list[str]:
         return [p for p, _pv in self._live_adds(as_of)]
+
+    def _txn_marks(self) -> dict[str, int]:
+        """appId → highest recorded ``txn.version`` — Delta's
+        transaction-identifier idempotence marks, folded
+        checkpoint-aware (real Delta checkpoints materialize one
+        ``txn`` row per appId, so the fold is checkpoint rows + the
+        JSON tail only)."""
+        import pyarrow.parquet as pq
+
+        marks: dict[str, int] = {}
+
+        def take(app, ver):
+            marks[app] = max(marks.get(app, -1), int(ver))
+
+        cp = self._cp
+        lo = 0
+        if cp is not None:
+            for fp in self._checkpoint_files(cp):
+                pf = pq.ParquetFile(fp)
+                if "txn" not in pf.schema_arrow.names:
+                    continue
+                for row in (
+                    pq.read_table(fp, columns=["txn"]).column("txn").to_pylist()
+                ):
+                    if row is not None and row.get("appId") is not None:
+                        take(row["appId"], row["version"])
+            lo = cp["version"] + 1
+        for _v, actions in self._json_commit_actions(lo, None):
+            for a in actions:
+                if "txn" in a and a["txn"].get("appId") is not None:
+                    take(a["txn"]["appId"], a["txn"]["version"])
+        return marks
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn.version`` any commit recorded for ``appId``
+        (-1 when none) — the idempotence probe an exactly-once sink
+        reads once per micro-batch."""
+        return self._txn_marks().get(app_id, -1)
 
     def table_schema(self, as_of: int | None = None):
         """The table's Spark schema from the latest ``metaData``

@@ -27,11 +27,16 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from algebraicdb_spark.operators.txnlog import TxnLogTable
+# Any transactional table exposing the idempotent-append pair
+# (append_txn / write_checkpoint) can be a sink target: the bespoke
+# ``TxnLogTable`` (operators/txnlog.py) or the standard-format
+# ``DeltaTableWriter`` (operators/delta_writer.py) — the latter makes
+# the exactly-once ingest land in a table every other Delta engine can
+# consume.
 
 
 def txn_committer(
-    table: TxnLogTable, app_id: str, log_checkpoint_every: int | None = None
+    table, app_id: str, log_checkpoint_every: int | None = None
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body: commit the micro-batch under its
     engine-assigned batch_id. Factored out so tests can invoke it
@@ -60,7 +65,7 @@ def txn_committer(
 
 def txnlog_sink(
     stream_df: DataFrame,
-    table: TxnLogTable,
+    table,  # TxnLogTable or DeltaTableWriter (duck-typed, see above)
     app_id: str,
     checkpoint_dir: str,
     timeout: int = 120,
