@@ -182,11 +182,16 @@ class Engine:
 
     def _maintain_attached(self, name: str, op: str, **kw) -> DataFrame | None:
         """OPTIMIZE TABLE / VACUUM / REFRESH TABLE over an ATTACHed
-        table. Maintenance WRITES, so only the txnlog format qualifies
-        — Delta/Iceberg attachments are read-only interop and refuse
-        loudly. After a mutating op the view re-registers on the fresh
-        snapshot (the file list changed even though content didn't).
-        REFRESH just re-resolves the snapshot to pick up new commits."""
+        table. Maintenance WRITES, so it runs on the formats this
+        engine can write: txnlog (`TxnLogTable`) and standard Delta
+        (`DeltaTableWriter` — compaction commits `dataChange: false`
+        removes+adds other Delta engines understand; ZORDER stays
+        txnlog-only). Iceberg attachments are read-only interop and
+        refuse loudly. After a mutating op the view re-registers on
+        the fresh snapshot (the file list changed even though content
+        didn't). REFRESH just re-resolves the snapshot to pick up new
+        commits."""
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
         if name not in self._attached:
@@ -195,15 +200,24 @@ class Engine:
             )
         att = self._attached[name]
         fmt, path = att["fmt"], att["path"]
-        if op != "refresh" and fmt != "txnlog":
-            raise AdtError(
-                f"{op.upper()}: {name!r} is {fmt} interop — read-only; "
-                "maintain it with its owning system"
-            )
         if op == "refresh":
             # a refresh IS a re-ATTACH at latest (pin cleared)
             return self._attach_table_stmt(name, fmt, path, None)
-        t = TxnLogTable(path)
+        if fmt == "iceberg":
+            raise AdtError(
+                f"{op.upper()}: {name!r} is iceberg interop — read-only; "
+                "maintain it with its owning system"
+            )
+        if fmt == "delta":
+            if kw.get("zorder_by"):
+                raise AdtError(
+                    f"{op.upper()}: ZORDER is txnlog-only; the delta "
+                    "writer compacts without re-clustering"
+                )
+            kw.pop("zorder_by", None)
+            t = DeltaTableWriter(path)
+        else:
+            t = TxnLogTable(path)
         if op == "optimize":
             t.optimize(self.spark, **kw)
         else:

@@ -442,6 +442,107 @@ class DeltaTableWriter:
 
     # -- maintenance -------------------------------------------------------
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        min_inputs: int = 2,
+        max_retries: int = 8,
+    ) -> int | None:
+        """OPTIMIZE — transactional small-file compaction on the
+        STANDARD format, the maintenance pass a streaming-ingested
+        table needs (the exactly-once sink commits one file set per
+        micro-batch). Rewrites the live set into ``target_files``
+        coalesced files (per partition, one shuffle keyed by the
+        partition columns, when partitioned) and commits
+        remove(inputs) + add(compacted) atomically with
+        ``dataChange: false`` — so Delta CDF consumers (ours and
+        external) skip the traffic. Conflict matrix as everywhere: a
+        concurrent APPEND commutes (retry one slot up), concurrent
+        removal of an input aborts. Returns the new version, or None
+        below ``min_inputs``."""
+        rdr = self.reader()
+        entries = rdr._live_entries()
+        if len(entries) < min_inputs:
+            return None
+        _proto, meta = rdr._protocol_meta()
+        part_cols = list((meta or {}).get("partitionColumns") or [])
+        df = rdr.snapshot(spark)
+        if part_cols:
+            from pyspark.sql import functions as F
+
+            df = df.repartition(*[F.col(c) for c in part_cols])
+        else:
+            df = df.coalesce(max(target_files, 1))
+        staged = self._stage(df, part_cols)
+        adds = self._add_actions(staged, data_change=False)
+        now_ms = int(time.time() * 1000)
+        removes = [
+            {"remove": {"path": raw, "deletionTimestamp": now_ms,
+                        "dataChange": False, "partitionValues": pv}}
+            for raw, _res, pv in entries
+        ]
+        inputs = {raw for raw, _res, _pv in entries}
+        for _ in range(max_retries):
+            live_now = {raw for raw, _r, _p in
+                        self.reader()._live_entries()}
+            gone = sorted(inputs - live_now)
+            if gone:
+                raise ConcurrentWriteError(
+                    f"optimize inputs {gone[:3]} were removed by a "
+                    "concurrent writer — committing would resurrect "
+                    "replaced data; rerun optimize on the new snapshot"
+                )
+            version = self.latest_version() + 1
+            try:
+                self._publish(
+                    version,
+                    [self._commit_info("OPTIMIZE")] + removes + adds,
+                )
+                return version
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"optimize lost {max_retries} publish races — table is "
+            "under pathological write contention"
+        )
+
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Physically delete data files referenced by NO snapshot in
+        the last ``retain_versions`` versions — retention stated in
+        versions (the fixture has no wall-clock), like
+        ``TxnLogTable.vacuum``; real Delta states it in hours off the
+        remove tombstones' deletionTimestamp, same contract. The log
+        is never deleted (history structure stays auditable); AS OF
+        reads older than retention fail on the missing files, which is
+        Delta's own behavior. Pure metadata: fold, diff path sets,
+        unlink."""
+        rdr = self.reader()
+        latest = rdr.latest_version()
+        if latest < 0:
+            return []
+        keep_from = max(0, latest - max(retain_versions, 1) + 1)
+        keep: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            try:
+                keep.update(res for _raw, res, _pv in rdr._live_entries(v))
+            except ValueError:
+                # below a cleaned checkpoint: that snapshot is already
+                # unreadable, so retention cannot apply to it
+                continue
+        doomed = []
+        for dirpath, _dirs, files in os.walk(self.path):
+            if "_delta_log" in dirpath or "_staging_" in dirpath:
+                continue
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if p not in keep:
+                    doomed.append(p)
+                    os.unlink(p)
+        return sorted(doomed)
+
     def write_checkpoint(self, clean: bool = False) -> int | None:
         """Materialize the folded state at the current head as a
         classic single-file checkpoint (one action per parquet row,

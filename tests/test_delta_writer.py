@@ -308,6 +308,86 @@ class TestDeltaWriterRoundTrip:
         assert t.snapshot(spark).count() == 5
         assert t.latest_version() == 1
 
+    def test_optimize_compacts_with_datachange_false(
+        self, spark, tables, tmp_path
+    ):
+        """OPTIMIZE on the standard format: content-preserving
+        compaction committed as dataChange:false removes+adds — the
+        change feed (ours or any external CDF consumer) skips it, and
+        time travel still sees the pre-compaction layout."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))
+        w.append(r.limit(3))
+        pre = {tuple(sorted(x.asDict().items()))
+               for x in DeltaLogTable(root).snapshot(spark).collect()}
+        v = w.optimize(spark)
+        assert v == 2
+        t = DeltaLogTable(root)
+        assert len(t.live_paths()) == 1
+        post = {tuple(sorted(x.asDict().items()))
+                for x in t.snapshot(spark).collect()}
+        assert post == pre
+        # invisible to the adds-only feed (dataChange: false)
+        assert t.changes(spark, since=1) is None
+        # time travel to the pre-compaction layout still works
+        assert t.snapshot(spark, as_of=1).count() == 5
+        # idempotent below min_inputs
+        assert w.optimize(spark) is None
+
+    def test_partitioned_optimize_compacts_per_partition(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        df1 = _df(spark, [(1, 10), (2, 20)], "id long, bucket int")
+        df2 = _df(spark, [(3, 10), (4, 20)], "id long, bucket int")
+        w.append(df1, partition_by=["bucket"])
+        w.append(df2, partition_by=["bucket"])
+        assert len(DeltaLogTable(root).live_paths()) == 4
+        w.optimize(spark)
+        t = DeltaLogTable(root)
+        assert len(t.live_paths()) == 2  # one file per partition value
+        got = {x["id"]: x["bucket"] for x in t.snapshot(spark).collect()}
+        assert got == {1: 10, 2: 20, 3: 10, 4: 20}
+
+    def test_vacuum_reclaims_unreachable_files(self, spark, tables, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))            # v0
+        w.overwrite(r.limit(3), 1)      # v1 tombstones v0's file
+        w.append(r.limit(1))            # v2
+        # retain last 2 versions (v1, v2): v0's file is unreachable
+        doomed = w.vacuum(retain_versions=2)
+        assert len(doomed) == 1
+        t = DeltaLogTable(root)
+        assert t.snapshot(spark).count() == 4
+        # the vacuumed AS OF read fails on the missing file, as in Delta
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            t.snapshot(spark, as_of=0).collect()
+
+    def test_sql_maintenance_on_attached_delta(self, spark, tables, tmp_path):
+        """OPTIMIZE TABLE / VACUUM run on a delta attachment now that
+        the engine owns a standard-format writer."""
+        from algebraicdb_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))
+        w.append(r.limit(3))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE d FROM delta LOCATION '{root}'")
+        eng.sql("OPTIMIZE TABLE d")
+        assert len(DeltaLogTable(root).live_paths()) == 1
+        assert eng.sql("SELECT COUNT(*) AS n FROM d").collect()[0]["n"] == 5
+        eng.sql("VACUUM d RETAIN 1")
+        assert eng.sql("SELECT COUNT(*) AS n FROM d").collect()[0]["n"] == 5
+
     def test_attach_from_sql_dialect(self, spark, tables, tmp_path):
         """The written table is queryable through the engine's ATTACH
         surface like any external Delta table."""
