@@ -209,8 +209,17 @@ class DeltaTableWriter:
             }})
         return out
 
+    @staticmethod
+    def _cur_parts(cur_meta: dict | None) -> list[str]:
+        return list((cur_meta or {}).get("partitionColumns") or [])
+
     def _meta_action(
-        self, df: DataFrame, partition_by: list[str] | tuple, evolve: bool
+        self,
+        df: DataFrame,
+        partition_by: list[str] | tuple,
+        evolve: bool,
+        cur_meta: dict | None = None,
+        fetched: bool = False,
     ) -> list[dict]:
         """The ``metaData`` action this batch needs, behind the same
         gate as ``TxnLogTable._schema_actions``: first write records,
@@ -218,24 +227,30 @@ class DeltaTableWriter:
         into AND purely additive. The partition spec is pinned for the
         table's lifetime on the append path (changing it scrambles
         which values live in the log vs the files — Delta itself only
-        allows it through a full overwrite, see ``overwrite``)."""
-        _proto, cur_meta = self.reader()._protocol_meta()
+        allows it through a full overwrite, see ``overwrite``).
+
+        ``cur_meta``/``fetched`` let hot-path callers (the per-
+        micro-batch sink commit) pass an already-folded metaData
+        instead of paying another full log fold; the current schema
+        comes from cur_meta's own schemaString — one fold serves the
+        whole gate."""
+        if not fetched:
+            _proto, cur_meta = self.reader()._protocol_meta()
         new_schema = df.schema.json()
         new_parts = list(partition_by)
-        cur_schema_st = self.reader().table_schema()
         if not cur_meta:
             return [self._fresh_meta(new_schema, new_parts)]
-        cur_parts = list(cur_meta.get("partitionColumns") or [])
+        cur_parts = self._cur_parts(cur_meta)
         if cur_parts != new_parts:
             raise SchemaEvolutionError(
                 f"append partition spec {new_parts} differs from the "
                 f"table's {cur_parts} — the partition layout is pinned; "
                 "use overwrite() to re-partition the table"
             )
-        cur_schema = cur_schema_st.json() if cur_schema_st else None
-        if cur_schema is None:
-            # table had no parseable schema recorded (not a state this
-            # writer produces); record ours
+        cur_schema = cur_meta.get("schemaString")
+        if not cur_schema or not json.loads(cur_schema).get("fields"):
+            # no parseable schema recorded (not a state this writer
+            # produces — "{}" fixtures); record ours
             return [self._evolved_meta(cur_meta, new_schema, new_parts)]
         old_f, new_f = _schema_fields(cur_schema), _schema_fields(new_schema)
         if old_f == new_f and list(old_f) == list(new_f):
@@ -303,19 +318,32 @@ class DeltaTableWriter:
     def append(
         self,
         df: DataFrame,
-        partition_by: list[str] | tuple = (),
+        partition_by: list[str] | None = None,
         evolve_schema: bool = False,
         max_retries: int = 8,
     ) -> int:
         """APPEND commit. Blind (adds-only commits never logically
         conflict): the version slot resolves at publish time and a lost
-        race retries one slot up, re-running the schema gate each
-        attempt — the same no-stale-metaData contract as
-        ``TxnLogTable.append``."""
-        staged = self._stage(df, partition_by)
+        race retries one slot up, re-running the schema gate —
+        the same no-stale-metaData contract as ``TxnLogTable.append``.
+        ``partition_by=None`` INHERITS the table's recorded spec (so
+        appends to a partitioned table stay partitioned without
+        restating it); the gate runs BEFORE staging, so a refused batch
+        orphans nothing in the table directory."""
+        _proto, cur_meta = self.reader()._protocol_meta()
+        parts = (
+            list(partition_by)
+            if partition_by is not None
+            else self._cur_parts(cur_meta)
+        )
+        meta = self._meta_action(
+            df, parts, evolve_schema, cur_meta, fetched=True
+        )
+        staged = self._stage(df, parts)
         adds = self._add_actions(staged)
-        for _ in range(max_retries):
-            meta = self._meta_action(df, partition_by, evolve_schema)
+        for attempt in range(max_retries):
+            if attempt:  # a racer may have evolved the table: re-gate
+                meta = self._meta_action(df, parts, evolve_schema)
             version = self.latest_version() + 1
             head = [self._protocol_action()] if version == 0 else []
             try:
@@ -337,7 +365,7 @@ class DeltaTableWriter:
         df: DataFrame,
         app_id: str,
         txn_version: int,
-        partition_by: list[str] | tuple = (),
+        partition_by: list[str] | None = None,
         evolve_schema: bool = False,
         max_retries: int = 8,
     ) -> int | None:
@@ -347,19 +375,35 @@ class DeltaTableWriter:
         production Delta sinks use as ``txnAppId``/``txnVersion`` write
         options. A redelivered (app_id, txn_version) no-ops (returns
         None); a lost publish race re-checks the mark and retries one
-        slot up without restaging, re-running the schema gate each
-        attempt. This makes the exactly-once streaming sink
+        slot up without restaging, re-running the schema gate after a
+        lost race. This makes the exactly-once streaming sink
         (streaming/sink.py) able to target a table every other Delta
-        engine can then consume."""
-        if txn_version <= self.reader().last_txn_version(app_id):
+        engine can then consume; like ``TxnLogTable.append_txn`` it
+        INHERITS the table's partition spec by default (the sink never
+        states one), and the gate runs before staging so a refused
+        micro-batch orphans nothing. This is the once-per-micro-batch
+        hot path: the mark probe, the metaData fold, and the gate share
+        two log folds per clean commit, each O(checkpoint + tail)."""
+        rdr = self.reader()
+        if txn_version <= rdr.last_txn_version(app_id):
             return None
-        staged = self._stage(df, partition_by)
+        _proto, cur_meta = rdr._protocol_meta()
+        parts = (
+            list(partition_by)
+            if partition_by is not None
+            else self._cur_parts(cur_meta)
+        )
+        meta = self._meta_action(
+            df, parts, evolve_schema, cur_meta, fetched=True
+        )
+        staged = self._stage(df, parts)
         tail = self._add_actions(staged) + [
             {"txn": {"appId": app_id, "version": txn_version,
                      "lastUpdated": int(time.time() * 1000)}}
         ]
-        for _ in range(max_retries):
-            meta = self._meta_action(df, partition_by, evolve_schema)
+        for attempt in range(max_retries):
+            if attempt:  # a racer may have evolved the table: re-gate
+                meta = self._meta_action(df, parts, evolve_schema)
             version = self.latest_version() + 1
             head = [self._protocol_action()] if version == 0 else []
             try:
@@ -383,15 +427,17 @@ class DeltaTableWriter:
         self,
         df: DataFrame,
         expected_version: int,
-        partition_by: list[str] | tuple = (),
+        partition_by: list[str] | None = None,
     ) -> int:
         """OVERWRITE commit: data-changing remove tombstones for every
         file live at the base snapshot, plus the replacement adds, in
         ONE atomic commit. ``expected_version`` is REQUIRED — an
         overwrite racing an append would silently drop the append's
         rows. Schema and partition spec may change wholesale (the
-        content is being replaced), recorded via a fresh-shape
-        ``metaData`` under the stable table id."""
+        content is being replaced; ``partition_by=None`` inherits the
+        current spec, an explicit list — including ``[]`` —
+        re-partitions), recorded via a fresh-shape ``metaData`` under
+        the stable table id."""
         current = self.latest_version()
         if expected_version != current + 1:
             raise ConcurrentWriteError(
@@ -400,6 +446,11 @@ class DeltaTableWriter:
             )
         rdr = self.reader()
         _proto, cur_meta = rdr._protocol_meta()
+        partition_by = (
+            list(partition_by)
+            if partition_by is not None
+            else self._cur_parts(cur_meta)
+        )
         now_ms = int(time.time() * 1000)
         # tombstones reuse the committed add.path BYTES verbatim — the
         # log fold is keyed by the raw string, and re-encoding a
@@ -465,9 +516,20 @@ class DeltaTableWriter:
         entries = rdr._live_entries()
         if len(entries) < min_inputs:
             return None
-        _proto, meta = rdr._protocol_meta()
+        proto, meta = rdr._protocol_meta()
+        rdr._check_readable(proto, meta)
         part_cols = list((meta or {}).get("partitionColumns") or [])
-        df = rdr.snapshot(spark)
+        # scan EXACTLY the pinned entry list (the remove set) — a
+        # second fold via snapshot() could include a file a concurrent
+        # append landed between the folds, baking its rows into the
+        # compacted add while its own add action stays live → silent
+        # duplication ("append commutes" would let the publish succeed)
+        df = rdr._assemble(
+            spark,
+            [(res, pv) for _raw, res, pv in entries],
+            rdr.table_schema(),
+            part_cols,
+        )
         if part_cols:
             from pyspark.sql import functions as F
 
@@ -508,19 +570,47 @@ class DeltaTableWriter:
         )
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
-        """Physically delete data files referenced by NO snapshot in
-        the last ``retain_versions`` versions — retention stated in
-        versions (the fixture has no wall-clock), like
-        ``TxnLogTable.vacuum``; real Delta states it in hours off the
-        remove tombstones' deletionTimestamp, same contract. The log
-        is never deleted (history structure stays auditable); AS OF
-        reads older than retention fail on the missing files, which is
-        Delta's own behavior. Pure metadata: fold, diff path sets,
-        unlink."""
+        """Physically delete data files the LOG references but no
+        snapshot in the last ``retain_versions`` versions reaches —
+        retention stated in versions (the fixture has no wall-clock),
+        like ``TxnLogTable.vacuum``; real Delta states it in hours off
+        the remove tombstones' deletionTimestamp, same contract. The
+        log is never deleted (history structure stays auditable); AS
+        OF reads older than retention fail on the missing files, which
+        is Delta's own behavior. Pure metadata: fold, diff path sets,
+        unlink.
+
+        Candidates come from the log's OWN add/remove actions, never a
+        directory walk: a walk would reap files a concurrent writer
+        has staged but not yet committed (staging is invisible to
+        readers precisely because the log defines the table — vacuum
+        must honor the same rule or an in-flight append publishes adds
+        pointing at deleted bytes, bricking the table). Files only
+        referenced below a cleaned checkpoint stay on disk —
+        conservative, like an unknown file to real Delta's retention.
+        """
+        from urllib.parse import unquote
+
         rdr = self.reader()
         latest = rdr.latest_version()
         if latest < 0:
             return []
+        referenced: set[str] = set()
+        cp = rdr._cp
+        lo = 0
+        if cp is not None:
+            for p, _pv in rdr._checkpoint_adds(cp):
+                referenced.add(os.path.join(self.path, unquote(p)))
+            lo = cp["version"] + 1
+        for _v, actions in rdr._json_commit_actions(lo, None):
+            for a in actions:
+                for kind in ("add", "remove"):
+                    if kind in a and a[kind].get("path"):
+                        referenced.add(
+                            os.path.join(
+                                self.path, unquote(a[kind]["path"])
+                            )
+                        )
         keep_from = max(0, latest - max(retain_versions, 1) + 1)
         keep: set[str] = set()
         for v in range(keep_from, latest + 1):
@@ -531,17 +621,11 @@ class DeltaTableWriter:
                 # unreadable, so retention cannot apply to it
                 continue
         doomed = []
-        for dirpath, _dirs, files in os.walk(self.path):
-            if "_delta_log" in dirpath or "_staging_" in dirpath:
-                continue
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, fn)
-                if p not in keep:
-                    doomed.append(p)
-                    os.unlink(p)
-        return sorted(doomed)
+        for p in sorted(referenced - keep):
+            if os.path.exists(p):
+                doomed.append(p)
+                os.unlink(p)
+        return doomed
 
     def write_checkpoint(self, clean: bool = False) -> int | None:
         """Materialize the folded state at the current head as a

@@ -109,15 +109,16 @@ class TestDeltaWriterRoundTrip:
         assert dict(snap.dtypes)["bucket"] == "int"
         got = {r["id"]: r["bucket"] for r in snap.collect()}
         assert got == {1: 10, 2: 10, 3: 20, 4: None}
-        # appends must keep the partition spec
+        # appends must keep the partition spec: an explicit DIFFERENT
+        # spec refuses…
         with pytest.raises(SchemaEvolutionError, match="partition spec"):
-            w.append(df)
-        # a second partitioned append lands in the same layout
-        w.append(
-            _df(spark, [(5, "e", 20)], "id long, name string, bucket int"),
-            partition_by=["bucket"],
-        )
-        assert DeltaLogTable(root).snapshot(spark).count() == 5
+            w.append(df, partition_by=[])
+        # …while the default INHERITS it (the streaming sink never
+        # states one), landing in the same layout
+        w.append(_df(spark, [(5, "e", 20)], "id long, name string, bucket int"))
+        snap2 = DeltaLogTable(root).snapshot(spark)
+        assert snap2.count() == 5
+        assert snap2.where("id = 5").collect()[0]["bucket"] == 20
 
     def test_schema_evolution_round_trips(self, spark, tmp_path):
         root = str(tmp_path / "t")
@@ -307,6 +308,46 @@ class TestDeltaWriterRoundTrip:
         t = DeltaLogTable(root)
         assert t.snapshot(spark).count() == 5
         assert t.latest_version() == 1
+        # a PARTITIONED sink table: the committer states no spec, so
+        # append_txn must inherit it (the round-10 review's finding —
+        # without inheritance every micro-batch refused)
+        root2 = str(tmp_path / "t2")
+        w2 = DeltaTableWriter(root2)
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20)], "id long, bucket int"
+        )
+        w2.append(df, partition_by=["bucket"])
+        commit2 = txn_committer(w2, "ingest", None)
+        commit2(spark.createDataFrame([(3, 20)], "id long, bucket int"), 0)
+        snap = DeltaLogTable(root2).snapshot(spark)
+        assert {r["id"]: r["bucket"] for r in snap.collect()} == {
+            1: 10, 2: 20, 3: 20,
+        }
+
+    def test_vacuum_never_touches_staged_uncommitted_files(
+        self, spark, tables, tmp_path
+    ):
+        """Vacuum candidates come from the LOG, never a directory
+        walk: files a concurrent writer has staged but not yet
+        committed must survive, or the in-flight commit would publish
+        adds pointing at deleted bytes."""
+        import glob
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        r = tables["region"]
+        w.append(r.limit(2))
+        w.overwrite(r.limit(3), 1)  # v0's file is now unreachable
+        # simulate a concurrent writer mid-commit: staged, unpublished
+        staged = w._stage(r.limit(4))
+        staged_files = [os.path.join(root, rel) for rel, _pv in staged]
+        assert all(os.path.exists(p) for p in staged_files)
+        doomed = w.vacuum(retain_versions=1)
+        assert len(doomed) == 1  # exactly the unreachable v0 file
+        assert all(os.path.exists(p) for p in staged_files)
+        # the in-flight writer can still publish its adds safely
+        w._publish(2, w._add_actions(staged))
+        assert DeltaLogTable(root).snapshot(spark).count() == 7
 
     def test_optimize_compacts_with_datachange_false(
         self, spark, tables, tmp_path

@@ -79,6 +79,7 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    probe(spark, "/root/testdata/sf0.01")  # discard: JVM/codegen warmup
     small = probe(spark, "/root/testdata/sf0.01")
     big = probe(spark, "/root/testdata/sf0.1")
     print(f"sf0.01: {small}")
