@@ -214,6 +214,9 @@ _DROP_MATVIEW_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )

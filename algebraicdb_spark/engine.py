@@ -64,6 +64,7 @@ from algebraicdb_spark.dialect import (
     _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
+    _DESCRIBE_HISTORY_RE,
     _DESCRIBE_RE,
     _DROP_FUNCTION_RE,
     _DROP_MATVIEW_RE,
@@ -351,6 +352,10 @@ class Engine:
             return self._delete_stmt(
                 f"DELETE FROM {_TRUNCATE_RE.match(stmt).group('name')}"
             )
+        if _DESCRIBE_HISTORY_RE.match(stmt):
+            return self._describe_history_stmt(
+                _DESCRIBE_HISTORY_RE.match(stmt).group("name")
+            )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
         if _CREATE_VIEW_RE.match(stmt):
@@ -620,6 +625,54 @@ class Engine:
             cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in fields)
         stmt = f"CREATE TABLE {name} ({cols})"
         return self.spark.createDataFrame([(stmt,)], "create_stmt string")
+
+    def _describe_history_stmt(self, name: str) -> DataFrame:
+        """DESCRIBE HISTORY n — the commit/snapshot audit trail of an
+        ATTACHed lakehouse table, across all three formats: txnlog
+        (action-shape-classified operations), delta (commitInfo
+        operations), iceberg (snapshot summaries). One row per
+        surviving commit/snapshot, newest last."""
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        if name not in self._attached:
+            raise AdtError(
+                f"DESCRIBE HISTORY: {name!r} is not an ATTACHed table "
+                "(dialect tables are views — they have no commit log)"
+            )
+        att = self._attached[name]
+        fmt, path = att["fmt"], att["path"]
+        if fmt == "txnlog":
+            rows = [
+                (h["version"], h["operation"], h["n_adds"],
+                 h["n_removes"], h["data_change"])
+                for h in TxnLogTable(path).history()
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "version long, operation string, n_adds int, "
+                "n_removes int, data_change boolean",
+            )
+        if fmt == "delta":
+            rows = [
+                (h["version"], h["operation"])
+                for h in DeltaLogTable(path).history()
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "version long, operation string"
+            )
+        rows = [
+            (s["snapshot-id"], s.get("parent-snapshot-id"),
+             (s.get("summary") or {}).get("operation"))
+            for s in IcebergTable(path).snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "snapshot_id long, parent_snapshot_id long, operation string",
+        )
 
     def _describe_stmt(self, name: str) -> DataFrame:
         """DESCRIBE t — column names and types; ADT-typed columns

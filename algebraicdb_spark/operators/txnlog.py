@@ -1371,6 +1371,46 @@ class TxnLogTable:
             shutil.rmtree(p, ignore_errors=True)
         return doomed
 
+    def history(self) -> list[dict]:
+        """(version, operation, n_adds, n_removes, data_change) per
+        commit — DESCRIBE HISTORY's core, the audit view every table
+        format exposes. The operation CLASS is inferred from the
+        commit's action shape (the log records actions, not intents):
+        adds only → APPEND; data-changing removes + adds → REPLACE
+        (overwrite / copy-on-write rewrite); removes only → DELETE;
+        non-data-changing remove+add → OPTIMIZE; schema-only →
+        METADATA; txn-marker-only → TXN. O(commits) driver-side
+        metadata, full retained log (history is exactly the thing a
+        checkpoint must NOT hide)."""
+        out = []
+        for commit in self._commits():
+            acts = commit["actions"]
+            adds = [a for a in acts if a["action"] == "add"]
+            removes = [a for a in acts if a["action"] == "remove"]
+            dc = any(
+                a.get("data_change", True) for a in adds + removes
+            )
+            if removes and not dc:
+                op = "OPTIMIZE"
+            elif removes and adds:
+                op = "REPLACE"
+            elif removes:
+                op = "DELETE"
+            elif adds:
+                op = "APPEND"
+            elif any(a["action"] == "metaData" for a in acts):
+                op = "METADATA"
+            else:
+                op = "TXN"
+            out.append({
+                "version": commit["version"],
+                "operation": op,
+                "n_adds": len(adds),
+                "n_removes": len(removes),
+                "data_change": dc,
+            })
+        return out
+
     # -- reads ---------------------------------------------------------
 
     def snapshot(

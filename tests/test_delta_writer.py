@@ -429,6 +429,46 @@ class TestDeltaWriterRoundTrip:
         eng.sql("VACUUM d RETAIN 1")
         assert eng.sql("SELECT COUNT(*) AS n FROM d").collect()[0]["n"] == 5
 
+    def test_describe_history_across_formats(self, spark, tables, tmp_path):
+        """DESCRIBE HISTORY n from the dialect: the audit trail of an
+        attached table — txnlog operations classified from action
+        shape, delta from commitInfo; non-attached names refuse."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        eng = Engine(spark)
+        # txnlog: append → append → optimize → delete
+        t = TxnLogTable(str(tmp_path / "tl"))
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "id long, tag string"))
+        t.append(spark.createDataFrame([(3, "a")], "id long, tag string"))
+        t.optimize(spark)
+        t.delete(spark, "tag = 'a'")
+        eng.sql(f"ATTACH TABLE tl FROM txnlog LOCATION '{t.path}'")
+        hist = eng.sql("DESCRIBE HISTORY tl").collect()
+        assert [(h["version"], h["operation"]) for h in hist] == [
+            (0, "APPEND"), (1, "APPEND"), (2, "OPTIMIZE"), (3, "REPLACE"),
+        ]
+        assert hist[2]["data_change"] is False
+        # delta: the writer's commitInfo operations surface
+        droot = str(tmp_path / "d")
+        w = DeltaTableWriter(droot)
+        w.append(tables["region"].limit(2))
+        w.overwrite(tables["region"].limit(1), 1)
+        eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{droot}'")
+        assert [
+            (h["version"], h["operation"])
+            for h in eng.sql("DESCRIBE HISTORY dl").collect()
+        ] == [(0, "WRITE"), (1, "WRITE")]
+        # a dialect table has no commit log
+        eng.sql("CREATE TABLE plain (x INT)")
+        with _pytest.raises(AdtError, match="not an ATTACHed"):
+            eng.sql("DESCRIBE HISTORY plain")
+        # plain DESCRIBE still works (regex order)
+        assert eng.sql("DESCRIBE plain") is not None
+
     def test_attach_from_sql_dialect(self, spark, tables, tmp_path):
         """The written table is queryable through the engine's ATTACH
         surface like any external Delta table."""
