@@ -193,6 +193,16 @@ class DeltaTableWriter:
         shutil.rmtree(tmp)
         return staged
 
+    def _unstage(self, staged: list[tuple[str, dict]]) -> None:
+        """Remove staged-but-never-published files (gate refusal after
+        staging, or an idempotent no-op discovered late): the log never
+        references them, and vacuum's log-candidates-only rule means
+        nothing else would ever reclaim them."""
+        for rel, _pv in staged:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.unlink(p)
+
     def _add_actions(
         self, staged: list[tuple[str, dict]], data_change: bool = True
     ) -> list[dict]:
@@ -324,12 +334,22 @@ class DeltaTableWriter:
     ) -> int:
         """APPEND commit. Blind (adds-only commits never logically
         conflict): the version slot resolves at publish time and a lost
-        race retries one slot up, re-running the schema gate —
-        the same no-stale-metaData contract as ``TxnLogTable.append``.
-        ``partition_by=None`` INHERITS the table's recorded spec (so
-        appends to a partitioned table stay partitioned without
-        restating it); the gate runs BEFORE staging, so a refused batch
-        orphans nothing in the table directory."""
+        race retries one slot up. ``partition_by=None`` INHERITS the
+        table's recorded spec (so appends to a partitioned table stay
+        partitioned without restating it).
+
+        Gate ordering is the correctness core: a pre-stage gate
+        refuses bad batches before any file lands in the table
+        directory, and the AUTHORITATIVE gate re-runs whenever the log
+        head has moved past the last gated state — read AFTER the slot
+        resolves, so a racer landing later forces a slot collision and
+        therefore a re-gate (publishing attempt-0 metaData computed
+        before the staging window would silently clobber a concurrent
+        creation/evolution that took a DIFFERENT slot). A gate refusal
+        after staging unstages the batch's files — the log never
+        references them and vacuum's log-candidates rule would
+        otherwise leak them forever."""
+        base = self.latest_version()
         _proto, cur_meta = self.reader()._protocol_meta()
         parts = (
             list(partition_by)
@@ -341,24 +361,32 @@ class DeltaTableWriter:
         )
         staged = self._stage(df, parts)
         adds = self._add_actions(staged)
-        for attempt in range(max_retries):
-            if attempt:  # a racer may have evolved the table: re-gate
-                meta = self._meta_action(df, parts, evolve_schema)
-            version = self.latest_version() + 1
-            head = [self._protocol_action()] if version == 0 else []
-            try:
-                self._publish(
-                    version,
-                    head + meta + [self._commit_info("WRITE", mode="Append")]
-                    + adds,
-                )
-                return version
-            except ConcurrentWriteError:
-                continue
-        raise ConcurrentWriteError(
-            f"append lost {max_retries} publish races — table is under "
-            "pathological write contention"
-        )
+        try:
+            for _ in range(max_retries):
+                version = self.latest_version() + 1
+                if version != base + 1:
+                    # the log advanced past the gated state: re-gate
+                    # against the new head before taking the new slot
+                    meta = self._meta_action(df, parts, evolve_schema)
+                    base = version - 1
+                head = [self._protocol_action()] if version == 0 else []
+                try:
+                    self._publish(
+                        version,
+                        head + meta
+                        + [self._commit_info("WRITE", mode="Append")]
+                        + adds,
+                    )
+                    return version
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                f"append lost {max_retries} publish races — table is "
+                "under pathological write contention"
+            )
+        except SchemaEvolutionError:
+            self._unstage(staged)
+            raise
 
     def append_txn(
         self,
@@ -374,16 +402,22 @@ class DeltaTableWriter:
         "version"}}`` riding atomically with the adds), which is what
         production Delta sinks use as ``txnAppId``/``txnVersion`` write
         options. A redelivered (app_id, txn_version) no-ops (returns
-        None); a lost publish race re-checks the mark and retries one
-        slot up without restaging, re-running the schema gate after a
-        lost race. This makes the exactly-once streaming sink
-        (streaming/sink.py) able to target a table every other Delta
-        engine can then consume; like ``TxnLogTable.append_txn`` it
-        INHERITS the table's partition spec by default (the sink never
-        states one), and the gate runs before staging so a refused
-        micro-batch orphans nothing. This is the once-per-micro-batch
-        hot path: the mark probe, the metaData fold, and the gate share
-        two log folds per clean commit, each O(checkpoint + tail)."""
+        None, unstaging anything it wrote). Makes the exactly-once
+        streaming sink (streaming/sink.py) able to target a table every
+        other Delta engine can then consume; like
+        ``TxnLogTable.append_txn`` it INHERITS the table's partition
+        spec by default (the sink never states one).
+
+        The idempotence mark and the schema gate are both validated
+        against the log head read AFTER the slot resolves, and
+        re-validated whenever the head has moved: a zombie driver's
+        duplicate commit that lands while this one stages takes a
+        DIFFERENT slot (no collision), so only a moved-head re-check
+        catches it — re-checking solely after a lost race would commit
+        the batch twice. Folds are skipped entirely while the head
+        hasn't moved, keeping the per-micro-batch hot path at two
+        O(checkpoint + tail) folds in the uncontended case."""
+        base = self.latest_version()
         rdr = self.reader()
         if txn_version <= rdr.last_txn_version(app_id):
             return None
@@ -401,27 +435,40 @@ class DeltaTableWriter:
             {"txn": {"appId": app_id, "version": txn_version,
                      "lastUpdated": int(time.time() * 1000)}}
         ]
-        for attempt in range(max_retries):
-            if attempt:  # a racer may have evolved the table: re-gate
-                meta = self._meta_action(df, parts, evolve_schema)
-            version = self.latest_version() + 1
-            head = [self._protocol_action()] if version == 0 else []
-            try:
-                self._publish(
-                    version,
-                    head + meta
-                    + [self._commit_info("STREAMING UPDATE",
-                                         outputMode="Append")]
-                    + tail,
-                )
-                return version
-            except ConcurrentWriteError:
-                if txn_version <= self.reader().last_txn_version(app_id):
-                    return None  # the racer carried OUR mark
-        raise ConcurrentWriteError(
-            f"append_txn({app_id}, {txn_version}) lost {max_retries} "
-            "publish races — table is under pathological write contention"
-        )
+        try:
+            for _ in range(max_retries):
+                version = self.latest_version() + 1
+                if version != base + 1:
+                    # the log advanced past the validated state: the
+                    # racer may have been OUR zombie twin (mark) or an
+                    # evolver (gate) — re-check both against the head
+                    if txn_version <= self.reader().last_txn_version(
+                        app_id
+                    ):
+                        self._unstage(staged)
+                        return None
+                    meta = self._meta_action(df, parts, evolve_schema)
+                    base = version - 1
+                head = [self._protocol_action()] if version == 0 else []
+                try:
+                    self._publish(
+                        version,
+                        head + meta
+                        + [self._commit_info("STREAMING UPDATE",
+                                             outputMode="Append")]
+                        + tail,
+                    )
+                    return version
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                f"append_txn({app_id}, {txn_version}) lost {max_retries} "
+                "publish races — table is under pathological write "
+                "contention"
+            )
+        except SchemaEvolutionError:
+            self._unstage(staged)
+            raise
 
     def overwrite(
         self,
@@ -523,12 +570,20 @@ class DeltaTableWriter:
         # second fold via snapshot() could include a file a concurrent
         # append landed between the folds, baking its rows into the
         # compacted add while its own add action stays live → silent
-        # duplication ("append commutes" would let the publish succeed)
+        # duplication ("append commutes" would let the publish succeed).
+        # The schema comes from the SAME already-folded meta (a
+        # separate table_schema() fold could straddle a concurrent
+        # metaData commit and disagree with part_cols)
+        st = None
+        ss = (meta or {}).get("schemaString")
+        if ss:
+            doc = json.loads(ss)
+            if doc.get("fields"):
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(doc)
         df = rdr._assemble(
-            spark,
-            [(res, pv) for _raw, res, pv in entries],
-            rdr.table_schema(),
-            part_cols,
+            spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
         )
         if part_cols:
             from pyspark.sql import functions as F
@@ -597,20 +652,26 @@ class DeltaTableWriter:
             return []
         referenced: set[str] = set()
         cp = rdr._cp
-        lo = 0
         if cp is not None:
             for p, _pv in rdr._checkpoint_adds(cp):
                 referenced.add(os.path.join(self.path, unquote(p)))
-            lo = cp["version"] + 1
-        for _v, actions in rdr._json_commit_actions(lo, None):
-            for a in actions:
-                for kind in ("add", "remove"):
-                    if kind in a and a[kind].get("path"):
-                        referenced.add(
-                            os.path.join(
-                                self.path, unquote(a[kind]["path"])
+        # candidates come from ALL SURVIVING JSON commits, not just the
+        # post-checkpoint tail: a checkpoint stores only the live set,
+        # so files tombstoned at-or-before it appear solely in their
+        # original JSON actions — starting the fold at cp+1 would leak
+        # every overwrite/OPTIMIZE casualty on any table that
+        # checkpoints regularly (exactly the streaming-sink tables)
+        vs = rdr._json_versions()
+        if vs:
+            for _v, actions in rdr._json_commit_actions(vs[0], None):
+                for a in actions:
+                    for kind in ("add", "remove"):
+                        if kind in a and a[kind].get("path"):
+                            referenced.add(
+                                os.path.join(
+                                    self.path, unquote(a[kind]["path"])
+                                )
                             )
-                        )
         keep_from = max(0, latest - max(retain_versions, 1) + 1)
         keep: set[str] = set()
         for v in range(keep_from, latest + 1):

@@ -637,6 +637,17 @@ class TxnLogTable:
         return [(p, {}) for p in self._stage(df)]
 
     @staticmethod
+    def _unstage(staged: list[tuple[str, dict]]) -> None:
+        """Remove staged-but-never-published data directories (a gate
+        refusal after staging, or an idempotent no-op discovered late):
+        the log never references them, and VACUUM's log-candidates rule
+        would otherwise leak them forever."""
+        import shutil
+
+        for d, _pv in staged:
+            shutil.rmtree(d, ignore_errors=True)
+
+    @staticmethod
     def _add_action(
         path: str,
         stats_cols: list[str] | None,
@@ -780,32 +791,40 @@ class TxnLogTable:
             if partition_by is not None
             else self.partition_columns()
         )
+        self._schema_actions(df, evolve_schema, parts)  # pre-stage gate:
+        # a refused batch must not leave orphaned data dirs behind
         staged = self._stage_any(df, parts)
         adds = [self._add_action(p, stats_cols, pv) for p, pv in staged]
-        if expected_version is not None:
-            # pinned: the caller read a snapshot and demands this slot
-            meta = self._schema_actions(df, evolve_schema, parts)
-            self._publish(expected_version, meta + adds)
-            return expected_version
-        # blind append: adds-only commits never logically conflict, so
-        # resolve the slot immediately before each publish attempt and
-        # retry one version up on a lost race — the docstring's "always
-        # safe" promise. The schema gate re-runs per attempt: the racer
-        # may have evolved the table, and republishing metaData computed
-        # against the pre-race schema would silently revert it (same
-        # fix as append_txn's retry loop).
-        for _ in range(8):
-            meta = self._schema_actions(df, evolve_schema, parts)
-            version = self.latest_version() + 1
-            try:
-                self._publish(version, meta + adds)
-                return version
-            except ConcurrentWriteError:
-                continue
-        raise ConcurrentWriteError(
-            "append lost 8 publish races — table is under pathological "
-            "write contention"
-        )
+        try:
+            if expected_version is not None:
+                # pinned: the caller read a snapshot, demands this slot
+                meta = self._schema_actions(df, evolve_schema, parts)
+                self._publish(expected_version, meta + adds)
+                return expected_version
+            # blind append: adds-only commits never logically conflict,
+            # so retry one version up on a lost race — the docstring's
+            # "always safe" promise. ORDERING is the correctness core:
+            # the slot resolves FIRST, the gate runs at-or-after it, so
+            # any racer landing after the slot read collides at publish
+            # and forces a retry with a fresh gate. Gating before the
+            # slot read would let a racer who took a DIFFERENT slot (no
+            # collision) have its evolution silently reverted by our
+            # stale metaData.
+            for _ in range(8):
+                version = self.latest_version() + 1
+                meta = self._schema_actions(df, evolve_schema, parts)
+                try:
+                    self._publish(version, meta + adds)
+                    return version
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                "append lost 8 publish races — table is under "
+                "pathological write contention"
+            )
+        except SchemaEvolutionError:
+            self._unstage(staged)
+            raise
 
     def append_txn(
         self,
@@ -832,6 +851,7 @@ class TxnLogTable:
         immutable. ``max_retries`` bounds pathological contention
         loudly instead of spinning.
         """
+        base = self.latest_version()
         if txn_version <= self.last_txn_version(app_id):
             return None
         parts = self.partition_columns()  # sink inherits the table spec
@@ -839,32 +859,41 @@ class TxnLogTable:
         tail = [self._add_action(p, None, pv) for p, pv in staged] + [
             {"action": "txn", "app_id": app_id, "txn_version": txn_version}
         ]
-        for _ in range(max_retries):
-            # the streaming sink is exactly where schema drift arrives
-            # over months — it must pass the SAME gate as append, or a
-            # drifted micro-batch would commit ungoverned into a pinned
-            # table and the next OPTIMIZE would rewrite it under the
-            # stale schema. Recomputed PER ATTEMPT: a racer that won the
-            # slot may itself have evolved the table schema, and
-            # republishing a metaData action computed against the
-            # pre-race schema would silently revert its evolution (the
-            # gate instead re-evaluates — and refuses loudly if the
-            # racer's evolution now conflicts with this batch).
-            meta = self._schema_actions(df, evolve_schema, parts)
-            try:
+        # the streaming sink is exactly where schema drift arrives over
+        # months — it must pass the SAME gate as append, or a drifted
+        # micro-batch would commit ungoverned into a pinned table and
+        # the next OPTIMIZE would rewrite it under the stale schema.
+        meta = self._schema_actions(df, evolve_schema, parts)
+        try:
+            for _ in range(max_retries):
                 version = self.latest_version() + 1
-                self._publish(version, meta + tail)
-                return version
-            except ConcurrentWriteError:
-                # a racer (same app restarted? another table writer)
-                # took the slot — if it carried OUR txn mark, the
-                # batch is committed and we must NOT double-commit
-                if txn_version <= self.last_txn_version(app_id):
-                    return None
-        raise ConcurrentWriteError(
-            f"append_txn({app_id}, {txn_version}) lost {max_retries} "
-            "publish races — table is under pathological write contention"
-        )
+                if version != base + 1:
+                    # the log advanced past the validated state WITHOUT
+                    # a slot collision (the racer took its own slot):
+                    # it may have been OUR zombie twin — re-checking
+                    # the mark only after a LOST race would commit the
+                    # batch twice — or an evolver whose metaData our
+                    # stale gate result would silently revert
+                    if txn_version <= self.last_txn_version(app_id):
+                        self._unstage(staged)
+                        return None
+                    meta = self._schema_actions(df, evolve_schema, parts)
+                    base = version - 1
+                try:
+                    self._publish(version, meta + tail)
+                    return version
+                except ConcurrentWriteError:
+                    # a racer took the slot — the next loop iteration
+                    # sees the advanced head and re-checks mark + gate
+                    continue
+            raise ConcurrentWriteError(
+                f"append_txn({app_id}, {txn_version}) lost {max_retries} "
+                "publish races — table is under pathological write "
+                "contention"
+            )
+        except SchemaEvolutionError:
+            self._unstage(staged)
+            raise
 
     def overwrite(
         self,

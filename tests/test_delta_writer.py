@@ -331,8 +331,6 @@ class TestDeltaWriterRoundTrip:
         walk: files a concurrent writer has staged but not yet
         committed must survive, or the in-flight commit would publish
         adds pointing at deleted bytes."""
-        import glob
-
         root = str(tmp_path / "t")
         w = DeltaTableWriter(root)
         r = tables["region"]

@@ -1536,6 +1536,64 @@ class TestTxnLogRaceFixes:
         # the racer's evolution SURVIVED — nothing reverted it
         assert "score" in t.snapshot(spark).columns
 
+    def test_append_txn_zombie_twin_without_collision_is_caught(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The exactly-once hole a lost-race-only re-check misses: a
+        zombie driver's duplicate batch lands while ours stages, taking
+        its OWN slot — our publish then targets the NEXT free slot with
+        no collision, so only the moved-head mark re-check prevents
+        committing the batch twice. The late no-op must also unstage
+        its files (nothing else would ever reclaim them)."""
+        import os
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        batch = spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, s string")
+        t.append(batch.limit(1))
+        orig = TxnLogTable._stage
+        fired = {}
+
+        def racy_stage(self_, df):
+            out = orig(self_, df)
+            if not fired:
+                fired["x"] = True  # zombie twin commits the SAME batch
+                TxnLogTable(t.path).append_txn(batch, "app", 7)
+            return out
+
+        monkeypatch.setattr(TxnLogTable, "_stage", racy_stage)
+        assert t.append_txn(batch, "app", 7) is None  # caught, no dup
+        assert t.snapshot(spark).count() == 1 + batch.count()
+        assert t.last_txn_version("app") == 7
+        # the no-op unstaged its directory: every data dir on disk is
+        # referenced by the log
+        data = os.path.join(t.path, "data")
+        live = {os.path.basename(p) for p in t.live_paths()}
+        assert set(os.listdir(data)) == live
+
+    def test_refused_append_unstages_its_files(self, spark, tmp_path):
+        """A schema-gate refusal must leave no orphaned data dirs —
+        the log never references them and VACUUM's log-candidates rule
+        would leak them forever."""
+        import os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import (
+            SchemaEvolutionError,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+        with _pytest.raises(SchemaEvolutionError):
+            t.append(spark.createDataFrame([(2,)], "id long"))
+        data = os.path.join(t.path, "data")
+        live = {os.path.basename(p) for p in t.live_paths()}
+        assert set(os.listdir(data)) == live
+
     def test_zorder_refuses_past_seven_columns(self, spark, tables, tmp_path):
         """8 columns × 8 bits lands the interleaved key's top bit on
         bigint's sign bit — range clustering would silently invert the
