@@ -68,6 +68,7 @@ from algebraicdb_spark.operators.txnlog import (
     SchemaEvolutionError,
     _hive_partition_values,
     _schema_fields,
+    parse_schema_string,
 )
 
 
@@ -202,6 +203,14 @@ class DeltaTableWriter:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
                 os.unlink(p)
+            parent = os.path.dirname(p)
+            # tidy a hive partition dir this staging created and
+            # emptied (never the table root; non-empty dirs survive)
+            if parent != self.path:
+                try:
+                    os.rmdir(parent)
+                except OSError:
+                    pass
 
     def _add_actions(
         self, staged: list[tuple[str, dict]], data_change: bool = True
@@ -384,7 +393,10 @@ class DeltaTableWriter:
                 f"append lost {max_retries} publish races — table is "
                 "under pathological write contention"
             )
-        except SchemaEvolutionError:
+        except (SchemaEvolutionError, ConcurrentWriteError):
+            # the staged files were never referenced by a published
+            # commit — leaving them would leak forever under vacuum's
+            # log-candidates rule
             self._unstage(staged)
             raise
 
@@ -461,12 +473,20 @@ class DeltaTableWriter:
                     return version
                 except ConcurrentWriteError:
                     continue
+            # exhausted: the FINAL slot's winner may have been our
+            # own redelivered twin — a committed no-op, not a failure;
+            # the in-loop check runs at iteration top, so the last lost
+            # race would otherwise exit unchecked and kill a streaming
+            # query whose batch is durably committed
+            if txn_version <= self.reader().last_txn_version(app_id):
+                self._unstage(staged)
+                return None
             raise ConcurrentWriteError(
                 f"append_txn({app_id}, {txn_version}) lost {max_retries} "
                 "publish races — table is under pathological write "
                 "contention"
             )
-        except SchemaEvolutionError:
+        except (SchemaEvolutionError, ConcurrentWriteError):
             self._unstage(staged)
             raise
 
@@ -574,14 +594,9 @@ class DeltaTableWriter:
         # The schema comes from the SAME already-folded meta (a
         # separate table_schema() fold could straddle a concurrent
         # metaData commit and disagree with part_cols)
-        st = None
-        ss = (meta or {}).get("schemaString")
-        if ss:
-            doc = json.loads(ss)
-            if doc.get("fields"):
-                from pyspark.sql.types import StructType
-
-                st = StructType.fromJson(doc)
+        st = parse_schema_string(
+            (meta or {}).get("schemaString"), self.path
+        )
         df = rdr._assemble(
             spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
         )

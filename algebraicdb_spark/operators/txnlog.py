@@ -70,6 +70,30 @@ def _schema_fields(schema_json: str) -> dict[str, str]:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def parse_schema_string(doc: str | None, path: str):
+    """Delta ``metaData.schemaString`` → Spark StructType, shared by
+    every consumer (reader ``table_schema``, writer maintenance): None
+    when absent or empty ("{}" minimal fixtures — schema simply not
+    recorded); a PRESENT but malformed string raises a contextual
+    error naming the table instead of a raw parse crash — silently
+    falling back to footer sampling would read an evolved table
+    nondeterministically."""
+    from pyspark.sql.types import StructType
+
+    if not doc:
+        return None
+    try:
+        parsed = json.loads(doc)
+        if not parsed or not parsed.get("fields"):
+            return None
+        return StructType.fromJson(parsed)
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"{path}: metaData.schemaString is present but not a Spark "
+            f"StructType JSON: {exc}"
+        ) from exc
+
+
 def _hive_partition_values(rel_dir: str) -> dict:
     """Decode a hive-layout relative directory (``col=val[/col2=val2]``,
     values percent-escaped by the Spark writer, nulls as the hive
@@ -822,7 +846,10 @@ class TxnLogTable:
                 "append lost 8 publish races — table is under "
                 "pathological write contention"
             )
-        except SchemaEvolutionError:
+        except (SchemaEvolutionError, ConcurrentWriteError):
+            # either way the staged files were never referenced by a
+            # published commit — leaving them would leak forever under
+            # vacuum's log-candidates rule
             self._unstage(staged)
             raise
 
@@ -855,15 +882,17 @@ class TxnLogTable:
         if txn_version <= self.last_txn_version(app_id):
             return None
         parts = self.partition_columns()  # sink inherits the table spec
-        staged = self._stage_any(df, parts)
-        tail = [self._add_action(p, None, pv) for p, pv in staged] + [
-            {"action": "txn", "app_id": app_id, "txn_version": txn_version}
-        ]
         # the streaming sink is exactly where schema drift arrives over
         # months — it must pass the SAME gate as append, or a drifted
         # micro-batch would commit ungoverned into a pinned table and
         # the next OPTIMIZE would rewrite it under the stale schema.
+        # Gate BEFORE staging: a refused batch should not pay (or leak)
+        # a distributed parquet write.
         meta = self._schema_actions(df, evolve_schema, parts)
+        staged = self._stage_any(df, parts)
+        tail = [self._add_action(p, None, pv) for p, pv in staged] + [
+            {"action": "txn", "app_id": app_id, "txn_version": txn_version}
+        ]
         try:
             for _ in range(max_retries):
                 version = self.latest_version() + 1
@@ -886,12 +915,21 @@ class TxnLogTable:
                     # a racer took the slot — the next loop iteration
                     # sees the advanced head and re-checks mark + gate
                     continue
+            # exhausted: the FINAL slot's winner may have been our
+            # own redelivered twin, which makes this a committed no-op,
+            # not a failure — re-check the mark before raising (the
+            # in-loop check runs at iteration top, so the last lost
+            # race would otherwise exit unchecked and kill a streaming
+            # query whose batch is durably committed)
+            if txn_version <= self.last_txn_version(app_id):
+                self._unstage(staged)
+                return None
             raise ConcurrentWriteError(
                 f"append_txn({app_id}, {txn_version}) lost {max_retries} "
                 "publish races — table is under pathological write "
                 "contention"
             )
-        except SchemaEvolutionError:
+        except (SchemaEvolutionError, ConcurrentWriteError):
             self._unstage(staged)
             raise
 
@@ -2040,7 +2078,6 @@ class DeltaLogTable:
         ``TxnLogTable``: an externally-evolved table read raw resolves
         to whichever file's footer Spark samples."""
         import pyarrow.parquet as pq
-        from pyspark.sql.types import StructType
 
         doc = None
         cp = self._cp
@@ -2061,18 +2098,7 @@ class DeltaLogTable:
             for a in actions:
                 if "metaData" in a and a["metaData"].get("schemaString"):
                     doc = a["metaData"]["schemaString"]
-        if not doc:
-            return None
-        parsed = json.loads(doc)
-        if not parsed or not parsed.get("fields"):
-            return None  # "{}" — schema not recorded (minimal fixtures)
-        try:
-            return StructType.fromJson(parsed)
-        except Exception as exc:
-            raise ValueError(
-                f"{self.path}: metaData.schemaString is present but not "
-                f"a Spark StructType JSON: {exc}"
-            ) from exc
+        return parse_schema_string(doc, self.path)
 
     def _assemble(
         self,

@@ -1535,6 +1535,14 @@ class TestTxnLogRaceFixes:
             t.append_txn(base, app_id="app", txn_version=0)
         # the racer's evolution SURVIVED — nothing reverted it
         assert "score" in t.snapshot(spark).columns
+        # and the refused batch's staged directory was unstaged — this
+        # IS the post-stage refusal path (the pre-stage gate passed;
+        # the re-gate after the lost race refused)
+        import os as _os
+
+        data = _os.path.join(t.path, "data")
+        live = {_os.path.basename(p) for p in t.live_paths()}
+        assert set(_os.listdir(data)) == live
 
     def test_append_txn_zombie_twin_without_collision_is_caught(
         self, spark, tmp_path, monkeypatch
@@ -1573,10 +1581,46 @@ class TestTxnLogRaceFixes:
         live = {os.path.basename(p) for p in t.live_paths()}
         assert set(os.listdir(data)) == live
 
+    def test_exhausted_retries_with_twin_winner_is_noop(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The FINAL lost race's winner may be our own redelivered
+        twin: re-checking the mark only at iteration tops would exit
+        the loop unchecked and raise 'pathological contention' for a
+        batch that is durably committed — killing the streaming query
+        spuriously. The exhaustion path must re-check and no-op."""
+        import os
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        batch = spark.createDataFrame([(1, "a")], "id long, s string")
+        t.append(batch)
+        orig = TxnLogTable._publish
+        fired = {}
+
+        def racy_publish(self_, version, actions):
+            is_ours = any(a.get("action") == "txn" for a in actions)
+            if is_ours and not fired:
+                fired["x"] = True  # twin takes OUR slot with OUR mark
+                TxnLogTable(t.path).append_txn(batch, "app", 3)
+            return orig(self_, version, actions)
+
+        monkeypatch.setattr(TxnLogTable, "_publish", racy_publish)
+        # max_retries=1: the single attempt loses to the twin and the
+        # loop exhausts — the final check must return the no-op
+        assert t.append_txn(batch, "app", 3, max_retries=1) is None
+        assert t.snapshot(spark).count() == 2  # committed exactly once
+        data = os.path.join(t.path, "data")
+        live = {os.path.basename(p) for p in t.live_paths()}
+        assert set(os.listdir(data)) == live  # no orphaned staging
+
     def test_refused_append_unstages_its_files(self, spark, tmp_path):
-        """A schema-gate refusal must leave no orphaned data dirs —
-        the log never references them and VACUUM's log-candidates rule
-        would leak them forever."""
+        """A schema-gate refusal must leave no orphaned data dirs. (The
+        drifted batch here is refused by the PRE-stage gate — nothing
+        is ever written; the post-stage refusal path is pinned by
+        test_retry_reruns_schema_gate_instead_of_reverting's orphan
+        assertion.)"""
         import os
 
         import pytest as _pytest
