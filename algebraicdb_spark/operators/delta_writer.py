@@ -549,13 +549,20 @@ class DeltaTableWriter:
             ]
         staged = self._stage(df, partition_by)
         head = [self._protocol_action()] if expected_version == 0 else []
-        self._publish(
-            expected_version,
-            head + meta
-            + [self._commit_info("WRITE", mode="Overwrite")]
-            + removes
-            + self._add_actions(staged),
-        )
+        try:
+            self._publish(
+                expected_version,
+                head + meta
+                + [self._commit_info("WRITE", mode="Overwrite")]
+                + removes
+                + self._add_actions(staged),
+            )
+        except ConcurrentWriteError:
+            # the error tells the caller to rebase and retry — the
+            # staged files must not leak while they do (vacuum's
+            # log-candidates rule never reclaims unreferenced files)
+            self._unstage(staged)
+            raise
         return expected_version
 
     # -- maintenance -------------------------------------------------------
@@ -566,6 +573,7 @@ class DeltaTableWriter:
         target_files: int = 1,
         min_inputs: int = 2,
         max_retries: int = 8,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """OPTIMIZE — transactional small-file compaction on the
         STANDARD format, the maintenance pass a streaming-ingested
@@ -578,14 +586,34 @@ class DeltaTableWriter:
         external) skip the traffic. Conflict matrix as everywhere: a
         concurrent APPEND commutes (retry one slot up), concurrent
         removal of an input aborts. Returns the new version, or None
-        below ``min_inputs``."""
+        below ``min_inputs``.
+
+        ``zorder_by`` re-CLUSTERS instead of just re-packing — the
+        same Morton-key range clustering as ``TxnLogTable.optimize``
+        (txnlog._zorder_clustered), landing in a STANDARD table other
+        Delta engines then skip-scan: each output file covers a narrow
+        span of every clustering column, and since delta adds are
+        file-grain with footer stats by construction, the narrow spans
+        reach the log for free. Legitimate on a single input
+        (clustering changes layout value even at one file);
+        hive-partitioned tables refuse, as in txnlog — the partition
+        layout already provides the coarse tier."""
+        from algebraicdb_spark.operators.txnlog import _zorder_clustered
+
         rdr = self.reader()
         entries = rdr._live_entries()
-        if len(entries) < min_inputs:
+        if not entries or (len(entries) < min_inputs and not zorder_by):
             return None
         proto, meta = rdr._protocol_meta()
         rdr._check_readable(proto, meta)
         part_cols = list((meta or {}).get("partitionColumns") or [])
+        if part_cols and zorder_by:
+            raise NotImplementedError(
+                "OPTIMIZE ZORDER on a hive-partitioned table is not "
+                "supported — the partition layout already provides the "
+                "coarse clustering tier; re-cluster within a partition "
+                "by overwriting it"
+            )
         # scan EXACTLY the pinned entry list (the remove set) — a
         # second fold via snapshot() could include a file a concurrent
         # append landed between the folds, baking its rows into the
@@ -600,7 +628,9 @@ class DeltaTableWriter:
         df = rdr._assemble(
             spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
         )
-        if part_cols:
+        if zorder_by:
+            df = _zorder_clustered(df, zorder_by, target_files)
+        elif part_cols:
             from pyspark.sql import functions as F
 
             df = df.repartition(*[F.col(c) for c in part_cols])
@@ -620,20 +650,26 @@ class DeltaTableWriter:
                         self.reader()._live_entries()}
             gone = sorted(inputs - live_now)
             if gone:
+                # abort path: the compacted staging is unreferenced —
+                # unstage or it leaks under vacuum's log-candidates rule
+                self._unstage(staged)
                 raise ConcurrentWriteError(
                     f"optimize inputs {gone[:3]} were removed by a "
                     "concurrent writer — committing would resurrect "
                     "replaced data; rerun optimize on the new snapshot"
                 )
             version = self.latest_version() + 1
+            info = (
+                self._commit_info("OPTIMIZE", zOrderBy=zorder_by)
+                if zorder_by
+                else self._commit_info("OPTIMIZE")
+            )
             try:
-                self._publish(
-                    version,
-                    [self._commit_info("OPTIMIZE")] + removes + adds,
-                )
+                self._publish(version, [info] + removes + adds)
                 return version
             except ConcurrentWriteError:
                 continue
+        self._unstage(staged)
         raise ConcurrentWriteError(
             f"optimize lost {max_retries} publish races — table is "
             "under pathological write contention"
@@ -670,6 +706,12 @@ class DeltaTableWriter:
         if cp is not None:
             for p, _pv in rdr._checkpoint_adds(cp):
                 referenced.add(os.path.join(self.path, unquote(p)))
+            for t in rdr._checkpoint_removes(cp):
+                # checkpointed tombstones are the ONLY remaining record
+                # of files removed at-or-before a cleaned prefix — they
+                # must stay vacuum candidates or every pre-checkpoint
+                # overwrite/OPTIMIZE casualty leaks forever
+                referenced.add(os.path.join(self.path, unquote(t["path"])))
         # candidates come from ALL SURVIVING JSON commits, not just the
         # post-checkpoint tail: a checkpoint stores only the live set,
         # so files tombstoned at-or-before it appear solely in their
@@ -710,8 +752,12 @@ class DeltaTableWriter:
         infer the schema from the file, not from row 1), advance
         ``_last_checkpoint``, and — with ``clean=True`` — delete the
         compacted JSON prefix the way Delta's retention does, after
-        which readers MUST replay from the checkpoint. Returns the
-        checkpointed version, or None on an empty table."""
+        which readers MUST replay from the checkpoint. The checkpoint
+        carries the FULL folded protocol (feature lists included) and
+        the unexpired remove tombstones, per the spec — cleaning the
+        prefix must not lose feature enablement or make removed files
+        invisible to retention-based VACUUM. Returns the checkpointed
+        version, or None on an empty table."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -721,10 +767,21 @@ class DeltaTableWriter:
             return None
         proto, meta = rdr._protocol_meta(latest)
         proto = proto or self._protocol_action()["protocol"]
-        rows: list[dict] = [{"protocol": {
+        # the FULL folded protocol carries through — reader/writer
+        # feature lists included: v3 protocols REQUIRE them, and
+        # feature enablement (e.g. deletionVectors on a table with no
+        # live DV adds) is table state later writers rely on; reducing
+        # to the two min versions would rewrite the log spec-invalid
+        # once the JSON prefix is cleaned
+        proto_row: dict = {
             "minReaderVersion": proto.get("minReaderVersion", 1),
             "minWriterVersion": proto.get("minWriterVersion", 2),
-        }}]
+        }
+        if proto.get("readerFeatures") is not None:
+            proto_row["readerFeatures"] = list(proto["readerFeatures"])
+        if proto.get("writerFeatures") is not None:
+            proto_row["writerFeatures"] = list(proto["writerFeatures"])
+        rows: list[dict] = [{"protocol": proto_row}]
         if meta:
             conf = meta.get("configuration") or {}
             if isinstance(conf, list):
@@ -756,6 +813,16 @@ class DeltaTableWriter:
                 "dataChange": False,
                 "stats": _file_stats_json(p),
             }})
+        for t in rdr._tombstones():
+            # unexpired remove tombstones ride in the checkpoint per
+            # the spec — they keep their deletionTimestamp so VACUUM
+            # (ours and foreign clients') can honor retention after
+            # clean=True deletes the JSON that originally carried them
+            rows.append({"remove": {
+                "path": t["path"],
+                "deletionTimestamp": t.get("deletionTimestamp"),
+                "dataChange": bool(t.get("dataChange", True)),
+            }})
         # the spec's FIXED checkpoint schema, stated explicitly — never
         # inferred: partitionValues is map<string,string> (an inferred
         # struct would make the file unreadable to Spark Delta /
@@ -768,6 +835,8 @@ class DeltaTableWriter:
             ("protocol", pa.struct([
                 ("minReaderVersion", pa.int32()),
                 ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
             ])),
             ("txn", pa.struct([
                 ("appId", pa.string()),
@@ -788,6 +857,11 @@ class DeltaTableWriter:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+            ])),
+            ("remove", pa.struct([
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
             ])),
         ])
         keys = [f.name for f in schema]

@@ -238,6 +238,103 @@ class TestDeltaWriterRoundTrip:
                                 r["partitionValues"] == {}
                                 for r in add_rows)
 
+    def test_failed_overwrite_unstages(self, spark, tables, tmp_path):
+        """A ConcurrentWriteError AFTER staging (the racer landed
+        between the version check and the publish) must unstage the
+        loser's files: the log never references them, and vacuum's
+        log-candidates rule would otherwise leak them forever."""
+        root = str(tmp_path / "t")
+        a, b = DeltaTableWriter(root), DeltaTableWriter(root)
+        a.append(tables["region"].limit(2))
+        # simulate the race window: freeze b's view of the head at v0
+        # so its entry check passes, then let a take v1 for real — b's
+        # publish collides
+        b.latest_version = lambda: 0
+        a.overwrite(tables["region"].limit(3), expected_version=1)
+        with pytest.raises(ConcurrentWriteError):
+            b.overwrite(tables["region"].limit(4), expected_version=1)
+        referenced = set()
+        log = os.path.join(root, "_delta_log")
+        for cf in sorted(os.listdir(log)):
+            if cf.endswith(".json"):
+                with open(os.path.join(log, cf)) as f:
+                    for line in f:
+                        act = json.loads(line)
+                        for kind in ("add", "remove"):
+                            if kind in act:
+                                referenced.add(act[kind]["path"])
+        on_disk = {
+            os.path.relpath(os.path.join(dp, fn), root)
+            for dp, _dirs, fns in os.walk(root)
+            for fn in fns
+            if fn.endswith(".parquet") and "_delta_log" not in dp
+        }
+        assert on_disk <= referenced, (
+            f"orphaned staging leaked: {on_disk - referenced}"
+        )
+
+    def test_checkpoint_preserves_protocol_features(self, tmp_path, tables):
+        """Checkpointing a table whose protocol carries feature lists
+        (e.g. a foreign writer upgraded it to v3) must persist the FULL
+        protocol action: v3 REQUIRES readerFeatures/writerFeatures, and
+        feature enablement is table state later clients rely on."""
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(tables["region"].limit(2))
+        # a foreign writer upgrades the protocol (honored features only,
+        # so our own reads keep working)
+        w._publish(1, [{"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }}])
+        assert w.write_checkpoint(clean=True) == 1
+        cp = os.path.join(root, "_delta_log", f"{1:020d}.checkpoint.parquet")
+        protos = [
+            r for r in pq.read_table(cp, columns=["protocol"])
+            .column("protocol").to_pylist() if r is not None
+        ]
+        assert protos == [{
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }]
+        # the folded protocol (now checkpoint-sourced) carries through
+        proto, _meta = DeltaLogTable(root)._protocol_meta()
+        assert proto["readerFeatures"] == ["timestampNtz"]
+
+    def test_checkpoint_carries_tombstones_for_vacuum(
+        self, spark, tables, tmp_path
+    ):
+        """Removed-but-unexpired files must survive the prefix clean as
+        checkpoint ``remove`` rows (the spec's rule), so retention-based
+        VACUUM — ours or a foreign client's — can still reclaim them."""
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(tables["region"].limit(3))
+        old_files = set(DeltaLogTable(root).live_paths())
+        w.overwrite(tables["region"].limit(1), expected_version=1)
+        assert w.write_checkpoint(clean=True) == 1
+        cp = os.path.join(root, "_delta_log", f"{1:020d}.checkpoint.parquet")
+        removes = [
+            r for r in pq.read_table(cp, columns=["remove"])
+            .column("remove").to_pylist() if r is not None
+        ]
+        assert removes and all(
+            r["deletionTimestamp"] is not None for r in removes
+        ), "tombstones ride the checkpoint with their deletionTimestamp"
+        # the reader's live fold is unchanged by the tombstone rows
+        assert DeltaLogTable(root).snapshot(spark).count() == 1
+        # vacuum past retention reclaims the pre-overwrite files even
+        # though the JSON that removed them is cleaned
+        doomed = set(w.vacuum(retain_versions=1))
+        assert doomed == old_files
+        assert not any(os.path.exists(p) for p in old_files)
+
     def test_change_feed_over_own_output(self, spark, tables, tmp_path):
         root = str(tmp_path / "t")
         w = DeltaTableWriter(root)
@@ -390,6 +487,91 @@ class TestDeltaWriterRoundTrip:
         assert len(t.live_paths()) == 2  # one file per partition value
         got = {x["id"]: x["bucket"] for x in t.snapshot(spark).collect()}
         assert got == {1: 10, 2: 20, 3: 10, 4: 20}
+
+    def test_optimize_zorder_clusters_standard_delta(
+        self, spark, tables, tmp_path
+    ):
+        """OPTIMIZE ZORDER on a written-then-read STANDARD Delta table:
+        each compacted file covers a narrow min/max span of BOTH
+        clustering columns (the span-cut pin from the txnlog twin —
+        <0.45× the global span proves genuine 2-D clustering; the
+        unclustered inputs each span ~1.0×), content is untouched, the
+        commit is dataChange:false, and the per-file add stats in the
+        log carry the narrow spans for any Delta engine to skip on."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        full = tables["lineitem"]
+        cols = ["l_partkey", "l_suppkey", "l_quantity"]
+        for k in range(2):
+            w.append(full.filter(f"l_orderkey % 2 = {k}").select(*cols))
+        rdr = DeltaLogTable(root)
+        pre = rdr.snapshot(spark).groupBy(*cols).count()
+        assert w.optimize(
+            spark, target_files=16, zorder_by=["l_partkey", "l_suppkey"]
+        ) == 2
+        files = rdr.live_paths()
+        assert 1 < len(files) <= 16
+        post = rdr.snapshot(spark).groupBy(*cols).count()
+        assert pre.exceptAll(post).count() == 0
+        assert post.exceptAll(pre).count() == 0
+        g = rdr.snapshot(spark).agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+        ).collect()[0]
+        spans = [
+            spark.read.parquet(p)
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("s"),
+            )
+            .collect()[0]
+            for p in files
+        ]
+        assert sum(r["p"] for r in spans) / len(spans) < 0.45 * g["p"]
+        assert sum(r["s"] for r in spans) / len(spans) < 0.45 * g["s"]
+        # the narrow spans reach the LOG's per-file stats — what a
+        # foreign engine skips on — and the traffic is dataChange:false
+        with open(os.path.join(
+            root, "_delta_log", f"{2:020d}.json"
+        )) as f:
+            actions = [json.loads(line) for line in f if line.strip()]
+        adds = [a["add"] for a in actions if "add" in a]
+        assert all(a["dataChange"] is False for a in adds)
+        stat_spans = [
+            json.loads(a["stats"])["maxValues"]["l_partkey"]
+            - json.loads(a["stats"])["minValues"]["l_partkey"]
+            for a in adds
+        ]
+        assert sum(stat_spans) / len(stat_spans) < 0.45 * g["p"]
+        info = next(a["commitInfo"] for a in actions if "commitInfo" in a)
+        assert info["operation"] == "OPTIMIZE"
+        assert "l_partkey" in info["operationParameters"]["zOrderBy"]
+
+    def test_sql_zorder_on_delta_attachment(self, spark, tables, tmp_path):
+        """`OPTIMIZE TABLE d ZORDER BY (…)` routes to the delta writer
+        for delta attachments (previously a refusal)."""
+        from algebraicdb_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        for k in range(2):
+            w.append(
+                tables["lineitem"]
+                .filter(f"l_orderkey % 2 = {k}")
+                .select("l_partkey", "l_suppkey")
+            )
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE zd FROM delta LOCATION '{root}'")
+        n = eng.sql("SELECT * FROM zd").count()
+        eng.sql("OPTIMIZE TABLE zd ZORDER BY (l_partkey, l_suppkey)")
+        assert eng.sql("SELECT * FROM zd").count() == n
+        assert DeltaLogTable(root).latest_version() == 2
+        ops = [h["operation"] for h in DeltaLogTable(root).history()]
+        assert ops[-1] == "OPTIMIZE"
 
     def test_vacuum_reclaims_unreachable_files(self, spark, tables, tmp_path):
         root = str(tmp_path / "t")

@@ -243,19 +243,16 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="not an ATTACHed"):
             eng.sql("OPTIMIZE TABLE nope")
         # read-only interop attachments refuse maintenance loudly
-        # (delta graduated to maintainable in round 10 — the writer
-        # owns the format; iceberg stays read-only interop)
+        # (delta graduated to maintainable in round 10 and to ZORDER in
+        # round 11 — the writer owns the format, see test_delta_writer.
+        # test_sql_zorder_on_delta_attachment; iceberg stays read-only)
         eng._attached["icy"] = {
             "fmt": "iceberg", "path": "/does/not/matter", "version": None,
         }
         with _pytest.raises(AdtError, match="read-only"):
             eng.sql("VACUUM icy")
-        # ZORDER stays txnlog-only even on a maintainable delta table
-        eng._attached["dly"] = {
-            "fmt": "delta", "path": "/does/not/matter", "version": None,
-        }
-        with _pytest.raises(AdtError, match="ZORDER is txnlog-only"):
-            eng.sql("OPTIMIZE TABLE dly ZORDER BY (x)")
+        with _pytest.raises(AdtError, match="read-only"):
+            eng.sql("OPTIMIZE TABLE icy ZORDER BY (x)")
 
     def test_attachments_survive_catalog_roundtrip(
         self, spark, tables, tmp_path

@@ -1810,6 +1810,23 @@ class TestCopyOnWrite:
             t.delete(spark, "tag = 'drop'")
         # the racer's overwrite is intact — the delete changed nothing
         assert [r["id"] for r in t.snapshot(spark).collect()] == [9]
+        # …and the aborted delete's staged rewrite did NOT leak: every
+        # data dir on disk is referenced by the log (vacuum's
+        # log-candidates rule would never reclaim an unreferenced one)
+        import json as _json
+        import os as _os
+
+        referenced = set()
+        for cf in sorted(_os.listdir(t.log_dir)):
+            if cf.endswith(".json"):
+                with open(_os.path.join(t.log_dir, cf)) as f:
+                    for a in _json.load(f)["actions"]:
+                        if a["action"] in ("add", "remove"):
+                            referenced.add(_os.path.basename(a["path"]))
+        on_disk = set(_os.listdir(_os.path.join(t.path, "data")))
+        assert on_disk <= referenced, (
+            f"orphaned staging leaked: {on_disk - referenced}"
+        )
 
     def test_dialect_delete_update_on_attached_table(
         self, spark, tmp_path
@@ -1854,6 +1871,256 @@ class TestCopyOnWrite:
         )
         with _pytest.raises(AdtError, match="pinned"):
             eng.sql("DELETE FROM tl0 WHERE id = 1")
+
+
+class TestTransactionalMerge:
+    """MERGE INTO as ONE copy-on-write commit on txnlog tables — the
+    round-10 verdict's found defect was the dialect MERGE silently
+    view-swapping on ATTACHed tables; these pin the transactional fix:
+    the upsert lands in the LOG (survives REFRESH / re-ATTACH), only
+    matched files rewrite, multi-matching sources refuse, and the
+    non-txnlog attachments refuse exactly like DELETE/UPDATE."""
+
+    def _three_file_table(self, spark, tmp_path):
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "mt"))
+        t.append(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"))
+        t.append(spark.createDataFrame(
+            [(3, 30.0), (4, 40.0)], "k long, v double"))
+        t.append(spark.createDataFrame(
+            [(5, 50.0), (6, 60.0)], "k long, v double"))
+        return t
+
+    def test_merge_upserts_in_one_cow_commit(self, spark, tmp_path):
+        t = self._three_file_table(spark, tmp_path)
+        before = t.live_paths()
+        src = spark.createDataFrame(
+            [(2, 99.0), (7, 70.0)], "k long, nv double")
+        res = t.merge(
+            spark, src, "t.k = s.k",
+            {"v": "s.nv"}, ["s.k", "s.nv"],
+        )
+        # ONE commit: version advanced exactly once
+        assert res["version"] == t.latest_version() == 3
+        assert res["rows_matched"] == 1
+        assert res["rows_inserted"] == 1
+        assert res["files_rewritten"] == 1
+        # only the file containing k=2 rewrote; the other two keep
+        # their ORIGINAL add entries (the 100 TB shape: a keyed upsert
+        # never rewrites the table)
+        assert len(set(before) & set(t.live_paths())) == 2
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0,
+                       5: 50.0, 6: 60.0, 7: 70.0}
+        # time travel still sees the pre-merge content
+        assert {r["k"]: r["v"]
+                for r in t.snapshot(spark, as_of=2).collect()}[2] == 20.0
+        # the adds-only change feed refuses across the data-changing
+        # remove, by contract
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, since=2)
+
+    def test_merge_insert_only_never_rewrites(self, spark, tmp_path):
+        t = self._three_file_table(spark, tmp_path)
+        before = set(t.live_paths())
+        src = spark.createDataFrame(
+            [(1, 0.0), (8, 80.0)], "k long, v double")
+        res = t.merge(spark, src, "t.k = s.k", None, ["s.k", "s.v"])
+        # k=1 matches an existing row → NOT inserted; k=8 inserts;
+        # zero files rewritten — an adds-only commit
+        assert res["rows_inserted"] == 1
+        assert res["files_rewritten"] == 0
+        assert before <= set(t.live_paths())
+        got = sorted(r["k"] for r in t.snapshot(spark).collect())
+        assert got == [1, 2, 3, 4, 5, 6, 8]
+        assert {r["k"]: r["v"] for r in t.snapshot(spark).collect()}[1] == 10.0
+
+    def test_merge_matching_nothing_commits_nothing(self, spark, tmp_path):
+        t = self._three_file_table(spark, tmp_path)
+        v = t.latest_version()
+        src = spark.createDataFrame([(99, 1.0)], "k long, v double")
+        res = t.merge(spark, src, "t.k = s.k", {"v": "s.v"}, None)
+        assert res["version"] is None
+        assert t.latest_version() == v
+        # and an insert-only merge whose every source row matches also
+        # commits nothing (no empty files either)
+        src2 = spark.createDataFrame([(1, 0.0)], "k long, v double")
+        res2 = t.merge(spark, src2, "t.k = s.k", None, ["s.k", "s.v"])
+        assert res2["version"] is None and t.latest_version() == v
+
+    def test_merge_multimatch_refuses_and_unstages(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._three_file_table(spark, tmp_path)
+        v = t.latest_version()
+        dup = spark.createDataFrame(
+            [(2, 1.0), (2, 2.0)], "k long, nv double")
+        with _pytest.raises(ValueError, match="multiple source rows"):
+            t.merge(spark, dup, "t.k = s.k", {"v": "s.nv"}, None)
+        assert t.latest_version() == v  # nothing committed
+        # …and nothing leaked: every data dir on disk is log-referenced
+        import os as _os
+
+        live = {_os.path.basename(p) for p in t.live_paths()}
+        assert set(_os.listdir(_os.path.join(t.path, "data"))) == live
+
+    def test_merge_partitioned_inserts_land_in_partitions(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "pm"))
+        t.append(
+            spark.createDataFrame(
+                [(1, 10, 1.0), (2, 20, 2.0)], "k long, bucket int, v double"
+            ),
+            partition_by=["bucket"],
+        )
+        src = spark.createDataFrame(
+            [(2, 9.0), (3, 30.0)], "k long, nv double")
+        # assigning the partition column refuses (row movement)
+        with _pytest.raises(ValueError, match="partition column"):
+            t.merge(spark, src, "t.k = s.k", {"bucket": "99"}, None)
+        res = t.merge(
+            spark, src, "t.k = s.k",
+            {"v": "s.nv"}, ["s.k", "30", "s.nv"],
+        )
+        assert res["rows_matched"] == 1 and res["rows_inserted"] == 1
+        snap = t.snapshot(spark)
+        got = {r["k"]: (r["bucket"], r["v"]) for r in snap.collect()}
+        assert got == {1: (10, 1.0), 2: (20, 9.0), 3: (30, 30.0)}
+        # the insert's partition value is in the LOG, not the file
+        assert any(
+            (state_pv or {}).get("bucket") == "30"
+            for _p, (_st, state_pv) in t._live_state().items()
+        )
+
+    def test_dialect_merge_on_attached_table(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = self._three_file_table(spark, tmp_path)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE mtl FROM txnlog LOCATION '{t.path}'")
+        eng.create_table(
+            "msrc",
+            spark.createDataFrame([(2, 99.0), (7, 70.0)],
+                                  "k long, nv double"),
+        )
+        eng.sql(
+            "MERGE INTO mtl USING msrc ON mtl.k = msrc.k "
+            "WHEN MATCHED THEN UPDATE SET v = msrc.nv "
+            "WHEN NOT MATCHED THEN INSERT VALUES (msrc.k, msrc.nv)"
+        )
+        got = {r["k"]: r["v"]
+               for r in eng.sql("SELECT * FROM mtl").collect()}
+        assert got[2] == 99.0 and got[7] == 70.0 and len(got) == 7
+        # the merge went through the LOG: REFRESH does NOT revert it,
+        # and a fresh reader on the same path sees it
+        eng.sql("REFRESH TABLE mtl")
+        got2 = {r["k"]: r["v"]
+                for r in eng.sql("SELECT * FROM mtl").collect()}
+        assert got2 == got
+        assert TxnLogTable(t.path).snapshot(spark).count() == 7
+        # a subsequent DELETE on the same attachment stays consistent
+        # (no view/log desync — the round-10 failure mode)
+        eng.sql("DELETE FROM mtl WHERE k = 7")
+        assert eng.sql("SELECT * FROM mtl").count() == 6
+        # a multi-matching source surfaces the loud refusal
+        eng.create_table(
+            "mdup",
+            spark.createDataFrame([(2, 1.0), (2, 2.0)],
+                                  "k long, nv double"),
+        )
+        with _pytest.raises(AdtError, match="multiple source rows"):
+            eng.sql(
+                "MERGE INTO mtl USING mdup ON mtl.k = mdup.k "
+                "WHEN MATCHED THEN UPDATE SET v = mdup.nv"
+            )
+
+    def test_dialect_merge_refuses_readonly_attachments(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+
+        eng = Engine(spark)
+        eng.create_table(
+            "rsrc", spark.createDataFrame([(1, 1.0)], "k long, nv double")
+        )
+        droot = str(tmp_path / "d")
+        DeltaTableWriter(droot).append(
+            spark.createDataFrame([(1, 10.0)], "k long, v double"))
+        eng.sql(f"ATTACH TABLE rdl FROM delta LOCATION '{droot}'")
+        with _pytest.raises(AdtError, match="read-only"):
+            eng.sql(
+                "MERGE INTO rdl USING rsrc ON rdl.k = rsrc.k "
+                "WHEN MATCHED THEN UPDATE SET v = rsrc.nv"
+            )
+        # the refusal left the attachment fully consistent
+        eng.sql("REFRESH TABLE rdl")
+        assert eng.sql("SELECT * FROM rdl").collect()[0]["v"] == 10.0
+        # VERSION-pinned txnlog refuses too
+        t = self._three_file_table(spark, tmp_path)
+        eng.sql(
+            f"ATTACH TABLE rtl FROM txnlog LOCATION '{t.path}' VERSION 1"
+        )
+        with _pytest.raises(AdtError, match="pinned"):
+            eng.sql(
+                "MERGE INTO rtl USING rsrc ON rtl.k = rsrc.k "
+                "WHEN MATCHED THEN UPDATE SET v = rsrc.nv"
+            )
+
+    def test_dialect_copy_from_attached_commits_for_real(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        batch_dir = str(tmp_path / "batch")
+        spark.createDataFrame(
+            [(8, 80.0), (9, 90.0)], "k long, v double"
+        ).write.parquet(batch_dir)
+        eng = Engine(spark)
+        # txnlog attachment: COPY FROM is a REAL append commit
+        t = self._three_file_table(spark, tmp_path)
+        eng.sql(f"ATTACH TABLE ctl FROM txnlog LOCATION '{t.path}'")
+        v = t.latest_version()
+        eng.sql(f"COPY ctl FROM '{batch_dir}' (FORMAT parquet)")
+        assert TxnLogTable(t.path).latest_version() == v + 1
+        eng.sql("REFRESH TABLE ctl")  # survives re-resolution
+        assert eng.sql("SELECT * FROM ctl").count() == 8
+        # delta attachment: lands as a standard Delta append
+        droot = str(tmp_path / "d")
+        DeltaTableWriter(droot).append(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"))
+        eng.sql(f"ATTACH TABLE cdl FROM delta LOCATION '{droot}'")
+        eng.sql(f"COPY cdl FROM '{batch_dir}' (FORMAT parquet)")
+        assert DeltaLogTable(droot).latest_version() == 1
+        eng.sql("REFRESH TABLE cdl")
+        assert eng.sql("SELECT * FROM cdl").count() == 3
+        # VERSION-pinned refuses
+        eng.sql(
+            f"ATTACH TABLE cpin FROM txnlog LOCATION '{t.path}' VERSION 1"
+        )
+        with _pytest.raises(AdtError, match="pinned"):
+            eng.sql(f"COPY cpin FROM '{batch_dir}' (FORMAT parquet)")
 
 
 class TestTxnLogPartitions:
