@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +93,17 @@ from algebraicdb_spark.session import get_spark
 from algebraicdb_spark.sources.catalog import ensure_confs, load_tables
 
 __all__ = ["Engine", "parse_create_type"]
+
+# `FROM t VERSION AS OF 3` / `FROM t FOR TIMESTAMP AS OF '…'` — the
+# time-travel read sugar every lakehouse SQL dialect exposes; lowered
+# in _rewrite to a pinned snapshot view so it composes with joins,
+# CTAS, views, EXPLAIN, and the rest of the read grammar for free
+_TIME_TRAVEL_RE = re.compile(
+    r"\b(?P<name>[A-Za-z_]\w*)\s+(?:"
+    r"VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|FOR\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
 
 
 class Engine:
@@ -826,9 +838,10 @@ class Engine:
 
         On an ATTACHed lakehouse table the batch becomes a REAL append
         commit (txnlog via ``TxnLogTable.append``, standard Delta via
-        ``DeltaTableWriter.append`` — both behind their schema gates),
-        never a view union that ``REFRESH TABLE`` would silently revert
-        (the round-10 verdict's found defect). Iceberg interop and
+        ``DeltaTableWriter.append``, Iceberg via
+        ``IcebergTableWriter.append`` — all behind their schema
+        gates), never a view union that ``REFRESH TABLE`` would
+        silently revert (the round-10 verdict's found defect).
         VERSION-pinned attachments refuse loudly."""
         if name in self._views:
             raise AdtError(
@@ -852,25 +865,26 @@ class Engine:
             from algebraicdb_spark.operators.delta_writer import (
                 DeltaTableWriter,
             )
+            from algebraicdb_spark.operators.iceberg_writer import (
+                IcebergTableWriter,
+            )
             from algebraicdb_spark.operators.txnlog import TxnLogTable
 
             att = self._attached[name]
-            if att["fmt"] == "iceberg":
-                raise AdtError(
-                    f"COPY: {name!r} is iceberg interop — read-only; "
-                    "append with its owning system"
-                )
             if att["version"] is not None:
                 raise AdtError(
                     f"COPY: {name!r} is pinned at VERSION {att['version']} "
                     "— re-ATTACH at latest before appending"
                 )
-            writer = (
-                DeltaTableWriter(att["path"])
-                if att["fmt"] == "delta"
-                else TxnLogTable(att["path"])
-            )
-            writer.append(batch)
+            writers = {
+                "delta": DeltaTableWriter,
+                "iceberg": IcebergTableWriter,
+                "txnlog": TxnLogTable,
+            }
+            try:
+                writers[att["fmt"]](att["path"]).append(batch)
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"COPY {name}: {exc}") from exc
             # re-resolve the view on the post-append snapshot
             self._attach_table_stmt(name, att["fmt"], att["path"], None)
             return
@@ -1196,7 +1210,125 @@ class Engine:
             rows or [], "function string, parameters string, body string"
         )
 
+    def _version_at_timestamp(self, att: dict, ts: str) -> int:
+        """Resolve `FOR TIMESTAMP AS OF '<ts>'` to a version/snapshot
+        id: the LATEST commit at or before the instant, per format —
+        txnlog uses commit-file mtimes, delta the commitInfo timestamp
+        (file mtime when a foreign commit omits it), iceberg the
+        snapshot's timestamp-ms. Naive literals are read as UTC (commit
+        clocks are epoch-based). Below the surviving log (cleaned
+        prefix / expired snapshots) or before the first commit, refuse
+        — resolving to 'nearest available' would silently answer a
+        different question."""
+        from datetime import datetime, timezone
+
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        try:
+            dt = datetime.fromisoformat(ts)
+        except ValueError as exc:
+            raise AdtError(
+                f"TIMESTAMP AS OF: unparseable timestamp {ts!r} "
+                "(use ISO-8601, e.g. '2026-08-15 12:00:00')"
+            ) from exc
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+        fmt, path = att["fmt"], att["path"]
+        cands: list[tuple[int, int]] = []  # (commit ts ms, version)
+        if fmt == "txnlog":
+            t = TxnLogTable(path)
+            for commit in t._commits():
+                cf = os.path.join(
+                    t.log_dir, f"v{commit['version']:08d}.json"
+                )
+                cands.append(
+                    (int(os.path.getmtime(cf) * 1000), commit["version"])
+                )
+        elif fmt == "delta":
+            d = DeltaLogTable(path)
+            for v, actions in d._json_commit_actions(
+                (d._json_versions() or [0])[0], None
+            ):
+                info = next(
+                    (a["commitInfo"] for a in actions if "commitInfo" in a),
+                    {},
+                )
+                when = info.get("timestamp") or int(
+                    os.path.getmtime(
+                        os.path.join(d.log_dir, f"{v:020d}.json")
+                    ) * 1000
+                )
+                cands.append((int(when), v))
+        else:  # iceberg: snapshot ids, ordered by their timestamp-ms
+            for s in IcebergTable(path).snapshots():
+                cands.append(
+                    (int(s.get("timestamp-ms") or 0), s["snapshot-id"])
+                )
+        at_or_before = [(w, v) for w, v in cands if w <= ts_ms]
+        if not at_or_before:
+            raise AdtError(
+                f"TIMESTAMP AS OF {ts!r}: no surviving {fmt} commit at "
+                "or before that instant (before the first commit, or "
+                "cleaned/expired by retention)"
+            )
+        return max(at_or_before)[1]
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        """Lower `t VERSION AS OF v` / `t FOR TIMESTAMP AS OF '…'` on
+        ATTACHed tables to a pinned snapshot registered as a temp view,
+        substituted as `<view> AS t` so qualified references keep
+        resolving. The attachment itself stays at latest — time travel
+        per READ, no re-ATTACH dance. A version below a cleaned
+        checkpoint / expired snapshot refuses via the reader's own
+        loud error."""
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        readers = {
+            "txnlog": TxnLogTable,
+            "delta": DeltaLogTable,
+            "iceberg": IcebergTable,
+        }
+
+        def repl(m: re.Match) -> str:
+            name = m.group("name")
+            if name not in self._attached:
+                raise AdtError(
+                    f"time travel: {name!r} is not an ATTACHed lakehouse "
+                    "table — VERSION/TIMESTAMP AS OF reads a commit log; "
+                    "ATTACH TABLE first"
+                )
+            att = self._attached[name]
+            if m.group("ver") is not None:
+                v = int(m.group("ver"))
+            else:
+                v = self._version_at_timestamp(att, m.group("ts"))
+            view = f"__asof_{name}_v{v}"
+            from pyspark.errors import AnalysisException
+
+            try:
+                df = readers[att["fmt"]](att["path"]).snapshot(self.spark, v)
+            except (ValueError, AnalysisException) as exc:
+                # cleaned checkpoint / expired snapshot / vacuumed data:
+                # the reader (or the scan resolution) refuses — surface
+                # it as the statement's error, naming the travel
+                raise AdtError(f"time travel on {name!r}: {exc}") from exc
+            df.createOrReplaceTempView(view)
+            return f"{view} AS {name}"
+
+        return _TIME_TRAVEL_RE.sub(repl, stmt)
+
     def _rewrite(self, stmt: str) -> str:
+        if _TIME_TRAVEL_RE.search(stmt):
+            stmt = self._rewrite_time_travel(stmt)
         if self._functions:
             stmt = expand_macros(stmt, self._functions)
         stmt = rewrite_distinct_on(stmt)

@@ -141,6 +141,102 @@ class TestAttachTable:
     REPL-level time travel; the file list resolves at ATTACH time and
     the data stays a lazy pruned parquet scan."""
 
+    def test_version_as_of_read_sugar(self, spark, tables, tmp_path):
+        """`SELECT … FROM t VERSION AS OF v` / `FOR TIMESTAMP AS OF`
+        time-travels a single READ on an attached table — no re-ATTACH
+        dance — and composes with joins and qualified references. A
+        version below retention and a timestamp before the first
+        commit refuse loudly."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        r = tables["region"]
+        t.append(r.limit(2))
+        t.append(r.limit(5))
+        t.append(r.limit(1))
+        # pin deterministic commit clocks for the timestamp resolution
+        base = 1_600_000_000  # epoch seconds
+        for v in range(3):
+            cf = _os.path.join(t.log_dir, f"v{v:08d}.json")
+            _os.utime(cf, (base + 100 * v, base + 100 * v))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM reg VERSION AS OF 0"
+        ).collect()[0]["n"] == 2
+        # the attachment itself stays at latest
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == 8
+        # qualified references keep resolving (view substitutes AS reg),
+        # and the pinned read joins with ordinary tables
+        eng.create_table("nation", tables["nation"])
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM reg VERSION AS OF 1 "
+            "JOIN nation ON reg.r_regionkey = nation.n_regionkey"
+        ).collect()[0]["n"]
+        assert got > 0
+        # timestamp between commit 1 and commit 2 resolves to version 1
+        from datetime import datetime, timezone
+
+        mid = datetime.fromtimestamp(base + 150, tz=timezone.utc)
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM reg FOR TIMESTAMP AS OF "
+            f"'{mid.isoformat()}'"
+        ).collect()[0]["n"] == 7
+        # before the first commit: loud refusal
+        early = datetime.fromtimestamp(base - 5, tz=timezone.utc)
+        with _pytest.raises(AdtError, match="no surviving"):
+            eng.sql(
+                "SELECT * FROM reg FOR TIMESTAMP AS OF "
+                f"'{early.isoformat()}'"
+            )
+        # a non-attached table has no commit log to travel
+        with _pytest.raises(AdtError, match="not an ATTACHed"):
+            eng.sql("SELECT * FROM nation VERSION AS OF 1")
+        # below vacuum retention the reader's own refusal surfaces
+        t.optimize(spark)
+        t.vacuum(retain_versions=1)
+        with _pytest.raises(AdtError, match="time travel"):
+            eng.sql("SELECT COUNT(*) AS n FROM reg VERSION AS OF 0").collect()
+
+    def test_version_as_of_on_delta_attachment(self, spark, tables, tmp_path):
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+
+        root = str(tmp_path / "d")
+        w = DeltaTableWriter(root)
+        w.append(tables["region"].limit(2))
+        w.append(tables["region"].limit(3))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{root}'")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM dl VERSION AS OF 0"
+        ).collect()[0]["n"] == 2
+        # delta timestamps come from commitInfo — travel to commit 0
+        import json as _json
+        import os as _os
+        from datetime import datetime, timezone
+
+        with open(_os.path.join(
+            root, "_delta_log", f"{0:020d}.json"
+        )) as f:
+            info = next(
+                a["commitInfo"] for a in map(_json.loads, f)
+                if "commitInfo" in a
+            )
+        at0 = datetime.fromtimestamp(
+            info["timestamp"] / 1000, tz=timezone.utc
+        )
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM dl FOR TIMESTAMP AS OF "
+            f"'{at0.isoformat()}'"
+        ).collect()[0]["n"] == 2
+
     def test_attach_txnlog_with_version_time_travel(
         self, spark, tables, tmp_path
     ):
