@@ -36,17 +36,22 @@ Iceberg semantics covered (spec: https://iceberg.apache.org/spec/):
   instead of replaying a shorter prefix;
 - time travel by ``snapshot_id`` over the metadata's snapshot list.
 
-v2 merge-on-read POSITION DELETES are applied at scan time: delete
-manifests (``content == 1``) fan out to parquet delete files of
-(file_path, pos) rows, and ``snapshot`` anti-joins the data scan
-against them on Spark's ``_metadata`` file-path/row-index columns —
-path-exact matching, safe without sequence numbers because data file
-paths are immutable and unique. Loud refusals (silently wrong >
-unsupported): EQUALITY deletes (``content == 2``, which do need
-sequence-number ordering), ``live_paths`` on a snapshot carrying
-position deletes (a raw path list would resurrect deleted rows — use
-``snapshot``), delete manifests committed inside a ``changes`` window
-(adds-only feed), unknown codecs and format versions.
+v2 merge-on-read deletes are applied at scan time. POSITION deletes:
+delete manifests fan out to parquet delete files of (file_path, pos)
+rows, and ``snapshot`` anti-joins the data scan against them on
+Spark's ``_metadata`` file-path/row-index columns — path-exact
+matching, safe without sequence numbers because data file paths are
+immutable and unique. EQUALITY deletes (``content == 2``): each delete
+file's rows remove matching rows (null-safe equality on the columns
+its ``equality_ids`` name) from data files with STRICTLY LOWER data
+sequence numbers — the spec's ordering rule, honored via the manifest
+sequence-number inheritance chain. Loud refusals (silently wrong >
+unsupported): delete files whose sequence numbers / equality_ids are
+unresolvable, equality_ids naming nested fields, ``live_paths`` on a
+snapshot carrying any deletes (a raw path list would resurrect
+deleted rows — use ``snapshot``), delete manifests committed inside a
+``changes`` window (adds-only feed), unknown codecs and format
+versions.
 
 Production swaps this class for pyiceberg behind the same surface
 (``live_paths`` / ``snapshot``); the final scan is already just a
@@ -323,11 +328,16 @@ class IcebergTable:
             )
         return p
 
-    def _manifests(self, snap: dict) -> list[tuple[str, int | None, int]]:
-        """(manifest path, added_snapshot_id, content) triples for a
-        snapshot — added_snapshot_id is what null-``snapshot_id``
+    def _manifests(
+        self, snap: dict
+    ) -> list[tuple[str, int | None, int, int | None]]:
+        """(manifest path, added_snapshot_id, content, sequence_number)
+        per manifest — added_snapshot_id is what null-``snapshot_id``
         manifest entries INHERIT per the spec; content distinguishes
-        DATA manifests (0) from DELETE manifests (1, v2 merge-on-read)."""
+        DATA manifests (0) from DELETE manifests (1, v2 merge-on-read);
+        the manifest's data sequence number is what null-``sequence_
+        number`` ADDED entries inherit, and is what orders equality
+        deletes against data files."""
         if "manifest-list" in snap:
             rows = AvroFileReader(
                 self._resolve(snap["manifest-list"])
@@ -335,12 +345,13 @@ class IcebergTable:
             return [
                 (self._resolve(r["manifest_path"]),
                  r.get("added_snapshot_id"),
-                 r.get("content", 0))
+                 r.get("content", 0),
+                 r.get("sequence_number"))
                 for r in rows
             ]
         if "manifests" in snap:  # v1 inline form: no added_snapshot_id,
             # and v1 has no delete manifests at all
-            return [(self._resolve(p), None, 0) for p in snap["manifests"]]
+            return [(self._resolve(p), None, 0, None) for p in snap["manifests"]]
         raise ValueError(
             f"{self.path}: snapshot {snap.get('snapshot-id')} has neither "
             "manifest-list nor manifests"
@@ -361,21 +372,46 @@ class IcebergTable:
                 f"{self.path}: {fmt} {kind} file — parquet scans only"
             )
 
+    @staticmethod
+    def _entry_seq(entry: dict, status: int, m_seq: int | None) -> int | None:
+        """The entry's DATA sequence number: explicit when present,
+        inherited from the manifest when null AND the entry is ADDED
+        (the spec's inheritance rule); otherwise unknown (None) — only
+        an error if equality deletes later need the ordering."""
+        seq = entry.get("sequence_number")
+        if seq is not None:
+            return int(seq)
+        if status == _ADDED and m_seq is not None:
+            return int(m_seq)
+        return None
+
     def _files(
         self, snapshot_id: int | None = None
-    ) -> tuple[list[tuple[str, str]], list[str]]:
-        """The snapshot's file sets: ([(resolved data path, file_path
-        exactly as recorded in metadata)], [resolved POSITION delete
-        paths]). The recorded URI rides along because position delete
-        rows reference data files by that exact string — matching on
-        it (not on local resolution) is what keeps the anti-join
-        correct for moved/copied tables. Equality deletes (content 2)
-        refuse: applying them needs sequence-number ordering semantics
-        a raw scan can't honor."""
+    ) -> tuple[
+        list[tuple[str, str, int | None]],
+        list[str],
+        list[tuple[str, int, tuple[int, ...]]],
+    ]:
+        """The snapshot's file sets:
+        ([(resolved data path, file_path exactly as recorded, data
+        sequence number)], [resolved POSITION delete paths],
+        [(resolved EQUALITY delete path, sequence number,
+        equality field ids)]).
+
+        The recorded URI rides along because position delete rows
+        reference data files by that exact string — matching on it
+        (not on local resolution) is what keeps the anti-join correct
+        for moved/copied tables. Equality deletes carry their sequence
+        number and equality_ids: the spec's rule is that an equality
+        delete applies to data files with STRICTLY LOWER data sequence
+        numbers — a delete file with no resolvable sequence number or
+        no equality_ids refuses (applying it unordered would delete
+        rows it must not reach)."""
         snap = self._snapshot(snapshot_id)
-        data: list[tuple[str, str]] = []
-        deletes: set[str] = set()
-        for mpath, _sid, m_content in self._manifests(snap):
+        data: list[tuple[str, str, int | None]] = []
+        pos_deletes: set[str] = set()
+        eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+        for mpath, _sid, m_content, m_seq in self._manifests(snap):
             for entry in AvroFileReader(mpath).records:
                 status = self._check_status(entry)
                 df = entry["data_file"]
@@ -391,37 +427,79 @@ class IcebergTable:
                         continue
                     self._check_parquet(df, "data")
                     data.append(
-                        (self._resolve(df["file_path"]), df["file_path"])
+                        (
+                            self._resolve(df["file_path"]),
+                            df["file_path"],
+                            self._entry_seq(entry, status, m_seq),
+                        )
                     )
                 else:  # delete manifest (v2 merge-on-read)
                     if status == _DELETED:
                         continue  # this delete file no longer applies
                     if content == 2:
-                        raise NotImplementedError(
-                            f"{self.path}: equality delete file "
-                            f"{df.get('file_path')} — applying equality "
-                            "deletes needs sequence-number ordering; use "
-                            "a full Iceberg client"
+                        self._check_parquet(df, "equality delete")
+                        seq = self._entry_seq(entry, status, m_seq)
+                        ids = df.get("equality_ids")
+                        if seq is None or not ids:
+                            raise NotImplementedError(
+                                f"{self.path}: equality delete file "
+                                f"{df.get('file_path')} lacks "
+                                f"{'a sequence number' if seq is None else 'equality_ids'}"
+                                " — applying it unordered/untargeted "
+                                "would delete rows it must not reach; "
+                                "use a full Iceberg client"
+                            )
+                        eq_deletes.append(
+                            (
+                                self._resolve(df["file_path"]),
+                                seq,
+                                tuple(int(i) for i in ids),
+                            )
                         )
+                        continue
                     if content != 1:
                         raise ValueError(
                             f"{self.path}: entry with data_file.content="
                             f"{content} inside a DELETE manifest — corrupt"
                         )
                     self._check_parquet(df, "position delete")
-                    deletes.add(self._resolve(df["file_path"]))
-        return sorted(set(data)), sorted(deletes)
+                    pos_deletes.add(self._resolve(df["file_path"]))
+        return sorted(set(data)), sorted(pos_deletes), sorted(set(eq_deletes))
+
+    def _field_names_by_id(self) -> dict[int, str]:
+        """Top-level column name per field id from the CURRENT schema
+        (equality_ids reference field ids, never names) — the v2
+        ``schemas`` list keyed by ``current-schema-id``, falling back
+        to the legacy single ``schema``. Nested field ids are absent
+        from this map and refuse downstream."""
+        schema = None
+        schemas = self.meta.get("schemas")
+        if schemas:
+            cur = self.meta.get("current-schema-id")
+            schema = next(
+                (s for s in schemas if s.get("schema-id") == cur),
+                schemas[-1],
+            )
+        else:
+            schema = self.meta.get("schema")
+        if not schema:
+            return {}
+        return {
+            int(f["id"]): f["name"]
+            for f in schema.get("fields", [])
+            if f.get("id") is not None and f.get("name")
+        }
 
     def live_paths(self, snapshot_id: int | None = None) -> list[str]:
-        data, deletes = self._files(snapshot_id)
-        if deletes:
+        data, pos_deletes, eq_deletes = self._files(snapshot_id)
+        if pos_deletes or eq_deletes:
             raise ValueError(
-                f"{self.path}: snapshot carries position delete files — "
-                "the live rows are not expressible as a raw file list "
-                "(scanning these paths would resurrect deleted rows); "
-                "use snapshot(), which applies the deletes"
+                f"{self.path}: snapshot carries delete files — the live "
+                "rows are not expressible as a raw file list (scanning "
+                "these paths would resurrect deleted rows); use "
+                "snapshot(), which applies the deletes"
             )
-        return sorted(p for p, _u in data)
+        return sorted(p for p, _u, _s in data)
 
     def changes(
         self,
@@ -478,7 +556,7 @@ class IcebergTable:
                     f"the change window — the feed is adds-only; rebuild "
                     "from snapshot()"
                 )
-            for mpath, m_sid, m_content in self._manifests(snap):
+            for mpath, m_sid, m_content, _m_seq in self._manifests(snap):
                 if m_content != 0:
                     # a delete manifest COMMITTED in the window is a row
                     # mutation — adds-only breach; one carried forward
@@ -571,22 +649,44 @@ class IcebergTable:
         file-count-sized URI mapping (local path → recorded URI, which
         the delete rows reference) is broadcast explicitly.
 
-        Equality deletes still refuse (they DO need sequence-number
-        ordering); a raw path list for a snapshot with position
-        deletes refuses too (``live_paths``) — scanning it would
-        resurrect deleted rows."""
-        data, deletes = self._files(snapshot_id)
+        v2 EQUALITY DELETES are applied too (round-11; previously a
+        refusal): each equality delete file carries rows of values for
+        the columns its ``equality_ids`` name, and per the spec deletes
+        every matching row in data files with STRICTLY LOWER data
+        sequence numbers (so a re-insert of the same key in a LATER
+        file survives). Lowering: data rows carry their file's sequence
+        number via the same broadcast file mapping, and each
+        (sequence, ids) delete stratum becomes one LEFT ANTI join with
+        null-safe equality on the named columns plus ``data_seq <
+        delete_seq`` — delete sets are usually tiny, so AQE broadcasts
+        them. Refusals narrowed to genuinely unorderable inputs: a
+        delete file with no sequence number / no equality_ids, a data
+        file with no resolvable sequence number under a live equality
+        delete, or equality_ids naming nested/unknown fields.
+
+        A raw path list for a snapshot with any deletes refuses
+        (``live_paths``) — scanning it would resurrect deleted rows."""
+        data, pos_deletes, eq_deletes = self._files(snapshot_id)
         if not data:
             raise ValueError(
                 f"iceberg table {self.path} has no data files at snapshot "
                 f"{snapshot_id if snapshot_id is not None else 'current'}"
             )
-        paths = [p for p, _u in data]
-        if not deletes:
+        paths = [p for p, _u, _s in data]
+        if not pos_deletes and not eq_deletes:
             return spark.read.parquet(*paths)
         from pyspark.sql import functions as F
 
-        for dp in deletes:  # loud schema check beats an analysis error
+        if eq_deletes:
+            unseq = [p for p, _u, s in data if s is None]
+            if unseq:
+                raise NotImplementedError(
+                    f"{self.path}: equality deletes are live but data "
+                    f"file(s) {unseq[:3]} have no resolvable sequence "
+                    "number — ordering them is impossible; use a full "
+                    "Iceberg client"
+                )
+        for dp in pos_deletes:  # loud schema check beats an analysis error
             import pyarrow.parquet as pq
 
             names = pq.ParquetFile(dp).schema_arrow.names
@@ -617,15 +717,42 @@ class IcebergTable:
             F.url_decode(F.regexp_replace(stripped, r"\+", "%2B")),
         )
         mapping = spark.createDataFrame(
-            list(data), "__lp string, __uri string"
+            [(p, u, s) for p, u, s in data],
+            "__lp string, __uri string, __seq long",
         )
-        dels = spark.read.parquet(*deletes).select(
-            F.col("file_path").alias("__uri"),
-            F.col("pos").cast("long").alias("__pos"),
-        )
-        cols = [c for c in df.columns if c not in ("__fp", "__pos", "__lp")]
-        return (
-            df.join(F.broadcast(mapping), "__lp", "inner")
-            .join(dels, ["__uri", "__pos"], "left_anti")
-            .select(*cols)
-        )
+        cols = [
+            c for c in df.columns if c not in ("__fp", "__pos", "__lp")
+        ]
+        df = df.join(F.broadcast(mapping), "__lp", "inner")
+        if pos_deletes:
+            dels = spark.read.parquet(*pos_deletes).select(
+                F.col("file_path").alias("__uri"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            df = df.join(dels, ["__uri", "__pos"], "left_anti")
+        if eq_deletes:
+            by_id = self._field_names_by_id()
+            groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+            for p, seq, ids in eq_deletes:
+                groups.setdefault((seq, ids), []).append(p)
+            for (seq, ids), dpaths in sorted(groups.items()):
+                missing = [i for i in ids if i not in by_id]
+                if missing:
+                    raise NotImplementedError(
+                        f"{self.path}: equality_ids {missing} name "
+                        "nested or unknown fields (not in the current "
+                        "schema's top level) — use a full Iceberg client"
+                    )
+                names = [by_id[i] for i in ids]
+                eq = spark.read.parquet(*dpaths).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in names]
+                ).dropDuplicates()
+                conds = [
+                    df[c].eqNullSafe(eq[f"__eq_{c}"]) for c in names
+                ]
+                conds.append(F.col("__seq") < F.lit(seq))
+                pred = conds[0]
+                for c in conds[1:]:
+                    pred = pred & c
+                df = df.join(F.broadcast(eq), pred, "left_anti")
+        return df.select(*cols)

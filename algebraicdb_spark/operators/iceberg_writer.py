@@ -1,0 +1,521 @@
+"""Append-only Apache Iceberg v2 WRITER — the interop triplet's last
+leg (txnlog: write+read, Delta: write+read, Iceberg: read-only until
+now). ``IcebergTableWriter`` emits real table metadata per the public
+spec (https://iceberg.apache.org/spec/):
+
+- parquet data files under ``<table>/data/``;
+- one manifest Avro per commit (entry status ADDED, explicit data
+  sequence numbers — no inheritance ambiguity in our own output);
+- one manifest LIST Avro per snapshot, carrying the prior snapshot's
+  manifests forward verbatim (each Iceberg snapshot's manifest tree is
+  a COMPLETE description of the snapshot — this is the structural
+  difference from Delta's log fold, and why time travel reads a
+  different manifest list instead of a shorter prefix);
+- a new ``v<N>.metadata.json`` with the v2 required fields (schemas
+  with field ids, partition-specs, sort-orders, last-sequence-number,
+  snapshot chain with parent ids, snapshot-log/metadata-log) published
+  CREATE-EXCLUSIVELY — two racers targeting the same metadata version
+  get exactly one winner (the same optimistic primitive as
+  ``TxnLogTable._publish``; real catalogs arbitrate this swap, the
+  same deployment seam);
+- ``version-hint.text`` swung atomically for hint-based readers.
+
+``AvroFileWriter`` is the write twin of ``AvroFileReader`` — a
+schema-driven encoder over the same Avro 1.11 object-container spec
+(header magic, file-metadata map with embedded writer schema, sync
+markers, zigzag varints). The encoder was promoted from the test
+suite's hand-rolled fixture encoder, and proof of interop stays
+structural: round-trip tests read this writer's output back through
+``IcebergTable`` — the reader built and validated against hand-written
+fixtures, never against this writer — so agreement is evidence both
+speak the spec, not that they share bugs.
+
+Scope: APPEND commits on unpartitioned tables with flat schemas
+(top-level primitive columns — nested/partitioned writes refuse
+loudly; reads of such tables remain ``IcebergTable``'s job). No
+deletes, no schema evolution, no compaction: those are the owning
+system's writes in an interop story. Scale shape: like every Iceberg
+client — data files land via one distributed Spark write, metadata is
+O(files in the commit) KB-sized driver-side Avro/JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from algebraicdb_spark.operators.iceberg import AvroFileReader, IcebergTable
+from algebraicdb_spark.operators.txnlog import ConcurrentWriteError
+
+_MAGIC = b"Obj\x01"
+_SYNC = b"algebraicdbspark"  # any 16 bytes; stable aids diffing
+
+
+def _zig(n: int) -> bytes:
+    """Zigzag + varint — Avro's int/long wire form (encode twin of
+    ``_Bin.long``)."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(value: Any, schema: Any, names: dict[str, Any]) -> bytes:
+    """Encode one value of ``schema`` — the mirror of iceberg._decode,
+    same schema walk, same union/array/map block framing."""
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return _encode(value, names[t], names)
+        if t == "null":
+            return b""
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+        if t in ("int", "long"):
+            return _zig(int(value))
+        if t == "float":
+            return struct.pack("<f", float(value))
+        if t == "double":
+            return struct.pack("<d", float(value))
+        if t == "bytes":
+            return _zig(len(value)) + bytes(value)
+        if t == "string":
+            b = str(value).encode("utf-8")
+            return _zig(len(b)) + b
+        raise ValueError(f"unknown avro type {t!r}")
+    if isinstance(schema, list):  # union: pick the branch by value
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                return _zig(i)
+            if value is not None and bt != "null":
+                return _zig(i) + _encode(value, branch, names)
+        raise ValueError(f"no union branch for {value!r} in {schema}")
+    t = schema["type"]
+    if t == "record":
+        if "name" in schema:
+            names[schema["name"]] = schema
+        return b"".join(
+            _encode((value or {}).get(f["name"]), f["type"], names)
+            for f in schema["fields"]
+        )
+    if t == "array":
+        items = list(value or [])
+        if not items:
+            return _zig(0)
+        return (
+            _zig(len(items))
+            + b"".join(_encode(v, schema["items"], names) for v in items)
+            + _zig(0)
+        )
+    if t == "map":
+        kv = dict(value or {})
+        if not kv:
+            return _zig(0)
+        out = _zig(len(kv))
+        for k, v in kv.items():
+            kb = str(k).encode("utf-8")
+            out += _zig(len(kb)) + kb + _encode(v, schema["values"], names)
+        return out + _zig(0)
+    return _encode(value, t, names)  # annotated primitive / logical type
+
+
+class AvroFileWriter:
+    """Write records as a one-block Avro object container (null codec)
+    under an explicit writer schema."""
+
+    @staticmethod
+    def write(path: str, schema: dict, records: list[dict]) -> None:
+        payload = b"".join(_encode(r, schema, {}) for r in records)
+        meta = (
+            _zig(2)
+            + _zig(len(b"avro.schema")) + b"avro.schema"
+            + (lambda b: _zig(len(b)) + b)(json.dumps(schema).encode())
+            + _zig(len(b"avro.codec")) + b"avro.codec"
+            + _zig(4) + b"null"
+            + _zig(0)
+        )
+        doc = (
+            _MAGIC + meta + _SYNC
+            + _zig(len(records)) + _zig(len(payload)) + payload + _SYNC
+        )
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(doc)
+        os.replace(tmp, path)
+
+
+# Spark simpleString → Iceberg primitive type names (the spec's
+# flat-schema set this append-only writer supports; anything else
+# refuses loudly). Sub-int widths widen to iceberg int — the narrowest
+# type the spec has.
+_TYPE_MAP = {
+    "boolean": "boolean",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_fields(df: DataFrame) -> list[dict]:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            t = s.replace("decimal", "decimal").replace(",", ", ")
+        elif s in _TYPE_MAP:
+            t = _TYPE_MAP[s]
+        else:
+            raise NotImplementedError(
+                f"iceberg append: column {f.name!r} has type {s} — this "
+                "append-only writer supports flat primitive schemas; "
+                "write nested/complex tables with a full Iceberg client"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": t}
+        )
+    return fields
+
+
+# v2 manifest-entry schema: the spec's required fields for an APPEND
+# (data_file.partition is the unpartitioned spec's empty struct)
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition",
+                     "type": {"type": "record", "name": "r102",
+                              "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+class IcebergTableWriter:
+    """Append parquet batches as real Iceberg v2 snapshots other
+    engines consume; reads of our own output go back through
+    ``IcebergTable`` (one reader for external and self-written tables
+    — the round-trip the format exists for)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- current state -----------------------------------------------------
+
+    def _metadata_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:].split(".", 1)[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+            and f[1:].split(".", 1)[0].isdigit()
+        )
+
+    def _current(self) -> tuple[int, dict | None]:
+        vs = self._metadata_versions()
+        if not vs:
+            return 0, None
+        with open(
+            os.path.join(self.meta_dir, f"v{vs[-1]}.metadata.json")
+        ) as f:
+            return vs[-1], json.load(f)
+
+    def reader(self) -> IcebergTable:
+        return IcebergTable(self.path)
+
+    def snapshot(self, spark: SparkSession, snapshot_id: int | None = None):
+        return self.reader().snapshot(spark, snapshot_id)
+
+    # -- the append commit ---------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[tuple[str, int, int]]:
+        """Write the batch's parquet under data/ (one immutable file
+        per output partition) — (path, rows, bytes) per file, counts
+        from the parquet FOOTERS (O(KB), nothing re-scanned)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(self.data_dir, "_stage_" + uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(tmp)
+        staged = []
+        for fn in sorted(os.listdir(tmp)):
+            if not fn.endswith(".parquet"):
+                continue
+            dest = os.path.join(
+                self.data_dir, f"{uuid.uuid4().hex}.parquet"
+            )
+            os.replace(os.path.join(tmp, fn), dest)
+            staged.append((
+                dest,
+                pq.ParquetFile(dest).metadata.num_rows,
+                os.path.getsize(dest),
+            ))
+        shutil.rmtree(tmp)
+        return staged
+
+    def _unstage(self, staged: list[tuple[str, int, int]]) -> None:
+        for p, _r, _b in staged:
+            if os.path.exists(p):
+                os.unlink(p)
+
+    @staticmethod
+    def _gate_schema(cur_meta: dict, fields: list[dict]) -> None:
+        """Appends must match the table schema exactly — this writer
+        has no evolution story (loud > silently diverging field ids)."""
+        schemas = cur_meta.get("schemas") or (
+            [cur_meta["schema"]] if cur_meta.get("schema") else []
+        )
+        sid = cur_meta.get("current-schema-id", 0)
+        cur = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[-1] if schemas else None,
+        )
+        have = [
+            (f["name"], str(f["type"])) for f in (cur or {}).get("fields", [])
+        ]
+        want = [(f["name"], str(f["type"])) for f in fields]
+        if have != want:
+            raise ValueError(
+                f"iceberg append: batch schema {want} differs from the "
+                f"table's {have} — this append-only writer does not "
+                "evolve schemas; evolve with a full Iceberg client"
+            )
+
+    def append(self, df: DataFrame, max_retries: int = 8) -> int:
+        """One APPEND snapshot: stage data files, write manifest +
+        manifest list (prior manifests carried forward verbatim),
+        publish the next metadata.json create-exclusively, swing the
+        version hint. Returns the new snapshot id."""
+        fields = _iceberg_fields(df)
+        base_v, cur = self._current()
+        if cur is not None:
+            self._gate_schema(cur, fields)
+        staged = self._stage(df)
+        try:
+            for _ in range(max_retries):
+                base_v, cur = self._current()
+                if cur is not None:
+                    self._gate_schema(cur, fields)
+                try:
+                    return self._publish(base_v, cur, fields, staged)
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                f"iceberg append lost {max_retries} metadata publish "
+                "races — table is under pathological write contention"
+            )
+        except (ValueError, NotImplementedError, ConcurrentWriteError):
+            self._unstage(staged)
+            raise
+
+    def _publish(
+        self,
+        base_v: int,
+        cur: dict | None,
+        fields: list[dict],
+        staged: list[tuple[str, int, int]],
+    ) -> int:
+        now_ms = int(time.time() * 1000)
+        seq = int((cur or {}).get("last-sequence-number", 0)) + 1
+        snaps = list((cur or {}).get("snapshots") or [])
+        snap_id = max(
+            (s["snapshot-id"] for s in snaps), default=1000
+        ) + 1
+        parent = (cur or {}).get("current-snapshot-id")
+        # the new manifest: ADDED entries with EXPLICIT sequence numbers
+        mpath = os.path.join(
+            self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
+        )
+        AvroFileWriter.write(
+            mpath,
+            _MANIFEST_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for p, rows, size in staged
+            ],
+        )
+        n_rows = sum(r for _p, r, _b in staged)
+        new_entry = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(staged),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        carried: list[dict] = []
+        if parent is not None:
+            prev = next(
+                s for s in snaps if s["snapshot-id"] == parent
+            )
+            for r in AvroFileReader(prev["manifest-list"]).records:
+                carried.append({
+                    "manifest_path": r["manifest_path"],
+                    "manifest_length": r.get("manifest_length", 0),
+                    "partition_spec_id": r.get("partition_spec_id", 0),
+                    "content": r.get("content", 0),
+                    "sequence_number": r.get("sequence_number", 0),
+                    "min_sequence_number": r.get("min_sequence_number", 0),
+                    "added_snapshot_id": r.get("added_snapshot_id", 0),
+                    "added_files_count": r.get(
+                        "added_files_count",
+                        r.get("added_data_files_count", 0) or 0),
+                    "existing_files_count": r.get(
+                        "existing_files_count",
+                        r.get("existing_data_files_count", 0) or 0),
+                    "deleted_files_count": r.get(
+                        "deleted_files_count",
+                        r.get("deleted_data_files_count", 0) or 0),
+                    "added_rows_count": r.get("added_rows_count", 0) or 0,
+                    "existing_rows_count": r.get(
+                        "existing_rows_count", 0) or 0,
+                    "deleted_rows_count": r.get(
+                        "deleted_rows_count", 0) or 0,
+                })
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+        )
+        AvroFileWriter.write(
+            ml_path, _MANIFEST_LIST_SCHEMA, carried + [new_entry]
+        )
+        new_snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": ml_path,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(staged)),
+                        "added-records": str(n_rows)},
+            "schema-id": 0,
+        }
+        if parent is not None:
+            new_snap["parent-snapshot-id"] = parent
+        md = {
+            "format-version": 2,
+            "table-uuid": (cur or {}).get("table-uuid")
+            or str(uuid.uuid4()),
+            "location": self.path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(f["id"] for f in fields),
+            "schemas": (cur or {}).get("schemas")
+            or [{"schema-id": 0, "type": "struct", "fields": fields}],
+            "current-schema-id": (cur or {}).get("current-schema-id", 0),
+            "partition-specs": (cur or {}).get("partition-specs")
+            or [{"spec-id": 0, "fields": []}],
+            "default-spec-id": (cur or {}).get("default-spec-id", 0),
+            "last-partition-id": (cur or {}).get("last-partition-id", 999),
+            "sort-orders": (cur or {}).get("sort-orders")
+            or [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": (cur or {}).get(
+                "default-sort-order-id", 0),
+            "properties": (cur or {}).get("properties") or {},
+            "current-snapshot-id": snap_id,
+            "snapshots": snaps + [new_snap],
+            "snapshot-log": list((cur or {}).get("snapshot-log") or [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+            "metadata-log": list((cur or {}).get("metadata-log") or []),
+        }
+        target = os.path.join(
+            self.meta_dir, f"v{base_v + 1}.metadata.json"
+        )
+        try:
+            with open(target, "x") as f:
+                json.dump(md, f)
+        except FileExistsError as exc:
+            # a racer published this metadata version first — the
+            # manifest/list files above are uniquely named and now
+            # unreferenced; remove them before the retry re-emits
+            os.unlink(mpath)
+            os.unlink(ml_path)
+            raise ConcurrentWriteError(
+                f"iceberg metadata v{base_v + 1} already committed by "
+                "another writer — rebase and retry"
+            ) from exc
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(base_v + 1))
+        os.replace(tmp, hint)  # atomic pointer swing
+        return snap_id

@@ -567,7 +567,7 @@ class TestIcebergPositionDeletes:
         # every surviving A-row and all of B intact
         assert snap.where(F.col("o_orderkey") % 3 == 1).count() == ctx["nb"]
         # a raw path list would resurrect the deleted rows — refuse
-        with pytest.raises(ValueError, match="position delete"):
+        with pytest.raises(ValueError, match="delete files"):
             t.live_paths()
 
     def test_equality_delete_refuses(self, spark, sf_dir, tmp_path):
@@ -626,6 +626,224 @@ class TestIcebergPositionDeletes:
             json.dump(md, f)
         with pytest.raises(ValueError, match="adds-only"):
             IcebergTable(root).changes(spark, s1, s2)
+
+
+# ---- v2 sequence-numbered schemas (the equality-delete fixtures) ----
+
+MANIFEST_LIST_SCHEMA_SEQ = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+MANIFEST_SCHEMA_SEQ = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def manifest_list_rec_seq(
+    path: str, snap_id: int, seq: int, content: int = 0
+) -> bytes:
+    return (
+        av_str(path) + zz(os.path.getsize(path)) + zz(0) + zz(content)
+        + zz(seq) + zz(snap_id)
+    )
+
+
+def manifest_rec_seq(
+    status: int,
+    snap_id: int,
+    seq: int | None,
+    file_path: str,
+    n_rows: int,
+    content: int = 0,
+    equality_ids: list[int] | None = None,
+) -> bytes:
+    buf = zz(status) + zz(1) + zz(snap_id)
+    buf += zz(0) if seq is None else zz(1) + zz(seq)  # union null|long
+    buf += (
+        zz(content)
+        + av_str(file_path)
+        + av_str("PARQUET")
+        + zz(n_rows)
+        + zz(os.path.getsize(file_path))
+    )
+    if equality_ids is None:
+        buf += zz(0)  # union branch: null
+    else:
+        buf += zz(1) + zz(len(equality_ids))  # array: one block
+        buf += b"".join(zz(i) for i in equality_ids) + zz(0)
+    return buf
+
+
+class TestIcebergEqualityDeletes:
+    """v2 equality deletes applied with the spec's sequence-number
+    rule: a delete file at sequence s removes matching rows ONLY from
+    data files with data sequence < s — a later re-insert of the same
+    key survives. Fixtures are hand-encoded Avro (two-path
+    methodology); the refusals narrow to genuinely unorderable inputs."""
+
+    def _build(self, spark, root: str) -> dict:
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        f1 = os.path.join(data, "f1.parquet")
+        f2 = os.path.join(data, "f2.parquet")
+        write_parquet_file(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+            ).coalesce(1).sortWithinPartitions("k"),
+            f1,
+        )
+        write_parquet_file(
+            spark,
+            spark.createDataFrame([(2, "B"), (6, "f")], "k long, v string"),
+            f2,
+        )
+        # position delete: row 0 of f1 (k=1, by the sorted write)
+        fpos = os.path.join(data, "pos.parquet")
+        write_parquet_file(
+            spark,
+            spark.createDataFrame([(f1, 0)], "file_path string, pos long"),
+            fpos,
+        )
+        # equality deletes on field id 1 (column k): E1 at seq 2
+        # removes k∈{2,5} from seq<2; E2 at seq 10 removes k=3
+        e1 = os.path.join(data, "eq1.parquet")
+        write_parquet_file(
+            spark, spark.createDataFrame([(2,), (5,)], "k long"), e1)
+        e2 = os.path.join(data, "eq2.parquet")
+        write_parquet_file(spark, spark.createDataFrame([(3,)], "k long"), e2)
+        s = 7001
+        m_data = os.path.join(meta, "mdata.avro")
+        with open(m_data, "wb") as f:
+            # f1 rides with an EXPLICIT seq 1; f2 is ADDED with a null
+            # seq INHERITING the manifest's 3 (the spec's rule)
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ,
+                [manifest_rec_seq(0, s, 1, f1, 4),
+                 manifest_rec_seq(1, s, None, f2, 2)],
+            ))
+        m_del = os.path.join(meta, "mdel.avro")
+        with open(m_del, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ,
+                [manifest_rec_seq(1, s, 2, fpos, 1, content=1),
+                 manifest_rec_seq(1, s, 2, e1, 2, content=2,
+                                  equality_ids=[1]),
+                 manifest_rec_seq(1, s, 10, e2, 1, content=2,
+                                  equality_ids=[1])],
+            ))
+        ml = os.path.join(meta, f"snap-{s}.avro")
+        with open(ml, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA_SEQ,
+                [manifest_list_rec_seq(m_data, s, 3),
+                 manifest_list_rec_seq(m_del, s, 10, content=1)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000007",
+            "location": root,
+            "current-schema-id": 0,
+            "schemas": [{
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "v", "required": False,
+                     "type": "string"},
+                ],
+            }],
+            "current-snapshot-id": s,
+            "snapshots": [
+                {"snapshot-id": s, "timestamp-ms": 1, "manifest-list": ml},
+            ],
+        }
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md, f)
+        return {"s": s, "meta": meta, "f1": f1, "f2": f2,
+                "m_data": m_data, "m_del": m_del, "ml": ml,
+                "e1": e1, "fpos": fpos}
+
+    def test_mixed_position_and_equality_deletes_resolve(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "ice eq")  # space exercises URI decoding
+        os.makedirs(root)
+        self._build(spark, root)
+        t = IcebergTable(root)
+        got = {(r["k"], r["v"]) for r in t.snapshot(spark).collect()}
+        # f1 (seq 1): k=1 gone (position), k=2 gone (E1 seq 2 > 1),
+        # k=3 gone (E2 seq 10 > 1), k=4 stays; E1's k=5 matches nothing.
+        # f2 (seq 3): k=2 SURVIVES E1 (3 ≥ 2 — strictly-lower rule) and
+        # is absent from E2; k=6 untouched.
+        assert got == {(4, "d"), (2, "B"), (6, "f")}
+        # raw path list refuses — it would resurrect deleted rows
+        with pytest.raises(ValueError, match="delete files"):
+            t.live_paths()
+
+    def test_unknown_equality_field_refuses(self, spark, tmp_path):
+        root = str(tmp_path / "ice_eq_bad")
+        os.makedirs(root)
+        ctx = self._build(spark, root)
+        with open(ctx["m_del"], "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ,
+                [manifest_rec_seq(1, ctx["s"], 2, ctx["e1"], 2, content=2,
+                                  equality_ids=[99])],
+            ))
+        with pytest.raises(NotImplementedError, match="nested or unknown"):
+            IcebergTable(root).snapshot(spark)
+
+    def test_unsequenced_data_under_equality_delete_refuses(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "ice_eq_noseq")
+        os.makedirs(root)
+        ctx = self._build(spark, root)
+        with open(ctx["m_data"], "wb") as f:
+            # an EXISTING entry with a null seq cannot inherit — with a
+            # live equality delete the ordering is undecidable
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ,
+                [manifest_rec_seq(0, ctx["s"], None, ctx["f1"], 4),
+                 manifest_rec_seq(1, ctx["s"], 3, ctx["f2"], 2)],
+            ))
+        with pytest.raises(NotImplementedError, match="no resolvable"):
+            IcebergTable(root).snapshot(spark)
 
 
 def manifest_rec_nullsid(status: int, file_path: str, n_rows: int) -> bytes:
@@ -709,3 +927,147 @@ class TestIcebergNullSidInheritance:
         got = t.changes(spark, s1, s2)
         assert got.count() == ng
         assert got.where(F.col("o_orderkey") % 2 == 0).count() == 0
+
+
+class TestIcebergWriter:
+    """Append-only Iceberg v2 writer round-trips: every read goes back
+    through IcebergTable — the reader validated against hand-written
+    fixtures, never against this writer — so agreement is evidence
+    both speak the spec. The dialect surface (ATTACH / DESCRIBE
+    HISTORY / COPY FROM) completes the interop triplet."""
+
+    def test_append_round_trips_with_time_travel(
+        self, spark, sf_dir, tmp_path
+    ):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["region"]
+        root = str(tmp_path / "it")
+        w = IcebergTableWriter(root)
+        s1 = w.append(o.limit(2))
+        s2 = w.append(o.limit(3))
+        t = IcebergTable(root)
+        assert t.current_snapshot_id() == s2
+        assert t.snapshot(spark).count() == 5
+        # time travel by snapshot id — the carried-forward manifest
+        # list means s1 is fully reconstructable
+        assert t.snapshot(spark, snapshot_id=s1).count() == 2
+        # the snapshot chain carries parentage + sequence numbers
+        snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+        assert snaps[s2]["parent-snapshot-id"] == s1
+        assert snaps[s2]["sequence-number"] == 2
+        # schema round-trips (reader pins nothing — parquet footers
+        # agree because the writer never mixes schemas)
+        assert t.snapshot(spark).schema == o.limit(1).schema
+        # incremental scan over our own output
+        inc = t.changes(spark, s1, s2)
+        assert inc.count() == 3
+
+    def test_schema_gate_and_nested_refusal(self, spark, sf_dir, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        root = str(tmp_path / "it")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+        with pytest.raises(ValueError, match="differs from the table's"):
+            w.append(spark.createDataFrame([(2,)], "id long"))
+        # a refused batch leaves no orphan data files: everything on
+        # disk is manifest-referenced
+        t = IcebergTable(root)
+        on_disk = {
+            os.path.join(root, "data", f)
+            for f in os.listdir(os.path.join(root, "data"))
+        }
+        assert on_disk == set(t.live_paths())
+        with pytest.raises(NotImplementedError, match="flat primitive"):
+            IcebergTableWriter(str(tmp_path / "it2")).append(
+                spark.createDataFrame(
+                    [(1, [1, 2])], "id long, xs array<long>")
+            )
+
+    def test_publish_race_one_winner_and_no_leaks(
+        self, spark, sf_dir, tmp_path
+    ):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import ConcurrentWriteError
+
+        root = str(tmp_path / "it")
+        a, b = IcebergTableWriter(root), IcebergTableWriter(root)
+        a.append(spark.createDataFrame([(1,)], "id long"))
+        # freeze b's view of the metadata head (simulates a racer
+        # landing between b's read and publish) — every publish
+        # collides, retries exhaust, staging must not leak
+        stale = b._current()
+        b._current = lambda: stale
+        a.append(spark.createDataFrame([(2,)], "id long"))
+        with pytest.raises(ConcurrentWriteError, match="rebase|contention"):
+            b.append(spark.createDataFrame([(3,)], "id long"))
+        t = IcebergTable(root)
+        assert t.snapshot(spark).count() == 2
+        on_disk = {
+            os.path.join(root, "data", f)
+            for f in os.listdir(os.path.join(root, "data"))
+        }
+        assert on_disk == set(t.live_paths()), "loser's staging leaked"
+        # the loser's manifest/list avros were reclaimed too: every
+        # .avro under metadata/ is referenced by some snapshot
+        referenced = set()
+        for s in t.snapshots():
+            referenced.add(s["manifest-list"])
+            for mp, _sid, _c, _seq in t._manifests(s):
+                referenced.add(mp)
+        avros = {
+            os.path.join(root, "metadata", f)
+            for f in os.listdir(os.path.join(root, "metadata"))
+            if f.endswith(".avro")
+        }
+        assert avros == referenced
+
+    def test_attach_describe_history_and_copy(self, spark, sf_dir, tmp_path):
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["region"]
+        root = str(tmp_path / "it")
+        w = IcebergTableWriter(root)
+        s1 = w.append(o.limit(2))
+        s2 = w.append(o.limit(3))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE ice FROM iceberg LOCATION '{root}'")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ice").collect()[0]["n"] == 5
+        hist = eng.sql("DESCRIBE HISTORY ice").collect()
+        assert [(h["snapshot_id"], h["parent_snapshot_id"], h["operation"])
+                for h in hist] == [
+            (s1, None, "append"), (s2, s1, "append"),
+        ]
+        # VERSION pin = snapshot id, straight from ATTACH
+        eng.sql(
+            f"ATTACH TABLE ice1 FROM iceberg LOCATION '{root}' VERSION {s1}"
+        )
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ice1").collect()[0]["n"] == 2
+        # COPY FROM lands as a REAL iceberg append (round 11 — the
+        # triplet's last read-only leg becomes writable for appends)
+        batch_dir = str(tmp_path / "batch")
+        o.limit(4).write.parquet(batch_dir)
+        eng.sql(f"COPY ice FROM '{batch_dir}' (FORMAT parquet)")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ice").collect()[0]["n"] == 9
+        assert len(IcebergTable(root).snapshots()) == 3
+        # row mutation stays read-only interop
+        with pytest.raises(AdtError, match="read-only"):
+            eng.sql("DELETE FROM ice WHERE r_regionkey = 0")
