@@ -1095,8 +1095,13 @@ class TxnLogTable:
         matrix — a concurrent APPEND commutes (it added directories
         this rewrite never read; retry one slot up), a concurrent
         removal of one of our inputs aborts (publishing would
-        resurrect rows the racer replaced, or double-delete)."""
-        actions = [
+        resurrect rows the racer replaced, or double-delete).
+
+        The commit records its OPERATION in an ``info`` action — every
+        fold ignores unknown action kinds, but the row-level change
+        feed (``changes_cdf``) uses it to label an update's diff rows
+        update_preimage/update_postimage instead of delete/insert."""
+        actions = [{"action": "info", "op": op}] + [
             {"action": "remove", "path": p} for p in removed
         ] + [self._add_action(p, stats_cols, pv) for p, pv in staged]
         for _ in range(max_retries):
@@ -1501,6 +1506,124 @@ class TxnLogTable:
             )
         return self._scan_adds(spark, adds, hi)
 
+    def changes_cdf(
+        self, spark: SparkSession, since: int, to: int | None = None
+    ) -> DataFrame | None:
+        """ROW-LEVEL change feed for versions (``since``, ``to``] —
+        Delta CDF's shape: the table columns plus ``_change_type``
+        (insert / delete / update_preimage / update_postimage) and
+        ``_commit_version``. Where ``changes`` (the adds-only fast
+        path) refuses any window containing a data-changing remove,
+        this feed RESOLVES it by diffing the removed files' content
+        against their rewrites — both immutable on disk until VACUUM:
+
+        - an adds-only commit emits its rows as ``insert`` (no diff,
+          no extra I/O — the fast path's plan);
+        - a copy-on-write commit emits removed∖added as deletes and
+          added∖removed as inserts (multiset EXCEPT ALL — carried-
+          through rows cancel, so the feed is O(CHANGED rows), not
+          O(rewritten rows)); commits recorded as UPDATEs label the
+          two sides update_preimage/update_postimage instead.
+
+        Scale shape: the diff reads exactly the files the COW commit
+        rewrote — cost bounded by I/O the commit already paid once —
+        and one hash-aggregate shuffle per mutating commit for the
+        EXCEPT ALL. Past VACUUM retention the removed bytes are gone
+        and the feed refuses loudly (Delta CDF's own contract);
+        rebuild the consumer from the snapshot instead. Returns None
+        when the window changes nothing."""
+        latest = self.latest_version()
+        hi = latest if to is None else to
+        if hi > latest:
+            raise ValueError(
+                f"change window ({since}, {hi}] extends past the log head "
+                f"{latest} — recording it as a watermark would silently "
+                "skip the commits that land there later"
+            )
+        # partition values of REMOVED dirs live on their original add
+        # actions — one driver-side walk of the retained prefix
+        pv_by_path: dict[str, dict | None] = {}
+        window: list[tuple[int, str | None, list, list]] = []
+        for commit in self._commits(as_of=hi):
+            adds, removes = [], []
+            op = next(
+                (a.get("op") for a in commit["actions"]
+                 if a["action"] == "info"),
+                None,
+            )
+            for a in commit["actions"]:
+                if a["action"] == "add":
+                    pv_by_path[a["path"]] = a.get("partition_values")
+                    if a.get("data_change", True):
+                        adds.append(a["path"])
+                elif a["action"] == "remove" and a.get("data_change", True):
+                    removes.append(a["path"])
+            if commit["version"] > since and (adds or removes):
+                window.append((commit["version"], op, adds, removes))
+        if not window:
+            return None
+        gone = sorted({
+            p
+            for _v, _op, adds, removes in window
+            for p in adds + removes
+            if not os.path.isdir(p)
+        })
+        if gone:
+            raise ValueError(
+                f"change window ({since}, {hi}] references data VACUUM "
+                f"already reclaimed ({gone[:3]}…) — row-level changes "
+                "need the removed bytes; consume within the retention "
+                "window, or rebuild the consumer from the snapshot"
+            )
+        F_ = F
+        frames: list[DataFrame] = []
+        for v, op, adds, removes in window:
+            add_pairs = [(p, pv_by_path.get(p)) for p in adds]
+            if not removes:
+                frames.append(
+                    self._scan_adds(spark, add_pairs, hi)
+                    .withColumn("_change_type", F_.lit("insert"))
+                    .withColumn("_commit_version", F_.lit(v).cast("long"))
+                )
+                continue
+            rem_pairs = [(p, pv_by_path.get(p)) for p in removes]
+            r_df = self._scan_adds(spark, rem_pairs, hi)
+            a_df = (
+                self._scan_adds(spark, add_pairs, hi)
+                if add_pairs
+                else r_df.limit(0)
+            )
+            pre, post = (
+                ("update_preimage", "update_postimage")
+                if op == "update"
+                else ("delete", "insert")
+            )
+            frames.append(
+                r_df.exceptAll(a_df)
+                .withColumn("_change_type", F_.lit(pre))
+                .withColumn("_commit_version", F_.lit(v).cast("long"))
+            )
+            frames.append(
+                a_df.exceptAll(r_df)
+                .withColumn("_change_type", F_.lit(post))
+                .withColumn("_commit_version", F_.lit(v).cast("long"))
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _window_has_dc_removes(self, since: int, to: int) -> bool:
+        """Driver-side probe: does (``since``, ``to``] contain a
+        data-changing remove? O(window commits) of KB metadata — lets
+        consumers pick the adds-only fast path vs the row-level feed
+        without running a Spark job."""
+        for commit in self._commits(as_of=to, lo=since + 1):
+            for a in commit["actions"]:
+                if a["action"] == "remove" and a.get("data_change", True):
+                    return True
+        return False
+
     def optimize(
         self,
         spark: SparkSession,
@@ -1774,9 +1897,17 @@ class IncrementalAggView:
     - an all-metadata window advances the watermark with a
       marker-only commit (no state rewrite at all).
 
-    A data-changing base OVERWRITE breaks the adds-only feed:
-    ``refresh`` raises and ``rebuild`` recomputes from the snapshot
-    under the same atomic-watermark contract. Sums are DECIMAL(38,6)
+    A window containing data-changing removes (copy-on-write DELETE /
+    UPDATE / MERGE, or an OVERWRITE) folds through the ROW-LEVEL feed
+    (``changes_cdf``) as signed partials — deletes/preimages retract
+    (-1), inserts/postimages accumulate (+1) — still O(delta):
+    count and exact-decimal sums subtract cleanly, and a group
+    retracted to zero rows drops from the state exactly as a rebuild
+    would drop it. MIN/MAX are NOT retractable (the deleted row may
+    have been the extremum and the replacement is unknowable without
+    a rescan), so a view configured with min/max columns refuses such
+    windows loudly and ``rebuild`` recomputes from the snapshot under
+    the same atomic-watermark contract. Sums are DECIMAL(38,6)
     — order-free exact arithmetic, so the incremental state is
     bit-equal to a from-scratch recompute, not approximately equal.
     Consume within the base's VACUUM retention (a vacuumed window
@@ -1825,6 +1956,29 @@ class IncrementalAggView:
             aggs.append(F.max(c).alias(f"max_{c}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
+    def _signed_partial(self, cdf: DataFrame) -> DataFrame:
+        """Partials from the ROW-LEVEL feed: inserts/postimages weigh
+        +1, deletes/preimages -1 — counts and exact-decimal sums fold
+        retractions with the same order-free arithmetic as appends
+        (bit-equal to a rebuild). Only called on views without min/max
+        columns (refresh gates that)."""
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        df = cdf.withColumn("__sign", sign)
+        aggs = [F.sum("__sign").cast("bigint").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(
+                    F.col("__sign")
+                    * F.col(c).cast("decimal(27,6)")
+                )
+                .cast("decimal(38,6)")
+                .alias(f"sum_{c}")
+            )
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
     def _merge(self, old: DataFrame, part: DataFrame) -> DataFrame:
         both = old.unionByName(part)
         aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
@@ -1836,7 +1990,12 @@ class IncrementalAggView:
             aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
         for c in self.max_cols:
             aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
-        return both.groupBy(*self.group_cols).agg(*aggs)
+        # a group retracted to zero rows must VANISH — exactly what a
+        # from-scratch rebuild produces; append-only flows never hit
+        # n_rows = 0, so the filter is a no-op there
+        return both.groupBy(*self.group_cols).agg(*aggs).where(
+            F.col("n_rows") != 0
+        )
 
     def watermark(self) -> int:
         """Base version the state reflects (-1 before the first
@@ -1844,14 +2003,44 @@ class IncrementalAggView:
         return self.state.last_txn_version(self.WATERMARK_APP)
 
     def refresh(self, spark: SparkSession) -> int | None:
-        """Fold base commits past the watermark into the state.
-        Returns the new watermark, or None when already current."""
+        """Fold base commits past the watermark into the state —
+        O(delta) for adds-only windows (the fast path) AND for
+        copy-on-write windows (signed partials over the row-level
+        feed). Returns the new watermark, or None when already
+        current. Windows with deletes refuse on min/max views —
+        those aggregates are not retractable; ``rebuild`` instead."""
         hw = self.watermark()
         target = self.base.latest_version()
         if target <= hw:
             return None
-        delta = self.base.changes(spark, since=hw, to=target)
-        if delta is None:
+        # duck-typed bases (external DeltaLogTable) have no row-level
+        # feed — they keep the old contract: changes() raises on a
+        # data-changing remove and the caller rebuilds
+        probe = getattr(self.base, "_window_has_dc_removes", None)
+        if probe is not None and probe(hw, target):
+            if self.min_cols or self.max_cols:
+                raise ValueError(
+                    f"base versions ({hw}, {target}] removed data and "
+                    "this view maintains min/max — the deleted row may "
+                    "have been the extremum, which no retraction can "
+                    "recover; rebuild() from the snapshot"
+                )
+            cdf = self.base.changes_cdf(spark, since=hw, to=target)
+            part = (
+                self._signed_partial(
+                    cdf.select(*self._needed_cols(), "_change_type")
+                )
+                if cdf is not None
+                else None
+            )
+        else:
+            delta = self.base.changes(spark, since=hw, to=target)
+            part = (
+                self._partial(delta.select(*self._needed_cols()))
+                if delta is not None
+                else None
+            )
+        if part is None:
             # nothing but metadata/compaction traffic: advance the
             # watermark alone — a marker-only commit, no state rewrite
             self.state._publish(
@@ -1860,11 +2049,10 @@ class IncrementalAggView:
                   "txn_version": target}],
             )
             return target
-        part = self._partial(delta.select(*self._needed_cols()))
         if self.state.live_paths():
             merged = self._merge(self.state.snapshot(spark), part)
         else:
-            merged = part
+            merged = part.where(F.col("n_rows") != 0)
         self.state.overwrite_txn(
             merged, self.WATERMARK_APP, target,
             self.state.latest_version() + 1,

@@ -751,7 +751,10 @@ class TestIncrementalAggView:
         t.append(o.filter("o_orderkey % 2 = 0"))
         assert v.refresh(spark) == 0
         t.overwrite(o.limit(100), 1)
-        with _pytest.raises(ValueError, match="adds-only"):
+        # this view maintains MIN/MAX — not retractable under removes
+        # (the deleted row may have been the extremum), so the refusal
+        # stands and rebuild recovers
+        with _pytest.raises(ValueError, match="min/max"):
             v.refresh(spark)
         assert v.rebuild(spark) == 1
         self._assert_equals_recompute(spark, t, v)
@@ -759,6 +762,90 @@ class TestIncrementalAggView:
         t.append(o.limit(50))
         assert v.refresh(spark) == 2
         self._assert_equals_recompute(spark, t, v)
+
+    def test_cow_deletes_fold_o_delta_without_minmax(
+        self, spark, tables, tmp_path
+    ):
+        """Round 11: a sum/count view consumes copy-on-write DELETE /
+        UPDATE / OVERWRITE windows through the row-level feed as
+        signed partials — O(delta), bit-equal to a rebuild, groups
+        retracted to zero rows vanishing exactly as a rebuild drops
+        them. (The round-10 verdict's item 3: previously any COW
+        delete forced incremental consumers into a full rebuild.)"""
+        from algebraicdb_spark.operators.txnlog import (
+            IncrementalAggView,
+            TxnLogTable,
+        )
+
+        t = TxnLogTable(str(tmp_path / "base"))
+        v = IncrementalAggView(
+            t,
+            str(tmp_path / "view"),
+            group_cols=["o_orderpriority"],
+            sum_cols=["o_totalprice"],
+        )
+        o = tables["orders"].select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 2 = 0"))
+        t.append(o.filter("o_orderkey % 2 = 1"))
+        assert v.refresh(spark) == 1
+        # COW delete folds incrementally — NO rebuild
+        t.delete(spark, "o_totalprice > 150000")
+        assert v.refresh(spark) == 2
+        self._assert_equals_recompute(spark, t, v)
+        # COW update (preimage/postimage retraction) too
+        t.update(spark, {"o_totalprice": "o_totalprice * 2"},
+                 "o_orderpriority = '1-URGENT'")
+        assert v.refresh(spark) == 3
+        self._assert_equals_recompute(spark, t, v)
+        # a group deleted entirely VANISHES from the state, exactly as
+        # a rebuild would drop it
+        t.delete(spark, "o_orderpriority = '1-URGENT'")
+        assert v.refresh(spark) == 4
+        self._assert_equals_recompute(spark, t, v)
+        assert v.read(spark).where(
+            "o_orderpriority = '1-URGENT'"
+        ).count() == 0
+        # appends keep folding after the retractions
+        t.append(o.filter("o_orderkey % 2 = 0").limit(20))
+        assert v.refresh(spark) == 5
+        self._assert_equals_recompute(spark, t, v)
+
+    def test_changes_cdf_labels_and_retention(self, spark, tables, tmp_path):
+        """The row-level feed itself: adds-only commits emit inserts,
+        COW deletes emit ONLY the deleted rows (carried-through rows
+        cancel in the multiset diff), updates label preimage/postimage
+        pairs, and a window past VACUUM retention refuses loudly."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "cdf"))
+        t.append(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"))
+        t.delete(spark, "k = 2")          # v1: COW delete
+        t.update(spark, {"v": "v + 1"}, "k = 3")  # v2: COW update
+        cdf = t.changes_cdf(spark, since=0)
+        got = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in cdf.collect()
+        }
+        assert got == {
+            (2, 20.0, "delete", 1),
+            (3, 30.0, "update_preimage", 2),
+            (3, 31.0, "update_postimage", 2),
+        }
+        # the full window from table birth includes the insert batch
+        full = t.changes_cdf(spark, since=-1)
+        assert full.where("_change_type = 'insert'").count() == 3
+        # unchanged window → None
+        assert t.changes_cdf(spark, since=2) is None
+        # past retention: the removed bytes are gone — loud refusal
+        t.optimize(spark)
+        t.vacuum(retain_versions=1)
+        with _pytest.raises(ValueError, match="VACUUM already reclaimed"):
+            t.changes_cdf(spark, since=0)
 
 
 class TestIncrementalViewOverDelta:
