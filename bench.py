@@ -7,7 +7,12 @@ Prints ONE JSON line:
 
 Method mirrors BASELINE.md: one untimed warmup run (plan/codegen/read
 warm — BASELINE's "warm runs"), then median of 3 timed runs, one
-shared SparkSession. Materialization is a noop-sink write: every
+shared SparkSession. The artifact also carries the quiet-host
+evidence the round-9/10 drift analysis had to reconstruct by hand:
+"samples" = three full headline totals (the i-th timed run of every
+headline query summed — the band a reviewer compares across rounds)
+and "load" = the host's 1-minute loadavg at start/end, so a
+noisy-host run is identifiable from the artifact alone. Materialization is a noop-sink write: every
 column of every result row is computed (no pruning shortcut), but
 nothing funnels through the Python driver — the engine-throughput
 number that actually extrapolates to cluster scale (collect()-ing
@@ -93,7 +98,9 @@ def main() -> None:
     load_tables(spark, SF_DIR)
     qs = registry.queries()
 
+    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    run_matrix: dict[str, list[float]] = {}
     for key in HEADLINE:
         materialize(qs[key](spark, SF_DIR))  # warmup (untimed)
         runs = []
@@ -101,6 +108,7 @@ def main() -> None:
             t0 = time.time()
             materialize(qs[key](spark, SF_DIR))
             runs.append(time.time() - t0)
+        run_matrix[key] = runs
         timings[key] = round(statistics.median(runs), 4)
 
     extras: dict[str, float] = {}
@@ -121,6 +129,10 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    samples = [
+        round(sum(run_matrix[k][i] for k in HEADLINE), 4)
+        for i in range(RUNS)
+    ]
     print(
         json.dumps(
             {
@@ -129,6 +141,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extras,
+                "samples": samples,
+                "load": {"start": load_start,
+                         "end": round(os.getloadavg()[0], 2)},
                 "sf": sf_val,
             }
         )
