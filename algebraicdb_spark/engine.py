@@ -1006,16 +1006,21 @@ class Engine:
         self._invalidate_stats(target)
 
     def _mutable_attachment(self, verb: str, name: str):
-        """The TxnLogTable behind an ATTACHed name, for row-level
-        mutation — Delta/Iceberg attachments are read-only interop and
-        refuse; a VERSION-pinned attachment refuses too (mutating a
-        historical snapshot is a contradiction: rebase on latest)."""
+        """The writable table object behind an ATTACHed name, for
+        row-level mutation: txnlog → ``TxnLogTable``, standard Delta →
+        ``DeltaTableWriter`` (both expose the same COW delete/update/
+        merge surface — delta graduated from mutation-refusing in
+        round 11). Iceberg attachments are read-only interop for row
+        mutation and refuse; a VERSION-pinned attachment refuses too
+        (mutating a historical snapshot is a contradiction: rebase on
+        latest)."""
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
         att = self._attached[name]
-        if att["fmt"] != "txnlog":
+        if att["fmt"] == "iceberg":
             raise AdtError(
-                f"{verb}: {name!r} is {att['fmt']} interop — read-only; "
+                f"{verb}: {name!r} is iceberg interop — read-only; "
                 "mutate it with its owning system"
             )
         if att["version"] is not None:
@@ -1023,6 +1028,8 @@ class Engine:
                 f"{verb}: {name!r} is pinned at VERSION {att['version']} "
                 "— re-ATTACH at latest before mutating"
             )
+        if att["fmt"] == "delta":
+            return DeltaTableWriter(att["path"])
         return TxnLogTable(att["path"])
 
     def _reattach_after_mutation(self, name: str, t) -> None:
@@ -1036,12 +1043,13 @@ class Engine:
         from pyspark.sql.types import StructType
 
         att = self._attached[name]
+        schema = t.table_schema()
+        if isinstance(schema, str):  # txnlog serializes; delta returns
+            schema = StructType.fromJson(_json.loads(schema))
         if t.live_paths():
             df = t.snapshot(self.spark)
-        elif t.table_schema() is not None:
-            df = self.spark.createDataFrame(
-                [], StructType.fromJson(_json.loads(t.table_schema()))
-            )
+        elif schema is not None:
+            df = self.spark.createDataFrame([], schema)
         else:
             df = self.table(name).limit(0)
         self.create_table(name, df)

@@ -140,6 +140,15 @@ class DeltaTableWriter:
     def snapshot(self, spark: SparkSession, as_of: int | None = None):
         return self.reader().snapshot(spark, as_of)
 
+    def live_paths(self, as_of: int | None = None) -> list[str]:
+        return self.reader().live_paths(as_of)
+
+    def table_schema(self, as_of: int | None = None):
+        """StructType (or None) — the reader's pinned schema; lets the
+        engine's post-mutation re-registration treat both writable
+        formats uniformly."""
+        return self.reader().table_schema(as_of)
+
     # -- commit primitives ------------------------------------------------
 
     def _publish(self, version: int, actions: list[dict]) -> None:
@@ -564,6 +573,412 @@ class DeltaTableWriter:
             self._unstage(staged)
             raise
         return expected_version
+
+    # -- copy-on-write row mutation ------------------------------------------
+
+    def _cow_context(self, spark: SparkSession):
+        """The pinned inputs every COW mutation needs, from ONE log
+        fold: live entries (raw path verbatim — the fold key),
+        schema, partition columns, and a resolved-path → (raw, pv)
+        map for attributing probe hits to files."""
+        rdr = self.reader()
+        proto, meta = rdr._protocol_meta()
+        rdr._check_readable(proto, meta)
+        entries = rdr._live_entries()
+        part_cols = list((meta or {}).get("partitionColumns") or [])
+        st = parse_schema_string(
+            (meta or {}).get("schemaString"), self.path
+        )
+        by_local = {res: (raw, pv) for raw, res, pv in entries}
+        return rdr, entries, st, part_cols, by_local
+
+    def _probe_affected(
+        self, spark: SparkSession, rdr, entries, st, part_cols,
+        by_local, predicate: str,
+    ) -> tuple[dict[str, int], int]:
+        """{raw path: matching rows} — ONE distributed scan with the
+        predicate pushed into the parquet reader (the delta twin of
+        ``TxnLogTable._probe_affected``; files are file-grain here, so
+        attribution is exact by construction)."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        df = rdr._assemble(
+            spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
+        )
+        rows = (
+            df.where(F.expr(predicate))
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_raw: dict[str, int] = {}
+        for r in rows:
+            fp = r["__f"]
+            if "://" in fp or fp.startswith("file:"):
+                fp = unquote(urlparse(fp).path)
+            else:
+                fp = unquote(fp)
+            hit = by_local.get(fp)
+            if hit is None:
+                raise RuntimeError(
+                    f"probe returned file {fp} outside the live set — "
+                    "concurrent vacuum mid-probe?"
+                )
+            by_raw[hit[0]] = by_raw.get(hit[0], 0) + int(r["__n"])
+        return by_raw, sum(by_raw.values())
+
+    @staticmethod
+    def _file_rows(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def _commit_cow(
+        self,
+        removed_raw: list[str],
+        removed_pv: dict[str, dict],
+        staged: list[tuple[str, dict]],
+        op: str,
+        params: dict,
+        max_retries: int,
+    ) -> int:
+        """remove(affected, dataChange) + add(rewrites) in one commit
+        under the COW conflict matrix (appends commute — retry one
+        slot up; removal of an input aborts). Tombstones reuse the
+        committed raw path bytes verbatim; every abort path unstages."""
+        now_ms = int(time.time() * 1000)
+        actions = [self._commit_info(op, **params)] + [
+            {"remove": {
+                "path": raw,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": removed_pv.get(raw) or {},
+            }}
+            for raw in removed_raw
+        ] + self._add_actions(staged)
+        inputs = set(removed_raw)
+        for _ in range(max_retries):
+            live_now = {
+                raw for raw, _r, _p in self.reader()._live_entries()
+            }
+            gone = sorted(inputs - live_now)
+            if gone:
+                self._unstage(staged)
+                raise ConcurrentWriteError(
+                    f"{op} inputs {gone[:3]} were removed by a "
+                    "concurrent writer — committing would resurrect or "
+                    f"double-mutate replaced data; rerun {op} on the "
+                    "new snapshot"
+                )
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, actions)
+                return version
+            except ConcurrentWriteError:
+                continue
+        self._unstage(staged)
+        raise ConcurrentWriteError(
+            f"{op} lost {max_retries} publish races — table is under "
+            "pathological write contention"
+        )
+
+    def delete(
+        self, spark: SparkSession, predicate: str, max_retries: int = 8
+    ) -> dict:
+        """Row-level ``DELETE FROM … WHERE predicate`` on the STANDARD
+        format as copy-on-write — the same three file classes as
+        ``TxnLogTable.delete`` from one probe + footer counts:
+        untouched files keep their add entries, fully-matching files
+        drop with zero rewrite I/O, partial files rewrite minus the
+        matches (NULL keeps the row — SQL DELETE semantics). The
+        commit is a data-changing remove+add any Delta engine folds."""
+        from pyspark.sql import functions as F
+
+        if self.latest_version() < 0:
+            raise ValueError(
+                f"delta table {self.path} has no commits to delete from"
+            )
+        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        if not entries:
+            return {"version": None, "rows_deleted": 0,
+                    "files_removed": 0, "files_rewritten": 0}
+        by_raw, matched = self._probe_affected(
+            spark, rdr, entries, st, part_cols, by_local, predicate
+        )
+        if not matched:
+            return {"version": None, "rows_deleted": 0,
+                    "files_removed": 0, "files_rewritten": 0}
+        res_of = {raw: res for raw, res, _pv in entries}
+        pv_of = {raw: pv for raw, _res, pv in entries}
+        full = [
+            raw for raw, n in by_raw.items()
+            if n == self._file_rows(res_of[raw])
+        ]
+        partial = sorted(set(by_raw) - set(full))
+        staged: list[tuple[str, dict]] = []
+        if partial:
+            keep = rdr._assemble(
+                spark,
+                [(res_of[raw], pv_of[raw]) for raw in partial],
+                st, part_cols,
+            ).where(
+                ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            )
+            staged = self._stage(keep, part_cols)
+        version = self._commit_cow(
+            sorted(by_raw), pv_of, staged, "DELETE",
+            {"predicate": predicate}, max_retries,
+        )
+        return {
+            "version": version,
+            "rows_deleted": matched,
+            "files_removed": len(by_raw),
+            "files_rewritten": len(partial),
+        }
+
+    def update(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        max_retries: int = 8,
+    ) -> dict:
+        """Row-level ``UPDATE … SET col = expr WHERE predicate`` as
+        copy-on-write on the standard format: affected files rewrite
+        through a CASE per assigned column cast back to the declared
+        type (the pinned schema never drifts); unmatched files keep
+        their add entries. Partition-column assignment refuses — row
+        movement is an overwrite-shaped operation."""
+        from pyspark.sql import functions as F
+
+        if self.latest_version() < 0:
+            raise ValueError(
+                f"delta table {self.path} has no commits to update"
+            )
+        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        if not entries:
+            return {"version": None, "rows_updated": 0,
+                    "files_rewritten": 0}
+        if st is not None:
+            known = {f.name for f in st.fields} | set(part_cols)
+            unknown = [c for c in assignments if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns unknown column(s) {unknown} — the "
+                    "table schema is pinned"
+                )
+        bad = [c for c in assignments if c in part_cols]
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns partition column(s) {bad} — moving rows "
+                "across partitions is an overwrite-shaped operation; "
+                "DELETE + append instead"
+            )
+        pred = predicate if predicate is not None else "TRUE"
+        by_raw, matched = self._probe_affected(
+            spark, rdr, entries, st, part_cols, by_local, pred
+        )
+        if not matched:
+            return {"version": None, "rows_updated": 0,
+                    "files_rewritten": 0}
+        res_of = {raw: res for raw, res, _pv in entries}
+        pv_of = {raw: pv for raw, _res, pv in entries}
+        affected = sorted(by_raw)
+        df = rdr._assemble(
+            spark,
+            [(res_of[raw], pv_of[raw]) for raw in affected],
+            st, part_cols,
+        )
+        cond = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        out = df.select(
+            *[
+                F.when(cond, F.expr(assignments[c]))
+                .otherwise(F.col(c))
+                .cast(df.schema[c].dataType)
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        staged = self._stage(out, part_cols)
+        version = self._commit_cow(
+            affected, pv_of, staged, "UPDATE",
+            {"predicate": pred}, max_retries,
+        )
+        return {
+            "version": version,
+            "rows_updated": matched,
+            "files_rewritten": len(affected),
+        }
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source,
+        cond: str,
+        assignments: dict[str, str] | None,
+        insert_exprs: list[str] | None,
+        target_alias: str = "t",
+        source_alias: str = "s",
+        max_retries: int = 8,
+    ) -> dict:
+        """``MERGE INTO`` as ONE copy-on-write commit on the standard
+        format — the same plan as ``TxnLogTable.merge`` (probe
+        semi-join → rewrite only reached files → anti-join inserts →
+        atomic remove+add), with the same free multi-match refusal
+        (a matched rewrite preserves row count; staged footers
+        disagreeing with input footers IS the multi-match signal)."""
+        from pyspark.sql import functions as F
+
+        if self.latest_version() < 0:
+            raise ValueError(
+                f"delta table {self.path} has no commits to merge into"
+            )
+        if not assignments and insert_exprs is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE assignments "
+                "and/or WHEN NOT MATCHED THEN INSERT expressions"
+            )
+        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        if assignments:
+            bad = [c for c in assignments if c in part_cols]
+            if bad:
+                raise ValueError(
+                    f"MERGE assigns partition column(s) {bad} — moving "
+                    "rows across partitions is an overwrite-shaped "
+                    "operation; DELETE + append instead"
+                )
+        res_of = {raw: res for raw, res, _pv in entries}
+        pv_of = {raw: pv for raw, _res, pv in entries}
+        cond_col = F.expr(cond)
+        by_raw: dict[str, int] = {}
+        matched = 0
+        if assignments and entries:
+            from urllib.parse import unquote, urlparse
+
+            tgt = rdr._assemble(
+                spark, [(res, pv) for _raw, res, pv in entries],
+                st, part_cols,
+            ).withColumn("__file", F.input_file_name())
+            rows = (
+                tgt.alias(target_alias)
+                .join(source.alias(source_alias), cond_col, "left_semi")
+                .groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            for r in rows:
+                fp = r["__file"]
+                if "://" in fp or fp.startswith("file:"):
+                    fp = unquote(urlparse(fp).path)
+                else:
+                    fp = unquote(fp)
+                hit = by_local.get(fp)
+                if hit is None:
+                    raise RuntimeError(
+                        f"probe returned file {fp} outside the live set "
+                        "— concurrent vacuum mid-probe?"
+                    )
+                by_raw[hit[0]] = by_raw.get(hit[0], 0) + int(r["__n"])
+            matched = sum(by_raw.values())
+        affected = sorted(by_raw)
+        staged: list[tuple[str, dict]] = []
+        if affected:
+            aff = rdr._assemble(
+                spark,
+                [(res_of[raw], pv_of[raw]) for raw in affected],
+                st, part_cols,
+            )
+            input_rows = sum(
+                self._file_rows(res_of[raw]) for raw in affected
+            )
+            mark = "__merge_matched"
+            joined = aff.alias(target_alias).join(
+                source.withColumn(mark, F.lit(True)).alias(source_alias),
+                cond_col,
+                "left_outer",
+            )
+            hit_c = F.col(f"{source_alias}.{mark}").isNotNull()
+            out = joined.select(
+                *[
+                    F.when(hit_c, F.expr(assignments[c]))
+                    .otherwise(F.col(f"{target_alias}.{c}"))
+                    .cast(aff.schema[c].dataType)
+                    .alias(c)
+                    if c in assignments
+                    else F.col(f"{target_alias}.{c}").alias(c)
+                    for c in aff.columns
+                ]
+            )
+            staged = self._stage(out, part_cols)
+            staged_rows = sum(
+                self._file_rows(os.path.join(self.path, rel))
+                for rel, _pv in staged
+            )
+            if staged_rows != input_rows:
+                self._unstage(staged)
+                raise ValueError(
+                    f"MERGE: {staged_rows - input_rows} target row(s) "
+                    "matched multiple source rows — the rewrite would "
+                    "duplicate them; deduplicate the source on the "
+                    "merge key first"
+                )
+        rows_inserted = 0
+        if insert_exprs is not None:
+            if entries:
+                full_t = rdr._assemble(
+                    spark, [(res, pv) for _raw, res, pv in entries],
+                    st, part_cols,
+                )
+                ins_src = source.alias(source_alias).join(
+                    full_t.alias(target_alias), cond_col, "left_anti"
+                )
+                tbl_schema = full_t.schema
+            else:
+                ins_src = source.alias(source_alias)
+                tbl_schema = st
+            if tbl_schema is None:
+                raise ValueError(
+                    "MERGE into an empty schema-less delta table has no "
+                    "column shape to insert into — append a first batch"
+                )
+            cols = [(f.name, f.dataType) for f in tbl_schema.fields]
+            if len(insert_exprs) != len(cols):
+                raise ValueError(
+                    f"MERGE: INSERT VALUES has {len(insert_exprs)} "
+                    f"expressions for {len(cols)} target columns"
+                )
+            ins = ins_src.select(
+                *[
+                    F.expr(e).cast(t_).alias(c)
+                    for e, (c, t_) in zip(insert_exprs, cols)
+                ]
+            )
+            ins_staged = self._stage(ins, part_cols)
+            rows_inserted = sum(
+                self._file_rows(os.path.join(self.path, rel))
+                for rel, _pv in ins_staged
+            )
+            if rows_inserted == 0:
+                self._unstage(ins_staged)
+            else:
+                staged = staged + ins_staged
+        if not affected and not staged:
+            return {"version": None, "rows_matched": 0,
+                    "rows_inserted": 0, "files_rewritten": 0}
+        version = self._commit_cow(
+            affected, pv_of, staged, "MERGE",
+            {"predicate": cond}, max_retries,
+        )
+        return {
+            "version": version,
+            "rows_matched": matched,
+            "rows_inserted": rows_inserted,
+            "files_rewritten": len(affected),
+        }
 
     # -- maintenance -------------------------------------------------------
 

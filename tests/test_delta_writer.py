@@ -573,6 +573,61 @@ class TestDeltaWriterRoundTrip:
         ops = [h["operation"] for h in DeltaLogTable(root).history()]
         assert ops[-1] == "OPTIMIZE"
 
+    def test_cow_delete_update_on_standard_delta(self, spark, tmp_path):
+        """Round 11: row-level DELETE/UPDATE on the standard format —
+        the same three file classes as txnlog's COW (untouched / pure
+        remove / rewrite) from one probe + footer counts, committed as
+        data-changing remove+add with verbatim raw tombstone paths."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        # coalesce(1): one parquet FILE per append, so the three file
+        # classes below are deterministic (delta adds are file-grain)
+        w.append(_df(spark, [(1, "keep"), (2, "drop")],
+                     "id long, tag string").coalesce(1))
+        w.append(_df(spark, [(3, "drop"), (4, "drop")],
+                     "id long, tag string").coalesce(1))
+        w.append(_df(spark, [(5, "keep"), (6, "keep")],
+                     "id long, tag string").coalesce(1))
+        rdr = DeltaLogTable(root)
+        before = rdr.live_paths()
+        res = w.delete(spark, "tag = 'drop'")
+        assert res["rows_deleted"] == 3
+        assert res["files_removed"] == 2
+        assert res["files_rewritten"] == 1
+        after = rdr.live_paths()
+        assert len(set(before) & set(after)) == 1  # untouched keeps add
+        assert sorted(
+            r["id"] for r in rdr.snapshot(spark).collect()
+        ) == [1, 5, 6]
+        # time travel sees the pre-delete content; the feed refuses
+        assert rdr.snapshot(spark, as_of=2).count() == 6
+        with pytest.raises(ValueError, match="adds-only"):
+            rdr.changes(spark, since=2)
+        # UPDATE: CASE rewrite cast back to declared types
+        res2 = w.update(spark, {"tag": "upper(tag)"}, "id >= 5")
+        assert res2["rows_updated"] == 2
+        got = {r["id"]: r["tag"] for r in rdr.snapshot(spark).collect()}
+        assert got == {1: "keep", 5: "KEEP", 6: "KEEP"}
+        assert dict(rdr.snapshot(spark).dtypes)["tag"] == "string"
+        # no-match mutations commit nothing
+        v = rdr.latest_version()
+        assert w.delete(spark, "id = 99")["version"] is None
+        assert w.update(spark, {"tag": "'x'"}, "id = 99")["version"] is None
+        assert rdr.latest_version() == v
+        # partition-column assignment refuses (partitioned table)
+        root2 = str(tmp_path / "p")
+        w2 = DeltaTableWriter(root2)
+        w2.append(
+            _df(spark, [(1, 10), (2, 20)], "id long, bucket int"),
+            partition_by=["bucket"],
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            w2.update(spark, {"bucket": "99"}, "id = 1")
+        # partitioned COW keeps values in the log, not the files
+        w2.delete(spark, "id = 2")
+        snap = DeltaLogTable(root2).snapshot(spark)
+        assert {(r["id"], r["bucket"]) for r in snap.collect()} == {(1, 10)}
+
     def test_vacuum_reclaims_unreachable_files(self, spark, tables, tmp_path):
         root = str(tmp_path / "t")
         w = DeltaTableWriter(root)

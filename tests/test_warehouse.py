@@ -1249,8 +1249,11 @@ class TestDeltaLogTable:
 
     def test_deletion_vector_refuses(self, spark, tables, tmp_path):
         """An add carrying a deletion vector means the parquet file
-        contains rows Delta considers deleted — scanning it raw would
-        resurrect them, so the reader refuses."""
+        contains rows Delta considers deleted — the PLAIN-ROW view
+        (`live_paths`, what writers fold) refuses; round 11 narrowed
+        the refusal to LIVE DV adds (`snapshot()` now applies DVs —
+        test_deletion_vectors.py — and a DV'd add folded out by a
+        later remove is irrelevant to the snapshot)."""
         import json
         import os
 
@@ -1264,19 +1267,31 @@ class TestDeltaLogTable:
         self._write_delta(spark, tables, root)
         self._checkpoint_at_2(spark, tables, root)
         log = os.path.join(root, "_delta_log")
+        dv_add = {"add": {"path": "part-dv.parquet", "size": 1,
+                          "modificationTime": 0, "dataChange": False,
+                          "deletionVector": {"storageType": "u",
+                                             "pathOrInlineDv": "x",
+                                             "offset": 1, "sizeInBytes": 2,
+                                             "cardinality": 3}}}
         pq.write_table(
             pa.Table.from_pylist([
+                dv_add,
                 {"add": {"path": "part-f2.parquet", "size": 1,
-                         "modificationTime": 0, "dataChange": False,
-                         "deletionVector": {"storageType": "u",
-                                            "pathOrInlineDv": "x",
-                                            "offset": 1, "sizeInBytes": 2,
-                                            "cardinality": 3}}},
+                         "modificationTime": 0, "dataChange": False}},
             ]),
             os.path.join(log, f"{2:020d}.checkpoint.parquet"),
         )
         with _pytest.raises(NotImplementedError, match="deletion vector"):
             DeltaLogTable(root).live_paths()
+        # …but a DV'd add the tail already REMOVED folds out cleanly:
+        # re-point the DV at part-f2, which v4 removes
+        pq.write_table(
+            pa.Table.from_pylist([
+                {"add": {**dv_add["add"], "path": "part-f2.parquet"}},
+            ]),
+            os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+        )
+        assert DeltaLogTable(root).live_paths()  # no raise
         # same refusal on the JSON-commit path: an uncheckpointed
         # table whose latest commit carries a DV add
         root2 = str(tmp_path / "delta_json_dv")
@@ -1943,15 +1958,27 @@ class TestCopyOnWrite:
         eng.sql("DELETE FROM tl WHERE id = 1")
         eng.sql("UPDATE tl SET tag = 'x' WHERE id = 1")
         assert eng.sql("SELECT * FROM tl").count() == 0
-        # read-only interop attachments refuse row mutation
+        # delta attachments graduated to COW row mutation in round 11
+        # (the engine owns the writer); iceberg stays read-only
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
         droot = str(tmp_path / "d")
         DeltaTableWriter(droot).append(
-            spark.createDataFrame([(1,)], "id long"))
+            spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string"))
         eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{droot}'")
+        eng.sql("UPDATE dl SET s = 'z' WHERE id = 2")
+        eng.sql("DELETE FROM dl WHERE id = 1")
+        assert {(r["id"], r["s"])
+                for r in eng.sql("SELECT * FROM dl").collect()} == {(2, "z")}
+        # through the LOG: a fresh standard reader sees both mutations
+        assert {(r["id"], r["s"]) for r in
+                DeltaLogTable(droot).snapshot(spark).collect()} == {(2, "z")}
+        eng._attached["icy2"] = {
+            "fmt": "iceberg", "path": droot, "version": None,
+        }
         with _pytest.raises(AdtError, match="read-only"):
-            eng.sql("DELETE FROM dl WHERE id = 1")
+            eng.sql("DELETE FROM icy2 WHERE id = 1")
         # and a VERSION-pinned attachment refuses too
         eng.sql(
             f"ATTACH TABLE tl0 FROM txnlog LOCATION '{t.path}' VERSION 2"
@@ -2133,30 +2160,54 @@ class TestTransactionalMerge:
                 "WHEN MATCHED THEN UPDATE SET v = mdup.nv"
             )
 
-    def test_dialect_merge_refuses_readonly_attachments(
-        self, spark, tmp_path
-    ):
+    def test_dialect_merge_on_delta_attachment(self, spark, tmp_path):
+        """Round 11: MERGE on a STANDARD Delta attachment is one COW
+        commit too (DeltaTableWriter.merge) — persists across REFRESH
+        and is visible to a fresh standard reader; iceberg and
+        VERSION-pinned attachments refuse."""
         import pytest as _pytest
 
         from algebraicdb_spark.engine import AdtError, Engine
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
         eng = Engine(spark)
         eng.create_table(
-            "rsrc", spark.createDataFrame([(1, 1.0)], "k long, nv double")
+            "rsrc",
+            spark.createDataFrame([(1, 1.5), (9, 9.0)], "k long, nv double"),
         )
         droot = str(tmp_path / "d")
         DeltaTableWriter(droot).append(
-            spark.createDataFrame([(1, 10.0)], "k long, v double"))
+            spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                  "k long, v double"))
         eng.sql(f"ATTACH TABLE rdl FROM delta LOCATION '{droot}'")
-        with _pytest.raises(AdtError, match="read-only"):
+        eng.sql(
+            "MERGE INTO rdl USING rsrc ON rdl.k = rsrc.k "
+            "WHEN MATCHED THEN UPDATE SET v = rsrc.nv "
+            "WHEN NOT MATCHED THEN INSERT VALUES (rsrc.k, rsrc.nv)"
+        )
+        want = {(1, 1.5), (2, 20.0), (9, 9.0)}
+        assert {(r["k"], r["v"])
+                for r in eng.sql("SELECT * FROM rdl").collect()} == want
+        eng.sql("REFRESH TABLE rdl")  # the log, not a view swap
+        assert {(r["k"], r["v"])
+                for r in eng.sql("SELECT * FROM rdl").collect()} == want
+        assert {(r["k"], r["v"]) for r in
+                DeltaLogTable(droot).snapshot(spark).collect()} == want
+        # time travel still sees the pre-merge content
+        assert DeltaLogTable(droot).snapshot(spark, as_of=0).count() == 2
+        # a multi-matching source refuses without committing
+        eng.create_table(
+            "rdup",
+            spark.createDataFrame([(2, 1.0), (2, 2.0)],
+                                  "k long, nv double"),
+        )
+        with _pytest.raises(AdtError, match="multiple source rows"):
             eng.sql(
-                "MERGE INTO rdl USING rsrc ON rdl.k = rsrc.k "
-                "WHEN MATCHED THEN UPDATE SET v = rsrc.nv"
+                "MERGE INTO rdl USING rdup ON rdl.k = rdup.k "
+                "WHEN MATCHED THEN UPDATE SET v = rdup.nv"
             )
-        # the refusal left the attachment fully consistent
-        eng.sql("REFRESH TABLE rdl")
-        assert eng.sql("SELECT * FROM rdl").collect()[0]["v"] == 10.0
+        assert DeltaLogTable(droot).latest_version() == 1
         # VERSION-pinned txnlog refuses too
         t = self._three_file_table(spark, tmp_path)
         eng.sql(
