@@ -1,0 +1,266 @@
+"""Delta Lake DELETION VECTOR decoding — the read half of the last
+merge-on-read gap: aged production Delta tables carry DV'd adds, and
+until round 11 ``DeltaLogTable`` refused them wholesale ("scanning the
+file raw would resurrect deleted rows"). This module decodes the
+vectors so ``snapshot()`` can apply them instead.
+
+Formats implemented from the PUBLIC specs, nothing else:
+
+- Delta PROTOCOL.md "Deletion Vector Descriptor" + "Deletion Vector
+  File Storage Format" (https://github.com/delta-io/delta/blob/master/
+  PROTOCOL.md): the descriptor's ``storageType`` is ``'i'`` (inline —
+  ``pathOrInlineDv`` IS the z85-encoded data), ``'u'`` (a file under
+  the table root whose name derives from a z85-encoded UUID with an
+  optional random prefix), or ``'p'`` (absolute path). DV files start
+  with a 1-byte format version (= 1); each vector sits at the
+  descriptor's ``offset`` as ``<dataSize: int32 BE>`` then ``dataSize``
+  bytes of data — a 4-byte magic (1681511377, little-endian like the
+  bitmap payload it frames) followed by the serialized 64-bit roaring
+  bitmap — then ``<CRC-32 of the data: int32 BE>``.
+- Z85 (ZeroMQ spec 32, https://rfc.zeromq.org/spec/32/): 5 printable
+  chars per 4 big-endian bytes over the fixed 85-char alphabet.
+- RoaringBitmapArray "portable" 64-bit serialization (delta-io's
+  public RoaringBitmapArray, stated in PROTOCOL.md): ``<number of
+  32-bit buckets: int64 LE>`` then per bucket ``<key: int32 LE>`` +
+  one standard 32-bit RoaringBitmap in the OFFICIAL roaring format
+  (https://github.com/RoaringBitmap/RoaringFormatSpec): cookie 12346
+  (no run containers, container count in the next int32) or 12347
+  (run containers; count-1 rides the cookie's upper 16 bits, then a
+  run-flag bitset), descriptive header of (key, cardinality-1) uint16
+  pairs, an offset header when required, then array (uint16 values) /
+  bitmap (8 KiB bitset) / run (count + (start, length) pairs)
+  containers.
+
+The test fixtures hand-encode these formats independently (the same
+two-path methodology as the Avro/WAV/PPM codecs) — agreement between
+this decoder and those fixtures is evidence both follow the published
+byte layouts, not that they share bugs.
+
+Scale note: positions decode driver-side here (a DV is KBs — it rides
+the add action's file, not the data); at warehouse scale a DV-heavy
+snapshot would evaluate bitmaps executor-side against
+``_metadata.row_index``. The join shape in ``DeltaLogTable.snapshot``
+is identical either way: (file, position) LEFT ANTI, the same plan as
+Iceberg position deletes.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+# RoaringFormatSpec constants
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+
+_DV_MAGIC = 1681511377
+_MAX_POSITIONS = 10_000_000  # refuse absurd driver-side decodes loudly
+
+
+def z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85: 5 chars → 4 big-endian bytes."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} is not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i : i + 5]:
+            if ch not in _Z85_INDEX:
+                raise ValueError(f"invalid z85 character {ch!r}")
+            acc = acc * 85 + _Z85_INDEX[ch]
+        if acc > 0xFFFFFFFF:
+            raise ValueError("z85 group overflows 32 bits")
+        out += struct.pack(">I", acc)
+    return bytes(out)
+
+
+def _decode_rb32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit RoaringBitmap at ``pos``; returns (sorted
+    values, next offset)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    base = pos
+    run_flags: list[bool]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (n + 7) // 8
+        bits = buf[pos : pos + nbytes]
+        run_flags = [bool(bits[i // 8] >> (i % 8) & 1) for i in range(n)]
+        pos += nbytes
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_flags = [False] * n
+    else:
+        raise ValueError(f"unknown roaring cookie {cookie}")
+    keys: list[int] = []
+    cards: list[int] = []
+    for i in range(n):
+        k, c_minus_1 = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c_minus_1 + 1)
+        pos += 4
+    has_offsets = cookie == _SERIAL_COOKIE_NO_RUN or n >= _NO_OFFSET_THRESHOLD
+    offsets: list[int] | None = None
+    if has_offsets:
+        offsets = [
+            struct.unpack_from("<I", buf, pos + 4 * i)[0] for i in range(n)
+        ]
+        pos += 4 * n
+    values: list[int] = []
+    for i in range(n):
+        cpos = base + offsets[i] if offsets is not None else pos
+        hi = keys[i] << 16
+        if run_flags[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, cpos)
+            cpos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, cpos)
+                cpos += 4
+                values.extend(hi | v for v in range(start, start + length + 1))
+        elif cards[i] > 4096:  # bitmap container: fixed 8 KiB bitset
+            bits = buf[cpos : cpos + 8192]
+            if len(bits) < 8192:
+                raise ValueError("truncated roaring bitmap container")
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low = b & -b
+                    values.append(hi | (byte_i * 8 + low.bit_length() - 1))
+                    b ^= low
+            cpos += 8192
+        else:  # array container
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, cpos)
+            values.extend(hi | v for v in vals)
+            cpos += 2 * cards[i]
+        if offsets is None:
+            pos = cpos
+    if offsets is not None:
+        # next bitmap starts after the furthest container
+        ends = []
+        for i in range(n):
+            c0 = base + offsets[i]
+            if run_flags[i]:
+                (n_runs,) = struct.unpack_from("<H", buf, c0)
+                ends.append(c0 + 2 + 4 * n_runs)
+            elif cards[i] > 4096:
+                ends.append(c0 + 8192)
+            else:
+                ends.append(c0 + 2 * cards[i])
+        pos = max(ends) if ends else pos
+    return sorted(values), pos
+
+
+def roaring64_positions(buf: bytes) -> list[int]:
+    """Decode a portable-format 64-bit RoaringBitmapArray into its
+    sorted member positions."""
+    (n_buckets,) = struct.unpack_from("<q", buf, 0)
+    if n_buckets < 0:
+        raise ValueError(f"negative roaring bucket count {n_buckets}")
+    pos = 8
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (key,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, pos = _decode_rb32(buf, pos)
+        hi = key << 32
+        out.extend(hi | v for v in vals)
+        if len(out) > _MAX_POSITIONS:
+            raise NotImplementedError(
+                f"deletion vector carries more than {_MAX_POSITIONS} "
+                "positions — this driver-side decoder refuses; use a "
+                "full Delta client (or executor-side bitmap evaluation)"
+            )
+    return out
+
+
+def _dv_payload(blob: bytes, offset: int | None) -> bytes:
+    """Extract one vector's DATA bytes from a DV file/inline blob:
+    ``<dataSize: int32 BE> <data> <CRC-32(data): int32 BE>`` at
+    ``offset`` — checksum verified (silently corrupt positions would
+    resurrect/over-delete rows)."""
+    if offset is None:
+        return blob  # inline: pathOrInlineDv IS the data
+    (size,) = struct.unpack_from(">i", blob, offset)
+    data = blob[offset + 4 : offset + 4 + size]
+    if len(data) != size:
+        raise ValueError("truncated deletion vector data")
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion vector checksum mismatch")
+    return data
+
+
+def _dv_bitmap(data: bytes) -> list[int]:
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _DV_MAGIC:
+        raise ValueError(
+            f"deletion vector magic {magic} != {_DV_MAGIC} — corrupt or "
+            "an unknown serialization"
+        )
+    return roaring64_positions(data[4:])
+
+
+def dv_file_path(table_path: str, path_or_uuid: str) -> str:
+    """Resolve a storageType='u' descriptor: the LAST 20 chars are the
+    z85-encoded UUID, anything before is the random prefix directory
+    (the spec's S3-key-spreading trick)."""
+    import uuid as _uuid
+
+    if len(path_or_uuid) < 20:
+        raise ValueError(
+            f"storageType=u pathOrInlineDv {path_or_uuid!r} is shorter "
+            "than a z85 uuid"
+        )
+    prefix, enc = path_or_uuid[:-20], path_or_uuid[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+        table_path, name
+    )
+
+
+def dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row ordinals for one add action's deletionVector
+    descriptor — the sorted positions the scan must drop."""
+    st = dv.get("storageType")
+    if st == "i":
+        data = _dv_payload(z85_decode(dv["pathOrInlineDv"]), None)
+        size = dv.get("sizeInBytes")
+        if size is not None and len(data) > int(size):
+            # z85 pads to 4-byte groups; sizeInBytes is the true length
+            data = data[: int(size)]
+    elif st in ("u", "p"):
+        fpath = (
+            dv["pathOrInlineDv"]
+            if st == "p"
+            else dv_file_path(table_path, dv["pathOrInlineDv"])
+        )
+        with open(fpath, "rb") as f:
+            blob = f.read()
+        if not blob or blob[0] != 1:
+            raise ValueError(
+                f"deletion vector file {fpath} has format version "
+                f"{blob[0] if blob else 'EMPTY'} (expected 1)"
+            )
+        data = _dv_payload(blob, int(dv["offset"]))
+    else:
+        raise NotImplementedError(
+            f"deletionVector storageType {st!r} — the spec defines "
+            "i/u/p only; use a full Delta client"
+        )
+    positions = _dv_bitmap(data)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise ValueError(
+            f"deletion vector cardinality {card} != decoded "
+            f"{len(positions)} positions — corrupt descriptor"
+        )
+    return positions

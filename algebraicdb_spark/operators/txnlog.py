@@ -230,6 +230,7 @@ def _assemble_groups(
     adds: list[tuple[str, dict]],
     st,
     part_cols: list[str],
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Build a scan DataFrame from (path, partitionValues) pairs — the
     shared core of ``TxnLogTable`` and ``DeltaLogTable`` partitioned
@@ -245,7 +246,13 @@ def _assemble_groups(
     materializes in its file index); a production reader folds the
     values into the datasource's partition spec instead of a union,
     but the scan work is identical — each branch is a pruned parquet
-    read of exactly that partition's files."""
+    read of exactly that partition's files.
+
+    ``with_metadata`` attaches Spark's ``_metadata`` file-path /
+    row-index hidden columns AT THE SCAN (as ``__fp`` / ``__pos``),
+    before any union — metadata columns don't survive a union, and the
+    merge-on-read consumers (deletion vectors) need per-row file
+    identity."""
     from functools import reduce as _reduce
 
     from pyspark.sql.types import StructType
@@ -255,11 +262,21 @@ def _assemble_groups(
             "empty add set — callers decide what zero live files means "
             "(empty table vs fully-pruned scan) before assembling"
         )
+
+    def meta(df: DataFrame) -> DataFrame:
+        if not with_metadata:
+            return df
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
     if not part_cols:
         paths = [p for p, _pv in adds]
         if st is not None:
-            return spark.read.schema(st).parquet(*paths)
-        return spark.read.parquet(*paths)
+            return meta(spark.read.schema(st).parquet(*paths))
+        return meta(spark.read.parquet(*paths))
     types = {f.name: f.dataType for f in st.fields} if st else {}
     data_st = (
         StructType([f for f in st.fields if f.name not in part_cols])
@@ -267,6 +284,8 @@ def _assemble_groups(
         else None
     )
     order = [f.name for f in st.fields] if st else None
+    if order is not None and with_metadata:
+        order = order + ["__fp", "__pos"]
     groups: dict[tuple, list[str]] = {}
     for p, pv in adds:
         key = tuple((pv or {}).get(c) for c in part_cols)
@@ -275,7 +294,7 @@ def _assemble_groups(
     for key in sorted(
         groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
     ):
-        df = (
+        df = meta(
             spark.read.schema(data_st).parquet(*groups[key])
             if data_st is not None
             else spark.read.parquet(*groups[key])
@@ -2242,32 +2261,45 @@ class DeltaLogTable:
             )
         return paths
 
-    def _checkpoint_adds(
+    def _checkpoint_adds_full(
         self, cp: dict | None = None
-    ) -> list[tuple[str, dict]]:
+    ) -> list[tuple[str, dict, dict | None]]:
         """The live set at the checkpoint: its non-null ``add`` rows as
-        (path, partitionValues) pairs (paths still URL-encoded,
-        root-relative). Column-pruned read — the checkpoint may carry
-        wide stats structs we never touch."""
+        (path, partitionValues, deletionVector-or-None) triples (paths
+        still URL-encoded, root-relative). Column-pruned read — the
+        checkpoint may carry wide stats structs we never touch."""
         import pyarrow.parquet as pq
 
-        adds: list[tuple[str, dict]] = []
+        adds: list[tuple[str, dict, dict | None]] = []
         for p in self._checkpoint_files(cp):
             for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
                 if row is None:
                     continue
-                if row.get("deletionVector") is not None:
-                    raise NotImplementedError(
-                        f"add action for {row.get('path')} carries a "
-                        "deletion vector — scanning the file raw would "
-                        "resurrect deleted rows; use a full Delta client"
-                    )
                 pv = row.get("partitionValues") or {}
                 if isinstance(pv, list):
                     # pyarrow surfaces parquet MAP columns as [(k, v)]
                     pv = dict(pv)
-                adds.append((row["path"], pv))
+                adds.append((row["path"], pv, row.get("deletionVector")))
         return adds
+
+    def _checkpoint_adds(
+        self, cp: dict | None = None
+    ) -> list[tuple[str, dict]]:
+        """(path, partitionValues) pairs — the DV-free view WRITERS
+        consume (vacuum candidate folding); a live deletion vector
+        refuses here because treating the file as plain rows would
+        resurrect deleted content. Readers go through ``snapshot``,
+        which APPLIES deletion vectors instead (round 11)."""
+        out = []
+        for path, pv, dv in self._checkpoint_adds_full(cp):
+            if dv is not None:
+                raise NotImplementedError(
+                    f"add action for {path} carries a deletion vector — "
+                    "this caller treats files as plain rows, which would "
+                    "resurrect deleted content; snapshot() applies DVs"
+                )
+            out.append((path, pv))
+        return out
 
     def _checkpoint_removes(self, cp: dict | None = None) -> list[dict]:
         """Unexpired remove TOMBSTONES stored in the checkpoint (the
@@ -2427,49 +2459,68 @@ class DeltaLogTable:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 yield v, [json.loads(line) for line in f if line.strip()]
 
-    def _live_entries(
+    def _live_entries_full(
         self, as_of: int | None = None
-    ) -> list[tuple[str, str, dict]]:
+    ) -> list[tuple[str, str, dict, dict | None]]:
         """The live fold as (raw add.path EXACTLY as committed,
-        resolved absolute path, partitionValues). The raw string
-        matters to writers: the log fold is keyed by it, so a remove
-        tombstone must reuse the committed bytes verbatim — re-encoding
-        a resolved path can produce a different percent-encoding
-        canonicalization than the foreign writer's, leaving the
-        original add live and silently resurrecting replaced rows.
-        partitionValues ride along because for a partitioned table the
-        partition columns' VALUES exist only here, never in the
-        parquet files."""
+        resolved absolute path, partitionValues, deletionVector
+        descriptor or None). The raw string matters to writers: the
+        log fold is keyed by it, so a remove tombstone must reuse the
+        committed bytes verbatim — re-encoding a resolved path can
+        produce a different percent-encoding canonicalization than the
+        foreign writer's, leaving the original add live and silently
+        resurrecting replaced rows. partitionValues ride along because
+        for a partitioned table the partition columns' VALUES exist
+        only here, never in the parquet files; the DV descriptor rides
+        so ``snapshot`` can APPLY it (a removed-then-readded path takes
+        the newest action's DV state, per the fold)."""
         from urllib.parse import unquote
 
         cp = self._cp  # ONE pointer read per operation: an external
         # checkpoint advance mid-call must not mix two generations
         cp_v = cp["version"] if cp is not None else None
         use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
-        state: dict[str, tuple[str, dict]] = {}
+        state: dict[str, tuple[str, dict, dict | None]] = {}
         if use_cp:
-            for p, pv in self._checkpoint_adds(cp):
-                state[p] = ("add", pv)
+            for p, pv, dv in self._checkpoint_adds_full(cp):
+                state[p] = ("add", pv, dv)
         for _, actions in self._json_commit_actions(
             cp_v + 1 if use_cp else 0, as_of
         ):
             for a in actions:
                 if "add" in a:
-                    if a["add"].get("deletionVector") is not None:
-                        raise NotImplementedError(
-                            f"add action for {a['add']['path']} carries "
-                            "a deletion vector; use a full Delta client"
-                        )
                     state[a["add"]["path"]] = (
-                        "add", a["add"].get("partitionValues") or {},
+                        "add",
+                        a["add"].get("partitionValues") or {},
+                        a["add"].get("deletionVector"),
                     )
                 elif "remove" in a:
-                    state[a["remove"]["path"]] = ("remove", {})
+                    state[a["remove"]["path"]] = ("remove", {}, None)
         return sorted(
-            (p, os.path.join(self.path, unquote(p)), pv)
-            for p, (act, pv) in state.items()
+            (p, os.path.join(self.path, unquote(p)), pv, dv)
+            for p, (act, pv, dv) in state.items()
             if act == "add"
         )
+
+    def _live_entries(
+        self, as_of: int | None = None
+    ) -> list[tuple[str, str, dict]]:
+        """The DV-free live fold WRITERS consume (optimize/vacuum/COW
+        treat files as plain rows, which with a live deletion vector
+        would resurrect deleted content — refuse loudly). Readers go
+        through ``snapshot``, which applies DVs (round 11); an add
+        whose DV was superseded by a later plain re-add folds clean."""
+        out = []
+        for raw, res, pv, dv in self._live_entries_full(as_of):
+            if dv is not None:
+                raise NotImplementedError(
+                    f"add action for {raw} carries a deletion vector — "
+                    "this caller treats files as plain rows, which would "
+                    "resurrect deleted content; snapshot() applies DVs; "
+                    "rewrite/maintain the table with its owning client"
+                )
+            out.append((raw, res, pv))
+        return out
 
     def _live_adds(self, as_of: int | None = None) -> list[tuple[str, dict]]:
         """(resolved absolute path, partitionValues) pairs, sorted."""
@@ -2657,18 +2708,58 @@ class DeltaLogTable:
         content, not NULLs under the newest shape (``changes`` pins
         its window head the same way). Partitioned tables get their
         partition columns synthesized from add.partitionValues (see
-        ``_assemble``) — the values live only in the log."""
+        ``_assemble``) — the values live only in the log.
+
+        DELETION VECTORS are applied (round 11; previously a refusal):
+        an add carrying a DV descriptor has its vector decoded
+        (inline/UUID-file/path storage, z85 + 64-bit portable roaring
+        per the public specs — operators/deletion_vectors.py) into
+        (file, row ordinal) pairs, and the scan LEFT ANTI-joins them
+        on ``_metadata`` file-path/row-index — the exact plan Iceberg
+        position deletes already execute here. WRITER paths
+        (optimize/vacuum/COW) still refuse DV'd tables loudly: they
+        treat files as plain rows, which would resurrect deleted
+        content."""
         proto, meta = self._protocol_meta(as_of)
         self._check_readable(proto, meta)
-        adds = self._live_adds(as_of)
-        if not adds:
+        entries = self._live_entries_full(as_of)
+        if not entries:
             raise ValueError(
                 f"delta table {self.path} has no live files at version "
                 f"{as_of if as_of is not None else 'latest'}"
             )
-        return self._assemble(
-            spark, adds, self.table_schema(as_of),
-            meta.get("partitionColumns") or [],
+        adds = sorted((res, pv) for _raw, res, pv, _dv in entries)
+        st = self.table_schema(as_of)
+        part_cols = meta.get("partitionColumns") or []
+        dv_entries = [(res, dv) for _raw, res, _pv, dv in entries if dv]
+        if not dv_entries:
+            return self._assemble(spark, adds, st, part_cols)
+        from algebraicdb_spark.operators.deletion_vectors import (
+            dv_positions,
+        )
+
+        del_rows = [
+            (res, int(pos))
+            for res, dv in dv_entries
+            for pos in dv_positions(self.path, dv)
+        ]
+        df = _assemble_groups(spark, adds, st, part_cols, with_metadata=True)
+        cols = [c for c in df.columns if c not in ("__fp", "__pos")]
+        if not del_rows:  # empty vectors: nothing to drop
+            return df.select(*cols)
+        # _metadata.file_path is a URI with percent-encoded specials —
+        # the same normalization as the Iceberg MoR join (strip scheme,
+        # decode WITHOUT '+'→space)
+        stripped = F.regexp_replace(
+            F.col("__fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", ""
+        )
+        df = df.withColumn(
+            "__lp", F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+        )
+        dels = spark.createDataFrame(del_rows, "__lp string, __pos long")
+        return (
+            df.join(F.broadcast(dels), ["__lp", "__pos"], "left_anti")
+            .select(*cols)
         )
 
 
