@@ -1802,14 +1802,17 @@ class TxnLogTable:
     def history(self) -> list[dict]:
         """(version, operation, n_adds, n_removes, data_change) per
         commit — DESCRIBE HISTORY's core, the audit view every table
-        format exposes. The operation CLASS is inferred from the
-        commit's action shape (the log records actions, not intents):
-        adds only → APPEND; data-changing removes + adds → REPLACE
-        (overwrite / copy-on-write rewrite); removes only → DELETE;
-        non-data-changing remove+add → OPTIMIZE; schema-only →
-        METADATA; txn-marker-only → TXN. O(commits) driver-side
-        metadata, full retained log (history is exactly the thing a
-        checkpoint must NOT hide)."""
+        format exposes. Copy-on-write commits RECORD their operation
+        in an ``info`` action (round 11) and report it verbatim
+        (DELETE vs UPDATE vs MERGE — shape inference cannot tell a
+        partial delete from an update, both are remove+add); older
+        commits fall back to action-shape classification: adds only →
+        APPEND; data-changing removes + adds → REPLACE (overwrite /
+        COW rewrite); removes only → DELETE; non-data-changing
+        remove+add → OPTIMIZE; schema-only → METADATA;
+        txn-marker-only → TXN. O(commits) driver-side metadata, full
+        retained log (history is exactly the thing a checkpoint must
+        NOT hide)."""
         out = []
         for commit in self._commits():
             acts = commit["actions"]
@@ -1818,7 +1821,13 @@ class TxnLogTable:
             dc = any(
                 a.get("data_change", True) for a in adds + removes
             )
-            if removes and not dc:
+            recorded = next(
+                (a.get("op") for a in acts if a["action"] == "info"),
+                None,
+            )
+            if recorded is not None:
+                op = recorded.upper()
+            elif removes and not dc:
                 op = "OPTIMIZE"
             elif removes and adds:
                 op = "REPLACE"
@@ -2032,9 +2041,10 @@ class IncrementalAggView:
         target = self.base.latest_version()
         if target <= hw:
             return None
-        # duck-typed bases (external DeltaLogTable) have no row-level
-        # feed — they keep the old contract: changes() raises on a
-        # data-changing remove and the caller rebuilds
+        # both bases (TxnLogTable AND external DeltaLogTable) expose
+        # the probe + row-level feed since round 11; getattr keeps any
+        # other duck-typed base on the old contract (changes() raises
+        # on a data-changing remove and the caller rebuilds)
         probe = getattr(self.base, "_window_has_dc_removes", None)
         if probe is not None and probe(hw, target):
             if self.min_cols or self.max_cols:
@@ -2682,6 +2692,150 @@ class DeltaLogTable:
             spark, adds, self.table_schema(hi),
             meta.get("partitionColumns") or [],
         )
+
+    def changes_cdf(
+        self, spark: SparkSession, since: int, to: int | None = None
+    ) -> DataFrame | None:
+        """ROW-LEVEL change feed over an EXTERNAL Delta table — the
+        interop twin of ``TxnLogTable.changes_cdf``: windows containing
+        data-changing removes (another engine's COW DELETE / UPDATE /
+        MERGE / overwrite) resolve by diffing the removed files'
+        content against their rewrites (multiset EXCEPT ALL; both sides
+        are immutable parquet until the owner's vacuum), labeled
+        ``_change_type`` + ``_commit_version``; commits whose
+        commitInfo.operation is UPDATE label update_preimage/
+        update_postimage, everything else delete/insert. Adds-only
+        commits emit plain inserts — the fast path's plan.
+
+        Same retention contract as ``changes``: the window must lie
+        within the surviving JSON commits (below a cleaned checkpoint
+        there is no change information — checkpoints store STATE), and
+        files the owner's retention already reclaimed refuse loudly.
+        DV'd adds inside the window refuse too — a deletion-vector
+        flip is a row mutation whose preimage lives under the SAME
+        path, which a path-keyed diff cannot attribute."""
+        from urllib.parse import unquote
+
+        latest = self.latest_version()
+        hi = latest if to is None else to
+        if hi > latest:
+            raise ValueError(
+                f"change window ({since}, {hi}] extends past the log head "
+                f"{latest} — recording it as a watermark would silently "
+                "skip the commits that land there later"
+            )
+        proto, meta = self._protocol_meta(hi)
+        self._check_readable(proto, meta)
+        part_cols = meta.get("partitionColumns") or []
+        st = self.table_schema(hi)
+        # partition values of removed files come from their original
+        # add actions — checkpoint live set + the JSON prefix
+        pv_by_path: dict[str, dict] = {}
+        cp = self._cp
+        lo = 0
+        if cp is not None:
+            for p, pv, _dv in self._checkpoint_adds_full(cp):
+                pv_by_path[p] = pv
+            lo = cp["version"] + 1
+        window: list[tuple[int, str | None, list[str], list[str]]] = []
+        for v, actions in self._json_commit_actions(lo, hi):
+            adds: list[str] = []
+            removes: list[str] = []
+            op = next(
+                (a["commitInfo"].get("operation") for a in actions
+                 if "commitInfo" in a),
+                None,
+            )
+            for a in actions:
+                if "add" in a:
+                    pv_by_path[a["add"]["path"]] = (
+                        a["add"].get("partitionValues") or {}
+                    )
+                    if a["add"].get("dataChange", True):
+                        if (
+                            v > since
+                            and a["add"].get("deletionVector") is not None
+                        ):
+                            raise NotImplementedError(
+                                f"version {v} committed a deletion-"
+                                "vector add inside the change window — "
+                                "its preimage lives under the same "
+                                "path; rebuild the consumer from the "
+                                "snapshot"
+                            )
+                        adds.append(a["add"]["path"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes.append(a["remove"]["path"])
+            if v > since and (adds or removes):
+                window.append((v, op, adds, removes))
+        if not window:
+            return None
+        def res(p: str) -> str:
+            return os.path.join(self.path, unquote(p))
+
+        gone = sorted({
+            p
+            for _v, _op, adds, removes in window
+            for p in adds + removes
+            if not os.path.exists(res(p))
+        })
+        if gone:
+            raise ValueError(
+                f"change window ({since}, {hi}] references data the "
+                f"external writer's retention already cleaned "
+                f"({gone[:3]}…) — row-level changes need the removed "
+                "bytes; consume within its retention, or rebuild from "
+                "the snapshot"
+            )
+        frames: list[DataFrame] = []
+        for v, op, adds, removes in window:
+            add_pairs = [(res(p), pv_by_path.get(p) or {}) for p in adds]
+            if not removes:
+                frames.append(
+                    self._assemble(spark, add_pairs, st, part_cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
+            rem_pairs = [(res(p), pv_by_path.get(p) or {}) for p in removes]
+            r_df = self._assemble(spark, rem_pairs, st, part_cols)
+            a_df = (
+                self._assemble(spark, add_pairs, st, part_cols)
+                if add_pairs
+                else r_df.limit(0)
+            )
+            pre, post = (
+                ("update_preimage", "update_postimage")
+                if (op or "").upper() == "UPDATE"
+                else ("delete", "insert")
+            )
+            frames.append(
+                r_df.exceptAll(a_df)
+                .withColumn("_change_type", F.lit(pre))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            frames.append(
+                a_df.exceptAll(r_df)
+                .withColumn("_change_type", F.lit(post))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _window_has_dc_removes(self, since: int, to: int) -> bool:
+        """Driver-side probe (see TxnLogTable._window_has_dc_removes):
+        does (``since``, ``to``] contain a data-changing remove? Lets
+        IncrementalAggView pick adds-only vs row-level folding over an
+        EXTERNAL table without a Spark job. Windows below a cleaned
+        checkpoint raise via the contiguity check — there is no change
+        information there either way."""
+        for _v, actions in self._json_commit_actions(since + 1, to):
+            for a in actions:
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    return True
+        return False
 
     def history(self) -> list[dict]:
         """(version, operation) per SURVIVING JSON commit — DESCRIBE

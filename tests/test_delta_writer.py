@@ -335,6 +335,54 @@ class TestDeltaWriterRoundTrip:
         assert doomed == old_files
         assert not any(os.path.exists(p) for p in old_files)
 
+    def test_row_level_cdf_over_cow_commits(self, spark, tmp_path):
+        """`DeltaLogTable.changes_cdf`: the row-level feed resolves COW
+        windows on the standard format — deletes emit only the deleted
+        rows (carried-through rows cancel in the EXCEPT ALL), UPDATE
+        commits label preimage/postimage via commitInfo.operation, and
+        an IncrementalAggView folds it all O(delta) bit-equal."""
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            IncrementalAggView,
+        )
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10.0), (2, 20.0), (3, 30.0)],
+                     "k long, v double").coalesce(1))
+        w.delete(spark, "k = 2")                       # v1
+        w.update(spark, {"v": "v + 1"}, "k = 3")       # v2
+        t = DeltaLogTable(root)
+        cdf = t.changes_cdf(spark, since=0)
+        got = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in cdf.collect()
+        }
+        assert got == {
+            (2, 20.0, "delete", 1),
+            (3, 30.0, "update_preimage", 2),
+            (3, 31.0, "update_postimage", 2),
+        }
+        assert t.changes_cdf(spark, since=0).where(
+            "_change_type = 'delete'"
+        ).count() == 1
+        assert t.changes_cdf(spark, since=2) is None
+        # full-window inserts included
+        assert t.changes_cdf(spark, since=-1).where(
+            "_change_type = 'insert'").count() == 3
+        # an IncrementalAggView folds the whole mutating history
+        view = IncrementalAggView(
+            t, str(tmp_path / "view"), group_cols=["k"], sum_cols=["v"],
+        )
+        assert view.refresh(spark) == 2
+        want = view._partial(t.snapshot(spark))
+        assert view.read(spark).exceptAll(want).count() == 0
+        assert want.exceptAll(view.read(spark)).count() == 0
+        # past the owner's retention: vacuum, then the window refuses
+        w.vacuum(retain_versions=1)
+        with pytest.raises(ValueError, match="retention"):
+            t.changes_cdf(spark, since=0)
+
     def test_change_feed_over_own_output(self, spark, tables, tmp_path):
         root = str(tmp_path / "t")
         w = DeltaTableWriter(root)
@@ -684,7 +732,9 @@ class TestDeltaWriterRoundTrip:
         eng.sql(f"ATTACH TABLE tl FROM txnlog LOCATION '{t.path}'")
         hist = eng.sql("DESCRIBE HISTORY tl").collect()
         assert [(h["version"], h["operation"]) for h in hist] == [
-            (0, "APPEND"), (1, "APPEND"), (2, "OPTIMIZE"), (3, "REPLACE"),
+            # the COW delete RECORDS its operation since round 11 —
+            # shape inference alone would have said REPLACE
+            (0, "APPEND"), (1, "APPEND"), (2, "OPTIMIZE"), (3, "DELETE"),
         ]
         assert hist[2]["data_change"] is False
         # delta: the writer's commitInfo operations surface

@@ -910,16 +910,29 @@ class TestIncrementalViewOverDelta:
         commit(2, [add("f1.parquet", dc=False)])
         assert v.refresh(spark) == 2
         assert v.read(spark).exceptAll(want).count() == 0
-        # a data-changing remove breaks the feed; rebuild recovers
+        # a data-changing remove by the EXTERNAL writer folds through
+        # the row-level feed as retractions (round 11) — no rebuild
+        # for a sum/count view, still bit-equal to recompute
         commit(3, [{"commitInfo": {"operation": "DELETE"}},
                    {"remove": {"path": "f2.parquet", "deletionTimestamp": 0,
                                "dataChange": True}}])
-        with _pytest.raises(ValueError, match="adds-only"):
-            v.refresh(spark)
-        assert v.rebuild(spark) == 3
+        assert v.refresh(spark) == 3
         want3 = v._partial(t.snapshot(spark))
         assert v.read(spark).exceptAll(want3).count() == 0
         assert want3.exceptAll(v.read(spark)).count() == 0
+        # the adds-only fast feed still refuses such a window (its
+        # contract is unchanged — consumers opt into the row-level one)
+        with _pytest.raises(ValueError, match="adds-only"):
+            t.changes(spark, since=2, to=3)
+        # …and a min/max view over the same base refuses with the
+        # not-retractable message instead of silently folding
+        v2 = IncrementalAggView(
+            t, str(tmp_path / "view2"),
+            group_cols=["o_orderpriority"], sum_cols=["o_totalprice"],
+            min_cols=["o_totalprice"],
+        )
+        with _pytest.raises(ValueError, match="min/max"):
+            v2.refresh(spark)
 
 
 class TestDeltaLogTable:
