@@ -152,7 +152,8 @@ _TRUNCATE_RE = re.compile(
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>\w+)\s+USING\s+(?P<source>\w+)"
     r"\s+ON\s+(?P<cond>.+?)"
-    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?))?"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((?P<ins>.+)\))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,

@@ -935,12 +935,14 @@ class Engine:
         target, source = m.group("target"), m.group("source")
         self._refuse_view_mutation("MERGE INTO", target)
         cond = m.group("cond").strip()
+        mdel = m.group("mdel") is not None
         if target == source:
             raise AdtError("MERGE: target and source must differ")
-        if m.group("sets") is None and m.group("ins") is None:
+        if m.group("sets") is None and m.group("ins") is None and not mdel:
             raise AdtError(
                 "MERGE needs at least one WHEN clause (WHEN MATCHED THEN "
-                "UPDATE SET … and/or WHEN NOT MATCHED THEN INSERT VALUES …)"
+                "UPDATE SET … / WHEN MATCHED THEN DELETE and/or WHEN NOT "
+                "MATCHED THEN INSERT VALUES …)"
             )
         try:
             cols = [f.name for f in self.spark.table(target).schema.fields]
@@ -981,10 +983,38 @@ class Engine:
                     else None,
                     target_alias=target,
                     source_alias=source,
+                    delete_matched=mdel,
                 )
             except ValueError as exc:
                 raise AdtError(f"MERGE {target}: {exc}") from exc
             self._reattach_after_mutation(target, t)
+            return None
+        if mdel:
+            # WHEN MATCHED THEN DELETE on a dialect table: matched rows
+            # drop, target-only rows pass through, source-only rows
+            # insert (when the clause exists) — same full-outer
+            # lowering, different row filter
+            items = []
+            for i, c in enumerate(cols):
+                ins = ins_exprs[i] if ins_exprs is not None else "NULL"
+                items.append(
+                    f"CASE WHEN {target}.__t IS NOT NULL THEN {target}.{c} "
+                    f"ELSE ({ins}) END AS {c}"
+                )
+            keep = (
+                f"NOT ({target}.__t IS NOT NULL AND {source}.__s IS NOT NULL)"
+                if ins_exprs is not None
+                else f"{target}.__t IS NOT NULL AND {source}.__s IS NULL"
+            )
+            sql = (
+                f"SELECT {', '.join(items)} FROM "
+                f"(SELECT *, TRUE AS __t FROM {target}) {target} FULL OUTER "
+                f"JOIN (SELECT *, TRUE AS __s FROM {source}) {source} "
+                f"ON {cond} WHERE {keep}"
+            )
+            merged = self.spark.sql(self._rewrite(sql))
+            merged.createOrReplaceTempView(target)
+            self._invalidate_stats(target)
             return None
         items = []
         for i, c in enumerate(cols):

@@ -824,23 +824,33 @@ class DeltaTableWriter:
         target_alias: str = "t",
         source_alias: str = "s",
         max_retries: int = 8,
+        delete_matched: bool = False,
     ) -> dict:
         """``MERGE INTO`` as ONE copy-on-write commit on the standard
         format — the same plan as ``TxnLogTable.merge`` (probe
         semi-join → rewrite only reached files → anti-join inserts →
         atomic remove+add), with the same free multi-match refusal
         (a matched rewrite preserves row count; staged footers
-        disagreeing with input footers IS the multi-match signal)."""
+        disagreeing with input footers IS the multi-match signal) and
+        the same ``delete_matched`` WHEN MATCHED THEN DELETE clause
+        (fully-matching files drop without rewrite I/O; partial files
+        rewrite via LEFT ANTI)."""
         from pyspark.sql import functions as F
 
         if self.latest_version() < 0:
             raise ValueError(
                 f"delta table {self.path} has no commits to merge into"
             )
-        if not assignments and insert_exprs is None:
+        if delete_matched and assignments:
             raise ValueError(
-                "MERGE needs WHEN MATCHED THEN UPDATE assignments "
-                "and/or WHEN NOT MATCHED THEN INSERT expressions"
+                "MERGE: WHEN MATCHED THEN DELETE and THEN UPDATE are "
+                "mutually exclusive in this dialect"
+            )
+        if not assignments and not delete_matched and insert_exprs is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE assignments, "
+                "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
+                "THEN INSERT expressions"
             )
         rdr, entries, st, part_cols, by_local = self._cow_context(spark)
         if assignments:
@@ -856,7 +866,7 @@ class DeltaTableWriter:
         cond_col = F.expr(cond)
         by_raw: dict[str, int] = {}
         matched = 0
-        if assignments and entries:
+        if (assignments or delete_matched) and entries:
             from urllib.parse import unquote, urlparse
 
             tgt = rdr._assemble(
@@ -886,7 +896,25 @@ class DeltaTableWriter:
             matched = sum(by_raw.values())
         affected = sorted(by_raw)
         staged: list[tuple[str, dict]] = []
-        if affected:
+        rewritten = len(affected)
+        if affected and delete_matched:
+            partial = [
+                raw for raw in affected
+                if by_raw[raw] != self._file_rows(res_of[raw])
+            ]
+            rewritten = len(partial)
+            if partial:
+                keep = (
+                    rdr._assemble(
+                        spark,
+                        [(res_of[raw], pv_of[raw]) for raw in partial],
+                        st, part_cols,
+                    )
+                    .alias(target_alias)
+                    .join(source.alias(source_alias), cond_col, "left_anti")
+                )
+                staged = self._stage(keep, part_cols)
+        elif affected:
             aff = rdr._assemble(
                 spark,
                 [(res_of[raw], pv_of[raw]) for raw in affected],
@@ -977,7 +1005,7 @@ class DeltaTableWriter:
             "version": version,
             "rows_matched": matched,
             "rows_inserted": rows_inserted,
-            "files_rewritten": len(affected),
+            "files_rewritten": rewritten,
         }
 
     # -- maintenance -------------------------------------------------------

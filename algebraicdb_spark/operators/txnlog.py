@@ -1289,6 +1289,7 @@ class TxnLogTable:
         skip: list[tuple] | None = None,
         stats_cols: list[str] | None = None,
         max_retries: int = 8,
+        delete_matched: bool = False,
     ) -> dict:
         """``MERGE INTO target USING source ON cond`` as ONE atomic
         copy-on-write commit — the round-10 verdict's found defect was
@@ -1322,6 +1323,13 @@ class TxnLogTable:
         multi-match signal — checked before publish, unstaged on
         refusal, zero extra Spark jobs.
 
+        ``delete_matched`` is the WHEN MATCHED THEN DELETE clause
+        (mutually exclusive with ``assignments``): matched rows DROP —
+        fully-matching files become pure removes (zero rewrite I/O,
+        like ``delete``), partial files rewrite through a LEFT ANTI
+        join, and multi-matching sources are harmless by construction
+        (dropping a row once or thrice is the same drop).
+
         Returns {"version", "rows_matched", "rows_inserted",
         "files_rewritten"}; a merge that matches nothing and inserts
         nothing commits nothing (version None)."""
@@ -1329,10 +1337,16 @@ class TxnLogTable:
             raise ValueError(
                 f"txnlog table {self.path} has no commits to merge into"
             )
-        if not assignments and insert_exprs is None:
+        if delete_matched and assignments:
             raise ValueError(
-                "MERGE needs WHEN MATCHED THEN UPDATE assignments "
-                "and/or WHEN NOT MATCHED THEN INSERT expressions"
+                "MERGE: WHEN MATCHED THEN DELETE and THEN UPDATE are "
+                "mutually exclusive in this dialect"
+            )
+        if not assignments and not delete_matched and insert_exprs is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE assignments, "
+                "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
+                "THEN INSERT expressions"
             )
         state = self._live_state()
         schema_json, parts = self._meta_at()
@@ -1356,7 +1370,7 @@ class TxnLogTable:
         cond_col = F.expr(cond)
         by_dir: dict[str, int] = {}
         matched = 0
-        if assignments and state:
+        if (assignments or delete_matched) and state:
             # ONE distributed probe: which files hold rows with ≥1
             # source match, and how many such rows — the merge twin of
             # _probe_affected (the predicate is join-existence, so the
@@ -1389,8 +1403,26 @@ class TxnLogTable:
                 matched = sum(by_dir.values())
         affected = sorted(by_dir)
         staged: list[tuple[str, dict]] = []
-        rewrite_input_rows = 0
-        if affected:
+        rewritten = len(affected)
+        if affected and delete_matched:
+            # WHEN MATCHED THEN DELETE: same file classes as delete() —
+            # fully-matching dirs drop with zero rewrite I/O, partial
+            # dirs rewrite keeping only the UNMATCHED rows (left anti)
+            partial = [
+                d for d in affected
+                if by_dir[d] != self._dir_row_count(d)
+            ]
+            rewritten = len(partial)
+            if partial:
+                keep = (
+                    self._scan_adds(
+                        spark, [(p, state[p][1]) for p in partial]
+                    )
+                    .alias(target_alias)
+                    .join(source.alias(source_alias), cond_col, "left_anti")
+                )
+                staged = self._stage_any(keep, parts)
+        elif affected:
             aff = self._scan_adds(
                 spark, [(p, state[p][1]) for p in affected]
             )
@@ -1475,7 +1507,7 @@ class TxnLogTable:
             "version": version,
             "rows_matched": matched,
             "rows_inserted": rows_inserted,
-            "files_rewritten": len(affected),
+            "files_rewritten": rewritten,
         }
 
     def changes(

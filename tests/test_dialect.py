@@ -768,6 +768,33 @@ class TestMerge:
         eng2.sql("DROP TABLE mg_i")
         eng2.sql("DROP TABLE mg_is")
 
+    def test_merge_matched_delete(self, spark):
+        """WHEN MATCHED THEN DELETE (round 11): matched rows drop,
+        target-only rows pass through, and the INSERT clause still
+        lands source-only rows."""
+        eng2 = Engine(spark)
+        eng2.sql("CREATE TABLE mg_d (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_d VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+        eng2.sql("CREATE TABLE mg_ds (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_ds VALUES (2, 0.0), (9, 9.0)")
+        eng2.sql(
+            "MERGE INTO mg_d USING mg_ds ON mg_d.k = mg_ds.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT VALUES (mg_ds.k, mg_ds.v)"
+        )
+        got = {r.k: r.v for r in eng2.table("mg_d").collect()}
+        assert got == {1: 1.0, 3: 3.0, 9: 9.0}  # 2 deleted, 9 inserted
+        # delete-only form drops matched and unmatched-source alike
+        eng2.sql("CREATE TABLE mg_d2 (k: Integer, v: Double)")
+        eng2.sql("INSERT INTO mg_d2 VALUES (1, 1.0), (2, 2.0)")
+        eng2.sql(
+            "MERGE INTO mg_d2 USING mg_ds ON mg_d2.k = mg_ds.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+        assert {r.k for r in eng2.table("mg_d2").collect()} == {1}
+        for t in ("mg_d", "mg_ds", "mg_d2"):
+            eng2.sql(f"DROP TABLE {t}")
+
     def test_merge_errors(self, spark):
         eng2 = Engine(spark)
         eng2.sql("CREATE TABLE mg_e (k: Integer)")

@@ -2128,6 +2128,47 @@ class TestTransactionalMerge:
             for _p, (_st, state_pv) in t._live_state().items()
         )
 
+    def test_merge_matched_delete_cow(self, spark, tmp_path):
+        """WHEN MATCHED THEN DELETE as one COW commit: fully-matching
+        files drop with zero rewrite I/O, partial files rewrite via
+        LEFT ANTI, multi-matching sources are harmless, and the SQL
+        surface reaches it on BOTH writable formats."""
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        t = self._three_file_table(spark, tmp_path)
+        before = set(t.live_paths())
+        # ks 3 AND 4 = file 2 entirely; k 1 = half of file 1; k 9 = no-op;
+        # the duplicate k=1 row proves delete tolerates multi-match
+        src = spark.createDataFrame(
+            [(3, 0.0), (4, 0.0), (1, 0.0), (1, 1.0), (9, 0.0)],
+            "k long, x double",
+        )
+        res = t.merge(spark, src, "t.k = s.k", None, None,
+                      delete_matched=True)
+        assert res["rows_matched"] == 3
+        assert res["files_rewritten"] == 1  # only the partial file
+        got = sorted(r["k"] for r in t.snapshot(spark).collect())
+        assert got == [2, 5, 6]
+        # the untouched file kept its ORIGINAL add entry
+        assert len(before & set(t.live_paths())) == 1
+        # SQL surface on a delta attachment
+        droot = str(tmp_path / "d")
+        w = DeltaTableWriter(droot)
+        w.append(spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "k long, v double").coalesce(1))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE mdl FROM delta LOCATION '{droot}'")
+        eng.create_table(
+            "mdsrc", spark.createDataFrame([(2, 0.0)], "k long, x double"))
+        eng.sql(
+            "MERGE INTO mdl USING mdsrc ON mdl.k = mdsrc.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+        assert {r["k"] for r in eng.sql("SELECT * FROM mdl").collect()} == {1}
+        assert DeltaLogTable(droot).snapshot(spark).count() == 1
+
     def test_dialect_merge_on_attached_table(self, spark, tmp_path):
         import pytest as _pytest
 
