@@ -727,6 +727,12 @@ class Engine:
                 f"ALTER TABLE: {name!r} is a materialized view — alter its "
                 "defining query (DROP + CREATE MATERIALIZED VIEW) instead"
             )
+        if name in self._attached:
+            # a view-swap ALTER on an attached table would revert on
+            # REFRESH (the round-10 silent-loss class) — ADD COLUMN
+            # commits a metaData-only evolution through the log;
+            # DROP/RENAME need column mapping / a rewrite and refuse
+            return self._alter_attached(name, action)
         td = self._tables.get(name)
         if td is None:
             try:
@@ -784,6 +790,62 @@ class Engine:
                 "RENAME COLUMN a TO b)"
             )
         self._invalidate_stats(name)
+
+    def _alter_attached(self, name: str, action: str) -> None:
+        """ALTER TABLE on an ATTACHed lakehouse table: ADD COLUMN
+        commits a METADATA-ONLY additive evolution through the table's
+        own log (no data rewrite — reads pin the schema and surface
+        NULL in old files; the transactional twin of the view-swap
+        ALTER). DROP/RENAME refuse: on the standard format they
+        require column mapping, and a faithful rewrite is an
+        overwrite-shaped operation; DEFAULT backfill refuses too (it
+        rewrites every row — ADD without DEFAULT, then UPDATE)."""
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        att = self._attached[name]
+        if att["fmt"] == "iceberg":
+            raise AdtError(
+                f"ALTER TABLE: {name!r} is iceberg interop — read-only; "
+                "evolve it with its owning system"
+            )
+        if att["version"] is not None:
+            raise AdtError(
+                f"ALTER TABLE: {name!r} is pinned at VERSION "
+                f"{att['version']} — re-ATTACH at latest before evolving"
+            )
+        am = _ALTER_ADD_RE.match(action)
+        if am is None:
+            raise AdtError(
+                f"ALTER TABLE on attached table {name!r} supports ADD "
+                "COLUMN only (DROP needs column mapping, RENAME a "
+                "rewrite — evolve those with the owning system)"
+            )
+        if am.group("default") is not None:
+            raise AdtError(
+                f"ALTER TABLE {name}: DEFAULT backfill rewrites every "
+                "row of a lakehouse table — ADD the column (old rows "
+                "read NULL), then UPDATE to backfill"
+            )
+        col, tname = am.group("col"), am.group("type")
+        if tname in self._types:
+            raise AdtError(
+                f"ALTER TABLE {name}: ADT-typed columns are dialect-"
+                "table metadata — a lakehouse schemaString cannot carry "
+                f"the {tname} declaration; add a struct column via the "
+                "owning writer instead"
+            )
+        t = (
+            DeltaTableWriter(att["path"])
+            if att["fmt"] == "delta"
+            else TxnLogTable(att["path"])
+        )
+        try:
+            t.evolve_add_column(col, spark_type(tname))
+        except ValueError as exc:
+            raise AdtError(f"ALTER TABLE {name}: {exc}") from exc
+        self._attach_table_stmt(name, att["fmt"], att["path"], None)
+        return None
 
     @staticmethod
     def _copy_format(fmt: str | None) -> str:
@@ -892,6 +954,13 @@ class Engine:
         self._invalidate_stats(name)
 
     def _insert_stmt(self, stmt: str) -> None:
+        """INSERT INTO t VALUES … — a view-union swap on dialect
+        tables; on an ATTACHed lakehouse table the batch becomes a
+        REAL append commit through the format's writer (the same
+        silent-loss class as the round-10 MERGE/COPY defect: a view
+        union would revert on REFRESH and desync later COW
+        mutations). Values cast to the table's live schema so literal
+        typing (int vs bigint) never trips the writers' schema gate."""
         name = _INSERT_RE.match(stmt).group("name")
         self._refuse_view_mutation("INSERT", name)
         td = self._tables.get(name)
@@ -899,6 +968,40 @@ class Engine:
             raise AdtError(f"INSERT into unknown table {name!r}")
         _, rows = parse_insert_rows(stmt, td, self._types)
         batch = self.spark.sql(" UNION ALL ".join(f"SELECT {r}" for r in rows))
+        if name in self._attached:
+            from algebraicdb_spark.operators.delta_writer import (
+                DeltaTableWriter,
+            )
+            from algebraicdb_spark.operators.iceberg_writer import (
+                IcebergTableWriter,
+            )
+            from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+            att = self._attached[name]
+            if att["version"] is not None:
+                raise AdtError(
+                    f"INSERT: {name!r} is pinned at VERSION "
+                    f"{att['version']} — re-ATTACH at latest before "
+                    "appending"
+                )
+            live = self.spark.table(name).schema
+            typed = batch.select(
+                *[
+                    F.col(bc).cast(f.dataType).alias(f.name)
+                    for bc, f in zip(batch.columns, live.fields)
+                ]
+            )
+            writers = {
+                "delta": DeltaTableWriter,
+                "iceberg": IcebergTableWriter,
+                "txnlog": TxnLogTable,
+            }
+            try:
+                writers[att["fmt"]](att["path"]).append(typed)
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"INSERT {name}: {exc}") from exc
+            self._attach_table_stmt(name, att["fmt"], att["path"], None)
+            return
         self.table(name).unionByName(batch).createOrReplaceTempView(name)
         self._invalidate_stats(name)
 

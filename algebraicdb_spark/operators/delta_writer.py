@@ -574,6 +574,53 @@ class DeltaTableWriter:
             raise
         return expected_version
 
+    def evolve_add_column(
+        self, name: str, ddl_type: str, max_retries: int = 8
+    ) -> int:
+        """ADDITIVE schema evolution as a METADATA-ONLY commit on the
+        standard format (`ALTER TABLE … ADD COLUMN` with no data
+        rewrite — readers pin schemaString, old files surface NULL).
+        The stable table id carries through (`_evolved_meta`); a
+        racer's commit forces a re-read + retry."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(max_retries):
+            rdr = self.reader()
+            _proto, cur_meta = rdr._protocol_meta()
+            st = parse_schema_string(
+                (cur_meta or {}).get("schemaString"), self.path
+            )
+            if st is None:
+                raise ValueError(
+                    "ALTER on a schema-less delta table — record a "
+                    "schema first (any append does)"
+                )
+            if name in [f.name for f in st.fields]:
+                raise ValueError(
+                    f"ALTER TABLE: column {name!r} already exists"
+                )
+            widened = StructType(
+                st.fields + list(StructType.fromDDL(f"{name} {ddl_type}"))
+            )
+            meta = self._evolved_meta(
+                cur_meta, widened.json(), self._cur_parts(cur_meta)
+            )
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, [
+                    self._commit_info(
+                        "ADD COLUMNS", columns=[name]
+                    ),
+                    meta,
+                ])
+                return version
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"evolve_add_column lost {max_retries} publish races — "
+            "table is under pathological write contention"
+        )
+
     # -- copy-on-write row mutation ------------------------------------------
 
     def _cow_context(self, spark: SparkSession):

@@ -1033,6 +1033,45 @@ class TxnLogTable:
             ],
         )
 
+    def evolve_add_column(
+        self, name: str, ddl_type: str, max_retries: int = 8
+    ) -> int:
+        """ADDITIVE schema evolution as a METADATA-ONLY commit — the
+        transactional `ALTER TABLE … ADD COLUMN` (no data rewrite:
+        every read pins the table schema, so existing files surface
+        NULL for the new column). The same additive-only rule as the
+        append gate; a racer's commit forces a re-read + retry."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(max_retries):
+            cur, parts = self._meta_at()
+            if cur is None:
+                raise ValueError(
+                    "ALTER on a pre-schema-tracking table — record a "
+                    "schema first (any append does)"
+                )
+            st = StructType.fromJson(json.loads(cur))
+            if name in [f.name for f in st.fields]:
+                raise ValueError(
+                    f"ALTER TABLE: column {name!r} already exists"
+                )
+            widened = StructType(
+                st.fields + list(StructType.fromDDL(f"{name} {ddl_type}"))
+            )
+            meta = {"action": "metaData", "schema": widened.json()}
+            if parts:
+                meta["partition_columns"] = parts
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, [meta])
+                return version
+            except ConcurrentWriteError:
+                continue  # racer took the slot: re-derive off its head
+        raise ConcurrentWriteError(
+            f"evolve_add_column lost {max_retries} publish races — "
+            "table is under pathological write contention"
+        )
+
     # -- copy-on-write row mutation ---------------------------------------
 
     @staticmethod

@@ -2273,6 +2273,93 @@ class TestTransactionalMerge:
                 "WHEN MATCHED THEN UPDATE SET v = rsrc.nv"
             )
 
+    def test_dialect_insert_into_attached_commits_for_real(
+        self, spark, tmp_path
+    ):
+        """INSERT INTO an ATTACHed table is a REAL append commit —
+        the same silent-loss class as the round-10 MERGE/COPY defect:
+        the old view-union reverted on REFRESH TABLE."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        t = self._three_file_table(spark, tmp_path)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE itl FROM txnlog LOCATION '{t.path}'")
+        v = t.latest_version()
+        eng.sql("INSERT INTO itl VALUES (8, 80.0), (9, 90.0)")
+        assert TxnLogTable(t.path).latest_version() == v + 1
+        eng.sql("REFRESH TABLE itl")  # survives re-resolution
+        assert eng.sql("SELECT * FROM itl").count() == 8
+        # the int literal was cast to the table's bigint — the schema
+        # gate did not trip, and the log carries the typed rows
+        assert TxnLogTable(t.path).snapshot(spark).where(
+            "k = 9").collect()[0]["v"] == 90.0
+        # delta attachment appends through the standard writer
+        droot = str(tmp_path / "di")
+        DeltaTableWriter(droot).append(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"))
+        eng.sql(f"ATTACH TABLE idl FROM delta LOCATION '{droot}'")
+        eng.sql("INSERT INTO idl VALUES (2, 2.0)")
+        eng.sql("REFRESH TABLE idl")
+        assert DeltaLogTable(droot).snapshot(spark).count() == 2
+        # VERSION-pinned refuses
+        eng.sql(
+            f"ATTACH TABLE ipin FROM txnlog LOCATION '{t.path}' VERSION 1"
+        )
+        with _pytest.raises(AdtError, match="pinned"):
+            eng.sql("INSERT INTO ipin VALUES (1, 1.0)")
+
+    def test_dialect_alter_attached_is_metadata_commit(
+        self, spark, tmp_path
+    ):
+        """ALTER TABLE … ADD COLUMN on an ATTACHed table commits a
+        metaData-only evolution through the log (no data rewrite, old
+        rows read NULL, survives REFRESH); DROP/RENAME/DEFAULT refuse."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        t = self._three_file_table(spark, tmp_path)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE atl FROM txnlog LOCATION '{t.path}'")
+        v = t.latest_version()
+        eng.sql("ALTER TABLE atl ADD COLUMN score: Double")
+        assert TxnLogTable(t.path).latest_version() == v + 1
+        eng.sql("REFRESH TABLE atl")
+        df = eng.sql("SELECT * FROM atl")
+        assert df.columns == ["k", "v", "score"]
+        assert df.where("score IS NULL").count() == 6
+        # the evolution is IN the log: appends under the new shape work
+        eng.sql("INSERT INTO atl VALUES (7, 70.0, 0.5)")
+        assert eng.sql(
+            "SELECT score FROM atl WHERE k = 7").collect()[0][0] == 0.5
+        with _pytest.raises(AdtError, match="already exists"):
+            eng.sql("ALTER TABLE atl ADD COLUMN score: Double")
+        with _pytest.raises(AdtError, match="ADD COLUMN only"):
+            eng.sql("ALTER TABLE atl DROP COLUMN v")
+        with _pytest.raises(AdtError, match="backfill"):
+            eng.sql("ALTER TABLE atl ADD COLUMN z: Double DEFAULT 1.0")
+        # delta: metaData-only commit other engines read
+        droot = str(tmp_path / "da")
+        DeltaTableWriter(droot).append(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"))
+        eng.sql(f"ATTACH TABLE adl FROM delta LOCATION '{droot}'")
+        eng.sql("ALTER TABLE adl ADD COLUMN tag: Text")
+        snap = DeltaLogTable(droot).snapshot(spark)
+        assert snap.columns == ["k", "v", "tag"]
+        assert snap.collect()[0]["tag"] is None
+
     def test_dialect_copy_from_attached_commits_for_real(
         self, spark, tmp_path
     ):
