@@ -814,6 +814,17 @@ class Engine:
                 f"ALTER TABLE: {name!r} is pinned at VERSION "
                 f"{att['version']} — re-ATTACH at latest before evolving"
             )
+        if re.fullmatch(
+            r"ENABLE\s+DELETION\s+VECTORS", action, re.IGNORECASE
+        ):
+            if att["fmt"] != "delta":
+                raise AdtError(
+                    f"ALTER TABLE {name}: deletion vectors are a Delta "
+                    f"protocol feature — {att['fmt']} tables delete "
+                    "copy-on-write"
+                )
+            DeltaTableWriter(att["path"]).enable_deletion_vectors()
+            return None
         am = _ALTER_ADD_RE.match(action)
         if am is None:
             raise AdtError(
@@ -1179,7 +1190,15 @@ class Engine:
         schema = t.table_schema()
         if isinstance(schema, str):  # txnlog serializes; delta returns
             schema = StructType.fromJson(_json.loads(schema))
-        if t.live_paths():
+        try:
+            non_empty = bool(t.live_paths())
+        except NotImplementedError:
+            # live_paths refuses when a live add carries a deletion
+            # vector (a raw path list would resurrect deleted rows) —
+            # which itself proves the table is non-empty; snapshot()
+            # applies the vectors
+            non_empty = True
+        if non_empty:
             df = t.snapshot(self.spark)
         elif schema is not None:
             df = self.spark.createDataFrame([], schema)

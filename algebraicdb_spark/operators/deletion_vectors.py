@@ -65,6 +65,24 @@ _DV_MAGIC = 1681511377
 _MAX_POSITIONS = 10_000_000  # refuse absurd driver-side decodes loudly
 
 
+def z85_encode(b: bytes) -> str:
+    """ZeroMQ Z85: 4 big-endian bytes → 5 chars. Strict per spec 32 —
+    length must be a multiple of 4 (DV callers pad and record the true
+    length in the descriptor's ``sizeInBytes``, which the decode path
+    trims by)."""
+    if len(b) % 4:
+        raise ValueError(f"z85 input length {len(b)} is not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        (acc,) = struct.unpack_from(">I", b, i)
+        chunk = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            chunk.append(_Z85_ALPHABET[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
 def z85_decode(s: str) -> bytes:
     """ZeroMQ Z85: 5 chars → 4 big-endian bytes."""
     if len(s) % 5:
@@ -264,3 +282,118 @@ def dv_positions(table_path: str, dv: dict) -> list[int]:
             f"{len(positions)} positions — corrupt descriptor"
         )
     return positions
+
+
+# -- encode half (round 11): merge-on-read DELETE writes vectors ----------
+#
+# The writer is the schema-driven twin of the decoder above, emitting the
+# same three published layouts (official RoaringFormatSpec with the NO_RUN
+# cookie — run containers are a size optimization the spec makes optional
+# for writers; every compliant reader, including ours, accepts both).
+# Round-trip agreement with the decoder is NOT the correctness argument —
+# the decoder was pinned against hand-encoded byte fixtures, so the writer
+# is proven against an independently-validated reader (the established
+# two-path codec methodology), plus its own byte-level pins in tests.
+
+
+def _encode_rb32(values: list[int]) -> bytes:
+    """One standard 32-bit RoaringBitmap (sorted distinct uint32 in;
+    official format out, cookie 12346 — offset header always present)."""
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    n = len(keys)
+    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(buckets[k]) - 1) for k in keys
+    )
+    payloads = []
+    for k in keys:
+        lows = buckets[k]
+        if len(lows) > 4096:  # bitmap container: fixed 8 KiB bitset
+            bits = bytearray(8192)
+            for lo in lows:
+                bits[lo >> 3] |= 1 << (lo & 7)
+            payloads.append(bytes(bits))
+        else:  # array container
+            payloads.append(struct.pack(f"<{len(lows)}H", *lows))
+    offsets = []
+    at = len(head) + len(desc) + 4 * n
+    for p in payloads:
+        offsets.append(at)
+        at += len(p)
+    return (
+        head + desc
+        + b"".join(struct.pack("<I", o) for o in offsets)
+        + b"".join(payloads)
+    )
+
+
+def roaring64_serialize(positions: list[int]) -> bytes:
+    """Portable-format 64-bit RoaringBitmapArray from sorted distinct
+    row ordinals — the payload a Delta deletion vector frames."""
+    buckets: dict[int, list[int]] = {}
+    for p in positions:
+        if p < 0:
+            raise ValueError(f"negative row ordinal {p}")
+        buckets.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = [struct.pack("<q", len(buckets))]
+    for key in sorted(buckets):
+        out.append(struct.pack("<I", key))
+        out.append(_encode_rb32(sorted(set(buckets[key]))))
+    return b"".join(out)
+
+
+def dv_data(positions: list[int]) -> bytes:
+    """The DATA bytes of one vector: the little-endian magic framing
+    the serialized 64-bit roaring bitmap (what CRC-32 covers and what
+    ``sizeInBytes`` measures)."""
+    return struct.pack("<i", _DV_MAGIC) + roaring64_serialize(
+        sorted(set(positions))
+    )
+
+
+def write_dv_file(table_path: str, vectors: list[list[int]]) -> tuple[str, list[dict]]:
+    """Write one on-disk DV FILE holding ``vectors`` (one per mutated
+    data file, sharing the blob like production writers do) and return
+    (pathOrInlineDv for storageType='u', one descriptor dict per
+    vector). Layout per PROTOCOL.md: 1-byte format version, then per
+    vector ``<dataSize: int32 BE> <data> <CRC-32(data): int32 BE>``."""
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    blob = bytearray(b"\x01")
+    descs: list[dict] = []
+    enc = z85_encode(u.bytes)
+    for pos in vectors:
+        data = dv_data(pos)
+        offset = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs.append({
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(set(pos)),
+        })
+    fpath = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    with open(fpath, "xb") as f:
+        f.write(bytes(blob))
+    return enc, descs
+
+
+def inline_dv_descriptor(positions: list[int]) -> dict:
+    """A storageType='i' descriptor — the vector rides the add action
+    itself (z85 pads to 4-byte groups; ``sizeInBytes`` records the
+    true length the decoder trims to)."""
+    data = dv_data(positions)
+    padded = data + b"\x00" * (-len(data) % 4)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }

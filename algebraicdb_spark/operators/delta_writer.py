@@ -330,6 +330,139 @@ class DeltaTableWriter:
         # the floor modern clients expect), nothing feature-gated
         return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
+    # writer features this minimal client actually honors when a
+    # table's protocol announces them (minWriterVersion 7): deletion
+    # vectors are read, applied, unioned, and purged by every mutation
+    # path; appendOnly is honored by REFUSING the mutations it forbids;
+    # timestampNtz is just a type; vacuumProtocolCheck requires exactly
+    # this check to run before vacuum; invariants/checkConstraints are
+    # honored below only when no invariant/constraint is DECLARED —
+    # enforcing declared ones needs an expression evaluator this
+    # writer doesn't have, so those refuse.
+    _WRITER_FEATURES = {"deletionVectors", "appendOnly", "timestampNtz",
+                        "vacuumProtocolCheck", "invariants",
+                        "checkConstraints"}
+
+    def _check_writable(
+        self, proto: dict, meta: dict, mutation: str,
+        data_change: bool = True,
+    ) -> None:
+        """Refuse — loudly, before staging anything — writes a foreign
+        table's protocol says we must not make blindly. The write twin
+        of ``DeltaLogTable._check_readable``: an unknown writerFeature
+        means commits must uphold semantics we'd silently break (e.g.
+        row tracking assigns per-add metadata)."""
+        conf = (meta or {}).get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        mwv = int((proto or {}).get("minWriterVersion", 1) or 1)
+        feats = set((proto or {}).get("writerFeatures") or [])
+        if mwv >= 7:
+            unknown = sorted(feats - self._WRITER_FEATURES)
+            if unknown:
+                raise NotImplementedError(
+                    f"{self.path}: protocol writerFeatures {unknown} are "
+                    "not honored by this minimal writer — committing "
+                    "anyway could silently break the table's invariants; "
+                    "use a full Delta client"
+                )
+        elif mwv > 2:
+            raise NotImplementedError(
+                f"{self.path}: minWriterVersion={mwv} demands writer "
+                "capabilities this client does not implement (3=check "
+                "constraints, 4=CDF/generated columns, 5=column "
+                "mapping, 6=identity columns); use a full Delta client"
+            )
+        if data_change and mutation != "APPEND" and (
+            "appendOnly" in feats
+            or str(conf.get("delta.appendOnly", "")).lower() == "true"
+        ):
+            raise ValueError(
+                f"{mutation} on {self.path}: the table is append-only "
+                "(delta.appendOnly) — data-changing removes are "
+                "forbidden by its own configuration"
+            )
+        declared = [k for k in conf if k.startswith("delta.constraints.")]
+        if declared and mutation != "VACUUM":
+            raise NotImplementedError(
+                f"{mutation} on {self.path}: table declares CHECK "
+                f"constraints {declared} this writer cannot enforce; "
+                "use a full Delta client"
+            )
+
+    def enable_deletion_vectors(self, max_retries: int = 8) -> int | None:
+        """Commit the protocol upgrade that lets DELETEs write
+        merge-on-read deletion vectors instead of rewriting files:
+        minReader 3 / minWriter 7 with the deletionVectors feature in
+        BOTH lists plus the table config flag, per PROTOCOL.md. Every
+        capability the table already announced carries forward —
+        readers of the v<N skip the feature until a DV actually lands.
+        No-op (returns None) when already enabled."""
+        for _ in range(max_retries):
+            rdr = self.reader()
+            proto, meta = rdr._protocol_meta()
+            feats_w = set(proto.get("writerFeatures") or [])
+            if "deletionVectors" in feats_w:
+                return None
+            mrv = int(proto.get("minReaderVersion", 1) or 1)
+            mwv = int(proto.get("minWriterVersion", 1) or 1)
+            # legacy version numbers imply capabilities; moving to the
+            # feature lists must carry them as named features or the
+            # upgrade would silently DROP them for feature-aware clients
+            legacy_r = {2: ["columnMapping"], 3: []}.get(mrv, [])
+            legacy_w = {
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }.get(mwv, [])
+            new_r = sorted(
+                set(proto.get("readerFeatures") or [])
+                | set(legacy_r) | {"deletionVectors"}
+            )
+            new_w = sorted(
+                feats_w | set(legacy_w) | {"deletionVectors"}
+            )
+            self._check_writable(
+                {**proto, "minWriterVersion": 7, "writerFeatures": new_w},
+                meta, "ALTER",
+                data_change=False,
+            )
+            actions = [
+                self._commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={"delta.enableDeletionVectors": "true"},
+                ),
+                {"protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": new_r,
+                    "writerFeatures": new_w,
+                }},
+            ]
+            if meta:
+                conf = meta.get("configuration") or {}
+                if isinstance(conf, list):
+                    conf = dict(conf)  # pyarrow MAP columns → [(k, v)]
+                conf = dict(conf)
+                conf["delta.enableDeletionVectors"] = "true"
+                # checkpoint-sourced metaData rows surface parquet
+                # nulls for absent fields — strip them, they are not
+                # part of the committed action shape
+                m = {k: v for k, v in meta.items() if v is not None}
+                m["configuration"] = conf
+                actions.append({"metaData": m})
+            version = self.latest_version() + 1
+            try:
+                self._publish(version, actions)
+                return version
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"enable_deletion_vectors lost {max_retries} publish races "
+            "— table is under pathological write contention"
+        )
+
     @staticmethod
     def _commit_info(operation: str, **params) -> dict:
         return {"commitInfo": {
@@ -368,7 +501,8 @@ class DeltaTableWriter:
         references them and vacuum's log-candidates rule would
         otherwise leak them forever."""
         base = self.latest_version()
-        _proto, cur_meta = self.reader()._protocol_meta()
+        proto, cur_meta = self.reader()._protocol_meta()
+        self._check_writable(proto, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
@@ -442,7 +576,8 @@ class DeltaTableWriter:
         rdr = self.reader()
         if txn_version <= rdr.last_txn_version(app_id):
             return None
-        _proto, cur_meta = rdr._protocol_meta()
+        proto, cur_meta = rdr._protocol_meta()
+        self._check_writable(proto, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
@@ -521,7 +656,8 @@ class DeltaTableWriter:
                 f"table is at {current} — rebase and retry"
             )
         rdr = self.reader()
-        _proto, cur_meta = rdr._protocol_meta()
+        proto, cur_meta = rdr._protocol_meta()
+        self._check_writable(proto, cur_meta, "OVERWRITE")
         partition_by = (
             list(partition_by)
             if partition_by is not None
@@ -533,15 +669,17 @@ class DeltaTableWriter:
         # resolved path may not match a foreign writer's
         # percent-encoding canonicalization, which would leave the old
         # add live (silent row resurrection on every later snapshot)
-        removes = [
-            {"remove": {
+        removes = []
+        for raw, _res, pv, dv in rdr._live_entries_full():
+            r = {
                 "path": raw,
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
                 "partitionValues": pv,
-            }}
-            for raw, _res, pv in rdr._live_entries()
-        ]
+            }
+            if dv is not None:
+                r["deletionVector"] = dv
+            removes.append({"remove": r})
         new_schema = df.schema.json()
         cur_schema_st = rdr.table_schema()
         meta: list[dict] = []
@@ -587,6 +725,8 @@ class DeltaTableWriter:
         for _ in range(max_retries):
             rdr = self.reader()
             _proto, cur_meta = rdr._protocol_meta()
+            self._check_writable(_proto, cur_meta, "ALTER",
+                                 data_change=False)
             st = parse_schema_string(
                 (cur_meta or {}).get("schemaString"), self.path
             )
@@ -623,55 +763,51 @@ class DeltaTableWriter:
 
     # -- copy-on-write row mutation ------------------------------------------
 
-    def _cow_context(self, spark: SparkSession):
+    def _cow_context(self, spark: SparkSession, mutation: str):
         """The pinned inputs every COW mutation needs, from ONE log
-        fold: live entries (raw path verbatim — the fold key),
-        schema, partition columns, and a resolved-path → (raw, pv)
-        map for attributing probe hits to files."""
+        fold: live entries (raw path verbatim — the fold key —
+        including each file's deletion-vector descriptor, which the
+        mutation must APPLY when scanning and carry when tombstoning),
+        schema, partition columns, and a resolved-path → (raw, pv, dv)
+        map for attributing probe hits to files. The writability gate
+        runs here — before any staging."""
         rdr = self.reader()
         proto, meta = rdr._protocol_meta()
         rdr._check_readable(proto, meta)
-        entries = rdr._live_entries()
+        self._check_writable(proto, meta, mutation)
+        entries = rdr._live_entries_full()
         part_cols = list((meta or {}).get("partitionColumns") or [])
         st = parse_schema_string(
             (meta or {}).get("schemaString"), self.path
         )
-        by_local = {res: (raw, pv) for raw, res, pv in entries}
+        by_local = {res: (raw, pv, dv) for raw, res, pv, dv in entries}
         return rdr, entries, st, part_cols, by_local
 
     def _probe_affected(
         self, spark: SparkSession, rdr, entries, st, part_cols,
         by_local, predicate: str,
     ) -> tuple[dict[str, int], int]:
-        """{raw path: matching rows} — ONE distributed scan with the
-        predicate pushed into the parquet reader (the delta twin of
-        ``TxnLogTable._probe_affected``; files are file-grain here, so
-        attribution is exact by construction)."""
-        from urllib.parse import unquote, urlparse
-
+        """{raw path: matching LIVE rows} — ONE distributed scan with
+        the predicate pushed into the parquet reader and each file's
+        deletion vector already applied (a DV'd row must not rematch:
+        it is deleted). Attribution keys on the scan's own ``__lp``
+        normalized path, exact by construction at file grain."""
         from pyspark.sql import functions as F
 
-        df = rdr._assemble(
-            spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
-        )
+        df = rdr._assemble_mor(spark, entries, st, part_cols, keep_pos=True)
         rows = (
             df.where(F.expr(predicate))
-            .groupBy(F.input_file_name().alias("__f"))
+            .groupBy("__lp")
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
         by_raw: dict[str, int] = {}
         for r in rows:
-            fp = r["__f"]
-            if "://" in fp or fp.startswith("file:"):
-                fp = unquote(urlparse(fp).path)
-            else:
-                fp = unquote(fp)
-            hit = by_local.get(fp)
+            hit = by_local.get(r["__lp"])
             if hit is None:
                 raise RuntimeError(
-                    f"probe returned file {fp} outside the live set — "
-                    "concurrent vacuum mid-probe?"
+                    f"probe returned file {r['__lp']} outside the live "
+                    "set — concurrent vacuum mid-probe?"
                 )
             by_raw[hit[0]] = by_raw.get(hit[0], 0) + int(r["__n"])
         return by_raw, sum(by_raw.values())
@@ -682,42 +818,77 @@ class DeltaTableWriter:
 
         return pq.ParquetFile(path).metadata.num_rows
 
+    def _live_rows(self, res: str, dv: dict | None) -> int:
+        """Rows a snapshot reads from this file: physical footer count
+        minus the deletion vector's cardinality (the descriptor field —
+        validated against the decoded bitmap on every read path)."""
+        n = self._file_rows(res)
+        return n - int(dv["cardinality"]) if dv else n
+
+    @staticmethod
+    def _dv_key(dv: dict | None) -> tuple | None:
+        """A deletion vector's identity — (path, dv) is the file
+        identity in the fold, so conflict checks compare this too."""
+        if dv is None:
+            return None
+        return (dv.get("storageType"), dv.get("pathOrInlineDv"),
+                dv.get("offset"))
+
     def _commit_cow(
         self,
         removed_raw: list[str],
         removed_pv: dict[str, dict],
+        dv_of: dict[str, dict | None],
         staged: list[tuple[str, dict]],
         op: str,
         params: dict,
         max_retries: int,
+        extra_actions: list[dict] | None = None,
     ) -> int:
         """remove(affected, dataChange) + add(rewrites) in one commit
         under the COW conflict matrix (appends commute — retry one
-        slot up; removal of an input aborts). Tombstones reuse the
-        committed raw path bytes verbatim; every abort path unstages."""
+        slot up; removal OR deletion-vector flip of an input aborts: a
+        racer's MoR delete mutates a file in place, and committing a
+        rewrite scanned under the old vector would resurrect its
+        deletions). Tombstones reuse the committed raw path bytes AND
+        the old DV descriptor verbatim — (path, dv) is the file's
+        identity; every abort path unstages."""
         now_ms = int(time.time() * 1000)
-        actions = [self._commit_info(op, **params)] + [
-            {"remove": {
+
+        def tomb(raw: str) -> dict:
+            r = {
                 "path": raw,
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
                 "partitionValues": removed_pv.get(raw) or {},
-            }}
-            for raw in removed_raw
-        ] + self._add_actions(staged)
-        inputs = set(removed_raw)
+            }
+            if dv_of.get(raw) is not None:
+                r["deletionVector"] = dv_of[raw]
+            return {"remove": r}
+
+        actions = (
+            [self._commit_info(op, **params)]
+            + [tomb(raw) for raw in removed_raw]
+            + self._add_actions(staged)
+            + list(extra_actions or [])
+        )
+        want = {raw: self._dv_key(dv_of.get(raw)) for raw in removed_raw}
         for _ in range(max_retries):
             live_now = {
-                raw for raw, _r, _p in self.reader()._live_entries()
+                raw: self._dv_key(dv)
+                for raw, _r, _p, dv in self.reader()._live_entries_full()
             }
-            gone = sorted(inputs - live_now)
-            if gone:
+            conflicted = sorted(
+                raw for raw, k in want.items()
+                if raw not in live_now or live_now[raw] != k
+            )
+            if conflicted:
                 self._unstage(staged)
                 raise ConcurrentWriteError(
-                    f"{op} inputs {gone[:3]} were removed by a "
-                    "concurrent writer — committing would resurrect or "
-                    f"double-mutate replaced data; rerun {op} on the "
-                    "new snapshot"
+                    f"{op} inputs {conflicted[:3]} were removed or "
+                    "DV-mutated by a concurrent writer — committing "
+                    "would resurrect or double-mutate replaced data; "
+                    f"rerun {op} on the new snapshot"
                 )
             version = self.latest_version() + 1
             try:
@@ -732,50 +903,93 @@ class DeltaTableWriter:
         )
 
     def delete(
-        self, spark: SparkSession, predicate: str, max_retries: int = 8
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int = 8,
+        mode: str = "auto",
+        dv_inline_threshold: int = 512,
     ) -> dict:
         """Row-level ``DELETE FROM … WHERE predicate`` on the STANDARD
-        format as copy-on-write — the same three file classes as
-        ``TxnLogTable.delete`` from one probe + footer counts:
-        untouched files keep their add entries, fully-matching files
-        drop with zero rewrite I/O, partial files rewrite minus the
-        matches (NULL keeps the row — SQL DELETE semantics). The
-        commit is a data-changing remove+add any Delta engine folds."""
+        format, two physical strategies behind one semantic:
+
+        - ``cow`` (copy-on-write): the same three file classes as
+          ``TxnLogTable.delete`` from one probe + footer counts:
+          untouched files keep their add entries, fully-matching files
+          drop with zero rewrite I/O, partial files rewrite minus the
+          matches (NULL keeps the row — SQL DELETE semantics). The
+          commit is a data-changing remove+add any Delta engine folds.
+        - ``mor`` (merge-on-read): partial files get a DELETION VECTOR
+          instead of a rewrite — the commit is O(bitmap bytes), not
+          O(file bytes), which is the strategy that matters at scale
+          (a sparse delete across a 100 TB table rewrites nothing).
+          New vectors UNION any existing one (a DV'd row never
+          rematches: the probe scans merge-on-read), files whose
+          cumulative vector covers every physical row drop as plain
+          removes, and the re-added action keeps the file's verbatim
+          path/size with ``stats`` re-marked ``tightBounds: false``
+          per the spec. Vectors ≤ ``dv_inline_threshold`` bytes ride
+          the add action inline (storageType 'i'); larger ones share
+          one on-disk ``.bin`` (storageType 'u'). Requires the
+          deletionVectors table feature — committed atomically with
+          the first MoR delete when absent.
+        - ``auto``: ``mor`` iff the table's protocol already announces
+          deletionVectors in writerFeatures, else ``cow`` — the same
+          config-driven dispatch real Delta writers use.
+        """
         from pyspark.sql import functions as F
 
+        if mode not in ("auto", "cow", "mor"):
+            raise ValueError(f"delete mode {mode!r}: auto, cow, or mor")
         if self.latest_version() < 0:
             raise ValueError(
                 f"delta table {self.path} has no commits to delete from"
             )
-        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        rdr, entries, st, part_cols, by_local = self._cow_context(
+            spark, "DELETE"
+        )
+        if mode == "auto":
+            proto, _m = rdr._protocol_meta()
+            mode = (
+                "mor"
+                if "deletionVectors" in (proto.get("writerFeatures") or [])
+                else "cow"
+            )
         if not entries:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
+        if mode == "mor":
+            return self._delete_mor(
+                spark, rdr, entries, st, part_cols, by_local,
+                predicate, max_retries, dv_inline_threshold,
+            )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, predicate
         )
         if not matched:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
-        res_of = {raw: res for raw, res, _pv in entries}
-        pv_of = {raw: pv for raw, _res, pv in entries}
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
         full = [
             raw for raw, n in by_raw.items()
-            if n == self._file_rows(res_of[raw])
+            if n == self._live_rows(res_of[raw], dv_of[raw])
         ]
         partial = sorted(set(by_raw) - set(full))
         staged: list[tuple[str, dict]] = []
         if partial:
-            keep = rdr._assemble(
+            keep = rdr._assemble_mor(
                 spark,
-                [(res_of[raw], pv_of[raw]) for raw in partial],
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in partial],
                 st, part_cols,
             ).where(
                 ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             )
             staged = self._stage(keep, part_cols)
         version = self._commit_cow(
-            sorted(by_raw), pv_of, staged, "DELETE",
+            sorted(by_raw), pv_of, dv_of, staged, "DELETE",
             {"predicate": predicate}, max_retries,
         )
         return {
@@ -783,6 +997,168 @@ class DeltaTableWriter:
             "rows_deleted": matched,
             "files_removed": len(by_raw),
             "files_rewritten": len(partial),
+        }
+
+    def _delete_mor(
+        self, spark, rdr, entries, st, part_cols, by_local,
+        predicate: str, max_retries: int, inline_threshold: int,
+    ) -> dict:
+        """The merge-on-read DELETE body: ONE probe scan (predicate
+        pushed to parquet, existing DVs applied) yields each affected
+        file's newly-matched PHYSICAL row ordinals; new vector = old
+        positions ∪ new matches. Bitmaps serialize EXECUTOR-side
+        (``mapInPandas`` over the probe output — driver traffic is
+        O(compressed bitmap), never O(matched rows)); the union with
+        an existing vector decodes driver-side, bounded by the old
+        vector's own size."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from algebraicdb_spark.operators.deletion_vectors import (
+            dv_positions, inline_dv_descriptor, roaring64_positions,
+            write_dv_file,
+        )
+
+        probe = (
+            rdr._assemble_mor(spark, entries, st, part_cols, keep_pos=True)
+            .where(F.expr(predicate))
+            .select("__lp", "__pos")
+        )
+
+        def to_bitmaps(batches):
+            from algebraicdb_spark.operators.deletion_vectors import (
+                roaring64_serialize,
+            )
+
+            acc: dict[str, list[int]] = {}
+            for b in batches:
+                for lp, pos in zip(b["__lp"], b["__pos"]):
+                    acc.setdefault(lp, []).append(int(pos))
+            if acc:
+                yield pd.DataFrame({
+                    "__lp": list(acc),
+                    "bm": [roaring64_serialize(sorted(v))
+                           for v in acc.values()],
+                    "n": [len(v) for v in acc.values()],
+                })
+
+        parts = (
+            probe.repartition(F.col("__lp"))
+            .mapInPandas(to_bitmaps, "__lp string, bm binary, n long")
+            .collect()
+        )
+        if not parts:
+            return {"version": None, "rows_deleted": 0,
+                    "files_removed": 0, "files_dv": 0}
+        new_pos: dict[str, list[int]] = {}
+        matched = 0
+        for r in parts:
+            hit = by_local.get(r["__lp"])
+            if hit is None:
+                raise RuntimeError(
+                    f"probe returned file {r['__lp']} outside the live "
+                    "set — concurrent vacuum mid-probe?"
+                )
+            # one partition per __lp after the repartition, so each
+            # file appears exactly once; decode is O(bitmap)
+            new_pos.setdefault(hit[0], []).extend(
+                roaring64_positions(bytes(r["bm"]))
+            )
+            matched += int(r["n"])
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
+        full_removes: list[str] = []
+        dv_files: list[str] = []       # file order for vector assembly
+        vectors: list[list[int]] = []
+        for raw in sorted(new_pos):
+            pos = sorted(set(new_pos[raw]))
+            if dv_of[raw] is not None:
+                pos = sorted(
+                    set(pos) | set(dv_positions(self.path, dv_of[raw]))
+                )
+            if len(pos) >= self._file_rows(res_of[raw]):
+                full_removes.append(raw)   # vector covers the file
+            else:
+                dv_files.append(raw)
+                vectors.append(pos)
+        descs: dict[str, dict] = {}
+        written_bin: str | None = None
+        file_backed = [
+            (raw, pos) for raw, pos in zip(dv_files, vectors)
+            if 8 + 2 * len(pos) > inline_threshold  # cheap size proxy
+        ]
+        if file_backed:
+            _enc, fdescs = write_dv_file(
+                self.path, [pos for _raw, pos in file_backed]
+            )
+            written_bin = _enc
+            for (raw, _pos), d in zip(file_backed, fdescs):
+                descs[raw] = d
+        for raw, pos in zip(dv_files, vectors):
+            if raw not in descs:
+                descs[raw] = inline_dv_descriptor(pos)
+        adds = []
+        for raw in dv_files:
+            res = res_of[raw]
+            stats = json.loads(_file_stats_json(res))
+            stats["tightBounds"] = False  # min/max may cover DV'd rows
+            adds.append({"add": {
+                "path": raw,  # verbatim committed bytes — the fold key
+                "partitionValues": pv_of[raw] or {},
+                "size": os.path.getsize(res),
+                "modificationTime": int(os.path.getmtime(res) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(stats),
+                "deletionVector": descs[raw],
+            }})
+        extra: list[dict] = []
+        proto, _m = rdr._protocol_meta()
+        if "deletionVectors" not in (proto.get("writerFeatures") or []):
+            # first MoR delete upgrades the protocol ATOMICALLY with
+            # the vectors it justifies (a separate enable commit is
+            # also supported — enable_deletion_vectors)
+            legacy_w = {
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }.get(int(proto.get("minWriterVersion", 1) or 1), [])
+            extra.append({"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | set(legacy_w) | {"deletionVectors"}
+                ),
+            }})
+        removed = sorted(set(new_pos))
+        try:
+            version = self._commit_cow(
+                removed, pv_of, dv_of, [], "DELETE",
+                {"predicate": predicate}, max_retries,
+                extra_actions=adds + extra,
+            )
+        except ConcurrentWriteError:
+            if written_bin is not None:
+                # the .bin is unreferenced — nothing reclaims it later
+                from algebraicdb_spark.operators.deletion_vectors import (
+                    dv_file_path,
+                )
+
+                p = dv_file_path(self.path, written_bin)
+                if os.path.exists(p):
+                    os.unlink(p)
+            raise
+        return {
+            "version": version,
+            "rows_deleted": matched,
+            "files_removed": len(full_removes),
+            "files_dv": len(dv_files),
         }
 
     def update(
@@ -804,7 +1180,9 @@ class DeltaTableWriter:
             raise ValueError(
                 f"delta table {self.path} has no commits to update"
             )
-        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        rdr, entries, st, part_cols, by_local = self._cow_context(
+            spark, "UPDATE"
+        )
         if not entries:
             return {"version": None, "rows_updated": 0,
                     "files_rewritten": 0}
@@ -830,12 +1208,14 @@ class DeltaTableWriter:
         if not matched:
             return {"version": None, "rows_updated": 0,
                     "files_rewritten": 0}
-        res_of = {raw: res for raw, res, _pv in entries}
-        pv_of = {raw: pv for raw, _res, pv in entries}
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
         affected = sorted(by_raw)
-        df = rdr._assemble(
+        df = rdr._assemble_mor(
             spark,
-            [(res_of[raw], pv_of[raw]) for raw in affected],
+            [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+             for raw in affected],
             st, part_cols,
         )
         cond = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
@@ -852,7 +1232,7 @@ class DeltaTableWriter:
         )
         staged = self._stage(out, part_cols)
         version = self._commit_cow(
-            affected, pv_of, staged, "UPDATE",
+            affected, pv_of, dv_of, staged, "UPDATE",
             {"predicate": pred}, max_retries,
         )
         return {
@@ -899,7 +1279,9 @@ class DeltaTableWriter:
                 "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
                 "THEN INSERT expressions"
             )
-        rdr, entries, st, part_cols, by_local = self._cow_context(spark)
+        rdr, entries, st, part_cols, by_local = self._cow_context(
+            spark, "MERGE"
+        )
         if assignments:
             bad = [c for c in assignments if c in part_cols]
             if bad:
@@ -908,36 +1290,29 @@ class DeltaTableWriter:
                     "rows across partitions is an overwrite-shaped "
                     "operation; DELETE + append instead"
                 )
-        res_of = {raw: res for raw, res, _pv in entries}
-        pv_of = {raw: pv for raw, _res, pv in entries}
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
         cond_col = F.expr(cond)
         by_raw: dict[str, int] = {}
         matched = 0
         if (assignments or delete_matched) and entries:
-            from urllib.parse import unquote, urlparse
-
-            tgt = rdr._assemble(
-                spark, [(res, pv) for _raw, res, pv in entries],
-                st, part_cols,
-            ).withColumn("__file", F.input_file_name())
+            tgt = rdr._assemble_mor(
+                spark, entries, st, part_cols, keep_pos=True
+            )
             rows = (
                 tgt.alias(target_alias)
                 .join(source.alias(source_alias), cond_col, "left_semi")
-                .groupBy("__file")
+                .groupBy("__lp")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
             )
             for r in rows:
-                fp = r["__file"]
-                if "://" in fp or fp.startswith("file:"):
-                    fp = unquote(urlparse(fp).path)
-                else:
-                    fp = unquote(fp)
-                hit = by_local.get(fp)
+                hit = by_local.get(r["__lp"])
                 if hit is None:
                     raise RuntimeError(
-                        f"probe returned file {fp} outside the live set "
-                        "— concurrent vacuum mid-probe?"
+                        f"probe returned file {r['__lp']} outside the "
+                        "live set — concurrent vacuum mid-probe?"
                     )
                 by_raw[hit[0]] = by_raw.get(hit[0], 0) + int(r["__n"])
             matched = sum(by_raw.values())
@@ -947,14 +1322,15 @@ class DeltaTableWriter:
         if affected and delete_matched:
             partial = [
                 raw for raw in affected
-                if by_raw[raw] != self._file_rows(res_of[raw])
+                if by_raw[raw] != self._live_rows(res_of[raw], dv_of[raw])
             ]
             rewritten = len(partial)
             if partial:
                 keep = (
-                    rdr._assemble(
+                    rdr._assemble_mor(
                         spark,
-                        [(res_of[raw], pv_of[raw]) for raw in partial],
+                        [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                         for raw in partial],
                         st, part_cols,
                     )
                     .alias(target_alias)
@@ -962,13 +1338,14 @@ class DeltaTableWriter:
                 )
                 staged = self._stage(keep, part_cols)
         elif affected:
-            aff = rdr._assemble(
+            aff = rdr._assemble_mor(
                 spark,
-                [(res_of[raw], pv_of[raw]) for raw in affected],
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in affected],
                 st, part_cols,
             )
             input_rows = sum(
-                self._file_rows(res_of[raw]) for raw in affected
+                self._live_rows(res_of[raw], dv_of[raw]) for raw in affected
             )
             mark = "__merge_matched"
             joined = aff.alias(target_alias).join(
@@ -1004,9 +1381,8 @@ class DeltaTableWriter:
         rows_inserted = 0
         if insert_exprs is not None:
             if entries:
-                full_t = rdr._assemble(
-                    spark, [(res, pv) for _raw, res, pv in entries],
-                    st, part_cols,
+                full_t = rdr._assemble_mor(
+                    spark, entries, st, part_cols,
                 )
                 ins_src = source.alias(source_alias).join(
                     full_t.alias(target_alias), cond_col, "left_anti"
@@ -1045,7 +1421,7 @@ class DeltaTableWriter:
             return {"version": None, "rows_matched": 0,
                     "rows_inserted": 0, "files_rewritten": 0}
         version = self._commit_cow(
-            affected, pv_of, staged, "MERGE",
+            affected, pv_of, dv_of, staged, "MERGE",
             {"predicate": cond}, max_retries,
         )
         return {
@@ -1091,11 +1467,17 @@ class DeltaTableWriter:
         from algebraicdb_spark.operators.txnlog import _zorder_clustered
 
         rdr = self.reader()
-        entries = rdr._live_entries()
-        if not entries or (len(entries) < min_inputs and not zorder_by):
+        entries = rdr._live_entries_full()
+        has_dv = any(dv is not None for _r, _s, _p, dv in entries)
+        if not entries or (
+            len(entries) < min_inputs and not zorder_by and not has_dv
+        ):
             return None
         proto, meta = rdr._protocol_meta()
         rdr._check_readable(proto, meta)
+        # removes here are dataChange:false — allowed even on
+        # append-only tables (compaction preserves logical content)
+        self._check_writable(proto, meta, "OPTIMIZE", data_change=False)
         part_cols = list((meta or {}).get("partitionColumns") or [])
         if part_cols and zorder_by:
             raise NotImplementedError(
@@ -1115,9 +1497,12 @@ class DeltaTableWriter:
         st = parse_schema_string(
             (meta or {}).get("schemaString"), self.path
         )
-        df = rdr._assemble(
-            spark, [(res, pv) for _raw, res, pv in entries], st, part_cols
-        )
+        # merge-on-read assembly PURGES deletion vectors: the rewrite
+        # materializes the deletes, so the compacted files are plain
+        # and every DV'd input drops — delta's REORG ... APPLY (PURGE),
+        # folded into OPTIMIZE (logical content unchanged, so the
+        # commit stays dataChange:false and CDF-invisible)
+        df = rdr._assemble_mor(spark, entries, st, part_cols)
         if zorder_by:
             df = _zorder_clustered(df, zorder_by, target_files)
         elif part_cols:
@@ -1129,24 +1514,34 @@ class DeltaTableWriter:
         staged = self._stage(df, part_cols)
         adds = self._add_actions(staged, data_change=False)
         now_ms = int(time.time() * 1000)
-        removes = [
-            {"remove": {"path": raw, "deletionTimestamp": now_ms,
-                        "dataChange": False, "partitionValues": pv}}
-            for raw, _res, pv in entries
-        ]
-        inputs = {raw for raw, _res, _pv in entries}
+        removes = []
+        for raw, _res, pv, dv in entries:
+            r = {"path": raw, "deletionTimestamp": now_ms,
+                 "dataChange": False, "partitionValues": pv}
+            if dv is not None:
+                r["deletionVector"] = dv
+            removes.append({"remove": r})
+        inputs = {
+            raw: self._dv_key(dv) for raw, _res, _pv, dv in entries
+        }
         for _ in range(max_retries):
-            live_now = {raw for raw, _r, _p in
-                        self.reader()._live_entries()}
-            gone = sorted(inputs - live_now)
+            live_now = {
+                raw: self._dv_key(dv)
+                for raw, _r, _p, dv in self.reader()._live_entries_full()
+            }
+            gone = sorted(
+                raw for raw, k in inputs.items()
+                if raw not in live_now or live_now[raw] != k
+            )
             if gone:
                 # abort path: the compacted staging is unreferenced —
                 # unstage or it leaks under vacuum's log-candidates rule
                 self._unstage(staged)
                 raise ConcurrentWriteError(
-                    f"optimize inputs {gone[:3]} were removed by a "
-                    "concurrent writer — committing would resurrect "
-                    "replaced data; rerun optimize on the new snapshot"
+                    f"optimize inputs {gone[:3]} were removed or "
+                    "DV-mutated by a concurrent writer — committing "
+                    "would resurrect replaced data; rerun optimize on "
+                    "the new snapshot"
                 )
             version = self.latest_version() + 1
             info = (
@@ -1191,10 +1586,13 @@ class DeltaTableWriter:
         latest = rdr.latest_version()
         if latest < 0:
             return []
+        proto, meta = rdr._protocol_meta()
+        # vacuumProtocolCheck is honored by RUNNING exactly this check
+        self._check_writable(proto, meta, "VACUUM", data_change=False)
         referenced: set[str] = set()
         cp = rdr._cp
         if cp is not None:
-            for p, _pv in rdr._checkpoint_adds(cp):
+            for p, _pv, _dv in rdr._checkpoint_adds_full(cp):
                 referenced.add(os.path.join(self.path, unquote(p)))
             for t in rdr._checkpoint_removes(cp):
                 # checkpointed tombstones are the ONLY remaining record
@@ -1223,7 +1621,10 @@ class DeltaTableWriter:
         keep: set[str] = set()
         for v in range(keep_from, latest + 1):
             try:
-                keep.update(res for _raw, res, _pv in rdr._live_entries(v))
+                keep.update(
+                    res for _raw, res, _pv, _dv
+                    in rdr._live_entries_full(v)
+                )
             except ValueError:
                 # below a cleaned checkpoint: that snapshot is already
                 # unreadable, so retention cannot apply to it
@@ -1291,18 +1692,30 @@ class DeltaTableWriter:
             # txn row per appId, latest version — the spec's shape), or
             # a cleaned prefix would reset every sink's replay guard
             rows.append({"txn": {"appId": app, "version": ver}})
-        for raw, p, pv in rdr._live_entries(latest):
+        for raw, p, pv, dv in rdr._live_entries_full(latest):
             # the raw committed path string carries through verbatim —
             # see overwrite(): re-encoding can diverge from a foreign
             # writer's canonicalization and break the fold keying
-            rows.append({"add": {
+            add = {
                 "path": raw,
                 "partitionValues": dict(pv or {}),
                 "size": os.path.getsize(p),
                 "modificationTime": int(os.path.getmtime(p) * 1000),
                 "dataChange": False,
                 "stats": _file_stats_json(p),
-            }})
+            }
+            if dv is not None:
+                # a live deletion vector is part of the file's identity
+                # — dropping it from the checkpoint would resurrect the
+                # deleted rows once the JSON prefix is cleaned
+                add["deletionVector"] = {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+            rows.append({"add": add})
         for t in rdr._tombstones():
             # unexpired remove tombstones ride in the checkpoint per
             # the spec — they keep their deletionTimestamp so VACUUM
@@ -1347,6 +1760,13 @@ class DeltaTableWriter:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                ("deletionVector", pa.struct([
+                    ("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64()),
+                ])),
             ])),
             ("remove", pa.struct([
                 ("path", pa.string()),

@@ -2503,9 +2503,14 @@ class DeltaLogTable:
             # the raw scan is faithful
             return
         if mrv == 3:
-            unsupported = sorted(
-                set(proto.get("readerFeatures") or []) - self._READER_FEATURES
-            )
+            feats = set(proto.get("readerFeatures") or [])
+            # a LATENT columnMapping feature (upgraded-from-v2 tables
+            # carry it as a named feature per the spec's version→
+            # feature mapping) is honored the same way reader v2 is:
+            # with the mode unset/none (checked above), logical ==
+            # physical names and the raw scan is faithful
+            feats.discard("columnMapping")
+            unsupported = sorted(feats - self._READER_FEATURES)
             if unsupported:
                 raise NotImplementedError(
                     f"{self.path}: protocol readerFeatures {unsupported} "
@@ -2953,11 +2958,29 @@ class DeltaLogTable:
                 f"delta table {self.path} has no live files at version "
                 f"{as_of if as_of is not None else 'latest'}"
             )
-        adds = sorted((res, pv) for _raw, res, pv, _dv in entries)
         st = self.table_schema(as_of)
         part_cols = meta.get("partitionColumns") or []
+        return self._assemble_mor(spark, entries, st, part_cols)
+
+    def _assemble_mor(
+        self,
+        spark: SparkSession,
+        entries: list[tuple[str, str, dict, dict | None]],
+        st,
+        part_cols: list[str],
+        keep_pos: bool = False,
+    ) -> DataFrame:
+        """Assemble a PINNED entry list with deletion vectors applied —
+        the merge-on-read scan shared by ``snapshot`` and the writer's
+        COW/MoR mutation paths (which must scan exactly the entries
+        they will tombstone, never a re-folded live set). With
+        ``keep_pos`` the normalized local path / row ordinal ride along
+        as ``__lp`` / ``__pos`` — the identity a MoR DELETE's new
+        vector is built from (surviving-row ordinals stay PHYSICAL:
+        they index the raw file, which is what a DV addresses)."""
+        adds = sorted((res, pv) for _raw, res, pv, _dv in entries)
         dv_entries = [(res, dv) for _raw, res, _pv, dv in entries if dv]
-        if not dv_entries:
+        if not dv_entries and not keep_pos:
             return self._assemble(spark, adds, st, part_cols)
         from algebraicdb_spark.operators.deletion_vectors import (
             dv_positions,
@@ -2970,8 +2993,6 @@ class DeltaLogTable:
         ]
         df = _assemble_groups(spark, adds, st, part_cols, with_metadata=True)
         cols = [c for c in df.columns if c not in ("__fp", "__pos")]
-        if not del_rows:  # empty vectors: nothing to drop
-            return df.select(*cols)
         # _metadata.file_path is a URI with percent-encoded specials —
         # the same normalization as the Iceberg MoR join (strip scheme,
         # decode WITHOUT '+'→space)
@@ -2981,11 +3002,12 @@ class DeltaLogTable:
         df = df.withColumn(
             "__lp", F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
         )
-        dels = spark.createDataFrame(del_rows, "__lp string, __pos long")
-        return (
-            df.join(F.broadcast(dels), ["__lp", "__pos"], "left_anti")
-            .select(*cols)
-        )
+        if del_rows:
+            dels = spark.createDataFrame(del_rows, "__lp string, __pos long")
+            df = df.join(F.broadcast(dels), ["__lp", "__pos"], "left_anti")
+        if keep_pos:
+            return df.select(*cols, "__lp", "__pos")
+        return df.select(*cols)
 
 
 def _fresh_table(spark: SparkSession, sf_dir: str, name: str) -> TxnLogTable:

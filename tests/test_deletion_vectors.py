@@ -280,7 +280,14 @@ class TestDeltaDVScan:
         got2 = sorted(r["k"] for r in t.snapshot(spark).collect())
         assert got2 == [0, 1, 2, 3, 4, 6, 7, 8, 9]
 
-    def test_writers_still_refuse_dv_tables(self, spark, tmp_path):
+    def test_writers_honor_external_dv_tables(self, spark, tmp_path):
+        """Graduated in round 11 (was: every writer path refuses):
+        writer paths now HONOR a foreign engine's deletion vector —
+        the hand-encoded external DV deletes k=0, and our DELETE must
+        union with it, our OPTIMIZE purge it, our VACUUM tolerate it
+        — never resurrect the row. The external vector is still the
+        independent-encoder path (run-container roaring, our writer
+        never emits runs)."""
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
         from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
@@ -293,15 +300,27 @@ class TestDeltaDVScan:
             "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
             "sizeInBytes": len(data), "cardinality": 1,
         })
-        # the read applies; every writer path refuses loudly
         assert DeltaLogTable(root).snapshot(spark).count() == 9
         w2 = DeltaTableWriter(root)
+        # raw path lists still refuse — they cannot apply vectors
         with pytest.raises(NotImplementedError, match="deletion vector"):
-            w2.optimize(spark, min_inputs=1)
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            w2.delete(spark, "k = 1")
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            w2.vacuum()
+            w2.live_paths()
+        # a MoR delete UNIONS with the foreign vector (k=0 stays gone)
+        res = w2.delete(spark, "k = 1", mode="mor")
+        assert res["rows_deleted"] == 1
+        t = DeltaLogTable(root)
+        dvs = [dv for *_x, dv in t._live_entries_full() if dv]
+        assert len(dvs) == 1 and dvs[0]["cardinality"] == 2
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [
+            2, 3, 4, 5, 6, 7, 8, 9,
+        ]
+        # OPTIMIZE purges the union; vacuum then reclaims the original
+        assert w2.optimize(spark, min_inputs=1) is not None
+        t = DeltaLogTable(root)
+        assert not [dv for *_x, dv in t._live_entries_full() if dv]
+        assert t.snapshot(spark).count() == 8
+        w2.vacuum(retain_versions=1)
+        assert DeltaLogTable(root).snapshot(spark).count() == 8
 
     def test_attach_and_select_through_engine(self, spark, tmp_path):
         from algebraicdb_spark.engine import Engine

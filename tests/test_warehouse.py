@@ -1518,15 +1518,26 @@ class TestDeltaProtocolAndPartitions:
                       "writerFeatures": ["deletionVectors"]},
         )
         assert DeltaLogTable(root).snapshot(spark).count() == 4
-        # an unknown feature refuses loudly
-        root2 = str(tmp_path / "delta_rf_bad")
+        # a LATENT columnMapping feature (mode unset) reads fine —
+        # the same rule as legacy reader v2: logical == physical names
+        # (graduated in round 11 when enable_deletion_vectors began
+        # carrying legacy capabilities into the feature lists, per the
+        # spec's version→feature mapping); an unknown feature refuses
+        root2 = str(tmp_path / "delta_rf_latent")
         self._write_partitioned(
             root2,
             protocol={"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["columnMapping"]},
         )
-        with _pytest.raises(NotImplementedError, match="columnMapping"):
-            DeltaLogTable(root2).snapshot(spark)
+        assert DeltaLogTable(root2).snapshot(spark).count() == 4
+        root2b = str(tmp_path / "delta_rf_bad")
+        self._write_partitioned(
+            root2b,
+            protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]},
+        )
+        with _pytest.raises(NotImplementedError, match="v2Checkpoint"):
+            DeltaLogTable(root2b).snapshot(spark)
         # a reader version from the future refuses loudly
         root3 = str(tmp_path / "delta_rf_future")
         self._write_partitioned(
