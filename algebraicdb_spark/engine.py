@@ -1152,26 +1152,32 @@ class Engine:
     def _mutable_attachment(self, verb: str, name: str):
         """The writable table object behind an ATTACHed name, for
         row-level mutation: txnlog → ``TxnLogTable``, standard Delta →
-        ``DeltaTableWriter`` (both expose the same COW delete/update/
-        merge surface — delta graduated from mutation-refusing in
-        round 11). Iceberg attachments are read-only interop for row
-        mutation and refuse; a VERSION-pinned attachment refuses too
-        (mutating a historical snapshot is a contradiction: rebase on
-        latest)."""
+        ``DeltaTableWriter``, standard Iceberg → ``IcebergTableWriter``
+        (delta graduated from mutation-refusing in round 11; iceberg's
+        COW delete/update landed later the same round — MERGE on
+        iceberg still refuses, the writer has no merge yet). A
+        VERSION-pinned attachment refuses (mutating a historical
+        snapshot is a contradiction: rebase on latest)."""
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
         att = self._attached[name]
-        if att["fmt"] == "iceberg":
+        if att["fmt"] == "iceberg" and verb not in ("DELETE", "UPDATE"):
             raise AdtError(
-                f"{verb}: {name!r} is iceberg interop — read-only; "
-                "mutate it with its owning system"
+                f"{verb}: {name!r} is iceberg interop — this writer "
+                "supports DELETE/UPDATE (copy-on-write) and COPY/INSERT "
+                "appends; run other mutations with its owning system"
             )
         if att["version"] is not None:
             raise AdtError(
                 f"{verb}: {name!r} is pinned at VERSION {att['version']} "
                 "— re-ATTACH at latest before mutating"
             )
+        if att["fmt"] == "iceberg":
+            return IcebergTableWriter(att["path"])
         if att["fmt"] == "delta":
             return DeltaTableWriter(att["path"])
         return TxnLogTable(att["path"])
