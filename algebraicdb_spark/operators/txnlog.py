@@ -2787,9 +2787,18 @@ class DeltaLogTable:
         within the surviving JSON commits (below a cleaned checkpoint
         there is no change information — checkpoints store STATE), and
         files the owner's retention already reclaimed refuse loudly.
-        DV'd adds inside the window refuse too — a deletion-vector
-        flip is a row mutation whose preimage lives under the SAME
-        path, which a path-keyed diff cannot attribute."""
+
+        DELETION-VECTOR FLIPS resolve too (round 11, second half —
+        previously a refusal): a MoR DELETE commits remove+add on the
+        SAME path with a bigger vector, so the window's sides assemble
+        with their RESPECTIVE vectors applied (the remove's descriptor
+        — or, when a foreign writer omits it from the tombstone, the
+        path's pre-commit fold state) and the same EXCEPT-ALL algebra
+        yields exactly the flipped rows: carried-through rows cancel,
+        newly-deleted positions surface as ``delete`` rows. O(changed
+        rows) after the two bounded scans — which is what lets
+        ``IncrementalAggView`` fold another engine's MoR deletes as
+        signed retractions without a rebuild."""
         from urllib.parse import unquote
 
         latest = self.latest_version()
@@ -2804,44 +2813,50 @@ class DeltaLogTable:
         self._check_readable(proto, meta)
         part_cols = meta.get("partitionColumns") or []
         st = self.table_schema(hi)
-        # partition values of removed files come from their original
-        # add actions — checkpoint live set + the JSON prefix
+        # partition values and deletion-vector state of removed files
+        # come from their original add actions — checkpoint live set +
+        # the JSON prefix walked in order (a remove whose tombstone
+        # omits the DV descriptor falls back to the path's pre-commit
+        # fold state: scanning it raw would resurrect rows into the
+        # preimage)
         pv_by_path: dict[str, dict] = {}
+        dv_by_path: dict[str, dict | None] = {}
         cp = self._cp
         lo = 0
         if cp is not None:
-            for p, pv, _dv in self._checkpoint_adds_full(cp):
+            for p, pv, dv in self._checkpoint_adds_full(cp):
                 pv_by_path[p] = pv
+                dv_by_path[p] = dv
             lo = cp["version"] + 1
-        window: list[tuple[int, str | None, list[str], list[str]]] = []
+        window: list[
+            tuple[int, str | None, list[tuple[str, dict | None]],
+                  list[tuple[str, dict | None]]]
+        ] = []
         for v, actions in self._json_commit_actions(lo, hi):
-            adds: list[str] = []
-            removes: list[str] = []
+            adds: list[tuple[str, dict | None]] = []
+            removes: list[tuple[str, dict | None]] = []
             op = next(
                 (a["commitInfo"].get("operation") for a in actions
                  if "commitInfo" in a),
                 None,
             )
             for a in actions:
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    rp = a["remove"]["path"]
+                    removes.append((
+                        rp,
+                        a["remove"].get("deletionVector")
+                        or dv_by_path.get(rp),
+                    ))
+            for a in actions:
                 if "add" in a:
-                    pv_by_path[a["add"]["path"]] = (
+                    ap = a["add"]["path"]
+                    pv_by_path[ap] = (
                         a["add"].get("partitionValues") or {}
                     )
+                    dv_by_path[ap] = a["add"].get("deletionVector")
                     if a["add"].get("dataChange", True):
-                        if (
-                            v > since
-                            and a["add"].get("deletionVector") is not None
-                        ):
-                            raise NotImplementedError(
-                                f"version {v} committed a deletion-"
-                                "vector add inside the change window — "
-                                "its preimage lives under the same "
-                                "path; rebuild the consumer from the "
-                                "snapshot"
-                            )
-                        adds.append(a["add"]["path"])
-                elif "remove" in a and a["remove"].get("dataChange", True):
-                    removes.append(a["remove"]["path"])
+                        adds.append((ap, dv_by_path[ap]))
             if v > since and (adds or removes):
                 window.append((v, op, adds, removes))
         if not window:
@@ -2852,7 +2867,7 @@ class DeltaLogTable:
         gone = sorted({
             p
             for _v, _op, adds, removes in window
-            for p in adds + removes
+            for p, _dv in adds + removes
             if not os.path.exists(res(p))
         })
         if gone:
@@ -2865,19 +2880,25 @@ class DeltaLogTable:
             )
         frames: list[DataFrame] = []
         for v, op, adds, removes in window:
-            add_pairs = [(res(p), pv_by_path.get(p) or {}) for p in adds]
+            add_e = [
+                (p, res(p), pv_by_path.get(p) or {}, dv)
+                for p, dv in adds
+            ]
             if not removes:
                 frames.append(
-                    self._assemble(spark, add_pairs, st, part_cols)
+                    self._assemble_mor(spark, add_e, st, part_cols)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
                 continue
-            rem_pairs = [(res(p), pv_by_path.get(p) or {}) for p in removes]
-            r_df = self._assemble(spark, rem_pairs, st, part_cols)
+            rem_e = [
+                (p, res(p), pv_by_path.get(p) or {}, dv)
+                for p, dv in removes
+            ]
+            r_df = self._assemble_mor(spark, rem_e, st, part_cols)
             a_df = (
-                self._assemble(spark, add_pairs, st, part_cols)
-                if add_pairs
+                self._assemble_mor(spark, add_e, st, part_cols)
+                if add_e
                 else r_df.limit(0)
             )
             pre, post = (

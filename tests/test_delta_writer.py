@@ -976,23 +976,20 @@ class TestDeletionVectorWrites:
         w.delete(spark, "k = 2", mode="mor")
         assert DeltaLogTable(w.path).snapshot(spark).count() == 9
 
-    def test_change_feeds_refuse_dv_windows(self, spark, tmp_path):
-        """A DV flip mutates rows under an UNCHANGED path — the
-        path-keyed feeds cannot attribute it; both refuse loudly."""
+    def test_change_feeds_over_dv_windows(self, spark, tmp_path):
+        """A MoR delete window: the adds-only feed refuses (it IS a
+        data-changing remove), while the ROW-LEVEL feed resolves the
+        flip (graduated later in round 11 — see
+        TestRowLevelCdfAcrossDvFlips for the full contract)."""
         w = self._table(spark, tmp_path)
         base = w.latest_version()
         w.delete(spark, "k = 1", mode="mor")
         t = DeltaLogTable(w.path)
-        # the MoR commit is remove+add on one path: the adds-only feed
-        # trips on the remove, the row-level feed on the DV'd add —
-        # both loud, neither silently misattributes the flip
         with pytest.raises(ValueError, match="adds-only"):
             t.changes(spark, base)
-        with pytest.raises(
-            (NotImplementedError, ValueError),
-            match="deletion[- ]vector|deletion vector",
-        ):
-            t.changes_cdf(spark, base)
+        rows = [(r["k"], r["_change_type"])
+                for r in t.changes_cdf(spark, base).collect()]
+        assert rows == [(1, "delete")]
 
     def test_writer_feature_gates(self, spark, tmp_path):
         """Unknown writerFeatures refuse every write; appendOnly
@@ -1069,3 +1066,79 @@ class TestDeletionVectorWrites:
         eng.sql(f"ATTACH TABLE tl FROM txnlog LOCATION '{tl.path}'")
         with pytest.raises(AdtError, match="Delta protocol feature"):
             eng.sql("ALTER TABLE tl ENABLE DELETION VECTORS")
+
+
+class TestRowLevelCdfAcrossDvFlips:
+    """Round 11 second half: the row-level change feed resolves
+    deletion-vector flips (previously a refusal) — the window's sides
+    assemble with their respective vectors applied, so the EXCEPT-ALL
+    diff yields exactly the flipped rows, and IncrementalAggView folds
+    another engine's MoR deletes as signed retractions, O(delta)."""
+
+    def test_cdf_emits_deletes_for_dv_flip(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, v double"
+        ).coalesce(1))
+        base = w.latest_version()
+        w.delete(spark, "k IN (1, 4)", mode="mor")
+        t = DeltaLogTable(root)
+        cdf = t.changes_cdf(spark, base)
+        rows = sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in cdf.collect()
+        )
+        assert rows == [(1, "delete", 1), (4, "delete", 1)]
+        # a SECOND flip on the same file diffs against the UNION state
+        w.delete(spark, "k = 2", mode="mor")
+        rows2 = sorted(
+            (r["k"], r["_change_type"])
+            for r in DeltaLogTable(root).changes_cdf(spark, base + 1)
+            .collect()
+        )
+        assert rows2 == [(2, "delete")]
+        # and the full window composes both commits
+        assert DeltaLogTable(root).changes_cdf(spark, base).count() == 3
+
+    def test_incremental_agg_view_folds_mor_deletes(
+        self, spark, tmp_path
+    ):
+        from algebraicdb_spark.operators.txnlog import (
+            IncrementalAggView,
+        )
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(12)], "g long, v double"
+        ).coalesce(1))
+        view = IncrementalAggView(
+            base=DeltaLogTable(root),
+            state_path=str(tmp_path / "state"),
+            group_cols=["g"],
+            sum_cols=["v"],
+        )
+        view.refresh(spark)
+        pre = {
+            r["g"]: (r["n_rows"], float(r["sum_v"]))
+            for r in view.read(spark).collect()
+        }
+        assert pre[0] == (4, 0.0 + 3 + 6 + 9)
+        # an external-style MoR delete retracts WITHOUT a rebuild
+        w.delete(spark, "v >= 6.0", mode="mor")
+        view.refresh(spark)
+        post = {
+            r["g"]: (r["n_rows"], float(r["sum_v"]))
+            for r in view.read(spark).collect()
+        }
+        assert post[0] == (2, 3.0)
+        assert post[1] == (2, 1.0 + 4)
+        assert post[2] == (2, 2.0 + 5)
+        # bit-equal to a from-scratch rebuild
+        view.rebuild(spark)
+        rebuilt = {
+            r["g"]: (r["n_rows"], float(r["sum_v"]))
+            for r in view.read(spark).collect()
+        }
+        assert rebuilt == post
