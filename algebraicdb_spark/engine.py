@@ -1154,8 +1154,8 @@ class Engine:
         row-level mutation: txnlog → ``TxnLogTable``, standard Delta →
         ``DeltaTableWriter``, standard Iceberg → ``IcebergTableWriter``
         (delta graduated from mutation-refusing in round 11; iceberg's
-        COW delete/update landed later the same round — MERGE on
-        iceberg still refuses, the writer has no merge yet). A
+        COW delete/update/merge landed later the same round,
+        completing the three-format mutation matrix). A
         VERSION-pinned attachment refuses (mutating a historical
         snapshot is a contradiction: rebase on latest)."""
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
@@ -1165,11 +1165,14 @@ class Engine:
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
         att = self._attached[name]
-        if att["fmt"] == "iceberg" and verb not in ("DELETE", "UPDATE"):
+        if att["fmt"] == "iceberg" and verb not in (
+            "DELETE", "UPDATE", "MERGE INTO"
+        ):
             raise AdtError(
                 f"{verb}: {name!r} is iceberg interop — this writer "
-                "supports DELETE/UPDATE (copy-on-write) and COPY/INSERT "
-                "appends; run other mutations with its owning system"
+                "supports DELETE/UPDATE/MERGE (copy-on-write) and "
+                "COPY/INSERT appends; run other mutations with its "
+                "owning system"
             )
         if att["version"] is not None:
             raise AdtError(

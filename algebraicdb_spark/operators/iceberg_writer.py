@@ -730,6 +730,171 @@ class IcebergTableWriter:
             "— table is under pathological write contention"
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source,
+        cond: str,
+        assignments: dict[str, str] | None,
+        insert_exprs: list[str] | None,
+        target_alias: str = "t",
+        source_alias: str = "s",
+        max_retries: int = 8,
+        delete_matched: bool = False,
+    ) -> dict:
+        """``MERGE INTO`` as ONE copy-on-write snapshot — the iceberg
+        twin of ``DeltaTableWriter.merge`` (probe semi-join → rewrite
+        only reached files → anti-join inserts → one mutation
+        snapshot), with the same free multi-match refusal (a matched
+        rewrite preserves row count; staged footers disagreeing with
+        input footers IS the multi-match signal) and the same
+        ``delete_matched`` WHEN MATCHED THEN DELETE clause."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        if delete_matched and assignments:
+            raise ValueError(
+                "MERGE: WHEN MATCHED THEN DELETE and THEN UPDATE are "
+                "mutually exclusive in this dialect"
+            )
+        if not assignments and not delete_matched and insert_exprs is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE assignments, "
+                "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
+                "THEN INSERT expressions"
+            )
+        cond_col = F.expr(cond)
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "merge into"
+                )
+            rdr = self.reader()
+            data = self._cow_scope(rdr)
+            paths = [p for p, _u, _s in data]
+            by_raw: dict[str, int] = {}
+            matched = 0
+            if (assignments or delete_matched) and paths:
+                tgt = self._with_lp(spark.read.parquet(*paths))
+                rows = (
+                    tgt.alias(target_alias)
+                    .join(source.alias(source_alias), cond_col,
+                          "left_semi")
+                    .groupBy("__lp")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()
+                )
+                by_raw = {r["__lp"]: int(r["__n"]) for r in rows}
+                matched = sum(by_raw.values())
+            affected = sorted(by_raw)
+            staged: list[tuple[str, int, int]] = []
+            rewritten = len(affected)
+            if affected and delete_matched:
+                partial = [
+                    p for p in affected
+                    if by_raw[p] != pq.ParquetFile(p).metadata.num_rows
+                ]
+                rewritten = len(partial)
+                if partial:
+                    keep = (
+                        spark.read.parquet(*partial)
+                        .alias(target_alias)
+                        .join(source.alias(source_alias), cond_col,
+                              "left_anti")
+                    )
+                    staged = self._stage(keep)
+            elif affected:
+                aff = spark.read.parquet(*affected)
+                input_rows = sum(
+                    pq.ParquetFile(p).metadata.num_rows for p in affected
+                )
+                mark = "__merge_matched"
+                joined = aff.alias(target_alias).join(
+                    source.withColumn(mark, F.lit(True))
+                    .alias(source_alias),
+                    cond_col,
+                    "left_outer",
+                )
+                hit_c = F.col(f"{source_alias}.{mark}").isNotNull()
+                out = joined.select(
+                    *[
+                        F.when(hit_c, F.expr(assignments[c]))
+                        .otherwise(F.col(f"{target_alias}.{c}"))
+                        .cast(aff.schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(f"{target_alias}.{c}").alias(c)
+                        for c in aff.columns
+                    ]
+                )
+                staged = self._stage(out)
+                staged_rows = sum(r for _p, r, _b in staged)
+                if staged_rows != input_rows:
+                    self._unstage(staged)
+                    raise ValueError(
+                        f"MERGE: {staged_rows - input_rows} target "
+                        "row(s) matched multiple source rows — the "
+                        "rewrite would duplicate them; deduplicate the "
+                        "source on the merge key first"
+                    )
+            rows_inserted = 0
+            if insert_exprs is not None:
+                if paths:
+                    full_t = spark.read.parquet(*paths)
+                    ins_src = source.alias(source_alias).join(
+                        full_t.alias(target_alias), cond_col, "left_anti"
+                    )
+                    tbl_schema = full_t.schema
+                else:
+                    ins_src = source.alias(source_alias)
+                    tbl_schema = self.table_schema()
+                if tbl_schema is None:
+                    raise ValueError(
+                        "MERGE into an empty iceberg table with an "
+                        "unmappable schema — append a first batch"
+                    )
+                cols = [(f.name, f.dataType) for f in tbl_schema.fields]
+                if len(insert_exprs) != len(cols):
+                    raise ValueError(
+                        f"MERGE: INSERT VALUES has {len(insert_exprs)} "
+                        f"expressions for {len(cols)} target columns"
+                    )
+                ins = ins_src.select(
+                    *[
+                        F.expr(e).cast(t_).alias(c)
+                        for e, (c, t_) in zip(insert_exprs, cols)
+                    ]
+                )
+                ins_staged = self._stage(ins)
+                rows_inserted = sum(r for _p, r, _b in ins_staged)
+                if rows_inserted == 0:
+                    self._unstage(ins_staged)
+                else:
+                    staged = staged + ins_staged
+            if not affected and not staged:
+                return {"version": None, "rows_matched": 0,
+                        "rows_inserted": 0, "files_rewritten": 0}
+            try:
+                snap_id = self._publish_mutation(
+                    base_v, cur, rdr, set(affected), staged, "overwrite",
+                    {"merged-records": str(matched)},
+                )
+                return {
+                    "version": snap_id,
+                    "rows_matched": matched,
+                    "rows_inserted": rows_inserted,
+                    "files_rewritten": rewritten,
+                }
+            except ConcurrentWriteError:
+                self._unstage(staged)
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg merge lost {max_retries} metadata publish races "
+            "— table is under pathological write contention"
+        )
+
     def _publish_mutation(
         self,
         base_v: int,

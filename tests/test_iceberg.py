@@ -1246,15 +1246,21 @@ class TestIcebergCowMutation:
         eng.sql("UPDATE ic SET v = 0.5 WHERE k = 0")
         assert eng.sql(
             "SELECT v FROM ic WHERE k = 0").collect()[0]["v"] == 0.5
-        # MERGE still refuses — the writer has no merge
-        spark.createDataFrame([(1,)], "k long").createOrReplaceTempView(
-            "icmsrc"
+        # MERGE routes through the writer too (upsert in ONE snapshot)
+        spark.createDataFrame(
+            [(0, 9.9), (99, 99.0)], "k long, v double"
+        ).createOrReplaceTempView("icmsrc")
+        eng.sql(
+            "MERGE INTO ic USING icmsrc ON ic.k = icmsrc.k "
+            "WHEN MATCHED THEN UPDATE SET v = icmsrc.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (icmsrc.k, icmsrc.v)"
         )
-        with _pytest.raises(AdtError, match="iceberg"):
-            eng.sql(
-                "MERGE INTO ic USING icmsrc ON t.k = s.k "
-                "WHEN MATCHED THEN DELETE"
-            )
+        got = {
+            r["k"]: r["v"]
+            for r in eng.sql(
+                "SELECT * FROM ic WHERE k IN (0, 99)").collect()
+        }
+        assert got == {0: 9.9, 99: 99.0}
         # VERSION-pinned attachments refuse mutation
         pre = IcebergTable(w.path).snapshots()[0]["snapshot-id"]
         eng.sql(
@@ -1303,3 +1309,56 @@ class TestIcebergCowMutation:
             f for f in os.listdir(w.meta_dir) if f.endswith(".avro")
         }
         assert on_disk == referenced | pre_avros
+
+    def test_merge_round_trips(self, spark, tmp_path):
+        """MERGE as one COW snapshot: matched rows update in place,
+        unmatched source rows insert, multi-matching sources refuse
+        via the footer-count signal."""
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = self._table(spark, tmp_path, "mrg")
+        src = spark.createDataFrame(
+            [(1, 100.0), (11, 111.0), (50, 50.0)], "k long, nv double"
+        )
+        res = w.merge(
+            spark, src, "t.k = s.k", {"v": "s.nv"}, ["s.k", "s.nv"],
+        )
+        assert res["rows_matched"] == 2 and res["rows_inserted"] == 1
+        t = IcebergTable(w.path)
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got[1] == 100.0 and got[11] == 111.0 and got[50] == 50.0
+        assert got[0] == 0.0  # untouched
+        assert len(got) == 13
+        # WHEN MATCHED THEN DELETE: full file drops, partial rewrites
+        res = w.merge(
+            spark,
+            spark.createDataFrame(
+                [(20,), (21,), (22,), (23,), (2,)], "k long"
+            ),
+            "t.k = s.k", None, None, delete_matched=True,
+        )
+        assert res["rows_matched"] == 5
+        assert IcebergTable(w.path).snapshot(spark).count() == 8
+        # multi-matching source refuses loudly and leaves no orphans
+        dup = spark.createDataFrame(
+            [(1, 1.0), (1, 2.0)], "k long, nv double"
+        )
+        with pytest.raises(ValueError, match="matched multiple"):
+            w.merge(spark, dup, "t.k = s.k", {"v": "s.nv"}, None)
+        assert IcebergTable(w.path).snapshot(spark).count() == 8
+        on_disk = {
+            os.path.join(w.path, "data", f)
+            for f in os.listdir(os.path.join(w.path, "data"))
+        }
+        # every data file on disk is referenced by SOME snapshot
+        referenced = set()
+        t = IcebergTable(w.path)
+        for s in t.snapshots():
+            for mpath, _sid, _c, _ms in t._manifests(s):
+                for e in AvroFileReader(mpath).records:
+                    referenced.add(
+                        t._resolve(e["data_file"]["file_path"])
+                    )
+        assert on_disk <= referenced
