@@ -999,30 +999,36 @@ class DeltaTableWriter:
             "files_rewritten": len(partial),
         }
 
-    def _delete_mor(
+    def _probe_positions(
         self, spark, rdr, entries, st, part_cols, by_local,
-        predicate: str, max_retries: int, inline_threshold: int,
-    ) -> dict:
-        """The merge-on-read DELETE body: ONE probe scan (predicate
-        pushed to parquet, existing DVs applied) yields each affected
-        file's newly-matched PHYSICAL row ordinals; new vector = old
-        positions ∪ new matches. Bitmaps serialize EXECUTOR-side
-        (``mapInPandas`` over the probe output — driver traffic is
-        O(compressed bitmap), never O(matched rows)); the union with
-        an existing vector decodes driver-side, bounded by the old
-        vector's own size."""
-        import pandas as pd
+        predicate: str,
+    ) -> tuple[dict[str, list[int]], int]:
+        """ONE probe scan (predicate pushed to parquet, existing DVs
+        applied — a deleted row never rematches) → each affected
+        file's newly-matched PHYSICAL row ordinals + the match count.
+        Bitmaps serialize EXECUTOR-side (``mapInPandas`` over the
+        probe output — driver traffic is O(compressed bitmap), never
+        O(matched rows))."""
         from pyspark.sql import functions as F
-
-        from algebraicdb_spark.operators.deletion_vectors import (
-            dv_positions, inline_dv_descriptor, roaring64_positions,
-            write_dv_file,
-        )
 
         probe = (
             rdr._assemble_mor(spark, entries, st, part_cols, keep_pos=True)
             .where(F.expr(predicate))
             .select("__lp", "__pos")
+        )
+        return self._collect_positions(probe, by_local)
+
+    def _collect_positions(
+        self, probe, by_local
+    ) -> tuple[dict[str, list[int]], int]:
+        """Executor-side bitmap collection for a (__lp, __pos) probe
+        frame — shared by MoR DELETE/UPDATE (predicate probes) and
+        MoR MERGE (semi-join probes)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from algebraicdb_spark.operators.deletion_vectors import (
+            roaring64_positions,
         )
 
         def to_bitmaps(batches):
@@ -1043,13 +1049,11 @@ class DeltaTableWriter:
                 })
 
         parts = (
-            probe.repartition(F.col("__lp"))
+            probe.select("__lp", "__pos")
+            .repartition(F.col("__lp"))
             .mapInPandas(to_bitmaps, "__lp string, bm binary, n long")
             .collect()
         )
-        if not parts:
-            return {"version": None, "rows_deleted": 0,
-                    "files_removed": 0, "files_dv": 0}
         new_pos: dict[str, list[int]] = {}
         matched = 0
         for r in parts:
@@ -1065,6 +1069,23 @@ class DeltaTableWriter:
                 roaring64_positions(bytes(r["bm"]))
             )
             matched += int(r["n"])
+        return new_pos, matched
+
+    def _build_dv_actions(
+        self, entries, new_pos: dict[str, list[int]],
+        inline_threshold: int,
+    ) -> tuple[list[dict], list[str], list[str], str | None]:
+        """Turn per-file matched ordinals into the commit pieces:
+        (re-add actions carrying the UNIONED vectors with
+        ``tightBounds: false`` stats, fully-covered files → plain
+        removes, DV'd files, the written ``.bin``'s uuid-enc for
+        abort-path reclamation). New vector = old positions ∪ new
+        matches (the old vector decodes driver-side, bounded by its
+        own size); vectors ≤ ``inline_threshold`` bytes ride inline."""
+        from algebraicdb_spark.operators.deletion_vectors import (
+            dv_positions, inline_dv_descriptor, write_dv_file,
+        )
+
         res_of = {raw: res for raw, res, _pv, _dv in entries}
         pv_of = {raw: pv for raw, _res, pv, _dv in entries}
         dv_of = {raw: dv for raw, _res, _pv, dv in entries}
@@ -1089,10 +1110,9 @@ class DeltaTableWriter:
             if 8 + 2 * len(pos) > inline_threshold  # cheap size proxy
         ]
         if file_backed:
-            _enc, fdescs = write_dv_file(
+            written_bin, fdescs = write_dv_file(
                 self.path, [pos for _raw, pos in file_backed]
             )
-            written_bin = _enc
             for (raw, _pos), d in zip(file_backed, fdescs):
                 descs[raw] = d
         for raw, pos in zip(dv_files, vectors):
@@ -1112,47 +1132,74 @@ class DeltaTableWriter:
                 "stats": json.dumps(stats),
                 "deletionVector": descs[raw],
             }})
-        extra: list[dict] = []
+        return adds, full_removes, dv_files, written_bin
+
+    def _dv_protocol_actions(self, rdr) -> list[dict]:
+        """The protocol-upgrade action a first MoR mutation must carry
+        ATOMICALLY with its vectors when the table has not announced
+        deletionVectors yet (a separate enable commit is also
+        supported — ``enable_deletion_vectors``)."""
         proto, _m = rdr._protocol_meta()
-        if "deletionVectors" not in (proto.get("writerFeatures") or []):
-            # first MoR delete upgrades the protocol ATOMICALLY with
-            # the vectors it justifies (a separate enable commit is
-            # also supported — enable_deletion_vectors)
-            legacy_w = {
-                3: ["checkConstraints"],
-                4: ["changeDataFeed", "generatedColumns"],
-                5: ["columnMapping"],
-                6: ["identityColumns"],
-            }.get(int(proto.get("minWriterVersion", 1) or 1), [])
-            extra.append({"protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(
-                    set(proto.get("readerFeatures") or [])
-                    | {"deletionVectors"}
-                ),
-                "writerFeatures": sorted(
-                    set(proto.get("writerFeatures") or [])
-                    | set(legacy_w) | {"deletionVectors"}
-                ),
-            }})
-        removed = sorted(set(new_pos))
+        if "deletionVectors" in (proto.get("writerFeatures") or []):
+            return []
+        legacy_w = {
+            3: ["checkConstraints"],
+            4: ["changeDataFeed", "generatedColumns"],
+            5: ["columnMapping"],
+            6: ["identityColumns"],
+        }.get(int(proto.get("minWriterVersion", 1) or 1), [])
+        return [{"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                set(proto.get("readerFeatures") or [])
+                | {"deletionVectors"}
+            ),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or [])
+                | set(legacy_w) | {"deletionVectors"}
+            ),
+        }}]
+
+    def _reclaim_bin(self, written_bin: str | None) -> None:
+        """Unlink a never-published DV ``.bin`` (nothing else ever
+        reclaims it — vacuum candidates come from the log)."""
+        if written_bin is None:
+            return
+        from algebraicdb_spark.operators.deletion_vectors import (
+            dv_file_path,
+        )
+
+        p = dv_file_path(self.path, written_bin)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def _delete_mor(
+        self, spark, rdr, entries, st, part_cols, by_local,
+        predicate: str, max_retries: int, inline_threshold: int,
+    ) -> dict:
+        """The merge-on-read DELETE body: matched ordinals become
+        deletion vectors — O(bitmap bytes) committed, zero rewrite."""
+        new_pos, matched = self._probe_positions(
+            spark, rdr, entries, st, part_cols, by_local, predicate
+        )
+        if not new_pos:
+            return {"version": None, "rows_deleted": 0,
+                    "files_removed": 0, "files_dv": 0}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
+        adds, full_removes, dv_files, written_bin = self._build_dv_actions(
+            entries, new_pos, inline_threshold
+        )
+        extra = self._dv_protocol_actions(rdr)
         try:
             version = self._commit_cow(
-                removed, pv_of, dv_of, [], "DELETE",
+                sorted(new_pos), pv_of, dv_of, [], "DELETE",
                 {"predicate": predicate}, max_retries,
                 extra_actions=adds + extra,
             )
         except ConcurrentWriteError:
-            if written_bin is not None:
-                # the .bin is unreferenced — nothing reclaims it later
-                from algebraicdb_spark.operators.deletion_vectors import (
-                    dv_file_path,
-                )
-
-                p = dv_file_path(self.path, written_bin)
-                if os.path.exists(p):
-                    os.unlink(p)
+            self._reclaim_bin(written_bin)
             raise
         return {
             "version": version,
@@ -1167,15 +1214,30 @@ class DeltaTableWriter:
         assignments: dict[str, str],
         predicate: str | None = None,
         max_retries: int = 8,
+        mode: str = "auto",
+        dv_inline_threshold: int = 512,
     ) -> dict:
-        """Row-level ``UPDATE … SET col = expr WHERE predicate`` as
-        copy-on-write on the standard format: affected files rewrite
-        through a CASE per assigned column cast back to the declared
-        type (the pinned schema never drifts); unmatched files keep
-        their add entries. Partition-column assignment refuses — row
-        movement is an overwrite-shaped operation."""
+        """Row-level ``UPDATE … SET col = expr WHERE predicate``, two
+        physical strategies behind one semantic (dispatch as in
+        ``delete``):
+
+        - ``cow``: affected files rewrite through a CASE per assigned
+          column cast back to the declared type (the pinned schema
+          never drifts); unmatched files keep their add entries.
+        - ``mor``: matched rows get DELETION-VECTORED in place and
+          only their POSTIMAGES stage as new files — an update
+          touching 1% of a file's rows commits O(bitmap + changed
+          rows), not O(file bytes); production Delta's UPDATE under
+          deletionVectors does exactly this.
+        - ``auto`` (the default, and what SQL UPDATE uses): ``mor``
+          iff the protocol announces deletionVectors.
+
+        Partition-column assignment refuses — row movement is an
+        overwrite-shaped operation."""
         from pyspark.sql import functions as F
 
+        if mode not in ("auto", "cow", "mor"):
+            raise ValueError(f"update mode {mode!r}: auto, cow, or mor")
         if self.latest_version() < 0:
             raise ValueError(
                 f"delta table {self.path} has no commits to update"
@@ -1183,6 +1245,13 @@ class DeltaTableWriter:
         rdr, entries, st, part_cols, by_local = self._cow_context(
             spark, "UPDATE"
         )
+        if mode == "auto":
+            proto, _m = rdr._protocol_meta()
+            mode = (
+                "mor"
+                if "deletionVectors" in (proto.get("writerFeatures") or [])
+                else "cow"
+            )
         if not entries:
             return {"version": None, "rows_updated": 0,
                     "files_rewritten": 0}
@@ -1202,6 +1271,11 @@ class DeltaTableWriter:
                 "DELETE + append instead"
             )
         pred = predicate if predicate is not None else "TRUE"
+        if mode == "mor":
+            return self._update_mor(
+                spark, rdr, entries, st, part_cols, by_local,
+                assignments, pred, max_retries, dv_inline_threshold,
+            )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, pred
         )
@@ -1241,6 +1315,64 @@ class DeltaTableWriter:
             "files_rewritten": len(affected),
         }
 
+    def _update_mor(
+        self, spark, rdr, entries, st, part_cols, by_local,
+        assignments: dict[str, str], pred: str, max_retries: int,
+        inline_threshold: int,
+    ) -> dict:
+        """The merge-on-read UPDATE body: the preimage rows get
+        deletion-vectored in place (same machinery as MoR DELETE) and
+        ONLY the postimages — the matched rows with assignments
+        applied, cast to declared types — stage as new files. Both
+        halves ride ONE data-changing commit, so a reader never sees
+        the delete without the re-insert."""
+        from pyspark.sql import functions as F
+
+        new_pos, matched = self._probe_positions(
+            spark, rdr, entries, st, part_cols, by_local, pred
+        )
+        if not new_pos:
+            return {"version": None, "rows_updated": 0, "files_dv": 0}
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
+        affected = sorted(new_pos)
+        post_src = rdr._assemble_mor(
+            spark,
+            [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+             for raw in affected],
+            st, part_cols,
+        ).where(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)))
+        post = post_src.select(
+            *[
+                F.expr(assignments[c])
+                .cast(post_src.schema[c].dataType)
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in post_src.columns
+            ]
+        )
+        staged = self._stage(post, part_cols)
+        adds, _full, dv_files, written_bin = self._build_dv_actions(
+            entries, new_pos, inline_threshold
+        )
+        extra = self._dv_protocol_actions(rdr)
+        try:
+            version = self._commit_cow(
+                affected, pv_of, dv_of, staged, "UPDATE",
+                {"predicate": pred}, max_retries,
+                extra_actions=adds + extra,
+            )
+        except ConcurrentWriteError:
+            self._reclaim_bin(written_bin)
+            raise
+        return {
+            "version": version,
+            "rows_updated": matched,
+            "files_dv": len(dv_files),
+        }
+
     def merge(
         self,
         spark: SparkSession,
@@ -1252,6 +1384,8 @@ class DeltaTableWriter:
         source_alias: str = "s",
         max_retries: int = 8,
         delete_matched: bool = False,
+        mode: str = "auto",
+        dv_inline_threshold: int = 512,
     ) -> dict:
         """``MERGE INTO`` as ONE copy-on-write commit on the standard
         format — the same plan as ``TxnLogTable.merge`` (probe
@@ -1279,6 +1413,8 @@ class DeltaTableWriter:
                 "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
                 "THEN INSERT expressions"
             )
+        if mode not in ("auto", "cow", "mor"):
+            raise ValueError(f"merge mode {mode!r}: auto, cow, or mor")
         rdr, entries, st, part_cols, by_local = self._cow_context(
             spark, "MERGE"
         )
@@ -1290,6 +1426,20 @@ class DeltaTableWriter:
                     "rows across partitions is an overwrite-shaped "
                     "operation; DELETE + append instead"
                 )
+        if mode == "auto":
+            proto, _m = rdr._protocol_meta()
+            mode = (
+                "mor"
+                if "deletionVectors" in (proto.get("writerFeatures") or [])
+                else "cow"
+            )
+        if mode == "mor" and entries:
+            return self._merge_mor(
+                spark, rdr, entries, st, part_cols, by_local, source,
+                cond, assignments, insert_exprs, target_alias,
+                source_alias, max_retries, delete_matched,
+                dv_inline_threshold,
+            )
         res_of = {raw: res for raw, res, _pv, _dv in entries}
         pv_of = {raw: pv for raw, _res, pv, _dv in entries}
         dv_of = {raw: dv for raw, _res, _pv, dv in entries}
@@ -1429,6 +1579,117 @@ class DeltaTableWriter:
             "rows_matched": matched,
             "rows_inserted": rows_inserted,
             "files_rewritten": rewritten,
+        }
+
+    def _merge_mor(
+        self, spark, rdr, entries, st, part_cols, by_local, source,
+        cond: str, assignments, insert_exprs, target_alias,
+        source_alias, max_retries: int, delete_matched: bool,
+        inline_threshold: int,
+    ) -> dict:
+        """The merge-on-read MERGE body: matched target rows
+        deletion-vector in place; THEN-UPDATE postimages come from an
+        inner join of the matched rows with the source (assignments
+        applied, declared-type casts); THEN-DELETE stages nothing;
+        NOT-MATCHED inserts anti-join the DV-applied live set. All
+        pieces ride ONE data-changing commit. Multi-match stays a
+        free refusal: postimage row count must equal the matched
+        count — an inner join against a duplicated source inflates it."""
+        from pyspark.sql import functions as F
+
+        cond_col = F.expr(cond)
+        pv_of = {raw: pv for raw, _res, pv, _dv in entries}
+        dv_of = {raw: dv for raw, _res, _pv, dv in entries}
+        new_pos: dict[str, list[int]] = {}
+        matched = 0
+        tgt = rdr._assemble_mor(spark, entries, st, part_cols,
+                                keep_pos=True)
+        if assignments or delete_matched:
+            probe = (
+                tgt.alias(target_alias)
+                .join(source.alias(source_alias), cond_col, "left_semi")
+            )
+            new_pos, matched = self._collect_positions(probe, by_local)
+        staged: list[tuple[str, dict]] = []
+        if matched and assignments:
+            joined = (
+                tgt.alias(target_alias)
+                .join(source.alias(source_alias), cond_col, "inner")
+            )
+            data_cols = [
+                c for c in tgt.columns if c not in ("__lp", "__pos")
+            ]
+            post = joined.select(
+                *[
+                    F.expr(assignments[c])
+                    .cast(tgt.schema[c].dataType)
+                    .alias(c)
+                    if c in assignments
+                    else F.col(f"{target_alias}.{c}").alias(c)
+                    for c in data_cols
+                ]
+            )
+            staged = self._stage(post, part_cols)
+            staged_rows = sum(
+                self._file_rows(os.path.join(self.path, rel))
+                for rel, _pv in staged
+            )
+            if staged_rows != matched:
+                self._unstage(staged)
+                raise ValueError(
+                    f"MERGE: {staged_rows - matched} target row(s) "
+                    "matched multiple source rows — the rewrite would "
+                    "duplicate them; deduplicate the source on the "
+                    "merge key first"
+                )
+        rows_inserted = 0
+        if insert_exprs is not None:
+            full_t = rdr._assemble_mor(spark, entries, st, part_cols)
+            ins_src = source.alias(source_alias).join(
+                full_t.alias(target_alias), cond_col, "left_anti"
+            )
+            cols = [(f.name, f.dataType) for f in full_t.schema.fields]
+            if len(insert_exprs) != len(cols):
+                raise ValueError(
+                    f"MERGE: INSERT VALUES has {len(insert_exprs)} "
+                    f"expressions for {len(cols)} target columns"
+                )
+            ins = ins_src.select(
+                *[
+                    F.expr(e).cast(t_).alias(c)
+                    for e, (c, t_) in zip(insert_exprs, cols)
+                ]
+            )
+            ins_staged = self._stage(ins, part_cols)
+            rows_inserted = sum(
+                self._file_rows(os.path.join(self.path, rel))
+                for rel, _pv in ins_staged
+            )
+            if rows_inserted == 0:
+                self._unstage(ins_staged)
+            else:
+                staged = staged + ins_staged
+        if not new_pos and not staged:
+            return {"version": None, "rows_matched": 0,
+                    "rows_inserted": 0, "files_dv": 0}
+        adds, _full, dv_files, written_bin = self._build_dv_actions(
+            entries, new_pos, inline_threshold
+        )
+        extra = self._dv_protocol_actions(rdr)
+        try:
+            version = self._commit_cow(
+                sorted(new_pos), pv_of, dv_of, staged, "MERGE",
+                {"predicate": cond}, max_retries,
+                extra_actions=adds + extra,
+            )
+        except (ConcurrentWriteError, ValueError):
+            self._reclaim_bin(written_bin)
+            raise
+        return {
+            "version": version,
+            "rows_matched": matched,
+            "rows_inserted": rows_inserted,
+            "files_dv": len(dv_files),
         }
 
     # -- maintenance -------------------------------------------------------

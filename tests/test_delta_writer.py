@@ -1142,3 +1142,147 @@ class TestRowLevelCdfAcrossDvFlips:
             for r in view.read(spark).collect()
         }
         assert rebuilt == post
+
+
+class TestMergeOnReadUpdate:
+    """MoR UPDATE: preimages deletion-vectored in place, ONLY the
+    postimages staged — O(bitmap + changed rows) per commit. Read back
+    through the fixture-validated DeltaLogTable, as everywhere."""
+
+    def test_update_mor_round_trips(self, spark, tmp_path):
+        w = TestDeletionVectorWrites._table(spark, tmp_path)
+        w.enable_deletion_vectors()
+        pre_paths = sorted(DeltaLogTable(w.path).live_paths())
+        res = w.update(spark, {"v": "v + 1000"}, "k IN (1, 21)")
+        assert res["rows_updated"] == 2 and res["files_dv"] == 2
+        t = DeltaLogTable(w.path)
+        snap = t.snapshot(spark)
+        assert snap.count() == 12  # row count preserved
+        got = {r["k"]: r["v"] for r in snap.collect()}
+        assert got[1] == 1001.0 and got[21] == 1021.0
+        assert got[0] == 0.0 and got[20] == 20.0
+        # the ORIGINAL files were not rewritten: every pre-update path
+        # is still in the live set (DV'd), plus the postimage file(s)
+        live = sorted(
+            res_ for _raw, res_, _pv, _dv in t._live_entries_full()
+        )
+        assert set(pre_paths) <= set(live)
+        assert len(live) > len(pre_paths)
+        # raw commit shape: one commit carrying remove+DV-re-add AND
+        # the postimage add — a reader never sees the delete alone
+        with open(os.path.join(
+                w.path, "_delta_log",
+                f"{res['version']:020d}.json")) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        dv_adds = [a for a in acts
+                   if "add" in a and a["add"].get("deletionVector")]
+        plain_adds = [a for a in acts
+                      if "add" in a and not a["add"].get("deletionVector")]
+        assert len(dv_adds) == 2 and len(plain_adds) >= 1
+        # time travel reads the pre-update values
+        assert {
+            r["k"]: r["v"]
+            for r in t.snapshot(spark, as_of=res["version"] - 1)
+            .collect()
+        }[1] == 1.0
+        # updating an already-DV'd row set unions vectors
+        res2 = w.update(spark, {"v": "v - 1"}, "k = 2")
+        t = DeltaLogTable(w.path)
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got[2] == 1.0 and got[1] == 1001.0
+        assert t.snapshot(spark).count() == 12
+        # incremental consumers fold the MoR update O(delta) as
+        # update_preimage/update_postimage rows
+        cdf = t.changes_cdf(spark, res2["version"] - 1)
+        kinds = sorted(
+            (r["k"], r["_change_type"]) for r in cdf.collect()
+        )
+        assert kinds == [
+            (2, "update_postimage"), (2, "update_preimage"),
+        ]
+
+    def test_sql_update_goes_mor_when_enabled(self, spark, tmp_path):
+        from algebraicdb_spark.engine import Engine
+
+        w = TestDeletionVectorWrites._table(spark, tmp_path)
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE ud FROM delta LOCATION '{w.path}'")
+        eng.sql("ALTER TABLE ud ENABLE DELETION VECTORS")
+        pre = sorted(DeltaLogTable(w.path).live_paths(as_of=2))
+        eng.sql("UPDATE ud SET v = 9.5 WHERE k = 11")
+        eng.sql("REFRESH TABLE ud")
+        assert eng.sql(
+            "SELECT v FROM ud WHERE k = 11").collect()[0]["v"] == 9.5
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ud").collect()[0]["n"] == 12
+        live = sorted(
+            r for _raw, r, _pv, _dv
+            in DeltaLogTable(w.path)._live_entries_full()
+        )
+        assert set(pre) <= set(live)  # nothing rewritten — MoR
+
+
+class TestMergeOnReadMerge:
+    """MoR MERGE: matched targets deletion-vectored, postimages +
+    inserts staged, one commit."""
+
+    def test_merge_mor_round_trips(self, spark, tmp_path):
+        w = TestDeletionVectorWrites._table(spark, tmp_path)
+        w.enable_deletion_vectors()
+        pre_paths = sorted(DeltaLogTable(w.path).live_paths())
+        src = _df(
+            spark, [(1, 100.0), (11, 111.0), (50, 50.0)],
+            "k long, nv double",
+        )
+        res = w.merge(
+            spark, src, "t.k = s.k", {"v": "s.nv"}, ["s.k", "s.nv"],
+        )
+        assert res["rows_matched"] == 2 and res["rows_inserted"] == 1
+        assert res["files_dv"] == 2
+        t = DeltaLogTable(w.path)
+        snap = t.snapshot(spark)
+        assert snap.count() == 13
+        got = {r["k"]: r["v"] for r in snap.collect()}
+        assert got[1] == 100.0 and got[11] == 111.0 and got[50] == 50.0
+        assert got[0] == 0.0
+        # merge-on-read: every pre-merge file is still live (DV'd)
+        live = sorted(
+            r for _raw, r, _pv, _dv in t._live_entries_full()
+        )
+        assert set(pre_paths) <= set(live)
+        # a matched row that was already DV-deleted does NOT rematch —
+        # it re-inserts instead (same contract as the COW path)
+        w.delete(spark, "k = 2")  # auto → mor
+        res2 = w.merge(
+            spark,
+            _df(spark, [(2, 222.0)], "k long, nv double"),
+            "t.k = s.k", {"v": "s.nv"}, ["s.k", "s.nv"],
+        )
+        assert res2["rows_matched"] == 0 and res2["rows_inserted"] == 1
+        assert DeltaLogTable(w.path).snapshot(spark).where(
+            "k = 2").collect()[0]["v"] == 222.0
+
+    def test_merge_mor_delete_matched_and_multimatch(
+        self, spark, tmp_path
+    ):
+        w = TestDeletionVectorWrites._table(spark, tmp_path)
+        res = w.merge(
+            spark,
+            _df(spark, [(10,), (11,)], "k long"),
+            "t.k = s.k", None, None, delete_matched=True, mode="mor",
+        )
+        assert res["rows_matched"] == 2 and res["files_dv"] == 1
+        t = DeltaLogTable(w.path)
+        assert t.snapshot(spark).count() == 10
+        # multi-match refuses, unstages, and reclaims the .bin
+        dup = _df(spark, [(1, 1.0), (1, 2.0)], "k long, nv double")
+        bins_before = {
+            f for f in os.listdir(w.path) if f.endswith(".bin")
+        }
+        with pytest.raises(ValueError, match="matched multiple"):
+            w.merge(spark, dup, "t.k = s.k", {"v": "s.nv"}, None,
+                    mode="mor", dv_inline_threshold=0)
+        assert {
+            f for f in os.listdir(w.path) if f.endswith(".bin")
+        } == bins_before
+        assert DeltaLogTable(w.path).snapshot(spark).count() == 10
