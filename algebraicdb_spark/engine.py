@@ -196,11 +196,13 @@ class Engine:
     def _maintain_attached(self, name: str, op: str, **kw) -> DataFrame | None:
         """OPTIMIZE TABLE / VACUUM / REFRESH TABLE over an ATTACHed
         table. Maintenance WRITES, so it runs on the formats this
-        engine can write: txnlog (`TxnLogTable`) and standard Delta
-        (`DeltaTableWriter` — compaction AND `ZORDER BY` re-clustering
-        commit `dataChange: false` removes+adds other Delta engines
-        understand and skip-scan). Iceberg attachments are read-only
-        interop and refuse loudly. After a mutating op the view
+        engine can write — all three since late round 11: txnlog
+        (`TxnLogTable`), standard Delta (`DeltaTableWriter` —
+        compaction AND `ZORDER BY` re-clustering commit `dataChange:
+        false` removes+adds other Delta engines understand and
+        skip-scan), and standard Iceberg (`IcebergTableWriter` —
+        OPTIMIZE compacts via a `replace` snapshot, VACUUM expires
+        snapshots; ZORDER refuses). After a mutating op the view
         re-registers on the fresh snapshot (the file list changed even
         though content didn't). REFRESH just re-resolves the snapshot
         to pick up new commits."""
@@ -217,10 +219,33 @@ class Engine:
             # a refresh IS a re-ATTACH at latest (pin cleared)
             return self._attach_table_stmt(name, fmt, path, None)
         if fmt == "iceberg":
-            raise AdtError(
-                f"{op.upper()}: {name!r} is iceberg interop — read-only; "
-                "maintain it with its owning system"
+            # graduated late in round 11: OPTIMIZE = rewrite_data_files
+            # (a `replace` snapshot the change feed skips), VACUUM =
+            # expire_snapshots (metadata drop + physical reclaim of
+            # files reachable only from expired snapshots)
+            from algebraicdb_spark.operators.iceberg_writer import (
+                IcebergTableWriter,
             )
+
+            it = IcebergTableWriter(path)
+            if op == "optimize":
+                if kw.get("zorder_by"):
+                    raise AdtError(
+                        f"OPTIMIZE: ZORDER on iceberg attachment "
+                        f"{name!r} is not supported — this writer "
+                        "compacts; re-cluster with a full Iceberg client"
+                    )
+                it.optimize(self.spark)
+            else:
+                it.expire_snapshots(
+                    retain_last=kw.get("retain_versions", 2)
+                )
+            df = it.snapshot(self.spark)
+            self.create_table(name, df)
+            self._attached[name] = {
+                "fmt": fmt, "path": path, "version": None,
+            }
+            return df
         t = DeltaTableWriter(path) if fmt == "delta" else TxnLogTable(path)
         if op == "optimize":
             t.optimize(self.spark, **kw)

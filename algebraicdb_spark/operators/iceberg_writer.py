@@ -369,12 +369,98 @@ class IcebergTableWriter:
             self._unstage(staged)
             raise
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn-version`` any snapshot's summary records for
+        ``app_id`` (-1 when none) — the idempotence probe an
+        exactly-once sink reads once per micro-batch. Iceberg has no
+        dedicated txn action; committers (e.g. Flink's sink with its
+        checkpoint-id summary key) store replay marks as SNAPSHOT
+        SUMMARY properties, which the spec allows to carry arbitrary
+        engine entries — marks survive as long as their snapshots,
+        so expire snapshots older than the sink's replay horizon only."""
+        _v, cur = self._current()
+        mark = -1
+        for s in (cur or {}).get("snapshots") or []:
+            summ = s.get("summary") or {}
+            if summ.get("txn-app-id") == app_id:
+                try:
+                    mark = max(mark, int(summ.get("txn-version", -1)))
+                except (TypeError, ValueError):
+                    continue
+        return mark
+
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        max_retries: int = 8,
+    ) -> int | None:
+        """Idempotent APPEND — the iceberg twin of
+        ``DeltaTableWriter.append_txn``: the (app_id, txn_version)
+        mark rides ATOMICALLY in the new snapshot's summary, so
+        foreachBatch's at-least-once redelivery becomes exactly-once
+        (a replayed batch no-ops, returns None, unstages). The mark
+        and the schema gate re-validate against the head read after
+        every lost race — a zombie twin's commit lands at a DIFFERENT
+        metadata version, which the create-exclusive publish turns
+        into exactly the collision that forces the re-check."""
+        fields = _iceberg_fields(df)
+        if txn_version <= self.last_txn_version(app_id):
+            return None
+        base_v, cur = self._current()
+        if cur is not None:
+            self._gate_schema(cur, fields)
+        staged = self._stage(df)
+        try:
+            for _ in range(max_retries):
+                base_v, cur = self._current()
+                mark = -1
+                for s in (cur or {}).get("snapshots") or []:
+                    summ = s.get("summary") or {}
+                    if summ.get("txn-app-id") == app_id:
+                        try:
+                            mark = max(
+                                mark, int(summ.get("txn-version", -1))
+                            )
+                        except (TypeError, ValueError):
+                            continue
+                if txn_version <= mark:
+                    self._unstage(staged)
+                    return None
+                if cur is not None:
+                    self._gate_schema(cur, fields)
+                try:
+                    return self._publish(
+                        base_v, cur, fields, staged,
+                        extra_summary={
+                            "txn-app-id": app_id,
+                            "txn-version": str(txn_version),
+                        },
+                    )
+                except ConcurrentWriteError:
+                    continue
+            # exhausted: the final slot's winner may have been our own
+            # redelivered twin — a committed no-op, not a failure
+            if txn_version <= self.last_txn_version(app_id):
+                self._unstage(staged)
+                return None
+            raise ConcurrentWriteError(
+                f"iceberg append_txn({app_id}, {txn_version}) lost "
+                f"{max_retries} metadata publish races — table is "
+                "under pathological write contention"
+            )
+        except (ValueError, NotImplementedError, ConcurrentWriteError):
+            self._unstage(staged)
+            raise
+
     def _publish(
         self,
         base_v: int,
         cur: dict | None,
         fields: list[dict],
         staged: list[tuple[str, int, int]],
+        extra_summary: dict[str, str] | None = None,
     ) -> int:
         now_ms = int(time.time() * 1000)
         seq = int((cur or {}).get("last-sequence-number", 0)) + 1
@@ -446,7 +532,8 @@ class IcebergTableWriter:
             "manifest-list": ml_path,
             "summary": {"operation": "append",
                         "added-data-files": str(len(staged)),
-                        "added-records": str(n_rows)},
+                        "added-records": str(n_rows),
+                        **(extra_summary or {})},
             "schema-id": 0,
         }
         if parent is not None:
@@ -1095,6 +1182,129 @@ class IcebergTableWriter:
             f.write(str(base_v + 1))
         os.replace(tmp, hint)  # atomic pointer swing
         return snap_id
+
+    # -- maintenance ---------------------------------------------------------
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        min_inputs: int = 2,
+        max_retries: int = 8,
+    ) -> int | None:
+        """Iceberg's rewrite_data_files: compact the live set into
+        ``target_files`` coalesced files in ONE ``replace`` snapshot —
+        content-preserving, so the incremental feed (``changes``)
+        SKIPS it by the summary operation, exactly like Delta's
+        dataChange:false. Returns the new snapshot id, or None below
+        ``min_inputs``. Scope gates as every mutation (flat,
+        unpartitioned, no live delete files)."""
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                return None
+            rdr = self.reader()
+            data = self._cow_scope(rdr)
+            if len(data) < min_inputs:
+                return None
+            df = spark.read.parquet(*[p for p, _u, _s in data]).coalesce(
+                max(target_files, 1)
+            )
+            staged = self._stage(df)
+            try:
+                return self._publish_mutation(
+                    base_v, cur, rdr, {p for p, _u, _s in data}, staged,
+                    "replace", {"rewritten-data-files": str(len(data))},
+                )
+            except ConcurrentWriteError:
+                self._unstage(staged)
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg optimize lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
+    def expire_snapshots(
+        self, retain_last: int = 2, max_retries: int = 8
+    ) -> list[str]:
+        """Iceberg's expire_snapshots — the VACUUM twin: drop all but
+        the newest ``retain_last`` snapshots from the metadata and
+        physically delete every manifest / manifest list / data file
+        reachable ONLY from the expired ones. The current snapshot
+        always survives. Candidates come from the expired snapshots'
+        own manifest trees, never a directory walk (a walk would reap
+        files a concurrent writer has staged but not yet committed —
+        the same invariant as the delta/txnlog vacuum). Returns the
+        deleted paths."""
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                return []
+            rdr = self.reader()
+            snaps = list(cur.get("snapshots") or [])
+            if len(snaps) <= max(retain_last, 1):
+                return []
+            by_ts = sorted(
+                snaps, key=lambda s: (s.get("timestamp-ms", 0),
+                                      s["snapshot-id"])
+            )
+            keep_n = max(retain_last, 1)
+            kept = by_ts[-keep_n:]
+            kept_ids = {s["snapshot-id"] for s in kept}
+            kept_ids.add(cur.get("current-snapshot-id"))
+            kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
+            expired = [
+                s for s in snaps if s["snapshot-id"] not in kept_ids
+            ]
+
+            def tree(snapshots) -> set[str]:
+                out: set[str] = set()
+                for s in snapshots:
+                    ml = rdr._resolve(s["manifest-list"])
+                    out.add(ml)
+                    for r in AvroFileReader(ml).records:
+                        mp = rdr._resolve(r["manifest_path"])
+                        out.add(mp)
+                        for e in AvroFileReader(mp).records:
+                            out.add(
+                                rdr._resolve(
+                                    e["data_file"]["file_path"]
+                                )
+                            )
+                return out
+
+            doomed = sorted(tree(expired) - tree(kept))
+            md = dict(cur)
+            md["snapshots"] = kept
+            md["snapshot-log"] = [
+                e for e in (cur.get("snapshot-log") or [])
+                if e.get("snapshot-id") in kept_ids
+            ]
+            md["last-updated-ms"] = int(time.time() * 1000)
+            target = os.path.join(
+                self.meta_dir, f"v{base_v + 1}.metadata.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(md, f)
+            except FileExistsError:
+                continue  # racer advanced the metadata: re-derive
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            tmp = hint + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(base_v + 1))
+            os.replace(tmp, hint)
+            gone = []
+            for p in doomed:
+                if os.path.exists(p):
+                    gone.append(p)
+                    os.unlink(p)
+            return gone
+        raise ConcurrentWriteError(
+            f"iceberg expire_snapshots lost {max_retries} metadata "
+            "publish races — table is under pathological write "
+            "contention"
+        )
 
     # -- engine integration delegates ---------------------------------------
 

@@ -338,16 +338,15 @@ class TestAttachTable:
         # maintenance of something never attached refuses
         with _pytest.raises(AdtError, match="not an ATTACHed"):
             eng.sql("OPTIMIZE TABLE nope")
-        # read-only interop attachments refuse maintenance loudly
-        # (delta graduated to maintainable in round 10 and to ZORDER in
-        # round 11 — the writer owns the format, see test_delta_writer.
-        # test_sql_zorder_on_delta_attachment; iceberg stays read-only)
+        # maintenance graduated format by format (delta in round 10,
+        # ZORDER on delta and iceberg OPTIMIZE/VACUUM in round 11 —
+        # see test_delta_writer / test_iceberg); the one remaining
+        # refusal is ZORDER re-clustering on iceberg
         eng._attached["icy"] = {
-            "fmt": "iceberg", "path": "/does/not/matter", "version": None,
+            "fmt": "iceberg", "path": str(tmp_path / "icy"),
+            "version": None,
         }
-        with _pytest.raises(AdtError, match="read-only"):
-            eng.sql("VACUUM icy")
-        with _pytest.raises(AdtError, match="read-only"):
+        with _pytest.raises(AdtError, match="ZORDER on iceberg"):
             eng.sql("OPTIMIZE TABLE icy ZORDER BY (x)")
 
     def test_attachments_survive_catalog_roundtrip(

@@ -1362,3 +1362,120 @@ class TestIcebergCowMutation:
                         t._resolve(e["data_file"]["file_path"])
                     )
         assert on_disk <= referenced
+
+
+class TestIcebergExactlyOnce:
+    """Exactly-once appends into Iceberg: the (app_id, txn_version)
+    replay mark rides the snapshot summary — the pattern streaming
+    committers use on this format (the spec allows engine-specific
+    summary entries), closing the sink's third format leg."""
+
+    def test_append_txn_is_exactly_once(self, spark, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "eo"))
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        s0 = w.append_txn(df, "ingest", 0)
+        assert s0 is not None
+        # redelivered batch: no-op, no orphan data files
+        before = set(os.listdir(os.path.join(w.path, "data")))
+        assert w.append_txn(df, "ingest", 0) is None
+        assert set(os.listdir(os.path.join(w.path, "data"))) == before
+        assert w.last_txn_version("ingest") == 0
+        assert w.last_txn_version("other") == -1
+        s1 = w.append_txn(
+            spark.createDataFrame([(2, 2.0)], "k long, v double"),
+            "ingest", 1,
+        )
+        assert s1 is not None and w.last_txn_version("ingest") == 1
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).count() == 2
+        # the mark is IN the committed snapshot summary — any client
+        # reading the metadata sees it
+        snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+        assert snaps[s1]["summary"]["txn-app-id"] == "ingest"
+        assert snaps[s1]["summary"]["txn-version"] == "1"
+
+    def test_sink_committer_targets_iceberg(self, spark, tmp_path):
+        """The foreachBatch committer is duck-typed over append_txn —
+        the SAME sink body drains into all three formats."""
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.streaming.sink import txn_committer
+
+        w = IcebergTableWriter(str(tmp_path / "sk"))
+        commit = txn_committer(w, "stream")
+        df1 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        df2 = spark.createDataFrame([(2, 2.0), (3, 3.0)],
+                                    "k long, v double")
+        commit(df1, 0)
+        commit(df2, 1)
+        commit(df2, 1)  # redelivered
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).count() == 3
+        assert len(t.snapshots()) == 2
+
+
+class TestIcebergMaintenance:
+    """rewrite_data_files (OPTIMIZE) + expire_snapshots (VACUUM) —
+    the maintenance loop on the third format, closing parity with
+    txnlog/delta."""
+
+    def test_optimize_compacts_as_replace_snapshot(self, spark, tmp_path):
+        w = TestIcebergCowMutation._table(spark, tmp_path, "opt")
+        t0 = IcebergTable(w.path)
+        pre = t0.current_snapshot_id()
+        sid = w.optimize(spark)
+        assert sid is not None
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).count() == 12
+        # one live data file now
+        assert len(t.live_paths()) == 1
+        snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+        assert snaps[sid]["summary"]["operation"] == "replace"
+        # the incremental feed SKIPS the compaction traffic
+        assert t.changes(spark, pre, sid) is None
+        # below min_inputs: no-op
+        assert w.optimize(spark) is None
+        # time travel still reads the pre-compaction snapshot
+        assert t.snapshot(spark, snapshot_id=pre).count() == 12
+
+    def test_expire_snapshots_reclaims_unreachable(self, spark, tmp_path):
+        w = TestIcebergCowMutation._table(spark, tmp_path, "exp")
+        w.delete(spark, "k = 1")    # rewrites file 1's remainder
+        w.optimize(spark)           # rewrites everything
+        t = IcebergTable(w.path)
+        n_snaps = len(t.snapshots())
+        assert n_snaps == 5
+        gone = w.expire_snapshots(retain_last=1)
+        assert gone, "pre-compaction files were reclaimed"
+        t = IcebergTable(w.path)
+        assert len(t.snapshots()) == 1
+        # the surviving snapshot still reads in full
+        assert t.snapshot(spark).count() == 11
+        # the current snapshot's files were NOT touched
+        assert all(os.path.exists(p) for p in t.live_paths())
+        # retention keeps everything when nothing is expirable
+        assert w.expire_snapshots(retain_last=5) == []
+
+    def test_sql_maintenance_on_iceberg_attachment(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import AdtError, Engine
+
+        w = TestIcebergCowMutation._table(spark, tmp_path, "sqlm")
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE im FROM iceberg LOCATION '{w.path}'")
+        eng.sql("OPTIMIZE TABLE im")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM im").collect()[0]["n"] == 12
+        assert len(IcebergTable(w.path).live_paths()) == 1
+        eng.sql("VACUUM im RETAIN 1")
+        assert len(IcebergTable(w.path).snapshots()) == 1
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM im").collect()[0]["n"] == 12
+        with _pytest.raises(AdtError, match="ZORDER on iceberg"):
+            eng.sql("OPTIMIZE TABLE im ZORDER BY (k)")

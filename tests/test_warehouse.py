@@ -1998,14 +1998,14 @@ class TestCopyOnWrite:
         # through the LOG: a fresh standard reader sees both mutations
         assert {(r["id"], r["s"]) for r in
                 DeltaLogTable(droot).snapshot(spark).collect()} == {(2, "z")}
-        # iceberg DELETE/UPDATE/MERGE graduated to real COW snapshots
-        # later in round 11 (test_iceberg.py::TestIcebergCowMutation
-        # pins the round trips); maintenance (OPTIMIZE) still refuses
+        # iceberg DELETE/UPDATE/MERGE and OPTIMIZE/VACUUM graduated
+        # later in round 11 (test_iceberg.py pins the round trips);
+        # ZORDER re-clustering is the surface that still refuses
         eng._attached["icy2"] = {
             "fmt": "iceberg", "path": droot, "version": None,
         }
-        with _pytest.raises(AdtError, match="iceberg"):
-            eng.sql("OPTIMIZE TABLE icy2")
+        with _pytest.raises(AdtError, match="ZORDER on iceberg"):
+            eng.sql("OPTIMIZE TABLE icy2 ZORDER BY (id)")
         # and a VERSION-pinned attachment refuses too
         eng.sql(
             f"ATTACH TABLE tl0 FROM txnlog LOCATION '{t.path}' VERSION 2"
