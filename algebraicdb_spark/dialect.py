@@ -82,6 +82,13 @@ _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<query>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_LAKEHOUSE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+FROM\s+"
+    r"(?P<fmt>txnlog|delta|iceberg)\s+LOCATION\s+'(?P<path>[^']+)'"
+    r"(?:\s+PARTITION\s+BY\s*\((?P<parts>[^)]+)\))?"
+    r"\s+AS\s+(?P<query>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,

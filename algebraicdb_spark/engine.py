@@ -62,6 +62,7 @@ from algebraicdb_spark.dialect import (
     _CREATE_MATVIEW_RE,
     _CREATE_VIEW_RE,
     _CREATE_TABLE_RE,
+    _CTAS_LAKEHOUSE_RE,
     _CTAS_RE,
     _CREATE_TYPE_RE,
     _DELETE_RE,
@@ -193,6 +194,55 @@ class Engine:
         }
         return df
 
+    def _ctas_lakehouse_stmt(self, m) -> DataFrame:
+        """``CREATE TABLE n FROM txnlog|delta|iceberg LOCATION 'p'
+        [PARTITION BY (c,…)] AS SELECT …`` — CTAS straight into a REAL
+        lakehouse table: the query result commits through the format's
+        writer (version 0 / first snapshot) and the name attaches,
+        so the created table is immediately transactional — time
+        travel, COW mutation, OPTIMIZE/VACUUM, and consumption by
+        other engines all work from commit zero. The location must be
+        empty of commits (CREATE creates; append to an existing table
+        with COPY/INSERT after ATTACH)."""
+        from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        name, fmt, path = m.group("name"), m.group("fmt").lower(), m.group("path")
+        parts = [
+            c.strip() for c in (m.group("parts") or "").split(",") if c.strip()
+        ]
+        df = self.spark.sql(self._rewrite(m.group("query")))
+        if fmt == "iceberg":
+            w = IcebergTableWriter(path)
+            if w._current()[1] is not None:
+                raise AdtError(
+                    f"CREATE TABLE {name}: {path!r} already holds an "
+                    "iceberg table — ATTACH it and append instead"
+                )
+            try:
+                w.append(df, partition_by=parts or None)
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"CREATE TABLE {name}: {exc}") from exc
+        else:
+            w = (
+                DeltaTableWriter(path) if fmt == "delta"
+                else TxnLogTable(path)
+            )
+            if w.latest_version() >= 0:
+                raise AdtError(
+                    f"CREATE TABLE {name}: {path!r} already holds a "
+                    f"{fmt} table at version {w.latest_version()} — "
+                    "ATTACH it and append instead"
+                )
+            try:
+                w.append(df, partition_by=parts or None)
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"CREATE TABLE {name}: {exc}") from exc
+        return self._attach_table_stmt(name, fmt, path, None)
+
     def _maintain_attached(self, name: str, op: str, **kw) -> DataFrame | None:
         """OPTIMIZE TABLE / VACUUM / REFRESH TABLE over an ATTACHed
         table. Maintenance WRITES, so it runs on the formats this
@@ -294,6 +344,8 @@ class Engine:
             adt = parse_create_type(stmt, self._types)
             self._types[adt.name] = adt
             return adt
+        if _CTAS_LAKEHOUSE_RE.match(stmt):
+            return self._ctas_lakehouse_stmt(_CTAS_LAKEHOUSE_RE.match(stmt))
         if _CTAS_RE.match(stmt):
             m = _CTAS_RE.match(stmt)
             df = self.spark.sql(self._rewrite(m.group("query")))

@@ -197,6 +197,29 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
     return fields
 
 
+# iceberg partition-value types this writer can serialize into the
+# manifest's partition record (identity transforms; avro primitive per
+# the spec's avro mapping). Anything else refuses loudly.
+_PART_AVRO = {"int": "int", "long": "long", "string": "string",
+              "boolean": "boolean"}
+
+
+def _manifest_schema(part_fields: list[dict]) -> dict:
+    """The v2 manifest-entry schema with the TABLE's partition record
+    (``r102``) — empty for unpartitioned tables, one nullable field
+    per identity partition column otherwise (each manifest embeds its
+    own writer schema, so per-table shapes interop fine)."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    rec = schema["fields"][4]["type"]["fields"][3]["type"]
+    rec["fields"] = [
+        {"name": f["name"], "type": ["null", _PART_AVRO[str(f["type"])]]}
+        for f in part_fields
+    ]
+    return schema
+
+
 # v2 manifest-entry schema: the spec's required fields for an APPEND
 # (data_file.partition is the unpartitioned spec's empty struct)
 _MANIFEST_SCHEMA = {
@@ -288,34 +311,77 @@ class IcebergTableWriter:
 
     # -- the append commit ---------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[tuple[str, int, int]]:
-        """Write the batch's parquet under data/ (one immutable file
-        per output partition) — (path, rows, bytes) per file, counts
-        from the parquet FOOTERS (O(KB), nothing re-scanned)."""
+    def _stage(
+        self,
+        df: DataFrame,
+        parts: list[str] | None = None,
+        part_types: dict[str, str] | None = None,
+    ) -> list[tuple[str, int, int, dict]]:
+        """Write the batch's parquet under data/ — (path, rows, bytes,
+        partition values) per file, counts from the parquet FOOTERS
+        (O(KB), nothing re-scanned). Partitioned: identity transforms
+        keep the partition COLUMNS in the data files (iceberg's model,
+        unlike hive/delta), so the split writes through DUPLICATED
+        ``__p_*`` columns — each output file holds exactly one
+        partition tuple, the dirs carry the values for attribution,
+        and the originals stay in the bytes."""
         import shutil
 
         import pyarrow.parquet as pq
 
+        from algebraicdb_spark.operators.txnlog import (
+            _hive_partition_values,
+        )
+        from pyspark.sql import functions as F
+
         tmp = os.path.join(self.data_dir, "_stage_" + uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(tmp)
-        staged = []
-        for fn in sorted(os.listdir(tmp)):
-            if not fn.endswith(".parquet"):
-                continue
-            dest = os.path.join(
-                self.data_dir, f"{uuid.uuid4().hex}.parquet"
-            )
-            os.replace(os.path.join(tmp, fn), dest)
-            staged.append((
-                dest,
-                pq.ParquetFile(dest).metadata.num_rows,
-                os.path.getsize(dest),
-            ))
+        w = df
+        if parts:
+            for c in parts:
+                w = w.withColumn(f"__p_{c}", F.col(c))
+            w.write.mode("errorifexists").partitionBy(
+                *[f"__p_{c}" for c in parts]
+            ).parquet(tmp)
+        else:
+            w.write.mode("errorifexists").parquet(tmp)
+
+        def typed(c: str, v: str | None):
+            if v is None:
+                return None
+            t = (part_types or {}).get(c, "string")
+            if t in ("int", "long"):
+                return int(v)
+            if t == "boolean":
+                return str(v).lower() == "true"
+            return v
+
+        staged: list[tuple[str, int, int, dict]] = []
+        for dirpath, _dirs, files in os.walk(tmp):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                pv: dict = {}
+                rel_dir = os.path.relpath(dirpath, tmp)
+                if parts and rel_dir != ".":
+                    raw = _hive_partition_values(rel_dir)
+                    pv = {
+                        c: typed(c, raw.get(f"__p_{c}")) for c in parts
+                    }
+                dest = os.path.join(
+                    self.data_dir, f"{uuid.uuid4().hex}.parquet"
+                )
+                os.replace(os.path.join(dirpath, fn), dest)
+                staged.append((
+                    dest,
+                    pq.ParquetFile(dest).metadata.num_rows,
+                    os.path.getsize(dest),
+                    pv,
+                ))
         shutil.rmtree(tmp)
         return staged
 
-    def _unstage(self, staged: list[tuple[str, int, int]]) -> None:
-        for p, _r, _b in staged:
+    def _unstage(self, staged: list) -> None:
+        for p, *_rest in staged:
             if os.path.exists(p):
                 os.unlink(p)
 
@@ -342,23 +408,104 @@ class IcebergTableWriter:
                 "evolve schemas; evolve with a full Iceberg client"
             )
 
-    def append(self, df: DataFrame, max_retries: int = 8) -> int:
+    def _cur_parts(self, cur: dict | None) -> list[str]:
+        """The table's identity-partition column names, from the
+        default spec's source-ids resolved through the current schema
+        (non-identity transforms refuse — appends under them need
+        transform evaluation)."""
+        if not cur:
+            return []
+        specs = cur.get("partition-specs") or []
+        spec = next(
+            (s for s in specs
+             if s.get("spec-id") == cur.get("default-spec-id", 0)),
+            {"fields": []},
+        )
+        sfields = spec.get("fields") or []
+        if not sfields:
+            return []
+        schemas = cur.get("schemas") or (
+            [cur["schema"]] if cur.get("schema") else []
+        )
+        sid = cur.get("current-schema-id", 0)
+        sch = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[-1] if schemas else {"fields": []},
+        )
+        by_id = {f["id"]: f["name"] for f in sch.get("fields", [])}
+        out = []
+        for f in sfields:
+            if f.get("transform") != "identity":
+                raise NotImplementedError(
+                    f"{self.path}: partition transform "
+                    f"{f.get('transform')!r} — this writer appends "
+                    "under identity transforms only; use a full "
+                    "Iceberg client"
+                )
+            out.append(by_id[f["source-id"]])
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 8,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """One APPEND snapshot: stage data files, write manifest +
         manifest list (prior manifests carried forward verbatim),
         publish the next metadata.json create-exclusively, swing the
-        version hint. Returns the new snapshot id."""
+        version hint. Returns the new snapshot id.
+
+        ``partition_by`` (identity transforms) on the FIRST commit
+        defines the table's partition spec: each staged file holds one
+        partition tuple, its typed values land in the manifest entry's
+        partition record (what foreign engines prune by) while the
+        COLUMNS stay in the data files (iceberg's model, unlike
+        hive/delta). Later appends inherit the spec by default and
+        refuse a differing explicit one — the spec is pinned."""
         fields = _iceberg_fields(df)
         base_v, cur = self._current()
+        cur_parts = self._cur_parts(cur)
+        parts = list(partition_by) if partition_by is not None else cur_parts
+        if cur is not None and parts != cur_parts:
+            raise ValueError(
+                f"iceberg append: partition spec {parts} differs from "
+                f"the table's {cur_parts} — the spec is pinned; "
+                "re-create the table to re-partition"
+            )
+        by_name = {f["name"]: f for f in fields}
+        for c in parts:
+            if c not in by_name:
+                raise ValueError(
+                    f"iceberg append: partition column {c!r} is not in "
+                    f"the batch schema {sorted(by_name)}"
+                )
+            if str(by_name[c]["type"]) not in _PART_AVRO:
+                raise NotImplementedError(
+                    f"iceberg append: partition column {c!r} has type "
+                    f"{by_name[c]['type']} — identity partition values "
+                    f"serialize for {sorted(_PART_AVRO)} only"
+                )
         if cur is not None:
             self._gate_schema(cur, fields)
-        staged = self._stage(df)
+        staged = self._stage(
+            df, parts or None,
+            {c: str(by_name[c]["type"]) for c in parts},
+        )
         try:
             for _ in range(max_retries):
                 base_v, cur = self._current()
                 if cur is not None:
                     self._gate_schema(cur, fields)
+                    if self._cur_parts(cur) != parts:
+                        raise ValueError(
+                            "iceberg append: a concurrent writer "
+                            "changed the partition spec — rebase"
+                        )
                 try:
-                    return self._publish(base_v, cur, fields, staged)
+                    return self._publish(
+                        base_v, cur, fields, staged, parts=parts
+                    )
                 except ConcurrentWriteError:
                     continue
             raise ConcurrentWriteError(
@@ -409,9 +556,15 @@ class IcebergTableWriter:
         if txn_version <= self.last_txn_version(app_id):
             return None
         base_v, cur = self._current()
+        parts = self._cur_parts(cur)  # the sink never states a spec —
+        # inherit the table's, exactly like the delta/txnlog committers
         if cur is not None:
             self._gate_schema(cur, fields)
-        staged = self._stage(df)
+        by_name = {f["name"]: f for f in fields}
+        staged = self._stage(
+            df, parts or None,
+            {c: str(by_name[c]["type"]) for c in parts},
+        )
         try:
             for _ in range(max_retries):
                 base_v, cur = self._current()
@@ -437,6 +590,7 @@ class IcebergTableWriter:
                             "txn-app-id": app_id,
                             "txn-version": str(txn_version),
                         },
+                        parts=parts,
                     )
                 except ConcurrentWriteError:
                     continue
@@ -459,10 +613,21 @@ class IcebergTableWriter:
         base_v: int,
         cur: dict | None,
         fields: list[dict],
-        staged: list[tuple[str, int, int]],
+        staged: list[tuple[str, int, int, dict]],
         extra_summary: dict[str, str] | None = None,
+        parts: list[str] | None = None,
     ) -> int:
         now_ms = int(time.time() * 1000)
+        parts = parts or []
+        by_name = {f["name"]: f for f in fields}
+        part_fields = [
+            {"name": c, "type": by_name[c]["type"]} for c in parts
+        ]
+        spec_fields = [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"], "field-id": 1000 + i}
+            for i, c in enumerate(parts)
+        ]
         seq = int((cur or {}).get("last-sequence-number", 0)) + 1
         snaps = list((cur or {}).get("snapshots") or [])
         snap_id = max(
@@ -475,7 +640,7 @@ class IcebergTableWriter:
         )
         AvroFileWriter.write(
             mpath,
-            _MANIFEST_SCHEMA,
+            _manifest_schema(part_fields),
             [
                 {
                     "status": 1,
@@ -486,15 +651,15 @@ class IcebergTableWriter:
                         "content": 0,
                         "file_path": p,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": pv,
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
                 }
-                for p, rows, size in staged
+                for p, rows, size, pv in staged
             ],
         )
-        n_rows = sum(r for _p, r, _b in staged)
+        n_rows = sum(r for _p, r, _b, _pv in staged)
         new_entry = {
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
@@ -550,9 +715,10 @@ class IcebergTableWriter:
             or [{"schema-id": 0, "type": "struct", "fields": fields}],
             "current-schema-id": (cur or {}).get("current-schema-id", 0),
             "partition-specs": (cur or {}).get("partition-specs")
-            or [{"spec-id": 0, "fields": []}],
+            or [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": (cur or {}).get("default-spec-id", 0),
-            "last-partition-id": (cur or {}).get("last-partition-id", 999),
+            "last-partition-id": (cur or {}).get(
+                "last-partition-id", 999 + len(spec_fields)),
             "sort-orders": (cur or {}).get("sort-orders")
             or [{"order-id": 0, "fields": []}],
             "default-sort-order-id": (cur or {}).get(
@@ -716,7 +882,7 @@ class IcebergTableWriter:
                 p for p, n in by_raw.items()
                 if n != pq.ParquetFile(p).metadata.num_rows
             )
-            staged: list[tuple[str, int, int]] = []
+            staged: list[tuple[str, int, int, dict]] = []
             if partial:
                 keep = spark.read.parquet(*partial).where(
                     ~F.coalesce(
@@ -876,7 +1042,7 @@ class IcebergTableWriter:
                 by_raw = {r["__lp"]: int(r["__n"]) for r in rows}
                 matched = sum(by_raw.values())
             affected = sorted(by_raw)
-            staged: list[tuple[str, int, int]] = []
+            staged: list[tuple[str, int, int, dict]] = []
             rewritten = len(affected)
             if affected and delete_matched:
                 partial = [
@@ -917,7 +1083,7 @@ class IcebergTableWriter:
                     ]
                 )
                 staged = self._stage(out)
-                staged_rows = sum(r for _p, r, _b in staged)
+                staged_rows = sum(r for _p, r, _b, _pv in staged)
                 if staged_rows != input_rows:
                     self._unstage(staged)
                     raise ValueError(
@@ -955,7 +1121,9 @@ class IcebergTableWriter:
                     ]
                 )
                 ins_staged = self._stage(ins)
-                rows_inserted = sum(r for _p, r, _b in ins_staged)
+                rows_inserted = sum(
+                    r for _p, r, _b, _pv in ins_staged
+                )
                 if rows_inserted == 0:
                     self._unstage(ins_staged)
                 else:
@@ -988,7 +1156,7 @@ class IcebergTableWriter:
         cur: dict,
         rdr: IcebergTable,
         affected: set[str],
-        staged: list[tuple[str, int, int]],
+        staged: list[tuple[str, int, int, dict]],
         operation: str,
         extra_summary: dict[str, str],
     ) -> int:
@@ -1113,7 +1281,7 @@ class IcebergTableWriter:
                                 "file_size_in_bytes": size,
                             },
                         }
-                        for p, rows, size in staged
+                        for p, rows, size, _pv in staged
                     ],
                 )
                 written.append(add_m)
@@ -1128,7 +1296,8 @@ class IcebergTableWriter:
                     "added_files_count": len(staged),
                     "existing_files_count": 0,
                     "deleted_files_count": 0,
-                    "added_rows_count": sum(r for _p, r, _b in staged),
+                    "added_rows_count": sum(
+                        r for _p, r, _b, _pv in staged),
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
                 })

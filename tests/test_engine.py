@@ -395,3 +395,84 @@ class TestAttachTable:
         assert "creg2" not in {
             tb.name for tb in spark.catalog.listTables()
         }
+
+
+class TestCtasLakehouse:
+    """CREATE TABLE … FROM fmt LOCATION … AS SELECT — CTAS straight
+    into a REAL lakehouse table (committed via the format writer, then
+    attached), transactional from commit zero."""
+
+    def test_ctas_all_three_formats(self, spark, tables, tmp_path):
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        eng = Engine(spark)
+        eng.create_table("reg_src", tables["region"])
+        # delta: the result is a standard table other engines read
+        droot = str(tmp_path / "d")
+        eng.sql(
+            f"CREATE TABLE cd FROM delta LOCATION '{droot}' AS "
+            "SELECT r_regionkey, r_name FROM reg_src"
+        )
+        assert eng.sql("SELECT COUNT(*) AS n FROM cd").collect()[0]["n"] == 5
+        assert DeltaLogTable(droot).snapshot(spark).count() == 5
+        # transactional from commit zero: COW DELETE + time travel
+        eng.sql("DELETE FROM cd WHERE r_regionkey = 0")
+        assert eng.sql("SELECT COUNT(*) AS n FROM cd").collect()[0]["n"] == 4
+        assert DeltaLogTable(droot).snapshot(spark, as_of=0).count() == 5
+        # creating over an existing table refuses
+        import pytest as _pytest
+
+        from algebraicdb_spark.functions.adt import AdtError
+
+        with _pytest.raises(AdtError, match="already holds"):
+            eng.sql(
+                f"CREATE TABLE cd2 FROM delta LOCATION '{droot}' AS "
+                "SELECT * FROM reg_src"
+            )
+        # txnlog, hive-partitioned from the start
+        troot = str(tmp_path / "t")
+        eng.sql(
+            f"CREATE TABLE ctl FROM txnlog LOCATION '{troot}' "
+            "PARTITION BY (r_regionkey) AS "
+            "SELECT r_regionkey, r_name FROM reg_src"
+        )
+        tl = TxnLogTable(troot)
+        assert tl.snapshot(spark).count() == 5
+        # the partition SPEC committed with the CTAS — values live in
+        # the log's add actions, pruning works from commit zero
+        _schema, tparts = tl._meta_at()
+        assert tparts == ["r_regionkey"]
+        assert len(tl.live_paths(skip=[("r_regionkey", 2, 2)])) < len(
+            tl.live_paths()
+        )
+        # iceberg: flat CTAS works; PARTITION BY defines an identity
+        # spec (graduated with partitioned appends — the values land
+        # in the manifest entries, test_iceberg pins the format)
+        iroot = str(tmp_path / "i")
+        eng.sql(
+            f"CREATE TABLE cic FROM iceberg LOCATION '{iroot}' AS "
+            "SELECT r_regionkey, r_name FROM reg_src"
+        )
+        assert IcebergTable(iroot).snapshot(spark).count() == 5
+        iroot2 = str(tmp_path / "i2")
+        eng.sql(
+            f"CREATE TABLE cip FROM iceberg LOCATION '{iroot2}' "
+            "PARTITION BY (r_name) AS "
+            "SELECT r_regionkey, r_name FROM reg_src"
+        )
+        t2 = IcebergTable(iroot2)
+        assert t2.snapshot(spark).count() == 5
+        assert t2.meta["partition-specs"][0]["fields"][0]["name"] == "r_name"
+        # an unsupported partition value type refuses loudly
+        with _pytest.raises(AdtError, match="serialize"):
+            eng.sql(
+                f"CREATE TABLE cif FROM iceberg LOCATION "
+                f"'{tmp_path / 'i3'}' PARTITION BY (rk_d) AS "
+                "SELECT r_name, CAST(r_regionkey AS DOUBLE) AS rk_d "
+                "FROM reg_src"
+            )

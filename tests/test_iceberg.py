@@ -1479,3 +1479,80 @@ class TestIcebergMaintenance:
             "SELECT COUNT(*) AS n FROM im").collect()[0]["n"] == 12
         with _pytest.raises(AdtError, match="ZORDER on iceberg"):
             eng.sql("OPTIMIZE TABLE im ZORDER BY (k)")
+
+
+class TestIcebergPartitionedAppend:
+    """Identity-partitioned appends: partition VALUES land typed in
+    the manifest entries (what foreign engines prune by) while the
+    COLUMNS stay in the data files — iceberg's model, unlike
+    hive/delta. The spec is pinned after the first commit."""
+
+    def test_partitioned_append_round_trips(self, spark, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "pa"))
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (4, None, 4.0)],
+            "k long, g string, v double",
+        )
+        w.append(df, partition_by=["g"])
+        t = IcebergTable(w.path)
+        # the spec is in the metadata: identity on g, field-id 1000
+        spec = t.meta["partition-specs"][0]["fields"]
+        assert spec == [{"name": "g", "transform": "identity",
+                         "source-id": 2, "field-id": 1000}]
+        # the COLUMNS are in the data files — a full read round-trips,
+        # null partition included
+        snap = t.snapshot(spark)
+        assert sorted(
+            (r["k"], r["g"]) for r in snap.collect()
+        ) == [(1, "a"), (2, "b"), (3, "a"), (4, None)]
+        # each file holds ONE partition tuple, and its typed value is
+        # in the manifest entry's partition record
+        seen = set()
+        for mpath, _sid, _c, _ms in t._manifests(t._snapshot(None)):
+            for e in AvroFileReader(mpath).records:
+                pv = e["data_file"]["partition"]
+                seen.add(pv.get("g"))
+                assert e["data_file"]["record_count"] >= 1
+        assert seen == {"a", "b", None}
+        # later appends INHERIT the spec (the committer never states
+        # one); an explicit different spec refuses
+        w.append(spark.createDataFrame(
+            [(5, "c", 5.0)], "k long, g string, v double"))
+        assert IcebergTable(w.path).snapshot(spark).count() == 5
+        with pytest.raises(ValueError, match="spec is pinned"):
+            w.append(df, partition_by=["k"])
+        # an unsupported partition value type refuses before staging
+        w2 = IcebergTableWriter(str(tmp_path / "pb"))
+        with pytest.raises(NotImplementedError, match="serialize"):
+            w2.append(df, partition_by=["v"])
+        # COW mutation on a partitioned table still refuses loudly
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            w.delete(spark, "k = 1")
+
+    def test_exactly_once_sink_inherits_partitioning(
+        self, spark, tmp_path
+    ):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "ps"))
+        w.append(
+            spark.createDataFrame([(1, 10)], "id long, bucket int"),
+            partition_by=["bucket"],
+        )
+        assert w.append_txn(
+            spark.createDataFrame([(2, 20)], "id long, bucket int"),
+            "ingest", 0,
+        ) is not None
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).count() == 2
+        vals = set()
+        for mpath, _sid, _c, _ms in t._manifests(t._snapshot(None)):
+            for e in AvroFileReader(mpath).records:
+                vals.add(e["data_file"]["partition"].get("bucket"))
+        assert vals == {10, 20}
