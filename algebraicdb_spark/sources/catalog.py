@@ -56,6 +56,11 @@ _RUNTIME_CONFS = {
 # dead session's address, handing out DataFrames bound to a stopped
 # SparkContext.
 _CACHE: dict[tuple[tuple[str, int], str], dict[str, DataFrame]] = {}
+#: which sf_dir each session's TEMP VIEWS currently point at — a cache
+#: hit must re-register the views when an interleaved load at another
+#: scale factor replaced them (returned DataFrames were always right;
+#: SQL-by-name resolution silently read the other scale's data)
+_ACTIVE: dict[tuple[str, int], str] = {}
 
 
 def _session_key(spark: SparkSession) -> tuple[str, int]:
@@ -89,8 +94,16 @@ def ensure_confs(spark: SparkSession) -> None:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register all fixture tables as temp views; cached per session."""
-    cache_key = (_session_key(spark), sf_dir.rstrip("/"))
+    skey = _session_key(spark)
+    norm = sf_dir.rstrip("/")
+    cache_key = (skey, norm)
     if cache_key in _CACHE:
+        if _ACTIVE.get(skey) != norm:
+            # another scale factor's load replaced the session views —
+            # swing them back before any name-resolved SQL runs
+            for name, df in _CACHE[cache_key].items():
+                df.createOrReplaceTempView(name)
+            _ACTIVE[skey] = norm
         return _CACHE[cache_key]
     ensure_confs(spark)
     tables: dict[str, DataFrame] = {}
@@ -102,6 +115,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         tables[name] = df
     _CACHE[cache_key] = tables
+    _ACTIVE[skey] = norm
     return tables
 
 
