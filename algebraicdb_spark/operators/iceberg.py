@@ -466,6 +466,150 @@ class IcebergTable:
                     pos_deletes.add(self._resolve(df["file_path"]))
         return sorted(set(data)), sorted(pos_deletes), sorted(set(eq_deletes))
 
+    # iceberg "single-value binary serialization" (the spec's bound
+    # encoding in manifest lower_bounds/upper_bounds), per type
+    @staticmethod
+    def _decode_bound(t: str, b: bytes):
+        t = str(t)
+        try:
+            if t == "int" or t == "date":
+                return struct.unpack("<i", b)[0]
+            if t == "long":
+                return struct.unpack("<q", b)[0]
+            if t == "float":
+                return struct.unpack("<f", b)[0]
+            if t == "double":
+                return struct.unpack("<d", b)[0]
+            if t == "string":
+                return b.decode("utf-8")
+            if t == "boolean":
+                return bool(b[0])
+        except (struct.error, UnicodeDecodeError, IndexError):
+            return None
+        return None  # decimals/uuid/etc: cannot prune, never wrongly
+
+    def _identity_part_cols(self) -> dict[str, str]:
+        """spec partition-field name → source column name, identity
+        transforms only (a bucket/truncate VALUE cannot answer a range
+        question on the source column — those fields never prune)."""
+        specs = self.meta.get("partition-specs") or []
+        spec = next(
+            (s for s in specs
+             if s.get("spec-id") == self.meta.get("default-spec-id", 0)),
+            None,
+        )
+        if spec is None:
+            legacy = self.meta.get("partition-spec")
+            spec = {"fields": legacy} if legacy else {"fields": []}
+        by_id = self._field_names_by_id()
+        out = {}
+        for f in spec.get("fields") or []:
+            if f.get("transform") == "identity":
+                src_name = by_id.get(f.get("source-id"))
+                if src_name:
+                    out[f.get("name") or src_name] = src_name
+        return out
+
+    def _prunable_state(
+        self, snapshot_id: int | None = None
+    ) -> dict[str, tuple[dict, dict]]:
+        """resolved data path → (per-column [min, max] decoded from the
+        manifest entry's lower/upper bounds, identity partition values
+        by SOURCE column name) — the log-side skipping inputs every
+        Iceberg client folds. Bounds keyed by field id decode through
+        the spec's single-value binary serialization; anything
+        undecodable is dropped (cannot prune ≠ prune wrongly)."""
+        by_id = self._field_names_by_id()
+        types_by_id = {}
+        schemas = self.meta.get("schemas") or (
+            [self.meta["schema"]] if self.meta.get("schema") else []
+        )
+        sid = self.meta.get("current-schema-id", 0)
+        sch = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[-1] if schemas else {"fields": []},
+        )
+        for f in sch.get("fields", []):
+            types_by_id[int(f["id"])] = str(f["type"])
+        part_map = self._identity_part_cols()
+        snap = self._snapshot(snapshot_id)
+
+        def as_pairs(v):
+            if isinstance(v, dict):
+                return list(v.items())
+            if isinstance(v, list):
+                return [
+                    (e.get("key"), e.get("value"))
+                    for e in v if isinstance(e, dict)
+                ]
+            return []
+
+        out: dict[str, tuple[dict, dict]] = {}
+        for mpath, _sid2, m_content, _mseq in self._manifests(snap):
+            if m_content != 0:
+                continue
+            for entry in AvroFileReader(mpath).records:
+                if self._check_status(entry) == _DELETED:
+                    continue
+                df = entry["data_file"]
+                if df.get("content", 0) != 0:
+                    continue
+                lo = {}
+                hi = {}
+                for k, v in as_pairs(df.get("lower_bounds")):
+                    name = by_id.get(int(k)) if k is not None else None
+                    t = types_by_id.get(int(k)) if k is not None else None
+                    if name and t and isinstance(v, (bytes, bytearray)):
+                        d = self._decode_bound(t, bytes(v))
+                        if d is not None:
+                            lo[name] = d
+                for k, v in as_pairs(df.get("upper_bounds")):
+                    name = by_id.get(int(k)) if k is not None else None
+                    t = types_by_id.get(int(k)) if k is not None else None
+                    if name and t and isinstance(v, (bytes, bytearray)):
+                        d = self._decode_bound(t, bytes(v))
+                        if d is not None:
+                            hi[name] = d
+                bounds = {
+                    c: [lo[c], hi[c]] for c in lo if c in hi
+                }
+                pv_rec = df.get("partition") or {}
+                pv = {
+                    part_map[f]: pv_rec.get(f)
+                    for f in pv_rec
+                    if f in part_map
+                }
+                out[self._resolve(df["file_path"])] = (bounds, pv)
+        return out
+
+    def _pruned_paths(
+        self, snapshot_id: int | None, skip: list[tuple] | None
+    ) -> set[str] | None:
+        """Resolved data paths surviving ``skip`` = [(col, lo, hi), …]
+        under the two tiers (identity partition value — authoritative,
+        nulls prune against ranges — then decoded bounds); None when
+        no skip was requested."""
+        if not skip:
+            return None
+        from algebraicdb_spark.operators.txnlog import _pv_prunes
+
+        keep: set[str] = set()
+        for path, (bounds, pv) in self._prunable_state(
+            snapshot_id
+        ).items():
+            ok = True
+            for col, lo_v, hi_v in skip:
+                if _pv_prunes(pv, col, lo_v, hi_v):
+                    ok = False
+                    break
+                b = bounds.get(col)
+                if b is not None and (b[0] > hi_v or b[1] < lo_v):
+                    ok = False
+                    break
+            if ok:
+                keep.add(path)
+        return keep
+
     def _field_names_by_id(self) -> dict[int, str]:
         """Top-level column name per field id from the CURRENT schema
         (equality_ids reference field ids, never names) — the v2
@@ -490,7 +634,15 @@ class IcebergTable:
             if f.get("id") is not None and f.get("name")
         }
 
-    def live_paths(self, snapshot_id: int | None = None) -> list[str]:
+    def live_paths(
+        self,
+        snapshot_id: int | None = None,
+        skip: list[tuple] | None = None,
+    ) -> list[str]:
+        """Resolved live data paths, optionally pruned by ``skip`` =
+        [(col, lo, hi), …] through the manifest-side tiers (identity
+        partition values, then decoded lower/upper bounds) — what an
+        Iceberg client's scan planning does before reading a byte."""
         data, pos_deletes, eq_deletes = self._files(snapshot_id)
         if pos_deletes or eq_deletes:
             raise ValueError(
@@ -499,7 +651,10 @@ class IcebergTable:
                 "these paths would resurrect deleted rows); use "
                 "snapshot(), which applies the deletes"
             )
-        return sorted(p for p, _u, _s in data)
+        kept = self._pruned_paths(snapshot_id, skip)
+        return sorted(
+            p for p, _u, _s in data if kept is None or p in kept
+        )
 
     def changes(
         self,
@@ -628,7 +783,10 @@ class IcebergTable:
     # -- reads ---------------------------------------------------------
 
     def snapshot(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        skip: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the (possibly time-traveled) snapshot as one multi-path
         parquet read — distributed, prunable, same as every client.
@@ -672,6 +830,15 @@ class IcebergTable:
                 f"iceberg table {self.path} has no data files at snapshot "
                 f"{snapshot_id if snapshot_id is not None else 'current'}"
             )
+        kept = self._pruned_paths(snapshot_id, skip)
+        if kept is not None:
+            pruned = [e for e in data if e[0] in kept]
+            if not pruned:
+                # everything pruned: an empty frame under the table
+                # shape, read from one surviving file's footer (no
+                # data scanned)
+                return spark.read.parquet(data[0][0]).limit(0)
+            data = pruned
         paths = [p for p, _u, _s in data]
         if not pos_deletes and not eq_deletes:
             return spark.read.parquet(*paths)

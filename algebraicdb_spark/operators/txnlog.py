@@ -2588,6 +2588,89 @@ class DeltaLogTable:
             if act == "add"
         )
 
+    def _live_skip_state(
+        self, as_of: int | None = None
+    ) -> dict[str, tuple[dict | None, dict]]:
+        """raw add.path → (per-column [min, max] bounds parsed from the
+        add action's ``stats`` string, partitionValues) for the live
+        fold — the inputs of Delta's own data-skipping tiers, folded
+        checkpoint-aware (real checkpoints materialize ``stats`` in the
+        add rows, so skipping survives a cleaned JSON prefix). Files
+        whose stats are absent/unparseable map to None bounds: absent
+        metadata means "cannot prune", never "prune wrongly"."""
+        import pyarrow.parquet as pq
+
+        def bounds(stats_str) -> dict | None:
+            if not stats_str:
+                return None
+            try:
+                doc = json.loads(stats_str)
+            except (TypeError, ValueError):
+                return None
+            mins = doc.get("minValues") or {}
+            maxs = doc.get("maxValues") or {}
+            return {
+                c: [mins[c], maxs[c]] for c in mins if c in maxs
+            }
+
+        cp = self._cp
+        cp_v = cp["version"] if cp is not None else None
+        use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
+        state: dict[str, tuple[str | None, dict | None, dict]] = {}
+        if use_cp:
+            for fp in self._checkpoint_files(cp):
+                for row in (
+                    pq.read_table(fp, columns=["add"])
+                    .column("add").to_pylist()
+                ):
+                    if row is None:
+                        continue
+                    pv = row.get("partitionValues") or {}
+                    if isinstance(pv, list):
+                        pv = dict(pv)
+                    state[row["path"]] = ("add", row.get("stats"), pv)
+        for _v, actions in self._json_commit_actions(
+            cp_v + 1 if use_cp else 0, as_of
+        ):
+            for a in actions:
+                if "add" in a:
+                    state[a["add"]["path"]] = (
+                        "add",
+                        a["add"].get("stats"),
+                        a["add"].get("partitionValues") or {},
+                    )
+                elif "remove" in a:
+                    state[a["remove"]["path"]] = ("remove", None, {})
+        return {
+            p: (bounds(st), pv)
+            for p, (act, st, pv) in state.items()
+            if act == "add"
+        }
+
+    def _pruned_raw(
+        self, as_of: int | None, skip: list[tuple] | None
+    ) -> set[str] | None:
+        """The raw paths surviving ``skip`` = [(col, lo, hi), …] under
+        the two log-level tiers (partition value first — authoritative,
+        O(1) per file — then recorded [min, max]); None when no skip
+        was requested (callers keep their already-folded entries)."""
+        if not skip:
+            return None
+        keep: set[str] = set()
+        for raw, (st, pv) in self._live_skip_state(as_of).items():
+            ok = True
+            for col, lo_v, hi_v in skip:
+                if _pv_prunes(pv, col, lo_v, hi_v):
+                    ok = False
+                    break
+                b = (st or {}).get(col)
+                if b is not None and (b[0] > hi_v or b[1] < lo_v):
+                    ok = False
+                    break
+            if ok:
+                keep.add(raw)
+        return keep
+
     def _live_entries(
         self, as_of: int | None = None
     ) -> list[tuple[str, str, dict]]:
@@ -2614,8 +2697,21 @@ class DeltaLogTable:
             (res, pv) for _raw, res, pv in self._live_entries(as_of)
         )
 
-    def live_paths(self, as_of: int | None = None) -> list[str]:
-        return [p for p, _pv in self._live_adds(as_of)]
+    def live_paths(
+        self,
+        as_of: int | None = None,
+        skip: list[tuple] | None = None,
+    ) -> list[str]:
+        """Resolved live paths, optionally pruned by ``skip`` =
+        [(col, lo, hi), …] through the two log-level tiers (partition
+        values, then the add actions' recorded min/max stats) — the
+        same two-tier skipping TxnLogTable has, over a table some
+        OTHER Delta engine wrote. Refuses on DV'd tables as always."""
+        kept = self._pruned_raw(as_of, skip)
+        return [
+            res for raw, res, _pv in self._live_entries(as_of)
+            if kept is None or raw in kept
+        ]
 
     def _txn_marks(self) -> dict[str, int]:
         """appId → highest recorded ``txn.version`` — Delta's
@@ -2947,10 +3043,18 @@ class DeltaLogTable:
         return out
 
     def snapshot(
-        self, spark: SparkSession, as_of: int | None = None
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        skip: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the snapshot at ``as_of`` (default: latest) — time
-        travel over a Delta table someone else wrote. The protocol /
+        travel over a Delta table someone else wrote. ``skip`` =
+        [(col, lo, hi), …] prunes files LOG-side before the scan plan
+        exists (partition values first, then add.stats min/max — the
+        two-tier skipping a foreign writer's stats enable; a skip that
+        prunes everything returns an empty frame under the pinned
+        schema). The protocol /
         metaData gate runs first (column mapping, unknown reader
         features refuse loudly); reads pin the metaData schemaString
         AT ``as_of`` (see ``table_schema``) — Delta reconstructs the
@@ -2981,6 +3085,17 @@ class DeltaLogTable:
             )
         st = self.table_schema(as_of)
         part_cols = meta.get("partitionColumns") or []
+        kept = self._pruned_raw(as_of, skip)
+        if kept is not None:
+            entries = [e for e in entries if e[0] in kept]
+            if not entries:
+                if st is None:
+                    raise ValueError(
+                        f"{self.path}: skip pruned every file and the "
+                        "table has no recorded schema to shape an "
+                        "empty result"
+                    )
+                return spark.createDataFrame([], st)
         return self._assemble_mor(spark, entries, st, part_cols)
 
     def _assemble_mor(

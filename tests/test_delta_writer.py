@@ -1286,3 +1286,58 @@ class TestMergeOnReadMerge:
             f for f in os.listdir(w.path) if f.endswith(".bin")
         } == bins_before
         assert DeltaLogTable(w.path).snapshot(spark).count() == 10
+
+
+class TestDeltaDataSkipping:
+    """Two-tier log-level pruning over a STANDARD Delta table —
+    partition values first, then the add actions' recorded min/max
+    stats: the same skipping TxnLogTable has, now on tables any Delta
+    engine wrote (our writer records spec-shaped stats, so its own
+    output skips too)."""
+
+    def test_skip_prunes_files_and_rows_match(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        # four files with disjoint k ranges → clean stats windows
+        for base in (0, 100, 200, 300):
+            w.append(_df(
+                spark,
+                [(base + i, float(base + i)) for i in range(10)],
+                "k long, v double",
+            ).coalesce(1))
+        t = DeltaLogTable(root)
+        assert len(t.live_paths()) == 4
+        # stats tier: a point-range skip opens exactly one file
+        assert len(t.live_paths(skip=[("k", 105, 107)])) == 1
+        got = t.snapshot(spark, skip=[("k", 105, 107)])
+        # pruning is a SUPERSET guarantee: the frame still needs the
+        # residual predicate, but only 1 file's rows flow into it
+        assert got.count() == 10
+        assert got.where("k BETWEEN 105 AND 107").count() == 3
+        # a range covering nothing returns an empty frame, pinned shape
+        empty = t.snapshot(spark, skip=[("k", 4000, 5000)])
+        assert empty.count() == 0 and empty.columns == ["k", "v"]
+        # the skip state survives a checkpointed (cleaned) log — stats
+        # ride the checkpoint's add rows
+        w.write_checkpoint(clean=True)
+        t = DeltaLogTable(root)
+        assert len(t.live_paths(skip=[("k", 205, 207)])) == 1
+
+    def test_partition_tier_prunes_without_stats(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(
+            _df(
+                spark,
+                [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, None, "d")],
+                "id long, bucket int, s string",
+            ),
+            partition_by=["bucket"],
+        )
+        t = DeltaLogTable(root)
+        pruned = t.live_paths(skip=[("bucket", 20, 20)])
+        assert 0 < len(pruned) < len(t.live_paths())
+        # the null partition prunes against ranges (the value is
+        # AUTHORITATIVE: every row's bucket IS NULL there)
+        snap = t.snapshot(spark, skip=[("bucket", 10, 25)])
+        assert sorted(r["id"] for r in snap.collect()) == [1, 2, 3]

@@ -1556,3 +1556,149 @@ class TestIcebergPartitionedAppend:
             for e in AvroFileReader(mpath).records:
                 vals.add(e["data_file"]["partition"].get("bucket"))
         assert vals == {10, 20}
+
+
+class TestIcebergDataSkipping:
+    """Manifest-side two-tier pruning: identity partition values
+    (authoritative) then the spec's binary lower/upper bounds — what
+    an Iceberg client's scan planning does before reading a byte."""
+
+    def test_partition_tier_over_own_output(self, spark, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "pp"))
+        w.append(
+            spark.createDataFrame(
+                [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, None, "d")],
+                "id long, bucket int, s string",
+            ),
+            partition_by=["bucket"],
+        )
+        t = IcebergTable(w.path)
+        n_all = len(t.live_paths())
+        assert len(t.live_paths(skip=[("bucket", 20, 25)])) < n_all
+        snap = t.snapshot(spark, skip=[("bucket", 10, 25)])
+        # null partition prunes against ranges; others kept
+        assert sorted(r["id"] for r in snap.collect()) == [1, 2, 3]
+        # everything pruned: empty frame under the table shape, no scan
+        empty = t.snapshot(spark, skip=[("bucket", 999, 1000)])
+        assert empty.count() == 0
+        assert empty.columns == ["id", "bucket", "s"]
+
+    def test_bounds_tier_over_foreign_manifest(self, spark, tmp_path):
+        """A foreign-shaped manifest carrying lower/upper bounds keyed
+        by FIELD ID in the spec's single-value binary serialization:
+        the stats tier prunes on the decoded values; undecodable or
+        absent bounds keep the file."""
+        import struct as _struct
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            AvroFileWriter,
+        )
+
+        root = str(tmp_path / "fb")
+        os.makedirs(os.path.join(root, "metadata"))
+        os.makedirs(os.path.join(root, "data"))
+        # two data files with disjoint k ranges
+        p1 = os.path.join(root, "data", "f1.parquet")
+        p2 = os.path.join(root, "data", "f2.parquet")
+        write_parquet_file(
+            spark,
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(10)], "k long, s string"),
+            p1,
+        )
+        write_parquet_file(
+            spark,
+            spark.createDataFrame(
+                [(100 + i, f"r{i}") for i in range(10)],
+                "k long, s string"),
+            p2,
+        )
+        kv = {"type": "array", "items": {
+            "type": "record", "name": "kvp", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ]}}
+        mschema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": kv},
+                        {"name": "upper_bounds", "type": kv},
+                    ]}},
+            ]}
+
+        def entry(path, lo, hi):
+            b = {"content": 0, "file_path": path,
+                 "file_format": "PARQUET", "record_count": 10,
+                 "file_size_in_bytes": os.path.getsize(path)}
+            # field id 1 = k (long, little-endian single-value form)
+            b["lower_bounds"] = [
+                {"key": 1, "value": _struct.pack("<q", lo)}]
+            b["upper_bounds"] = [
+                {"key": 1, "value": _struct.pack("<q", hi)}]
+            return {"status": 1, "snapshot_id": 1001, "data_file": b}
+
+        mpath = os.path.join(root, "metadata", "m1.avro")
+        AvroFileWriter.write(
+            mpath, mschema, [entry(p1, 0, 9), entry(p2, 100, 109)])
+        mlpath = os.path.join(root, "metadata", "snap1.avro")
+        AvroFileWriter.write(mlpath, {
+            "type": "record", "name": "manifest_file", "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ]}, [{
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "added_snapshot_id": 1001,
+            }])
+        md = {
+            "format-version": 2, "table-uuid": "u", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": 2,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "s", "required": False,
+                 "type": "string"}]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0, "last-partition-id": 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0, "properties": {},
+            "current-snapshot-id": 1001,
+            "snapshots": [{"snapshot-id": 1001, "sequence-number": 1,
+                           "timestamp-ms": 0, "manifest-list": mlpath,
+                           "summary": {"operation": "append"},
+                           "schema-id": 0}],
+            "snapshot-log": [], "metadata-log": [],
+        }
+        with open(os.path.join(root, "metadata", "v1.metadata.json"),
+                  "w") as f:
+            json.dump(md, f)
+        with open(os.path.join(root, "metadata", "version-hint.text"),
+                  "w") as f:
+            f.write("1")
+        t = IcebergTable(root)
+        assert len(t.live_paths()) == 2
+        # bounds tier: a point range opens one file
+        assert t.live_paths(skip=[("k", 3, 5)]) == [p1]
+        assert t.live_paths(skip=[("k", 101, 101)]) == [p2]
+        snap = t.snapshot(spark, skip=[("k", 3, 5)])
+        assert snap.count() == 10  # superset; residual filters below
+        assert snap.where("k BETWEEN 3 AND 5").count() == 3
+        # a column with NO bounds keeps everything (cannot prune)
+        assert len(t.live_paths(skip=[("s", "a", "z")])) == 2
