@@ -796,15 +796,32 @@ class IcebergTableWriter:
             "deleted_rows_count": r.get("deleted_rows_count", 0) or 0,
         }
 
-    def _cow_scope(self, rdr) -> list[tuple[str, str, int | None]]:
-        """Gate + the live data set for a COW mutation."""
+    def _cow_scope(
+        self, rdr
+    ) -> tuple[list[tuple[str, str, int | None]], list[str], dict[str, str]]:
+        """Gate + the live data set for a COW mutation: (data entries,
+        identity partition columns, their iceberg types). Non-identity
+        transforms refuse (via ``_cur_parts``); identity partition
+        columns whose values this writer cannot re-serialize refuse
+        too — a rewrite must restage under the same spec."""
         cur = rdr.meta
-        for s in cur.get("partition-specs") or []:
-            if s.get("fields"):
+        parts = self._cur_parts(cur)
+        schemas = cur.get("schemas") or (
+            [cur["schema"]] if cur.get("schema") else []
+        )
+        sid = cur.get("current-schema-id", 0)
+        sch = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[-1] if schemas else {"fields": []},
+        )
+        types = {f["name"]: str(f["type"]) for f in sch.get("fields", [])}
+        for c in parts:
+            if types.get(c) not in _PART_AVRO:
                 raise NotImplementedError(
-                    f"{self.path}: partitioned iceberg table — this "
-                    "writer mutates flat unpartitioned tables only; use "
-                    "a full Iceberg client"
+                    f"{self.path}: partition column {c!r} has type "
+                    f"{types.get(c)} — rewrites must restage its values "
+                    f"and only {sorted(_PART_AVRO)} serialize; use a "
+                    "full Iceberg client"
                 )
         data, pos_d, eq_d = rdr._files(None)
         if pos_d or eq_d:
@@ -813,7 +830,7 @@ class IcebergTableWriter:
                 "delete files needs their ordering applied mid-rewrite — "
                 "compact with the owning system first"
             )
-        return data
+        return data, parts, {c: types[c] for c in parts}
 
     @staticmethod
     def _with_lp(df):
@@ -867,7 +884,7 @@ class IcebergTableWriter:
                     "delete from"
                 )
             rdr = self.reader()
-            data = self._cow_scope(rdr)
+            data, parts, ptypes = self._cow_scope(rdr)
             if not data:
                 return {"version": None, "rows_deleted": 0,
                         "files_removed": 0, "files_rewritten": 0}
@@ -889,11 +906,12 @@ class IcebergTableWriter:
                         F.expr(predicate).cast("boolean"), F.lit(False)
                     )
                 )
-                staged = self._stage(keep)
+                staged = self._stage(keep, parts or None, ptypes)
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(by_raw), staged, "delete",
                     {"deleted-records": str(matched)},
+                    parts=parts, ptypes=ptypes,
                 )
                 return {
                     "version": snap_id,
@@ -931,7 +949,7 @@ class IcebergTableWriter:
                     f"iceberg table {self.path} has no commits to update"
                 )
             rdr = self.reader()
-            data = self._cow_scope(rdr)
+            data, parts, ptypes = self._cow_scope(rdr)
             if not data:
                 return {"version": None, "rows_updated": 0,
                         "files_rewritten": 0}
@@ -964,11 +982,12 @@ class IcebergTableWriter:
                     for c in df.columns
                 ]
             )
-            staged = self._stage(out)
+            staged = self._stage(out, parts or None, ptypes)
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(affected), staged, "overwrite",
                     {"updated-records": str(matched)},
+                    parts=parts, ptypes=ptypes,
                 )
                 return {
                     "version": snap_id,
@@ -1025,7 +1044,7 @@ class IcebergTableWriter:
                     "merge into"
                 )
             rdr = self.reader()
-            data = self._cow_scope(rdr)
+            data, parts, ptypes = self._cow_scope(rdr)
             paths = [p for p, _u, _s in data]
             by_raw: dict[str, int] = {}
             matched = 0
@@ -1057,7 +1076,7 @@ class IcebergTableWriter:
                         .join(source.alias(source_alias), cond_col,
                               "left_anti")
                     )
-                    staged = self._stage(keep)
+                    staged = self._stage(keep, parts or None, ptypes)
             elif affected:
                 aff = spark.read.parquet(*affected)
                 input_rows = sum(
@@ -1082,7 +1101,7 @@ class IcebergTableWriter:
                         for c in aff.columns
                     ]
                 )
-                staged = self._stage(out)
+                staged = self._stage(out, parts or None, ptypes)
                 staged_rows = sum(r for _p, r, _b, _pv in staged)
                 if staged_rows != input_rows:
                     self._unstage(staged)
@@ -1120,7 +1139,7 @@ class IcebergTableWriter:
                         for e, (c, t_) in zip(insert_exprs, cols)
                     ]
                 )
-                ins_staged = self._stage(ins)
+                ins_staged = self._stage(ins, parts or None, ptypes)
                 rows_inserted = sum(
                     r for _p, r, _b, _pv in ins_staged
                 )
@@ -1135,6 +1154,7 @@ class IcebergTableWriter:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(affected), staged, "overwrite",
                     {"merged-records": str(matched)},
+                    parts=parts, ptypes=ptypes,
                 )
                 return {
                     "version": snap_id,
@@ -1159,6 +1179,8 @@ class IcebergTableWriter:
         staged: list[tuple[str, int, int, dict]],
         operation: str,
         extra_summary: dict[str, str],
+        parts: list[str] | None = None,
+        ptypes: dict[str, str] | None = None,
     ) -> int:
         """Build + publish one mutation snapshot: rewritten manifests
         for files in ``affected`` (EXISTING survivors with explicit
@@ -1167,6 +1189,11 @@ class IcebergTableWriter:
         rewrites. Loses the race → unlinks every avro it wrote and
         raises (caller re-derives from the new head)."""
         now_ms = int(time.time() * 1000)
+        part_fields = [
+            {"name": c, "type": (ptypes or {}).get(c, "string")}
+            for c in (parts or [])
+        ]
+        mschema = _manifest_schema(part_fields)
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
@@ -1212,7 +1239,10 @@ class IcebergTableWriter:
                         "file_path": dfile["file_path"],  # verbatim
                         "file_format": dfile.get("file_format",
                                                  "PARQUET"),
-                        "partition": {},
+                        # the ORIGINAL partition values carry through —
+                        # dropping them would break foreign planners'
+                        # partition pruning on surviving entries
+                        "partition": dfile.get("partition") or {},
                         "record_count": rows_n,
                         "file_size_in_bytes": int(
                             dfile.get("file_size_in_bytes", 0) or 0),
@@ -1240,7 +1270,7 @@ class IcebergTableWriter:
                 new_m = os.path.join(
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
                 )
-                AvroFileWriter.write(new_m, _MANIFEST_SCHEMA, out_entries)
+                AvroFileWriter.write(new_m, mschema, out_entries)
                 written.append(new_m)
                 removed_files += del_f
                 removed_rows += del_r
@@ -1265,7 +1295,7 @@ class IcebergTableWriter:
                 )
                 AvroFileWriter.write(
                     add_m,
-                    _MANIFEST_SCHEMA,
+                    mschema,
                     [
                         {
                             "status": 1,
@@ -1276,12 +1306,12 @@ class IcebergTableWriter:
                                 "content": 0,
                                 "file_path": p,
                                 "file_format": "PARQUET",
-                                "partition": {},
+                                "partition": pv,
                                 "record_count": rows,
                                 "file_size_in_bytes": size,
                             },
                         }
-                        for p, rows, size, _pv in staged
+                        for p, rows, size, pv in staged
                     ],
                 )
                 written.append(add_m)
@@ -1373,17 +1403,18 @@ class IcebergTableWriter:
             if cur is None:
                 return None
             rdr = self.reader()
-            data = self._cow_scope(rdr)
+            data, parts, ptypes = self._cow_scope(rdr)
             if len(data) < min_inputs:
                 return None
             df = spark.read.parquet(*[p for p, _u, _s in data]).coalesce(
                 max(target_files, 1)
             )
-            staged = self._stage(df)
+            staged = self._stage(df, parts or None, ptypes)
             try:
                 return self._publish_mutation(
                     base_v, cur, rdr, {p for p, _u, _s in data}, staged,
                     "replace", {"rewritten-data-files": str(len(data))},
+                    parts=parts, ptypes=ptypes,
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)

@@ -1341,3 +1341,53 @@ class TestDeltaDataSkipping:
         # AUTHORITATIVE: every row's bucket IS NULL there)
         snap = t.snapshot(spark, skip=[("bucket", 10, 25)])
         assert sorted(r["id"] for r in snap.collect()) == [1, 2, 3]
+
+
+class TestMorOnPartitionedTables:
+    """MoR mutation on a hive-partitioned Delta table: vectors attach
+    per file under the partition layout, postimages restage
+    partition-aware, partition values carry through remove/re-add."""
+
+    def test_partitioned_mor_delete_and_update(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        df = _df(
+            spark,
+            [(i, i % 2, float(i)) for i in range(8)],
+            "id long, bucket int, v double",
+        )
+        # one 4-row file per partition (tiny default files would be
+        # fully covered and drop as plain removes — also correct, but
+        # this test pins the vector path)
+        w.append(df.repartition(1), partition_by=["bucket"])
+        w.enable_deletion_vectors()
+        res = w.delete(spark, "id IN (2, 3)")
+        assert res["files_dv"] >= 1
+        t = DeltaLogTable(root)
+        snap = t.snapshot(spark)
+        assert sorted(r["id"] for r in snap.collect()) == [
+            0, 1, 4, 5, 6, 7,
+        ]
+        # partition values carried through the DV re-add — a
+        # partition-pruned read still resolves correctly
+        assert sorted(
+            r["id"] for r in t.snapshot(
+                spark, skip=[("bucket", 0, 0)]).collect()
+        ) == [0, 4, 6]
+        # MoR update restages postimages under the partition layout
+        w.update(spark, {"v": "v + 100"}, "id = 5")
+        t = DeltaLogTable(root)
+        got = {r["id"]: (r["bucket"], r["v"]) for r in
+               t.snapshot(spark).collect()}
+        assert got[5] == (1, 105.0)
+        assert t.snapshot(spark).count() == 6
+        # the raw commit carries partitionValues on every add
+        last = t.latest_version()
+        with open(os.path.join(
+                root, "_delta_log", f"{last:020d}.json")) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        for a in acts:
+            if "add" in a:
+                assert a["add"]["partitionValues"].get("bucket") in (
+                    "0", "1",
+                )

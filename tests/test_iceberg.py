@@ -1208,7 +1208,7 @@ class TestIcebergCowMutation:
                  "type": "long"}]}],
             "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": [
-                {"name": "k", "transform": "identity",
+                {"name": "k_bucket", "transform": "bucket[16]",
                  "source-id": 1, "field-id": 1000}]}],
             "default-spec-id": 0, "last-partition-id": 1000,
             "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1226,7 +1226,10 @@ class TestIcebergCowMutation:
         with open(os.path.join(root, "metadata", "version-hint.text"),
                   "w") as f:
             f.write("1")
-        with pytest.raises(NotImplementedError, match="partitioned"):
+        # identity-partitioned mutation graduated with partitioned
+        # appends; NON-identity transforms still refuse (a bucket
+        # value cannot be re-staged by this writer)
+        with pytest.raises(NotImplementedError, match="transform"):
             IcebergTableWriter(root).delete(spark, "k = 1")
 
     def test_sql_delete_update_on_iceberg_attachment(
@@ -1529,9 +1532,11 @@ class TestIcebergPartitionedAppend:
         w2 = IcebergTableWriter(str(tmp_path / "pb"))
         with pytest.raises(NotImplementedError, match="serialize"):
             w2.append(df, partition_by=["v"])
-        # COW mutation on a partitioned table still refuses loudly
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            w.delete(spark, "k = 1")
+        # COW mutation graduated to identity-partitioned tables later
+        # the same round (TestIcebergPartitionedCow pins the format)
+        res = w.delete(spark, "k = 1")
+        assert res["rows_deleted"] == 1
+        assert IcebergTable(w.path).snapshot(spark).count() == 4
 
     def test_exactly_once_sink_inherits_partitioning(
         self, spark, tmp_path
@@ -1702,3 +1707,52 @@ class TestIcebergDataSkipping:
         assert snap.where("k BETWEEN 3 AND 5").count() == 3
         # a column with NO bounds keeps everything (cannot prune)
         assert len(t.live_paths(skip=[("s", "a", "z")])) == 2
+
+
+class TestIcebergPartitionedCow:
+    """COW mutation on identity-partitioned tables (graduated with
+    partitioned appends): rewrites restage under the pinned spec,
+    surviving entries keep their ORIGINAL partition values, and
+    pruning keeps working across the mutation."""
+
+    def test_partitioned_delete_update_round_trip(self, spark, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "pc"))
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(8)],
+            "id long, bucket int, v double",
+        ).repartition(1)
+        w.append(df, partition_by=["bucket"])
+        res = w.delete(spark, "id IN (2, 3)")
+        assert res["rows_deleted"] == 2
+        t = IcebergTable(w.path)
+        assert sorted(r["id"] for r in t.snapshot(spark).collect()) == [
+            0, 1, 4, 5, 6, 7,
+        ]
+        # every live entry still carries its partition value — the
+        # rewrite restaged under the spec, survivors kept theirs
+        vals = []
+        for mpath, _sid, _c, _ms in t._manifests(t._snapshot(None)):
+            for e in AvroFileReader(mpath).records:
+                if e.get("status") != 2:
+                    vals.append(e["data_file"]["partition"].get("bucket"))
+        assert set(vals) == {0, 1}
+        # partition pruning still fires post-mutation
+        assert sorted(
+            r["id"] for r in t.snapshot(
+                spark, skip=[("bucket", 1, 1)]).collect()
+        ) == [1, 5, 7]
+        # UPDATE restages partition-aware too
+        w.update(spark, {"v": "v + 10"}, "id = 4")
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).where("id = 4").collect()[0]["v"] == 14.0
+        assert t.snapshot(spark).count() == 6
+        # OPTIMIZE compacts per partition (one file each after
+        # partition-aware restaging)
+        w.optimize(spark, min_inputs=1)
+        t = IcebergTable(w.path)
+        assert t.snapshot(spark).count() == 6
+        assert len(t.live_paths()) == 2
