@@ -225,6 +225,12 @@ _DROP_MATVIEW_RE = re.compile(
 _DESCRIBE_HISTORY_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
+_RESTORE_TABLE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>\w+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )

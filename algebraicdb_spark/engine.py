@@ -68,6 +68,7 @@ from algebraicdb_spark.dialect import (
     _DELETE_RE,
     _DESCRIBE_HISTORY_RE,
     _DESCRIBE_RE,
+    _RESTORE_TABLE_RE,
     _DROP_FUNCTION_RE,
     _DROP_MATVIEW_RE,
     _DROP_VIEW_RE,
@@ -99,10 +100,13 @@ __all__ = ["Engine", "parse_create_type"]
 # time-travel read sugar every lakehouse SQL dialect exposes; lowered
 # in _rewrite to a pinned snapshot view so it composes with joins,
 # CTAS, views, EXPLAIN, and the rest of the read grammar for free
+# matched against _mask_strings output (literals replaced by
+# \x00<k>\x00 placeholders), never raw SQL — a quoted string
+# containing "… VERSION AS OF 3" must neither error nor be rewritten
 _TIME_TRAVEL_RE = re.compile(
     r"\b(?P<name>[A-Za-z_]\w*)\s+(?:"
     r"VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
-    r"|FOR\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    r"|FOR\s+TIMESTAMP\s+AS\s+OF\s+\x00(?P<tsref>\d+)\x00)",
     re.IGNORECASE,
 )
 
@@ -436,6 +440,11 @@ class Engine:
             return self._describe_history_stmt(
                 _DESCRIBE_HISTORY_RE.match(stmt).group("name")
             )
+        if _RESTORE_TABLE_RE.match(stmt):
+            m = _RESTORE_TABLE_RE.match(stmt)
+            return self._restore_stmt(
+                m.group("name"), m.group("ver"), m.group("ts")
+            )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
         if _CREATE_VIEW_RE.match(stmt):
@@ -705,6 +714,57 @@ class Engine:
             cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in fields)
         stmt = f"CREATE TABLE {name} ({cols})"
         return self.spark.createDataFrame([(stmt,)], "create_stmt string")
+
+    def _restore_stmt(
+        self, name: str, ver: str | None, ts: str | None
+    ) -> DataFrame:
+        """RESTORE TABLE n TO VERSION AS OF v / TO TIMESTAMP AS OF 'ts'
+        — rollback an ATTACHed table to an earlier state as ONE new
+        commit, history preserved (the write-side twin of the AS-OF
+        read sugar): txnlog/delta restore by re-adding the target
+        version's live set (zero bytes copied — see
+        `TxnLogTable.restore` / `DeltaTableWriter.restore`), iceberg
+        rolls the current-snapshot pointer back (metadata-only,
+        `IcebergTableWriter.rollback`). Past-retention targets refuse
+        through the writers' own loud errors; a VERSION-pinned
+        attachment refuses (mutating a historical pin); the view
+        re-registers on the restored snapshot."""
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        self._refuse_view_mutation("RESTORE", name)
+        if name not in self._attached:
+            raise AdtError(
+                f"RESTORE TABLE: {name!r} is not an ATTACHed table "
+                "(dialect tables are views — they have no commit log)"
+            )
+        att = self._attached[name]
+        if att.get("version") is not None:
+            raise AdtError(
+                f"RESTORE TABLE {name!r}: the attachment is pinned to "
+                f"version {att['version']} — a historical snapshot is "
+                "immutable; re-ATTACH at latest first"
+            )
+        v = int(ver) if ver is not None else self._version_at_timestamp(
+            att, ts
+        )
+        fmt, path = att["fmt"], att["path"]
+        try:
+            if fmt == "txnlog":
+                TxnLogTable(path).restore(v)
+            elif fmt == "delta":
+                DeltaTableWriter(path).restore(v)
+            else:
+                IcebergTableWriter(path).rollback(v)
+        except (ValueError, NotImplementedError) as exc:
+            raise AdtError(f"RESTORE TABLE {name!r}: {exc}") from exc
+        # the live file set changed: re-register the view at latest
+        return self._attach_table_stmt(name, fmt, path, None)
 
     def _describe_history_stmt(self, name: str) -> DataFrame:
         """DESCRIBE HISTORY n — the commit/snapshot audit trail of an
@@ -1531,12 +1591,21 @@ class Engine:
         resolving. The attachment itself stays at latest — time travel
         per READ, no re-ATTACH dance. A version below a cleaned
         checkpoint / expired snapshot refuses via the reader's own
-        loud error."""
+        loud error. The match runs over the string-masked statement so
+        AS-OF text inside a quoted literal is data, not syntax."""
+        from algebraicdb_spark.dialect import (
+            _mask_strings,
+            _unmask_strings,
+        )
         from algebraicdb_spark.operators.iceberg import IcebergTable
         from algebraicdb_spark.operators.txnlog import (
             DeltaLogTable,
             TxnLogTable,
         )
+
+        masked, saved = _mask_strings(stmt)
+        if not _TIME_TRAVEL_RE.search(masked):
+            return stmt
 
         readers = {
             "txnlog": TxnLogTable,
@@ -1556,7 +1625,9 @@ class Engine:
             if m.group("ver") is not None:
                 v = int(m.group("ver"))
             else:
-                v = self._version_at_timestamp(att, m.group("ts"))
+                lit = saved[int(m.group("tsref"))]
+                ts = lit[1:-1].replace("''", "'")
+                v = self._version_at_timestamp(att, ts)
             view = f"__asof_{name}_v{v}"
             from pyspark.errors import AnalysisException
 
@@ -1570,11 +1641,12 @@ class Engine:
             df.createOrReplaceTempView(view)
             return f"{view} AS {name}"
 
-        return _TIME_TRAVEL_RE.sub(repl, stmt)
+        return _unmask_strings(
+            _TIME_TRAVEL_RE.sub(repl, masked), saved
+        )
 
     def _rewrite(self, stmt: str) -> str:
-        if _TIME_TRAVEL_RE.search(stmt):
-            stmt = self._rewrite_time_travel(stmt)
+        stmt = self._rewrite_time_travel(stmt)
         if self._functions:
             stmt = expand_macros(stmt, self._functions)
         stmt = rewrite_distinct_on(stmt)

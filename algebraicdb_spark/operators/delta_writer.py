@@ -355,6 +355,22 @@ class DeltaTableWriter:
         conf = (meta or {}).get("configuration") or {}
         if isinstance(conf, list):
             conf = dict(conf)
+        cm = conf.get("delta.columnMapping.mode")
+        if cm not in (None, "", "none") and mutation != "VACUUM":
+            # VACUUM is exempt: it unlinks unreferenced files and
+            # never stages a parquet byte, so naming cannot corrupt it.
+            # the READER renames physical→logical at scan ('name'
+            # mode); this writer stages files under LOGICAL names, so
+            # any write to a mapped table would land columns every
+            # mapped reader resolves to all-NULL — refuse regardless
+            # of what the protocol row announces (belt over the
+            # legacy-version / feature-list braces)
+            raise NotImplementedError(
+                f"{mutation} on {self.path}: "
+                f"delta.columnMapping.mode={cm!r} — this writer stages "
+                "parquet under logical column names, which a mapped "
+                "table's readers would misread; use a full Delta client"
+            )
         mwv = int((proto or {}).get("minWriterVersion", 1) or 1)
         feats = set((proto or {}).get("writerFeatures") or [])
         if mwv >= 7:
@@ -366,7 +382,14 @@ class DeltaTableWriter:
                     "anyway could silently break the table's invariants; "
                     "use a full Delta client"
                 )
-        elif mwv > 2:
+        elif mwv > 2 and mutation != "VACUUM":
+            # VACUUM is exempt from the legacy capability gate for the
+            # same reason as the columnMapping gate above: it unlinks
+            # files no retained snapshot references and never stages a
+            # parquet byte or commits an action, so none of the legacy
+            # capabilities (constraints/CDF/mapping/identity) can be
+            # violated by it; cdc/_change_data files are never vacuum
+            # candidates here (candidates come from add/remove actions)
             raise NotImplementedError(
                 f"{self.path}: minWriterVersion={mwv} demands writer "
                 "capabilities this client does not implement (3=check "
@@ -400,31 +423,21 @@ class DeltaTableWriter:
         No-op (returns None) when already enabled."""
         for _ in range(max_retries):
             rdr = self.reader()
-            proto, meta = rdr._protocol_meta()
+            # pin the head FIRST and derive protocol/metaData AT it —
+            # reading them at an unpinned head and then re-reading
+            # latest_version() for the slot opens a lost-update window
+            # (a racer's commit between the reads is overwritten by
+            # the stale metaData we re-commit, with no slot collision
+            # to force the retry)
+            head = rdr.latest_version()
+            proto, meta = rdr._protocol_meta(head if head >= 0 else None)
             feats_w = set(proto.get("writerFeatures") or [])
             if "deletionVectors" in feats_w:
                 return None
-            mrv = int(proto.get("minReaderVersion", 1) or 1)
-            mwv = int(proto.get("minWriterVersion", 1) or 1)
-            # legacy version numbers imply capabilities; moving to the
-            # feature lists must carry them as named features or the
-            # upgrade would silently DROP them for feature-aware clients
-            legacy_r = {2: ["columnMapping"], 3: []}.get(mrv, [])
-            legacy_w = {
-                3: ["checkConstraints"],
-                4: ["changeDataFeed", "generatedColumns"],
-                5: ["columnMapping"],
-                6: ["identityColumns"],
-            }.get(mwv, [])
-            new_r = sorted(
-                set(proto.get("readerFeatures") or [])
-                | set(legacy_r) | {"deletionVectors"}
-            )
-            new_w = sorted(
-                feats_w | set(legacy_w) | {"deletionVectors"}
-            )
+            upgraded = self._dv_upgraded_protocol(proto)
             self._check_writable(
-                {**proto, "minWriterVersion": 7, "writerFeatures": new_w},
+                {**proto, "minWriterVersion": 7,
+                 "writerFeatures": upgraded["protocol"]["writerFeatures"]},
                 meta, "ALTER",
                 data_change=False,
             )
@@ -433,12 +446,7 @@ class DeltaTableWriter:
                     "SET TBLPROPERTIES",
                     properties={"delta.enableDeletionVectors": "true"},
                 ),
-                {"protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": new_r,
-                    "writerFeatures": new_w,
-                }},
+                upgraded,
             ]
             if meta:
                 conf = meta.get("configuration") or {}
@@ -452,7 +460,7 @@ class DeltaTableWriter:
                 m = {k: v for k, v in meta.items() if v is not None}
                 m["configuration"] = conf
                 actions.append({"metaData": m})
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, actions)
                 return version
@@ -724,7 +732,13 @@ class DeltaTableWriter:
 
         for _ in range(max_retries):
             rdr = self.reader()
-            _proto, cur_meta = rdr._protocol_meta()
+            # pin the head, read the schema AT it, publish at head+1 —
+            # see enable_deletion_vectors for the lost-update window
+            # the two-separate-reads shape opens
+            head = rdr.latest_version()
+            _proto, cur_meta = rdr._protocol_meta(
+                head if head >= 0 else None
+            )
             self._check_writable(_proto, cur_meta, "ALTER",
                                  data_change=False)
             st = parse_schema_string(
@@ -745,7 +759,7 @@ class DeltaTableWriter:
             meta = self._evolved_meta(
                 cur_meta, widened.json(), self._cur_parts(cur_meta)
             )
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, [
                     self._commit_info(
@@ -874,9 +888,16 @@ class DeltaTableWriter:
         )
         want = {raw: self._dv_key(dv_of.get(raw)) for raw in removed_raw}
         for _ in range(max_retries):
+            # pin the head FIRST and validate (path, dv) identity AT
+            # it, so a racer landing after the check collides on
+            # head+1 and forces re-validation — a later
+            # latest_version() read would let a remove/DV-flip slip
+            # between the two reads and publish cleanly
+            head = self.latest_version()
             live_now = {
                 raw: self._dv_key(dv)
-                for raw, _r, _p, dv in self.reader()._live_entries_full()
+                for raw, _r, _p, dv
+                in self.reader()._live_entries_full(head)
             }
             conflicted = sorted(
                 raw for raw, k in want.items()
@@ -890,7 +911,7 @@ class DeltaTableWriter:
                     "would resurrect or double-mutate replaced data; "
                     f"rerun {op} on the new snapshot"
                 )
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, actions)
                 return version
@@ -1138,28 +1159,43 @@ class DeltaTableWriter:
         """The protocol-upgrade action a first MoR mutation must carry
         ATOMICALLY with its vectors when the table has not announced
         deletionVectors yet (a separate enable commit is also
-        supported — ``enable_deletion_vectors``)."""
+        supported — ``enable_deletion_vectors``; both shapes derive
+        from the SAME upgrade fold so they can never diverge)."""
         proto, _m = rdr._protocol_meta()
         if "deletionVectors" in (proto.get("writerFeatures") or []):
             return []
+        return [self._dv_upgraded_protocol(proto)]
+
+    @staticmethod
+    def _dv_upgraded_protocol(proto: dict) -> dict:
+        """minReader 3 / minWriter 7 with deletionVectors in BOTH
+        feature lists, carrying forward every capability the table
+        already announced — INCLUDING the ones its legacy version
+        numbers implied (reader 2 → columnMapping; writer 3..6 →
+        checkConstraints / changeDataFeed+generatedColumns /
+        columnMapping / identityColumns): moving to feature lists
+        must name them or the upgrade silently drops them for
+        feature-aware clients."""
+        legacy_r = {2: ["columnMapping"]}.get(
+            int(proto.get("minReaderVersion", 1) or 1), [])
         legacy_w = {
             3: ["checkConstraints"],
             4: ["changeDataFeed", "generatedColumns"],
             5: ["columnMapping"],
             6: ["identityColumns"],
         }.get(int(proto.get("minWriterVersion", 1) or 1), [])
-        return [{"protocol": {
+        return {"protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": sorted(
                 set(proto.get("readerFeatures") or [])
-                | {"deletionVectors"}
+                | set(legacy_r) | {"deletionVectors"}
             ),
             "writerFeatures": sorted(
                 set(proto.get("writerFeatures") or [])
                 | set(legacy_w) | {"deletionVectors"}
             ),
-        }}]
+        }}
 
     def _reclaim_bin(self, written_bin: str | None) -> None:
         """Unlink a never-published DV ``.bin`` (nothing else ever
@@ -1694,6 +1730,108 @@ class DeltaTableWriter:
 
     # -- maintenance -------------------------------------------------------
 
+    def restore(self, version: int, max_retries: int = 8) -> dict:
+        """RESTORE the table to its state at ``version`` as ONE NEW
+        data-changing commit on the standard format — Delta's own
+        RESTORE semantics: rollback with history preserved (time
+        travel above the restore still reads the undone commits).
+        Pure metadata: tombstone the files live now but not at v,
+        re-add the files live at v but not now, and re-add files
+        whose DELETION VECTOR changed in between with their OLD
+        vector (a MoR delete after v flips back) — zero bytes copied;
+        the original add actions' stats/partitionValues/DV descriptors
+        carry verbatim, and the target version's metaData re-commits
+        when the schema changed in between. Restoring past the
+        retention that reclaimed the files refuses loudly. Returns
+        {"version", "files_removed", "files_readded"}; a content-
+        identical restore commits nothing."""
+        from urllib.parse import unquote
+
+        rdr = self.reader()
+        latest = rdr.latest_version()
+        if version < 0 or version > latest:
+            raise ValueError(
+                f"RESTORE to version {version}: table has versions "
+                f"0..{latest}"
+            )
+        proto_v, meta_v = rdr._protocol_meta(version)
+        rdr._check_readable(proto_v, meta_v)
+        target = rdr._live_fold(version)
+        gone = sorted(
+            p for p in target
+            if not os.path.exists(os.path.join(self.path, unquote(p)))
+        )
+        if gone:
+            raise ValueError(
+                f"RESTORE to version {version} needs files retention "
+                f"already reclaimed ({gone[:3]}…) — restore within the "
+                "retention window"
+            )
+        now_ms = int(time.time() * 1000)
+        for _ in range(max_retries):
+            head = rdr.latest_version()
+            proto, meta = rdr._protocol_meta(head)
+            self._check_writable(proto, meta, "RESTORE")
+            cur = rdr._live_fold(head)
+            dvk = self._dv_key
+            removes = sorted(
+                raw for raw, (pv, dv, _st) in cur.items()
+                if raw not in target or dvk(dv) != dvk(target[raw][1])
+            )
+            readds = sorted(
+                raw for raw, (pv, dv, _st) in target.items()
+                if raw not in cur or dvk(dv) != dvk(cur[raw][1])
+            )
+            meta_actions = []
+            if meta_v and (meta or {}).get("schemaString") != meta_v.get(
+                "schemaString"
+            ):
+                m = {k: v for k, v in meta_v.items() if v is not None}
+                conf = m.get("configuration") or {}
+                if isinstance(conf, list):
+                    conf = dict(conf)
+                m["configuration"] = conf
+                meta_actions.append({"metaData": m})
+            if not removes and not readds and not meta_actions:
+                return {"version": None, "files_removed": 0,
+                        "files_readded": 0}
+            actions = [self._commit_info(
+                "RESTORE", version=str(version)
+            )] + meta_actions
+            for raw in removes:
+                pv, dv, _st = cur[raw]
+                r = {"path": raw, "deletionTimestamp": now_ms,
+                     "dataChange": True, "partitionValues": pv or {}}
+                if dv is not None:
+                    r["deletionVector"] = dv
+                actions.append({"remove": r})
+            for raw in readds:
+                pv, dv, st = target[raw]
+                res = os.path.join(self.path, unquote(raw))
+                a = {
+                    "path": raw,  # verbatim committed bytes — fold key
+                    "partitionValues": pv or {},
+                    "size": os.path.getsize(res),
+                    "modificationTime": int(os.path.getmtime(res) * 1000),
+                    "dataChange": True,
+                }
+                if st:
+                    a["stats"] = st
+                if dv is not None:
+                    a["deletionVector"] = dv
+                actions.append({"add": a})
+            try:
+                self._publish(head + 1, actions)
+                return {"version": head + 1,
+                        "files_removed": len(removes),
+                        "files_readded": len(readds)}
+            except ConcurrentWriteError:
+                continue  # racer took the slot: re-derive off its head
+        raise ConcurrentWriteError(
+            f"restore lost {max_retries} publish races — table is "
+            "under pathological write contention"
+        )
+
     def optimize(
         self,
         spark: SparkSession,
@@ -1786,9 +1924,13 @@ class DeltaTableWriter:
             raw: self._dv_key(dv) for raw, _res, _pv, dv in entries
         }
         for _ in range(max_retries):
+            # pinned head: identity validated AT the publish slot's
+            # parent — see the COW commit loop for the two-read race
+            head = self.latest_version()
             live_now = {
                 raw: self._dv_key(dv)
-                for raw, _r, _p, dv in self.reader()._live_entries_full()
+                for raw, _r, _p, dv
+                in self.reader()._live_entries_full(head)
             }
             gone = sorted(
                 raw for raw, k in inputs.items()
@@ -1804,7 +1946,7 @@ class DeltaTableWriter:
                     "would resurrect replaced data; rerun optimize on "
                     "the new snapshot"
                 )
-            version = self.latest_version() + 1
+            version = head + 1
             info = (
                 self._commit_info("OPTIMIZE", zOrderBy=zorder_by)
                 if zorder_by
@@ -1853,7 +1995,7 @@ class DeltaTableWriter:
         referenced: set[str] = set()
         cp = rdr._cp
         if cp is not None:
-            for p, _pv, _dv in rdr._checkpoint_adds_full(cp):
+            for p, _pv, _dv, _st in rdr._checkpoint_adds_full(cp):
                 referenced.add(os.path.join(self.path, unquote(p)))
             for t in rdr._checkpoint_removes(cp):
                 # checkpointed tombstones are the ONLY remaining record

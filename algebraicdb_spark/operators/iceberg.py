@@ -464,7 +464,26 @@ class IcebergTable:
                         )
                     self._check_parquet(df, "position delete")
                     pos_deletes.add(self._resolve(df["file_path"]))
-        return sorted(set(data)), sorted(pos_deletes), sorted(set(eq_deletes))
+        # fold duplicate (path, uri) listings across manifests (an
+        # EXISTING carry next to the original ADDED entry) into ONE
+        # scan entry, preferring a resolved sequence number — a plain
+        # sorted(set(...)) would both double-scan the file (duplicate
+        # rows) and crash comparing None with int on the seq slot
+        by_file: dict[tuple[str, str], int | None] = {}
+        for p, u, s in data:
+            prev = by_file.get((p, u), s)
+            if prev is not None and s is not None and prev != s:
+                raise ValueError(
+                    f"{self.path}: data file {u} listed with conflicting "
+                    f"sequence numbers {prev} and {s} across manifests — "
+                    "corrupt metadata"
+                )
+            by_file[(p, u)] = s if s is not None else prev
+        folded = [
+            (p, u, s)
+            for (p, u), s in sorted(by_file.items())
+        ]
+        return folded, sorted(pos_deletes), sorted(set(eq_deletes))
 
     # iceberg "single-value binary serialization" (the spec's bound
     # encoding in manifest lower_bounds/upper_bounds), per type
@@ -591,7 +610,10 @@ class IcebergTable:
         no skip was requested."""
         if not skip:
             return None
-        from algebraicdb_spark.operators.txnlog import _pv_prunes
+        from algebraicdb_spark.operators.txnlog import (
+            _bounds_prune,
+            _pv_prunes,
+        )
 
         keep: set[str] = set()
         for path, (bounds, pv) in self._prunable_state(
@@ -603,7 +625,7 @@ class IcebergTable:
                     ok = False
                     break
                 b = bounds.get(col)
-                if b is not None and (b[0] > hi_v or b[1] < lo_v):
+                if b is not None and _bounds_prune(b, lo_v, hi_v):
                     ok = False
                     break
             if ok:

@@ -680,9 +680,15 @@ class IcebergTableWriter:
             prev = next(
                 s for s in snaps if s["snapshot-id"] == parent
             )
+            # resolve like every READ path does — foreign metadata
+            # records the manifest-list as an absolute URI (file://…)
+            # and moved/copied tables need re-rooting; a raw open()
+            # would break appends onto any table we didn't write
             carried = [
                 self._carry_row(r)
-                for r in AvroFileReader(prev["manifest-list"]).records
+                for r in AvroFileReader(
+                    self.reader()._resolve(prev["manifest-list"])
+                ).records
             ]
         ml_path = os.path.join(
             self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -1504,6 +1510,56 @@ class IcebergTableWriter:
             f"iceberg expire_snapshots lost {max_retries} metadata "
             "publish races — table is under pathological write "
             "contention"
+        )
+
+    def rollback(self, snapshot_id: int, max_retries: int = 8) -> int:
+        """Iceberg's rollback_to_snapshot — RESTORE's metadata-only
+        twin on this format: point ``current-snapshot-id`` back at an
+        EXISTING snapshot in a new metadata version (the CAS
+        create-exclusive publish every metadata change here uses).
+        The snapshot chain is untouched — time travel above the
+        rollback still reads the undone snapshots, and a later
+        ``expire_snapshots`` reclaims them. A snapshot already expired
+        out of the metadata refuses loudly. Returns the new metadata
+        version (or the current one when already there — no-op)."""
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"rollback on {self.path}: table has no commits"
+                )
+            ids = {s["snapshot-id"] for s in cur.get("snapshots") or []}
+            if snapshot_id not in ids:
+                raise ValueError(
+                    f"rollback to snapshot {snapshot_id}: not in the "
+                    "table metadata (expired by maintenance?)"
+                )
+            if cur.get("current-snapshot-id") == snapshot_id:
+                return base_v
+            now = int(time.time() * 1000)
+            md = dict(cur)
+            md["current-snapshot-id"] = snapshot_id
+            md["last-updated-ms"] = now
+            md["snapshot-log"] = list(
+                cur.get("snapshot-log") or []
+            ) + [{"timestamp-ms": now, "snapshot-id": snapshot_id}]
+            target = os.path.join(
+                self.meta_dir, f"v{base_v + 1}.metadata.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(md, f)
+            except FileExistsError:
+                continue  # racer advanced the metadata: re-derive
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            tmp = hint + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(base_v + 1))
+            os.replace(tmp, hint)
+            return base_v + 1
+        raise ConcurrentWriteError(
+            f"iceberg rollback lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
         )
 
     # -- engine integration delegates ---------------------------------------

@@ -225,12 +225,30 @@ def _footer_stats(data_dir: str, cols: list[str]) -> dict:
     }
 
 
+def _cm_mapping(st) -> dict[str, str] | None:
+    """logical column name → physical parquet column name, from the
+    ``delta.columnMapping.physicalName`` field metadata a column-mapped
+    table's schemaString carries (Delta column mapping, 'name' mode).
+    None when no field is mapped — the pinned schema itself is the
+    authoritative signal, so every scan path picks the mapping up at
+    the version it pinned."""
+    if st is None:
+        return None
+    mapping = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in st.fields
+        if f.metadata and "delta.columnMapping.physicalName" in f.metadata
+    }
+    return mapping or None
+
+
 def _assemble_groups(
     spark: SparkSession,
     adds: list[tuple[str, dict]],
     st,
     part_cols: list[str],
     with_metadata: bool = False,
+    mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """Build a scan DataFrame from (path, partitionValues) pairs — the
     shared core of ``TxnLogTable`` and ``DeltaLogTable`` partitioned
@@ -255,7 +273,7 @@ def _assemble_groups(
     identity."""
     from functools import reduce as _reduce
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     if not adds:
         raise ValueError(
@@ -274,6 +292,27 @@ def _assemble_groups(
 
     if not part_cols:
         paths = [p for p, _pv in adds]
+        if st is not None and mapping:
+            # column-mapped table ('name' mode): the parquet files
+            # carry PHYSICAL names — read under the physical twin of
+            # the pinned schema, then rename back to the logical names
+            # (reading under the logical schema would surface all-NULL
+            # columns, the exact silent corruption _check_readable
+            # guards)
+            phys = StructType([
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in st.fields
+            ])
+            df = meta(spark.read.schema(phys).parquet(*paths))
+            sel = [
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in st.fields
+            ]
+            if with_metadata:
+                sel += [F.col("__fp"), F.col("__pos")]
+            return df.select(*sel)
         if st is not None:
             return meta(spark.read.schema(st).parquet(*paths))
         return meta(spark.read.parquet(*paths))
@@ -335,7 +374,24 @@ def _pv_prunes(pv: dict | None, col: str, lo_v, hi_v) -> bool:
                 v = float(v)
             except (TypeError, ValueError):
                 return False
-    return v > hi_v or v < lo_v
+    try:
+        return v > hi_v or v < lo_v
+    except TypeError:
+        # iceberg partition values arrive NATIVE-typed (not Delta's
+        # strings); a bound of a different type cannot be compared —
+        # and "cannot compare" must keep the file, never crash the scan
+        return False
+
+
+def _bounds_prune(b: list, lo_v, hi_v) -> bool:
+    """True iff recorded [min, max] proves [lo_v, hi_v] cannot match.
+    A type-incomparable pair (string stats against a numeric range, a
+    foreign writer's exotic serialization) keeps the file: "cannot
+    compare" is "cannot prune", never a crashed scan."""
+    try:
+        return b[0] > hi_v or b[1] < lo_v
+    except TypeError:
+        return False
 
 
 def _ckpt_live_items(ckpt: dict):
@@ -546,8 +602,8 @@ class TxnLogTable:
                     keep = False
                     break
                 bounds = (st or {}).get(col)
-                if bounds is not None and (
-                    bounds[0] > hi_v or bounds[1] < lo_v
+                if bounds is not None and _bounds_prune(
+                    bounds, lo_v, hi_v
                 ):
                     keep = False
                     break
@@ -1044,7 +1100,14 @@ class TxnLogTable:
         from pyspark.sql.types import StructType
 
         for _ in range(max_retries):
-            cur, parts = self._meta_at()
+            # pin the head FIRST, derive the schema AT that version,
+            # and publish at head+1 — reading the schema and then
+            # re-reading the head separately opens a lost-update
+            # window where a racer's commit lands between the two
+            # reads and its metadata silently vanishes under ours
+            # (our publish slot would be free, so no retry fires)
+            head = self.latest_version()
+            cur, parts = self._meta_at(head if head >= 0 else None)
             if cur is None:
                 raise ValueError(
                     "ALTER on a pre-schema-tracking table — record a "
@@ -1061,7 +1124,7 @@ class TxnLogTable:
             meta = {"action": "metaData", "schema": widened.json()}
             if parts:
                 meta["partition_columns"] = parts
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, [meta])
                 return version
@@ -1163,7 +1226,13 @@ class TxnLogTable:
             {"action": "remove", "path": p} for p in removed
         ] + [self._add_action(p, stats_cols, pv) for p, pv in staged]
         for _ in range(max_retries):
-            live_now = set(self.live_paths())
+            # pin the head FIRST and validate liveness AT it, so any
+            # racer landing after the check collides on head+1 and
+            # forces this re-validation — checking at one head and
+            # deriving the slot from a LATER latest_version() read
+            # lets a remove slip between the two and publish cleanly
+            head = self.latest_version()
+            live_now = set(self.live_paths(as_of=head))
             gone = [p for p in removed if p not in live_now]
             if gone:
                 # abort path: the staged rewrites were never referenced
@@ -1176,7 +1245,7 @@ class TxnLogTable:
                     "writer — committing would resurrect or double-"
                     f"mutate replaced data; rerun {op} on the new snapshot"
                 )
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, actions)
                 return version
@@ -1520,6 +1589,18 @@ class TxnLogTable:
                     "shape to insert into — append a first batch instead"
                 )
             cols = [(f.name, f.dataType) for f in tbl_schema.fields]
+            if len(insert_exprs) != len(cols):
+                # zip() would silently truncate: committing a narrower
+                # shape than the pinned schema surfaces NULLs for the
+                # dropped columns later — the same gate the delta and
+                # iceberg merge twins enforce. Unstage the matched
+                # rewrites first (never referenced by a commit — they
+                # would leak under vacuum's log-candidates rule).
+                self._unstage(staged)
+                raise ValueError(
+                    f"MERGE: INSERT VALUES has {len(insert_exprs)} "
+                    f"expressions for {len(cols)} target columns"
+                )
             ins = ins_src.select(
                 *[
                     F.expr(e).cast(t_).alias(c)
@@ -1808,7 +1889,10 @@ class TxnLogTable:
             for p, pv in staged
         ]
         for _ in range(max_retries):
-            live_now = set(self.live_paths())
+            # pinned head: liveness validated AT the publish slot's
+            # parent — see _commit_cow for the two-read race this closes
+            head = self.latest_version()
+            live_now = set(self.live_paths(as_of=head))
             gone = [p for p in inputs if p not in live_now]
             if gone:
                 # the compacted staging is unreferenced on every abort
@@ -1820,7 +1904,7 @@ class TxnLogTable:
                     "writer — committing the rewrite would resurrect "
                     "replaced data; rerun optimize on the new snapshot"
                 )
-            version = self.latest_version() + 1
+            version = head + 1
             try:
                 self._publish(version, actions)
                 return version
@@ -1832,6 +1916,73 @@ class TxnLogTable:
         raise ConcurrentWriteError(
             f"optimize lost {max_retries} publish races — table is under "
             "pathological write contention"
+        )
+
+    def restore(self, version: int, max_retries: int = 8) -> dict:
+        """RESTORE the table to its state at ``version`` as ONE NEW
+        commit — rollback with history preserved (time travel above
+        the restore still reads the undone commits, exactly Delta's
+        RESTORE semantics). Pure metadata: remove(live_now − live_at_v)
+        + re-add(live_at_v − live_now) reusing the ORIGINAL directories
+        with their original stats/partition values (directories are
+        immutable until VACUUM — zero bytes copied or rewritten), plus
+        the target version's metaData when the schema changed in
+        between (the restored table IS the old state, shape included).
+        Restoring past VACUUM retention refuses loudly — the bytes are
+        gone. Returns {"version", "files_removed", "files_readded"};
+        a no-op restore (content already identical) commits nothing."""
+        latest = self.latest_version()
+        if version < 0 or version > latest:
+            raise ValueError(
+                f"RESTORE to version {version}: table has versions "
+                f"0..{latest}"
+            )
+        target = self._live_state(version)
+        gone = sorted(p for p in target if not os.path.isdir(p))
+        if gone:
+            raise ValueError(
+                f"RESTORE to version {version} needs directories VACUUM "
+                f"already reclaimed ({gone[:3]}…) — restore within the "
+                "retention window"
+            )
+        t_meta = self._meta_at(version)
+        for _ in range(max_retries):
+            head = self.latest_version()
+            cur = self._live_state(head)
+            removes = sorted(p for p in cur if p not in target)
+            adds = sorted(p for p in target if p not in cur)
+            meta_actions = []
+            if self._meta_at(head) != t_meta and t_meta[0] is not None:
+                m = {"action": "metaData", "schema": t_meta[0]}
+                if t_meta[1]:
+                    m["partition_columns"] = t_meta[1]
+                meta_actions.append(m)
+            if not removes and not adds and not meta_actions:
+                return {"version": None, "files_removed": 0,
+                        "files_readded": 0}
+            actions = (
+                [{"action": "info", "op": "restore"}]
+                + meta_actions
+                + [{"action": "remove", "path": p} for p in removes]
+            )
+            for p in adds:
+                st, pv = target[p]
+                a = {"action": "add", "path": p}
+                if pv:
+                    a["partition_values"] = pv
+                if st:
+                    a["stats"] = st
+                actions.append(a)
+            try:
+                self._publish(head + 1, actions)
+                return {"version": head + 1,
+                        "files_removed": len(removes),
+                        "files_readded": len(adds)}
+            except ConcurrentWriteError:
+                continue  # racer took the slot: re-derive off its head
+        raise ConcurrentWriteError(
+            f"restore lost {max_retries} publish races — table is "
+            "under pathological write contention"
         )
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
@@ -2344,14 +2495,16 @@ class DeltaLogTable:
 
     def _checkpoint_adds_full(
         self, cp: dict | None = None
-    ) -> list[tuple[str, dict, dict | None]]:
+    ) -> list[tuple[str, dict, dict | None, str | None]]:
         """The live set at the checkpoint: its non-null ``add`` rows as
-        (path, partitionValues, deletionVector-or-None) triples (paths
-        still URL-encoded, root-relative). Column-pruned read — the
-        checkpoint may carry wide stats structs we never touch."""
+        (path, partitionValues, deletionVector-or-None, stats JSON
+        string or None) tuples (paths still URL-encoded,
+        root-relative). One column-pruned read serves every fold —
+        real checkpoints materialize ``stats`` in the add rows, which
+        is what keeps data skipping alive past a cleaned JSON prefix."""
         import pyarrow.parquet as pq
 
-        adds: list[tuple[str, dict, dict | None]] = []
+        adds: list[tuple[str, dict, dict | None, str | None]] = []
         for p in self._checkpoint_files(cp):
             for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
                 if row is None:
@@ -2360,27 +2513,11 @@ class DeltaLogTable:
                 if isinstance(pv, list):
                     # pyarrow surfaces parquet MAP columns as [(k, v)]
                     pv = dict(pv)
-                adds.append((row["path"], pv, row.get("deletionVector")))
+                adds.append((
+                    row["path"], pv,
+                    row.get("deletionVector"), row.get("stats"),
+                ))
         return adds
-
-    def _checkpoint_adds(
-        self, cp: dict | None = None
-    ) -> list[tuple[str, dict]]:
-        """(path, partitionValues) pairs — the DV-free view WRITERS
-        consume (vacuum candidate folding); a live deletion vector
-        refuses here because treating the file as plain rows would
-        resurrect deleted content. Readers go through ``snapshot``,
-        which APPLIES deletion vectors instead (round 11)."""
-        out = []
-        for path, pv, dv in self._checkpoint_adds_full(cp):
-            if dv is not None:
-                raise NotImplementedError(
-                    f"add action for {path} carries a deletion vector — "
-                    "this caller treats files as plain rows, which would "
-                    "resurrect deleted content; snapshot() applies DVs"
-                )
-            out.append((path, pv))
-        return out
 
     def _checkpoint_removes(self, cp: dict | None = None) -> list[dict]:
         """Unexpired remove TOMBSTONES stored in the checkpoint (the
@@ -2417,7 +2554,11 @@ class DeltaLogTable:
                 state[row["path"]] = {
                     k: v for k, v in row.items() if v is not None
                 }
-            for p, _pv in self._checkpoint_adds(cp):
+            # a DV'd add is still a LIVE file (its bitmap rides along,
+            # and only paths matter here) — refusing on the descriptor
+            # would wrongly crash the second write_checkpoint / vacuum
+            # on any MoR-deleted table once checkpoint #1 bakes it in.
+            for p, _pv, _dv, _st in self._checkpoint_adds_full(cp):
                 state[p] = None  # live in the checkpoint: not a tombstone
             lo = cp["version"] + 1
         for _v, actions in self._json_commit_actions(lo, None):
@@ -2488,27 +2629,31 @@ class DeltaLogTable:
             conf = dict(conf)  # pyarrow MAP columns surface as [(k, v)]
         mode = conf.get("delta.columnMapping.mode")
         if mode not in (None, "", "none"):
-            raise NotImplementedError(
-                f"{self.path}: delta.columnMapping.mode={mode!r} — "
-                "physical parquet column names differ from the logical "
-                "schema, so a raw scan would return all-NULL columns; "
-                "use a full Delta client"
-            )
+            # 'name' mode reads ARE supported (round 11, second half):
+            # every scan renames physical → logical through the pinned
+            # schema's physicalName metadata (_cm_mapping). The gate
+            # below keeps the refusal for the shapes this minimal
+            # reader cannot rewrite faithfully.
+            if mode != "name":
+                raise NotImplementedError(
+                    f"{self.path}: delta.columnMapping.mode={mode!r} — "
+                    "'id' mode matches parquet columns by field id, "
+                    "which this minimal reader cannot honor; use a "
+                    "full Delta client"
+                )
+            self._check_name_mapping(meta)
         mrv = int(proto.get("minReaderVersion", 1) or 1)
         if mrv <= 1:
             return
         if mrv == 2:
-            # reader v2 == column-mapping capability; with the mode
-            # unset/none (checked above) logical == physical names and
-            # the raw scan is faithful
+            # reader v2 == column-mapping capability: 'none' is a
+            # no-op, 'name' renames at scan (gated above), 'id' refused
             return
         if mrv == 3:
             feats = set(proto.get("readerFeatures") or [])
-            # a LATENT columnMapping feature (upgraded-from-v2 tables
-            # carry it as a named feature per the spec's version→
-            # feature mapping) is honored the same way reader v2 is:
-            # with the mode unset/none (checked above), logical ==
-            # physical names and the raw scan is faithful
+            # the columnMapping feature is honored the same way reader
+            # v2 is: mode 'none' no-op / 'name' rename-at-scan / 'id'
+            # refused — all resolved by the mode gate above
             feats.discard("columnMapping")
             unsupported = sorted(feats - self._READER_FEATURES)
             if unsupported:
@@ -2523,6 +2668,59 @@ class DeltaLogTable:
             f"{self.path}: minReaderVersion={mrv} is newer than this "
             "reader understands; use a full Delta client"
         )
+
+    def _check_name_mapping(self, meta: dict) -> None:
+        """The shapes 'name'-mode column mapping reads support here:
+        a TOTAL top-level mapping (every field carries its
+        physicalName) over a FLAT schema on an UNPARTITIONED table.
+        Nested structs would need per-subfield renames inside the
+        type, and a partitioned mapped table keys partitionColumns /
+        partitionValues by PHYSICAL name — both refuse loudly rather
+        than silently misread."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        st = parse_schema_string(meta.get("schemaString"), self.path)
+        if st is None:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping 'name' mode with no "
+                "parseable schemaString — the physical names live in "
+                "the schema metadata; use a full Delta client"
+            )
+        unmapped = [
+            f.name for f in st.fields
+            if "delta.columnMapping.physicalName" not in (f.metadata or {})
+        ]
+        if unmapped:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping 'name' mode but "
+                f"fields {unmapped} carry no physicalName — a partial "
+                "rename would silently misread them; use a full Delta "
+                "client"
+            )
+
+        def has_struct(dt) -> bool:
+            if isinstance(dt, StructType):
+                return True
+            if isinstance(dt, ArrayType):
+                return has_struct(dt.elementType)
+            if isinstance(dt, MapType):
+                return has_struct(dt.keyType) or has_struct(dt.valueType)
+            return False
+
+        nested = [f.name for f in st.fields if has_struct(f.dataType)]
+        if nested:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping over NESTED fields "
+                f"{nested} — subfield physical names are not rewritten "
+                "by this minimal reader; use a full Delta client"
+            )
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping on a PARTITIONED "
+                "table — partition columns and values are keyed by "
+                "physical name in the log, which this minimal reader "
+                "does not re-map; use a full Delta client"
+            )
 
     def _json_commit_actions(self, lo: int, hi: int | None):
         """Yield (version, [action-dict, ...]) for JSON commits in
@@ -2545,31 +2743,24 @@ class DeltaLogTable:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
                 yield v, [json.loads(line) for line in f if line.strip()]
 
-    def _live_entries_full(
+    def _live_fold(
         self, as_of: int | None = None
-    ) -> list[tuple[str, str, dict, dict | None]]:
-        """The live fold as (raw add.path EXACTLY as committed,
-        resolved absolute path, partitionValues, deletionVector
-        descriptor or None). The raw string matters to writers: the
-        log fold is keyed by it, so a remove tombstone must reuse the
-        committed bytes verbatim — re-encoding a resolved path can
-        produce a different percent-encoding canonicalization than the
-        foreign writer's, leaving the original add live and silently
-        resurrecting replaced rows. partitionValues ride along because
-        for a partitioned table the partition columns' VALUES exist
-        only here, never in the parquet files; the DV descriptor rides
-        so ``snapshot`` can APPLY it (a removed-then-readded path takes
-        the newest action's DV state, per the fold)."""
-        from urllib.parse import unquote
-
+    ) -> dict[str, tuple[dict, dict | None, str | None]]:
+        """ONE checkpoint + JSON-tail walk: raw add.path → (partition
+        values, deletionVector descriptor or None, raw ``stats`` JSON
+        string or None) for the live set at ``as_of``. Entry listing
+        (``_live_entries_full``) and skip pruning (``_prune_fold``)
+        both derive from this single fold — a skip-pruned read on
+        exactly the checkpointed, many-commit tables skipping is meant
+        to help must not pay the driver-side log walk twice."""
         cp = self._cp  # ONE pointer read per operation: an external
         # checkpoint advance mid-call must not mix two generations
         cp_v = cp["version"] if cp is not None else None
         use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
-        state: dict[str, tuple[str, dict, dict | None]] = {}
+        state: dict[str, tuple[str, dict, dict | None, str | None]] = {}
         if use_cp:
-            for p, pv, dv in self._checkpoint_adds_full(cp):
-                state[p] = ("add", pv, dv)
+            for p, pv, dv, st in self._checkpoint_adds_full(cp):
+                state[p] = ("add", pv, dv, st)
         for _, actions in self._json_commit_actions(
             cp_v + 1 if use_cp else 0, as_of
         ):
@@ -2579,92 +2770,83 @@ class DeltaLogTable:
                         "add",
                         a["add"].get("partitionValues") or {},
                         a["add"].get("deletionVector"),
-                    )
-                elif "remove" in a:
-                    state[a["remove"]["path"]] = ("remove", {}, None)
-        return sorted(
-            (p, os.path.join(self.path, unquote(p)), pv, dv)
-            for p, (act, pv, dv) in state.items()
-            if act == "add"
-        )
-
-    def _live_skip_state(
-        self, as_of: int | None = None
-    ) -> dict[str, tuple[dict | None, dict]]:
-        """raw add.path → (per-column [min, max] bounds parsed from the
-        add action's ``stats`` string, partitionValues) for the live
-        fold — the inputs of Delta's own data-skipping tiers, folded
-        checkpoint-aware (real checkpoints materialize ``stats`` in the
-        add rows, so skipping survives a cleaned JSON prefix). Files
-        whose stats are absent/unparseable map to None bounds: absent
-        metadata means "cannot prune", never "prune wrongly"."""
-        import pyarrow.parquet as pq
-
-        def bounds(stats_str) -> dict | None:
-            if not stats_str:
-                return None
-            try:
-                doc = json.loads(stats_str)
-            except (TypeError, ValueError):
-                return None
-            mins = doc.get("minValues") or {}
-            maxs = doc.get("maxValues") or {}
-            return {
-                c: [mins[c], maxs[c]] for c in mins if c in maxs
-            }
-
-        cp = self._cp
-        cp_v = cp["version"] if cp is not None else None
-        use_cp = cp_v is not None and (as_of is None or as_of >= cp_v)
-        state: dict[str, tuple[str | None, dict | None, dict]] = {}
-        if use_cp:
-            for fp in self._checkpoint_files(cp):
-                for row in (
-                    pq.read_table(fp, columns=["add"])
-                    .column("add").to_pylist()
-                ):
-                    if row is None:
-                        continue
-                    pv = row.get("partitionValues") or {}
-                    if isinstance(pv, list):
-                        pv = dict(pv)
-                    state[row["path"]] = ("add", row.get("stats"), pv)
-        for _v, actions in self._json_commit_actions(
-            cp_v + 1 if use_cp else 0, as_of
-        ):
-            for a in actions:
-                if "add" in a:
-                    state[a["add"]["path"]] = (
-                        "add",
                         a["add"].get("stats"),
-                        a["add"].get("partitionValues") or {},
                     )
                 elif "remove" in a:
-                    state[a["remove"]["path"]] = ("remove", None, {})
+                    state[a["remove"]["path"]] = ("remove", {}, None, None)
         return {
-            p: (bounds(st), pv)
-            for p, (act, st, pv) in state.items()
+            p: (pv, dv, st)
+            for p, (act, pv, dv, st) in state.items()
             if act == "add"
         }
 
-    def _pruned_raw(
-        self, as_of: int | None, skip: list[tuple] | None
+    def _entries_sorted(
+        self, fold: dict[str, tuple[dict, dict | None, str | None]]
+    ) -> list[tuple[str, str, dict, dict | None]]:
+        """A fold rendered as sorted (raw add.path EXACTLY as
+        committed, resolved absolute path, partitionValues,
+        deletionVector-or-None) entries. The raw string matters to
+        writers: the log fold is keyed by it, so a remove tombstone
+        must reuse the committed bytes verbatim — re-encoding a
+        resolved path can produce a different percent-encoding
+        canonicalization than the foreign writer's, leaving the
+        original add live and silently resurrecting replaced rows.
+        partitionValues ride along because for a partitioned table the
+        partition columns' VALUES exist only here, never in the
+        parquet files; the DV descriptor rides so ``snapshot`` can
+        APPLY it (a removed-then-readded path takes the newest
+        action's DV state, per the fold)."""
+        from urllib.parse import unquote
+
+        return sorted(
+            (p, os.path.join(self.path, unquote(p)), pv, dv)
+            for p, (pv, dv, _st) in fold.items()
+        )
+
+    def _live_entries_full(
+        self, as_of: int | None = None
+    ) -> list[tuple[str, str, dict, dict | None]]:
+        """See ``_entries_sorted`` for the entry shape and its
+        raw-path contract."""
+        return self._entries_sorted(self._live_fold(as_of))
+
+    @staticmethod
+    def _stats_bounds(stats_str: str | None) -> dict | None:
+        """Per-column [min, max] parsed from an add action's ``stats``
+        string; None when absent/unparseable — absent metadata means
+        "cannot prune", never "prune wrongly"."""
+        if not stats_str:
+            return None
+        try:
+            doc = json.loads(stats_str)
+        except (TypeError, ValueError):
+            return None
+        mins = doc.get("minValues") or {}
+        maxs = doc.get("maxValues") or {}
+        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+    def _prune_fold(
+        self,
+        fold: dict[str, tuple[dict, dict | None, str | None]],
+        skip: list[tuple] | None,
     ) -> set[str] | None:
         """The raw paths surviving ``skip`` = [(col, lo, hi), …] under
         the two log-level tiers (partition value first — authoritative,
         O(1) per file — then recorded [min, max]); None when no skip
-        was requested (callers keep their already-folded entries)."""
+        was requested (callers keep their already-folded entries).
+        Pure function of an already-computed fold — never re-walks."""
         if not skip:
             return None
         keep: set[str] = set()
-        for raw, (st, pv) in self._live_skip_state(as_of).items():
+        for raw, (pv, _dv, st) in fold.items():
+            b_all = self._stats_bounds(st)
             ok = True
             for col, lo_v, hi_v in skip:
                 if _pv_prunes(pv, col, lo_v, hi_v):
                     ok = False
                     break
-                b = (st or {}).get(col)
-                if b is not None and (b[0] > hi_v or b[1] < lo_v):
+                b = (b_all or {}).get(col)
+                if b is not None and _bounds_prune(b, lo_v, hi_v):
                     ok = False
                     break
             if ok:
@@ -2706,12 +2888,23 @@ class DeltaLogTable:
         [(col, lo, hi), …] through the two log-level tiers (partition
         values, then the add actions' recorded min/max stats) — the
         same two-tier skipping TxnLogTable has, over a table some
-        OTHER Delta engine wrote. Refuses on DV'd tables as always."""
-        kept = self._pruned_raw(as_of, skip)
-        return [
-            res for raw, res, _pv in self._live_entries(as_of)
-            if kept is None or raw in kept
-        ]
+        OTHER Delta engine wrote. Refuses on DV'd tables as always —
+        BEFORE the skip filter (a pruned-away DV'd file is still a
+        file this caller would mishandle if the skip range moved)."""
+        fold = self._live_fold(as_of)
+        kept = self._prune_fold(fold, skip)
+        out = []
+        for raw, res, _pv, dv in self._entries_sorted(fold):
+            if dv is not None:
+                raise NotImplementedError(
+                    f"add action for {raw} carries a deletion vector — "
+                    "this caller treats files as plain rows, which would "
+                    "resurrect deleted content; snapshot() applies DVs; "
+                    "rewrite/maintain the table with its owning client"
+                )
+            if kept is None or raw in kept:
+                out.append(res)
+        return out
 
     def _txn_marks(self) -> dict[str, int]:
         """appId → highest recorded ``txn.version`` — Delta's
@@ -2795,8 +2988,12 @@ class DeltaLogTable:
     ) -> DataFrame:
         """Partition-aware scan assembly — see ``_assemble_groups``
         (shared with TxnLogTable: both formats keep partition values
-        in the log, never in the parquet files)."""
-        return _assemble_groups(spark, adds, st, part_cols)
+        in the log, never in the parquet files). Column-mapped tables
+        ('name' mode) read under their PHYSICAL names and rename —
+        the mapping rides in the pinned schema's field metadata."""
+        return _assemble_groups(
+            spark, adds, st, part_cols, mapping=_cm_mapping(st)
+        )
 
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
@@ -2919,8 +3116,16 @@ class DeltaLogTable:
         dv_by_path: dict[str, dict | None] = {}
         cp = self._cp
         lo = 0
-        if cp is not None:
-            for p, pv, dv in self._checkpoint_adds_full(cp):
+        # Seed from the checkpoint ONLY when the window starts at or
+        # past it — a checkpoint stores folded STATE, not changes, so
+        # starting the walk at cp.version+1 would silently drop every
+        # commit in (since, cp.version] from the feed (and feed an
+        # IncrementalAggView truncated deltas). For a window reaching
+        # below the checkpoint, replay the full JSON history instead;
+        # _json_commit_actions raises loudly if the prefix was cleaned
+        # (then there IS no change information — rebuild from snapshot).
+        if cp is not None and since >= cp["version"]:
+            for p, pv, dv, _st in self._checkpoint_adds_full(cp):
                 pv_by_path[p] = pv
                 dv_by_path[p] = dv
             lo = cp["version"] + 1
@@ -3077,7 +3282,8 @@ class DeltaLogTable:
         content."""
         proto, meta = self._protocol_meta(as_of)
         self._check_readable(proto, meta)
-        entries = self._live_entries_full(as_of)
+        fold = self._live_fold(as_of)  # ONE walk serves scan + skip
+        entries = self._entries_sorted(fold)
         if not entries:
             raise ValueError(
                 f"delta table {self.path} has no live files at version "
@@ -3085,7 +3291,7 @@ class DeltaLogTable:
             )
         st = self.table_schema(as_of)
         part_cols = meta.get("partitionColumns") or []
-        kept = self._pruned_raw(as_of, skip)
+        kept = self._prune_fold(fold, skip)
         if kept is not None:
             entries = [e for e in entries if e[0] in kept]
             if not entries:
@@ -3127,7 +3333,10 @@ class DeltaLogTable:
             for res, dv in dv_entries
             for pos in dv_positions(self.path, dv)
         ]
-        df = _assemble_groups(spark, adds, st, part_cols, with_metadata=True)
+        df = _assemble_groups(
+            spark, adds, st, part_cols,
+            with_metadata=True, mapping=_cm_mapping(st),
+        )
         cols = [c for c in df.columns if c not in ("__fp", "__pos")]
         # _metadata.file_path is a URI with percent-encoded specials —
         # the same normalization as the Iceberg MoR join (strip scheme,

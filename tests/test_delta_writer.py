@@ -1101,6 +1101,61 @@ class TestRowLevelCdfAcrossDvFlips:
         # and the full window composes both commits
         assert DeltaLogTable(root).changes_cdf(spark, base).count() == 3
 
+    def test_cdf_window_reaching_below_a_checkpoint(self, spark, tmp_path):
+        """A checkpoint stores folded STATE, not changes — a CDF window
+        starting below it must replay the surviving JSON history (not
+        silently truncate the feed at the checkpoint), and refuse
+        loudly once clean=True removed that history."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10.0)], "k long, v double"))   # v0
+        w.append(_df(spark, [(2, 20.0)], "k long, v double"))   # v1
+        w.delete(spark, "k = 1")                                # v2 COW
+        assert w.write_checkpoint() == 2
+        w.append(_df(spark, [(3, 30.0)], "k long, v double"))   # v3
+        got = {
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in DeltaLogTable(root)
+            .changes_cdf(spark, since=0).collect()
+        }
+        # v1's insert and v2's delete sit at/below the checkpoint and
+        # must still be in the feed
+        assert got == {
+            (2, "insert", 1), (1, "delete", 2), (3, "insert", 3),
+        }
+        # a window AT the checkpoint version seeds from it (fast path)
+        assert {
+            (r["k"], r["_change_type"])
+            for r in DeltaLogTable(root)
+            .changes_cdf(spark, since=2).collect()
+        } == {(3, "insert")}
+        # same head, cleaned prefix: the change information is GONE —
+        # refuse instead of returning a truncated feed
+        assert w.write_checkpoint(clean=True) == 3
+        with pytest.raises(ValueError, match="missing JSON commits"):
+            DeltaLogTable(root).changes_cdf(spark, since=0)
+
+    def test_checkpoint_maintenance_survives_mor_deletes(
+        self, spark, tmp_path
+    ):
+        """Checkpoint #1 bakes a MoR delete's DV'd add into the
+        checkpoint; the SECOND checkpoint's tombstone fold walks those
+        adds and must treat a DV'd add as a live path (it previously
+        refused on the descriptor, permanently breaking periodic
+        checkpoint maintenance on any MoR-deleted table)."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10.0), (2, 20.0)],
+                     "k long, v double").coalesce(1))
+        w.enable_deletion_vectors()
+        w.delete(spark, "k = 1")   # MoR automatically once enabled
+        assert w.write_checkpoint() is not None
+        w.append(_df(spark, [(3, 30.0)], "k long, v double"))
+        assert w.write_checkpoint() is not None  # was: NotImplementedError
+        assert sorted(
+            r["k"] for r in DeltaLogTable(root).snapshot(spark).collect()
+        ) == [2, 3]
+
     def test_incremental_agg_view_folds_mor_deletes(
         self, spark, tmp_path
     ):
@@ -1286,6 +1341,70 @@ class TestMergeOnReadMerge:
             f for f in os.listdir(w.path) if f.endswith(".bin")
         } == bins_before
         assert DeltaLogTable(w.path).snapshot(spark).count() == 10
+
+
+class TestDeltaRestore:
+    """RESTORE on the standard format: one data-changing commit any
+    Delta engine folds, original stats/DV descriptors carried
+    verbatim, MoR deletes after the target flip back, and the output
+    is read back through the fixture-validated DeltaLogTable."""
+
+    def test_restore_undoes_cow_delete(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10.0), (2, 20.0)],
+                     "k long, v double").coalesce(1))
+        w.append(_df(spark, [(3, 30.0)], "k long, v double"))
+        w.delete(spark, "k <= 2")                       # v2 COW
+        t = DeltaLogTable(root)
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [3]
+        res = w.restore(1)
+        assert res["version"] == 3 and res["files_readded"] == 1
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [1, 2, 3]
+        # history preserved; commitInfo records the RESTORE
+        assert t.snapshot(spark, as_of=2).count() == 1
+        assert t.history()[-1]["operation"] == "RESTORE"
+        # no-op restore commits nothing
+        assert w.restore(3)["version"] is None
+
+    def test_restore_flips_deletion_vectors_back(self, spark, tmp_path):
+        import pytest as _pytest
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(i, float(i)) for i in range(6)],
+                     "k long, v double").coalesce(1))
+        w.enable_deletion_vectors()                     # v1
+        w.delete(spark, "k IN (1, 4)")                  # v2 MoR
+        w.delete(spark, "k = 2")                        # v3 MoR (union)
+        t = DeltaLogTable(root)
+        assert t.snapshot(spark).count() == 3
+        # restore to v2's state: k=2 comes back, k∈{1,4} stay deleted
+        res = w.restore(2)
+        assert res["version"] == 4
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [0, 2, 3, 5]
+        # restore to v0: every vector drops
+        w.restore(0)
+        assert t.snapshot(spark).count() == 6
+        # out-of-range refuses
+        with _pytest.raises(ValueError, match="0[.][.]5"):
+            w.restore(17)
+
+    def test_restore_past_retention_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, 10.0)], "k long, v double"))
+        w.overwrite(_df(spark, [(2, 20.0)], "k long, v double"),
+                    expected_version=1)
+        w.vacuum(retain_versions=1)  # reclaims v0's file
+        with _pytest.raises(ValueError, match="reclaimed"):
+            w.restore(0)
 
 
 class TestDeltaDataSkipping:

@@ -204,6 +204,70 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="time travel"):
             eng.sql("SELECT COUNT(*) AS n FROM reg VERSION AS OF 0").collect()
 
+    def test_restore_table_statement(self, spark, tables, tmp_path):
+        """`RESTORE TABLE n TO VERSION AS OF v` — the write-side twin
+        of the AS-OF read sugar: one new commit rolls the attachment
+        back, the view re-registers, history survives; non-attached
+        and VERSION-pinned targets refuse."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(tables["region"].limit(2))
+        t.append(tables["region"].limit(5))
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'")
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == 7
+        eng.sql("RESTORE TABLE reg TO VERSION AS OF 0")
+        assert eng.sql("SELECT COUNT(*) AS n FROM reg").collect()[0]["n"] == 2
+        # history preserved: the pre-restore state reads with AS OF
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM reg VERSION AS OF 1"
+        ).collect()[0]["n"] == 7
+        # non-attached tables refuse
+        eng.create_table("nation", tables["nation"])
+        with _pytest.raises(AdtError, match="not an ATTACHed"):
+            eng.sql("RESTORE TABLE nation TO VERSION AS OF 0")
+        # a VERSION-pinned attachment is an immutable snapshot
+        eng.sql(
+            f"ATTACH TABLE reg0 FROM txnlog LOCATION '{t.path}' VERSION 0"
+        )
+        with _pytest.raises(AdtError, match="pinned"):
+            eng.sql("RESTORE TABLE reg0 TO VERSION AS OF 0")
+
+    def test_as_of_text_inside_string_literals_is_data(
+        self, spark, tables, tmp_path
+    ):
+        """AS-OF syntax INSIDE a quoted literal is data, not a travel
+        clause: it must neither error ('rollback' is no attached
+        table) nor be rewritten — while a REAL travel clause in the
+        same statement still lowers (string-masked matching)."""
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        eng = Engine(spark)
+        # no attachment at all: the literal alone must pass through
+        row = eng.sql(
+            "SELECT 'rollback VERSION AS OF 3' AS note"
+        ).collect()[0]
+        assert row["note"] == "rollback VERSION AS OF 3"
+        eng.sql(
+            "SELECT 'x FOR TIMESTAMP AS OF ''2024-01-01''' AS note"
+        ).collect()
+        # literal + real clause in ONE statement: only the clause lowers
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(tables["region"].limit(2))
+        t.append(tables["region"].limit(5))
+        eng.sql(f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'")
+        got = eng.sql(
+            "SELECT 'reg VERSION AS OF 1' AS note, COUNT(*) AS n "
+            "FROM reg VERSION AS OF 0 GROUP BY note"
+        ).collect()[0]
+        assert (got["note"], got["n"]) == ("reg VERSION AS OF 1", 2)
+
     def test_version_as_of_on_delta_attachment(self, spark, tables, tmp_path):
         from algebraicdb_spark.engine import Engine
         from algebraicdb_spark.operators.delta_writer import DeltaTableWriter

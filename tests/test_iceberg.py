@@ -929,6 +929,69 @@ class TestIcebergNullSidInheritance:
         assert got.where(F.col("o_orderkey") % 2 == 0).count() == 0
 
 
+class TestIcebergDuplicateManifestListings:
+    def test_existing_carry_folds_with_added_entry(self, spark, tmp_path):
+        """The same data file listed in TWO manifests — the original
+        ADDED entry with an explicit sequence number next to an
+        EXISTING carry whose sequence is unresolvable (null) — must
+        fold to ONE scan entry carrying the resolved sequence: a
+        plain set would both double-scan the file (duplicate rows)
+        and crash sorting None against int on the seq slot."""
+        root = str(tmp_path / "ice_dup")
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        f1 = os.path.join(data, "f1.parquet")
+        write_parquet_file(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            f1,
+        )
+        s = 9001
+        m_a = os.path.join(meta, "mA.avro")
+        with open(m_a, "wb") as f:  # ADDED, explicit seq 1
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ, [manifest_rec_seq(1, s, 1, f1, 2)]
+            ))
+        m_b = os.path.join(meta, "mB.avro")
+        with open(m_b, "wb") as f:  # EXISTING carry, null seq → None
+            f.write(avro_container(
+                MANIFEST_SCHEMA_SEQ, [manifest_rec_seq(0, s, None, f1, 2)]
+            ))
+        ml = os.path.join(meta, f"snap-{s}.avro")
+        with open(ml, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA_SEQ,
+                [manifest_list_rec_seq(m_a, s, 1),
+                 manifest_list_rec_seq(m_b, s, 2)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000009",
+            "location": root,
+            "current-schema-id": 0,
+            "schemas": [{
+                "schema-id": 0, "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "v", "required": False,
+                     "type": "string"},
+                ],
+            }],
+            "current-snapshot-id": s,
+            "snapshots": [
+                {"snapshot-id": s, "timestamp-ms": 1, "manifest-list": ml},
+            ],
+        }
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md, f)
+        t = IcebergTable(root)
+        assert t.snapshot(spark).count() == 2  # once, not twice
+        assert sorted(p for p in t.live_paths()) == [f1]
+
+
 class TestIcebergWriter:
     """Append-only Iceberg v2 writer round-trips: every read goes back
     through IcebergTable — the reader validated against hand-written
@@ -966,6 +1029,42 @@ class TestIcebergWriter:
         # incremental scan over our own output
         inc = t.changes(spark, s1, s2)
         assert inc.count() == 3
+
+    def test_append_onto_uri_recorded_metadata(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Foreign metadata records manifest-list / manifest paths as
+        absolute URIs (file://…); the APPEND path must resolve them
+        like every read path does — a raw open() of the URI string
+        broke appends onto any table we didn't write ourselves."""
+        import json as _json
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        o = __import__(
+            "algebraicdb_spark.sources.catalog", fromlist=["load_tables"]
+        ).load_tables(spark, sf_dir)["region"]
+        root = str(tmp_path / "it")
+        w = IcebergTableWriter(root)
+        w.append(o.limit(2))
+        # rewrite the current metadata the way a URI-based catalog
+        # records it: every location becomes a file:// URI
+        meta_dir = os.path.join(root, "metadata")
+        mfile = sorted(
+            f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+        )[-1]
+        with open(os.path.join(meta_dir, mfile)) as f:
+            md = _json.load(f)
+        for s in md["snapshots"]:
+            s["manifest-list"] = "file://" + s["manifest-list"]
+        with open(os.path.join(meta_dir, mfile), "w") as f:
+            _json.dump(md, f)
+        s2 = w.append(o.limit(3))  # was: FileNotFoundError on the URI
+        t = IcebergTable(root)
+        assert t.current_snapshot_id() == s2
+        assert t.snapshot(spark).count() == 5
 
     def test_schema_gate_and_nested_refusal(self, spark, sf_dir, tmp_path):
         from algebraicdb_spark.operators.iceberg_writer import (
@@ -1076,6 +1175,45 @@ class TestIcebergWriter:
             "SELECT COUNT(*) AS n FROM ice WHERE r_regionkey = 0"
         ).collect()[0]["n"] == 0
         assert len(IcebergTable(root).snapshots()) == 4
+
+
+class TestIcebergRollback:
+    def test_rollback_restores_and_preserves_history(
+        self, spark, tmp_path
+    ):
+        """rollback_to_snapshot: the current pointer moves back in a
+        NEW metadata version (CAS publish), the snapshot chain stays
+        (time travel above the rollback still works), expired targets
+        refuse."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        root = str(tmp_path / "it")
+        w = IcebergTableWriter(root)
+        s1 = w.append(spark.createDataFrame(
+            [(1, "a")], "k long, v string"))
+        s2 = w.append(spark.createDataFrame(
+            [(2, "b")], "k long, v string"))
+        t = IcebergTable(root)
+        assert t.snapshot(spark).count() == 2
+        w.rollback(s1)
+        t = IcebergTable(root)  # fresh metadata read
+        assert t.current_snapshot_id() == s1
+        assert t.snapshot(spark).count() == 1
+        # the undone snapshot is still readable by id
+        assert t.snapshot(spark, snapshot_id=s2).count() == 2
+        # rollback to the current snapshot is a no-op (same metadata v)
+        v = w.rollback(s1)
+        assert w.rollback(s1) == v
+        # an unknown / expired snapshot refuses
+        with _pytest.raises(ValueError, match="not in the"):
+            w.rollback(999999)
+        # appends continue from the rolled-back state
+        w.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+        assert IcebergTable(root).snapshot(spark).count() == 2
 
 
 class TestIcebergCowMutation:

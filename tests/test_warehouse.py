@@ -1597,6 +1597,214 @@ class TestDeltaProtocolAndPartitions:
         assert sorted(r["id"] for r in old.collect()) == [1, 2]
 
 
+class TestTxnLogRestore:
+    """RESTORE to an earlier version as ONE new commit — rollback with
+    history preserved: the undone commits stay readable above the
+    restore, the restored live set reuses the original immutable
+    directories (zero bytes copied), and past-retention targets
+    refuse."""
+
+    def test_restore_round_trip(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "rt"))
+        t.append(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+        t.append(spark.createDataFrame([(2, 20.0)], "k long, v double"))
+        t.delete(spark, "k = 1")                       # v2
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [2]
+        res = t.restore(1)                             # undo the delete
+        assert res["version"] == 3 and res["files_readded"] == 1
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [1, 2]
+        # history preserved: the deleted state is still readable at v2
+        assert sorted(
+            r["k"] for r in t.snapshot(spark, as_of=2).collect()
+        ) == [2]
+        # content-identical restore commits nothing
+        assert t.restore(3)["version"] is None
+        assert t.restore(1)["version"] is None  # same content as v1
+        # restoring ACROSS a schema evolution restores the old shape
+        t.evolve_add_column("w", "int")                # v4
+        t.append(spark.createDataFrame(
+            [(9, 90.0, 9)], "k long, v double, w int"))  # v5
+        res2 = t.restore(1)
+        assert res2["version"] == 6
+        assert t.snapshot(spark).schema.simpleString() == (
+            "struct<k:bigint,v:double>"
+        )
+        # out-of-range and vacuumed targets refuse
+        with _pytest.raises(ValueError, match="0[.][.]6"):
+            t.restore(99)
+        t.optimize(spark)
+        t.vacuum(retain_versions=1)
+        with _pytest.raises(ValueError, match="reclaimed"):
+            t.restore(0)
+
+
+class TestDeltaColumnMappingReads:
+    """'name'-mode column mapping READS (round 11, second half —
+    previously every mapped table refused): the parquet files carry
+    PHYSICAL names (col-<uuid>), the schemaString's field metadata
+    carries the logical↔physical map, and every scan path renames at
+    read. Any table that ever ran DROP/RENAME COLUMN under a real
+    Delta client is in this mode. 'id' mode, partial maps, nested
+    structs, and partitioned mapped tables still refuse loudly; the
+    WRITER refuses every mutation (it stages logical names) except
+    VACUUM, which never writes a parquet byte."""
+
+    PHYS = {"k": "col-9e12ab", "v": "col-77cd01"}
+
+    def _schema(self):
+        return {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 1,
+                     "delta.columnMapping.physicalName": self.PHYS["k"],
+                 }},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 2,
+                     "delta.columnMapping.physicalName": self.PHYS["v"],
+                 }},
+            ],
+        }
+
+    def _write_mapped(self, root, mode="name", schema=None):
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(root, "_delta_log"))
+
+        def stage(rel, ks, vs):
+            pq.write_table(
+                pa.table(
+                    {self.PHYS["k"]: ks, self.PHYS["v"]: vs},
+                    schema=pa.schema([
+                        (self.PHYS["k"], pa.int64()),
+                        (self.PHYS["v"], pa.string()),
+                    ]),
+                ),
+                os.path.join(root, rel),
+            )
+
+        stage("f1.parquet", [1, 2], ["a", "b"])
+        stage("f2.parquet", [3], ["c"])
+
+        def commit(v, lines):
+            with open(os.path.join(
+                root, "_delta_log", f"{v:020d}.json"
+            ), "w") as f:
+                f.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "00000000-feed-beef-0000-00000000cm01",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema or self._schema()),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        commit(1, [
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+
+    def test_name_mode_reads_rename_physical_to_logical(
+        self, spark, tmp_path
+    ):
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "cm")
+        self._write_mapped(root)
+        t = DeltaLogTable(root)
+        snap = t.snapshot(spark)
+        assert snap.schema.simpleString() == "struct<k:bigint,v:string>"
+        assert {(r["k"], r["v"]) for r in snap.collect()} == {
+            (1, "a"), (2, "b"), (3, "c"),
+        }
+        # time travel and the adds-only change feed rename too
+        assert t.snapshot(spark, as_of=0).count() == 2
+        delta = t.changes(spark, since=0)
+        assert [(r["k"], r["v"]) for r in delta.collect()] == [(3, "c")]
+        # the row-level feed as well (insert-only window here)
+        cdf = t.changes_cdf(spark, since=0)
+        assert {(r["k"], r["_change_type"]) for r in cdf.collect()} == {
+            (3, "insert"),
+        }
+
+    def test_unsupported_mapping_shapes_refuse(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        # 'id' mode refuses
+        root = str(tmp_path / "cm_id")
+        self._write_mapped(root, mode="id")
+        with _pytest.raises(NotImplementedError, match="'id' mode"):
+            DeltaLogTable(root).snapshot(spark)
+        # a field without physicalName refuses (partial map)
+        sch = self._schema()
+        sch["fields"][1]["metadata"] = {}
+        root2 = str(tmp_path / "cm_partial")
+        self._write_mapped(root2, schema=sch)
+        with _pytest.raises(NotImplementedError, match="physicalName"):
+            DeltaLogTable(root2).snapshot(spark)
+        # nested struct fields refuse
+        sch2 = self._schema()
+        sch2["fields"][1]["type"] = {
+            "type": "struct",
+            "fields": [{"name": "x", "type": "long", "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.physicalName": "col-x",
+                        }}],
+        }
+        root3 = str(tmp_path / "cm_nested")
+        self._write_mapped(root3, schema=sch2)
+        with _pytest.raises(NotImplementedError, match="NESTED"):
+            DeltaLogTable(root3).snapshot(spark)
+
+    def test_writer_refuses_mapped_tables_except_vacuum(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+
+        root = str(tmp_path / "cm_w")
+        self._write_mapped(root)
+        w = DeltaTableWriter(root)
+        df = spark.createDataFrame([(9, "z")], "k long, v string")
+        with _pytest.raises(NotImplementedError, match="columnMapping"):
+            w.append(df)
+        with _pytest.raises(NotImplementedError, match="columnMapping"):
+            w.delete(spark, "k = 1")
+        with _pytest.raises(NotImplementedError, match="columnMapping"):
+            w.optimize(spark)
+        # VACUUM never stages a parquet byte: allowed (nothing doomed)
+        assert w.vacuum(retain_versions=1) == []
+
+
 class TestTxnLogRaceFixes:
     """Round-10 advisor fixes on the writer: blind appends resolve
     their version slot at publish time (two concurrent blind appends
@@ -2033,6 +2241,24 @@ class TestTransactionalMerge:
         t.append(spark.createDataFrame(
             [(5, 50.0), (6, 60.0)], "k long, v double"))
         return t
+
+    def test_merge_insert_arity_refuses_and_unstages(self, spark, tmp_path):
+        """insert_exprs narrower/wider than the pinned schema refuses
+        (zip would silently truncate → NULLs surface later) and leaves
+        no staged orphans behind for vacuum to leak."""
+        import os as _os
+
+        import pytest as _pytest
+
+        t = self._three_file_table(spark, tmp_path)
+        before_dirs = set(_os.listdir(t.path))
+        src = spark.createDataFrame([(7, 70.0)], "k long, nv double")
+        with _pytest.raises(ValueError, match="1 expressions for 2"):
+            t.merge(spark, src, "t.k = s.k", {"v": "s.nv"}, ["s.k"])
+        with _pytest.raises(ValueError, match="3 expressions for 2"):
+            t.merge(spark, src, "t.k = s.k", None, ["s.k", "s.nv", "1"])
+        assert set(_os.listdir(t.path)) == before_dirs  # nothing leaked
+        assert t.latest_version() == 2  # nothing committed
 
     def test_merge_upserts_in_one_cow_commit(self, spark, tmp_path):
         t = self._three_file_table(spark, tmp_path)
