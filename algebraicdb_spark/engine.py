@@ -283,13 +283,10 @@ class Engine:
 
             it = IcebergTableWriter(path)
             if op == "optimize":
-                if kw.get("zorder_by"):
-                    raise AdtError(
-                        f"OPTIMIZE: ZORDER on iceberg attachment "
-                        f"{name!r} is not supported — this writer "
-                        "compacts; re-cluster with a full Iceberg client"
-                    )
-                it.optimize(self.spark)
+                # ZORDER graduated with writer-side manifest bounds:
+                # the Morton re-clustering's narrow per-file spans
+                # land as lower/upper bounds every planner skips on
+                it.optimize(self.spark, zorder_by=kw.get("zorder_by"))
             else:
                 it.expire_snapshots(
                     retain_last=kw.get("retain_versions", 2)

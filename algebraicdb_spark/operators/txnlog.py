@@ -298,7 +298,11 @@ def _assemble_groups(
             # the pinned schema, then rename back to the logical names
             # (reading under the logical schema would surface all-NULL
             # columns, the exact silent corruption _check_readable
-            # guards)
+            # guards). The rename STRIPS the delta.columnMapping.*
+            # field metadata: alias propagates metadata, and a
+            # snapshot appended into a NEW table would otherwise bake
+            # physicalName hints into that table's schemaString and
+            # poison ITS reads with names its files never had.
             phys = StructType([
                 StructField(
                     mapping.get(f.name, f.name), f.dataType, f.nullable
@@ -306,12 +310,19 @@ def _assemble_groups(
                 for f in st.fields
             ])
             df = meta(spark.read.schema(phys).parquet(*paths))
-            sel = [
-                F.col(mapping.get(f.name, f.name)).alias(f.name)
-                for f in st.fields
-            ]
+            sel = []
+            for f in st.fields:
+                clean = {
+                    k: v for k, v in (f.metadata or {}).items()
+                    if not k.startswith("delta.columnMapping.")
+                }
+                sel.append(
+                    df[mapping.get(f.name, f.name)].alias(
+                        f.name, metadata=clean
+                    )
+                )
             if with_metadata:
-                sel += [F.col("__fp"), F.col("__pos")]
+                sel += [df["__fp"], df["__pos"]]
             return df.select(*sel)
         if st is not None:
             return meta(spark.read.schema(st).parquet(*paths))
@@ -2985,14 +2996,31 @@ class DeltaLogTable:
         adds: list[tuple[str, dict]],
         st,
         part_cols: list[str],
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Partition-aware scan assembly — see ``_assemble_groups``
         (shared with TxnLogTable: both formats keep partition values
-        in the log, never in the parquet files). Column-mapped tables
-        ('name' mode) read under their PHYSICAL names and rename —
-        the mapping rides in the pinned schema's field metadata."""
+        in the log, never in the parquet files). ``mapping`` (from
+        ``_mapping_for``) makes the scan read PHYSICAL names and
+        rename — column-mapped 'name'-mode tables."""
         return _assemble_groups(
-            spark, adds, st, part_cols, mapping=_cm_mapping(st)
+            spark, adds, st, part_cols, mapping=mapping
+        )
+
+    def _mapping_for(self, meta: dict) -> dict[str, str] | None:
+        """The logical→physical rename for this metaData, or None.
+        MODE-GATED on configuration, not inferred from the schema
+        alone: stray physicalName field metadata on an UNMAPPED table
+        (e.g. carried into a schemaString by a client that didn't
+        strip it) must not trigger renames against files whose
+        columns are logical."""
+        conf = (meta or {}).get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        if conf.get("delta.columnMapping.mode") != "name":
+            return None
+        return _cm_mapping(
+            parse_schema_string(meta.get("schemaString"), self.path)
         )
 
     def changes(
@@ -3060,6 +3088,7 @@ class DeltaLogTable:
         return self._assemble(
             spark, adds, self.table_schema(hi),
             meta.get("partitionColumns") or [],
+            mapping=self._mapping_for(meta),
         )
 
     def changes_cdf(
@@ -3180,6 +3209,7 @@ class DeltaLogTable:
                 "the snapshot"
             )
         frames: list[DataFrame] = []
+        cmap = self._mapping_for(meta)
         for v, op, adds, removes in window:
             add_e = [
                 (p, res(p), pv_by_path.get(p) or {}, dv)
@@ -3187,7 +3217,9 @@ class DeltaLogTable:
             ]
             if not removes:
                 frames.append(
-                    self._assemble_mor(spark, add_e, st, part_cols)
+                    self._assemble_mor(
+                        spark, add_e, st, part_cols, mapping=cmap
+                    )
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -3196,9 +3228,13 @@ class DeltaLogTable:
                 (p, res(p), pv_by_path.get(p) or {}, dv)
                 for p, dv in removes
             ]
-            r_df = self._assemble_mor(spark, rem_e, st, part_cols)
+            r_df = self._assemble_mor(
+                spark, rem_e, st, part_cols, mapping=cmap
+            )
             a_df = (
-                self._assemble_mor(spark, add_e, st, part_cols)
+                self._assemble_mor(
+                    spark, add_e, st, part_cols, mapping=cmap
+                )
                 if add_e
                 else r_df.limit(0)
             )
@@ -3302,7 +3338,10 @@ class DeltaLogTable:
                         "empty result"
                     )
                 return spark.createDataFrame([], st)
-        return self._assemble_mor(spark, entries, st, part_cols)
+        return self._assemble_mor(
+            spark, entries, st, part_cols,
+            mapping=self._mapping_for(meta),
+        )
 
     def _assemble_mor(
         self,
@@ -3311,6 +3350,7 @@ class DeltaLogTable:
         st,
         part_cols: list[str],
         keep_pos: bool = False,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Assemble a PINNED entry list with deletion vectors applied —
         the merge-on-read scan shared by ``snapshot`` and the writer's
@@ -3323,7 +3363,7 @@ class DeltaLogTable:
         adds = sorted((res, pv) for _raw, res, pv, _dv in entries)
         dv_entries = [(res, dv) for _raw, res, _pv, dv in entries if dv]
         if not dv_entries and not keep_pos:
-            return self._assemble(spark, adds, st, part_cols)
+            return self._assemble(spark, adds, st, part_cols, mapping)
         from algebraicdb_spark.operators.deletion_vectors import (
             dv_positions,
         )
@@ -3335,7 +3375,7 @@ class DeltaLogTable:
         ]
         df = _assemble_groups(
             spark, adds, st, part_cols,
-            with_metadata=True, mapping=_cm_mapping(st),
+            with_metadata=True, mapping=mapping,
         )
         cols = [c for c in df.columns if c not in ("__fp", "__pos")]
         # _metadata.file_path is a URI with percent-encoded specials —

@@ -238,6 +238,35 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="pinned"):
             eng.sql("RESTORE TABLE reg0 TO VERSION AS OF 0")
 
+    def test_restore_statement_on_delta_and_iceberg(
+        self, spark, tables, tmp_path
+    ):
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        eng = Engine(spark)
+        d = DeltaTableWriter(str(tmp_path / "d"))
+        d.append(tables["region"].limit(2))
+        d.append(tables["region"].limit(5))
+        eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{d.path}'")
+        eng.sql("RESTORE TABLE dl TO VERSION AS OF 0")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM dl"
+        ).collect()[0]["n"] == 2
+        iw = IcebergTableWriter(str(tmp_path / "i"))
+        s1 = iw.append(tables["region"].limit(2))
+        iw.append(tables["region"].limit(5))
+        eng.sql(f"ATTACH TABLE ic FROM iceberg LOCATION '{iw.path}'")
+        eng.sql(f"RESTORE TABLE ic TO VERSION AS OF {s1}")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ic"
+        ).collect()[0]["n"] == 2
+
     def test_as_of_text_inside_string_literals_is_data(
         self, spark, tables, tmp_path
     ):
@@ -403,15 +432,9 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="not an ATTACHed"):
             eng.sql("OPTIMIZE TABLE nope")
         # maintenance graduated format by format (delta in round 10,
-        # ZORDER on delta and iceberg OPTIMIZE/VACUUM in round 11 —
-        # see test_delta_writer / test_iceberg); the one remaining
-        # refusal is ZORDER re-clustering on iceberg
-        eng._attached["icy"] = {
-            "fmt": "iceberg", "path": str(tmp_path / "icy"),
-            "version": None,
-        }
-        with _pytest.raises(AdtError, match="ZORDER on iceberg"):
-            eng.sql("OPTIMIZE TABLE icy ZORDER BY (x)")
+        # iceberg OPTIMIZE/VACUUM and finally iceberg ZORDER in round
+        # 11 once the writer emits manifest bounds — the full matrix
+        # is pinned in test_delta_writer / test_iceberg)
 
     def test_attachments_survive_catalog_roundtrip(
         self, spark, tables, tmp_path

@@ -1782,6 +1782,36 @@ class TestDeltaColumnMappingReads:
         with _pytest.raises(NotImplementedError, match="NESTED"):
             DeltaLogTable(root3).snapshot(spark)
 
+    def test_mapped_snapshot_does_not_poison_a_new_table(
+        self, spark, tmp_path
+    ):
+        """Appending a mapped table's snapshot into a NEW (unmapped)
+        table must not carry the physicalName field metadata into the
+        new schemaString: reads there would rename against names the
+        new files never had (all-NULL columns). The scan strips the
+        delta.columnMapping.* metadata at rename, and the mapping is
+        MODE-gated besides."""
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "cm")
+        self._write_mapped(root)
+        snap = DeltaLogTable(root).snapshot(spark)
+        assert all(
+            "delta.columnMapping.physicalName" not in (f.metadata or {})
+            for f in snap.schema.fields
+        )
+        root2 = str(tmp_path / "plain")
+        DeltaTableWriter(root2).append(snap)
+        t2 = DeltaLogTable(root2)
+        assert {(r["k"], r["v"]) for r in t2.snapshot(spark).collect()} == {
+            (1, "a"), (2, "b"), (3, "c"),
+        }
+        st_doc = t2.table_schema().json()
+        assert "physicalName" not in st_doc
+
     def test_writer_refuses_mapped_tables_except_vacuum(
         self, spark, tmp_path
     ):
