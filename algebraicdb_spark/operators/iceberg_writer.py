@@ -1002,19 +1002,305 @@ class IcebergTableWriter:
             .collect()
         }
 
-    def delete(
-        self, spark: SparkSession, predicate: str, max_retries: int = 8
+    def _mor_scope(
+        self, rdr
+    ) -> tuple[list[tuple[str, str, int | None]], list[str]]:
+        """Gate + live sets for a MERGE-ON-READ mutation: (data
+        entries, live position-delete paths). Position-delete files
+        are partition-scoped under a partition spec, which this writer
+        does not emit — partitioned tables take the COW path; live
+        EQUALITY deletes refuse (their ordering would have to compose
+        with the new positions)."""
+        cur = rdr.meta
+        if self._cur_parts(cur):
+            raise NotImplementedError(
+                f"{self.path}: merge-on-read mutation on a PARTITIONED "
+                "table — position-delete files are partition-scoped "
+                "under a spec this writer does not emit; use mode='cow'"
+            )
+        data, pos_d, eq_d = rdr._files(None)
+        if eq_d:
+            raise NotImplementedError(
+                f"{self.path}: merge-on-read mutation under live "
+                "EQUALITY deletes — composing their sequence ordering "
+                "with new position deletes is a full client's job"
+            )
+        return data, pos_d
+
+    def _live_identity(
+        self,
+        spark: SparkSession,
+        data: list[tuple[str, str, int | None]],
+        pos_d: list[str],
+    ):
+        """The LIVE rows with their (recorded data file URI, physical
+        row ordinal) identity as ``__uri``/``__pos`` — existing
+        position deletes are APPLIED first (a deleted row must never
+        rematch: the delete set unions monotonically), exactly the
+        reader's MoR plan."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*[p for p, _u, _s in data]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # same URI normalization as the reader's MoR join (strip
+        # scheme, percent-decode WITHOUT '+'→space) — _metadata is a
+        # scan-only hidden column, so normalize the projected alias
+        stripped = F.regexp_replace(
+            F.col("__fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", ""
+        )
+        df = df.withColumn(
+            "__lp", F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+        )
+        mapping = spark.createDataFrame(
+            [(p, u) for p, u, _s in data], "__lp string, __uri string"
+        )
+        df = df.join(F.broadcast(mapping), "__lp", "inner")
+        if pos_d:
+            dels = spark.read.parquet(*pos_d).select(
+                F.col("file_path").alias("__uri"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            df = df.join(dels, ["__uri", "__pos"], "left_anti")
+        return df.drop("__fp", "__lp")
+
+    def _probe_mor_matches(
+        self,
+        spark: SparkSession,
+        data: list[tuple[str, str, int | None]],
+        pos_d: list[str],
+        predicate: str,
+    ):
+        """``_live_identity`` filtered to the predicate's matches."""
+        from pyspark.sql import functions as F
+
+        return self._live_identity(spark, data, pos_d).where(
+            F.expr(predicate)
+        )
+
+    def _publish_mor(
+        self,
+        base_v: int,
+        cur: dict,
+        rdr: IcebergTable,
+        del_staged: list[tuple[str, int, int, dict]],
+        data_staged: list[tuple[str, int, int, dict]],
+        operation: str,
+        extra_summary: dict[str, str],
+    ) -> int:
+        """Publish one merge-on-read snapshot: the previous manifest
+        list carries forward VERBATIM (nothing rewrote), plus a
+        content=1 DELETE manifest for the new position-delete file(s)
+        and — for UPDATE/MERGE postimages — a content=0 data manifest.
+        O(changed rows) committed; zero data rewrite. Loses the race →
+        unlinks its avros and raises (the caller unstages + re-probes
+        on the new head)."""
+        now_ms = int(time.time() * 1000)
+        seq = int(cur.get("last-sequence-number", 0)) + 1
+        snaps = list(cur.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
+        parent = cur.get("current-snapshot-id")
+        prev = next(s for s in snaps if s["snapshot-id"] == parent)
+        mschema = _manifest_schema([])
+        cur_fields = self._cur_fields(cur)
+        written: list[str] = []
+        try:
+            new_rows = [
+                self._carry_row(r)
+                for r in AvroFileReader(
+                    rdr._resolve(prev["manifest-list"])
+                ).records
+            ]
+
+            def manifest(staged, content: int) -> None:
+                mp = os.path.join(
+                    self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
+                )
+                entries = []
+                for p, rows, size, _pv in staged:
+                    lo_b, hi_b = (
+                        _footer_bounds(p, cur_fields)
+                        if content == 0 else (None, None)
+                    )
+                    entries.append({
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": content,
+                            "file_path": p,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rows,
+                            "file_size_in_bytes": size,
+                            "lower_bounds": lo_b,
+                            "upper_bounds": hi_b,
+                        },
+                    })
+                AvroFileWriter.write(mp, mschema, entries)
+                written.append(mp)
+                n = sum(r for _p, r, _b, _pv in staged)
+                new_rows.append({
+                    "manifest_path": mp,
+                    "manifest_length": os.path.getsize(mp),
+                    "partition_spec_id": 0,
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(staged),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                })
+
+            if data_staged:
+                manifest(data_staged, 0)
+            if del_staged:
+                manifest(del_staged, 1)
+            ml_path = os.path.join(
+                self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+            )
+            AvroFileWriter.write(ml_path, _MANIFEST_LIST_SCHEMA, new_rows)
+            written.append(ml_path)
+            new_snap = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": ml_path,
+                "summary": {"operation": operation, **extra_summary},
+                "schema-id": cur.get("current-schema-id", 0),
+                "parent-snapshot-id": parent,
+            }
+            md = dict(cur)
+            md["last-sequence-number"] = seq
+            md["last-updated-ms"] = now_ms
+            md["current-snapshot-id"] = snap_id
+            md["snapshots"] = snaps + [new_snap]
+            md["snapshot-log"] = list(
+                cur.get("snapshot-log") or []
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+            target = os.path.join(
+                self.meta_dir, f"v{base_v + 1}.metadata.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(md, f)
+            except FileExistsError as exc:
+                raise ConcurrentWriteError(
+                    f"iceberg metadata v{base_v + 1} already committed "
+                    "by another writer — rebase and retry"
+                ) from exc
+        except ConcurrentWriteError:
+            for p in written:
+                if os.path.exists(p):
+                    os.unlink(p)
+            raise
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(base_v + 1))
+        os.replace(tmp, hint)
+        return snap_id
+
+    def _delete_mor(
+        self, spark: SparkSession, predicate: str, max_retries: int
     ) -> dict:
-        """Row-level ``DELETE FROM … WHERE predicate`` as ONE
-        copy-on-write snapshot: probe → footer-count classification
-        (fully-matching files become DELETED entries with zero rewrite
-        I/O, partial files rewrite minus matches — NULL keeps the row)
-        → manifest surgery → create-exclusive metadata publish. Time
-        travel to prior snapshots still reads the pre-delete content
-        (their manifest trees are untouched)."""
+        """The merge-on-read DELETE body: matched (uri, pos) pairs land
+        in a standard POSITION-DELETE parquet file (the spec's
+        file_path/pos columns, sorted) under a content=1 delete
+        manifest — O(deleted rows) committed, zero rewrite, readable
+        by any v2 client (and by this repo's reader, which was
+        validated on hand-written position-delete fixtures — two-path
+        proof)."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "delete from"
+                )
+            rdr = self.reader()
+            data, pos_d = self._mor_scope(rdr)
+            if not data:
+                return {"version": None, "rows_deleted": 0,
+                        "delete_files": 0}
+            matched = self._probe_mor_matches(
+                spark, data, pos_d, predicate
+            ).select(
+                F.col("__uri").alias("file_path"),
+                F.col("__pos").cast("long").alias("pos"),
+            ).sort("file_path", "pos").coalesce(1)
+            del_staged = [
+                t for t in self._stage(matched) if t[1] > 0
+            ]
+            n = sum(r for _p, r, _b, _pv in del_staged)
+            if n == 0:
+                self._unstage(del_staged)
+                return {"version": None, "rows_deleted": 0,
+                        "delete_files": 0}
+            try:
+                snap_id = self._publish_mor(
+                    base_v, cur, rdr, del_staged, [], "delete",
+                    {"deleted-records": str(n),
+                     "added-delete-files": str(len(del_staged))},
+                )
+                return {"version": snap_id, "rows_deleted": n,
+                        "delete_files": len(del_staged)}
+            except ConcurrentWriteError:
+                self._unstage(del_staged)
+                continue  # racer advanced the metadata: re-probe
+        raise ConcurrentWriteError(
+            f"iceberg mor delete lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
+    def _resolved_mode(self, cur: dict, mode: str, op: str) -> str:
+        """'auto' honors the table's own write.<op>.mode property
+        (Iceberg's knob for choosing merge-on-read), defaulting to
+        copy-on-write — the spec's default."""
+        if mode != "auto":
+            return mode
+        prop = (cur.get("properties") or {}).get(f"write.{op}.mode", "")
+        return "mor" if str(prop) == "merge-on-read" else "cow"
+
+    def delete(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int = 8,
+        mode: str = "auto",
+    ) -> dict:
+        """Row-level ``DELETE FROM … WHERE predicate``, two physical
+        strategies behind one semantic (mirroring the Delta twin's
+        cow/mor split):
+
+        - ``cow``: probe → footer-count classification (fully-matching
+          files become DELETED entries with zero rewrite I/O, partial
+          files rewrite minus matches — NULL keeps the row) → manifest
+          surgery → create-exclusive metadata publish.
+        - ``mor``: matched row ordinals land in a standard v2
+          POSITION-DELETE file — O(deleted rows), zero rewrite; see
+          ``_delete_mor``. ``mode='auto'`` honors the table property
+          ``write.delete.mode=merge-on-read``.
+
+        Time travel to prior snapshots still reads the pre-delete
+        content (their manifest trees are untouched)."""
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
+        _bv, _cur = self._current()
+        if _cur is not None and self._resolved_mode(
+            _cur, mode, "delete"
+        ) == "mor":
+            return self._delete_mor(spark, predicate, max_retries)
         for _ in range(max_retries):
             base_v, cur = self._current()
             if cur is None:
@@ -1066,21 +1352,103 @@ class IcebergTableWriter:
             "— table is under pathological write contention"
         )
 
+    def _update_mor(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        pred: str,
+        max_retries: int,
+    ) -> dict:
+        """Merge-on-read UPDATE: preimage positions land in a standard
+        POSITION-DELETE file and ONLY the postimages stage as new data
+        files — O(changed rows) per commit, both halves atomic in one
+        snapshot (the iceberg twin of the Delta DV update)."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to update"
+                )
+            rdr = self.reader()
+            data, pos_d = self._mor_scope(rdr)
+            if not data:
+                return {"version": None, "rows_updated": 0,
+                        "delete_files": 0}
+            sample = spark.read.parquet(*[p for p, _u, _s in data])
+            known = set(sample.columns)
+            unknown = [c for c in assignments if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns unknown column(s) {unknown} — the "
+                    "table schema is pinned"
+                )
+            hit = self._probe_mor_matches(spark, data, pos_d, pred)
+            matched = hit.localCheckpoint()  # probe once, use twice
+            dels = matched.select(
+                F.col("__uri").alias("file_path"),
+                F.col("__pos").cast("long").alias("pos"),
+            ).sort("file_path", "pos").coalesce(1)
+            post = matched.select(
+                *[
+                    F.expr(assignments[c])
+                    .cast(sample.schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in sample.columns
+                ]
+            )
+            del_staged = [t for t in self._stage(dels) if t[1] > 0]
+            n = sum(r for _p, r, _b, _pv in del_staged)
+            if n == 0:
+                self._unstage(del_staged)
+                return {"version": None, "rows_updated": 0,
+                        "delete_files": 0}
+            data_staged = [t for t in self._stage(post) if t[1] > 0]
+            try:
+                snap_id = self._publish_mor(
+                    base_v, cur, rdr, del_staged, data_staged,
+                    "overwrite",
+                    {"updated-records": str(n),
+                     "added-delete-files": str(len(del_staged))},
+                )
+                return {"version": snap_id, "rows_updated": n,
+                        "delete_files": len(del_staged)}
+            except ConcurrentWriteError:
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg mor update lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
     def update(
         self,
         spark: SparkSession,
         assignments: dict[str, str],
         predicate: str | None = None,
         max_retries: int = 8,
+        mode: str = "auto",
     ) -> dict:
         """Row-level ``UPDATE … SET col = expr [WHERE predicate]`` as
         one copy-on-write snapshot: affected files rewrite through a
         CASE per assigned column cast back to the declared type;
-        untouched files' manifest entries survive verbatim."""
+        untouched files' manifest entries survive verbatim.
+        ``mode='mor'`` (or ``auto`` under the table property
+        ``write.update.mode=merge-on-read``) position-deletes the
+        preimages and stages only the postimages — see
+        ``_update_mor``."""
         import pyarrow.parquet as pq  # noqa: F401 — symmetry w/ delete
         from pyspark.sql import functions as F
 
         pred = predicate if predicate is not None else "TRUE"
+        _bv, _cur = self._current()
+        if _cur is not None and self._resolved_mode(
+            _cur, mode, "update"
+        ) == "mor":
+            return self._update_mor(spark, assignments, pred, max_retries)
         for _ in range(max_retries):
             base_v, cur = self._current()
             if cur is None:
@@ -1141,6 +1509,150 @@ class IcebergTableWriter:
             "— table is under pathological write contention"
         )
 
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        source,
+        cond: str,
+        assignments: dict[str, str] | None,
+        insert_exprs: list[str] | None,
+        target_alias: str,
+        source_alias: str,
+        max_retries: int,
+        delete_matched: bool,
+    ) -> dict:
+        """Merge-on-read MERGE: matched target positions land in one
+        POSITION-DELETE file, and only the POSTIMAGES (plus the
+        not-matched inserts) stage as new data files — O(changed rows)
+        per commit, one atomic snapshot. Multi-matching sources refuse
+        for UPDATE merges (duplicating rows is silent corruption;
+        counted in the same agg that counts matches) and are harmless
+        for DELETE merges (dropping a row once or thrice is the same
+        drop — the delete set deduplicates)."""
+        from pyspark.sql import functions as F
+
+        cond_col = F.expr(cond)
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "merge into"
+                )
+            rdr = self.reader()
+            data, pos_d = self._mor_scope(rdr)
+            tgt = (
+                self._live_identity(spark, data, pos_d).localCheckpoint()
+                if data else None
+            )
+            sample = (
+                spark.read.parquet(*[p for p, _u, _s in data])
+                if data else None
+            )
+            del_staged: list = []
+            data_staged: list = []
+            matched = 0
+            if (assignments or delete_matched) and tgt is not None:
+                joined = tgt.alias(target_alias).join(
+                    source.alias(source_alias), cond_col, "inner"
+                ).localCheckpoint()
+                st_row = joined.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(
+                        F.col("__uri"), F.col("__pos")
+                    ).alias("d"),
+                ).collect()[0]
+                n_join, matched = int(st_row["n"]), int(st_row["d"])
+                if n_join > matched and assignments:
+                    raise ValueError(
+                        f"MERGE: {n_join - matched} target row(s) "
+                        "matched multiple source rows — the rewrite "
+                        "would duplicate them; deduplicate the source "
+                        "on the merge key first"
+                    )
+                if matched:
+                    dels = joined.select(
+                        F.col("__uri").alias("file_path"),
+                        F.col("__pos").cast("long").alias("pos"),
+                    ).dropDuplicates().sort(
+                        "file_path", "pos"
+                    ).coalesce(1)
+                    del_staged = [
+                        t for t in self._stage(dels) if t[1] > 0
+                    ]
+                    if assignments:
+                        post = joined.select(
+                            *[
+                                F.expr(assignments[c])
+                                .cast(sample.schema[c].dataType)
+                                .alias(c)
+                                if c in assignments
+                                else F.col(f"{target_alias}.{c}")
+                                for c in sample.columns
+                            ]
+                        )
+                        data_staged += [
+                            t for t in self._stage(post) if t[1] > 0
+                        ]
+            rows_inserted = 0
+            if insert_exprs is not None:
+                tbl_schema = self.table_schema()
+                if tbl_schema is None:
+                    raise ValueError(
+                        "MERGE into an empty iceberg table with an "
+                        "unmappable schema — append a first batch"
+                    )
+                cols = [(f.name, f.dataType) for f in tbl_schema.fields]
+                if len(insert_exprs) != len(cols):
+                    self._unstage(del_staged)
+                    self._unstage(data_staged)
+                    raise ValueError(
+                        f"MERGE: INSERT VALUES has {len(insert_exprs)} "
+                        f"expressions for {len(cols)} target columns"
+                    )
+                ins_src = (
+                    source.alias(source_alias).join(
+                        tgt.alias(target_alias), cond_col, "left_anti"
+                    )
+                    if tgt is not None
+                    else source.alias(source_alias)
+                )
+                ins = ins_src.select(
+                    *[
+                        F.expr(e).cast(t_).alias(c)
+                        for e, (c, t_) in zip(insert_exprs, cols)
+                    ]
+                )
+                ins_staged = [
+                    t for t in self._stage(ins) if t[1] > 0
+                ]
+                rows_inserted = sum(r for _p, r, _b, _pv in ins_staged)
+                if rows_inserted == 0:
+                    self._unstage(ins_staged)
+                else:
+                    data_staged += ins_staged
+            if not del_staged and not data_staged:
+                return {"version": None, "rows_matched": 0,
+                        "rows_inserted": 0, "delete_files": 0}
+            try:
+                snap_id = self._publish_mor(
+                    base_v, cur, rdr, del_staged, data_staged,
+                    "overwrite",
+                    {"merged-records": str(matched),
+                     "added-delete-files": str(len(del_staged))},
+                )
+                return {"version": snap_id, "rows_matched": matched,
+                        "rows_inserted": rows_inserted,
+                        "delete_files": len(del_staged)}
+            except ConcurrentWriteError:
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg mor merge lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -1152,6 +1664,7 @@ class IcebergTableWriter:
         source_alias: str = "s",
         max_retries: int = 8,
         delete_matched: bool = False,
+        mode: str = "auto",
     ) -> dict:
         """``MERGE INTO`` as ONE copy-on-write snapshot — the iceberg
         twin of ``DeltaTableWriter.merge`` (probe semi-join → rewrite
@@ -1159,7 +1672,10 @@ class IcebergTableWriter:
         snapshot), with the same free multi-match refusal (a matched
         rewrite preserves row count; staged footers disagreeing with
         input footers IS the multi-match signal) and the same
-        ``delete_matched`` WHEN MATCHED THEN DELETE clause."""
+        ``delete_matched`` WHEN MATCHED THEN DELETE clause.
+        ``mode='mor'`` (or ``auto`` under the table property
+        ``write.merge.mode=merge-on-read``) position-deletes the
+        matched preimages instead — see ``_merge_mor``."""
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
@@ -1173,6 +1689,14 @@ class IcebergTableWriter:
                 "MERGE needs WHEN MATCHED THEN UPDATE assignments, "
                 "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
                 "THEN INSERT expressions"
+            )
+        _bv, _cur = self._current()
+        if _cur is not None and self._resolved_mode(
+            _cur, mode, "merge"
+        ) == "mor":
+            return self._merge_mor(
+                spark, source, cond, assignments, insert_exprs,
+                target_alias, source_alias, max_retries, delete_matched,
             )
         cond_col = F.expr(cond)
         for _ in range(max_retries):
@@ -1320,13 +1844,17 @@ class IcebergTableWriter:
         extra_summary: dict[str, str],
         parts: list[str] | None = None,
         ptypes: dict[str, str] | None = None,
+        drop_deletes: bool = False,
     ) -> int:
         """Build + publish one mutation snapshot: rewritten manifests
         for files in ``affected`` (EXISTING survivors with explicit
         seqs, DELETED casualties recording this snapshot), carried
         rows for untouched manifests, one ADDED manifest for the
-        rewrites. Loses the race → unlinks every avro it wrote and
-        raises (caller re-derives from the new head)."""
+        rewrites. ``drop_deletes`` omits content=1 (delete) manifests
+        from the new snapshot — the OPTIMIZE purge pass, where every
+        delete target is rewritten. Loses the race → unlinks every
+        avro it wrote and raises (caller re-derives from the new
+        head)."""
         now_ms = int(time.time() * 1000)
         part_fields = [
             {"name": c, "type": (ptypes or {}).get(c, "string")}
@@ -1346,6 +1874,8 @@ class IcebergTableWriter:
             for r in AvroFileReader(
                 rdr._resolve(prev["manifest-list"])
             ).records:
+                if drop_deletes and int(r.get("content", 0) or 0) != 0:
+                    continue  # purged: every target rewrites below
                 mpath = rdr._resolve(r["manifest_path"])
                 m_seq = r.get("sequence_number")
                 m_sid = r.get("added_snapshot_id")
@@ -1555,6 +2085,17 @@ class IcebergTableWriter:
             if cur is None:
                 return None
             rdr = self.reader()
+            if not self._cur_parts(cur):
+                _d, live_pos, live_eq = rdr._files(None)
+                if live_pos and not live_eq:
+                    # PURGE pass: rewrite the MoR-applied content and
+                    # drop the delete manifests — iceberg's
+                    # rewrite_data_files repaying the read-side debt,
+                    # exactly like Delta OPTIMIZE purging DVs
+                    return self._optimize_purge(
+                        spark, base_v, cur, rdr, target_files,
+                        zorder_by, max_retries,
+                    )
             data, parts, ptypes = self._cow_scope(rdr)
             if len(data) < min_inputs and not zorder_by:
                 return None
@@ -1581,6 +2122,58 @@ class IcebergTableWriter:
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg optimize lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
+    def _optimize_purge(
+        self,
+        spark: SparkSession,
+        base_v: int | None,
+        cur: dict | None,
+        rdr: IcebergTable | None,
+        target_files: int,
+        zorder_by: list[str] | None,
+        max_retries: int,
+    ) -> int:
+        """rewrite_data_files over a MoR table: scan with the position
+        deletes APPLIED, restage, and publish a ``replace`` snapshot
+        that rewrites every data manifest and DROPS the delete
+        manifests (their targets no longer exist — carrying them would
+        leave the table permanently 'has deletes' and waste every
+        reader a delete-file read). The read-side debt MoR deferred is
+        repaid here, exactly like Delta OPTIMIZE purging DVs; the old
+        delete files become expire_snapshots candidates."""
+        for _ in range(max_retries):
+            if cur is None:
+                base_v, cur = self._current()
+                rdr = self.reader()
+            data, pos_d, _eq = rdr._files(None)
+            src = rdr.snapshot(spark)  # MoR-applied content
+            if zorder_by:
+                from algebraicdb_spark.operators.txnlog import (
+                    _zorder_clustered,
+                )
+
+                df = _zorder_clustered(
+                    src, zorder_by, max(target_files, 1)
+                )
+            else:
+                df = src.coalesce(max(target_files, 1))
+            staged = self._stage(df)
+            extra = {"purged-position-deletes": str(len(pos_d))}
+            if zorder_by:
+                extra["zorder-by"] = ",".join(zorder_by)
+            try:
+                return self._publish_mutation(
+                    base_v, cur, rdr, {p for p, _u, _s in data},
+                    staged, "replace", extra, drop_deletes=True,
+                )
+            except ConcurrentWriteError:
+                self._unstage(staged)
+                cur = None  # racer advanced the metadata: re-derive
                 continue
         raise ConcurrentWriteError(
             f"iceberg optimize lost {max_retries} metadata publish "

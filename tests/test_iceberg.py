@@ -1272,6 +1272,142 @@ class TestIcebergWriterBounds:
         ).collect()[0]["n"] == 200
 
 
+class TestIcebergMergeOnRead:
+    """MoR mutation via standard v2 POSITION-DELETE files — the
+    iceberg twin of the Delta deletion-vector work: O(changed rows)
+    committed, zero rewrite, consumed by any v2 client. Two-path
+    proof: every read goes through IcebergTable, whose position-delete
+    apply was validated on HAND-WRITTEN fixtures
+    (TestIcebergPositionDeletes), never this writer."""
+
+    @staticmethod
+    def _table(spark, tmp_path, name="m"):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / name))
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ).coalesce(1))
+        return w
+
+    def test_mor_delete_unions_and_never_rematches(self, spark, tmp_path):
+        w = self._table(spark, tmp_path)
+        r1 = w.delete(spark, "k IN (1, 4)", mode="mor")
+        assert r1["rows_deleted"] == 2 and r1["delete_files"] == 1
+        t = IcebergTable(w.path)
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [0, 2, 3, 5, 6, 7, 8, 9]
+        # second delete composes; an already-deleted row never rematches
+        assert w.delete(spark, "k <= 2", mode="mor")["rows_deleted"] == 2
+        assert w.delete(spark, "k = 2", mode="mor")["version"] is None
+        t = IcebergTable(w.path)
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()
+        ) == [3, 5, 6, 7, 8, 9]
+        # time travel below the deletes reads the full content
+        assert t.snapshot(spark, snapshot_id=r1["version"]).count() == 8
+
+    def test_mor_update_and_merge(self, spark, tmp_path):
+        import pytest as _pytest
+
+        w = self._table(spark, tmp_path)
+        r = w.update(spark, {"v": "v + 100"}, "k = 3", mode="mor")
+        assert r["rows_updated"] == 1
+        rows = {
+            x["k"]: x["v"]
+            for x in IcebergTable(w.path).snapshot(spark).collect()
+        }
+        assert rows[3] == 103.0 and len(rows) == 10
+        src = spark.createDataFrame(
+            [(2, 99.0), (77, 7.0)], "k long, nv double")
+        rm = w.merge(spark, src, "t.k = s.k", {"v": "s.nv"},
+                     ["s.k", "s.nv"], mode="mor")
+        assert (rm["rows_matched"], rm["rows_inserted"]) == (1, 1)
+        rows = {
+            x["k"]: x["v"]
+            for x in IcebergTable(w.path).snapshot(spark).collect()
+        }
+        assert rows[2] == 99.0 and rows[77] == 7.0 and len(rows) == 11
+        # a multi-matching source refuses UPDATE merges…
+        dup = spark.createDataFrame(
+            [(5, 0.0), (5, 1.0)], "k long, x double")
+        with _pytest.raises(ValueError, match="multiple source rows"):
+            w.merge(spark, dup, "t.k = s.k", {"v": "s.x"}, None,
+                    mode="mor")
+        # …and is harmless for DELETE merges (the delete set dedups)
+        rd = w.merge(spark, dup, "t.k = s.k", None, None,
+                     delete_matched=True, mode="mor")
+        assert rd["rows_matched"] == 1
+        assert IcebergTable(w.path).snapshot(spark).where(
+            "k = 5").count() == 0
+
+    def test_auto_mode_honors_table_property(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        w = self._table(spark, tmp_path)
+        mdir = _os.path.join(w.path, "metadata")
+        mf = sorted(
+            f for f in _os.listdir(mdir) if f.endswith(".metadata.json")
+        )[-1]
+        with open(_os.path.join(mdir, mf)) as f:
+            md = _json.load(f)
+        md["properties"] = {"write.delete.mode": "merge-on-read"}
+        with open(_os.path.join(mdir, mf), "w") as f:
+            _json.dump(md, f)
+        w.delete(spark, "k = 1")  # auto → MoR via the iceberg property
+        t = IcebergTable(w.path)
+        _d, pos, _e = t._files(None)
+        assert len(pos) == 1
+        assert t.snapshot(spark).count() == 9
+
+    def test_optimize_purges_position_deletes(self, spark, tmp_path):
+        w = self._table(spark, tmp_path)
+        w.delete(spark, "k IN (1, 4)", mode="mor")
+        w.update(spark, {"v": "v * 2"}, "k = 7", mode="mor")
+        before = {
+            x["k"]: x["v"]
+            for x in IcebergTable(w.path).snapshot(spark).collect()
+        }
+        sid = w.optimize(spark, target_files=2)
+        assert sid is not None
+        t = IcebergTable(w.path)
+        data, pos, eq = t._files(None)
+        assert pos == [] and eq == []
+        assert len(data) <= 2
+        after = {
+            x["k"]: x["v"] for x in t.snapshot(spark).collect()
+        }
+        assert after == before  # content-preserving purge
+        # a raw path list works again (no live deletes)
+        assert len(t.live_paths()) == len(data)
+        assert (
+            (t.snapshots()[-1].get("summary") or {}).get("operation")
+            == "replace"
+        )
+
+    def test_mor_refuses_partitioned_tables(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "p"))
+        w.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k long, r string"),
+            partition_by=["r"],
+        )
+        with _pytest.raises(NotImplementedError, match="PARTITIONED"):
+            w.delete(spark, "k = 1", mode="mor")
+        # cow still handles it
+        assert w.delete(spark, "k = 1")["rows_deleted"] == 1
+
+
 class TestIcebergRollback:
     def test_rollback_restores_and_preserves_history(
         self, spark, tmp_path
