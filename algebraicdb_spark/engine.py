@@ -714,7 +714,7 @@ class Engine:
 
     def _restore_stmt(
         self, name: str, ver: str | None, ts: str | None
-    ) -> DataFrame:
+    ) -> None:
         """RESTORE TABLE n TO VERSION AS OF v / TO TIMESTAMP AS OF 'ts'
         — rollback an ATTACHed table to an earlier state as ONE new
         commit, history preserved (the write-side twin of the AS-OF
@@ -751,17 +751,24 @@ class Engine:
             att, ts
         )
         fmt, path = att["fmt"], att["path"]
+        writers = {
+            "txnlog": TxnLogTable,
+            "delta": DeltaTableWriter,
+            "iceberg": IcebergTableWriter,
+        }
+        t = writers[fmt](path)
         try:
-            if fmt == "txnlog":
-                TxnLogTable(path).restore(v)
-            elif fmt == "delta":
-                DeltaTableWriter(path).restore(v)
+            if fmt == "iceberg":
+                t.rollback(v)
             else:
-                IcebergTableWriter(path).rollback(v)
+                t.restore(v)
         except (ValueError, NotImplementedError) as exc:
             raise AdtError(f"RESTORE TABLE {name!r}: {exc}") from exc
-        # the live file set changed: re-register the view at latest
-        return self._attach_table_stmt(name, fmt, path, None)
+        # re-register on the restored snapshot — via the mutation
+        # reattach, which handles the all-rows-deleted edge (a restore
+        # TO an empty version is legal state, not an attach error)
+        self._reattach_after_mutation(name, t)
+        return None
 
     def _describe_history_stmt(self, name: str) -> DataFrame:
         """DESCRIBE HISTORY n — the commit/snapshot audit trail of an

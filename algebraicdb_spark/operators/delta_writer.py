@@ -1584,6 +1584,9 @@ class DeltaTableWriter:
                 )
             cols = [(f.name, f.dataType) for f in tbl_schema.fields]
             if len(insert_exprs) != len(cols):
+                # the matched rewrite already staged — unstage it or
+                # the files leak under vacuum's log-candidates rule
+                self._unstage(staged)
                 raise ValueError(
                     f"MERGE: INSERT VALUES has {len(insert_exprs)} "
                     f"expressions for {len(cols)} target columns"
@@ -1686,6 +1689,9 @@ class DeltaTableWriter:
             )
             cols = [(f.name, f.dataType) for f in full_t.schema.fields]
             if len(insert_exprs) != len(cols):
+                # the postimage staging already landed — unstage it or
+                # the files leak under vacuum's log-candidates rule
+                self._unstage(staged)
                 raise ValueError(
                     f"MERGE: INSERT VALUES has {len(insert_exprs)} "
                     f"expressions for {len(cols)} target columns"
@@ -1783,9 +1789,19 @@ class DeltaTableWriter:
                 if raw not in cur or dvk(dv) != dvk(cur[raw][1])
             )
             meta_actions = []
-            if meta_v and (meta or {}).get("schemaString") != meta_v.get(
-                "schemaString"
-            ):
+
+            def _meta_key(m: dict | None) -> tuple:
+                # schemaString AND partitionColumns: an overwrite can
+                # re-partition without touching the schema, and since
+                # partition VALUES live only in the log, restoring the
+                # old live set under the new partitionColumns would
+                # silently NULL (or fabricate) the partition column
+                return (
+                    (m or {}).get("schemaString"),
+                    list((m or {}).get("partitionColumns") or []),
+                )
+
+            if meta_v and _meta_key(meta) != _meta_key(meta_v):
                 m = {k: v for k, v in meta_v.items() if v is not None}
                 conf = m.get("configuration") or {}
                 if isinstance(conf, list):

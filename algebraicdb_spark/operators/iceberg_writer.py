@@ -485,6 +485,18 @@ class IcebergTableWriter:
             if os.path.exists(p):
                 os.unlink(p)
 
+    def _stage_nonempty(self, df) -> list[tuple[str, int, int, dict]]:
+        """``_stage`` with zero-row part files UNLINKED, not just
+        filtered: a filtered-out file has already been moved into
+        data/, is reachable from no manifest, and nothing else ever
+        reclaims it (expire_snapshots walks manifest trees, never the
+        directory) — the same leak class the unstage-on-refusal rule
+        exists for."""
+        staged = self._stage(df)
+        keep = [t for t in staged if t[1] > 0]
+        self._unstage([t for t in staged if t[1] == 0])
+        return keep
+
     @staticmethod
     def _as_bound_rows(v) -> list[dict] | None:
         """Normalize a DECODED bounds map back into the writer's
@@ -1209,7 +1221,11 @@ class IcebergTableWriter:
         return snap_id
 
     def _delete_mor(
-        self, spark: SparkSession, predicate: str, max_retries: int
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int,
+        primed: tuple[int, dict] | None = None,
     ) -> dict:
         """The merge-on-read DELETE body: matched (uri, pos) pairs land
         in a standard POSITION-DELETE parquet file (the spec's
@@ -1221,7 +1237,8 @@ class IcebergTableWriter:
         from pyspark.sql import functions as F
 
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to "
@@ -1238,9 +1255,7 @@ class IcebergTableWriter:
                 F.col("__uri").alias("file_path"),
                 F.col("__pos").cast("long").alias("pos"),
             ).sort("file_path", "pos").coalesce(1)
-            del_staged = [
-                t for t in self._stage(matched) if t[1] > 0
-            ]
+            del_staged = self._stage_nonempty(matched)
             n = sum(r for _p, r, _b, _pv in del_staged)
             if n == 0:
                 self._unstage(del_staged)
@@ -1296,13 +1311,16 @@ class IcebergTableWriter:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        _bv, _cur = self._current()
-        if _cur is not None and self._resolved_mode(
-            _cur, mode, "delete"
+        primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._resolved_mode(
+            primed[1], mode, "delete"
         ) == "mor":
-            return self._delete_mor(spark, predicate, max_retries)
+            return self._delete_mor(
+                spark, predicate, max_retries, primed=primed
+            )
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to "
@@ -1358,6 +1376,7 @@ class IcebergTableWriter:
         assignments: dict[str, str],
         pred: str,
         max_retries: int,
+        primed: tuple[int, dict] | None = None,
     ) -> dict:
         """Merge-on-read UPDATE: preimage positions land in a standard
         POSITION-DELETE file and ONLY the postimages stage as new data
@@ -1366,7 +1385,8 @@ class IcebergTableWriter:
         from pyspark.sql import functions as F
 
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to update"
@@ -1399,13 +1419,13 @@ class IcebergTableWriter:
                     for c in sample.columns
                 ]
             )
-            del_staged = [t for t in self._stage(dels) if t[1] > 0]
+            del_staged = self._stage_nonempty(dels)
             n = sum(r for _p, r, _b, _pv in del_staged)
             if n == 0:
                 self._unstage(del_staged)
                 return {"version": None, "rows_updated": 0,
                         "delete_files": 0}
-            data_staged = [t for t in self._stage(post) if t[1] > 0]
+            data_staged = self._stage_nonempty(post)
             try:
                 snap_id = self._publish_mor(
                     base_v, cur, rdr, del_staged, data_staged,
@@ -1444,13 +1464,16 @@ class IcebergTableWriter:
         from pyspark.sql import functions as F
 
         pred = predicate if predicate is not None else "TRUE"
-        _bv, _cur = self._current()
-        if _cur is not None and self._resolved_mode(
-            _cur, mode, "update"
+        primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._resolved_mode(
+            primed[1], mode, "update"
         ) == "mor":
-            return self._update_mor(spark, assignments, pred, max_retries)
+            return self._update_mor(
+                spark, assignments, pred, max_retries, primed=primed
+            )
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to update"
@@ -1520,6 +1543,7 @@ class IcebergTableWriter:
         source_alias: str,
         max_retries: int,
         delete_matched: bool,
+        primed: tuple[int, dict] | None = None,
     ) -> dict:
         """Merge-on-read MERGE: matched target positions land in one
         POSITION-DELETE file, and only the POSTIMAGES (plus the
@@ -1533,7 +1557,8 @@ class IcebergTableWriter:
 
         cond_col = F.expr(cond)
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to "
@@ -1577,9 +1602,7 @@ class IcebergTableWriter:
                     ).dropDuplicates().sort(
                         "file_path", "pos"
                     ).coalesce(1)
-                    del_staged = [
-                        t for t in self._stage(dels) if t[1] > 0
-                    ]
+                    del_staged = self._stage_nonempty(dels)
                     if assignments:
                         post = joined.select(
                             *[
@@ -1591,16 +1614,20 @@ class IcebergTableWriter:
                                 for c in sample.columns
                             ]
                         )
-                        data_staged += [
-                            t for t in self._stage(post) if t[1] > 0
-                        ]
+                        data_staged += self._stage_nonempty(post)
             rows_inserted = 0
             if insert_exprs is not None:
                 tbl_schema = self.table_schema()
                 if tbl_schema is None:
+                    # unstage the matched staging first — this refusal
+                    # fires AFTER the delete/postimage files landed
+                    self._unstage(del_staged)
+                    self._unstage(data_staged)
                     raise ValueError(
-                        "MERGE into an empty iceberg table with an "
-                        "unmappable schema — append a first batch"
+                        "MERGE: the table schema cannot be mapped to "
+                        "Spark types, so INSERT VALUES has no column "
+                        "shape to project into — use a full Iceberg "
+                        "client"
                     )
                 cols = [(f.name, f.dataType) for f in tbl_schema.fields]
                 if len(insert_exprs) != len(cols):
@@ -1623,9 +1650,7 @@ class IcebergTableWriter:
                         for e, (c, t_) in zip(insert_exprs, cols)
                     ]
                 )
-                ins_staged = [
-                    t for t in self._stage(ins) if t[1] > 0
-                ]
+                ins_staged = self._stage_nonempty(ins)
                 rows_inserted = sum(r for _p, r, _b, _pv in ins_staged)
                 if rows_inserted == 0:
                     self._unstage(ins_staged)
@@ -1690,17 +1715,19 @@ class IcebergTableWriter:
                 "WHEN MATCHED THEN DELETE, and/or WHEN NOT MATCHED "
                 "THEN INSERT expressions"
             )
-        _bv, _cur = self._current()
-        if _cur is not None and self._resolved_mode(
-            _cur, mode, "merge"
+        primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._resolved_mode(
+            primed[1], mode, "merge"
         ) == "mor":
             return self._merge_mor(
                 spark, source, cond, assignments, insert_exprs,
                 target_alias, source_alias, max_retries, delete_matched,
+                primed=primed,
             )
         cond_col = F.expr(cond)
         for _ in range(max_retries):
-            base_v, cur = self._current()
+            base_v, cur = primed or self._current()
+            primed = None  # retries re-read the advanced head
             if cur is None:
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to "
@@ -1792,6 +1819,10 @@ class IcebergTableWriter:
                     )
                 cols = [(f.name, f.dataType) for f in tbl_schema.fields]
                 if len(insert_exprs) != len(cols):
+                    # the matched rewrite already staged — unstage it
+                    # or the files leak (nothing reclaims unreferenced
+                    # data files; candidates come from manifests)
+                    self._unstage(staged)
                     raise ValueError(
                         f"MERGE: INSERT VALUES has {len(insert_exprs)} "
                         f"expressions for {len(cols)} target columns"
@@ -2097,7 +2128,10 @@ class IcebergTableWriter:
                         zorder_by, max_retries,
                     )
             data, parts, ptypes = self._cow_scope(rdr)
-            if len(data) < min_inputs and not zorder_by:
+            if not data or (len(data) < min_inputs and not zorder_by):
+                # nothing to rewrite (zorder included: an empty live
+                # set has nothing to cluster — read.parquet() of zero
+                # paths would crash out of a SQL statement)
                 return None
             src = spark.read.parquet(*[p for p, _u, _s in data])
             if zorder_by:

@@ -1394,6 +1394,29 @@ class TestDeltaRestore:
         with _pytest.raises(ValueError, match="0[.][.]5"):
             w.restore(17)
 
+    def test_restore_across_a_repartitioning_overwrite(
+        self, spark, tmp_path
+    ):
+        """RESTORE must re-commit the target metaData when ONLY the
+        partition spec changed (same schemaString): partition VALUES
+        live only in the log, so restoring the partitioned live set
+        under partitionColumns=[] would read the partition column
+        all-NULL — silent corruption, not a shape error."""
+        root = str(tmp_path / "t")
+        w = DeltaTableWriter(root)
+        w.append(_df(spark, [(1, "a"), (2, "b")], "k long, r string"),
+                 partition_by=["r"])                      # v0
+        w.overwrite(_df(spark, [(9, "z")], "k long, r string"),
+                    expected_version=1, partition_by=[])  # v1: de-part
+        w.restore(0)                                      # v2
+        t = DeltaLogTable(root)
+        got = {(x["k"], x["r"]) for x in t.snapshot(spark).collect()}
+        assert got == {(1, "a"), (2, "b")}  # r synthesized, not NULL
+        # and the reverse: restore back to the unpartitioned v1
+        w.restore(1)
+        assert {(x["k"], x["r"])
+                for x in t.snapshot(spark).collect()} == {(9, "z")}
+
     def test_restore_past_retention_refuses(self, spark, tmp_path):
         import pytest as _pytest
 

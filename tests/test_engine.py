@@ -238,6 +238,31 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="pinned"):
             eng.sql("RESTORE TABLE reg0 TO VERSION AS OF 0")
 
+    def test_restore_to_an_empty_version(self, spark, tables, tmp_path):
+        """RESTORE to a version whose live set is EMPTY (everything
+        was deleted there) is legal state: the view re-registers as an
+        empty frame under the pinned schema — not a post-commit crash
+        leaving a stale view."""
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(tables["region"].limit(2))     # v0
+        t.delete(spark, "TRUE")                 # v1: empty live set
+        t.append(tables["region"].limit(5))     # v2
+        eng = Engine(spark)
+        eng.sql(f"ATTACH TABLE reg FROM txnlog LOCATION '{t.path}'")
+        eng.sql("RESTORE TABLE reg TO VERSION AS OF 1")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM reg"
+        ).collect()[0]["n"] == 0
+        # schema intact on the empty view; and restoring forward works
+        assert "r_name" in eng.sql("SELECT * FROM reg").columns
+        eng.sql("RESTORE TABLE reg TO VERSION AS OF 2")
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM reg"
+        ).collect()[0]["n"] == 5
+
     def test_restore_statement_on_delta_and_iceberg(
         self, spark, tables, tmp_path
     ):

@@ -1389,6 +1389,34 @@ class TestIcebergMergeOnRead:
             == "replace"
         )
 
+    def test_no_match_mutations_leave_no_orphans(self, spark, tmp_path):
+        """A MoR mutation matching nothing must not leave 0-row staged
+        parquet behind in data/ — nothing reclaims unreferenced files
+        (expire_snapshots walks manifest trees, never the directory)."""
+        import os as _os
+
+        w = self._table(spark, tmp_path)
+        data_dir = _os.path.join(w.path, "data")
+        before = set(_os.listdir(data_dir))
+        assert w.delete(spark, "k = 999", mode="mor")["version"] is None
+        assert w.update(
+            spark, {"v": "v"}, "k = 999", mode="mor"
+        )["version"] is None
+        src = spark.createDataFrame([(999, 0.0)], "k long, x double")
+        # matched-nothing merge with a BAD insert arity: refusal must
+        # also unstage whatever landed
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="expressions for"):
+            w.merge(spark, src, "t.k = s.k", {"v": "s.x"}, ["s.k"],
+                    mode="mor")
+        assert set(_os.listdir(data_dir)) == before
+
+    def test_zorder_on_emptied_table_is_a_noop(self, spark, tmp_path):
+        w = self._table(spark, tmp_path)
+        w.delete(spark, "TRUE")  # COW: every file drops, live set empty
+        assert w.optimize(spark, zorder_by=["k"]) is None  # not a crash
+
     def test_mor_refuses_partitioned_tables(self, spark, tmp_path):
         import pytest as _pytest
 

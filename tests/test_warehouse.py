@@ -2236,15 +2236,10 @@ class TestCopyOnWrite:
         # through the LOG: a fresh standard reader sees both mutations
         assert {(r["id"], r["s"]) for r in
                 DeltaLogTable(droot).snapshot(spark).collect()} == {(2, "z")}
-        # iceberg DELETE/UPDATE/MERGE and OPTIMIZE/VACUUM graduated
-        # later in round 11 (test_iceberg.py pins the round trips);
-        # ZORDER re-clustering is the surface that still refuses
-        eng._attached["icy2"] = {
-            "fmt": "iceberg", "path": droot, "version": None,
-        }
-        with _pytest.raises(AdtError, match="ZORDER on iceberg"):
-            eng.sql("OPTIMIZE TABLE icy2 ZORDER BY (id)")
-        # and a VERSION-pinned attachment refuses too
+        # iceberg DELETE/UPDATE/MERGE, OPTIMIZE/VACUUM, and finally
+        # ZORDER (once the writer emits manifest bounds) all graduated
+        # in round 11 — test_iceberg.py pins those round trips
+        # a VERSION-pinned attachment refuses mutation
         eng.sql(
             f"ATTACH TABLE tl0 FROM txnlog LOCATION '{t.path}' VERSION 2"
         )
