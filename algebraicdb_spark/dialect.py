@@ -225,6 +225,9 @@ _DROP_MATVIEW_RE = re.compile(
 _DESCRIBE_HISTORY_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_TBLPROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
 _RESTORE_TABLE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>\w+)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"

@@ -69,6 +69,7 @@ from algebraicdb_spark.dialect import (
     _DESCRIBE_HISTORY_RE,
     _DESCRIBE_RE,
     _RESTORE_TABLE_RE,
+    _SHOW_TBLPROPS_RE,
     _DROP_FUNCTION_RE,
     _DROP_MATVIEW_RE,
     _DROP_VIEW_RE,
@@ -442,6 +443,10 @@ class Engine:
             return self._restore_stmt(
                 m.group("name"), m.group("ver"), m.group("ts")
             )
+        if _SHOW_TBLPROPS_RE.match(stmt):
+            return self._show_tblprops_stmt(
+                _SHOW_TBLPROPS_RE.match(stmt).group("name")
+            )
         if _DESCRIBE_RE.match(stmt):
             return self._describe_stmt(_DESCRIBE_RE.match(stmt).group("name"))
         if _CREATE_VIEW_RE.match(stmt):
@@ -770,6 +775,34 @@ class Engine:
         self._reattach_after_mutation(name, t)
         return None
 
+    def _show_tblprops_stmt(self, name: str) -> DataFrame:
+        """SHOW TBLPROPERTIES n — the properties/configuration map of
+        an ATTACHed lakehouse table (iceberg properties, delta
+        configuration; txnlog has none), one (key, value) row each."""
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        if name not in self._attached:
+            raise AdtError(
+                f"SHOW TBLPROPERTIES: {name!r} is not an ATTACHed "
+                "table (dialect tables carry no properties)"
+            )
+        att = self._attached[name]
+        if att["fmt"] == "iceberg":
+            props = IcebergTableWriter(att["path"]).properties()
+        elif att["fmt"] == "delta":
+            props = DeltaTableWriter(att["path"]).properties()
+        else:
+            props = {}
+        rows = sorted((str(k), str(v)) for k, v in props.items())
+        return self.spark.createDataFrame(
+            rows or [], "key string, value string"
+        )
+
     def _describe_history_stmt(self, name: str) -> DataFrame:
         """DESCRIBE HISTORY n — the commit/snapshot audit trail of an
         ATTACHed lakehouse table, across all three formats: txnlog
@@ -945,10 +978,53 @@ class Engine:
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
         att = self._attached[name]
+        sp = re.fullmatch(
+            r"SET\s+PROPERTIES\s*\((?P<kvs>.+)\)",
+            action, re.IGNORECASE | re.DOTALL,
+        )
+        if sp:
+            # table properties are the formats' own knob surface
+            # (iceberg `write.<op>.mode=merge-on-read`, delta
+            # configuration) — committed through the REAL writers, so
+            # every engine sees them; '' as the value DELETES the key
+            if att["version"] is not None:
+                raise AdtError(
+                    f"ALTER TABLE: {name!r} is pinned at VERSION "
+                    f"{att['version']} — re-ATTACH at latest first"
+                )
+            pairs = re.findall(
+                r"'([^']*)'\s*=\s*'([^']*)'", sp.group("kvs")
+            )
+            if not pairs:
+                raise AdtError(
+                    "ALTER TABLE … SET PROPERTIES expects "
+                    "('key' = 'value', …) string pairs"
+                )
+            props = dict(pairs)
+            try:
+                if att["fmt"] == "iceberg":
+                    from algebraicdb_spark.operators.iceberg_writer import (
+                        IcebergTableWriter,
+                    )
+
+                    IcebergTableWriter(att["path"]).set_properties(props)
+                elif att["fmt"] == "delta":
+                    DeltaTableWriter(att["path"]).set_properties(props)
+                else:
+                    raise AdtError(
+                        f"ALTER TABLE {name}: txnlog tables have no "
+                        "properties surface — the knobs are writer "
+                        "arguments (stats_cols, zorder_by, retention)"
+                    )
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"ALTER TABLE {name}: {exc}") from exc
+            return None
         if att["fmt"] == "iceberg":
             raise AdtError(
-                f"ALTER TABLE: {name!r} is iceberg interop — read-only; "
-                "evolve it with its owning system"
+                f"ALTER TABLE: schema evolution on iceberg attachment "
+                f"{name!r} needs field-id assignment this writer does "
+                "not do — evolve it with its owning system (SET "
+                "PROPERTIES works; mutation/maintenance work)"
             )
         if att["version"] is not None:
             raise AdtError(
@@ -1342,11 +1418,14 @@ class Engine:
             schema = StructType.fromJson(_json.loads(schema))
         try:
             non_empty = bool(t.live_paths())
-        except NotImplementedError:
-            # live_paths refuses when a live add carries a deletion
-            # vector (a raw path list would resurrect deleted rows) —
-            # which itself proves the table is non-empty; snapshot()
-            # applies the vectors
+        except (NotImplementedError, ValueError):
+            # live_paths refuses when the live set carries
+            # merge-on-read state — a Delta deletion vector
+            # (NotImplementedError) or an iceberg position-delete file
+            # (ValueError): a raw path list would resurrect deleted
+            # rows, which itself proves the table is non-empty;
+            # snapshot() applies the deletes (and if the refusal was
+            # anything else, snapshot() surfaces it loudly right here)
             non_empty = True
         if non_empty:
             df = t.snapshot(self.spark)
@@ -1372,10 +1451,13 @@ class Engine:
             # the predicate passes the SAME text lowering as every
             # other statement (macros, ADT patterns) — a WHERE clause
             # that works in SELECT must work in DELETE
-            t.delete(
-                self.spark,
-                self._rewrite(pred) if pred is not None else "TRUE",
-            )
+            try:
+                t.delete(
+                    self.spark,
+                    self._rewrite(pred) if pred is not None else "TRUE",
+                )
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"DELETE {name}: {exc}") from exc
             self._reattach_after_mutation(name, t)
             return
         if name not in self._tables:
@@ -1399,14 +1481,17 @@ class Engine:
         self._refuse_view_mutation("UPDATE", name)
         if name in self._attached:
             t = self._mutable_attachment("UPDATE", name)
-            t.update(
-                self.spark,
-                {
-                    c: self._rewrite(e)
-                    for c, e in parse_update_sets(sets)
-                },
-                self._rewrite(pred) if pred is not None else None,
-            )
+            try:
+                t.update(
+                    self.spark,
+                    {
+                        c: self._rewrite(e)
+                        for c, e in parse_update_sets(sets)
+                    },
+                    self._rewrite(pred) if pred is not None else None,
+                )
+            except (ValueError, NotImplementedError) as exc:
+                raise AdtError(f"UPDATE {name}: {exc}") from exc
             self._reattach_after_mutation(name, t)
             return
         td = self._tables.get(name)

@@ -471,6 +471,96 @@ class DeltaTableWriter:
             "— table is under pathological write contention"
         )
 
+    # delta.* configuration keys this minimal writer can honestly
+    # commit: ones it HONORS itself (appendOnly gates mutations,
+    # retention keys are advisory durations) — anything else under the
+    # delta.* prefix may imply protocol features (CDF, generated
+    # columns, column mapping…) this writer would then silently not
+    # uphold. Non-delta keys are freeform user properties.
+    _SETTABLE_DELTA_KEYS = {
+        "delta.appendOnly",
+        "delta.logRetentionDuration",
+        "delta.deletedFileRetentionDuration",
+        "delta.dataSkippingNumIndexedCols",
+    }
+
+    def set_properties(
+        self, props: dict[str, str], max_retries: int = 8
+    ) -> int | None:
+        """``SET TBLPROPERTIES`` as one metaData commit: merge
+        ``props`` into the table configuration (None/'' deletes a
+        key). ``delta.enableDeletionVectors=true`` ROUTES to
+        ``enable_deletion_vectors`` — it needs the protocol upgrade
+        committed atomically with the flag, not a bare config write;
+        other delta.*-prefixed keys outside the honored set refuse
+        (committing a capability flag this writer would not uphold is
+        the silent-corruption shape the writer gate exists for)."""
+        props = {str(k): v for k, v in props.items()}
+        if str(props.get("delta.enableDeletionVectors", "")
+               ).lower() == "true":
+            rest = {k: v for k, v in props.items()
+                    if k != "delta.enableDeletionVectors"}
+            v = self.enable_deletion_vectors(max_retries=max_retries)
+            if not rest:
+                return v
+            props = rest
+        bad = sorted(
+            k for k in props
+            if k.startswith("delta.")
+            and k not in self._SETTABLE_DELTA_KEYS
+        )
+        if bad:
+            raise NotImplementedError(
+                f"SET PROPERTIES on {self.path}: {bad} are delta "
+                "capability keys this minimal writer does not uphold — "
+                "committing the flag without the behavior would lie to "
+                "every other client; use a full Delta client"
+            )
+        for _ in range(max_retries):
+            rdr = self.reader()
+            # pinned head — see enable_deletion_vectors for the
+            # lost-update window two separate reads would open
+            head = rdr.latest_version()
+            proto, meta = rdr._protocol_meta(head if head >= 0 else None)
+            self._check_writable(proto, meta, "ALTER", data_change=False)
+            if not meta:
+                raise ValueError(
+                    f"SET PROPERTIES on {self.path}: table has no "
+                    "metaData to carry the configuration — append a "
+                    "first batch"
+                )
+            conf = meta.get("configuration") or {}
+            if isinstance(conf, list):
+                conf = dict(conf)
+            conf = dict(conf)
+            for k, v in props.items():
+                if v in (None, ""):
+                    conf.pop(k, None)
+                else:
+                    conf[k] = str(v)
+            m = {k: v for k, v in meta.items() if v is not None}
+            m["configuration"] = conf
+            try:
+                self._publish(head + 1, [
+                    self._commit_info(
+                        "SET TBLPROPERTIES", properties=props
+                    ),
+                    {"metaData": m},
+                ])
+                return head + 1
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"set_properties lost {max_retries} publish races — table "
+            "is under pathological write contention"
+        )
+
+    def properties(self) -> dict[str, str]:
+        """The current configuration map (empty when unset)."""
+        _p, meta = self.reader()._protocol_meta()
+        conf = (meta or {}).get("configuration") or {}
+        return dict(conf) if not isinstance(conf, list) else dict(conf)
+
     @staticmethod
     def _commit_info(operation: str, **params) -> dict:
         return {"commitInfo": {

@@ -2296,6 +2296,56 @@ class IcebergTableWriter:
             "contention"
         )
 
+    def set_properties(
+        self, props: dict[str, str], max_retries: int = 8
+    ) -> int:
+        """Merge ``props`` into the table's freeform properties map in
+        a new metadata version (the same CAS publish as every metadata
+        change) — Iceberg's own knob surface: `write.delete.mode =
+        merge-on-read` here is what flips this writer's (and every
+        engine's) mutations to MoR. A value of None/'' DELETES the
+        key. Returns the new metadata version."""
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"set_properties on {self.path}: table has no commits"
+                )
+            now = int(time.time() * 1000)
+            merged = dict(cur.get("properties") or {})
+            for k, v in props.items():
+                if v in (None, ""):
+                    merged.pop(str(k), None)
+                else:
+                    merged[str(k)] = str(v)
+            md = dict(cur)
+            md["properties"] = merged
+            md["last-updated-ms"] = now
+            target = os.path.join(
+                self.meta_dir, f"v{base_v + 1}.metadata.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(md, f)
+            except FileExistsError:
+                continue  # racer advanced the metadata: re-derive
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            tmp = hint + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(base_v + 1))
+            os.replace(tmp, hint)
+            return base_v + 1
+        raise ConcurrentWriteError(
+            f"iceberg set_properties lost {max_retries} metadata "
+            "publish races — table is under pathological write "
+            "contention"
+        )
+
+    def properties(self) -> dict[str, str]:
+        """The current freeform properties map (empty when unset)."""
+        _v, cur = self._current()
+        return dict((cur or {}).get("properties") or {})
+
     def rollback(self, snapshot_id: int, max_retries: int = 8) -> int:
         """Iceberg's rollback_to_snapshot — RESTORE's metadata-only
         twin on this format: point ``current-snapshot-id`` back at an

@@ -238,6 +238,78 @@ class TestAttachTable:
         with _pytest.raises(AdtError, match="pinned"):
             eng.sql("RESTORE TABLE reg0 TO VERSION AS OF 0")
 
+    def test_set_and_show_table_properties(self, spark, tables, tmp_path):
+        """ALTER TABLE … SET PROPERTIES / SHOW TBLPROPERTIES — the
+        formats' own knob surface from SQL: flipping iceberg's
+        write.delete.mode makes the next DELETE merge-on-read, delta's
+        enableDeletionVectors routes through the protocol upgrade,
+        capability keys this writer cannot uphold refuse, and txnlog
+        (no properties surface) refuses SET but answers SHOW empty."""
+        import pytest as _pytest
+
+        from algebraicdb_spark.engine import Engine
+        from algebraicdb_spark.functions.adt import AdtError
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import TxnLogTable
+
+        eng = Engine(spark)
+        iw = IcebergTableWriter(str(tmp_path / "i"))
+        iw.append(tables["region"].limit(3).coalesce(1))
+        eng.sql(f"ATTACH TABLE ic FROM iceberg LOCATION '{iw.path}'")
+        eng.sql(
+            "ALTER TABLE ic SET PROPERTIES "
+            "('write.delete.mode' = 'merge-on-read', 'owner' = 'me')"
+        )
+        got = {r["key"]: r["value"] for r in eng.sql(
+            "SHOW TBLPROPERTIES ic").collect()}
+        assert got == {"write.delete.mode": "merge-on-read",
+                       "owner": "me"}
+        eng.sql("DELETE FROM ic WHERE r_regionkey = 0")
+        _d, pos, _e = IcebergTable(iw.path)._files(None)
+        assert len(pos) == 1  # auto → MoR via the property
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ic").collect()[0]["n"] == 2
+        # '' deletes a key
+        eng.sql("ALTER TABLE ic SET PROPERTIES ('owner' = '')")
+        assert "owner" not in {
+            r["key"] for r in eng.sql("SHOW TBLPROPERTIES ic").collect()
+        }
+        # delta: enableDeletionVectors routes to the protocol upgrade
+        dw = DeltaTableWriter(str(tmp_path / "d"))
+        dw.append(tables["region"].limit(3).coalesce(1))
+        eng.sql(f"ATTACH TABLE dl FROM delta LOCATION '{dw.path}'")
+        eng.sql(
+            "ALTER TABLE dl SET PROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')"
+        )
+        proto, _m = dw.reader()._protocol_meta()
+        assert "deletionVectors" in proto["writerFeatures"]
+        # a capability key this writer would not uphold refuses
+        with _pytest.raises(AdtError, match="capability"):
+            eng.sql(
+                "ALTER TABLE dl SET PROPERTIES "
+                "('delta.enableChangeDataFeed' = 'true')"
+            )
+        # appendOnly IS honored: set it, mutation refuses
+        eng.sql(
+            "ALTER TABLE dl SET PROPERTIES ('delta.appendOnly' = 'true')"
+        )
+        with _pytest.raises(AdtError, match="append-only"):
+            eng.sql("DELETE FROM dl WHERE r_regionkey = 0")
+        # txnlog: no properties surface
+        t = TxnLogTable(str(tmp_path / "t"))
+        t.append(tables["region"].limit(2))
+        eng.sql(f"ATTACH TABLE tl FROM txnlog LOCATION '{t.path}'")
+        with _pytest.raises(AdtError, match="no.*properties"):
+            eng.sql("ALTER TABLE tl SET PROPERTIES ('x' = 'y')")
+        assert eng.sql("SHOW TBLPROPERTIES tl").count() == 0
+
     def test_restore_to_an_empty_version(self, spark, tables, tmp_path):
         """RESTORE to a version whose live set is EMPTY (everything
         was deleted there) is legal state: the view re-registers as an
