@@ -272,6 +272,10 @@ _MANIFEST_SCHEMA = {
                     {"name": "upper_bounds",
                      "type": ["null", _bound_map_type("k128_v129")],
                      "default": None},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}],
+                     "default": None},
                 ],
             },
         },
@@ -1016,13 +1020,20 @@ class IcebergTableWriter:
 
     def _mor_scope(
         self, rdr
-    ) -> tuple[list[tuple[str, str, int | None]], list[str]]:
+    ) -> tuple[
+        list[tuple[str, str, int | None]],
+        list[str],
+        list[tuple[str, int, tuple[int, ...]]],
+    ]:
         """Gate + live sets for a MERGE-ON-READ mutation: (data
-        entries, live position-delete paths). Position-delete files
-        are partition-scoped under a partition spec, which this writer
-        does not emit — partitioned tables take the COW path; live
-        EQUALITY deletes refuse (their ordering would have to compose
-        with the new positions)."""
+        entries, live position-delete paths, live equality deletes).
+        Position-delete files are partition-scoped under a partition
+        spec, which this writer does not emit — partitioned tables
+        take the COW path. Live equality deletes are APPLIED by the
+        probe (``_live_identity`` mirrors the reader's stratum joins),
+        so an upsert-then-mutate history composes; data files with no
+        resolvable sequence under a live equality delete refuse
+        through the reader's own rule at scan time."""
         cur = rdr.meta
         if self._cur_parts(cur):
             raise NotImplementedError(
@@ -1032,24 +1043,32 @@ class IcebergTableWriter:
             )
         data, pos_d, eq_d = rdr._files(None)
         if eq_d:
-            raise NotImplementedError(
-                f"{self.path}: merge-on-read mutation under live "
-                "EQUALITY deletes — composing their sequence ordering "
-                "with new position deletes is a full client's job"
-            )
-        return data, pos_d
+            unseq = [p for p, _u, s in data if s is None]
+            if unseq:
+                raise NotImplementedError(
+                    f"{self.path}: equality deletes are live but data "
+                    f"file(s) {unseq[:3]} have no resolvable sequence "
+                    "number — ordering them is impossible; use a full "
+                    "Iceberg client"
+                )
+        return data, pos_d, eq_d
 
     def _live_identity(
         self,
         spark: SparkSession,
         data: list[tuple[str, str, int | None]],
         pos_d: list[str],
+        eq_d: list[tuple[str, int, tuple[int, ...]]] | None = None,
+        rdr: IcebergTable | None = None,
     ):
         """The LIVE rows with their (recorded data file URI, physical
         row ordinal) identity as ``__uri``/``__pos`` — existing
-        position deletes are APPLIED first (a deleted row must never
-        rematch: the delete set unions monotonically), exactly the
-        reader's MoR plan."""
+        position AND equality deletes are APPLIED first (a deleted row
+        must never rematch, and an UPDATE postimage of an
+        equality-deleted row would RESURRECT it), exactly the reader's
+        MoR plan: positions anti-join on (uri, pos), equality strata
+        anti-join null-safe on their named columns with the spec's
+        strictly-lower-sequence rule."""
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(*[p for p, _u, _s in data]).select(
@@ -1067,7 +1086,8 @@ class IcebergTableWriter:
             "__lp", F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
         )
         mapping = spark.createDataFrame(
-            [(p, u) for p, u, _s in data], "__lp string, __uri string"
+            [(p, u, s) for p, u, s in data],
+            "__lp string, __uri string, __seq long",
         )
         df = df.join(F.broadcast(mapping), "__lp", "inner")
         if pos_d:
@@ -1076,7 +1096,36 @@ class IcebergTableWriter:
                 F.col("pos").cast("long").alias("__pos"),
             )
             df = df.join(dels, ["__uri", "__pos"], "left_anti")
-        return df.drop("__fp", "__lp")
+        for (seq, ids), dpaths in sorted(
+            self._eq_strata(eq_d).items()
+        ):
+            by_id = rdr._field_names_by_id()
+            missing = [i for i in ids if i not in by_id]
+            if missing:
+                raise NotImplementedError(
+                    f"{self.path}: equality_ids {missing} name nested "
+                    "or unknown fields — use a full Iceberg client"
+                )
+            names = [by_id[i] for i in ids]
+            eq = spark.read.parquet(*dpaths).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in names]
+            ).dropDuplicates()
+            conds = [df[c].eqNullSafe(eq[f"__eq_{c}"]) for c in names]
+            conds.append(F.col("__seq") < F.lit(seq))
+            pred = conds[0]
+            for c in conds[1:]:
+                pred = pred & c
+            df = df.join(F.broadcast(eq), pred, "left_anti")
+        return df.drop("__fp", "__lp", "__seq")
+
+    @staticmethod
+    def _eq_strata(
+        eq_d: list[tuple[str, int, tuple[int, ...]]] | None,
+    ) -> dict[tuple[int, tuple[int, ...]], list[str]]:
+        groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+        for p, seq, ids in eq_d or []:
+            groups.setdefault((seq, ids), []).append(p)
+        return groups
 
     def _probe_mor_matches(
         self,
@@ -1084,11 +1133,13 @@ class IcebergTableWriter:
         data: list[tuple[str, str, int | None]],
         pos_d: list[str],
         predicate: str,
+        eq_d=None,
+        rdr: IcebergTable | None = None,
     ):
         """``_live_identity`` filtered to the predicate's matches."""
         from pyspark.sql import functions as F
 
-        return self._live_identity(spark, data, pos_d).where(
+        return self._live_identity(spark, data, pos_d, eq_d, rdr).where(
             F.expr(predicate)
         )
 
@@ -1101,14 +1152,20 @@ class IcebergTableWriter:
         data_staged: list[tuple[str, int, int, dict]],
         operation: str,
         extra_summary: dict[str, str],
+        del_content: int = 1,
+        del_eq_ids: list[int] | None = None,
     ) -> int:
         """Publish one merge-on-read snapshot: the previous manifest
-        list carries forward VERBATIM (nothing rewrote), plus a
-        content=1 DELETE manifest for the new position-delete file(s)
-        and — for UPDATE/MERGE postimages — a content=0 data manifest.
-        O(changed rows) committed; zero data rewrite. Loses the race →
-        unlinks its avros and raises (the caller unstages + re-probes
-        on the new head)."""
+        list carries forward VERBATIM (nothing rewrote), plus a DELETE
+        manifest for the new delete file(s) (``del_content``: 1 =
+        position deletes, 2 = equality deletes carrying
+        ``del_eq_ids``) and — for postimages/upsert batches — a
+        content=0 data manifest AT THE SAME sequence number, which is
+        what makes an equality-delete upsert atomic: the delete
+        applies to strictly-lower sequences, so the batch it rides
+        with survives. O(changed rows) committed; zero data rewrite.
+        Loses the race → unlinks its avros and raises (the caller
+        unstages + re-probes on the new head)."""
         now_ms = int(time.time() * 1000)
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
@@ -1126,7 +1183,13 @@ class IcebergTableWriter:
                 ).records
             ]
 
-            def manifest(staged, content: int) -> None:
+            def manifest(
+                staged, file_content: int,
+                eq_ids: list[int] | None = None,
+            ) -> None:
+                # file_content: 0 = data, 1 = position deletes,
+                # 2 = equality deletes; the manifest-LIST row is
+                # binary — 0 for data manifests, 1 for any deletes
                 mp = os.path.join(
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
                 )
@@ -1134,7 +1197,7 @@ class IcebergTableWriter:
                 for p, rows, size, _pv in staged:
                     lo_b, hi_b = (
                         _footer_bounds(p, cur_fields)
-                        if content == 0 else (None, None)
+                        if file_content == 0 else (None, None)
                     )
                     entries.append({
                         "status": 1,
@@ -1142,7 +1205,7 @@ class IcebergTableWriter:
                         "sequence_number": seq,
                         "file_sequence_number": seq,
                         "data_file": {
-                            "content": content,
+                            "content": file_content,
                             "file_path": p,
                             "file_format": "PARQUET",
                             "partition": {},
@@ -1150,6 +1213,7 @@ class IcebergTableWriter:
                             "file_size_in_bytes": size,
                             "lower_bounds": lo_b,
                             "upper_bounds": hi_b,
+                            "equality_ids": eq_ids,
                         },
                     })
                 AvroFileWriter.write(mp, mschema, entries)
@@ -1159,7 +1223,7 @@ class IcebergTableWriter:
                     "manifest_path": mp,
                     "manifest_length": os.path.getsize(mp),
                     "partition_spec_id": 0,
-                    "content": content,
+                    "content": 0 if file_content == 0 else 1,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
                     "added_snapshot_id": snap_id,
@@ -1174,7 +1238,7 @@ class IcebergTableWriter:
             if data_staged:
                 manifest(data_staged, 0)
             if del_staged:
-                manifest(del_staged, 1)
+                manifest(del_staged, del_content, eq_ids=del_eq_ids)
             ml_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
@@ -1245,12 +1309,12 @@ class IcebergTableWriter:
                     "delete from"
                 )
             rdr = self.reader()
-            data, pos_d = self._mor_scope(rdr)
+            data, pos_d, eq_d = self._mor_scope(rdr)
             if not data:
                 return {"version": None, "rows_deleted": 0,
                         "delete_files": 0}
             matched = self._probe_mor_matches(
-                spark, data, pos_d, predicate
+                spark, data, pos_d, predicate, eq_d, rdr
             ).select(
                 F.col("__uri").alias("file_path"),
                 F.col("__pos").cast("long").alias("pos"),
@@ -1275,6 +1339,107 @@ class IcebergTableWriter:
         raise ConcurrentWriteError(
             f"iceberg mor delete lost {max_retries} metadata publish "
             "races — table is under pathological write contention"
+        )
+
+    def upsert_by_key(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        max_retries: int = 8,
+        app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> dict:
+        """Keyed UPSERT via v2 EQUALITY DELETES — what equality deletes
+        exist FOR: one commit lands (a) an equality-delete file of the
+        batch's key values and (b) the batch itself as data files, at
+        the SAME sequence number. The spec's strictly-lower-sequence
+        rule makes it atomic: old rows with those keys die, the new
+        batch survives. NO probe scan at all — O(batch) cost
+        regardless of table size or where the old rows live, which is
+        why streaming CDC sinks use this shape (a MERGE must at least
+        semi-join the table; this touches zero existing bytes).
+
+        Composes with live position AND equality deletes (the reader
+        orders strata by sequence — validated on hand-written
+        fixtures). ``app_id``/``txn_version`` ride the snapshot
+        summary as the same exactly-once replay marks ``append_txn``
+        uses: a redelivered (app_id, txn_version) no-ops. Keys must be
+        top-level schema columns; partitioned tables refuse (delete
+        files are partition-scoped under a spec this writer does not
+        emit)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        if not key_cols:
+            raise ValueError("upsert_by_key needs at least one key column")
+        fields = _iceberg_fields(source)
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "upsert into — append the first batch"
+                )
+            if self._cur_parts(cur):
+                raise NotImplementedError(
+                    f"{self.path}: upsert_by_key on a PARTITIONED "
+                    "table — delete files are partition-scoped under "
+                    "a spec this writer does not emit; use merge()"
+                )
+            self._gate_schema(cur, fields)
+            if app_id is not None:
+                mark = -1
+                for s in (cur or {}).get("snapshots") or []:
+                    summ = s.get("summary") or {}
+                    if summ.get("txn-app-id") == app_id:
+                        try:
+                            mark = max(
+                                mark, int(summ.get("txn-version", -1))
+                            )
+                        except (TypeError, ValueError):
+                            continue
+                if txn_version is not None and txn_version <= mark:
+                    return {"version": None, "rows_upserted": 0,
+                            "keys_deleted": 0}
+            by_name = {f["name"]: f for f in self._cur_fields(cur)}
+            missing = [c for c in key_cols if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"upsert_by_key: key column(s) {missing} not in "
+                    "the table schema"
+                )
+            eq_ids = [int(by_name[c]["id"]) for c in key_cols]
+            keys = source.select(*key_cols).dropDuplicates().coalesce(1)
+            del_staged = self._stage_nonempty(keys)
+            data_staged = self._stage_nonempty(source)
+            n_rows = sum(r for _p, r, _b, _pv in data_staged)
+            n_keys = sum(r for _p, r, _b, _pv in del_staged)
+            if n_rows == 0:
+                self._unstage(del_staged)
+                return {"version": None, "rows_upserted": 0,
+                        "keys_deleted": 0}
+            rdr = self.reader()
+            summary = {"upserted-records": str(n_rows),
+                       "added-delete-files": str(len(del_staged))}
+            if app_id is not None and txn_version is not None:
+                summary["txn-app-id"] = app_id
+                summary["txn-version"] = str(txn_version)
+            try:
+                snap_id = self._publish_mor(
+                    base_v, cur, rdr, del_staged, data_staged,
+                    "overwrite", summary,
+                    del_content=2, del_eq_ids=eq_ids,
+                )
+                return {"version": snap_id, "rows_upserted": n_rows,
+                        "keys_deleted": n_keys}
+            except ConcurrentWriteError:
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                continue  # racer advanced the metadata: re-derive
+        raise ConcurrentWriteError(
+            f"iceberg upsert_by_key lost {max_retries} metadata "
+            "publish races — table is under pathological write "
+            "contention"
         )
 
     def _resolved_mode(self, cur: dict, mode: str, op: str) -> str:
@@ -1392,7 +1557,7 @@ class IcebergTableWriter:
                     f"iceberg table {self.path} has no commits to update"
                 )
             rdr = self.reader()
-            data, pos_d = self._mor_scope(rdr)
+            data, pos_d, eq_d = self._mor_scope(rdr)
             if not data:
                 return {"version": None, "rows_updated": 0,
                         "delete_files": 0}
@@ -1404,7 +1569,9 @@ class IcebergTableWriter:
                     f"UPDATE assigns unknown column(s) {unknown} — the "
                     "table schema is pinned"
                 )
-            hit = self._probe_mor_matches(spark, data, pos_d, pred)
+            hit = self._probe_mor_matches(
+                spark, data, pos_d, pred, eq_d, rdr
+            )
             matched = hit.localCheckpoint()  # probe once, use twice
             dels = matched.select(
                 F.col("__uri").alias("file_path"),
@@ -1565,9 +1732,11 @@ class IcebergTableWriter:
                     "merge into"
                 )
             rdr = self.reader()
-            data, pos_d = self._mor_scope(rdr)
+            data, pos_d, eq_d = self._mor_scope(rdr)
             tgt = (
-                self._live_identity(spark, data, pos_d).localCheckpoint()
+                self._live_identity(
+                    spark, data, pos_d, eq_d, rdr
+                ).localCheckpoint()
                 if data else None
             )
             sample = (
@@ -2118,11 +2287,13 @@ class IcebergTableWriter:
             rdr = self.reader()
             if not self._cur_parts(cur):
                 _d, live_pos, live_eq = rdr._files(None)
-                if live_pos and not live_eq:
-                    # PURGE pass: rewrite the MoR-applied content and
-                    # drop the delete manifests — iceberg's
-                    # rewrite_data_files repaying the read-side debt,
-                    # exactly like Delta OPTIMIZE purging DVs
+                if live_pos or live_eq:
+                    # PURGE pass: rewrite the MoR-applied content
+                    # (snapshot() applies position AND equality
+                    # deletes) and drop the delete manifests —
+                    # iceberg's rewrite_data_files repaying the
+                    # read-side debt, exactly like Delta OPTIMIZE
+                    # purging DVs
                     return self._optimize_purge(
                         spark, base_v, cur, rdr, target_files,
                         zorder_by, max_retries,
@@ -2184,7 +2355,7 @@ class IcebergTableWriter:
             if cur is None:
                 base_v, cur = self._current()
                 rdr = self.reader()
-            data, pos_d, _eq = rdr._files(None)
+            data, pos_d, eq_d = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content
             if zorder_by:
                 from algebraicdb_spark.operators.txnlog import (
@@ -2197,7 +2368,8 @@ class IcebergTableWriter:
             else:
                 df = src.coalesce(max(target_files, 1))
             staged = self._stage(df)
-            extra = {"purged-position-deletes": str(len(pos_d))}
+            extra = {"purged-position-deletes": str(len(pos_d)),
+                     "purged-equality-deletes": str(len(eq_d))}
             if zorder_by:
                 extra["zorder-by"] = ",".join(zorder_by)
             try:

@@ -1389,6 +1389,88 @@ class TestIcebergMergeOnRead:
             == "replace"
         )
 
+    def test_upsert_by_key_via_equality_deletes(self, spark, tmp_path):
+        """Keyed upsert as ONE snapshot: an equality-delete file of
+        the batch's keys + the batch itself at the SAME sequence — the
+        spec's strictly-lower rule makes it atomic, with NO probe scan
+        (O(batch) regardless of table size; the shape streaming CDC
+        sinks use). Reads resolve through the reader's fixture-
+        validated stratum ordering."""
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "u"))
+        w.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1))
+        r = w.upsert_by_key(spark, spark.createDataFrame(
+            [(2, "B"), (4, "d")], "k long, v string"
+        ).coalesce(1), ["k"])
+        assert (r["rows_upserted"], r["keys_deleted"]) == (2, 2)
+        t = IcebergTable(w.path)
+        assert {
+            (x["k"], x["v"]) for x in t.snapshot(spark).collect()
+        } == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+        # strata compose: a second upsert re-targets the first's rows
+        w.upsert_by_key(spark, spark.createDataFrame(
+            [(4, "D"), (1, "A")], "k long, v string"
+        ).coalesce(1), ["k"])
+        assert {
+            (x["k"], x["v"])
+            for x in IcebergTable(w.path).snapshot(spark).collect()
+        } == {(1, "A"), (2, "B"), (3, "c"), (4, "D")}
+        # exactly-once marks: a redelivered (app, version) no-ops
+        r1 = w.upsert_by_key(
+            spark,
+            spark.createDataFrame([(9, "z")], "k long, v string")
+            .coalesce(1),
+            ["k"], app_id="cdc", txn_version=7,
+        )
+        r2 = w.upsert_by_key(
+            spark,
+            spark.createDataFrame([(9, "z")], "k long, v string")
+            .coalesce(1),
+            ["k"], app_id="cdc", txn_version=7,
+        )
+        assert r1["version"] is not None and r2["version"] is None
+        assert IcebergTable(w.path).snapshot(spark).where(
+            "k = 9").count() == 1
+
+    def test_mor_composes_with_live_equality_deletes(
+        self, spark, tmp_path
+    ):
+        """Position-delete mutations APPLY live equality deletes in
+        the probe (an UPDATE postimage of an equality-deleted row
+        would resurrect it), and OPTIMIZE purges BOTH delete kinds."""
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "c"))
+        w.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1))
+        w.upsert_by_key(spark, spark.createDataFrame(
+            [(2, "B")], "k long, v string").coalesce(1), ["k"])
+        w.delete(spark, "k = 3", mode="mor")
+        # the UPDATE touches every LIVE row — the eq-deleted old (2,b)
+        # must not come back
+        r = w.update(spark, {"v": "upper(v)"}, None, mode="mor")
+        assert r["rows_updated"] == 2
+        t = IcebergTable(w.path)
+        assert {
+            (x["k"], x["v"]) for x in t.snapshot(spark).collect()
+        } == {(1, "A"), (2, "B")}
+        # purge drops BOTH delete kinds, content identical
+        assert w.optimize(spark, target_files=1) is not None
+        t = IcebergTable(w.path)
+        _d, pos, eq = t._files(None)
+        assert pos == [] and eq == []
+        assert {
+            (x["k"], x["v"]) for x in t.snapshot(spark).collect()
+        } == {(1, "A"), (2, "B")}
+
     def test_no_match_mutations_leave_no_orphans(self, spark, tmp_path):
         """A MoR mutation matching nothing must not leave 0-row staged
         parquet behind in data/ — nothing reclaims unreferenced files
