@@ -992,15 +992,27 @@ class Engine:
                     f"ALTER TABLE: {name!r} is pinned at VERSION "
                     f"{att['version']} — re-ATTACH at latest first"
                 )
-            pairs = re.findall(
-                r"'([^']*)'\s*=\s*'([^']*)'", sp.group("kvs")
-            )
-            if not pairs:
+            pair_re = r"'([^']*)'\s*=\s*'([^']*)'"
+            kvs = sp.group("kvs")
+            pairs = re.findall(pair_re, kvs)
+            # the whole list must be well-formed pairs — silently
+            # dropping a malformed segment (unquoted key, stray text)
+            # would tell the user a property was set when it wasn't
+            residue = re.sub(pair_re, "", kvs).replace(",", "").strip()
+            if not pairs or residue:
                 raise AdtError(
                     "ALTER TABLE … SET PROPERTIES expects "
-                    "('key' = 'value', …) string pairs"
+                    "('key' = 'value', …) single-quoted string pairs"
+                    + (f" — could not parse: {residue!r}" if residue
+                       else "")
                 )
             props = dict(pairs)
+            if att["fmt"] == "txnlog":
+                raise AdtError(
+                    f"ALTER TABLE {name}: txnlog tables have no "
+                    "properties surface — the knobs are writer "
+                    "arguments (stats_cols, zorder_by, retention)"
+                )
             try:
                 if att["fmt"] == "iceberg":
                     from algebraicdb_spark.operators.iceberg_writer import (
@@ -1008,14 +1020,8 @@ class Engine:
                     )
 
                     IcebergTableWriter(att["path"]).set_properties(props)
-                elif att["fmt"] == "delta":
-                    DeltaTableWriter(att["path"]).set_properties(props)
                 else:
-                    raise AdtError(
-                        f"ALTER TABLE {name}: txnlog tables have no "
-                        "properties surface — the knobs are writer "
-                        "arguments (stats_cols, zorder_by, retention)"
-                    )
+                    DeltaTableWriter(att["path"]).set_properties(props)
             except (ValueError, NotImplementedError) as exc:
                 raise AdtError(f"ALTER TABLE {name}: {exc}") from exc
             return None

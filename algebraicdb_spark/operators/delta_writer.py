@@ -496,18 +496,15 @@ class DeltaTableWriter:
         (committing a capability flag this writer would not uphold is
         the silent-corruption shape the writer gate exists for)."""
         props = {str(k): v for k, v in props.items()}
-        if str(props.get("delta.enableDeletionVectors", "")
-               ).lower() == "true":
-            rest = {k: v for k, v in props.items()
-                    if k != "delta.enableDeletionVectors"}
-            v = self.enable_deletion_vectors(max_retries=max_retries)
-            if not rest:
-                return v
-            props = rest
+        # validate EVERY key before committing ANYTHING: the DV route
+        # below is an irreversible protocol upgrade, and a statement
+        # that half-applies before refusing leaves a committed side
+        # effect behind a failed SQL statement
         bad = sorted(
             k for k in props
             if k.startswith("delta.")
             and k not in self._SETTABLE_DELTA_KEYS
+            and k != "delta.enableDeletionVectors"
         )
         if bad:
             raise NotImplementedError(
@@ -516,6 +513,14 @@ class DeltaTableWriter:
                 "committing the flag without the behavior would lie to "
                 "every other client; use a full Delta client"
             )
+        if str(props.get("delta.enableDeletionVectors", "")
+               ).lower() == "true":
+            rest = {k: v for k, v in props.items()
+                    if k != "delta.enableDeletionVectors"}
+            v = self.enable_deletion_vectors(max_retries=max_retries)
+            if not rest:
+                return v
+            props = rest
         for _ in range(max_retries):
             rdr = self.reader()
             # pinned head — see enable_deletion_vectors for the
@@ -556,10 +561,11 @@ class DeltaTableWriter:
         )
 
     def properties(self) -> dict[str, str]:
-        """The current configuration map (empty when unset)."""
+        """The current configuration map (empty when unset);
+        ``dict()`` folds both the dict and the pyarrow
+        list-of-pairs checkpoint shape."""
         _p, meta = self.reader()._protocol_meta()
-        conf = (meta or {}).get("configuration") or {}
-        return dict(conf) if not isinstance(conf, list) else dict(conf)
+        return dict((meta or {}).get("configuration") or {})
 
     @staticmethod
     def _commit_info(operation: str, **params) -> dict:

@@ -251,6 +251,46 @@ class AvroFileReader:
 _EXISTING, _ADDED, _DELETED = 0, 1, 2
 
 
+def apply_equality_strata(
+    spark: "SparkSession",
+    df: "DataFrame",
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    by_id: dict[int, str],
+    path: str,
+) -> "DataFrame":
+    """Apply v2 EQUALITY DELETES to ``df`` (which must carry each
+    row's data sequence number as ``__seq``): per the spec, each
+    (sequence, equality_ids) stratum removes null-safe-matching rows
+    from data with STRICTLY LOWER sequence numbers — one broadcast
+    LEFT ANTI join per stratum. The ONE implementation both the
+    reader's scan and the writer's merge-on-read probe use, so the
+    two can never disagree about what a delete reaches."""
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+    for p, seq, ids in eq_deletes:
+        groups.setdefault((seq, ids), []).append(p)
+    for (seq, ids), dpaths in sorted(groups.items()):
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise NotImplementedError(
+                f"{path}: equality_ids {missing} name nested or "
+                "unknown fields (not in the current schema's top "
+                "level) — use a full Iceberg client"
+            )
+        names = [by_id[i] for i in ids]
+        eq = spark.read.parquet(*dpaths).select(
+            *[F.col(c).alias(f"__eq_{c}") for c in names]
+        ).dropDuplicates()
+        conds = [df[c].eqNullSafe(eq[f"__eq_{c}"]) for c in names]
+        conds.append(F.col("__seq") < F.lit(seq))
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred & c
+        df = df.join(F.broadcast(eq), pred, "left_anti")
+    return df
+
+
 class IcebergTable:
     """Read-only Iceberg v1/v2 table: snapshot resolution, time travel
     by snapshot id, and the manifest fan-out to live data files."""
@@ -920,28 +960,8 @@ class IcebergTable:
             )
             df = df.join(dels, ["__uri", "__pos"], "left_anti")
         if eq_deletes:
-            by_id = self._field_names_by_id()
-            groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
-            for p, seq, ids in eq_deletes:
-                groups.setdefault((seq, ids), []).append(p)
-            for (seq, ids), dpaths in sorted(groups.items()):
-                missing = [i for i in ids if i not in by_id]
-                if missing:
-                    raise NotImplementedError(
-                        f"{self.path}: equality_ids {missing} name "
-                        "nested or unknown fields (not in the current "
-                        "schema's top level) — use a full Iceberg client"
-                    )
-                names = [by_id[i] for i in ids]
-                eq = spark.read.parquet(*dpaths).select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in names]
-                ).dropDuplicates()
-                conds = [
-                    df[c].eqNullSafe(eq[f"__eq_{c}"]) for c in names
-                ]
-                conds.append(F.col("__seq") < F.lit(seq))
-                pred = conds[0]
-                for c in conds[1:]:
-                    pred = pred & c
-                df = df.join(F.broadcast(eq), pred, "left_anti")
+            df = apply_equality_strata(
+                spark, df, eq_deletes, self._field_names_by_id(),
+                self.path,
+            )
         return df.select(*cols)

@@ -1096,36 +1096,17 @@ class IcebergTableWriter:
                 F.col("pos").cast("long").alias("__pos"),
             )
             df = df.join(dels, ["__uri", "__pos"], "left_anti")
-        for (seq, ids), dpaths in sorted(
-            self._eq_strata(eq_d).items()
-        ):
-            by_id = rdr._field_names_by_id()
-            missing = [i for i in ids if i not in by_id]
-            if missing:
-                raise NotImplementedError(
-                    f"{self.path}: equality_ids {missing} name nested "
-                    "or unknown fields — use a full Iceberg client"
-                )
-            names = [by_id[i] for i in ids]
-            eq = spark.read.parquet(*dpaths).select(
-                *[F.col(c).alias(f"__eq_{c}") for c in names]
-            ).dropDuplicates()
-            conds = [df[c].eqNullSafe(eq[f"__eq_{c}"]) for c in names]
-            conds.append(F.col("__seq") < F.lit(seq))
-            pred = conds[0]
-            for c in conds[1:]:
-                pred = pred & c
-            df = df.join(F.broadcast(eq), pred, "left_anti")
-        return df.drop("__fp", "__lp", "__seq")
+        if eq_d:
+            from algebraicdb_spark.operators.iceberg import (
+                apply_equality_strata,
+            )
 
-    @staticmethod
-    def _eq_strata(
-        eq_d: list[tuple[str, int, tuple[int, ...]]] | None,
-    ) -> dict[tuple[int, tuple[int, ...]], list[str]]:
-        groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
-        for p, seq, ids in eq_d or []:
-            groups.setdefault((seq, ids), []).append(p)
-        return groups
+            # the reader's OWN stratum application — one
+            # implementation, so probe and scan can never disagree
+            df = apply_equality_strata(
+                spark, df, eq_d, rdr._field_names_by_id(), self.path
+            )
+        return df.drop("__fp", "__lp", "__seq")
 
     def _probe_mor_matches(
         self,
@@ -1171,7 +1152,17 @@ class IcebergTableWriter:
         snaps = list(cur.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
         parent = cur.get("current-snapshot-id")
-        prev = next(s for s in snaps if s["snapshot-id"] == parent)
+        prev = next(
+            (s for s in snaps if s["snapshot-id"] == parent), None
+        )
+        if prev is None:
+            # a created-but-never-appended table (snapshots=[]) has no
+            # manifest list to carry — a bare StopIteration here would
+            # both confuse the caller and leak its staging
+            raise ValueError(
+                f"iceberg table {self.path} has no current snapshot "
+                "to mutate — append a first batch"
+            )
         mschema = _manifest_schema([])
         cur_fields = self._cur_fields(cur)
         written: list[str] = []
@@ -1368,17 +1359,25 @@ class IcebergTableWriter:
         top-level schema columns; partitioned tables refuse (delete
         files are partition-scoped under a spec this writer does not
         emit)."""
-        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import functions as F
 
         if not key_cols:
             raise ValueError("upsert_by_key needs at least one key column")
         fields = _iceberg_fields(source)
         for _ in range(max_retries):
             base_v, cur = self._current()
-            if cur is None:
+            if cur is None or cur.get("current-snapshot-id") in (
+                None, -1
+            ):
                 raise ValueError(
                     f"iceberg table {self.path} has no commits to "
                     "upsert into — append the first batch"
+                )
+            if int(cur.get("format-version", 2) or 2) < 2:
+                raise NotImplementedError(
+                    f"{self.path}: format-version 1 tables cannot "
+                    "carry delete manifests — upgrade with a full "
+                    "Iceberg client first"
                 )
             if self._cur_parts(cur):
                 raise NotImplementedError(
@@ -1387,6 +1386,22 @@ class IcebergTableWriter:
                     "a spec this writer does not emit; use merge()"
                 )
             self._gate_schema(cur, fields)
+            rdr = self.reader()
+            # the rule the reader enforces at scan time, checked
+            # BEFORE committing: an equality delete over data files
+            # with no resolvable sequence number would make every
+            # subsequent read refuse — bricking the table for this
+            # engine (OPTIMIZE could not recover it either: the purge
+            # scan hits the same refusal)
+            data_now, _pos, _eq = rdr._files(None)
+            unseq = [p for p, _u, s in data_now if s is None]
+            if unseq:
+                raise NotImplementedError(
+                    f"{self.path}: data file(s) {unseq[:3]} have no "
+                    "resolvable sequence number — an equality delete "
+                    "over them cannot be ordered; use a full Iceberg "
+                    "client"
+                )
             if app_id is not None:
                 mark = -1
                 for s in (cur or {}).get("snapshots") or []:
@@ -1409,16 +1424,40 @@ class IcebergTableWriter:
                     "the table schema"
                 )
             eq_ids = [int(by_name[c]["id"]) for c in key_cols]
-            keys = source.select(*key_cols).dropDuplicates().coalesce(1)
-            del_staged = self._stage_nonempty(keys)
+            # stage the BATCH once, then derive the key file from the
+            # staged bytes: evaluating a non-deterministic source
+            # twice could stage rows whose keys the delete file never
+            # covered — silent duplicate keys
             data_staged = self._stage_nonempty(source)
             n_rows = sum(r for _p, r, _b, _pv in data_staged)
-            n_keys = sum(r for _p, r, _b, _pv in del_staged)
             if n_rows == 0:
-                self._unstage(del_staged)
                 return {"version": None, "rows_upserted": 0,
                         "keys_deleted": 0}
-            rdr = self.reader()
+            staged_df = spark.read.parquet(
+                *[p for p, _r, _b, _pv in data_staged]
+            )
+            stats_row = staged_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in key_cols])
+                ).alias("d"),
+            ).collect()[0]
+            if int(stats_row["n"]) != int(stats_row["d"]):
+                # the repo's multi-match rule: duplicating a key
+                # inside one keyed-upsert batch is silent corruption
+                # (both rows survive the same-sequence delete) —
+                # refuse loudly; the caller deduplicates first
+                self._unstage(data_staged)
+                raise ValueError(
+                    f"upsert_by_key: "
+                    f"{int(stats_row['n']) - int(stats_row['d'])} "
+                    "source row(s) share a key within the batch — "
+                    "both would survive the same-sequence delete; "
+                    "deduplicate the source on the key first"
+                )
+            keys = staged_df.select(*key_cols).dropDuplicates().coalesce(1)
+            del_staged = self._stage_nonempty(keys)
+            n_keys = sum(r for _p, r, _b, _pv in del_staged)
             summary = {"upserted-records": str(n_rows),
                        "added-delete-files": str(len(del_staged))}
             if app_id is not None and txn_version is not None:
@@ -1436,6 +1475,11 @@ class IcebergTableWriter:
                 self._unstage(del_staged)
                 self._unstage(data_staged)
                 continue  # racer advanced the metadata: re-derive
+            except ValueError:
+                # publish refusals after staging must not leak files
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                raise
         raise ConcurrentWriteError(
             f"iceberg upsert_by_key lost {max_retries} metadata "
             "publish races — table is under pathological write "
@@ -2443,19 +2487,8 @@ class IcebergTableWriter:
                 if e.get("snapshot-id") in kept_ids
             ]
             md["last-updated-ms"] = int(time.time() * 1000)
-            target = os.path.join(
-                self.meta_dir, f"v{base_v + 1}.metadata.json"
-            )
-            try:
-                with open(target, "x") as f:
-                    json.dump(md, f)
-            except FileExistsError:
+            if not self._publish_metadata(md, base_v):
                 continue  # racer advanced the metadata: re-derive
-            hint = os.path.join(self.meta_dir, "version-hint.text")
-            tmp = hint + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(base_v + 1))
-            os.replace(tmp, hint)
             gone = []
             for p in doomed:
                 if os.path.exists(p):
@@ -2467,6 +2500,27 @@ class IcebergTableWriter:
             "publish races — table is under pathological write "
             "contention"
         )
+
+    def _publish_metadata(self, md: dict, base_v: int) -> bool:
+        """CAS-publish ``md`` as ``v<base_v+1>.metadata.json``
+        (create-exclusive — False means a racer took the slot and the
+        caller re-derives) and swing ``version-hint.text`` forward
+        atomically. The ONE publish tail every metadata-only change
+        (set_properties / rollback / expire_snapshots) shares."""
+        target = os.path.join(
+            self.meta_dir, f"v{base_v + 1}.metadata.json"
+        )
+        try:
+            with open(target, "x") as f:
+                json.dump(md, f)
+        except FileExistsError:
+            return False
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(base_v + 1))
+        os.replace(tmp, hint)
+        return True
 
     def set_properties(
         self, props: dict[str, str], max_retries: int = 8
@@ -2493,20 +2547,9 @@ class IcebergTableWriter:
             md = dict(cur)
             md["properties"] = merged
             md["last-updated-ms"] = now
-            target = os.path.join(
-                self.meta_dir, f"v{base_v + 1}.metadata.json"
-            )
-            try:
-                with open(target, "x") as f:
-                    json.dump(md, f)
-            except FileExistsError:
-                continue  # racer advanced the metadata: re-derive
-            hint = os.path.join(self.meta_dir, "version-hint.text")
-            tmp = hint + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(base_v + 1))
-            os.replace(tmp, hint)
-            return base_v + 1
+            if self._publish_metadata(md, base_v):
+                return base_v + 1
+            continue  # racer advanced the metadata: re-derive
         raise ConcurrentWriteError(
             f"iceberg set_properties lost {max_retries} metadata "
             "publish races — table is under pathological write "
@@ -2549,20 +2592,9 @@ class IcebergTableWriter:
             md["snapshot-log"] = list(
                 cur.get("snapshot-log") or []
             ) + [{"timestamp-ms": now, "snapshot-id": snapshot_id}]
-            target = os.path.join(
-                self.meta_dir, f"v{base_v + 1}.metadata.json"
-            )
-            try:
-                with open(target, "x") as f:
-                    json.dump(md, f)
-            except FileExistsError:
-                continue  # racer advanced the metadata: re-derive
-            hint = os.path.join(self.meta_dir, "version-hint.text")
-            tmp = hint + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(base_v + 1))
-            os.replace(tmp, hint)
-            return base_v + 1
+            if self._publish_metadata(md, base_v):
+                return base_v + 1
+            continue  # racer advanced the metadata: re-derive
         raise ConcurrentWriteError(
             f"iceberg rollback lost {max_retries} metadata publish "
             "races — table is under pathological write contention"

@@ -296,6 +296,28 @@ class TestAttachTable:
                 "ALTER TABLE dl SET PROPERTIES "
                 "('delta.enableChangeDataFeed' = 'true')"
             )
+        # …and a refused statement must not HALF-apply: a bad key next
+        # to enableDeletionVectors commits NOTHING (the DV protocol
+        # upgrade is irreversible — validate all keys first)
+        dw2 = DeltaTableWriter(str(tmp_path / "d2"))
+        dw2.append(tables["region"].limit(2).coalesce(1))
+        eng.sql(f"ATTACH TABLE dl2 FROM delta LOCATION '{dw2.path}'")
+        with _pytest.raises(AdtError, match="capability"):
+            eng.sql(
+                "ALTER TABLE dl2 SET PROPERTIES "
+                "('delta.enableDeletionVectors' = 'true', "
+                "'delta.enableChangeDataFeed' = 'true')"
+            )
+        proto2, _m2 = dw2.reader()._protocol_meta()
+        assert "deletionVectors" not in (
+            proto2.get("writerFeatures") or []
+        )
+        # malformed pairs refuse instead of silently dropping
+        with _pytest.raises(AdtError, match="could not parse"):
+            eng.sql(
+                "ALTER TABLE dl2 SET PROPERTIES "
+                "('delta.appendOnly' = 'true', owner = 'me')"
+            )
         # appendOnly IS honored: set it, mutation refuses
         eng.sql(
             "ALTER TABLE dl SET PROPERTIES ('delta.appendOnly' = 'true')"

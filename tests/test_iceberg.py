@@ -1437,6 +1437,31 @@ class TestIcebergMergeOnRead:
         assert IcebergTable(w.path).snapshot(spark).where(
             "k = 9").count() == 1
 
+    def test_upsert_refuses_duplicate_keys_in_batch(
+        self, spark, tmp_path
+    ):
+        """Two source rows sharing a key would BOTH survive the
+        same-sequence delete — silent key-uniqueness corruption;
+        refuse loudly and leave no staged orphans."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "dup"))
+        w.append(spark.createDataFrame(
+            [(1, "a")], "k long, v string").coalesce(1))
+        before = set(_os.listdir(_os.path.join(w.path, "data")))
+        with _pytest.raises(ValueError, match="share a key"):
+            w.upsert_by_key(spark, spark.createDataFrame(
+                [(1, "x"), (1, "y")], "k long, v string"
+            ).coalesce(1), ["k"])
+        assert set(_os.listdir(_os.path.join(w.path, "data"))) == before
+        assert IcebergTable(w.path).snapshot(spark).count() == 1
+
     def test_mor_composes_with_live_equality_deletes(
         self, spark, tmp_path
     ):
