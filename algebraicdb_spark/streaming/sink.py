@@ -63,6 +63,30 @@ def txn_committer(
     return commit
 
 
+def upsert_committer(
+    table, app_id: str, key_cols: list[str]
+) -> Callable[[DataFrame, int], None]:
+    """The CDC twin of ``txn_committer``: each micro-batch lands as a
+    keyed UPSERT (``IcebergTableWriter.upsert_by_key`` — one equality-
+    delete file of the batch's keys + the batch, atomic at one
+    sequence number, NO probe scan), with the same (app_id, batch_id)
+    replay mark riding the snapshot summary so a redelivered batch
+    no-ops. This is the Flink→Iceberg CDC ingest shape: exactly-once
+    keyed upserts at O(batch) cost per micro-batch regardless of
+    table size; OPTIMIZE is the periodic purge lever for the
+    accumulated delete strata. The batch must be key-unique (CDC
+    readers emit one latest row per key per batch; a duplicate key
+    refuses loudly rather than silently double-landing)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert_by_key(
+            batch_df.sparkSession, batch_df, key_cols,
+            app_id=app_id, txn_version=batch_id,
+        )
+
+    return commit
+
+
 def txnlog_sink(
     stream_df: DataFrame,
     table,  # TxnLogTable or DeltaTableWriter (duck-typed, see above)
@@ -70,17 +94,23 @@ def txnlog_sink(
     checkpoint_dir: str,
     timeout: int = 120,
     log_checkpoint_every: int | None = None,
+    upsert_keys: list[str] | None = None,
 ) -> None:
     """Drain everything currently available in ``stream_df`` into
-    ``table``, exactly-once, one APPEND commit per micro-batch. Call
-    again (with a freshly built stream and the SAME checkpoint + app_id)
+    ``table``, exactly-once, one commit per micro-batch — APPEND by
+    default, keyed UPSERT when ``upsert_keys`` is given (the CDC
+    ingest mode; the table must expose ``upsert_by_key``). Call again
+    (with a freshly built stream and the SAME checkpoint + app_id)
     after new source data lands: source offsets resume from the
     checkpoint, and any batch the checkpoint failed to record but the
     table already committed is deduplicated by its txn marker."""
+    committer = (
+        upsert_committer(table, app_id, upsert_keys)
+        if upsert_keys
+        else txn_committer(table, app_id, log_checkpoint_every)
+    )
     q = (
-        stream_df.writeStream.foreachBatch(
-            txn_committer(table, app_id, log_checkpoint_every)
-        )
+        stream_df.writeStream.foreachBatch(committer)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -1926,6 +1926,35 @@ class TestIcebergExactlyOnce:
         assert len(t.snapshots()) == 2
 
 
+    def test_upsert_committer_is_exactly_once_cdc(self, spark, tmp_path):
+        """The CDC sink mode: each micro-batch lands as a keyed upsert
+        (equality-delete keys + batch, one snapshot, no probe), a
+        redelivered batch no-ops on its (app_id, batch_id) mark, and
+        the final state is last-write-wins per key across batches."""
+        from algebraicdb_spark.operators.iceberg_writer import (
+            IcebergTableWriter,
+        )
+        from algebraicdb_spark.streaming.sink import upsert_committer
+
+        w = IcebergTableWriter(str(tmp_path / "cdc"))
+        w.append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string").coalesce(1))
+        commit = upsert_committer(w, "cdc", ["k"])
+        b1 = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k long, v string").coalesce(1)
+        b2 = spark.createDataFrame(
+            [(3, "C")], "k long, v string").coalesce(1)
+        commit(b1, 0)
+        commit(b1, 0)  # redelivered: no-op
+        commit(b2, 1)
+        t = IcebergTable(w.path)
+        assert {
+            (x["k"], x["v"]) for x in t.snapshot(spark).collect()
+        } == {(1, "a"), (2, "B"), (3, "C")}
+        # exactly one snapshot per DISTINCT batch (the replay no-op'd)
+        assert len(t.snapshots()) == 3
+
+
 class TestIcebergMaintenance:
     """rewrite_data_files (OPTIMIZE) + expire_snapshots (VACUUM) —
     the maintenance loop on the third format, closing parity with
