@@ -167,6 +167,19 @@ _MERGE_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 
+# UPSERT INTO t BY KEY (k1, k2) [TXN ('app', 7)] SELECT … | <table>
+# — the SQL surface for the keyed equality-delete upsert (CDC ingest):
+# one snapshot lands the batch + a delete file of its keys, O(batch)
+# regardless of table size. The optional TXN clause carries the
+# exactly-once replay mark a redelivered statement no-ops on.
+_UPSERT_RE = re.compile(
+    r"^\s*UPSERT\s+INTO\s+(?P<target>\w+)\s+BY\s+KEY\s*"
+    r"\((?P<keys>[\w\s,]+)\)"
+    r"(?:\s+TXN\s*\(\s*'(?P<app>[^']*)'\s*,\s*(?P<txnv>\d+)\s*\))?"
+    r"\s+(?P<src>SELECT\b.+|\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _OPTIMIZE_TABLE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)"
     r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",

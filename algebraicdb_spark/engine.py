@@ -85,6 +85,7 @@ from algebraicdb_spark.dialect import (
     _SHOW_STATS_RE,
     _TRUNCATE_RE,
     _UPDATE_RE,
+    _UPSERT_RE,
     _value_expr,
     parse_copy_to_options,
     parse_update_sets,
@@ -363,6 +364,8 @@ class Engine:
             return self._update_stmt(stmt)
         if _MERGE_RE.match(stmt):
             return self._merge_stmt(stmt)
+        if _UPSERT_RE.match(stmt):
+            return self._upsert_stmt(stmt)
         if _DROP_TABLE_RE.match(stmt):
             name = _DROP_TABLE_RE.match(stmt).group("name")
             if name in self._views:
@@ -1372,6 +1375,64 @@ class Engine:
         merged.createOrReplaceTempView(target)
         self._invalidate_stats(target)
 
+    def _upsert_stmt(self, stmt: str) -> None:
+        """UPSERT INTO t BY KEY (k1, k2) [TXN ('app', v)] SELECT … —
+        the SQL surface for ``IcebergTableWriter.upsert_by_key``: ONE
+        snapshot lands an equality-delete file of the source's key
+        values plus the source itself at the same sequence number, so
+        old rows with those keys die and the batch survives, with NO
+        probe scan (O(batch) regardless of table size — the CDC
+        ingest shape, previously Python-only). The optional TXN
+        clause carries the exactly-once replay mark: a redelivered
+        statement with the same (app, version) no-ops. The same
+        refusal matrix as the Python path applies — duplicate keys in
+        the source, partitioned/format-v1 targets, schema drift all
+        refuse loudly. Iceberg attachments only: txnlog/delta express
+        keyed upserts through MERGE INTO (which probes), and dialect
+        temp views have no delete files to ride."""
+        m = _UPSERT_RE.match(stmt)
+        target = m.group("target")
+        self._refuse_view_mutation("UPSERT INTO", target)
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        if not keys:
+            raise AdtError("UPSERT: BY KEY needs at least one column")
+        if target not in self._attached:
+            raise AdtError(
+                f"UPSERT INTO: {target!r} is not an ATTACHed iceberg "
+                "table — keyed upsert rides v2 equality-delete files; "
+                "use MERGE INTO for dialect tables"
+            )
+        if self._attached[target]["fmt"] != "iceberg":
+            raise AdtError(
+                f"UPSERT INTO: {target!r} is "
+                f"{self._attached[target]['fmt']} — equality-delete "
+                "upserts are an iceberg v2 shape; use MERGE INTO "
+                "(probe + rewrite) on this format"
+            )
+        src = m.group("src").strip()
+        if re.fullmatch(r"\w+", src):
+            try:
+                source = self.spark.table(src)
+            except Exception as exc:
+                raise AdtError(
+                    f"UPSERT: unknown source table {src!r}"
+                ) from exc
+        else:
+            source = self.spark.sql(self._rewrite(src))
+        t = self._mutable_attachment("UPSERT INTO", target)
+        app = m.group("app")
+        txnv = m.group("txnv")
+        try:
+            t.upsert_by_key(
+                self.spark, source, keys,
+                app_id=app,
+                txn_version=int(txnv) if txnv is not None else None,
+            )
+        except (ValueError, NotImplementedError) as exc:
+            raise AdtError(f"UPSERT {target}: {exc}") from exc
+        self._reattach_after_mutation(target, t)
+        return None
+
     def _mutable_attachment(self, verb: str, name: str):
         """The writable table object behind an ATTACHed name, for
         row-level mutation: txnlog → ``TxnLogTable``, standard Delta →
@@ -1389,7 +1450,7 @@ class Engine:
 
         att = self._attached[name]
         if att["fmt"] == "iceberg" and verb not in (
-            "DELETE", "UPDATE", "MERGE INTO"
+            "DELETE", "UPDATE", "MERGE INTO", "UPSERT INTO"
         ):
             raise AdtError(
                 f"{verb}: {name!r} is iceberg interop — this writer "
@@ -1665,11 +1726,37 @@ class Engine:
                     ) * 1000
                 )
                 cands.append((int(when), v))
-        else:  # iceberg: snapshot ids, ordered by their timestamp-ms
-            for s in IcebergTable(path).snapshots():
-                cands.append(
-                    (int(s.get("timestamp-ms") or 0), s["snapshot-id"])
+        elif fmt == "iceberg":
+            # snapshot ids are NOT ordered for foreign tables (real
+            # catalogs assign them randomly), so a timestamp-ms tie
+            # cannot break on max(snapshot-id); the metadata's
+            # snapshot-log records current-pointer history IN ORDER
+            # and is the spec's authoritative tie-break. Entries whose
+            # snapshot expired out of the metadata are skipped; tables
+            # with no snapshot-log at all (minimal foreign metadata)
+            # fall back to the snapshots list's own order.
+            tbl = IcebergTable(path)
+            known = {s["snapshot-id"] for s in tbl.snapshots()}
+            log = [
+                e for e in (tbl.meta.get("snapshot-log") or [])
+                if e.get("snapshot-id") in known
+            ] or [
+                {"timestamp-ms": s.get("timestamp-ms"),
+                 "snapshot-id": s["snapshot-id"]}
+                for s in tbl.snapshots()
+            ]
+            ordered = [
+                (int(e.get("timestamp-ms") or 0), i, e["snapshot-id"])
+                for i, e in enumerate(log)
+            ]
+            hits = [(w, i, v) for w, i, v in ordered if w <= ts_ms]
+            if not hits:
+                raise AdtError(
+                    f"TIMESTAMP AS OF {ts!r}: no surviving iceberg "
+                    "snapshot at or before that instant (before the "
+                    "first commit, or expired by retention)"
                 )
+            return max(hits)[2]
         at_or_before = [(w, v) for w, v in cands if w <= ts_ms]
         if not at_or_before:
             raise AdtError(

@@ -166,19 +166,55 @@ class DeltaTableWriter:
                 "writer — rebase on the new snapshot and retry"
             ) from exc
 
+    def _cm_of(self, meta: dict | None) -> dict[str, str] | None:
+        """logical → physical column mapping from a metaData's pinned
+        schemaString ('name'-mode column mapping), None when unmapped
+        — the writer-side twin of the reader's ``_cm_mapping`` lookup,
+        reading the SAME metadata so stage-rename and scan-rename can
+        never disagree."""
+        from algebraicdb_spark.operators.txnlog import _cm_mapping
+
+        conf = (meta or {}).get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        if conf.get("delta.columnMapping.mode") != "name":
+            return None
+        st = parse_schema_string(
+            (meta or {}).get("schemaString"), self.path
+        )
+        return _cm_mapping(st)
+
     def _stage(
-        self, df: DataFrame, partition_by: list[str] | tuple = ()
+        self,
+        df: DataFrame,
+        partition_by: list[str] | tuple = (),
+        mapping: dict[str, str] | None = None,
     ) -> list[tuple[str, dict]]:
         """Write the batch's parquet into the table directory (under
         hive-style partition dirs when partitioned) and return
         (root-relative path, partitionValues) per file. Staged files
         are invisible until the commit publishes — the log, not the
-        directory listing, defines the table."""
+        directory listing, defines the table. ``mapping`` renames the
+        batch's LOGICAL columns to their PHYSICAL parquet names before
+        the write (column-mapped tables, 'name' mode) — the footer
+        stats then key on physical names too, which is what the
+        protocol's stats contract expects under column mapping."""
+        if mapping:
+            df = df.select(*[
+                df[c].alias(mapping.get(c, c)) for c in df.columns
+            ])
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        w = df.write.mode("errorifexists")
-        if partition_by:
-            w = w.partitionBy(*list(partition_by))
-        w.parquet(tmp)
+        try:
+            w = df.write.mode("errorifexists")
+            if partition_by:
+                w = w.partitionBy(*list(partition_by))
+            w.parquet(tmp)
+        except BaseException:
+            # a write that dies mid-flight leaves the half-written
+            # staging dir behind — the log never references it and
+            # vacuum's log-candidates rule would never reclaim it
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         staged: list[tuple[str, dict]] = []
         for dirpath, _dirs, files in os.walk(tmp):
             for fn in sorted(files):
@@ -283,6 +319,16 @@ class DeltaTableWriter:
         old_f, new_f = _schema_fields(cur_schema), _schema_fields(new_schema)
         if old_f == new_f and list(old_f) == list(new_f):
             return []
+        if self._cm_of(cur_meta):
+            # evolving a mapped table means assigning the new column a
+            # physical name + bumping maxColumnId — and re-recording
+            # the schema from the batch would drop every existing
+            # physicalName; both are a full client's job
+            raise SchemaEvolutionError(
+                f"schema evolution on {self.path}: the table is "
+                "column-mapped ('name' mode) — evolve it with a full "
+                "Delta client"
+            )
         missing = [c for c in old_f if c not in new_f]
         retyped = [c for c in old_f if c in new_f and new_f[c] != old_f[c]]
         if missing or retyped or not evolve:
@@ -341,7 +387,7 @@ class DeltaTableWriter:
     # writer doesn't have, so those refuse.
     _WRITER_FEATURES = {"deletionVectors", "appendOnly", "timestampNtz",
                         "vacuumProtocolCheck", "invariants",
-                        "checkConstraints"}
+                        "checkConstraints", "columnMapping"}
 
     def _check_writable(
         self, proto: dict, meta: dict, mutation: str,
@@ -359,18 +405,20 @@ class DeltaTableWriter:
         if cm not in (None, "", "none") and mutation != "VACUUM":
             # VACUUM is exempt: it unlinks unreferenced files and
             # never stages a parquet byte, so naming cannot corrupt it.
-            # the READER renames physical→logical at scan ('name'
-            # mode); this writer stages files under LOGICAL names, so
-            # any write to a mapped table would land columns every
-            # mapped reader resolves to all-NULL — refuse regardless
-            # of what the protocol row announces (belt over the
-            # legacy-version / feature-list braces)
-            raise NotImplementedError(
-                f"{mutation} on {self.path}: "
-                f"delta.columnMapping.mode={cm!r} — this writer stages "
-                "parquet under logical column names, which a mapped "
-                "table's readers would misread; use a full Delta client"
-            )
+            if cm != "name":
+                raise NotImplementedError(
+                    f"{mutation} on {self.path}: "
+                    f"delta.columnMapping.mode={cm!r} — 'id' mode "
+                    "matches parquet columns by field id, which this "
+                    "writer does not stamp; use a full Delta client"
+                )
+            # 'name' mode WRITES are supported (round 12): staging
+            # renames logical → physical through the SAME mapping the
+            # reader renames back by (_cm_mapping), for exactly the
+            # shapes the reader supports — the reader's own gate runs
+            # here so writer and reader can never disagree about what
+            # is writable (total flat unpartitioned mapping).
+            self.reader()._check_name_mapping(meta)
         mwv = int((proto or {}).get("minWriterVersion", 1) or 1)
         feats = set((proto or {}).get("writerFeatures") or [])
         if mwv >= 7:
@@ -390,12 +438,41 @@ class DeltaTableWriter:
             # capabilities (constraints/CDF/mapping/identity) can be
             # violated by it; cdc/_change_data files are never vacuum
             # candidates here (candidates come from add/remove actions)
-            raise NotImplementedError(
-                f"{self.path}: minWriterVersion={mwv} demands writer "
-                "capabilities this client does not implement (3=check "
-                "constraints, 4=CDF/generated columns, 5=column "
-                "mapping, 6=identity columns); use a full Delta client"
-            )
+            if mwv == 5:
+                # legacy writer v5 = column mapping (handled above),
+                # CUMULATIVE over v3 (check constraints — refused
+                # separately when declared) and v4 (CDF + generated
+                # columns) — those two must be INERT, not just unknown
+                if str(conf.get("delta.enableChangeDataFeed", "")
+                       ).lower() == "true":
+                    raise NotImplementedError(
+                        f"{mutation} on {self.path}: "
+                        "delta.enableChangeDataFeed=true — this writer "
+                        "does not emit change-data files; use a full "
+                        "Delta client"
+                    )
+                st5 = parse_schema_string(
+                    (meta or {}).get("schemaString"), self.path
+                )
+                gen = [
+                    f.name for f in (st5.fields if st5 else [])
+                    if "delta.generationExpression" in (f.metadata or {})
+                ]
+                if gen:
+                    raise NotImplementedError(
+                        f"{mutation} on {self.path}: generated "
+                        f"column(s) {gen} — this writer cannot "
+                        "evaluate generation expressions; use a full "
+                        "Delta client"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"{self.path}: minWriterVersion={mwv} demands "
+                    "writer capabilities this client does not "
+                    "implement (3=check constraints, 4=CDF/generated "
+                    "columns, 6=identity columns); use a full Delta "
+                    "client"
+                )
         if data_change and mutation != "APPEND" and (
             "appendOnly" in feats
             or str(conf.get("delta.appendOnly", "")).lower() == "true"
@@ -413,14 +490,25 @@ class DeltaTableWriter:
                 "use a full Delta client"
             )
 
-    def enable_deletion_vectors(self, max_retries: int = 8) -> int | None:
+    def enable_deletion_vectors(
+        self,
+        max_retries: int = 8,
+        extra_props: dict[str, str] | None = None,
+    ) -> int | None:
         """Commit the protocol upgrade that lets DELETEs write
         merge-on-read deletion vectors instead of rewriting files:
         minReader 3 / minWriter 7 with the deletionVectors feature in
         BOTH lists plus the table config flag, per PROTOCOL.md. Every
         capability the table already announced carries forward —
         readers of the v<N skip the feature until a DV actually lands.
-        No-op (returns None) when already enabled."""
+        No-op (returns None) when already enabled.
+
+        ``extra_props`` fold into the SAME metaData commit (already
+        validated by the caller): a SET TBLPROPERTIES statement that
+        enables DVs plus other keys must land in ONE version — two
+        commits would leave the statement half-applied (with the
+        irreversible protocol upgrade already committed) if a crash
+        or retry exhaustion hit between them."""
         for _ in range(max_retries):
             rdr = self.reader()
             # pin the head FIRST and derive protocol/metaData AT it —
@@ -441,10 +529,17 @@ class DeltaTableWriter:
                 meta, "ALTER",
                 data_change=False,
             )
+            if extra_props and not meta:
+                raise ValueError(
+                    f"SET PROPERTIES on {self.path}: table has no "
+                    "metaData to carry the configuration — append a "
+                    "first batch"
+                )
             actions = [
                 self._commit_info(
                     "SET TBLPROPERTIES",
-                    properties={"delta.enableDeletionVectors": "true"},
+                    properties={"delta.enableDeletionVectors": "true",
+                                **(extra_props or {})},
                 ),
                 upgraded,
             ]
@@ -454,6 +549,11 @@ class DeltaTableWriter:
                     conf = dict(conf)  # pyarrow MAP columns → [(k, v)]
                 conf = dict(conf)
                 conf["delta.enableDeletionVectors"] = "true"
+                for k, v in (extra_props or {}).items():
+                    if v in (None, ""):
+                        conf.pop(k, None)
+                    else:
+                        conf[k] = str(v)
                 # checkpoint-sourced metaData rows surface parquet
                 # nulls for absent fields — strip them, they are not
                 # part of the committed action shape
@@ -517,9 +617,17 @@ class DeltaTableWriter:
                ).lower() == "true":
             rest = {k: v for k, v in props.items()
                     if k != "delta.enableDeletionVectors"}
-            v = self.enable_deletion_vectors(max_retries=max_retries)
-            if not rest:
+            # the remaining keys ride the SAME commit as the protocol
+            # upgrade — the whole statement lands in one version (a
+            # crash between two commits would leave it half-applied
+            # with the irreversible upgrade already in)
+            v = self.enable_deletion_vectors(
+                max_retries=max_retries, extra_props=rest or None
+            )
+            if v is not None or not rest:
                 return v
+            # already DV-enabled (the route no-opped): the remaining
+            # keys still need their own metaData commit below
             props = rest
         for _ in range(max_retries):
             rdr = self.reader()
@@ -615,7 +723,9 @@ class DeltaTableWriter:
         meta = self._meta_action(
             df, parts, evolve_schema, cur_meta, fetched=True
         )
-        staged = self._stage(df, parts)
+        staged = self._stage(
+            df, parts, mapping=self._cm_of(cur_meta)
+        )
         adds = self._add_actions(staged)
         try:
             for _ in range(max_retries):
@@ -690,7 +800,9 @@ class DeltaTableWriter:
         meta = self._meta_action(
             df, parts, evolve_schema, cur_meta, fetched=True
         )
-        staged = self._stage(df, parts)
+        staged = self._stage(
+            df, parts, mapping=self._cm_of(cur_meta)
+        )
         tail = self._add_actions(staged) + [
             {"txn": {"appId": app_id, "version": txn_version,
                      "lastUpdated": int(time.time() * 1000)}}
@@ -762,6 +874,16 @@ class DeltaTableWriter:
         rdr = self.reader()
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "OVERWRITE")
+        if self._cm_of(cur_meta):
+            # overwrite re-records the schemaString from the batch,
+            # which would DROP the physicalName metadata — every
+            # later read of the table would misresolve; minting fresh
+            # physical names is a full client's job
+            raise NotImplementedError(
+                f"OVERWRITE on {self.path}: the table is column-mapped "
+                "('name' mode) and overwrite re-records the schema — "
+                "use a full Delta client"
+            )
         partition_by = (
             list(partition_by)
             if partition_by is not None
@@ -849,6 +971,13 @@ class DeltaTableWriter:
                 raise ValueError(
                     f"ALTER TABLE: column {name!r} already exists"
                 )
+            if self._cm_of(cur_meta):
+                raise NotImplementedError(
+                    f"ALTER TABLE on {self.path}: the table is "
+                    "column-mapped ('name' mode) — a new column needs "
+                    "a physical name and a maxColumnId bump; use a "
+                    "full Delta client"
+                )
             widened = StructType(
                 st.fields + list(StructType.fromDDL(f"{name} {ddl_type}"))
             )
@@ -891,11 +1020,16 @@ class DeltaTableWriter:
             (meta or {}).get("schemaString"), self.path
         )
         by_local = {res: (raw, pv, dv) for raw, res, pv, dv in entries}
-        return rdr, entries, st, part_cols, by_local
+        # the mutation's logical→physical mapping ('name'-mode column
+        # mapping; None otherwise) — rewrites must restage under
+        # PHYSICAL names or every mapped reader resolves the
+        # rewritten columns to all-NULL
+        mapping = self._cm_of(meta)
+        return rdr, entries, st, part_cols, by_local, mapping
 
     def _probe_affected(
         self, spark: SparkSession, rdr, entries, st, part_cols,
-        by_local, predicate: str,
+        by_local, predicate: str, mapping: dict | None = None,
     ) -> tuple[dict[str, int], int]:
         """{raw path: matching LIVE rows} — ONE distributed scan with
         the predicate pushed into the parquet reader and each file's
@@ -904,7 +1038,10 @@ class DeltaTableWriter:
         normalized path, exact by construction at file grain."""
         from pyspark.sql import functions as F
 
-        df = rdr._assemble_mor(spark, entries, st, part_cols, keep_pos=True)
+        df = rdr._assemble_mor(
+            spark, entries, st, part_cols, keep_pos=True,
+            mapping=mapping,
+        )
         rows = (
             df.where(F.expr(predicate))
             .groupBy("__lp")
@@ -1062,8 +1199,8 @@ class DeltaTableWriter:
             raise ValueError(
                 f"delta table {self.path} has no commits to delete from"
             )
-        rdr, entries, st, part_cols, by_local = self._cow_context(
-            spark, "DELETE"
+        rdr, entries, st, part_cols, by_local, mapping = (
+            self._cow_context(spark, "DELETE")
         )
         if mode == "auto":
             proto, _m = rdr._protocol_meta()
@@ -1076,12 +1213,19 @@ class DeltaTableWriter:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
         if mode == "mor":
+            if mapping:
+                raise NotImplementedError(
+                    f"DELETE mode=mor on {self.path}: deletion-vector "
+                    "writes on a column-mapped table are not supported "
+                    "by this writer — use mode='cow'"
+                )
             return self._delete_mor(
                 spark, rdr, entries, st, part_cols, by_local,
                 predicate, max_retries, dv_inline_threshold,
             )
         by_raw, matched = self._probe_affected(
-            spark, rdr, entries, st, part_cols, by_local, predicate
+            spark, rdr, entries, st, part_cols, by_local, predicate,
+            mapping=mapping,
         )
         if not matched:
             return {"version": None, "rows_deleted": 0,
@@ -1100,11 +1244,11 @@ class DeltaTableWriter:
                 spark,
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in partial],
-                st, part_cols,
+                st, part_cols, mapping=mapping,
             ).where(
                 ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             )
-            staged = self._stage(keep, part_cols)
+            staged = self._stage(keep, part_cols, mapping=mapping)
         version = self._commit_cow(
             sorted(by_raw), pv_of, dv_of, staged, "DELETE",
             {"predicate": predicate}, max_retries,
@@ -1374,8 +1518,8 @@ class DeltaTableWriter:
             raise ValueError(
                 f"delta table {self.path} has no commits to update"
             )
-        rdr, entries, st, part_cols, by_local = self._cow_context(
-            spark, "UPDATE"
+        rdr, entries, st, part_cols, by_local, mapping = (
+            self._cow_context(spark, "UPDATE")
         )
         if mode == "auto":
             proto, _m = rdr._protocol_meta()
@@ -1404,12 +1548,19 @@ class DeltaTableWriter:
             )
         pred = predicate if predicate is not None else "TRUE"
         if mode == "mor":
+            if mapping:
+                raise NotImplementedError(
+                    f"UPDATE mode=mor on {self.path}: deletion-vector "
+                    "writes on a column-mapped table are not supported "
+                    "by this writer — use mode='cow'"
+                )
             return self._update_mor(
                 spark, rdr, entries, st, part_cols, by_local,
                 assignments, pred, max_retries, dv_inline_threshold,
             )
         by_raw, matched = self._probe_affected(
-            spark, rdr, entries, st, part_cols, by_local, pred
+            spark, rdr, entries, st, part_cols, by_local, pred,
+            mapping=mapping,
         )
         if not matched:
             return {"version": None, "rows_updated": 0,
@@ -1422,7 +1573,7 @@ class DeltaTableWriter:
             spark,
             [(raw, res_of[raw], pv_of[raw], dv_of[raw])
              for raw in affected],
-            st, part_cols,
+            st, part_cols, mapping=mapping,
         )
         cond = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
         out = df.select(
@@ -1436,7 +1587,7 @@ class DeltaTableWriter:
                 for c in df.columns
             ]
         )
-        staged = self._stage(out, part_cols)
+        staged = self._stage(out, part_cols, mapping=mapping)
         version = self._commit_cow(
             affected, pv_of, dv_of, staged, "UPDATE",
             {"predicate": pred}, max_retries,
@@ -1547,8 +1698,8 @@ class DeltaTableWriter:
             )
         if mode not in ("auto", "cow", "mor"):
             raise ValueError(f"merge mode {mode!r}: auto, cow, or mor")
-        rdr, entries, st, part_cols, by_local = self._cow_context(
-            spark, "MERGE"
+        rdr, entries, st, part_cols, by_local, mapping = (
+            self._cow_context(spark, "MERGE")
         )
         if assignments:
             bad = [c for c in assignments if c in part_cols]
@@ -1566,6 +1717,12 @@ class DeltaTableWriter:
                 else "cow"
             )
         if mode == "mor" and entries:
+            if mapping:
+                raise NotImplementedError(
+                    f"MERGE mode=mor on {self.path}: deletion-vector "
+                    "writes on a column-mapped table are not supported "
+                    "by this writer — use mode='cow'"
+                )
             return self._merge_mor(
                 spark, rdr, entries, st, part_cols, by_local, source,
                 cond, assignments, insert_exprs, target_alias,
@@ -1580,7 +1737,8 @@ class DeltaTableWriter:
         matched = 0
         if (assignments or delete_matched) and entries:
             tgt = rdr._assemble_mor(
-                spark, entries, st, part_cols, keep_pos=True
+                spark, entries, st, part_cols, keep_pos=True,
+                mapping=mapping,
             )
             rows = (
                 tgt.alias(target_alias)
@@ -1613,18 +1771,18 @@ class DeltaTableWriter:
                         spark,
                         [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                          for raw in partial],
-                        st, part_cols,
+                        st, part_cols, mapping=mapping,
                     )
                     .alias(target_alias)
                     .join(source.alias(source_alias), cond_col, "left_anti")
                 )
-                staged = self._stage(keep, part_cols)
+                staged = self._stage(keep, part_cols, mapping=mapping)
         elif affected:
             aff = rdr._assemble_mor(
                 spark,
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in affected],
-                st, part_cols,
+                st, part_cols, mapping=mapping,
             )
             input_rows = sum(
                 self._live_rows(res_of[raw], dv_of[raw]) for raw in affected
@@ -1647,7 +1805,7 @@ class DeltaTableWriter:
                     for c in aff.columns
                 ]
             )
-            staged = self._stage(out, part_cols)
+            staged = self._stage(out, part_cols, mapping=mapping)
             staged_rows = sum(
                 self._file_rows(os.path.join(self.path, rel))
                 for rel, _pv in staged
@@ -1664,7 +1822,7 @@ class DeltaTableWriter:
         if insert_exprs is not None:
             if entries:
                 full_t = rdr._assemble_mor(
-                    spark, entries, st, part_cols,
+                    spark, entries, st, part_cols, mapping=mapping,
                 )
                 ins_src = source.alias(source_alias).join(
                     full_t.alias(target_alias), cond_col, "left_anti"
@@ -1693,7 +1851,7 @@ class DeltaTableWriter:
                     for e, (c, t_) in zip(insert_exprs, cols)
                 ]
             )
-            ins_staged = self._stage(ins, part_cols)
+            ins_staged = self._stage(ins, part_cols, mapping=mapping)
             rows_inserted = sum(
                 self._file_rows(os.path.join(self.path, rel))
                 for rel, _pv in ins_staged
@@ -2013,7 +2171,9 @@ class DeltaTableWriter:
         # and every DV'd input drops — delta's REORG ... APPLY (PURGE),
         # folded into OPTIMIZE (logical content unchanged, so the
         # commit stays dataChange:false and CDF-invisible)
-        df = rdr._assemble_mor(spark, entries, st, part_cols)
+        df = rdr._assemble_mor(
+            spark, entries, st, part_cols, mapping=self._cm_of(meta)
+        )
         if zorder_by:
             df = _zorder_clustered(df, zorder_by, target_files)
         elif part_cols:
@@ -2022,7 +2182,9 @@ class DeltaTableWriter:
             df = df.repartition(*[F.col(c) for c in part_cols])
         else:
             df = df.coalesce(max(target_files, 1))
-        staged = self._stage(df, part_cols)
+        staged = self._stage(
+            df, part_cols, mapping=self._cm_of(meta)
+        )
         adds = self._add_actions(staged, data_change=False)
         now_ms = int(time.time() * 1000)
         removes = []

@@ -78,6 +78,75 @@ from pyspark.sql import DataFrame, SparkSession
 _MAGIC = b"Obj\x01"
 
 
+def _snappy_decompress(buf: bytes) -> bytes:
+    """Decode one raw snappy block (the format spec:
+    https://github.com/google/snappy/blob/main/format_description.txt)
+    — a LEB128 uncompressed length, then a tag stream of literals and
+    back-references. No snappy library ships in this environment, and
+    snappy is Avro's DEFAULT codec in several Iceberg writers (Java's
+    manifest writer among them), so reading foreign metadata needs
+    this ~50-line pure-Python decoder. Copies may overlap their own
+    output (offset < length encodes a repeat) — the byte-at-a-time
+    extend handles that case; the fast slice path covers the rest."""
+    pos = 0
+    # LEB128 (plain varint, NOT zigzag): uncompressed byte length
+    shift, total = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("snappy: truncated length header")
+        b = buf[pos]
+        pos += 1
+        total |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    out = bytearray()
+    while pos < len(buf):
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            n = tag >> 2
+            if n >= 60:  # 60..63: length rides 1..4 extra LE bytes
+                extra = n - 59
+                n = int.from_bytes(buf[pos:pos + extra], "little")
+                pos += extra
+            n += 1
+            if pos + n > len(buf):
+                raise ValueError("snappy: truncated literal")
+            out += buf[pos:pos + n]
+            pos += n
+            continue
+        if kind == 1:  # copy, 3-bit length, 11-bit offset
+            n = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:  # copy, 6-bit length, 2-byte LE offset
+            n = (tag >> 2) + 1
+            off = int.from_bytes(buf[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 6-bit length, 4-byte LE offset
+            n = (tag >> 2) + 1
+            off = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        if off >= n:  # disjoint: one slice
+            start = len(out) - off
+            out += out[start:start + n]
+        else:  # overlapping: the repeat idiom, byte at a time
+            start = len(out) - off
+            for i in range(n):
+                out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError(
+            f"snappy: decompressed {len(out)} bytes, header said {total}"
+        )
+    return bytes(out)
+
+
 class _Bin:
     """Binary-decoder cursor over one Avro block's bytes."""
 
@@ -191,10 +260,10 @@ class AvroFileReader:
             meta = self._file_meta(f)
             self.schema = json.loads(meta[b"avro.schema"])
             self.codec = meta.get(b"avro.codec", b"null").decode()
-            if self.codec not in ("null", "deflate"):
+            if self.codec not in ("null", "deflate", "snappy"):
                 raise NotImplementedError(
                     f"{path}: avro codec {self.codec!r} unsupported "
-                    "(null/deflate only) — snappy/zstd need their libs"
+                    "(null/deflate/snappy) — zstd needs its lib"
                 )
             self.sync = f.read(16)
             self.records = list(self._blocks(f))
@@ -239,6 +308,25 @@ class AvroFileReader:
                 raise ValueError(f"{self.path}: truncated avro block")
             if self.codec == "deflate":  # raw deflate, no zlib header
                 payload = zlib.decompress(payload, -15)
+            elif self.codec == "snappy":
+                # Avro's snappy framing: raw snappy block + 4-byte
+                # BIG-ENDIAN CRC32 of the UNCOMPRESSED data (spec
+                # §"Required Codecs"); verify — a silent bitflip in
+                # metadata corrupts every downstream scan decision
+                if len(payload) < 4:
+                    raise ValueError(
+                        f"{self.path}: snappy avro block too short "
+                        "for its crc32 trailer"
+                    )
+                body, crc = payload[:-4], payload[-4:]
+                payload = _snappy_decompress(body)
+                if zlib.crc32(payload) & 0xFFFFFFFF != int.from_bytes(
+                    crc, "big"
+                ):
+                    raise ValueError(
+                        f"{self.path}: snappy avro block crc32 "
+                        "mismatch — corrupt metadata"
+                    )
             if f.read(16) != self.sync:
                 raise ValueError(f"{self.path}: avro sync marker mismatch")
             d = _Bin(payload)
@@ -569,15 +657,111 @@ class IcebergTable:
                     out[f.get("name") or src_name] = src_name
         return out
 
+    def _transform_part_fields(self) -> list[dict]:
+        """The default spec's NON-identity partition fields this
+        reader can prune on: {name, source, transform, param,
+        source_type} for year/month/day/hour (monotonic), truncate
+        (monotonic), and bucket (equality-only)."""
+        import re as _re
+
+        specs = self.meta.get("partition-specs") or []
+        spec = next(
+            (s for s in specs
+             if s.get("spec-id") == self.meta.get("default-spec-id", 0)),
+            None,
+        )
+        if spec is None:
+            legacy = self.meta.get("partition-spec")
+            spec = {"fields": legacy} if legacy else {"fields": []}
+        by_id = self._field_names_by_id()
+        types_by_name: dict[str, str] = {}
+        schemas = self.meta.get("schemas") or (
+            [self.meta["schema"]] if self.meta.get("schema") else []
+        )
+        sid = self.meta.get("current-schema-id", 0)
+        sch = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[-1] if schemas else {"fields": []},
+        )
+        for f in sch.get("fields", []):
+            types_by_name[f["name"]] = str(f["type"])
+        out = []
+        for f in spec.get("fields") or []:
+            t = str(f.get("transform"))
+            src = by_id.get(f.get("source-id"))
+            if not src or t == "identity":
+                continue
+            name = f.get("name") or src
+            if t in ("year", "month", "day", "hour"):
+                out.append({"name": name, "source": src,
+                            "transform": t, "param": None,
+                            "source_type": types_by_name.get(src)})
+                continue
+            m = _re.match(r"^(bucket|truncate)\[(\d+)\]$", t)
+            if m:
+                out.append({"name": name, "source": src,
+                            "transform": m.group(1),
+                            "param": int(m.group(2)),
+                            "source_type": types_by_name.get(src)})
+        return out
+
+    @staticmethod
+    def _py_transform(v, transform: str, param: int | None,
+                      source_type: str | None):
+        """Apply one partition transform to a SKIP-bound value
+        driver-side (the pruning question is 'what partition value
+        would this source value map to'); None = cannot evaluate,
+        which callers must treat as cannot-prune."""
+        import datetime
+
+        try:
+            if transform in ("year", "month", "day"):
+                if isinstance(v, str):
+                    v = datetime.date.fromisoformat(v[:10])
+                if isinstance(v, datetime.datetime):
+                    v = v.date()
+                if not isinstance(v, datetime.date):
+                    return None
+                if transform == "year":
+                    return v.year - 1970
+                if transform == "month":
+                    return (v.year - 1970) * 12 + v.month - 1
+                return (v - datetime.date(1970, 1, 1)).days
+            if transform == "hour":
+                if isinstance(v, str):
+                    v = datetime.datetime.fromisoformat(v)
+                if not isinstance(v, datetime.datetime):
+                    return None
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=datetime.timezone.utc)
+                return int(v.timestamp()) // 3600
+            if transform == "truncate":
+                if isinstance(v, int) and not isinstance(v, bool):
+                    return v - (v % int(param))
+                if isinstance(v, str):
+                    return v[:int(param)]
+                return None
+            if transform == "bucket":
+                from algebraicdb_spark.operators.iceberg_writer import (
+                    bucket_value,
+                )
+
+                return bucket_value(v, str(source_type), int(param))
+        except (TypeError, ValueError, OverflowError):
+            return None
+        return None
+
     def _prunable_state(
         self, snapshot_id: int | None = None
-    ) -> dict[str, tuple[dict, dict]]:
+    ) -> dict[str, tuple[dict, dict, dict]]:
         """resolved data path → (per-column [min, max] decoded from the
         manifest entry's lower/upper bounds, identity partition values
-        by SOURCE column name) — the log-side skipping inputs every
-        Iceberg client folds. Bounds keyed by field id decode through
-        the spec's single-value binary serialization; anything
-        undecodable is dropped (cannot prune ≠ prune wrongly)."""
+        by SOURCE column name, the RAW partition record by spec field
+        name — what the transform tier prunes on) — the log-side
+        skipping inputs every Iceberg client folds. Bounds keyed by
+        field id decode through the spec's single-value binary
+        serialization; anything undecodable is dropped (cannot prune ≠
+        prune wrongly)."""
         by_id = self._field_names_by_id()
         types_by_id = {}
         schemas = self.meta.get("schemas") or (
@@ -638,7 +822,9 @@ class IcebergTable:
                     for f in pv_rec
                     if f in part_map
                 }
-                out[self._resolve(df["file_path"])] = (bounds, pv)
+                out[self._resolve(df["file_path"])] = (
+                    bounds, pv, dict(pv_rec)
+                )
         return out
 
     def _pruned_paths(
@@ -655,8 +841,9 @@ class IcebergTable:
             _pv_prunes,
         )
 
+        tf_fields = self._transform_part_fields()
         keep: set[str] = set()
-        for path, (bounds, pv) in self._prunable_state(
+        for path, (bounds, pv, raw_pv) in self._prunable_state(
             snapshot_id
         ).items():
             ok = True
@@ -668,9 +855,61 @@ class IcebergTable:
                 if b is not None and _bounds_prune(b, lo_v, hi_v):
                     ok = False
                     break
+                if self._tf_prunes(
+                    tf_fields, raw_pv, col, lo_v, hi_v
+                ):
+                    ok = False
+                    break
             if ok:
                 keep.add(path)
         return keep
+
+    def _tf_prunes(
+        self, tf_fields: list[dict], raw_pv: dict, col, lo_v, hi_v
+    ) -> bool:
+        """The TRANSFORM pruning tier: a file's recorded transform
+        value rules it out when the skip range on the SOURCE column
+        cannot reach it — year/month/day/hour and truncate are
+        order-preserving, so the transformed range brackets the
+        file's value; bucket answers EQUALITY only (a range of source
+        values scatters across buckets). Any inconclusive evaluation
+        keeps the file — cannot prune, never prune wrongly."""
+        for tf in tf_fields:
+            if tf["source"] != col:
+                continue
+            v = raw_pv.get(tf["name"])
+            if v is None:
+                continue
+            if tf["transform"] == "bucket":
+                if lo_v is not None and hi_v is not None and lo_v == hi_v:
+                    b = self._py_transform(
+                        lo_v, "bucket", tf["param"], tf["source_type"]
+                    )
+                    if b is not None and b != v:
+                        return True
+                continue
+            t_lo = (
+                self._py_transform(
+                    lo_v, tf["transform"], tf["param"],
+                    tf["source_type"],
+                )
+                if lo_v is not None else None
+            )
+            t_hi = (
+                self._py_transform(
+                    hi_v, tf["transform"], tf["param"],
+                    tf["source_type"],
+                )
+                if hi_v is not None else None
+            )
+            try:
+                if t_lo is not None and v < t_lo:
+                    return True
+                if t_hi is not None and v > t_hi:
+                    return True
+            except TypeError:
+                continue
+        return False
 
     def _field_names_by_id(self) -> dict[int, str]:
         """Top-level column name per field id from the CURRENT schema

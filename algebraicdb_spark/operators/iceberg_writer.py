@@ -30,19 +30,24 @@ structural: round-trip tests read this writer's output back through
 fixtures, never against this writer — so agreement is evidence both
 speak the spec, not that they share bugs.
 
-Scope: APPEND commits on unpartitioned tables with flat schemas
-(top-level primitive columns — nested/partitioned writes refuse
-loudly; reads of such tables remain ``IcebergTable``'s job). No
-deletes, no schema evolution, no compaction: those are the owning
-system's writes in an interop story. Scale shape: like every Iceberg
-client — data files land via one distributed Spark write, metadata is
-O(files in the commit) KB-sized driver-side Avro/JSON.
+Scope (round 12): full nested schemas — struct/list/map columns get
+spec field ids (element/key/value ids included), stamped into each
+parquet file's footer as real field_id metadata, so the engine's own
+``embeddings`` (array<float>) and ADT struct columns land in its
+lakehouse format and read back through any conformant client. Appends
+(identity-partitioned or not), COW and merge-on-read row mutations,
+keyed equality-delete upserts, compaction, and snapshot maintenance
+all publish real v2 snapshots; schema EVOLUTION stays the owning
+system's job. Scale shape: like every Iceberg client — data files
+land via one distributed Spark write, metadata is O(files in the
+commit) KB-sized driver-side Avro/JSON.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -157,10 +162,8 @@ class AvroFileWriter:
         os.replace(tmp, path)
 
 
-# Spark simpleString → Iceberg primitive type names (the spec's
-# flat-schema set this append-only writer supports; anything else
-# refuses loudly). Sub-int widths widen to iceberg int — the narrowest
-# type the spec has.
+# Spark simpleString → Iceberg primitive type names. Sub-int widths
+# widen to iceberg int — the narrowest type the spec has.
 _TYPE_MAP = {
     "boolean": "boolean",
     "tinyint": "int",
@@ -177,24 +180,519 @@ _TYPE_MAP = {
 }
 
 
+def _iceberg_type(dt, alloc, where: str):
+    """One Spark DataType → the spec's JSON type, allocating field ids
+    for NESTED positions (struct fields, list elements, map keys and
+    values each own an id per spec §Schemas) in pre-order — a field's
+    id precedes its children's, matching how the Java implementation
+    assigns fresh ids. Round 12: this lifted the writer's
+    flat-primitive refusal so the engine's own ``embeddings``
+    (array<float>) and ADT struct columns can land in its lakehouse
+    format."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({
+                "id": fid, "name": f.name, "required": False,
+                "type": _iceberg_type(
+                    f.dataType, alloc, f"{where}.{f.name}"
+                ),
+            })
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(
+                dt.elementType, alloc, f"{where}.element"
+            ),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid = alloc()
+        key = _iceberg_type(dt.keyType, alloc, f"{where}.key")
+        vid = alloc()
+        val = _iceberg_type(dt.valueType, alloc, f"{where}.value")
+        return {
+            "type": "map",
+            "key-id": kid, "key": key,
+            "value-id": vid, "value": val,
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    s = dt.simpleString()
+    if s in _TYPE_MAP:
+        return _TYPE_MAP[s]
+    raise NotImplementedError(
+        f"iceberg write: {where} has type {s} — no spec mapping in "
+        "this writer (interval/variant/udt need a full Iceberg client)"
+    )
+
+
 def _iceberg_fields(df: DataFrame) -> list[dict]:
-    fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        s = f.dataType.simpleString()
-        if s.startswith("decimal"):
-            t = s.replace("decimal", "decimal").replace(",", ", ")
-        elif s in _TYPE_MAP:
-            t = _TYPE_MAP[s]
-        else:
-            raise NotImplementedError(
-                f"iceberg append: column {f.name!r} has type {s} — this "
-                "append-only writer supports flat primitive schemas; "
-                "write nested/complex tables with a full Iceberg client"
+    """The batch's schema as the spec's field list, nested types
+    included, ids assigned 1..n pre-order (only the table-CREATING
+    commit uses these ids; appends to an existing table resolve ids
+    from its current schema)."""
+    counter = [0]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    return _iceberg_type(df.schema, alloc, "<root>")["fields"]
+
+
+def _max_field_id(fields: list[dict]) -> int:
+    """The highest field id anywhere in the tree — what the metadata's
+    ``last-column-id`` must cover (a nested id above a too-small
+    last-column-id would collide with the next evolution's fresh ids)."""
+    best = 0
+
+    def walk(t) -> None:
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        k = t.get("type")
+        if k == "struct":
+            for f in t.get("fields", []):
+                best = max(best, int(f["id"]))
+                walk(f["type"])
+        elif k == "list":
+            best = max(best, int(t.get("element-id", 0)))
+            walk(t.get("element"))
+        elif k == "map":
+            best = max(best, int(t.get("key-id", 0)),
+                       int(t.get("value-id", 0)))
+            walk(t.get("key"))
+            walk(t.get("value"))
+
+    walk({"type": "struct",
+          "fields": [{"id": f["id"], "type": f["type"]} for f in fields]})
+    return best
+
+
+_REV_TYPE_MAP = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz", "binary": "binary",
+}
+
+
+def _spark_ddl(t) -> str | None:
+    """Iceberg JSON type → Spark DDL, recursing through
+    struct/list/map; None for primitives Spark has no twin for
+    (uuid/fixed/time) — cannot map ≠ map wrongly."""
+    if isinstance(t, str):
+        tt = t.replace(" ", "")
+        if tt.startswith("decimal("):
+            return tt
+        return _REV_TYPE_MAP.get(t)
+    k = t.get("type")
+    if k == "struct":
+        inner = []
+        for f in t.get("fields", []):
+            d = _spark_ddl(f["type"])
+            if d is None:
+                return None
+            inner.append(f"`{f['name']}`: {d}")
+        return "struct<" + ", ".join(inner) + ">"
+    if k == "list":
+        d = _spark_ddl(t.get("element"))
+        return None if d is None else f"array<{d}>"
+    if k == "map":
+        kd = _spark_ddl(t.get("key"))
+        vd = _spark_ddl(t.get("value"))
+        return None if kd is None or vd is None else f"map<{kd}, {vd}>"
+    return None
+
+
+def _type_key(t):
+    """A canonical, id-free fingerprint of an iceberg type — what the
+    schema gate compares: two schemas match when every (name, shape)
+    agrees, regardless of the field ids a foreign client assigned or
+    JSON key order."""
+    if isinstance(t, str):
+        return t.replace(" ", "")
+    k = t.get("type")
+    if k == "struct":
+        return ("struct", tuple(
+            (f["name"], _type_key(f["type"]))
+            for f in t.get("fields", [])
+        ))
+    if k == "list":
+        return ("list", _type_key(t.get("element")))
+    if k == "map":
+        return ("map", _type_key(t.get("key")), _type_key(t.get("value")))
+    return json.dumps(t, sort_keys=True)
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 — the spec's REQUIRED hash for the bucket
+    partition transform (Appendix B: 32-bit Hash Requirements),
+    implemented from the public algorithm. Returns the SIGNED 32-bit
+    value the spec's test vectors are stated in; bucketing masks the
+    sign bit afterwards. Pure Python so the transform needs no native
+    lib; the per-value cost is trivial next to the parquet write it
+    rides, and at cluster scale the Spark-Iceberg datasource computes
+    this JVM-side anyway."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    mask = 0xFFFFFFFF
+    h = seed & mask
+    n = len(data)
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & mask
+        k = rotl(k, 15)
+        k = (k * c2) & mask
+        h ^= k
+        h = rotl(h, 13)
+        h = (h * 5 + 0xE6546B64) & mask
+    tail = data[n - n % 4:]
+    k1 = 0
+    if len(tail) >= 3:
+        k1 ^= tail[2] << 16
+    if len(tail) >= 2:
+        k1 ^= tail[1] << 8
+    if len(tail) >= 1:
+        k1 ^= tail[0]
+        k1 = (k1 * c1) & mask
+        k1 = rotl(k1, 15)
+        k1 = (k1 * c2) & mask
+        h ^= k1
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_bytes(v, ice_type: str) -> bytes | None:
+    """The spec's byte layout hashed per type (Appendix B): int/long/
+    date hash as the 8-byte little-endian LONG (so int 34 and long 34
+    bucket together — a spec requirement), strings as UTF-8,
+    timestamps as microseconds-long, binary raw. None = cannot
+    serialize (the caller refuses the transform for that type)."""
+    import datetime
+
+    if v is None:
+        return None
+    if ice_type in ("int", "long"):
+        return struct.pack("<q", int(v))
+    if ice_type == "date":
+        if isinstance(v, datetime.date):
+            v = (v - datetime.date(1970, 1, 1)).days
+        return struct.pack("<q", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, datetime.datetime):
+            epoch = datetime.datetime(
+                1970, 1, 1,
+                tzinfo=v.tzinfo if v.tzinfo else None,
             )
-        fields.append(
-            {"id": i, "name": f.name, "required": False, "type": t}
+            v = int((v - epoch).total_seconds() * 1_000_000)
+        return struct.pack("<q", int(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(v)
+    return None
+
+
+def bucket_value(v, ice_type: str, n: int) -> int | None:
+    """The spec's bucket transform: (murmur3(layout) & Int.MAX) % N."""
+    b = _bucket_bytes(v, ice_type)
+    if b is None:
+        return None
+    return (murmur3_32(b) & 0x7FFFFFFF) % int(n)
+
+
+# transforms this writer can EVALUATE (append staging + manifest
+# partition values) and the reader can PRUNE on. Temporal transforms
+# are scoped to the types whose calendar fields are timezone-free
+# here: year/month/day over DATE columns, hour over TIMESTAMP —
+# applying year() to a session-timezone-rendered instant would write
+# values that disagree with every UTC-normalizing client.
+_TEMPORAL_SRC = {"year": ("date",), "month": ("date",),
+                 "day": ("date",), "hour": ("timestamptz", "timestamp")}
+
+
+_PART_FN_RE = re.compile(
+    r"^\s*(?P<fn>[A-Za-z_]\w*)\s*\(\s*(?P<args>[^()]*)\s*\)\s*$"
+)
+_BUCKET_T_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_T_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+# identity partition sources whose values this writer serializes into
+# the manifest partition record / parses back from staging dirs
+_IDENTITY_SRC = {"int", "long", "string", "boolean"}
+_BUCKET_SRC = {"int", "long", "date", "string", "timestamp",
+               "timestamptz", "binary"}
+
+
+def _parse_partition_by(items: list[str], by_name: dict) -> list[dict]:
+    """User ``partition_by`` strings → spec-field dicts
+    {name, transform, source, source_type, vtype}: plain column names
+    are identity; ``day(col)`` / ``month(col)`` / ``year(col)`` /
+    ``hour(col)`` (plurals accepted) are the spec's temporal
+    transforms; ``bucket(N, col)`` and ``truncate(W, col)`` the
+    width-parameterized ones. Field names follow the Java
+    implementation's defaults (<col>_day, <col>_bucket, <col>_trunc)."""
+    out = []
+    for raw in items:
+        m = _PART_FN_RE.match(raw)
+        if m is None:
+            c = raw.strip()
+            if c not in by_name:
+                raise ValueError(
+                    f"iceberg append: partition column {c!r} is not "
+                    f"in the batch schema {sorted(by_name)}"
+                )
+            st = str(by_name[c]["type"])
+            if st not in _IDENTITY_SRC:
+                raise NotImplementedError(
+                    f"iceberg append: partition column {c!r} has type "
+                    f"{st} — identity partition values serialize for "
+                    f"{sorted(_IDENTITY_SRC)} only"
+                )
+            out.append({"name": c, "transform": "identity",
+                        "source": c, "source_type": st, "vtype": st})
+            continue
+        fn = m.group("fn").lower().rstrip("s")
+        args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+        if fn in ("year", "month", "day", "hour"):
+            if len(args) != 1:
+                raise ValueError(
+                    f"iceberg append: {raw!r} — temporal transforms "
+                    "take exactly one column"
+                )
+            c = args[0]
+            if c not in by_name:
+                raise ValueError(
+                    f"iceberg append: partition source {c!r} is not "
+                    f"in the batch schema {sorted(by_name)}"
+                )
+            st = str(by_name[c]["type"])
+            if st not in _TEMPORAL_SRC[fn]:
+                raise NotImplementedError(
+                    f"iceberg append: {fn}({c}) over type {st} — this "
+                    f"writer evaluates {fn} over "
+                    f"{_TEMPORAL_SRC[fn]} only (session-timezone "
+                    "calendar fields would disagree with "
+                    "UTC-normalizing clients)"
+                )
+            out.append({"name": f"{c}_{fn}", "transform": fn,
+                        "source": c, "source_type": st, "vtype": "int"})
+            continue
+        if fn in ("bucket", "truncate"):
+            if len(args) != 2 or not args[0].isdigit():
+                raise ValueError(
+                    f"iceberg append: {raw!r} — expected "
+                    f"{fn}(<width>, <column>)"
+                )
+            width, c = int(args[0]), args[1]
+            if width <= 0:
+                raise ValueError(
+                    f"iceberg append: {raw!r} — width must be positive"
+                )
+            if c not in by_name:
+                raise ValueError(
+                    f"iceberg append: partition source {c!r} is not "
+                    f"in the batch schema {sorted(by_name)}"
+                )
+            st = str(by_name[c]["type"])
+            if fn == "bucket":
+                if st not in _BUCKET_SRC:
+                    raise NotImplementedError(
+                        f"iceberg append: bucket({width}, {c}) over "
+                        f"type {st} — the spec hash layouts here "
+                        f"cover {sorted(_BUCKET_SRC)}"
+                    )
+                out.append({
+                    "name": f"{c}_bucket",
+                    "transform": f"bucket[{width}]",
+                    "source": c, "source_type": st, "vtype": "int",
+                })
+            else:
+                if st not in ("int", "long", "string"):
+                    raise NotImplementedError(
+                        f"iceberg append: truncate({width}, {c}) over "
+                        f"type {st} — int/long/string only (decimal "
+                        "truncate needs unscaled-value arithmetic)"
+                    )
+                out.append({
+                    "name": f"{c}_trunc",
+                    "transform": f"truncate[{width}]",
+                    "source": c, "source_type": st,
+                    "vtype": st if st != "string" else "string",
+                })
+            continue
+        raise NotImplementedError(
+            f"iceberg append: partition transform {raw!r} — identity, "
+            "year/month/day/hour, bucket(N, col), truncate(W, col)"
         )
-    return fields
+    return out
+
+
+def _bucket_udf(n: int, ice_type: str):
+    """Arrow-batched evaluation of the spec's bucket transform for the
+    staging split — executor-side, vectorized transfer; the per-value
+    Python hash is trivial next to the parquet write it rides."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bkt(s):
+        return s.map(
+            lambda v: None if v is None else bucket_value(v, ice_type, n)
+        )
+
+    return bkt
+
+
+def _transform_col(sf: dict):
+    """The Spark column computing one spec field's partition VALUE —
+    JVM-side expressions for everything except bucket (whose murmur3
+    layout has no builtin twin and rides an Arrow-batched UDF)."""
+    from pyspark.sql import functions as F
+
+    src = F.col(sf["source"])
+    t = sf["transform"]
+    if t == "identity":
+        return src
+    if t == "year":
+        return (F.year(src) - F.lit(1970)).cast("int")
+    if t == "month":
+        return (
+            (F.year(src) - F.lit(1970)) * F.lit(12)
+            + F.month(src) - F.lit(1)
+        ).cast("int")
+    if t == "day":
+        return F.datediff(src, F.to_date(F.lit("1970-01-01"))).cast("int")
+    if t == "hour":
+        # timestamps are instants: unix seconds are timezone-free, and
+        # floor-division keeps pre-epoch hours correct
+        return F.floor(F.unix_timestamp(src) / F.lit(3600)).cast("int")
+    m = _BUCKET_T_RE.match(t)
+    if m:
+        return _bucket_udf(int(m.group(1)), sf["source_type"])(src)
+    m = _TRUNC_T_RE.match(t)
+    if m:
+        w = int(m.group(1))
+        if sf["source_type"] == "string":
+            return F.substring(src, 1, w)
+        # iceberg truncate: v - (v mod W) with FLOORED mod (pmod)
+        out = src - F.pmod(src, F.lit(w))
+        return out.cast("int" if sf["source_type"] == "int" else "long")
+    raise NotImplementedError(
+        f"iceberg: partition transform {t!r} has no evaluator here"
+    )
+
+
+# The spec's RESERVED field ids for position-delete file columns —
+# every conformant writer stamps exactly these
+_POS_DELETE_FIELDS = [
+    {"id": 2147483546, "name": "file_path", "type": "string"},
+    {"id": 2147483545, "name": "pos", "type": "long"},
+]
+
+
+def _with_id_field(af, ice_type, fid: int | None):
+    """One arrow field re-built with its iceberg id as the
+    ``PARQUET:field_id`` metadata pyarrow writes into the footer's
+    SchemaElement.field_id — recursing into struct children, list
+    elements, and map key/value so NESTED ids land too."""
+    import pyarrow as pa
+
+    meta = dict(af.metadata or {})
+    if fid is not None:
+        meta[b"PARQUET:field_id"] = str(int(fid)).encode()
+    return pa.field(
+        af.name, _with_id_type(af.type, ice_type), af.nullable,
+        metadata=meta or None,
+    )
+
+
+def _with_id_type(at, ice_type):
+    import pyarrow as pa
+
+    ice = ice_type if isinstance(ice_type, dict) else {}
+    if pa.types.is_struct(at) and ice.get("type") == "struct":
+        by = {f["name"]: f for f in ice.get("fields", [])}
+        return pa.struct([
+            _with_id_field(
+                at.field(i),
+                (by.get(at.field(i).name) or {}).get("type"),
+                (by.get(at.field(i).name) or {}).get("id"),
+            )
+            for i in range(at.num_fields)
+        ])
+    if (pa.types.is_list(at) or pa.types.is_large_list(at)) and (
+        ice.get("type") == "list"
+    ):
+        el = _with_id_field(
+            at.value_field, ice.get("element"), ice.get("element-id")
+        )
+        return pa.list_(el) if pa.types.is_list(at) else pa.large_list(el)
+    if pa.types.is_map(at) and ice.get("type") == "map":
+        return pa.map_(
+            _with_id_field(at.key_field, ice.get("key"),
+                           ice.get("key-id")),
+            _with_id_field(at.item_field, ice.get("value"),
+                           ice.get("value-id")),
+        )
+    return at
+
+
+def _stamp_field_ids(paths: list[str], fields: list[dict]) -> None:
+    """Rewrite each staged parquet file with the table's iceberg
+    field ids in the schema metadata — how spec-conformant readers
+    resolve columns after renames (name matching breaks the moment a
+    column is renamed; ids never do). Threaded per file (pyarrow
+    releases the GIL for parquet IO). Deployment seam: at cluster
+    scale the ids ride the DISTRIBUTED write itself — the Spark-
+    Iceberg integration attaches them in the datasource writer — so
+    this per-file local pass is the single-JVM stand-in for an
+    executor-side step, not a driver bottleneck by design."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by = {f["name"]: f for f in fields}
+
+    def stamp(path: str) -> None:
+        t = pq.read_table(path)
+        new = pa.schema(
+            [
+                _with_id_field(
+                    af,
+                    (by.get(af.name) or {}).get("type"),
+                    (by.get(af.name) or {}).get("id"),
+                )
+                for af in t.schema
+            ],
+            metadata=t.schema.metadata,
+        )
+        tmp = path + ".ids.tmp"
+        pq.write_table(t.cast(new), tmp, compression="snappy")
+        os.replace(tmp, path)
+
+    if len(paths) == 1:
+        stamp(paths[0])
+        return
+    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+        list(ex.map(stamp, paths))
 
 
 # iceberg partition-value types this writer can serialize into the
@@ -420,15 +918,21 @@ class IcebergTableWriter:
         df: DataFrame,
         parts: list[str] | None = None,
         part_types: dict[str, str] | None = None,
+        ice_fields: list[dict] | None = None,
+        spec_parts: list[dict] | None = None,
     ) -> list[tuple[str, int, int, dict]]:
         """Write the batch's parquet under data/ — (path, rows, bytes,
         partition values) per file, counts from the parquet FOOTERS
-        (O(KB), nothing re-scanned). Partitioned: identity transforms
-        keep the partition COLUMNS in the data files (iceberg's model,
-        unlike hive/delta), so the split writes through DUPLICATED
-        ``__p_*`` columns — each output file holds exactly one
+        (O(KB), nothing re-scanned). Partitioned: iceberg keeps the
+        SOURCE columns in the data files (unlike hive/delta), so the
+        split writes through computed ``__p_*`` columns — identity
+        duplicates the source, transforms evaluate it
+        (``_transform_col``: JVM expressions, bucket via an
+        Arrow-batched UDF) — each output file holds exactly one
         partition tuple, the dirs carry the values for attribution,
-        and the originals stay in the bytes."""
+        and the originals stay in the bytes. ``ice_fields`` stamps
+        each file's parquet schema with those iceberg field ids
+        (nested included) before sizing — see ``_stamp_field_ids``."""
         import shutil
 
         import pyarrow.parquet as pq
@@ -436,67 +940,101 @@ class IcebergTableWriter:
         from algebraicdb_spark.operators.txnlog import (
             _hive_partition_values,
         )
-        from pyspark.sql import functions as F
 
+        if spec_parts is None and parts:
+            spec_parts = [
+                {"name": c, "transform": "identity", "source": c,
+                 "source_type": (part_types or {}).get(c, "string"),
+                 "vtype": (part_types or {}).get(c, "string")}
+                for c in parts
+            ]
         tmp = os.path.join(self.data_dir, "_stage_" + uuid.uuid4().hex)
-        w = df
-        if parts:
-            for c in parts:
-                w = w.withColumn(f"__p_{c}", F.col(c))
-            w.write.mode("errorifexists").partitionBy(
-                *[f"__p_{c}" for c in parts]
-            ).parquet(tmp)
-        else:
-            w.write.mode("errorifexists").parquet(tmp)
+        try:
+            w = df
+            if spec_parts:
+                for sf in spec_parts:
+                    w = w.withColumn(
+                        f"__p_{sf['name']}", _transform_col(sf)
+                    )
+                w.write.mode("errorifexists").partitionBy(
+                    *[f"__p_{sf['name']}" for sf in spec_parts]
+                ).parquet(tmp)
+            else:
+                w.write.mode("errorifexists").parquet(tmp)
+        except BaseException:
+            # a write that dies mid-flight (runtime error in an
+            # expression) leaves the half-written tmp dir behind —
+            # same leak class as an unreferenced staged file
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
 
-        def typed(c: str, v: str | None):
+        def typed(sf: dict, v: str | None):
             if v is None:
                 return None
-            t = (part_types or {}).get(c, "string")
+            t = sf["vtype"]
             if t in ("int", "long"):
                 return int(v)
             if t == "boolean":
                 return str(v).lower() == "true"
             return v
 
-        staged: list[tuple[str, int, int, dict]] = []
+        moved: list[tuple[str, dict]] = []
         for dirpath, _dirs, files in os.walk(tmp):
             for fn in sorted(files):
                 if not fn.endswith(".parquet"):
                     continue
                 pv: dict = {}
                 rel_dir = os.path.relpath(dirpath, tmp)
-                if parts and rel_dir != ".":
+                if spec_parts and rel_dir != ".":
                     raw = _hive_partition_values(rel_dir)
                     pv = {
-                        c: typed(c, raw.get(f"__p_{c}")) for c in parts
+                        sf["name"]: typed(
+                            sf, raw.get(f"__p_{sf['name']}")
+                        )
+                        for sf in spec_parts
                     }
                 dest = os.path.join(
                     self.data_dir, f"{uuid.uuid4().hex}.parquet"
                 )
                 os.replace(os.path.join(dirpath, fn), dest)
-                staged.append((
-                    dest,
-                    pq.ParquetFile(dest).metadata.num_rows,
-                    os.path.getsize(dest),
-                    pv,
-                ))
+                moved.append((dest, pv))
         shutil.rmtree(tmp)
-        return staged
+        if ice_fields and moved:
+            try:
+                _stamp_field_ids([p for p, _pv in moved], ice_fields)
+            except BaseException:
+                self._unstage([(p,) for p, _pv in moved])
+                raise
+        return [
+            (
+                dest,
+                pq.ParquetFile(dest).metadata.num_rows,
+                os.path.getsize(dest),
+                pv,
+            )
+            for dest, pv in moved
+        ]
 
     def _unstage(self, staged: list) -> None:
         for p, *_rest in staged:
             if os.path.exists(p):
                 os.unlink(p)
 
-    def _stage_nonempty(self, df) -> list[tuple[str, int, int, dict]]:
+    def _stage_nonempty(
+        self,
+        df,
+        ice_fields: list[dict] | None = None,
+        spec_parts: list[dict] | None = None,
+    ) -> list[tuple[str, int, int, dict]]:
         """``_stage`` with zero-row part files UNLINKED, not just
         filtered: a filtered-out file has already been moved into
         data/, is reachable from no manifest, and nothing else ever
         reclaims it (expire_snapshots walks manifest trees, never the
         directory) — the same leak class the unstage-on-refusal rule
         exists for."""
-        staged = self._stage(df)
+        staged = self._stage(
+            df, ice_fields=ice_fields, spec_parts=spec_parts
+        )
         keep = [t for t in staged if t[1] > 0]
         self._unstage([t for t in staged if t[1] == 0])
         return keep
@@ -546,9 +1084,10 @@ class IcebergTableWriter:
             schemas[-1] if schemas else None,
         )
         have = [
-            (f["name"], str(f["type"])) for f in (cur or {}).get("fields", [])
+            (f["name"], _type_key(f["type"]))
+            for f in (cur or {}).get("fields", [])
         ]
-        want = [(f["name"], str(f["type"])) for f in fields]
+        want = [(f["name"], _type_key(f["type"])) for f in fields]
         if have != want:
             raise ValueError(
                 f"iceberg append: batch schema {want} differs from the "
@@ -556,11 +1095,13 @@ class IcebergTableWriter:
                 "evolve schemas; evolve with a full Iceberg client"
             )
 
-    def _cur_parts(self, cur: dict | None) -> list[str]:
-        """The table's identity-partition column names, from the
-        default spec's source-ids resolved through the current schema
-        (non-identity transforms refuse — appends under them need
-        transform evaluation)."""
+    def _cur_spec(self, cur: dict | None) -> list[dict]:
+        """The table's default partition spec as this writer's
+        spec-field dicts {name, transform, source, source_type,
+        vtype} — transforms INCLUDED (round 12: appends evaluate
+        year/month/day/hour, bucket[N], truncate[W]); a transform
+        with no evaluator here, or a value type this writer cannot
+        serialize into the manifest partition record, refuses."""
         if not cur:
             return []
         specs = cur.get("partition-specs") or []
@@ -572,25 +1113,86 @@ class IcebergTableWriter:
         sfields = spec.get("fields") or []
         if not sfields:
             return []
-        schemas = cur.get("schemas") or (
-            [cur["schema"]] if cur.get("schema") else []
-        )
-        sid = cur.get("current-schema-id", 0)
-        sch = next(
-            (s for s in schemas if s.get("schema-id", 0) == sid),
-            schemas[-1] if schemas else {"fields": []},
-        )
-        by_id = {f["id"]: f["name"] for f in sch.get("fields", [])}
+        by_id = {
+            f["id"]: f for f in self._cur_fields(cur)
+        }
         out = []
         for f in sfields:
-            if f.get("transform") != "identity":
+            t = str(f.get("transform"))
+            src_f = by_id.get(f.get("source-id"))
+            if src_f is None:
+                raise NotImplementedError(
+                    f"{self.path}: partition source-id "
+                    f"{f.get('source-id')} is not a top-level column "
+                    "— nested partition sources need a full Iceberg "
+                    "client"
+                )
+            src = src_f["name"]
+            st = str(src_f["type"])
+            name = f.get("name") or src
+            if t == "identity":
+                if st not in _IDENTITY_SRC:
+                    raise NotImplementedError(
+                        f"{self.path}: identity partition column "
+                        f"{src!r} has type {st} — values serialize "
+                        f"for {sorted(_IDENTITY_SRC)} only"
+                    )
+                vt = st
+            elif t in ("year", "month", "day", "hour"):
+                if st not in _TEMPORAL_SRC[t]:
+                    raise NotImplementedError(
+                        f"{self.path}: partition transform {t} over "
+                        f"type {st} — this writer evaluates {t} over "
+                        f"{_TEMPORAL_SRC[t]} only"
+                    )
+                vt = "int"
+            elif _BUCKET_T_RE.match(t):
+                if st not in _BUCKET_SRC:
+                    raise NotImplementedError(
+                        f"{self.path}: {t} over type {st} — the spec "
+                        f"hash layouts here cover {sorted(_BUCKET_SRC)}"
+                    )
+                vt = "int"
+            elif _TRUNC_T_RE.match(t):
+                if st not in ("int", "long", "string"):
+                    raise NotImplementedError(
+                        f"{self.path}: {t} over type {st} — int/long/"
+                        "string only"
+                    )
+                vt = st
+            else:
+                raise NotImplementedError(
+                    f"{self.path}: partition transform {t!r} — this "
+                    "writer evaluates identity, year/month/day/hour, "
+                    "bucket[N], truncate[W]; use a full Iceberg client"
+                )
+            out.append({"name": name, "transform": t, "source": src,
+                        "source_type": st, "vtype": vt})
+        return out
+
+    @staticmethod
+    def _canon_spec(spec_parts: list[dict]) -> list[tuple[str, str]]:
+        """What 'same partition spec' means for the pin/race checks:
+        the (transform, source) sequence — field names and ids are
+        presentation."""
+        return [(f["transform"], f["source"]) for f in spec_parts]
+
+    def _cur_parts(self, cur: dict | None) -> list[str]:
+        """The table's identity-partition column names — the shape the
+        COW/MoR mutation paths still require (rewrites under
+        non-identity transforms would need transform re-evaluation in
+        the restage; they refuse loudly here)."""
+        out = []
+        for f in self._cur_spec(cur):
+            if f["transform"] != "identity":
                 raise NotImplementedError(
                     f"{self.path}: partition transform "
-                    f"{f.get('transform')!r} — this writer appends "
-                    "under identity transforms only; use a full "
-                    "Iceberg client"
+                    f"{f['transform']!r} — row mutations under "
+                    "non-identity transforms are not supported by "
+                    "this writer (appends are); use a full Iceberg "
+                    "client"
                 )
-            out.append(by_id[f["source-id"]])
+            out.append(f["source"])
         return out
 
     def append(
@@ -604,55 +1206,66 @@ class IcebergTableWriter:
         publish the next metadata.json create-exclusively, swing the
         version hint. Returns the new snapshot id.
 
-        ``partition_by`` (identity transforms) on the FIRST commit
-        defines the table's partition spec: each staged file holds one
-        partition tuple, its typed values land in the manifest entry's
-        partition record (what foreign engines prune by) while the
-        COLUMNS stay in the data files (iceberg's model, unlike
-        hive/delta). Later appends inherit the spec by default and
-        refuse a differing explicit one — the spec is pinned."""
+        ``partition_by`` on the FIRST commit defines the table's
+        partition spec — plain column names (identity) or the spec's
+        transforms (``day(col)`` / ``month`` / ``year`` / ``hour``,
+        ``bucket(N, col)``, ``truncate(W, col)``): each staged file
+        holds one partition tuple, its typed TRANSFORM values land in
+        the manifest entry's partition record (what foreign engines
+        prune by) while the SOURCE columns stay in the data files
+        (iceberg's model, unlike hive/delta). Later appends inherit
+        the spec by default and refuse a differing explicit one — the
+        spec is pinned."""
         fields = _iceberg_fields(df)
         base_v, cur = self._current()
-        cur_parts = self._cur_parts(cur)
-        parts = list(partition_by) if partition_by is not None else cur_parts
-        if cur is not None and parts != cur_parts:
-            raise ValueError(
-                f"iceberg append: partition spec {parts} differs from "
-                f"the table's {cur_parts} — the spec is pinned; "
-                "re-create the table to re-partition"
-            )
         by_name = {f["name"]: f for f in fields}
-        for c in parts:
-            if c not in by_name:
+        cur_spec = self._cur_spec(cur)
+        if partition_by is not None:
+            spec_parts = _parse_partition_by(
+                list(partition_by), by_name
+            )
+            if cur is not None and self._canon_spec(
+                spec_parts
+            ) != self._canon_spec(cur_spec):
                 raise ValueError(
-                    f"iceberg append: partition column {c!r} is not in "
-                    f"the batch schema {sorted(by_name)}"
+                    f"iceberg append: partition spec "
+                    f"{self._canon_spec(spec_parts)} differs from the "
+                    f"table's {self._canon_spec(cur_spec)} — the spec "
+                    "is pinned; re-create the table to re-partition"
                 )
-            if str(by_name[c]["type"]) not in _PART_AVRO:
-                raise NotImplementedError(
-                    f"iceberg append: partition column {c!r} has type "
-                    f"{by_name[c]['type']} — identity partition values "
-                    f"serialize for {sorted(_PART_AVRO)} only"
+        else:
+            spec_parts = cur_spec
+        for sf in spec_parts:
+            if sf["source"] not in by_name:
+                raise ValueError(
+                    f"iceberg append: partition source "
+                    f"{sf['source']!r} is not in the batch schema "
+                    f"{sorted(by_name)}"
                 )
         if cur is not None:
             self._gate_schema(cur, fields)
         staged = self._stage(
-            df, parts or None,
-            {c: str(by_name[c]["type"]) for c in parts},
+            df, spec_parts=spec_parts or None,
+            ice_fields=(
+                self._cur_fields(cur) if cur is not None else fields
+            ),
         )
         try:
             for _ in range(max_retries):
                 base_v, cur = self._current()
                 if cur is not None:
                     self._gate_schema(cur, fields)
-                    if self._cur_parts(cur) != parts:
+                    if self._canon_spec(
+                        self._cur_spec(cur)
+                    ) != self._canon_spec(spec_parts):
                         raise ValueError(
                             "iceberg append: a concurrent writer "
                             "changed the partition spec — rebase"
                         )
                 try:
                     return self._publish(
-                        base_v, cur, fields, staged, parts=parts
+                        base_v, cur, fields, staged,
+                        spec_parts=spec_parts,
                     )
                 except ConcurrentWriteError:
                     continue
@@ -704,14 +1317,16 @@ class IcebergTableWriter:
         if txn_version <= self.last_txn_version(app_id):
             return None
         base_v, cur = self._current()
-        parts = self._cur_parts(cur)  # the sink never states a spec —
-        # inherit the table's, exactly like the delta/txnlog committers
+        spec_parts = self._cur_spec(cur)  # the sink never states a
+        # spec — inherit the table's (transforms included), exactly
+        # like the delta/txnlog committers
         if cur is not None:
             self._gate_schema(cur, fields)
-        by_name = {f["name"]: f for f in fields}
         staged = self._stage(
-            df, parts or None,
-            {c: str(by_name[c]["type"]) for c in parts},
+            df, spec_parts=spec_parts or None,
+            ice_fields=(
+                self._cur_fields(cur) if cur is not None else fields
+            ),
         )
         try:
             for _ in range(max_retries):
@@ -738,7 +1353,7 @@ class IcebergTableWriter:
                             "txn-app-id": app_id,
                             "txn-version": str(txn_version),
                         },
-                        parts=parts,
+                        spec_parts=spec_parts,
                     )
                 except ConcurrentWriteError:
                     continue
@@ -763,18 +1378,23 @@ class IcebergTableWriter:
         fields: list[dict],
         staged: list[tuple[str, int, int, dict]],
         extra_summary: dict[str, str] | None = None,
-        parts: list[str] | None = None,
+        spec_parts: list[dict] | None = None,
     ) -> int:
         now_ms = int(time.time() * 1000)
-        parts = parts or []
+        spec_parts = spec_parts or []
         by_name = {f["name"]: f for f in fields}
         part_fields = [
-            {"name": c, "type": by_name[c]["type"]} for c in parts
+            {"name": sf["name"], "type": sf["vtype"]}
+            for sf in spec_parts
         ]
+        # only the table-CREATING commit writes this spec (existing
+        # tables carry their recorded partition-specs forward below);
+        # source-ids therefore resolve against the batch's fresh ids
         spec_fields = [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c]["id"], "field-id": 1000 + i}
-            for i, c in enumerate(parts)
+            {"name": sf["name"], "transform": sf["transform"],
+             "source-id": by_name[sf["source"]]["id"],
+             "field-id": 1000 + i}
+            for i, sf in enumerate(spec_parts)
         ]
         seq = int((cur or {}).get("last-sequence-number", 0)) + 1
         snaps = list((cur or {}).get("snapshots") or [])
@@ -786,9 +1406,18 @@ class IcebergTableWriter:
         mpath = os.path.join(
             self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
         )
+        # bounds key on the TABLE's field ids, not the batch's
+        # positional ones: _gate_schema admits any (name, type)-equal
+        # batch, so a foreign table whose current-schema ids are not
+        # 1..n (evolved by a real Iceberg client) would otherwise get
+        # bounds recorded under the WRONG field ids — and every
+        # skip-enabled reader would then prune on the wrong column's
+        # min/max, silently dropping matching files. Only the
+        # table-creating first commit takes the batch's own ids.
+        bound_fields = self._cur_fields(cur) if cur is not None else fields
         entries = []
         for p, rows, size, pv in staged:
-            lo_b, hi_b = _footer_bounds(p, fields)
+            lo_b, hi_b = _footer_bounds(p, bound_fields)
             entries.append({
                 "status": 1,
                 "snapshot_id": snap_id,
@@ -865,7 +1494,12 @@ class IcebergTableWriter:
             "location": self.path,
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "last-column-id": max(f["id"] for f in fields),
+            # nested ids count too — the deepest id anywhere in the
+            # tree, or the table's own recorded watermark if higher
+            "last-column-id": max(
+                _max_field_id(fields),
+                int((cur or {}).get("last-column-id", 0) or 0),
+            ),
             "schemas": (cur or {}).get("schemas")
             or [{"schema-id": 0, "type": "struct", "fields": fields}],
             "current-schema-id": (cur or {}).get("current-schema-id", 0),
@@ -1135,6 +1769,7 @@ class IcebergTableWriter:
         extra_summary: dict[str, str],
         del_content: int = 1,
         del_eq_ids: list[int] | None = None,
+        part_fields: list[dict] | None = None,
     ) -> int:
         """Publish one merge-on-read snapshot: the previous manifest
         list carries forward VERBATIM (nothing rewrote), plus a DELETE
@@ -1145,8 +1780,13 @@ class IcebergTableWriter:
         what makes an equality-delete upsert atomic: the delete
         applies to strictly-lower sequences, so the batch it rides
         with survives. O(changed rows) committed; zero data rewrite.
-        Loses the race → unlinks its avros and raises (the caller
-        unstages + re-probes on the new head)."""
+        ``part_fields`` (name/value-type dicts) declare the table's
+        partition record shape — each staged tuple's pv then lands in
+        its manifest entry, making the delete/data files
+        PARTITION-SCOPED the way every conformant planner expects
+        (round 12: what partitioned keyed upserts ride on). Loses the
+        race → unlinks its avros and raises (the caller unstages +
+        re-probes on the new head)."""
         now_ms = int(time.time() * 1000)
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
@@ -1163,7 +1803,7 @@ class IcebergTableWriter:
                 f"iceberg table {self.path} has no current snapshot "
                 "to mutate — append a first batch"
             )
-        mschema = _manifest_schema([])
+        mschema = _manifest_schema(part_fields or [])
         cur_fields = self._cur_fields(cur)
         written: list[str] = []
         try:
@@ -1185,7 +1825,7 @@ class IcebergTableWriter:
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
                 )
                 entries = []
-                for p, rows, size, _pv in staged:
+                for p, rows, size, pv in staged:
                     lo_b, hi_b = (
                         _footer_bounds(p, cur_fields)
                         if file_content == 0 else (None, None)
@@ -1199,7 +1839,7 @@ class IcebergTableWriter:
                             "content": file_content,
                             "file_path": p,
                             "file_format": "PARQUET",
-                            "partition": {},
+                            "partition": pv if part_fields else {},
                             "record_count": rows,
                             "file_size_in_bytes": size,
                             "lower_bounds": lo_b,
@@ -1310,7 +1950,9 @@ class IcebergTableWriter:
                 F.col("__uri").alias("file_path"),
                 F.col("__pos").cast("long").alias("pos"),
             ).sort("file_path", "pos").coalesce(1)
-            del_staged = self._stage_nonempty(matched)
+            del_staged = self._stage_nonempty(
+                matched, ice_fields=_POS_DELETE_FIELDS
+            )
             n = sum(r for _p, r, _b, _pv in del_staged)
             if n == 0:
                 self._unstage(del_staged)
@@ -1356,9 +1998,15 @@ class IcebergTableWriter:
         fixtures). ``app_id``/``txn_version`` ride the snapshot
         summary as the same exactly-once replay marks ``append_txn``
         uses: a redelivered (app_id, txn_version) no-ops. Keys must be
-        top-level schema columns; partitioned tables refuse (delete
-        files are partition-scoped under a spec this writer does not
-        emit)."""
+        top-level schema columns. PARTITIONED tables work when every
+        partition field's source column is in the key (same key ⇒
+        same partition values): the batch and its key file both split
+        by the table's spec, one partition-scoped equality-delete
+        file per touched partition, entry partition records filled —
+        the production CDC-into-partitioned-table shape, still
+        O(batch). Partition sources outside the key refuse (an old
+        row could sit in a partition the scoped delete never
+        reaches)."""
         from pyspark.sql import functions as F
 
         if not key_cols:
@@ -1379,12 +2027,30 @@ class IcebergTableWriter:
                     "carry delete manifests — upgrade with a full "
                     "Iceberg client first"
                 )
-            if self._cur_parts(cur):
+            # PARTITIONED targets (round 12): legal when every spec
+            # field's SOURCE column is part of the key — same key ⇒
+            # same partition values (transforms are functions of the
+            # source), so a delete file scoped to the new row's
+            # partition reaches every old row with that key. Without
+            # that, an old row could live in a partition the delete
+            # never touches — silent key duplication; refuse.
+            spec_parts = self._cur_spec(cur)
+            outside = sorted(
+                {sf["source"] for sf in spec_parts} - set(key_cols)
+            )
+            if outside:
                 raise NotImplementedError(
-                    f"{self.path}: upsert_by_key on a PARTITIONED "
-                    "table — delete files are partition-scoped under "
-                    "a spec this writer does not emit; use merge()"
+                    f"{self.path}: upsert_by_key on a table "
+                    f"partitioned by {self._canon_spec(spec_parts)} — "
+                    f"partition source column(s) {outside} are not in "
+                    f"the key {key_cols}, so an old row could sit in "
+                    "a partition the scoped delete never reaches; "
+                    "add them to the key or use merge()"
                 )
+            part_fields = [
+                {"name": sf["name"], "type": sf["vtype"]}
+                for sf in spec_parts
+            ]
             self._gate_schema(cur, fields)
             rdr = self.reader()
             # the rule the reader enforces at scan time, checked
@@ -1428,55 +2094,75 @@ class IcebergTableWriter:
             # staged bytes: evaluating a non-deterministic source
             # twice could stage rows whose keys the delete file never
             # covered — silent duplicate keys
-            data_staged = self._stage_nonempty(source)
+            data_staged = self._stage_nonempty(
+                source, ice_fields=self._cur_fields(cur),
+                spec_parts=spec_parts or None,
+            )
             n_rows = sum(r for _p, r, _b, _pv in data_staged)
             if n_rows == 0:
                 return {"version": None, "rows_upserted": 0,
                         "keys_deleted": 0}
-            staged_df = spark.read.parquet(
-                *[p for p, _r, _b, _pv in data_staged]
-            )
-            stats_row = staged_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct(
-                    F.struct(*[F.col(c) for c in key_cols])
-                ).alias("d"),
-            ).collect()[0]
-            if int(stats_row["n"]) != int(stats_row["d"]):
-                # the repo's multi-match rule: duplicating a key
-                # inside one keyed-upsert batch is silent corruption
-                # (both rows survive the same-sequence delete) —
-                # refuse loudly; the caller deduplicates first
-                self._unstage(data_staged)
-                raise ValueError(
-                    f"upsert_by_key: "
-                    f"{int(stats_row['n']) - int(stats_row['d'])} "
-                    "source row(s) share a key within the batch — "
-                    "both would survive the same-sequence delete; "
-                    "deduplicate the source on the key first"
-                )
-            keys = staged_df.select(*key_cols).dropDuplicates().coalesce(1)
-            del_staged = self._stage_nonempty(keys)
-            n_keys = sum(r for _p, r, _b, _pv in del_staged)
-            summary = {"upserted-records": str(n_rows),
-                       "added-delete-files": str(len(del_staged))}
-            if app_id is not None and txn_version is not None:
-                summary["txn-app-id"] = app_id
-                summary["txn-version"] = str(txn_version)
+            del_staged: list = []
+            # ANY exception from here on must unstage both lists —
+            # the batch is already in data/, and the key-derivation
+            # re-read, the key staging, and the publish can each
+            # raise; a leaked file is unreachable from every manifest
+            # and nothing else ever reclaims it
             try:
+                staged_df = spark.read.parquet(
+                    *[p for p, _r, _b, _pv in data_staged]
+                )
+                stats_row = staged_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(
+                        F.struct(*[F.col(c) for c in key_cols])
+                    ).alias("d"),
+                ).collect()[0]
+                if int(stats_row["n"]) != int(stats_row["d"]):
+                    # the repo's multi-match rule: duplicating a key
+                    # inside one keyed-upsert batch is silent
+                    # corruption (both rows survive the same-sequence
+                    # delete) — refuse loudly; the caller deduplicates
+                    raise ValueError(
+                        f"upsert_by_key: "
+                        f"{int(stats_row['n']) - int(stats_row['d'])} "
+                        "source row(s) share a key within the batch — "
+                        "both would survive the same-sequence delete; "
+                        "deduplicate the source on the key first"
+                    )
+                keys = staged_df.select(
+                    *key_cols
+                ).dropDuplicates().coalesce(1)
+                # equality-delete file columns carry the ids of the
+                # fields they reference (spec §Equality Delete Files);
+                # on a partitioned table the keys split by the SAME
+                # spec (sources ⊆ key, so the transforms evaluate) —
+                # one partition-scoped delete file per touched
+                # partition, entry partition record filled below
+                del_staged = self._stage_nonempty(
+                    keys, ice_fields=[by_name[c] for c in key_cols],
+                    spec_parts=spec_parts or None,
+                )
+                n_keys = sum(r for _p, r, _b, _pv in del_staged)
+                summary = {"upserted-records": str(n_rows),
+                           "added-delete-files": str(len(del_staged))}
+                if app_id is not None and txn_version is not None:
+                    summary["txn-app-id"] = app_id
+                    summary["txn-version"] = str(txn_version)
                 snap_id = self._publish_mor(
                     base_v, cur, rdr, del_staged, data_staged,
                     "overwrite", summary,
                     del_content=2, del_eq_ids=eq_ids,
+                    part_fields=part_fields or None,
                 )
                 return {"version": snap_id, "rows_upserted": n_rows,
-                        "keys_deleted": n_keys}
+                        "keys_deleted": n_keys,
+                        "delete_files": len(del_staged)}
             except ConcurrentWriteError:
                 self._unstage(del_staged)
                 self._unstage(data_staged)
                 continue  # racer advanced the metadata: re-derive
-            except ValueError:
-                # publish refusals after staging must not leak files
+            except BaseException:
                 self._unstage(del_staged)
                 self._unstage(data_staged)
                 raise
@@ -1558,7 +2244,8 @@ class IcebergTableWriter:
                         F.expr(predicate).cast("boolean"), F.lit(False)
                     )
                 )
-                staged = self._stage(keep, parts or None, ptypes)
+                staged = self._stage(keep, parts or None, ptypes,
+                                     ice_fields=self._cur_fields(cur))
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(by_raw), staged, "delete",
@@ -1630,14 +2317,25 @@ class IcebergTableWriter:
                     for c in sample.columns
                 ]
             )
-            del_staged = self._stage_nonempty(dels)
+            del_staged = self._stage_nonempty(
+                dels, ice_fields=_POS_DELETE_FIELDS
+            )
             n = sum(r for _p, r, _b, _pv in del_staged)
             if n == 0:
                 self._unstage(del_staged)
                 return {"version": None, "rows_updated": 0,
                         "delete_files": 0}
-            data_staged = self._stage_nonempty(post)
+            data_staged: list = []
             try:
+                # staging the postimages can itself raise (a runtime
+                # error evaluating an assignment expression at write
+                # time) — the position-delete file is ALREADY staged
+                # by then, so any exception past this point must
+                # unstage both lists or the files leak forever
+                # (nothing reclaims data/ files no manifest references)
+                data_staged = self._stage_nonempty(
+                    post, ice_fields=self._cur_fields(cur)
+                )
                 snap_id = self._publish_mor(
                     base_v, cur, rdr, del_staged, data_staged,
                     "overwrite",
@@ -1650,6 +2348,10 @@ class IcebergTableWriter:
                 self._unstage(del_staged)
                 self._unstage(data_staged)
                 continue
+            except BaseException:
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                raise
         raise ConcurrentWriteError(
             f"iceberg mor update lost {max_retries} metadata publish "
             "races — table is under pathological write contention"
@@ -1723,7 +2425,8 @@ class IcebergTableWriter:
                     for c in df.columns
                 ]
             )
-            staged = self._stage(out, parts or None, ptypes)
+            staged = self._stage(out, parts or None, ptypes,
+                                 ice_fields=self._cur_fields(cur))
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(affected), staged, "overwrite",
@@ -1790,89 +2493,99 @@ class IcebergTableWriter:
             del_staged: list = []
             data_staged: list = []
             matched = 0
-            if (assignments or delete_matched) and tgt is not None:
-                joined = tgt.alias(target_alias).join(
-                    source.alias(source_alias), cond_col, "inner"
-                ).localCheckpoint()
-                st_row = joined.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_distinct(
-                        F.col("__uri"), F.col("__pos")
-                    ).alias("d"),
-                ).collect()[0]
-                n_join, matched = int(st_row["n"]), int(st_row["d"])
-                if n_join > matched and assignments:
-                    raise ValueError(
-                        f"MERGE: {n_join - matched} target row(s) "
-                        "matched multiple source rows — the rewrite "
-                        "would duplicate them; deduplicate the source "
-                        "on the merge key first"
-                    )
-                if matched:
-                    dels = joined.select(
-                        F.col("__uri").alias("file_path"),
-                        F.col("__pos").cast("long").alias("pos"),
-                    ).dropDuplicates().sort(
-                        "file_path", "pos"
-                    ).coalesce(1)
-                    del_staged = self._stage_nonempty(dels)
-                    if assignments:
-                        post = joined.select(
-                            *[
-                                F.expr(assignments[c])
-                                .cast(sample.schema[c].dataType)
-                                .alias(c)
-                                if c in assignments
-                                else F.col(f"{target_alias}.{c}")
-                                for c in sample.columns
-                            ]
-                        )
-                        data_staged += self._stage_nonempty(post)
-            rows_inserted = 0
-            if insert_exprs is not None:
-                tbl_schema = self.table_schema()
-                if tbl_schema is None:
-                    # unstage the matched staging first — this refusal
-                    # fires AFTER the delete/postimage files landed
-                    self._unstage(del_staged)
-                    self._unstage(data_staged)
-                    raise ValueError(
-                        "MERGE: the table schema cannot be mapped to "
-                        "Spark types, so INSERT VALUES has no column "
-                        "shape to project into — use a full Iceberg "
-                        "client"
-                    )
-                cols = [(f.name, f.dataType) for f in tbl_schema.fields]
-                if len(insert_exprs) != len(cols):
-                    self._unstage(del_staged)
-                    self._unstage(data_staged)
-                    raise ValueError(
-                        f"MERGE: INSERT VALUES has {len(insert_exprs)} "
-                        f"expressions for {len(cols)} target columns"
-                    )
-                ins_src = (
-                    source.alias(source_alias).join(
-                        tgt.alias(target_alias), cond_col, "left_anti"
-                    )
-                    if tgt is not None
-                    else source.alias(source_alias)
-                )
-                ins = ins_src.select(
-                    *[
-                        F.expr(e).cast(t_).alias(c)
-                        for e, (c, t_) in zip(insert_exprs, cols)
-                    ]
-                )
-                ins_staged = self._stage_nonempty(ins)
-                rows_inserted = sum(r for _p, r, _b, _pv in ins_staged)
-                if rows_inserted == 0:
-                    self._unstage(ins_staged)
-                else:
-                    data_staged += ins_staged
-            if not del_staged and not data_staged:
-                return {"version": None, "rows_matched": 0,
-                        "rows_inserted": 0, "delete_files": 0}
+            # ANY exception past the first staging call must unstage
+            # everything staged so far (an AnalysisException staging
+            # postimages/inserts lands AFTER the delete file is in
+            # data/) — the same never-leak rule as every other path
             try:
+                if (assignments or delete_matched) and tgt is not None:
+                    joined = tgt.alias(target_alias).join(
+                        source.alias(source_alias), cond_col, "inner"
+                    ).localCheckpoint()
+                    st_row = joined.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(
+                            F.col("__uri"), F.col("__pos")
+                        ).alias("d"),
+                    ).collect()[0]
+                    n_join, matched = int(st_row["n"]), int(st_row["d"])
+                    if n_join > matched and assignments:
+                        raise ValueError(
+                            f"MERGE: {n_join - matched} target row(s) "
+                            "matched multiple source rows — the rewrite "
+                            "would duplicate them; deduplicate the "
+                            "source on the merge key first"
+                        )
+                    if matched:
+                        dels = joined.select(
+                            F.col("__uri").alias("file_path"),
+                            F.col("__pos").cast("long").alias("pos"),
+                        ).dropDuplicates().sort(
+                            "file_path", "pos"
+                        ).coalesce(1)
+                        del_staged = self._stage_nonempty(
+                            dels, ice_fields=_POS_DELETE_FIELDS
+                        )
+                        if assignments:
+                            post = joined.select(
+                                *[
+                                    F.expr(assignments[c])
+                                    .cast(sample.schema[c].dataType)
+                                    .alias(c)
+                                    if c in assignments
+                                    else F.col(f"{target_alias}.{c}")
+                                    for c in sample.columns
+                                ]
+                            )
+                            data_staged += self._stage_nonempty(
+                                post, ice_fields=self._cur_fields(cur)
+                            )
+                rows_inserted = 0
+                if insert_exprs is not None:
+                    tbl_schema = self.table_schema()
+                    if tbl_schema is None:
+                        raise ValueError(
+                            "MERGE: the table schema cannot be mapped "
+                            "to Spark types, so INSERT VALUES has no "
+                            "column shape to project into — use a full "
+                            "Iceberg client"
+                        )
+                    cols = [
+                        (f.name, f.dataType) for f in tbl_schema.fields
+                    ]
+                    if len(insert_exprs) != len(cols):
+                        raise ValueError(
+                            f"MERGE: INSERT VALUES has "
+                            f"{len(insert_exprs)} expressions for "
+                            f"{len(cols)} target columns"
+                        )
+                    ins_src = (
+                        source.alias(source_alias).join(
+                            tgt.alias(target_alias), cond_col,
+                            "left_anti"
+                        )
+                        if tgt is not None
+                        else source.alias(source_alias)
+                    )
+                    ins = ins_src.select(
+                        *[
+                            F.expr(e).cast(t_).alias(c)
+                            for e, (c, t_) in zip(insert_exprs, cols)
+                        ]
+                    )
+                    ins_staged = self._stage_nonempty(
+                        ins, ice_fields=self._cur_fields(cur)
+                    )
+                    rows_inserted = sum(
+                        r for _p, r, _b, _pv in ins_staged
+                    )
+                    if rows_inserted == 0:
+                        self._unstage(ins_staged)
+                    else:
+                        data_staged += ins_staged
+                if not del_staged and not data_staged:
+                    return {"version": None, "rows_matched": 0,
+                            "rows_inserted": 0, "delete_files": 0}
                 snap_id = self._publish_mor(
                     base_v, cur, rdr, del_staged, data_staged,
                     "overwrite",
@@ -1886,6 +2599,10 @@ class IcebergTableWriter:
                 self._unstage(del_staged)
                 self._unstage(data_staged)
                 continue
+            except BaseException:
+                self._unstage(del_staged)
+                self._unstage(data_staged)
+                raise
         raise ConcurrentWriteError(
             f"iceberg mor merge lost {max_retries} metadata publish "
             "races — table is under pathological write contention"
@@ -1979,7 +2696,8 @@ class IcebergTableWriter:
                         .join(source.alias(source_alias), cond_col,
                               "left_anti")
                     )
-                    staged = self._stage(keep, parts or None, ptypes)
+                    staged = self._stage(keep, parts or None, ptypes,
+                                         ice_fields=self._cur_fields(cur))
             elif affected:
                 aff = spark.read.parquet(*affected)
                 input_rows = sum(
@@ -2004,7 +2722,8 @@ class IcebergTableWriter:
                         for c in aff.columns
                     ]
                 )
-                staged = self._stage(out, parts or None, ptypes)
+                staged = self._stage(out, parts or None, ptypes,
+                                     ice_fields=self._cur_fields(cur))
                 staged_rows = sum(r for _p, r, _b, _pv in staged)
                 if staged_rows != input_rows:
                     self._unstage(staged)
@@ -2046,7 +2765,8 @@ class IcebergTableWriter:
                         for e, (c, t_) in zip(insert_exprs, cols)
                     ]
                 )
-                ins_staged = self._stage(ins, parts or None, ptypes)
+                ins_staged = self._stage(ins, parts or None, ptypes,
+                                         ice_fields=self._cur_fields(cur))
                 rows_inserted = sum(
                     r for _p, r, _b, _pv in ins_staged
                 )
@@ -2359,7 +3079,8 @@ class IcebergTableWriter:
                 )
             else:
                 df = src.coalesce(max(target_files, 1))
-            staged = self._stage(df, parts or None, ptypes)
+            staged = self._stage(df, parts or None, ptypes,
+                                 ice_fields=self._cur_fields(cur))
             extra = {"rewritten-data-files": str(len(data))}
             if zorder_by:
                 extra["zorder-by"] = ",".join(zorder_by)
@@ -2411,7 +3132,9 @@ class IcebergTableWriter:
                 )
             else:
                 df = src.coalesce(max(target_files, 1))
-            staged = self._stage(df)
+            staged = self._stage(
+                df, ice_fields=self._cur_fields(cur)
+            )
             extra = {"purged-position-deletes": str(len(pos_d)),
                      "purged-equality-deletes": str(len(eq_d))}
             if zorder_by:
@@ -2608,15 +3331,12 @@ class IcebergTableWriter:
     def table_schema(self):
         """The current iceberg schema as a Spark StructType (None when
         unmappable) — what the engine's post-mutation re-registration
-        needs for the all-rows-deleted edge."""
+        needs for the all-rows-deleted edge. Nested struct/list/map
+        map recursively (round 12, with the nested-write support);
+        only genuinely unmappable primitives (uuid/fixed/time) fall
+        back to None."""
         from pyspark.sql.types import StructType
 
-        rev = {
-            "boolean": "boolean", "int": "int", "long": "bigint",
-            "float": "float", "double": "double", "string": "string",
-            "date": "date", "timestamptz": "timestamp",
-            "timestamp": "timestamp_ntz", "binary": "binary",
-        }
         cur = self.reader().meta
         schemas = cur.get("schemas") or (
             [cur["schema"]] if cur.get("schema") else []
@@ -2630,12 +3350,8 @@ class IcebergTableWriter:
             return None
         parts = []
         for f in sch.get("fields", []):
-            t = str(f["type"])
-            if t.startswith("decimal"):
-                ddl = t.replace(" ", "")
-            elif t in rev:
-                ddl = rev[t]
-            else:
-                return None  # nested/unknown: caller falls back
+            ddl = _spark_ddl(f["type"])
+            if ddl is None:
+                return None  # unknown primitive: caller falls back
             parts.append(f"`{f['name']}` {ddl}")
         return StructType.fromDDL(", ".join(parts)) if parts else None

@@ -79,6 +79,40 @@ def upsert_committer(
     refuses loudly rather than silently double-landing)."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # BOOTSTRAP: upsert_by_key refuses on a table with no current
+        # snapshot (there is nothing for an equality delete to order
+        # against), so a CDC sink pointed at a freshly created table
+        # would otherwise fail its first micro-batch unconditionally.
+        # Fall back to an idempotent APPEND carrying the SAME
+        # (app_id, batch_id) replay mark — a redelivery of the
+        # bootstrap batch after later upserts lands on the upsert
+        # path, whose mark check no-ops it; either way exactly-once
+        # holds. The batch must still be key-unique (the upsert
+        # invariant an append would silently waive).
+        cur = None
+        probe = getattr(table, "_current", None)
+        if probe is not None:
+            _v, cur = probe()
+        if probe is not None and (
+            cur is None or cur.get("current-snapshot-id") in (None, -1)
+        ):
+            from pyspark.sql import functions as F
+
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in key_cols])
+                ).alias("d"),
+            ).collect()[0]
+            if int(row["n"]) != int(row["d"]):
+                raise ValueError(
+                    f"upsert sink bootstrap: "
+                    f"{int(row['n']) - int(row['d'])} source row(s) "
+                    "share a key within the batch — deduplicate the "
+                    "source on the key first"
+                )
+            table.append_txn(batch_df, app_id, batch_id)
+            return
         table.upsert_by_key(
             batch_df.sparkSession, batch_df, key_cols,
             app_id=app_id, txn_version=batch_id,

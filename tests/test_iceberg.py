@@ -42,6 +42,33 @@ def av_bytes(b: bytes) -> bytes:
     return zz(len(b)) + b
 
 
+def leb128(n: int) -> bytes:
+    """Plain unsigned varint (snappy's length header — NOT zigzag)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def snappy_literals(data: bytes) -> bytes:
+    """A valid snappy stream using only LITERAL tags — a legal
+    encoding of any input per the format spec, hand-built so fixture
+    compression never touches the decoder under test."""
+    out = bytearray(leb128(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 50]
+        pos += len(chunk)
+        out.append((len(chunk) - 1) << 2)  # literal, len ≤ 60 inline
+        out += chunk
+    return bytes(out)
+
+
 def av_str(s: str) -> bytes:
     return av_bytes(s.encode("utf-8"))
 
@@ -62,6 +89,13 @@ def avro_container(
     if codec == "deflate":
         c = zlib.compressobj(9, zlib.DEFLATED, -15)
         payload = c.compress(payload) + c.flush()
+    elif codec == "snappy":
+        # hand-built snappy stream (literal tags only — spec-legal,
+        # and independent of the reader's decoder) + the Avro codec's
+        # big-endian crc32-of-uncompressed trailer
+        payload = snappy_literals(payload) + zlib.crc32(
+            payload
+        ).to_bytes(4, "big")
     return (
         b"Obj\x01"
         + meta
@@ -225,14 +259,76 @@ class TestAvroDecoder:
         (tmp_path / "sync.avro").write_bytes(bytes(buf))
         with pytest.raises(ValueError, match="sync marker"):
             AvroFileReader(str(tmp_path / "sync.avro"))
-        # unsupported codec
+        # unsupported codec (snappy graduated to supported in r12)
         s = avro_container(schema, [zz(5)], codec="null").replace(
             av_str("avro.codec") + av_bytes(b"null"),
-            av_str("avro.codec") + av_bytes(b"snappy"),
+            av_str("avro.codec") + av_bytes(b"zstandard"),
         )
-        (tmp_path / "sn.avro").write_bytes(s)
-        with pytest.raises(NotImplementedError, match="snappy"):
-            AvroFileReader(str(tmp_path / "sn.avro"))
+        (tmp_path / "zs.avro").write_bytes(s)
+        with pytest.raises(NotImplementedError, match="zstandard"):
+            AvroFileReader(str(tmp_path / "zs.avro"))
+
+    def test_snappy_codec_reads_hand_written_container(self, tmp_path):
+        """Snappy is Avro's default codec in several Iceberg writers
+        (Java's manifest writer among them) — the round-12 decoder
+        reads it from a HAND-BUILT literal-tag stream that never
+        touched the decoder under test."""
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"},
+                             {"name": "s", "type": "string"}]}
+        p = tmp_path / "sn.avro"
+        recs = [zz(5) + av_str("hello"), zz(-7) + av_str("world" * 30)]
+        p.write_bytes(avro_container(schema, recs, codec="snappy"))
+        rows = AvroFileReader(str(p)).records
+        assert [(r["x"], len(r["s"])) for r in rows] == [(5, 5), (-7, 150)]
+
+    def test_snappy_crc_mismatch_refuses(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        buf = bytearray(avro_container(schema, [zz(5)], codec="snappy"))
+        # the crc32 trailer sits just before the trailing sync marker
+        buf[-17] ^= 0xFF
+        (tmp_path / "crc.avro").write_bytes(bytes(buf))
+        with pytest.raises(ValueError, match="crc32"):
+            AvroFileReader(str(tmp_path / "crc.avro"))
+
+    def test_snappy_block_decoder_handles_copies(self):
+        """Back-references, including the OVERLAPPING repeat idiom
+        (offset < length), against hand-assembled tag streams with
+        independently known expansions."""
+        from algebraicdb_spark.operators.iceberg import (
+            _snappy_decompress,
+        )
+
+        # literal "abc" + copy(offset=3, len=6) → "abc" * 3
+        s = leb128(9) + bytes([(3 - 1) << 2]) + b"abc" + bytes(
+            [((6 - 4) << 2) | 0x01, 3]
+        )
+        assert _snappy_decompress(s) == b"abcabcabc"
+        # 2-byte-offset copy: 8 literals then re-emit the first 5
+        s2 = (
+            leb128(13)
+            + bytes([(8 - 1) << 2]) + b"ABCDEFGH"
+            + bytes([((5 - 1) << 2) | 0x02]) + (8).to_bytes(2, "little")
+        )
+        assert _snappy_decompress(s2) == b"ABCDEFGHABCDE"
+        # corrupt offset refuses
+        bad = leb128(4) + bytes([(1 - 1) << 2]) + b"a" + bytes(
+            [((4 - 4) << 2) | 0x01, 9]
+        )
+        with pytest.raises(ValueError, match="offset"):
+            _snappy_decompress(bad)
+        # length-header disagreement refuses
+        short = leb128(99) + bytes([(3 - 1) << 2]) + b"abc"
+        with pytest.raises(ValueError, match="header said 99"):
+            _snappy_decompress(short)
+        # a LONG literal exercises the 61-tag two-byte-length form
+        blob = bytes(range(256)) * 2
+        s3 = (
+            leb128(len(blob)) + bytes([61 << 2])
+            + (len(blob) - 1).to_bytes(2, "little") + blob
+        )
+        assert _snappy_decompress(s3) == blob
 
 
 class TestIcebergTable:
@@ -1084,10 +1180,21 @@ class TestIcebergWriter:
             for f in os.listdir(os.path.join(root, "data"))
         }
         assert on_disk == set(t.live_paths())
-        with pytest.raises(NotImplementedError, match="flat primitive"):
-            IcebergTableWriter(str(tmp_path / "it2")).append(
-                spark.createDataFrame(
-                    [(1, [1, 2])], "id long, xs array<long>")
+        # nested columns WRITE now (round 12 lifted the flat-only
+        # refusal — see test_round12_fixes.TestNestedIcebergWrites);
+        # only spec-unmappable types still refuse
+        w2 = IcebergTableWriter(str(tmp_path / "it2"))
+        w2.append(spark.createDataFrame(
+            [(1, [1, 2])], "id long, xs array<long>"))
+        assert [
+            (r["id"], list(r["xs"]))
+            for r in IcebergTable(w2.path).snapshot(spark).collect()
+        ] == [(1, [1, 2])]
+        with pytest.raises(NotImplementedError, match="no spec mapping"):
+            IcebergTableWriter(str(tmp_path / "it3")).append(
+                spark.range(1).select(
+                    F.make_ym_interval(F.lit(1), F.lit(2)).alias("ym")
+                )
             )
 
     def test_publish_race_one_winner_and_no_leaks(
@@ -1201,10 +1308,10 @@ class TestIcebergWriterBounds:
         t = IcebergTable(root)
         st = t._prunable_state()
         assert len(st) == 2
-        bounds = sorted(b["k"] for b, _pv in st.values())
+        bounds = sorted(b["k"] for b, *_pv in st.values())
         assert bounds == [[1, 2], [100, 100]]
         # string and double bounds decode too
-        small = next(b for b, _pv in st.values() if b["k"] == [1, 2])
+        small = next(b for b, *_pv in st.values() if b["k"] == [1, 2])
         assert small["s"] == ["aa", "bb"] and small["v"] == [1.5, 2.5]
         # the skip tier now prunes OUR OWN tables
         assert len(t.live_paths(skip=[("k", 0, 10)])) == 1
@@ -1252,7 +1359,7 @@ class TestIcebergWriterBounds:
         t = IcebergTable(root)
         st = t._prunable_state()
         # the untouched survivor kept its bounds through the rewrite
-        assert any(b.get("k") == [1, 2] for b, _pv in st.values())
+        assert any(b.get("k") == [1, 2] for b, *_pv in st.values())
 
     def test_sql_zorder_on_iceberg_attachment(self, spark, tmp_path):
         from algebraicdb_spark.engine import Engine

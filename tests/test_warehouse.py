@@ -1812,27 +1812,95 @@ class TestDeltaColumnMappingReads:
         st_doc = t2.table_schema().json()
         assert "physicalName" not in st_doc
 
-    def test_writer_refuses_mapped_tables_except_vacuum(
+    def test_writer_mapped_name_mode_writes_round_trip(
         self, spark, tmp_path
     ):
+        """Round 12: WRITES on 'name'-mode mapped tables (was: every
+        mutation refused). Staging renames logical → physical through
+        the same ``_cm_mapping`` every scan renames back by, so
+        append + COW delete/update/merge/optimize round-trip through
+        the independent reader; footer stats key on PHYSICAL names
+        per the protocol's stats contract."""
+        import json as _json
+        import os as _os
+
+        from algebraicdb_spark.operators.delta_writer import (
+            DeltaTableWriter,
+        )
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
+
+        root = str(tmp_path / "cm_w")
+        self._write_mapped(root)
+        w = DeltaTableWriter(root)
+        v = w.append(
+            spark.createDataFrame([(9, "z")], "k long, v string")
+            .coalesce(1)
+        )
+        # the committed add's stats + the staged parquet columns are
+        # PHYSICAL — a logical-named file would read all-NULL in every
+        # mapped client
+        with open(_os.path.join(
+            root, "_delta_log", f"{v:020d}.json"
+        )) as f:
+            add = next(
+                _json.loads(x)["add"] for x in f if '"add"' in x
+            )
+        stats = _json.loads(add["stats"])
+        assert self.PHYS["k"] in stats["minValues"]
+        assert "k" not in stats["minValues"]
+        t = DeltaLogTable(root)
+        assert {(r["k"], r["v"]) for r in t.snapshot(spark).collect()
+                } == {(1, "a"), (2, "b"), (3, "c"), (9, "z")}
+        # the COW mutation matrix round-trips
+        assert w.delete(spark, "k = 2")["rows_deleted"] == 1
+        assert w.update(
+            spark, {"v": "upper(v)"}, "k = 3"
+        )["rows_updated"] == 1
+        w.merge(
+            spark,
+            spark.createDataFrame([(9, "Z!"), (12, "m")],
+                                  "k long, v string"),
+            "t.k = s.k", {"v": "s.v"}, ["s.k", "s.v"],
+        )
+        w.optimize(spark)
+        assert {
+            (r["k"], r["v"])
+            for r in DeltaLogTable(root).snapshot(spark).collect()
+        } == {(1, "a"), (3, "C"), (9, "Z!"), (12, "m")}
+        assert w.vacuum(retain_versions=1) != []
+
+    def test_writer_mapped_refusal_matrix(self, spark, tmp_path):
         import pytest as _pytest
 
         from algebraicdb_spark.operators.delta_writer import (
             DeltaTableWriter,
         )
 
-        root = str(tmp_path / "cm_w")
+        root = str(tmp_path / "cm_ref")
         self._write_mapped(root)
         w = DeltaTableWriter(root)
         df = spark.createDataFrame([(9, "z")], "k long, v string")
-        with _pytest.raises(NotImplementedError, match="columnMapping"):
-            w.append(df)
-        with _pytest.raises(NotImplementedError, match="columnMapping"):
-            w.delete(spark, "k = 1")
-        with _pytest.raises(NotImplementedError, match="columnMapping"):
-            w.optimize(spark)
-        # VACUUM never stages a parquet byte: allowed (nothing doomed)
-        assert w.vacuum(retain_versions=1) == []
+        # schema evolution / overwrite / ALTER re-record the schema —
+        # they would drop or miss physical names; refuse
+        with _pytest.raises(Exception, match="column-mapped"):
+            w.append(
+                spark.createDataFrame(
+                    [(9, "z", 1.0)], "k long, v string, extra double"
+                ),
+                evolve_schema=True,
+            )
+        with _pytest.raises(NotImplementedError, match="column-mapped"):
+            w.overwrite(df, w.latest_version() + 1)
+        with _pytest.raises(NotImplementedError, match="column-mapped"):
+            w.evolve_add_column("extra", "double")
+        # deletion-vector MoR writes refuse (cow handles mapped)
+        with _pytest.raises(NotImplementedError, match="cow"):
+            w.delete(spark, "k = 1", mode="mor")
+        # 'id' mode still refuses every write
+        root2 = str(tmp_path / "cm_id_w")
+        self._write_mapped(root2, mode="id")
+        with _pytest.raises(NotImplementedError, match="id"):
+            DeltaTableWriter(root2).append(df)
 
 
 class TestTxnLogRaceFixes:

@@ -9,6 +9,11 @@ batch (1,000 keyed rows, half updates / half inserts) two ways:
 
 - ``upsert_by_key`` — equality-delete file of the batch's keys + the
   batch, one snapshot, NO read of the existing table at all;
+- ``upsert_partitioned`` (round 12) — the same keyed upsert into a
+  bucket(8, o_orderkey)-partitioned table: the batch and its key file
+  split by the spec, one PARTITION-SCOPED equality-delete file per
+  touched partition — the production CDC-into-partitioned shape; the
+  point of the probe is that its bytes stay flat too;
 - ``merge`` (copy-on-write) — the probe semi-join + rewrite of every
   file the keys reach.
 
@@ -52,14 +57,17 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def build(spark, sf_dir: str, root: str) -> IcebergTableWriter:
+def build(
+    spark, sf_dir: str, root: str, partition_by=None
+) -> IcebergTableWriter:
     orders = load_tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     w = IcebergTableWriter(root)
     for i in range(8):
         w.append(
-            orders.where(F.col("o_orderkey") % 8 == i).coalesce(1)
+            orders.where(F.col("o_orderkey") % 8 == i).coalesce(1),
+            partition_by=partition_by,
         )
     return w
 
@@ -86,15 +94,21 @@ def run(spark, sf_dir: str) -> dict:
     out: dict = {"sf_dir": sf_dir}
     base = tempfile.mkdtemp(prefix="probe_upsert_")
     try:
-        for mode in ("upsert", "merge"):
+        for mode in ("upsert", "upsert_partitioned", "merge"):
             root = os.path.join(base, mode)
-            w = build(spark, sf_dir, root)
+            w = build(
+                spark, sf_dir, root,
+                partition_by=(
+                    ["bucket(8, o_orderkey)"]
+                    if mode == "upsert_partitioned" else None
+                ),
+            )
             src = batch_df(spark, sf_dir)
             src.count()  # materialize the batch outside the timing
             data_dir = os.path.join(root, "data")
             before = dir_bytes(data_dir)
             t0 = time.time()
-            if mode == "upsert":
+            if mode.startswith("upsert"):
                 w.upsert_by_key(spark, src, ["o_orderkey"])
             else:
                 w.merge(
@@ -135,6 +149,10 @@ def main() -> None:
         "upsert_bytes_ratio_10x": round(
             big["upsert"]["bytes_written"]
             / max(small["upsert"]["bytes_written"], 1), 2
+        ),
+        "upsert_partitioned_bytes_ratio_10x": round(
+            big["upsert_partitioned"]["bytes_written"]
+            / max(small["upsert_partitioned"]["bytes_written"], 1), 2
         ),
         "merge_bytes_ratio_10x": round(
             big["merge"]["bytes_written"]
