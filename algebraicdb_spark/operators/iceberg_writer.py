@@ -570,6 +570,8 @@ def _transform_col(sf: dict):
     t = sf["transform"]
     if t == "identity":
         return src
+    if t == "void":
+        return F.lit(None).cast("int")
     if t == "year":
         return (F.year(src) - F.lit(1970)).cast("int")
     if t == "month":
@@ -1160,6 +1162,11 @@ class IcebergTableWriter:
                         "string only"
                     )
                 vt = st
+            elif t == "void":
+                # the spec's always-null transform — what a dropped
+                # v1 partition field becomes; every row lands under
+                # the null partition value, any source type
+                vt = "int"
             else:
                 raise NotImplementedError(
                     f"{self.path}: partition transform {t!r} — this "
@@ -1176,24 +1183,6 @@ class IcebergTableWriter:
         the (transform, source) sequence — field names and ids are
         presentation."""
         return [(f["transform"], f["source"]) for f in spec_parts]
-
-    def _cur_parts(self, cur: dict | None) -> list[str]:
-        """The table's identity-partition column names — the shape the
-        COW/MoR mutation paths still require (rewrites under
-        non-identity transforms would need transform re-evaluation in
-        the restage; they refuse loudly here)."""
-        out = []
-        for f in self._cur_spec(cur):
-            if f["transform"] != "identity":
-                raise NotImplementedError(
-                    f"{self.path}: partition transform "
-                    f"{f['transform']!r} — row mutations under "
-                    "non-identity transforms are not supported by "
-                    "this writer (appends are); use a full Iceberg "
-                    "client"
-                )
-            out.append(f["source"])
-        return out
 
     def append(
         self,
@@ -1587,39 +1576,25 @@ class IcebergTableWriter:
 
     def _cow_scope(
         self, rdr
-    ) -> tuple[list[tuple[str, str, int | None]], list[str], dict[str, str]]:
+    ) -> tuple[list[tuple[str, str, int | None]], list[dict]]:
         """Gate + the live data set for a COW mutation: (data entries,
-        identity partition columns, their iceberg types). Non-identity
-        transforms refuse (via ``_cur_parts``); identity partition
-        columns whose values this writer cannot re-serialize refuse
-        too — a rewrite must restage under the same spec."""
+        the table's spec-field dicts). Round 12: rewrites restage
+        under ANY spec this writer can evaluate — identity AND
+        year/month/day/hour/bucket/truncate transforms (``_cur_spec``
+        gates evaluability and value serializability); a rewrite
+        recomputes each spec field from the restaged rows, so even an
+        UPDATE that moves a row across partitions lands it in the
+        right one."""
         cur = rdr.meta
-        parts = self._cur_parts(cur)
-        schemas = cur.get("schemas") or (
-            [cur["schema"]] if cur.get("schema") else []
-        )
-        sid = cur.get("current-schema-id", 0)
-        sch = next(
-            (s for s in schemas if s.get("schema-id", 0) == sid),
-            schemas[-1] if schemas else {"fields": []},
-        )
-        types = {f["name"]: str(f["type"]) for f in sch.get("fields", [])}
-        for c in parts:
-            if types.get(c) not in _PART_AVRO:
-                raise NotImplementedError(
-                    f"{self.path}: partition column {c!r} has type "
-                    f"{types.get(c)} — rewrites must restage its values "
-                    f"and only {sorted(_PART_AVRO)} serialize; use a "
-                    "full Iceberg client"
-                )
+        spec_parts = self._cur_spec(cur)
         data, pos_d, eq_d = rdr._files(None)
         if pos_d or eq_d:
             raise NotImplementedError(
                 f"{self.path}: COW mutation under live position/equality "
                 "delete files needs their ordering applied mid-rewrite — "
-                "compact with the owning system first"
+                "run optimize() (the purge pass) first"
             )
-        return data, parts, {c: types[c] for c in parts}
+        return data, spec_parts
 
     @staticmethod
     def _with_lp(df):
@@ -1669,7 +1644,7 @@ class IcebergTableWriter:
         resolvable sequence under a live equality delete refuse
         through the reader's own rule at scan time."""
         cur = rdr.meta
-        if self._cur_parts(cur):
+        if self._cur_spec(cur):
             raise NotImplementedError(
                 f"{self.path}: merge-on-read mutation on a PARTITIONED "
                 "table — position-delete files are partition-scoped "
@@ -2109,14 +2084,19 @@ class IcebergTableWriter:
             # raise; a leaked file is unreachable from every manifest
             # and nothing else ever reclaims it
             try:
-                staged_df = spark.read.parquet(
+                # ONE pass over the staged bytes serves both the
+                # key-uniqueness check and the delete-file derivation
+                # (grouped counts, checkpointed at O(distinct keys)):
+                # a second full read per commit was the round-11
+                # advisory nit
+                key_counts = spark.read.parquet(
                     *[p for p, _r, _b, _pv in data_staged]
-                )
-                stats_row = staged_df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_distinct(
-                        F.struct(*[F.col(c) for c in key_cols])
-                    ).alias("d"),
+                ).groupBy(
+                    *[F.col(c) for c in key_cols]
+                ).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint()
+                stats_row = key_counts.agg(
+                    F.sum("__n").alias("n"),
+                    F.count(F.lit(1)).alias("d"),
                 ).collect()[0]
                 if int(stats_row["n"]) != int(stats_row["d"]):
                     # the repo's multi-match rule: duplicating a key
@@ -2130,9 +2110,7 @@ class IcebergTableWriter:
                         "both would survive the same-sequence delete; "
                         "deduplicate the source on the key first"
                     )
-                keys = staged_df.select(
-                    *key_cols
-                ).dropDuplicates().coalesce(1)
+                keys = key_counts.drop("__n").coalesce(1)
                 # equality-delete file columns carry the ids of the
                 # fields they reference (spec §Equality Delete Files);
                 # on a partitioned table the keys split by the SAME
@@ -2222,7 +2200,7 @@ class IcebergTableWriter:
                     "delete from"
                 )
             rdr = self.reader()
-            data, parts, ptypes = self._cow_scope(rdr)
+            data, spec_parts = self._cow_scope(rdr)
             if not data:
                 return {"version": None, "rows_deleted": 0,
                         "files_removed": 0, "files_rewritten": 0}
@@ -2244,13 +2222,15 @@ class IcebergTableWriter:
                         F.expr(predicate).cast("boolean"), F.lit(False)
                     )
                 )
-                staged = self._stage(keep, parts or None, ptypes,
-                                     ice_fields=self._cur_fields(cur))
+                staged = self._stage(
+                    keep, spec_parts=spec_parts or None,
+                    ice_fields=self._cur_fields(cur),
+                )
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(by_raw), staged, "delete",
                     {"deleted-records": str(matched)},
-                    parts=parts, ptypes=ptypes,
+                    spec_parts=spec_parts,
                 )
                 return {
                     "version": snap_id,
@@ -2392,7 +2372,7 @@ class IcebergTableWriter:
                     f"iceberg table {self.path} has no commits to update"
                 )
             rdr = self.reader()
-            data, parts, ptypes = self._cow_scope(rdr)
+            data, spec_parts = self._cow_scope(rdr)
             if not data:
                 return {"version": None, "rows_updated": 0,
                         "files_rewritten": 0}
@@ -2425,13 +2405,15 @@ class IcebergTableWriter:
                     for c in df.columns
                 ]
             )
-            staged = self._stage(out, parts or None, ptypes,
-                                 ice_fields=self._cur_fields(cur))
+            staged = self._stage(
+                out, spec_parts=spec_parts or None,
+                ice_fields=self._cur_fields(cur),
+            )
             try:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(affected), staged, "overwrite",
                     {"updated-records": str(matched)},
-                    parts=parts, ptypes=ptypes,
+                    spec_parts=spec_parts,
                 )
                 return {
                     "version": snap_id,
@@ -2664,7 +2646,7 @@ class IcebergTableWriter:
                     "merge into"
                 )
             rdr = self.reader()
-            data, parts, ptypes = self._cow_scope(rdr)
+            data, spec_parts = self._cow_scope(rdr)
             paths = [p for p, _u, _s in data]
             by_raw: dict[str, int] = {}
             matched = 0
@@ -2696,8 +2678,10 @@ class IcebergTableWriter:
                         .join(source.alias(source_alias), cond_col,
                               "left_anti")
                     )
-                    staged = self._stage(keep, parts or None, ptypes,
-                                         ice_fields=self._cur_fields(cur))
+                    staged = self._stage(
+                        keep, spec_parts=spec_parts or None,
+                        ice_fields=self._cur_fields(cur),
+                    )
             elif affected:
                 aff = spark.read.parquet(*affected)
                 input_rows = sum(
@@ -2722,8 +2706,10 @@ class IcebergTableWriter:
                         for c in aff.columns
                     ]
                 )
-                staged = self._stage(out, parts or None, ptypes,
-                                     ice_fields=self._cur_fields(cur))
+                staged = self._stage(
+                    out, spec_parts=spec_parts or None,
+                    ice_fields=self._cur_fields(cur),
+                )
                 staged_rows = sum(r for _p, r, _b, _pv in staged)
                 if staged_rows != input_rows:
                     self._unstage(staged)
@@ -2765,8 +2751,10 @@ class IcebergTableWriter:
                         for e, (c, t_) in zip(insert_exprs, cols)
                     ]
                 )
-                ins_staged = self._stage(ins, parts or None, ptypes,
-                                         ice_fields=self._cur_fields(cur))
+                ins_staged = self._stage(
+                    ins, spec_parts=spec_parts or None,
+                    ice_fields=self._cur_fields(cur),
+                )
                 rows_inserted = sum(
                     r for _p, r, _b, _pv in ins_staged
                 )
@@ -2781,7 +2769,7 @@ class IcebergTableWriter:
                 snap_id = self._publish_mutation(
                     base_v, cur, rdr, set(affected), staged, "overwrite",
                     {"merged-records": str(matched)},
-                    parts=parts, ptypes=ptypes,
+                    spec_parts=spec_parts,
                 )
                 return {
                     "version": snap_id,
@@ -2806,23 +2794,24 @@ class IcebergTableWriter:
         staged: list[tuple[str, int, int, dict]],
         operation: str,
         extra_summary: dict[str, str],
-        parts: list[str] | None = None,
-        ptypes: dict[str, str] | None = None,
+        spec_parts: list[dict] | None = None,
         drop_deletes: bool = False,
     ) -> int:
         """Build + publish one mutation snapshot: rewritten manifests
         for files in ``affected`` (EXISTING survivors with explicit
         seqs, DELETED casualties recording this snapshot), carried
         rows for untouched manifests, one ADDED manifest for the
-        rewrites. ``drop_deletes`` omits content=1 (delete) manifests
-        from the new snapshot — the OPTIMIZE purge pass, where every
-        delete target is rewritten. Loses the race → unlinks every
-        avro it wrote and raises (caller re-derives from the new
-        head)."""
+        rewrites. ``spec_parts`` declares the partition record shape
+        (spec-field name + value type — transforms included since
+        round 12); staged tuples' pv values land in their entries.
+        ``drop_deletes`` omits content=1 (delete) manifests from the
+        new snapshot — the OPTIMIZE purge pass, where every delete
+        target is rewritten. Loses the race → unlinks every avro it
+        wrote and raises (caller re-derives from the new head)."""
         now_ms = int(time.time() * 1000)
         part_fields = [
-            {"name": c, "type": (ptypes or {}).get(c, "string")}
-            for c in (parts or [])
+            {"name": sf["name"], "type": sf["vtype"]}
+            for sf in (spec_parts or [])
         ]
         mschema = _manifest_schema(part_fields)
         seq = int(cur.get("last-sequence-number", 0)) + 1
@@ -3042,27 +3031,27 @@ class IcebergTableWriter:
         entry now carries footer-derived lower/upper bounds, the
         narrow per-file spans land where every Iceberg planner
         data-skips on them. Returns the new snapshot id, or None below
-        ``min_inputs``. Scope gates as every mutation (flat,
-        unpartitioned, no live delete files)."""
+        ``min_inputs``. Live delete files route to the PURGE pass —
+        on partitioned tables too (round 12: a partitioned CDC table's
+        accumulated equality-delete strata need exactly this lever)."""
         for _ in range(max_retries):
             base_v, cur = self._current()
             if cur is None:
                 return None
             rdr = self.reader()
-            if not self._cur_parts(cur):
-                _d, live_pos, live_eq = rdr._files(None)
-                if live_pos or live_eq:
-                    # PURGE pass: rewrite the MoR-applied content
-                    # (snapshot() applies position AND equality
-                    # deletes) and drop the delete manifests —
-                    # iceberg's rewrite_data_files repaying the
-                    # read-side debt, exactly like Delta OPTIMIZE
-                    # purging DVs
-                    return self._optimize_purge(
-                        spark, base_v, cur, rdr, target_files,
-                        zorder_by, max_retries,
-                    )
-            data, parts, ptypes = self._cow_scope(rdr)
+            _d, live_pos, live_eq = rdr._files(None)
+            if live_pos or live_eq:
+                # PURGE pass: rewrite the MoR-applied content
+                # (snapshot() applies position AND equality
+                # deletes) and drop the delete manifests —
+                # iceberg's rewrite_data_files repaying the
+                # read-side debt, exactly like Delta OPTIMIZE
+                # purging DVs
+                return self._optimize_purge(
+                    spark, base_v, cur, rdr, target_files,
+                    zorder_by, max_retries,
+                )
+            data, spec_parts = self._cow_scope(rdr)
             if not data or (len(data) < min_inputs and not zorder_by):
                 # nothing to rewrite (zorder included: an empty live
                 # set has nothing to cluster — read.parquet() of zero
@@ -3079,8 +3068,10 @@ class IcebergTableWriter:
                 )
             else:
                 df = src.coalesce(max(target_files, 1))
-            staged = self._stage(df, parts or None, ptypes,
-                                 ice_fields=self._cur_fields(cur))
+            staged = self._stage(
+                df, spec_parts=spec_parts or None,
+                ice_fields=self._cur_fields(cur),
+            )
             extra = {"rewritten-data-files": str(len(data))}
             if zorder_by:
                 extra["zorder-by"] = ",".join(zorder_by)
@@ -3088,7 +3079,7 @@ class IcebergTableWriter:
                 return self._publish_mutation(
                     base_v, cur, rdr, {p for p, _u, _s in data}, staged,
                     "replace", extra,
-                    parts=parts, ptypes=ptypes,
+                    spec_parts=spec_parts,
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)
@@ -3115,11 +3106,17 @@ class IcebergTableWriter:
         leave the table permanently 'has deletes' and waste every
         reader a delete-file read). The read-side debt MoR deferred is
         repaid here, exactly like Delta OPTIMIZE purging DVs; the old
-        delete files become expire_snapshots candidates."""
+        delete files become expire_snapshots candidates. Round 12:
+        runs on PARTITIONED tables too (the restage splits by the
+        table's spec — transforms included — and the rewritten
+        manifest entries carry fresh partition records), which is the
+        compaction lever a partitioned CDC table's accumulated
+        equality-delete strata need."""
         for _ in range(max_retries):
             if cur is None:
                 base_v, cur = self._current()
                 rdr = self.reader()
+            spec_parts = self._cur_spec(cur)
             data, pos_d, eq_d = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content
             if zorder_by:
@@ -3133,7 +3130,8 @@ class IcebergTableWriter:
             else:
                 df = src.coalesce(max(target_files, 1))
             staged = self._stage(
-                df, ice_fields=self._cur_fields(cur)
+                df, spec_parts=spec_parts or None,
+                ice_fields=self._cur_fields(cur),
             )
             extra = {"purged-position-deletes": str(len(pos_d)),
                      "purged-equality-deletes": str(len(eq_d))}
@@ -3143,6 +3141,7 @@ class IcebergTableWriter:
                 return self._publish_mutation(
                     base_v, cur, rdr, {p for p, _u, _s in data},
                     staged, "replace", extra, drop_deletes=True,
+                    spec_parts=spec_parts,
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)

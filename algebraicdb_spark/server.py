@@ -74,6 +74,7 @@ _MUTATION_RES = (
     dialect._DROP_TABLE_RE,
     dialect._ALTER_TABLE_RE,
     dialect._MERGE_RE,
+    dialect._UPSERT_RE,
     dialect._TRUNCATE_RE,
     dialect._COPY_FROM_RE,
     dialect._CREATE_MATVIEW_RE,

@@ -1819,7 +1819,7 @@ class TestIcebergCowMutation:
                  "type": "long"}]}],
             "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": [
-                {"name": "k_bucket", "transform": "bucket[16]",
+                {"name": "k_z", "transform": "zorder[2]",
                  "source-id": 1, "field-id": 1000}]}],
             "default-spec-id": 0, "last-partition-id": 1000,
             "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1838,8 +1838,9 @@ class TestIcebergCowMutation:
                   "w") as f:
             f.write("1")
         # identity-partitioned mutation graduated with partitioned
-        # appends; NON-identity transforms still refuse (a bucket
-        # value cannot be re-staged by this writer)
+        # appends, and round 12 graduated bucket/truncate/temporal/
+        # void transforms too; a transform with NO evaluator here (a
+        # made-up future one) still refuses loudly
         with pytest.raises(NotImplementedError, match="transform"):
             IcebergTableWriter(root).delete(spark, "k = 1")
 

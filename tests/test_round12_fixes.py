@@ -476,6 +476,39 @@ class TestPartitionTransforms:
         assert hours == [base, base + 5]
         assert t2.snapshot(spark).count() == 3
 
+    def test_void_transform_spec_appends_and_mutates(
+        self, spark, tmp_path
+    ):
+        """The spec's void transform — what a dropped v1 partition
+        field becomes: every row lands under the null partition value,
+        appends and COW mutations work (a foreign table with an
+        evolved-away partition field stays writable)."""
+        import json as _json
+
+        root = str(tmp_path / "void")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string").coalesce(1))
+        # rewrite the spec to a void field, as spec evolution would
+        base_v, cur = w._current()
+        md = _json.loads(_json.dumps(cur))
+        md["partition-specs"] = [{"spec-id": 0, "fields": [
+            {"name": "k_void", "transform": "void",
+             "source-id": 1, "field-id": 1000}]}]
+        assert w._publish_metadata(md, base_v)
+        w.append(spark.createDataFrame(
+            [(3, "c")], "k long, v string").coalesce(1))
+        t = IcebergTable(root)
+        assert t.snapshot(spark).count() == 3
+        st = t._prunable_state()
+        assert all(
+            raw.get("k_void") is None
+            for _b, _pv, raw in st.values()
+            if "k_void" in raw
+        )
+        assert w.delete(spark, "k = 1")["rows_deleted"] == 1
+        assert t.snapshot(spark).count() == 3  # pinned pre-delete read
+
     def test_temporal_transform_type_gate(self, spark, tmp_path):
         w = IcebergTableWriter(str(tmp_path / "gatey"))
         with pytest.raises(NotImplementedError, match="over"):
@@ -592,6 +625,82 @@ class TestPartitionedUpsert:
         }
         assert (3, 33.0) in got and (7, 77.0) in got
         assert (3, 3.0) not in got and len(got) == 20
+
+
+class TestPartitionedPurgeAndCow:
+    """The lifecycle a partitioned CDC table needs: upserts accumulate
+    equality-delete strata → OPTIMIZE (round 12: now partition-aware)
+    purges them → COW mutations work again; and COW rewrites restage
+    under TRANSFORM specs too (the spec fields recompute from the
+    restaged rows)."""
+
+    def test_optimize_purges_partitioned_upsert_strata(
+        self, spark, tmp_path
+    ):
+        w = IcebergTableWriter(str(tmp_path / "pp"))
+        w.append(
+            spark.createDataFrame(
+                [(i, f"r{i % 2}", float(i)) for i in range(8)],
+                "k long, region string, v double",
+            ).coalesce(1),
+            partition_by=["region"],
+        )
+        w.upsert_by_key(spark, spark.createDataFrame(
+            [(1, "r1", 11.0)], "k long, region string, v double"
+        ).coalesce(1), ["k", "region"])
+        w.upsert_by_key(spark, spark.createDataFrame(
+            [(2, "r0", 22.0)], "k long, region string, v double"
+        ).coalesce(1), ["k", "region"])
+        t = IcebergTable(w.path)
+        assert len(t._files(None)[2]) == 2  # two live eq strata
+        # COW mutation under live strata routes users to the purge
+        with pytest.raises(NotImplementedError, match="purge"):
+            w.delete(spark, "k = 3")
+        sid = w.optimize(spark)
+        assert sid is not None
+        t2 = IcebergTable(w.path)
+        _d, pos, eq = t2._files(None)
+        assert not pos and not eq
+        got = {
+            (r["k"], r["v"]) for r in t2.snapshot(spark).collect()
+        }
+        assert (1, 11.0) in got and (2, 22.0) in got and len(got) == 8
+        # partition records survive the purge rewrite: pruning works
+        st = t2._prunable_state()
+        assert {raw.get("region") for _b, _pv, raw in st.values()} == {
+            "r0", "r1"
+        }
+        # and COW mutation works again
+        assert w.delete(spark, "k = 3")["rows_deleted"] == 1
+
+    def test_cow_mutation_on_transform_partitioned(self, spark, tmp_path):
+        from algebraicdb_spark.operators.iceberg_writer import (
+            bucket_value,
+        )
+
+        w = IcebergTableWriter(str(tmp_path / "tcow"))
+        w.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(16)], "k long, v double"
+            ).coalesce(1),
+            partition_by=["bucket(4, k)"],
+        )
+        assert w.delete(spark, "k = 5")["rows_deleted"] == 1
+        assert w.update(
+            spark, {"v": "v * 10"}, "k = 6"
+        )["rows_updated"] == 1
+        t = IcebergTable(w.path)
+        got = {(r["k"], r["v"]) for r in t.snapshot(spark).collect()}
+        assert (6, 60.0) in got and all(k != 5 for k, _v in got)
+        assert len(got) == 15
+        # rewritten entries carry RECOMPUTED bucket values — equality
+        # pruning on the source column still opens one file set
+        kept = t.live_paths(skip=[("k", 6, 6)])
+        st = t._prunable_state()
+        want = bucket_value(6, "long", 4)
+        assert all(
+            st[p][2].get("k_bucket") == want for p in kept
+        )
 
 
 class TestUpsertStatement:

@@ -213,6 +213,10 @@ def test_mutation_classifier_gates_overwrite_export():
     assert _is_mutation("COPY t TO '/tmp/x' (OVERWRITE)")
     assert _is_mutation("COPY t TO '/tmp/x' (FORMAT csv, OVERWRITE)")
     assert _is_mutation("COPY t FROM '/tmp/x'")
+    # the round-12 keyed-upsert statement serializes like MERGE
+    assert _is_mutation(
+        "UPSERT INTO t BY KEY (k) TXN ('cdc', 1) SELECT 1 AS k"
+    )
     # EXPLAIN stays a read — the engine itself rejects command payloads
     assert not _is_mutation("EXPLAIN ANALYZE SELECT 1")
 
