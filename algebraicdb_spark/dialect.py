@@ -85,7 +85,9 @@ _CTAS_RE = re.compile(
 _CTAS_LAKEHOUSE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+FROM\s+"
     r"(?P<fmt>txnlog|delta|iceberg)\s+LOCATION\s+'(?P<path>[^']+)'"
-    r"(?:\s+PARTITION\s+BY\s*\((?P<parts>[^)]+)\))?"
+    # parts may carry iceberg transform calls — one nesting level,
+    # e.g. PARTITION BY (days(d), bucket(4, k))
+    r"(?:\s+PARTITION\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))+)\))?"
     r"\s+AS\s+(?P<query>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )

@@ -216,10 +216,22 @@ class Engine:
         )
         from algebraicdb_spark.operators.txnlog import TxnLogTable
 
+        from algebraicdb_spark.dialect import _split_top_level
+
         name, fmt, path = m.group("name"), m.group("fmt").lower(), m.group("path")
+        # top-level split: iceberg transform calls carry commas of
+        # their own (bucket(4, k))
         parts = [
-            c.strip() for c in (m.group("parts") or "").split(",") if c.strip()
+            c.strip()
+            for c in _split_top_level(m.group("parts") or "", ",")
+            if c.strip()
         ]
+        if fmt != "iceberg" and any("(" in c for c in parts):
+            raise AdtError(
+                f"CREATE TABLE {name}: partition transforms are an "
+                f"iceberg spec feature — {fmt} partitions by plain "
+                "column values"
+            )
         df = self.spark.sql(self._rewrite(m.group("query")))
         if fmt == "iceberg":
             w = IcebergTableWriter(path)

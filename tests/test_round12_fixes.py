@@ -509,6 +509,35 @@ class TestPartitionTransforms:
         assert w.delete(spark, "k = 1")["rows_deleted"] == 1
         assert t.snapshot(spark).count() == 3  # pinned pre-delete read
 
+    def test_ctas_with_transform_partitioning(self, spark, tmp_path):
+        """CREATE TABLE … FROM iceberg … PARTITION BY (days(d),
+        bucket(4, k)) AS SELECT … — the SQL surface reaches the
+        round-12 transforms (the old regex choked on nested parens);
+        non-iceberg formats refuse transform syntax loudly."""
+        from algebraicdb_spark.engine import AdtError, Engine
+
+        eng = Engine(spark)
+        root = str(tmp_path / "ctas_tf")
+        eng.sql(
+            f"CREATE TABLE ctf FROM iceberg LOCATION '{root}' "
+            "PARTITION BY (days(d), bucket(4, k)) AS "
+            "SELECT CAST(id AS LONG) AS k, "
+            "DATE_ADD(DATE '1995-01-01', CAST(id % 3 AS INT)) AS d "
+            "FROM RANGE(30)"
+        )
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM ctf").collect()[0]["n"] == 30
+        t = IcebergTable(root)
+        tf = {f["transform"] for f in
+              t.meta["partition-specs"][0]["fields"]}
+        assert tf == {"day", "bucket[4]"}
+        with pytest.raises(AdtError, match="iceberg spec feature"):
+            eng.sql(
+                f"CREATE TABLE bad FROM delta LOCATION "
+                f"'{tmp_path / 'bad'}' PARTITION BY (days(d)) AS "
+                "SELECT DATE '1995-01-01' AS d"
+            )
+
     def test_temporal_transform_type_gate(self, spark, tmp_path):
         w = IcebergTableWriter(str(tmp_path / "gatey"))
         with pytest.raises(NotImplementedError, match="over"):
