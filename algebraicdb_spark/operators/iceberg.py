@@ -987,21 +987,9 @@ class IcebergTable:
         ``since`` must be an ancestor of ``to`` along
         ``parent-snapshot-id`` — Iceberg history is a chain of
         snapshots, not versions, so the walk IS the window."""
-        to_snap = self._snapshot(to_snapshot_id)
-        chain: list[dict] = []
-        cur = to_snap
-        while cur["snapshot-id"] != since_snapshot_id:
-            chain.append(cur)
-            pid = cur.get("parent-snapshot-id")
-            if pid is None:
-                raise ValueError(
-                    f"{self.path}: snapshot {since_snapshot_id} is not an "
-                    f"ancestor of {to_snap['snapshot-id']} — no incremental "
-                    "path between them"
-                )
-            cur = self._snapshot(pid)
+        chain = self._window_chain(since_snapshot_id, to_snapshot_id)
         paths: list[str] = []
-        for snap in reversed(chain):
+        for snap in chain:
             sid = snap["snapshot-id"]
             op = (snap.get("summary") or {}).get("operation", "append")
             if op == "replace":
@@ -1080,6 +1068,288 @@ class IcebergTable:
                 "local table copy"
             )
         return spark.read.parquet(*out)
+
+    def _window_chain(
+        self, since_snapshot_id: int, to_snapshot_id: int | None
+    ) -> list[dict]:
+        """Snapshots in (``since``, ``to``] oldest-first along the
+        parent chain — iceberg history is a chain of snapshots, so the
+        walk IS the window; a ``since`` that is not an ancestor
+        refuses (no incremental path)."""
+        to_snap = self._snapshot(to_snapshot_id)
+        chain: list[dict] = []
+        cur = to_snap
+        while cur["snapshot-id"] != since_snapshot_id:
+            chain.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            if pid is None:
+                raise ValueError(
+                    f"{self.path}: snapshot {since_snapshot_id} is not "
+                    f"an ancestor of {to_snap['snapshot-id']} — no "
+                    "incremental path between them"
+                )
+            cur = self._snapshot(pid)
+        return list(reversed(chain))
+
+    def _snapshot_delta(
+        self, snap: dict
+    ) -> tuple[
+        list[tuple[str, str]],
+        list[str],
+        list[str],
+        list[tuple[str, tuple[int, ...]]],
+    ]:
+        """The entries one snapshot COMMITTED, from its own manifest
+        tree with the spec's snapshot-id inheritance: (added data
+        files [(resolved, recorded uri)], removed data files, added
+        position-delete files, added equality-delete files [(resolved,
+        equality ids)]). Carried-forward entries (attributed to an
+        older snapshot) are not new information and drop; entries with
+        no attribution at all refuse — a reused manifest would
+        double-count."""
+        sid = snap["snapshot-id"]
+        added: list[tuple[str, str]] = []
+        removed: list[str] = []
+        pos_d: list[str] = []
+        eq_d: list[tuple[str, tuple[int, ...]]] = []
+        for mpath, m_sid, _m_content, _m_seq in self._manifests(snap):
+            for entry in AvroFileReader(mpath).records:
+                e_sid = entry.get("snapshot_id")
+                if e_sid is None:
+                    if m_sid is None:
+                        raise NotImplementedError(
+                            f"{self.path}: manifest entry in {mpath} "
+                            "has no snapshot_id and no inheritable "
+                            "added_snapshot_id — attribution is "
+                            "impossible; rebuild from snapshot()"
+                        )
+                    e_sid = m_sid
+                if e_sid != sid:
+                    continue
+                status = self._check_status(entry)
+                df = entry["data_file"]
+                content = df.get("content", 0)
+                if content == 0:
+                    self._check_parquet(df, "data")
+                    if status == _ADDED:
+                        added.append(
+                            (self._resolve(df["file_path"]),
+                             df["file_path"])
+                        )
+                    elif status == _DELETED:
+                        removed.append(self._resolve(df["file_path"]))
+                elif status == _ADDED and content == 1:
+                    self._check_parquet(df, "position delete")
+                    pos_d.append(self._resolve(df["file_path"]))
+                elif status == _ADDED and content == 2:
+                    self._check_parquet(df, "equality delete")
+                    ids = df.get("equality_ids")
+                    if not ids:
+                        raise NotImplementedError(
+                            f"{self.path}: equality delete "
+                            f"{df.get('file_path')} lacks equality_ids "
+                            "— its reach is undefined"
+                        )
+                    eq_d.append(
+                        (self._resolve(df["file_path"]),
+                         tuple(int(i) for i in ids))
+                    )
+        return added, removed, pos_d, eq_d
+
+    def changes_cdf(
+        self,
+        spark: SparkSession,
+        since_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """ROW-LEVEL change feed for snapshots (``since``, ``to``] —
+        the iceberg leg of the txnlog/delta ``changes_cdf`` triplet,
+        Delta CDF's shape: the table columns plus ``_change_type``
+        (insert / delete / update_preimage / update_postimage) and
+        ``_commit_version`` (the snapshot id). Where ``changes`` (the
+        adds-only fast path) refuses any mutating snapshot, this feed
+        RESOLVES every write shape this repo's writer (and conformant
+        engines) commit:
+
+        - ``append`` → its added files' rows as ``insert`` (no diff);
+        - ``replace`` (compaction / purge) → skipped, content
+          unchanged;
+        - COW mutation (status-DELETED entries + rewrites) → multiset
+          EXCEPT ALL of removed∖added and added∖removed — carried-
+          through rows cancel, so the feed is O(CHANGED rows), not
+          O(rewritten rows); labeled update_preimage/update_postimage
+          when the snapshot summary records updated/upserted records,
+          delete/insert otherwise (Delta CDF's own labeling rule);
+        - merge-on-read POSITION deletes → the delete files' (uri,
+          pos) rows name the preimages exactly: one scan of just the
+          referenced data files inner-joined on the spec's row
+          identity (writers only position-delete LIVE rows — the
+          invariant this repo's writer enforces by probing
+          merge-on-read);
+        - EQUALITY-delete upserts → preimages are the PARENT
+          snapshot's rows matching the delete keys (``snapshot(
+          parent)`` applies all earlier strata, so an already-deleted
+          row never re-emits), postimages the batch the commit landed
+          beside; keys that were pure inserts simply have no preimage
+          row. Cost: one parent-snapshot scan per upsert commit with
+          a broadcast key semi-join — the price of key-addressed
+          deletes carrying no positional info (the same scan the
+          engines' changelog procedures run).
+
+        Retention contract: the window needs the referenced bytes —
+        files ``expire_snapshots`` already reclaimed refuse loudly;
+        rebuild the consumer from ``snapshot()``. Returns None when
+        the window changes nothing."""
+        from pyspark.sql import functions as F
+
+        chain = self._window_chain(since_snapshot_id, to_snapshot_id)
+        frames: list[DataFrame] = []
+        by_id = self._field_names_by_id()
+        for snap in chain:
+            sid = snap["snapshot-id"]
+            summ = snap.get("summary") or {}
+            op = summ.get("operation", "append")
+            if op == "replace":
+                continue
+            added, removed, pos_d, eq_d = self._snapshot_delta(snap)
+            if not (added or removed or pos_d or eq_d):
+                continue
+            gone = [
+                p for p in (
+                    [a for a, _u in added] + removed + pos_d
+                    + [p for p, _i in eq_d]
+                )
+                if not os.path.exists(p)
+            ]
+            if gone:
+                raise ValueError(
+                    f"{self.path}: change window references files "
+                    f"expire_snapshots already reclaimed ({gone[:3]}…)"
+                    " — row-level changes need the bytes; consume "
+                    "within retention or rebuild from snapshot()"
+                )
+            is_update = any(
+                k in summ for k in ("updated-records",
+                                    "upserted-records")
+            )
+            pre_l, post_l = (
+                ("update_preimage", "update_postimage")
+                if is_update else ("delete", "insert")
+            )
+            ver = F.lit(sid).cast("long")
+
+            def tag(df, label):
+                return df.withColumn(
+                    "_change_type", F.lit(label)
+                ).withColumn("_commit_version", ver)
+
+            add_df = (
+                spark.read.parquet(*[p for p, _u in added])
+                if added else None
+            )
+            if pos_d or eq_d:
+                parent = snap.get("parent-snapshot-id")
+                if parent is None:
+                    raise ValueError(
+                        f"{self.path}: snapshot {sid} carries delete "
+                        "files but no parent — preimages are "
+                        "underivable; rebuild from snapshot()"
+                    )
+                if pos_d:
+                    dels = spark.read.parquet(*pos_d).select(
+                        F.col("file_path").alias("__uri"),
+                        F.col("pos").cast("long").alias("__pos"),
+                    ).dropDuplicates()
+                    uris = sorted({
+                        r["__uri"]
+                        for r in dels.select("__uri")
+                        .dropDuplicates().collect()
+                    })
+                    resolved = [self._resolve(u) for u in uris]
+                    missing = [p for p in resolved
+                               if not os.path.exists(p)]
+                    if missing:
+                        raise ValueError(
+                            f"{self.path}: position deletes reference "
+                            f"reclaimed files ({missing[:3]}…) — "
+                            "consume within retention"
+                        )
+                    src = spark.read.parquet(*resolved).select(
+                        "*",
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                    stripped = F.regexp_replace(
+                        F.col("__fp"),
+                        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", "",
+                    )
+                    src = src.withColumn(
+                        "__lp",
+                        F.url_decode(
+                            F.regexp_replace(stripped, r"\+", "%2B")
+                        ),
+                    )
+                    mapping = spark.createDataFrame(
+                        list(zip(resolved, uris)),
+                        "__lp string, __uri string",
+                    )
+                    pre = (
+                        src.join(F.broadcast(mapping), "__lp", "inner")
+                        .join(F.broadcast(dels), ["__uri", "__pos"],
+                              "inner")
+                        .drop("__fp", "__lp", "__uri", "__pos")
+                    )
+                    frames.append(tag(pre, pre_l))
+                if eq_d:
+                    groups = {}
+                    for p, ids in eq_d:
+                        groups.setdefault(ids, []).append(p)
+                    if len(groups) > 1:
+                        raise NotImplementedError(
+                            f"{self.path}: snapshot {sid} carries "
+                            "equality deletes over MULTIPLE id sets — "
+                            "this feed derives preimages per key "
+                            "shape; use a full Iceberg client"
+                        )
+                    (ids, dpaths), = groups.items()
+                    missing_ids = [i for i in ids if i not in by_id]
+                    if missing_ids:
+                        raise NotImplementedError(
+                            f"{self.path}: equality_ids {missing_ids} "
+                            "name nested/unknown fields"
+                        )
+                    names = [by_id[i] for i in ids]
+                    keys = spark.read.parquet(*dpaths).select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in names]
+                    ).dropDuplicates()
+                    par = self.snapshot(spark, parent)
+                    cond = None
+                    for c in names:
+                        e = par[c].eqNullSafe(keys[f"__eq_{c}"])
+                        cond = e if cond is None else (cond & e)
+                    pre = par.join(
+                        F.broadcast(keys), cond, "left_semi"
+                    )
+                    frames.append(tag(pre, pre_l))
+                if add_df is not None:
+                    frames.append(tag(add_df, post_l))
+                continue
+            if removed:
+                r_df = spark.read.parquet(*removed)
+                a_df = (
+                    add_df if add_df is not None else r_df.limit(0)
+                )
+                frames.append(tag(r_df.exceptAll(a_df), pre_l))
+                frames.append(tag(a_df.exceptAll(r_df), post_l))
+                continue
+            if add_df is not None:
+                frames.append(tag(add_df, "insert"))
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     # -- reads ---------------------------------------------------------
 
