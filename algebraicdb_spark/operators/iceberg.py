@@ -734,7 +734,13 @@ class IcebergTable:
                     return None
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=datetime.timezone.utc)
-                return int(v.timestamp()) // 3600
+                # timedelta floor-division — int(timestamp()) would
+                # truncate pre-epoch sub-second instants toward zero
+                # and disagree with the spec's floorDiv
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc
+                )
+                return (v - epoch) // datetime.timedelta(hours=1)
             if transform == "truncate":
                 if isinstance(v, int) and not isinstance(v, bool):
                     return v - (v % int(param))
@@ -1322,18 +1328,28 @@ class IcebergTable:
                     keys = spark.read.parquet(*dpaths).select(
                         *[F.col(c).alias(f"__eq_{c}") for c in names]
                     ).dropDuplicates()
-                    par = self.snapshot(spark, parent)
-                    cond = None
-                    for c in names:
-                        e = par[c].eqNullSafe(keys[f"__eq_{c}"])
-                        cond = e if cond is None else (cond & e)
-                    pre = par.join(
-                        F.broadcast(keys), cond, "left_semi"
-                    )
-                    frames.append(tag(pre, pre_l))
-                if add_df is not None:
-                    frames.append(tag(add_df, post_l))
-                continue
+                    try:
+                        par = self.snapshot(spark, parent)
+                    except ValueError:
+                        # a parent with ZERO data files (everything
+                        # previously deleted) has no preimages at all
+                        # — postimage-only changes, not an error
+                        par = None
+                    if par is not None:
+                        cond = None
+                        for c in names:
+                            e = par[c].eqNullSafe(keys[f"__eq_{c}"])
+                            cond = e if cond is None else (cond & e)
+                        pre = par.join(
+                            F.broadcast(keys), cond, "left_semi"
+                        )
+                        frames.append(tag(pre, pre_l))
+            # the COW algebra runs for EVERY snapshot with removed
+            # files — including MIXED merge-on-read commits (a
+            # conformant engine's MoR DELETE marks fully-matched
+            # files status-DELETED and position-deletes the partial
+            # ones in ONE snapshot); handling only the delete files
+            # would silently drop the wholly-removed files' preimages
             if removed:
                 r_df = spark.read.parquet(*removed)
                 a_df = (
@@ -1341,9 +1357,11 @@ class IcebergTable:
                 )
                 frames.append(tag(r_df.exceptAll(a_df), pre_l))
                 frames.append(tag(a_df.exceptAll(r_df), post_l))
-                continue
-            if add_df is not None:
-                frames.append(tag(add_df, "insert"))
+            elif add_df is not None:
+                frames.append(tag(
+                    add_df,
+                    post_l if (pos_d or eq_d) else "insert",
+                ))
         if not frames:
             return None
         out = frames[0]

@@ -397,11 +397,15 @@ def _bucket_bytes(v, ice_type: str) -> bytes | None:
         return struct.pack("<q", int(v))
     if ice_type in ("timestamp", "timestamptz"):
         if isinstance(v, datetime.datetime):
+            # the epoch INSTANT — building it with the value's own
+            # tzinfo would shift micros by the UTC offset (a +05:00
+            # value would hash 5h wrong); timedelta floor-division
+            # keeps pre-epoch values exact
             epoch = datetime.datetime(
                 1970, 1, 1,
-                tzinfo=v.tzinfo if v.tzinfo else None,
+                tzinfo=datetime.timezone.utc if v.tzinfo else None,
             )
-            v = int((v - epoch).total_seconds() * 1_000_000)
+            v = (v - epoch) // datetime.timedelta(microseconds=1)
         return struct.pack("<q", int(v))
     if ice_type == "string":
         return str(v).encode("utf-8")
@@ -534,8 +538,7 @@ def _parse_partition_by(items: list[str], by_name: dict) -> list[dict]:
                 out.append({
                     "name": f"{c}_trunc",
                     "transform": f"truncate[{width}]",
-                    "source": c, "source_type": st,
-                    "vtype": st if st != "string" else "string",
+                    "source": c, "source_type": st, "vtype": st,
                 })
             continue
         raise NotImplementedError(
@@ -582,9 +585,12 @@ def _transform_col(sf: dict):
     if t == "day":
         return F.datediff(src, F.to_date(F.lit("1970-01-01"))).cast("int")
     if t == "hour":
-        # timestamps are instants: unix seconds are timezone-free, and
-        # floor-division keeps pre-epoch hours correct
-        return F.floor(F.unix_timestamp(src) / F.lit(3600)).cast("int")
+        # timestamps are instants: the double cast is timezone-free
+        # FRACTIONAL epoch seconds, and floor keeps pre-epoch
+        # sub-second values exact (unix_timestamp truncates toward
+        # zero first, which would disagree with the spec's floorDiv
+        # for instants like 1969-12-31 23:59:59.5)
+        return F.floor(src.cast("double") / F.lit(3600)).cast("int")
     m = _BUCKET_T_RE.match(t)
     if m:
         return _bucket_udf(int(m.group(1)), sf["source_type"])(src)
@@ -1430,7 +1436,8 @@ class IcebergTableWriter:
         new_entry = {
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
+            "partition_spec_id": (cur or {}).get(
+                "default-spec-id", 0),
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1586,6 +1593,15 @@ class IcebergTableWriter:
         UPDATE that moves a row across partitions lands it in the
         right one."""
         cur = rdr.meta
+        if len(cur.get("partition-specs") or []) > 1:
+            # partition EVOLUTION: files written under older specs
+            # carry partition records this writer cannot faithfully
+            # re-label under the default spec in a rewritten manifest
+            raise NotImplementedError(
+                f"{self.path}: table carries multiple partition specs "
+                "(partition evolution) — rewrites cannot re-label "
+                "older-spec files; use a full Iceberg client"
+            )
         spec_parts = self._cur_spec(cur)
         data, pos_d, eq_d = rdr._files(None)
         if pos_d or eq_d:
@@ -1828,7 +1844,8 @@ class IcebergTableWriter:
                 new_rows.append({
                     "manifest_path": mp,
                     "manifest_length": os.path.getsize(mp),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": cur.get(
+                        "default-spec-id", 0),
                     "content": 0 if file_content == 0 else 1,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -2010,6 +2027,22 @@ class IcebergTableWriter:
             # that, an old row could live in a partition the delete
             # never touches — silent key duplication; refuse.
             spec_parts = self._cur_spec(cur)
+            if spec_parts and len(
+                cur.get("partition-specs") or []
+            ) > 1:
+                # partition EVOLUTION: per the spec, a partitioned
+                # equality delete applies only to files of the SAME
+                # spec+partition — files written under an older spec
+                # would keep their old rows in every conformant
+                # reader (silent duplicate keys). Unpartitioned
+                # defaults stay fine: their delete files are GLOBAL.
+                raise NotImplementedError(
+                    f"{self.path}: upsert_by_key on a table with "
+                    "multiple partition specs (partition evolution) "
+                    "— a partition-scoped delete cannot reach "
+                    "older-spec files; use merge() or a full "
+                    "Iceberg client"
+                )
             outside = sorted(
                 {sf["source"] for sf in spec_parts} - set(key_cols)
             )
@@ -2906,7 +2939,8 @@ class IcebergTableWriter:
                 new_rows.append({
                     "manifest_path": new_m,
                     "manifest_length": os.path.getsize(new_m),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": cur.get(
+                        "default-spec-id", 0),
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min(seqs) if seqs else seq,
@@ -2947,7 +2981,8 @@ class IcebergTableWriter:
                 new_rows.append({
                     "manifest_path": add_m,
                     "manifest_length": os.path.getsize(add_m),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": cur.get(
+                        "default-spec-id", 0),
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -3116,6 +3151,13 @@ class IcebergTableWriter:
             if cur is None:
                 base_v, cur = self._current()
                 rdr = self.reader()
+            if len(cur.get("partition-specs") or []) > 1:
+                raise NotImplementedError(
+                    f"{self.path}: table carries multiple partition "
+                    "specs (partition evolution) — the purge rewrite "
+                    "cannot re-label older-spec files; use a full "
+                    "Iceberg client"
+                )
             spec_parts = self._cur_spec(cur)
             data, pos_d, eq_d = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content

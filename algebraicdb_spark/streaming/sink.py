@@ -98,6 +98,13 @@ def upsert_committer(
         ):
             from pyspark.sql import functions as F
 
+            # pin the batch content BEFORE checking it: the append
+            # below re-evaluates the plan, and a non-deterministic
+            # source could otherwise pass the uniqueness check here
+            # yet stage different (duplicate-keyed) rows — the same
+            # hazard upsert_by_key avoids by deriving its key file
+            # from the staged bytes
+            batch_df = batch_df.localCheckpoint()
             row = batch_df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(

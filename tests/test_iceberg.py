@@ -801,7 +801,98 @@ def manifest_rec_seq(
     return buf
 
 
-class TestIcebergEqualityDeletes:
+class TestIcebergMixedMorCdf:
+    """Round-12 review finding, pinned: a conformant engine's MoR
+    DELETE commits ONE snapshot that marks fully-matched data files
+    status-DELETED AND adds position-delete files for the partially-
+    matched ones. ``changes_cdf`` must emit BOTH preimage sets — the
+    first cut handled only the delete files and silently dropped the
+    wholly-removed files' rows. Hand-written fixture (two-path
+    methodology)."""
+
+    def test_mixed_snapshot_emits_both_preimage_sets(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "mixed")
+        data = os.path.join(root, "data")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        fa = os.path.join(data, "a.parquet")
+        fb = os.path.join(data, "b.parquet")
+        write_parquet_file(spark, spark.createDataFrame(
+            [(1, "a1"), (2, "a2")], "k long, v string"), fa)
+        write_parquet_file(spark, spark.createDataFrame(
+            [(3, "b1"), (4, "b2")], "k long, v string"), fb)
+        s1, s2 = 3001, 3002
+        # s1: A and B ADDED
+        m1 = os.path.join(meta, "m1.avro")
+        with open(m1, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, s1, fa, 2), manifest_rec(1, s1, fb, 2)],
+            ))
+        ml1 = os.path.join(meta, "snap1.avro")
+        with open(ml1, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA, [manifest_list_rec(m1, s1)],
+            ))
+        # s2: A DELETED (whole file matched) + B EXISTING, plus a
+        # position delete of B's row 0 — one mixed MoR DELETE commit
+        fdel = os.path.join(data, "del.parquet")
+        write_parquet_file(spark, spark.createDataFrame(
+            [(fb, 0)], "file_path string, pos long"), fdel)
+        m2 = os.path.join(meta, "m2.avro")
+        with open(m2, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(2, s2, fa, 2), manifest_rec(0, s1, fb, 2)],
+            ))
+        mdel = os.path.join(meta, "mdel.avro")
+        with open(mdel, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_SCHEMA,
+                [manifest_rec(1, s2, fdel, 1, content=1)],
+            ))
+        ml2 = os.path.join(meta, "snap2.avro")
+        with open(ml2, "wb") as f:
+            f.write(avro_container(
+                MANIFEST_LIST_SCHEMA,
+                [manifest_list_rec(m2, s2),
+                 manifest_list_rec(mdel, s2, content=1)],
+            ))
+        md = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000mix1",
+            "location": root,
+            "current-snapshot-id": s2,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "v", "required": False,
+                 "type": "string"}]}],
+            "current-schema-id": 0,
+            "snapshots": [
+                {"snapshot-id": s1, "timestamp-ms": 1,
+                 "summary": {"operation": "append"},
+                 "manifest-list": ml1},
+                {"snapshot-id": s2, "timestamp-ms": 2,
+                 "parent-snapshot-id": s1,
+                 "summary": {"operation": "delete"},
+                 "manifest-list": ml2},
+            ],
+        }
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            json.dump(md, f)
+        t = IcebergTable(root)
+        got = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in t.changes_cdf(spark, s1, s2).collect()
+        }
+        # BOTH the wholly-removed file's rows AND the position-deleted
+        # row surface as deletes
+        assert got == {(1, "a1", "delete"), (2, "a2", "delete"),
+                       (3, "b1", "delete")}
     """v2 equality deletes applied with the spec's sequence-number
     rule: a delete file at sequence s removes matching rows ONLY from
     data files with data sequence < s — a later re-insert of the same

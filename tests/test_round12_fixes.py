@@ -939,6 +939,145 @@ class TestIcebergChangesCdf:
             t.changes_cdf(spark, s0)
 
 
+class TestReviewFixes:
+    """Round-12 self-review findings, pinned."""
+
+    def test_bucket_hashes_aware_timestamps_as_instants(self):
+        """A +05:00 timestamp must hash the same micros as its UTC
+        equivalent — building the epoch with the value's own tzinfo
+        shifted the serialization by the UTC offset."""
+        import datetime as dt
+        import struct as st_
+
+        from algebraicdb_spark.operators.iceberg_writer import (
+            _bucket_bytes, bucket_value,
+        )
+
+        plus5 = dt.timezone(dt.timedelta(hours=5))
+        v = dt.datetime(2024, 1, 1, 5, 0, 0, tzinfo=plus5)
+        utc = dt.datetime(2024, 1, 1, 0, 0, 0,
+                          tzinfo=dt.timezone.utc)
+        assert _bucket_bytes(v, "timestamptz") == _bucket_bytes(
+            utc, "timestamptz"
+        )
+        micros = int(utc.timestamp() * 1_000_000)
+        assert _bucket_bytes(v, "timestamptz") == st_.pack(
+            "<q", micros
+        )
+        assert bucket_value(v, "timestamptz", 8) == bucket_value(
+            micros, "timestamptz", 8
+        )
+
+    def test_hour_transform_floors_pre_epoch_instants(self):
+        """hour(1969-12-31 23:59:59.5) is -1 per the spec's floorDiv;
+        int(timestamp()) truncation toward zero said 0."""
+        import datetime as dt
+
+        t = IcebergTable.__new__(IcebergTable)  # static helper only
+        v = dt.datetime(1969, 12, 31, 23, 59, 59, 500000,
+                        tzinfo=dt.timezone.utc)
+        assert t._py_transform(v, "hour", None, None) == -1
+        v2 = dt.datetime(1970, 1, 1, 5, 30, tzinfo=dt.timezone.utc)
+        assert t._py_transform(v2, "hour", None, None) == 5
+
+    def test_partition_evolution_refuses_scoped_writes(
+        self, spark, tmp_path
+    ):
+        """A second partition spec (partition evolution) means files
+        under the OLD spec escape partition-scoped equality deletes
+        and cannot be re-labeled by rewritten manifests — partitioned
+        upsert, COW mutation, and the purge refuse loudly."""
+        import json as _json
+
+        w = IcebergTableWriter(str(tmp_path / "pevo"))
+        w.append(
+            spark.createDataFrame(
+                [(1, "r0", 1.0)], "k long, region string, v double"
+            ).coalesce(1),
+            partition_by=["region"],
+        )
+        base_v, cur = w._current()
+        md = _json.loads(_json.dumps(cur))
+        md["partition-specs"] = md["partition-specs"] + [{
+            "spec-id": 1,
+            "fields": [{"name": "k_bucket", "transform": "bucket[4]",
+                        "source-id": 1, "field-id": 1001}],
+        }]
+        md["default-spec-id"] = 1
+        md["last-partition-id"] = 1001
+        assert w._publish_metadata(md, base_v)
+        src = spark.createDataFrame(
+            [(1, "r0", 9.0)], "k long, region string, v double"
+        ).coalesce(1)
+        with pytest.raises(NotImplementedError, match="evolution"):
+            w.upsert_by_key(spark, src, ["k"])
+        with pytest.raises(NotImplementedError, match="evolution"):
+            w.delete(spark, "k = 1")
+
+    def test_manifest_list_rows_carry_foreign_default_spec_id(
+        self, spark, tmp_path
+    ):
+        """Appends to a foreign table whose default-spec-id is not 0
+        must stamp THAT id on their manifest-list rows — a reader
+        decoding partition records against spec 0 would prune
+        wrongly."""
+        import json as _json
+
+        w = IcebergTableWriter(str(tmp_path / "sid"))
+        w.append(
+            spark.createDataFrame(
+                [(1, "r0")], "k long, region string").coalesce(1),
+            partition_by=["region"],
+        )
+        base_v, cur = w._current()
+        md = _json.loads(_json.dumps(cur))
+        # renumber the ONE spec to id 3, as a foreign catalog might
+        md["partition-specs"][0]["spec-id"] = 3
+        md["default-spec-id"] = 3
+        assert w._publish_metadata(md, base_v)
+        sid = w.append(spark.createDataFrame(
+            [(2, "r1")], "k long, region string").coalesce(1))
+        t = IcebergTable(w.path)
+        snap = t._snapshot(None)
+        rows = AvroFileReader(
+            t._resolve(snap["manifest-list"])
+        ).records
+        new_m = next(
+            r for r in rows if r["added_snapshot_id"] == sid
+        )
+        assert new_m["partition_spec_id"] == 3
+        # the upsert's NEW manifests stamp it too; rows carried from
+        # the spec-0-era commits keep their original id verbatim
+        up = w.upsert_by_key(spark, spark.createDataFrame(
+            [(2, "r1")], "k long, region string").coalesce(1),
+            ["k", "region"])["version"]
+        t2 = IcebergTable(w.path)
+        rows2 = AvroFileReader(
+            t2._resolve(t2._snapshot(None)["manifest-list"])
+        ).records
+        mine = [r for r in rows2 if r["added_snapshot_id"] == up]
+        assert mine and all(
+            r["partition_spec_id"] == 3 for r in mine
+        )
+
+    def test_cdf_upsert_onto_emptied_table_is_postimage_only(
+        self, spark, tmp_path
+    ):
+        w = IcebergTableWriter(str(tmp_path / "cdfe"))
+        w.append(spark.createDataFrame(
+            [(1, "a")], "k long, v string").coalesce(1))
+        s1 = w.delete(spark, "TRUE")["version"]
+        s2 = w.upsert_by_key(spark, spark.createDataFrame(
+            [(2, "b")], "k long, v string").coalesce(1),
+            ["k"])["version"]
+        got = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in IcebergTable(w.path)
+            .changes_cdf(spark, s1, s2).collect()
+        }
+        assert got == {(2, "b", "update_postimage")}
+
+
 class TestIcebergTimestampTieBreak:
     def test_equal_timestamp_resolves_by_snapshot_log_order(
         self, spark, tmp_path
