@@ -1330,10 +1330,15 @@ class IcebergTable:
                     ).dropDuplicates()
                     try:
                         par = self.snapshot(spark, parent)
-                    except ValueError:
+                    except ValueError as exc:
                         # a parent with ZERO data files (everything
                         # previously deleted) has no preimages at all
-                        # — postimage-only changes, not an error
+                        # — postimage-only changes, not an error.
+                        # Anything else (parent EXPIRED out of the
+                        # metadata, corrupt tree) must stay loud:
+                        # swallowing it would silently drop preimages
+                        if "no data files" not in str(exc):
+                            raise
                         par = None
                     if par is not None:
                         cond = None
