@@ -168,27 +168,36 @@ class DeltaTableWriter:
 
     def _cm_of(self, meta: dict | None) -> dict[str, str] | None:
         """logical → physical column mapping from a metaData's pinned
-        schemaString ('name'-mode column mapping), None when unmapped
-        — the writer-side twin of the reader's ``_cm_mapping`` lookup,
+        schemaString ('name' OR 'id' mode), None when unmapped — the
+        writer-side twin of the reader's ``_mapping_for`` lookup,
         reading the SAME metadata so stage-rename and scan-rename can
-        never disagree."""
-        from algebraicdb_spark.operators.txnlog import _cm_mapping
+        never disagree. For 'id' mode the returned ``_IdMapping``
+        additionally makes ``_stage`` stamp each column's
+        ``parquet.field.id`` into the staged footers — a file this
+        writer stages must be matchable by the very ids the mode says
+        readers resolve by."""
+        from algebraicdb_spark.operators.txnlog import (
+            _cm_id_mapping,
+            _cm_mapping,
+        )
 
         conf = (meta or {}).get("configuration") or {}
         if isinstance(conf, list):
             conf = dict(conf)
-        if conf.get("delta.columnMapping.mode") != "name":
+        mode = conf.get("delta.columnMapping.mode")
+        if mode not in ("name", "id"):
             return None
         st = parse_schema_string(
             (meta or {}).get("schemaString"), self.path
         )
-        return _cm_mapping(st)
+        return _cm_mapping(st) if mode == "name" else _cm_id_mapping(st)
 
     def _stage(
         self,
         df: DataFrame,
         partition_by: list[str] | tuple = (),
         mapping: dict[str, str] | None = None,
+        subdir: str = "",
     ) -> list[tuple[str, dict]]:
         """Write the batch's parquet into the table directory (under
         hive-style partition dirs when partitioned) and return
@@ -198,10 +207,30 @@ class DeltaTableWriter:
         batch's LOGICAL columns to their PHYSICAL parquet names before
         the write (column-mapped tables, 'name' mode) — the footer
         stats then key on physical names too, which is what the
-        protocol's stats contract expects under column mapping."""
+        protocol's stats contract expects under column mapping.
+        ``subdir`` stages under a table-root subdirectory and is
+        REFLECTED in the returned relative paths — the ``_change_data``
+        staging for CDF commits (whose ``cdc`` actions record
+        root-relative paths, same as adds)."""
         if mapping:
+            # 'id'-mode tables ALSO stamp each column's field id into
+            # the staged parquet footers (Spark's parquet.field.id
+            # schema metadata + fieldId writes) — the staged file must
+            # be matchable by the ids the mode says readers resolve by
+            ids = getattr(mapping, "ids", None)
+            if ids:
+                df.sparkSession.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
             df = df.select(*[
-                df[c].alias(mapping.get(c, c)) for c in df.columns
+                df[c].alias(
+                    mapping.get(c, c),
+                    metadata=(
+                        {"parquet.field.id": ids[c]}
+                        if ids and c in ids else {}
+                    ),
+                )
+                for c in df.columns
             ])
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         try:
@@ -228,13 +257,12 @@ class DeltaTableWriter:
                     # hive layout decoded by the SAME helper as the
                     # txnlog staging path (txnlog._hive_partition_values)
                     pv = _hive_partition_values(rel_dir)
-                    os.makedirs(
-                        os.path.join(self.path, rel_dir), exist_ok=True
-                    )
                     rel = os.path.join(rel_dir, fn)
-                os.replace(
-                    os.path.join(dirpath, fn), os.path.join(self.path, rel)
-                )
+                if subdir:
+                    rel = os.path.join(subdir, rel)
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(dirpath, fn), dest)
                 staged.append((rel, pv))
         shutil.rmtree(tmp)
         return staged
@@ -385,9 +413,18 @@ class DeltaTableWriter:
     # honored below only when no invariant/constraint is DECLARED —
     # enforcing declared ones needs an expression evaluator this
     # writer doesn't have, so those refuse.
+    # changeDataFeed is honored by EMITTING the feed (round 13): every
+    # data-changing mutation on a table with
+    # delta.enableChangeDataFeed=true lands its row-level diff as
+    # `_change_data/` parquet + `cdc` actions in the same commit
+    # (_cdc_actions). generatedColumns / identityColumns are honored
+    # while no such column is DECLARED — the declaration checks below
+    # refuse the tables where the capability would actually bind.
     _WRITER_FEATURES = {"deletionVectors", "appendOnly", "timestampNtz",
                         "vacuumProtocolCheck", "invariants",
-                        "checkConstraints", "columnMapping"}
+                        "checkConstraints", "columnMapping",
+                        "changeDataFeed", "generatedColumns",
+                        "identityColumns"}
 
     def _check_writable(
         self, proto: dict, meta: dict, mutation: str,
@@ -405,20 +442,43 @@ class DeltaTableWriter:
         if cm not in (None, "", "none") and mutation != "VACUUM":
             # VACUUM is exempt: it unlinks unreferenced files and
             # never stages a parquet byte, so naming cannot corrupt it.
-            if cm != "name":
-                raise NotImplementedError(
-                    f"{mutation} on {self.path}: "
-                    f"delta.columnMapping.mode={cm!r} — 'id' mode "
-                    "matches parquet columns by field id, which this "
-                    "writer does not stamp; use a full Delta client"
-                )
             # 'name' mode WRITES are supported (round 12): staging
             # renames logical → physical through the SAME mapping the
-            # reader renames back by (_cm_mapping), for exactly the
-            # shapes the reader supports — the reader's own gate runs
-            # here so writer and reader can never disagree about what
-            # is writable (total flat unpartitioned mapping).
-            self.reader()._check_name_mapping(meta)
+            # reader renames back by, for exactly the shapes the
+            # reader supports — the reader's own gate runs here so
+            # writer and reader can never disagree about what is
+            # writable (total flat unpartitioned mapping). 'id' mode
+            # WRITES are supported since round 13: staging
+            # additionally stamps parquet field ids (_stage) and needs
+            # the physicalName hints to name the staged columns — a
+            # table whose schema omits them refuses (narrowed from the
+            # round-12 blanket 'id' refusal).
+            if cm == "name":
+                self.reader()._check_name_mapping(meta)
+            elif cm == "id":
+                self.reader()._check_id_mapping(meta)
+                st_cm = parse_schema_string(
+                    (meta or {}).get("schemaString"), self.path
+                )
+                no_phys = [
+                    f.name for f in (st_cm.fields if st_cm else [])
+                    if "delta.columnMapping.physicalName"
+                    not in (f.metadata or {})
+                ]
+                if no_phys:
+                    raise NotImplementedError(
+                        f"{mutation} on {self.path}: 'id'-mode fields "
+                        f"{no_phys} carry no physicalName — this "
+                        "writer cannot choose physical column names "
+                        "for staged files; use a full Delta client"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"{mutation} on {self.path}: "
+                    f"delta.columnMapping.mode={cm!r} is not a "
+                    "protocol mode this writer understands; use a "
+                    "full Delta client"
+                )
         mwv = int((proto or {}).get("minWriterVersion", 1) or 1)
         feats = set((proto or {}).get("writerFeatures") or [])
         if mwv >= 7:
@@ -431,47 +491,56 @@ class DeltaTableWriter:
                     "use a full Delta client"
                 )
         elif mwv > 2 and mutation != "VACUUM":
-            # VACUUM is exempt from the legacy capability gate for the
-            # same reason as the columnMapping gate above: it unlinks
+            # Legacy writer versions 3..6 imply capabilities that are
+            # all INTROSPECTABLE from metadata this writer already
+            # reads, so the version number alone no longer refuses
+            # (round 13): check constraints (v3+) refuse below when
+            # DECLARED; change data feed (v4+) is honored by emitting
+            # `_change_data` + cdc actions in every mutation commit
+            # (_cdc_actions); generated columns (v4+) and identity
+            # columns (v6) refuse below when DECLARED; column mapping
+            # (v5) is gated above. VACUUM stays exempt: it unlinks
             # files no retained snapshot references and never stages a
-            # parquet byte or commits an action, so none of the legacy
-            # capabilities (constraints/CDF/mapping/identity) can be
-            # violated by it; cdc/_change_data files are never vacuum
-            # candidates here (candidates come from add/remove actions)
-            if mwv == 5:
-                # legacy writer v5 = column mapping (handled above),
-                # CUMULATIVE over v3 (check constraints — refused
-                # separately when declared) and v4 (CDF + generated
-                # columns) — those two must be INERT, not just unknown
-                if str(conf.get("delta.enableChangeDataFeed", "")
-                       ).lower() == "true":
-                    raise NotImplementedError(
-                        f"{mutation} on {self.path}: "
-                        "delta.enableChangeDataFeed=true — this writer "
-                        "does not emit change-data files; use a full "
-                        "Delta client"
-                    )
-                st5 = parse_schema_string(
-                    (meta or {}).get("schemaString"), self.path
-                )
-                gen = [
-                    f.name for f in (st5.fields if st5 else [])
-                    if "delta.generationExpression" in (f.metadata or {})
-                ]
-                if gen:
-                    raise NotImplementedError(
-                        f"{mutation} on {self.path}: generated "
-                        f"column(s) {gen} — this writer cannot "
-                        "evaluate generation expressions; use a full "
-                        "Delta client"
-                    )
-            else:
+            # parquet byte or commits an action; cdc/_change_data
+            # files are never vacuum candidates here (candidates come
+            # from add/remove actions).
+            if mwv > 6:
                 raise NotImplementedError(
-                    f"{self.path}: minWriterVersion={mwv} demands "
-                    "writer capabilities this client does not "
-                    "implement (3=check constraints, 4=CDF/generated "
-                    "columns, 6=identity columns); use a full Delta "
-                    "client"
+                    f"{self.path}: legacy minWriterVersion={mwv} is "
+                    "newer than this writer understands; use a full "
+                    "Delta client"
+                )
+        if mutation != "VACUUM":
+            # declaration-based capability checks — these bind at ANY
+            # writer version (a v7 table announcing generatedColumns /
+            # identityColumns passes the feature gate above; the
+            # capability only constrains commits once a column is
+            # actually declared, which is what's checked here)
+            st_d = parse_schema_string(
+                (meta or {}).get("schemaString"), self.path
+            )
+            gen = [
+                f.name for f in (st_d.fields if st_d else [])
+                if "delta.generationExpression" in (f.metadata or {})
+            ]
+            if gen:
+                raise NotImplementedError(
+                    f"{mutation} on {self.path}: generated column(s) "
+                    f"{gen} — this writer cannot evaluate generation "
+                    "expressions; use a full Delta client"
+                )
+            ident = [
+                f.name for f in (st_d.fields if st_d else [])
+                if any(
+                    k.startswith("delta.identity.")
+                    for k in (f.metadata or {})
+                )
+            ]
+            if ident:
+                raise NotImplementedError(
+                    f"{mutation} on {self.path}: identity column(s) "
+                    f"{ident} — this writer cannot maintain identity "
+                    "high-water marks; use a full Delta client"
                 )
         if data_change and mutation != "APPEND" and (
             "appendOnly" in feats
@@ -571,6 +640,89 @@ class DeltaTableWriter:
             "— table is under pathological write contention"
         )
 
+    @staticmethod
+    def _cdf_protocol_ok(proto: dict) -> bool:
+        """Does the protocol already license CDF writes? Legacy writer
+        v4..v6 implies the capability; v7+ must announce the
+        changeDataFeed feature explicitly."""
+        mwv = int((proto or {}).get("minWriterVersion", 1) or 1)
+        if mwv >= 7:
+            return "changeDataFeed" in (proto.get("writerFeatures") or [])
+        return mwv >= 4
+
+    def enable_change_data_feed(
+        self,
+        max_retries: int = 8,
+        extra_props: dict[str, str] | None = None,
+    ) -> int | None:
+        """Commit ``delta.enableChangeDataFeed=true`` together with a
+        protocol that actually licenses it (PROTOCOL.md: CDF needs
+        legacy writer v4+ or the ``changeDataFeed`` writer feature) —
+        the capability flag and the announcement must land in ONE
+        version, or a reader between two commits sees a config lying
+        about the protocol. After this, every mutation commit lands
+        its row-level diff as ``_change_data`` parquet + ``cdc``
+        actions (``_cdc_actions``). No-op (returns None) when already
+        fully enabled. ``extra_props`` fold into the same commit, as
+        in ``enable_deletion_vectors``."""
+        for _ in range(max_retries):
+            rdr = self.reader()
+            # pin the head FIRST — see enable_deletion_vectors for the
+            # lost-update window two separate reads would open
+            head = rdr.latest_version()
+            proto, meta = rdr._protocol_meta(head if head >= 0 else None)
+            if (
+                self._cdf_protocol_ok(proto)
+                and self._cdf_enabled(meta)
+                and not extra_props
+            ):
+                return None
+            actions = [self._commit_info(
+                "SET TBLPROPERTIES",
+                properties={"delta.enableChangeDataFeed": "true",
+                            **(extra_props or {})},
+            )]
+            if not self._cdf_protocol_ok(proto):
+                upgraded = self._feature_upgraded_protocol(
+                    proto, {"changeDataFeed"}
+                )
+                self._check_writable(
+                    upgraded["protocol"], meta, "ALTER",
+                    data_change=False,
+                )
+                actions.append(upgraded)
+            else:
+                self._check_writable(proto, meta, "ALTER",
+                                     data_change=False)
+            if not meta:
+                raise ValueError(
+                    f"SET PROPERTIES on {self.path}: table has no "
+                    "metaData to carry the configuration — append a "
+                    "first batch"
+                )
+            conf = meta.get("configuration") or {}
+            if isinstance(conf, list):
+                conf = dict(conf)  # pyarrow MAP columns → [(k, v)]
+            conf = dict(conf)
+            conf["delta.enableChangeDataFeed"] = "true"
+            for k, v in (extra_props or {}).items():
+                if v in (None, ""):
+                    conf.pop(k, None)
+                else:
+                    conf[k] = str(v)
+            m = {k: v for k, v in meta.items() if v is not None}
+            m["configuration"] = conf
+            actions.append({"metaData": m})
+            try:
+                self._publish(head + 1, actions)
+                return head + 1
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"enable_change_data_feed lost {max_retries} publish races "
+            "— table is under pathological write contention"
+        )
+
     # delta.* configuration keys this minimal writer can honestly
     # commit: ones it HONORS itself (appendOnly gates mutations,
     # retention keys are advisory durations) — anything else under the
@@ -604,7 +756,8 @@ class DeltaTableWriter:
             k for k in props
             if k.startswith("delta.")
             and k not in self._SETTABLE_DELTA_KEYS
-            and k != "delta.enableDeletionVectors"
+            and k not in ("delta.enableDeletionVectors",
+                          "delta.enableChangeDataFeed")
         )
         if bad:
             raise NotImplementedError(
@@ -628,6 +781,19 @@ class DeltaTableWriter:
                 return v
             # already DV-enabled (the route no-opped): the remaining
             # keys still need their own metaData commit below
+            props = rest
+        if str(props.get("delta.enableChangeDataFeed", "")
+               ).lower() == "true":
+            # capability key with a protocol obligation — route through
+            # the upgrade so the flag and the changeDataFeed feature
+            # announcement land atomically (same shape as the DV route)
+            rest = {k: v for k, v in props.items()
+                    if k != "delta.enableChangeDataFeed"}
+            v = self.enable_change_data_feed(
+                max_retries=max_retries, extra_props=rest or None
+            )
+            if v is not None or not rest:
+                return v
             props = rest
         for _ in range(max_retries):
             rdr = self.reader()
@@ -1025,7 +1191,7 @@ class DeltaTableWriter:
         # PHYSICAL names or every mapped reader resolves the
         # rewritten columns to all-NULL
         mapping = self._cm_of(meta)
-        return rdr, entries, st, part_cols, by_local, mapping
+        return rdr, entries, st, part_cols, by_local, mapping, meta
 
     def _probe_affected(
         self, spark: SparkSession, rdr, entries, st, part_cols,
@@ -1081,6 +1247,116 @@ class DeltaTableWriter:
         return (dv.get("storageType"), dv.get("pathOrInlineDv"),
                 dv.get("offset"))
 
+    @staticmethod
+    def _cdf_enabled(meta: dict | None) -> bool:
+        """Does the table's configuration opt into the row-level
+        change feed? (delta.enableChangeDataFeed=true — the flag CDC
+        consumers set on production tables)."""
+        conf = (meta or {}).get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        return str(conf.get("delta.enableChangeDataFeed", "")
+                   ).lower() == "true"
+
+    def _cdc_actions(
+        self,
+        spark: SparkSession,
+        rdr,
+        st,
+        part_cols: list[str],
+        mapping: dict[str, str] | None,
+        op: str,
+        pre_entries: list[tuple[str, str, dict, dict | None]],
+        post_entries: list[tuple[str, str, dict, dict | None]],
+        staged: list[tuple[str, dict]],
+    ) -> tuple[list[dict], list[tuple[str, dict]]]:
+        """Land a mutation commit's row-level changes in Delta's
+        INTEROP change-data format: ``_change_data/`` parquet files
+        (table columns + ``_change_type``) referenced by ``cdc``
+        actions riding the SAME commit — PROTOCOL.md's "Change Data
+        Files". Per the spec, a commit carrying ANY cdc action is
+        consumed by CDF readers from its change files ALONE (the
+        add/remove actions describe the same changes), so the diff
+        here covers the WHOLE commit:
+
+        - ``pre_entries``: the affected files in their PRE-commit
+          state (old deletion vectors applied),
+        - ``post_entries``: the same files in their POST-commit state
+          (MoR re-adds with the new vectors; empty for COW, where the
+          old file leaves the table entirely),
+        - ``staged``: the commit's new files (COW rewrites, MoR
+          postimages, MERGE inserts).
+
+        pre EXCEPT ALL post = rows the commit removes; post EXCEPT ALL
+        pre = rows it introduces — the SAME multiset algebra the
+        engine's own ``changes_cdf`` replays from add/remove actions,
+        now landed where other engines read it. Labels match that
+        reader: UPDATE → update_preimage/update_postimage, everything
+        else delete/insert (a MERGE's updated rows surface as a
+        delete+insert pair — semantically equivalent, and exactly what
+        the diff-based replay of the same commit yields).
+
+        Cost: ONE extra bounded scan of exactly the files the mutation
+        already rewrote or vectored — the tax every CDF-emitting
+        writer pays, O(affected bytes), never O(table). Returns
+        (cdc actions, staged cdc files for abort-path unstaging);
+        callers thread both through ``_commit_cow``."""
+        from pyspark.sql import functions as F
+
+        def side(entries, extra_staged):
+            ents = list(entries) + [
+                (rel, os.path.join(self.path, rel), pv, None)
+                for rel, pv in extra_staged
+            ]
+            if not ents:
+                return None
+            return rdr._assemble_mor(
+                spark, ents, st, part_cols, mapping=mapping
+            )
+
+        pre = side(pre_entries, [])
+        post = side(post_entries, staged)
+        if pre is None and post is None:
+            return [], []
+        if pre is None:
+            pre = post.limit(0)
+        if post is None:
+            post = pre.limit(0)
+        pre_l, post_l = (
+            ("update_preimage", "update_postimage")
+            if op.upper() == "UPDATE"
+            else ("delete", "insert")
+        )
+        changes = (
+            pre.exceptAll(post)
+            .withColumn("_change_type", F.lit(pre_l))
+            .unionByName(
+                post.exceptAll(pre)
+                .withColumn("_change_type", F.lit(post_l))
+            )
+        )
+        cdc_staged = self._stage(
+            changes, part_cols, mapping=mapping, subdir="_change_data"
+        )
+        # an all-cancelled partition can stage an empty part file —
+        # drop it rather than commit a rowless cdc action
+        kept: list[tuple[str, dict]] = []
+        for rel, pv in cdc_staged:
+            if self._file_rows(os.path.join(self.path, rel)) == 0:
+                self._unstage([(rel, pv)])
+            else:
+                kept.append((rel, pv))
+        actions = []
+        for rel, pv in kept:
+            full = os.path.join(self.path, rel)
+            actions.append({"cdc": {
+                "path": quote(rel, safe="/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "dataChange": False,
+            }})
+        return actions, kept
+
     def _commit_cow(
         self,
         removed_raw: list[str],
@@ -1091,6 +1367,7 @@ class DeltaTableWriter:
         params: dict,
         max_retries: int,
         extra_actions: list[dict] | None = None,
+        cdc: tuple[list[dict], list[tuple[str, dict]]] | None = None,
     ) -> int:
         """remove(affected, dataChange) + add(rewrites) in one commit
         under the COW conflict matrix (appends commute — retry one
@@ -1118,7 +1395,11 @@ class DeltaTableWriter:
             + [tomb(raw) for raw in removed_raw]
             + self._add_actions(staged)
             + list(extra_actions or [])
+            + list(cdc[0] if cdc else [])
         )
+        # abort paths must reclaim the staged CDF files too — they are
+        # table-root files the log never references until publish
+        unstage_all = staged + (cdc[1] if cdc else [])
         want = {raw: self._dv_key(dv_of.get(raw)) for raw in removed_raw}
         for _ in range(max_retries):
             # pin the head FIRST and validate (path, dv) identity AT
@@ -1137,7 +1418,7 @@ class DeltaTableWriter:
                 if raw not in live_now or live_now[raw] != k
             )
             if conflicted:
-                self._unstage(staged)
+                self._unstage(unstage_all)
                 raise ConcurrentWriteError(
                     f"{op} inputs {conflicted[:3]} were removed or "
                     "DV-mutated by a concurrent writer — committing "
@@ -1150,7 +1431,7 @@ class DeltaTableWriter:
                 return version
             except ConcurrentWriteError:
                 continue
-        self._unstage(staged)
+        self._unstage(unstage_all)
         raise ConcurrentWriteError(
             f"{op} lost {max_retries} publish races — table is under "
             "pathological write contention"
@@ -1199,7 +1480,7 @@ class DeltaTableWriter:
             raise ValueError(
                 f"delta table {self.path} has no commits to delete from"
             )
-        rdr, entries, st, part_cols, by_local, mapping = (
+        rdr, entries, st, part_cols, by_local, mapping, meta = (
             self._cow_context(spark, "DELETE")
         )
         if mode == "auto":
@@ -1221,7 +1502,7 @@ class DeltaTableWriter:
                 )
             return self._delete_mor(
                 spark, rdr, entries, st, part_cols, by_local,
-                predicate, max_retries, dv_inline_threshold,
+                predicate, max_retries, dv_inline_threshold, meta,
             )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, predicate,
@@ -1249,9 +1530,17 @@ class DeltaTableWriter:
                 ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             )
             staged = self._stage(keep, part_cols, mapping=mapping)
+        cdc = None
+        if self._cdf_enabled(meta):
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, mapping, "DELETE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in sorted(by_raw)],
+                [], staged,
+            )
         version = self._commit_cow(
             sorted(by_raw), pv_of, dv_of, staged, "DELETE",
-            {"predicate": predicate}, max_retries,
+            {"predicate": predicate}, max_retries, cdc=cdc,
         )
         return {
             "version": version,
@@ -1407,35 +1696,63 @@ class DeltaTableWriter:
         return [self._dv_upgraded_protocol(proto)]
 
     @staticmethod
-    def _dv_upgraded_protocol(proto: dict) -> dict:
-        """minReader 3 / minWriter 7 with deletionVectors in BOTH
-        feature lists, carrying forward every capability the table
-        already announced — INCLUDING the ones its legacy version
-        numbers implied (reader 2 → columnMapping; writer 3..6 →
-        checkConstraints / changeDataFeed+generatedColumns /
-        columnMapping / identityColumns): moving to feature lists
-        must name them or the upgrade silently drops them for
+    def _legacy_implied_features(proto: dict) -> tuple[set[str], set[str]]:
+        """The (reader, writer) features a table's LEGACY version
+        numbers imply — CUMULATIVELY, per the protocol's version
+        table (writer v5 must support everything v3 and v4 required,
+        not just column mapping): moving to feature lists must name
+        them all or the upgrade silently drops capabilities for
         feature-aware clients."""
-        legacy_r = {2: ["columnMapping"]}.get(
-            int(proto.get("minReaderVersion", 1) or 1), [])
-        legacy_w = {
+        mrv = int(proto.get("minReaderVersion", 1) or 1)
+        mwv = int(proto.get("minWriterVersion", 1) or 1)
+        legacy_r = {"columnMapping"} if mrv == 2 else set()
+        w_map = {
             3: ["checkConstraints"],
             4: ["changeDataFeed", "generatedColumns"],
             5: ["columnMapping"],
             6: ["identityColumns"],
-        }.get(int(proto.get("minWriterVersion", 1) or 1), [])
-        return {"protocol": {
-            "minReaderVersion": 3,
+        }
+        legacy_w = {
+            f for v, fs in w_map.items() if 3 <= mwv <= 6 and mwv >= v
+            for f in fs
+        }
+        return legacy_r, legacy_w
+
+    @classmethod
+    def _feature_upgraded_protocol(
+        cls, proto: dict, writer_features: set[str],
+        reader_features: set[str] = frozenset(),
+    ) -> dict:
+        """A minWriter-7 protocol action announcing ``writer_features``
+        (and, when ``reader_features`` is non-empty, minReader 3 with
+        those reader features), carrying forward every capability the
+        table already announced — including the ones its legacy
+        version numbers implied (``_legacy_implied_features``)."""
+        legacy_r, legacy_w = cls._legacy_implied_features(proto)
+        out = {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1) or 1),
             "minWriterVersion": 7,
-            "readerFeatures": sorted(
-                set(proto.get("readerFeatures") or [])
-                | set(legacy_r) | {"deletionVectors"}
-            ),
             "writerFeatures": sorted(
                 set(proto.get("writerFeatures") or [])
-                | set(legacy_w) | {"deletionVectors"}
+                | legacy_w | set(writer_features)
             ),
-        }}
+        }
+        cur_r = set(proto.get("readerFeatures") or [])
+        if reader_features or cur_r or out["minReaderVersion"] >= 3:
+            out["minReaderVersion"] = 3
+            out["readerFeatures"] = sorted(
+                cur_r | legacy_r | set(reader_features)
+            )
+        return {"protocol": out}
+
+    @classmethod
+    def _dv_upgraded_protocol(cls, proto: dict) -> dict:
+        """minReader 3 / minWriter 7 with deletionVectors in BOTH
+        feature lists (DV is a reader+writer feature), legacy
+        capabilities carried forward."""
+        return cls._feature_upgraded_protocol(
+            proto, {"deletionVectors"}, {"deletionVectors"}
+        )
 
     def _reclaim_bin(self, written_bin: str | None) -> None:
         """Unlink a never-published DV ``.bin`` (nothing else ever
@@ -1453,6 +1770,7 @@ class DeltaTableWriter:
     def _delete_mor(
         self, spark, rdr, entries, st, part_cols, by_local,
         predicate: str, max_retries: int, inline_threshold: int,
+        meta: dict | None = None,
     ) -> dict:
         """The merge-on-read DELETE body: matched ordinals become
         deletion vectors — O(bitmap bytes) committed, zero rewrite."""
@@ -1464,15 +1782,32 @@ class DeltaTableWriter:
                     "files_removed": 0, "files_dv": 0}
         pv_of = {raw: pv for raw, _res, pv, _dv in entries}
         dv_of = {raw: dv for raw, _res, _pv, dv in entries}
+        res_of = {raw: res for raw, res, _pv, _dv in entries}
         adds, full_removes, dv_files, written_bin = self._build_dv_actions(
             entries, new_pos, inline_threshold
         )
         extra = self._dv_protocol_actions(rdr)
+        cdc = None
+        if self._cdf_enabled(meta):
+            # pre = affected files under their OLD vectors; post = the
+            # same files under the NEW (unioned) vectors — the diff is
+            # exactly the newly-flipped rows, read pre-commit (inline
+            # descriptors decode from the action; the shared .bin is
+            # already on disk)
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, None, "DELETE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in sorted(new_pos)],
+                [(a["add"]["path"], res_of[a["add"]["path"]],
+                  pv_of[a["add"]["path"]], a["add"]["deletionVector"])
+                 for a in adds],
+                [],
+            )
         try:
             version = self._commit_cow(
                 sorted(new_pos), pv_of, dv_of, [], "DELETE",
                 {"predicate": predicate}, max_retries,
-                extra_actions=adds + extra,
+                extra_actions=adds + extra, cdc=cdc,
             )
         except ConcurrentWriteError:
             self._reclaim_bin(written_bin)
@@ -1518,7 +1853,7 @@ class DeltaTableWriter:
             raise ValueError(
                 f"delta table {self.path} has no commits to update"
             )
-        rdr, entries, st, part_cols, by_local, mapping = (
+        rdr, entries, st, part_cols, by_local, mapping, meta = (
             self._cow_context(spark, "UPDATE")
         )
         if mode == "auto":
@@ -1557,6 +1892,7 @@ class DeltaTableWriter:
             return self._update_mor(
                 spark, rdr, entries, st, part_cols, by_local,
                 assignments, pred, max_retries, dv_inline_threshold,
+                meta,
             )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, pred,
@@ -1588,9 +1924,17 @@ class DeltaTableWriter:
             ]
         )
         staged = self._stage(out, part_cols, mapping=mapping)
+        cdc = None
+        if self._cdf_enabled(meta):
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, mapping, "UPDATE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in affected],
+                [], staged,
+            )
         version = self._commit_cow(
             affected, pv_of, dv_of, staged, "UPDATE",
-            {"predicate": pred}, max_retries,
+            {"predicate": pred}, max_retries, cdc=cdc,
         )
         return {
             "version": version,
@@ -1601,7 +1945,7 @@ class DeltaTableWriter:
     def _update_mor(
         self, spark, rdr, entries, st, part_cols, by_local,
         assignments: dict[str, str], pred: str, max_retries: int,
-        inline_threshold: int,
+        inline_threshold: int, meta: dict | None = None,
     ) -> dict:
         """The merge-on-read UPDATE body: the preimage rows get
         deletion-vectored in place (same machinery as MoR DELETE) and
@@ -1641,11 +1985,26 @@ class DeltaTableWriter:
             entries, new_pos, inline_threshold
         )
         extra = self._dv_protocol_actions(rdr)
+        cdc = None
+        if self._cdf_enabled(meta):
+            # pre = old vectors; post = new vectors + the staged
+            # postimages — untouched rows cancel, the flipped rows
+            # surface as update_preimage and the staged rewrites as
+            # update_postimage
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, None, "UPDATE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in affected],
+                [(a["add"]["path"], res_of[a["add"]["path"]],
+                  pv_of[a["add"]["path"]], a["add"]["deletionVector"])
+                 for a in adds],
+                staged,
+            )
         try:
             version = self._commit_cow(
                 affected, pv_of, dv_of, staged, "UPDATE",
                 {"predicate": pred}, max_retries,
-                extra_actions=adds + extra,
+                extra_actions=adds + extra, cdc=cdc,
             )
         except ConcurrentWriteError:
             self._reclaim_bin(written_bin)
@@ -1698,7 +2057,7 @@ class DeltaTableWriter:
             )
         if mode not in ("auto", "cow", "mor"):
             raise ValueError(f"merge mode {mode!r}: auto, cow, or mor")
-        rdr, entries, st, part_cols, by_local, mapping = (
+        rdr, entries, st, part_cols, by_local, mapping, meta = (
             self._cow_context(spark, "MERGE")
         )
         if assignments:
@@ -1727,7 +2086,7 @@ class DeltaTableWriter:
                 spark, rdr, entries, st, part_cols, by_local, source,
                 cond, assignments, insert_exprs, target_alias,
                 source_alias, max_retries, delete_matched,
-                dv_inline_threshold,
+                dv_inline_threshold, meta,
             )
         res_of = {raw: res for raw, res, _pv, _dv in entries}
         pv_of = {raw: pv for raw, _res, pv, _dv in entries}
@@ -1863,9 +2222,17 @@ class DeltaTableWriter:
         if not affected and not staged:
             return {"version": None, "rows_matched": 0,
                     "rows_inserted": 0, "files_rewritten": 0}
+        cdc = None
+        if self._cdf_enabled(meta):
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, mapping, "MERGE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in affected],
+                [], staged,
+            )
         version = self._commit_cow(
             affected, pv_of, dv_of, staged, "MERGE",
-            {"predicate": cond}, max_retries,
+            {"predicate": cond}, max_retries, cdc=cdc,
         )
         return {
             "version": version,
@@ -1878,7 +2245,7 @@ class DeltaTableWriter:
         self, spark, rdr, entries, st, part_cols, by_local, source,
         cond: str, assignments, insert_exprs, target_alias,
         source_alias, max_retries: int, delete_matched: bool,
-        inline_threshold: int,
+        inline_threshold: int, meta: dict | None = None,
     ) -> dict:
         """The merge-on-read MERGE body: matched target rows
         deletion-vector in place; THEN-UPDATE postimages come from an
@@ -1972,11 +2339,23 @@ class DeltaTableWriter:
             entries, new_pos, inline_threshold
         )
         extra = self._dv_protocol_actions(rdr)
+        cdc = None
+        if self._cdf_enabled(meta):
+            res_of = {raw: res for raw, res, _pv, _dv in entries}
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, None, "MERGE",
+                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
+                 for raw in sorted(new_pos)],
+                [(a["add"]["path"], res_of[a["add"]["path"]],
+                  pv_of[a["add"]["path"]], a["add"]["deletionVector"])
+                 for a in adds],
+                staged,
+            )
         try:
             version = self._commit_cow(
                 sorted(new_pos), pv_of, dv_of, staged, "MERGE",
                 {"predicate": cond}, max_retries,
-                extra_actions=adds + extra,
+                extra_actions=adds + extra, cdc=cdc,
             )
         except (ConcurrentWriteError, ValueError):
             self._reclaim_bin(written_bin)

@@ -242,6 +242,44 @@ def _cm_mapping(st) -> dict[str, str] | None:
     return mapping or None
 
 
+class _IdMapping(dict):
+    """'id'-mode column mapping (round 13). The dict part is the
+    logical → physicalName rename WRITE paths stage under (identity
+    when a field carries no physicalName — reads never need it);
+    ``ids`` is logical name → delta.columnMapping.id, the FIELD ID the
+    parquet footers are matched by. Scans that receive one of these
+    read by field id (Spark's ``parquet.field.id`` schema metadata +
+    ``spark.sql.parquet.fieldId.read.enabled``), never by name — the
+    protocol's 'id' semantics, where a rename rewrites no file."""
+
+    def __init__(self, rename: dict[str, str], ids: dict[str, int]):
+        super().__init__(rename)
+        self.ids = ids
+
+
+def _cm_id_mapping(st) -> _IdMapping | None:
+    """The ``_IdMapping`` for an 'id'-mode schemaString, or None when
+    no field carries ``delta.columnMapping.id`` (callers gate totality
+    via ``_check_id_mapping`` — a PARTIAL id map must have refused
+    before any scan)."""
+    if st is None:
+        return None
+    ids = {
+        f.name: int(f.metadata["delta.columnMapping.id"])
+        for f in st.fields
+        if f.metadata and "delta.columnMapping.id" in f.metadata
+    }
+    if not ids:
+        return None
+    rename = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in st.fields
+    }
+    return _IdMapping(rename, ids)
+
+
 def _assemble_groups(
     spark: SparkSession,
     adds: list[tuple[str, dict]],
@@ -292,6 +330,60 @@ def _assemble_groups(
 
     if not part_cols:
         paths = [p for p, _pv in adds]
+        if st is not None and isinstance(mapping, _IdMapping):
+            # 'id'-mode column mapping: parquet columns resolve by
+            # FIELD ID (the footers' PARQUET:field_id), NEVER by name
+            # — Spark's own vectorized reader does the match when the
+            # read schema carries ``parquet.field.id`` metadata and
+            # fieldId reads are enabled, so the scan stays fully
+            # JVM-side and the fields surface under their LOGICAL
+            # names directly (no rename pass). One cheap footer probe
+            # refuses loudly when the files carry no ids at all —
+            # that's the narrowed round-13 gate (matching by name
+            # would be exactly the silent misread 'id' mode exists to
+            # prevent).
+            import pyarrow.parquet as pq
+
+            probe = pq.ParquetFile(paths[0]).schema_arrow
+            if not any(
+                (f.metadata or {}).get(b"PARQUET:field_id")
+                for f in probe
+            ):
+                raise NotImplementedError(
+                    f"{paths[0]}: delta.columnMapping.mode='id' but "
+                    "the parquet files carry no field ids — id-mode "
+                    "matching is impossible; use a full Delta client"
+                )
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            read_st = StructType([
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    # fields OUTSIDE the id map (e.g. a cdc file's
+                    # _change_type) match by name, Spark's own
+                    # fallback for id-less requested fields
+                    metadata=(
+                        {"parquet.field.id": mapping.ids[f.name]}
+                        if f.name in mapping.ids else {}
+                    ),
+                )
+                for f in st.fields
+            ])
+            df = meta(spark.read.schema(read_st).parquet(*paths))
+            # strip mapping metadata on the way out, like the 'name'
+            # branch: a snapshot appended into a NEW table must not
+            # bake field-id/physicalName hints into that table
+            sel = []
+            for f in st.fields:
+                clean = {
+                    k: v for k, v in (f.metadata or {}).items()
+                    if not k.startswith("delta.columnMapping.")
+                }
+                sel.append(df[f.name].alias(f.name, metadata=clean))
+            if with_metadata:
+                sel += [df["__fp"], df["__pos"]]
+            return df.select(*sel)
         if st is not None and mapping:
             # column-mapped table ('name' mode): the parquet files
             # carry PHYSICAL names — read under the physical twin of
@@ -2642,17 +2734,21 @@ class DeltaLogTable:
         if mode not in (None, "", "none"):
             # 'name' mode reads ARE supported (round 11, second half):
             # every scan renames physical → logical through the pinned
-            # schema's physicalName metadata (_cm_mapping). The gate
-            # below keeps the refusal for the shapes this minimal
-            # reader cannot rewrite faithfully.
-            if mode != "name":
+            # schema's physicalName metadata (_cm_mapping). 'id' mode
+            # reads are supported since round 13: scans match parquet
+            # columns by FIELD ID from the footers (_assemble_groups'
+            # _IdMapping branch). The gates keep refusals for the
+            # shapes this minimal reader cannot resolve faithfully.
+            if mode == "name":
+                self._check_name_mapping(meta)
+            elif mode == "id":
+                self._check_id_mapping(meta)
+            else:
                 raise NotImplementedError(
-                    f"{self.path}: delta.columnMapping.mode={mode!r} — "
-                    "'id' mode matches parquet columns by field id, "
-                    "which this minimal reader cannot honor; use a "
-                    "full Delta client"
+                    f"{self.path}: delta.columnMapping.mode={mode!r} "
+                    "is not a protocol mode this reader understands; "
+                    "use a full Delta client"
                 )
-            self._check_name_mapping(meta)
         mrv = int(proto.get("minReaderVersion", 1) or 1)
         if mrv <= 1:
             return
@@ -2724,6 +2820,60 @@ class DeltaLogTable:
                 f"{self.path}: delta.columnMapping over NESTED fields "
                 f"{nested} — subfield physical names are not rewritten "
                 "by this minimal reader; use a full Delta client"
+            )
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping on a PARTITIONED "
+                "table — partition columns and values are keyed by "
+                "physical name in the log, which this minimal reader "
+                "does not re-map; use a full Delta client"
+            )
+
+    def _check_id_mapping(self, meta: dict) -> None:
+        """The shapes 'id'-mode column mapping reads support here
+        (round 13): a TOTAL top-level id map (every field carries
+        ``delta.columnMapping.id``) over a FLAT schema on an
+        UNPARTITIONED table — the same envelope as 'name' mode, with
+        the id metadata in place of physicalName (ids are what the
+        parquet footers are matched by; physicalName is only needed to
+        WRITE). Partial/nested/partitioned shapes refuse loudly rather
+        than silently misread."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        st = parse_schema_string(meta.get("schemaString"), self.path)
+        if st is None:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping 'id' mode with no "
+                "parseable schemaString — the field ids live in the "
+                "schema metadata; use a full Delta client"
+            )
+        unmapped = [
+            f.name for f in st.fields
+            if "delta.columnMapping.id" not in (f.metadata or {})
+        ]
+        if unmapped:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping 'id' mode but "
+                f"fields {unmapped} carry no delta.columnMapping.id — "
+                "a partial id map would silently misread them; use a "
+                "full Delta client"
+            )
+
+        def has_struct(dt) -> bool:
+            if isinstance(dt, StructType):
+                return True
+            if isinstance(dt, ArrayType):
+                return has_struct(dt.elementType)
+            if isinstance(dt, MapType):
+                return has_struct(dt.keyType) or has_struct(dt.valueType)
+            return False
+
+        nested = [f.name for f in st.fields if has_struct(f.dataType)]
+        if nested:
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping over NESTED fields "
+                f"{nested} — subfield ids are not resolved by this "
+                "minimal reader; use a full Delta client"
             )
         if meta.get("partitionColumns"):
             raise NotImplementedError(
@@ -3017,11 +3167,16 @@ class DeltaLogTable:
         conf = (meta or {}).get("configuration") or {}
         if isinstance(conf, list):
             conf = dict(conf)
-        if conf.get("delta.columnMapping.mode") != "name":
-            return None
-        return _cm_mapping(
-            parse_schema_string(meta.get("schemaString"), self.path)
-        )
+        mode = conf.get("delta.columnMapping.mode")
+        if mode == "name":
+            return _cm_mapping(
+                parse_schema_string(meta.get("schemaString"), self.path)
+            )
+        if mode == "id":
+            return _cm_id_mapping(
+                parse_schema_string(meta.get("schemaString"), self.path)
+            )
+        return None
 
     def changes(
         self, spark: SparkSession, since: int, to: int | None = None
@@ -3120,8 +3275,23 @@ class DeltaLogTable:
         newly-deleted positions surface as ``delete`` rows. O(changed
         rows) after the two bounded scans — which is what lets
         ``IncrementalAggView`` fold another engine's MoR deletes as
-        signed retractions without a rebuild."""
+        signed retractions without a rebuild.
+
+        CHANGE DATA FILES (round 13): a commit carrying ``cdc``
+        actions — written by CDF-enabled writers, including this
+        engine's own ``DeltaTableWriter`` on tables with
+        ``delta.enableChangeDataFeed=true`` — is consumed from its
+        ``_change_data`` files ALONE, per PROTOCOL.md: the cdc parquet
+        already holds the labeled change rows (table columns +
+        ``_change_type``), and the same commit's add/remove actions
+        describe the SAME changes, so diffing them too would
+        double-count. This is also the only faithful read of a foreign
+        writer's commit whose change set is NOT derivable from its
+        file actions (e.g. Spark Delta's MERGE, whose cdc files carry
+        the update pre/postimages its rewritten files interleave)."""
         from urllib.parse import unquote
+
+        from pyspark.sql.types import StringType, StructField, StructType
 
         latest = self.latest_version()
         hi = latest if to is None else to
@@ -3160,11 +3330,12 @@ class DeltaLogTable:
             lo = cp["version"] + 1
         window: list[
             tuple[int, str | None, list[tuple[str, dict | None]],
-                  list[tuple[str, dict | None]]]
+                  list[tuple[str, dict | None]], list[tuple[str, dict]]]
         ] = []
         for v, actions in self._json_commit_actions(lo, hi):
             adds: list[tuple[str, dict | None]] = []
             removes: list[tuple[str, dict | None]] = []
+            cdcs: list[tuple[str, dict]] = []
             op = next(
                 (a["commitInfo"].get("operation") for a in actions
                  if "commitInfo" in a),
@@ -3178,6 +3349,11 @@ class DeltaLogTable:
                         a["remove"].get("deletionVector")
                         or dv_by_path.get(rp),
                     ))
+                if "cdc" in a:
+                    cdcs.append((
+                        a["cdc"]["path"],
+                        a["cdc"].get("partitionValues") or {},
+                    ))
             for a in actions:
                 if "add" in a:
                     ap = a["add"]["path"]
@@ -3187,17 +3363,24 @@ class DeltaLogTable:
                     dv_by_path[ap] = a["add"].get("deletionVector")
                     if a["add"].get("dataChange", True):
                         adds.append((ap, dv_by_path[ap]))
-            if v > since and (adds or removes):
-                window.append((v, op, adds, removes))
+            if v > since and (adds or removes or cdcs):
+                window.append((v, op, adds, removes, cdcs))
         if not window:
             return None
         def res(p: str) -> str:
             return os.path.join(self.path, unquote(p))
 
+        # per commit, only the files the replay will actually read
+        # must still exist: change-data files for cdc commits, the
+        # add/remove bytes for derivation commits
         gone = sorted({
             p
-            for _v, _op, adds, removes in window
-            for p, _dv in adds + removes
+            for _v, _op, adds, removes, cdcs in window
+            for p in (
+                [c for c, _pv in cdcs]
+                if cdcs
+                else [p for p, _dv in adds + removes]
+            )
             if not os.path.exists(res(p))
         })
         if gone:
@@ -3210,7 +3393,27 @@ class DeltaLogTable:
             )
         frames: list[DataFrame] = []
         cmap = self._mapping_for(meta)
-        for v, op, adds, removes in window:
+        st_ct = (
+            StructType(
+                list(st.fields)
+                + [StructField("_change_type", StringType(), True)]
+            )
+            if st is not None
+            else None
+        )
+        for v, op, adds, removes, cdcs in window:
+            if cdcs:
+                # spec rule: when a commit carries cdc actions, its
+                # changes come from the change-data files alone — the
+                # labels are IN the files (_change_type column)
+                cdc_e = [(p, res(p), pv, None) for p, pv in cdcs]
+                frames.append(
+                    self._assemble_mor(
+                        spark, cdc_e, st_ct, part_cols, mapping=cmap
+                    )
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
             add_e = [
                 (p, res(p), pv_by_path.get(p) or {}, dv)
                 for p, dv in adds
