@@ -1104,7 +1104,7 @@ class IcebergTableWriter:
             )
 
     def _cur_spec(self, cur: dict | None) -> list[dict]:
-        """The table's default partition spec as this writer's
+        """The table's DEFAULT partition spec as this writer's
         spec-field dicts {name, transform, source, source_type,
         vtype} — transforms INCLUDED (round 12: appends evaluate
         year/month/day/hour, bucket[N], truncate[W]); a transform
@@ -1112,10 +1112,16 @@ class IcebergTableWriter:
         serialize into the manifest partition record, refuses."""
         if not cur:
             return []
+        return self._spec_parts_of(cur, cur.get("default-spec-id", 0))
+
+    def _spec_parts_of(self, cur: dict, spec_id: int) -> list[dict]:
+        """Spec-field dicts for ONE spec by id — partition EVOLUTION
+        (round 13) means rewritten manifests must keep their files'
+        ORIGINAL spec, so the writer resolves any recorded spec, not
+        just the default."""
         specs = cur.get("partition-specs") or []
         spec = next(
-            (s for s in specs
-             if s.get("spec-id") == cur.get("default-spec-id", 0)),
+            (s for s in specs if s.get("spec-id") == spec_id),
             {"fields": []},
         )
         sfields = spec.get("fields") or []
@@ -1591,17 +1597,13 @@ class IcebergTableWriter:
         gates evaluability and value serializability); a rewrite
         recomputes each spec field from the restaged rows, so even an
         UPDATE that moves a row across partitions lands it in the
-        right one."""
+        right one. Round 13: PARTITION EVOLUTION (multiple specs) is
+        supported — ``_publish_mutation`` keys every rewritten
+        manifest to its files' ORIGINAL spec-id (survivors keep their
+        recorded partition records under their own spec's schema),
+        while the rewrites stage under the DEFAULT spec, which is
+        exactly what Iceberg's own rewrite procedures do."""
         cur = rdr.meta
-        if len(cur.get("partition-specs") or []) > 1:
-            # partition EVOLUTION: files written under older specs
-            # carry partition records this writer cannot faithfully
-            # re-label under the default spec in a rewritten manifest
-            raise NotImplementedError(
-                f"{self.path}: table carries multiple partition specs "
-                "(partition evolution) — rewrites cannot re-label "
-                "older-spec files; use a full Iceberg client"
-            )
         spec_parts = self._cur_spec(cur)
         data, pos_d, eq_d = rdr._files(None)
         if pos_d or eq_d:
@@ -2840,13 +2842,33 @@ class IcebergTableWriter:
         ``drop_deletes`` omits content=1 (delete) manifests from the
         new snapshot — the OPTIMIZE purge pass, where every delete
         target is rewritten. Loses the race → unlinks every avro it
-        wrote and raises (caller re-derives from the new head)."""
+        wrote and raises (caller re-derives from the new head).
+
+        PARTITION EVOLUTION (round 13): a rewritten manifest keeps its
+        files' ORIGINAL spec — the new manifest's partition-record
+        schema resolves from the source manifest-list row's
+        ``partition_spec_id`` and the row carries that id forward, so
+        survivors' recorded partition values stay keyed to the spec
+        that produced them (re-labeling them under the default spec is
+        exactly the corruption the round-12 gate refused). Only the
+        ADDED manifest (the restaged rewrites) uses the default
+        spec."""
         now_ms = int(time.time() * 1000)
         part_fields = [
             {"name": sf["name"], "type": sf["vtype"]}
             for sf in (spec_parts or [])
         ]
         mschema = _manifest_schema(part_fields)
+        dsid = int(cur.get("default-spec-id", 0) or 0)
+        spec_schemas: dict[int, dict] = {dsid: mschema}
+
+        def mschema_of(spec_id: int) -> dict:
+            if spec_id not in spec_schemas:
+                spec_schemas[spec_id] = _manifest_schema([
+                    {"name": sf["name"], "type": sf["vtype"]}
+                    for sf in self._spec_parts_of(cur, spec_id)
+                ])
+            return spec_schemas[spec_id]
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
@@ -2932,15 +2954,19 @@ class IcebergTableWriter:
                 new_m = os.path.join(
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
                 )
-                AvroFileWriter.write(new_m, mschema, out_entries)
+                r_spec = int(r.get("partition_spec_id", 0) or 0)
+                AvroFileWriter.write(
+                    new_m, mschema_of(r_spec), out_entries
+                )
                 written.append(new_m)
                 removed_files += del_f
                 removed_rows += del_r
                 new_rows.append({
                     "manifest_path": new_m,
                     "manifest_length": os.path.getsize(new_m),
-                    "partition_spec_id": cur.get(
-                        "default-spec-id", 0),
+                    # the SOURCE manifest's spec carries through — its
+                    # entries' partition records belong to that spec
+                    "partition_spec_id": r_spec,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min(seqs) if seqs else seq,
@@ -3151,13 +3177,11 @@ class IcebergTableWriter:
             if cur is None:
                 base_v, cur = self._current()
                 rdr = self.reader()
-            if len(cur.get("partition-specs") or []) > 1:
-                raise NotImplementedError(
-                    f"{self.path}: table carries multiple partition "
-                    "specs (partition evolution) — the purge rewrite "
-                    "cannot re-label older-spec files; use a full "
-                    "Iceberg client"
-                )
+            # partition evolution composes (round 13): every old file
+            # tombstones under ITS manifest's spec inside
+            # _publish_mutation; the purged content restages under the
+            # default spec — after the purge the table is single-spec
+            # in practice (all live files belong to the default)
             spec_parts = self._cur_spec(cur)
             data, pos_d, eq_d = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content
