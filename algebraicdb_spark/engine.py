@@ -112,6 +112,20 @@ _TIME_TRAVEL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# `FROM CHANGES(t, <since> [, <to>])` — the SQL surface for the
+# three-format row-level change feed (rounds 11-12 built
+# `changes_cdf`; round 13 puts it where dialect/server clients can
+# reach it). Bounds are versions / snapshot ids, or quoted timestamps
+# resolved through the SAME helper the time-travel sugar uses; matched
+# against _mask_strings output like _TIME_TRAVEL_RE (placeholders are
+# \x00<k>\x00), so CHANGES(...) inside a string literal is data.
+_CHANGES_RE = re.compile(
+    r"\bCHANGES\s*\(\s*(?P<name>[A-Za-z_]\w*)\s*,\s*"
+    r"(?:(?P<since>\d+)|\x00(?P<sinceref>\d+)\x00)\s*"
+    r"(?:,\s*(?:(?P<to>\d+)|\x00(?P<toref>\d+)\x00)\s*)?\)",
+    re.IGNORECASE,
+)
+
 
 class Engine:
     """A session-scoped analytics engine over parquet tables + ADTs."""
@@ -1839,7 +1853,86 @@ class Engine:
             _TIME_TRAVEL_RE.sub(repl, masked), saved
         )
 
+    def _rewrite_changes(self, stmt: str) -> str:
+        """Lower ``CHANGES(t, <since> [, <to>])`` in FROM position on
+        an ATTACHed table to the format's row-level change feed
+        (``changes_cdf`` — txnlog/delta by version, iceberg by
+        snapshot id), registered as a temp view and substituted in
+        place, so the feed composes with the whole read grammar
+        (joins, aggregation, CTAS, EXPLAIN). Bounds are integers or
+        quoted timestamps (resolved like the time-travel sugar, via
+        ``_version_at_timestamp``); ``to`` defaults to the head. An
+        empty window yields an EMPTY relation with the feed's schema —
+        a consumer polling for new commits must see zero rows, not an
+        error. Expired/cleaned windows refuse loudly with the reader's
+        own message (row-level changes need the removed bytes)."""
+        from algebraicdb_spark.dialect import (
+            _mask_strings,
+            _unmask_strings,
+        )
+        from algebraicdb_spark.operators.iceberg import IcebergTable
+        from algebraicdb_spark.operators.txnlog import (
+            DeltaLogTable,
+            TxnLogTable,
+        )
+
+        masked, saved = _mask_strings(stmt)
+        if not _CHANGES_RE.search(masked):
+            return stmt
+
+        readers = {
+            "txnlog": TxnLogTable,
+            "delta": DeltaLogTable,
+            "iceberg": IcebergTable,
+        }
+
+        def bound(num: str | None, ref: str | None, att: dict):
+            if num is not None:
+                return int(num)
+            if ref is None:
+                return None
+            lit = saved[int(ref)]
+            ts = lit[1:-1].replace("''", "'")
+            return self._version_at_timestamp(att, ts)
+
+        def repl(m: re.Match) -> str:
+            name = m.group("name")
+            if name not in self._attached:
+                raise AdtError(
+                    f"CHANGES: {name!r} is not an ATTACHed lakehouse "
+                    "table — the change feed reads a commit log; "
+                    "ATTACH TABLE first"
+                )
+            att = self._attached[name]
+            since = bound(m.group("since"), m.group("sinceref"), att)
+            to = bound(m.group("to"), m.group("toref"), att)
+            rdr = readers[att["fmt"]](att["path"])
+            try:
+                cdf = rdr.changes_cdf(self.spark, since, to)
+            except (ValueError, NotImplementedError) as exc:
+                # expired window / reclaimed bytes / unsupported
+                # commit shape: the reader's refusal IS the statement
+                # error — silently returning a truncated feed would
+                # corrupt every downstream consumer
+                raise AdtError(f"CHANGES({name}): {exc}") from exc
+            if cdf is None:
+                # empty window: the feed's SCHEMA with zero rows
+                from pyspark.sql import functions as F
+
+                cdf = (
+                    rdr.snapshot(self.spark, att["version"])
+                    .limit(0)
+                    .withColumn("_change_type", F.lit(None).cast("string"))
+                    .withColumn("_commit_version", F.lit(None).cast("long"))
+                )
+            view = f"__changes_{name}_{since}_{'head' if to is None else to}"
+            cdf.createOrReplaceTempView(view)
+            return view
+
+        return _unmask_strings(_CHANGES_RE.sub(repl, masked), saved)
+
     def _rewrite(self, stmt: str) -> str:
+        stmt = self._rewrite_changes(stmt)
         stmt = self._rewrite_time_travel(stmt)
         if self._functions:
             stmt = expand_macros(stmt, self._functions)
