@@ -390,8 +390,17 @@ class IcebergTable:
             raise ValueError(f"{path} has no metadata directory")
         self.meta = self._load_metadata()
         fv = self.meta.get("format-version")
-        if fv not in (1, 2):
+        if fv not in (1, 2, 3):
             raise NotImplementedError(f"iceberg format-version {fv}")
+        # format-version 3 (round 13): scans and time travel work —
+        # the additive v3 metadata (row lineage ids, next-row-id,
+        # default column values) changes nothing about resolving
+        # manifests to parquet paths. What a v3 table CAN carry that
+        # this reader must not misread is a DELETION VECTOR: a puffin
+        # position-delete entry, which refuses loudly at _files time
+        # (_check_parquet names it). WRITES to v3 refuse in the writer
+        # — committing v2-shaped snapshots would drop row-lineage
+        # bookkeeping v3 readers rely on.
 
     def _load_metadata(self) -> dict:
         hint = os.path.join(self.meta_dir, "version-hint.text")
@@ -495,6 +504,16 @@ class IcebergTable:
 
     def _check_parquet(self, df: dict, kind: str) -> None:
         fmt = str(df.get("file_format", "PARQUET")).upper()
+        if fmt == "PUFFIN":
+            # format-version 3 deletion vectors: position deletes
+            # packed as roaring bitmaps in a puffin blob — scanning
+            # around them would resurrect deleted rows
+            raise NotImplementedError(
+                f"{self.path}: puffin {kind} file "
+                f"({df.get('file_path')}) — format-version 3 deletion "
+                "vectors are not decoded by this reader yet; use a "
+                "full Iceberg client"
+            )
         if fmt != "PARQUET":
             raise NotImplementedError(
                 f"{self.path}: {fmt} {kind} file — parquet scans only"
@@ -767,7 +786,14 @@ class IcebergTable:
         skipping inputs every Iceberg client folds. Bounds keyed by
         field id decode through the spec's single-value binary
         serialization; anything undecodable is dropped (cannot prune ≠
-        prune wrongly)."""
+        prune wrongly).
+
+        PARTITION EVOLUTION: partition-record pruning applies only to
+        files whose manifest belongs to the DEFAULT spec — an
+        older-spec record may reuse a field name over a different
+        source/transform, and pruning it under the default spec's
+        interpretation could prune WRONGLY. Older-spec files keep
+        column-bounds pruning (spec-independent) and scan otherwise."""
         by_id = self._field_names_by_id()
         types_by_id = {}
         schemas = self.meta.get("schemas") or (
@@ -782,6 +808,15 @@ class IcebergTable:
             types_by_id[int(f["id"])] = str(f["type"])
         part_map = self._identity_part_cols()
         snap = self._snapshot(snapshot_id)
+        dsid = int(self.meta.get("default-spec-id", 0) or 0)
+        spec_of: dict[str, int] = {}
+        if "manifest-list" in snap:
+            for r in AvroFileReader(
+                self._resolve(snap["manifest-list"])
+            ).records:
+                spec_of[self._resolve(r["manifest_path"])] = int(
+                    r.get("partition_spec_id", 0) or 0
+                )
 
         def as_pairs(v):
             if isinstance(v, dict):
@@ -822,7 +857,11 @@ class IcebergTable:
                 bounds = {
                     c: [lo[c], hi[c]] for c in lo if c in hi
                 }
-                pv_rec = df.get("partition") or {}
+                if spec_of.get(mpath, dsid) == dsid:
+                    pv_rec = df.get("partition") or {}
+                else:
+                    pv_rec = {}  # older spec: records don't answer
+                    # default-spec questions — bounds still prune
                 pv = {
                     part_map[f]: pv_rec.get(f)
                     for f in pv_rec

@@ -1372,6 +1372,22 @@ class IcebergTableWriter:
             self._unstage(staged)
             raise
 
+    def _check_fv_writable(self, cur: dict | None) -> None:
+        """WRITES to format-version 3 tables refuse (round 13 accepts
+        v3 for READS): v3 commits must maintain next-row-id and assign
+        first-row-id row lineage to new data files — bookkeeping this
+        v2-semantics writer does not produce, and committing without
+        it silently breaks every lineage-aware v3 reader. One gate at
+        each of the four publish chokepoints covers every mutation."""
+        fv = int((cur or {}).get("format-version", 2) or 2)
+        if fv >= 3:
+            raise NotImplementedError(
+                f"{self.path}: format-version {fv} table — this "
+                "writer commits v2 snapshots (no row-lineage / "
+                "next-row-id maintenance); reads and time travel "
+                "work; mutate with a full Iceberg client"
+            )
+
     def _publish(
         self,
         base_v: int,
@@ -1381,6 +1397,7 @@ class IcebergTableWriter:
         extra_summary: dict[str, str] | None = None,
         spec_parts: list[dict] | None = None,
     ) -> int:
+        self._check_fv_writable(cur)
         now_ms = int(time.time() * 1000)
         spec_parts = spec_parts or []
         by_name = {f["name"]: f for f in fields}
@@ -1604,6 +1621,10 @@ class IcebergTableWriter:
         while the rewrites stage under the DEFAULT spec, which is
         exactly what Iceberg's own rewrite procedures do."""
         cur = rdr.meta
+        # v3 write gate runs HERE — before any probe or staging — so a
+        # refused mutation leaks nothing (_publish_mutation's own gate
+        # is the backstop)
+        self._check_fv_writable(cur)
         spec_parts = self._cur_spec(cur)
         data, pos_d, eq_d = rdr._files(None)
         if pos_d or eq_d:
@@ -1662,6 +1683,7 @@ class IcebergTableWriter:
         resolvable sequence under a live equality delete refuse
         through the reader's own rule at scan time."""
         cur = rdr.meta
+        self._check_fv_writable(cur)  # pre-staging, like _cow_scope
         if self._cur_spec(cur):
             raise NotImplementedError(
                 f"{self.path}: merge-on-read mutation on a PARTITIONED "
@@ -1780,6 +1802,7 @@ class IcebergTableWriter:
         (round 12: what partitioned keyed upserts ride on). Loses the
         race → unlinks its avros and raises (the caller unstages +
         re-probes on the new head)."""
+        self._check_fv_writable(cur)
         now_ms = int(time.time() * 1000)
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
@@ -2853,6 +2876,7 @@ class IcebergTableWriter:
         exactly the corruption the round-12 gate refused). Only the
         ADDED manifest (the restaged rewrites) uses the default
         spec."""
+        self._check_fv_writable(cur)
         now_ms = int(time.time() * 1000)
         part_fields = [
             {"name": sf["name"], "type": sf["vtype"]}
@@ -3182,6 +3206,7 @@ class IcebergTableWriter:
             # _publish_mutation; the purged content restages under the
             # default spec — after the purge the table is single-spec
             # in practice (all live files belong to the default)
+            self._check_fv_writable(cur)  # pre-staging
             spec_parts = self._cur_spec(cur)
             data, pos_d, eq_d = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content
@@ -3295,6 +3320,7 @@ class IcebergTableWriter:
         caller re-derives) and swing ``version-hint.text`` forward
         atomically. The ONE publish tail every metadata-only change
         (set_properties / rollback / expire_snapshots) shares."""
+        self._check_fv_writable(md)
         target = os.path.join(
             self.meta_dir, f"v{base_v + 1}.metadata.json"
         )
