@@ -2561,11 +2561,18 @@ class DeltaLogTable:
     # -- checkpoint replay ----------------------------------------------
 
     def _checkpoint_files(self, cp: dict | None = None) -> list[str]:
-        """Resolve the parquet file(s) `_last_checkpoint` names —
-        classic single-file or multipart — refusing v2/sidecar
-        layouts whose state those names don't reach. Callers that
-        already read the pointer pass it in, so one logical operation
-        never mixes two pointer generations."""
+        """Resolve the parquet file(s) a checkpoint's state lives in:
+        classic single-file, multipart, or (round 13) a V2/UUID
+        checkpoint — ``<v>.checkpoint.<uuid>.parquet`` discovered by
+        directory listing per the spec, PLUS the sidecar parts its
+        ``sidecar`` actions reference (newer clients move the
+        add/remove state there on large tables). Every replay path
+        (adds fold, tombstones, protocol/metaData, txn marks) iterates
+        this list and column-guards, so sidecars — which carry ONLY
+        file actions — compose for free. JSON-format v2 checkpoints
+        stay a loud refusal. Callers that already read the pointer
+        pass it in, so one logical operation never mixes two pointer
+        generations."""
         if cp is None:
             cp = self._cp
         c = cp["version"]
@@ -2584,17 +2591,70 @@ class DeltaLogTable:
             others = sorted(
                 f for f in os.listdir(self.log_dir) if f.startswith(stem)
             )
+            # V2 checkpoint: exactly one extra dot-token (the uuid),
+            # parquet coded — multipart names carry TWO numeric tokens
+            # and were resolved above
+            v2 = [
+                f for f in others
+                if f.endswith(".parquet") and f.count(".") == 3
+            ]
+            if v2:
+                main = os.path.join(self.log_dir, sorted(v2)[-1])
+                return [main] + self._sidecar_files(main, c)
             if others:
                 raise NotImplementedError(
                     f"unsupported checkpoint layout {others} at version {c} "
-                    "— likely a v2/UUID checkpoint with sidecar files; this "
-                    "reader replays classic/multipart checkpoints only"
+                    "— JSON-format v2 checkpoints are not replayed by this "
+                    "reader; use a full Delta client"
                 )
             raise ValueError(
                 f"_last_checkpoint names version {c} but {missing} "
                 "is absent — checkpoint is incomplete or corrupt"
             )
         return paths
+
+    def _sidecar_files(self, main: str, c: int) -> list[str]:
+        """The sidecar parquet parts a V2 checkpoint references
+        (``{"sidecar": {"path": …}}`` actions in the main file) —
+        relative paths resolve under ``_delta_log/_sidecars/`` per the
+        spec, absolute URIs strip their scheme; a referenced part that
+        is MISSING refuses loudly (its add/remove state is simply
+        gone, and folding without it silently truncates the table)."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(main)
+        if "sidecar" not in pf.schema_arrow.names:
+            return []
+        out: list[str] = []
+        for row in (
+            pq.read_table(main, columns=["sidecar"])
+            .column("sidecar").to_pylist()
+        ):
+            if row is None or not row.get("path"):
+                continue
+            rel = str(row["path"])
+            if "://" in rel:
+                rel = rel.split("://", 1)[1]
+                rel = "/" + rel.split("/", 1)[1] if "/" in rel else rel
+            if os.path.isabs(rel):
+                p = rel
+                if not os.path.exists(p) and "/_sidecars/" in rel:
+                    # moved/copied table: re-root on OUR log dir
+                    p = os.path.join(
+                        self.log_dir, "_sidecars",
+                        rel.split("/_sidecars/", 1)[1],
+                    )
+            else:
+                p = os.path.join(self.log_dir, "_sidecars", rel)
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"v2 checkpoint at version {c} references sidecar "
+                    f"{row['path']!r} which does not exist — the "
+                    "checkpoint state is incomplete; recover with the "
+                    "owning client"
+                )
+            out.append(p)
+        return out
 
     def _checkpoint_adds_full(
         self, cp: dict | None = None
@@ -2609,6 +2669,9 @@ class DeltaLogTable:
 
         adds: list[tuple[str, dict, dict | None, str | None]] = []
         for p in self._checkpoint_files(cp):
+            if "add" not in pq.ParquetFile(p).schema_arrow.names:
+                continue  # a v2 main file may hold only metadata +
+                # sidecar pointers — its adds live in the sidecars
             for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
                 if row is None:
                     continue
@@ -2677,8 +2740,10 @@ class DeltaLogTable:
     # with the feature enabled but no live DV carries nothing we would
     # misread), timestampNtz is just a type Spark reads natively, and
     # vacuumProtocolCheck constrains VACUUM (a write we never perform).
+    # v2Checkpoint honored since round 13: _checkpoint_files discovers
+    # the UUID-named main file and folds its sidecar parts
     _READER_FEATURES = {"deletionVectors", "timestampNtz",
-                        "vacuumProtocolCheck"}
+                        "vacuumProtocolCheck", "v2Checkpoint"}
 
     def _protocol_meta(self, as_of: int | None = None) -> tuple[dict, dict]:
         """The latest ``protocol`` and ``metaData`` actions at or
