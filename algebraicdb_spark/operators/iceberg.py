@@ -260,10 +260,12 @@ class AvroFileReader:
             meta = self._file_meta(f)
             self.schema = json.loads(meta[b"avro.schema"])
             self.codec = meta.get(b"avro.codec", b"null").decode()
-            if self.codec not in ("null", "deflate", "snappy"):
+            if self.codec == "zstd":
+                self.codec = "zstandard"  # the spec name; accept both
+            if self.codec not in ("null", "deflate", "snappy", "zstandard"):
                 raise NotImplementedError(
                     f"{path}: avro codec {self.codec!r} unsupported "
-                    "(null/deflate/snappy) — zstd needs its lib"
+                    "(null/deflate/snappy/zstandard)"
                 )
             self.sync = f.read(16)
             self.records = list(self._blocks(f))
@@ -327,6 +329,17 @@ class AvroFileReader:
                         f"{self.path}: snappy avro block crc32 "
                         "mismatch — corrupt metadata"
                     )
+            elif self.codec == "zstandard":
+                # Avro's zstd framing is a bare zstd frame per block
+                # (no extra CRC — zstd frames carry their own optional
+                # xxhash64 content checksum, which the decoder
+                # verifies). Rust/Go Iceberg writers commonly emit
+                # manifests with this codec (round 13).
+                from algebraicdb_spark.operators.zstd import (
+                    zstd_decompress,
+                )
+
+                payload = zstd_decompress(payload)
             if f.read(16) != self.sync:
                 raise ValueError(f"{self.path}: avro sync marker mismatch")
             d = _Bin(payload)

@@ -1,0 +1,688 @@
+"""Pure-Python zstd DECOMPRESSION (RFC 8878) — single frames, no
+dictionaries.
+
+Why this exists: Iceberg manifests are Avro object-container files,
+and Rust/Go Iceberg writers commonly emit them with ``avro.codec:
+zstd``. No zstd binding ships in this environment, so reading that
+foreign metadata needs a decoder — the same situation that produced
+the snappy decoder in iceberg.py (round 11) and the same scope rule:
+DECOMPRESSION ONLY, no dictionary support (Avro blocks are
+self-contained frames), correctness over speed (metadata is KBs).
+
+The format, per RFC 8878 (https://www.rfc-editor.org/rfc/rfc8878):
+frames of blocks (raw / RLE / compressed); a compressed block is a
+LITERALS section (raw, RLE, or Huffman-coded in 1 or 4 streams, the
+tree itself optionally FSE-compressed) followed by a SEQUENCES section
+(literal-length / offset / match-length codes, each FSE-coded with
+predefined, RLE, written, or repeated tables, interleaved in one
+backward bitstream) executed LZ77-style against the output with zstd's
+three-slot repeat-offset history. Content checksums (xxhash64 low 32
+bits) are VERIFIED when present — a silent bitflip in table metadata
+corrupts every downstream scan decision, the same rationale as the
+snappy CRC check.
+
+Tested against frames produced by two independent real compressors
+(pyarrow's bundled libzstd and the zstd CLI, levels 1-19) — agreement
+is evidence this decoder matches the spec, not that it shares bugs
+with either."""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_U64 = (1 << 64) - 1
+
+# -- xxhash64 (the frame-content checksum) -------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def xxhash64(data: bytes, seed: int = 0) -> int:
+    """XXH64 — zstd's Content_Checksum hash (low 32 bits stored)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _U64
+        v2 = (seed + _P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _P1) & _U64
+        while i + 32 <= n:
+            for _ in range(1):
+                pass
+            v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little")
+                         * _P2) & _U64, 31) * _P1) & _U64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little")
+                         * _P2) & _U64, 31) * _P1) & _U64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little")
+                         * _P2) & _U64, 31) * _P1) & _U64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little")
+                         * _P2) & _U64, 31) * _P1) & _U64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _U64, 31) * _P1) & _U64)
+                 * _P1 + _P4) & _U64
+    else:
+        h = (seed + _P5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2)
+                   & _U64, 31) * _P1) & _U64
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _U64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1)
+                         & _U64), 23) * _P2) + _P3) & _U64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _U64), 11) * _P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _U64
+    h ^= h >> 29
+    h = (h * _P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+# -- bitstreams -----------------------------------------------------------
+
+
+class _BackBits:
+    """zstd's BACKWARD bitstream: bits were written LSB-first, the
+    last byte carries a 1 sentinel above the final bit, and the reader
+    consumes from the top down. Reads past the start zero-pad from the
+    bottom and raise the ``overflow`` flag — exactly the libzstd
+    reload semantics the Huffman-weight loop terminates on."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: bitstream has no sentinel bit")
+        self.acc = int.from_bytes(data, "little")
+        self.nbits = 8 * (len(data) - 1) + data[-1].bit_length() - 1
+        self.overflow = False
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            raise ValueError("zstd: bitstream exhausted")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def read_padded(self, n: int) -> int:
+        """Like ``read`` but zero-pads past the start (sets
+        ``overflow``) instead of raising — weight streams end by
+        overflowing a state update."""
+        if n == 0:
+            return 0
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
+        have = max(self.nbits, 0)
+        val = (self.acc & ((1 << have) - 1)) << (n - have)
+        self.nbits -= n
+        self.overflow = True
+        return val
+
+
+class _FwdBits:
+    """Forward LSB-first bit reader (FSE table descriptions)."""
+
+    def __init__(self, data: bytes):
+        self.acc = int.from_bytes(data, "little")
+        self.total = 8 * len(data)
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.total:
+            raise ValueError("zstd: FSE description exhausted")
+        v = (self.acc >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+# -- FSE ------------------------------------------------------------------
+
+
+def _fse_distribution(
+    data: bytes, max_al: int
+) -> tuple[list[int], int, int]:
+    """Read an FSE table description (RFC 8878 §4.1.1): returns
+    (probabilities with -1 = less-than-one, accuracy_log, bytes
+    consumed). Probabilities sum to exactly 2^AL."""
+    bits = _FwdBits(data)
+    al = bits.read(4) + 5
+    if al > max_al:
+        raise ValueError(
+            f"zstd: FSE accuracy log {al} exceeds the maximum {max_al}"
+        )
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb_bits = al + 1
+    probs: list[int] = []
+    previous0 = False
+    while remaining > 1:
+        if previous0:
+            n = bits.read(2)
+            while n == 3:
+                probs.extend([0, 0, 0])
+                n = bits.read(2)
+            probs.extend([0] * n)
+            previous0 = False
+            continue
+        max_small = (2 * threshold - 1) - remaining
+        count = bits.read(nb_bits - 1)
+        if count < max_small:
+            pass  # small value: nb_bits-1 bits were enough
+        else:
+            extra = bits.read(1)
+            count |= extra << (nb_bits - 1)
+            if count >= threshold:
+                count -= max_small
+        count -= 1  # stored value - 1; -1 = "less than one"
+        remaining -= count if count >= 0 else 1
+        if remaining < 1:
+            raise ValueError("zstd: FSE probabilities overshoot 2^AL")
+        probs.append(count)
+        previous0 = count == 0
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    return probs, al, bits.bytes_consumed()
+
+
+def _fse_table(
+    probs: list[int], al: int
+) -> list[tuple[int, int, int]]:
+    """Build the decode table: cell → (symbol, nb_bits, base_state) —
+    the standard zstd spread (low-probability symbols at the end,
+    step (ts>>1)+(ts>>3)+3)."""
+    size = 1 << al
+    sym_of = [0] * size
+    next_of = [0] * len(probs)
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            sym_of[high] = s
+            high -= 1
+            next_of[s] = 1
+        else:
+            next_of[s] = p
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            sym_of[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: corrupt FSE distribution (spread)")
+    table: list[tuple[int, int, int]] = [None] * size  # type: ignore
+    counters = list(next_of)
+    for i in range(size):
+        s = sym_of[i]
+        x = counters[s]
+        counters[s] += 1
+        nb = al - (x.bit_length() - 1)
+        table[i] = (s, nb, (x << nb) - size)
+    return table
+
+
+class _FseState:
+    """One interleaved-sequence FSE decoder state; an RLE 'table'
+    (al=0) always yields its one symbol with zero-bit updates."""
+
+    __slots__ = ("table", "al", "state")
+
+    def __init__(self, table, al: int):
+        self.table = table
+        self.al = al
+        self.state = 0
+
+    def init(self, bits: _BackBits) -> None:
+        self.state = bits.read(self.al)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, bits: _BackBits) -> None:
+        _s, nb, base = self.table[self.state]
+        self.state = base + bits.read(nb)
+
+
+# -- Huffman --------------------------------------------------------------
+
+
+def _huffman_from_weights(weights: list[int]):
+    """(lookup table of (symbol, nb_bits), max_bits) from explicit
+    weights — the LAST weight is implicit and appended here."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: huffman weights are all zero")
+    max_bits = total.bit_length()  # smallest with total < 2^max_bits
+    left = (1 << max_bits) - total
+    if left & (left - 1):
+        raise ValueError("zstd: huffman weights do not sum to 2^n - 1")
+    weights = weights + [left.bit_length()]
+    # rank layout: weight w occupies 2^(w-1) cells per symbol,
+    # weights ascending, symbol order within a weight
+    rank_count: dict[int, int] = {}
+    for w in weights:
+        if w > max_bits:
+            raise ValueError("zstd: huffman weight exceeds max bits")
+        rank_count[w] = rank_count.get(w, 0) + 1
+    rank_start: dict[int, int] = {}
+    nxt = 0
+    for w in range(1, max_bits + 1):
+        rank_start[w] = nxt
+        nxt += rank_count.get(w, 0) << (w - 1)
+    if nxt != (1 << max_bits):
+        raise ValueError("zstd: huffman table does not fill 2^max_bits")
+    table: list[tuple[int, int]] = [None] * (1 << max_bits)  # type: ignore
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        ln = 1 << (w - 1)
+        start = rank_start[w]
+        entry = (sym, max_bits + 1 - w)
+        for i in range(start, start + ln):
+            table[i] = entry
+        rank_start[w] += ln
+    return table, max_bits
+
+
+def _huffman_tree(data: bytes):
+    """Parse a Huffman_Tree_Description: returns ((table, max_bits),
+    bytes consumed). Header < 128 → FSE-compressed weights; ≥ 128 →
+    direct 4-bit weights (header - 127 of them)."""
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        nbytes = (n + 1) // 2
+        raw = data[1:1 + nbytes]
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        return _huffman_from_weights(weights), 1 + nbytes
+    comp = data[1:1 + h]
+    probs, al, used = _fse_distribution(comp, 6)
+    table = _fse_table(probs, al)
+    bits = _BackBits(comp[used:])
+    # two interleaved states, updates with ZERO-PADDED reads — the
+    # stream terminates by OVERFLOWING a state update, at which point
+    # the other state's pending symbol flushes (libzstd's
+    # FSE_decompress loop shape)
+    states = [bits.read(al), bits.read(al)]
+    weights: list[int] = []
+    cur = 0
+    while True:
+        sym, nb, base = table[states[cur]]
+        weights.append(sym)
+        states[cur] = base + bits.read_padded(nb)
+        if bits.overflow:
+            weights.append(table[states[1 - cur]][0])
+            break
+        cur ^= 1
+        if len(weights) > 254:
+            raise ValueError("zstd: huffman weight stream too long")
+    return _huffman_from_weights(weights), 1 + h
+
+
+def _huffman_decode(
+    data: bytes, table, max_bits: int, n_out: int
+) -> bytearray:
+    """Decode ONE backward Huffman bitstream to exactly n_out bytes."""
+    bits = _BackBits(data)
+    out = bytearray()
+    mask = (1 << max_bits) - 1
+    for _ in range(n_out):
+        if bits.nbits >= max_bits:
+            idx = (bits.acc >> (bits.nbits - max_bits)) & mask
+        else:
+            have = max(bits.nbits, 0)
+            idx = ((bits.acc & ((1 << have) - 1))
+                   << (max_bits - have)) & mask
+        sym, nb = table[idx]
+        bits.nbits -= nb
+        if bits.nbits < -max_bits:
+            raise ValueError("zstd: huffman stream exhausted early")
+        out.append(sym)
+    return out
+
+
+# -- sequence code tables (RFC 8878 §3.1.1.3.2.1) --------------------------
+
+_LL_EXTRA = (
+    [0] * 16
+    + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+)
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_ML_EXTRA = (
+    [0] * 32
+    + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14,
+       15, 16]
+)
+_ML_BASE = [c + 3 for c in range(32)] + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+
+# predefined distributions (RFC 8878 "Default Distributions")
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+     -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9}
+_DEFAULTS = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+
+
+def _seq_table(
+    mv: memoryview, pos: int, mode: int, kind: str, tables: dict
+) -> tuple[_FseState, int]:
+    """Resolve one sequence-code decoder per its 2-bit compression
+    mode: 0 predefined, 1 RLE, 2 FSE-written, 3 repeat (the previous
+    table of the same kind in this frame)."""
+    if mode == 0:
+        probs, al = _DEFAULTS[kind]
+        st = _FseState(_fse_table(probs, al), al)
+    elif mode == 1:
+        sym = mv[pos]
+        pos += 1
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: RLE {kind} symbol out of range")
+        st = _FseState([(sym, 0, 0)], 0)
+    elif mode == 2:
+        probs, al, used = _fse_distribution(
+            bytes(mv[pos:]), _MAX_AL[kind]
+        )
+        if len(probs) - 1 > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: too many {kind} symbols")
+        st = _FseState(_fse_table(probs, al), al)
+        pos += used
+    else:
+        prev = tables.get(kind)
+        if prev is None:
+            raise ValueError(
+                f"zstd: repeat mode for {kind} with no previous table"
+            )
+        st = _FseState(prev.table, prev.al)
+    tables[kind] = st
+    return st, pos
+
+
+def _literals(
+    mv: memoryview, huff_state: list
+) -> tuple[bytearray, int]:
+    """Decode the literals section → (literals, bytes consumed)."""
+    b0 = mv[0]
+    lit_type = b0 & 3
+    sf = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen, hdr = b0 >> 3, 1
+        elif sf == 1:
+            regen, hdr = (b0 >> 4) | (mv[1] << 4), 2
+        else:
+            regen, hdr = (b0 >> 4) | (mv[1] << 4) | (mv[2] << 12), 3
+        if lit_type == 0:
+            return bytearray(mv[hdr:hdr + regen]), hdr + regen
+        return bytearray(bytes([mv[hdr]]) * regen), hdr + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        v = mv[0] | (mv[1] << 8) | (mv[2] << 16)
+        regen, comp, hdr, streams = (v >> 4) & 0x3FF, v >> 14, 3, 1
+    elif sf == 1:
+        v = mv[0] | (mv[1] << 8) | (mv[2] << 16)
+        regen, comp, hdr, streams = (v >> 4) & 0x3FF, v >> 14, 3, 4
+    elif sf == 2:
+        v = mv[0] | (mv[1] << 8) | (mv[2] << 16) | (mv[3] << 24)
+        regen, comp, hdr, streams = (v >> 4) & 0x3FFF, v >> 18, 4, 4
+    else:
+        v = (mv[0] | (mv[1] << 8) | (mv[2] << 16) | (mv[3] << 24)
+             | (mv[4] << 32))
+        regen, comp, hdr, streams = (v >> 4) & 0x3FFFF, v >> 22, 5, 4
+    body = mv[hdr:hdr + comp]
+    off = 0
+    if lit_type == 2:
+        (table, max_bits), used = _huffman_tree(bytes(body))
+        huff_state[0] = (table, max_bits)
+        off = used
+    else:
+        if huff_state[0] is None:
+            raise ValueError(
+                "zstd: treeless literals with no previous huffman table"
+            )
+        table, max_bits = huff_state[0]
+    out = bytearray()
+    if streams == 1:
+        out += _huffman_decode(bytes(body[off:]), table, max_bits, regen)
+    else:
+        s1 = body[off] | (body[off + 1] << 8)
+        s2 = body[off + 2] | (body[off + 3] << 8)
+        s3 = body[off + 4] | (body[off + 5] << 8)
+        off += 6
+        per = (regen + 3) // 4
+        sizes = [s1, s2, s3]
+        counts = [per, per, per, regen - 3 * per]
+        if counts[3] < 0:
+            raise ValueError("zstd: 4-stream literals shorter than 3×per")
+        for i in range(4):
+            n = sizes[i] if i < 3 else len(body) - off
+            out += _huffman_decode(
+                bytes(body[off:off + n]), table, max_bits, counts[i]
+            )
+            off += n
+    if len(out) != regen:
+        raise ValueError("zstd: literals regenerated size mismatch")
+    return out, hdr + comp
+
+
+def _compressed_block(
+    mv: memoryview,
+    out: bytearray,
+    frame_start: int,
+    rep: list[int],
+    tables: dict,
+    huff_state: list,
+) -> None:
+    lits, pos = _literals(mv, huff_state)
+    # sequence count
+    b0 = mv[pos]
+    if b0 == 0:
+        out += lits
+        if pos + 1 != len(mv):
+            raise ValueError("zstd: trailing bytes after 0-sequence block")
+        return
+    if b0 < 128:
+        n_seq, pos = b0, pos + 1
+    elif b0 < 255:
+        n_seq, pos = ((b0 - 0x80) << 8) | mv[pos + 1], pos + 2
+    else:
+        n_seq, pos = mv[pos + 1] | (mv[pos + 2] << 8) | 0x7F00, pos + 3
+    modes = mv[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll, pos = _seq_table(mv, pos, (modes >> 6) & 3, "ll", tables)
+    of, pos = _seq_table(mv, pos, (modes >> 4) & 3, "of", tables)
+    ml, pos = _seq_table(mv, pos, (modes >> 2) & 3, "ml", tables)
+    bits = _BackBits(bytes(mv[pos:]))
+    ll.init(bits)
+    of.init(bits)
+    ml.init(bits)
+    lit_pos = 0
+    for i in range(n_seq):
+        of_code = of.symbol()
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_value = (1 << of_code) + bits.read(of_code)
+        ml_code = ml.symbol()
+        match_len = _ML_BASE[ml_code] + bits.read(_ML_EXTRA[ml_code])
+        ll_code = ll.symbol()
+        lit_len = _LL_BASE[ll_code] + bits.read(_LL_EXTRA[ll_code])
+        # repeat-offset resolution (ll == 0 shifts the aliases)
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_value + (1 if lit_len == 0 else 0)
+            if idx == 1:
+                offset = rep[0]
+            elif idx == 2:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 3:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # idx == 4: rep1 - 1
+                offset = rep[0] - 1
+                if offset <= 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        out += lits[lit_pos:lit_pos + lit_len]
+        lit_pos += lit_len
+        if offset > len(out) - frame_start:
+            raise ValueError("zstd: match offset beyond frame start")
+        if offset >= match_len:
+            start = len(out) - offset
+            out += out[start:start + match_len]
+        else:  # overlapping copy — the RLE-ish repeat idiom
+            start = len(out) - offset
+            for j in range(match_len):
+                out.append(out[start + j])
+        if i + 1 < n_seq:
+            ll.update(bits)
+            ml.update(bits)
+            of.update(bits)
+    if lit_pos > len(lits):
+        raise ValueError("zstd: sequences consumed more literals than exist")
+    out += lits[lit_pos:]
+    if bits.nbits != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+
+
+def zstd_decompress(buf: bytes) -> bytes:
+    """Decompress a concatenation of zstd frames (skippable frames are
+    skipped; dictionaries refuse)."""
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if n - pos < 4:
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(buf[pos:pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            size = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4 + size
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad frame magic {magic:#x}")
+        fhd = buf[pos]
+        pos += 1
+        if (fhd >> 3) & 1:
+            raise ValueError("zstd: reserved frame-header bit set")
+        single = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        if not single:
+            pos += 1  # window descriptor — everything is buffered here
+        did_size = (0, 1, 2, 4)[did_flag]
+        if did_size:
+            did = int.from_bytes(buf[pos:pos + did_size], "little")
+            pos += did_size
+            if did:
+                raise NotImplementedError(
+                    f"zstd: frame requires dictionary {did} — "
+                    "dictionaries are out of scope (Avro blocks are "
+                    "self-contained)"
+                )
+        fcs_size = (1 if single else 0, 2, 4, 8)[fhd >> 6]
+        fcs = None
+        if fcs_size:
+            fcs = int.from_bytes(buf[pos:pos + fcs_size], "little")
+            if fcs_size == 2:
+                fcs += 256
+            pos += fcs_size
+        frame_start = len(out)
+        rep = [1, 4, 8]
+        tables: dict = {}
+        huff_state: list = [None]
+        while True:
+            if n - pos < 3:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(buf[pos:pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                out += buf[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE: one byte × bsize
+                out += buf[pos:pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                _compressed_block(
+                    memoryview(buf)[pos:pos + bsize], out,
+                    frame_start, rep, tables, huff_state,
+                )
+                pos += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ValueError(
+                f"zstd: frame decoded {len(out) - frame_start} bytes, "
+                f"header promised {fcs}"
+            )
+        if has_checksum:
+            want = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+            got = xxhash64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    "zstd: content checksum mismatch — corrupt frame"
+                )
+    return bytes(out)
