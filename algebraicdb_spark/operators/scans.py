@@ -944,3 +944,111 @@ def scan_minmax_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ship_d") >= F.lit(lo_p)) & (F.col("ship_d") <= F.lit(hi_p))
     ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
     return audit.crossJoin(F.broadcast(matching))
+
+
+@register(
+    "scan_iceberg_evolution",
+    # Partition EVOLUTION lifecycle: append A (o%4=0) under spec 0 =
+    # identity(o_orderstatus), hand-evolve the metadata to spec 1 =
+    # day(o_orderdate) exactly as a full client's ADD PARTITION FIELD
+    # leaves it, append B (o%4=1) under the new spec, then one COW
+    # DELETE (o%8 IN (0,1)) spanning files of BOTH specs. The oracle
+    # recomputes the surviving content from the fixture.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 NOT IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION EVOLUTION (round 13): a long-lived table's
+    spec changes (identity → day) without rewriting a byte; files
+    written before the change stay keyed to THEIR spec. The COW
+    delete's rewritten manifests carry each file's ORIGINAL spec-id
+    (iceberg_writer._publish_mutation) — the structural assert pins
+    that both spec ids survive in the post-delete manifest list — and
+    the snapshot read spans both partition layouts transparently.
+    Scale shape: evolution is O(metadata); the delete stays the usual
+    probe + partial-rewrite COW plan."""
+    import json as _json
+    import shutil
+    import uuid as _uuid
+
+    from algebraicdb_spark.operators.iceberg import AvroFileReader
+    from algebraicdb_spark.operators.iceberg_writer import (
+        IcebergTableWriter,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus",
+        # the day() transform is defined over DATE; project the
+        # fixture timestamp onto its YEAR as a date — a raw-date spec
+        # would mint one partition (= one file) per distinct day,
+        # thousands of tiny files at any SF, which is exactly the
+        # over-partitioning a real table designer avoids (Iceberg has
+        # year() for this; day-over-year-floor exercises the same
+        # evolution machinery at a sane grain: one union branch per
+        # live partition tuple is the scan plan's width)
+        F.trunc(F.col("o_orderdate").cast("date"), "year")
+        .alias("o_orderdate"),
+        "o_totalprice",
+    )
+    base = _scratch("iceberg_evolution", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = IcebergTableWriter(base)
+    w.append(
+        o.where(F.col("o_orderkey") % 4 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    # the evolution, hand-written into the metadata: spec 1 =
+    # day(o_orderdate), default — byte-for-byte what ALTER TABLE …
+    # ADD PARTITION FIELD day(o_orderdate) leaves behind
+    base_v, cur = w._current()
+    md = dict(cur)
+    d_id = next(
+        f["id"] for f in md["schemas"][0]["fields"]
+        if f["name"] == "o_orderdate"
+    )
+    md["partition-specs"] = list(md["partition-specs"]) + [{
+        "spec-id": 1,
+        "fields": [{"name": "o_orderdate_day", "transform": "day",
+                    "source-id": d_id, "field-id": 1001}],
+    }]
+    md["default-spec-id"] = 1
+    md["last-partition-id"] = 1001
+    with open(
+        os.path.join(w.meta_dir, f"v{base_v + 1}.metadata.json"), "w"
+    ) as fh:
+        _json.dump(md, fh)
+    with open(os.path.join(w.meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(base_v + 1))
+    _ = _uuid  # (kept for fixture parity with the writer's naming)
+    w.append(o.where(F.col("o_orderkey") % 4 == 1))
+    w.delete(spark, "o_orderkey % 8 IN (0, 1)")
+    rdr = w.reader()
+    snap_meta = rdr._snapshot(None)
+    spec_ids = {
+        int(r.get("partition_spec_id", 0) or 0)
+        for r in AvroFileReader(
+            rdr._resolve(snap_meta["manifest-list"])
+        ).records
+        if int(r.get("content", 0) or 0) == 0
+    }
+    assert spec_ids == {0, 1}, (
+        "rewritten manifests must keep their files' original specs"
+    )
+    snap = rdr.snapshot(spark)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        pround(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double"),
+        ).alias("total"),
+    )

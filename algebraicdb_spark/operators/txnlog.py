@@ -3752,3 +3752,134 @@ def source_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "sink_delta_cdf",
+    # CDF-enabled standard Delta: delete (o%20=0) + update (o%20=10,
+    # price+100) over the o%5=0 base; the change feed replays from the
+    # _change_data files the mutations landed. The oracle recomputes
+    # the three labeled change sets straight from the fixture — the
+    # preds are disjoint, so the update's preimages are untouched by
+    # the delete.
+    oracle="""
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM (
+        SELECT 'delete' AS _change_type, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 = 0
+        UNION ALL
+        SELECT 'update_preimage', o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 = 10
+        UNION ALL
+        SELECT 'update_postimage', o_totalprice + 100
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 = 10
+    ) ch
+    GROUP BY _change_type
+    """,
+)
+def sink_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED interop (round 13): enable
+    ``delta.enableChangeDataFeed`` through the atomic protocol-upgrade
+    route, run a COW DELETE and a COW UPDATE — each landing its
+    row-level diff as ``_change_data/`` parquet + ``cdc`` actions in
+    the SAME commit (delta_writer._cdc_actions) — then consume the
+    window through ``DeltaLogTable.changes_cdf``, which per the
+    protocol reads commits carrying cdc actions from their change
+    files ALONE. The structural assert pins that the cdc actions are
+    really in the commits (the feed isn't silently falling back to the
+    add/remove diff)."""
+    import shutil
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+
+    base = _scratch("delta_cdf", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = DeltaTableWriter(base)
+    w.append(o.where(F.col("o_orderkey") % 5 == 0))
+    since = w.set_properties({"delta.enableChangeDataFeed": "true"})
+    d = w.delete(spark, "o_orderkey % 20 = 0")
+    u = w.update(spark, {"o_totalprice": "o_totalprice + 100"},
+                 "o_orderkey % 20 = 10")
+    for v in (d["version"], u["version"]):
+        with open(os.path.join(base, "_delta_log",
+                               f"{v:020d}.json")) as fh:
+            acts = [json.loads(line) for line in fh if line.strip()]
+        assert any("cdc" in a for a in acts), (
+            "CDF commit must carry cdc actions"
+        )
+    feed = DeltaLogTable(base).changes_cdf(spark, since=since)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double"),
+        ).alias("total"),
+    )
+
+
+@register(
+    "dialect_changes_feed",
+    # the SQL CHANGES(t, since) surface over a mutated txnlog table:
+    # delete (l_quantity < 5) + update (l_quantity > 45, price*2) on
+    # the l_orderkey%7=0 base; disjoint preds, so the oracle recomputes
+    # each labeled set from the fixture directly.
+    oracle="""
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM (
+        SELECT 'delete' AS _change_type, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 7 = 0 AND l_quantity < 5
+        UNION ALL
+        SELECT 'update_preimage', l_extendedprice
+        FROM lineitem WHERE l_orderkey % 7 = 0 AND l_quantity > 45
+        UNION ALL
+        SELECT 'update_postimage', l_extendedprice * 2
+        FROM lineitem WHERE l_orderkey % 7 = 0 AND l_quantity > 45
+    ) ch
+    GROUP BY _change_type
+    """,
+)
+def dialect_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface for the row-level change feed (round 13):
+    ``SELECT … FROM CHANGES(t, <since>)`` on an ATTACHed table lowers
+    to the format's ``changes_cdf`` and composes with the read grammar
+    — here a GROUP BY over the feed, exactly the shape a CDC consumer
+    polls. Mutations go through the writer API; the read goes through
+    the ENGINE end-to-end (ATTACH + CHANGES), so the whole
+    dialect-to-feed path is under the oracle."""
+    import shutil
+
+    from algebraicdb_spark.engine import Engine
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    base = _scratch("changes_sql", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    t = TxnLogTable(base)
+    t.append(li.where(F.col("l_orderkey") % 7 == 0))
+    t.delete(spark, "l_quantity < 5")
+    t.update(spark, {"l_extendedprice": "l_extendedprice * 2"},
+             "l_quantity > 45")
+    from algebraicdb_spark.functions.rounding import pround_sql
+
+    eng = Engine(spark)
+    eng.sql(f"ATTACH TABLE chfeed FROM txnlog LOCATION '{base}'")
+    total = pround_sql(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+    )
+    return eng.sql(
+        "SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"{total} AS total "
+        "FROM CHANGES(chfeed, 0) GROUP BY _change_type"
+    )
