@@ -1118,12 +1118,27 @@ class IcebergTableWriter:
         """Spec-field dicts for ONE spec by id — partition EVOLUTION
         (round 13) means rewritten manifests must keep their files'
         ORIGINAL spec, so the writer resolves any recorded spec, not
-        just the default."""
+        just the default. A spec-id the metadata does not record
+        refuses loudly: writing the carried partition records under an
+        empty schema would silently DROP them (and every foreign
+        planner's pruning with them)."""
         specs = cur.get("partition-specs") or []
         spec = next(
             (s for s in specs if s.get("spec-id") == spec_id),
-            {"fields": []},
+            None,
         )
+        if spec is None:
+            if spec_id == cur.get("default-spec-id", 0) or not specs:
+                # tables with no recorded specs at all (legacy /
+                # unpartitioned metadata shapes) stay unpartitioned
+                spec = {"fields": []}
+            else:
+                raise NotImplementedError(
+                    f"{self.path}: manifest references partition "
+                    f"spec-id {spec_id} which the metadata does not "
+                    "record — rewriting its entries would drop their "
+                    "partition records; use a full Iceberg client"
+                )
         sfields = spec.get("fields") or []
         if not sfields:
             return []

@@ -290,11 +290,21 @@ class TestAttachTable:
         )
         proto, _m = dw.reader()._protocol_meta()
         assert "deletionVectors" in proto["writerFeatures"]
-        # a capability key this writer would not uphold refuses
+        # enableChangeDataFeed is HONORED since round 13 — the route
+        # commits the flag atomically with the changeDataFeed feature
+        eng.sql(
+            "ALTER TABLE dl SET PROPERTIES "
+            "('delta.enableChangeDataFeed' = 'true')"
+        )
+        proto_cdf, meta_cdf = dw.reader()._protocol_meta()
+        assert "changeDataFeed" in proto_cdf["writerFeatures"]
+        assert meta_cdf["configuration"][
+            "delta.enableChangeDataFeed"] == "true"
+        # a capability key this writer would not uphold still refuses
         with _pytest.raises(AdtError, match="capability"):
             eng.sql(
                 "ALTER TABLE dl SET PROPERTIES "
-                "('delta.enableChangeDataFeed' = 'true')"
+                "('delta.enableRowTracking' = 'true')"
             )
         # …and a refused statement must not HALF-apply: a bad key next
         # to enableDeletionVectors commits NOTHING (the DV protocol
@@ -306,7 +316,7 @@ class TestAttachTable:
             eng.sql(
                 "ALTER TABLE dl2 SET PROPERTIES "
                 "('delta.enableDeletionVectors' = 'true', "
-                "'delta.enableChangeDataFeed' = 'true')"
+                "'delta.enableRowTracking' = 'true')"
             )
         proto2, _m2 = dw2.reader()._protocol_meta()
         assert "deletionVectors" not in (
