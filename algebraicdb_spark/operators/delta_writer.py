@@ -1269,6 +1269,7 @@ class DeltaTableWriter:
         pre_entries: list[tuple[str, str, dict, dict | None]],
         post_entries: list[tuple[str, str, dict, dict | None]],
         staged: list[tuple[str, dict]],
+        changes_df: DataFrame | None = None,
     ) -> tuple[list[dict], list[tuple[str, dict]]]:
         """Land a mutation commit's row-level changes in Delta's
         INTEROP change-data format: ``_change_data/`` parquet files
@@ -1296,11 +1297,25 @@ class DeltaTableWriter:
         delete+insert pair — semantically equivalent, and exactly what
         the diff-based replay of the same commit yields).
 
+        ``changes_df`` bypasses the generic whole-file diff with an
+        already-labeled change frame the CALLER derived — the
+        DELETE/UPDATE fast path, where the change set is directly
+        expressible as the matched rows (and for UPDATE a diff over
+        just those matches, preserving the algebra's cancellation of
+        no-op assignments): the cdc scan then costs O(matched rows)
+        instead of a shuffle over every affected file's content
+        (docs/PROBE_CDF_r13.json pins the tax). The caller's frame
+        must be MULTISET-EQUAL to the generic diff — deterministic
+        predicates over immutable files make the two derivations
+        provably identical, and the three-way equivalence tests
+        (cdc replay = changes_cdf = snapshot diff) pin it.
+
         Cost: ONE extra bounded scan of exactly the files the mutation
         already rewrote or vectored — the tax every CDF-emitting
-        writer pays, O(affected bytes), never O(table). Returns
-        (cdc actions, staged cdc files for abort-path unstaging);
-        callers thread both through ``_commit_cow``."""
+        writer pays, O(affected bytes), never O(table); DELETE and
+        UPDATE pass ``changes_df`` (below), shrinking it to O(matched
+        rows). Returns (cdc actions, staged cdc files for abort-path
+        unstaging); callers thread both through ``_commit_cow``."""
         from pyspark.sql import functions as F
 
         def side(entries, extra_staged):
@@ -1314,27 +1329,30 @@ class DeltaTableWriter:
                 spark, ents, st, part_cols, mapping=mapping
             )
 
-        pre = side(pre_entries, [])
-        post = side(post_entries, staged)
-        if pre is None and post is None:
-            return [], []
-        if pre is None:
-            pre = post.limit(0)
-        if post is None:
-            post = pre.limit(0)
-        pre_l, post_l = (
-            ("update_preimage", "update_postimage")
-            if op.upper() == "UPDATE"
-            else ("delete", "insert")
-        )
-        changes = (
-            pre.exceptAll(post)
-            .withColumn("_change_type", F.lit(pre_l))
-            .unionByName(
-                post.exceptAll(pre)
-                .withColumn("_change_type", F.lit(post_l))
+        if changes_df is not None:
+            changes = changes_df
+        else:
+            pre = side(pre_entries, [])
+            post = side(post_entries, staged)
+            if pre is None and post is None:
+                return [], []
+            if pre is None:
+                pre = post.limit(0)
+            if post is None:
+                post = pre.limit(0)
+            pre_l, post_l = (
+                ("update_preimage", "update_postimage")
+                if op.upper() == "UPDATE"
+                else ("delete", "insert")
             )
-        )
+            changes = (
+                pre.exceptAll(post)
+                .withColumn("_change_type", F.lit(pre_l))
+                .unionByName(
+                    post.exceptAll(pre)
+                    .withColumn("_change_type", F.lit(post_l))
+                )
+            )
         cdc_staged = self._stage(
             changes, part_cols, mapping=mapping, subdir="_change_data"
         )
@@ -1532,11 +1550,21 @@ class DeltaTableWriter:
             staged = self._stage(keep, part_cols, mapping=mapping)
         cdc = None
         if self._cdf_enabled(meta):
-            cdc = self._cdc_actions(
-                spark, rdr, st, part_cols, mapping, "DELETE",
+            # fast path: the deletes ARE the matched rows — the
+            # whole-file diff would shuffle the survivors just to
+            # cancel them
+            aff = rdr._assemble_mor(
+                spark,
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in sorted(by_raw)],
-                [], staged,
+                st, part_cols, mapping=mapping,
+            )
+            deletes = aff.where(
+                F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            ).withColumn("_change_type", F.lit("delete"))
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, mapping, "DELETE",
+                [], [], [], changes_df=deletes,
             )
         version = self._commit_cow(
             sorted(by_raw), pv_of, dv_of, staged, "DELETE",
@@ -1789,19 +1817,24 @@ class DeltaTableWriter:
         extra = self._dv_protocol_actions(rdr)
         cdc = None
         if self._cdf_enabled(meta):
-            # pre = affected files under their OLD vectors; post = the
-            # same files under the NEW (unioned) vectors — the diff is
-            # exactly the newly-flipped rows, read pre-commit (inline
-            # descriptors decode from the action; the shared .bin is
-            # already on disk)
-            cdc = self._cdc_actions(
-                spark, rdr, st, part_cols, None, "DELETE",
+            # fast path: the newly-flipped rows are exactly the
+            # predicate's matches over the affected files under their
+            # OLD vectors (already-deleted rows never rematch) — same
+            # frame the old-vs-new-vector diff yields, no shuffle
+            from pyspark.sql import functions as F
+
+            aff = rdr._assemble_mor(
+                spark,
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in sorted(new_pos)],
-                [(a["add"]["path"], res_of[a["add"]["path"]],
-                  pv_of[a["add"]["path"]], a["add"]["deletionVector"])
-                 for a in adds],
-                [],
+                st, part_cols,
+            )
+            deletes = aff.where(
+                F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            ).withColumn("_change_type", F.lit("delete"))
+            cdc = self._cdc_actions(
+                spark, rdr, st, part_cols, None, "DELETE",
+                [], [], [], changes_df=deletes,
             )
         try:
             version = self._commit_cow(
@@ -1926,11 +1959,32 @@ class DeltaTableWriter:
         staged = self._stage(out, part_cols, mapping=mapping)
         cdc = None
         if self._cdf_enabled(meta):
+            # fast path: diff over the MATCHED rows only (preimages vs
+            # the same rows with assignments applied — deterministic
+            # expressions over immutable files, the exact projection
+            # the rewrite staged), preserving the generic algebra's
+            # cancellation of no-op assignments at O(matched rows)
+            pre_m = df.where(cond)
+            post_m = pre_m.select(
+                *[
+                    F.expr(assignments[c])
+                    .cast(df.schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            changes = (
+                pre_m.exceptAll(post_m)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post_m.exceptAll(pre_m)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
             cdc = self._cdc_actions(
                 spark, rdr, st, part_cols, mapping, "UPDATE",
-                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
-                 for raw in affected],
-                [], staged,
+                [], [], [], changes_df=changes,
             )
         version = self._commit_cow(
             affected, pv_of, dv_of, staged, "UPDATE",
@@ -1987,18 +2041,21 @@ class DeltaTableWriter:
         extra = self._dv_protocol_actions(rdr)
         cdc = None
         if self._cdf_enabled(meta):
-            # pre = old vectors; post = new vectors + the staged
-            # postimages — untouched rows cancel, the flipped rows
-            # surface as update_preimage and the staged rewrites as
-            # update_postimage
+            # fast path: the flipped rows are post_src (matched rows
+            # under OLD vectors) and their postimages are post — the
+            # frames this mutation already built; diffing just them
+            # preserves no-op-assignment cancellation at O(matched)
+            changes = (
+                post_src.exceptAll(post)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.exceptAll(post_src)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
             cdc = self._cdc_actions(
                 spark, rdr, st, part_cols, None, "UPDATE",
-                [(raw, res_of[raw], pv_of[raw], dv_of[raw])
-                 for raw in affected],
-                [(a["add"]["path"], res_of[a["add"]["path"]],
-                  pv_of[a["add"]["path"]], a["add"]["deletionVector"])
-                 for a in adds],
-                staged,
+                [], [], [], changes_df=changes,
             )
         try:
             version = self._commit_cow(
@@ -2714,6 +2771,19 @@ class DeltaTableWriter:
             return None
         proto, meta = rdr._protocol_meta(latest)
         proto = proto or self._protocol_action()["protocol"]
+        unknown = sorted(
+            set(proto.get("writerFeatures") or []) - self._WRITER_FEATURES
+        )
+        if unknown:
+            # e.g. v2Checkpoint: that feature's contract governs the
+            # CHECKPOINT LAYOUT itself — overwriting _last_checkpoint
+            # with a classic file on such a table breaks what the
+            # feature promises other clients
+            raise NotImplementedError(
+                f"checkpoint on {self.path}: writerFeatures {unknown} "
+                "are not honored by this writer and may govern the "
+                "checkpoint layout itself; use a full Delta client"
+            )
         # the FULL folded protocol carries through — reader/writer
         # feature lists included: v3 protocols REQUIRE them, and
         # feature enablement (e.g. deletionVectors on a table with no

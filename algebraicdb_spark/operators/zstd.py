@@ -54,8 +54,6 @@ def xxhash64(data: bytes, seed: int = 0) -> int:
         v3 = seed & _U64
         v4 = (seed - _P1) & _U64
         while i + 32 <= n:
-            for _ in range(1):
-                pass
             v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little")
                          * _P2) & _U64, 31) * _P1) & _U64
             v2 = (_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little")
