@@ -259,14 +259,31 @@ class TestAvroDecoder:
         (tmp_path / "sync.avro").write_bytes(bytes(buf))
         with pytest.raises(ValueError, match="sync marker"):
             AvroFileReader(str(tmp_path / "sync.avro"))
-        # unsupported codec (snappy graduated to supported in r12)
-        s = avro_container(schema, [zz(5)], codec="null").replace(
+        # zstandard graduated to supported in r13 (operators/zstd.py);
+        # the hand-swapped codec header with a REAL zstd frame as the
+        # block payload reads back — while an unknown codec refuses
+        import pyarrow as pa
+
+        block = zz(5)
+        comp = pa.Codec("zstd").compress(block, asbytes=True)
+        s = avro_container(schema, [zz(5)], codec="null")
+        s = s.replace(
             av_str("avro.codec") + av_bytes(b"null"),
             av_str("avro.codec") + av_bytes(b"zstandard"),
+        ).replace(
+            zz(1) + zz(len(block)) + block,
+            zz(1) + zz(len(comp)) + comp,
         )
         (tmp_path / "zs.avro").write_bytes(s)
-        with pytest.raises(NotImplementedError, match="zstandard"):
-            AvroFileReader(str(tmp_path / "zs.avro"))
+        assert [r["x"] for r in AvroFileReader(
+            str(tmp_path / "zs.avro")).records] == [5]
+        lz = avro_container(schema, [zz(5)], codec="null").replace(
+            av_str("avro.codec") + av_bytes(b"null"),
+            av_str("avro.codec") + av_bytes(b"lz4!"),
+        )
+        (tmp_path / "lz.avro").write_bytes(lz)
+        with pytest.raises(NotImplementedError, match="lz4"):
+            AvroFileReader(str(tmp_path / "lz.avro"))
 
     def test_snappy_codec_reads_hand_written_container(self, tmp_path):
         """Snappy is Avro's default codec in several Iceberg writers

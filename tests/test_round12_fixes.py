@@ -984,9 +984,12 @@ class TestReviewFixes:
         self, spark, tmp_path
     ):
         """A second partition spec (partition evolution) means files
-        under the OLD spec escape partition-scoped equality deletes
-        and cannot be re-labeled by rewritten manifests — partitioned
-        upsert, COW mutation, and the purge refuse loudly."""
+        under the OLD spec escape partition-scoped equality deletes —
+        partitioned upsert still refuses loudly (the spec's own
+        applicability rule). Round 13 lifted the OTHER gates: COW
+        mutation now rewrites each file under ITS manifest's spec (see
+        tests/test_round13_iceberg_evolution.py), so the delete below
+        SUCCEEDS and the table stays readable."""
         import json as _json
 
         w = IcebergTableWriter(str(tmp_path / "pevo"))
@@ -1011,8 +1014,12 @@ class TestReviewFixes:
         ).coalesce(1)
         with pytest.raises(NotImplementedError, match="evolution"):
             w.upsert_by_key(spark, src, ["k"])
-        with pytest.raises(NotImplementedError, match="evolution"):
-            w.delete(spark, "k = 1")
+        res = w.delete(spark, "k = 1")
+        assert res["rows_deleted"] == 1
+        # the one row is gone; the reader's empty-table refusal is the
+        # established semantics for a zero-file snapshot
+        with pytest.raises(ValueError, match="no data files"):
+            w.reader().snapshot(spark)
 
     def test_manifest_list_rows_carry_foreign_default_spec_id(
         self, spark, tmp_path

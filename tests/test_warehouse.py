@@ -1229,10 +1229,12 @@ class TestDeltaLogTable:
         with _pytest.raises(ValueError, match="non-contiguous"):
             t.changes(spark, since=0, to=3)
 
-    def test_v2_uuid_checkpoint_refuses(self, spark, tables, tmp_path):
-        """A v2/UUID-named checkpoint keeps state in sidecar files the
-        pointer doesn't name — replaying what we CAN see would
-        silently drop files, so refuse."""
+    def test_v2_uuid_checkpoint_replays(self, spark, tables, tmp_path):
+        """Round 13: a V2/UUID-named checkpoint REPLAYS — the main
+        file is discovered by directory listing per the spec (here a
+        self-contained one: no sidecar column, so no parts to chase;
+        the sidecar split is pinned in test_round13_v2_checkpoint.py).
+        A pointer with NO checkpoint file at all stays corrupt."""
         import os
 
         import pytest as _pytest
@@ -1242,21 +1244,19 @@ class TestDeltaLogTable:
         root = str(tmp_path / "delta_cp_v2")
         self._write_delta(spark, tables, root)
         self._checkpoint_at_2(spark, tables, root)
+        baseline = DeltaLogTable(root).snapshot(spark).count()
         log = os.path.join(root, "_delta_log")
+        v2_name = (
+            f"{2:020d}.checkpoint."
+            "80a083e8-7026-4e79-81be-000000000000.parquet"
+        )
         os.rename(
             os.path.join(log, f"{2:020d}.checkpoint.parquet"),
-            os.path.join(
-                log, f"{2:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
-            ),
+            os.path.join(log, v2_name),
         )
-        with _pytest.raises(NotImplementedError, match="v2/UUID"):
-            DeltaLogTable(root).snapshot(spark)
+        assert DeltaLogTable(root).snapshot(spark).count() == baseline
         # and a pointer with NO checkpoint file at all is corrupt
-        os.remove(
-            os.path.join(
-                log, f"{2:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
-            )
-        )
+        os.remove(os.path.join(log, v2_name))
         with _pytest.raises(ValueError, match="incomplete or corrupt"):
             DeltaLogTable(root).snapshot(spark)
 
@@ -1530,14 +1530,24 @@ class TestDeltaProtocolAndPartitions:
                       "readerFeatures": ["columnMapping"]},
         )
         assert DeltaLogTable(root2).snapshot(spark).count() == 4
-        root2b = str(tmp_path / "delta_rf_bad")
+        # v2Checkpoint graduated to honored in round 13 (the reader
+        # replays UUID checkpoints + sidecars); a genuinely unknown
+        # feature still refuses
+        root2b = str(tmp_path / "delta_rf_v2cp")
         self._write_partitioned(
             root2b,
             protocol={"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["v2Checkpoint"]},
         )
-        with _pytest.raises(NotImplementedError, match="v2Checkpoint"):
-            DeltaLogTable(root2b).snapshot(spark)
+        assert DeltaLogTable(root2b).snapshot(spark).count() == 4
+        root2c = str(tmp_path / "delta_rf_bad")
+        self._write_partitioned(
+            root2c,
+            protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"]},
+        )
+        with _pytest.raises(NotImplementedError, match="typeWidening"):
+            DeltaLogTable(root2c).snapshot(spark)
         # a reader version from the future refuses loudly
         root3 = str(tmp_path / "delta_rf_future")
         self._write_partitioned(
@@ -1756,11 +1766,14 @@ class TestDeltaColumnMappingReads:
 
         from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
-        # 'id' mode refuses
+        # 'id' mode reads are SUPPORTED since round 13 — by matching
+        # parquet footer field ids; this fixture's files carry none,
+        # so the scan refuses with the NARROWED message (full id-mode
+        # round trips live in tests/test_round13_id_mapping.py)
         root = str(tmp_path / "cm_id")
         self._write_mapped(root, mode="id")
-        with _pytest.raises(NotImplementedError, match="'id' mode"):
-            DeltaLogTable(root).snapshot(spark)
+        with _pytest.raises(NotImplementedError, match="no field ids"):
+            DeltaLogTable(root).snapshot(spark).collect()
         # a field without physicalName refuses (partial map)
         sch = self._schema()
         sch["fields"][1]["metadata"] = {}
@@ -1896,11 +1909,33 @@ class TestDeltaColumnMappingReads:
         # deletion-vector MoR writes refuse (cow handles mapped)
         with _pytest.raises(NotImplementedError, match="cow"):
             w.delete(spark, "k = 1", mode="mor")
-        # 'id' mode still refuses every write
+        # 'id'-mode writes WORK since round 13: the staged file names
+        # columns by physicalName AND stamps the schema's field ids,
+        # so the id-matching scan resolves it (the fixture's ORIGINAL
+        # id-less files still refuse — the narrowed gate)
         root2 = str(tmp_path / "cm_id_w")
         self._write_mapped(root2, mode="id")
-        with _pytest.raises(NotImplementedError, match="id"):
-            DeltaTableWriter(root2).append(df)
+        v = DeltaTableWriter(root2).append(df)
+        assert v == 2
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as pq_
+
+        with open(_os.path.join(
+            root2, "_delta_log", f"{v:020d}.json"
+        )) as fh:
+            adds = [
+                _json.loads(line)["add"]["path"]
+                for line in fh if '"add"' in line
+            ]
+        sch = pq_.ParquetFile(
+            _os.path.join(root2, adds[0])
+        ).schema_arrow
+        assert sorted(sch.names) == sorted(self.PHYS.values())
+        assert all(
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+        )
 
 
 class TestTxnLogRaceFixes:
