@@ -420,11 +420,15 @@ class DeltaTableWriter:
     # (_cdc_actions). generatedColumns / identityColumns are honored
     # while no such column is DECLARED — the declaration checks below
     # refuse the tables where the capability would actually bind.
+    # v2Checkpoint is honored by WRITING the layout it mandates:
+    # write_checkpoint emits the UUID-named main + sidecar shape on
+    # tables announcing the feature (round 13, _write_checkpoint_v2);
+    # ordinary commits are layout-neutral.
     _WRITER_FEATURES = {"deletionVectors", "appendOnly", "timestampNtz",
                         "vacuumProtocolCheck", "invariants",
                         "checkConstraints", "columnMapping",
                         "changeDataFeed", "generatedColumns",
-                        "identityColumns"}
+                        "identityColumns", "v2Checkpoint"}
 
     def _check_writable(
         self, proto: dict, meta: dict, mutation: str,
@@ -2751,17 +2755,27 @@ class DeltaTableWriter:
 
     def write_checkpoint(self, clean: bool = False) -> int | None:
         """Materialize the folded state at the current head as a
-        classic single-file checkpoint (one action per parquet row,
-        struct columns, every row carrying every column — readers
-        infer the schema from the file, not from row 1), advance
-        ``_last_checkpoint``, and — with ``clean=True`` — delete the
-        compacted JSON prefix the way Delta's retention does, after
-        which readers MUST replay from the checkpoint. The checkpoint
-        carries the FULL folded protocol (feature lists included) and
-        the unexpired remove tombstones, per the spec — cleaning the
-        prefix must not lose feature enablement or make removed files
-        invisible to retention-based VACUUM. Returns the checkpointed
-        version, or None on an empty table."""
+        checkpoint, advance ``_last_checkpoint``, and — with
+        ``clean=True`` — delete the compacted JSON prefix the way
+        Delta's retention does, after which readers MUST replay from
+        the checkpoint. The checkpoint carries the FULL folded
+        protocol (feature lists included) and the unexpired remove
+        tombstones, per the spec — cleaning the prefix must not lose
+        feature enablement or make removed files invisible to
+        retention-based VACUUM. Returns the checkpointed version, or
+        None on an empty table.
+
+        LAYOUT follows the table's protocol: classic single-file by
+        default (one action per parquet row, struct columns); on a
+        table announcing the ``v2Checkpoint`` writer feature, the V2
+        layout that feature mandates (round 13): a UUID-named main
+        file carrying protocol/metaData/txn plus a
+        ``checkpointMetadata`` action and ``sidecar`` pointers, with
+        the add/remove state in a parquet part under
+        ``_delta_log/_sidecars/`` — exactly the shape
+        ``DeltaLogTable._checkpoint_files`` was validated against on
+        hand-written fixtures, so writer and reader meet at the spec,
+        not at each other."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2775,10 +2789,10 @@ class DeltaTableWriter:
             set(proto.get("writerFeatures") or []) - self._WRITER_FEATURES
         )
         if unknown:
-            # e.g. v2Checkpoint: that feature's contract governs the
-            # CHECKPOINT LAYOUT itself — overwriting _last_checkpoint
-            # with a classic file on such a table breaks what the
-            # feature promises other clients
+            # an unknown feature may govern the checkpoint layout the
+            # way v2Checkpoint does — overwriting _last_checkpoint
+            # with a shape the feature forbids breaks what the table
+            # promises other clients
             raise NotImplementedError(
                 f"checkpoint on {self.path}: writerFeatures {unknown} "
                 "are not honored by this writer and may govern the "
@@ -2902,16 +2916,22 @@ class DeltaTableWriter:
         ])
         keys = [f.name for f in schema]
         rows = [{k: r.get(k) for k in keys} for r in rows]
-        pq.write_table(
-            pa.Table.from_pylist(rows, schema=schema),
-            os.path.join(self.log_dir, f"{latest:020d}.checkpoint.parquet"),
-        )
+        if "v2Checkpoint" in set(proto.get("writerFeatures") or []):
+            size = self._write_checkpoint_v2(latest, rows, schema)
+        else:
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=schema),
+                os.path.join(
+                    self.log_dir, f"{latest:020d}.checkpoint.parquet"
+                ),
+            )
+            size = len(rows)
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
         tmp = ptr + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             # ``size`` = the number of actions stored in the
             # checkpoint, part of the pointer's published schema
-            json.dump({"version": latest, "size": len(rows)}, f)
+            json.dump({"version": latest, "size": size}, f)
         os.replace(tmp, ptr)  # atomic pointer swing
         if clean:
             for v in range(0, latest + 1):
@@ -2919,3 +2939,78 @@ class DeltaTableWriter:
                 if os.path.exists(jp):
                     os.unlink(jp)
         return latest
+
+    def _write_checkpoint_v2(self, latest: int, rows, schema) -> int:
+        """The V2 checkpoint layout: the add/remove state lands in a
+        sidecar parquet part under ``_delta_log/_sidecars/`` and the
+        UUID-named main file carries the metadata actions
+        (protocol/metaData/txn), a ``checkpointMetadata`` action (the
+        v2 marker, required), and the ``sidecar`` pointer. Two
+        complete checkpoints at the SAME version describe the same
+        state, so discovery-by-listing picking either is correct —
+        the same rule the reader applies. Returns the action count
+        for the pointer's ``size``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kv = pa.map_(pa.string(), pa.string())
+        file_rows = [
+            r for r in rows if r.get("add") or r.get("remove")
+        ]
+        meta_rows = [
+            r for r in rows if not (r.get("add") or r.get("remove"))
+        ]
+        side_dir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        side_name = f"{uuid.uuid4()}.parquet"
+        side_path = os.path.join(side_dir, side_name)
+        file_schema = pa.schema([
+            schema.field("add"), schema.field("remove"),
+        ])
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"add": r.get("add"), "remove": r.get("remove")}
+                 for r in file_rows],
+                schema=file_schema,
+            ),
+            side_path,
+        )
+        main_schema = pa.schema(
+            [schema.field("protocol"), schema.field("txn"),
+             schema.field("metaData")]
+            + [
+                ("checkpointMetadata", pa.struct([
+                    ("version", pa.int64()),
+                    ("tags", kv),
+                ])),
+                ("sidecar", pa.struct([
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("tags", kv),
+                ])),
+            ]
+        )
+        mkeys = [f.name for f in main_schema]
+        main_rows = [
+            {k: r.get(k) for k in mkeys} for r in meta_rows
+        ] + [
+            {"checkpointMetadata": {"version": latest, "tags": {}}},
+            {"sidecar": {
+                "path": side_name,  # relative to _delta_log/_sidecars
+                "sizeInBytes": os.path.getsize(side_path),
+                "modificationTime": int(
+                    os.path.getmtime(side_path) * 1000
+                ),
+                "tags": {},
+            }},
+        ]
+        main_rows = [{k: r.get(k) for k in mkeys} for r in main_rows]
+        pq.write_table(
+            pa.Table.from_pylist(main_rows, schema=main_schema),
+            os.path.join(
+                self.log_dir,
+                f"{latest:020d}.checkpoint.{uuid.uuid4()}.parquet",
+            ),
+        )
+        return len(rows) + 2  # + checkpointMetadata + sidecar actions

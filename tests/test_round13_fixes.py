@@ -22,12 +22,14 @@ def _table(spark, tmp_path, name="t"):
 
 
 class TestCheckpointFeatureGate:
-    def test_classic_checkpoint_refuses_on_unknown_writer_features(
+    def test_checkpoint_refuses_on_unknown_writer_features(
         self, spark, tmp_path
     ):
-        """v2Checkpoint's contract governs the checkpoint LAYOUT —
-        overwriting _last_checkpoint with a classic file on such a
-        table breaks what the feature promises other clients."""
+        """An unknown writer feature may govern the checkpoint LAYOUT
+        (the way v2Checkpoint does) — overwriting _last_checkpoint
+        with a shape the feature forbids breaks what the table
+        promises other clients; refuse. Honored features (incl.
+        v2Checkpoint itself, which round 13 WRITES) checkpoint fine."""
         w = _table(spark, tmp_path)
         p0 = os.path.join(w.path, "_delta_log", f"{0:020d}.json")
         lines = [json.loads(line) for line in open(p0) if line.strip()]
@@ -35,8 +37,8 @@ class TestCheckpointFeatureGate:
             if "protocol" in a:
                 a["protocol"] = {
                     "minReaderVersion": 3, "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": [],
+                    "writerFeatures": ["inCommitTimestamp"],
                 }
         with open(p0, "w") as f:
             f.write("\n".join(json.dumps(a) for a in lines) + "\n")

@@ -143,6 +143,78 @@ class TestV2Checkpoint:
         with pytest.raises(NotImplementedError, match="JSON-format"):
             DeltaLogTable(w.path).snapshot(spark)
 
+    def test_writer_emits_v2_layout_on_featured_tables(
+        self, spark, tmp_path
+    ):
+        """Round 13 second half: on a table announcing the
+        v2Checkpoint writer feature, ``write_checkpoint`` emits the V2
+        layout the feature mandates — UUID-named main file (metadata
+        actions + checkpointMetadata + sidecar pointer), add/remove
+        state in a ``_delta_log/_sidecars/`` part — and the reader
+        (validated on HAND-WRITTEN v2 fixtures above) replays it after
+        the JSON prefix is cleaned."""
+        root = str(tmp_path / "wv2")
+        w = DeltaTableWriter(root)
+        for base in (0, 10):
+            w.append(spark.createDataFrame(
+                [(base + i, float(base + i)) for i in range(3)],
+                "k long, v double",
+            ).coalesce(1))
+        # announce the feature the way a real client's upgrade does
+        p0 = os.path.join(root, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(line) for line in open(p0) if line.strip()]
+        for a in lines:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint", "invariants"],
+                }
+        with open(p0, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+        w.delete(spark, "k = 1")
+        v = w.write_checkpoint(clean=True)
+        assert v is not None
+        log = os.path.join(root, "_delta_log")
+        mains = [
+            fn for fn in os.listdir(log)
+            if fn.endswith(".parquet") and fn.count(".") == 3
+        ]
+        assert len(mains) == 1, "UUID-named v2 main file"
+        assert not os.path.exists(
+            os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        ), "no classic checkpoint beside the v2 one"
+        sides = os.listdir(os.path.join(log, "_sidecars"))
+        assert len(sides) == 1
+        # main holds NO file actions; the sidecar holds them all
+        mt = pq.read_table(os.path.join(log, mains[0]))
+        assert "add" not in mt.schema.names
+        assert "checkpointMetadata" in mt.schema.names
+        assert "sidecar" in mt.schema.names
+        st = pq.read_table(
+            os.path.join(log, "_sidecars", sides[0])
+        )
+        n_adds = sum(
+            1 for r in st.column("add").to_pylist() if r is not None
+        )
+        assert n_adds == 2  # the delete's rewrite replaced file 1
+        # tombstones ride the sidecar too (vacuum needs them)
+        assert any(
+            r is not None for r in st.column("remove").to_pylist()
+        )
+        # the prefix is gone; reads replay from the v2 checkpoint
+        t = DeltaLogTable(root)
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [
+            0, 2, 10, 11, 12,
+        ]
+        # commits past the checkpoint fold on top
+        w.append(spark.createDataFrame([(99, 9.0)], "k long, v double"))
+        assert DeltaLogTable(root).snapshot(spark).count() == 6
+        # …and a SECOND v2 checkpoint at the new head supersedes
+        v2b = w.write_checkpoint()
+        assert v2b > v
+        assert DeltaLogTable(root).snapshot(spark).count() == 6
+
     def test_v2checkpoint_reader_feature_is_honored(self, spark, tmp_path):
         """A protocol announcing readerFeatures=[v2Checkpoint] (what
         real v2-checkpointed tables carry) passes the gate now."""
