@@ -1414,3 +1414,144 @@ def embedding_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("centroid_cosine"),
     )
+
+
+_INT8_KNN_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, mn, (mx - mn) / 255 AS scale,
+         CASE WHEN mx > mn THEN
+           list_transform(embedding, x ->
+             floor((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn) + 0.5))
+         ELSE list_transform(embedding, x -> 0.0) END AS codes
+  FROM base
+), q AS (
+  SELECT vec_id AS q_id, mn AS q_mn, scale AS q_s, codes AS q_codes,
+         CAST(list_aggregate(codes, 'sum') AS DOUBLE) AS q_sum
+  FROM qz WHERE vec_id % 50 = 0 AND vec_id < 500
+), c AS (
+  SELECT vec_id, mn AS c_mn, scale AS c_s, codes AS c_codes,
+         CAST(list_aggregate(codes, 'sum') AS DOUBLE) AS c_sum,
+         CAST(len(codes) AS DOUBLE) AS dim
+  FROM qz
+), scored AS (
+  SELECT q.q_id, c.vec_id,
+         ((q_mn * c_mn) * dim)
+         + ((q_mn * c_s) * c_sum)
+         + ((c_mn * q_s) * q_sum)
+         + ((q_s * c_s) * list_dot_product(
+               CAST(q_codes AS DOUBLE[]), CAST(c_codes AS DOUBLE[])))
+           AS sim
+  FROM q JOIN c ON c.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id,
+       floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def _int8_struct(emb_col: str):
+    """One-pass per-vector int8 quantization as a struct column:
+    (codes array<double of integers>, mn, scale, sum_codes, dim) — the
+    min/max bind ONCE through a 1-element struct transform (the
+    element-wise lambda referencing array_min directly would re-scan
+    the vector per element, the dedup.shingles O(dim²) pathology).
+    Codes stay DOUBLE-typed integer values: every term of the
+    dequantized dot is then exactly representable (≤ 255²·dim), so
+    Spark and DuckDB compute bit-identical per-pair scores."""
+    ctx = F.array(
+        F.struct(
+            F.col(emb_col).alias("emb"),
+            F.array_min(emb_col).cast("double").alias("mn"),
+            F.array_max(emb_col).cast("double").alias("mx"),
+        )
+    )
+
+    def mk(s):
+        mn, mx = s["mn"], s["mx"]
+        codes = F.when(
+            mx > mn,
+            F.transform(
+                s["emb"],
+                lambda x: F.floor(
+                    (x.cast("double") - mn) * 255 / (mx - mn) + F.lit(0.5)
+                ).cast("double"),
+            ),
+        ).otherwise(F.transform(s["emb"], lambda x: F.lit(0.0)))
+        return F.struct(
+            codes.alias("codes"),
+            mn.alias("mn"),
+            ((mx - mn) / 255).alias("scale"),
+        )
+
+    return F.element_at(F.transform(ctx, mk), 1)
+
+
+@register("sim_knn_int8", oracle=_INT8_KNN_ORACLE)
+def sim_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine search over INT8-QUANTIZED embeddings — the memory
+    tier between brute-force float and the ANN families: per-vector
+    affine scalar quantization (the embedding_quantize_int8 codec)
+    shrinks the corpus 4×, and the dequantized dot product collapses
+    to a CLOSED FORM over integer aggregates —
+
+        sim = mnq·mne·d + mnq·se·Σce + mne·sq·Σcq + sq·se·(cq·ce)
+
+    so the per-pair work is ONE integer dot product of the code arrays
+    plus four scalar multiplies (the trick every int8 vector index
+    uses: the correction terms are per-VECTOR, precomputed once). The
+    plan is the float tier's: broadcast the 10 fixed queries, score
+    JVM-side with zip_with/aggregate (integer sums — exactly
+    representable in doubles, so both engines agree bit-for-bit), rank
+    per query with a vec_id tie-break. At 100 TB the quantized corpus
+    is what actually fits in executor memory; recall vs the float tier
+    is pinned in pytest (test_similarity.py)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    z = e.select("vec_id", _int8_struct("embedding").alias("z"))
+    z = z.select(
+        "vec_id",
+        F.col("z.codes").alias("codes"),
+        F.col("z.mn").alias("mn"),
+        F.col("z.scale").alias("scale"),
+        F.aggregate(
+            "z.codes", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("sum_codes"),
+        F.size("z.codes").cast("double").alias("dim"),
+    )
+    q = z.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("mn").alias("q_mn"),
+        F.col("scale").alias("q_s"),
+        F.col("sum_codes").alias("q_sum"),
+    )
+    joined = z.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    code_dot = F.aggregate(
+        F.zip_with("q_codes", "codes", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        (F.col("q_mn") * F.col("mn")) * F.col("dim")
+        + (F.col("q_mn") * F.col("scale")) * F.col("sum_codes")
+        + (F.col("mn") * F.col("q_s")) * F.col("q_sum")
+        + (F.col("q_s") * F.col("scale")) * code_dot
+    )
+    scored = joined.select("q_id", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", pround("sim").alias("sim"), "rnk")
+    )

@@ -147,3 +147,14 @@ def test_mmr_diversifies_vs_pure_topk(spark, sf_dir):
     # for rank 1; later ranks may sacrifice relevance — but never below
     # the corpus minimum
     assert all(-1.0 <= r["rel"] <= 1.0 + 1e-9 for r in picks)
+
+
+def test_int8_recall_at_5(spark, sf_dir, exact):
+    """Per-vector affine int8 keeps ~8 bits of per-dimension signal —
+    the quantized top-5 should recover nearly all exact neighbors
+    (round 13: the memory tier between float brute force and the
+    candidate-pruning ANN families)."""
+    from algebraicdb_spark.operators.similarity import sim_knn_int8
+
+    recall = _recall(topk(sim_knn_int8(spark, sf_dir)), exact)
+    assert recall >= 0.8, f"int8 recall@5 {recall:.2f} < 0.8"
