@@ -212,16 +212,27 @@ class DeltaTableWriter:
         REFLECTED in the returned relative paths — the ``_change_data``
         staging for CDF commits (whose ``cdc`` actions record
         root-relative paths, same as adds)."""
+        restore_field_id = None
         if mapping:
             # 'id'-mode tables ALSO stamp each column's field id into
             # the staged parquet footers (Spark's parquet.field.id
             # schema metadata + fieldId writes) — the staged file must
-            # be matchable by the ids the mode says readers resolve by
+            # be matchable by the ids the mode says readers resolve by.
+            # The conf is restored right after the (eager) write below
+            # — it must not leak to the session's unrelated writes.
             ids = getattr(mapping, "ids", None)
             if ids:
-                df.sparkSession.conf.set(
-                    "spark.sql.parquet.fieldId.write.enabled", "true"
-                )
+                _sess = df.sparkSession
+                _key = "spark.sql.parquet.fieldId.write.enabled"
+                _prior = _sess.conf.get(_key, None)
+                _sess.conf.set(_key, "true")
+
+                def restore_field_id() -> None:
+                    if _prior is None:
+                        _sess.conf.unset(_key)
+                    else:
+                        _sess.conf.set(_key, _prior)
+
             df = df.select(*[
                 df[c].alias(
                     mapping.get(c, c),
@@ -244,6 +255,9 @@ class DeltaTableWriter:
             # vacuum's log-candidates rule would never reclaim it
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        finally:
+            if restore_field_id is not None:
+                restore_field_id()
         staged: list[tuple[str, dict]] = []
         for dirpath, _dirs, files in os.walk(tmp):
             for fn in sorted(files):

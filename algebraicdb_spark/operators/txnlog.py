@@ -225,7 +225,20 @@ def _footer_stats(data_dir: str, cols: list[str]) -> dict:
     }
 
 
-def _cm_mapping(st) -> dict[str, str] | None:
+class _NameMapping(dict):
+    """'name'-mode column mapping: the dict part is the TOP-LEVEL
+    logical → physical rename (what partition handling and staging
+    keys by); ``st`` is the full pinned logical schema, whose NESTED
+    field metadata carries the subfield physicalNames the recursive
+    helpers below rewrite through (round 14 — nested + partitioned
+    mapped tables)."""
+
+    def __init__(self, rename: dict[str, str], st=None):
+        super().__init__(rename)
+        self.st = st
+
+
+def _cm_mapping(st) -> "_NameMapping | None":
     """logical column name → physical parquet column name, from the
     ``delta.columnMapping.physicalName`` field metadata a column-mapped
     table's schemaString carries (Delta column mapping, 'name' mode).
@@ -239,7 +252,112 @@ def _cm_mapping(st) -> dict[str, str] | None:
         for f in st.fields
         if f.metadata and "delta.columnMapping.physicalName" in f.metadata
     }
-    return mapping or None
+    return _NameMapping(mapping, st) if mapping else None
+
+
+def _cm_walk_struct_fields(dt, fn):
+    """Rebuild ``dt`` with every StructField (at any nesting depth,
+    including inside arrays and maps) passed through ``fn(field,
+    new_dataType) -> StructField``. The shared skeleton of the
+    physical-twin / cleaned-twin / id-read-twin builders — Delta
+    schemaStrings carry per-subfield columnMapping metadata at every
+    level, and faithful mapped reads must rewrite ALL of them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType):
+        return StructType([
+            fn(f, _cm_walk_struct_fields(f.dataType, fn)) for f in dt.fields
+        ])
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _cm_walk_struct_fields(dt.elementType, fn), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _cm_walk_struct_fields(dt.keyType, fn),
+            _cm_walk_struct_fields(dt.valueType, fn),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _cm_phys_type(dt):
+    """The PHYSICAL twin of a logical data type: every struct field at
+    every depth renamed to its ``delta.columnMapping.physicalName``
+    (identity when absent), metadata dropped — what the parquet files
+    of a 'name'-mode table actually contain. Totality is the gate's
+    job (``_check_name_mapping``), not this builder's."""
+    from pyspark.sql.types import StructField
+
+    def fn(f, new_dt):
+        return StructField(
+            (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            ),
+            new_dt, f.nullable,
+        )
+
+    return _cm_walk_struct_fields(dt, fn)
+
+
+def _cm_clean_type(dt):
+    """The logical data type with ``delta.columnMapping.*`` and
+    ``parquet.field.id`` metadata stripped at EVERY depth (other
+    nested metadata survives). Scans cast their renamed columns to
+    this twin — cast KEEPS the target type's nested metadata, so
+    casting to the raw logical type would bake physicalName/field-id
+    hints into downstream schemas (and poison a snapshot appended into
+    a new table, exactly like the flat case the round-11 comment
+    documents)."""
+    from pyspark.sql.types import StructField
+
+    def fn(f, new_dt):
+        clean = {
+            k: v for k, v in (f.metadata or {}).items()
+            if not k.startswith("delta.columnMapping.")
+            and k != "parquet.field.id"
+        }
+        return StructField(f.name, new_dt, f.nullable, clean)
+
+    return _cm_walk_struct_fields(dt, fn)
+
+
+def _cm_id_read_type(dt):
+    """The id-mode READ twin: logical names at every depth, each field
+    carrying ``parquet.field.id`` from its ``delta.columnMapping.id``
+    metadata — Spark's vectorized reader then matches parquet columns
+    (including NESTED ones) by footer field id, never by name."""
+    from pyspark.sql.types import StructField
+
+    def fn(f, new_dt):
+        md = {}
+        if f.metadata and "delta.columnMapping.id" in f.metadata:
+            md["parquet.field.id"] = int(f.metadata["delta.columnMapping.id"])
+        return StructField(f.name, new_dt, f.nullable, md)
+
+    return _cm_walk_struct_fields(dt, fn)
+
+
+def _cm_id_write_type(dt):
+    """The id-mode WRITE twin: PHYSICAL names at every depth, each
+    field carrying ``parquet.field.id`` — the schema staged parquet is
+    written under (``DataFrame.to`` attaches the nested metadata), so
+    the footers are matchable by the ids the mode says readers resolve
+    by."""
+    from pyspark.sql.types import StructField
+
+    def fn(f, new_dt):
+        md = {}
+        if f.metadata and "delta.columnMapping.id" in f.metadata:
+            md["parquet.field.id"] = int(f.metadata["delta.columnMapping.id"])
+        return StructField(
+            (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            ),
+            new_dt, f.nullable, md,
+        )
+
+    return _cm_walk_struct_fields(dt, fn)
 
 
 class _IdMapping(dict):
@@ -252,9 +370,10 @@ class _IdMapping(dict):
     ``spark.sql.parquet.fieldId.read.enabled``), never by name — the
     protocol's 'id' semantics, where a rename rewrites no file."""
 
-    def __init__(self, rename: dict[str, str], ids: dict[str, int]):
+    def __init__(self, rename: dict[str, str], ids: dict[str, int], st=None):
         super().__init__(rename)
         self.ids = ids
+        self.st = st
 
 
 def _cm_id_mapping(st) -> _IdMapping | None:
@@ -277,7 +396,7 @@ def _cm_id_mapping(st) -> _IdMapping | None:
         )
         for f in st.fields
     }
-    return _IdMapping(rename, ids)
+    return _IdMapping(rename, ids, st)
 
 
 def _assemble_groups(
@@ -354,7 +473,15 @@ def _assemble_groups(
                     "the parquet files carry no field ids — id-mode "
                     "matching is impossible; use a full Delta client"
                 )
-            spark.conf.set(
+            # scope the fieldId conf to a CLONED session (shared
+            # SparkContext, private SQLConf): the conf is consumed at
+            # scan execution via the relation's creating session, so a
+            # set-and-restore on the shared session would either leak
+            # (restore never) or break the lazy scan (restore now) —
+            # the clone does neither, and the caller's session keeps
+            # its own parquet matching semantics
+            scoped = spark.newSession()
+            scoped.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
             )
             read_st = StructType([
@@ -370,7 +497,7 @@ def _assemble_groups(
                 )
                 for f in st.fields
             ])
-            df = meta(spark.read.schema(read_st).parquet(*paths))
+            df = meta(scoped.read.schema(read_st).parquet(*paths))
             # strip mapping metadata on the way out, like the 'name'
             # branch: a snapshot appended into a NEW table must not
             # bake field-id/physicalName hints into that table

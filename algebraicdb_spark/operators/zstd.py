@@ -529,7 +529,7 @@ def _compressed_block(
     elif b0 < 255:
         n_seq, pos = ((b0 - 0x80) << 8) | mv[pos + 1], pos + 2
     else:
-        n_seq, pos = mv[pos + 1] | (mv[pos + 2] << 8) | 0x7F00, pos + 3
+        n_seq, pos = (mv[pos + 1] | (mv[pos + 2] << 8)) + 0x7F00, pos + 3
     modes = mv[pos]
     pos += 1
     if modes & 3:
