@@ -61,15 +61,20 @@ import uuid
 from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
 
 from algebraicdb_spark.operators.txnlog import (
     ConcurrentWriteError,
     DeltaLogTable,
     SchemaEvolutionError,
+    _cm_id_write_type,
+    _cm_phys_type,
     _hive_partition_values,
     _schema_fields,
     parse_schema_string,
 )
+
+_EMPTY_ST = StructType([])
 
 
 def _file_stats_json(fpath: str) -> str:
@@ -233,16 +238,62 @@ class DeltaTableWriter:
                     else:
                         _sess.conf.set(_key, _prior)
 
-            df = df.select(*[
-                df[c].alias(
+            # recursive rename to the PHYSICAL twin (round 14 —
+            # nested structs included): the pinned logical schema
+            # rides on the mapping (``mapping.st``); a column whose
+            # type contains structs positionally casts to the
+            # physical/id-write twin, flat columns alias-rename as
+            # before. Extra columns outside the schema (a cdc frame's
+            # _change_type) pass through under their own name.
+            st_by_name = {
+                f.name: f
+                for f in (getattr(mapping, "st", None) or _EMPTY_ST).fields
+            }
+            sel = []
+            write_fields = []
+            for c in df.columns:
+                f = st_by_name.get(c)
+                if f is None:
+                    sel.append(df[c])
+                    write_fields.append(
+                        StructField(c, df.schema[c].dataType, True)
+                    )
+                    continue
+                twin = (
+                    _cm_id_write_type(f.dataType)
+                    if ids else _cm_phys_type(f.dataType)
+                )
+                col = df[c]
+                if twin != f.dataType:
+                    col = col.cast(twin)
+                sel.append(col.alias(
                     mapping.get(c, c),
                     metadata=(
                         {"parquet.field.id": ids[c]}
                         if ids and c in ids else {}
                     ),
-                )
-                for c in df.columns
-            ])
+                ))
+                write_fields.append(StructField(
+                    mapping.get(c, c), twin, f.nullable,
+                    {"parquet.field.id": ids[c]}
+                    if ids and c in ids else {},
+                ))
+            df = df.select(*sel)
+            if ids and any(
+                _cm_id_write_type(f.dataType) != _cm_phys_type(f.dataType)
+                for f in st_by_name.values()
+            ):
+                # nested field ids: cast carries the twin's nested
+                # metadata only partially across writers — ``to()``
+                # pins the exact write schema (names, types AND
+                # nested parquet.field.id metadata) the footer must
+                # carry
+                df = df.to(StructType(write_fields))
+            # physical partition-dir names: the df is now in physical
+            # space, so partitionBy must be too (add actions then key
+            # partitionValues by physical name via the hive decode —
+            # Delta's convention for mapped tables)
+            partition_by = [mapping.get(c, c) for c in partition_by]
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         try:
             w = df.write.mode("errorifexists")
@@ -478,11 +529,12 @@ class DeltaTableWriter:
                 st_cm = parse_schema_string(
                     (meta or {}).get("schemaString"), self.path
                 )
-                no_phys = [
-                    f.name for f in (st_cm.fields if st_cm else [])
-                    if "delta.columnMapping.physicalName"
-                    not in (f.metadata or {})
-                ]
+                no_phys = (
+                    self.reader()._cm_unmapped_fields(
+                        st_cm, "delta.columnMapping.physicalName"
+                    )
+                    if st_cm is not None else []
+                )
                 if no_phys:
                     raise NotImplementedError(
                         f"{mutation} on {self.path}: 'id'-mode fields "
@@ -1122,6 +1174,56 @@ class DeltaTableWriter:
             raise
         return expected_version
 
+    def _cm_assign_new_fields(
+        self, new_fields: list, st, cur_meta: dict
+    ) -> tuple[list, dict]:
+        """Stamp fresh column-mapping identities onto an ALTER ADD
+        COLUMN's fields: each struct field at every depth gets the
+        next ``delta.columnMapping.id`` and a ``col-<uuid>``
+        physicalName (both keys in both modes, like full clients
+        emit). The id high-water mark is max(configuration's
+        maxColumnId, every id already in the schema) — a foreign
+        writer that under-recorded the config must not cause id
+        reuse. Returns (stamped fields, patched configuration)."""
+        from algebraicdb_spark.operators.txnlog import (
+            _cm_walk_struct_fields,
+        )
+
+        conf = cur_meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        conf = dict(conf)
+        seen: list[int] = [
+            int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+        ]
+
+        def collect(f, new_dt):
+            if f.metadata and "delta.columnMapping.id" in f.metadata:
+                seen.append(int(f.metadata["delta.columnMapping.id"]))
+            return StructField(f.name, new_dt, f.nullable, f.metadata)
+
+        _cm_walk_struct_fields(st, collect)
+        next_id = max(seen)
+
+        def stamp(f, new_dt):
+            nonlocal next_id
+            next_id += 1
+            return StructField(
+                f.name, new_dt, f.nullable,
+                {
+                    **(f.metadata or {}),
+                    "delta.columnMapping.id": next_id,
+                    "delta.columnMapping.physicalName":
+                        f"col-{uuid.uuid4()}",
+                },
+            )
+
+        stamped = list(
+            _cm_walk_struct_fields(StructType(new_fields), stamp).fields
+        )
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        return stamped, conf
+
     def evolve_add_column(
         self, name: str, ddl_type: str, max_retries: int = 8
     ) -> int:
@@ -1155,19 +1257,27 @@ class DeltaTableWriter:
                 raise ValueError(
                     f"ALTER TABLE: column {name!r} already exists"
                 )
+            new_fields = list(StructType.fromDDL(f"{name} {ddl_type}"))
+            conf_patch: dict[str, str] | None = None
             if self._cm_of(cur_meta):
-                raise NotImplementedError(
-                    f"ALTER TABLE on {self.path}: the table is "
-                    "column-mapped ('name' mode) — a new column needs "
-                    "a physical name and a maxColumnId bump; use a "
-                    "full Delta client"
+                # column-mapped evolution (round 14): the new column
+                # gets a FRESH physicalName (col-<uuid>, Delta's own
+                # convention — never reused, so a later drop+re-add
+                # can't resurrect old bytes) and the next field id,
+                # with maxColumnId bumped in the SAME metaData commit.
+                # Old files simply lack the new physical name / id, so
+                # scans NULL-backfill in both modes. Nested struct
+                # additions map every subfield the same way — the
+                # totality gates require it.
+                new_fields, conf_patch = self._cm_assign_new_fields(
+                    new_fields, st, cur_meta
                 )
-            widened = StructType(
-                st.fields + list(StructType.fromDDL(f"{name} {ddl_type}"))
-            )
+            widened = StructType(st.fields + new_fields)
             meta = self._evolved_meta(
                 cur_meta, widened.json(), self._cur_parts(cur_meta)
             )
+            if conf_patch is not None:
+                meta["metaData"]["configuration"] = conf_patch
             version = head + 1
             try:
                 self._publish(version, [

@@ -60,11 +60,27 @@ class SchemaEvolutionError(RuntimeError):
 
 
 def _schema_fields(schema_json: str) -> dict[str, str]:
-    """field name -> JSON-serialized type, from a StructType.json()."""
+    """field name -> JSON-serialized type, from a StructType.json().
+    Nested field METADATA is stripped before serializing: every use is
+    structural comparison (does the batch's shape match the pinned
+    schema?), and a column-mapped table's nested columnMapping
+    annotations — absent from any incoming batch — must not read as a
+    type change (round 14, nested mapped appends)."""
     import json as _json
 
+    def strip(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {"type": "struct", "fields": [
+                    {"name": f["name"], "type": strip(f["type"]),
+                     "nullable": f.get("nullable", True)}
+                    for f in t.get("fields", [])
+                ]}
+            return {k: strip(v) for k, v in t.items() if k != "metadata"}
+        return t
+
     doc = _json.loads(schema_json)
-    return {f["name"]: _json.dumps(f["type"]) for f in doc["fields"]}
+    return {f["name"]: _json.dumps(strip(f["type"])) for f in doc["fields"]}
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -399,6 +415,99 @@ def _cm_id_mapping(st) -> _IdMapping | None:
     return _IdMapping(rename, ids, st)
 
 
+def _mapped_scan(
+    spark: SparkSession,
+    paths: list[str],
+    fields: list,
+    mapping: dict[str, str],
+    with_metadata: bool,
+) -> DataFrame:
+    """Scan ``paths`` (column-mapped parquet) and surface ``fields``
+    under their LOGICAL names with cleaned metadata — the shared core
+    of the flat and partitioned mapped branches of
+    ``_assemble_groups``, nested-struct-aware (round 14).
+
+    'id' mode (``_IdMapping``): the read schema carries
+    ``parquet.field.id`` at EVERY depth (``_cm_id_read_type``) and a
+    cloned session enables fieldId matching — Spark's vectorized
+    reader resolves parquet columns, including nested ones, by footer
+    field id, never by name. 'name' mode: the read schema is the
+    recursive PHYSICAL twin (``_cm_phys_type``); top-level columns
+    rename back via alias, and any field whose type contains a struct
+    casts to the cleaned logical twin — a positional rename (Delta
+    field order is authoritative on both sides) that also strips the
+    ``delta.columnMapping.*`` / ``parquet.field.id`` hints cast would
+    otherwise bake into downstream schemas."""
+    from pyspark.sql.types import StructField, StructType
+
+    def needs_cast(dt) -> bool:
+        return _cm_clean_type(dt) != dt or _cm_phys_type(dt) != dt
+
+    def meta(df: DataFrame) -> DataFrame:
+        if not with_metadata:
+            return df
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    if isinstance(mapping, _IdMapping):
+        # one cheap footer probe refuses loudly when the files carry
+        # no ids at all — matching by name would be exactly the
+        # silent misread 'id' mode exists to prevent
+        import pyarrow.parquet as pq
+
+        probe = pq.ParquetFile(paths[0]).schema_arrow
+        if not any(
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in probe
+        ):
+            raise NotImplementedError(
+                f"{paths[0]}: delta.columnMapping.mode='id' but "
+                "the parquet files carry no field ids — id-mode "
+                "matching is impossible; use a full Delta client"
+            )
+        # scope the fieldId conf to a CLONED session (shared
+        # SparkContext, private SQLConf): the conf is consumed at
+        # scan execution via the relation's creating session, so a
+        # set-and-restore on the shared session would either leak
+        # (restore never) or break the lazy scan (restore now) —
+        # the clone does neither, and the caller's session keeps
+        # its own parquet matching semantics
+        scoped = spark.newSession()
+        scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # fields OUTSIDE the id map (e.g. a cdc file's _change_type)
+        # carry no id and match by name, Spark's own fallback
+        read_st = _cm_id_read_type(StructType(fields))
+        df = meta(scoped.read.schema(read_st).parquet(*paths))
+        src_name = {f.name: f.name for f in fields}
+    else:
+        # 'name' mode: the parquet files carry PHYSICAL names at
+        # every depth — read under the physical twin (reading under
+        # the logical schema would surface all-NULL columns, the
+        # exact silent corruption _check_readable guards)
+        phys_st = _cm_phys_type(StructType(fields))
+        df = meta(spark.read.schema(phys_st).parquet(*paths))
+        src_name = {
+            f.name: p.name
+            for f, p in zip(fields, phys_st.fields)
+        }
+    sel = []
+    for f in fields:
+        clean = {
+            k: v for k, v in (f.metadata or {}).items()
+            if not k.startswith("delta.columnMapping.")
+            and k != "parquet.field.id"
+        }
+        col = df[src_name[f.name]]
+        if needs_cast(f.dataType):
+            col = col.cast(_cm_clean_type(f.dataType))
+        sel.append(col.alias(f.name, metadata=clean))
+    if with_metadata:
+        sel += [df["__fp"], df["__pos"]]
+    return df.select(*sel)
+
+
 def _assemble_groups(
     spark: SparkSession,
     adds: list[tuple[str, dict]],
@@ -449,126 +558,59 @@ def _assemble_groups(
 
     if not part_cols:
         paths = [p for p, _pv in adds]
-        if st is not None and isinstance(mapping, _IdMapping):
-            # 'id'-mode column mapping: parquet columns resolve by
-            # FIELD ID (the footers' PARQUET:field_id), NEVER by name
-            # — Spark's own vectorized reader does the match when the
-            # read schema carries ``parquet.field.id`` metadata and
-            # fieldId reads are enabled, so the scan stays fully
-            # JVM-side and the fields surface under their LOGICAL
-            # names directly (no rename pass). One cheap footer probe
-            # refuses loudly when the files carry no ids at all —
-            # that's the narrowed round-13 gate (matching by name
-            # would be exactly the silent misread 'id' mode exists to
-            # prevent).
-            import pyarrow.parquet as pq
-
-            probe = pq.ParquetFile(paths[0]).schema_arrow
-            if not any(
-                (f.metadata or {}).get(b"PARQUET:field_id")
-                for f in probe
-            ):
-                raise NotImplementedError(
-                    f"{paths[0]}: delta.columnMapping.mode='id' but "
-                    "the parquet files carry no field ids — id-mode "
-                    "matching is impossible; use a full Delta client"
-                )
-            # scope the fieldId conf to a CLONED session (shared
-            # SparkContext, private SQLConf): the conf is consumed at
-            # scan execution via the relation's creating session, so a
-            # set-and-restore on the shared session would either leak
-            # (restore never) or break the lazy scan (restore now) —
-            # the clone does neither, and the caller's session keeps
-            # its own parquet matching semantics
-            scoped = spark.newSession()
-            scoped.conf.set(
-                "spark.sql.parquet.fieldId.read.enabled", "true"
-            )
-            read_st = StructType([
-                StructField(
-                    f.name, f.dataType, f.nullable,
-                    # fields OUTSIDE the id map (e.g. a cdc file's
-                    # _change_type) match by name, Spark's own
-                    # fallback for id-less requested fields
-                    metadata=(
-                        {"parquet.field.id": mapping.ids[f.name]}
-                        if f.name in mapping.ids else {}
-                    ),
-                )
-                for f in st.fields
-            ])
-            df = meta(scoped.read.schema(read_st).parquet(*paths))
-            # strip mapping metadata on the way out, like the 'name'
-            # branch: a snapshot appended into a NEW table must not
-            # bake field-id/physicalName hints into that table
-            sel = []
-            for f in st.fields:
-                clean = {
-                    k: v for k, v in (f.metadata or {}).items()
-                    if not k.startswith("delta.columnMapping.")
-                }
-                sel.append(df[f.name].alias(f.name, metadata=clean))
-            if with_metadata:
-                sel += [df["__fp"], df["__pos"]]
-            return df.select(*sel)
         if st is not None and mapping:
-            # column-mapped table ('name' mode): the parquet files
-            # carry PHYSICAL names — read under the physical twin of
-            # the pinned schema, then rename back to the logical names
-            # (reading under the logical schema would surface all-NULL
-            # columns, the exact silent corruption _check_readable
-            # guards). The rename STRIPS the delta.columnMapping.*
-            # field metadata: alias propagates metadata, and a
-            # snapshot appended into a NEW table would otherwise bake
-            # physicalName hints into that table's schemaString and
-            # poison ITS reads with names its files never had.
-            phys = StructType([
-                StructField(
-                    mapping.get(f.name, f.name), f.dataType, f.nullable
-                )
-                for f in st.fields
-            ])
-            df = meta(spark.read.schema(phys).parquet(*paths))
-            sel = []
-            for f in st.fields:
-                clean = {
-                    k: v for k, v in (f.metadata or {}).items()
-                    if not k.startswith("delta.columnMapping.")
-                }
-                sel.append(
-                    df[mapping.get(f.name, f.name)].alias(
-                        f.name, metadata=clean
-                    )
-                )
-            if with_metadata:
-                sel += [df["__fp"], df["__pos"]]
-            return df.select(*sel)
+            return _mapped_scan(
+                spark, paths, list(st.fields), mapping, with_metadata
+            )
         if st is not None:
             return meta(spark.read.schema(st).parquet(*paths))
         return meta(spark.read.parquet(*paths))
+    # Partitioned. Under column mapping (round 14): the log's
+    # metaData.partitionColumns carry LOGICAL names while each add's
+    # partitionValues are keyed by PHYSICAL name (Delta's convention —
+    # partition values ride the file actions, which live in physical
+    # space). Be liberal on BOTH: a partition column that isn't a
+    # logical schema field resolves through the inverse rename, and a
+    # value lookup falls back to the logical key — foreign writers
+    # disagree on this corner, and either way round-trips here.
+    inv = {v: k for k, v in (mapping or {}).items()}
+    st_names = {f.name for f in st.fields} if st else set()
+    part_l = [
+        c if (not mapping or c in st_names) else inv.get(c, c)
+        for c in part_cols
+    ]
+    part_p = [(mapping or {}).get(c, c) for c in part_l]
     types = {f.name: f.dataType for f in st.fields} if st else {}
-    data_st = (
-        StructType([f for f in st.fields if f.name not in part_cols])
-        if st
-        else None
+    data_fields = (
+        [f for f in st.fields if f.name not in part_l] if st else None
     )
     order = [f.name for f in st.fields] if st else None
     if order is not None and with_metadata:
         order = order + ["__fp", "__pos"]
     groups: dict[tuple, list[str]] = {}
     for p, pv in adds:
-        key = tuple((pv or {}).get(c) for c in part_cols)
+        pv = pv or {}
+        key = tuple(
+            pv.get(cp, pv.get(cl))
+            for cp, cl in zip(part_p, part_l)
+        )
         groups.setdefault(key, []).append(p)
     parts = []
     for key in sorted(
         groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
     ):
-        df = meta(
-            spark.read.schema(data_st).parquet(*groups[key])
-            if data_st is not None
-            else spark.read.parquet(*groups[key])
-        )
-        for c, v in zip(part_cols, key):
+        if st is not None and mapping:
+            df = _mapped_scan(
+                spark, groups[key], data_fields, mapping, with_metadata
+            )
+        elif data_fields is not None:
+            df = meta(
+                spark.read.schema(StructType(data_fields))
+                .parquet(*groups[key])
+            )
+        else:
+            df = meta(spark.read.parquet(*groups[key]))
+        for c, v in zip(part_l, key):
             lit = F.lit(v)  # values are string-serialized in the log
             # (null = missing); cast restores the declared column type
             lit = lit.cast(types[c]) if c in types else lit.cast("string")
@@ -2968,16 +3010,65 @@ class DeltaLogTable:
             "reader understands; use a full Delta client"
         )
 
-    def _check_name_mapping(self, meta: dict) -> None:
-        """The shapes 'name'-mode column mapping reads support here:
-        a TOTAL top-level mapping (every field carries its
-        physicalName) over a FLAT schema on an UNPARTITIONED table.
-        Nested structs would need per-subfield renames inside the
-        type, and a partitioned mapped table keys partitionColumns /
-        partitionValues by PHYSICAL name — both refuse loudly rather
-        than silently misread."""
+    @staticmethod
+    def _cm_unmapped_fields(st, key: str) -> list[str]:
+        """Dotted paths of struct fields (at ANY depth, including
+        inside arrays and maps) whose metadata lacks ``key`` — the
+        recursive totality walk both mapping-mode gates share. A
+        PARTIAL map at any depth must refuse before any scan: the
+        mapped reader would silently misread exactly those fields."""
         from pyspark.sql.types import ArrayType, MapType, StructType
 
+        missing: list[str] = []
+
+        def walk_dt(dt, prefix: str) -> None:
+            if isinstance(dt, StructType):
+                for f in dt.fields:
+                    path = f"{prefix}.{f.name}" if prefix else f.name
+                    if key not in (f.metadata or {}):
+                        missing.append(path)
+                    walk_dt(f.dataType, path)
+            elif isinstance(dt, ArrayType):
+                walk_dt(dt.elementType, prefix + ".element")
+            elif isinstance(dt, MapType):
+                walk_dt(dt.keyType, prefix + ".key")
+                walk_dt(dt.valueType, prefix + ".value")
+
+        walk_dt(st, "")
+        return missing
+
+    def _cm_check_partitions(self, meta: dict, st) -> None:
+        """Partitioned mapped tables are in scope (round 14) as long
+        as every partition column resolves to a schema field — the
+        scan normalizes the log's partitionColumns (logical per
+        Delta's convention, physical accepted too) and keys each add's
+        partitionValues by the field's physicalName (logical
+        fallback). A partition column naming NO field in either space
+        cannot be resolved and refuses."""
+        inv = {
+            (f.metadata or {}).get("delta.columnMapping.physicalName"): f
+            for f in st.fields
+        }
+        logical = {f.name for f in st.fields}
+        bad = [
+            c for c in (meta.get("partitionColumns") or [])
+            if c not in logical and c not in inv
+        ]
+        if bad:
+            raise NotImplementedError(
+                f"{self.path}: partition columns {bad} match no schema "
+                "field by logical OR physical name — partition values "
+                "cannot be resolved; use a full Delta client"
+            )
+
+    def _check_name_mapping(self, meta: dict) -> None:
+        """The shapes 'name'-mode column mapping reads support here
+        (widened round 14): a TOTAL mapping — every struct field at
+        EVERY depth carries its physicalName — on flat or NESTED
+        schemas, partitioned or not (scans rewrite subfield names
+        recursively via the ``_cm_phys_type``/``_cm_clean_type`` twins,
+        and partition columns/values normalize through the mapping).
+        Partial maps refuse loudly rather than silently misread."""
         st = parse_schema_string(meta.get("schemaString"), self.path)
         if st is None:
             raise NotImplementedError(
@@ -2985,10 +3076,9 @@ class DeltaLogTable:
                 "parseable schemaString — the physical names live in "
                 "the schema metadata; use a full Delta client"
             )
-        unmapped = [
-            f.name for f in st.fields
-            if "delta.columnMapping.physicalName" not in (f.metadata or {})
-        ]
+        unmapped = self._cm_unmapped_fields(
+            st, "delta.columnMapping.physicalName"
+        )
         if unmapped:
             raise NotImplementedError(
                 f"{self.path}: delta.columnMapping 'name' mode but "
@@ -2996,42 +3086,18 @@ class DeltaLogTable:
                 "rename would silently misread them; use a full Delta "
                 "client"
             )
-
-        def has_struct(dt) -> bool:
-            if isinstance(dt, StructType):
-                return True
-            if isinstance(dt, ArrayType):
-                return has_struct(dt.elementType)
-            if isinstance(dt, MapType):
-                return has_struct(dt.keyType) or has_struct(dt.valueType)
-            return False
-
-        nested = [f.name for f in st.fields if has_struct(f.dataType)]
-        if nested:
-            raise NotImplementedError(
-                f"{self.path}: delta.columnMapping over NESTED fields "
-                f"{nested} — subfield physical names are not rewritten "
-                "by this minimal reader; use a full Delta client"
-            )
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                f"{self.path}: delta.columnMapping on a PARTITIONED "
-                "table — partition columns and values are keyed by "
-                "physical name in the log, which this minimal reader "
-                "does not re-map; use a full Delta client"
-            )
+        self._cm_check_partitions(meta, st)
 
     def _check_id_mapping(self, meta: dict) -> None:
         """The shapes 'id'-mode column mapping reads support here
-        (round 13): a TOTAL top-level id map (every field carries
-        ``delta.columnMapping.id``) over a FLAT schema on an
-        UNPARTITIONED table — the same envelope as 'name' mode, with
-        the id metadata in place of physicalName (ids are what the
-        parquet footers are matched by; physicalName is only needed to
-        WRITE). Partial/nested/partitioned shapes refuse loudly rather
-        than silently misread."""
-        from pyspark.sql.types import ArrayType, MapType, StructType
-
+        (round 13, widened round 14): a TOTAL id map — every struct
+        field at EVERY depth carries ``delta.columnMapping.id`` — on
+        flat or NESTED schemas, partitioned or not (Spark's fieldId
+        matching resolves nested parquet columns once the read schema
+        carries the ids recursively, ``_cm_id_read_type``; partition
+        values live in the log and normalize through the mapping like
+        'name' mode). Partial id maps refuse loudly rather than
+        silently misread."""
         st = parse_schema_string(meta.get("schemaString"), self.path)
         if st is None:
             raise NotImplementedError(
@@ -3039,10 +3105,7 @@ class DeltaLogTable:
                 "parseable schemaString — the field ids live in the "
                 "schema metadata; use a full Delta client"
             )
-        unmapped = [
-            f.name for f in st.fields
-            if "delta.columnMapping.id" not in (f.metadata or {})
-        ]
+        unmapped = self._cm_unmapped_fields(st, "delta.columnMapping.id")
         if unmapped:
             raise NotImplementedError(
                 f"{self.path}: delta.columnMapping 'id' mode but "
@@ -3050,30 +3113,7 @@ class DeltaLogTable:
                 "a partial id map would silently misread them; use a "
                 "full Delta client"
             )
-
-        def has_struct(dt) -> bool:
-            if isinstance(dt, StructType):
-                return True
-            if isinstance(dt, ArrayType):
-                return has_struct(dt.elementType)
-            if isinstance(dt, MapType):
-                return has_struct(dt.keyType) or has_struct(dt.valueType)
-            return False
-
-        nested = [f.name for f in st.fields if has_struct(f.dataType)]
-        if nested:
-            raise NotImplementedError(
-                f"{self.path}: delta.columnMapping over NESTED fields "
-                f"{nested} — subfield ids are not resolved by this "
-                "minimal reader; use a full Delta client"
-            )
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                f"{self.path}: delta.columnMapping on a PARTITIONED "
-                "table — partition columns and values are keyed by "
-                "physical name in the log, which this minimal reader "
-                "does not re-map; use a full Delta client"
-            )
+        self._cm_check_partitions(meta, st)
 
     def _json_commit_actions(self, lo: int, hi: int | None):
         """Yield (version, [action-dict, ...]) for JSON commits in

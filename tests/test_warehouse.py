@@ -1781,18 +1781,19 @@ class TestDeltaColumnMappingReads:
         self._write_mapped(root2, schema=sch)
         with _pytest.raises(NotImplementedError, match="physicalName"):
             DeltaLogTable(root2).snapshot(spark)
-        # nested struct fields refuse
+        # TOTAL nested maps read since round 14
+        # (tests/test_round14_cm_shapes.py); a PARTIAL nested map — a
+        # subfield with no physicalName — still refuses, naming the
+        # dotted path
         sch2 = self._schema()
         sch2["fields"][1]["type"] = {
             "type": "struct",
             "fields": [{"name": "x", "type": "long", "nullable": True,
-                        "metadata": {
-                            "delta.columnMapping.physicalName": "col-x",
-                        }}],
+                        "metadata": {}}],
         }
         root3 = str(tmp_path / "cm_nested")
         self._write_mapped(root3, schema=sch2)
-        with _pytest.raises(NotImplementedError, match="NESTED"):
+        with _pytest.raises(NotImplementedError, match=r"v\.x"):
             DeltaLogTable(root3).snapshot(spark)
 
     def test_mapped_snapshot_does_not_poison_a_new_table(
@@ -1904,8 +1905,13 @@ class TestDeltaColumnMappingReads:
             )
         with _pytest.raises(NotImplementedError, match="column-mapped"):
             w.overwrite(df, w.latest_version() + 1)
-        with _pytest.raises(NotImplementedError, match="column-mapped"):
-            w.evolve_add_column("extra", "double")
+        # ALTER ADD COLUMN works on mapped tables since round 14: the
+        # new column gets a fresh physicalName + the next field id
+        # (tests/test_round14_cm_shapes.py pins the commit shape)
+        w.evolve_add_column("extra", "double")
+        assert "extra" in [
+            f.name for f in w.reader().table_schema().fields
+        ]
         # deletion-vector MoR writes refuse (cow handles mapped)
         with _pytest.raises(NotImplementedError, match="cow"):
             w.delete(spark, "k = 1", mode="mor")
