@@ -518,19 +518,54 @@ class IcebergTable:
     def _check_parquet(self, df: dict, kind: str) -> None:
         fmt = str(df.get("file_format", "PARQUET")).upper()
         if fmt == "PUFFIN":
-            # format-version 3 deletion vectors: position deletes
-            # packed as roaring bitmaps in a puffin blob — scanning
-            # around them would resurrect deleted rows
+            # position-delete Puffin entries (v3 deletion vectors)
+            # route to the DV decoder before this check (round 14) —
+            # a puffin DATA or EQUALITY-delete file has no defined
+            # meaning and refuses
             raise NotImplementedError(
                 f"{self.path}: puffin {kind} file "
-                f"({df.get('file_path')}) — format-version 3 deletion "
-                "vectors are not decoded by this reader yet; use a "
-                "full Iceberg client"
+                f"({df.get('file_path')}) — only deletion-vector "
+                "position deletes live in puffin files; corrupt or "
+                "unsupported layout"
             )
         if fmt != "PARQUET":
             raise NotImplementedError(
                 f"{self.path}: {fmt} {kind} file — parquet scans only"
             )
+
+    def _dv_positions_map(
+        self,
+        dvs: list[tuple[str, str | None, int | None, int | None]],
+    ) -> dict[str, list[int]]:
+        """referenced data-file URI → deleted positions for a
+        snapshot's live deletion vectors (v3). Entries carrying the
+        manifest address (referenced_data_file + content_offset)
+        decode exactly one blob; entries without fall back to the
+        Puffin footer index. Two different live DVs for one data file
+        are corrupt (the v3 single-DV rule) and refuse."""
+        from algebraicdb_spark.operators.deletion_vectors import (
+            puffin_dv_positions,
+            puffin_dvs,
+        )
+
+        out: dict[str, list[int]] = {}
+
+        def put(ref: str, pos: list[int]) -> None:
+            if ref in out and sorted(out[ref]) != sorted(pos):
+                raise ValueError(
+                    f"{self.path}: two different deletion vectors "
+                    f"reference {ref} — at most one DV per data file "
+                    "may be live (corrupt metadata)"
+                )
+            out[ref] = pos
+
+        for fpath, ref, offset, size in dvs:
+            if ref is not None and offset is not None:
+                put(ref, puffin_dv_positions(fpath, int(offset), size))
+            else:
+                for r, pos in puffin_dvs(fpath).items():
+                    put(r, pos)
+        return out
 
     @staticmethod
     def _entry_seq(entry: dict, status: int, m_seq: int | None) -> int | None:
@@ -571,6 +606,7 @@ class IcebergTable:
         data: list[tuple[str, str, int | None]] = []
         pos_deletes: set[str] = set()
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+        dvs: list[tuple[str, str | None, int | None, int | None]] = []
         for mpath, _sid, m_content, m_seq in self._manifests(snap):
             for entry in AvroFileReader(mpath).records:
                 status = self._check_status(entry)
@@ -622,6 +658,20 @@ class IcebergTable:
                             f"{self.path}: entry with data_file.content="
                             f"{content} inside a DELETE manifest — corrupt"
                         )
+                    if str(df.get("file_format", "")).upper() == "PUFFIN":
+                        # format-version 3 deletion vector (round 14):
+                        # a roaring blob in a Puffin file, targeted at
+                        # ONE data file — decoded and applied like
+                        # position deletes. The v3 manifest entry
+                        # carries the blob address; entries without it
+                        # fall back to the Puffin footer index.
+                        dvs.append((
+                            self._resolve(df["file_path"]),
+                            df.get("referenced_data_file"),
+                            df.get("content_offset"),
+                            df.get("content_size_in_bytes"),
+                        ))
+                        continue
                     self._check_parquet(df, "position delete")
                     pos_deletes.add(self._resolve(df["file_path"]))
         # fold duplicate (path, uri) listings across manifests (an
@@ -643,7 +693,15 @@ class IcebergTable:
             (p, u, s)
             for (p, u), s in sorted(by_file.items())
         ]
-        return folded, sorted(pos_deletes), sorted(set(eq_deletes))
+        # fold duplicate DV listings (ADDED + carried EXISTING); two
+        # DIFFERENT live DVs per entry key are corrupt by the v3 rule
+        # "at most one DV per data file" — but that check needs the
+        # referenced uri, which the footer fallback resolves later, so
+        # here we only dedup exact entries
+        dvs_folded = sorted(set(dvs), key=lambda t: (
+            t[0], t[1] or "", t[2] or -1, t[3] or -1
+        ))
+        return folded, sorted(pos_deletes), sorted(set(eq_deletes)), dvs_folded
 
     # iceberg "single-value binary serialization" (the spec's bound
     # encoding in manifest lower_bounds/upper_bounds), per type
@@ -1002,8 +1060,8 @@ class IcebergTable:
         [(col, lo, hi), …] through the manifest-side tiers (identity
         partition values, then decoded lower/upper bounds) — what an
         Iceberg client's scan planning does before reading a byte."""
-        data, pos_deletes, eq_deletes = self._files(snapshot_id)
-        if pos_deletes or eq_deletes:
+        data, pos_deletes, eq_deletes, dvs = self._files(snapshot_id)
+        if pos_deletes or eq_deletes or dvs:
             raise ValueError(
                 f"{self.path}: snapshot carries delete files — the live "
                 "rows are not expressible as a raw file list (scanning "
@@ -1170,6 +1228,7 @@ class IcebergTable:
         removed: list[str] = []
         pos_d: list[str] = []
         eq_d: list[tuple[str, tuple[int, ...]]] = []
+        dv_added: list[tuple[str, str | None, int | None, int | None]] = []
         for mpath, m_sid, _m_content, _m_seq in self._manifests(snap):
             for entry in AvroFileReader(mpath).records:
                 e_sid = entry.get("snapshot_id")
@@ -1197,6 +1256,14 @@ class IcebergTable:
                     elif status == _DELETED:
                         removed.append(self._resolve(df["file_path"]))
                 elif status == _ADDED and content == 1:
+                    if str(df.get("file_format", "")).upper() == "PUFFIN":
+                        dv_added.append((
+                            self._resolve(df["file_path"]),
+                            df.get("referenced_data_file"),
+                            df.get("content_offset"),
+                            df.get("content_size_in_bytes"),
+                        ))
+                        continue
                     self._check_parquet(df, "position delete")
                     pos_d.append(self._resolve(df["file_path"]))
                 elif status == _ADDED and content == 2:
@@ -1212,7 +1279,7 @@ class IcebergTable:
                         (self._resolve(df["file_path"]),
                          tuple(int(i) for i in ids))
                     )
-        return added, removed, pos_d, eq_d
+        return added, removed, pos_d, eq_d, dv_added
 
     def changes_cdf(
         self,
@@ -1269,13 +1336,16 @@ class IcebergTable:
             op = summ.get("operation", "append")
             if op == "replace":
                 continue
-            added, removed, pos_d, eq_d = self._snapshot_delta(snap)
-            if not (added or removed or pos_d or eq_d):
+            added, removed, pos_d, eq_d, dv_added = (
+                self._snapshot_delta(snap)
+            )
+            if not (added or removed or pos_d or eq_d or dv_added):
                 continue
             gone = [
                 p for p in (
                     [a for a, _u in added] + removed + pos_d
                     + [p for p, _i in eq_d]
+                    + [p for p, _r, _o, _s in dv_added]
                 )
                 if not os.path.exists(p)
             ]
@@ -1305,7 +1375,7 @@ class IcebergTable:
                 spark.read.parquet(*[p for p, _u in added])
                 if added else None
             )
-            if pos_d or eq_d:
+            if pos_d or eq_d or dv_added:
                 parent = snap.get("parent-snapshot-id")
                 if parent is None:
                     raise ValueError(
@@ -1313,6 +1383,71 @@ class IcebergTable:
                         "files but no parent — preimages are "
                         "underivable; rebuild from snapshot()"
                     )
+                if dv_added:
+                    # v3 deletion-vector flip: the commit replaced a
+                    # data file's DV with a superset — the preimages
+                    # are exactly the NEWLY deleted positions (new DV
+                    # minus the parent snapshot's DV for the same
+                    # file). Decoding both sides driver-side keeps
+                    # this O(changed positions) in metadata plus ONE
+                    # bounded scan of just the referenced files.
+                    new_map = self._dv_positions_map(dv_added)
+                    old_map = self._dv_positions_map(
+                        self._files(parent)[3]
+                    )
+                    flip_rows: list[tuple[str, int]] = []
+                    for uri, new_pos in new_map.items():
+                        old = set(old_map.get(uri, []))
+                        new = set(new_pos)
+                        if not old <= new:
+                            raise ValueError(
+                                f"{self.path}: snapshot {sid} replaced "
+                                f"the DV for {uri} with a NON-superset "
+                                "— that resurrects deleted rows, which "
+                                "the v3 spec forbids; corrupt history"
+                            )
+                        flip_rows += [(uri, p) for p in sorted(new - old)]
+                    if flip_rows:
+                        uris = sorted({u for u, _p in flip_rows})
+                        resolved = [self._resolve(u) for u in uris]
+                        missing = [p for p in resolved
+                                   if not os.path.exists(p)]
+                        if missing:
+                            raise ValueError(
+                                f"{self.path}: deletion vectors "
+                                f"reference reclaimed files "
+                                f"({missing[:3]}…) — consume within "
+                                "retention"
+                            )
+                        dels = spark.createDataFrame(
+                            flip_rows, "__uri string, __pos long"
+                        )
+                        src = spark.read.parquet(*resolved).select(
+                            "*",
+                            F.col("_metadata.file_path").alias("__fp"),
+                            F.col("_metadata.row_index").alias("__pos"),
+                        )
+                        stripped = F.regexp_replace(
+                            F.col("__fp"),
+                            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?", "",
+                        )
+                        src = src.withColumn(
+                            "__lp",
+                            F.url_decode(
+                                F.regexp_replace(stripped, r"\+", "%2B")
+                            ),
+                        )
+                        lp_map = spark.createDataFrame(
+                            list(zip(resolved, uris)),
+                            "__lp string, __uri string",
+                        )
+                        pre = (
+                            src.join(F.broadcast(lp_map), "__lp", "inner")
+                            .join(F.broadcast(dels), ["__uri", "__pos"],
+                                  "inner")
+                            .drop("__fp", "__lp", "__uri", "__pos")
+                        )
+                        frames.append(tag(pre, pre_l))
                 if pos_d:
                     dels = spark.read.parquet(*pos_d).select(
                         F.col("file_path").alias("__uri"),
@@ -1470,7 +1605,7 @@ class IcebergTable:
 
         A raw path list for a snapshot with any deletes refuses
         (``live_paths``) — scanning it would resurrect deleted rows."""
-        data, pos_deletes, eq_deletes = self._files(snapshot_id)
+        data, pos_deletes, eq_deletes, dvs = self._files(snapshot_id)
         if not data:
             raise ValueError(
                 f"iceberg table {self.path} has no data files at snapshot "
@@ -1486,7 +1621,7 @@ class IcebergTable:
                 return spark.read.parquet(data[0][0]).limit(0)
             data = pruned
         paths = [p for p, _u, _s in data]
-        if not pos_deletes and not eq_deletes:
+        if not pos_deletes and not eq_deletes and not dvs:
             return spark.read.parquet(*paths)
         from pyspark.sql import functions as F
 
@@ -1537,11 +1672,28 @@ class IcebergTable:
             c for c in df.columns if c not in ("__fp", "__pos", "__lp")
         ]
         df = df.join(F.broadcast(mapping), "__lp", "inner")
+        del_frames = []
         if pos_deletes:
-            dels = spark.read.parquet(*pos_deletes).select(
+            del_frames.append(spark.read.parquet(*pos_deletes).select(
                 F.col("file_path").alias("__uri"),
                 F.col("pos").cast("long").alias("__pos"),
-            )
+            ))
+        if dvs:
+            # v3 deletion vectors: driver-decoded roaring positions
+            # (a DV is KBs of metadata, same budget as the Delta DV
+            # path) joined exactly like position-delete rows
+            rows = [
+                (u, int(p))
+                for u, ps in self._dv_positions_map(dvs).items()
+                for p in ps
+            ]
+            del_frames.append(spark.createDataFrame(
+                rows, "__uri string, __pos long"
+            ))
+        if del_frames:
+            dels = del_frames[0]
+            for extra in del_frames[1:]:
+                dels = dels.unionByName(extra)
             df = df.join(dels, ["__uri", "__pos"], "left_anti")
         if eq_deletes:
             df = apply_equality_strata(

@@ -710,11 +710,15 @@ _PART_AVRO = {"int": "int", "long": "long", "string": "string",
               "boolean": "boolean"}
 
 
-def _manifest_schema(part_fields: list[dict]) -> dict:
+def _manifest_schema(part_fields: list[dict], fv: int = 2) -> dict:
     """The v2 manifest-entry schema with the TABLE's partition record
     (``r102``) — empty for unpartitioned tables, one nullable field
     per identity partition column otherwise (each manifest embeds its
-    own writer schema, so per-table shapes interop fine)."""
+    own writer schema, so per-table shapes interop fine). ``fv >= 3``
+    widens ``data_file`` with the v3 fields this writer emits: row
+    lineage (``first_row_id``, spec field 142) and the deletion-vector
+    address (``referenced_data_file`` / ``content_offset`` /
+    ``content_size_in_bytes``, fields 143-145)."""
     import copy
 
     schema = copy.deepcopy(_MANIFEST_SCHEMA)
@@ -723,6 +727,27 @@ def _manifest_schema(part_fields: list[dict]) -> dict:
         {"name": f["name"], "type": ["null", _PART_AVRO[str(f["type"])]]}
         for f in part_fields
     ]
+    if fv >= 3:
+        schema["fields"][4]["type"]["fields"] += [
+            {"name": "first_row_id", "type": ["null", "long"]},
+            {"name": "referenced_data_file", "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes", "type": ["null", "long"]},
+        ]
+    return schema
+
+
+def _ml_schema(fv: int = 2) -> dict:
+    """The manifest-list schema; ``fv >= 3`` appends the nullable
+    ``first_row_id`` row-lineage field (spec field 520)."""
+    import copy
+
+    if fv < 3:
+        return _MANIFEST_LIST_SCHEMA
+    schema = copy.deepcopy(_MANIFEST_LIST_SCHEMA)
+    schema["fields"].append(
+        {"name": "first_row_id", "type": ["null", "long"]}
+    )
     return schema
 
 
@@ -1387,21 +1412,42 @@ class IcebergTableWriter:
             self._unstage(staged)
             raise
 
-    def _check_fv_writable(self, cur: dict | None) -> None:
-        """WRITES to format-version 3 tables refuse (round 13 accepts
-        v3 for READS): v3 commits must maintain next-row-id and assign
-        first-row-id row lineage to new data files — bookkeeping this
-        v2-semantics writer does not produce, and committing without
-        it silently breaks every lineage-aware v3 reader. One gate at
-        each of the four publish chokepoints covers every mutation."""
+    def _check_fv_writable(
+        self, cur: dict | None, rewrites_rows: bool = False
+    ) -> None:
+        """The format-version write gate. v3 commits are supported
+        since round 14 for the shapes whose ROW LINEAGE this writer
+        can maintain faithfully: appends / CTAS / overwrite assign
+        fresh row ids (snapshot ``first-row-id``, per-file
+        ``first_row_id``, table ``next-row-id`` — rows are NEW, so
+        fresh ids are the spec's answer), metadata-only commits carry
+        the lineage state through, and MoR deletes touch no data row
+        at all. What still refuses is any commit that REWRITES
+        existing rows into new files (COW DELETE/UPDATE/MERGE,
+        OPTIMIZE compaction): v3 requires the rewritten rows to KEEP
+        their ``_row_id``, which means materializing the lineage
+        column into the restaged parquet — machinery this writer does
+        not have, and assigning fresh ids instead would silently
+        corrupt every lineage consumer. fv > 3 refuses outright."""
         fv = int((cur or {}).get("format-version", 2) or 2)
-        if fv >= 3:
+        if fv > 3:
             raise NotImplementedError(
-                f"{self.path}: format-version {fv} table — this "
-                "writer commits v2 snapshots (no row-lineage / "
-                "next-row-id maintenance); reads and time travel "
-                "work; mutate with a full Iceberg client"
+                f"{self.path}: format-version {fv} is newer than this "
+                "writer understands; use a full Iceberg client"
             )
+        if fv >= 3 and rewrites_rows:
+            raise NotImplementedError(
+                f"{self.path}: format-version 3 commit that rewrites "
+                "existing rows — v3 row lineage requires rewritten "
+                "rows to keep their _row_id (a materialized lineage "
+                "column this writer does not produce); appends, "
+                "merge-on-read deletes, and metadata commits work; "
+                "use a full Iceberg client for COW rewrites"
+            )
+
+    @staticmethod
+    def _fv_of(cur: dict | None) -> int:
+        return int((cur or {}).get("format-version", 2) or 2)
 
     def _publish(
         self,
@@ -1448,28 +1494,47 @@ class IcebergTableWriter:
         # min/max, silently dropping matching files. Only the
         # table-creating first commit takes the batch's own ids.
         bound_fields = self._cur_fields(cur) if cur is not None else fields
+        # format-version 3 row lineage (round 14): this snapshot
+        # reserves the id range [next-row-id, next-row-id + added
+        # rows); each ADDED data file records its first_row_id
+        # EXPLICITLY (readers may also inherit from the manifest-list
+        # row, but explicit ids survive manifest rewrites), the
+        # manifest-list row and snapshot record the range start, and
+        # the table's next-row-id advances past the range.
+        fv = self._fv_of(cur)
+        first_row = (
+            int((cur or {}).get("next-row-id", 0) or 0)
+            if fv >= 3 else None
+        )
+        row_cursor = first_row
         entries = []
         for p, rows, size, pv in staged:
             lo_b, hi_b = _footer_bounds(p, bound_fields)
+            dfile = {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                # per-column [min, max] from the footers — the
+                # stats every Iceberg planner data-skips on
+                "lower_bounds": lo_b,
+                "upper_bounds": hi_b,
+            }
+            if fv >= 3:
+                dfile["first_row_id"] = row_cursor
+                row_cursor += rows
             entries.append({
                 "status": 1,
                 "snapshot_id": snap_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": pv,
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    # per-column [min, max] from the footers — the
-                    # stats every Iceberg planner data-skips on
-                    "lower_bounds": lo_b,
-                    "upper_bounds": hi_b,
-                },
+                "data_file": dfile,
             })
-        AvroFileWriter.write(mpath, _manifest_schema(part_fields), entries)
+        AvroFileWriter.write(
+            mpath, _manifest_schema(part_fields, fv=fv), entries
+        )
         n_rows = sum(r for _p, r, _b, _pv in staged)
         new_entry = {
             "manifest_path": mpath,
@@ -1487,6 +1552,8 @@ class IcebergTableWriter:
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
+        if fv >= 3:
+            new_entry["first_row_id"] = first_row
         carried: list[dict] = []
         if parent is not None:
             prev = next(
@@ -1506,7 +1573,7 @@ class IcebergTableWriter:
             self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
         )
         AvroFileWriter.write(
-            ml_path, _MANIFEST_LIST_SCHEMA, carried + [new_entry]
+            ml_path, _ml_schema(fv), carried + [new_entry]
         )
         new_snap = {
             "snapshot-id": snap_id,
@@ -1519,10 +1586,12 @@ class IcebergTableWriter:
                         **(extra_summary or {})},
             "schema-id": 0,
         }
+        if fv >= 3:
+            new_snap["first-row-id"] = first_row
         if parent is not None:
             new_snap["parent-snapshot-id"] = parent
         md = {
-            "format-version": 2,
+            "format-version": fv,
             "table-uuid": (cur or {}).get("table-uuid")
             or str(uuid.uuid4()),
             "location": self.path,
@@ -1553,6 +1622,13 @@ class IcebergTableWriter:
             + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
             "metadata-log": list((cur or {}).get("metadata-log") or []),
         }
+        if fv >= 3:
+            md["next-row-id"] = first_row + n_rows
+            # additive v3 metadata this writer doesn't interpret
+            # (e.g. the upgrade-era row-lineage flag) carries through
+            for k in ("row-lineage",):
+                if cur is not None and k in cur:
+                    md[k] = cur[k]
         target = os.path.join(
             self.meta_dir, f"v{base_v + 1}.metadata.json"
         )
@@ -1617,6 +1693,9 @@ class IcebergTableWriter:
             "added_rows_count": r.get("added_rows_count", 0) or 0,
             "existing_rows_count": r.get("existing_rows_count", 0) or 0,
             "deleted_rows_count": r.get("deleted_rows_count", 0) or 0,
+            # v3 row lineage: preserved verbatim when present; the
+            # v2 writer schema simply omits the field
+            "first_row_id": r.get("first_row_id"),
         }
 
     def _cow_scope(
@@ -1639,14 +1718,15 @@ class IcebergTableWriter:
         # v3 write gate runs HERE — before any probe or staging — so a
         # refused mutation leaks nothing (_publish_mutation's own gate
         # is the backstop)
-        self._check_fv_writable(cur)
+        self._check_fv_writable(cur, rewrites_rows=True)
         spec_parts = self._cur_spec(cur)
-        data, pos_d, eq_d = rdr._files(None)
-        if pos_d or eq_d:
+        data, pos_d, eq_d, dvs = rdr._files(None)
+        if pos_d or eq_d or dvs:
             raise NotImplementedError(
-                f"{self.path}: COW mutation under live position/equality "
-                "delete files needs their ordering applied mid-rewrite — "
-                "run optimize() (the purge pass) first"
+                f"{self.path}: COW mutation under live "
+                "position/equality delete files or deletion vectors "
+                "needs their ordering applied mid-rewrite — run "
+                "optimize() (the purge pass) first"
             )
         return data, spec_parts
 
@@ -1682,21 +1762,26 @@ class IcebergTableWriter:
         }
 
     def _mor_scope(
-        self, rdr
+        self, rdr, dv_writer: bool = False
     ) -> tuple[
         list[tuple[str, str, int | None]],
         list[str],
         list[tuple[str, int, tuple[int, ...]]],
+        list[tuple[str, str | None, int | None, int | None]],
     ]:
         """Gate + live sets for a MERGE-ON-READ mutation: (data
-        entries, live position-delete paths, live equality deletes).
-        Position-delete files are partition-scoped under a partition
-        spec, which this writer does not emit — partitioned tables
-        take the COW path. Live equality deletes are APPLIED by the
-        probe (``_live_identity`` mirrors the reader's stratum joins),
-        so an upsert-then-mutate history composes; data files with no
-        resolvable sequence under a live equality delete refuse
-        through the reader's own rule at scan time."""
+        entries, live position-delete paths, live equality deletes,
+        live deletion vectors). Position-delete files are
+        partition-scoped under a partition spec, which this writer
+        does not emit — partitioned tables take the COW path. Live
+        equality deletes are APPLIED by the probe (``_live_identity``
+        mirrors the reader's stratum joins), so an upsert-then-mutate
+        history composes; data files with no resolvable sequence under
+        a live equality delete refuse through the reader's own rule at
+        scan time. ``dv_writer`` marks the one caller (the v3 DV
+        DELETE path) that replaces live DVs instead of splitting a
+        file's delete state across tiers — every other MoR mutation
+        refuses under live DVs."""
         cur = rdr.meta
         self._check_fv_writable(cur)  # pre-staging, like _cow_scope
         if self._cur_spec(cur):
@@ -1705,7 +1790,23 @@ class IcebergTableWriter:
                 "table — position-delete files are partition-scoped "
                 "under a spec this writer does not emit; use mode='cow'"
             )
-        data, pos_d, eq_d = rdr._files(None)
+        fv = self._fv_of(cur)
+        if fv >= 3 and not dv_writer:
+            raise NotImplementedError(
+                f"{self.path}: format-version 3 merge-on-read "
+                "UPDATE/MERGE — v3 forbids new position-delete files "
+                "and row lineage should survive updates; DELETE "
+                "(which writes deletion vectors) and COW-free appends "
+                "work; use a full Iceberg client"
+            )
+        data, pos_d, eq_d, dvs = rdr._files(None)
+        if dvs and not dv_writer:
+            raise NotImplementedError(
+                f"{self.path}: merge-on-read mutation under live v3 "
+                "deletion vectors — this writer emits v2 position "
+                "deletes and must not split a file's delete state "
+                "across tiers; use a full Iceberg client"
+            )
         if eq_d:
             unseq = [p for p, _u, s in data if s is None]
             if unseq:
@@ -1715,7 +1816,7 @@ class IcebergTableWriter:
                     "number — ordering them is impossible; use a full "
                     "Iceberg client"
                 )
-        return data, pos_d, eq_d
+        return data, pos_d, eq_d, dvs
 
     def _live_identity(
         self,
@@ -1819,6 +1920,11 @@ class IcebergTableWriter:
         re-probes on the new head)."""
         self._check_fv_writable(cur)
         now_ms = int(time.time() * 1000)
+        fv = self._fv_of(cur)
+        first_row = (
+            int(cur.get("next-row-id", 0) or 0) if fv >= 3 else None
+        )
+        row_cursor = first_row
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
@@ -1834,7 +1940,7 @@ class IcebergTableWriter:
                 f"iceberg table {self.path} has no current snapshot "
                 "to mutate — append a first batch"
             )
-        mschema = _manifest_schema(part_fields or [])
+        mschema = _manifest_schema(part_fields or [], fv=fv)
         cur_fields = self._cur_fields(cur)
         written: list[str] = []
         try:
@@ -1855,28 +1961,37 @@ class IcebergTableWriter:
                 mp = os.path.join(
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
                 )
+                nonlocal row_cursor
+                m_first_row = row_cursor if file_content == 0 else None
                 entries = []
                 for p, rows, size, pv in staged:
                     lo_b, hi_b = (
                         _footer_bounds(p, cur_fields)
                         if file_content == 0 else (None, None)
                     )
+                    dfile = {
+                        "content": file_content,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": pv if part_fields else {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        "lower_bounds": lo_b,
+                        "upper_bounds": hi_b,
+                        "equality_ids": eq_ids,
+                    }
+                    if fv >= 3 and file_content == 0:
+                        # v3 row lineage: the upsert's data batch
+                        # reserves fresh row ids (the delete side
+                        # names existing rows and gets none)
+                        dfile["first_row_id"] = row_cursor
+                        row_cursor += rows
                     entries.append({
                         "status": 1,
                         "snapshot_id": snap_id,
                         "sequence_number": seq,
                         "file_sequence_number": seq,
-                        "data_file": {
-                            "content": file_content,
-                            "file_path": p,
-                            "file_format": "PARQUET",
-                            "partition": pv if part_fields else {},
-                            "record_count": rows,
-                            "file_size_in_bytes": size,
-                            "lower_bounds": lo_b,
-                            "upper_bounds": hi_b,
-                            "equality_ids": eq_ids,
-                        },
+                        "data_file": dfile,
                     })
                 AvroFileWriter.write(mp, mschema, entries)
                 written.append(mp)
@@ -1896,6 +2011,9 @@ class IcebergTableWriter:
                     "added_rows_count": n,
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
+                    "first_row_id": (
+                        m_first_row if fv >= 3 else None
+                    ),
                 })
 
             if data_staged:
@@ -1905,7 +2023,7 @@ class IcebergTableWriter:
             ml_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
-            AvroFileWriter.write(ml_path, _MANIFEST_LIST_SCHEMA, new_rows)
+            AvroFileWriter.write(ml_path, _ml_schema(fv), new_rows)
             written.append(ml_path)
             new_snap = {
                 "snapshot-id": snap_id,
@@ -1916,6 +2034,277 @@ class IcebergTableWriter:
                 "schema-id": cur.get("current-schema-id", 0),
                 "parent-snapshot-id": parent,
             }
+            if fv >= 3:
+                new_snap["first-row-id"] = first_row
+            md = dict(cur)
+            if fv >= 3:
+                md["next-row-id"] = row_cursor
+            md["last-sequence-number"] = seq
+            md["last-updated-ms"] = now_ms
+            md["current-snapshot-id"] = snap_id
+            md["snapshots"] = snaps + [new_snap]
+            md["snapshot-log"] = list(
+                cur.get("snapshot-log") or []
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+            target = os.path.join(
+                self.meta_dir, f"v{base_v + 1}.metadata.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(md, f)
+            except FileExistsError as exc:
+                raise ConcurrentWriteError(
+                    f"iceberg metadata v{base_v + 1} already committed "
+                    "by another writer — rebase and retry"
+                ) from exc
+        except ConcurrentWriteError:
+            for p in written:
+                if os.path.exists(p):
+                    os.unlink(p)
+            raise
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(base_v + 1))
+        os.replace(tmp, hint)
+        return snap_id
+
+    def _delete_mor_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int,
+        primed: tuple[int, dict] | None = None,
+    ) -> dict:
+        """The format-version 3 DELETE body (round 14): matched row
+        ordinals land in a PUFFIN deletion-vector file — v3's native
+        delete shape (v3 forbids new position-delete files). Per the
+        spec's one-DV-per-file rule, the commit REPLACES each touched
+        file's vector with the superset union and re-records untouched
+        files' vectors (their bytes stay where they are — only the
+        manifest entries move into the new DV manifest). O(deleted
+        rows) committed, zero data rewrite, zero row-id churn — the
+        one mutation shape whose v3 row lineage is trivially correct,
+        because no surviving row moves."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            base_v, cur = primed or self._current()
+            primed = None
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "delete from"
+                )
+            rdr = self.reader()
+            data, pos_d, eq_d, dvs = self._mor_scope(rdr, dv_writer=True)
+            if not data:
+                return {"version": None, "rows_deleted": 0,
+                        "delete_files": 0}
+            old_map = rdr._dv_positions_map(dvs)
+            live = self._live_identity(spark, data, pos_d, eq_d, rdr)
+            if old_map:
+                dv_dels = spark.createDataFrame(
+                    [(u, int(p)) for u, ps in old_map.items()
+                     for p in ps],
+                    "__uri string, __pos long",
+                )
+                live = live.join(
+                    F.broadcast(dv_dels), ["__uri", "__pos"], "left_anti"
+                )
+            matched = (
+                live.where(F.expr(predicate))
+                .select("__uri", "__pos").collect()
+            )
+            if not matched:
+                return {"version": None, "rows_deleted": 0,
+                        "delete_files": 0}
+            touched: dict[str, set[int]] = {}
+            for r in matched:
+                touched.setdefault(r["__uri"], set()).add(int(r["__pos"]))
+            new_dvs = {
+                u: sorted(set(old_map.get(u, [])) | ps)
+                for u, ps in touched.items()
+            }
+            try:
+                snap_id = self._publish_mor_dv(
+                    base_v, cur, rdr, dvs, new_dvs, old_map,
+                    {"deleted-records": str(len(matched)),
+                     "added-delete-files": "1"},
+                )
+                return {"version": snap_id,
+                        "rows_deleted": len(matched),
+                        "delete_files": 1}
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"iceberg v3 dv delete lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
+    def _publish_mor_dv(
+        self,
+        base_v: int,
+        cur: dict,
+        rdr: IcebergTable,
+        live_dvs: list[tuple[str, str | None, int | None, int | None]],
+        new_dvs: dict[str, list[int]],
+        old_map: dict[str, list[int]],
+        extra_summary: dict[str, str],
+    ) -> int:
+        """Publish one v3 DV-delete snapshot: a fresh Puffin file for
+        the touched files' unioned vectors, ONE new DV manifest
+        re-recording every live vector (touched → the new blob,
+        untouched → their original blob addresses), data manifests
+        carried verbatim, prior all-DV delete manifests dropped
+        (replaced). Mixed delete manifests (DV + parquet entries in
+        one file) refuse — rewriting a foreign manifest's non-DV
+        entries is a full client's job."""
+        from algebraicdb_spark.operators.deletion_vectors import (
+            puffin_footer,
+            write_puffin_dv_file,
+        )
+
+        now_ms = int(time.time() * 1000)
+        fv = self._fv_of(cur)
+        seq = int(cur.get("last-sequence-number", 0)) + 1
+        snaps = list(cur.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=1000) + 1
+        parent = cur.get("current-snapshot-id")
+        prev = next(
+            (s for s in snaps if s["snapshot-id"] == parent), None
+        )
+        if prev is None:
+            raise ValueError(
+                f"iceberg table {self.path} has no current snapshot "
+                "to mutate — append a first batch"
+            )
+        # untouched vectors: (ref uri -> original blob address)
+        untouched: dict[str, tuple[str, int, int]] = {}
+        for fpath, ref, off, sz in live_dvs:
+            if ref is not None and off is not None:
+                if ref not in new_dvs:
+                    untouched[ref] = (fpath, int(off), int(sz or 0))
+            else:
+                for blob in puffin_footer(fpath).get("blobs", []):
+                    if blob.get("type") != "deletion-vector-v1":
+                        continue
+                    r = (blob.get("properties") or {}).get(
+                        "referenced-data-file"
+                    )
+                    if r and r not in new_dvs:
+                        untouched[r] = (
+                            fpath, int(blob["offset"]),
+                            int(blob.get("length") or 0),
+                        )
+        written: list[str] = []
+        try:
+            puffin = os.path.join(
+                self.data_dir, f"dv-{snap_id}-{uuid.uuid4().hex}.puffin"
+            )
+            locs = write_puffin_dv_file(
+                puffin, new_dvs, snapshot_id=snap_id,
+                sequence_number=seq,
+            )
+            written.append(puffin)
+            entries = []
+
+            def dv_entry(ref, fpath, off, ln, card):
+                entries.append({
+                    "status": 1, "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1, "file_path": fpath,
+                        "file_format": "PUFFIN", "partition": {},
+                        "record_count": card,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "lower_bounds": None, "upper_bounds": None,
+                        "referenced_data_file": ref,
+                        "content_offset": off,
+                        "content_size_in_bytes": ln,
+                    },
+                })
+
+            for ref in sorted(new_dvs):
+                off, ln = locs[ref]
+                dv_entry(ref, puffin, off, ln, len(new_dvs[ref]))
+            for ref in sorted(untouched):
+                fpath, off, ln = untouched[ref]
+                dv_entry(ref, fpath, off, ln,
+                         len(old_map.get(ref, [])))
+            dv_m = os.path.join(
+                self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
+            )
+            AvroFileWriter.write(
+                dv_m, _manifest_schema([], fv=fv), entries
+            )
+            written.append(dv_m)
+            new_rows = []
+            for r in AvroFileReader(
+                rdr._resolve(prev["manifest-list"])
+            ).records:
+                if r.get("content", 0) == 0:
+                    new_rows.append(self._carry_row(r))
+                    continue
+                # delete manifest: drop if all-DV (replaced), carry
+                # if no-DV, refuse if mixed
+                m_entries = AvroFileReader(
+                    rdr._resolve(r["manifest_path"])
+                ).records
+                fmts = {
+                    str(e["data_file"].get("file_format", "")).upper()
+                    for e in m_entries
+                }
+                if fmts <= {"PUFFIN"}:
+                    continue
+                if "PUFFIN" in fmts:
+                    raise NotImplementedError(
+                        f"{self.path}: delete manifest "
+                        f"{r['manifest_path']} mixes deletion vectors "
+                        "with parquet delete files — rewriting its "
+                        "non-DV entries is a full Iceberg client's job"
+                    )
+                new_rows.append(self._carry_row(r))
+            n_dv_rows = sum(len(v) for v in new_dvs.values()) + sum(
+                len(old_map.get(r, [])) for r in untouched
+            )
+            new_rows.append({
+                "manifest_path": dv_m,
+                "manifest_length": os.path.getsize(dv_m),
+                "partition_spec_id": cur.get("default-spec-id", 0),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_dv_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
+            ml_path = os.path.join(
+                self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+            )
+            AvroFileWriter.write(ml_path, _ml_schema(fv), new_rows)
+            written.append(ml_path)
+            new_snap = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": ml_path,
+                "summary": {"operation": "delete", **extra_summary},
+                "schema-id": cur.get("current-schema-id", 0),
+                "parent-snapshot-id": parent,
+            }
+            if fv >= 3:
+                # a delete adds no rows: the snapshot still records
+                # its (empty) reserved range and the high-water mark
+                # carries through unchanged
+                new_snap["first-row-id"] = int(
+                    cur.get("next-row-id", 0) or 0
+                )
             md = dict(cur)
             md["last-sequence-number"] = seq
             md["last-updated-ms"] = now_ms
@@ -1972,7 +2361,7 @@ class IcebergTableWriter:
                     "delete from"
                 )
             rdr = self.reader()
-            data, pos_d, eq_d = self._mor_scope(rdr)
+            data, pos_d, eq_d, _dvs = self._mor_scope(rdr)
             if not data:
                 return {"version": None, "rows_deleted": 0,
                         "delete_files": 0}
@@ -2107,7 +2496,7 @@ class IcebergTableWriter:
             # subsequent read refuse — bricking the table for this
             # engine (OPTIMIZE could not recover it either: the purge
             # scan hits the same refusal)
-            data_now, _pos, _eq = rdr._files(None)
+            data_now, _pos, _eq, _dvs = rdr._files(None)
             unseq = [p for p, _u, s in data_now if s is None]
             if unseq:
                 raise NotImplementedError(
@@ -2258,6 +2647,15 @@ class IcebergTableWriter:
         from pyspark.sql import functions as F
 
         primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._fv_of(primed[1]) >= 3 \
+                and mode != "cow":
+            # format-version 3: deletes write deletion vectors — v3's
+            # native shape — regardless of the mode knob (COW would
+            # rewrite rows and lose lineage; an explicit mode='cow'
+            # surfaces that gate's own refusal)
+            return self._delete_mor_dv(
+                spark, predicate, max_retries, primed=primed
+            )
         if primed[1] is not None and self._resolved_mode(
             primed[1], mode, "delete"
         ) == "mor":
@@ -2341,7 +2739,7 @@ class IcebergTableWriter:
                     f"iceberg table {self.path} has no commits to update"
                 )
             rdr = self.reader()
-            data, pos_d, eq_d = self._mor_scope(rdr)
+            data, pos_d, eq_d, _dvs = self._mor_scope(rdr)
             if not data:
                 return {"version": None, "rows_updated": 0,
                         "delete_files": 0}
@@ -2534,7 +2932,7 @@ class IcebergTableWriter:
                     "merge into"
                 )
             rdr = self.reader()
-            data, pos_d, eq_d = self._mor_scope(rdr)
+            data, pos_d, eq_d, _dvs = self._mor_scope(rdr)
             tgt = (
                 self._live_identity(
                     spark, data, pos_d, eq_d, rdr
@@ -2891,7 +3289,7 @@ class IcebergTableWriter:
         exactly the corruption the round-12 gate refused). Only the
         ADDED manifest (the restaged rewrites) uses the default
         spec."""
-        self._check_fv_writable(cur)
+        self._check_fv_writable(cur, rewrites_rows=True)
         now_ms = int(time.time() * 1000)
         part_fields = [
             {"name": sf["name"], "type": sf["vtype"]}
@@ -3139,8 +3537,8 @@ class IcebergTableWriter:
             if cur is None:
                 return None
             rdr = self.reader()
-            _d, live_pos, live_eq = rdr._files(None)
-            if live_pos or live_eq:
+            _d, live_pos, live_eq, live_dvs = rdr._files(None)
+            if live_pos or live_eq or live_dvs:
                 # PURGE pass: rewrite the MoR-applied content
                 # (snapshot() applies position AND equality
                 # deletes) and drop the delete manifests —
@@ -3221,9 +3619,9 @@ class IcebergTableWriter:
             # _publish_mutation; the purged content restages under the
             # default spec — after the purge the table is single-spec
             # in practice (all live files belong to the default)
-            self._check_fv_writable(cur)  # pre-staging
+            self._check_fv_writable(cur, rewrites_rows=True)  # pre-staging
             spec_parts = self._cur_spec(cur)
-            data, pos_d, eq_d = rdr._files(None)
+            data, pos_d, eq_d, dvs = rdr._files(None)
             src = rdr.snapshot(spark)  # MoR-applied content
             if zorder_by:
                 from algebraicdb_spark.operators.txnlog import (

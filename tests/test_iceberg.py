@@ -1575,7 +1575,7 @@ class TestIcebergMergeOnRead:
             _json.dump(md, f)
         w.delete(spark, "k = 1")  # auto → MoR via the iceberg property
         t = IcebergTable(w.path)
-        _d, pos, _e = t._files(None)
+        _d, pos, _e, _dv = t._files(None)
         assert len(pos) == 1
         assert t.snapshot(spark).count() == 9
 
@@ -1590,7 +1590,7 @@ class TestIcebergMergeOnRead:
         sid = w.optimize(spark, target_files=2)
         assert sid is not None
         t = IcebergTable(w.path)
-        data, pos, eq = t._files(None)
+        data, pos, eq, _dv = t._files(None)
         assert pos == [] and eq == []
         assert len(data) <= 2
         after = {
@@ -1705,7 +1705,7 @@ class TestIcebergMergeOnRead:
         # purge drops BOTH delete kinds, content identical
         assert w.optimize(spark, target_files=1) is not None
         t = IcebergTable(w.path)
-        _d, pos, eq = t._files(None)
+        _d, pos, eq, _dv = t._files(None)
         assert pos == [] and eq == []
         assert {
             (x["k"], x["v"]) for x in t.snapshot(spark).collect()
@@ -1844,7 +1844,7 @@ class TestIcebergCowMutation:
         assert snaps[res["version"]]["summary"]["operation"] == "delete"
         # the partial file was REPLACED (DELETED + rewrite under the
         # new sequence); the untouched third file carries verbatim
-        data, _pd, _ed = t._files(None)
+        data, _pd, _ed, _dv = t._files(None)
         seqs = sorted(s for _p, _u, s in data)
         assert seqs == [3, 4]  # file3 keeps seq 3; rewrite takes seq 4
         # NULL predicate keeps rows (SQL DELETE semantics)

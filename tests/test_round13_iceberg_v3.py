@@ -86,9 +86,13 @@ class TestV3Reads:
 
 
 class TestV3DeletionVectors:
-    def test_puffin_dv_refuses_with_a_specific_message(
+    def test_puffin_data_file_still_refuses(
         self, spark, tmp_path
     ):
+        """DV position deletes DECODE since round 14
+        (tests/test_round14_iceberg_dv.py); what remains refused is a
+        puffin file in a spot the spec gives no meaning — here, as a
+        DATA file."""
         w = _v3_table(spark, tmp_path, name="dv")
         rdr = IcebergTable(w.path)
         base_v, cur = w._current()
@@ -102,7 +106,7 @@ class TestV3DeletionVectors:
             "status": 1, "snapshot_id": sid,
             "sequence_number": seq, "file_sequence_number": seq,
             "data_file": {
-                "content": 1,
+                "content": 0,
                 "file_path": os.path.join(w.path, "data", "dv.puffin"),
                 "file_format": "PUFFIN",
                 "partition": {}, "record_count": 2,
@@ -121,7 +125,7 @@ class TestV3DeletionVectors:
         AvroFileWriter.write(ml, _MANIFEST_LIST_SCHEMA, carried + [{
             "manifest_path": dv_m,
             "manifest_length": os.path.getsize(dv_m),
-            "partition_spec_id": 0, "content": 1,
+            "partition_spec_id": 0, "content": 0,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": sid,
             "added_files_count": 1, "existing_files_count": 0,
@@ -145,7 +149,7 @@ class TestV3DeletionVectors:
             os.path.join(w.meta_dir, "version-hint.text"), "w"
         ) as f:
             f.write(str(base_v + 1))
-        with pytest.raises(NotImplementedError, match="puffin"):
+        with pytest.raises(NotImplementedError, match="puffin data"):
             IcebergTable(w.path).snapshot(spark)
         # time travel BELOW the DV snapshot still reads fine
         first = md["snapshots"][0]["snapshot-id"]
@@ -155,24 +159,26 @@ class TestV3DeletionVectors:
 
 
 class TestV3WriteGate:
-    def test_every_mutation_refuses(self, spark, tmp_path):
+    def test_row_rewriting_mutations_refuse(self, spark, tmp_path):
+        """Round 14 narrowed the v3 write gate: appends / DV deletes /
+        metadata commits / upserts work (row lineage maintained,
+        tests/test_round14_iceberg_v3_writes.py); what refuses is any
+        commit that REWRITES existing rows into new files — their
+        _row_id would not survive."""
         w = _v3_table(spark, tmp_path, name="wg")
-        batch = spark.createDataFrame([(99, 99.0)], "k long, v double")
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            w.append(batch)
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            w.delete(spark, "k = 1")
-        with pytest.raises(NotImplementedError, match="row-lineage"):
+        pre = [
+            f for f in os.listdir(os.path.join(w.path, "data"))
+            if f.endswith(".parquet")
+        ]
+        with pytest.raises(NotImplementedError, match="rewrites"):
             w.update(spark, {"v": "v + 1"}, "k = 1")
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            w.upsert_by_key(spark, batch, ["k"])
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            w.set_properties({"owner": "x"})
-        with pytest.raises(NotImplementedError, match="row-lineage"):
+        with pytest.raises(NotImplementedError, match="rewrites"):
             w.optimize(spark)
-        # nothing leaked into the table dir from the refused appends
+        with pytest.raises(NotImplementedError, match="rewrites"):
+            w.delete(spark, "k = 1", mode="cow")
+        # nothing leaked into the table dir from the refused rewrites
         staged = [
             f for f in os.listdir(os.path.join(w.path, "data"))
             if f.endswith(".parquet")
         ]
-        assert len(staged) == 2  # the two committed appends only
+        assert staged == pre

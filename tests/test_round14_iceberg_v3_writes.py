@@ -1,0 +1,201 @@
+"""Round 14: Iceberg format-version 3 WRITES (round-13 verdict missing
+item 3) — the shapes whose row lineage this writer maintains
+faithfully:
+
+- appends / CTAS-on-v3 assign row ids: the snapshot records
+  ``first-row-id``, each added data file records an EXPLICIT
+  ``first_row_id``, the manifest-list row carries the range start,
+  and the table's ``next-row-id`` advances by the added row count;
+- DELETE writes Puffin deletion vectors (v3's native delete — v3
+  forbids new position-delete files), REPLACING each touched file's
+  vector with the superset union per the one-DV-per-file rule;
+- keyed upserts ride equality deletes + a lineage-assigned data batch;
+- metadata-only commits carry the lineage state through verbatim;
+- COW rewrites (UPDATE / OPTIMIZE / explicit mode='cow' DELETE) refuse
+  — rewritten rows must keep their ``_row_id``, which needs a
+  materialized lineage column this writer does not produce.
+"""
+
+import json
+import os
+
+import pytest
+
+from algebraicdb_spark.operators.deletion_vectors import puffin_dvs
+from algebraicdb_spark.operators.iceberg import (
+    AvroFileReader,
+    IcebergTable,
+)
+from algebraicdb_spark.operators.iceberg_writer import IcebergTableWriter
+
+
+def _v3_table(spark, tmp_path, name, rows=4):
+    root = str(tmp_path / name)
+    w = IcebergTableWriter(root)
+    w.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(rows)], "k long, v double",
+    ).coalesce(1))
+    base_v, cur = w._current()
+    md = dict(cur)
+    md["format-version"] = 3
+    md["next-row-id"] = rows
+    with open(os.path.join(w.meta_dir, f"v{base_v + 1}.metadata.json"),
+              "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(w.meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(base_v + 1))
+    return w
+
+
+def _current_snap(t):
+    cur = t.meta
+    return next(s for s in cur["snapshots"]
+                if s["snapshot-id"] == cur["current-snapshot-id"])
+
+
+class TestV3AppendLineage:
+    def test_append_assigns_row_ids(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "a")
+        w.append(spark.createDataFrame(
+            [(10 + i, 10.0 + i) for i in range(3)], "k long, v double",
+        ).repartition(2))
+        t = IcebergTable(w.path)
+        assert t.meta["format-version"] == 3
+        assert int(t.meta["next-row-id"]) == 7
+        snap = _current_snap(t)
+        assert int(snap["first-row-id"]) == 4
+        # per-file explicit first_row_id, cumulative in range [4, 7)
+        ml = AvroFileReader(t._resolve(snap["manifest-list"])).records
+        new_rows = [r for r in ml if r["added_snapshot_id"]
+                    == snap["snapshot-id"]]
+        assert new_rows and new_rows[0]["first_row_id"] == 4
+        entries = AvroFileReader(
+            t._resolve(new_rows[0]["manifest_path"])).records
+        firsts = sorted(
+            (e["data_file"]["first_row_id"],
+             e["data_file"]["record_count"])
+            for e in entries
+        )
+        cursor = 4
+        for fr, rc in firsts:
+            assert fr == cursor
+            cursor += rc
+        assert cursor == 7
+        assert t.snapshot(spark).count() == 7
+
+    def test_second_append_continues_the_range(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "b")
+        w.append(spark.createDataFrame([(10, 10.0)], "k long, v double"))
+        w.append(spark.createDataFrame([(11, 11.0)], "k long, v double"))
+        t = IcebergTable(w.path)
+        assert int(t.meta["next-row-id"]) == 6
+        assert int(_current_snap(t)["first-row-id"]) == 5
+
+    def test_metadata_commit_preserves_lineage_state(
+        self, spark, tmp_path
+    ):
+        w = _v3_table(spark, tmp_path, "m")
+        w.set_properties({"owner": "x"})
+        t = IcebergTable(w.path)
+        assert t.meta["format-version"] == 3
+        assert int(t.meta["next-row-id"]) == 4
+        assert t.meta["properties"]["owner"] == "x"
+
+    def test_v4_still_refuses(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "v4")
+        base_v, cur = w._current()
+        md = dict(cur)
+        md["format-version"] = 4
+        with open(os.path.join(
+            w.meta_dir, f"v{base_v + 1}.metadata.json"), "w",
+        ) as f:
+            json.dump(md, f)
+        with open(os.path.join(w.meta_dir, "version-hint.text"),
+                  "w") as f:
+            f.write(str(base_v + 1))
+        with pytest.raises(NotImplementedError, match="format-version 4"):
+            w.append(spark.createDataFrame([(9, 9.0)],
+                                           "k long, v double"))
+
+
+class TestV3DvDeletes:
+    def test_delete_writes_a_puffin_dv(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "d")
+        res = w.delete(spark, "k IN (1, 3)")
+        assert res["rows_deleted"] == 2
+        t = IcebergTable(w.path)
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [
+            0, 2]
+        data, pos_d, eq_d, dvs = t._files(None)
+        assert not pos_d and not eq_d and len(dvs) == 1
+        fpath, ref, off, sz = dvs[0]
+        assert fpath.endswith(".puffin") and ref and off is not None
+        # the blob index agrees with the manifest address
+        assert puffin_dvs(fpath) == {ref: [1, 3]}
+        # row count unchanged in lineage terms
+        assert int(t.meta["next-row-id"]) == 4
+        assert int(_current_snap(t)["first-row-id"]) == 4
+
+    def test_second_delete_unions_the_vector(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "u")
+        w.delete(spark, "k = 1")
+        res2 = w.delete(spark, "k = 2")
+        assert res2["rows_deleted"] == 1  # k=1 already gone, not double
+        t = IcebergTable(w.path)
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [
+            0, 3]
+        _d, _p, _e, dvs = t._files(None)
+        assert len(dvs) == 1  # ONE live DV for the file — superset
+        assert puffin_dvs(dvs[0][0])[dvs[0][1]] == [1, 2]
+
+    def test_delete_feeds_changes_cdf(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "c")
+        pre = IcebergTable(w.path).current_snapshot_id()
+        w.delete(spark, "k = 1")
+        res2 = w.delete(spark, "k = 3")
+        t = IcebergTable(w.path)
+        feed = t.changes_cdf(spark, pre)
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in feed.collect()
+        ) == [(1, "delete"), (3, "delete")]
+        # the second window alone sees only the flip
+        feed2 = t.changes_cdf(spark, res2["version"] - 1)
+        assert [(r["k"], r["_change_type"]) for r in feed2.collect()] \
+            == [(3, "delete")]
+
+    def test_matched_nothing_is_a_no_op(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "n")
+        res = w.delete(spark, "k = 99")
+        assert res == {"version": None, "rows_deleted": 0,
+                       "delete_files": 0}
+
+    def test_multi_file_delete_one_puffin(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "mf")
+        w.append(spark.createDataFrame(
+            [(10 + i, 10.0 + i) for i in range(3)], "k long, v double",
+        ).coalesce(1))
+        res = w.delete(spark, "k IN (0, 11)")
+        assert res["rows_deleted"] == 2 and res["delete_files"] == 1
+        t = IcebergTable(w.path)
+        assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [
+            1, 2, 3, 10, 12]
+        _d, _p, _e, dvs = t._files(None)
+        assert len(dvs) == 2  # one vector per touched data file
+        assert len({f for f, _r, _o, _s in dvs}) == 1  # one shared blob
+
+
+class TestV3Upserts:
+    def test_upsert_assigns_lineage_to_the_batch(self, spark, tmp_path):
+        w = _v3_table(spark, tmp_path, "up")
+        res = w.upsert_by_key(
+            spark,
+            spark.createDataFrame([(1, 100.0), (9, 9.0)],
+                                  "k long, v double"),
+            ["k"],
+        )
+        assert res["version"] is not None
+        t = IcebergTable(w.path)
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got[1] == 100.0 and got[9] == 9.0 and len(got) == 5
+        assert int(t.meta["next-row-id"]) == 6  # +2 batch rows
+        assert int(_current_snap(t)["first-row-id"]) == 4
