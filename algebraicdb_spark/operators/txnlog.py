@@ -2760,12 +2760,14 @@ class DeltaLogTable:
             others = sorted(
                 f for f in os.listdir(self.log_dir) if f.startswith(stem)
             )
-            # V2 checkpoint: exactly one extra dot-token (the uuid),
-            # parquet coded — multipart names carry TWO numeric tokens
-            # and were resolved above
+            # V2 checkpoint: exactly one extra dot-token (the uuid).
+            # The spec allows the main file in either container —
+            # parquet or JSON-lines (same actions); sidecars are
+            # always parquet. Multipart names carry TWO numeric
+            # tokens and were resolved above.
             v2 = [
                 f for f in others
-                if f.endswith(".parquet") and f.count(".") == 3
+                if f.endswith((".parquet", ".json")) and f.count(".") == 3
             ]
             if v2:
                 main = os.path.join(self.log_dir, sorted(v2)[-1])
@@ -2773,8 +2775,9 @@ class DeltaLogTable:
             if others:
                 raise NotImplementedError(
                     f"unsupported checkpoint layout {others} at version {c} "
-                    "— JSON-format v2 checkpoints are not replayed by this "
-                    "reader; use a full Delta client"
+                    "— this reader replays classic, multipart, and "
+                    "V2/UUID (parquet or JSON) checkpoints only; use a "
+                    "full Delta client"
                 )
             raise ValueError(
                 f"_last_checkpoint names version {c} but {missing} "
@@ -2789,17 +2792,9 @@ class DeltaLogTable:
         spec, absolute URIs strip their scheme; a referenced part that
         is MISSING refuses loudly (its add/remove state is simply
         gone, and folding without it silently truncates the table)."""
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(main)
-        if "sidecar" not in pf.schema_arrow.names:
-            return []
         out: list[str] = []
-        for row in (
-            pq.read_table(main, columns=["sidecar"])
-            .column("sidecar").to_pylist()
-        ):
-            if row is None or not row.get("path"):
+        for row in self._cp_rows(main, "sidecar"):
+            if not row.get("path"):
                 continue
             rel = str(row["path"])
             if "://" in rel:
@@ -2825,6 +2820,43 @@ class DeltaLogTable:
             out.append(p)
         return out
 
+    def _cp_rows(self, path: str, key: str) -> list[dict]:
+        """Non-null rows of one top-level action ``key`` from one
+        checkpoint part, container-agnostic: parquet parts
+        column-prune through pyarrow; a JSON-lines part (the spec's
+        alternate V2 main-file container — same actions, different
+        coding) parses each line and pulls the key. Missing columns /
+        absent actions yield []. This is the one seam every replay
+        consumer (adds fold, tombstones, protocol/metaData, txn marks,
+        schema, sidecar pointers) reads checkpoints through."""
+        if path.endswith(".json"):
+            out = []
+            try:
+                with open(path) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        row = json.loads(line).get(key)
+                        if row is not None:
+                            out.append(row)
+            except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+                raise ValueError(
+                    f"{path}: JSON-format checkpoint part is not valid "
+                    "JSON-lines — corrupt, or a misnamed binary file"
+                ) from exc
+            return out
+        import pyarrow.parquet as pq
+
+        if key not in pq.ParquetFile(path).schema_arrow.names:
+            return []
+        return [
+            row
+            for row in pq.read_table(path, columns=[key])
+            .column(key).to_pylist()
+            if row is not None
+        ]
+
     def _checkpoint_adds_full(
         self, cp: dict | None = None
     ) -> list[tuple[str, dict, dict | None, str | None]]:
@@ -2833,17 +2865,12 @@ class DeltaLogTable:
         string or None) tuples (paths still URL-encoded,
         root-relative). One column-pruned read serves every fold —
         real checkpoints materialize ``stats`` in the add rows, which
-        is what keeps data skipping alive past a cleaned JSON prefix."""
-        import pyarrow.parquet as pq
-
+        is what keeps data skipping alive past a cleaned JSON prefix.
+        A v2 main file may hold only metadata + sidecar pointers — its
+        adds live in the sidecars."""
         adds: list[tuple[str, dict, dict | None, str | None]] = []
         for p in self._checkpoint_files(cp):
-            if "add" not in pq.ParquetFile(p).schema_arrow.names:
-                continue  # a v2 main file may hold only metadata +
-                # sidecar pointers — its adds live in the sidecars
-            for row in pq.read_table(p, columns=["add"]).column("add").to_pylist():
-                if row is None:
-                    continue
+            for row in self._cp_rows(p, "add"):
                 pv = row.get("partitionValues") or {}
                 if isinstance(pv, list):
                     # pyarrow surfaces parquet MAP columns as [(k, v)]
@@ -2860,17 +2887,10 @@ class DeltaLogTable:
         can still honor retention after the JSON prefix is cleaned).
         Tolerates checkpoints without a ``remove`` column (tombstones
         already expired, or a minimal writer)."""
-        import pyarrow.parquet as pq
-
         out: list[dict] = []
         for p in self._checkpoint_files(cp):
-            pf = pq.ParquetFile(p)
-            if "remove" not in pf.schema_arrow.names:
-                continue
-            for row in (
-                pq.read_table(p, columns=["remove"]).column("remove").to_pylist()
-            ):
-                if row is not None and row.get("path"):
+            for row in self._cp_rows(p, "remove"):
+                if row.get("path"):
                     out.append(row)
         return out
 
@@ -2929,22 +2949,10 @@ class DeltaLogTable:
         lo = 0
         if cp is not None and (as_of is None or as_of >= cp["version"]):
             for fp in self._checkpoint_files(cp):
-                pf = pq.ParquetFile(fp)
-                cols = [
-                    c for c in ("protocol", "metaData")
-                    if c in pf.schema_arrow.names
-                ]
-                if not cols:
-                    continue
-                tbl = pq.read_table(fp, columns=cols)
-                for c in cols:
-                    for row in tbl.column(c).to_pylist():
-                        if row is None:
-                            continue
-                        if c == "protocol":
-                            proto = row
-                        else:
-                            meta = row
+                for row in self._cp_rows(fp, "protocol"):
+                    proto = row
+                for row in self._cp_rows(fp, "metaData"):
+                    meta = row
             lo = cp["version"] + 1
         for _v, actions in self._json_commit_actions(lo, as_of):
             for a in actions:
@@ -3316,13 +3324,8 @@ class DeltaLogTable:
         lo = 0
         if cp is not None:
             for fp in self._checkpoint_files(cp):
-                pf = pq.ParquetFile(fp)
-                if "txn" not in pf.schema_arrow.names:
-                    continue
-                for row in (
-                    pq.read_table(fp, columns=["txn"]).column("txn").to_pylist()
-                ):
-                    if row is not None and row.get("appId") is not None:
+                for row in self._cp_rows(fp, "txn"):
+                    if row.get("appId") is not None:
                         take(row["appId"], row["version"])
             lo = cp["version"] + 1
         for _v, actions in self._json_commit_actions(lo, None):
@@ -3349,21 +3352,13 @@ class DeltaLogTable:
         Pinning the read matters for the same reason as in
         ``TxnLogTable``: an externally-evolved table read raw resolves
         to whichever file's footer Spark samples."""
-        import pyarrow.parquet as pq
-
         doc = None
         cp = self._cp
         lo = 0
         if cp is not None and (as_of is None or as_of >= cp["version"]):
             for fp in self._checkpoint_files(cp):
-                pf = pq.ParquetFile(fp)
-                if "metaData" not in pf.schema_arrow.names:
-                    continue  # checkpoint without a metaData column
-                col = pq.read_table(fp, columns=["metaData"]).column(
-                    "metaData"
-                )
-                for row in col.to_pylist():
-                    if row is not None and row.get("schemaString"):
+                for row in self._cp_rows(fp, "metaData"):
+                    if row.get("schemaString"):
                         doc = row["schemaString"]
             lo = cp["version"] + 1
         for _v, actions in self._json_commit_actions(lo, as_of):

@@ -130,17 +130,21 @@ class TestV2Checkpoint:
         with pytest.raises(ValueError, match="sidecar"):
             DeltaLogTable(w.path).snapshot(spark)
 
-    def test_json_v2_checkpoint_still_refuses(self, spark, tmp_path):
+    def test_parquet_bytes_misnamed_json_refuse(self, spark, tmp_path):
+        """JSON-format v2 mains READ since round 14
+        (tests/test_round14_json_v2_checkpoint.py) — so a main whose
+        ``.json`` name lies about its parquet content must refuse
+        loudly, never be silently parsed as an empty action stream."""
         w = _table(spark, tmp_path, name="jsn")
         log = os.path.join(w.path, "_delta_log")
-        # replace the parquet main with a json-coded one
+        # misname the parquet main as json, bytes untouched
         for fn in os.listdir(log):
             if fn.endswith(".parquet") and ".checkpoint." in fn:
                 os.rename(
                     os.path.join(log, fn),
                     os.path.join(log, fn[: -len("parquet")] + "json"),
                 )
-        with pytest.raises(NotImplementedError, match="JSON-format"):
+        with pytest.raises(ValueError, match="JSON-lines"):
             DeltaLogTable(w.path).snapshot(spark)
 
     def test_writer_emits_v2_layout_on_featured_tables(
