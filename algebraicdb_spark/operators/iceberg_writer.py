@@ -3788,6 +3788,46 @@ class IcebergTableWriter:
         _v, cur = self._current()
         return dict((cur or {}).get("properties") or {})
 
+    def upgrade_format_version(self, to: int, max_retries: int = 8) -> int:
+        """The metadata-only format upgrade a real client runs as
+        ``ALTER TABLE … SET TBLPROPERTIES ('format-version'='3')``.
+        v2 → 3 stamps ``format-version: 3`` and initializes
+        ``next-row-id: 0`` — per the spec, PRE-upgrade data files keep
+        a null ``first_row_id`` (their rows have no lineage until a
+        rewrite assigns ids), so the id range legitimately starts at
+        zero; every post-upgrade append assigns from there. v1 bases
+        refuse (v1 predates sequence numbers — the upgrade would have
+        to invent a history); downgrades and unknown targets refuse.
+        Already-there is a no-op returning the current version."""
+        for _ in range(max_retries):
+            base_v, cur = self._current()
+            if cur is None:
+                raise ValueError(
+                    f"upgrade_format_version on {self.path}: table has "
+                    "no commits"
+                )
+            fv = int(cur.get("format-version", 2) or 2)
+            if to == fv:
+                return base_v
+            if to != 3 or fv != 2:
+                raise NotImplementedError(
+                    f"{self.path}: format-version upgrade {fv} -> {to} "
+                    "— only 2 -> 3 is supported (v1 predates sequence "
+                    "numbers; downgrades would drop v3 bookkeeping)"
+                )
+            md = dict(cur)
+            md["format-version"] = 3
+            md.setdefault("next-row-id", 0)
+            md["last-updated-ms"] = int(time.time() * 1000)
+            if self._publish_metadata(md, base_v):
+                return base_v + 1
+            continue  # racer advanced the metadata: re-derive
+        raise ConcurrentWriteError(
+            f"iceberg upgrade_format_version lost {max_retries} "
+            "metadata publish races — table is under pathological "
+            "write contention"
+        )
+
     def rollback(self, snapshot_id: int, max_retries: int = 8) -> int:
         """Iceberg's rollback_to_snapshot — RESTORE's metadata-only
         twin on this format: point ``current-snapshot-id`` back at an

@@ -4045,3 +4045,184 @@ def dialect_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{total} AS total "
         "FROM CHANGES(chfeed, 0) GROUP BY _change_type"
     )
+
+
+@register(
+    "source_iceberg_dv",
+    # v3 + deletion vectors end-to-end: the l%11 lineitem subset is
+    # CTAS'd, the table is upgraded 2 -> 3 (metadata-only, the real
+    # client's ALTER), and DELETE l_quantity < 10 lands as a Puffin
+    # deletion vector (v3's native delete — zero data rewrite). The
+    # scan applies the DVs like position deletes; the oracle
+    # recomputes the surviving rows from the fixture.
+    oracle="""
+    SELECT l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0 AND l_quantity >= 10
+    GROUP BY l_linenumber
+    """,
+)
+def source_iceberg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version 3 with PUFFIN deletion vectors (round
+    14): append, ``upgrade_format_version(3)``, then a DELETE that
+    writes a deletion vector instead of rewriting data files —
+    O(deleted rows) committed, zero row-id churn. The read path
+    decodes the DV blobs (roaring bitmaps, CRC-checked frames) and
+    anti-joins the positions at scan, exactly like position deletes.
+    The structural assert pins that the mutation really is
+    merge-on-read: the data file set is unchanged by the delete."""
+    import shutil
+
+    from algebraicdb_spark.operators.iceberg import IcebergTable
+    from algebraicdb_spark.operators.iceberg_writer import (
+        IcebergTableWriter,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    base = _scratch("iceberg_dv", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = IcebergTableWriter(base)
+    w.append(li.where(F.col("l_orderkey") % 11 == 0))
+    w.upgrade_format_version(3)
+    files_before = sorted(
+        u for _p, u, _s in IcebergTable(base)._files(None)[0]
+    )
+    w.delete(spark, "l_quantity < 10")
+    t = IcebergTable(base)
+    assert sorted(u for _p, u, _s in t._files(None)[0]) == files_before, (
+        "v3 delete must be merge-on-read: no data file rewritten"
+    )
+    assert t._files(None)[3], "the delete must have committed a DV"
+    return t.snapshot(spark).groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+        pround(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double"),
+        ).alias("total"),
+    )
+
+
+def _view_state_out(view, spark: SparkSession) -> DataFrame:
+    """The view state under the oracle-comparable shape: exact
+    DECIMAL(38,6) sums surfaced as pround'ed doubles."""
+    out = view.state.snapshot(spark)
+    cols = [F.col(c) for c in view.group_cols]
+    cols.append(F.col("n_rows"))
+    for c in view.sum_cols:
+        cols.append(
+            pround(F.col(f"sum_{c}").cast("double")).alias(f"total_{c}")
+        )
+    return out.select(*cols)
+
+
+@register(
+    "view_incremental_refresh",
+    # Incrementally-maintained matview over a txnlog base: two append
+    # windows fold adds-only partials, then a COW DELETE window folds
+    # SIGNED retractions through the row-level feed. The oracle
+    # recomputes the final groupBy from the fixture — the incremental
+    # state must be bit-equal to that from-scratch answer.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_orderstatus <> 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def view_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IncrementalAggView`` lifecycle: REFRESH after each base
+    commit folds O(delta) — the first two windows ride the adds-only
+    feed, the COW DELETE window rides ``changes_cdf`` as signed
+    partials (inserts +1, preimages -1), and groups retracted to zero
+    vanish exactly as a rebuild would drop them. The watermark commits
+    ATOMICALLY with the state (it IS the state commit's txn marker),
+    so a crash between them is impossible by construction. Exact
+    decimal sums make the state bit-equal to recompute, which is what
+    the oracle checks."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = _fresh_table(spark, sf_dir, "view_base")
+    state_dir = _scratch("view_state", sf_dir)
+    import shutil
+
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+    view = IncrementalAggView(
+        t, state_dir, group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+    )
+    t.append(o.where(F.col("o_orderkey") % 4 == 0))
+    assert view.refresh(spark) == 0
+    t.append(o.where(F.col("o_orderkey") % 4 == 1))
+    assert view.refresh(spark) == 1
+    t.delete(spark, "o_orderstatus = 'O'")
+    assert view.refresh(spark) == 2
+    assert view.refresh(spark) is None  # already current: no-op
+    return _view_state_out(view, spark)
+
+
+@register(
+    "view_iceberg_agg",
+    # The same matview over an ICEBERG base (round 14): the watermark
+    # keys on the spec's monotonic sequence numbers via
+    # IcebergViewBase; the COW-delete window folds signed retractions
+    # from the iceberg row-level feed. Oracle = from-scratch groupBy
+    # over the surviving fixture rows.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_l_quantity
+    FROM lineitem
+    WHERE l_orderkey % 13 IN (0, 1) AND l_quantity <= 40
+    GROUP BY l_returnflag
+    """,
+)
+def view_iceberg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IncrementalAggView`` over an Iceberg base through
+    ``IcebergViewBase`` (round 14): snapshot ids are random on foreign
+    tables, so the watermark is the spec's SEQUENCE NUMBER, resolved
+    to snapshot ids along the current ancestor chain at each feed
+    call. Window 1 bootstraps from the root, window 2 folds an append
+    adds-only, window 3 contains a COW DELETE and folds through the
+    iceberg ``changes_cdf`` as signed partials — bit-equal to rebuild,
+    which is exactly what the oracle recomputes."""
+    import shutil
+
+    from algebraicdb_spark.operators.iceberg import IcebergViewBase
+    from algebraicdb_spark.operators.iceberg_writer import (
+        IcebergTableWriter,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    base = _scratch("view_iceberg", sf_dir)
+    state_dir = _scratch("view_iceberg_state", sf_dir)
+    for d in (base, state_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    w = IcebergTableWriter(base)
+    w.append(li.where(F.col("l_orderkey") % 13 == 0))
+    view = IncrementalAggView(
+        IcebergViewBase(base), state_dir,
+        group_cols=["l_returnflag"], sum_cols=["l_quantity"],
+    )
+    assert view.refresh(spark) == 1  # sequence number, not snapshot id
+    w.append(li.where(F.col("l_orderkey") % 13 == 1))
+    assert view.refresh(spark) == 2
+    w.delete(spark, "l_quantity > 40")
+    assert view.refresh(spark) == 3
+    return _view_state_out(view, spark)

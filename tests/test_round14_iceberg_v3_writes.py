@@ -199,3 +199,51 @@ class TestV3Upserts:
         assert got[1] == 100.0 and got[9] == 9.0 and len(got) == 5
         assert int(t.meta["next-row-id"]) == 6  # +2 batch rows
         assert int(_current_snap(t)["first-row-id"]) == 4
+
+
+class TestUpgradeFormatVersion:
+    def test_upgrade_then_append_and_dv_delete(self, spark, tmp_path):
+        """The metadata-only 2 -> 3 upgrade: pre-upgrade files keep
+        null lineage, next-row-id starts at 0, post-upgrade appends
+        assign from there, and DELETE takes the DV path."""
+        root = str(tmp_path / "up")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "k long, v double",
+        ).coalesce(1))
+        v = w.upgrade_format_version(3)
+        _bv, cur = w._current()
+        assert cur["format-version"] == 3
+        assert cur["next-row-id"] == 0
+        assert w.upgrade_format_version(3) == v  # no-op, same head
+        w.append(spark.createDataFrame(
+            [(10, 10.0), (11, 11.0)], "k long, v double").coalesce(1))
+        _bv, cur = w._current()
+        assert cur["next-row-id"] == 2  # the new batch's rows only
+        res = w.delete(spark, "k = 1")
+        assert res["rows_deleted"] == 1 and res["delete_files"] == 1
+        got = sorted(
+            r["k"] for r in IcebergTable(root).snapshot(spark).collect())
+        assert got == [0, 2, 3, 10, 11]
+
+    def test_v1_and_downgrade_refuse(self, spark, tmp_path):
+        root = str(tmp_path / "v1")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(1, 1.0)], "k long, v double").coalesce(1))
+        base_v, cur = w._current()
+        md = dict(cur)
+        md["format-version"] = 1
+        with open(os.path.join(w.meta_dir,
+                               f"v{base_v + 1}.metadata.json"), "w") as f:
+            json.dump(md, f)
+        with open(os.path.join(w.meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(base_v + 1))
+        with pytest.raises(NotImplementedError, match="2 -> 3"):
+            w.upgrade_format_version(3)
+        root2 = str(tmp_path / "dn")
+        w2 = IcebergTableWriter(root2)
+        w2.append(spark.createDataFrame(
+            [(1, 1.0)], "k long, v double").coalesce(1))
+        with pytest.raises(NotImplementedError, match="2 -> 3"):
+            w2.upgrade_format_version(1)
