@@ -4226,3 +4226,89 @@ def view_iceberg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.delete(spark, "l_quantity > 40")
     assert view.refresh(spark) == 3
     return _view_state_out(view, spark)
+
+
+@register(
+    "sink_iceberg_upsert",
+    # Keyed CDC upsert via v2 EQUALITY DELETES: base = o%6==0 orders,
+    # upsert batch = o%12==0 with price+1000 plus fresh keys (o%6==3
+    # rewritten to key space o+1, guaranteed disjoint from %6==0). One
+    # commit, O(batch), zero existing bytes touched. The oracle
+    # recomputes the post-upsert content: non-upserted base rows keep
+    # their price, upserted keys take the batch's, new keys append.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderpriority, o_totalprice AS price
+        FROM orders
+        WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 1000
+        FROM orders WHERE o_orderkey % 12 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 6 = 3
+    ) t
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg keyed UPSERT — the shape equality deletes exist for:
+    ONE commit lands an equality-delete file of the batch's key
+    values plus the batch itself at the same sequence number, so the
+    spec's strictly-lower rule kills old rows and keeps the new batch
+    with NO probe scan at all — O(batch) regardless of table size,
+    which is why streaming CDC sinks use it (a MERGE must at least
+    semi-join the table). The structural assert pins that the base
+    data files were NOT rewritten; the read resolves the delete
+    strata through the fixture-validated reader ordering."""
+    import shutil
+
+    from algebraicdb_spark.operators.iceberg import IcebergTable
+    from algebraicdb_spark.operators.iceberg_writer import (
+        IcebergTableWriter,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = _scratch("iceberg_upsert", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = IcebergTableWriter(base)
+    w.append(
+        o.where(F.col("o_orderkey") % 6 == 0)
+        .withColumnRenamed("o_totalprice", "price")
+    )
+    files_before = sorted(
+        u for _p, u, _s in IcebergTable(base)._files(None)[0]
+    )
+    batch = (
+        o.where(F.col("o_orderkey") % 12 == 0)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("o_totalprice") + 1000).alias("price"),
+        )
+        .unionByName(
+            # fresh keys, disjoint from the %6==0 base key space
+            o.where(F.col("o_orderkey") % 6 == 3).select(
+                (F.col("o_orderkey") + 1).alias("o_orderkey"),
+                "o_orderpriority",
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    w.upsert_by_key(spark, batch, key_cols=["o_orderkey"])
+    t = IcebergTable(base)
+    kept = sorted(u for _p, u, _s in t._files(None)[0])
+    assert set(files_before) <= set(kept), (
+        "upsert must touch zero existing data files"
+    )
+    return t.snapshot(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(
+            F.sum(F.col("price").cast("decimal(18,4)")).cast("double"),
+        ).alias("total"),
+    )
