@@ -1110,21 +1110,34 @@ class DeltaTableWriter:
         rdr = self.reader()
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "OVERWRITE")
-        if self._cm_of(cur_meta):
-            # overwrite re-records the schemaString from the batch,
-            # which would DROP the physicalName metadata — every
-            # later read of the table would misresolve; minting fresh
-            # physical names is a full client's job
-            raise NotImplementedError(
-                f"OVERWRITE on {self.path}: the table is column-mapped "
-                "('name' mode) and overwrite re-records the schema — "
-                "use a full Delta client"
-            )
         partition_by = (
             list(partition_by)
             if partition_by is not None
             else self._cur_parts(cur_meta)
         )
+        mapping = self._cm_of(cur_meta)
+        if mapping:
+            # same-logical-shape overwrite composes (round 14): the
+            # mapped metaData — physicalNames, field ids, maxColumnId
+            # — carries forward UNTOUCHED and the batch restages under
+            # physical names (the mapped staging contract). A schema-
+            # or partition-changing overwrite still refuses: minting a
+            # whole new physical namespace is a full client's job.
+            cur_schema = (cur_meta or {}).get("schemaString")
+            new_f = _schema_fields(df.schema.json())
+            old_f = _schema_fields(cur_schema) if cur_schema else {}
+            if (
+                old_f != new_f
+                or list(old_f) != list(new_f)
+                or list(partition_by) != self._cur_parts(cur_meta)
+            ):
+                raise NotImplementedError(
+                    f"OVERWRITE on {self.path}: the table is "
+                    "column-mapped and the batch changes the schema or "
+                    "partition spec — re-recording it would need a "
+                    "fresh physical-name assignment; use a full Delta "
+                    "client (same-shape overwrites compose)"
+                )
         now_ms = int(time.time() * 1000)
         # tombstones reuse the committed add.path BYTES verbatim — the
         # log fold is keyed by the raw string, and re-encoding a
@@ -1145,7 +1158,10 @@ class DeltaTableWriter:
         new_schema = df.schema.json()
         cur_schema_st = rdr.table_schema()
         meta: list[dict] = []
-        if (
+        if mapping:
+            pass  # same shape gated above: the mapped metaData —
+            # physicalNames, ids, maxColumnId — carries forward as-is
+        elif (
             not cur_meta
             or (cur_schema_st.json() if cur_schema_st else None) != new_schema
             or list(cur_meta.get("partitionColumns") or [])
@@ -1156,7 +1172,7 @@ class DeltaTableWriter:
                 if cur_meta
                 else self._fresh_meta(new_schema, list(partition_by))
             ]
-        staged = self._stage(df, partition_by)
+        staged = self._stage(df, partition_by, mapping=mapping)
         head = [self._protocol_action()] if expected_version == 0 else []
         try:
             self._publish(
@@ -1640,15 +1656,14 @@ class DeltaTableWriter:
             return {"version": None, "rows_deleted": 0,
                     "files_removed": 0, "files_rewritten": 0}
         if mode == "mor":
-            if mapping:
-                raise NotImplementedError(
-                    f"DELETE mode=mor on {self.path}: deletion-vector "
-                    "writes on a column-mapped table are not supported "
-                    "by this writer — use mode='cow'"
-                )
+            # mapped tables compose since round 14: the probe and the
+            # CDC fast path assemble through the mapping (predicates
+            # stay in LOGICAL names); vectors address physical row
+            # ordinals, which no mapping touches
             return self._delete_mor(
                 spark, rdr, entries, st, part_cols, by_local,
                 predicate, max_retries, dv_inline_threshold, meta,
+                mapping=mapping,
             )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, predicate,
@@ -1707,7 +1722,7 @@ class DeltaTableWriter:
 
     def _probe_positions(
         self, spark, rdr, entries, st, part_cols, by_local,
-        predicate: str,
+        predicate: str, mapping: dict[str, str] | None = None,
     ) -> tuple[dict[str, list[int]], int]:
         """ONE probe scan (predicate pushed to parquet, existing DVs
         applied — a deleted row never rematches) → each affected
@@ -1718,7 +1733,8 @@ class DeltaTableWriter:
         from pyspark.sql import functions as F
 
         probe = (
-            rdr._assemble_mor(spark, entries, st, part_cols, keep_pos=True)
+            rdr._assemble_mor(spark, entries, st, part_cols,
+                              keep_pos=True, mapping=mapping)
             .where(F.expr(predicate))
             .select("__lp", "__pos")
         )
@@ -1927,11 +1943,19 @@ class DeltaTableWriter:
         self, spark, rdr, entries, st, part_cols, by_local,
         predicate: str, max_retries: int, inline_threshold: int,
         meta: dict | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> dict:
         """The merge-on-read DELETE body: matched ordinals become
-        deletion vectors — O(bitmap bytes) committed, zero rewrite."""
+        deletion vectors — O(bitmap bytes) committed, zero rewrite.
+        Column-mapped tables compose (round 14): the probe assembles
+        through ``mapping`` so the predicate evaluates over LOGICAL
+        names, while the vectors themselves address physical row
+        ordinals and the re-added file actions keep their
+        physical-name stats verbatim — the mapping never touches
+        either."""
         new_pos, matched = self._probe_positions(
-            spark, rdr, entries, st, part_cols, by_local, predicate
+            spark, rdr, entries, st, part_cols, by_local, predicate,
+            mapping=mapping,
         )
         if not new_pos:
             return {"version": None, "rows_deleted": 0,
@@ -1955,13 +1979,13 @@ class DeltaTableWriter:
                 spark,
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in sorted(new_pos)],
-                st, part_cols,
+                st, part_cols, mapping=mapping,
             )
             deletes = aff.where(
                 F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             ).withColumn("_change_type", F.lit("delete"))
             cdc = self._cdc_actions(
-                spark, rdr, st, part_cols, None, "DELETE",
+                spark, rdr, st, part_cols, mapping, "DELETE",
                 [], [], [], changes_df=deletes,
             )
         try:
@@ -2044,16 +2068,11 @@ class DeltaTableWriter:
             )
         pred = predicate if predicate is not None else "TRUE"
         if mode == "mor":
-            if mapping:
-                raise NotImplementedError(
-                    f"UPDATE mode=mor on {self.path}: deletion-vector "
-                    "writes on a column-mapped table are not supported "
-                    "by this writer — use mode='cow'"
-                )
+            # mapped tables compose since round 14 (see _delete_mor)
             return self._update_mor(
                 spark, rdr, entries, st, part_cols, by_local,
                 assignments, pred, max_retries, dv_inline_threshold,
-                meta,
+                meta, mapping=mapping,
             )
         by_raw, matched = self._probe_affected(
             spark, rdr, entries, st, part_cols, by_local, pred,
@@ -2128,17 +2147,22 @@ class DeltaTableWriter:
         self, spark, rdr, entries, st, part_cols, by_local,
         assignments: dict[str, str], pred: str, max_retries: int,
         inline_threshold: int, meta: dict | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> dict:
         """The merge-on-read UPDATE body: the preimage rows get
         deletion-vectored in place (same machinery as MoR DELETE) and
         ONLY the postimages — the matched rows with assignments
         applied, cast to declared types — stage as new files. Both
         halves ride ONE data-changing commit, so a reader never sees
-        the delete without the re-insert."""
+        the delete without the re-insert. On mapped tables the probe
+        and postimage scan assemble through ``mapping`` (logical
+        names) and the postimages RESTAGE under physical names with
+        field ids — the same staging contract as mapped COW."""
         from pyspark.sql import functions as F
 
         new_pos, matched = self._probe_positions(
-            spark, rdr, entries, st, part_cols, by_local, pred
+            spark, rdr, entries, st, part_cols, by_local, pred,
+            mapping=mapping,
         )
         if not new_pos:
             return {"version": None, "rows_updated": 0, "files_dv": 0}
@@ -2150,7 +2174,7 @@ class DeltaTableWriter:
             spark,
             [(raw, res_of[raw], pv_of[raw], dv_of[raw])
              for raw in affected],
-            st, part_cols,
+            st, part_cols, mapping=mapping,
         ).where(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)))
         post = post_src.select(
             *[
@@ -2162,7 +2186,7 @@ class DeltaTableWriter:
                 for c in post_src.columns
             ]
         )
-        staged = self._stage(post, part_cols)
+        staged = self._stage(post, part_cols, mapping=mapping)
         adds, _full, dv_files, written_bin = self._build_dv_actions(
             entries, new_pos, inline_threshold
         )
@@ -2182,7 +2206,7 @@ class DeltaTableWriter:
                 )
             )
             cdc = self._cdc_actions(
-                spark, rdr, st, part_cols, None, "UPDATE",
+                spark, rdr, st, part_cols, mapping, "UPDATE",
                 [], [], [], changes_df=changes,
             )
         try:
@@ -2261,17 +2285,12 @@ class DeltaTableWriter:
                 else "cow"
             )
         if mode == "mor" and entries:
-            if mapping:
-                raise NotImplementedError(
-                    f"MERGE mode=mor on {self.path}: deletion-vector "
-                    "writes on a column-mapped table are not supported "
-                    "by this writer — use mode='cow'"
-                )
+            # mapped tables compose since round 14 (see _delete_mor)
             return self._merge_mor(
                 spark, rdr, entries, st, part_cols, by_local, source,
                 cond, assignments, insert_exprs, target_alias,
                 source_alias, max_retries, delete_matched,
-                dv_inline_threshold, meta,
+                dv_inline_threshold, meta, mapping=mapping,
             )
         res_of = {raw: res for raw, res, _pv, _dv in entries}
         pv_of = {raw: pv for raw, _res, pv, _dv in entries}
@@ -2431,6 +2450,7 @@ class DeltaTableWriter:
         cond: str, assignments, insert_exprs, target_alias,
         source_alias, max_retries: int, delete_matched: bool,
         inline_threshold: int, meta: dict | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> dict:
         """The merge-on-read MERGE body: matched target rows
         deletion-vector in place; THEN-UPDATE postimages come from an
@@ -2439,7 +2459,10 @@ class DeltaTableWriter:
         NOT-MATCHED inserts anti-join the DV-applied live set. All
         pieces ride ONE data-changing commit. Multi-match stays a
         free refusal: postimage row count must equal the matched
-        count — an inner join against a duplicated source inflates it."""
+        count — an inner join against a duplicated source inflates it.
+        Mapped tables: scans assemble through ``mapping``, staged
+        postimages/inserts restage under physical names + field ids
+        (the mapped-COW staging contract)."""
         from pyspark.sql import functions as F
 
         cond_col = F.expr(cond)
@@ -2448,7 +2471,7 @@ class DeltaTableWriter:
         new_pos: dict[str, list[int]] = {}
         matched = 0
         tgt = rdr._assemble_mor(spark, entries, st, part_cols,
-                                keep_pos=True)
+                                keep_pos=True, mapping=mapping)
         if assignments or delete_matched:
             probe = (
                 tgt.alias(target_alias)
@@ -2474,7 +2497,7 @@ class DeltaTableWriter:
                     for c in data_cols
                 ]
             )
-            staged = self._stage(post, part_cols)
+            staged = self._stage(post, part_cols, mapping=mapping)
             staged_rows = sum(
                 self._file_rows(os.path.join(self.path, rel))
                 for rel, _pv in staged
@@ -2489,7 +2512,8 @@ class DeltaTableWriter:
                 )
         rows_inserted = 0
         if insert_exprs is not None:
-            full_t = rdr._assemble_mor(spark, entries, st, part_cols)
+            full_t = rdr._assemble_mor(spark, entries, st, part_cols,
+                                       mapping=mapping)
             ins_src = source.alias(source_alias).join(
                 full_t.alias(target_alias), cond_col, "left_anti"
             )
@@ -2508,7 +2532,7 @@ class DeltaTableWriter:
                     for e, (c, t_) in zip(insert_exprs, cols)
                 ]
             )
-            ins_staged = self._stage(ins, part_cols)
+            ins_staged = self._stage(ins, part_cols, mapping=mapping)
             rows_inserted = sum(
                 self._file_rows(os.path.join(self.path, rel))
                 for rel, _pv in ins_staged
@@ -2528,7 +2552,7 @@ class DeltaTableWriter:
         if self._cdf_enabled(meta):
             res_of = {raw: res for raw, res, _pv, _dv in entries}
             cdc = self._cdc_actions(
-                spark, rdr, st, part_cols, None, "MERGE",
+                spark, rdr, st, part_cols, mapping, "MERGE",
                 [(raw, res_of[raw], pv_of[raw], dv_of[raw])
                  for raw in sorted(new_pos)],
                 [(a["add"]["path"], res_of[a["add"]["path"]],

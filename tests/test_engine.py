@@ -271,7 +271,7 @@ class TestAttachTable:
         assert got == {"write.delete.mode": "merge-on-read",
                        "owner": "me"}
         eng.sql("DELETE FROM ic WHERE r_regionkey = 0")
-        _d, pos, _e = IcebergTable(iw.path)._files(None)
+        _d, pos, _e, _dv = IcebergTable(iw.path)._files(None)
         assert len(pos) == 1  # auto → MoR via the property
         assert eng.sql(
             "SELECT COUNT(*) AS n FROM ic").collect()[0]["n"] == 2

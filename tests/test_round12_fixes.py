@@ -584,7 +584,7 @@ class TestPartitionedUpsert:
         # delete file
         assert r["delete_files"] == 2
         t = IcebergTable(w.path)
-        _data, _pos, eq = t._files(None)
+        _data, _pos, eq, _dv = t._files(None)
         assert len(eq) == 2
         got = {
             (x["o_id"], x["region"], x["amt"])
@@ -688,7 +688,7 @@ class TestPartitionedPurgeAndCow:
         sid = w.optimize(spark)
         assert sid is not None
         t2 = IcebergTable(w.path)
-        _d, pos, eq = t2._files(None)
+        _d, pos, eq, _dv = t2._files(None)
         assert not pos and not eq
         got = {
             (r["k"], r["v"]) for r in t2.snapshot(spark).collect()
@@ -763,7 +763,7 @@ class TestUpsertStatement:
         # the mutation landed as ONE equality-delete snapshot, no
         # rewrite: the original data file is still live
         t = IcebergTable(w.path)
-        _data, _pos, eq = t._files(None)
+        _data, _pos, eq, _dv = t._files(None)
         assert len(eq) == 1
 
     def test_upsert_statement_txn_mark_is_exactly_once(

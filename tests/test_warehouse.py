@@ -1889,6 +1889,7 @@ class TestDeltaColumnMappingReads:
         from algebraicdb_spark.operators.delta_writer import (
             DeltaTableWriter,
         )
+        from algebraicdb_spark.operators.txnlog import DeltaLogTable
 
         root = str(tmp_path / "cm_ref")
         self._write_mapped(root)
@@ -1903,8 +1904,22 @@ class TestDeltaColumnMappingReads:
                 ),
                 evolve_schema=True,
             )
+        # SAME-shape overwrite composes since round 14 (the mapped
+        # metaData carries forward, the batch restages physical); a
+        # schema-CHANGING one still refuses
         with _pytest.raises(NotImplementedError, match="column-mapped"):
-            w.overwrite(df, w.latest_version() + 1)
+            w.overwrite(
+                spark.createDataFrame([(9,)], "k long"),
+                w.latest_version() + 1,
+            )
+        w.overwrite(
+            spark.createDataFrame([(9, "z"), (10, "y")],
+                                  "k long, v string"),
+            w.latest_version() + 1,
+        )
+        snap = DeltaLogTable(root).snapshot(spark)
+        assert sorted((r["k"], r["v"]) for r in snap.collect()) == [
+            (9, "z"), (10, "y")]
         # ALTER ADD COLUMN works on mapped tables since round 14: the
         # new column gets a fresh physicalName + the next field id
         # (tests/test_round14_cm_shapes.py pins the commit shape)
@@ -1912,9 +1927,12 @@ class TestDeltaColumnMappingReads:
         assert "extra" in [
             f.name for f in w.reader().table_schema().fields
         ]
-        # deletion-vector MoR writes refuse (cow handles mapped)
-        with _pytest.raises(NotImplementedError, match="cow"):
-            w.delete(spark, "k = 1", mode="mor")
+        # deletion-vector MoR writes compose since round 14 too
+        # (tests/test_round14_cm_dv.py pins the full matrix)
+        res = w.delete(spark, "k = 9", mode="mor")
+        assert res["rows_deleted"] == 1
+        assert [r["k"] for r in
+                DeltaLogTable(root).snapshot(spark).collect()] == [10]
         # 'id'-mode writes WORK since round 13: the staged file names
         # columns by physicalName AND stamps the schema's field ids,
         # so the id-matching scan resolves it (the fixture's ORIGINAL
