@@ -405,15 +405,16 @@ class IcebergTable:
         fv = self.meta.get("format-version")
         if fv not in (1, 2, 3):
             raise NotImplementedError(f"iceberg format-version {fv}")
-        # format-version 3 (round 13): scans and time travel work —
+        # format-version 3 (rounds 13-14): scans and time travel work —
         # the additive v3 metadata (row lineage ids, next-row-id,
         # default column values) changes nothing about resolving
-        # manifests to parquet paths. What a v3 table CAN carry that
-        # this reader must not misread is a DELETION VECTOR: a puffin
-        # position-delete entry, which refuses loudly at _files time
-        # (_check_parquet names it). WRITES to v3 refuse in the writer
-        # — committing v2-shaped snapshots would drop row-lineage
-        # bookkeeping v3 readers rely on.
+        # manifests to parquet paths. PUFFIN deletion vectors read
+        # since round 14 (_files surfaces them; the scan decodes the
+        # CRC-framed roaring blobs and anti-joins positions like
+        # position deletes). The writer commits the lineage-safe v3
+        # envelope (appends with row-id assignment, DV deletes,
+        # metadata commits) and refuses COW rewrites, which would
+        # need rewritten rows to keep their _row_id.
 
     def _load_metadata(self) -> dict:
         hint = os.path.join(self.meta_dir, "version-hint.text")
