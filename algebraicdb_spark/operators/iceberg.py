@@ -351,6 +351,11 @@ class AvroFileReader:
 
 _EXISTING, _ADDED, _DELETED = 0, 1, 2
 
+# format-version 3 row-lineage metadata columns (reserved field ids
+# 2147483540 / 2147483539): materialized by lineage-preserving
+# rewrites, NEVER surfaced by user-facing reads
+_RESERVED_ROW_COLS = ("_row_id", "_last_updated_sequence_number")
+
 
 def apply_equality_strata(
     spark: "SparkSession",
@@ -703,6 +708,56 @@ class IcebergTable:
             t[0], t[1] or "", t[2] or -1, t[3] or -1
         ))
         return folded, sorted(pos_deletes), sorted(set(eq_deletes)), dvs_folded
+
+    def _first_row_ids(
+        self, snapshot_id: int | None = None
+    ) -> dict[str, int | None]:
+        """{recorded data-file uri: explicit ``first_row_id`` (None =
+        the file has no row lineage)} for the snapshot's live data
+        files — the map a lineage-preserving v3 rewrite materializes
+        ``_row_id`` from (row id = first_row_id + physical ordinal
+        unless a materialized column overrides). Only EXPLICIT
+        per-entry ids resolve; an entry whose id must be INHERITED
+        (spec: null entry id under a manifest-list row carrying
+        ``first_row_id``) refuses — this repo's writer always records
+        explicit ids, and mis-deriving the inheritance arithmetic
+        would silently rewrite every row's identity."""
+        snap = self._snapshot(snapshot_id)
+        ml = snap.get("manifest-list")
+        if not ml:
+            return {}
+        out: dict[str, int | None] = {}
+        for row in AvroFileReader(self._resolve(ml)).records:
+            if int(row.get("content", 0) or 0) != 0:
+                continue
+            ml_first = row.get("first_row_id")
+            for entry in AvroFileReader(
+                self._resolve(row["manifest_path"])
+            ).records:
+                if self._check_status(entry) == _DELETED:
+                    continue
+                dfile = entry["data_file"]
+                if dfile.get("content", 0) != 0:
+                    continue
+                fid = dfile.get("first_row_id")
+                if fid is None and ml_first is not None:
+                    raise NotImplementedError(
+                        f"{self.path}: data file "
+                        f"{dfile.get('file_path')} carries no explicit "
+                        "first_row_id and its manifest-list row implies "
+                        "INHERITANCE — resolving the inherited id range "
+                        "is a full Iceberg client's job"
+                    )
+                uri = dfile["file_path"]
+                prev = out.get(uri, fid)
+                if prev is not None and fid is not None and prev != fid:
+                    raise ValueError(
+                        f"{self.path}: data file {uri} listed with "
+                        f"conflicting first_row_id {prev} and {fid} "
+                        "across manifests — corrupt metadata"
+                    )
+                out[uri] = int(fid) if fid is not None else prev
+        return out
 
     # iceberg "single-value binary serialization" (the spec's bound
     # encoding in manifest lower_bounds/upper_bounds), per type
@@ -1184,7 +1239,7 @@ class IcebergTable:
                 "snapshot()) or their absolute URIs resolve outside this "
                 "local table copy"
             )
-        return spark.read.parquet(*out)
+        return spark.read.parquet(*out).drop(*_RESERVED_ROW_COLS)
 
     def _window_chain(
         self, since_snapshot_id: int | None, to_snapshot_id: int | None
@@ -1378,6 +1433,7 @@ class IcebergTable:
 
             add_df = (
                 spark.read.parquet(*[p for p, _u in added])
+                .drop(*_RESERVED_ROW_COLS)
                 if added else None
             )
             if pos_d or eq_d or dv_added:
@@ -1450,7 +1506,8 @@ class IcebergTable:
                             src.join(F.broadcast(lp_map), "__lp", "inner")
                             .join(F.broadcast(dels), ["__uri", "__pos"],
                                   "inner")
-                            .drop("__fp", "__lp", "__uri", "__pos")
+                            .drop("__fp", "__lp", "__uri", "__pos",
+                                  *_RESERVED_ROW_COLS)
                         )
                         frames.append(tag(pre, pre_l))
                 if pos_d:
@@ -1495,7 +1552,8 @@ class IcebergTable:
                         src.join(F.broadcast(mapping), "__lp", "inner")
                         .join(F.broadcast(dels), ["__uri", "__pos"],
                               "inner")
-                        .drop("__fp", "__lp", "__uri", "__pos")
+                        .drop("__fp", "__lp", "__uri", "__pos",
+                              *_RESERVED_ROW_COLS)
                     )
                     frames.append(tag(pre, pre_l))
                 if eq_d:
@@ -1548,7 +1606,9 @@ class IcebergTable:
             # ones in ONE snapshot); handling only the delete files
             # would silently drop the wholly-removed files' preimages
             if removed:
-                r_df = spark.read.parquet(*removed)
+                r_df = spark.read.parquet(*removed).drop(
+                    *_RESERVED_ROW_COLS
+                )
                 a_df = (
                     add_df if add_df is not None else r_df.limit(0)
                 )
@@ -1557,7 +1617,7 @@ class IcebergTable:
             elif add_df is not None:
                 frames.append(tag(
                     add_df,
-                    post_l if (pos_d or eq_d) else "insert",
+                    post_l if (pos_d or eq_d or dv_added) else "insert",
                 ))
         if not frames:
             return None
@@ -1623,11 +1683,16 @@ class IcebergTable:
                 # everything pruned: an empty frame under the table
                 # shape, read from one surviving file's footer (no
                 # data scanned)
-                return spark.read.parquet(data[0][0]).limit(0)
+                return spark.read.parquet(data[0][0]).limit(0).drop(
+                    *_RESERVED_ROW_COLS
+                )
             data = pruned
         paths = [p for p, _u, _s in data]
         if not pos_deletes and not eq_deletes and not dvs:
-            return spark.read.parquet(*paths)
+            # lineage-materialized files (a v3 rewrite's _row_id /
+            # _last_updated_sequence_number columns) stay METADATA —
+            # the user-facing snapshot never surfaces reserved columns
+            return spark.read.parquet(*paths).drop(*_RESERVED_ROW_COLS)
         from pyspark.sql import functions as F
 
         if eq_deletes:
@@ -1674,7 +1739,9 @@ class IcebergTable:
             "__lp string, __uri string, __seq long",
         )
         cols = [
-            c for c in df.columns if c not in ("__fp", "__pos", "__lp")
+            c for c in df.columns
+            if c not in ("__fp", "__pos", "__lp")
+            and c not in _RESERVED_ROW_COLS
         ]
         df = df.join(F.broadcast(mapping), "__lp", "inner")
         del_frames = []

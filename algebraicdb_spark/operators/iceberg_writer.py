@@ -614,6 +614,18 @@ _POS_DELETE_FIELDS = [
     {"id": 2147483545, "name": "pos", "type": "long"},
 ]
 
+# format-version 3 row-lineage metadata columns, materialized into
+# rewritten data files so every surviving row KEEPS its identity
+# across compaction/update (spec "Row Lineage": reserved field ids
+# 2147483540 `_row_id`, 2147483539 `_last_updated_sequence_number`;
+# null materialized values inherit first_row_id + ordinal / the
+# file's data sequence number)
+_LINEAGE_FIELDS = [
+    {"id": 2147483540, "name": "_row_id", "type": "long"},
+    {"id": 2147483539, "name": "_last_updated_sequence_number",
+     "type": "long"},
+]
+
 
 def _with_id_field(af, ice_type, fid: int | None):
     """One arrow field re-built with its iceberg id as the
@@ -1422,13 +1434,14 @@ class IcebergTableWriter:
         ``first_row_id``, table ``next-row-id`` — rows are NEW, so
         fresh ids are the spec's answer), metadata-only commits carry
         the lineage state through, and MoR deletes touch no data row
-        at all. What still refuses is any commit that REWRITES
-        existing rows into new files (COW DELETE/UPDATE/MERGE,
-        OPTIMIZE compaction): v3 requires the rewritten rows to KEEP
-        their ``_row_id``, which means materializing the lineage
-        column into the restaged parquet — machinery this writer does
-        not have, and assigning fresh ids instead would silently
-        corrupt every lineage consumer. fv > 3 refuses outright."""
+        at all. Round 14 second half: UPDATE (DV preimages +
+        postimages staged with preserved ``_row_id``) and OPTIMIZE
+        (lineage-MATERIALIZING compaction — those callers pass
+        ``lineage_done`` through their publish path and skip this
+        gate's rewrite refusal). What still refuses is an EXPLICIT
+        mode='cow' row rewrite, which carries no materialized
+        lineage: assigning fresh ids would silently corrupt every
+        lineage consumer. fv > 3 refuses outright."""
         fv = int((cur or {}).get("format-version", 2) or 2)
         if fv > 3:
             raise NotImplementedError(
@@ -1438,11 +1451,11 @@ class IcebergTableWriter:
         if fv >= 3 and rewrites_rows:
             raise NotImplementedError(
                 f"{self.path}: format-version 3 commit that rewrites "
-                "existing rows — v3 row lineage requires rewritten "
-                "rows to keep their _row_id (a materialized lineage "
-                "column this writer does not produce); appends, "
-                "merge-on-read deletes, and metadata commits work; "
-                "use a full Iceberg client for COW rewrites"
+                "existing rows WITHOUT materialized lineage — v3 "
+                "requires rewritten rows to keep their _row_id; "
+                "appends, DV deletes, lineage-preserving UPDATE, "
+                "OPTIMIZE, upserts and metadata commits all work — "
+                "drop the explicit mode='cow'"
             )
 
     @staticmethod
@@ -1699,7 +1712,7 @@ class IcebergTableWriter:
         }
 
     def _cow_scope(
-        self, rdr
+        self, rdr, lineage_done: bool = False
     ) -> tuple[list[tuple[str, str, int | None]], list[dict]]:
         """Gate + the live data set for a COW mutation: (data entries,
         the table's spec-field dicts). Round 12: rewrites restage
@@ -1717,8 +1730,13 @@ class IcebergTableWriter:
         cur = rdr.meta
         # v3 write gate runs HERE — before any probe or staging — so a
         # refused mutation leaks nothing (_publish_mutation's own gate
-        # is the backstop)
-        self._check_fv_writable(cur, rewrites_rows=True)
+        # is the backstop). ``lineage_done`` callers (v3 compaction)
+        # materialize row lineage into their restaged files, so only
+        # the fv>3 refusal applies to them.
+        if lineage_done:
+            self._check_fv_writable(cur)
+        else:
+            self._check_fv_writable(cur, rewrites_rows=True)
         spec_parts = self._cur_spec(cur)
         data, pos_d, eq_d, dvs = rdr._files(None)
         if pos_d or eq_d or dvs:
@@ -1825,6 +1843,7 @@ class IcebergTableWriter:
         pos_d: list[str],
         eq_d: list[tuple[str, int, tuple[int, ...]]] | None = None,
         rdr: IcebergTable | None = None,
+        lineage: dict[str, int | None] | None = None,
     ):
         """The LIVE rows with their (recorded data file URI, physical
         row ordinal) identity as ``__uri``/``__pos`` — existing
@@ -1833,10 +1852,25 @@ class IcebergTableWriter:
         equality-deleted row would RESURRECT it), exactly the reader's
         MoR plan: positions anti-join on (uri, pos), equality strata
         anti-join null-safe on their named columns with the spec's
-        strictly-lower-sequence rule."""
+        strictly-lower-sequence rule.
+
+        ``lineage`` ({uri: explicit first_row_id or None}, from
+        ``IcebergTable._first_row_ids``) additionally MATERIALIZES the
+        v3 row-lineage columns per the spec's inheritance rule:
+        an existing materialized ``_row_id`` /
+        ``_last_updated_sequence_number`` value wins; otherwise
+        first_row_id + physical ordinal / the file's data sequence
+        number; files with no lineage (pre-upgrade) stay null, so a
+        rewrite assigns them FRESH ids via inheritance from the new
+        file — exactly the spec's treatment of lineage-less rows. The
+        read merges schemas so already-materialized columns surface
+        across mixed file generations."""
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(*[p for p, _u, _s in data]).select(
+        reader = spark.read
+        if lineage is not None:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[p for p, _u, _s in data]).select(
             "*",
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
@@ -1850,11 +1884,37 @@ class IcebergTableWriter:
         df = df.withColumn(
             "__lp", F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
         )
-        mapping = spark.createDataFrame(
-            [(p, u, s) for p, u, s in data],
-            "__lp string, __uri string, __seq long",
-        )
+        if lineage is not None:
+            mapping = spark.createDataFrame(
+                [(p, u, s, lineage.get(u)) for p, u, s in data],
+                "__lp string, __uri string, __seq long, __fid long",
+            )
+        else:
+            mapping = spark.createDataFrame(
+                [(p, u, s) for p, u, s in data],
+                "__lp string, __uri string, __seq long",
+            )
         df = df.join(F.broadcast(mapping), "__lp", "inner")
+        if lineage is not None:
+            rid_src = (
+                F.col("_row_id") if "_row_id" in df.columns
+                else F.lit(None).cast("long")
+            )
+            lus_src = (
+                F.col("_last_updated_sequence_number")
+                if "_last_updated_sequence_number" in df.columns
+                else F.lit(None).cast("long")
+            )
+            df = df.withColumn(
+                "_row_id",
+                F.coalesce(rid_src, F.col("__fid") + F.col("__pos")),
+            ).withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    lus_src,
+                    F.when(F.col("__fid").isNotNull(), F.col("__seq")),
+                ),
+            ).drop("__fid")
         if pos_d:
             dels = spark.read.parquet(*pos_d).select(
                 F.col("file_path").alias("__uri"),
@@ -1872,6 +1932,41 @@ class IcebergTableWriter:
                 spark, df, eq_d, rdr._field_names_by_id(), self.path
             )
         return df.drop("__fp", "__lp", "__seq")
+
+    def _lineage_rewrite_src(
+        self, spark: SparkSession, rdr: IcebergTable
+    ):
+        """The v3 rewrite source: every LIVE row (position/equality
+        deletes AND deletion vectors applied) with its row-lineage
+        columns MATERIALIZED — what a lineage-preserving compaction
+        restages. Returns (frame with table columns + _row_id +
+        _last_updated_sequence_number, data entries, live delete
+        counts) so the caller can publish and summarize."""
+        from pyspark.sql import functions as F
+
+        data, pos_d, eq_d, dvs = rdr._files(None)
+        df = self._live_identity(
+            spark, data, pos_d, eq_d, rdr,
+            lineage=rdr._first_row_ids(None),
+        )
+        if dvs:
+            rows = [
+                (u, int(p))
+                for u, ps in rdr._dv_positions_map(dvs).items()
+                for p in ps
+            ]
+            if rows:
+                dels = spark.createDataFrame(
+                    rows, "__uri string, __pos long"
+                )
+                df = df.join(
+                    F.broadcast(dels), ["__uri", "__pos"], "left_anti"
+                )
+        return (
+            df.drop("__uri", "__pos"),
+            data,
+            {"pos": len(pos_d), "eq": len(eq_d), "dv": len(dvs)},
+        )
 
     def _probe_mor_matches(
         self,
@@ -2151,6 +2246,8 @@ class IcebergTableWriter:
         new_dvs: dict[str, list[int]],
         old_map: dict[str, list[int]],
         extra_summary: dict[str, str],
+        staged: list[tuple[str, int, int, dict]] | None = None,
+        operation: str = "delete",
     ) -> int:
         """Publish one v3 DV-delete snapshot: a fresh Puffin file for
         the touched files' unioned vectors, ONE new DV manifest
@@ -2284,6 +2381,60 @@ class IcebergTableWriter:
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             })
+            # staged data files (a v3 UPDATE's postimages) ride the
+            # SAME snapshot: lineage-materialized parquet whose
+            # entries take a fresh first_row_id range — materialized
+            # _row_id wins for preserved rows, null slots inherit
+            first_row = int(cur.get("next-row-id", 0) or 0)
+            row_cursor = first_row
+            if staged:
+                cur_fields = self._cur_fields(cur)
+                add_entries = []
+                for p, rows, size, pv in staged:
+                    lo_b, hi_b = _footer_bounds(p, cur_fields)
+                    add_entries.append({
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": p,
+                            "file_format": "PARQUET",
+                            "partition": pv,
+                            "record_count": rows,
+                            "file_size_in_bytes": size,
+                            "lower_bounds": lo_b,
+                            "upper_bounds": hi_b,
+                            "first_row_id": row_cursor,
+                        },
+                    })
+                    row_cursor += rows
+                add_m = os.path.join(
+                    self.meta_dir,
+                    f"m-{snap_id}-{uuid.uuid4().hex}.avro",
+                )
+                AvroFileWriter.write(
+                    add_m, _manifest_schema([], fv=fv), add_entries
+                )
+                written.append(add_m)
+                new_rows.append({
+                    "manifest_path": add_m,
+                    "manifest_length": os.path.getsize(add_m),
+                    "partition_spec_id": cur.get("default-spec-id", 0),
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(staged),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        r for _p, r, _b, _pv in staged),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "first_row_id": first_row,
+                })
             ml_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
@@ -2294,18 +2445,18 @@ class IcebergTableWriter:
                 "sequence-number": seq,
                 "timestamp-ms": now_ms,
                 "manifest-list": ml_path,
-                "summary": {"operation": "delete", **extra_summary},
+                "summary": {"operation": operation, **extra_summary},
                 "schema-id": cur.get("current-schema-id", 0),
                 "parent-snapshot-id": parent,
             }
             if fv >= 3:
-                # a delete adds no rows: the snapshot still records
-                # its (empty) reserved range and the high-water mark
-                # carries through unchanged
-                new_snap["first-row-id"] = int(
-                    cur.get("next-row-id", 0) or 0
-                )
+                # the snapshot records its reserved range (empty for
+                # a pure delete) and the high-water mark advances
+                # past any staged postimages
+                new_snap["first-row-id"] = first_row
             md = dict(cur)
+            if fv >= 3:
+                md["next-row-id"] = row_cursor
             md["last-sequence-number"] = seq
             md["last-updated-ms"] = now_ms
             md["current-snapshot-id"] = snap_id
@@ -2335,6 +2486,117 @@ class IcebergTableWriter:
             f.write(str(base_v + 1))
         os.replace(tmp, hint)
         return snap_id
+
+    def _update_mor_dv(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        pred: str,
+        max_retries: int,
+        primed: tuple[int, dict] | None = None,
+    ) -> dict:
+        """The format-version 3 UPDATE body (round 14): preimage rows
+        get DELETION-VECTORED in place (merged superset vectors, the
+        same machinery as the v3 DELETE) and ONLY the postimages stage
+        as new files — with row lineage PRESERVED: each postimage
+        carries its row's materialized ``_row_id`` (the spec: updated
+        rows keep their identity) and a NULL
+        ``_last_updated_sequence_number``, which inherits the new
+        file's data sequence number — i.e. "this row last changed in
+        this commit" — without knowing the publish-time sequence in
+        advance (race-proof by construction). Rows from lineage-less
+        pre-upgrade files stage with null ids and inherit fresh ones,
+        the spec's treatment. O(changed rows) committed, zero data
+        rewrite of untouched rows."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            base_v, cur = primed or self._current()
+            primed = None
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to update"
+                )
+            rdr = self.reader()
+            data, pos_d, eq_d, dvs = self._mor_scope(rdr, dv_writer=True)
+            if not data:
+                return {"version": None, "rows_updated": 0,
+                        "delete_files": 0}
+            old_map = rdr._dv_positions_map(dvs)
+            live = self._live_identity(
+                spark, data, pos_d, eq_d, rdr,
+                lineage=rdr._first_row_ids(None),
+            )
+            if old_map:
+                dv_dels = spark.createDataFrame(
+                    [(u, int(p)) for u, ps in old_map.items()
+                     for p in ps],
+                    "__uri string, __pos long",
+                )
+                live = live.join(
+                    F.broadcast(dv_dels), ["__uri", "__pos"], "left_anti"
+                )
+            table_cols = [
+                c for c in live.columns
+                if c not in ("__uri", "__pos", "_row_id",
+                             "_last_updated_sequence_number")
+            ]
+            unknown = [c for c in assignments if c not in table_cols]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns unknown column(s) {unknown} — the "
+                    "table schema is pinned"
+                )
+            matched = live.where(F.expr(pred)).localCheckpoint()
+            pairs = matched.select("__uri", "__pos").collect()
+            if not pairs:
+                return {"version": None, "rows_updated": 0,
+                        "delete_files": 0}
+            touched: dict[str, set[int]] = {}
+            for r in pairs:
+                touched.setdefault(r["__uri"], set()).add(int(r["__pos"]))
+            new_dvs = {
+                u: sorted(set(old_map.get(u, [])) | ps)
+                for u, ps in touched.items()
+            }
+            post = matched.select(
+                *[
+                    F.expr(assignments[c])
+                    .cast(matched.schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in table_cols
+                ],
+                F.col("_row_id"),
+                F.lit(None).cast("long").alias(
+                    "_last_updated_sequence_number"
+                ),
+            )
+            data_staged: list = []
+            try:
+                data_staged = self._stage(
+                    post,
+                    ice_fields=self._cur_fields(cur) + _LINEAGE_FIELDS,
+                )
+                snap_id = self._publish_mor_dv(
+                    base_v, cur, rdr, dvs, new_dvs, old_map,
+                    {"updated-records": str(len(pairs)),
+                     "added-delete-files": "1"},
+                    staged=data_staged, operation="overwrite",
+                )
+                return {"version": snap_id,
+                        "rows_updated": len(pairs),
+                        "delete_files": 1}
+            except ConcurrentWriteError:
+                self._unstage(data_staged)
+                continue
+            except BaseException:
+                self._unstage(data_staged)
+                raise
+        raise ConcurrentWriteError(
+            f"iceberg v3 dv update lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
 
     def _delete_mor(
         self,
@@ -2829,6 +3091,15 @@ class IcebergTableWriter:
 
         pred = predicate if predicate is not None else "TRUE"
         primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._fv_of(primed[1]) >= 3 \
+                and mode != "cow":
+            # format-version 3 (round 14): preimages deletion-vector,
+            # postimages restage with PRESERVED _row_id — the
+            # lineage-correct v3 update regardless of the mode knob
+            # (an explicit mode='cow' surfaces the COW gate's refusal)
+            return self._update_mor_dv(
+                spark, assignments, pred, max_retries, primed=primed
+            )
         if primed[1] is not None and self._resolved_mode(
             primed[1], mode, "update"
         ) == "mor":
@@ -3267,6 +3538,7 @@ class IcebergTableWriter:
         extra_summary: dict[str, str],
         spec_parts: list[dict] | None = None,
         drop_deletes: bool = False,
+        lineage_done: bool = False,
     ) -> int:
         """Build + publish one mutation snapshot: rewritten manifests
         for files in ``affected`` (EXISTING survivors with explicit
@@ -3289,13 +3561,20 @@ class IcebergTableWriter:
         exactly the corruption the round-12 gate refused). Only the
         ADDED manifest (the restaged rewrites) uses the default
         spec."""
-        self._check_fv_writable(cur, rewrites_rows=True)
+        fv = self._fv_of(cur)
+        if lineage_done:
+            # the caller materialized _row_id/_last_updated_sequence_
+            # number into the restaged files — rewriting rows is
+            # lineage-safe; only the fv>3 refusal still applies
+            self._check_fv_writable(cur)
+        else:
+            self._check_fv_writable(cur, rewrites_rows=True)
         now_ms = int(time.time() * 1000)
         part_fields = [
             {"name": sf["name"], "type": sf["vtype"]}
             for sf in (spec_parts or [])
         ]
-        mschema = _manifest_schema(part_fields)
+        mschema = _manifest_schema(part_fields, fv=fv)
         dsid = int(cur.get("default-spec-id", 0) or 0)
         spec_schemas: dict[int, dict] = {dsid: mschema}
 
@@ -3304,7 +3583,7 @@ class IcebergTableWriter:
                 spec_schemas[spec_id] = _manifest_schema([
                     {"name": sf["name"], "type": sf["vtype"]}
                     for sf in self._spec_parts_of(cur, spec_id)
-                ])
+                ], fv=fv)
             return spec_schemas[spec_id]
         seq = int(cur.get("last-sequence-number", 0)) + 1
         snaps = list(cur.get("snapshots") or [])
@@ -3368,6 +3647,11 @@ class IcebergTableWriter:
                         "upper_bounds": self._as_bound_rows(
                             dfile.get("upper_bounds")),
                     }
+                    if fv >= 3:
+                        # a surviving file KEEPS its explicit row-id
+                        # range — dropping it would re-identify every
+                        # row on the next lineage read
+                        rec["first_row_id"] = dfile.get("first_row_id")
                     if rp in affected:
                         del_f += 1
                         del_r += rows_n
@@ -3415,6 +3699,10 @@ class IcebergTableWriter:
                     "existing_rows_count": kept_r,
                     "deleted_rows_count": del_r,
                 })
+            first_row = (
+                int(cur.get("next-row-id", 0) or 0) if fv >= 3 else None
+            )
+            row_cursor = first_row
             if staged:
                 add_m = os.path.join(
                     self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -3423,25 +3711,36 @@ class IcebergTableWriter:
                 add_entries = []
                 for p, rows, size, pv in staged:
                     lo_b, hi_b = _footer_bounds(p, cur_fields)
+                    dfile = {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        "lower_bounds": lo_b,
+                        "upper_bounds": hi_b,
+                    }
+                    if fv >= 3:
+                        # the new file's reserved range: rows with a
+                        # MATERIALIZED _row_id keep it (the column
+                        # wins over inheritance); lineage-less rows
+                        # inherit fresh ids from here — the spec's
+                        # answer for both. The range is sized by
+                        # record_count regardless (spec rule), so the
+                        # table's id high-water mark stays safe.
+                        dfile["first_row_id"] = row_cursor
+                        row_cursor += rows
                     add_entries.append({
                         "status": 1,
                         "snapshot_id": snap_id,
                         "sequence_number": seq,
                         "file_sequence_number": seq,
-                        "data_file": {
-                            "content": 0,
-                            "file_path": p,
-                            "file_format": "PARQUET",
-                            "partition": pv,
-                            "record_count": rows,
-                            "file_size_in_bytes": size,
-                            "lower_bounds": lo_b,
-                            "upper_bounds": hi_b,
-                        },
+                        "data_file": dfile,
                     })
                 AvroFileWriter.write(add_m, mschema, add_entries)
                 written.append(add_m)
-                new_rows.append({
+                add_row = {
                     "manifest_path": add_m,
                     "manifest_length": os.path.getsize(add_m),
                     "partition_spec_id": cur.get(
@@ -3457,11 +3756,14 @@ class IcebergTableWriter:
                         r for _p, r, _b, _pv in staged),
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
-                })
+                }
+                if fv >= 3:
+                    add_row["first_row_id"] = first_row
+                new_rows.append(add_row)
             ml_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
-            AvroFileWriter.write(ml_path, _MANIFEST_LIST_SCHEMA, new_rows)
+            AvroFileWriter.write(ml_path, _ml_schema(fv), new_rows)
             written.append(ml_path)
             summary = {
                 "operation": operation,
@@ -3478,7 +3780,11 @@ class IcebergTableWriter:
                 "schema-id": cur.get("current-schema-id", 0),
                 "parent-snapshot-id": parent,
             }
+            if fv >= 3:
+                new_snap["first-row-id"] = first_row
             md = dict(cur)
+            if fv >= 3:
+                md["next-row-id"] = row_cursor
             md["last-sequence-number"] = seq
             md["last-updated-ms"] = now_ms
             md["current-snapshot-id"] = snap_id
@@ -3537,6 +3843,7 @@ class IcebergTableWriter:
             if cur is None:
                 return None
             rdr = self.reader()
+            fv = self._fv_of(cur)
             _d, live_pos, live_eq, live_dvs = rdr._files(None)
             if live_pos or live_eq or live_dvs:
                 # PURGE pass: rewrite the MoR-applied content
@@ -3544,18 +3851,29 @@ class IcebergTableWriter:
                 # deletes) and drop the delete manifests —
                 # iceberg's rewrite_data_files repaying the
                 # read-side debt, exactly like Delta OPTIMIZE
-                # purging DVs
+                # purging DVs. On v3 this is THE lever that keeps
+                # accumulated deletion vectors from living forever.
                 return self._optimize_purge(
                     spark, base_v, cur, rdr, target_files,
                     zorder_by, max_retries,
                 )
-            data, spec_parts = self._cow_scope(rdr)
+            lineage = fv >= 3
+            data, spec_parts = self._cow_scope(rdr, lineage_done=lineage)
             if not data or (len(data) < min_inputs and not zorder_by):
                 # nothing to rewrite (zorder included: an empty live
                 # set has nothing to cluster — read.parquet() of zero
                 # paths would crash out of a SQL statement)
                 return None
-            src = spark.read.parquet(*[p for p, _u, _s in data])
+            ice_fields = self._cur_fields(cur)
+            if lineage:
+                # v3 compaction materializes each surviving row's
+                # lineage into the rewritten files (spec: rewritten
+                # rows KEEP their _row_id) — stamped with the
+                # reserved field ids
+                src, _data2, _nd = self._lineage_rewrite_src(spark, rdr)
+                ice_fields = ice_fields + _LINEAGE_FIELDS
+            else:
+                src = spark.read.parquet(*[p for p, _u, _s in data])
             if zorder_by:
                 from algebraicdb_spark.operators.txnlog import (
                     _zorder_clustered,
@@ -3568,7 +3886,7 @@ class IcebergTableWriter:
                 df = src.coalesce(max(target_files, 1))
             staged = self._stage(
                 df, spec_parts=spec_parts or None,
-                ice_fields=self._cur_fields(cur),
+                ice_fields=ice_fields,
             )
             extra = {"rewritten-data-files": str(len(data))}
             if zorder_by:
@@ -3577,7 +3895,7 @@ class IcebergTableWriter:
                 return self._publish_mutation(
                     base_v, cur, rdr, {p for p, _u, _s in data}, staged,
                     "replace", extra,
-                    spec_parts=spec_parts,
+                    spec_parts=spec_parts, lineage_done=lineage,
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)
@@ -3619,10 +3937,24 @@ class IcebergTableWriter:
             # _publish_mutation; the purged content restages under the
             # default spec — after the purge the table is single-spec
             # in practice (all live files belong to the default)
-            self._check_fv_writable(cur, rewrites_rows=True)  # pre-staging
+            fv = self._fv_of(cur)
+            lineage = fv >= 3
+            if lineage:
+                self._check_fv_writable(cur)  # fv>3 backstop only
+            else:
+                self._check_fv_writable(cur, rewrites_rows=True)
             spec_parts = self._cur_spec(cur)
             data, pos_d, eq_d, dvs = rdr._files(None)
-            src = rdr.snapshot(spark)  # MoR-applied content
+            ice_fields = self._cur_fields(cur)
+            if lineage:
+                # v3: live rows (DVs applied) with MATERIALIZED
+                # lineage — the compaction that finally retires the
+                # table's deletion vectors without re-identifying a
+                # single surviving row
+                src, _d2, _nd = self._lineage_rewrite_src(spark, rdr)
+                ice_fields = ice_fields + _LINEAGE_FIELDS
+            else:
+                src = rdr.snapshot(spark)  # MoR-applied content
             if zorder_by:
                 from algebraicdb_spark.operators.txnlog import (
                     _zorder_clustered,
@@ -3635,17 +3967,18 @@ class IcebergTableWriter:
                 df = src.coalesce(max(target_files, 1))
             staged = self._stage(
                 df, spec_parts=spec_parts or None,
-                ice_fields=self._cur_fields(cur),
+                ice_fields=ice_fields,
             )
             extra = {"purged-position-deletes": str(len(pos_d)),
-                     "purged-equality-deletes": str(len(eq_d))}
+                     "purged-equality-deletes": str(len(eq_d)),
+                     "purged-deletion-vectors": str(len(dvs))}
             if zorder_by:
                 extra["zorder-by"] = ",".join(zorder_by)
             try:
                 return self._publish_mutation(
                     base_v, cur, rdr, {p for p, _u, _s in data},
                     staged, "replace", extra, drop_deletes=True,
-                    spec_parts=spec_parts,
+                    spec_parts=spec_parts, lineage_done=lineage,
                 )
             except ConcurrentWriteError:
                 self._unstage(staged)

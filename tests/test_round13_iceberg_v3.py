@@ -159,26 +159,30 @@ class TestV3DeletionVectors:
 
 
 class TestV3WriteGate:
-    def test_row_rewriting_mutations_refuse(self, spark, tmp_path):
-        """Round 14 narrowed the v3 write gate: appends / DV deletes /
-        metadata commits / upserts work (row lineage maintained,
-        tests/test_round14_iceberg_v3_writes.py); what refuses is any
-        commit that REWRITES existing rows into new files — their
-        _row_id would not survive."""
+    def test_lineage_safe_envelope(self, spark, tmp_path):
+        """Round 14 second half: UPDATE (DV preimages + postimages
+        with preserved _row_id) and OPTIMIZE (lineage-materializing
+        compaction) work on v3 too — only an EXPLICIT mode='cow' row
+        rewrite, which would re-identify rows without
+        materialization, still refuses, leaking nothing."""
         w = _v3_table(spark, tmp_path, name="wg")
         pre = [
             f for f in os.listdir(os.path.join(w.path, "data"))
             if f.endswith(".parquet")
         ]
         with pytest.raises(NotImplementedError, match="rewrites"):
-            w.update(spark, {"v": "v + 1"}, "k = 1")
-        with pytest.raises(NotImplementedError, match="rewrites"):
-            w.optimize(spark)
-        with pytest.raises(NotImplementedError, match="rewrites"):
             w.delete(spark, "k = 1", mode="cow")
+        with pytest.raises(NotImplementedError, match="rewrites"):
+            w.update(spark, {"v": "v + 1"}, "k = 1", mode="cow")
         # nothing leaked into the table dir from the refused rewrites
         staged = [
             f for f in os.listdir(os.path.join(w.path, "data"))
             if f.endswith(".parquet")
         ]
         assert staged == pre
+        res = w.update(spark, {"v": "v + 1"}, "k = 1")
+        assert res["rows_updated"] == 1
+        assert w.optimize(spark) is not None
+        got = {r["k"]: r["v"]
+               for r in IcebergTable(w.path).snapshot(spark).collect()}
+        assert got[1] == 2.0 and len(got) == 7

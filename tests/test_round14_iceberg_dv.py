@@ -268,5 +268,10 @@ class TestV3DvScans:
         # the merged vector is a superset — the CDF flip algebra holds
         dv_map = t._dv_positions_map(t._files(None)[3])
         assert sorted(dv_map[uri_a]) == [0, 1]
-        with pytest.raises(NotImplementedError, match="rewrites"):
-            w.optimize(spark)
+        # OPTIMIZE works since round 14's second half: the purge pass
+        # materializes row lineage and retires the vectors
+        assert w.optimize(spark) is not None
+        t2 = IcebergTable(w.path)
+        assert not t2._files(None)[3], "vectors purged"
+        assert sorted(r["k"] for r in t2.snapshot(spark).collect()) == [
+            2, 3, 10, 11, 12]

@@ -11,9 +11,10 @@ faithfully:
   vector with the superset union per the one-DV-per-file rule;
 - keyed upserts ride equality deletes + a lineage-assigned data batch;
 - metadata-only commits carry the lineage state through verbatim;
-- COW rewrites (UPDATE / OPTIMIZE / explicit mode='cow' DELETE) refuse
-  — rewritten rows must keep their ``_row_id``, which needs a
-  materialized lineage column this writer does not produce.
+- UPDATE rides deletion-vectored preimages + postimages staged with
+  PRESERVED ``_row_id`` (round 14 second half), OPTIMIZE materializes
+  row lineage into the compacted files — only EXPLICIT mode='cow' row
+  rewrites (no materialization) still refuse.
 """
 
 import json
@@ -247,3 +248,126 @@ class TestUpgradeFormatVersion:
             [(1, 1.0)], "k long, v double").coalesce(1))
         with pytest.raises(NotImplementedError, match="2 -> 3"):
             w2.upgrade_format_version(1)
+
+
+class TestV3LineageRewrites:
+    """Round 14 second half: lineage-MATERIALIZING rewrites — the
+    compaction and update shapes that keep every surviving row's
+    ``_row_id`` across file rewrites (spec "Row Lineage", reserved
+    field ids 2147483540 / 2147483539)."""
+
+    def _upgraded(self, spark, tmp_path, name):
+        root = str(tmp_path / name)
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, v double",
+        ).coalesce(1))  # pre-upgrade: NO lineage
+        w.upgrade_format_version(3)
+        w.append(spark.createDataFrame(
+            [(10 + i, 10.0 + i) for i in range(4)],
+            "k long, v double",
+        ).coalesce(1))  # post-upgrade: first_row_id = 0..3
+        return w
+
+    def _lineage_rows(self, root):
+        import pyarrow.parquet as pq
+
+        out = {}
+        for p, _u, _s in IcebergTable(root)._files(None)[0]:
+            tb = pq.read_table(p)
+            if "_row_id" not in tb.schema.names:
+                continue
+            for k, rid, lus in zip(
+                tb.column("k").to_pylist(),
+                tb.column("_row_id").to_pylist(),
+                tb.column("_last_updated_sequence_number").to_pylist(),
+            ):
+                out[k] = (rid, lus)
+        return out
+
+    def test_optimize_materializes_and_preserves(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        w = self._upgraded(spark, tmp_path, "opt")
+        w.delete(spark, "k in (1, 11)")  # DV delete
+        assert w.optimize(spark) is not None
+        t = IcebergTable(w.path)
+        assert not t._files(None)[3], "deletion vectors purged"
+        snap = t.snapshot(spark)
+        assert snap.columns == ["k", "v"], "reserved columns hidden"
+        assert sorted(r["k"] for r in snap.collect()) == [
+            0, 2, 3, 4, 5, 10, 12, 13]
+        lin = self._lineage_rows(w.path)
+        # post-upgrade survivors KEEP their assigned ids; k=11 (id 1)
+        # died, so id 1 never reappears
+        assert lin[10] == (0, 2) and lin[12] == (2, 2)
+        assert lin[13] == (3, 2)
+        # pre-upgrade rows have no lineage: null slots inherit fresh
+        # ids from the rewritten file's first_row_id range
+        assert lin[0] == (None, None)
+        # the reserved field ids ride the staged footers
+        p = t._files(None)[0][0][0]
+        ids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in pq.ParquetFile(p).schema_arrow
+        }
+        assert ids["_row_id"] == b"2147483540"
+        assert ids["_last_updated_sequence_number"] == b"2147483539"
+        _v, cur = w._current()
+        # reserved range sized by record count: 8 survivors
+        assert cur["next-row-id"] == 4 + 8
+        # a SECOND optimize carries the materialized values verbatim
+        w.append(spark.createDataFrame(
+            [(99, 9.9)], "k long, v double").coalesce(1))
+        w.optimize(spark)
+        lin2 = self._lineage_rows(w.path)
+        assert lin2[10] == (0, 2) and lin2[12] == (2, 2)
+        # the previously-null rows materialized via inheritance from
+        # the first rewrite's range [4, 12)
+        assert lin2[0][0] is not None and 4 <= lin2[0][0] < 12
+
+    def test_update_preserves_row_ids(self, spark, tmp_path):
+        w = self._upgraded(spark, tmp_path, "upd")
+        res = w.update(spark, {"v": "v + 100"}, "k in (11, 2)")
+        assert res["rows_updated"] == 2 and res["delete_files"] == 1
+        t = IcebergTable(w.path)
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got[11] == 111.0 and got[2] == 102.0 and got[0] == 0.0
+        lin = self._lineage_rows(w.path)
+        # the updated post-upgrade row KEEPS id 1 (k=11 was ordinal 1
+        # of the lineage file); lus stays null -> inherits the new
+        # file's sequence number ("last changed in this commit")
+        assert lin[11] == (1, None)
+        # pre-upgrade row: no identity to preserve
+        assert lin[2] == (None, None)
+        # chained update on the SAME row: id still preserved, the
+        # DV'd preimage never rematches
+        res2 = w.update(spark, {"v": "v + 1"}, "k = 11")
+        assert res2["rows_updated"] == 1
+        assert self._lineage_rows(w.path)[11][0] == 1
+        got2 = {r["k"]: r["v"]
+                for r in IcebergTable(w.path).snapshot(spark).collect()}
+        assert got2[11] == 112.0
+
+    def test_update_feeds_cdf_as_update_images(self, spark, tmp_path):
+        w = self._upgraded(spark, tmp_path, "cdf")
+        t0 = IcebergTable(w.path)
+        since = t0._snapshot(None)["snapshot-id"]
+        w.update(spark, {"v": "v + 100"}, "k = 10")
+        feed = IcebergTable(w.path).changes_cdf(spark, since)
+        rows = sorted(
+            (r["k"], r["v"], r["_change_type"]) for r in feed.collect()
+        )
+        assert rows == [(10, 10.0, "update_preimage"),
+                        (10, 110.0, "update_postimage")]
+        # the feed never leaks reserved lineage columns
+        assert "_row_id" not in feed.columns
+
+    def test_optimize_summary_counts_purged_dvs(self, spark, tmp_path):
+        w = self._upgraded(spark, tmp_path, "sum")
+        w.delete(spark, "k = 10")
+        w.optimize(spark)
+        t = IcebergTable(w.path)
+        summ = t._snapshot(None)["summary"]
+        assert summ["operation"] == "replace"
+        assert summ["purged-deletion-vectors"] == "1"
