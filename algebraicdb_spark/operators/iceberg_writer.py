@@ -2296,14 +2296,17 @@ class IcebergTableWriter:
                         )
         written: list[str] = []
         try:
-            puffin = os.path.join(
-                self.data_dir, f"dv-{snap_id}-{uuid.uuid4().hex}.puffin"
-            )
-            locs = write_puffin_dv_file(
-                puffin, new_dvs, snapshot_id=snap_id,
-                sequence_number=seq,
-            )
-            written.append(puffin)
+            locs = {}
+            if new_dvs:
+                puffin = os.path.join(
+                    self.data_dir,
+                    f"dv-{snap_id}-{uuid.uuid4().hex}.puffin",
+                )
+                locs = write_puffin_dv_file(
+                    puffin, new_dvs, snapshot_id=snap_id,
+                    sequence_number=seq,
+                )
+                written.append(puffin)
             entries = []
 
             def dv_entry(ref, fpath, off, ln, card):
@@ -2330,13 +2333,15 @@ class IcebergTableWriter:
                 fpath, off, ln = untouched[ref]
                 dv_entry(ref, fpath, off, ln,
                          len(old_map.get(ref, [])))
-            dv_m = os.path.join(
-                self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
-            )
-            AvroFileWriter.write(
-                dv_m, _manifest_schema([], fv=fv), entries
-            )
-            written.append(dv_m)
+            dv_m = None
+            if entries:
+                dv_m = os.path.join(
+                    self.meta_dir, f"m-{snap_id}-{uuid.uuid4().hex}.avro"
+                )
+                AvroFileWriter.write(
+                    dv_m, _manifest_schema([], fv=fv), entries
+                )
+                written.append(dv_m)
             new_rows = []
             for r in AvroFileReader(
                 rdr._resolve(prev["manifest-list"])
@@ -2366,21 +2371,22 @@ class IcebergTableWriter:
             n_dv_rows = sum(len(v) for v in new_dvs.values()) + sum(
                 len(old_map.get(r, [])) for r in untouched
             )
-            new_rows.append({
-                "manifest_path": dv_m,
-                "manifest_length": os.path.getsize(dv_m),
-                "partition_spec_id": cur.get("default-spec-id", 0),
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snap_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_dv_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            })
+            if dv_m is not None:
+                new_rows.append({
+                    "manifest_path": dv_m,
+                    "manifest_length": os.path.getsize(dv_m),
+                    "partition_spec_id": cur.get("default-spec-id", 0),
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_dv_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                })
             # staged data files (a v3 UPDATE's postimages) ride the
             # SAME snapshot: lineage-materialized parquet whose
             # entries take a fresh first_row_id range — materialized
@@ -2595,6 +2601,186 @@ class IcebergTableWriter:
                 raise
         raise ConcurrentWriteError(
             f"iceberg v3 dv update lost {max_retries} metadata publish "
+            "races — table is under pathological write contention"
+        )
+
+    def _merge_mor_dv(
+        self,
+        spark: SparkSession,
+        source,
+        cond: str,
+        assignments: dict[str, str] | None,
+        insert_exprs: list[str] | None,
+        target_alias: str,
+        source_alias: str,
+        max_retries: int,
+        delete_matched: bool,
+        primed: tuple[int, dict] | None = None,
+    ) -> dict:
+        """The format-version 3 MERGE body (round 14): matched target
+        rows deletion-vector in place (merged superset vectors),
+        THEN-UPDATE postimages stage with their PRESERVED ``_row_id``
+        and a null last-updated slot (inherits the commit's sequence
+        number), THEN-DELETE stages nothing, NOT-MATCHED inserts stage
+        without lineage columns — new rows inherit fresh ids from the
+        staged file's reserved range. One atomic snapshot; the same
+        multi-match refusal as every other MERGE path."""
+        from pyspark.sql import functions as F
+
+        cond_col = F.expr(cond)
+        for _ in range(max_retries):
+            base_v, cur = primed or self._current()
+            primed = None
+            if cur is None:
+                raise ValueError(
+                    f"iceberg table {self.path} has no commits to "
+                    "merge into"
+                )
+            rdr = self.reader()
+            data, pos_d, eq_d, dvs = self._mor_scope(rdr, dv_writer=True)
+            old_map = rdr._dv_positions_map(dvs)
+            tgt = None
+            if data:
+                tgt = self._live_identity(
+                    spark, data, pos_d, eq_d, rdr,
+                    lineage=rdr._first_row_ids(None),
+                )
+                if old_map:
+                    dv_dels = spark.createDataFrame(
+                        [(u, int(p)) for u, ps in old_map.items()
+                         for p in ps],
+                        "__uri string, __pos long",
+                    )
+                    tgt = tgt.join(
+                        F.broadcast(dv_dels), ["__uri", "__pos"],
+                        "left_anti",
+                    )
+                tgt = tgt.localCheckpoint()
+            table_cols = [
+                c for c in (tgt.columns if tgt is not None else [])
+                if c not in ("__uri", "__pos", "_row_id",
+                             "_last_updated_sequence_number")
+            ]
+            new_dvs: dict[str, list[int]] = {}
+            matched = 0
+            data_staged: list = []
+            try:
+                if (assignments or delete_matched) and tgt is not None:
+                    joined = tgt.alias(target_alias).join(
+                        source.alias(source_alias), cond_col, "inner"
+                    ).localCheckpoint()
+                    st_row = joined.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(
+                            F.col("__uri"), F.col("__pos")
+                        ).alias("d"),
+                    ).collect()[0]
+                    n_join, matched = int(st_row["n"]), int(st_row["d"])
+                    if n_join > matched and assignments:
+                        raise ValueError(
+                            f"MERGE: {n_join - matched} target row(s) "
+                            "matched multiple source rows — the "
+                            "rewrite would duplicate them; deduplicate "
+                            "the source on the merge key first"
+                        )
+                    if matched:
+                        touched: dict[str, set[int]] = {}
+                        for r in joined.select(
+                            "__uri", "__pos"
+                        ).dropDuplicates().collect():
+                            touched.setdefault(
+                                r["__uri"], set()
+                            ).add(int(r["__pos"]))
+                        new_dvs = {
+                            u: sorted(set(old_map.get(u, [])) | ps)
+                            for u, ps in touched.items()
+                        }
+                        if assignments:
+                            post = joined.select(
+                                *[
+                                    F.expr(assignments[c])
+                                    .cast(tgt.schema[c].dataType)
+                                    .alias(c)
+                                    if c in assignments
+                                    else F.col(f"{target_alias}.{c}")
+                                    for c in table_cols
+                                ],
+                                F.col(f"{target_alias}._row_id"),
+                                F.lit(None).cast("long").alias(
+                                    "_last_updated_sequence_number"
+                                ),
+                            )
+                            data_staged += self._stage_nonempty(
+                                post,
+                                ice_fields=self._cur_fields(cur)
+                                + _LINEAGE_FIELDS,
+                            )
+                rows_inserted = 0
+                if insert_exprs is not None:
+                    tbl_schema = self.table_schema()
+                    if tbl_schema is None:
+                        raise ValueError(
+                            "MERGE: the table schema cannot be mapped "
+                            "to Spark types, so INSERT VALUES has no "
+                            "column shape to project into — use a "
+                            "full Iceberg client"
+                        )
+                    cols = [
+                        (f.name, f.dataType) for f in tbl_schema.fields
+                    ]
+                    if len(insert_exprs) != len(cols):
+                        raise ValueError(
+                            f"MERGE: INSERT VALUES has "
+                            f"{len(insert_exprs)} expressions for "
+                            f"{len(cols)} target columns"
+                        )
+                    ins_src = (
+                        source.alias(source_alias).join(
+                            tgt.alias(target_alias), cond_col,
+                            "left_anti"
+                        )
+                        if tgt is not None
+                        else source.alias(source_alias)
+                    )
+                    ins = ins_src.select(
+                        *[
+                            F.expr(e).cast(t_).alias(c)
+                            for e, (c, t_) in zip(insert_exprs, cols)
+                        ]
+                    )
+                    ins_staged = self._stage_nonempty(
+                        ins, ice_fields=self._cur_fields(cur)
+                    )
+                    rows_inserted = sum(
+                        r for _p, r, _b, _pv in ins_staged
+                    )
+                    if rows_inserted == 0:
+                        self._unstage(ins_staged)
+                    else:
+                        data_staged += ins_staged
+                if not new_dvs and not data_staged:
+                    return {"version": None, "rows_matched": 0,
+                            "rows_inserted": 0, "delete_files": 0}
+                snap_id = self._publish_mor_dv(
+                    base_v, cur, rdr, dvs, new_dvs, old_map,
+                    {"updated-records": str(
+                        matched if assignments else 0),
+                     "deleted-records": str(
+                         matched if delete_matched else 0),
+                     "added-records": str(rows_inserted)},
+                    staged=data_staged, operation="overwrite",
+                )
+                return {"version": snap_id, "rows_matched": matched,
+                        "rows_inserted": rows_inserted,
+                        "delete_files": 1 if new_dvs else 0}
+            except ConcurrentWriteError:
+                self._unstage(data_staged)
+                continue
+            except BaseException:
+                self._unstage(data_staged)
+                raise
+        raise ConcurrentWriteError(
+            f"iceberg v3 dv merge lost {max_retries} metadata publish "
             "races — table is under pathological write contention"
         )
 
@@ -3370,6 +3556,17 @@ class IcebergTableWriter:
                 "THEN INSERT expressions"
             )
         primed: tuple[int, dict] | None = self._current()
+        if primed[1] is not None and self._fv_of(primed[1]) >= 3 \
+                and mode != "cow":
+            # format-version 3 (round 14): matched rows deletion-
+            # vector, postimages keep their _row_id — the lineage-
+            # correct v3 merge regardless of the mode knob (an
+            # explicit mode='cow' surfaces the COW gate's refusal)
+            return self._merge_mor_dv(
+                spark, source, cond, assignments, insert_exprs,
+                target_alias, source_alias, max_retries, delete_matched,
+                primed=primed,
+            )
         if primed[1] is not None and self._resolved_mode(
             primed[1], mode, "merge"
         ) == "mor":

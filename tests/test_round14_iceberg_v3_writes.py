@@ -371,3 +371,81 @@ class TestV3LineageRewrites:
         summ = t._snapshot(None)["summary"]
         assert summ["operation"] == "replace"
         assert summ["purged-deletion-vectors"] == "1"
+
+
+class TestV3DvMerge:
+    def test_merge_preserves_lineage(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "mg")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "k long, v double",
+        ).coalesce(1))
+        w.upgrade_format_version(3)
+        w.append(spark.createDataFrame(
+            [(10, 10.0), (11, 11.0)], "k long, v double").coalesce(1))
+        src = spark.createDataFrame(
+            [(1, 100.0), (11, 111.0), (50, 50.0)], "k long, nv double")
+        res = w.merge(spark, src, "t.k = s.k", {"v": "s.nv"},
+                      ["s.k", "s.nv"])
+        assert res == {"version": res["version"], "rows_matched": 2,
+                       "rows_inserted": 1, "delete_files": 1}
+        t = IcebergTable(root)
+        got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert got[1] == 100.0 and got[11] == 111.0 and got[50] == 50.0
+        assert got[0] == 0.0 and len(got) == 7
+        # the postimage of the lineage-bearing row KEEPS its id; the
+        # pre-upgrade row has none to preserve
+        lin = {}
+        for p, _u, _s in t._files(None)[0]:
+            tb = pq.read_table(p)
+            if "_row_id" in tb.schema.names:
+                lin.update(zip(tb.column("k").to_pylist(),
+                               tb.column("_row_id").to_pylist()))
+        assert lin.get(11) == 1 and lin.get(1) is None
+
+    def test_merge_delete_matched_and_multimatch(self, spark, tmp_path):
+        root = str(tmp_path / "md")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "k long, v double",
+        ).coalesce(1))
+        w.upgrade_format_version(3)
+        res = w.merge(
+            spark, spark.createDataFrame([(2,)], "k long"),
+            "t.k = s.k", None, None, delete_matched=True)
+        assert res["rows_matched"] == 1 and res["delete_files"] == 1
+        assert sorted(
+            r["k"] for r in IcebergTable(root).snapshot(spark).collect()
+        ) == [0, 1, 3]
+        with pytest.raises(ValueError, match="multiple source rows"):
+            w.merge(
+                spark,
+                spark.createDataFrame([(3, 1.0), (3, 2.0)],
+                                      "k long, nv double"),
+                "t.k = s.k", {"v": "s.nv"}, None)
+        # an already-DV'd row never rematches: deleting k=2 again no-ops
+        res2 = w.merge(
+            spark, spark.createDataFrame([(2,)], "k long"),
+            "t.k = s.k", None, None, delete_matched=True)
+        assert res2["version"] is None and res2["rows_matched"] == 0
+
+    def test_insert_only_merge_writes_no_dv(self, spark, tmp_path):
+        root = str(tmp_path / "mi")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [(1, 1.0)], "k long, v double").coalesce(1))
+        w.upgrade_format_version(3)
+        res = w.merge(
+            spark,
+            spark.createDataFrame([(77, 7.7)], "k long, nv double"),
+            "t.k = s.k", None, ["s.k", "s.nv"])
+        assert res["rows_inserted"] == 1 and res["delete_files"] == 0
+        t = IcebergTable(root)
+        assert not t._files(None)[3], "no stray deletion vector"
+        assert sorted(
+            r["k"] for r in t.snapshot(spark).collect()) == [1, 77]
+        # the insert inherits a fresh id range
+        snap = t._snapshot(None)
+        assert snap["summary"]["added-records"] == "1"
