@@ -1050,7 +1050,11 @@ class Engine:
 
                     IcebergTableWriter(att["path"]).set_properties(props)
                 else:
-                    DeltaTableWriter(att["path"]).set_properties(props)
+                    # spark rides along so ALTER ADD CONSTRAINT can
+                    # validate the table's existing rows
+                    DeltaTableWriter(att["path"]).set_properties(
+                        props, spark=self.spark
+                    )
             except (ValueError, NotImplementedError) as exc:
                 raise AdtError(f"ALTER TABLE {name}: {exc}") from exc
             return None

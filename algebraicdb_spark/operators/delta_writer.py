@@ -197,6 +197,120 @@ class DeltaTableWriter:
         )
         return _cm_mapping(st) if mode == "name" else _cm_id_mapping(st)
 
+    @staticmethod
+    def _constraints_of(meta: dict | None) -> list[tuple[str, str]]:
+        """Declared CHECK constraints: (name, SQL expression) from the
+        ``delta.constraints.<name>`` configuration keys."""
+        conf = (meta or {}).get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        pre = "delta.constraints."
+        return sorted(
+            (k[len(pre):], str(v))
+            for k, v in conf.items()
+            if k.startswith(pre)
+        )
+
+    def _generated_of(self, meta: dict | None) -> list[tuple]:
+        """Declared GENERATED columns: (name, generation expression,
+        declared type) from each field's
+        ``delta.generationExpression`` metadata."""
+        st = parse_schema_string(
+            (meta or {}).get("schemaString"), self.path
+        )
+        out = []
+        for f in (st.fields if st else []):
+            e = (f.metadata or {}).get("delta.generationExpression")
+            if e:
+                out.append((f.name, str(e), f.dataType))
+        return out
+
+    def _apply_generated(self, df: DataFrame, meta: dict | None):
+        """Compute ABSENT generated columns into an incoming batch —
+        what lets `INSERT (other_cols)` work on a table whose
+        partition date is `GENERATED ALWAYS AS (CAST(ts AS DATE))`.
+        Present columns pass through and are VALIDATED instead
+        (``_enforce_invariants``) — recomputing over an explicit
+        value would silently discard what the caller wrote."""
+        from pyspark.sql import functions as F
+
+        for name, e, dt in self._generated_of(meta):
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(e).cast(dt))
+        return df
+
+    def _recompute_generated(self, df: DataFrame, meta: dict | None):
+        """Re-derive every generated column from the row's (possibly
+        just-updated) source values — UPDATE/MERGE postimage
+        semantics: when a source column changes, the generated column
+        follows. Deterministic expressions leave untouched rows
+        bit-identical."""
+        from pyspark.sql import functions as F
+
+        for name, e, dt in self._generated_of(meta):
+            df = df.withColumn(name, F.expr(e).cast(dt))
+        return df
+
+    def _enforce_invariants(
+        self, df: DataFrame, meta: dict | None, mutation: str
+    ) -> None:
+        """ONE probe pass over the rows about to land: every declared
+        CHECK constraint (violated iff the expression is FALSE — null
+        satisfies, per SQL) and every PRESENT generated column's
+        consistency with its expression (null-safe equality). The
+        first violating row aborts the commit BEFORE any action
+        publishes; the probe is one scan with limit(1), not one scan
+        per rule."""
+        from pyspark.sql import functions as F
+
+        checks: list[tuple[str, object]] = []
+        for name, expr in self._constraints_of(meta):
+            checks.append((
+                f"CHECK constraint {name} ({expr})",
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+            ))
+        for name, e, dt in self._generated_of(meta):
+            if name in df.columns:
+                checks.append((
+                    f"generated column {name} = {e}",
+                    ~F.col(name).eqNullSafe(F.expr(e).cast(dt)),
+                ))
+        if not checks:
+            return
+        hit = (
+            df.select(
+                F.array_compact(F.array(*[
+                    F.when(cond, F.lit(label)) for label, cond in checks
+                ])).alias("__viol")
+            )
+            .where(F.size("__viol") > 0)
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            raise ValueError(
+                f"{mutation} on {self.path}: a row violates "
+                f"{hit[0]['__viol'][0]} — refused before any action "
+                "landed"
+            )
+
+    def _gate_generated_assignments(
+        self, assignments: dict | None, meta: dict | None, mutation: str
+    ) -> None:
+        """Direct assignment to a generated column refuses — the
+        column's value is DEFINED by its expression; postimages
+        recompute it from the updated sources instead."""
+        if not assignments:
+            return
+        gen = {n for n, _e, _t in self._generated_of(meta)}
+        bad = sorted(gen & set(assignments))
+        if bad:
+            raise ValueError(
+                f"{mutation} on {self.path}: column(s) {bad} are "
+                "GENERATED — their values derive from their "
+                "expressions; assign the source columns instead"
+            )
+
     def _stage(
         self,
         df: DataFrame,
@@ -589,16 +703,10 @@ class DeltaTableWriter:
             st_d = parse_schema_string(
                 (meta or {}).get("schemaString"), self.path
             )
-            gen = [
-                f.name for f in (st_d.fields if st_d else [])
-                if "delta.generationExpression" in (f.metadata or {})
-            ]
-            if gen:
-                raise NotImplementedError(
-                    f"{mutation} on {self.path}: generated column(s) "
-                    f"{gen} — this writer cannot evaluate generation "
-                    "expressions; use a full Delta client"
-                )
+            # generated columns are HONORED since round 14: absent
+            # columns compute at write (_apply_generated), present
+            # ones validate (_enforce_invariants), postimages
+            # recompute (_recompute_generated) — no gate needed here
             ident = [
                 f.name for f in (st_d.fields if st_d else [])
                 if any(
@@ -621,13 +729,10 @@ class DeltaTableWriter:
                 "(delta.appendOnly) — data-changing removes are "
                 "forbidden by its own configuration"
             )
-        declared = [k for k in conf if k.startswith("delta.constraints.")]
-        if declared and mutation != "VACUUM":
-            raise NotImplementedError(
-                f"{mutation} on {self.path}: table declares CHECK "
-                f"constraints {declared} this writer cannot enforce; "
-                "use a full Delta client"
-            )
+        # CHECK constraints are ENFORCED since round 14: every path
+        # that lands new row content probes the declared expressions
+        # before publishing (_enforce_invariants) — declaring them no
+        # longer refuses
 
     def enable_deletion_vectors(
         self,
@@ -807,7 +912,8 @@ class DeltaTableWriter:
     }
 
     def set_properties(
-        self, props: dict[str, str], max_retries: int = 8
+        self, props: dict[str, str], max_retries: int = 8,
+        spark: SparkSession | None = None,
     ) -> int | None:
         """``SET TBLPROPERTIES`` as one metaData commit: merge
         ``props`` into the table configuration (None/'' deletes a
@@ -826,6 +932,7 @@ class DeltaTableWriter:
             k for k in props
             if k.startswith("delta.")
             and k not in self._SETTABLE_DELTA_KEYS
+            and not k.startswith("delta.constraints.")
             and k not in ("delta.enableDeletionVectors",
                           "delta.enableChangeDataFeed")
         )
@@ -836,6 +943,32 @@ class DeltaTableWriter:
                 "committing the flag without the behavior would lie to "
                 "every other client; use a full Delta client"
             )
+        # ALTER ADD CONSTRAINT semantics: a NEW check constraint must
+        # validate the EXISTING rows before it commits — a table whose
+        # declared rule its own content violates lies to every reader
+        adding = {
+            k: v for k, v in props.items()
+            if k.startswith("delta.constraints.") and v not in (None, "")
+        }
+        if adding:
+            if spark is None:
+                raise ValueError(
+                    f"SET PROPERTIES on {self.path}: adding CHECK "
+                    f"constraint(s) {sorted(adding)} validates the "
+                    "table's existing rows — pass spark="
+                )
+            if self.latest_version() >= 0:
+                try:
+                    snap = self.reader().snapshot(spark)
+                except ValueError:
+                    snap = None  # no live files: nothing to validate
+                if snap is not None:
+                    self._enforce_invariants(
+                        snap,
+                        {"configuration": dict(adding),
+                         "schemaString": None},
+                        "ADD CONSTRAINT",
+                    )
         if str(props.get("delta.enableDeletionVectors", "")
                ).lower() == "true":
             rest = {k: v for k, v in props.items()
@@ -951,6 +1084,8 @@ class DeltaTableWriter:
         base = self.latest_version()
         proto, cur_meta = self.reader()._protocol_meta()
         self._check_writable(proto, cur_meta, "APPEND")
+        df = self._apply_generated(df, cur_meta)
+        self._enforce_invariants(df, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
@@ -1028,6 +1163,8 @@ class DeltaTableWriter:
             return None
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "APPEND")
+        df = self._apply_generated(df, cur_meta)
+        self._enforce_invariants(df, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
@@ -1110,6 +1247,8 @@ class DeltaTableWriter:
         rdr = self.reader()
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "OVERWRITE")
+        df = self._apply_generated(df, cur_meta)
+        self._enforce_invariants(df, cur_meta, "OVERWRITE")
         partition_by = (
             list(partition_by)
             if partition_by is not None
@@ -2066,6 +2205,7 @@ class DeltaTableWriter:
                 "across partitions is an overwrite-shaped operation; "
                 "DELETE + append instead"
             )
+        self._gate_generated_assignments(assignments, meta, "UPDATE")
         pred = predicate if predicate is not None else "TRUE"
         if mode == "mor":
             # mapped tables compose since round 14 (see _delete_mor)
@@ -2103,6 +2243,12 @@ class DeltaTableWriter:
                 for c in df.columns
             ]
         )
+        out = self._recompute_generated(out, meta)
+        # the whole rewrite frame probes (pre-existing rows satisfied
+        # their rules at their own write time, so they pass trivially;
+        # filtering by the predicate over POST-update values would
+        # mis-select when an assigned column appears in it)
+        self._enforce_invariants(out, meta, "UPDATE")
         staged = self._stage(out, part_cols, mapping=mapping)
         cdc = None
         if self._cdf_enabled(meta):
@@ -2112,14 +2258,17 @@ class DeltaTableWriter:
             # the rewrite staged), preserving the generic algebra's
             # cancellation of no-op assignments at O(matched rows)
             pre_m = df.where(cond)
-            post_m = pre_m.select(
-                *[
-                    F.expr(assignments[c])
-                    .cast(df.schema[c].dataType).alias(c)
-                    if c in assignments
-                    else F.col(c)
-                    for c in df.columns
-                ]
+            post_m = self._recompute_generated(
+                pre_m.select(
+                    *[
+                        F.expr(assignments[c])
+                        .cast(df.schema[c].dataType).alias(c)
+                        if c in assignments
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                ),
+                meta,
             )
             changes = (
                 pre_m.exceptAll(post_m)
@@ -2186,6 +2335,8 @@ class DeltaTableWriter:
                 for c in post_src.columns
             ]
         )
+        post = self._recompute_generated(post, meta)
+        self._enforce_invariants(post, meta, "UPDATE")
         staged = self._stage(post, part_cols, mapping=mapping)
         adds, _full, dv_files, written_bin = self._build_dv_actions(
             entries, new_pos, inline_threshold
@@ -2269,6 +2420,7 @@ class DeltaTableWriter:
         rdr, entries, st, part_cols, by_local, mapping, meta = (
             self._cow_context(spark, "MERGE")
         )
+        self._gate_generated_assignments(assignments, meta, "MERGE")
         if assignments:
             bad = [c for c in assignments if c in part_cols]
             if bad:
@@ -2414,6 +2566,7 @@ class DeltaTableWriter:
                     for e, (c, t_) in zip(insert_exprs, cols)
                 ]
             )
+            self._enforce_invariants(ins, meta, "MERGE")
             ins_staged = self._stage(ins, part_cols, mapping=mapping)
             rows_inserted = sum(
                 self._file_rows(os.path.join(self.path, rel))
@@ -2487,16 +2640,20 @@ class DeltaTableWriter:
             data_cols = [
                 c for c in tgt.columns if c not in ("__lp", "__pos")
             ]
-            post = joined.select(
-                *[
-                    F.expr(assignments[c])
-                    .cast(tgt.schema[c].dataType)
-                    .alias(c)
-                    if c in assignments
-                    else F.col(f"{target_alias}.{c}").alias(c)
-                    for c in data_cols
-                ]
+            post = self._recompute_generated(
+                joined.select(
+                    *[
+                        F.expr(assignments[c])
+                        .cast(tgt.schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(f"{target_alias}.{c}").alias(c)
+                        for c in data_cols
+                    ]
+                ),
+                meta,
             )
+            self._enforce_invariants(post, meta, "MERGE")
             staged = self._stage(post, part_cols, mapping=mapping)
             staged_rows = sum(
                 self._file_rows(os.path.join(self.path, rel))
@@ -2532,6 +2689,7 @@ class DeltaTableWriter:
                     for e, (c, t_) in zip(insert_exprs, cols)
                 ]
             )
+            self._enforce_invariants(ins, meta, "MERGE")
             ins_staged = self._stage(ins, part_cols, mapping=mapping)
             rows_inserted = sum(
                 self._file_rows(os.path.join(self.path, rel))
