@@ -678,11 +678,13 @@ class DeltaTableWriter:
             # Legacy writer versions 3..6 imply capabilities that are
             # all INTROSPECTABLE from metadata this writer already
             # reads, so the version number alone no longer refuses
-            # (round 13): check constraints (v3+) refuse below when
-            # DECLARED; change data feed (v4+) is honored by emitting
-            # `_change_data` + cdc actions in every mutation commit
-            # (_cdc_actions); generated columns (v4+) and identity
-            # columns (v6) refuse below when DECLARED; column mapping
+            # (round 13): check constraints (v3+) are ENFORCED when
+            # declared (round 14, _enforce_invariants); change data
+            # feed (v4+) is honored by emitting `_change_data` + cdc
+            # actions in every mutation commit (_cdc_actions);
+            # generated columns (v4+) are honored (round 14 —
+            # computed/validated/recomputed); identity columns (v6)
+            # refuse below when DECLARED; column mapping
             # (v5) is gated above. VACUUM stays exempt: it unlinks
             # files no retained snapshot references and never stages a
             # parquet byte or commits an action; cdc/_change_data
