@@ -4383,3 +4383,75 @@ def sink_iceberg_v3_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("price").cast("decimal(18,4)")).cast("double"),
         ).alias("total"),
     )
+
+
+@register(
+    "sink_delta_constraints",
+    # Writer-side invariants end-to-end: a CHECK constraint declared
+    # via ALTER ADD CONSTRAINT (existing rows validated first), a
+    # violating append REFUSED with nothing leaked, a conforming
+    # append landing, and a COW UPDATE whose postimages re-probe the
+    # rule. The oracle recomputes the surviving content.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 14 = 7 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+    ) t
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK-constraint enforcement (round 14): the writer
+    probes every declared ``delta.constraints.*`` expression over the
+    rows a commit would land — one limit(1) pass, FALSE violates /
+    null satisfies — and refuses BEFORE any action publishes; ALTER
+    ADD CONSTRAINT validates the table's existing rows first. The
+    structural asserts pin a refused violating append (content
+    unchanged) and a refused constraint-add over violating content."""
+    import shutil
+
+    from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+    base = _scratch("delta_constraints", sf_dir)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    w = DeltaTableWriter(base)
+    w.append(o.where(F.col("o_orderkey") % 7 == 0))
+    # adding a rule the content violates refuses (validation-first)
+    try:
+        w.set_properties(
+            {"delta.constraints.absurd": "price > 1e12"}, spark=spark)
+        raise AssertionError("constraint over violating rows must refuse")
+    except ValueError:
+        pass
+    w.set_properties({"delta.constraints.price_pos": "price > 0"},
+                     spark=spark)
+    before = DeltaLogTable(base).snapshot(spark).count()
+    try:
+        w.append(o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "price", F.lit(-1.0)))
+        raise AssertionError("violating append must refuse")
+    except ValueError:
+        pass
+    assert DeltaLogTable(base).snapshot(spark).count() == before, (
+        "refused append must leak nothing"
+    )
+    # a conforming UPDATE re-probes the rule on its postimages
+    w.update(spark, {"price": "price + 1"}, "o_orderkey % 14 = 7")
+    return DeltaLogTable(base).snapshot(spark).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(
+            F.sum(F.col("price").cast("decimal(18,4)")).cast("double"),
+        ).alias("total"),
+    )
