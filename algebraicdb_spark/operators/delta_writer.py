@@ -297,9 +297,11 @@ class DeltaTableWriter:
     def _gate_generated_assignments(
         self, assignments: dict | None, meta: dict | None, mutation: str
     ) -> None:
-        """Direct assignment to a generated column refuses — the
-        column's value is DEFINED by its expression; postimages
-        recompute it from the updated sources instead."""
+        """Direct assignment to a generated or identity column
+        refuses — a generated column's value is DEFINED by its
+        expression (postimages recompute from the updated sources);
+        an identity column's values are writer-allocated and
+        reassigning them would corrupt the high-water mark."""
         if not assignments:
             return
         gen = {n for n, _e, _t in self._generated_of(meta)}
@@ -310,6 +312,156 @@ class DeltaTableWriter:
                 "GENERATED — their values derive from their "
                 "expressions; assign the source columns instead"
             )
+        ident = {i[0] for i in self._identity_of(meta)}
+        bad_i = sorted(ident & set(assignments))
+        if bad_i:
+            raise ValueError(
+                f"{mutation} on {self.path}: column(s) {bad_i} are "
+                "IDENTITY — their values are writer-allocated; "
+                "reassigning them would corrupt the high-water mark"
+            )
+
+    def _identity_of(self, meta: dict | None) -> list[tuple]:
+        """Declared IDENTITY columns: (name, start, step,
+        allowExplicitInsert, highWaterMark-or-None) from each field's
+        ``delta.identity.*`` metadata. Identity columns are BIGINT by
+        the protocol; other types refuse at use."""
+        st = parse_schema_string(
+            (meta or {}).get("schemaString"), self.path
+        )
+        out = []
+        for f in (st.fields if st else []):
+            md = f.metadata or {}
+            if not any(k.startswith("delta.identity.") for k in md):
+                continue
+            hw = md.get("delta.identity.highWaterMark")
+            out.append((
+                f.name,
+                int(md.get("delta.identity.start", 1)),
+                int(md.get("delta.identity.step", 1)),
+                str(md.get("delta.identity.allowExplicitInsert", False))
+                .lower() == "true",
+                int(hw) if hw is not None else None,
+                f.dataType,
+            ))
+        return out
+
+    def _apply_identity(
+        self, df: DataFrame, meta: dict | None, mutation: str
+    ):
+        """Allocate ABSENT identity columns and derive the commit's
+        high-water-mark advances: generated values are
+        ``hw + step·(monotonic_id + 1)`` — per-partition allocation
+        with GAPS, exactly what distributed identity implementations
+        produce (the protocol only demands step-direction monotonicity
+        past the recorded mark, never contiguity). The frame is
+        localCheckpointed once so the mark aggregation and the staged
+        write see the SAME nondeterministic ids. Explicit values are
+        legal only under ``allowExplicitInsert`` (GENERATED BY
+        DEFAULT) and extend the mark too. Returns (df, {col: new
+        high-water mark})."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        idents = self._identity_of(meta)
+        if not idents:
+            return df, {}
+        generated = False
+        for name, start, step, allow, hw, dt in idents:
+            if step == 0:
+                raise ValueError(
+                    f"{self.path}: identity column {name} declares "
+                    "step 0 — no value sequence exists"
+                )
+            if not isinstance(dt, LongType):
+                raise NotImplementedError(
+                    f"{self.path}: identity column {name} is declared "
+                    f"{dt.simpleString()} — the protocol defines "
+                    "identity over BIGINT only"
+                )
+            if name in df.columns:
+                if not allow:
+                    raise ValueError(
+                        f"{mutation} on {self.path}: identity column "
+                        f"{name} is GENERATED ALWAYS "
+                        "(allowExplicitInsert=false) — explicit "
+                        "values refuse; omit the column"
+                    )
+            else:
+                base = hw if hw is not None else start - step
+                df = df.withColumn(
+                    name,
+                    (F.lit(base)
+                     + (F.monotonically_increasing_id() + F.lit(1))
+                     * F.lit(step)).cast("long"),
+                )
+                generated = True
+        if generated:
+            # the allocated column lands LAST — realign to the
+            # declared order so the schema gate sees the table shape
+            st = parse_schema_string(
+                (meta or {}).get("schemaString"), self.path
+            )
+            if st and set(df.columns) == {f.name for f in st.fields}:
+                df = df.select(*[f.name for f in st.fields])
+            df = df.localCheckpoint()
+        aggs = []
+        for name, _s, step, _a, _hw, _dt in idents:
+            if name in df.columns:
+                fn = F.max if step > 0 else F.min
+                aggs.append(fn(F.col(name)).alias(name))
+        hw_updates: dict[str, int] = {}
+        if aggs:
+            row = df.agg(*aggs).collect()[0]
+            for name, _s, step, _a, hw, _dt in idents:
+                if name not in df.columns:
+                    continue
+                ext = row[name]
+                if ext is None:
+                    continue  # empty batch / all-null explicit
+                new_hw = (
+                    int(ext) if hw is None
+                    else (max(hw, int(ext)) if step > 0
+                          else min(hw, int(ext)))
+                )
+                if new_hw != hw:
+                    hw_updates[name] = new_hw
+        return df, hw_updates
+
+    def _identity_meta_patch(
+        self,
+        cur_meta: dict | None,
+        meta_actions: list[dict],
+        parts: list[str],
+        hw_updates: dict[str, int],
+    ) -> list[dict]:
+        """Fold the commit's high-water-mark advances into its
+        metaData action — patching the one the schema gate already
+        emitted, else minting one from the CURRENT schema doc patched
+        in place (every other field property — physicalNames, ids,
+        generation expressions — carries verbatim). The mark rides
+        the SAME commit as the rows it covers: a crash between them
+        is impossible by construction."""
+        if not hw_updates:
+            return meta_actions
+        src = (
+            meta_actions[0]["metaData"]["schemaString"]
+            if meta_actions
+            else (cur_meta or {}).get("schemaString")
+        )
+        doc = json.loads(src)
+        for f in doc.get("fields", []):
+            if f.get("name") in hw_updates:
+                md = dict(f.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = (
+                    hw_updates[f["name"]]
+                )
+                f["metadata"] = md
+        sj = json.dumps(doc)
+        if meta_actions:
+            meta_actions[0]["metaData"]["schemaString"] = sj
+            return meta_actions
+        return [self._evolved_meta(cur_meta, sj, list(parts))]
 
     def _stage(
         self,
@@ -709,19 +861,11 @@ class DeltaTableWriter:
             # columns compute at write (_apply_generated), present
             # ones validate (_enforce_invariants), postimages
             # recompute (_recompute_generated) — no gate needed here
-            ident = [
-                f.name for f in (st_d.fields if st_d else [])
-                if any(
-                    k.startswith("delta.identity.")
-                    for k in (f.metadata or {})
-                )
-            ]
-            if ident:
-                raise NotImplementedError(
-                    f"{mutation} on {self.path}: identity column(s) "
-                    f"{ident} — this writer cannot maintain identity "
-                    "high-water marks; use a full Delta client"
-                )
+            # identity columns are MAINTAINED on the ingest paths
+            # since round 14 (_apply_identity: allocation + high-water
+            # mark riding the same commit); UPDATE/MERGE carry values
+            # and refuse only the unmaintainable shapes (assignment to
+            # the column, MERGE INSERT) at their own entry points
         if data_change and mutation != "APPEND" and (
             "appendOnly" in feats
             or str(conf.get("delta.appendOnly", "")).lower() == "true"
@@ -1087,14 +1231,19 @@ class DeltaTableWriter:
         proto, cur_meta = self.reader()._protocol_meta()
         self._check_writable(proto, cur_meta, "APPEND")
         df = self._apply_generated(df, cur_meta)
+        df, hw_up = self._apply_identity(df, cur_meta, "APPEND")
         self._enforce_invariants(df, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
             else self._cur_parts(cur_meta)
         )
-        meta = self._meta_action(
-            df, parts, evolve_schema, cur_meta, fetched=True
+        meta = self._identity_meta_patch(
+            cur_meta,
+            self._meta_action(
+                df, parts, evolve_schema, cur_meta, fetched=True
+            ),
+            parts, hw_up,
         )
         staged = self._stage(
             df, parts, mapping=self._cm_of(cur_meta)
@@ -1166,14 +1315,19 @@ class DeltaTableWriter:
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "APPEND")
         df = self._apply_generated(df, cur_meta)
+        df, hw_up = self._apply_identity(df, cur_meta, "APPEND")
         self._enforce_invariants(df, cur_meta, "APPEND")
         parts = (
             list(partition_by)
             if partition_by is not None
             else self._cur_parts(cur_meta)
         )
-        meta = self._meta_action(
-            df, parts, evolve_schema, cur_meta, fetched=True
+        meta = self._identity_meta_patch(
+            cur_meta,
+            self._meta_action(
+                df, parts, evolve_schema, cur_meta, fetched=True
+            ),
+            parts, hw_up,
         )
         staged = self._stage(
             df, parts, mapping=self._cm_of(cur_meta)
@@ -1250,6 +1404,7 @@ class DeltaTableWriter:
         proto, cur_meta = rdr._protocol_meta()
         self._check_writable(proto, cur_meta, "OVERWRITE")
         df = self._apply_generated(df, cur_meta)
+        df, hw_up = self._apply_identity(df, cur_meta, "OVERWRITE")
         self._enforce_invariants(df, cur_meta, "OVERWRITE")
         partition_by = (
             list(partition_by)
@@ -1302,17 +1457,39 @@ class DeltaTableWriter:
         if mapping:
             pass  # same shape gated above: the mapped metaData —
             # physicalNames, ids, maxColumnId — carries forward as-is
-        elif (
-            not cur_meta
-            or (cur_schema_st.json() if cur_schema_st else None) != new_schema
-            or list(cur_meta.get("partitionColumns") or [])
-            != list(partition_by)
-        ):
-            meta = [
-                self._evolved_meta(cur_meta, new_schema, list(partition_by))
-                if cur_meta
-                else self._fresh_meta(new_schema, list(partition_by))
-            ]
+        elif not cur_meta:
+            meta = [self._fresh_meta(new_schema, list(partition_by))]
+        else:
+            cur_sj = cur_schema_st.json() if cur_schema_st else None
+            shape_same = (
+                cur_sj is not None
+                and _schema_fields(cur_sj) == _schema_fields(new_schema)
+                and list(_schema_fields(cur_sj))
+                == list(_schema_fields(new_schema))
+            )
+            parts_same = (
+                list(cur_meta.get("partitionColumns") or [])
+                == list(partition_by)
+            )
+            if shape_same:
+                # SAME logical shape: the current schemaString carries
+                # VERBATIM — its field metadata (CHECK constraints,
+                # generation expressions, identity declarations) must
+                # survive an overwrite, and re-recording the batch's
+                # bare schema would silently strip every declaration;
+                # only a partition change needs a metaData action
+                if not parts_same:
+                    meta = [self._evolved_meta(
+                        cur_meta, cur_meta.get("schemaString"),
+                        list(partition_by),
+                    )]
+            else:
+                meta = [self._evolved_meta(
+                    cur_meta, new_schema, list(partition_by)
+                )]
+        meta = self._identity_meta_patch(
+            cur_meta, meta, partition_by, hw_up
+        )
         staged = self._stage(df, partition_by, mapping=mapping)
         head = [self._protocol_action()] if expected_version == 0 else []
         try:
@@ -2423,6 +2600,12 @@ class DeltaTableWriter:
             self._cow_context(spark, "MERGE")
         )
         self._gate_generated_assignments(assignments, meta, "MERGE")
+        if insert_exprs is not None and self._identity_of(meta):
+            raise NotImplementedError(
+                f"MERGE INSERT on {self.path}: the table declares "
+                "identity column(s) whose high-water mark MERGE does "
+                "not maintain — append the not-matched rows instead"
+            )
         if assignments:
             bad = [c for c in assignments if c in part_cols]
             if bad:

@@ -171,3 +171,120 @@ class TestGeneratedColumns:
         )
         assert rows == [(1, 2, "update_preimage"),
                         (101, 202, "update_postimage")]
+
+
+def _identity_table(spark, tmp_path, name, allow="false", start=1, step=1):
+    """Hand-written log declaring id GENERATED AS IDENTITY — the
+    foreign-client shape (delta.identity.* in field metadata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / name)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([10.0, 20.0], pa.float64())})
+    pq.write_table(t, os.path.join(root, "f0.parquet"))
+    sch = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": start,
+                      "delta.identity.step": step,
+                      "delta.identity.allowExplicitInsert": allow,
+                      "delta.identity.highWaterMark": 2}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]}
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+            {"metaData": {"id": name, "format": {"provider": "parquet"},
+                          "schemaString": json.dumps(sch),
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(root, "f0.parquet")),
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def _hw_of(root):
+    st = DeltaLogTable(root).table_schema()
+    return st["id"].metadata["delta.identity.highWaterMark"]
+
+
+class TestIdentityColumns:
+    def test_append_allocates_and_advances_the_mark(
+        self, spark, tmp_path
+    ):
+        root = _identity_table(spark, tmp_path, "ia")
+        w = DeltaTableWriter(root)
+        w.append(spark.createDataFrame([(30.0,), (40.0,)], "v double"))
+        snap = DeltaLogTable(root).snapshot(spark)
+        ids = sorted(r["id"] for r in snap.collect())
+        assert len(ids) == 4 and len(set(ids)) == 4
+        # generated values stay strictly past the recorded mark
+        assert min(i for i in ids if i > 2) > 2
+        hw = _hw_of(root)
+        assert hw == max(ids)
+        # the NEXT append continues past the advanced mark
+        w.append(spark.createDataFrame([(50.0,)], "v double"))
+        ids2 = sorted(
+            r["id"]
+            for r in DeltaLogTable(root).snapshot(spark).collect())
+        assert len(set(ids2)) == 5 and max(ids2) > hw
+        assert _hw_of(root) == max(ids2)
+
+    def test_generated_always_refuses_explicit(self, spark, tmp_path):
+        root = _identity_table(spark, tmp_path, "ig", allow="false")
+        w = DeltaTableWriter(root)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            w.append(spark.createDataFrame(
+                [(99, 9.0)], "id long, v double"))
+
+    def test_by_default_explicit_extends_the_mark(self, spark, tmp_path):
+        root = _identity_table(spark, tmp_path, "ib", allow="true")
+        w = DeltaTableWriter(root)
+        w.append(spark.createDataFrame([(50, 5.0)], "id long, v double"))
+        assert _hw_of(root) == 50
+        # a later generated value never collides with the explicit one
+        w.append(spark.createDataFrame([(6.0,)], "v double"))
+        ids = [r["id"]
+               for r in DeltaLogTable(root).snapshot(spark).collect()]
+        assert len(set(ids)) == 4 and max(ids) > 50
+
+    def test_update_carries_merge_insert_refuses(self, spark, tmp_path):
+        root = _identity_table(spark, tmp_path, "iu")
+        w = DeltaTableWriter(root)
+        w.update(spark, {"v": "v + 1"}, "id = 1")
+        got = {r["id"]: r["v"]
+               for r in DeltaLogTable(root).snapshot(spark).collect()}
+        assert got == {1: 11.0, 2: 20.0}
+        with pytest.raises(ValueError, match="IDENTITY"):
+            w.update(spark, {"id": "7"}, "id = 2")
+        with pytest.raises(NotImplementedError, match="identity"):
+            w.merge(
+                spark,
+                spark.createDataFrame([(9, 9.0)], "mk long, mv double"),
+                "t.id = s.mk", None, ["s.mk", "s.mv"],
+            )
+
+    def test_overwrite_preserves_declarations(self, spark, tmp_path):
+        """A same-shape overwrite must carry the schemaString's field
+        metadata VERBATIM — re-recording the batch's bare schema would
+        strip the identity declaration (and every constraint)."""
+        root = _identity_table(spark, tmp_path, "io", allow="true")
+        w = DeltaTableWriter(root)
+        w.overwrite(
+            spark.createDataFrame([(7, 70.0)], "id long, v double"),
+            w.latest_version() + 1,
+        )
+        st = DeltaLogTable(root).table_schema()
+        assert "delta.identity.start" in st["id"].metadata
+        assert _hw_of(root) == 7
+        # identity allocation still works on the overwritten table
+        w.append(spark.createDataFrame([(80.0,)], "v double"))
+        ids = [r["id"]
+               for r in DeltaLogTable(root).snapshot(spark).collect()]
+        assert len(set(ids)) == 2 and max(ids) > 7
