@@ -13,12 +13,20 @@ round-12 verdict listed as missing item 7 is deleted."""
 import json
 import os
 import random
+import shutil
 import subprocess
 
 import pyarrow as pa
 import pytest
 
 from algebraicdb_spark.operators.zstd import xxhash64, zstd_decompress
+
+# Three tests shell out to the standalone zstd CLI as a SECOND
+# independent compressor (pyarrow's bundled libzstd is the first);
+# sandboxes without the binary still run the libzstd round-trips.
+needs_zstd_cli = pytest.mark.skipif(
+    shutil.which("zstd") is None, reason="zstd CLI not installed"
+)
 
 
 def _zc(data: bytes) -> bytes:
@@ -43,6 +51,7 @@ class TestZstdFrames:
         for i, d in enumerate(cases):
             assert zstd_decompress(_zc(d)) == d, f"case {i}"
 
+    @needs_zstd_cli
     def test_round_trips_against_the_cli_at_high_levels(self, tmp_path):
         """Level 19 exercises repeat-mode tables, treeless literals,
         and long matches; the CLI also writes content checksums, which
@@ -61,6 +70,7 @@ class TestZstdFrames:
             )
             assert zstd_decompress(out.read_bytes()) == data
 
+    @needs_zstd_cli
     def test_checksum_detects_corruption(self, tmp_path):
         src = tmp_path / "d"
         src.write_bytes(b"the spammish repetition " * 4000)
@@ -92,6 +102,7 @@ class TestZstdFrames:
         with pytest.raises(NotImplementedError, match="dictionary"):
             zstd_decompress(frame)
 
+    @needs_zstd_cli
     def test_xxhash64_against_libzstd_checksums(self, tmp_path):
         """The canonical empty-input vector, plus the stronger check:
         the 4-byte content checksum libzstd's CLI wrote for a frame
