@@ -16,6 +16,7 @@
 """
 
 import os
+import shutil
 import subprocess
 
 import pytest
@@ -54,6 +55,9 @@ def _craft_longform_frame() -> tuple[bytes, bytes]:
 
 
 class TestZstdLongFormSequenceCount:
+    @pytest.mark.skipif(
+        shutil.which("zstd") is None, reason="zstd CLI not installed"
+    )
     def test_cli_accepts_the_crafted_frame_and_we_agree(self, tmp_path):
         frame, exp = _craft_longform_frame()
         p = tmp_path / "f.zst"
