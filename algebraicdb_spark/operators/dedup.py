@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 # -- shared text canonicalization (one definition for every dedup op) --
 
@@ -303,8 +303,14 @@ def minhash_token_arrays(docs: DataFrame) -> DataFrame:
     consumer. Tokenize ONCE — the materialized shingle table is what a
     production dedup pipeline persists anyway. Lazy: plan-only callers
     pay nothing. (Streams can't checkpoint — they use shingle_tokens.)
+
+    ``spread`` first (guide §2.5): the canonicalize + shingle + every
+    downstream signature hash otherwise runs inside the single-task
+    fixture-scan stage (measured 2.9 s of 1-core md5 work inside
+    dedup_minhash_lsh at sf0.1); on multi-split cluster inputs it is a
+    no-op.
     """
-    return shingle_tokens(docs).localCheckpoint(eager=False)
+    return shingle_tokens(spread(docs)).localCheckpoint(eager=False)
 
 
 def minhash_banded(toks: DataFrame) -> DataFrame:

@@ -92,6 +92,33 @@ def ensure_confs(spark: SparkSession) -> None:
         pass  # conf marked immutable on this session — leave it be
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism (optimization
+    guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The fixture tables are SINGLE-row-group parquet files, so a scan —
+    and every map-side transform fused into its stage (tokenize,
+    shingle md5s, partial aggregation) — runs as ONE task no matter
+    how many cores the session has; measured 2.9 s of single-task
+    signature hashing inside dedup_minhash_lsh at sf0.1/local[32].
+    Repartitioning the (narrow, pre-explode) rows costs one small
+    round-robin shuffle locally and buys cores× parallelism for the
+    expensive work downstream.
+
+    Scale-adaptive by construction: when the input already arrives in
+    at least ``defaultParallelism`` splits — any real cluster table —
+    this returns the input UNCHANGED, so no plan at 100 TB ever pays
+    an extra exchange. Callers put it between the scan and the heavy
+    per-row compute, after any pushed-down filter.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register all fixture tables as temp views; cached per session."""
     skey = _session_key(spark)

@@ -32,7 +32,8 @@ def main() -> None:
     from algebraicdb_spark.session import get_spark
     from algebraicdb_spark.sources.catalog import load_tables
 
-    spark = get_spark("algebraicdb-time-query", shuffle_partitions=4)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("algebraicdb-time-query", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, SF_DIR)
     qs = registry.queries()
