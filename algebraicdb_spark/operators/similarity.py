@@ -24,13 +24,25 @@ from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 TOP_K = 5
 
 
 def dot(a, b):
-    """Exact dot product of two float arrays, accumulated in double."""
+    """Exact dot product of two float arrays, accumulated in double.
+
+    Round-14 measurement note (guide §1): an unrolled 64-term
+    ``(((0.0 + a[0]·b[0]) + …))`` column tree was A/B-tested against
+    this higher-order fold — identical hashes (same IEEE fold order),
+    and the codegen'd execution matched the interpreted fold at
+    fixture scale (0.42 s vs 0.39 s reuse-timed kNN), but CONSTRUCTING
+    the 64-term tree costs ~0.7 s of py4j round-trips per query build
+    (256 Column calls), which the bench pays on every run. The fold
+    stays; revisit only if per-row dot compute ever dominates a
+    profile (it would at billions of pairs — then build the unrolled
+    expression JVM-side in one parsed string, not via Column algebra).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -44,7 +56,10 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return q, e
+    # spread the corpus side (guide §2.5): the single-row-group fixture
+    # scan would otherwise run every query×corpus dot on one core; a
+    # multi-split cluster table passes through unchanged
+    return q, spread(e)
 
 
 _KNN_ORACLE = f"""

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from algebraicdb_spark.functions.rounding import pround
 from algebraicdb_spark.operators.dedup import canonical_text
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 
 def tokens(col):
@@ -840,30 +840,48 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     it: the fraction of the doc's distinct 3-gram shingles whose
     FIRST corpus occurrence (minimum doc_id) is this doc.
 
-    Scale shape: one shingle explode (distinct per doc, the shared
-    dedup helper), one (shingle -> min doc_id) aggregate, one
-    equi-join back on the shingle, one per-doc aggregate — all hash
-    partitioned by shingle then doc, no window over raw rows, no
-    all-pairs anything. On a growing corpus the firsts table is the
+    Scale shape (rewritten round 14, guide §2.3 "aggregate before you
+    shuffle"): one shingle explode (distinct per doc, the shared dedup
+    helper), then TWO aggregates joined at the DOC grain — per-doc
+    shingle counts, and per-doc novel counts obtained by counting the
+    (shingle → min doc_id) table by its min ("a shingle is novel in
+    exactly the doc that owns its corpus-first occurrence"). The
+    before-plan instead equi-joined the exploded shingle rows back to
+    the firsts table on the SHINGLE STRING — re-shuffling every
+    (doc, shingle) row with its text key a second time — before
+    reducing to the doc grain; the after-plan's second shuffle carries
+    only (doc_id, count) rows, and the doc⋈doc join is dimension-sized
+    at any corpus size. On a growing corpus the firsts table stays the
     persistent state (upsert min per new shingle batch) — the same
     mergeable-MIN shape this one-shot form computes globally.
+    ``spread`` parallelizes the single-row-group fixture scan (§2.5).
+    The explode deliberately re-runs once per aggregate — A/B-measured
+    0.80 s vs 1.00 s with a localCheckpoint at sf0.1: materializing
+    the 500k exploded shingle rows costs more than recomputing them.
     """
     from algebraicdb_spark.operators.dedup import shingles
 
     d = load_tables(spark, sf_dir)["documents"]
-    ex = d.select(
+    ex = spread(d).select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("tok")
     )
-    firsts = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel_per_doc = (
+        ex.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
     return (
-        ex.join(firsts, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
+        per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
             pround(
-                F.sum(novel).cast("double") / F.count(F.lit(1))
+                F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_shingles")
             ).alias("novelty"),
         )
     )

@@ -932,9 +932,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     where they were the ONLY late shipper.
 
     The original's EXISTS/NOT EXISTS pair over lineitem decorrelates
-    to two aggregates on the (orderkey, suppkey) grain — one shuffle
-    on orderkey serves both, then the supplier rollup; no correlated
-    re-scan of the fact table."""
+    to two aggregates on the (orderkey, suppkey) grain, and the
+    order-level counts come back via a WINDOW over the per-supp grain
+    instead of a per_supp ⋈ per_order self-join (round-14 guide §2.4
+    "two operations keyed the same way can share one exchange"): the
+    before-plan computed the lineitem⋈orders join + (orderkey,supp)
+    aggregate TWICE — identical subtrees too differently pruned for
+    ReuseExchange — and sort-merge-joined them back (2 fact scans,
+    4 exchanges, measured 2× ~0.96 s duplicate jobs at sf0.1). Now:
+    one scan, one aggregate exchange on (l_orderkey, l_suppkey), one
+    window exchange on l_orderkey — same rows, same hash."""
     t = load_tables(spark, sf_dir)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     per_supp = (
@@ -944,12 +951,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late"),
+    w_order = Window.partitionBy("l_orderkey")
+    counted = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w_order).alias("n_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).over(w_order).alias("n_late"),
     )
     return (
-        per_supp.join(per_order, "l_orderkey")
+        counted
         .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
