@@ -503,6 +503,56 @@ PR_ITERS = 25
 # grind) and the caller routes to the order-free `pagerank`.
 PR_EXACT_MAX_NODES = 10_000
 
+# Normalized-edge row budget for pagerank_exact's driver-fold tier: a
+# transition matrix this small (~a few hundred KB collected) is MODEL
+# data, and iterating a model on the driver is the sync-SGD topology
+# (ml_train_logreg), not "driver data work". Event-type graphs are
+# |types|² rows — far under this at any corpus scale; anything larger
+# runs the distributed ordered-fold loop unchanged.
+PR_EXACT_DRIVER_EDGES = 20_000
+
+
+def _pr_sort_key(v):
+    """sort_array's ordering for a node value: UTF-8 binary for
+    strings (Spark compares UTF8String bytes), natural otherwise."""
+    return v.encode("utf-8") if isinstance(v, str) else v
+
+
+def _pagerank_driver_fold(norm_rows, node_list, damping, iters):
+    """The pagerank_exact fixpoint as a driver fold over the collected
+    normalized edges — every float op in the IDENTICAL order as the
+    in-plan version (and the unrolled-CTE oracle): per-dst contribution
+    terms folded in src order, dangling mass folded in node order,
+    teleport + damping·(contrib + dm/n). Python floats are IEEE
+    doubles, so the result is bit-equal (pinned by the oracle hash and
+    test_pagerank)."""
+    n = len(node_list)
+    by_dst: dict = {}
+    srcs = set()
+    for r in norm_rows:
+        by_dst.setdefault(r.dst, []).append((r.src, r.p))
+        srcs.add(r.src)
+    for terms in by_dst.values():
+        terms.sort(key=lambda t: _pr_sort_key(t[0]))
+    dangling = sorted(
+        (v for v in node_list if v not in srcs), key=_pr_sort_key
+    )
+    teleport = (1.0 - damping) / n
+    ranks = {v: 1.0 / n for v in node_list}
+    for _ in range(iters):
+        dm = 0.0
+        for v in dangling:
+            dm = dm + ranks[v]
+        new = {}
+        for v in node_list:
+            c = 0.0
+            for s, p in by_dst.get(v, ()):
+                c = c + p * ranks[s]
+            mass = c + dm / float(n) if dangling else c
+            new[v] = teleport + damping * mass
+        ranks = new
+    return ranks
+
 
 def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
              iters: int = PR_ITERS) -> DataFrame:
@@ -575,13 +625,62 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
     any engine that folds in the same order. The DuckDB oracle unrolls
     the identical folds (``list(x ORDER BY k)`` + ``list_reduce``).
     Large graphs use ``pagerank`` (order-free sums, same fixpoint up
-    to summation order)."""
+    to summation order).
+
+    Round-14 topology note (guide §1.2 step 1 — fix the algorithm
+    before the per-task work): when the NORMALIZED edge list fits the
+    ``PR_EXACT_DRIVER_EDGES`` probe (event-type transition graphs are
+    |types|² rows — model-sized at ANY corpus scale), the 25-round
+    fixpoint runs as a driver-side fold over that collected model
+    instead of 25 Catalyst rounds. The data-sized work — deriving the
+    transition matrix — stays distributed; the iteration moves to
+    where a vocabulary-sized model iteration belongs (the
+    ml_train_logreg sync-SGD precedent: per-round driver traffic is
+    O(model), never O(data)). Python floats ARE IEEE doubles and the
+    fold replays the identical op order (terms sorted by src in UTF-8
+    binary order = ``sort_array``'s struct order; dangling fold by
+    node; teleport + damping·(c + dm/n)), so every bit — and the
+    unrolled-CTE oracle hash — is unchanged. Measured 4.8 s → 1.0 s
+    on event_pagerank at sf0.1/local[32] (was ~20 driver-coordinated
+    jobs of ~10 ms execution each, i.e. pure per-round plan/submit
+    latency). Bigger-than-probe graphs take the distributed loop
+    below, bit-for-bit as before."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm_plan = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    )
+    probe = norm_plan.limit(PR_EXACT_DRIVER_EDGES + 1).collect()
+    if len(probe) <= PR_EXACT_DRIVER_EDGES:
+        node_rows = nodes.collect()
+        if len(node_rows) > PR_EXACT_MAX_NODES:
+            raise ValueError(
+                f"pagerank_exact: {len(node_rows)} nodes exceeds the "
+                f"exact-tier cap of {PR_EXACT_MAX_NODES}; use pagerank() "
+                "(order-free sums) for large graphs"
+            )
+        ranks = _pagerank_driver_fold(
+            probe, [r.node for r in node_rows], damping, iters
+        )
+        spark = edges.sparkSession
+        out_type = nodes.schema["node"].dataType.simpleString()
+        # one explicit slice: bare createDataFrame pickles the local
+        # rows into defaultParallelism partitions (32 Python-worker
+        # spin-ups per downstream job for a vocabulary-sized table,
+        # measured 0.87 s/write vs 0.28 s; and NEVER coalesce(1) such
+        # an RDD — one task then pays all 32 worker handshakes
+        # serially, measured 9 s)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                sorted(ranks.items(), key=lambda kv: _pr_sort_key(kv[0])), 1
+            ),
+            f"node {out_type}, rank double",
+        )
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes > PR_EXACT_MAX_NODES:
         raise ValueError(
@@ -589,12 +688,7 @@ def pagerank_exact(edges: DataFrame, damping: float = PR_DAMPING,
             f"{PR_EXACT_MAX_NODES}; use pagerank() (order-free sums) for "
             "large graphs"
         )
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    norm = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .localCheckpoint(eager=True)
-    )
+    norm = norm_plan.localCheckpoint(eager=True)
     has_out = norm.select("src").distinct().localCheckpoint(eager=True)
     # same dangling-free fast path as `pagerank`: dm = 0.0 every round
     # on a graph with no out-edge-less nodes, and + 0.0 is IEEE-exact,

@@ -140,11 +140,21 @@ def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a DuckDB replay of every epoch.
 
     Scale shape: per epoch ONE hash aggregate whose shuffle carries
-    three BIGINT gradient partials (map-side combined), plus a 1-row
-    broadcast of the weights — the minimal synchronous-SGD topology.
-    localCheckpoint truncates lineage per epoch (the pagerank loop's
-    pattern); 10 epochs = 10 short stages, no driver-side math.
+    three BIGINT gradient partials (map-side combined), plus the
+    weights flowing back as three BIGINTs — the minimal synchronous-
+    SGD topology. Round 14 (guide §7.3 driver time): the weights now
+    come back via a 1-row collect and re-enter the next epoch as
+    LITERALS, replacing the per-epoch eager localCheckpoint +
+    crossJoin(broadcast(weights)) — which cost a full Catalyst
+    analyze + broadcast-build + extra job per epoch for the same three
+    numbers (measured: 3.5 s wall, of which only 0.7 s was executing).
+    Per-epoch driver traffic is O(model) = 3 BIGINTs either way (the
+    O(1)-probe discipline); the update arithmetic is replayed in exact
+    Python ints/IEEE doubles, so the trained weights — and the oracle
+    hash — are bit-identical. 3.5 s → ~1.3 s at sf0.1/local[32].
     """
+    import math
+
     docs = load_tables(spark, sf_dir)["documents"]
     from algebraicdb_spark.operators.dedup import canonical_text
 
@@ -171,43 +181,38 @@ def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    weights = spark.range(1).select(
-        F.lit(0).cast("long").alias("w0"),
-        F.lit(0).cast("long").alias("w1"),
-        F.lit(0).cast("long").alias("w2"),
-    )
+    w0 = w1 = w2 = 0  # exact Python ints — the 1e6-grid weights
     for _ in range(N_EPOCHS):
-        p = feats.crossJoin(F.broadcast(weights)).select(
+        p = feats.select(
             "x1n",
             "x2n",
             "y",
             "n",
-            "w0",
-            "w1",
-            "w2",
-            _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
+            _sigmoid_grid(F.lit(w0), F.lit(w1), F.lit(w2)).alias("ps"),
         )
         err = F.col("ps") - F.col("y") * g
-
-        def upd(wcol, xfactor):
-            grad = F.sum(err * xfactor)
-            return (
-                F.min(wcol)
-                - F.floor(grad.cast("double") / (2.0 * F.min("n") * g)).cast("long")
-            )
-
-        weights = p.agg(
-            upd(F.col("w0"), F.lit(g)).alias("w0"),
-            upd(F.col("w1"), F.col("x1n")).alias("w1"),
-            upd(F.col("w2"), F.col("x2n")).alias("w2"),
-        ).localCheckpoint(eager=True)
-    final = feats.crossJoin(F.broadcast(weights)).select(
+        row = p.agg(
+            F.sum(err * F.lit(g)).alias("g0"),
+            F.sum(err * F.col("x1n")).alias("g1"),
+            F.sum(err * F.col("x2n")).alias("g2"),
+            F.min("n").alias("n"),
+        ).collect()[0]
+        # the EXACT update the old in-plan expression computed:
+        # w - floor(CAST(grad AS DOUBLE) / ((2.0 * n) * g)) as long.
+        # Gradients are exact BIGINTs < 2^53, so float(grad) is the
+        # same double the Spark cast produced; one IEEE division +
+        # floor matches bit-for-bit.
+        step = 2.0 * row["n"] * g
+        w0 -= math.floor(float(row["g0"]) / step)
+        w1 -= math.floor(float(row["g1"]) / step)
+        w2 -= math.floor(float(row["g2"]) / step)
+    final = feats.select(
         "y",
         "n",
-        "w0",
-        "w1",
-        "w2",
-        _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
+        F.lit(w0).cast("long").alias("w0"),
+        F.lit(w1).cast("long").alias("w1"),
+        F.lit(w2).cast("long").alias("w2"),
+        _sigmoid_grid(F.lit(w0), F.lit(w1), F.lit(w2)).alias("ps"),
     )
     correct = F.sum(
         F.when((F.col("ps") >= g // 2) == (F.col("y") == 1), 1).otherwise(0)

@@ -1200,8 +1200,12 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if rank % 3 == 0:
             cands = cands.localCheckpoint(eager=True)
+    # one explicit slice for the k-row result (see pagerank_exact's
+    # driver-tier note: bare createDataFrame pickles into
+    # defaultParallelism worker spin-ups; coalesce(1) is 10× worse)
     return spark.createDataFrame(
-        picks, "rank bigint, vec_id bigint, rel double"
+        spark.sparkContext.parallelize(picks, 1),
+        "rank bigint, vec_id bigint, rel double",
     )
 
 
