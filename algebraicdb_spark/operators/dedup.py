@@ -150,7 +150,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir)["documents"]
     # shingle once: toks feeds sized + both inverted-index sides
-    toks = d.select(
+    # (spread: the shingle transform otherwise runs inside the
+    # single-task fixture-scan stage — guide §2.5; cluster no-op)
+    toks = spread(d).select(
         "doc_id", shingles(F.col("text"), 3).alias("tokens")
     ).localCheckpoint(eager=False)
     sized = toks.select("doc_id", F.size("tokens").alias("n_toks"))

@@ -22,11 +22,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     runs = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                runs = int(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
 
     from algebraicdb_spark.plans import registry
     from algebraicdb_spark.session import get_spark
