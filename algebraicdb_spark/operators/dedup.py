@@ -315,6 +315,48 @@ def minhash_token_arrays(docs: DataFrame) -> DataFrame:
     return shingle_tokens(spread(docs)).localCheckpoint(eager=False)
 
 
+def _mh_sql(seed: str, x: str) -> str:
+    """SQL-text twin of :func:`_mh` — identical expression tree
+    (concat → md5 → substring(1,15) → conv base16→10 → BIGINT), so the
+    values are bit-equal to the Column form it replaces."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}', {x})), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+# Pre-rendered SQL for the signature + banding selects (round 14,
+# guide §1.2 "per-task work" applied to the DRIVER: the Column-object
+# form issued ~5,000 py4j round-trips per query BUILD — 1.7 s of
+# socket latency before any job ran, measured by cProfile. The math is
+# unchanged and value-hash-verified; rendering it as three selectExpr
+# strings makes the build a handful of py4j calls.)
+_MH_HS_SQL = f"transform(tokens, s -> {_mh_sql('s:', 's')} % {MH_P}) AS hs"
+_MH_SIG_SQL = (
+    "array("
+    + ", ".join(
+        f"array_min(transform(hs, h -> (h * {a} + {b}) % {MH_P}))" for a, b in MH_AB
+    )
+    + ") AS sig"
+)
+_MH_ROWS_PER_BAND = N_MINHASH // N_BANDS
+_MH_BANDS_SQL = (
+    "posexplode(array("
+    + ", ".join(
+        _mh_sql(
+            "",
+            "concat_ws(',', "
+            + ", ".join(
+                f"CAST(sig[{b * _MH_ROWS_PER_BAND + r}] AS STRING)"
+                for r in range(_MH_ROWS_PER_BAND)
+            )
+            + ")",
+        )
+        for b in range(N_BANDS)
+    )
+    + ")) AS (band_idx, band_hash)"
+)
+
+
 def minhash_banded(toks: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash) LSH bucket rows — the banded
     MinHash representation both tiers share: the batch self-join
@@ -325,42 +367,11 @@ def minhash_banded(toks: DataFrame) -> DataFrame:
     permutations (MH_AB) in pure integer math — identical on both
     engines, and 32x fewer md5 evaluations than hashing per-slot.
     All expressions are narrow/map-side, so the plan is stream-safe.
+    The expression text is pre-rendered at import (see _MH_*_SQL).
     """
-
-    def _perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MH_P)
-
-    hs = toks.select(
-        "doc_id",
-        F.transform("tokens", lambda s: _mh(F.lit("s:"), s) % F.lit(MH_P)).alias("hs"),
-    )
-    sig = hs.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform("hs", _perm(a, b))) for a, b in MH_AB]
-        ).alias("sig"),
-    )
-    rows_per_band = N_MINHASH // N_BANDS
-    return sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    _mh(
-                        F.lit(""),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    hs = toks.selectExpr("doc_id", _MH_HS_SQL)
+    sig = hs.selectExpr("doc_id", _MH_SIG_SQL)
+    return sig.selectExpr("doc_id", _MH_BANDS_SQL)
 
 
 def minhash_candidates(toks: DataFrame) -> DataFrame:
