@@ -131,6 +131,88 @@ def _sigmoid_grid(w0, w1, w2):
     return F.floor(F.lit(float(g)) / (F.lit(1.0) + F.exp(-z))).cast("long")
 
 
+def _sigmoid_grid_sql(w0: int, w1: int, w2: int) -> str:
+    """SQL-text twin of :func:`_sigmoid_grid` for integer literal
+    weights — the same expression tree (long affine z on the 1e6
+    grid, one double division per term, floor, one EXP), so the
+    values are bit-identical; rendered as text so the per-epoch plan
+    build is a handful of py4j calls instead of ~60 (guide §1.2
+    driver-side per-task work)."""
+    g = GRID
+    z_s = (
+        f"({w0}L"
+        f" + FLOOR(CAST(({w1}L * x1n) AS DOUBLE) / {g})"
+        f" + FLOOR(CAST(({w2}L * x2n) AS DOUBLE) / {g}))"
+    )
+    return (
+        f"CAST(FLOOR(CAST({g} AS DOUBLE) / "
+        f"(CAST(1 AS DOUBLE) + EXP(-(CAST({z_s} AS DOUBLE) / {g})))) AS BIGINT)"
+    )
+
+
+def _logreg_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-normalized (x1n, x2n, y, n) feature table both logreg keys
+    train on — built once, lazily checkpointed (epochs re-scan it)."""
+    from algebraicdb_spark.operators.dedup import canonical_text
+
+    g = GRID
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.select(
+        F.size(F.split(canonical_text(F.col("text")), " ")).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long").alias("y"),
+    )
+    b = raw.agg(
+        F.min("x1").alias("l1"),
+        F.max("x1").alias("h1"),
+        F.min("x2").alias("l2"),
+        F.max("x2").alias("h2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        raw.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"((x1 - l1) * {g}) DIV (h1 - l1)").alias("x1n"),
+            F.expr(f"((x2 - l2) * {g}) DIV (h2 - l2)").alias("x2n"),
+            "y",
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _train_weights(feats: DataFrame) -> tuple[int, int, int]:
+    """N_EPOCHS of batch gradient descent with literal weights: per
+    epoch ONE global aggregate (three BIGINT gradient partials + n)
+    collected as one row, the update replayed in exact Python ints
+    with the identical IEEE division + floor the in-plan expression
+    computed. Shared by ml_train_logreg and ml_eval_calibration so
+    the trained weights stay hash-locked between both keys."""
+    import math
+
+    g = GRID
+    w0 = w1 = w2 = 0
+    for _ in range(N_EPOCHS):
+        ps = _sigmoid_grid_sql(w0, w1, w2)
+        err = f"(({ps}) - y * {g})"
+        row = feats.selectExpr(
+            f"SUM({err} * {g}) AS g0",
+            f"SUM({err} * x1n) AS g1",
+            f"SUM({err} * x2n) AS g2",
+            "MIN(n) AS n",
+        ).collect()[0]
+        # the EXACT update the old in-plan expression computed:
+        # w - floor(CAST(grad AS DOUBLE) / ((2.0 * n) * g)) as long.
+        # Gradients are exact BIGINTs < 2^53, so float(grad) is the
+        # same double the Spark cast produced; one IEEE division +
+        # floor matches bit-for-bit.
+        step = 2.0 * row["n"] * g
+        w0 -= math.floor(float(row["g0"]) / step)
+        w1 -= math.floor(float(row["g1"]) / step)
+        w2 -= math.floor(float(row["g2"]) / step)
+    return w0, w1, w2
+
+
 @register("ml_train_logreg", oracle=_logreg_oracle())
 def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 2-feature logistic regression (predicting the long-doc
@@ -153,59 +235,9 @@ def ml_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python ints/IEEE doubles, so the trained weights — and the oracle
     hash — are bit-identical. 3.5 s → ~1.3 s at sf0.1/local[32].
     """
-    import math
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    from algebraicdb_spark.operators.dedup import canonical_text
-
     g = GRID
-    raw = docs.select(
-        F.size(F.split(canonical_text(F.col("text")), " ")).cast("long").alias("x1"),
-        F.col("n_chars").cast("long").alias("x2"),
-        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long").alias("y"),
-    )
-    b = raw.agg(
-        F.min("x1").alias("l1"),
-        F.max("x1").alias("h1"),
-        F.min("x2").alias("l2"),
-        F.max("x2").alias("h2"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    feats = (
-        raw.crossJoin(F.broadcast(b))
-        .select(
-            F.expr(f"((x1 - l1) * {g}) DIV (h1 - l1)").alias("x1n"),
-            F.expr(f"((x2 - l2) * {g}) DIV (h2 - l2)").alias("x2n"),
-            "y",
-            "n",
-        )
-        .localCheckpoint(eager=False)
-    )
-    w0 = w1 = w2 = 0  # exact Python ints — the 1e6-grid weights
-    for _ in range(N_EPOCHS):
-        p = feats.select(
-            "x1n",
-            "x2n",
-            "y",
-            "n",
-            _sigmoid_grid(F.lit(w0), F.lit(w1), F.lit(w2)).alias("ps"),
-        )
-        err = F.col("ps") - F.col("y") * g
-        row = p.agg(
-            F.sum(err * F.lit(g)).alias("g0"),
-            F.sum(err * F.col("x1n")).alias("g1"),
-            F.sum(err * F.col("x2n")).alias("g2"),
-            F.min("n").alias("n"),
-        ).collect()[0]
-        # the EXACT update the old in-plan expression computed:
-        # w - floor(CAST(grad AS DOUBLE) / ((2.0 * n) * g)) as long.
-        # Gradients are exact BIGINTs < 2^53, so float(grad) is the
-        # same double the Spark cast produced; one IEEE division +
-        # floor matches bit-for-bit.
-        step = 2.0 * row["n"] * g
-        w0 -= math.floor(float(row["g0"]) / step)
-        w1 -= math.floor(float(row["g1"]) / step)
-        w2 -= math.floor(float(row["g2"]) / step)
+    feats = _logreg_feats(spark, sf_dir)
+    w0, w1, w2 = _train_weights(feats)
     final = feats.select(
         "y",
         "n",
@@ -256,70 +288,17 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its observed positive rate — the companion readout to
     accuracy/AUC that says whether the probabilities MEAN anything.
 
-    Scale shape: re-runs the ml_train_logreg loop (same plan), then
-    one 10-group hash aggregate over the final forward pass. The
-    oracle is the training oracle's unrolled CTEs with a different
-    epilogue — trained weights stay hash-locked between both keys.
+    Scale shape: re-runs the ml_train_logreg loop (the SAME
+    _train_weights literal-weight epochs — one 3-BIGINT aggregate per
+    epoch), then one 10-group hash aggregate over the final forward
+    pass. The oracle is the training oracle's unrolled CTEs with a
+    different epilogue — trained weights stay hash-locked between
+    both keys by construction (shared trainer).
     """
-    docs = load_tables(spark, sf_dir)["documents"]
-    from algebraicdb_spark.operators.dedup import canonical_text
-
-    g = GRID
-    raw = docs.select(
-        F.size(F.split(canonical_text(F.col("text")), " ")).cast("long").alias("x1"),
-        F.col("n_chars").cast("long").alias("x2"),
-        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("long").alias("y"),
-    )
-    b = raw.agg(
-        F.min("x1").alias("l1"),
-        F.max("x1").alias("h1"),
-        F.min("x2").alias("l2"),
-        F.max("x2").alias("h2"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    feats = (
-        raw.crossJoin(F.broadcast(b))
-        .select(
-            F.expr(f"((x1 - l1) * {g}) DIV (h1 - l1)").alias("x1n"),
-            F.expr(f"((x2 - l2) * {g}) DIV (h2 - l2)").alias("x2n"),
-            "y",
-            "n",
-        )
-        .localCheckpoint(eager=False)
-    )
-    weights = spark.range(1).select(
-        F.lit(0).cast("long").alias("w0"),
-        F.lit(0).cast("long").alias("w1"),
-        F.lit(0).cast("long").alias("w2"),
-    )
-    for _ in range(N_EPOCHS):
-        p = feats.crossJoin(F.broadcast(weights)).select(
-            "x1n", "x2n", "y", "n", "w0", "w1", "w2",
-            _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps"),
-        )
-        err = F.col("ps") - F.col("y") * g
-        weights = p.agg(
-            (
-                F.min("w0")
-                - F.floor(
-                    F.sum(err * F.lit(g)).cast("double") / (2.0 * F.min("n") * g)
-                ).cast("long")
-            ).alias("w0"),
-            (
-                F.min("w1")
-                - F.floor(
-                    F.sum(err * F.col("x1n")).cast("double") / (2.0 * F.min("n") * g)
-                ).cast("long")
-            ).alias("w1"),
-            (
-                F.min("w2")
-                - F.floor(
-                    F.sum(err * F.col("x2n")).cast("double") / (2.0 * F.min("n") * g)
-                ).cast("long")
-            ).alias("w2"),
-        ).localCheckpoint(eager=True)
-    final = feats.crossJoin(F.broadcast(weights)).select(
-        "y", _sigmoid_grid(F.col("w0"), F.col("w1"), F.col("w2")).alias("ps")
+    feats = _logreg_feats(spark, sf_dir)
+    w0, w1, w2 = _train_weights(feats)
+    final = feats.select(
+        "y", _sigmoid_grid(F.lit(w0), F.lit(w1), F.lit(w2)).alias("ps")
     )
     return (
         final.select(F.expr("ps DIV 100000").alias("bin"), "y")

@@ -1186,17 +1186,26 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )  # 1-row argmax probe per round; k is a constant
         picks.append((rank, top["vec_id"], top["rel_g"] / _MMR_GRID))
-        pick_vec = F.array(*[F.lit(float(x)) for x in top["emb"]])
-        cands = cands.where(F.col("vec_id") != top["vec_id"]).select(
+        # ONE pre-rendered SQL string per round (round 14, the dot()
+        # note applied): the Column form built the 64-element pick
+        # vector as 65 py4j calls + a lambda fold per round — ~1.4 s
+        # of driver socket latency across k=10 rounds. The expression
+        # tree is unchanged (same zip_with/aggregate fold, same
+        # double literals via exact repr round-trip), so the grid
+        # floor — and the oracle hash — are bit-identical.
+        pick_vec_sql = (
+            "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in top["emb"]) + ")"
+        )
+        fold_sql = (
+            f"aggregate(zip_with(emb, {pick_vec_sql}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        cands = cands.where(F.col("vec_id") != top["vec_id"]).selectExpr(
             "vec_id",
             "emb",
             "rel_g",
-            F.greatest(
-                F.col("ms_g"),
-                F.floor(dot(F.col("emb"), pick_vec) * _MMR_GRID).cast(
-                    "bigint"
-                ),
-            ).alias("ms_g"),
+            f"GREATEST(ms_g, CAST(FLOOR({fold_sql} * {_MMR_GRID}) AS BIGINT)) AS ms_g",
         )
         if rank % 3 == 0:
             cands = cands.localCheckpoint(eager=True)
