@@ -76,10 +76,18 @@ def dialect_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BASKET = (
-    "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
-    f"WHERE l_quantity >= {MIN_QTY}"
-)
+# basket-at-a-time edge base (round 14 — the co_purchase_edges shape,
+# expressed in the dialect): one groupBy shuffle + a map-side pair
+# explode replaces the basket self-join; same edge set, same oracle
+_EDGE_BASE = f"""
+  SELECT DISTINCT pr.pa, pr.pb FROM (
+    SELECT sort_array(collect_set(l_partkey)) AS arr
+    FROM lineitem WHERE l_quantity >= {MIN_QTY} GROUP BY l_orderkey
+  ) b
+  LATERAL VIEW inline(flatten(transform(b.arr, (x, i) ->
+    transform(slice(b.arr, i + 2, size(b.arr)),
+              y -> struct(x AS pa, y AS pb))))) pr
+"""
 _DEG = (
     "SELECT node FROM (SELECT pa AS node FROM live UNION ALL "
     "SELECT pb FROM live) GROUP BY node "
@@ -103,9 +111,7 @@ def dialect_iterate_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         f"""
         WITH ITERATE live(pa, pb) MAX {KCORE_ITERS} AS (
-          SELECT DISTINCT a.l_partkey, b.l_partkey
-          FROM ({_BASKET}) a JOIN ({_BASKET}) b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          {_EDGE_BASE}
           STEP
           SELECT e.pa, e.pb FROM live e
           JOIN ({_DEG}) da ON da.node = e.pa
