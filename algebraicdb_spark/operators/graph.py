@@ -354,11 +354,25 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # shared-neighbor pairs enumerate basket-at-a-time (guide §2.4,
+    # the co_purchase_edges/adamic_adar trick): group each shared
+    # neighbor's adjacency into a sorted array — ONE shuffle of the
+    # edge grain — and explode the a<b pairs map-side, replacing the
+    # adj⋈adj self-join that shuffled the wedge input twice into a
+    # sort-merge. The C(d,2) hub fan-out is unchanged (same hazard
+    # note); the node-grain re-spread keeps the fan-out stage
+    # cores-wide after AQE coalesces the tiny grouped rows (§2.5).
+    nbhd = (
+        adj.groupBy("nbr")
+        .agg(F.sort_array(F.collect_set("node")).alias("ns"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     inter = (
-        adj.alias("x")
-        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
-        .where(F.col("x.node") < F.col("y.node"))
-        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        nbhd.selectExpr(
+            "inline(flatten(transform(ns, (x, i) -> "
+            "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b)))))"
+        )
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= 3)
     )
@@ -372,10 +386,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.orderBy(F.col("jac_grid").desc(), "a", "b")
+    # top-20 via orderBy+limit (TakeOrderedAndProject): the former
+    # un-partitioned row_number window funnelled every scored pair
+    # through ONE partition (guide §2.4 — an orderBy used only to cut
+    # the top rows); the total order (jac_grid desc, a, b) is the same
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        scored.orderBy(F.col("jac_grid").desc(), "a", "b")
+        .limit(20)
         .select(
             "a",
             "b",
@@ -667,9 +684,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    w_top = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("label")
-    )
     for i in range(LPA_ROUNDS):
         counts = (
             und.join(
@@ -680,13 +694,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w_top))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+        # per-node top-1 as max_by over struct(n, -label) — the same
+        # (count DESC, label ASC) total order as the former
+        # row_number window, minus the window's extra sort exchange
+        # (guide §2.4); A/B'd value-identical on all four stats
+        labels = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(n, -label))").alias("label")
         )
-        if i % 2 == 1:
-            labels = labels.localCheckpoint(eager=True)
+        # checkpoint EVERY round (not every 2nd): round r's label
+        # table is consumed twice — as round r+1's broadcast AND in
+        # the next checkpoint's lineage — so an un-checkpointed round
+        # re-executes once in full (the graph_kcore probe lesson);
+        # the checkpoint itself is one node-grain materialization
+        labels = labels.localCheckpoint(eager=True)
     comm = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     return comm.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
@@ -868,25 +888,44 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    thru = (
+    # wedges enumerate basket-at-a-time (the co_purchase_edges trick,
+    # guide §2.4): group each qualifying middle node's neighbors into
+    # a sorted array (one shuffle of the capped edge grain), then
+    # explode the u<v pairs MAP-SIDE with w's weight attached — the
+    # former thru⋈thru self-join shuffled the wedge input twice and
+    # sort-merged it. Per-node fan-out stays bounded by the same
+    # AA_DEG_CAP (≤ C(64,2) pairs per middle node).
+    thru_g = (
         und.join(F.broadcast(deg), "node")  # node-sized (kcore note)
         .where((F.col("d") <= AA_DEG_CAP) & (F.col("d") >= 2))
+        .groupBy("node", "d")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
         .select(
-            F.col("node").alias("w"),
-            "nbr",
             F.floor(F.lit(_AA_GRID) / F.log(F.col("d"))).cast("bigint").alias(
                 "inv_ln_g"
             ),
+            "ns",
         )
-        # thru feeds both wedge legs; edge-grain, same reasoning
-        .localCheckpoint(eager=False)
+        # AQE coalesces the node-grain arrays to a handful of
+        # partitions by BYTES, but the C(d,2) explode below multiplies
+        # work ~1000×: re-spread the small rows so the fan-out runs
+        # cores-wide (guide §2.5 — the cost is one exchange of
+        # node-grain arrays, repaid by the wedge stage's parallelism)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    a = thru.select(F.col("w"), F.col("nbr").alias("u"), "inv_ln_g")
-    b = thru.select(F.col("w"), F.col("nbr").alias("v"))
-    wedges = a.join(b, "w").where(F.col("u") < F.col("v"))
+    wedges = thru_g.selectExpr(
+        "inv_ln_g",
+        "inline(flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v)))))",
+    )
+    # existing-edge exclusion as a BROADCAST anti-join (guide §3.1):
+    # edges are the node-pair grain — small enough to broadcast here
+    # (drop the hint past broadcast size, as the other graph keys
+    # document) — so the only wedge-grain exchange left is the final
+    # (u, v) score aggregate, with map-side partial aggregation.
     scored = (
         wedges.join(
-            edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+            F.broadcast(edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))),
             ["u", "v"],
             "left_anti",
         )

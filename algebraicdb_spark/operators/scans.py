@@ -851,8 +851,11 @@ def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     38-digit decimal accumulator holds ~10^18 rows of 60-bit values.
     """
     from algebraicdb_spark.operators.warehouse import row_hash_input
+    from algebraicdb_spark.sources.catalog import spread
 
-    li = load_tables(spark, sf_dir)["lineitem"]
+    # spread() (guide §2.5): the per-row md5+conv map fuses into the
+    # scan stage, which the single-row-group fixture caps at 3 tasks
+    li = spread(load_tables(spark, sf_dir)["lineitem"])
     row_int = F.conv(
         F.substring(F.md5(row_hash_input(li)), 1, 15), 16, 10
     ).cast("bigint")

@@ -324,7 +324,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an explode + broadcast join, both scale-safe.)
     """
     d = load_tables(spark, sf_dir)["documents"]
-    chars = d.select("doc_id", "lang", canonical_text("text").alias("ctext"))
+    # spread() (guide §2.5): the trigram explode + the two partial
+    # aggregates fused into the scan stage otherwise run as ONE task
+    # on the single-row-group fixture parquet
+    chars = spread(d).select("doc_id", "lang", canonical_text("text").alias("ctext"))
     # char trigrams: substring at each position (expr form — the Python
     # F.substring only takes literal start positions)
     grams = chars.select(
