@@ -1222,20 +1222,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator at 100 TB, this is the exact scorer.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    # shingle once; ex feeds both inverted-index sides (and sized
-    # below re-derives lengths) — 8 documents scans uncached
-    toks_c = d.select(
+    # shingle once (spread: the shingle transform otherwise fuses into
+    # the 1-task fixture scan, guide §2.5); toks_c feeds the inverted
+    # index and the size table — 8 documents scans uncached
+    toks_c = spread(d).select(
         "doc_id", shingles(F.col("text")).alias("tokens")
     ).localCheckpoint(eager=False)
     ex = toks_c.select("doc_id", F.explode("tokens").alias("tok"))
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    # shared-shingle pairs enumerate inverted-index-at-a-time (the
+    # graph keys' basket trick, guide §2.3/2.4): group each shingle's
+    # doc set into a sorted array — ONE shuffle keyed by the shingle
+    # string — and explode the doc_a < doc_b pairs map-side. The
+    # former self-join shuffled the long shingle strings TWICE and
+    # sort-merged them; per-doc shingles are distinct, so the pair
+    # count per (doc_a, doc_b) is the shared-shingle count either way.
+    docsets = ex.groupBy("tok").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
     pairs = (
-        ex.join(
-            b,
-            (F.col("tok") == F.col("tok_b"))
-            & (F.col("doc_id") < F.col("doc_b")),
+        docsets.selectExpr(
+            "inline(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x AS doc_a, y AS doc_b)))))"
         )
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sized = toks_c.select("doc_id", F.size("tokens").alias("n_toks"))
@@ -1245,7 +1255,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sized.select(
         F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb")
     )
-    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # doc-grain size table: broadcast (node-sized — the graph keys'
+    # note; drop the hint past broadcast size)
+    j = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
     directed = j.select(
         F.col("doc_a").alias("contained"),
         F.col("doc_b").alias("container"),

@@ -1049,10 +1049,13 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left_semi",
     )
+    # credit all three corners in ONE pass: the former three-way
+    # unionAll consumed `tris` three times, re-executing the wedge
+    # join + closing semi-join per leg (guide §2.4 — don't compute
+    # things you throw away); explode(array(a,b,c)) is the same
+    # corner multiset as one narrow map over a single enumeration
     tri_v = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )

@@ -29,7 +29,7 @@ from algebraicdb_spark.operators.dedup import (
     shingles,
 )
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 
 def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
@@ -67,15 +67,23 @@ def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
 
 def clean_corpus(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     """Full cleaning DAG; returns the surviving documents."""
-    # 1. exact dedup: keep min doc_id per canonical text
+    # 1. exact dedup: keep min doc_id per canonical text. spread()
+    # first (guide §2.5): the canonicalize + partial agg otherwise
+    # fuse into the 1-task fixture scan stage.
+    docs = spread(docs)
     canon = docs.withColumn("ctext", canonical_text("text"))
-    keep_exact = canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id"))
+    # survivors re-attach by doc_id, not by re-joining on the ctext
+    # payload (guide §8 — decide with small rows, then attach by key):
+    # doc_id is unique, so the min-id set alone identifies survivors,
+    # and it is doc-grain small → broadcast semi-join, no second
+    # shuffle of the text column
+    keep_ids = (
+        canon.groupBy("ctext").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     # exact survivors feed the near-dup tier (3 reads) AND the final
     # anti-join; materialize the doc-grain table once
-    exact = (
-        canon.join(keep_exact, ["ctext", "doc_id"])
-        .drop("ctext")
-        .localCheckpoint(eager=False)
+    exact = docs.join(F.broadcast(keep_ids), "doc_id", "left_semi").localCheckpoint(
+        eager=False
     )
     # 2. near-dup removal: drop the higher doc_id of each pair
     drop_ids = near_dup_pairs(exact, tau).select(
