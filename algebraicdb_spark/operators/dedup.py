@@ -158,17 +158,24 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     sized = toks.select("doc_id", F.size("tokens").alias("n_toks"))
     exploded = toks.select("doc_id", F.explode("tokens").alias("tok"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shared-shingle pairs enumerate inverted-index-at-a-time (guide
+    # §2.3/2.4): group each shingle's doc set into a sorted array —
+    # ONE shuffle keyed by the shingle string — and explode the
+    # doc_a < doc_b pairs map-side. The former self-join shuffled the
+    # long shingle strings TWICE into a sort-merge join; per-doc
+    # shingles are distinct (array_distinct in shingles()), so the
+    # pair count per (doc_a, doc_b) is the shared-shingle count
+    # either way.
+    docsets = exploded.groupBy("tok").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        docsets.selectExpr(
+            "inline(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x AS doc_a, y AS doc_b)))))"
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))

@@ -40,14 +40,20 @@ def near_dup_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     ).localCheckpoint(eager=False)
     sized = toks.select("doc_id", F.size("sh").alias("n_sh"))
     ex = toks.select("doc_id", F.explode("sh").alias("tok"))
+    # inverted-index-at-a-time pair enumeration (guide §2.3/2.4; the
+    # dedup_near_jaccard shape): one shuffle keyed by the shingle,
+    # pairs exploded map-side from each shingle's sorted doc set.
+    # Per-doc shingles are distinct, so counts match the self-join.
+    docsets = ex.groupBy("tok").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
     pairs = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        docsets.selectExpr(
+            "inline(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x AS doc_a, y AS doc_b)))))"
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
