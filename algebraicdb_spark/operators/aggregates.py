@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables, spread
+from algebraicdb_spark.sources.catalog import load_tables
 
 
 @register(
@@ -73,15 +73,18 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan stage (filter + partial agg inside WholeStageCodegen),
     one shuffle of 6 tiny partial states per (flag,status) — the plan
-    is identical at sf0.001 and at 100 TB (``spread`` is a no-op on
-    multi-split inputs; here it parallelizes the decimal partial
-    aggregation that a single-row-group fixture scan would otherwise
-    run on one core — measured 2.0 s -> 0.8 s at sf0.1/local[32]).
+    is identical at sf0.001 and at 100 TB. A round-14 ``spread()``
+    worked around the old DECIMAL(28,4) partial-agg buffers being
+    slow on the 1-task fixture scan (2.0 → 1.0 s), but the long-grid
+    ``exact_money_sum`` makes the single-task partial agg cheaper
+    than the round-robin exchange it bought (0.55 s vs 1.0+ s at
+    sf0.1/local[32]), so the exchange is gone again — zero pre-agg
+    shuffles is the shape that scales (guide §2.4).
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        spread(li.filter(F.col("l_shipdate") <= "1998-09-02"))
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_money_sum("l_quantity").alias("sum_qty"),

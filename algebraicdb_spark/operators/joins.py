@@ -114,10 +114,20 @@ def q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(min_region, F.col("r_name") == F.col("r_name_min"))
     )
+    # dims cut orders BEFORE the fact join (guide §3.2 — reduce the
+    # big side before shuffling it): the broadcast semi-cut is
+    # map-side, so the orderkey join sees ~4% of orders, and the
+    # planner/AQE may then broadcast the filtered orders under the
+    # lineitem join (no hint: at 100 TB it falls back to SMJ of the
+    # REDUCED side, never the raw one). Inner joins commute — same
+    # rows, same oracle hash.
+    orders_cut = t["orders"].join(
+        F.broadcast(dims.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_cut, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
