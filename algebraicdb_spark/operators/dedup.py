@@ -745,23 +745,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # each unordered pair scored exactly once: its directed cluster
     # pair (cluster(a) → cluster(b)) appears once, and vec_a < vec_b
-    # kills the mirror — no dropDuplicates pass needed
-    cand = (
+    # kills the mirror — no dropDuplicates pass needed.
+    #
+    # SALTED equi-join (guide §2.5, round 14): the bare dst join has
+    # only |clusters| distinct keys, and because the pre-expansion
+    # shuffle is a few MB, AQE coalesced it to ONE task — the entire
+    # pair fan-out AND the Arrow scoring ran single-threaded (measured:
+    # one task, 2M rows). Salting vec_a S ways and replicating the
+    # dst side per salt spreads the fan-out over S co-partitioned
+    # tasks; the explicit repartition(S, keys) on BOTH sides is reused
+    # by the join (co-partitioned, no extra exchange) and — being a
+    # user-specified width — is exempt from AQE coalescing. The S×
+    # replication of the dst members is strictly smaller than the
+    # candidate-pair output it parallelizes; production centroid
+    # counts (~√n) make the un-salted key cardinality sufficient, so
+    # S stays a constant knob, not a scale dependence.
+    S = spark.sparkContext.defaultParallelism
+    salts = spark.range(S).select(F.col("id").alias("salt"))
+    lhs_salted = (
         lhs.join(F.broadcast(cpairs), "src")
-        .join(rhs, "dst")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("salt", F.pmod(F.xxhash64("vec_a"), F.lit(S)))
+        .repartition(S, "dst", "salt")
+    )
+    rhs_salted = rhs.crossJoin(F.broadcast(salts)).repartition(S, "dst", "salt")
+    cand = lhs_salted.join(rhs_salted, ["dst", "salt"]).filter(
+        F.col("vec_a") < F.col("vec_b")
     )
     # bulk rescoring tier (round 14): millions of candidate pairs ×
-    # interpreted HOF fold dominated this key (20.8 s); the Arrow
-    # fold twin is bit-identical per pair (see dot_exact_pd)
-    from algebraicdb_spark.operators.similarity import dot_exact_pd
+    # interpreted HOF fold dominated this key (20.8 s); the zero-copy
+    # Arrow batch scorer folds in the SAME IEEE op order per pair and
+    # applies the τ-filter + pround in-batch (see bulk_cosine_tau_pairs)
+    from algebraicdb_spark.operators.similarity import bulk_cosine_tau_pairs
 
-    cos = dot_exact_pd(F.col("emb_a"), F.col("emb_b"))
-    return (
-        cand.select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_TAU)
-        .select("vec_a", "vec_b", pround("cosine").alias("cosine"))
-    )
+    return bulk_cosine_tau_pairs(cand, COSINE_TAU)
 
 
 MAX_CC_ITERS = 20  # >= near-dup cluster diameter; fixture clusters are tiny

@@ -51,51 +51,73 @@ def dot(a, b):
     )
 
 
-_DOT_EXACT_PD = None
+def _list_matrix(arr):
+    """Zero-copy (n, d) float64 view of an Arrow list<float/double>
+    column whose rows all have the same length. ``flatten()`` applies
+    the list offsets to the child values without a per-row Python
+    loop; the single astype is the same exact float32→float64 widening
+    ``dot()`` performs per term."""
+    import numpy as np
+
+    n = len(arr)
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0 or len(flat) % n:
+        raise ValueError("ragged embedding lengths in batch")
+    return flat.reshape(n, len(flat) // n).astype(np.float64, copy=False)
 
 
-def dot_exact_pd(a, b):
-    """Arrow-vectorized twin of :func:`dot` for BULK pair scoring —
-    the "billions of pairs" tier the dot() note reserves. (The
-    pandas_udf object is built lazily on first call — the decorator
-    needs an active SparkContext to parse its return type, and this
-    module must stay importable before the driver's session exists.)
+def bulk_cosine_tau_pairs(pairs, tau: float):
+    """Score candidate (vec_a, vec_b, emb_a, emb_b) pairs, keep those
+    with dot ≥ tau, and return (vec_a, vec_b, cosine) with cosine on
+    the 1e-4 pround grid — the BULK tier of :func:`dot` for
+    millions-of-pairs rescoring (dedup_embedding_cosine).
 
-    Spark's higher-order functions execute INTERPRETED (no
-    whole-stage codegen), so at millions of pairs the fold's per-term
-    tree walk dominates (13.7 s for the 2M-pair embedding self-score
-    at sf0.1; an unrolled 64-term codegen tree was A/B-tested 3×
-    WORSE, 40 s). This pandas UDF computes the identical left fold —
-    acc = (((0 + t₀) + t₁) + …) — with one numpy elementwise
-    multiply-add per DIMENSION, vectorized across the batch's pairs:
-    the same IEEE double op order per pair, so results (and the
-    oracle hash) are bit-identical, A/B checksum-verified. 13.7 → 7 s
-    on the same score; only the batch's (emb_a, emb_b) columns cross
-    the Arrow boundary (guide §4.1/4.2).
-
-    Use for large candidate-pair rescoring (dedup_embedding_cosine);
-    broadcast-query map scans (thousands of dots) stay on the JVM
-    fold — their cost is scan-bound and the Arrow hop would add a
-    boundary for nothing.
+    Why mapInArrow and not a pandas UDF (guide §4.2): Spark's
+    higher-order fold executes interpreted (13.7 s for the 2M-pair
+    embedding self-score at sf0.1; an unrolled 64-term codegen tree
+    was A/B-tested 3× WORSE, 40 s), and the earlier pandas-UDF twin
+    still paid ~7 s building 2×2M tiny ndarrays out of the Arrow
+    batches (``np.stack`` object churn) plus a JVM-side re-filter of
+    every returned score. Here each list column is ONE contiguous
+    Arrow values buffer: reshape to (n, d) zero-copy, accumulate
+    acc = (((0 + t₀) + t₁) + …) with one vectorized multiply-add per
+    DIMENSION — the same IEEE float64 op order per pair as dot(), so
+    values stay bit-identical (oracle hash-verified) — and apply the
+    τ-filter + pround in-batch so only surviving rows recross the
+    boundary. Isolated A/B at sf0.1 (2M pairs): 9.0–10.0 → see
+    OPTIMIZATION_r14.md.
     """
-    global _DOT_EXACT_PD
-    if _DOT_EXACT_PD is None:
+    from algebraicdb_spark.functions.rounding import pround_np
 
-        @F.pandas_udf("double")
-        def _dot_exact(a: pd.Series, b: pd.Series) -> pd.Series:
-            import numpy as np
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
 
-            if len(a) == 0:
-                return pd.Series([], dtype="float64")
-            A = np.stack(a.to_numpy()).astype(np.float64)
-            B = np.stack(b.to_numpy()).astype(np.float64)
-            acc = np.zeros(len(A), dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            A = _list_matrix(b.column("emb_a"))
+            B = _list_matrix(b.column("emb_b"))
+            acc = np.zeros(b.num_rows, dtype=np.float64)
             for i in range(A.shape[1]):
                 acc = acc + A[:, i] * B[:, i]
-            return pd.Series(acc)
+            mask = acc >= tau
+            if not mask.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b.column("vec_a").to_numpy(zero_copy_only=False)[mask]),
+                    pa.array(b.column("vec_b").to_numpy(zero_copy_only=False)[mask]),
+                    pa.array(pround_np(acc[mask])),
+                ],
+                ["vec_a", "vec_b", "cosine"],
+            )
 
-        _DOT_EXACT_PD = _dot_exact
-    return _DOT_EXACT_PD(a, b)
+    return pairs.select("vec_a", "vec_b", "emb_a", "emb_b").mapInArrow(
+        score, "vec_a bigint, vec_b bigint, cosine double"
+    )
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
