@@ -1080,6 +1080,11 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     from algebraicdb_spark.operators.dedup import canonical_text
 
+    # no spread here: A/B at sf0.1 measured the 1-task tokenize fused
+    # into the scan at parity with a widened one (the tf groupBy
+    # exchange right below already spreads the heavy side) — the
+    # extra exchange bought nothing (guide §1.2: measure, then leave
+    # alone)
     toks = docs.select(
         "doc_id", F.explode(F.split(canonical_text(F.col("text")), " ")).alias("token")
     )
