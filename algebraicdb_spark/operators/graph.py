@@ -532,6 +532,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = co_purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     prev_count = edges.count()  # 1-value probe (the CC discipline)
     for i in range(KCORE_ITERS):
+        # NOTE(r14 A/B): lazy-checkpointing deg so both endpoint
+        # broadcasts share one aggregate was MEASURED SLOWER (2.05 vs
+        # 1.73 s) — the materialization barrier costs more than the
+        # duplicated node-sized aggregate. Left as two broadcasts.
         deg = (
             edges.select(F.col("pa").alias("node"))
             .unionAll(edges.select(F.col("pb").alias("node")))
@@ -579,14 +583,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n_core_edges = SUM(d) DIV 2 — every edge contributes one to each
+    # endpoint's degree, exact BIGINTs — replacing a separate COUNT
+    # aggregate + crossJoin(broadcast) that re-scanned the edge state
+    # in its own job (round 14, guide §2.4)
     return core_deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.sum("d").cast("bigint").alias("__deg_sum"),
         F.sum("node").cast("bigint").alias("node_checksum"),
         F.min("d").alias("min_core_deg"),
-    ).crossJoin(F.broadcast(n_edges)).select(
+    ).selectExpr(
         "n_core_nodes",
-        F.col("n").alias("n_core_edges"),
+        "__deg_sum DIV 2 AS n_core_edges",
         "node_checksum",
         "min_core_deg",
     )
