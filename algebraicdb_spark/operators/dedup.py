@@ -299,10 +299,19 @@ def shingle_tokens(docs: DataFrame) -> DataFrame:
     collapse ALL such docs into one identical band bucket (m² bogus
     candidate pairs). The oracle drops them at the unnest; drop them
     here for designed (not coincidental) parity.
+
+    The guard filters on the WORD COUNT of the canonical text, not on
+    ``size(tokens)``: a filter over the computed shingle column gets
+    pushed below the projection and re-evaluates the whole shingle
+    transform per row (guide §4.4's duplication, built-in edition —
+    measured 0.59 → 0.43 s for the tokenize stage at sf0.1). The two
+    predicates are equivalent: ``shingles`` returns a non-empty array
+    exactly when the canonical split has ≥ 3 words.
     """
-    return docs.select(
+    wc = F.size(F.split(canonical_text(F.col("text")), " "))
+    return docs.filter(wc >= 3).select(
         "doc_id", shingles(F.col("text"), 3).alias("tokens")
-    ).filter(F.size("tokens") > 0)
+    )
 
 
 def minhash_token_arrays(docs: DataFrame) -> DataFrame:
