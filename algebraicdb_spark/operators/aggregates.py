@@ -192,9 +192,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property (the raw estimate is additionally pinned in tests).
     """
     e = load_tables(spark, sf_dir)["events"]
-    per_type = e.groupBy("event_type").agg(
+    # pre-distinct (type, user) first (round 14, guide §2.3/2.4):
+    # mixing a distinct agg with the HLL forced an Expand + two-phase
+    # distinct plan; aggregating the deduped pairs computes the SAME
+    # HLL registers (sketches are duplicate-insensitive) and the exact
+    # count as a plain COUNT — one partial-agg shuffle, no Expand.
+    # A/B at sf0.1: 1.95 -> 0.78 s, collect-identical incl. estimate.
+    pairs = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__dup")
+    )
+    per_type = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_exact"),
     )
     tol = F.col("n_exact") * 0.05 + F.lit(1)
     return per_type.select(

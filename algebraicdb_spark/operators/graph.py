@@ -180,14 +180,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = wedges.join(e, ["u", "v"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    # n_edges = SUM(d) DIV 2 off the degree aggregate (exact bigints;
+    # the kcore device) — the former separate COUNT re-scanned the
+    # checkpointed edges in its own job + crossJoin
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
+        F.expr("CAST(SUM(d) AS BIGINT) DIV 2").alias("n_edges"),
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        stats.crossJoin(n_edges)  # three 1-row aggregates — no driver round-trip
-        .crossJoin(n_tri)
+        stats.crossJoin(n_tri)  # two 1-row aggregates — no driver round-trip
         .select(
             "n_nodes",
             "n_edges",
