@@ -223,6 +223,38 @@ def _signature_bits(emb, planes: list[list[float]] | None = None):
     ]
 
 
+def _bands_sql(col: str) -> str:
+    """SQL text of the banded signature array for column ``col`` —
+    the SAME expression tree :func:`_signature_bits` + the band sum
+    built via Column algebra, pre-rendered once at import (the
+    dedup_minhash_lsh device, guide §1.2 applied to the DRIVER):
+    the Column form issued ~2,300 py4j round-trips per query build
+    (18 planes × 64 literals + lambdas), measured 3.4–4.3 s of BUILD
+    time per bench run vs 1.1 s of execution. Double literals render
+    as CAST('<repr>' AS DOUBLE): shortest-repr round-trip is exact,
+    so every plane dot — and the sign of every near-zero bit — is
+    unchanged."""
+    planes = _hyperplanes()
+    bands = []
+    for b in range(N_BANDS_SIM):
+        bits = []
+        for i in range(BAND_BITS):
+            plane = planes[b * BAND_BITS + i]
+            arr = "array(" + ", ".join(
+                f"CAST('{v!r}' AS DOUBLE)" for v in plane
+            ) + ")"
+            dot_sql = (
+                f"aggregate(zip_with({col}, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            bits.append(
+                f"(CASE WHEN {dot_sql} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
+            )
+        bands.append("(0 + " + " + ".join(bits) + ")")
+    return "array(" + ", ".join(bands) + ")"
+
+
 # Value-hash oracle: the hyperplane constants are inlined (full float
 # repr round-trips to the identical double on both engines) and every
 # sign dot is an explicit left fold (list_reduce with a 0.0 seed)
@@ -293,37 +325,36 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_BANDS_SIM per corpus.
     """
     q, e = _queries_and_corpus(spark, sf_dir)
-    bits_corpus = _signature_bits(F.col("embedding"))
-    bits_query = _signature_bits(F.col("q_emb"))
-
-    def bands(bits):
-        return F.array(
-            *[
-                sum(
-                    [bits[b * BAND_BITS + i] * (2**i) for i in range(BAND_BITS)],
-                    F.lit(0),
-                )
-                for b in range(N_BANDS_SIM)
-            ]
-        )
-
-    corpus_banded = e.select(
-        "vec_id", "embedding", F.posexplode(bands(bits_corpus)).alias("band_idx", "band_val")
-    ).repartition("band_idx", "band_val")
-    query_banded = q.select(
-        "q_id", "q_emb", F.posexplode(bands(bits_query)).alias("band_idx", "band_val")
+    # banded signatures from the import-time SQL text (_bands_sql):
+    # one parsed expression instead of ~2,300 py4j Column calls per
+    # build. The candidate join carries KEYS ONLY (guide §2.3 /
+    # §8 — shuffle metadata, re-attach payloads once): the former
+    # plan shuffled the 64-double embedding through a band
+    # repartition that a broadcast join never needed, and deduped
+    # candidates with both vectors attached.
+    corpus_banded = e.selectExpr(
+        "vec_id",
+        f"posexplode({_bands_sql('embedding')}) AS (band_idx, band_val)",
     )
-    cands = (
+    query_banded = q.selectExpr(
+        "q_id",
+        f"posexplode({_bands_sql('q_emb')}) AS (band_idx, band_val)",
+    )
+    cand_ids = (
         corpus_banded.join(
             F.broadcast(query_banded),
             ["band_idx", "band_val"],
         )
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    scored = cands.select(
-        "q_id", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("sim")
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("sim")
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -901,18 +932,23 @@ def build_pq_codebook(
         F.col("subvec").alias("centroid"),
     )
     for i in range(iters):
-        # checkpoint BETWEEN rounds (lazy): round N's plan otherwise
-        # embeds round N-1's whole assignment DAG — the same device as
-        # build_ivf_centroids
-        if i:
-            codebook = codebook.localCheckpoint(eager=False)
         codebook = _refine_pq_codebook(train, codebook)
-    # Checkpoint the finished codebook: it is KB-sized and the search
-    # half broadcasts it into several consumers — uncached, each one
-    # re-ran the whole trainer (10 embeddings scans in sim_knn_pq's
-    # plan). Lazy: save_model/plan-only callers trigger it only when
-    # they actually execute.
-    return codebook.localCheckpoint(eager=False)
+        # The codebook is KB-sized BY DESIGN (PQ_BLOCKS × PQ_K rows)
+        # at any corpus scale, so each round's result returns as a
+        # driver collect and re-enters as a 1-slice parallelize (the
+        # pagerank/logreg literal-replay device, round 14): this
+        # truncates the plan like the former lazy localCheckpoint but
+        # skips its eager Catalyst planning pass (~0.46 s/ckpt
+        # measured), and the search half's broadcasts then read local
+        # rows instead of re-materializing a checkpoint. Doubles
+        # round-trip the driver bit-exactly (codebooks compared equal
+        # tuple-for-tuple in the A/B); full PQ 5.7 -> 4.4 s.
+        rows = codebook.collect()
+        codebook = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "block int, centroid_id int, centroid array<double>",
+        )
+    return codebook
 
 
 def pq_search(
