@@ -119,11 +119,19 @@ def q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side, so the orderkey join sees ~4% of orders, and the
     # planner/AQE may then broadcast the filtered orders under the
     # lineitem join (no hint: at 100 TB it falls back to SMJ of the
-    # REDUCED side, never the raw one). Inner joins commute — same
-    # rows, same oracle hash.
+    # REDUCED side, never the raw one). LEFT SEMI, not inner (round
+    # 14): no dim column survives the cut and c_custkey is unique, so
+    # the two are row-identical — but the inner form's size estimate
+    # (orders × customer-chain product) exceeded the projected
+    # lineitem estimate, and the planner picked the FACT side as the
+    # broadcast build (a ~600k-row serial build per run, and exactly
+    # the side that can never broadcast at scale). A semi join's
+    # estimate is bounded by the orders side, so the reduced orders —
+    # the side that actually fits — becomes the build.
     orders_cut = t["orders"].join(
         F.broadcast(dims.select("c_custkey")),
         F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
     )
     return (
         t["lineitem"]
