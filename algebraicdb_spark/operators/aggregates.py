@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import exact_money_sum, pround
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 
 @register(
@@ -1552,7 +1552,12 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, fences broadcast back, one clamped hash agg.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    cents = li.select(
+    # spread: both the percentile agg's map side and the clamped agg
+    # otherwise run inside the single-task fixture scan (guide §2.5;
+    # cluster no-op). The exact percentile REDUCE is still one task
+    # per flag group — inherent to discrete percentiles; the sketch
+    # tier for wide groups is agg_approx_percentile.
+    cents = spread(li).select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c"),
     )

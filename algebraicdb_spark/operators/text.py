@@ -596,12 +596,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(-F.log(F.col("nb").cast("double") / F.col("nc")) * 1000000)
         / 1000000
     )
-    scored = (
-        bigs.join(bv, "big")
-        .withColumn("w1", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
+    # join nc onto the VOCAB grain, not the exploded stream (round 14,
+    # guide §2.3): the former plan re-joined every exploded bigram row
+    # first by bigram string and then again by w1 — two exploded-grain
+    # joins; scoring each distinct bigram once and attaching the
+    # finished surprise with a single join is 1.83 -> 1.26 s at sf0.1
+    # (same per-row decimal terms, order-free per-doc sum, symdiff 0).
+    vocab = (
+        bv.withColumn("w1", F.split_part(F.col("big"), F.lit(" "), F.lit(1)))
         .join(ctx, "w1")
-        .select("doc_id", surprise.cast("decimal(18,6)").alias("surprise"))
+        .select("big", surprise.cast("decimal(18,6)").alias("surprise"))
     )
+    scored = bigs.join(vocab, "big").select("doc_id", "surprise")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         pround(F.sum("surprise").cast("double") / F.count(F.lit(1))).alias(
