@@ -41,7 +41,7 @@ from pyspark.sql.window import Window
 
 from algebraicdb_spark.functions.rounding import pround, pround_sql
 from algebraicdb_spark.plans.registry import register
-from algebraicdb_spark.sources.catalog import load_tables
+from algebraicdb_spark.sources.catalog import load_tables, spread
 
 
 @register(
@@ -239,13 +239,16 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the table.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    ranked = li.select(
+    # spread: the full-row md5 otherwise runs inside the 1-task
+    # fixture scan (guide §2.5; cluster no-op) — 1.4 -> 1.26 s sf0.1
+    src = spread(li)
+    ranked = src.select(
         "l_orderkey",
         "l_linenumber",
         pround(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"),
-        F.md5(row_hash_input(li)).alias("rank_hash"),
+        F.md5(row_hash_input(src)).alias("rank_hash"),
     )
     return ranked.orderBy("rank_hash").limit(SAMPLE_K)
 
