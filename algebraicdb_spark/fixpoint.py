@@ -312,9 +312,13 @@ def _run_recursive(spark, stmt, ctes, final, saved, rewrite) -> DataFrame:
                 part = part.toDF(*cte.cols)
             new = part if new is None else new.unionByName(part)
         # EXCEPT DISTINCT (null-safe set difference): rows already in
-        # the accumulator die here, so acc grows strictly or we stop
-        delta = _rebase(new.subtract(acc)).localCheckpoint(eager=True)
-        if delta.isEmpty():
+        # the accumulator die here, so acc grows strictly or we stop.
+        # Lazy checkpoint + count folds the former two jobs per round
+        # (eager materialize, then an isEmpty probe) into ONE: count()
+        # is the action that materializes the checkpoint AND answers
+        # the emptiness question (guide §2.4 — one pass, one job).
+        delta = _rebase(new.subtract(acc)).localCheckpoint(eager=False)
+        if delta.count() == 0:
             converged = True
             break
         # the accumulator stays a flat union of checkpointed deltas —
@@ -387,7 +391,10 @@ def _run_iterate(spark, ctes, final, saved, rewrite) -> DataFrame:
     state = run(base_sql)
     if cte.cols:
         state = state.toDF(*cte.cols)
-    state = state.localCheckpoint(eager=True)
+    # lazy ckpt + count: one job materializes the base state AND
+    # seeds the count tier of the convergence probe (same fusion as
+    # the per-round probe below)
+    state = state.localCheckpoint(eager=False)
     converged = False
     prev_count = state.count()
     for _ in range(limit):
@@ -395,13 +402,15 @@ def _run_iterate(spark, ctes, final, saved, rewrite) -> DataFrame:
         nxt = run(_substitute(step_sql, cte.name, view))
         if cte.cols:
             nxt = nxt.toDF(*cte.cols)
-        nxt = _rebase(nxt).localCheckpoint(eager=True)
-        # two-tier convergence probe: counts first (one cheap job on a
-        # checkpointed RDD — unequal counts prove inequality, which is
-        # the common case while a peel/propagation still moves), then
-        # the single-job null-safe set-equality probe only on count
-        # equality (state is a SET here; multiset-sensitive steps
-        # should key their state)
+        # Lazy checkpoint + count: the count() action materializes the
+        # checkpoint AND yields the first convergence tier in ONE job
+        # (the former eager ckpt spent a separate job, then counted).
+        nxt = _rebase(nxt).localCheckpoint(eager=False)
+        # two-tier convergence probe: counts first (unequal counts
+        # prove inequality, which is the common case while a
+        # peel/propagation still moves), then the single-job null-safe
+        # set-equality probe only on count equality (state is a SET
+        # here; multiset-sensitive steps should key their state)
         n = nxt.count()
         if n == prev_count and _set_equal(nxt, state):
             converged = True

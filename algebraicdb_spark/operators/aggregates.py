@@ -201,9 +201,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("__dup")
     )
+    # n_exact counts user_id (non-null) rather than rows: COUNT(DISTINCT
+    # user_id) (the oracle) ignores NULL, but the pair grain keeps a
+    # NULL-user group that COUNT(*) would count as one extra user per
+    # event_type (ADVICE r14 — latent on the null-free fixture). An
+    # event_type whose users are ALL null still surfaces with n_exact=0,
+    # exactly like the oracle's GROUP BY.
     per_type = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_exact"),
+        F.count(F.col("user_id")).alias("n_exact"),
     )
     tol = F.col("n_exact") * 0.05 + F.lit(1)
     return per_type.select(

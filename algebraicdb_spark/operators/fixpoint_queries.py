@@ -138,7 +138,7 @@ def dialect_iterate_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- each endpoint's degree — exact BIGINTs), replacing a scalar
         -- COUNT(*) subquery that re-scanned the state in its own job
         SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
-               CAST(SUM(d) AS BIGINT) DIV 2 AS n_core_edges,
+               COALESCE(CAST(SUM(d) AS BIGINT), 0) DIV 2 AS n_core_edges,
                CAST(SUM(node) AS BIGINT) AS node_checksum,
                MIN(d) AS min_core_deg
         FROM core_deg

@@ -186,7 +186,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
-        F.expr("CAST(SUM(d) AS BIGINT) DIV 2").alias("n_edges"),
+        # COALESCE: SUM is NULL over an empty degree set where the
+        # former COUNT(*) said 0 (ADVICE r14 — empty graph at tiny SFs)
+        F.expr("COALESCE(CAST(SUM(d) AS BIGINT), 0) DIV 2").alias("n_edges"),
     )
     return (
         stats.crossJoin(n_tri)  # two 1-row aggregates — no driver round-trip
@@ -596,7 +598,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_core_deg"),
     ).selectExpr(
         "n_core_nodes",
-        "__deg_sum DIV 2 AS n_core_edges",
+        # COALESCE: the peel can empty the core, where SUM is NULL but
+        # the former COUNT(*) said 0 (ADVICE r14)
+        "COALESCE(__deg_sum, 0) DIV 2 AS n_core_edges",
         "node_checksum",
         "min_core_deg",
     )
@@ -694,29 +698,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    for i in range(LPA_ROUNDS):
-        counts = (
-            und.join(
-                # node-sized label table broadcast per round (kcore
-                # note): the undirected edge list never re-shuffles
-                F.broadcast(labels.withColumnRenamed("node", "nbr")), "nbr"
-            )
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(LPA_ROUNDS):
+        joined = und.join(
+            # node-sized label table broadcast per round (kcore
+            # note): the undirected edge list never re-shuffles
+            F.broadcast(labels.withColumnRenamed("node", "nbr")), "nbr"
         )
-        # per-node top-1 as max_by over struct(n, -label) — the same
-        # (count DESC, label ASC) total order as the former
-        # row_number window, minus the window's extra sort exchange
-        # (guide §2.4); A/B'd value-identical on all four stats
-        labels = counts.groupBy("node").agg(
-            F.expr("max_by(label, struct(n, -label))").alias("label")
+        # ONE aggregate per round (round 15, guide §2.4 — the kcore
+        # deg-CTE fold applied here): mode(label, deterministic=true)
+        # is exactly the former count + max_by(struct(n, -label))
+        # pair — most frequent label, ties to the SMALLEST label (the
+        # deterministic flag's documented tie rule) — at one shuffle
+        # of the node grain instead of two ((node,label) counts, then
+        # (node) top-1). A/B at sf0.1: value-identical on all four
+        # stats incl. the tie-sensitive label_checksum.
+        labels = joined.groupBy("node").agg(
+            F.expr("mode(label, true)").alias("label")
         )
-        # checkpoint EVERY round (not every 2nd): round r's label
-        # table is consumed twice — as round r+1's broadcast AND in
-        # the next checkpoint's lineage — so an un-checkpointed round
-        # re-executes once in full (the graph_kcore probe lesson);
-        # the checkpoint itself is one node-grain materialization
-        labels = labels.localCheckpoint(eager=True)
+        # LAZY checkpoint per round (round 15): round r's labels are
+        # materialized by round r+1's broadcast collect anyway, so an
+        # eager ckpt spent a separate job on the same node-grain rows;
+        # lazy keeps the lineage cap (the graph_kcore probe lesson)
+        # while the broadcast supplies the action. A/B with the mode
+        # fold: 3.1-3.6 -> 2.6-2.9 s.
+        labels = labels.localCheckpoint(eager=False)
     comm = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     return comm.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),

@@ -915,7 +915,14 @@ def build_pq_codebook(
     KB-sized however big the corpus — the canonical persist-once
     artifact for ``Engine.save_model``; at 100 TB the train sample is
     bounded by PQ_TRAIN_CAP rows per block regardless of corpus
-    size."""
+    size.
+
+    EAGER since round 14: each Lloyd round collects the KB-sized
+    codebook to the driver (literal-replay device below), so merely
+    BUILDING this DataFrame runs the training jobs — plan-only
+    callers (explain/plan_dump) pay for training once per call, and
+    training failures surface at build time. Callers that need a
+    lazy handle should wrap the call site, not this trainer."""
     _, e = _queries_and_corpus(spark, sf_dir)
     corpus_sub = _pq_subvecs(e, "vec_id", "embedding")
     # deterministic stride sample with a dense-id cap: only ~1/MOD of
@@ -931,7 +938,7 @@ def build_pq_codebook(
         F.expr(f"CAST(vec_id DIV {PQ_TRAIN_MOD} AS INT)").alias("centroid_id"),
         F.col("subvec").alias("centroid"),
     )
-    for i in range(iters):
+    for _ in range(iters):
         codebook = _refine_pq_codebook(train, codebook)
         # The codebook is KB-sized BY DESIGN (PQ_BLOCKS × PQ_K rows)
         # at any corpus scale, so each round's result returns as a
