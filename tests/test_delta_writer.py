@@ -14,6 +14,11 @@ import os
 
 import pytest
 
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
+
 from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
 from algebraicdb_spark.operators.txnlog import (
     ConcurrentWriteError,

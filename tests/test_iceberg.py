@@ -17,6 +17,11 @@ import struct
 import zlib
 
 import pytest
+
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
 from pyspark.sql import functions as F
 
 from algebraicdb_spark.operators.iceberg import AvroFileReader, IcebergTable

@@ -26,6 +26,11 @@ import json
 import os
 
 import pytest
+
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
 from pyspark.sql import functions as F
 
 from algebraicdb_spark.operators.delta_writer import DeltaTableWriter

@@ -16,6 +16,11 @@ import uuid
 
 import pytest
 
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
+
 from algebraicdb_spark.operators.iceberg import IcebergTable
 from algebraicdb_spark.operators.iceberg_writer import (
     AvroFileWriter,

@@ -18,6 +18,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
+
 from algebraicdb_spark.operators.delta_writer import DeltaTableWriter
 from algebraicdb_spark.operators.txnlog import DeltaLogTable
 

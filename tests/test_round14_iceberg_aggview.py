@@ -13,6 +13,11 @@ import os
 
 import pytest
 
+# Heavyweight lakehouse interop e2e tier: excluded from the
+# default pytest run (see pyproject [tool.pytest.ini_options]);
+# run explicitly with `pytest -m interop`.
+pytestmark = pytest.mark.interop
+
 from algebraicdb_spark.operators.iceberg import IcebergViewBase
 from algebraicdb_spark.operators.iceberg_writer import IcebergTableWriter
 from algebraicdb_spark.operators.txnlog import IncrementalAggView

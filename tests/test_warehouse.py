@@ -3,7 +3,13 @@
 correctness is oracle-gated (tools/verify_local.py); these pin the
 interval algebra and sampling properties a value hash can't see."""
 
+import pytest
 from pyspark.sql import functions as F
+
+# Heavyweight warehouse/txn-log end-to-end tier (multi-commit SCD2 /
+# CDC / txn-log model checks): excluded from the default pytest run
+# (see pyproject [tool.pytest.ini_options]); run with `pytest -m interop`.
+pytestmark = pytest.mark.interop
 
 
 def test_scd2_intervals_partition_time(spark, sf_dir):
