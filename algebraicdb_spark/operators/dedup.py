@@ -24,11 +24,13 @@ against its DuckDB oracle (md5-based hashing is engine-portable).
 
 from __future__ import annotations
 
+import itertools
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from algebraicdb_spark.functions.rounding import pround
+from algebraicdb_spark.functions.rounding import pround, pround_sql
 from algebraicdb_spark.plans.registry import register
 from algebraicdb_spark.sources.catalog import load_tables, spread
 
@@ -432,18 +434,60 @@ def minhash_rerank(cands: DataFrame, toks: DataFrame) -> DataFrame:
     return joined.withColumn("jaccard", pround(inter / union))
 
 
+# The whole batch tier as ONE pre-rendered SQL statement (round 15,
+# the _MH_*_SQL device extended from the signature selects to the
+# candidate join + rerank): the Column-object form of
+# minhash_candidates + minhash_rerank still issued ~500 py4j
+# round-trips per BUILD (~0.35 s of driver socket latency before any
+# job ran — cProfile on pipeline_dedup_funnel). Every expression is
+# byte-identical SQL text (REPARTITION hint == .repartition(cols),
+# SELECT DISTINCT == dropDuplicates, pround_sql == pround), so values
+# hash-match the former plan. Only the token view name and tau are
+# substituted at call time.
+_MH_PAIRS_TEMPLATE = (
+    "WITH hs AS (SELECT doc_id, " + _MH_HS_SQL + " FROM {toks}),\n"
+    "sig AS (SELECT doc_id, " + _MH_SIG_SQL + " FROM hs),\n"
+    "banded AS (SELECT doc_id, " + _MH_BANDS_SQL + " FROM sig),\n"
+    "rep AS (SELECT /*+ REPARTITION(band_idx, band_hash) */\n"
+    "        doc_id, band_idx, band_hash FROM banded),\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "         FROM rep a JOIN rep b\n"
+    "           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash\n"
+    "              AND a.doc_id < b.doc_id)\n"
+    "SELECT doc_a, doc_b, jaccard FROM (\n"
+    "  SELECT c.doc_a, c.doc_b,\n"
+    "         " + pround_sql(
+        "CAST(size(array_intersect(ta.tokens, tb.tokens)) AS DOUBLE)"
+        " / CAST(size(array_union(ta.tokens, tb.tokens)) AS DOUBLE)"
+    ) + " AS jaccard\n"
+    "  FROM cand c\n"
+    "  JOIN {toks} ta ON ta.doc_id = c.doc_a\n"
+    "  JOIN {toks} tb ON tb.doc_id = c.doc_b\n"
+    ") WHERE jaccard >= {tau}"
+)
+
+_MH_VIEW_SEQ = itertools.count()
+
+
 def minhash_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs at the MinHash tier:
     banded candidates → exact Jaccard rerank ≥ tau. `docs` is any
     (doc_id, text) DataFrame — the funnel feeds exact-dedup survivors.
+
+    The checkpointed token table goes in as a temp view and the rest
+    of the tier is one pre-rendered SQL statement (_MH_PAIRS_TEMPLATE);
+    spark.sql analyzes eagerly, so the view is dropped immediately —
+    the returned DataFrame holds the resolved relation (the
+    fixpoint-runner _bind_result precedent).
     """
     toks = minhash_token_arrays(docs)
-    cands = minhash_candidates(toks)
-    return (
-        minhash_rerank(cands, toks)
-        .select("doc_a", "doc_b", "jaccard")
-        .filter(F.col("jaccard") >= tau)
-    )
+    view = f"__mh_toks_{next(_MH_VIEW_SEQ)}"
+    toks.createOrReplaceTempView(view)
+    spark = toks.sparkSession
+    try:
+        return spark.sql(_MH_PAIRS_TEMPLATE.format(toks=view, tau=repr(tau)))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def near_dup_pairs(

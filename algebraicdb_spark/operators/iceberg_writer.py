@@ -1957,7 +1957,8 @@ class IcebergTableWriter:
             ]
             if rows:
                 dels = spark.createDataFrame(
-                    rows, "__uri string, __pos long"
+                    rows, "__uri string, __pos long",
+                    verifySchema=False,  # (str, int) tuples by construction
                 )
                 df = df.join(
                     F.broadcast(dels), ["__uri", "__pos"], "left_anti"
@@ -2203,6 +2204,7 @@ class IcebergTableWriter:
                     [(u, int(p)) for u, ps in old_map.items()
                      for p in ps],
                     "__uri string, __pos long",
+                    verifySchema=False,  # (str, int) by construction
                 )
                 live = live.join(
                     F.broadcast(dv_dels), ["__uri", "__pos"], "left_anti"
@@ -2538,6 +2540,7 @@ class IcebergTableWriter:
                     [(u, int(p)) for u, ps in old_map.items()
                      for p in ps],
                     "__uri string, __pos long",
+                    verifySchema=False,  # (str, int) by construction
                 )
                 live = live.join(
                     F.broadcast(dv_dels), ["__uri", "__pos"], "left_anti"
@@ -2553,7 +2556,12 @@ class IcebergTableWriter:
                     f"UPDATE assigns unknown column(s) {unknown} — the "
                     "table schema is pinned"
                 )
-            matched = live.where(F.expr(pred)).localCheckpoint()
+            # lazy ckpt + collect (round 15): the pairs collect is the
+            # action that materializes the matched-rows checkpoint, so
+            # the predicate scan + MoR anti-joins run ONCE instead of
+            # twice (eager ckpt job, then a separate collect job); the
+            # postimage staging below reads the checkpointed rows.
+            matched = live.where(F.expr(pred)).localCheckpoint(eager=False)
             pairs = matched.select("__uri", "__pos").collect()
             if not pairs:
                 return {"version": None, "rows_updated": 0,
@@ -2650,12 +2658,15 @@ class IcebergTableWriter:
                         [(u, int(p)) for u, ps in old_map.items()
                          for p in ps],
                         "__uri string, __pos long",
+                        verifySchema=False,  # (str, int) by construction
                     )
                     tgt = tgt.join(
                         F.broadcast(dv_dels), ["__uri", "__pos"],
                         "left_anti",
                     )
-                tgt = tgt.localCheckpoint()
+                # lazy: the first consumer (the matched-join stats
+                # collect or the unmatched-insert staging) materializes
+                tgt = tgt.localCheckpoint(eager=False)
             table_cols = [
                 c for c in (tgt.columns if tgt is not None else [])
                 if c not in ("__uri", "__pos", "_row_id",
@@ -2668,7 +2679,7 @@ class IcebergTableWriter:
                 if (assignments or delete_matched) and tgt is not None:
                     joined = tgt.alias(target_alias).join(
                         source.alias(source_alias), cond_col, "inner"
-                    ).localCheckpoint()
+                    ).localCheckpoint(eager=False)  # stats collect materializes
                     st_row = joined.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count_distinct(
@@ -3003,7 +3014,9 @@ class IcebergTableWriter:
                     *[p for p, _r, _b, _pv in data_staged]
                 ).groupBy(
                     *[F.col(c) for c in key_cols]
-                ).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint()
+                ).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(
+                    eager=False  # the stats collect below materializes
+                )
                 stats_row = key_counts.agg(
                     F.sum("__n").alias("n"),
                     F.count(F.lit(1)).alias("d"),
@@ -3202,7 +3215,9 @@ class IcebergTableWriter:
             hit = self._probe_mor_matches(
                 spark, data, pos_d, pred, eq_d, rdr
             )
-            matched = hit.localCheckpoint()  # probe once, use twice
+            # probe once, use twice; lazy — the delete-file staging
+            # write is the materializing action
+            matched = hit.localCheckpoint(eager=False)
             dels = matched.select(
                 F.col("__uri").alias("file_path"),
                 F.col("__pos").cast("long").alias("pos"),
@@ -3411,7 +3426,7 @@ class IcebergTableWriter:
                 if (assignments or delete_matched) and tgt is not None:
                     joined = tgt.alias(target_alias).join(
                         source.alias(source_alias), cond_col, "inner"
-                    ).localCheckpoint()
+                    ).localCheckpoint(eager=False)  # stats collect materializes
                     st_row = joined.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count_distinct(

@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from algebraicdb_spark.functions.rounding import pround
+import itertools
+
+from algebraicdb_spark.functions.rounding import pround, pround_sql
 from algebraicdb_spark.operators.dedup import (
     JACCARD_TAU,
     canonical_text,
@@ -507,6 +509,43 @@ def pipeline_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twin of dedup.canonical_text (lower + collapse whitespace) —
+# byte-identical regexp/ops, rendered once at import
+_CANON_SQL = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+
+_FUNNEL_VIEW_SEQ = itertools.count()
+
+# The funnel's tier/token plumbing as ONE pre-rendered statement
+# (round 15): every expression is the same SQL text the Column form
+# generated (split/size token counts, literal tier tags, LEFT ANTI
+# near-drop cut, broadcast 1-row total, pround share), so values are
+# hash-identical; only the two view names are substituted per call.
+_FUNNEL_SQL_TEMPLATE = (
+    "WITH toks AS (\n"
+    "  SELECT doc_id,\n"
+    "         CAST(size(split(" + _CANON_SQL + ", ' ')) AS BIGINT) AS n_toks\n"
+    "  FROM documents\n"
+    "),\n"
+    "tiers AS (\n"
+    "  SELECT 0 AS tier, 'raw' AS stage, doc_id FROM documents\n"
+    "  UNION ALL SELECT 1, 'exact_dedup', doc_id FROM {keep}\n"
+    "  UNION ALL SELECT 2, 'near_dedup', k.doc_id FROM {keep} k\n"
+    "    LEFT ANTI JOIN (SELECT DISTINCT doc_b AS doc_id FROM {pairs}) nd\n"
+    "      ON nd.doc_id = k.doc_id\n"
+    "),\n"
+    "agg AS (\n"
+    "  SELECT tier, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "         CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens\n"
+    "  FROM tiers JOIN toks t USING (doc_id) GROUP BY tier, stage\n"
+    "),\n"
+    "tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS all_toks FROM toks)\n"
+    "SELECT /*+ BROADCAST(tot) */ tier, stage, n_docs, n_tokens,\n"
+    "       " + pround_sql("CAST(n_tokens AS DOUBLE) / all_toks")
+    + " AS token_share\n"
+    "FROM agg CROSS JOIN tot"
+)
+
+
 @register(
     "pipeline_dedup_funnel",
     # The dedup ladder as a funnel report: docs and tokens surviving
@@ -566,52 +605,27 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier. The tier union is doc-id-grain metadata; token sums join one
     (doc, n_tokens) table built map-side.
     """
-    d = load_tables(spark, sf_dir)["documents"]
-    canon = d.withColumn("ctext", canonical_text("text"))
-    toks = canon.select(
-        "doc_id", F.size(F.split("ctext", " ")).cast("bigint").alias("n_toks")
-    )
+    load_tables(spark, sf_dir)  # registers the `documents` view
     # exact_keep feeds tier1, tier2's anti-join AND the near-dup tier;
     # materialize the doc-grain table once instead of re-running the
-    # canonicalize+groupBy per consumer
-    exact_keep = (
-        canon.groupBy("ctext")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .localCheckpoint(eager=False)
-    )
+    # canonicalize+groupBy per consumer. The rest of the funnel is
+    # pre-rendered SQL (round 15, the _MH_PAIRS_TEMPLATE device): the
+    # Column-object plumbing issued ~300 py4j round-trips per build.
+    exact_keep = spark.sql(
+        "SELECT ctext, MIN(doc_id) AS doc_id FROM (SELECT doc_id, "
+        f"{_CANON_SQL} AS ctext FROM documents) GROUP BY ctext"
+    ).localCheckpoint(eager=False)
+    keep_v = f"__funnel_keep_{next(_FUNNEL_VIEW_SEQ)}"
+    exact_keep.createOrReplaceTempView(keep_v)
     # feed the canonical text as `text`: minhash_pairs re-canonicalizes
     # idempotently, and the oracle's exact_docs CTE does the same
     exact_docs = exact_keep.select("doc_id", F.col("ctext").alias("text"))
-    near_drops = (
-        minhash_pairs(exact_docs)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    tier0 = canon.select(F.lit(0).alias("tier"), F.lit("raw").alias("stage"), "doc_id")
-    tier1 = exact_keep.select(
-        F.lit(1).alias("tier"), F.lit("exact_dedup").alias("stage"), "doc_id"
-    )
-    tier2 = (
-        exact_keep.join(near_drops, "doc_id", "left_anti")
-        .select(F.lit(2).alias("tier"), F.lit("near_dedup").alias("stage"), "doc_id")
-    )
-    tiers = tier0.unionByName(tier1).unionByName(tier2)
-    tot = toks.agg(F.sum("n_toks").cast("bigint").alias("all_toks"))
-    return (
-        tiers.join(toks, "doc_id")
-        .groupBy("tier", "stage")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    pairs_v = f"__funnel_pairs_{next(_FUNNEL_VIEW_SEQ)}"
+    minhash_pairs(exact_docs).createOrReplaceTempView(pairs_v)
+    try:
+        return spark.sql(
+            _FUNNEL_SQL_TEMPLATE.format(keep=keep_v, pairs=pairs_v)
         )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "tier",
-            "stage",
-            "n_docs",
-            "n_tokens",
-            pround(F.col("n_tokens").cast("double") / F.col("all_toks")).alias(
-                "token_share"
-            ),
-        )
-    )
+    finally:
+        spark.catalog.dropTempView(keep_v)
+        spark.catalog.dropTempView(pairs_v)
